@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated lake (TESTDATA.md).
+  *
+  * Stands in for the reference's default-enabled `tpch`/`tpcds`
+  * generator catalogs (walden `tf/variables.tf:238-251`): same star
+  * schema, materialized as parquet at several scale factors.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    // reader rejects; read nanos as raw long and truncate to Spark's
+    // native µs precision (documented semantic delta, SURVEY.md §1.2).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      // integer `div`, not `/`: double division loses precision above
+      // 2^53 and epoch-nanos are ~1.7e18.
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Register every table as a temp view (for spark.sql entry points). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** One operator-coverage entry: a DataFrame-API query plus (when the
+  * semantics are ANSI-SQL-expressible) a DuckDB oracle that must
+  * hash-match it on the same parquet inputs.
+  */
+final case class QueryEntry(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

@@ -1,0 +1,51 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Replaces the reference's Trino coordinator+worker composition
+  * (walden `tf/main.tf:82-114`, `tf/trino-values.yaml`) with one Spark
+  * process: Catalyst is the optimizer, Tungsten the execution engine,
+  * AQE the runtime re-planner. Defaults are chosen for the 100 TB
+  * design point, scaled down to local[N]:
+  *
+  *  - AQE on (runtime join re-planning, partition coalescing, skew-join
+  *    splitting) — stands in for Trino's CBO + fault-tolerant exchange.
+  *  - CBO on; users should `ANALYZE TABLE` large tables.
+  *  - shuffle partitions default to cores in local mode; on a real
+  *    cluster this would be 2-3x total executor cores (AQE coalesces
+  *    down, so erring high is safe).
+  *  - UTC session timezone: oracle/engine parity and sane timestamp
+  *    semantics across a fleet.
+  */
+object GraftSession {
+
+  /** Cores to use locally; the driver exports SPARK_GRAFT_CPUS. */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def builder(master: String = s"local[$cpus]",
+              shufflePartitions: Int = cpus.toInt): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.mergeSchema", "false")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.ui.enabled", "false")
+
+  /** Create (or reuse) a session and register graft SQL functions. */
+  def create(master: String = s"local[$cpus]"): SparkSession = {
+    val spark = builder(master).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    spark
+  }
+}

@@ -1,0 +1,148 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) columns for a training-data pipeline:
+  * opaque `binary` content + typed metadata struct, with
+  * decode / feature-extract / resize / frame-sample as distributed
+  * per-partition batch transforms.
+  *
+  * Spark-side plumbing (schema, partitioning, batch shape, signatures)
+  * is REAL and tested. The codec step itself is a clearly marked
+  * DETERMINISTIC STUB — this container ships no image/audio libs, so
+  * `stubDecode` derives fake-but-stable pixels/samples from a content
+  * hash. A production deployment swaps `stubDecode`'s body for a real
+  * codec (javax.imageio / ffmpeg bindings) without touching any plan
+  * shape: every operator here is already partition-parallel and
+  * shuffle-free (narrow maps only; one `explode` for frames whose
+  * output is linear in requested frames, not in input bytes).
+  */
+object MultimodalOps {
+
+  /** Typed media metadata. Sniffing is real (magic numbers); numeric
+    * fields come from the stub decoder. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("sample_rate", IntegerType)))
+
+  /** Real content sniffing by magic number — public file signatures. */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "png"
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpeg"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "wav"
+    else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "mp4"
+    else "unknown"
+  }
+
+  /** Stable 64-bit content hash (FNV-1a; public-domain algorithm). */
+  def contentHash(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  // ====================================================================
+  // ??? STUB DECODE ??? — deterministic fake standing in for the codec.
+  // Real impl would parse the container and return actual dimensions /
+  // durations / samples. Everything below keys off contentHash so it is
+  // stable across runs, partitions, and engines.
+  // ====================================================================
+  def stubDecode(bytes: Array[Byte]): (Int, Int, Long, Int) = {
+    val h = contentHash(bytes)
+    val w = 64 + (Math.floorMod(h, 8L) * 32L).toInt         // 64..288
+    val ht = 64 + (Math.floorMod(h >> 8, 8L) * 32L).toInt   // 64..288
+    val dur = 1000L + Math.floorMod(h >> 16, 60000L)        // 1s..61s
+    val sr = Seq(16000, 22050, 44100, 48000)(Math.floorMod(h >> 24, 4L).toInt)
+    (w, ht, dur, sr)
+  }
+
+  /** Deterministic fake feature vector (dim floats in [-1,1)) — the
+    * STUB for an embedding model; shape/partitioning real. */
+  def stubFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val h = contentHash(bytes)
+    Array.tabulate(dim) { i =>
+      val x = h * 6364136223846793005L + i * 1442695040888963407L
+      ((x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+    }
+  }
+
+  // ====================================================================
+  // DataFrame operators — all narrow (no shuffle), codegen-friendly
+  // where expressible, mapPartitions where the batch shape matters.
+  // ====================================================================
+
+  /** Attach the typed metadata struct to a binary content column. */
+  def withMeta(df: DataFrame, contentCol: String = "content",
+               metaCol: String = "meta"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(
+      StructType(df.schema.fields :+ StructField(metaCol, metaSchema)))
+    df.mapPartitions { it: Iterator[Row] =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentCol)
+        val fmt = sniffFormat(bytes)
+        val (w, h, dur, sr) = stubDecode(bytes)
+        Row.fromSeq(r.toSeq :+ Row(fmt, w, h, dur, sr))
+      }
+    }(enc)
+  }
+
+  /** Feature extraction: content -> float[dim] embedding column, ready
+    * for graft.operators.VectorOps similarity pipelines. */
+  def extractFeatures(df: DataFrame, contentCol: String = "content",
+                      outCol: String = "features", dim: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(
+      StructType(df.schema.fields :+ StructField(outCol, ArrayType(FloatType))))
+    df.mapPartitions { it: Iterator[Row] =>
+      it.map { r =>
+        val feats = stubFeatures(r.getAs[Array[Byte]](contentCol), dim)
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Image resize: (content, meta) -> resized pseudo-pixels. Output
+    * size is exactly w*h floats — batch shape is real even though the
+    * pixel values are stub-derived. */
+  def resizeImage(df: DataFrame, w: Int, h: Int,
+                  contentCol: String = "content", outCol: String = "pixels"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(
+      StructType(df.schema.fields :+ StructField(outCol, ArrayType(FloatType))))
+    df.mapPartitions { it: Iterator[Row] =>
+      it.map { r =>
+        val base = stubFeatures(r.getAs[Array[Byte]](contentCol), 256)
+        val px = Array.tabulate(w * h)(i => base(i % 256)) // ??? real codec would sample pixels
+        Row.fromSeq(r.toSeq :+ px.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for video: one output row per sampled frame with
+    * frame_ts_ms + a per-frame feature stub. Output cardinality =
+    * ceil(duration/everyMs) per row — linear and bounded, never a
+    * full decode. */
+  def sampleFrames(df: DataFrame, everyMs: Long,
+                   contentCol: String = "content"): DataFrame = {
+    val withDur = withMeta(df, contentCol, "__meta")
+      .withColumn("frame_ts_ms",
+        explode(sequence(lit(0L), col("__meta.duration_ms"), lit(everyMs))))
+    val enc = org.apache.spark.sql.Encoders.row(
+      StructType(withDur.schema.fields :+ StructField("frame_features", ArrayType(FloatType))))
+    withDur.mapPartitions { it: Iterator[Row] =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentCol)
+        val ts = r.getAs[Long]("frame_ts_ms")
+        // ??? stub: per-frame features keyed on (content, ts)
+        val feats = stubFeatures(bytes ++ BigInt(ts).toByteArray, 16)
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }(enc).drop("__meta")
+  }
+}

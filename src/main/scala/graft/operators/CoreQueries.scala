@@ -1,0 +1,453 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.{QueryEntry, Tables}
+
+/** Core relational operator coverage (SURVEY.md §2.3): projection,
+  * filter, every join shape, hash aggregation, grouping sets, windows,
+  * sorts/limits, set ops, subqueries, CTE semantics, VALUES, UNNEST.
+  *
+  * Each entry is written DataFrame-first (Catalyst plans the physical
+  * strategy) and paired with an ANSI-SQL DuckDB oracle.
+  *
+  * Float-parity discipline (SURVEY.md §7.5): every SUM over doubles is
+  * routed through DECIMAL(38,6) — exact and reduction-order-independent
+  * — then cast back to double, so Spark's shuffle order can never change
+  * a result the oracle computes sequentially. Averages are the exact
+  * decimal sum divided by COUNT in double (bit-identical both engines).
+  * Raw column values pass through untouched (already bit-identical).
+  */
+object CoreQueries {
+
+  private val D = DecimalType(38, 6)
+  /** Order-insensitive exact sum of a double expression. */
+  private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+  /** Oracle-side spelling of dsum. */
+  private def oSum(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  val entries: Seq[QueryEntry] = Seq(
+
+    // ------------------------------------------------------------------
+    QueryEntry("q01_pricing_summary",
+      (s, d) => {
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            (sum(col("l_quantity").cast(D)).cast("double") / count(lit(1))).as("avg_qty"),
+            (sum(col("l_extendedprice").cast(D)).cast("double") / count(lit(1))).as("avg_price"),
+            (sum(col("l_discount").cast(D)).cast("double") / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${oSum("l_quantity")} AS sum_qty,
+        ${oSum("l_extendedprice")} AS sum_base_price,
+        ${oSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        ${oSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+        ${oSum("l_quantity")} / COUNT(*) AS avg_qty,
+        ${oSum("l_extendedprice")} / COUNT(*) AS avg_price,
+        ${oSum("l_discount")} / COUNT(*) AS avg_disc,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q02_filter_project",
+      (s, d) => {
+        t(s, d, "part")
+          .filter(col("p_type").isin("ECONOMY", "SMALL") &&
+            col("p_size").between(10, 30) && col("p_name").like("%bolt%"))
+          .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      },
+      Some("""SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        FROM part WHERE p_type IN ('ECONOMY','SMALL')
+        AND p_size BETWEEN 10 AND 30 AND p_name LIKE '%bolt%'""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q03_shipping_priority",
+      (s, d) => {
+        val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, d, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+        val li = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
+        // dimension side is small: broadcast it so the big fact scan
+        // never shuffles on the probe side.
+        broadcast(cust).join(ord, col("c_custkey") === col("o_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .select(col("l_orderkey"), col("revenue"),
+            col("o_orderdate").cast(DateType).cast(StringType).as("orderdate"),
+            col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey,
+        ${oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+        CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q04_semi_join",
+      (s, d) => {
+        val ord = t(s, d, "orders")
+        val li = t(s, d, "lineitem")
+        ord.join(li,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > date_add(col("o_orderdate"), 30),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q05_anti_join",
+      (s, d) => {
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("acctbal_sum"))
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+        ${oSum("c_acctbal")} AS acctbal_sum
+        FROM customer c WHERE NOT EXISTS
+          (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q06_outer_join_custdist",
+      (s, d) => {
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) t
+        GROUP BY c_count""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q07_full_outer_join",
+      (s, d) => {
+        val cn = t(s, d, "customer").groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_customers"))
+        val sn = t(s, d, "supplier").groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_suppliers"))
+        cn.join(sn, col("c_nationkey") === col("s_nationkey"), "full")
+          .select(
+            coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+            coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      },
+      Some("""SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+          COALESCE(n_customers, 0) AS n_customers,
+          COALESCE(n_suppliers, 0) AS n_suppliers
+        FROM (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+        FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+          ON c_nationkey = s_nationkey""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q08_theta_join",
+      (s, d) => {
+        val r = t(s, d, "region")
+        val r1 = r.select(col("r_regionkey").as("k1"), col("r_name").as("name1"))
+        val r2 = r.select(col("r_regionkey").as("k2"), col("r_name").as("name2"))
+        r1.crossJoin(r2).filter(col("k1") < col("k2")).select("name1", "name2")
+      },
+      Some("""SELECT r1.r_name AS name1, r2.r_name AS name2
+        FROM region r1, region r2 WHERE r1.r_regionkey < r2.r_regionkey""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q09_distinct",
+      (s, d) => t(s, d, "customer").select("c_mktsegment", "c_nationkey").distinct(),
+      Some("SELECT DISTINCT c_mktsegment, c_nationkey FROM customer")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q10_set_ops",
+      (s, d) => {
+        val a = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("k"))
+        val b = t(s, d, "orders").filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("k"))
+        a.union(b).distinct().withColumn("op", lit("union"))
+          .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
+          .unionByName(a.except(b).withColumn("op", lit("except")))
+          .select("op", "k")
+      },
+      Some("""WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+             b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000)
+        SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+        UNION ALL SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+        UNION ALL SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q11_rollup",
+      (s, d) => {
+        t(s, d, "orders")
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+            grouping(col("o_orderstatus")).cast("int").as("g_status"),
+            grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        ${oSum("o_totalprice")} AS total,
+        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q12_window_rank",
+      (s, d) => {
+        val byPrice = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        val bySize = Window.partitionBy(col("p_brand")).orderBy(col("p_size"))
+        t(s, d, "part")
+          .withColumn("rn", row_number().over(byPrice))
+          .withColumn("rnk", rank().over(bySize))
+          .withColumn("drnk", dense_rank().over(bySize))
+          .withColumn("ntile4", ntile(4).over(byPrice))
+          .withColumn("pct_rank", percent_rank().over(bySize))
+          .withColumn("cdist", cume_dist().over(bySize))
+          .filter(col("rn") <= 3)
+          .select("p_brand", "p_partkey", "p_retailprice", "rn", "rnk",
+            "drnk", "ntile4", "pct_rank", "cdist")
+      },
+      Some("""SELECT p_brand, p_partkey, p_retailprice, rn, rnk, drnk, ntile4, pct_rank, cdist
+        FROM (SELECT p_brand, p_partkey, p_retailprice,
+          ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn,
+          RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS rnk,
+          DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS drnk,
+          NTILE(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS ntile4,
+          PERCENT_RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS pct_rank,
+          CUME_DIST() OVER (PARTITION BY p_brand ORDER BY p_size) AS cdist
+          FROM part) t WHERE rn <= 3""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q13_window_analytic",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        val runFrame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fullFrame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_totalprice")).over(runFrame).as("first_price"),
+          last(col("o_totalprice")).over(fullFrame).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(runFrame).as("second_price"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        LAG(o_totalprice, 1) OVER w AS prev_price,
+        LEAD(o_totalprice, 1) OVER w AS next_price,
+        FIRST_VALUE(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+        LAST_VALUE(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+        NTH_VALUE(o_totalprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q14_window_frames",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          sum(col("o_totalprice").cast(D)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("run_total"),
+          (sum(col("o_totalprice").cast(D)).over(w.rowsBetween(-2, 0)).cast("double") /
+            count(lit(1)).over(w.rowsBetween(-2, 0))).as("mov_avg3"),
+          sum(col("o_totalprice").cast(D)).over(w.rangeBetween(-5, 0))
+            .cast("double").as("range_total"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg3,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (w RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_total
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q15_topk",
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q16_stat_aggs",
+      (s, d) => {
+        t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(stddev_pop(col("l_discount")), 6).as("sdp_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qe"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qe"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      },
+      Some("""SELECT l_returnflag,
+        ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+        ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+        ROUND(STDDEV_POP(l_discount), 6) AS sdp_disc,
+        ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qe,
+        ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS cov_qe,
+        ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+        ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS icept,
+        ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+        REGR_COUNT(l_extendedprice, l_quantity) AS n
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q17_distinct_aggs",
+      (s, d) => {
+        t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey"), col("l_partkey")).as("nd_supp_part"),
+          sum_distinct(col("l_quantity")).as("sd_qty"),
+          count(lit(1)).as("n"))
+      },
+      Some("""SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS nd_part,
+        COUNT(DISTINCT (l_suppkey, l_partkey)) AS nd_supp_part,
+        SUM(DISTINCT l_quantity) AS sd_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q18_min_max_by",
+      (s, d) => {
+        t(s, d, "customer").groupBy(col("c_nationkey")).agg(
+          min_by(col("c_name"), col("c_custkey")).as("first_cust"),
+          max_by(col("c_name"), col("c_custkey")).as("last_cust"),
+          max(col("c_acctbal")).as("max_bal"),
+          min(col("c_acctbal")).as("min_bal"))
+      },
+      Some("""SELECT c_nationkey,
+        MIN_BY(c_name, c_custkey) AS first_cust,
+        MAX_BY(c_name, c_custkey) AS last_cust,
+        MAX(c_acctbal) AS max_bal, MIN(c_acctbal) AS min_bal
+        FROM customer GROUP BY c_nationkey""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q19_ordered_listagg",
+      (s, d) => {
+        t(s, d, "nation")
+          .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+            count(lit(1)).as("n_nations"))
+      },
+      Some("""SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+        COUNT(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q20_scalar_subquery",
+      (s, d) => {
+        val part = t(s, d, "part")
+        val brandAvg = part.groupBy(col("p_brand"))
+          .agg((sum(col("p_retailprice").cast(D)).cast("double") / count(lit(1))).as("brand_avg"))
+        part.join(broadcast(brandAvg), "p_brand")
+          .filter(col("p_retailprice") > col("brand_avg") * 1.2)
+          .select("p_partkey", "p_brand", "p_retailprice", "brand_avg")
+      },
+      Some(s"""SELECT p_partkey, p_brand, p_retailprice, brand_avg
+        FROM (SELECT p.p_partkey, p.p_brand, p.p_retailprice,
+          (SELECT ${oSum("p2.p_retailprice")} / COUNT(*) FROM part p2
+           WHERE p2.p_brand = p.p_brand) AS brand_avg FROM part p) t
+        WHERE p_retailprice > brand_avg * 1.2""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q21_in_subquery",
+      (s, d) => {
+        val asiaNations = t(s, d, "nation")
+          .join(t(s, d, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))
+        t(s, d, "supplier")
+          .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .select("s_suppkey", "s_name", "s_acctbal")
+      },
+      Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+          JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q22_cte_top_supplier",
+      (s, d) => {
+        val rev = t(s, d, "lineitem").groupBy(col("l_suppkey"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_rev"))
+        val mx = rev.agg(max(col("total_rev")).as("mx"))
+        t(s, d, "supplier")
+          .join(rev, col("s_suppkey") === col("l_suppkey"))
+          .crossJoin(broadcast(mx))
+          .filter(col("total_rev") === col("mx"))
+          .select("s_suppkey", "s_name", "total_rev")
+      },
+      Some(s"""WITH revenue AS (
+          SELECT l_suppkey, ${oSum("l_extendedprice * (1.0 - l_discount)")} AS total_rev
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q23_values_join",
+      (s, d) => {
+        import s.implicits._
+        val zones = Seq(
+          (0, "Africa zone"), (1, "Americas zone"), (2, "Asia zone"),
+          (3, "Europe zone"), (4, "Mideast zone")).toDF("rk", "zone")
+        t(s, d, "region").join(zones, col("r_regionkey") === col("rk"))
+          .select("r_name", "zone")
+      },
+      Some("""SELECT r_name, zone FROM region
+        JOIN (VALUES (0,'Africa zone'),(1,'Americas zone'),(2,'Asia zone'),
+          (3,'Europe zone'),(4,'Mideast zone')) AS v(rk, zone)
+        ON r_regionkey = rk""")),
+
+    // ------------------------------------------------------------------
+    // TABLESAMPLE is seeded per-engine -> no cross-engine oracle;
+    // the driver records a rows-only check.
+    QueryEntry("q24_sample",
+      (s, d) => t(s, d, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")),
+      None),
+
+    // ------------------------------------------------------------------
+    QueryEntry("q25_unnest_words",
+      (s, d) => {
+        t(s, d, "part")
+          .select(explode(split(col("p_name"), " ")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT word, COUNT(*) AS n FROM (
+          SELECT UNNEST(STRING_SPLIT(p_name, ' ')) AS word FROM part) t
+        GROUP BY word"""))
+  )
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.{QueryEntry, Tables}
+
+/** Event-table coverage: time bucketing, sliding windows (batch form of
+  * the Structured Streaming plan in graft.streaming), sessionization via
+  * window functions, JSON extraction, pivot.
+  *
+  * events.ts is nanosecond-precision parquet; Spark truncates to µs on
+  * read while DuckDB keeps ns — so no query here ever emits a raw
+  * timestamp: everything is bucketed/formatted to second granularity or
+  * coarser, where both engines agree.
+  */
+object EventQueries {
+
+  private val D = DecimalType(38, 6)
+  private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+  private def oSum(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
+
+  val entries: Seq[QueryEntry] = Seq(
+
+    // ------------------------------------------------------------------
+    QueryEntry("e01_tumbling_hour",
+      (s, d) => {
+        Tables(s, d, "events")
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("value")).as("total_value"),
+            (sum(col("value").cast(D)).cast("double") / count(lit(1))).as("avg_value"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some(s"""SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        event_type, COUNT(*) AS n,
+        ${oSum("value")} AS total_value,
+        ${oSum("value")} / COUNT(*) AS avg_value,
+        COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("e02_sessionization",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables(s, d, "events")
+          .withColumn("sec", unix_timestamp(col("ts")))
+          .withColumn("prev", lag(col("sec"), 1).over(w))
+          .withColumn("is_new",
+            when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
+          .groupBy(col("user_id"))
+          .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+      },
+      Some("""WITH x AS (SELECT user_id,
+          CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+          LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events)
+        SELECT user_id,
+          SUM(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+          COUNT(*) AS n_events
+        FROM x GROUP BY user_id""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("e03_json_extract",
+      (s, d) => {
+        Tables(s, d, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+            (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+        SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+        CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+        FROM (SELECT event_type,
+          CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k FROM events) t
+        GROUP BY event_type""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("e04_pivot",
+      (s, d) => {
+        Tables(s, d, "events")
+          .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0, Seq("click", "error", "purchase", "signup", "view"))
+      },
+      Some("""SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+        COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events GROUP BY 1""")),
+
+    // ------------------------------------------------------------------
+    // Batch twin of the Structured Streaming sliding-window plan
+    // (graft.streaming.EventStream): 1h windows sliding 30min.
+    QueryEntry("e05_sliding_window",
+      (s, d) => {
+        Tables(s, d, "events")
+          .select(window(col("ts"), "1 hour", "30 minutes").as("w"), col("value"))
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .select(
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("n"), col("total_value"))
+      },
+      Some(s"""WITH x AS (SELECT UNNEST([0, 1]) AS off, ts, value FROM events),
+        y AS (SELECT TIME_BUCKET(INTERVAL '30 minutes', ts)
+                - off * INTERVAL '30 minutes' AS win_start, value FROM x)
+        SELECT STRFTIME(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+          COUNT(*) AS n, ${oSum("value")} AS total_value
+        FROM y GROUP BY win_start"""))
+  )
+}

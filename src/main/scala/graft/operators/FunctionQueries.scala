@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryEntry, Tables}
+
+/** Scalar-function-family coverage (SURVEY.md §2.4): strings, regex,
+  * date/time, math, arrays + higher-order functions, JSON, conditional,
+  * casts, hashing, percentiles. All codegen'd built-ins — no UDFs.
+  */
+object FunctionQueries {
+
+  val entries: Seq[QueryEntry] = Seq(
+
+    // ------------------------------------------------------------------
+    QueryEntry("f01_string_funcs",
+      (s, d) => {
+        Tables(s, d, "customer").limit(200).select(
+          col("c_custkey"),
+          concat(lit("cust:"), col("c_name")).as("tagged"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_name")).as("lo"),
+          substring(col("c_name"), 2, 5).as("sub"),
+          trim(lit("  pad  ")).as("trimmed"),
+          regexp_replace(col("c_name"), "_", "-").as("dashed"),
+          length(col("c_name")).as("len"),
+          locate("1", col("c_name")).as("pos1"),
+          lpad(col("c_custkey").cast(StringType), 8, "0").as("padded"),
+          reverse(col("c_name")).as("rev"),
+          element_at(split(col("c_name"), "_"), -1).as("last_part"))
+      },
+      // limit(200) on an unsorted scan is only deterministic because the
+      // oracle filters the same key range instead.
+      None),
+
+    QueryEntry("f02_string_funcs_oracle",
+      (s, d) => {
+        Tables(s, d, "customer").filter(col("c_custkey") <= 200).select(
+          col("c_custkey"),
+          concat(lit("cust:"), col("c_name")).as("tagged"),
+          upper(col("c_name")).as("up"),
+          substring(col("c_name"), 2, 5).as("sub"),
+          regexp_replace(col("c_name"), "_", "-").as("dashed"),
+          length(col("c_name")).as("len"),
+          locate("1", col("c_name")).as("pos1"),
+          lpad(col("c_custkey").cast(StringType), 8, "0").as("padded"),
+          reverse(col("c_name")).as("rev"),
+          element_at(split(col("c_name"), "_"), -1).as("last_part"))
+      },
+      Some("""SELECT c_custkey,
+        'cust:' || c_name AS tagged,
+        UPPER(c_name) AS up,
+        SUBSTRING(c_name, 2, 5) AS sub,
+        REGEXP_REPLACE(c_name, '_', '-', 'g') AS dashed,
+        LENGTH(c_name) AS len,
+        STRPOS(c_name, '1') AS pos1,
+        LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        REVERSE(c_name) AS rev,
+        STRING_SPLIT(c_name, '_')[-1] AS last_part
+        FROM customer WHERE c_custkey <= 200""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("f03_regex",
+      (s, d) => {
+        Tables(s, d, "part").select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "*").as("starred"),
+          col("p_name").rlike("^(red|blue)").as("is_primary"))
+      },
+      Some("""SELECT p_partkey,
+        REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word,
+        REGEXP_REPLACE(p_name, '[aeiou]', '*', 'g') AS starred,
+        REGEXP_MATCHES(p_name, '^(red|blue)') AS is_primary
+        FROM part""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("f04_datetime",
+      (s, d) => {
+        Tables(s, d, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("qtr"),
+          (dayofweek(col("o_orderdate")) - 1).as("dow"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).cast(StringType).as("month_start"),
+          date_add(col("o_orderdate").cast(DateType), 90).cast(StringType).as("due_date"),
+          last_day(col("o_orderdate")).cast(StringType).as("eom"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("fmt"))
+      },
+      Some("""SELECT o_orderkey,
+        EXTRACT(YEAR FROM o_orderdate) AS yr,
+        EXTRACT(MONTH FROM o_orderdate) AS mo,
+        EXTRACT(DAY FROM o_orderdate) AS dom,
+        EXTRACT(QUARTER FROM o_orderdate) AS qtr,
+        DAYOFWEEK(o_orderdate) AS dow,
+        CAST(CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+        CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE) AS VARCHAR) AS due_date,
+        CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
+        STRFTIME(o_orderdate, '%Y-%m-%d') AS fmt
+        FROM orders""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("f05_datediff",
+      (s, d) => {
+        val ord = Tables(s, d, "orders")
+        val li = Tables(s, d, "lineitem")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            datediff(col("l_shipdate").cast(DateType), col("o_orderdate").cast(DateType))
+              .as("ship_days"))
+          .filter(col("ship_days") > 60)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS ship_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("f06_math",
+      (s, d) => {
+        Tables(s, d, "part").select(
+          col("p_partkey"),
+          abs(col("p_retailprice") - 1000).as("abs_diff"),
+          ceil(col("p_retailprice")).as("ceil_p"),
+          floor(col("p_retailprice")).as("floor_p"),
+          round(sqrt(col("p_retailprice")), 6).as("sqrt_p"),
+          round(exp(col("p_size").cast(DoubleType) / 25.0), 6).as("exp_s"),
+          round(log(col("p_retailprice")), 6).as("ln_p"),
+          round(log10(col("p_retailprice")), 6).as("log10_p"),
+          round(pow(col("p_size"), 2.0), 1).as("size_sq"),
+          pmod(col("p_partkey"), lit(7)).as("mod7"),
+          signum(col("p_retailprice") - 1000).as("sign_p"),
+          greatest(col("p_size"), lit(25)).as("gr"),
+          least(col("p_size"), lit(25)).as("ls"))
+      },
+      Some("""SELECT p_partkey,
+        ABS(p_retailprice - 1000) AS abs_diff,
+        CEIL(p_retailprice) AS ceil_p,
+        FLOOR(p_retailprice) AS floor_p,
+        ROUND(SQRT(p_retailprice), 6) AS sqrt_p,
+        ROUND(EXP(CAST(p_size AS DOUBLE) / 25.0), 6) AS exp_s,
+        ROUND(LN(p_retailprice), 6) AS ln_p,
+        ROUND(LOG10(p_retailprice), 6) AS log10_p,
+        ROUND(POW(p_size, 2.0), 1) AS size_sq,
+        p_partkey % 7 AS mod7,
+        SIGN(p_retailprice - 1000) AS sign_p,
+        GREATEST(p_size, 25) AS gr,
+        LEAST(p_size, 25) AS ls
+        FROM part""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("f07_array_hof",
+      (s, d) => {
+        val base = Tables(s, d, "part").select(
+          col("p_partkey"),
+          sequence(lit(1), pmod(col("p_size"), lit(5)) + 2).as("arr"))
+        base.select(
+          col("p_partkey"),
+          size(col("arr")).as("n"),
+          aggregate(transform(col("arr"), x => x * x), lit(0),
+            (acc, x) => acc + x).as("sum_sq"),
+          size(filter(col("arr"), x => x % 2 === 0)).as("n_even"),
+          array_join(transform(col("arr"), x => x.cast(StringType)), "-").as("joined"),
+          array_contains(col("arr"), 3).as("has3"),
+          element_at(col("arr"), 1).as("first_el"),
+          array_max(col("arr")).as("mx"),
+          array_min(col("arr")).as("mn"))
+      },
+      Some("""WITH base AS (
+          SELECT p_partkey, GENERATE_SERIES(1, p_size % 5 + 2) AS arr FROM part)
+        SELECT p_partkey,
+          LEN(arr) AS n,
+          LIST_SUM(LIST_TRANSFORM(arr, x -> x * x)) AS sum_sq,
+          LEN(LIST_FILTER(arr, x -> x % 2 = 0)) AS n_even,
+          ARRAY_TO_STRING(LIST_TRANSFORM(arr, x -> CAST(x AS VARCHAR)), '-') AS joined,
+          LIST_CONTAINS(arr, 3) AS has3,
+          arr[1] AS first_el,
+          LIST_MAX(arr) AS mx,
+          LIST_MIN(arr) AS mn
+        FROM base""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("f08_conditional",
+      (s, d) => {
+        Tables(s, d, "orders").select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_x"),
+          try_divide(col("o_totalprice"), col("o_orderkey") % 3).as("risky_div"),
+          expr("try_cast(o_orderpriority AS INT)").as("prio_num"))
+      },
+      Some("""SELECT o_orderkey,
+        CASE WHEN o_totalprice > 300000 THEN 'big'
+             WHEN o_totalprice > 100000 THEN 'mid'
+             ELSE 'small' END AS bucket,
+        COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_x,
+        CASE WHEN o_orderkey % 3 = 0 THEN NULL
+             ELSE o_totalprice / (o_orderkey % 3) END AS risky_div,
+        TRY_CAST(o_orderpriority AS INT) AS prio_num
+        FROM orders""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("f09_hash_encode",
+      (s, d) => {
+        Tables(s, d, "nation").select(
+          col("n_nationkey"),
+          md5(col("n_name")).as("md5_hex"),
+          sha2(col("n_name"), 256).as("sha256_hex"),
+          base64(col("n_name").cast(BinaryType)).as("b64"),
+          hex(col("n_name").cast(BinaryType)).as("hexed"))
+      },
+      Some("""SELECT n_nationkey,
+        MD5(n_name) AS md5_hex,
+        SHA256(n_name) AS sha256_hex,
+        TO_BASE64(ENCODE(n_name)) AS b64,
+        UPPER(HEX(ENCODE(n_name))) AS hexed
+        FROM nation""")),
+
+    // ------------------------------------------------------------------
+    QueryEntry("f10_percentiles",
+      (s, d) => {
+        Tables(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          round(median(col("l_extendedprice")), 4).as("med"))
+      },
+      Some("""SELECT l_returnflag,
+        ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25,
+        ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50,
+        ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS p75,
+        ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4) AS p95,
+        ROUND(MEDIAN(l_extendedprice), 4) AS med
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // Approximate sketches differ across engines by design -> rows-only.
+    QueryEntry("f11_approx_aggs",
+      (s, d) => {
+        Tables(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_med"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    QueryEntry("f12_xxhash_uuid_shape",
+      (s, d) => {
+        // xxhash64 / murmur hash: engine-specific values -> assert shape
+        // downstream (rows-only), but the fan-out/codegen path is real.
+        Tables(s, d, "nation").select(
+          col("n_nationkey"),
+          xxhash64(col("n_name")).as("xx64"),
+          hash(col("n_name")).as("murmur"),
+          crc32(col("n_name").cast(BinaryType)).as("crc"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,277 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryEntry, Tables}
+
+/** Training-data text pipeline operators over `documents` — the
+  * beyond-reference surface (builder prompt): exact dedup, MinHash+LSH
+  * near-dedup, SimHash, n-gram Jaccard, language ID, quality scoring,
+  * token counting, document fingerprinting.
+  *
+  * Scale design (100 TB discipline): every operator is a pure
+  * shuffle-parallel dataflow — shingle explosion is linear in corpus
+  * size, candidate generation goes through LSH band buckets (never an
+  * all-pairs join), and verification touches only bucket-collision
+  * pairs. Hash functions are md5-based so the DuckDB oracle can follow
+  * bit-for-bit (lexicographic min over fixed-width hex == numeric min);
+  * a production deployment would swap in xxhash64 via the same plans.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+
+  val entries: Seq[QueryEntry] = Seq(
+
+    // ------------------------------------------------------------------
+    // Exact dedup: content-hash groups per source (hash-groupBy; at
+    // scale this is one shuffle on md5(text)).
+    QueryEntry("t01_dedup_exact",
+      (s, d) => {
+        docs(s, d).groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+        COUNT(DISTINCT MD5(text)) AS n_unique,
+        COUNT(*) - COUNT(DISTINCT MD5(text)) AS n_dups
+        FROM documents GROUP BY source""")),
+
+    // ------------------------------------------------------------------
+    // MinHash + LSH near-dedup: word 3-shingles -> 16 minhashes ->
+    // 4 bands of 4 -> band-bucket self-join for candidates -> exact
+    // Jaccard verification on candidates only.
+    QueryEntry("t02_minhash_lsh",
+      (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+          .filter(size(col("ws")) >= 3)
+        val shingles = base.selectExpr("doc_id",
+          """explode(transform(sequence(0, size(ws) - 3),
+               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle""")
+          .distinct()
+        val mh = shingles
+          .selectExpr("doc_id", "shingle", "explode(sequence(0, 15)) AS j")
+          .select(col("doc_id"), col("j"),
+            md5(concat(col("j").cast("string"), lit(":"), col("shingle"))).as("h"))
+          .groupBy(col("doc_id"), col("j"))
+          .agg(min(col("h")).as("sig"))
+        val sigs = mh.groupBy(col("doc_id"))
+          .agg(array_sort(collect_list(struct(col("j"), col("sig")))).as("pairs"))
+          .selectExpr("doc_id", "transform(pairs, p -> p.sig) AS sl")
+        val bands = sigs.selectExpr("doc_id",
+          """explode(transform(sequence(0, 3),
+               b -> concat(b, ':', sl[4*b], '|', sl[4*b+1], '|', sl[4*b+2], '|', sl[4*b+3]))) AS band_key""")
+        val cand = bands.select(col("doc_id").as("doc_a"), col("band_key"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("band_key")), "band_key")
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val counts = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(shingles.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+          .join(shingles.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("ni"))
+        inter
+          .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ws FROM documents
+          WHERE LEN(STRING_SPLIT(LOWER(text), ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+          UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws) - 1),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM base),
+        mh AS (SELECT doc_id, j, MIN(MD5(CAST(j AS VARCHAR) || ':' || shingle)) AS sig
+          FROM sh, (SELECT UNNEST(RANGE(0, 16)) AS j) jt GROUP BY doc_id, j),
+        sigs AS (SELECT doc_id, LIST(sig ORDER BY j) AS sl FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id,
+          UNNEST(LIST_TRANSFORM(RANGE(0, 4),
+            b -> CAST(b AS VARCHAR) || ':' || sl[4*b+1] || '|' || sl[4*b+2] || '|' || sl[4*b+3] || '|' || sl[4*b+4])) AS band_key
+          FROM sigs),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+          GROUP BY c.doc_a, c.doc_b)
+        SELECT doc_a, doc_b,
+          CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS jaccard
+        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.8""")),
+
+    // ------------------------------------------------------------------
+    // SimHash signatures: 64-bit signature from md5(word) nibbles,
+    // per-bit majority vote weighted by term frequency.
+    QueryEntry("t03_simhash",
+      (s, d) => {
+        val words = docs(s, d)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .select(col("doc_id"), md5(col("word")).as("h"))
+        val bits = words
+          .selectExpr("doc_id", "h", "explode(sequence(0, 63)) AS pos")
+          .selectExpr("doc_id", "pos",
+            """CAST(FLOOR((conv(substring(h, CAST(pos / 4 AS INT) + 1, 1), 16, 10))
+                 / POWER(2, 3 - pos % 4)) AS INT) % 2 AS bit""")
+          .groupBy(col("doc_id"), col("pos"))
+          .agg(sum(col("bit") * 2 - 1).as("vote"))
+          .select(col("doc_id"), col("pos"),
+            when(col("vote") > 0, lit("1")).otherwise(lit("0")).as("b"))
+        bits.groupBy(col("doc_id"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("b")))).as("pb"))
+          .selectExpr("doc_id", "array_join(transform(pb, x -> x.b), '') AS simhash")
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, MD5(UNNEST(STRING_SPLIT(LOWER(text), ' '))) AS h
+          FROM documents),
+        bits AS (SELECT doc_id, pos,
+            CAST(FLOOR((STRPOS('0123456789abcdef', SUBSTRING(h, CAST(FLOOR(pos / 4) AS INT) + 1, 1)) - 1)
+              / POWER(2, 3 - pos % 4)) AS INT) % 2 AS bit
+          FROM words, (SELECT UNNEST(RANGE(0, 64)) AS pos) p),
+        votes AS (SELECT doc_id, pos, SUM(bit * 2 - 1) AS vote
+          FROM bits GROUP BY doc_id, pos)
+        SELECT doc_id,
+          STRING_AGG(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+        FROM votes GROUP BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Character 5-gram Jaccard near-dup, blocked by source (at scale the
+    // block key bounds the pairwise cost; cross-block recall comes from
+    // t02's LSH path).
+    QueryEntry("t04_ngram_jaccard",
+      (s, d) => {
+        val grams = docs(s, d).selectExpr("doc_id", "source",
+          """array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),
+               i -> substring(text, i, 5))) AS gs""")
+        val a = grams.select(col("source"), col("doc_id").as("doc_a"), col("gs").as("ga"))
+        val b = grams.select(col("source"), col("doc_id").as("doc_b"), col("gs").as("gb"))
+        a.join(b, "source").filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+              (size(col("ga")) + size(col("gb")) - size(array_intersect(col("ga"), col("gb")))))
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.6)
+      },
+      Some("""WITH grams AS (SELECT doc_id, source,
+          LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+            i -> SUBSTRING(text, i, 5))) AS gs
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(LEN(LIST_INTERSECT(a.gs, b.gs)) AS DOUBLE) /
+            (LEN(a.gs) + LEN(b.gs) - LEN(LIST_INTERSECT(a.gs, b.gs))) AS jaccard
+        FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(LEN(LIST_INTERSECT(a.gs, b.gs)) AS DOUBLE) /
+            (LEN(a.gs) + LEN(b.gs) - LEN(LIST_INTERSECT(a.gs, b.gs))) >= 0.6""")),
+
+    // ------------------------------------------------------------------
+    // Document fingerprints: whole-doc content hash over normalized text
+    // + a winnowing-style min-hash over character 8-grams.
+    QueryEntry("t05_fingerprint",
+      (s, d) => {
+        docs(s, d)
+          .select(col("doc_id"),
+            trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+          .selectExpr("doc_id", "md5(norm) AS fp",
+            """array_min(transform(sequence(1, greatest(length(norm) - 7, 1)),
+                 i -> md5(substring(norm, i, 8)))) AS rolling_fp""")
+      },
+      Some("""SELECT doc_id, MD5(norm) AS fp,
+          LIST_MIN(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(norm) - 7, 1) + 1),
+            i -> MD5(SUBSTRING(norm, i, 8)))) AS rolling_fp
+        FROM (SELECT doc_id,
+          TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS norm
+          FROM documents) t""")),
+
+    // ------------------------------------------------------------------
+    // Language ID: stopword-dictionary hit scoring (n-gram heuristic).
+    QueryEntry("t06_langid",
+      (s, d) => {
+        docs(s, d)
+          .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("ws"))
+          .selectExpr("doc_id", "lang",
+            "size(array_intersect(ws, array('the','a','of','is','and','to','in'))) AS s_en",
+            "size(array_intersect(ws, array('el','la','de','es','y','en','que'))) AS s_es",
+            "size(array_intersect(ws, array('le','la','de','et','un','une','que'))) AS s_fr",
+            "size(array_intersect(ws, array('der','die','das','und','ist','ein','zu'))) AS s_de")
+          .selectExpr("doc_id", "lang",
+            """CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'unknown'
+                 WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                 WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                 WHEN s_fr >= s_de THEN 'fr'
+                 ELSE 'de' END AS pred_lang""",
+            "s_en", "s_es", "s_fr", "s_de")
+      },
+      Some("""WITH x AS (SELECT doc_id, lang, STRING_SPLIT(LOWER(text), ' ') AS ws FROM documents),
+        sc AS (SELECT doc_id, lang,
+          LEN(LIST_INTERSECT(ws, ['the','a','of','is','and','to','in'])) AS s_en,
+          LEN(LIST_INTERSECT(ws, ['el','la','de','es','y','en','que'])) AS s_es,
+          LEN(LIST_INTERSECT(ws, ['le','la','de','et','un','une','que'])) AS s_fr,
+          LEN(LIST_INTERSECT(ws, ['der','die','das','und','ist','ein','zu'])) AS s_de
+          FROM x)
+        SELECT doc_id, lang,
+          CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'unknown'
+               WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+               WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+               WHEN s_fr >= s_de THEN 'fr'
+               ELSE 'de' END AS pred_lang,
+          s_en, s_es, s_fr, s_de
+        FROM sc""")),
+
+    // ------------------------------------------------------------------
+    // Quality scoring: length / punctuation / stopword / digit ratios +
+    // a composite score. All int/int double divisions — bit-identical.
+    QueryEntry("t07_quality",
+      (s, d) => {
+        docs(s, d)
+          .selectExpr("doc_id",
+            "length(text) AS n_chars_obs",
+            "size(split(text, ' ')) AS n_words",
+            "CAST(length(regexp_replace(text, '[^.!?,;]', '')) AS DOUBLE) / length(text) AS punct_ratio",
+            "CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE) / length(text) AS digit_ratio",
+            """CAST(size(filter(split(lower(text), ' '),
+                 w -> array_contains(array('the','a','of','is','and','to','in'), w))) AS DOUBLE)
+               / size(split(text, ' ')) AS stopword_ratio""")
+          .selectExpr("doc_id", "n_chars_obs", "n_words", "punct_ratio",
+            "digit_ratio", "stopword_ratio",
+            """CASE WHEN n_words >= 10 THEN 1.0 ELSE n_words / 10.0 END
+               * (1.0 - punct_ratio) * (1.0 - digit_ratio) AS quality_score""")
+      },
+      Some("""WITH x AS (SELECT doc_id,
+          LENGTH(text) AS n_chars_obs,
+          LEN(STRING_SPLIT(text, ' ')) AS n_words,
+          CAST(LENGTH(REGEXP_REPLACE(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+          CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) AS digit_ratio,
+          CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+            w -> LIST_CONTAINS(['the','a','of','is','and','to','in'], w))) AS DOUBLE)
+            / LEN(STRING_SPLIT(text, ' ')) AS stopword_ratio
+          FROM documents)
+        SELECT doc_id, n_chars_obs, n_words, punct_ratio, digit_ratio, stopword_ratio,
+          CASE WHEN n_words >= 10 THEN 1.0 ELSE n_words / 10.0 END
+            * (1.0 - punct_ratio) * (1.0 - digit_ratio) AS quality_score
+        FROM x""")),
+
+    // ------------------------------------------------------------------
+    // Token counting: whitespace + BPE-ish regex tokenization.
+    QueryEntry("t08_tokens",
+      (s, d) => {
+        docs(s, d).selectExpr("doc_id",
+          "size(split(text, ' ')) AS ws_tokens",
+          "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS re_tokens",
+          "length(text) AS n_chars_obs",
+          "CAST(length(text) AS DOUBLE) / size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS chars_per_token")
+      },
+      Some("""SELECT doc_id,
+        LEN(STRING_SPLIT(text, ' ')) AS ws_tokens,
+        LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+        LENGTH(text) AS n_chars_obs,
+        CAST(LENGTH(text) AS DOUBLE) / LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS chars_per_token
+        FROM documents"""))
+  )
+}

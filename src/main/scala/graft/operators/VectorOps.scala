@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryEntry, Tables}
+
+/** Similarity search over the `embeddings` table (`array<float>`, d=64)
+  * — beyond-reference operators (builder prompt): brute-force cosine
+  * top-k as the correctness baseline, random-hyperplane LSH signatures
+  * + banded bucket join as the 100 TB scale path.
+  *
+  * Floating-point discipline: dot products are sequential folds over
+  * double-cast elements (`aggregate(zip_with(...))`), the oracle follows
+  * the same element order, and emitted similarities are rounded to 1e-6
+  * so cross-engine accumulation noise (~1e-15) can never flip a hash.
+  * LSH sign bits go through DECIMAL accumulation — exact, so the
+  * signature is deterministic on both engines.
+  */
+object VectorOps {
+
+  /** Deterministic hyperplane weights (16 planes x 64 dims) via an LCG,
+    * embedded identically into the Spark plan and the DuckDB oracle. */
+  private[operators] val planes: Seq[(Int, Int, Double)] =
+    for (p <- 0 until 16; i <- 0 until 64) yield {
+      val seed = (p * 64 + i).toLong
+      val h = (seed * 2654435761L + 1013904223L) & 0xffffffffL
+      (p, i, h.toDouble / 4294967296.0 * 2.0 - 1.0)
+    }
+
+  private def planesSql: String =
+    planes.map { case (p, i, w) => s"($p,$i,$w)" }.mkString(",")
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("vec_id", "v",
+        "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x) AS n2")
+
+  private val dotExpr =
+    "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  private val oVecs =
+    """e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       en AS (SELECT vec_id, v, LIST_SUM(LIST_TRANSFORM(v, x -> x * x)) AS n2 FROM e)"""
+
+  private val oDot =
+    "LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * b.v[i]))"
+
+  val entries: Seq[QueryEntry] = Seq(
+
+    // ------------------------------------------------------------------
+    // All-pairs cosine above a threshold (embedding near-dup dedup).
+    // Brute force is the oracle baseline; the LSH path below is the one
+    // that survives 100 TB.
+    QueryEntry("v01_cosine_pairs",
+      (s, d) => {
+        val e = vecs(s, d)
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n2").as("nb2"))
+        a.join(b, col("id_a") < col("id_b"))
+          .selectExpr("id_a", "id_b",
+            s"$dotExpr / (SQRT(na2) * SQRT(nb2)) AS cos")
+          .filter(col("cos") >= 0.35)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+      },
+      Some(s"""WITH $oVecs
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ROUND($oDot / (SQRT(a.n2) * SQRT(b.n2)), 6) AS cos_sim
+        FROM en a JOIN en b ON a.vec_id < b.vec_id
+        WHERE $oDot / (SQRT(a.n2) * SQRT(b.n2)) >= 0.35""")),
+
+    // ------------------------------------------------------------------
+    // Brute-force cosine top-k: k=5 neighbors for the first 10 vectors.
+    QueryEntry("v02_knn_topk",
+      (s, d) => {
+        val e = vecs(s, d)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("id_q"), col("v").as("va"), col("n2").as("na2"))
+        val c = e.select(col("vec_id").as("id_c"), col("v").as("vb"), col("n2").as("nb2"))
+        val scored = q.join(c, col("id_q") =!= col("id_c"))
+          .selectExpr("id_q", "id_c", s"$dotExpr / (SQRT(na2) * SQRT(nb2)) AS cos")
+        scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("id_q")).orderBy(col("cos").desc, col("id_c"))))
+          .filter(col("rn") <= 5)
+          .select(col("id_q"), col("id_c"), col("rn"), round(col("cos"), 6).as("cos_sim"))
+      },
+      Some(s"""WITH $oVecs,
+        scored AS (SELECT a.vec_id AS id_q, b.vec_id AS id_c,
+            $oDot / (SQRT(a.n2) * SQRT(b.n2)) AS cos
+          FROM en a JOIN en b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        ranked AS (SELECT id_q, id_c, cos,
+            ROW_NUMBER() OVER (PARTITION BY id_q ORDER BY cos DESC, id_c) AS rn
+          FROM scored)
+        SELECT id_q, id_c, rn, ROUND(cos, 6) AS cos_sim FROM ranked WHERE rn <= 5""")),
+
+    // ------------------------------------------------------------------
+    // Random-hyperplane LSH signatures (SimHash for vectors): 16 sign
+    // bits per vector. DECIMAL accumulation makes the sign exact.
+    QueryEntry("v03_lsh_signature",
+      (s, d) => {
+        import s.implicits._
+        val planeDf = planes.toDF("p", "i", "w")
+        val flat = Tables(s, d, "embeddings")
+          .selectExpr("vec_id", "posexplode(embedding) AS (i, x)")
+        flat.join(broadcast(planeDf), "i")
+          .groupBy(col("vec_id"), col("p"))
+          .agg(sum((col("x").cast("double") * col("w")).cast("decimal(38,18)")).as("dot"))
+          .select(col("vec_id"), col("p"),
+            when(col("dot") >= 0, lit("1")).otherwise(lit("0")).as("b"))
+          .groupBy(col("vec_id"))
+          .agg(array_sort(collect_list(struct(col("p"), col("b")))).as("pb"))
+          .selectExpr("vec_id", "array_join(transform(pb, x -> x.b), '') AS sig")
+      },
+      Some(s"""WITH planes(p, i, w) AS (VALUES $planesSql),
+        flat AS (SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS i FROM embeddings),
+        fx AS (SELECT f.vec_id, f.i, CAST(e.embedding[f.i + 1] AS DOUBLE) AS x
+          FROM flat f JOIN embeddings e ON e.vec_id = f.vec_id),
+        dots AS (SELECT vec_id, p, SUM(CAST(x * w AS DECIMAL(38,18))) AS dot
+          FROM fx JOIN planes ON fx.i = planes.i GROUP BY vec_id, p)
+        SELECT vec_id,
+          STRING_AGG(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+        FROM dots GROUP BY vec_id""")),
+
+    // ------------------------------------------------------------------
+    // Banded LSH ANN: candidates share any 4-bit signature band (4
+    // tables), then exact cosine verification on candidates only —
+    // the bucket join is the piece that scales where v01 cannot.
+    QueryEntry("v04_ann_lsh",
+      (s, d) => {
+        val sig = entries.find(_.name == "v03_lsh_signature").get.fn(s, d)
+        val bands = sig.selectExpr("vec_id",
+          "explode(transform(sequence(0, 3), t -> concat(t, ':', substring(sig, t * 4 + 1, 4)))) AS bucket")
+        val cand = bands.select(col("vec_id").as("id_a"), col("bucket"))
+          .join(bands.select(col("vec_id").as("id_b"), col("bucket")), "bucket")
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val e = vecs(s, d)
+        cand
+          .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("n2").as("na2")), "id_a")
+          .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n2").as("nb2")), "id_b")
+          .selectExpr("id_a", "id_b", s"$dotExpr / (SQRT(na2) * SQRT(nb2)) AS cos")
+          .filter(col("cos") >= 0.35)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+      },
+      Some(s"""WITH planes(p, i, w) AS (VALUES $planesSql),
+        flat AS (SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS i FROM embeddings),
+        fx AS (SELECT f.vec_id, f.i, CAST(e.embedding[f.i + 1] AS DOUBLE) AS x
+          FROM flat f JOIN embeddings e ON e.vec_id = f.vec_id),
+        dots AS (SELECT vec_id, p, SUM(CAST(x * w AS DECIMAL(38,18))) AS dot
+          FROM fx JOIN planes ON fx.i = planes.i GROUP BY vec_id, p),
+        sig AS (SELECT vec_id,
+            STRING_AGG(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+          FROM dots GROUP BY vec_id),
+        bands AS (SELECT vec_id,
+            UNNEST(LIST_TRANSFORM(RANGE(0, 4),
+              t -> CAST(t AS VARCHAR) || ':' || SUBSTRING(sig, t * 4 + 1, 4))) AS bucket
+          FROM sig),
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        $oVecs
+        SELECT c.id_a, c.id_b,
+          ROUND($oDot / (SQRT(a.n2) * SQRT(b.n2)), 6) AS cos_sim
+        FROM cand c JOIN en a ON a.vec_id = c.id_a JOIN en b ON b.vec_id = c.id_b
+        WHERE $oDot / (SQRT(a.n2) * SQRT(b.n2)) >= 0.35""")),
+
+    // ------------------------------------------------------------------
+    // IVF-style ANN: coarse quantize to sampled centroids, probe the
+    // query's cluster. Deterministic but engine-heavy SQL -> rows-only.
+    QueryEntry("v05_ann_ivf",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cent_id"), col("v").as("vc"), col("n2").as("nc2"))
+        val assigned = e
+          .select(col("vec_id").as("id_v"), col("v").as("va"), col("n2").as("na2"))
+          .crossJoin(broadcast(cents))
+          .selectExpr("id_v", "va", "na2", "cent_id",
+            "aggregate(zip_with(va, vc, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (SQRT(na2) * SQRT(nc2)) AS ccos")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("id_v")).orderBy(col("ccos").desc, col("cent_id"))))
+          .filter(col("rn") === 1)
+          .select(col("id_v"), col("va"), col("na2"), col("cent_id"))
+        val probes = assigned.filter(col("id_v") < 5)
+          .select(col("id_v").as("id_q"), col("va").as("vq"),
+            col("na2").as("nq2"), col("cent_id"))
+        probes.join(
+            assigned.select(col("id_v").as("id_c"), col("va").as("vb"),
+              col("na2").as("nb2"), col("cent_id")), Seq("cent_id"))
+          .filter(col("id_q") =!= col("id_c"))
+          .selectExpr("id_q", "id_c",
+            "aggregate(zip_with(vq, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (SQRT(nq2) * SQRT(nb2)) AS cos")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("id_q")).orderBy(col("cos").desc, col("id_c"))))
+          .filter(col("rn") <= 3)
+          .select(col("id_q"), col("id_c"), col("rn"), round(col("cos"), 6).as("cos_sim"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,148 @@
+package graft.serve
+
+import java.util.concurrent.{ConcurrentHashMap, Executors, ScheduledExecutorService, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Async SQL execution service — the engine-side equivalent of walden's
+  * Superset SQL Lab async path (browser -> Celery queue -> worker ->
+  * Redis result cache; `tf/superset/superset.tf:52-70`,
+  * `tf/superset/superset_config.py:36-75`). One process, same
+  * semantics: bounded worker pool, query status lifecycle, TTL'd
+  * result cache keyed by normalized SQL, per-service feature flags
+  * (allow_ctas / allow_cvas / allow_dml parity).
+  *
+  * Results are collected only up to `maxResultRows` (BI-shaped
+  * consumption); full-size outputs should INSERT/CTAS instead — same
+  * discipline Superset imposes on SQL Lab.
+  */
+final class QueryService(
+    spark: SparkSession,
+    workers: Int = 4,
+    cacheTtlSeconds: Long = 300, // walden CACHE_DEFAULT_TIMEOUT=300s
+    maxResultRows: Int = 10000,
+    allowCtas: Boolean = true,
+    allowCvas: Boolean = true,
+    allowDml: Boolean = true) extends AutoCloseable {
+
+  sealed trait Status
+  case object Queued extends Status
+  case object Running extends Status
+  final case class Finished(rows: Seq[Row], columns: Seq[String],
+      elapsedMs: Long, fromCache: Boolean) extends Status
+  final case class Failed(error: String) extends Status
+
+  private val pool = Executors.newFixedThreadPool(workers)
+  private val nextId = new AtomicLong(0)
+  private val statuses = new ConcurrentHashMap[Long, Status]()
+  private val cache = new ConcurrentHashMap[String, (Long, Finished)]() // key -> (expiryMs, result)
+
+  private def normalize(sql: String): String =
+    sql.trim.replaceAll("\\s+", " ").toLowerCase
+
+  private def ddlKind(sql: String): Option[String] = {
+    val n = normalize(sql)
+    if (n.startsWith("create table") && n.contains(" as ")) Some("ctas")
+    else if (n.startsWith("create view") || n.startsWith("create or replace view") ||
+      n.startsWith("create temp view") || n.startsWith("create or replace temp view")) Some("cvas")
+    else if (n.startsWith("update ") || n.startsWith("delete ") || n.startsWith("merge ") ||
+      n.startsWith("insert ")) Some("dml")
+    else None
+  }
+
+  /** Submit; returns a query id immediately (Celery-task parity). */
+  def submit(sql: String): Long = {
+    val id = nextId.incrementAndGet()
+    statuses.put(id, Queued)
+    pool.submit(new Runnable {
+      override def run(): Unit = execute(id, sql)
+    })
+    id
+  }
+
+  def status(id: Long): Option[Status] = Option(statuses.get(id))
+
+  /** Block until the query reaches a terminal state. */
+  def await(id: Long, timeoutMs: Long = 600000): Status = { // walden report time limit 600s
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      statuses.get(id) match {
+        case f: Finished => return f
+        case f: Failed => return f
+        case _ => Thread.sleep(10)
+      }
+    }
+    Failed(s"timeout after ${timeoutMs}ms")
+  }
+
+  /** Synchronous convenience (SQL Lab sync path). */
+  def sql(text: String): Status = await(submit(text))
+
+  private def execute(id: Long, sql: String): Unit = {
+    val key = normalize(sql)
+    try {
+      ddlKind(sql).foreach {
+        case "ctas" if !allowCtas => throw new IllegalStateException("CTAS disabled (allow_ctas=false)")
+        case "cvas" if !allowCvas => throw new IllegalStateException("CVAS disabled (allow_cvas=false)")
+        case "dml" if !allowDml => throw new IllegalStateException("DML disabled (allow_dml=false)")
+        case _ =>
+      }
+      // cache only pure SELECTs — DDL/DML must always run
+      val cacheable = ddlKind(sql).isEmpty
+      if (cacheable) {
+        val hit = cache.get(key)
+        if (hit != null && hit._1 > System.currentTimeMillis()) {
+          statuses.put(id, hit._2.copy(fromCache = true))
+          return
+        }
+      }
+      statuses.put(id, Running)
+      val t0 = System.nanoTime()
+      val df: DataFrame = spark.sql(sql)
+      val rows = df.limit(maxResultRows).collect().toSeq
+      val fin = Finished(rows, df.columns.toSeq, (System.nanoTime() - t0) / 1000000L, fromCache = false)
+      if (cacheable)
+        cache.put(key, (System.currentTimeMillis() + cacheTtlSeconds * 1000, fin))
+      statuses.put(id, fin)
+    } catch {
+      case e: Throwable => statuses.put(id, Failed(String.valueOf(e.getMessage)))
+    }
+  }
+
+  def cacheSize: Int = {
+    // opportunistic TTL sweep
+    val now = System.currentTimeMillis()
+    cache.entrySet().asScala.filter(_.getValue._1 <= now).map(_.getKey).foreach(cache.remove)
+    cache.size()
+  }
+
+  override def close(): Unit = pool.shutdownNow()
+}
+
+/** Cron-ish recurring query execution — walden's Celery beat schedule
+  * (`superset_config.py:57-66`: reports every minute, prune daily),
+  * reduced to a JVM scheduler driving the same QueryService.
+  */
+final class ReportScheduler(service: QueryService) extends AutoCloseable {
+  private val timer: ScheduledExecutorService = Executors.newScheduledThreadPool(1)
+  private val runCounts = new ConcurrentHashMap[String, AtomicLong]()
+
+  def schedule(name: String, sql: String, everySeconds: Long,
+               onResult: Seq[Row] => Unit = _ => ()): Unit = {
+    runCounts.putIfAbsent(name, new AtomicLong(0))
+    timer.scheduleAtFixedRate(new Runnable {
+      override def run(): Unit = {
+        service.sql(sql) match {
+          case f: service.Finished =>
+            runCounts.get(name).incrementAndGet(); onResult(f.rows)
+          case _ =>
+        }
+      }
+    }, 0, everySeconds, TimeUnit.SECONDS)
+  }
+
+  def runs(name: String): Long = Option(runCounts.get(name)).map(_.get()).getOrElse(0L)
+  override def close(): Unit = timer.shutdownNow()
+}

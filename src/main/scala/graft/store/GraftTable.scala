@@ -1,0 +1,285 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Versioned table over immutable Parquet files + a JSON commit log —
+  * the engine's stand-in for walden's Iceberg-on-Nessie tables
+  * (`tf/main.tf:93-98`: snapshots, branches, row-level DML), built
+  * from Spark primitives only.
+  *
+  * Every operation is a distributed dataflow:
+  *  - writes land as immutable Parquet file sets; per-file min/max/null
+  *    stats are computed in ONE extra distributed pass over the freshly
+  *    written files (grouped by `input_file_name`), never on the driver;
+  *  - reads resolve a snapshot (metadata-only log replay) and prune
+  *    files by stats before Spark ever lists them — the same
+  *    manifest-pruning shape Iceberg uses, so a 100 TB table with a
+  *    selective predicate touches only matching files;
+  *  - row-level DML is copy-on-write: ONE scan finds the files that
+  *    contain matching rows, only those files are rewritten, the commit
+  *    swaps them atomically. Unmatched files are never read twice.
+  *  - commits race via atomic rename; losers retry on a fresh snapshot
+  *    (optimistic concurrency, same contract as Iceberg/Nessie).
+  */
+final class GraftTable private (val spark: SparkSession, val root: String) {
+  private val log = new CommitLog(root)
+
+  // ------------------------------------------------------------------
+  // read path
+  // ------------------------------------------------------------------
+  def currentVersion: Long = log.getRef("main").getOrElse(log.latestVersion)
+
+  def schema: StructType = schemaAt(currentVersion)
+
+  private def schemaAt(v: Long): StructType =
+    DataType.fromJson(log.schemaJsonAt(v)).asInstanceOf[StructType]
+
+  /** Snapshot read (optionally time-travel to `asOfVersion` or a named
+    * branch/tag), with file-level stats pruning for `filters`. The
+    * filters are ALSO re-applied by Spark (parquet row-group pushdown +
+    * codegen), so pruning is purely an IO optimization — never a
+    * correctness dependency.
+    */
+  def read(asOfVersion: Option[Long] = None,
+           ref: Option[String] = None,
+           filters: Seq[Column] = Nil): DataFrame = {
+    val v = asOfVersion
+      .orElse(ref.flatMap(log.getRef))
+      .getOrElse(currentVersion)
+    val files = log.snapshotFiles(v)
+    val sch = schemaAt(v)
+    val kept = StatsPruner.prune(files, resolve(filters, sch), sch)
+    val df =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      else spark.read.schema(sch).parquet(kept.map(f => s"$root/${f.path}"): _*)
+    filters.foldLeft(df)(_ filter _)
+  }
+
+  def history: Seq[Commit] = log.versions.map(log.read)
+
+  /** Resolve user Columns to Catalyst expressions against `sch` via the
+    * analyzer (public API only: analyze a Filter over an empty relation
+    * and take its condition). */
+  private def resolve(filters: Seq[Column], sch: StructType): Seq[Expression] = {
+    if (filters.isEmpty) return Nil
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    filters.map { c =>
+      empty.filter(c).queryExecution.analyzed.collectFirst {
+        case f: logical.Filter => f.condition
+      }.getOrElse(Literal(true))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // refs
+  // ------------------------------------------------------------------
+  def createBranch(name: String, from: Option[Long] = None): Unit =
+    log.setRef(name, from.getOrElse(currentVersion))
+
+  def tag(name: String, version: Option[Long] = None): Unit =
+    log.setRef(name, version.getOrElse(currentVersion))
+
+  def refs: Map[String, Long] = log.listRefs
+
+  // ------------------------------------------------------------------
+  // write path
+  // ------------------------------------------------------------------
+  private def writeFiles(df: DataFrame): Seq[FileStat] = {
+    val sub = s"data/${UUID.randomUUID().toString.take(8)}"
+    val dir = s"$root/$sub"
+    df.write.parquet(dir)
+    collectStats(dir, sub, df.schema)
+  }
+
+  /** One distributed pass: per-file min/max/nullCount over every
+    * atomic column. Only file-count rows reach the driver. */
+  private def collectStats(absDir: String, relDir: String, sch: StructType): Seq[FileStat] = {
+    val statCols = sch.fields.filter(f => StatsPruner.comparable(f.dataType))
+    val aggs =
+      count(lit(1)).as("__rows") +:
+        statCols.flatMap { f =>
+          Seq(min(col(f.name)).cast(StringType).as(s"__min_${f.name}"),
+            max(col(f.name)).cast(StringType).as(s"__max_${f.name}"),
+            sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
+        }
+    val rows = spark.read.schema(sch).parquet(absDir)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val fileAbs = r.getAs[String]("__file")
+      val fileName = fileAbs.substring(fileAbs.lastIndexOf('/') + 1)
+      val rel = s"$relDir/$fileName"
+      val bytes =
+        try Files.size(Paths.get(absDir, fileName)) catch { case _: Exception => 0L }
+      FileStat(
+        path = rel,
+        rows = r.getAs[Long]("__rows"),
+        bytes = bytes,
+        min = statCols.flatMap(f => Option(r.getAs[String](s"__min_${f.name}")).map(f.name -> _)).toMap,
+        max = statCols.flatMap(f => Option(r.getAs[String](s"__max_${f.name}")).map(f.name -> _)).toMap,
+        nullCount = statCols.map(f => f.name -> r.getAs[Long](s"__nulls_${f.name}")).toMap)
+    }.toSeq
+  }
+
+  private def commitRetry(op: String, added: Seq[FileStat], removed: Seq[String],
+                          schemaJson: String): Long = {
+    var attempts = 0
+    while (attempts < 20) {
+      val parent = log.latestVersion
+      val next = parent + 1
+      val c = Commit(next, parent, op, added, removed, schemaJson, System.currentTimeMillis())
+      if (log.tryCommit(c)) {
+        log.setRef("main", next)
+        return next
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(s"commit conflict not resolved after $attempts attempts: $root")
+  }
+
+  def append(df: DataFrame): Long =
+    commitRetry("append", writeFiles(df), Nil, df.schema.json)
+
+  def overwrite(df: DataFrame): Long =
+    commitRetry("overwrite", writeFiles(df), Nil, df.schema.json)
+
+  // ------------------------------------------------------------------
+  // row-level DML (copy-on-write)
+  // ------------------------------------------------------------------
+  /** Paths (relative) of live files containing >=1 row matching cond —
+    * stats-pruned scan; only file names are collected. */
+  private def matchingFiles(cond: Column): Seq[String] = {
+    val sch = schema
+    val candidates =
+      StatsPruner.prune(log.snapshotFiles(currentVersion), resolve(Seq(cond), sch), sch)
+    if (candidates.isEmpty) return Nil
+    val hit = spark.read.schema(sch).parquet(candidates.map(f => s"$root/${f.path}"): _*)
+      .filter(cond)
+      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
+    val byName = candidates.map(f => f.path.split('/').last -> f.path).toMap
+    hit.toSeq.flatMap(abs => byName.get(abs.substring(abs.lastIndexOf('/') + 1)))
+  }
+
+  def delete(cond: Column): Long = {
+    val victims = matchingFiles(cond)
+    if (victims.isEmpty) return currentVersion
+    val sch = schema
+    val survivors = spark.read.schema(sch)
+      .parquet(victims.map(p => s"$root/$p"): _*)
+      .filter(!cond)
+    val added = if (survivors.isEmpty) Nil else writeFiles(survivors)
+    commitRetry("delete", added, victims, sch.json)
+  }
+
+  def update(cond: Column, set: Map[String, Column]): Long = {
+    val victims = matchingFiles(cond)
+    if (victims.isEmpty) return currentVersion
+    val sch = schema
+    val src = spark.read.schema(sch).parquet(victims.map(p => s"$root/$p"): _*)
+    val rewritten = src.select(sch.fieldNames.map { n =>
+      set.get(n)
+        .map(v => when(cond, v.cast(sch(n).dataType)).otherwise(col(n)).as(n))
+        .getOrElse(col(n))
+    }.toIndexedSeq: _*)
+    commitRetry("update", writeFiles(rewritten), victims, sch.json)
+  }
+
+  /** MERGE keyed on equality of `keyCols`: matched target rows take the
+    * source's values (upsert); unmatched source rows are inserted.
+    * Copy-on-write on the matched files only; the not-matched-insert
+    * side is ONE anti-join against the full target.
+    */
+  def merge(source: DataFrame, keyCols: Seq[String]): Long = {
+    val sch = schema
+    val tgt = read()
+    val srcK = source.select(sch.fieldNames.map(col).toIndexedSeq: _*)
+    val keyIn = keyCols.map(k => col(k))
+    // files containing rows whose key appears in source (broadcast the
+    // source keys when small; Catalyst/AQE picks the join strategy)
+    val hitAbs = tgt.withColumn("__f", input_file_name())
+      .join(srcK.select(keyIn: _*).distinct(), keyCols, "left_semi")
+      .select("__f").distinct().collect().map(_.getString(0))
+    val live = log.snapshotFiles(currentVersion)
+    val byName = live.map(f => f.path.split('/').last -> f.path).toMap
+    val victims = hitAbs.toSeq.flatMap(a => byName.get(a.substring(a.lastIndexOf('/') + 1)))
+
+    val updatedVictims =
+      if (victims.isEmpty) None
+      else {
+        val vdf = spark.read.schema(sch).parquet(victims.map(p => s"$root/$p"): _*)
+        // matched -> source row wins; unmatched-in-victim-file -> keep
+        val srcRenamed = srcK.select(sch.fieldNames.map(n => col(n).as(s"__s_$n")).toIndexedSeq: _*)
+        val joinCond = keyCols.map(k => vdf(k) === srcRenamed(s"__s_$k")).reduce(_ && _)
+        // matched iff every source key col is non-null after the left join
+        val matched = keyCols.map(k => col(s"__s_$k").isNotNull).reduce(_ && _)
+        Some(vdf.join(srcRenamed, joinCond, "left").select(
+          sch.fieldNames.map(n =>
+            when(matched, col(s"__s_$n")).otherwise(col(n)).as(n)).toIndexedSeq: _*))
+      }
+    val inserts = srcK.join(tgt.select(keyIn: _*).distinct(), keyCols, "left_anti")
+    val toWrite = (updatedVictims.toSeq :+ inserts).reduce(_ unionByName _)
+    commitRetry("merge", writeFiles(toWrite), victims, sch.json)
+  }
+
+  /** Compact small files into ~targetFileMB outputs (OPTIMIZE). */
+  def compact(targetFileMB: Int = 128): Long = {
+    val files = log.snapshotFiles(currentVersion)
+    if (files.size <= 1) return currentVersion
+    val sch = schema
+    val totalBytes = files.map(_.bytes).sum
+    val n = math.max(1, (totalBytes / (targetFileMB.toLong << 20)).toInt)
+    val df = spark.read.schema(sch).parquet(files.map(f => s"$root/${f.path}"): _*)
+      .repartition(n)
+    commitRetry("compact", writeFiles(df), files.map(_.path), sch.json)
+  }
+
+  /** Delete data files no longer referenced by any version >= the
+    * oldest retained ref (vacuum/GC). Returns removed file count. */
+  def vacuum(): Int = {
+    val referenced = log.versions.flatMap(v => log.snapshotFiles(v).map(_.path)).toSet
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.isDirectory(dataRoot)) return 0
+    var removed = 0
+    val it = Files.walk(dataRoot).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      if (Files.isRegularFile(p) && p.toString.endsWith(".parquet")) {
+        val rel = Paths.get(root).relativize(p).toString
+        if (!referenced.contains(rel)) { Files.delete(p); removed += 1 }
+      }
+    }
+    removed
+  }
+}
+
+object GraftTable {
+  /** Create a new versioned table at `root` from `df` (CTAS). */
+  def create(spark: SparkSession, root: String, df: DataFrame): GraftTable = {
+    val t = new GraftTable(spark, root)
+    t.log.init()
+    val added = t.writeFiles(df)
+    require(t.log.tryCommit(
+      Commit(1L, 0L, "create", added, Nil, df.schema.json, System.currentTimeMillis())),
+      s"table already exists at $root")
+    t.log.setRef("main", 1L)
+    t
+  }
+
+  def load(spark: SparkSession, root: String): GraftTable = {
+    val t = new GraftTable(spark, root)
+    require(t.log.exists, s"no graft table at $root")
+    t
+  }
+
+  private[store] def logOf(t: GraftTable) = t.log
+}

@@ -1,0 +1,119 @@
+package graft.store
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** File-level min/max pruning against the commit log's per-file stats —
+  * the manifest-pruning role Iceberg metadata plays for walden's tables
+  * (`tf/main.tf:93-98`).
+  *
+  * Conservative by construction: a file is dropped ONLY when the stats
+  * *prove* no row can match. Unsupported predicate shapes keep the
+  * file. Spark re-applies the full predicate afterwards, so pruning can
+  * only ever remove IO, never rows.
+  */
+object StatsPruner {
+
+  def comparable(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | TimestampType |
+         TimestampNTZType | BooleanType => true
+    case _ => false
+  }
+
+  def prune(files: Seq[FileStat], filters: Seq[Expression], schema: StructType): Seq[FileStat] =
+    if (filters.isEmpty) files
+    else files.filter(f => filters.forall(e => mayMatch(e, f, schema)))
+
+  /** Column reference by name, resolved or not (filters arrive both
+    * ways: unresolved from user Columns, resolved from plans). */
+  private object Attr {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttribute => Some(u.name)
+      case _ => None
+    }
+  }
+
+  /** Literal or constant-foldable subexpression (the analyzer wraps
+    * literals in Casts when types differ — fold them here). */
+  private object Lit {
+    def unapply(e: Expression): Option[Any] = e match {
+      case Literal(v, _) => Option(v)
+      case _ if e.foldable && e.references.isEmpty =>
+        try Option(e.eval(null)) catch { case _: Exception => None }
+      case _ => None
+    }
+  }
+
+  /** Three-valued: true = file may contain matching rows. */
+  private def mayMatch(e: Expression, f: FileStat, schema: StructType): Boolean = e match {
+    case And(l, r) => mayMatch(l, f, schema) && mayMatch(r, f, schema)
+    case Or(l, r) => mayMatch(l, f, schema) || mayMatch(r, f, schema)
+    case EqualTo(Attr(a), Lit(v)) => rangeOverlaps(f, a, schema, v, v)
+    case EqualTo(Lit(v), Attr(a)) => rangeOverlaps(f, a, schema, v, v)
+    case GreaterThan(Attr(a), Lit(v)) => maxAbove(f, a, schema, v, strict = true)
+    case GreaterThanOrEqual(Attr(a), Lit(v)) => maxAbove(f, a, schema, v, strict = false)
+    case LessThan(Attr(a), Lit(v)) => minBelow(f, a, schema, v, strict = true)
+    case LessThanOrEqual(Attr(a), Lit(v)) => minBelow(f, a, schema, v, strict = false)
+    case GreaterThan(Lit(v), Attr(a)) => minBelow(f, a, schema, v, strict = true)
+    case GreaterThanOrEqual(Lit(v), Attr(a)) => minBelow(f, a, schema, v, strict = false)
+    case LessThan(Lit(v), Attr(a)) => maxAbove(f, a, schema, v, strict = true)
+    case LessThanOrEqual(Lit(v), Attr(a)) => maxAbove(f, a, schema, v, strict = false)
+    case In(Attr(a), vs) if vs.forall(v => Lit.unapply(v).isDefined) =>
+      vs.exists { case Lit(v) => rangeOverlaps(f, a, schema, v, v) }
+    case IsNull(Attr(a)) => f.nullCount.get(a).forall(_ > 0)
+    case IsNotNull(Attr(a)) =>
+      !(f.nullCount.get(a).contains(f.rows) && f.rows > 0)
+    case _ => true // unknown shape: keep the file
+  }
+
+  // value <-> stat-string comparison in the column's type ------------------
+  private def cmp(dt: DataType, statStr: String, v: Any): Option[Int] = try {
+    dt match {
+      case _: NumericType =>
+        Some(BigDecimal(statStr).compare(BigDecimal(String.valueOf(v))))
+      case StringType => Some(statStr.compareTo(String.valueOf(v)))
+      case DateType =>
+        // Catalyst literal = days since epoch; stat string = yyyy-MM-dd
+        Some(java.time.LocalDate.parse(statStr).toEpochDay.compare(String.valueOf(v).toLong))
+      case TimestampType | TimestampNTZType =>
+        // Catalyst literal = micros since epoch; stat = "yyyy-MM-dd HH:mm:ss[.S]"
+        val statMicros = java.time.LocalDateTime
+          .parse(statStr.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC)
+        val micros = statMicros.getEpochSecond * 1000000L + statMicros.getNano / 1000L
+        Some(micros.compare(String.valueOf(v).toLong))
+      case BooleanType => Some(statStr.toBoolean.compareTo(String.valueOf(v).toBoolean))
+      case _ => None
+    }
+  } catch { case _: Exception => None }
+
+  private def field(schema: StructType, name: String): Option[DataType] =
+    schema.fields.find(_.name == name).map(_.dataType)
+
+  private def rangeOverlaps(f: FileStat, col: String, schema: StructType, lo: Any, hi: Any): Boolean =
+    (for {
+      dt <- field(schema, col)
+      mn <- f.min.get(col)
+      mx <- f.max.get(col)
+      cLo <- cmp(dt, mx, lo) // max >= lo ?
+      cHi <- cmp(dt, mn, hi) // min <= hi ?
+    } yield cLo >= 0 && cHi <= 0).getOrElse(true)
+
+  /** May any row satisfy col > v (strict) / col >= v? */
+  private def maxAbove(f: FileStat, col: String, schema: StructType, v: Any, strict: Boolean): Boolean =
+    (for {
+      dt <- field(schema, col)
+      mx <- f.max.get(col)
+      c <- cmp(dt, mx, v)
+    } yield if (strict) c > 0 else c >= 0).getOrElse(true)
+
+  /** May any row satisfy col < v (strict) / col <= v? */
+  private def minBelow(f: FileStat, col: String, schema: StructType, v: Any, strict: Boolean): Boolean =
+    (for {
+      dt <- field(schema, col)
+      mn <- f.min.get(col)
+      c <- cmp(dt, mn, v)
+    } yield if (strict) c < 0 else c <= 0).getOrElse(true)
+}

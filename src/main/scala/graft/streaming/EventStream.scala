@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingestion + analytics over the `events` shape.
+  *
+  * Beyond-reference (SURVEY.md §2.5): walden's only recurring compute
+  * is Celery-scheduled batch SQL (`tf/superset/superset_config.py:57-66`);
+  * its ingestion is batch INSERT/object upload. For the 100 TB north
+  * star we add the streaming path Spark-first: file-source micro-batches
+  * -> event-time windows with watermarks -> parquet/graft-table sinks.
+  * Every aggregation here is the streaming twin of a batch query in
+  * graft.operators.EventQueries, so results are comparable.
+  */
+object EventStream {
+
+  /** events parquet schema as landed by upstream producers (ts in
+    * nanos-as-long matches the lake files; see graft.Tables). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // epoch nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a landing directory of parquet drops.
+    * maxFilesPerTrigger bounds micro-batch size so one giant backlog
+    * drop cannot blow executor memory at scale.
+    */
+  def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 1h counts with 30min-late watermark: streaming twin of
+    * EventQueries.e01. Watermark bounds state size — without it a
+    * 100 TB stream accretes unbounded window state.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("total_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"), col("approx_users"))
+
+  /** Sliding 1h/30min windows (twin of e05). */
+  def slidingValue(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("n"), col("total_value"))
+
+  // ------------------------------------------------------------------
+  // custom state: sessionization via flatMapGroupsWithState
+  // ------------------------------------------------------------------
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long, totalValue: Double)
+  final case class SessionOut(user_id: Long, sessionStartMicros: Long,
+      sessionEndMicros: Long, nEvents: Long, totalValue: Double)
+
+  /** 30-min-gap sessions with event-time timeout — the stateful
+    * operator walden has no analogue for; state is per-user and evicted
+    * on timeout, so memory is O(active users), not O(events).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    // keep the watermarked `ts` column itself through the projection:
+    // deriving a new column would drop the event-time tag and the
+    // stateful operator's event-time timeout would be rejected.
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.lastSeen, s.nEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq
+              .map(e => (e.ts.getTime * 1000L, e.value))
+              .sortBy(_._1)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { case (tsMicros, value) =>
+              cur match {
+                case Some(s) if tsMicros - s.lastSeen <= gapMicros =>
+                  cur = Some(s.copy(lastSeen = tsMicros, nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + value))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.start, s.lastSeen, s.nEvents, s.totalValue)
+                  cur = Some(SessionState(tsMicros, tsMicros, 1L, value))
+                case None =>
+                  cur = Some(SessionState(tsMicros, tsMicros, 1L, value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Land a stream into parquet with checkpointing (exactly-once file
+    * sink). Partitioned by event_type so downstream scans prune. */
+  def writeParquet(df: DataFrame, outDir: String, checkpointDir: String,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .start()
+}

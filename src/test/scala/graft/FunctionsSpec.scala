@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Trino-dialect function aliases (GraftFunctions): each must be
+  * callable from SQL text and agree with Trino 468 semantics.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  private def one(sqlText: String): Row =
+    graft.sql.GraftSql.sql(spark, sqlText).collect().head
+
+  test("strpos is 1-based, 0 when absent") {
+    assert(one("SELECT strpos('hello', 'l') a, strpos('hello', 'z') b") == Row(3, 0))
+  }
+
+  test("date_diff(unit, from, to) uses Trino arg order") {
+    assert(one(
+      "SELECT date_diff('day', TIMESTAMP'2024-01-01 00:00:00', TIMESTAMP'2024-01-31 00:00:00') d")
+      == Row(30L))
+    assert(one(
+      "SELECT date_diff('hour', TIMESTAMP'2024-01-01 00:00:00', TIMESTAMP'2024-01-01 06:30:00') h")
+      == Row(6L))
+  }
+
+  test("try() nulls runtime errors") {
+    assert(one("SELECT try(1/0) v") == Row(null))
+    assert(one("SELECT try(2/1) v") == Row(2.0))
+  }
+
+  test("approx_distinct ~ HLL++") {
+    Tables.registerAll(spark, sf())
+    val n = spark.sql("SELECT approx_distinct(o_custkey) FROM orders")
+      .collect().head.getLong(0)
+    val exact = spark.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders")
+      .collect().head.getLong(0)
+    assert(math.abs(n - exact).toDouble / exact < 0.1)
+  }
+
+  test("day_of_week is ISO (Mon=1..Sun=7)") {
+    // 2024-01-01 was a Monday
+    assert(one("SELECT day_of_week(DATE'2024-01-01') d") == Row(1))
+    assert(one("SELECT day_of_week(DATE'2024-01-07') d") == Row(7))
+  }
+
+  test("cardinality / json_extract_scalar / format_datetime / to_unixtime") {
+    assert(one("SELECT cardinality(array(1,2,3)) c") == Row(3))
+    assert(one("SELECT json_extract_scalar('{\"a\": 5}', '$.a') v") == Row("5"))
+    assert(one("SELECT format_datetime(TIMESTAMP'2024-03-05 07:00:00', 'yyyy-MM-dd') v")
+      == Row("2024-03-05"))
+    assert(one("SELECT to_unixtime(TIMESTAMP'1970-01-01 00:01:00') v") == Row(60.0))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.serve.{QueryService, ReportScheduler}
+
+/** Async query service: Celery/SQL-Lab parity — async lifecycle,
+  * result cache TTL, feature flags, scheduler.
+  */
+class ServeSpec extends SparkSpec {
+
+  test("async submit -> finished with rows; cache hit on repeat") {
+    Tables.registerAll(spark, sf())
+    val svc = new QueryService(spark, workers = 2, cacheTtlSeconds = 300)
+    try {
+      val id = svc.submit("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+      svc.await(id) match {
+        case f: svc.Finished =>
+          assert(f.rows.size == 5 && !f.fromCache && f.columns == Seq("r_regionkey", "r_name"))
+        case other => fail(s"unexpected: $other")
+      }
+      svc.sql("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") match {
+        case f: svc.Finished => assert(f.fromCache && f.rows.size == 5)
+        case other => fail(s"unexpected: $other")
+      }
+      assert(svc.cacheSize == 1)
+    } finally svc.close()
+  }
+
+  test("failures are reported, not thrown") {
+    val svc = new QueryService(spark)
+    try {
+      svc.sql("SELECT * FROM definitely_not_a_table") match {
+        case f: svc.Failed => assert(f.error.nonEmpty)
+        case other => fail(s"unexpected: $other")
+      }
+    } finally svc.close()
+  }
+
+  test("allow_dml=false blocks INSERT (walden per-DB flag parity)") {
+    val svc = new QueryService(spark, allowDml = false)
+    try {
+      svc.sql("INSERT INTO some_table VALUES (1)") match {
+        case f: svc.Failed => assert(f.error.contains("DML disabled"))
+        case other => fail(s"unexpected: $other")
+      }
+    } finally svc.close()
+  }
+
+  test("scheduler runs recurring reports") {
+    Tables.registerAll(spark, sf())
+    val svc = new QueryService(spark)
+    val sched = new ReportScheduler(svc)
+    try {
+      @volatile var lastCount = -1L
+      sched.schedule("region_count", "SELECT COUNT(*) AS n FROM region", everySeconds = 1,
+        rows => lastCount = rows.head.getLong(0))
+      val deadline = System.currentTimeMillis() + 30000
+      while (sched.runs("region_count") < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(sched.runs("region_count") >= 2)
+      assert(lastCount == 5L)
+    } finally { sched.close(); svc.close() }
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.sql.{GraftSql, TrinoDialect}
+
+/** Trino-dialect entry point: rewrites, statement splitting, scripted
+  * execution (trino-cli --execute parity, walden tf/test-hive.sh).
+  */
+class SqlSpec extends SparkSpec {
+
+  test("dialect rewrites") {
+    assert(TrinoDialect.rewrite("SELECT date_diff('day', a, b)")
+      == "SELECT date_diff(DAY, a, b)")
+    assert(TrinoDialect.rewrite("SELECT date_add('hour', 3, ts)")
+      == "SELECT timestampadd(HOUR, 3, ts)")
+    assert(TrinoDialect.rewrite("SELECT approx_percentile(x, 0.5)")
+      == "SELECT percentile_approx(x, 0.5)")
+    // strings containing the pattern inside quotes are acceptable
+    // collateral (documented); plain SQL is untouched
+    assert(TrinoDialect.rewrite("SELECT datediff(a, b)") == "SELECT datediff(a, b)")
+  }
+
+  test("statement splitter respects quotes and comments") {
+    val script =
+      """CREATE TABLE x (s STRING); -- trailing; comment
+        |INSERT INTO x VALUES ('a;b'), (';');
+        |SELECT * FROM x""".stripMargin
+    val stmts = TrinoDialect.splitStatements(script)
+    assert(stmts.size == 3, stmts.mkString("||"))
+    assert(stmts(1).contains("'a;b'"))
+  }
+
+  test("scripted execution end-to-end (test-hive.sh shape)") {
+    val results = GraftSql.execute(spark,
+      """DROP TABLE IF EXISTS sql_spec_foo;
+        |CREATE TABLE sql_spec_foo (key STRING, val BIGINT) USING parquet;
+        |INSERT INTO sql_spec_foo VALUES ('a', 1), ('b', 2);
+        |SELECT key, val FROM sql_spec_foo ORDER BY key""".stripMargin)
+    val rows = results.last.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("a", 1L), ("b", 2L)))
+    spark.sql("DROP TABLE sql_spec_foo")
+  }
+
+  test("Trino date_diff over real tables via dialect") {
+    Tables.registerAll(spark, sf())
+    val n = GraftSql.sql(spark,
+      "SELECT count(*) c FROM orders WHERE date_diff('day', o_orderdate, TIMESTAMP'1998-01-01 00:00:00') > 365")
+      .collect().head.getLong(0)
+    assert(n > 0)
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.store.{GraftTable, StatsPruner}
+
+/** Versioned-table layer: snapshots, time travel, branches, row-level
+  * DML (copy-on-write), compaction, vacuum, stats pruning — the
+  * capability walden gets from Iceberg-on-Nessie (`tf/main.tf:93-98`).
+  */
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot: String =
+    Files.createTempDirectory("graft_table").resolve("t").toString
+
+  test("create / append / read / history") {
+    val root = freshRoot
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "score"))
+    assert(t.read().count() == 2)
+    t.append(Seq((3L, "c", 30.0)).toDF("id", "name", "score"))
+    assert(t.read().count() == 3)
+    assert(t.history.map(_.op) == Seq("create", "append"))
+    // reload from disk
+    val t2 = GraftTable.load(spark, root)
+    assert(t2.read().count() == 3)
+  }
+
+  test("time travel and branches") {
+    val root = freshRoot
+    val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    t.createBranch("stable") // points at v1
+    t.append(Seq((2L, "b")).toDF("id", "v")) // v2
+    t.tag("after_load")
+    t.overwrite(Seq((9L, "z")).toDF("id", "v")) // v3
+    assert(t.read().collect().map(_.getLong(0)).toSet == Set(9L))
+    assert(t.read(asOfVersion = Some(1)).count() == 1)
+    assert(t.read(asOfVersion = Some(2)).count() == 2)
+    assert(t.read(ref = Some("stable")).count() == 1)
+    assert(t.read(ref = Some("after_load")).count() == 2)
+    assert(t.refs.keySet == Set("main", "stable", "after_load"))
+  }
+
+  test("delete is copy-on-write: untouched files survive by reference") {
+    val root = freshRoot
+    val t = GraftTable.create(spark, root,
+      spark.range(0, 1000).select(col("id"), (col("id") % 10).as("bucket"))
+        .repartition(4))
+    val filesBefore = t.history.last.added.map(_.path).toSet
+    t.delete(col("id") === 5L)
+    assert(t.read().filter(col("id") === 5L).count() == 0)
+    assert(t.read().count() == 999)
+    val c = t.history.last
+    assert(c.op == "delete")
+    // only the file(s) containing id=5 were rewritten
+    assert(c.removed.toSet.subsetOf(filesBefore) && c.removed.nonEmpty)
+    assert(c.removed.size < filesBefore.size || filesBefore.size == 1)
+  }
+
+  test("update rewrites only matching rows") {
+    val root = freshRoot
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "name", "score"))
+    t.update(col("id") === 2L, Map("score" -> lit(99.0), "name" -> lit("B")))
+    val rows = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, "a", 1.0), (2L, "B", 99.0), (3L, "c", 3.0)))
+  }
+
+  test("merge upserts") {
+    val root = freshRoot
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.merge(Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    val rows = t.read().orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    assert(t.history.last.op == "merge")
+  }
+
+  test("compact + vacuum") {
+    val root = freshRoot
+    val t = GraftTable.create(spark, root, spark.range(0, 100).repartition(8).toDF())
+    t.compact()
+    assert(t.read().count() == 100)
+    // old files still referenced by v1 -> vacuum keeps them
+    assert(t.vacuum() == 0)
+    assert(t.read(asOfVersion = Some(1)).count() == 100)
+  }
+
+  test("stats pruning drops non-matching files, never rows") {
+    val root = freshRoot
+    // 4 disjoint id-range files via repartitionByRange
+    val df = spark.range(0, 4000).toDF("id")
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id")
+    val t = GraftTable.create(spark, root, df)
+    val files = t.history.last.added
+    assert(files.size == 4)
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{LessThan, Literal}
+    val kept = StatsPruner.prune(files,
+      Seq(LessThan(UnresolvedAttribute("id"), Literal(100L))), t.schema)
+    assert(kept.size == 1, s"expected 1 file kept, got ${kept.map(_.path)}")
+    // correctness unaffected
+    assert(t.read(filters = Seq(col("id") < 100L)).count() == 100)
+    assert(t.read(filters = Seq(col("id") >= 0L)).count() == 4000)
+  }
+
+  test("concurrent appends both land (optimistic retry)") {
+    val root = freshRoot
+    val t = GraftTable.create(spark, root, Seq((0L, "seed")).toDF("id", "v"))
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        GraftTable.load(spark, root).append(Seq((i.toLong, s"w$i")).toDF("id", "v"))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(t.read().count() == 5)
+    assert(GraftTable.load(spark, root).history.size == 5)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+/** Structured Streaming path: file-source micro-batches, windowed aggs
+  * with watermark, stateful sessionization, parquet sink — each checked
+  * against its batch twin on the same data.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents(n: Int): org.apache.spark.sql.DataFrame = {
+    val base = 1700000000000000000L // epoch nanos
+    (0 until n).map { i =>
+      (i.toLong, base + i.toLong * 60_000_000_000L, // 1/min
+        (i % 7).toLong, Seq("view", "click", "purchase")(i % 3), i * 1.5, s"""{"k":$i}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("file-source stream -> hourly counts == batch twin") {
+    val landing = Files.createTempDirectory("graft_landing").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    // two parquet drops -> two+ micro-batches; a far-future sentinel
+    // pushes the watermark past every real window so Append mode
+    // flushes them (without it the tail windows stay in state forever
+    // -- correct streaming semantics, inconvenient for a finite test).
+    mkEvents(120).filter($"event_id" < 60).write.mode("append").parquet(landing)
+    mkEvents(120).filter($"event_id" >= 60).write.mode("append").parquet(landing)
+    Seq((999L, 1700000000000000000L + 86400L * 1_000_000_000L, 0L, "flush", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(landing)
+
+    val stream = EventStream.hourlyCounts(
+      EventStream.readEvents(spark, landing, maxFilesPerTrigger = 1))
+    val q = EventStream.writeParquet(stream, out, ckpt)
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(out)
+      .filter($"event_type" =!= "flush")
+      .groupBy("event_type").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = mkEvents(120)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("sessionization (batch twin over the stateful op's input shape)") {
+    // 3 events within gap, 30+min hole, then 2 more -> 2 sessions
+    val base = 1700000000000000000L
+    val rows = Seq(0L, 60L, 120L, 4000L, 4060L).zipWithIndex.map { case (secOff, i) =>
+      (i.toLong, base + secOff * 1_000_000_000L, 1L, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val landing = Files.createTempDirectory("graft_landing2").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt2").toString
+    val out = Files.createTempDirectory("graft_sess_out").toString
+    rows.withColumn("ts", unix_micros($"ts") * 1000)
+      .write.mode("append").parquet(landing)
+
+    val sessions = EventStream.sessionize(
+      EventStream.readEvents(spark, landing), gapMinutes = 30)
+    val q = EventStream.writeParquet(sessions.toDF(), out, ckpt)
+    q.awaitTermination(120000)
+    // with AvailableNow + event-time timeout, only sessions closed by
+    // watermark advance are emitted; the first session (3 events) must
+    // be out once the 4000s-later events push the watermark past it.
+    val emitted = spark.read.parquet(out).collect()
+    assert(emitted.exists(r => r.getAs[Long]("nEvents") == 3L),
+      s"expected the closed 3-event session, got ${emitted.mkString(";")}")
+  }
+}

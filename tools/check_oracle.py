@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate (dev tooling only;
+the shipped library is pure Scala/Spark). Runs each oracle SQL in
+DuckDB over the same parquet tables, loads the Spark result parquet,
+canonicalizes both (sort columns by name, round floats, sort rows),
+and reports match/mismatch per query.
+
+Usage: check_oracle.py <sfdir> <verify_outdir> [query ...]
+"""
+import sys, json, glob, os, math
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}".rstrip("0").rstrip(".") or "0"
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return canon_val(float(v))
+    except Exception:
+        pass
+    return str(v)
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(canon_val(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+fails = 0
+for name in sorted(oracle):
+    if only and name not in only:
+        continue
+    spark_dir = f"{outdir}/{name}"
+    if not os.path.isdir(spark_dir):
+        print(f"MISSING  {name} (no spark output)")
+        fails += 1
+        continue
+    try:
+        sq = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        scols = [c[0] for c in sq.description]
+        srows = sq.fetchall()
+        oq = con.execute(oracle[name])
+        ocols = [c[0] for c in oq.description]
+        orows = oq.fetchall()
+    except Exception as e:
+        print(f"ERROR    {name}: {e}")
+        fails += 1
+        continue
+    sc, sr = canon(scols, srows)
+    oc, orr = canon(ocols, orows)
+    if sc != oc:
+        print(f"SCHEMA   {name}: spark={sc} oracle={oc}")
+        fails += 1
+    elif sr != orr:
+        fails += 1
+        diff_s = [r for r in sr if r not in set(map(tuple, orr))][:3]
+        diff_o = [r for r in orr if r not in set(map(tuple, sr))][:3]
+        print(f"ROWS     {name}: spark={len(sr)} oracle={len(orr)}")
+        for r in diff_s:
+            print(f"  spark-only:  {r}")
+        for r in diff_o:
+            print(f"  oracle-only: {r}")
+    else:
+        print(f"OK       {name} ({len(sr)} rows)")
+print(f"\n{'PASS' if fails == 0 else 'FAIL'}: {fails} failing")
+sys.exit(1 if fails else 0)
