@@ -1,23 +1,28 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main (driver contract): run every coverage query
+  * on SPARK_GRAFT_SF_DIR, print ONE JSON line with per-query seconds.
+  *
+  * Uses the tuned GraftSession (AQE, CBO, broadcast threshold, shuffle
+  * partitions = cores) — the same configuration a production deployment
+  * ships, so the numbers reflect the engine as configured, not Spark
+  * defaults. A tiny warmup query first: JVM/codegen warmup otherwise
+  * lands on whichever query happens to run first.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = engine.GraftSession.create()
+    val warm = Tables(spark, sfDir, "region").count()
+    require(warm > 0)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

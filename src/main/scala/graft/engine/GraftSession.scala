@@ -22,7 +22,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   /** Cores to use locally; the driver exports SPARK_GRAFT_CPUS. */
-  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   def builder(master: String = s"local[$cpus]",
               shufflePartitions: Int = cpus.toInt): SparkSession.Builder =

@@ -55,6 +55,15 @@ object GraftFunctions {
       Cast(UnixTimestamp(exprs.head, Literal("yyyy-MM-dd HH:mm:ss")),
         org.apache.spark.sql.types.DoubleType)
     }
+    // graft-native: codegen'd dot product over array<double> (hot path
+    // of the similarity-search operators; same fold order as the HOF
+    // spelling so oracle hashes are unchanged).
+    reg(spark, "vector_dot") { exprs => VectorDot(exprs(0), exprs(1)) }
+    // graft-native: merge-count of two sorted array<long> sets (the
+    // verification kernel of the set-similarity joins).
+    reg(spark, "sorted_intersect_size") { exprs =>
+      SortedIntersectSize(exprs(0), exprs(1))
+    }
   }
 
   private def unitOf(e: Expression): String = e match {

@@ -52,15 +52,18 @@ object TextOps {
           """explode(transform(sequence(0, size(ws) - 3),
                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle""")
           .distinct()
-        val mh = shingles
-          .selectExpr("doc_id", "shingle", "explode(sequence(0, 15)) AS j")
-          .select(col("doc_id"), col("j"),
-            md5(concat(col("j").cast("string"), lit(":"), col("shingle"))).as("h"))
-          .groupBy(col("doc_id"), col("j"))
-          .agg(min(col("h")).as("sig"))
-        val sigs = mh.groupBy(col("doc_id"))
-          .agg(array_sort(collect_list(struct(col("j"), col("sig")))).as("pairs"))
-          .selectExpr("doc_id", "transform(pairs, p -> p.sig) AS sl")
+        // one aggregation pass: 16 hashes per shingle row, 16 MIN aggs —
+        // no 16x row explosion and a single (doc_id) shuffle instead of
+        // (doc_id, j) + regroup. Same signature definition as before.
+        val hashed = shingles.select(
+          col("doc_id") +:
+            (0 until 16).map(j =>
+              md5(concat(lit(j.toString), lit(":"), col("shingle"))).as(s"h$j")): _*)
+        val sigs = hashed.groupBy(col("doc_id"))
+          .agg(min(col("h0")).as("m0"),
+            (1 until 16).map(j => min(col(s"h$j")).as(s"m$j")): _*)
+          .select(col("doc_id"),
+            array((0 until 16).map(j => col(s"m$j")): _*).as("sl"))
         val bands = sigs.selectExpr("doc_id",
           """explode(transform(sequence(0, 3),
                b -> concat(b, ':', sl[4*b], '|', sl[4*b+1], '|', sl[4*b+2], '|', sl[4*b+3]))) AS band_key""")
@@ -147,16 +150,34 @@ object TextOps {
     // t02's LSH path).
     QueryEntry("t04_ngram_jaccard",
       (s, d) => {
-        val grams = docs(s, d).selectExpr("doc_id", "source",
+        // Source-blocked exact verification with a codegen'd kernel:
+        // each doc's gram set is hashed+sorted ONCE (xxhash64 per gram,
+        // 64-bit fingerprint — collision odds are negligible and a
+        // collision could only nudge one intersection count by 1);
+        // every pair is then one allocation-free sorted-merge count
+        // (graft.functions.SortedIntersectSize) inside whole-stage
+        // codegen, after a length-ratio prefilter (jaccard <=
+        // min/max, so failing pairs can never reach 0.6). The block
+        // key bounds the pairwise cost; cross-block recall is t02's
+        // LSH path, which is also the 100 TB scale path when blocks
+        // grow beyond quadratic reach.
+        graft.functions.GraftFunctions.register(s)
+        val gramSets = docs(s, d).selectExpr("doc_id", "source",
           """array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),
                i -> substring(text, i, 5))) AS gs""")
-        val a = grams.select(col("source"), col("doc_id").as("doc_a"), col("gs").as("ga"))
-        val b = grams.select(col("source"), col("doc_id").as("doc_b"), col("gs").as("gb"))
-        a.join(b, "source").filter(col("doc_a") < col("doc_b"))
+          .selectExpr("doc_id", "source", "size(gs) AS n",
+            "sort_array(transform(gs, g -> xxhash64(g))) AS hs")
+        val a = gramSets.select(col("source"), col("doc_id").as("doc_a"),
+          col("n").as("na"), col("hs").as("ha"))
+        val b = gramSets.select(col("source"), col("doc_id").as("doc_b"),
+          col("n").as("nb"), col("hs").as("hb"))
+        a.join(broadcast(b), "source").filter(col("doc_a") < col("doc_b"))
+          .filter(least(col("na"), col("nb")).cast("double") >=
+            greatest(col("na"), col("nb")) * 0.6)
+          .selectExpr("doc_a", "doc_b", "na", "nb",
+            "sorted_intersect_size(ha, hb) AS ni")
           .select(col("doc_a"), col("doc_b"),
-            (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-              (size(col("ga")) + size(col("gb")) - size(array_intersect(col("ga"), col("gb")))))
-              .as("jaccard"))
+            (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
           .filter(col("jaccard") >= 0.6)
       },
       Some("""WITH grams AS (SELECT doc_id, source,

@@ -31,14 +31,18 @@ object VectorOps {
   private def planesSql: String =
     planes.map { case (p, i, w) => s"($p,$i,$w)" }.mkString(",")
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // raw float arrays all the way: VectorDot casts per element inside
+    // its codegen loop, so no transform() HOF ever blocks whole-stage
+    // codegen on the pair-scoring Project.
     Tables(s, d, "embeddings")
-      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-      .selectExpr("vec_id", "v",
-        "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x) AS n2")
+      .selectExpr("vec_id", "embedding AS v", "vector_dot(embedding, embedding) AS n2")
+  }
 
-  private val dotExpr =
-    "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+  // codegen'd native expression (graft.functions.VectorDot); same
+  // left-fold accumulation order as the HOF spelling -> same bits.
+  private val dotExpr = "vector_dot(va, vb)"
 
   private val oVecs =
     """e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -177,7 +181,7 @@ object VectorOps {
           .select(col("vec_id").as("id_v"), col("v").as("va"), col("n2").as("na2"))
           .crossJoin(broadcast(cents))
           .selectExpr("id_v", "va", "na2", "cent_id",
-            "aggregate(zip_with(va, vc, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (SQRT(na2) * SQRT(nc2)) AS ccos")
+            "vector_dot(va, vc) / (SQRT(na2) * SQRT(nc2)) AS ccos")
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("id_v")).orderBy(col("ccos").desc, col("cent_id"))))
           .filter(col("rn") === 1)
@@ -190,7 +194,7 @@ object VectorOps {
               col("na2").as("nb2"), col("cent_id")), Seq("cent_id"))
           .filter(col("id_q") =!= col("id_c"))
           .selectExpr("id_q", "id_c",
-            "aggregate(zip_with(vq, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / (SQRT(nq2) * SQRT(nb2)) AS cos")
+            "vector_dot(vq, vb) / (SQRT(nq2) * SQRT(nb2)) AS cos")
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("id_q")).orderBy(col("cos").desc, col("id_c"))))
           .filter(col("rn") <= 3)

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Physical-plan quality gates — the 100 TB discipline, asserted:
+  * filters/columns must reach the parquet scan, small dimensions must
+  * broadcast, aggregations must have a map-side partial phase, hot
+  * paths must sit inside whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push into the parquet scan") {
+    val df = Tables(spark, sf(), "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"), p)
+    // column pruning: scan schema carries only the 3 referenced columns
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(scanLine.contains("l_orderkey") && !scanLine.contains("l_extendedprice"), scanLine)
+  }
+
+  test("q03 joins broadcast the dimension side") {
+    val df = SparkEntry.queries("q03_shipping_priority")(spark, sf())
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("aggregations are two-phase (map-side partial)") {
+    val df = Tables(spark, sf(), "lineitem")
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val p = plan(df)
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
+  }
+
+  test("vector_dot runs inside whole-stage codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.registerAll(spark, sf())
+    val df = spark.sql(
+      "SELECT vector_dot(embedding, embedding) AS n2 FROM embeddings")
+    val p = plan(df)
+    // executedPlan.toString marks codegen stages with "*(n)" prefixes
+    assert(p.linesIterator.next().trim.startsWith("*("), p.take(2000))
+    // and it computes the same value as the HOF spelling
+    val hof = spark.sql(
+      """SELECT aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS n2
+         FROM embeddings ORDER BY n2""").collect().map(_.getDouble(0))
+    val nat = df.orderBy("n2").collect().map(_.getDouble(0))
+    assert(hof.length == nat.length)
+    hof.zip(nat).foreach { case (a, b) => assert(a == b, s"$a != $b (bit parity)") }
+  }
+
+  test("top-k uses TakeOrderedAndProject, not a global sort") {
+    val df = Tables(spark, sf(), "orders")
+      .orderBy(col("o_totalprice").desc).limit(25)
+    assert(plan(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("semi-join subquery plans as a join, not a per-row subquery") {
+    val df = SparkEntry.queries("q21_in_subquery")(spark, sf())
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(2000))
+  }
+}

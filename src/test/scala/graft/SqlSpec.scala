@@ -40,6 +40,15 @@ class SqlSpec extends SparkSpec {
     spark.sql("DROP TABLE sql_spec_foo")
   }
 
+  test("parameterized statements bind named args") {
+    Tables.registerAll(spark, sf())
+    val n = GraftSql.sqlWith(spark,
+      "SELECT count(*) n FROM orders WHERE o_totalprice > :minPrice AND o_orderstatus = :status",
+      Map("minPrice" -> 100000, "status" -> "O"))
+      .collect().head.getLong(0)
+    assert(n > 0)
+  }
+
   test("Trino date_diff over real tables via dialect") {
     Tables.registerAll(spark, sf())
     val n = GraftSql.sql(spark,
