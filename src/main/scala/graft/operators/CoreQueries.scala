@@ -448,6 +448,109 @@ object CoreQueries {
       },
       Some("""SELECT word, COUNT(*) AS n FROM (
           SELECT UNNEST(STRING_SPLIT(p_name, ' ')) AS word FROM part) t
-        GROUP BY word"""))
+        GROUP BY word""")),
+
+    // ------------------------------------------------------------------
+    // Recursive CTE (Spark 4 WITH RECURSIVE; Trino 468 lacks general
+    // recursive execution — SURVEY §2.3 notes ours is a superset):
+    // month spine LEFT JOINed to order counts, so empty months appear.
+    QueryEntry("q26_recursive_cte",
+      (s, d) => {
+        graft.Tables(s, d, "orders").createOrReplaceTempView("orders_rc")
+        s.sql("""
+          WITH RECURSIVE months(m) AS (
+            SELECT DATE '1996-01-01'
+            UNION ALL
+            SELECT m + INTERVAL '1' MONTH FROM months WHERE m < DATE '1996-12-01')
+          SELECT CAST(m AS STRING) AS month_start, COUNT(o_orderkey) AS n_orders
+          FROM months LEFT JOIN orders_rc
+            ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
+          GROUP BY m""")
+      },
+      Some("""WITH RECURSIVE months(m) AS (
+          SELECT DATE '1996-01-01'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '1996-12-01')
+        SELECT CAST(m AS VARCHAR) AS month_start, COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) = m
+        GROUP BY m""")),
+
+    // ------------------------------------------------------------------
+    // GROUPS window frames (Trino has them, Spark does not — SURVEY
+    // §2.3 flagged the delta). Emulated exactly: a GROUPS frame over
+    // ORDER BY k is a RANGE frame over dense_rank(k), since dense_rank
+    // numbers peer groups consecutively. DuckDB lacks GROUPS too, so
+    // the oracle runs the identical rewrite — a cross-engine check of
+    // the emulation itself.
+    QueryEntry("q27_groups_frame",
+      (s, d) => {
+        val urgent = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1996-04-01").cast(TimestampType))
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast(DateType).as("day"), col("o_totalprice"))
+        val byDay = Window.orderBy(col("day"))
+        val groups11 = Window.orderBy(col("grp")).rangeBetween(-1, 1)
+        urgent
+          .withColumn("grp", dense_rank().over(byDay))
+          .withColumn("moving_rev",
+            sum(col("o_totalprice").cast(D)).over(groups11).cast("double"))
+          .withColumn("peer_orders", count(lit(1)).over(groups11))
+          .select(col("o_orderkey"), col("day").cast(StringType).as("day"),
+            col("moving_rev"), col("peer_orders"))
+      },
+      Some("""WITH urgent AS (
+          SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day, o_totalprice
+          FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+            AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'),
+        g AS (SELECT *, DENSE_RANK() OVER (ORDER BY day) AS grp FROM urgent)
+        SELECT o_orderkey, CAST(day AS VARCHAR) AS day,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+            OVER (ORDER BY grp RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+            AS DOUBLE) AS moving_rev,
+          COUNT(*) OVER (ORDER BY grp RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+            AS peer_orders
+        FROM g""")),
+
+    // ------------------------------------------------------------------
+    // MATCH_RECOGNIZE-style pattern detection (Trino's MATCH_RECOGNIZE;
+    // SURVEY §2.3 stretch): per-user maximal runs of strictly rising
+    // `value` in the event stream (pattern A UP{2,}), reported with
+    // run start/end/length. Gaps-and-islands: lag -> rising flag ->
+    // run id via a running count of breaks -> aggregate per island.
+    QueryEntry("q28_pattern_runs",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        ev.withColumn("rising",
+            when(col("value") > lag(col("value"), 1).over(byTs), 0).otherwise(1))
+          .withColumn("run_id",
+            sum(col("rising")).over(byTs.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("run_id"))
+          .agg(count(lit(1)).as("run_len"),
+            min(col("ts")).cast(StringType).as("run_start"),
+            max(col("ts")).cast(StringType).as("run_end"))
+          .filter(col("run_len") >= 3)
+          .select("user_id", "run_start", "run_end", "run_len")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        f AS (SELECT user_id, ts, value,
+            CASE WHEN value > LAG(value) OVER (PARTITION BY user_id ORDER BY ts)
+              THEN 0 ELSE 1 END AS rising
+          FROM ev),
+        r AS (SELECT user_id, ts,
+            SUM(rising) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+          FROM f)
+        SELECT user_id, CAST(MIN(ts) AS VARCHAR) AS run_start,
+          CAST(MAX(ts) AS VARCHAR) AS run_end, COUNT(*) AS run_len
+        FROM r GROUP BY user_id, run_id HAVING COUNT(*) >= 3"""))
   )
 }

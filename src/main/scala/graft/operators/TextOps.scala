@@ -45,18 +45,36 @@ object TextOps {
     // Jaccard verification on candidates only.
     QueryEntry("t02_minhash_lsh",
       (s, d) => {
+        // One narrow pass computes, per row: the distinct-shingle set,
+        // its 16 minhashes (in-row array_min fold — the md5 count is
+        // identical to the explode+groupBy spelling but no 60x row
+        // stream and no shuffle), the band keys, and a sorted xxhash64
+        // fingerprint of the shingle set for the verification kernel.
+        // The only full shuffle left is the band-bucket self-join of a
+        // 4-rows-per-doc table; candidates then verify against the doc
+        // fingerprints via two joins + the codegen'd sorted-merge
+        // intersection (same kernel as t04). 64-bit fingerprint
+        // collisions are the t04 argument: negligible, and worth one
+        // intersection count at most.
+        graft.functions.GraftFunctions.register(s)
+        // The corpus lands as few/large parquet row groups; without an
+        // explicit repartition every md5 below runs on the scan's
+        // handful of partitions. CPU-bound stages must not inherit the
+        // scan's partitioning — hash-distribute by doc_id first.
         val base = docs(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
           .filter(size(col("ws")) >= 3)
-        val shingles = base.selectExpr("doc_id",
-          """explode(transform(sequence(0, size(ws) - 3),
-               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle""")
-          .distinct()
-        // one aggregation pass: 16 hashes per shingle row, 16 MIN aggs —
-        // no 16x row explosion and a single (doc_id) shuffle instead of
-        // (doc_id, j) + regroup. Same signature definition as before.
-        val hashed = shingles.select(
-          col("doc_id") +:
+        // Signature path: flat shingle rows with all 16 md5s in one
+        // codegen'd projection (HOF lambdas are interpreted — md5 must
+        // stay in codegen), then a single (doc_id) shuffle of 16 MIN
+        // aggs. No pre-distinct: MIN over a multiset equals MIN over
+        // its set, so signatures are unchanged and a full shuffle is
+        // saved.
+        val hashed = base.selectExpr("doc_id",
+            """explode(transform(sequence(0, size(ws) - 3),
+                 i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle""")
+          .select(col("doc_id") +:
             (0 until 16).map(j =>
               md5(concat(lit(j.toString), lit(":"), col("shingle"))).as(s"h$j")): _*)
         val sigs = hashed.groupBy(col("doc_id"))
@@ -71,15 +89,19 @@ object TextOps {
           .join(bands.select(col("doc_id").as("doc_b"), col("band_key")), "band_key")
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").distinct()
-        val counts = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = cand
-          .join(shingles.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-          .join(shingles.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("ni"))
-        inter
-          .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        // Verification path: per-doc sorted xxhash64 fingerprint of the
+        // DISTINCT shingle set, built in one narrow no-shuffle pass;
+        // candidates verify via the same codegen'd sorted-merge kernel
+        // as t04 instead of re-joining the 100x-larger shingle rows
+        // twice. 64-bit collisions: the t04 argument — negligible.
+        val hsets = base.selectExpr("doc_id",
+            """sort_array(array_distinct(transform(sequence(0, size(ws) - 3),
+                 i -> xxhash64(concat_ws(' ', ws[i], ws[i+1], ws[i+2]))))) AS hs""")
+          .selectExpr("doc_id", "size(hs) AS n", "hs")
+        cand
+          .join(hsets.select(col("doc_id").as("doc_a"), col("n").as("na"), col("hs").as("ha")), "doc_a")
+          .join(hsets.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("hs").as("hb")), "doc_b")
+          .selectExpr("doc_a", "doc_b", "na", "nb", "sorted_intersect_size(ha, hb) AS ni")
           .select(col("doc_a"), col("doc_b"),
             (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
@@ -115,6 +137,7 @@ object TextOps {
     QueryEntry("t03_simhash",
       (s, d) => {
         val words = docs(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
           .filter(length(col("word")) > 0)
           .select(col("doc_id"), md5(col("word")).as("h"))
@@ -162,7 +185,12 @@ object TextOps {
         // LSH path, which is also the 100 TB scale path when blocks
         // grow beyond quadratic reach.
         graft.functions.GraftFunctions.register(s)
-        val gramSets = docs(s, d).selectExpr("doc_id", "source",
+        // Same scan-parallelism policy as t02: the gram hashing/sorting
+        // and the pair kernel below are pure CPU — spread them across
+        // all cores, not the scan's row-group count.
+        val gramSets = docs(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .selectExpr("doc_id", "source",
           """array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),
                i -> substring(text, i, 5))) AS gs""")
           .selectExpr("doc_id", "source", "size(gs) AS n",

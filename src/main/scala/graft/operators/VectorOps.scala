@@ -31,12 +31,23 @@ object VectorOps {
   private def planesSql: String =
     planes.map { case (p, i, w) => s"($p,$i,$w)" }.mkString(",")
 
+  /** The same 16x64 plane matrix as a nested array literal — constant-
+    * folded once into the plan, so the signature is a single-pass
+    * per-row fold (no row explosion, no join, no shuffle). */
+  private def planesArraySql: String =
+    (0 until 16).map { p =>
+      (0 until 64).map(i => planes(p * 64 + i)._3).mkString("array(", ",", ")")
+    }.mkString("array(", ",", ")")
+
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // raw float arrays all the way: VectorDot casts per element inside
     // its codegen loop, so no transform() HOF ever blocks whole-stage
-    // codegen on the pair-scoring Project.
+    // codegen on the pair-scoring Project. Repartition off the scan:
+    // the dot-product stages are pure CPU and must use every core,
+    // not the parquet row-group count.
     Tables(s, d, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .selectExpr("vec_id", "embedding AS v", "vector_dot(embedding, embedding) AS n2")
   }
 
@@ -104,18 +115,22 @@ object VectorOps {
     // bits per vector. DECIMAL accumulation makes the sign exact.
     QueryEntry("v03_lsh_signature",
       (s, d) => {
-        import s.implicits._
-        val planeDf = planes.toDF("p", "i", "w")
-        val flat = Tables(s, d, "embeddings")
-          .selectExpr("vec_id", "posexplode(embedding) AS (i, x)")
-        flat.join(broadcast(planeDf), "i")
-          .groupBy(col("vec_id"), col("p"))
-          .agg(sum((col("x").cast("double") * col("w")).cast("decimal(38,18)")).as("dot"))
-          .select(col("vec_id"), col("p"),
-            when(col("dot") >= 0, lit("1")).otherwise(lit("0")).as("b"))
-          .groupBy(col("vec_id"))
-          .agg(array_sort(collect_list(struct(col("p"), col("b")))).as("pb"))
-          .selectExpr("vec_id", "array_join(transform(pb, x -> x.b), '') AS sig")
+        // one narrow pass, zero shuffles: per row, fold each plane's
+        // 64 products into an exact DECIMAL dot and emit its sign bit.
+        // Decimal terms make the accumulation order-independent, so the
+        // bits match the oracle's flat-SUM spelling exactly. (The
+        // explode+join+groupBy spelling of this computes the same
+        // decimals through 2 shuffles of 64x the rows.)
+        Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+          .selectExpr("vec_id",
+          s"""array_join(transform($planesArraySql, wrow ->
+                CASE WHEN aggregate(
+                    zip_with(embedding, wrow,
+                      (x, w) -> CAST(CAST(x AS DOUBLE) * w AS DECIMAL(38,18))),
+                    CAST(0 AS DECIMAL(38,18)),
+                    (acc, t) -> CAST(acc + t AS DECIMAL(38,18))) >= 0
+                  THEN '1' ELSE '0' END), '') AS sig""")
       },
       Some(s"""WITH planes(p, i, w) AS (VALUES $planesSql),
         flat AS (SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS i FROM embeddings),
@@ -136,17 +151,23 @@ object VectorOps {
         val sig = entries.find(_.name == "v03_lsh_signature").get.fn(s, d)
         val bands = sig.selectExpr("vec_id",
           "explode(transform(sequence(0, 3), t -> concat(t, ':', substring(sig, t * 4 + 1, 4)))) AS bucket")
+        // verify every bucket collision, dedupe AFTER the threshold
+        // filter: distinct on the few surviving pairs beats a full
+        // shuffle of millions of candidate pairs, at the price of
+        // re-scoring the ~20% of pairs that collide in >1 band (the
+        // codegen'd dot is cheaper than the shuffle it replaces).
         val cand = bands.select(col("vec_id").as("id_a"), col("bucket"))
           .join(bands.select(col("vec_id").as("id_b"), col("bucket")), "bucket")
           .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
+          .select("id_a", "id_b")
         val e = vecs(s, d)
         cand
-          .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("n2").as("na2")), "id_a")
-          .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n2").as("nb2")), "id_b")
+          .join(broadcast(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("n2").as("na2"))), "id_a")
+          .join(broadcast(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n2").as("nb2"))), "id_b")
           .selectExpr("id_a", "id_b", s"$dotExpr / (SQRT(na2) * SQRT(nb2)) AS cos")
           .filter(col("cos") >= 0.35)
           .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+          .distinct()
       },
       Some(s"""WITH planes(p, i, w) AS (VALUES $planesSql),
         flat AS (SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS i FROM embeddings),

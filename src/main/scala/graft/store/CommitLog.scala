@@ -85,16 +85,22 @@ final class CommitLog(tableRoot: String) {
   def latestVersion: Long = versions.lastOption.getOrElse(0L)
 
   def read(version: Long): Commit = {
+    require(Files.exists(commitPath(version)),
+      s"no version $version at $tableRoot (have: ${versions.mkString(",")})")
     val txt = new String(Files.readAllBytes(commitPath(version)), StandardCharsets.UTF_8)
     JsonMethods.parse(txt).extract[Commit]
   }
 
   /** Atomically publish `commit` as the next version. Returns false if
     * another writer won the race (caller re-resolves and retries).
-    * Atomicity: write to a temp file, then Files.move with
-    * ATOMIC_MOVE + no-replace — on POSIX this is rename(2), and the
-    * pre-check + CREATE_NEW temp keeps two writers from publishing the
-    * same version.
+    *
+    * Atomicity: write to a temp file, then HARD-LINK it to the target.
+    * link(2) fails with EEXIST when the target exists — the atomic
+    * fail-if-exists publish POSIX actually provides. (rename(2) /
+    * Files.move(ATOMIC_MOVE) silently REPLACES an existing target, so
+    * two racing writers could both "win" and one commit would vanish;
+    * an object-store deployment uses conditional PUT for the same
+    * contract.)
     */
   def tryCommit(commit: Commit): Boolean = {
     val target = commitPath(commit.version)
@@ -102,15 +108,11 @@ final class CommitLog(tableRoot: String) {
     val tmp = logDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, Serialization.write(commit).getBytes(StandardCharsets.UTF_8))
     try {
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      Files.createLink(target, tmp)
       true
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); false
-      case e: java.nio.file.FileSystemException =>
-        Files.deleteIfExists(tmp)
-        if (Files.exists(target)) false else throw e
-    }
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Resolve the live file set at `version` by replaying the log. */

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Versioned table over immutable Parquet files + a JSON commit log —
+/** Versioned table over immutable Parquet/ORC files + a JSON commit log —
   * the engine's stand-in for walden's Iceberg-on-Nessie tables
   * (`tf/main.tf:93-98`: snapshots, branches, row-level DML), built
   * from Spark primitives only.
@@ -31,10 +31,23 @@ import org.apache.spark.sql.types._
 final class GraftTable private (val spark: SparkSession, val root: String) {
   private val log = new CommitLog(root)
 
+  /** Data file format — parquet (default) or orc, fixed at create time
+    * (walden's Iceberg catalog pins `iceberg.file-format = ORC`,
+    * `tf/main.tf:96`; both are first-class here). */
+  lazy val format: String = GraftTable.formatOf(root)
+
+  private def readData(paths: Seq[String], sch: StructType): DataFrame =
+    spark.read.schema(sch).format(format).load(paths: _*)
+
   // ------------------------------------------------------------------
   // read path
   // ------------------------------------------------------------------
-  def currentVersion: Long = log.getRef("main").getOrElse(log.latestVersion)
+  /** Head of the (linear) commit chain. The `main` ref is advanced on
+    * every commit, but two racing committers can publish their setRef
+    * out of order — so take the max of the ref and the log head rather
+    * than trusting a possibly-stale pointer. */
+  def currentVersion: Long =
+    math.max(log.getRef("main").getOrElse(0L), log.latestVersion)
 
   def schema: StructType = schemaAt(currentVersion)
 
@@ -59,7 +72,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val df =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-      else spark.read.schema(sch).parquet(kept.map(f => s"$root/${f.path}"): _*)
+      else readData(kept.map(f => s"$root/${f.path}"), sch)
     filters.foldLeft(df)(_ filter _)
   }
 
@@ -96,7 +109,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   private def writeFiles(df: DataFrame): Seq[FileStat] = {
     val sub = s"data/${UUID.randomUUID().toString.take(8)}"
     val dir = s"$root/$sub"
-    df.write.parquet(dir)
+    df.write.format(format).save(dir)
     collectStats(dir, sub, df.schema)
   }
 
@@ -111,7 +124,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
             max(col(f.name)).cast(StringType).as(s"__max_${f.name}"),
             sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
         }
-    val rows = spark.read.schema(sch).parquet(absDir)
+    val rows = readData(Seq(absDir), sch)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -163,7 +176,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val candidates =
       StatsPruner.prune(log.snapshotFiles(currentVersion), resolve(Seq(cond), sch), sch)
     if (candidates.isEmpty) return Nil
-    val hit = spark.read.schema(sch).parquet(candidates.map(f => s"$root/${f.path}"): _*)
+    val hit = readData(candidates.map(f => s"$root/${f.path}"), sch)
       .filter(cond)
       .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
     val byName = candidates.map(f => f.path.split('/').last -> f.path).toMap
@@ -174,8 +187,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val victims = matchingFiles(cond)
     if (victims.isEmpty) return currentVersion
     val sch = schema
-    val survivors = spark.read.schema(sch)
-      .parquet(victims.map(p => s"$root/$p"): _*)
+    val survivors = readData(victims.map(p => s"$root/$p"), sch)
       .filter(!cond)
     val added = if (survivors.isEmpty) Nil else writeFiles(survivors)
     commitRetry("delete", added, victims, sch.json)
@@ -185,7 +197,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val victims = matchingFiles(cond)
     if (victims.isEmpty) return currentVersion
     val sch = schema
-    val src = spark.read.schema(sch).parquet(victims.map(p => s"$root/$p"): _*)
+    val src = readData(victims.map(p => s"$root/$p"), sch)
     val rewritten = src.select(sch.fieldNames.map { n =>
       set.get(n)
         .map(v => when(cond, v.cast(sch(n).dataType)).otherwise(col(n)).as(n))
@@ -216,7 +228,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val updatedVictims =
       if (victims.isEmpty) None
       else {
-        val vdf = spark.read.schema(sch).parquet(victims.map(p => s"$root/$p"): _*)
+        val vdf = readData(victims.map(p => s"$root/$p"), sch)
         // matched -> source row wins; unmatched-in-victim-file -> keep
         val srcRenamed = srcK.select(sch.fieldNames.map(n => col(n).as(s"__s_$n")).toIndexedSeq: _*)
         val joinCond = keyCols.map(k => vdf(k) === srcRenamed(s"__s_$k")).reduce(_ && _)
@@ -238,7 +250,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val sch = schema
     val totalBytes = files.map(_.bytes).sum
     val n = math.max(1, (totalBytes / (targetFileMB.toLong << 20)).toInt)
-    val df = spark.read.schema(sch).parquet(files.map(f => s"$root/${f.path}"): _*)
+    val df = readData(files.map(f => s"$root/${f.path}"), sch)
       .repartition(n)
     commitRetry("compact", writeFiles(df), files.map(_.path), sch.json)
   }
@@ -253,7 +265,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val it = Files.walk(dataRoot).iterator()
     while (it.hasNext) {
       val p = it.next()
-      if (Files.isRegularFile(p) && p.toString.endsWith(".parquet")) {
+      val leaf = p.getFileName.toString
+      if (Files.isRegularFile(p) && !leaf.startsWith(".") && !leaf.startsWith("_")) {
         val rel = Paths.get(root).relativize(p).toString
         if (!referenced.contains(rel)) { Files.delete(p); removed += 1 }
       }
@@ -263,16 +276,32 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
 }
 
 object GraftTable {
-  /** Create a new versioned table at `root` from `df` (CTAS). */
-  def create(spark: SparkSession, root: String, df: DataFrame): GraftTable = {
+  /** Create a new versioned table at `root` from `df` (CTAS).
+    * `format` is parquet (default) or orc, fixed for the table's life. */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+             format: String = "parquet"): GraftTable = {
+    require(Set("parquet", "orc")(format), s"unsupported format: $format")
     val t = new GraftTable(spark, root)
     t.log.init()
+    Files.write(Paths.get(root, "_graft_props.json"),
+      s"""{"format":"$format"}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val added = t.writeFiles(df)
     require(t.log.tryCommit(
       Commit(1L, 0L, "create", added, Nil, df.schema.json, System.currentTimeMillis())),
       s"table already exists at $root")
     t.log.setRef("main", 1L)
     t
+  }
+
+  /** Table data format: from _graft_props.json, parquet if absent
+    * (pre-props tables). */
+  private[store] def formatOf(root: String): String = {
+    val p = Paths.get(root, "_graft_props.json")
+    if (!Files.exists(p)) "parquet"
+    else {
+      val txt = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+      if (txt.contains("\"orc\"")) "orc" else "parquet"
+    }
   }
 
   def load(spark: SparkSession, root: String): GraftTable = {

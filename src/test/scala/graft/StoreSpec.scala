@@ -108,6 +108,25 @@ class StoreSpec extends SparkSpec {
     assert(t.read(filters = Seq(col("id") >= 0L)).count() == 4000)
   }
 
+  test("orc format: full lifecycle (walden pins iceberg.file-format=ORC)") {
+    val root = freshRoot
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score"),
+      format = "orc")
+    assert(t.format == "orc")
+    t.append(Seq((3L, "c", 3.0)).toDF("id", "name", "score"))
+    t.update(col("id") === 2L, Map("score" -> lit(22.0)))
+    t.delete(col("id") === 1L)
+    val rows = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.toSeq == Seq((2L, 22.0), (3L, 3.0)))
+    assert(t.read(asOfVersion = Some(1)).count() == 2)
+    // physical files are ORC, and a fresh load resolves the format
+    val dataFiles = t.history.flatMap(_.added).map(_.path)
+    assert(dataFiles.nonEmpty && dataFiles.forall(_.contains("part-")))
+    assert(GraftTable.load(spark, root).format == "orc")
+  }
+
   test("concurrent appends both land (optimistic retry)") {
     val root = freshRoot
     val t = GraftTable.create(spark, root, Seq((0L, "seed")).toDF("id", "v"))

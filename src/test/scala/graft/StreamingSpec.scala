@@ -28,16 +28,19 @@ class StreamingSpec extends SparkSpec {
     // pushes the watermark past every real window so Append mode
     // flushes them (without it the tail windows stay in state forever
     // -- correct streaming semantics, inconvenient for a finite test).
-    mkEvents(120).filter($"event_id" < 60).write.mode("append").parquet(landing)
-    mkEvents(120).filter($"event_id" >= 60).write.mode("append").parquet(landing)
+    // one file per drop -> exactly 3 micro-batches at maxFilesPerTrigger=1
+    // (uncoalesced, local[32] writes ~32 part files per drop -> 60+
+    // micro-batches, which can outrun the await under load)
+    mkEvents(120).filter($"event_id" < 60).coalesce(1).write.mode("append").parquet(landing)
+    mkEvents(120).filter($"event_id" >= 60).coalesce(1).write.mode("append").parquet(landing)
     Seq((999L, 1700000000000000000L + 86400L * 1_000_000_000L, 0L, "flush", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("append").parquet(landing)
+      .coalesce(1).write.mode("append").parquet(landing)
 
     val stream = EventStream.hourlyCounts(
       EventStream.readEvents(spark, landing, maxFilesPerTrigger = 1))
     val q = EventStream.writeParquet(stream, out, ckpt)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
 
     val got = spark.read.parquet(out)
       .filter($"event_type" =!= "flush")
@@ -61,12 +64,12 @@ class StreamingSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("graft_ckpt2").toString
     val out = Files.createTempDirectory("graft_sess_out").toString
     rows.withColumn("ts", unix_micros($"ts") * 1000)
-      .write.mode("append").parquet(landing)
+      .coalesce(1).write.mode("append").parquet(landing)
 
     val sessions = EventStream.sessionize(
       EventStream.readEvents(spark, landing), gapMinutes = 30)
     val q = EventStream.writeParquet(sessions.toDF(), out, ckpt)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
     // with AvailableNow + event-time timeout, only sessions closed by
     // watermark advance are emitted; the first session (3 events) must
     // be out once the 4000s-later events push the watermark past it.
