@@ -1,0 +1,29 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Config-driven session extension: registers every graft function
+  * (Trino-dialect parity names + native kernels) at session build time.
+  *
+  * This is the injection point Spark gives libraries for sessions the
+  * library does not itself construct — `spark-submit`, the Thrift
+  * server, Spark Connect:
+  *
+  *   spark.sql.extensions = graft.engine.GraftExtensions
+  *
+  * (walden's equivalent "always-on surface" is Trino's built-in
+  * function library reaching every client, `docker/devserver/
+  * Dockerfile:24-26`.) GraftSession sets this config too, so sessions
+  * forked from ours inherit the functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    graft.functions.GraftFunctions.injections.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+}

@@ -13,56 +13,62 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus
   */
 object GraftFunctions {
 
-  private def reg(spark: SparkSession, name: String)
-                 (builder: Seq[Expression] => Expression): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, builder, "built-in")
-
-  def register(spark: SparkSession): Unit = synchronized {
+  /** Name -> expression builder for every graft function. One list,
+    * two consumers: imperative register(spark) below, and
+    * graft.engine.GraftExtensions for config-driven injection
+    * (`spark.sql.extensions`) into sessions we don't construct
+    * (Thrift server, Spark Connect). */
+  val injections: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // Trino approx_distinct(x[, e]) -> HLL++ (same sketch family).
-    reg(spark, "approx_distinct") { exprs =>
+    "approx_distinct" -> { exprs: Seq[Expression] =>
       HyperLogLogPlusPlus(exprs.head).toAggregateExpression()
-    }
+    },
     // Trino strpos(string, substring) -> 1-based position, 0 if absent.
-    reg(spark, "strpos") { exprs =>
+    "strpos" -> { exprs: Seq[Expression] =>
       StringLocate(exprs(1), exprs(0), Literal(1))
-    }
+    },
     // Trino date_diff(unit, from, to) = to - from in `unit`s.
-    reg(spark, "date_diff") { exprs =>
+    "date_diff" -> { exprs: Seq[Expression] =>
       TimestampDiff(unitOf(exprs(0)), Cast(exprs(1), org.apache.spark.sql.types.TimestampType),
         Cast(exprs(2), org.apache.spark.sql.types.TimestampType))
-    }
+    },
     // Trino TRY(expr) -> NULL on runtime error.
-    reg(spark, "try") { exprs => TryEval(exprs.head) }
+    "try" -> { exprs: Seq[Expression] => TryEval(exprs.head) },
     // Trino json_extract_scalar(json, path).
-    reg(spark, "json_extract_scalar") { exprs =>
+    "json_extract_scalar" -> { exprs: Seq[Expression] =>
       GetJsonObject(exprs(0), exprs(1))
-    }
+    },
     // Trino day_of_week: ISO, Monday=1..Sunday=7 (Spark dayofweek is
     // Sunday=1..Saturday=7).
-    reg(spark, "day_of_week") { exprs =>
+    "day_of_week" -> { exprs: Seq[Expression] =>
       val spk = DayOfWeek(Cast(exprs.head, org.apache.spark.sql.types.DateType))
       Add(Pmod(Add(spk, Literal(5)), Literal(7)), Literal(1))
-    }
+    },
     // Trino cardinality(array|map) -> size.
-    reg(spark, "cardinality") { exprs => Size(exprs.head) }
+    "cardinality" -> { exprs: Seq[Expression] => Size(exprs.head) },
     // Trino format_datetime ~ date_format (format-pattern caveats documented).
-    reg(spark, "format_datetime") { exprs =>
+    "format_datetime" -> { exprs: Seq[Expression] =>
       DateFormatClass(Cast(exprs(0), org.apache.spark.sql.types.TimestampType), exprs(1))
-    }
+    },
     // Trino to_unixtime(ts) -> double seconds.
-    reg(spark, "to_unixtime") { exprs =>
+    "to_unixtime" -> { exprs: Seq[Expression] =>
       Cast(UnixTimestamp(exprs.head, Literal("yyyy-MM-dd HH:mm:ss")),
         org.apache.spark.sql.types.DoubleType)
-    }
+    },
     // graft-native: codegen'd dot product over array<double> (hot path
     // of the similarity-search operators; same fold order as the HOF
     // spelling so oracle hashes are unchanged).
-    reg(spark, "vector_dot") { exprs => VectorDot(exprs(0), exprs(1)) }
+    "vector_dot" -> { exprs: Seq[Expression] => VectorDot(exprs(0), exprs(1)) },
     // graft-native: merge-count of two sorted array<long> sets (the
     // verification kernel of the set-similarity joins).
-    reg(spark, "sorted_intersect_size") { exprs =>
+    "sorted_intersect_size" -> { exprs: Seq[Expression] =>
       SortedIntersectSize(exprs(0), exprs(1))
+    })
+
+  def register(spark: SparkSession): Unit = synchronized {
+    injections.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
     }
   }
 

@@ -50,4 +50,29 @@ class FunctionsSpec extends SparkSpec {
       == Row("2024-03-05"))
     assert(one("SELECT to_unixtime(TIMESTAMP'1970-01-01 00:01:00') v") == Row(60.0))
   }
+
+  test("GraftExtensions injects every function at session build (spark.sql.extensions)") {
+    // Build a session WITHOUT imperative register(): extensions only —
+    // the path spark-submit / Thrift server / Connect deployments use.
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val fresh = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.extensions", classOf[graft.engine.GraftExtensions].getName)
+        .getOrCreate()
+      val r = fresh.sql(
+        "SELECT strpos('hello', 'l') a, cardinality(array(1,2)) c, " +
+          "vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) d").collect().head
+      assert(r == Row(3, 2, 11.0))
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      active.foreach { s =>
+        org.apache.spark.sql.SparkSession.setActiveSession(s)
+        org.apache.spark.sql.SparkSession.setDefaultSession(s)
+      }
+    }
+  }
 }

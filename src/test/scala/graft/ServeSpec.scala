@@ -45,6 +45,33 @@ class ServeSpec extends SparkSpec {
     } finally svc.close()
   }
 
+  test("thrift endpoint serves JDBC clients (walden's BI wire parity)") {
+    val port = 10000 + scala.util.Random.nextInt(20000)
+    val server = graft.serve.GraftServer.start(spark, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      // the server needs a moment to bind
+      val deadline = System.currentTimeMillis() + 60000
+      var conn: java.sql.Connection = null
+      while (conn == null && System.currentTimeMillis() < deadline) {
+        try conn = java.sql.DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/default", "graft", "")
+        catch { case _: Exception => Thread.sleep(500) }
+      }
+      assert(conn != null, "could not connect to thrift endpoint")
+      try {
+        val st = conn.createStatement()
+        // plain SQL over a raw parquet path — no session-local state needed
+        val rs = st.executeQuery(
+          s"SELECT count(*) AS n FROM parquet.`${sf()}/region.parquet`")
+        assert(rs.next() && rs.getLong(1) == 5L)
+        // graft dialect functions are visible through the wire
+        val rs2 = st.executeQuery("SELECT strpos('hello', 'l') AS p")
+        assert(rs2.next() && rs2.getInt(1) == 3)
+      } finally conn.close()
+    } finally server.close()
+  }
+
   test("scheduler runs recurring reports") {
     Tables.registerAll(spark, sf())
     val svc = new QueryService(spark)
