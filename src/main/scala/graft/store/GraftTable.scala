@@ -160,11 +160,25 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     throw new IllegalStateException(s"commit conflict not resolved after $attempts attempts: $root")
   }
 
+  /** Align an incoming frame to the table schema: columns resolve by
+    * name, missing (post-evolution) columns fill with NULL, unknown
+    * columns are rejected — Iceberg write-schema semantics. */
+  private def aligned(df: DataFrame): DataFrame = {
+    val sch = schema
+    val have = df.schema.fieldNames.toSet
+    val extra = have -- sch.fieldNames
+    require(extra.isEmpty, s"columns not in table schema: ${extra.mkString(",")}")
+    df.select(sch.fields.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
+
   def append(df: DataFrame): Long =
-    commitRetry("append", writeFiles(df), Nil, df.schema.json)
+    commitRetry("append", writeFiles(aligned(df)), Nil, schema.json)
 
   def overwrite(df: DataFrame): Long =
-    commitRetry("overwrite", writeFiles(df), Nil, df.schema.json)
+    commitRetry("overwrite", writeFiles(aligned(df)), Nil, schema.json)
 
   // ------------------------------------------------------------------
   // row-level DML (copy-on-write)
@@ -243,16 +257,39 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     commitRetry("merge", writeFiles(toWrite), victims, sch.json)
   }
 
-  /** Compact small files into ~targetFileMB outputs (OPTIMIZE). */
-  def compact(targetFileMB: Int = 128): Long = {
+  /** Compact small files into ~targetFileMB outputs (OPTIMIZE).
+    *
+    * `clusterBy` additionally range-partitions and sorts the rewrite on
+    * those columns, so each output file covers a narrow value range and
+    * the per-file min/max stats prune like Iceberg partition metadata —
+    * a selective read then touches O(1) files instead of all of them.
+    * (Iceberg's `write.sort-order` / partition-spec equivalent.)
+    */
+  def compact(targetFileMB: Int = 128, clusterBy: Seq[String] = Nil,
+              numFiles: Option[Int] = None): Long = {
     val files = log.snapshotFiles(currentVersion)
-    if (files.size <= 1) return currentVersion
+    if (files.size <= 1 && clusterBy.isEmpty) return currentVersion
     val sch = schema
     val totalBytes = files.map(_.bytes).sum
-    val n = math.max(1, (totalBytes / (targetFileMB.toLong << 20)).toInt)
-    val df = readData(files.map(f => s"$root/${f.path}"), sch)
-      .repartition(n)
+    val n = numFiles.getOrElse(
+      math.max(1, (totalBytes / (targetFileMB.toLong << 20)).toInt))
+    val base = readData(files.map(f => s"$root/${f.path}"), sch)
+    val df =
+      if (clusterBy.isEmpty) base.repartition(n)
+      else base.repartitionByRange(n, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
     commitRetry("compact", writeFiles(df), files.map(_.path), sch.json)
+  }
+
+  /** Safe schema evolution: append a nullable column (Iceberg
+    * `ALTER TABLE ... ADD COLUMN` parity). Metadata-only commit — no
+    * data files are touched; files written before the change read the
+    * new column as NULL (by-name column resolution). */
+  def addColumn(name: String, dataType: DataType): Long = {
+    val sch = schema
+    require(!sch.fieldNames.contains(name), s"column $name already exists")
+    val next = StructType(sch.fields :+ StructField(name, dataType, nullable = true))
+    commitRetry("altschema", Nil, Nil, next.json)
   }
 
   /** Delete data files no longer referenced by any version >= the

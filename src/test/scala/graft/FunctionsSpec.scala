@@ -51,6 +51,23 @@ class FunctionsSpec extends SparkSpec {
     assert(one("SELECT to_unixtime(TIMESTAMP'1970-01-01 00:01:00') v") == Row(60.0))
   }
 
+  test("Windows.withGroupsFrame == GROUPS BETWEEN semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ties on k: GROUPS differs from both ROWS and RANGE-on-k here
+    val df = Seq(("a", 1, 10), ("a", 1, 20), ("a", 2, 30), ("a", 3, 40), ("b", 1, 5))
+      .toDF("g", "k", "x")
+    val out = graft.functions.Windows.withGroupsFrame(
+        df, "s", sum(col("x")), Seq(col("g")), Seq(col("k")), -1, 0)
+      .orderBy("g", "k", "x").select("g", "k", "x", "s").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // GROUPS 1 PRECEDING..CURRENT: k=1 rows see the k=1 peer group only
+    // (30+30=...): for g=a k=1 -> 10+20=30; k=2 -> 10+20+30=60; k=3 -> 30+40=70
+    assert(out.toSeq == Seq(
+      ("a", 1, 10, 30L), ("a", 1, 20, 30L), ("a", 2, 30, 60L),
+      ("a", 3, 40, 70L), ("b", 1, 5, 5L)))
+  }
+
   test("GraftExtensions injects every function at session build (spark.sql.extensions)") {
     // Build a session WITHOUT imperative register(): extensions only —
     // the path spark-submit / Thrift server / Connect deployments use.

@@ -108,6 +108,47 @@ class StoreSpec extends SparkSpec {
     assert(t.read(filters = Seq(col("id") >= 0L)).count() == 4000)
   }
 
+  test("schema evolution: add column is metadata-only; old files read NULL") {
+    val root = freshRoot
+    val t = GraftTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val filesBefore = t.history.flatMap(_.added).map(_.path).toSet
+    t.addColumn("score", org.apache.spark.sql.types.DoubleType)
+    assert(t.history.last.op == "altschema" && t.history.last.added.isEmpty)
+    assert(t.history.flatMap(_.added).map(_.path).toSet == filesBefore) // no rewrite
+    // pre-evolution rows read NULL for the new column
+    assert(t.read().filter(col("score").isNull).count() == 2)
+    // appends align by name: missing column fills NULL, new column lands
+    t.append(Seq((3L, "c", 9.5)).toDF("id", "v", "score"))
+    t.append(Seq((4L, "d")).toDF("id", "v")) // old-shaped producer
+    val rows = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, null), (2L, null), (3L, 9.5), (4L, null)))
+    // unknown columns are rejected
+    intercept[IllegalArgumentException] {
+      t.append(Seq((5L, "e", 1.0, true)).toDF("id", "v", "score", "zzz"))
+    }
+    // time travel still sees the pre-evolution schema
+    assert(!t.read(asOfVersion = Some(1)).schema.fieldNames.contains("score"))
+  }
+
+  test("clustered compaction makes stats pruning partition-grade") {
+    val root = freshRoot
+    // 8 files of uniformly-shuffled ids -> every file spans ~the full range
+    val t = GraftTable.create(spark, root,
+      spark.range(0, 8000).toDF("id").repartition(8))
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{LessThan, Literal}
+    val pred = Seq(LessThan(UnresolvedAttribute("id"), Literal(100L)))
+    val keptBefore = StatsPruner.prune(t.history.last.added, pred, t.schema)
+    assert(keptBefore.size == 8, "uniform files cannot prune")
+    t.compact(clusterBy = Seq("id"), numFiles = Some(8))
+    val files = t.history.last.added
+    val keptAfter = StatsPruner.prune(files, pred, t.schema)
+    assert(files.size > 1 && keptAfter.size == 1,
+      s"clustered files should prune to 1, got ${keptAfter.size}/${files.size}")
+    assert(t.read(filters = Seq(col("id") < 100L)).count() == 100)
+  }
+
   test("orc format: full lifecycle (walden pins iceberg.file-format=ORC)") {
     val root = freshRoot
     val t = GraftTable.create(spark, root,
