@@ -63,7 +63,20 @@ object GraftFunctions {
     // verification kernel of the set-similarity joins).
     "sorted_intersect_size" -> { exprs: Seq[Expression] =>
       SortedIntersectSize(exprs(0), exprs(1))
+    },
+    // Trino approx_most_frequent(buckets, value[, capacity]) — Space-
+    // Saving top-k summary (TypedImperativeAggregate).
+    "approx_most_frequent" -> { exprs: Seq[Expression] =>
+      val k = intLit(exprs(0), "buckets")
+      val cap = if (exprs.size > 2) intLit(exprs(2), "capacity") else math.max(256, k)
+      ApproxMostFrequent(exprs(1), k, cap).toAggregateExpression()
     })
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v, _) => String.valueOf(v).toInt
+    case other => throw new IllegalArgumentException(
+      s"approx_most_frequent $what must be an integer literal, got $other")
+  }
 
   def register(spark: SparkSession): Unit = synchronized {
     injections.foreach { case (name, builder) =>

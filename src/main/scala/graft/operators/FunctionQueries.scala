@@ -250,6 +250,28 @@ object FunctionQueries {
       None),
 
     // ------------------------------------------------------------------
+    // Trino approx_most_frequent via our Space-Saving
+    // TypedImperativeAggregate. 5 distinct priorities << capacity, so
+    // the sketch is exact here and the oracle can be plain SQL top-k;
+    // FunctionsSpec covers the bounded-memory eviction path.
+    QueryEntry("f13_approx_most_frequent",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables(s, d, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(expr("approx_most_frequent(3, o_orderpriority)").as("amf"))
+          .selectExpr("o_orderstatus", "posexplode(amf) AS (rk0, e)")
+          .selectExpr("o_orderstatus", "CAST(rk0 + 1 AS BIGINT) AS rk",
+            "e.value AS priority", "e.cnt AS cnt")
+      },
+      Some("""WITH c AS (SELECT o_orderstatus, o_orderpriority AS priority, COUNT(*) AS cnt
+          FROM orders GROUP BY 1, 2),
+        r AS (SELECT o_orderstatus, priority, cnt,
+            ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY cnt DESC, priority) AS rk
+          FROM c)
+        SELECT o_orderstatus, rk, priority, cnt FROM r WHERE rk <= 3""")),
+
+    // ------------------------------------------------------------------
     QueryEntry("f12_xxhash_uuid_shape",
       (s, d) => {
         // xxhash64 / murmur hash: engine-specific values -> assert shape

@@ -51,6 +51,23 @@ class FunctionsSpec extends SparkSpec {
     assert(one("SELECT to_unixtime(TIMESTAMP'1970-01-01 00:01:00') v") == Row(60.0))
   }
 
+  test("approx_most_frequent: exact under capacity, bounded over it") {
+    import spark.implicits._
+    // exact regime: 3 distinct values, capacity default
+    val exact = graft.sql.GraftSql.sql(spark,
+      "SELECT approx_most_frequent(2, v) a FROM VALUES ('x'),('x'),('x'),('y'),('y'),('z') AS t(v)")
+      .selectExpr("inline(a)").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(exact.toSeq == Seq(("x", 3L), ("y", 2L)))
+    // eviction regime: 100 distinct + one heavy hitter, capacity 8 —
+    // the heavy hitter must survive with count >= its true frequency
+    val df = (Seq.fill(500)("hot") ++ (0 until 100).map(i => s"cold$i")).toDF("v")
+    df.createOrReplaceTempView("amf_skew")
+    val top = graft.sql.GraftSql.sql(spark,
+      "SELECT approx_most_frequent(1, v, 8) a FROM amf_skew")
+      .selectExpr("inline(a)").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head._1 == "hot" && top.head._2 >= 500L)
+  }
+
   test("Windows.withGroupsFrame == GROUPS BETWEEN semantics") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
