@@ -70,7 +70,27 @@ object GraftFunctions {
       val k = intLit(exprs(0), "buckets")
       val cap = if (exprs.size > 2) intLit(exprs(2), "capacity") else math.max(256, k)
       ApproxMostFrequent(exprs(1), k, cap).toAggregateExpression()
-    })
+    },
+    // Trino URL functions -> ParseUrl parts.
+    "url_extract_host" -> { exprs: Seq[Expression] =>
+      ParseUrl(Seq(exprs.head, Literal("HOST"))) },
+    "url_extract_path" -> { exprs: Seq[Expression] =>
+      ParseUrl(Seq(exprs.head, Literal("PATH"))) },
+    "url_extract_protocol" -> { exprs: Seq[Expression] =>
+      ParseUrl(Seq(exprs.head, Literal("PROTOCOL"))) },
+    "url_extract_query" -> { exprs: Seq[Expression] =>
+      ParseUrl(Seq(exprs.head, Literal("QUERY"))) },
+    "url_extract_fragment" -> { exprs: Seq[Expression] =>
+      ParseUrl(Seq(exprs.head, Literal("REF"))) },
+    "url_extract_parameter" -> { exprs: Seq[Expression] =>
+      ParseUrl(Seq(exprs.head, Literal("QUERY"), exprs(1))) },
+    // Trino to_hex(varbinary) / from_hex(string) -> Spark hex/unhex.
+    "to_hex" -> { exprs: Seq[Expression] => Hex(exprs.head) },
+    "from_hex" -> { exprs: Seq[Expression] => Unhex(exprs.head) },
+    // Trino chr(n) -> Spark char; levenshtein_distance -> levenshtein.
+    "chr" -> { exprs: Seq[Expression] => Chr(exprs.head) },
+    "levenshtein_distance" -> { exprs: Seq[Expression] =>
+      Levenshtein(exprs(0), exprs(1)) })
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v, _) => String.valueOf(v).toInt

@@ -51,6 +51,20 @@ class FunctionsSpec extends SparkSpec {
     assert(one("SELECT to_unixtime(TIMESTAMP'1970-01-01 00:01:00') v") == Row(60.0))
   }
 
+  test("url_extract_* / to_hex / from_hex / chr / levenshtein_distance") {
+    val u = "'https://walden.example:8443/a/b?k=v&x=1#frag'"
+    assert(one(s"SELECT url_extract_host($u) v") == Row("walden.example"))
+    assert(one(s"SELECT url_extract_path($u) v") == Row("/a/b"))
+    assert(one(s"SELECT url_extract_protocol($u) v") == Row("https"))
+    assert(one(s"SELECT url_extract_query($u) v") == Row("k=v&x=1"))
+    assert(one(s"SELECT url_extract_fragment($u) v") == Row("frag"))
+    assert(one(s"SELECT url_extract_parameter($u, 'k') v") == Row("v"))
+    assert(one("SELECT to_hex(CAST('AB' AS BINARY)) v") == Row("4142"))
+    assert(one("SELECT CAST(from_hex('4142') AS STRING) v") == Row("AB"))
+    assert(one("SELECT chr(65) v") == Row("A"))
+    assert(one("SELECT levenshtein_distance('kitten', 'sitting') v") == Row(3))
+  }
+
   test("approx_most_frequent: exact under capacity, bounded over it") {
     import spark.implicits._
     // exact regime: 3 distinct values, capacity default

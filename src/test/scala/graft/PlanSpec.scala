@@ -38,6 +38,21 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
   }
 
+  test("approx_most_frequent aggregates two-phase via ObjectHashAggregate") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.registerAll(spark, sf())
+    val df = spark.sql(
+      "SELECT o_orderstatus, approx_most_frequent(3, o_orderpriority) FROM orders GROUP BY 1")
+    val p = plan(df)
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial phase before the exchange — per-executor sketches merge,
+    // raw rows never shuffle.
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final ObjectHashAggregate")
+    assert(p.contains("partial_approx_most_frequent"), p.take(2000))
+  }
+
   test("vector_dot runs inside whole-stage codegen") {
     graft.functions.GraftFunctions.register(spark)
     Tables.registerAll(spark, sf())
