@@ -1,0 +1,88 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests (SURVEY.md §5): algebraic identities the engine's
+  * plans must preserve on arbitrary small frames — the invariants
+  * Catalyst's rewrites (pushdown, join reorder, partial aggregation)
+  * silently rely on. scalacheck generators drive the data; seeds are
+  * fixed so failures reproduce.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Long, Long, String)]] =
+    Gen.listOfN(40, for {
+      k <- Gen.chooseNum(0L, 9L)
+      v <- Gen.chooseNum(-1000L, 1000L)
+      s <- Gen.oneOf("a", "b", "c", "")
+    } yield (k, v, s))
+
+  private def draw(i: Int): List[(Long, Long, String)] =
+    rowsGen.pureApply(Gen.Parameters.default, Seed(42L + i))
+
+  test("filter partitions rows: count(p) + count(!p) == count") {
+    (0 until 8).foreach { i =>
+      val df = draw(i).toDF("k", "v", "s")
+      val c = df.count()
+      val p = df.col("v") > 0L
+      assert(df.filter(p).count() + df.filter(!p).count() == c, s"draw $i")
+    }
+  }
+
+  test("inner join commutes") {
+    (0 until 6).foreach { i =>
+      val a = draw(i).toDF("k", "v", "s")
+      val b = draw(i + 100).toDF("k", "w", "t")
+      val ab = a.join(b, "k").select("k", "v", "w").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val ba = b.join(a, "k").select("k", "v", "w").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(ab == ba, s"draw $i")
+    }
+  }
+
+  test("aggregation is partitioning-invariant (partial == final)") {
+    (0 until 6).foreach { i =>
+      val rows = draw(i)
+      val expect = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      Seq(1, 3, 8).foreach { parts =>
+        val got = rows.toDF("k", "v", "s").repartition(parts)
+          .groupBy("k").sum("v").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"draw $i parts $parts")
+      }
+    }
+  }
+
+  test("filter pushes through join: filter-after == filter-before") {
+    (0 until 6).foreach { i =>
+      val a = draw(i).toDF("k", "v", "s")
+      val b = draw(i + 200).toDF("k", "w", "t")
+      val after = a.join(b, "k").filter($"v" > 0L).count()
+      val before = a.filter($"v" > 0L).join(b, "k").count()
+      assert(after == before, s"draw $i")
+    }
+  }
+
+  test("union-all then distinct == distinct set union") {
+    (0 until 6).foreach { i =>
+      val a = draw(i)
+      val b = draw(i + 300)
+      val got = a.toDF("k", "v", "s").union(b.toDF("k", "v", "s"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == (a.toSet ++ b.toSet), s"draw $i")
+    }
+  }
+
+  test("orderBy+limit == sorted take k (top-k plan equivalence)") {
+    (0 until 6).foreach { i =>
+      val rows = draw(i)
+      val got = rows.toDF("k", "v", "s").orderBy($"v".desc, $"k", $"s").limit(5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      val expect = rows.sortBy { case (k, v, s) => (-v, k, s) }.take(5)
+      assert(got == expect, s"draw $i")
+    }
+  }
+}
