@@ -129,4 +129,24 @@ object EventStream {
       .trigger(trigger)
       .outputMode(OutputMode.Append())
       .start()
+
+  /** Land a stream into a versioned GraftTable: each micro-batch is one
+    * atomic, time-travelable commit (streaming ingestion into the
+    * snapshot layer — the capability walden would need Iceberg's
+    * streaming writer for). Checkpointing makes delivery exactly-once
+    * down to the batch boundary: a replayed batch re-appends, so the
+    * pairing of (checkpoint, commit log) follows the same contract as
+    * Spark's file sink.
+    */
+  def writeGraftTable(df: DataFrame, table: graft.store.GraftTable,
+                      checkpointDir: String,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { table.append(batch); () }
+      }
+      .start()
 }

@@ -53,6 +53,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream lands in a GraftTable: per-batch atomic commits, time travel") {
+    val landing = Files.createTempDirectory("graft_landing3").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt3").toString
+    val troot = Files.createTempDirectory("graft_vt").resolve("t").toString
+    mkEvents(20).coalesce(1).write.mode("append").parquet(landing)
+    mkEvents(40).filter($"event_id" >= 20).coalesce(1).write.mode("append").parquet(landing)
+
+    val table = graft.store.GraftTable.create(spark, troot,
+      mkEvents(0).withColumn("ts", expr("timestamp_micros(ts div 1000)")).limit(0))
+    val q = EventStream.writeGraftTable(
+      EventStream.readEvents(spark, landing, maxFilesPerTrigger = 1), table, ckpt)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+
+    assert(table.read().count() == 40)
+    // one commit per non-empty micro-batch, each time-travelable
+    val appends = table.history.filter(_.op == "append")
+    assert(appends.size == 2, s"ops=${table.history.map(_.op)}")
+    assert(table.read(asOfVersion = Some(2)).count() == 20)
+  }
+
   test("sessionization (batch twin over the stateful op's input shape)") {
     // 3 events within gap, 30+min hole, then 2 more -> 2 sessions
     val base = 1700000000000000000L
