@@ -144,11 +144,31 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     }.toSeq
   }
 
+  /** Publish a commit, retrying on version races.
+    *
+    * `basedOn`: the snapshot version the operation computed `removed`
+    * against. If another writer landed in between, file-level conflict
+    * validation runs (Iceberg semantics): every file we intend to
+    * remove must still be live in the new parent — otherwise a
+    * concurrent rewrite already replaced it and blindly committing
+    * would resurrect its deleted rows AND duplicate its surviving rows.
+    * Such conflicts throw; the caller re-runs the DML on the fresh
+    * snapshot. Pure appends (`removed` empty) never conflict.
+    */
   private def commitRetry(op: String, added: Seq[FileStat], removed: Seq[String],
-                          schemaJson: String): Long = {
+                          schemaJson: String, basedOn: Long = -1L): Long = {
     var attempts = 0
     while (attempts < 20) {
       val parent = log.latestVersion
+      if (removed.nonEmpty && basedOn >= 0 && parent != basedOn) {
+        val live = log.snapshotFiles(parent).map(_.path).toSet
+        val gone = removed.filterNot(live)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"$op@$root conflicts with a concurrent commit: file(s) " +
+              s"${gone.mkString(",")} were rewritten after version $basedOn; " +
+              "re-run the operation on the current snapshot")
+      }
       val next = parent + 1
       val c = Commit(next, parent, op, added, removed, schemaJson, System.currentTimeMillis())
       if (log.tryCommit(c)) {
@@ -185,30 +205,31 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   // ------------------------------------------------------------------
   /** Paths (relative) of live files containing >=1 row matching cond —
     * stats-pruned scan; only file names are collected. */
-  private def matchingFiles(cond: Column): Seq[String] = {
+  private def matchingFiles(cond: Column): (Long, Seq[String]) = {
+    val base = currentVersion
     val sch = schema
     val candidates =
-      StatsPruner.prune(log.snapshotFiles(currentVersion), resolve(Seq(cond), sch), sch)
-    if (candidates.isEmpty) return Nil
+      StatsPruner.prune(log.snapshotFiles(base), resolve(Seq(cond), sch), sch)
+    if (candidates.isEmpty) return (base, Nil)
     val hit = readData(candidates.map(f => s"$root/${f.path}"), sch)
       .filter(cond)
       .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
     val byName = candidates.map(f => f.path.split('/').last -> f.path).toMap
-    hit.toSeq.flatMap(abs => byName.get(abs.substring(abs.lastIndexOf('/') + 1)))
+    (base, hit.toSeq.flatMap(abs => byName.get(abs.substring(abs.lastIndexOf('/') + 1))))
   }
 
   def delete(cond: Column): Long = {
-    val victims = matchingFiles(cond)
+    val (base, victims) = matchingFiles(cond)
     if (victims.isEmpty) return currentVersion
     val sch = schema
     val survivors = readData(victims.map(p => s"$root/$p"), sch)
       .filter(!cond)
     val added = if (survivors.isEmpty) Nil else writeFiles(survivors)
-    commitRetry("delete", added, victims, sch.json)
+    commitRetry("delete", added, victims, sch.json, basedOn = base)
   }
 
   def update(cond: Column, set: Map[String, Column]): Long = {
-    val victims = matchingFiles(cond)
+    val (base, victims) = matchingFiles(cond)
     if (victims.isEmpty) return currentVersion
     val sch = schema
     val src = readData(victims.map(p => s"$root/$p"), sch)
@@ -217,7 +238,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         .map(v => when(cond, v.cast(sch(n).dataType)).otherwise(col(n)).as(n))
         .getOrElse(col(n))
     }.toIndexedSeq: _*)
-    commitRetry("update", writeFiles(rewritten), victims, sch.json)
+    commitRetry("update", writeFiles(rewritten), victims, sch.json, basedOn = base)
   }
 
   /** MERGE keyed on equality of `keyCols`: matched target rows take the
@@ -226,8 +247,9 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * side is ONE anti-join against the full target.
     */
   def merge(source: DataFrame, keyCols: Seq[String]): Long = {
+    val base = currentVersion
     val sch = schema
-    val tgt = read()
+    val tgt = read(asOfVersion = Some(base))
     val srcK = source.select(sch.fieldNames.map(col).toIndexedSeq: _*)
     val keyIn = keyCols.map(k => col(k))
     // files containing rows whose key appears in source (broadcast the
@@ -235,7 +257,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val hitAbs = tgt.withColumn("__f", input_file_name())
       .join(srcK.select(keyIn: _*).distinct(), keyCols, "left_semi")
       .select("__f").distinct().collect().map(_.getString(0))
-    val live = log.snapshotFiles(currentVersion)
+    val live = log.snapshotFiles(base)
     val byName = live.map(f => f.path.split('/').last -> f.path).toMap
     val victims = hitAbs.toSeq.flatMap(a => byName.get(a.substring(a.lastIndexOf('/') + 1)))
 
@@ -254,7 +276,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       }
     val inserts = srcK.join(tgt.select(keyIn: _*).distinct(), keyCols, "left_anti")
     val toWrite = (updatedVictims.toSeq :+ inserts).reduce(_ unionByName _)
-    commitRetry("merge", writeFiles(toWrite), victims, sch.json)
+    commitRetry("merge", writeFiles(toWrite), victims, sch.json, basedOn = base)
   }
 
   /** Compact small files into ~targetFileMB outputs (OPTIMIZE).
@@ -267,18 +289,19 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     */
   def compact(targetFileMB: Int = 128, clusterBy: Seq[String] = Nil,
               numFiles: Option[Int] = None): Long = {
-    val files = log.snapshotFiles(currentVersion)
+    val base = currentVersion
+    val files = log.snapshotFiles(base)
     if (files.size <= 1 && clusterBy.isEmpty) return currentVersion
     val sch = schema
     val totalBytes = files.map(_.bytes).sum
     val n = numFiles.getOrElse(
       math.max(1, (totalBytes / (targetFileMB.toLong << 20)).toInt))
-    val base = readData(files.map(f => s"$root/${f.path}"), sch)
+    val data = readData(files.map(f => s"$root/${f.path}"), sch)
     val df =
-      if (clusterBy.isEmpty) base.repartition(n)
-      else base.repartitionByRange(n, clusterBy.map(col): _*)
+      if (clusterBy.isEmpty) data.repartition(n)
+      else data.repartitionByRange(n, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    commitRetry("compact", writeFiles(df), files.map(_.path), sch.json)
+    commitRetry("compact", writeFiles(df), files.map(_.path), sch.json, basedOn = base)
   }
 
   /** Safe schema evolution: append a nullable column (Iceberg
@@ -348,4 +371,9 @@ object GraftTable {
   }
 
   private[store] def logOf(t: GraftTable) = t.log
+
+  /** Test hook: drive commitRetry's conflict validation directly. */
+  private[graft] def commitForTest(t: GraftTable, op: String,
+      added: Seq[FileStat], removed: Seq[String], basedOn: Long): Long =
+    t.commitRetry(op, added, removed, t.schema.json, basedOn)
 }
