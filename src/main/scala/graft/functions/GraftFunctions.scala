@@ -98,9 +98,42 @@ object GraftFunctions {
       s"approx_most_frequent $what must be an integer literal, got $other")
   }
 
+  /** Table-valued functions: SQL-level entry into the versioned store.
+    * `graft_table('<root>')` reads the head; a second argument time-
+    * travels — an integer version or a branch/tag name (Trino Iceberg
+    * `FOR VERSION AS OF` parity, spelled as a TVF because the store is
+    * path-addressed, not catalog-addressed).
+    */
+  val tableInjections: Seq[(String, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    "graft_table" -> { exprs: Seq[Expression] =>
+      val spark = SparkSession.active
+      val path = exprs.head match {
+        case Literal(s, org.apache.spark.sql.types.StringType) => String.valueOf(s)
+        case other => throw new IllegalArgumentException(
+          s"graft_table path must be a string literal, got $other")
+      }
+      val t = graft.store.GraftTable.load(spark, path)
+      val df = exprs.drop(1).toList match {
+        case Nil => t.read()
+        case Literal(v, org.apache.spark.sql.types.IntegerType) :: Nil =>
+          t.read(asOfVersion = Some(String.valueOf(v).toLong))
+        case Literal(v, org.apache.spark.sql.types.LongType) :: Nil =>
+          t.read(asOfVersion = Some(String.valueOf(v).toLong))
+        case Literal(s, org.apache.spark.sql.types.StringType) :: Nil =>
+          t.read(ref = Some(String.valueOf(s)))
+        case other => throw new IllegalArgumentException(
+          s"graft_table(path[, version|'ref']): bad arguments $other")
+      }
+      df.queryExecution.logical
+    })
+
   def register(spark: SparkSession): Unit = synchronized {
     injections.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+    tableInjections.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
   }

@@ -49,6 +49,26 @@ class SqlSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("graft_table TVF: SQL read + time travel into the versioned store") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_tvf").resolve("t").toString
+    val t = graft.store.GraftTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.tag("v1")
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(graft.sql.GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM graft_table('$root')").collect().head.getLong(0) == 3L)
+    assert(graft.sql.GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM graft_table('$root', 1)").collect().head.getLong(0) == 2L)
+    assert(graft.sql.GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM graft_table('$root', 'v1')").collect().head.getLong(0) == 2L)
+    // composes with ordinary SQL (join against the TVF)
+    val j = graft.sql.GraftSql.sql(spark,
+      s"SELECT g.v FROM graft_table('$root') g JOIN VALUES (3) AS k(id) ON g.id = k.id")
+    assert(j.collect().map(_.getString(0)).toSeq == Seq("c"))
+  }
+
   test("Trino date_diff over real tables via dialect") {
     Tables.registerAll(spark, sf())
     val n = GraftSql.sql(spark,
