@@ -63,6 +63,18 @@ class SmokeSpec extends SparkSpec {
     spark.sql("DROP DATABASE ctas_db")
   }
 
+  test("CSV upload to a table (Superset schemas_allowed_for_csv_upload path)") {
+    val dir = Files.createTempDirectory("graft_csv")
+    java.nio.file.Files.writeString(dir.resolve("up.csv"),
+      "k,val\nx,1\ny,2\nz,3\n")
+    spark.sql("DROP TABLE IF EXISTS csv_upload")
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(dir.toString).write.saveAsTable("csv_upload")
+    assert(spark.table("csv_upload").count() == 3)
+    assert(spark.sql("SELECT sum(val) FROM csv_upload").collect().head.getLong(0) == 6L)
+    spark.sql("DROP TABLE csv_upload")
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
