@@ -38,6 +38,43 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
   }
 
+  test("AQE coalesces the post-shuffle partitions of a tiny aggregate") {
+    val df = Tables(spark, sf(), "nation").groupBy("n_regionkey").count()
+    df.collect() // run so AQE finalizes the adaptive plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("AQEShuffleRead") || finalPlan.contains("coalesced"),
+      finalPlan.take(1500))
+    // 25 rows into 32 shuffle partitions -> AQE folds them to ~1
+    assert(df.rdd.getNumPartitions < 8,
+      s"expected coalesced partitions, got ${df.rdd.getNumPartitions}")
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val skewConfs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a sort-merge join
+    val saved = skewConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 200k rows on ONE key vs uniform right side: a textbook skewed join
+      val left = spark.range(0, 200000).select(lit(7L).as("k"), col("id").as("v"))
+        .union(spark.range(0, 100).select((col("id") % 10).as("k"), col("id").as("v")))
+      val right = spark.range(0, 10).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // execute THIS Dataset's QueryExecution (count() would plan its
+      // own) so the adaptive plan finalizes with skew handling applied
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("approx_most_frequent aggregates two-phase via ObjectHashAggregate") {
     graft.functions.GraftFunctions.register(spark)
     Tables.registerAll(spark, sf())

@@ -49,6 +49,14 @@ class SqlSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("EXPLAIN ANALYZE returns an executed plan (Trino parity)") {
+    Tables.registerAll(spark, sf())
+    val plan = graft.sql.GraftSql.sql(spark,
+      "EXPLAIN ANALYZE SELECT r_name, count(*) FROM region JOIN nation ON r_regionkey = n_regionkey GROUP BY r_name")
+      .collect().head.getString(0)
+    assert(plan.contains("HashAggregate"), plan.take(500))
+  }
+
   test("graft_table TVF: SQL read + time travel into the versioned store") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
