@@ -79,7 +79,12 @@ final case class ApproxMostFrequent(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.size)
-    b.foreach { case (v, c) => out.writeUTF(v); out.writeLong(c) }
+    b.foreach { case (v, c) =>
+      // length-prefixed raw UTF-8 (writeUTF caps at 64 KB — a long
+      // document as the grouped value would crash the aggregation)
+      val vb = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(vb.length); out.write(vb); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -88,7 +93,11 @@ final case class ApproxMostFrequent(
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
     val b = mutable.HashMap.empty[String, Long]
-    (0 until n).foreach { _ => val v = in.readUTF(); b(v) = in.readLong() }
+    (0 until n).foreach { _ =>
+      val len = in.readInt()
+      val vb = new Array[Byte](len); in.readFully(vb)
+      b(new String(vb, java.nio.charset.StandardCharsets.UTF_8)) = in.readLong()
+    }
     b
   }
 

@@ -39,11 +39,18 @@ final class QueryService(
   private val statuses = new ConcurrentHashMap[Long, Status]()
   private val cache = new ConcurrentHashMap[String, (Long, Finished)]() // key -> (expiryMs, result)
 
-  private def normalize(sql: String): String =
+  /** Lowercased/collapsed form for PREFIX CLASSIFICATION ONLY — never
+    * a cache key: collapsing inside string literals would make
+    * `name='ALICE'` and `name='alice'` collide. */
+  private def classify(sql: String): String =
     sql.trim.replaceAll("\\s+", " ").toLowerCase
 
+  /** Cache key: exact text, trimmed. Misses on spacing differences are
+    * the safe direction. */
+  private def cacheKey(sql: String): String = sql.trim
+
   private def ddlKind(sql: String): Option[String] = {
-    val n = normalize(sql)
+    val n = classify(sql)
     if (n.startsWith("create table") && n.contains(" as ")) Some("ctas")
     else if (n.startsWith("create view") || n.startsWith("create or replace view") ||
       n.startsWith("create temp view") || n.startsWith("create or replace temp view")) Some("cvas")
@@ -80,8 +87,15 @@ final class QueryService(
   /** Synchronous convenience (SQL Lab sync path). */
   def sql(text: String): Status = await(submit(text))
 
+  /** Read-only statement prefixes — the ONLY cacheable class. An
+    * unrecognized statement (DROP, ALTER, REFRESH, plain CREATE ...)
+    * must re-execute every time: serving it from cache would silently
+    * skip its side effects. */
+  private val readPrefixes =
+    Seq("select", "with", "values", "show", "describe", "desc ", "explain", "table ")
+
   private def execute(id: Long, sql: String): Unit = {
-    val key = normalize(sql)
+    val key = cacheKey(sql)
     try {
       ddlKind(sql).foreach {
         case "ctas" if !allowCtas => throw new IllegalStateException("CTAS disabled (allow_ctas=false)")
@@ -89,8 +103,8 @@ final class QueryService(
         case "dml" if !allowDml => throw new IllegalStateException("DML disabled (allow_dml=false)")
         case _ =>
       }
-      // cache only pure SELECTs — DDL/DML must always run
-      val cacheable = ddlKind(sql).isEmpty
+      // cache only provably read-only statements (positive whitelist)
+      val cacheable = readPrefixes.exists(classify(sql).startsWith)
       if (cacheable) {
         val hit = cache.get(key)
         if (hit != null && hit._1 > System.currentTimeMillis()) {

@@ -75,12 +75,15 @@ final class CommitLog(tableRoot: String) {
 
   def versions: Seq[Long] =
     if (!Files.isDirectory(logDir)) Seq.empty
-    else
-      Files.list(logDir).iterator.asScala
+    else {
+      val s = Files.list(logDir)
+      try s.iterator.asScala
         .map(_.getFileName.toString)
         .filter(_.endsWith(".json"))
         .map(_.stripSuffix(".json").toLong)
         .toSeq.sorted
+      finally s.close() // Files.list leaks the directory FD until GC
+    }
 
   def latestVersion: Long = versions.lastOption.getOrElse(0L)
 
@@ -147,10 +150,13 @@ final class CommitLog(tableRoot: String) {
 
   def listRefs: Map[String, Long] =
     if (!Files.isDirectory(refDir)) Map.empty
-    else
-      Files.list(refDir).iterator.asScala
+    else {
+      val s = Files.list(refDir)
+      try s.iterator.asScala
         .filterNot(_.getFileName.toString.startsWith(".tmp-"))
         .map(p => p.getFileName.toString ->
           new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
         .toMap
+      finally s.close()
+    }
 }

@@ -64,7 +64,10 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
            ref: Option[String] = None,
            filters: Seq[Column] = Nil): DataFrame = {
     val v = asOfVersion
-      .orElse(ref.flatMap(log.getRef))
+      .orElse(ref.map { r =>
+        log.getRef(r).getOrElse(throw new IllegalArgumentException(
+          s"unknown ref '$r' at $root (have: ${log.listRefs.keys.mkString(",")})"))
+      })
       .getOrElse(currentVersion)
     val files = log.snapshotFiles(v)
     val sch = schemaAt(v)
@@ -117,11 +120,19 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * atomic column. Only file-count rows reach the driver. */
   private def collectStats(absDir: String, relDir: String, sch: StructType): Seq[FileStat] = {
     val statCols = sch.fields.filter(f => StatsPruner.comparable(f.dataType))
+    // TIMESTAMP stats as epoch micros: a cast-to-string renders in the
+    // session timezone, which the pruner cannot know at read time —
+    // numeric stats are timezone-independent. (NTZ/date strings are
+    // wall-clock and already safe.)
+    def render(c: Column, dt: DataType): Column = dt match {
+      case TimestampType => unix_micros(c).cast(StringType)
+      case _ => c.cast(StringType)
+    }
     val aggs =
       count(lit(1)).as("__rows") +:
         statCols.flatMap { f =>
-          Seq(min(col(f.name)).cast(StringType).as(s"__min_${f.name}"),
-            max(col(f.name)).cast(StringType).as(s"__max_${f.name}"),
+          Seq(render(min(col(f.name)), f.dataType).as(s"__min_${f.name}"),
+            render(max(col(f.name)), f.dataType).as(s"__max_${f.name}"),
             sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
         }
     val rows = readData(Seq(absDir), sch)
@@ -222,8 +233,11 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val (base, victims) = matchingFiles(cond)
     if (victims.isEmpty) return currentVersion
     val sch = schema
+    // DELETE removes rows where cond is TRUE; rows where it evaluates
+    // NULL must SURVIVE (plain !cond would drop them: !NULL is NULL,
+    // which filter treats as false).
     val survivors = readData(victims.map(p => s"$root/$p"), sch)
-      .filter(!cond)
+      .filter(!coalesce(cond, lit(false)))
     val added = if (survivors.isEmpty) Nil else writeFiles(survivors)
     commitRetry("delete", added, victims, sch.json, basedOn = base)
   }
@@ -252,6 +266,11 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val tgt = read(asOfVersion = Some(base))
     val srcK = source.select(sch.fieldNames.map(col).toIndexedSeq: _*)
     val keyIn = keyCols.map(k => col(k))
+    // SQL/Iceberg MERGE errors when one target row matches several
+    // source rows; a blind left join would silently duplicate it.
+    val dupKeys = srcK.groupBy(keyIn: _*).count().filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"merge source has duplicate keys on (${keyCols.mkString(",")}); deduplicate first")
     // files containing rows whose key appears in source (broadcast the
     // source keys when small; Catalyst/AQE picks the join strategy)
     val hitAbs = tgt.withColumn("__f", input_file_name())
@@ -316,21 +335,33 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   }
 
   /** Delete data files no longer referenced by any version >= the
-    * oldest retained ref (vacuum/GC). Returns removed file count. */
-  def vacuum(): Int = {
+    * oldest retained ref (vacuum/GC). Returns removed file count.
+    *
+    * `graceMs`: files younger than this are kept even when
+    * unreferenced — a concurrent writer may have landed them but not
+    * yet published its commit; deleting them would corrupt the commit
+    * that is about to win (same reason Iceberg's remove_orphan_files
+    * defaults to a 3-day cutoff).
+    */
+  def vacuum(graceMs: Long = 10 * 60 * 1000L): Int = {
     val referenced = log.versions.flatMap(v => log.snapshotFiles(v).map(_.path)).toSet
     val dataRoot = Paths.get(root, "data")
     if (!Files.isDirectory(dataRoot)) return 0
+    val cutoff = System.currentTimeMillis() - graceMs
     var removed = 0
-    val it = Files.walk(dataRoot).iterator()
-    while (it.hasNext) {
-      val p = it.next()
-      val leaf = p.getFileName.toString
-      if (Files.isRegularFile(p) && !leaf.startsWith(".") && !leaf.startsWith("_")) {
-        val rel = Paths.get(root).relativize(p).toString
-        if (!referenced.contains(rel)) { Files.delete(p); removed += 1 }
+    val walk = Files.walk(dataRoot)
+    try {
+      val it = walk.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val leaf = p.getFileName.toString
+        if (Files.isRegularFile(p) && !leaf.startsWith(".") && !leaf.startsWith("_") &&
+            Files.getLastModifiedTime(p).toMillis < cutoff) {
+          val rel = Paths.get(root).relativize(p).toString
+          if (!referenced.contains(rel)) { Files.delete(p); removed += 1 }
+        }
       }
-    }
+    } finally walk.close()
     removed
   }
 }
@@ -342,6 +373,9 @@ object GraftTable {
              format: String = "parquet"): GraftTable = {
     require(Set("parquet", "orc")(format), s"unsupported format: $format")
     val t = new GraftTable(spark, root)
+    // refuse BEFORE touching disk: writing props/data first would
+    // clobber an existing table's format metadata on a doomed create
+    require(!t.log.exists, s"table already exists at $root")
     t.log.init()
     Files.write(Paths.get(root, "_graft_props.json"),
       s"""{"format":"$format"}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -78,12 +78,21 @@ object StatsPruner {
         // Catalyst literal = days since epoch; stat string = yyyy-MM-dd
         Some(java.time.LocalDate.parse(statStr).toEpochDay.compare(String.valueOf(v).toLong))
       case TimestampType | TimestampNTZType =>
-        // Catalyst literal = micros since epoch; stat = "yyyy-MM-dd HH:mm:ss[.S]"
-        val statMicros = java.time.LocalDateTime
-          .parse(statStr.replace(' ', 'T'))
-          .toInstant(java.time.ZoneOffset.UTC)
-        val micros = statMicros.getEpochSecond * 1000000L + statMicros.getNano / 1000L
-        Some(micros.compare(String.valueOf(v).toLong))
+        // Catalyst literal = micros since epoch. TIMESTAMP stats are
+        // written as epoch micros (timezone-independent); NTZ stats are
+        // wall-clock strings, parsed as-if-UTC to match NTZ literal
+        // semantics. The numeric branch also accepts legacy TIMESTAMP
+        // string stats only when the session that wrote them was UTC —
+        // which GraftSession pins.
+        statStr.toLongOption match {
+          case Some(statMicros) => Some(statMicros.compare(String.valueOf(v).toLong))
+          case None =>
+            val statInstant = java.time.LocalDateTime
+              .parse(statStr.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC)
+            val micros = statInstant.getEpochSecond * 1000000L + statInstant.getNano / 1000L
+            Some(micros.compare(String.valueOf(v).toLong))
+        }
       case BooleanType => Some(statStr.toBoolean.compareTo(String.valueOf(v).toBoolean))
       case _ => None
     }

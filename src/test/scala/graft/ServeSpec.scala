@@ -25,6 +25,30 @@ class ServeSpec extends SparkSpec {
     } finally svc.close()
   }
 
+  test("cache never collides distinct literals and never caches DDL") {
+    Tables.registerAll(spark, sf())
+    val svc = new QueryService(spark)
+    try {
+      val a = svc.sql("SELECT count(*) AS n FROM region WHERE r_name = 'AFRICA'") match {
+        case f: svc.Finished => f.rows.head.getLong(0); case o => fail(s"$o")
+      }
+      // same statement, lowercased literal: must NOT be served from cache
+      val b = svc.sql("SELECT count(*) AS n FROM region WHERE r_name = 'africa'") match {
+        case f: svc.Finished => assert(!f.fromCache); f.rows.head.getLong(0)
+        case o => fail(s"$o")
+      }
+      assert(a == 1L && b == 0L)
+      // side-effecting statements re-execute every time
+      svc.sql("CREATE OR REPLACE TEMP VIEW cache_probe AS SELECT 1 AS x")
+      spark.catalog.dropTempView("cache_probe")
+      svc.sql("CREATE OR REPLACE TEMP VIEW cache_probe AS SELECT 1 AS x") match {
+        case f: svc.Finished => assert(!f.fromCache); case o => fail(s"$o")
+      }
+      assert(spark.catalog.tableExists("cache_probe"))
+      spark.catalog.dropTempView("cache_probe")
+    } finally svc.close()
+  }
+
   test("failures are reported, not thrown") {
     val svc = new QueryService(spark)
     try {

@@ -49,6 +49,15 @@ class SqlSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("dialect rewrites never touch string literals") {
+    val in = "SELECT 'uses approx_percentile(x) and date_diff(''day'', a, b)' AS doc, " +
+      "approx_percentile(v, 0.5) AS p, date_diff('hour', t1, t2) AS h FROM t"
+    val out = TrinoDialect.rewrite(in)
+    assert(out.contains("'uses approx_percentile(x) and date_diff(''day'', a, b)'"), out)
+    assert(out.contains("percentile_approx(v, 0.5)"), out)
+    assert(out.contains("date_diff(HOUR, t1, t2)"), out)
+  }
+
   test("EXPLAIN ANALYZE returns an executed plan (Trino parity)") {
     Tables.registerAll(spark, sf())
     val plan = graft.sql.GraftSql.sql(spark,

@@ -168,6 +168,62 @@ class StoreSpec extends SparkSpec {
     assert(GraftTable.load(spark, root).format == "orc")
   }
 
+  test("delete keeps rows where the condition evaluates to NULL") {
+    val root = freshRoot
+    val t = GraftTable.create(spark, root,
+      Seq((1L, Some("closed")), (2L, None), (3L, Some("open")))
+        .toDF("id", "status").coalesce(1))
+    t.delete(col("status") === "closed")
+    // SQL DELETE WHERE status='closed' removes TRUE rows only; the
+    // NULL-status row must survive
+    assert(t.read().collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("merge rejects duplicate source keys instead of duplicating rows") {
+    val root = freshRoot
+    val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((1L, "x"), (1L, "y")).toDF("id", "v"), Seq("id"))
+    }
+    assert(t.read().count() == 1)
+  }
+
+  test("create on an existing root refuses before touching metadata") {
+    val root = freshRoot
+    GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"), format = "orc")
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    }
+    // format metadata survived the refused create
+    assert(GraftTable.load(spark, root).format == "orc")
+  }
+
+  test("unknown ref fails loudly instead of silently reading head") {
+    val root = freshRoot
+    val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    val ex = intercept[IllegalArgumentException] { t.read(ref = Some("nope")).count() }
+    assert(ex.getMessage.contains("unknown ref"))
+  }
+
+  test("timestamp stats prune correctly regardless of session timezone") {
+    val root = freshRoot
+    import org.apache.spark.sql.types.TimestampType
+    val df = spark.range(0, 4000)
+      .select((expr("timestamp_micros(id * 3600000000)")).as("ts"), col("id"))
+      .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+    val t = GraftTable.create(spark, root, df)
+    val files = t.history.last.added
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{LessThan, Literal}
+    // literal: micros since epoch for hour 100
+    val lit100h = Literal(100L * 3600000000L,
+      org.apache.spark.sql.types.TimestampType)
+    val kept = StatsPruner.prune(files,
+      Seq(LessThan(UnresolvedAttribute("ts"), lit100h)), t.schema)
+    assert(kept.size == 1, s"expected 1 file, got ${kept.map(_.path)}")
+    assert(t.read(filters = Seq(col("ts") < expr("timestamp_micros(360000000000)"))).count() == 100)
+  }
+
   test("conflicting DML on the same file throws instead of corrupting") {
     val root = freshRoot
     // one file containing both victim rows
