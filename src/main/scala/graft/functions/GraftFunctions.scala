@@ -50,9 +50,11 @@ object GraftFunctions {
     "format_datetime" -> { exprs: Seq[Expression] =>
       DateFormatClass(Cast(exprs(0), org.apache.spark.sql.types.TimestampType), exprs(1))
     },
-    // Trino to_unixtime(ts) -> double seconds.
+    // Trino to_unixtime(ts) -> double seconds WITH fraction (a
+    // timestamp-to-double cast keeps sub-second precision; the old
+    // UnixTimestamp spelling truncated to whole seconds).
     "to_unixtime" -> { exprs: Seq[Expression] =>
-      Cast(UnixTimestamp(exprs.head, Literal("yyyy-MM-dd HH:mm:ss")),
+      Cast(Cast(exprs.head, org.apache.spark.sql.types.TimestampType),
         org.apache.spark.sql.types.DoubleType)
     },
     // graft-native: codegen'd dot product over array<double> (hot path

@@ -73,7 +73,18 @@ object StatsPruner {
     dt match {
       case _: NumericType =>
         Some(BigDecimal(statStr).compare(BigDecimal(String.valueOf(v))))
-      case StringType => Some(statStr.compareTo(String.valueOf(v)))
+      case StringType =>
+        // Spark's min/max over strings order by UNSIGNED UTF-8 bytes
+        // (UTF8String.binaryCompare); Java's compareTo orders by UTF-16
+        // code units — the two disagree on supplementary-plane chars.
+        // Compare exactly as the stats were computed.
+        val a = statStr.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val b = String.valueOf(v).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(a.length, b.length)
+        var i = 0
+        var r = 0
+        while (i < n && r == 0) { r = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
+        Some(if (r != 0) r else a.length - b.length)
       case DateType =>
         // Catalyst literal = days since epoch; stat string = yyyy-MM-dd
         Some(java.time.LocalDate.parse(statStr).toEpochDay.compare(String.valueOf(v).toLong))

@@ -49,6 +49,8 @@ class FunctionsSpec extends SparkSpec {
     assert(one("SELECT format_datetime(TIMESTAMP'2024-03-05 07:00:00', 'yyyy-MM-dd') v")
       == Row("2024-03-05"))
     assert(one("SELECT to_unixtime(TIMESTAMP'1970-01-01 00:01:00') v") == Row(60.0))
+    // Trino to_unixtime keeps sub-second precision
+    assert(one("SELECT to_unixtime(TIMESTAMP'1970-01-01 00:00:00.25') v") == Row(0.25))
   }
 
   test("url_extract_* / to_hex / from_hex / chr / levenshtein_distance") {
