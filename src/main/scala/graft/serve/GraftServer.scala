@@ -18,6 +18,24 @@ import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
   */
 object GraftServer {
 
+  /** Boot a Spark Connect gRPC endpoint on `port` — the second wire
+    * protocol modern clients (pyspark/scala `--remote sc://host:port`,
+    * BI connectors) speak. Complements the HiveServer2 endpoint below;
+    * graft functions reach Connect sessions via `spark.sql.extensions`
+    * (GraftExtensions), which is exactly why that injection path
+    * exists. Returns a handle whose `close()` stops the service. */
+  def startConnect(spark: SparkSession, port: Int): AutoCloseable = {
+    // static conf: the gRPC server reads the driver's live SparkConf
+    // (SparkEnv), not the session's runtime conf
+    org.apache.spark.SparkEnv.get.conf
+      .set("spark.connect.grpc.binding.port", port.toString)
+    org.apache.spark.sql.connect.service.SparkConnectService.start(spark.sparkContext)
+    new AutoCloseable {
+      override def close(): Unit =
+        org.apache.spark.sql.connect.service.SparkConnectService.stop(None, None)
+    }
+  }
+
   /** Boot the Thrift JDBC endpoint on `port`, sharing this session's
     * catalog (temp views included when
     * `spark.sql.hive.thriftServer.singleSession=true`). Returns a

@@ -96,6 +96,25 @@ class ServeSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("spark connect endpoint binds and accepts TCP (gRPC wire)") {
+    val port = 31000 + scala.util.Random.nextInt(2000)
+    val server = graft.serve.GraftServer.startConnect(spark, port)
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var ok = false
+      while (!ok && System.currentTimeMillis() < deadline) {
+        try {
+          val s = new java.net.Socket("localhost", port)
+          s.close(); ok = true
+        } catch { case _: Exception => Thread.sleep(250) }
+      }
+      assert(ok, s"connect service did not bind port $port")
+      // full round-trip needs the connect-client artifact (not shipped
+      // in /opt/spark/jars); the server side + extensions injection is
+      // what the engine owns.
+    } finally server.close()
+  }
+
   test("scheduler runs recurring reports") {
     Tables.registerAll(spark, sf())
     val svc = new QueryService(spark)
