@@ -196,13 +196,17 @@ object CoreQueries {
         a.union(b).distinct().withColumn("op", lit("union"))
           .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
           .unionByName(a.except(b).withColumn("op", lit("except")))
+          .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+          .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
           .select("op", "k")
       },
       Some("""WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
              b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000)
         SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)
         UNION ALL SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
-        UNION ALL SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)""")),
+        UNION ALL SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+        UNION ALL SELECT 'intersect_all' AS op, k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+        UNION ALL SELECT 'except_all' AS op, k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)""")),
 
     // ------------------------------------------------------------------
     QueryEntry("q11_rollup",
