@@ -40,3 +40,21 @@ final case class QueryEntry(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
+
+/** The float-parity discipline (SURVEY.md §7.5), in ONE place: sums
+  * over doubles route through DECIMAL(38,6) — exact and reduction-
+  * order-independent — then back to double, so distributed shuffle
+  * order can never diverge from the oracle's sequential fold. Both
+  * engines spell it identically; change precision here or nowhere.
+  */
+object Parity {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.sum
+  val D: org.apache.spark.sql.types.DecimalType =
+    org.apache.spark.sql.types.DecimalType(38, 6)
+  /** Order-insensitive exact sum of a double expression (Spark side). */
+  def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+  /** Oracle-side spelling of dsum. */
+  def oSum(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
+}

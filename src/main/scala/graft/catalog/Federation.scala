@@ -43,10 +43,14 @@ object Federation {
     }
 
   /** Register remote tables as `<catalog>_<table>` temp views so SQL
-    * can join them with lake tables (walden's cross-catalog query). */
+    * can join them with lake tables (walden's cross-catalog query).
+    * Remote names are typically schema-qualified (`public.users`);
+    * temp-view names cannot contain dots, so non-identifier chars map
+    * to `_` (`pg_public_users`). */
   def register(spark: SparkSession, c: JdbcCatalog, tables: Seq[String]): Unit =
     tables.foreach { t =>
-      table(spark, c, t).createOrReplaceTempView(s"${c.name}_${t.toLowerCase}")
+      val viewName = s"${c.name}_${t.toLowerCase}".replaceAll("[^a-z0-9_]", "_")
+      table(spark, c, t).createOrReplaceTempView(viewName)
     }
 
   /** Push an arbitrary query to the remote engine (Trino's

@@ -31,18 +31,26 @@ object SystemCatalog {
     * every table in every database with its columns. */
   def tables(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.catalog.listDatabases().collect().toSeq
+    // listTables(db) also returns session temp views (database = null)
+    // for EVERY database — attribute those to the session once, not to
+    // each database, and resolve their columns by bare name.
+    val persistent = spark.catalog.listDatabases().collect().toSeq
       .flatMap { db =>
-        spark.catalog.listTables(db.name).collect().toSeq.map { t =>
-          val cols =
-            try spark.catalog.listColumns(t.database + "." + t.name)
-              .collect().map(c => s"${c.name}:${c.dataType}").mkString(",")
-            catch { case _: Exception => "" }
-          (db.name, t.name, t.tableType, cols)
-        }
+        spark.catalog.listTables(db.name).collect().toSeq
+          .filter(_.database != null)
+          .map(t => (db.name, t.name, t.tableType,
+            columnsOf(spark, t.database + "." + t.name)))
       }
-      .toDF("database", "table", "type", "columns")
+    val tempViews = spark.catalog.listTables().collect().toSeq
+      .filter(_.database == null)
+      .map(t => ("<session>", t.name, t.tableType, columnsOf(spark, t.name)))
+    (persistent ++ tempViews).toDF("database", "table", "type", "columns")
   }
+
+  private def columnsOf(spark: SparkSession, qualified: String): String =
+    try spark.catalog.listColumns(qualified)
+      .collect().map(c => s"${c.name}:${c.dataType}").mkString(",")
+    catch { case _: Exception => "" }
 
   /** Register the system views under `system_*` names. */
   def register(spark: SparkSession): Unit = {

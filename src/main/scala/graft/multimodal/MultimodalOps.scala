@@ -66,13 +66,17 @@ object MultimodalOps {
 
   /** Deterministic fake feature vector (dim floats in [-1,1)) — the
     * STUB for an embedding model; shape/partitioning real. */
-  def stubFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val h = contentHash(bytes)
+  def stubFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+    stubFeaturesFromHash(contentHash(bytes), dim)
+
+  /** Features from a precomputed content hash — lets per-frame callers
+    * hash the (possibly huge) media bytes ONCE per row and derive each
+    * frame by seed-mixing, instead of re-hashing per frame. */
+  def stubFeaturesFromHash(h: Long, dim: Int): Array[Float] =
     Array.tabulate(dim) { i =>
       val x = h * 6364136223846793005L + i * 1442695040888963407L
       ((x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
     }
-  }
 
   // ====================================================================
   // DataFrame operators — all narrow (no shuffle), codegen-friendly
@@ -130,19 +134,36 @@ object MultimodalOps {
     * full decode. */
   def sampleFrames(df: DataFrame, everyMs: Long,
                    contentCol: String = "content"): DataFrame = {
-    val withDur = withMeta(df, contentCol, "__meta")
-      .withColumn("frame_ts_ms",
-        explode(sequence(lit(0L), col("__meta.duration_ms"), lit(everyMs))))
+    // hash the media bytes ONCE per source row (inside withMeta's
+    // decode pass the bytes are already in hand); per-frame features
+    // seed-mix the timestamp into that hash — O(media) + O(frames)
+    // work, never O(media x frames) re-hash/copy per frame.
+    // positional field access only: chained mapPartitions can receive
+    // schema-less GenericRows when the optimizer fuses the object
+    // pipelines, so name-based getAs is not safe here.
+    val hashed = {
+      val base = withMeta(df, contentCol, "__meta")
+      val contentIdx = base.schema.fieldIndex(contentCol)
+      val enc = org.apache.spark.sql.Encoders.row(
+        StructType(base.schema.fields :+ StructField("__chash", LongType)))
+      base.mapPartitions { it: Iterator[Row] =>
+        it.map(r => Row.fromSeq(r.toSeq :+
+          contentHash(r.get(contentIdx).asInstanceOf[Array[Byte]])))
+      }(enc)
+    }
+    val withDur = hashed.withColumn("frame_ts_ms",
+      explode(sequence(lit(0L), col("__meta.duration_ms"), lit(everyMs))))
+    val tsIdx = withDur.schema.fieldIndex("frame_ts_ms")
+    val chashIdx = withDur.schema.fieldIndex("__chash")
     val enc = org.apache.spark.sql.Encoders.row(
       StructType(withDur.schema.fields :+ StructField("frame_features", ArrayType(FloatType))))
     withDur.mapPartitions { it: Iterator[Row] =>
       it.map { r =>
-        val bytes = r.getAs[Array[Byte]](contentCol)
-        val ts = r.getAs[Long]("frame_ts_ms")
-        // ??? stub: per-frame features keyed on (content, ts)
-        val feats = stubFeatures(bytes ++ BigInt(ts).toByteArray, 16)
-        Row.fromSeq(r.toSeq :+ feats.toSeq)
+        val ts = r.getLong(tsIdx)
+        // ??? stub: per-frame features keyed on (content hash, ts)
+        val seed = r.getLong(chashIdx) ^ (ts * 0x9e3779b97f4a7c15L)
+        Row.fromSeq(r.toSeq :+ stubFeaturesFromHash(seed, 16).toSeq)
       }
-    }(enc).drop("__meta")
+    }(enc).drop("__meta", "__chash")
   }
 }

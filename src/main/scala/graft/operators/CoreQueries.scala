@@ -22,12 +22,9 @@ import graft.{QueryEntry, Tables}
   */
 object CoreQueries {
 
-  private val D = DecimalType(38, 6)
-  /** Order-insensitive exact sum of a double expression. */
-  private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
-  /** Oracle-side spelling of dsum. */
-  private def oSum(e: String): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
+  private val D = graft.Parity.D
+  private def dsum(c: Column): Column = graft.Parity.dsum(c)
+  private def oSum(e: String): String = graft.Parity.oSum(e)
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
@@ -528,33 +525,38 @@ object CoreQueries {
     // run id via a running count of breaks -> aggregate per island.
     QueryEntry("q28_pattern_runs",
       (s, d) => {
+        // events.ts is ns parquet (Spark truncates to µs, a ns-capable
+        // oracle would not) -> never emit raw timestamps: format run
+        // bounds to second granularity, and tie-break ordering on
+        // event_id so µs-collisions cannot reorder rows cross-engine
+        // (EventQueries header discipline).
         val ev = t(s, d, "events")
           .filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), col("value"))
-        val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         ev.withColumn("rising",
             when(col("value") > lag(col("value"), 1).over(byTs), 0).otherwise(1))
           .withColumn("run_id",
             sum(col("rising")).over(byTs.rowsBetween(Window.unboundedPreceding, 0)))
           .groupBy(col("user_id"), col("run_id"))
           .agg(count(lit(1)).as("run_len"),
-            min(col("ts")).cast(StringType).as("run_start"),
-            max(col("ts")).cast(StringType).as("run_end"))
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("run_start"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("run_end"))
           .filter(col("run_len") >= 3)
           .select("user_id", "run_start", "run_end", "run_len")
       },
       Some("""WITH ev AS (
-          SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
-        f AS (SELECT user_id, ts, value,
-            CASE WHEN value > LAG(value) OVER (PARTITION BY user_id ORDER BY ts)
+          SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        f AS (SELECT user_id, ts, event_id, value,
+            CASE WHEN value > LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
               THEN 0 ELSE 1 END AS rising
           FROM ev),
         r AS (SELECT user_id, ts,
-            SUM(rising) OVER (PARTITION BY user_id ORDER BY ts
+            SUM(rising) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
           FROM f)
-        SELECT user_id, CAST(MIN(ts) AS VARCHAR) AS run_start,
-          CAST(MAX(ts) AS VARCHAR) AS run_end, COUNT(*) AS run_len
+        SELECT user_id, STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS run_start,
+          STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS run_end, COUNT(*) AS run_len
         FROM r GROUP BY user_id, run_id HAVING COUNT(*) >= 3"""))
   )
 }

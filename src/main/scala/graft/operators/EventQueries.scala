@@ -17,10 +17,9 @@ import graft.{QueryEntry, Tables}
   */
 object EventQueries {
 
-  private val D = DecimalType(38, 6)
-  private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
-  private def oSum(e: String): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
+  private val D = graft.Parity.D
+  private def dsum(c: Column): Column = graft.Parity.dsum(c)
+  private def oSum(e: String): String = graft.Parity.oSum(e)
 
   val entries: Seq[QueryEntry] = Seq(
 

@@ -154,9 +154,11 @@ object TextOps {
           .agg(array_sort(collect_list(struct(col("pos"), col("b")))).as("pb"))
           .selectExpr("doc_id", "array_join(transform(pb, x -> x.b), '') AS simhash")
       },
-      Some("""WITH words AS (
-          SELECT doc_id, MD5(UNNEST(STRING_SPLIT(LOWER(text), ' '))) AS h
+      Some("""WITH toks AS (
+          SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w
           FROM documents),
+        words AS (
+          SELECT doc_id, MD5(w) AS h FROM toks WHERE LEN(w) > 0),
         bits AS (SELECT doc_id, pos,
             CAST(FLOOR((STRPOS('0123456789abcdef', SUBSTRING(h, CAST(FLOOR(pos / 4) AS INT) + 1, 1)) - 1)
               / POWER(2, 3 - pos % 4)) AS INT) % 2 AS bit

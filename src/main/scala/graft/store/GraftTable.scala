@@ -208,6 +208,12 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def append(df: DataFrame): Long =
     commitRetry("append", writeFiles(aligned(df)), Nil, schema.json)
 
+  /** Append recorded under a caller-chosen op label — the idempotence
+    * hook for streaming sinks: a replayed micro-batch re-presents the
+    * same label, the sink sees it in `history`, and skips. */
+  private[graft] def appendAs(op: String, df: DataFrame): Long =
+    commitRetry(op, writeFiles(aligned(df)), Nil, schema.json)
+
   def overwrite(df: DataFrame): Long =
     commitRetry("overwrite", writeFiles(aligned(df)), Nil, schema.json)
 

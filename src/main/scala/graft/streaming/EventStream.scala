@@ -47,7 +47,9 @@ object EventStream {
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value")).as("total_value"),
+        // DECIMAL(38,6) like the batch twin e01: micro-batch arrival
+        // order must not change the sum's low bits
+        sum(col("value").cast(DecimalType(38, 6))).cast("double").as("total_value"),
         approx_count_distinct(col("user_id")).as("approx_users"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"), col("approx_users"))
@@ -57,7 +59,8 @@ object EventStream {
     events
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 6))).cast("double").as("total_value"))
       .select(col("window.start").as("win_start"), col("n"), col("total_value"))
 
   // ------------------------------------------------------------------
@@ -92,8 +95,10 @@ object EventStream {
             state.remove()
             Iterator.single(SessionOut(user, s.start, s.lastSeen, s.nEvents, s.totalValue))
           } else {
+            // full microsecond precision: getTime is millis-truncated,
+            // the sub-ms micros live in getNanos
             val sorted = rows.toSeq
-              .map(e => (e.ts.getTime * 1000L, e.value))
+              .map(e => (e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L, e.value))
               .sortBy(_._1)
             var closed = List.empty[SessionOut]
             var cur = state.getOption
@@ -133,20 +138,28 @@ object EventStream {
   /** Land a stream into a versioned GraftTable: each micro-batch is one
     * atomic, time-travelable commit (streaming ingestion into the
     * snapshot layer — the capability walden would need Iceberg's
-    * streaming writer for). Checkpointing makes delivery exactly-once
-    * down to the batch boundary: a replayed batch re-appends, so the
-    * pairing of (checkpoint, commit log) follows the same contract as
-    * Spark's file sink.
+    * streaming writer for).
+    *
+    * Exactly-once: foreachBatch alone is at-least-once (a crash after
+    * the table commit but before the checkpoint records the batch
+    * replays it). Each commit therefore carries the (sink, batchId)
+    * label; a replayed batch finds its label already in the commit
+    * history and skips — the same batch-id dedup Spark's file sink
+    * keeps in _spark_metadata.
     */
   def writeGraftTable(df: DataFrame, table: graft.store.GraftTable,
                       checkpointDir: String,
-                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val sinkId = java.lang.Integer.toHexString(checkpointDir.hashCode)
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { table.append(batch); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val label = s"stream-append:$sinkId:$batchId"
+        val alreadyCommitted = table.history.exists(_.op == label)
+        if (!alreadyCommitted && !batch.isEmpty) { table.appendAs(label, batch); () }
       }
       .start()
+  }
 }

@@ -67,10 +67,12 @@ class StreamingSpec extends SparkSpec {
     assert(q.awaitTermination(240000), "stream did not drain in 240s")
 
     assert(table.read().count() == 40)
-    // one commit per non-empty micro-batch, each time-travelable
-    val appends = table.history.filter(_.op == "append")
+    // one labeled commit per non-empty micro-batch, each time-travelable
+    val appends = table.history.filter(_.op.startsWith("stream-append:"))
     assert(appends.size == 2, s"ops=${table.history.map(_.op)}")
     assert(table.read(asOfVersion = Some(2)).count() == 20)
+    // batch-id labels are distinct (the idempotent-replay key)
+    assert(appends.map(_.op).distinct.size == 2)
   }
 
   test("sessionization (batch twin over the stateful op's input shape)") {
