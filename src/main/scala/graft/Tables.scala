@@ -17,7 +17,11 @@ object Tables {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
     // reader rejects; read nanos as raw long and truncate to Spark's
     // native µs precision (documented semantic delta, SURVEY.md §1.2).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // GraftSession sets the conf at build time; only set it here for
+    // the one table that needs it, so foreign sessions don't get their
+    // parquet read semantics flipped by unrelated table loads.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       // integer `div`, not `/`: double division loses precision above

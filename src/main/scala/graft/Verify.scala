@@ -6,12 +6,23 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = graft.engine.GraftSession.create()
+    // wipe stale outputs: a query that regressed to throwing must show
+    // up as MISSING downstream, not as its previous run's parquet
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally s.close()
+      }
+    rmTree(Paths.get(outDir))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        rmTree(Paths.get(s"$outDir/$name")) // partial output is stale too
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

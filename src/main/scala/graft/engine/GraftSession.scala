@@ -38,6 +38,10 @@ object GraftSession {
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.mergeSchema", "false")
+      // TIMESTAMP(NANOS) parquet (e.g. the events table) reads as raw
+      // long; loaders convert to µs explicitly (graft.Tables). Session-
+      // level so per-table loads need no conf side effects.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.ui.enabled", "false")

@@ -24,6 +24,10 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("try() nulls runtime errors") {
+    // assert_true THROWS in non-ANSI mode too, so this fails unless
+    // TryEval really wraps it (1/0 alone is already NULL in non-ANSI
+    // Spark and would pass with a broken try())
+    assert(one("SELECT try(assert_true(1 < 0)) v") == Row(null))
     assert(one("SELECT try(1/0) v") == Row(null))
     assert(one("SELECT try(2/1) v") == Row(2.0))
   }

@@ -19,6 +19,11 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+unknown = only - set(oracle)
+if unknown:
+    print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+    print(f"known: {sorted(oracle)}")
+    sys.exit(2)
 
 def canon_val(v):
     if v is None:
@@ -28,7 +33,9 @@ def canon_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}".rstrip("0").rstrip(".") or "0"
+        s = f"{v:.6f}".rstrip("0").rstrip(".")
+        # -0.0 / -4e-7 round to "-0": same value as "0" after rounding
+        return "0" if s in ("", "-0") else s
     try:
         import decimal
         if isinstance(v, decimal.Decimal):
@@ -69,8 +76,12 @@ for name in sorted(oracle):
         fails += 1
     elif sr != orr:
         fails += 1
-        diff_s = [r for r in sr if r not in set(map(tuple, orr))][:3]
-        diff_o = [r for r in orr if r not in set(map(tuple, sr))][:3]
+        # multiset diff (Counter): O(n+m), and multiplicity-only
+        # mismatches still show which rows differ in count
+        from collections import Counter
+        cs, co = Counter(map(tuple, sr)), Counter(map(tuple, orr))
+        diff_s = list((cs - co).elements())[:3]
+        diff_o = list((co - cs).elements())[:3]
         print(f"ROWS     {name}: spark={len(sr)} oracle={len(orr)}")
         for r in diff_s:
             print(f"  spark-only:  {r}")
