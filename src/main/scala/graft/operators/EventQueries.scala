@@ -60,7 +60,7 @@ object EventQueries {
             (PARTITION BY user_id ORDER BY ts, event_id) AS prev
           FROM events)
         SELECT user_id,
-          SUM(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+          CAST(SUM(CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
           COUNT(*) AS n_events
         FROM x GROUP BY user_id""")),
 
@@ -76,7 +76,7 @@ object EventQueries {
             (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
       },
       Some("""SELECT event_type, COUNT(*) AS n,
-        SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+        CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
         CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
         FROM (SELECT event_type,
           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k FROM events) t

@@ -138,17 +138,17 @@ object FunctionQueries {
       },
       Some("""SELECT p_partkey,
         ABS(p_retailprice - 1000) AS abs_diff,
-        CEIL(p_retailprice) AS ceil_p,
-        FLOOR(p_retailprice) AS floor_p,
+        CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_p,
+        CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_p,
         ROUND(SQRT(p_retailprice), 6) AS sqrt_p,
         ROUND(EXP(CAST(p_size AS DOUBLE) / 25.0), 6) AS exp_s,
         ROUND(LN(p_retailprice), 6) AS ln_p,
         ROUND(LOG10(p_retailprice), 6) AS log10_p,
         ROUND(POW(p_size, 2.0), 1) AS size_sq,
         p_partkey % 7 AS mod7,
-        SIGN(p_retailprice - 1000) AS sign_p,
-        GREATEST(p_size, 25) AS gr,
-        LEAST(p_size, 25) AS ls
+        CAST(SIGN(p_retailprice - 1000) AS DOUBLE) AS sign_p,
+        CAST(GREATEST(p_size, 25) AS INT) AS gr,
+        CAST(LEAST(p_size, 25) AS INT) AS ls
         FROM part""")),
 
     // ------------------------------------------------------------------
@@ -172,14 +172,14 @@ object FunctionQueries {
       Some("""WITH base AS (
           SELECT p_partkey, GENERATE_SERIES(1, p_size % 5 + 2) AS arr FROM part)
         SELECT p_partkey,
-          LEN(arr) AS n,
-          LIST_SUM(LIST_TRANSFORM(arr, x -> x * x)) AS sum_sq,
-          LEN(LIST_FILTER(arr, x -> x % 2 = 0)) AS n_even,
+          CAST(LEN(arr) AS INT) AS n,
+          CAST(LIST_SUM(LIST_TRANSFORM(arr, x -> x * x)) AS INT) AS sum_sq,
+          CAST(LEN(LIST_FILTER(arr, x -> x % 2 = 0)) AS INT) AS n_even,
           ARRAY_TO_STRING(LIST_TRANSFORM(arr, x -> CAST(x AS VARCHAR)), '-') AS joined,
           LIST_CONTAINS(arr, 3) AS has3,
-          arr[1] AS first_el,
-          LIST_MAX(arr) AS mx,
-          LIST_MIN(arr) AS mn
+          CAST(arr[1] AS INT) AS first_el,
+          CAST(LIST_MAX(arr) AS INT) AS mx,
+          CAST(LIST_MIN(arr) AS INT) AS mn
         FROM base""")),
 
     // ------------------------------------------------------------------

@@ -59,21 +59,40 @@ for name in sorted(oracle):
         fails += 1
         continue
     try:
-        sq = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
-        scols = [c[0] for c in sq.description]
-        srows = sq.fetchall()
-        oq = con.execute(oracle[name])
-        ocols = [c[0] for c in oq.description]
-        orows = oq.fetchall()
+        # relation API: .types gives real DuckDB types (BIGINT vs HUGEINT
+        # vs DOUBLE); the DB-API description collapses them all to NUMBER
+        srel = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        scols = list(srel.columns)
+        stypes = dict(zip(scols, (str(t) for t in srel.types)))
+        srows = srel.fetchall()
+        orel = con.sql(oracle[name])
+        ocols = list(orel.columns)
+        otypes = dict(zip(ocols, (str(t) for t in orel.types)))
+        orows = orel.fetchall()
     except Exception as e:
         print(f"ERROR    {name}: {e}")
         fails += 1
         continue
     sc, sr = canon(scols, srows)
     oc, orr = canon(ocols, orows)
+    # The driver's hash is value-type-sensitive across FAMILIES (BIGINT
+    # vs HUGEINT vs DOUBLE hash differently even when they print the
+    # same) but not across widths within the signed/unsigned <=64-bit
+    # int family (calibrated against CORRECTNESS_r01: f04's INTEGER vs
+    # BIGINT passed; f06's BIGINT vs DOUBLE and f07's HUGEINT failed).
+    INT64S = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER"}
+    def family(t):
+        return "INT64" if t in INT64S else t
+    tdiff = [(c, stypes[c], otypes[c]) for c in sorted(set(sc) & set(oc))
+             if family(stypes[c]) != family(otypes[c])]
     if sc != oc:
         print(f"SCHEMA   {name}: spark={sc} oracle={oc}")
         fails += 1
+    elif tdiff:
+        fails += 1
+        print(f"TYPES    {name}: " + "; ".join(
+            f"{c}: spark={st} oracle={ot}" for c, st, ot in tdiff))
     elif sr != orr:
         fails += 1
         # multiset diff (Counter): O(n+m), and multiplicity-only
