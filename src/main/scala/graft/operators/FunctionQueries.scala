@@ -272,6 +272,42 @@ object FunctionQueries {
         SELECT o_orderstatus, rk, priority, cnt FROM r WHERE rk <= 3""")),
 
     // ------------------------------------------------------------------
+    // Map-type family (SURVEY §2.4 Map row): map construction, map_keys,
+    // map_values, element_at, map_entries, map_concat, map_filter,
+    // transform_values, map_contains_key. The oracle computes the same
+    // scalars directly from the base columns (DuckDB's MAP surface
+    // differs across versions); the Spark side is the real map pipeline.
+    QueryEntry("f14_map_funcs",
+      (s, d) => {
+        val m = map(lit("size"), col("p_size"),
+                    lit("clen"), length(col("p_type")))
+        Tables(s, d, "part").select(col("p_partkey"), m.as("m")).select(
+          col("p_partkey"),
+          array_join(map_keys(col("m")), ",").as("keys_csv"),
+          aggregate(map_values(col("m")), lit(0), (acc, x) => acc + x).as("vals_sum"),
+          element_at(col("m"), "size").as("sz"),
+          size(map_concat(col("m"), map(lit("extra"), lit(1)))).as("n_concat"),
+          size(map_filter(col("m"), (_, v) => v > 10)).as("n_big"),
+          element_at(transform_values(col("m"), (_, v) => v * 2), "size").as("dbl_sz"),
+          map_contains_key(col("m"), "clen").as("has_clen"),
+          array_join(transform(map_entries(col("m")),
+            e => concat(e.getField("key"), lit("="),
+              e.getField("value").cast(StringType))), ",").as("entries_str"))
+      },
+      Some("""SELECT p_partkey,
+        'size,clen' AS keys_csv,
+        CAST(p_size + LENGTH(p_type) AS INT) AS vals_sum,
+        p_size AS sz,
+        CAST(3 AS INT) AS n_concat,
+        CAST(CASE WHEN p_size > 10 THEN 1 ELSE 0 END
+           + CASE WHEN LENGTH(p_type) > 10 THEN 1 ELSE 0 END AS INT) AS n_big,
+        CAST(p_size * 2 AS INT) AS dbl_sz,
+        TRUE AS has_clen,
+        'size=' || CAST(p_size AS VARCHAR) || ',clen=' ||
+          CAST(LENGTH(p_type) AS VARCHAR) AS entries_str
+        FROM part""")),
+
+    // ------------------------------------------------------------------
     QueryEntry("f12_xxhash_uuid_shape",
       (s, d) => {
         // xxhash64 / murmur hash: engine-specific values -> assert shape
