@@ -86,7 +86,9 @@ object TextOps {
           """explode(transform(sequence(0, 3),
                b -> concat(b, ':', sl[4*b], '|', sl[4*b+1], '|', sl[4*b+2], '|', sl[4*b+3]))) AS band_key""")
         val cand = bands.select(col("doc_id").as("doc_a"), col("band_key"))
-          .join(bands.select(col("doc_id").as("doc_b"), col("band_key")), "band_key")
+          // corpus-sized both sides: shuffle on the band key (that IS
+          // the LSH bucketing), never broadcast
+          .join(bands.select(col("doc_id").as("doc_b"), col("band_key")).hint("SHUFFLE_HASH"), "band_key")
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").distinct()
         // Verification path: per-doc sorted xxhash64 fingerprint of the
@@ -99,8 +101,12 @@ object TextOps {
                  i -> xxhash64(concat_ws(' ', ws[i], ws[i+1], ws[i+2]))))) AS hs""")
           .selectExpr("doc_id", "size(hs) AS n", "hs")
         cand
-          .join(hsets.select(col("doc_id").as("doc_a"), col("n").as("na"), col("hs").as("ha")), "doc_a")
-          .join(hsets.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("hs").as("hb")), "doc_b")
+          // hsets is corpus-sized: shuffle-hash on the unique doc key,
+          // never broadcast (VERDICT r1 scale rule)
+          .join(hsets.select(col("doc_id").as("doc_a"), col("n").as("na"), col("hs").as("ha"))
+            .hint("SHUFFLE_HASH"), "doc_a")
+          .join(hsets.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("hs").as("hb"))
+            .hint("SHUFFLE_HASH"), "doc_b")
           .selectExpr("doc_a", "doc_b", "na", "nb", "sorted_intersect_size(ha, hb) AS ni")
           .select(col("doc_a"), col("doc_b"),
             (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
@@ -201,7 +207,12 @@ object TextOps {
           col("n").as("na"), col("hs").as("ha"))
         val b = gramSets.select(col("source"), col("doc_id").as("doc_b"),
           col("n").as("nb"), col("hs").as("hb"))
-        a.join(broadcast(b), "source").filter(col("doc_a") < col("doc_b"))
+        // Sort-merge on the block key — never a broadcast: the gram-set
+        // table is corpus-sized, so a broadcast OOMs at scale. The MERGE
+        // hint keeps the plan shape deterministic at every SF (the
+        // static planner would pick broadcast below the threshold);
+        // within a block the pair kernel still bounds the cost.
+        a.join(b.hint("MERGE"), "source").filter(col("doc_a") < col("doc_b"))
           .filter(least(col("na"), col("nb")).cast("double") >=
             greatest(col("na"), col("nb")) * 0.6)
           .selectExpr("doc_a", "doc_b", "na", "nb",

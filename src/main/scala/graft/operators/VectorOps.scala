@@ -156,14 +156,25 @@ object VectorOps {
         // shuffle of millions of candidate pairs, at the price of
         // re-scoring the ~20% of pairs that collide in >1 band (the
         // codegen'd dot is cheaper than the shuffle it replaces).
+        // The bands table is corpus-sized (4 rows per vector): the
+        // bucket self-join must shuffle on bucket — that IS the LSH
+        // bucketing — never broadcast.
         val cand = bands.select(col("vec_id").as("id_a"), col("bucket"))
-          .join(bands.select(col("vec_id").as("id_b"), col("bucket")), "bucket")
+          .join(bands.select(col("vec_id").as("id_b"), col("bucket")).hint("SHUFFLE_HASH"), "bucket")
           .filter(col("id_a") < col("id_b"))
           .select("id_a", "id_b")
+        // Shuffle-hash joins on the unique id keys — never a broadcast:
+        // the embeddings table is corpus-sized, so broadcasting it (twice)
+        // OOMs the executors at scale. SHUFFLE_HASH distributes both
+        // sides by id and builds per-partition maps over ~1/N of the
+        // table each; the hint also keeps the plan deterministic at
+        // small SF where the static planner would pick broadcast.
         val e = vecs(s, d)
         cand
-          .join(broadcast(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("n2").as("na2"))), "id_a")
-          .join(broadcast(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n2").as("nb2"))), "id_b")
+          .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
+            .hint("SHUFFLE_HASH"), "id_a")
+          .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n2").as("nb2"))
+            .hint("SHUFFLE_HASH"), "id_b")
           .selectExpr("id_a", "id_b", s"$dotExpr / (SQRT(na2) * SQRT(nb2)) AS cos")
           .filter(col("cos") >= 0.35)
           .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))

@@ -30,6 +30,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("corpus-sized joins in t04/v04 never broadcast (shuffle/merge only)") {
+    // VERDICT r1: broadcast() of the full gram-set / embeddings tables
+    // is fatal at 100 TB. The MERGE / SHUFFLE_HASH hints must keep
+    // BroadcastExchange out of the plan at every SF — including this
+    // one, where the static planner would otherwise pick broadcast.
+    for (name <- Seq("t02_minhash_lsh", "t04_ngram_jaccard", "v04_ann_lsh")) {
+      val p = plan(SparkEntry.queries(name)(spark, sf()))
+      assert(!p.contains("BroadcastExchange"), s"$name broadcasts: ${p.take(2000)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"$name expected a shuffled join: ${p.take(2000)}")
+    }
+  }
+
   test("aggregations are two-phase (map-side partial)") {
     val df = Tables(spark, sf(), "lineitem")
       .groupBy("l_returnflag").agg(sum("l_quantity"))
