@@ -486,19 +486,40 @@ object CoreQueries {
     // the emulation itself.
     QueryEntry("q27_groups_frame",
       (s, d) => {
+        // Scale shape (r1 verdict fix): the naive spelling puts EVERY
+        // row through two unpartitioned windows — one task at 100 TB.
+        // But a GROUPS frame over ORDER BY day only ever needs per-day
+        // aggregates: the data-sized work is one distributed groupBy
+        // (day), and dense_rank + the +-1-group frame are computed on
+        // the calendar-bounded day table (tiny by construction) with
+        // windowless self-joins, then broadcast back to the rows. No
+        // WindowExec anywhere in the plan (PlanSpec asserts).
         val urgent = t(s, d, "orders")
           .filter(col("o_orderpriority") === "1-URGENT" &&
             col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
             col("o_orderdate") < lit("1996-04-01").cast(TimestampType))
           .select(col("o_orderkey"),
             col("o_orderdate").cast(DateType).as("day"), col("o_totalprice"))
-        val byDay = Window.orderBy(col("day"))
-        val groups11 = Window.orderBy(col("grp")).rangeBetween(-1, 1)
-        urgent
-          .withColumn("grp", dense_rank().over(byDay))
-          .withColumn("moving_rev",
-            sum(col("o_totalprice").cast(D)).over(groups11).cast("double"))
-          .withColumn("peer_orders", count(lit(1)).over(groups11))
+        // data-sized: one shuffle on day; DECIMAL sums are exact, so
+        // regrouping below cannot drift from the oracle's window SUM
+        val dayAgg = urgent.groupBy(col("day"))
+          .agg(sum(col("o_totalprice").cast(D)).as("day_rev"),
+            count(lit(1)).as("day_n"))
+        // dense_rank(day) == count of distinct days <= day
+        val grp = dayAgg
+          .join(dayAgg.select(col("day").as("d2")), col("d2") <= col("day"))
+          .groupBy(col("day"), col("day_rev"), col("day_n"))
+          .agg(count(lit(1)).as("grp"))
+        // GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING == sum over the
+        // day-groups whose rank is within +-1
+        val moving = grp
+          .join(grp.select(col("grp").as("g2"), col("day_rev").as("rev2"),
+              col("day_n").as("n2")),
+            col("g2").between(col("grp") - 1, col("grp") + 1))
+          .groupBy(col("day"))
+          .agg(sum(col("rev2")).cast("double").as("moving_rev"),
+            sum(col("n2")).as("peer_orders"))
+        urgent.join(broadcast(moving), "day")
           .select(col("o_orderkey"), col("day").cast(StringType).as("day"),
             col("moving_rev"), col("peer_orders"))
       },

@@ -65,18 +65,27 @@ object TextOps {
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
           .filter(size(col("ws")) >= 3)
-        // Signature path: flat shingle rows with all 16 md5s in one
-        // codegen'd projection (HOF lambdas are interpreted — md5 must
-        // stay in codegen), then a single (doc_id) shuffle of 16 MIN
-        // aggs. No pre-distinct: MIN over a multiset equals MIN over
-        // its set, so signatures are unchanged and a full shuffle is
-        // saved.
+        // Signature path: ONE md5 per shingle (r1 spent 45% of the whole
+        // bench on 16 md5s per shingle); the 16 minhash lanes are cheap
+        // string slices of the single 32-hex digest — 4 disjoint
+        // 32-bit lanes x 4 cyclic rotations. Fixed-width lowercase hex
+        // means lexicographic MIN == numeric MIN, and the same slicing
+        // is reproduced verbatim in the DuckDB oracle. The digest sits
+        // in its own projection so CollapseProject cannot inline (and
+        // recompute) the non-cheap md5 into all 16 lanes; the slices
+        // stay in whole-stage codegen.
         val hashed = base.selectExpr("doc_id",
             """explode(transform(sequence(0, size(ws) - 3),
                  i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle""")
+          .select(col("doc_id"), md5(col("shingle")).as("hd"))
           .select(col("doc_id") +:
-            (0 until 16).map(j =>
-              md5(concat(lit(j.toString), lit(":"), col("shingle"))).as(s"h$j")): _*)
+            (0 until 16).map { j =>
+              val base0 = (j % 4) * 8      // which 8-hex-char lane
+              val rot = (j / 4) * 2        // cyclic rotation within it
+              concat(
+                substring(col("hd"), base0 + rot + 1, 8 - rot),
+                substring(col("hd"), base0 + 1, rot)).as(s"h$j")
+            }: _*)
         val sigs = hashed.groupBy(col("doc_id"))
           .agg(min(col("h0")).as("m0"),
             (1 until 16).map(j => min(col(s"h$j")).as(s"m$j")): _*)
@@ -118,8 +127,11 @@ object TextOps {
         sh AS (SELECT DISTINCT doc_id,
           UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws) - 1),
             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM base),
-        mh AS (SELECT doc_id, j, MIN(MD5(CAST(j AS VARCHAR) || ':' || shingle)) AS sig
-          FROM sh, (SELECT UNNEST(RANGE(0, 16)) AS j) jt GROUP BY doc_id, j),
+        shd AS (SELECT doc_id, MD5(shingle) AS hd FROM sh),
+        mh AS (SELECT doc_id, j,
+            MIN(SUBSTRING(hd, CAST((j % 4) * 8 + (j // 4) * 2 + 1 AS INT), CAST(8 - (j // 4) * 2 AS INT))
+             || SUBSTRING(hd, CAST((j % 4) * 8 + 1 AS INT), CAST((j // 4) * 2 AS INT))) AS sig
+          FROM shd, (SELECT UNNEST(RANGE(0, 16)) AS j) jt GROUP BY doc_id, j),
         sigs AS (SELECT doc_id, LIST(sig ORDER BY j) AS sl FROM mh GROUP BY doc_id),
         bands AS (SELECT doc_id,
           UNNEST(LIST_TRANSFORM(RANGE(0, 4),

@@ -43,6 +43,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q27 has no unpartitioned window (GROUPS frame via day-table joins)") {
+    // an unpartitioned WindowExec funnels every row into one task at
+    // scale; q27 must compute its GROUPS frame from per-day aggregates
+    val p = plan(SparkEntry.queries("q27_groups_frame")(spark, sf()))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("aggregations are two-phase (map-side partial)") {
     val df = Tables(spark, sf(), "lineitem")
       .groupBy("l_returnflag").agg(sum("l_quantity"))
