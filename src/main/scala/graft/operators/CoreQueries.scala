@@ -433,12 +433,21 @@ object CoreQueries {
         ON r_regionkey = rk""")),
 
     // ------------------------------------------------------------------
-    // TABLESAMPLE is seeded per-engine -> no cross-engine oracle;
-    // the driver records a rows-only check.
+    // Bernoulli sampling via a deterministic content hash: each row is
+    // kept iff md5(key) falls below the ~10% threshold (0.1 in hex is
+    // 0x1999...), so the SAME sample materializes in any engine — the
+    // property that makes samples reproducible across reruns and
+    // engines at scale (engine-seeded TABLESAMPLE is not; the native
+    // .sample()/TABLESAMPLE surface is exercised in SqlSpec).
     QueryEntry("q24_sample",
-      (s, d) => t(s, d, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
+      (s, d) => t(s, d, "lineitem")
+        .filter(md5(concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+          < "19999999999999999999999999999999")
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n")),
-      None),
+      Some("""SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+        WHERE MD5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))
+          < '19999999999999999999999999999999'
+        GROUP BY l_returnflag""")),
 
     // ------------------------------------------------------------------
     QueryEntry("q25_unnest_words",

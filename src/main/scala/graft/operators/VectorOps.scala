@@ -203,7 +203,8 @@ object VectorOps {
 
     // ------------------------------------------------------------------
     // IVF-style ANN: coarse quantize to sampled centroids, probe the
-    // query's cluster. Deterministic but engine-heavy SQL -> rows-only.
+    // query's cluster. Fully deterministic (same fold order as v01/v02,
+    // centroid ties broken on cent_id) -> oracle-checked.
     QueryEntry("v05_ann_ivf",
       (s, d) => {
         val e = vecs(s, d)
@@ -232,6 +233,27 @@ object VectorOps {
           .filter(col("rn") <= 3)
           .select(col("id_q"), col("id_c"), col("rn"), round(col("cos"), 6).as("cos_sim"))
       },
-      None)
+      Some(s"""WITH $oVecs,
+        cents AS (SELECT vec_id AS cent_id, v AS vc, n2 AS nc2 FROM en WHERE vec_id % 50 = 0),
+        scored AS (SELECT a.vec_id AS id_v, c.cent_id,
+            LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * c.vc[i]))
+              / (SQRT(a.n2) * SQRT(c.nc2)) AS ccos
+          FROM en a, cents c),
+        assigned AS (SELECT id_v, cent_id FROM (
+            SELECT id_v, cent_id,
+              ROW_NUMBER() OVER (PARTITION BY id_v ORDER BY ccos DESC, cent_id) AS crn
+            FROM scored) t WHERE crn = 1),
+        pairs AS (SELECT q.id_v AS id_q, cnd.id_v AS id_c,
+            LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(eq.v) + 1), i -> eq.v[i] * ec.v[i]))
+              / (SQRT(eq.n2) * SQRT(ec.n2)) AS cos
+          FROM assigned q
+          JOIN assigned cnd ON q.cent_id = cnd.cent_id
+            AND q.id_v < 5 AND q.id_v <> cnd.id_v
+          JOIN en eq ON eq.vec_id = q.id_v
+          JOIN en ec ON ec.vec_id = cnd.id_v),
+        ranked AS (SELECT id_q, id_c, cos,
+            ROW_NUMBER() OVER (PARTITION BY id_q ORDER BY cos DESC, id_c) AS rn
+          FROM pairs)
+        SELECT id_q, id_c, rn, ROUND(cos, 6) AS cos_sim FROM ranked WHERE rn <= 3"""))
   )
 }

@@ -86,6 +86,21 @@ class SqlSpec extends SparkSpec {
     assert(j.collect().map(_.getString(0)).toSeq == Seq("c"))
   }
 
+  test("TABLESAMPLE / Dataset.sample draw a seeded subset") {
+    // the oracle-checked q24 uses a deterministic content-hash sample;
+    // the native seeded surface is covered here (engine-seeded -> no
+    // cross-engine oracle, assert proportions instead)
+    val n = Tables(spark, sf(), "orders").count()
+    val s1 = Tables(spark, sf(), "orders").sample(withReplacement = false, 0.1, seed = 42).count()
+    val s2 = Tables(spark, sf(), "orders").sample(withReplacement = false, 0.1, seed = 42).count()
+    assert(s1 == s2, "same seed must draw the same sample")
+    assert(s1 > n / 20 && s1 < n / 5, s"expected ~10% of $n, got $s1")
+    Tables(spark, sf(), "orders").createOrReplaceTempView("orders_ts")
+    val ts = spark.sql("SELECT COUNT(*) AS c FROM orders_ts TABLESAMPLE (10 PERCENT) REPEATABLE (42)")
+      .collect()(0).getLong(0)
+    assert(ts > n / 20 && ts < n / 5, s"TABLESAMPLE expected ~10% of $n, got $ts")
+  }
+
   test("Trino date_diff over real tables via dialect") {
     Tables.registerAll(spark, sf())
     val n = GraftSql.sql(spark,
