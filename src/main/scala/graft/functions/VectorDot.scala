@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * keeps the surrounding Project codegen-eligible.
   *
   * Null handling: null array -> null; null elements undefined
-  * (embeddings are dense by contract).
+  * (embeddings are dense by contract). Mismatched dimensions raise —
+  * a truncated dot product would silently skew similarity rankings
+  * when an upstream index is mis-built.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,7 +49,10 @@ case class VectorDot(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val lf = elemType(left).contains(FloatType)
     val rf = elemType(right).contains(FloatType)
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"vector_dot: dimension mismatch (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -68,7 +73,11 @@ case class VectorDot(left: Expression, right: Expression)
         if (elemType(side).contains(FloatType)) s"(double) $arr.getFloat($i)"
         else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vector_dot: dimension mismatch (" + $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ${get(a, left)} * ${get(b, right)};

@@ -49,8 +49,41 @@ final class QueryService(
     * the safe direction. */
   private def cacheKey(sql: String): String = sql.trim
 
+  /** Strip a leading CTE list from a classify()-normalized statement so
+    * `WITH t AS (...) INSERT INTO ...` classifies (and gates, and
+    * caches) as its MAIN statement, not as a read-only `with`. Walks
+    * parens outside string literals; a `name (cols) AS (...)` column
+    * list is recognized by the `as` that follows its closing paren. */
+  private def mainStatement(n: String): String = {
+    if (!n.startsWith("with ")) return n
+    var i = 5
+    var depth = 0
+    var inS = false
+    while (i < n.length) {
+      val c = n.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) {
+            var j = i + 1
+            while (j < n.length && n.charAt(j) == ' ') j += 1
+            val rest = n.substring(j)
+            if (rest.startsWith(",")) i = j // next CTE in the list
+            else if (rest.startsWith("as ") || rest.startsWith("as(")) () // was a column list
+            else return rest // the main statement
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    n
+  }
+
   private def ddlKind(sql: String): Option[String] = {
-    val n = classify(sql)
+    val n = mainStatement(classify(sql))
     if (n.startsWith("create table") && n.contains(" as ")) Some("ctas")
     else if (n.startsWith("create view") || n.startsWith("create or replace view") ||
       n.startsWith("create temp view") || n.startsWith("create or replace temp view")) Some("cvas")
@@ -103,8 +136,11 @@ final class QueryService(
         case "dml" if !allowDml => throw new IllegalStateException("DML disabled (allow_dml=false)")
         case _ =>
       }
-      // cache only provably read-only statements (positive whitelist)
-      val cacheable = readPrefixes.exists(classify(sql).startsWith)
+      // cache only provably read-only statements (positive whitelist);
+      // classify the MAIN statement so a CTE-prefixed INSERT/UPDATE/
+      // DELETE/MERGE is never served from cache (its side effect must
+      // run every time)
+      val cacheable = readPrefixes.exists(mainStatement(classify(sql)).startsWith)
       if (cacheable) {
         val hit = cache.get(key)
         if (hit != null && hit._1 > System.currentTimeMillis()) {

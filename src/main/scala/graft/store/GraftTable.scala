@@ -383,8 +383,19 @@ object GraftTable {
     // clobber an existing table's format metadata on a doomed create
     require(!t.log.exists, s"table already exists at $root")
     t.log.init()
-    Files.write(Paths.get(root, "_graft_props.json"),
-      s"""{"format":"$format"}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // publish props atomically with fail-if-exists (same pattern as
+    // tryCommit): a losing concurrent create with a different format
+    // must abort HERE, before writing data — not overwrite the
+    // winner's props after the winner committed, which would make its
+    // data files read with the wrong format
+    try Files.write(Paths.get(root, "_graft_props.json"),
+      s"""{"format":"$format"}""".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"requirement failed: table already exists at $root (concurrent create)")
+    }
     val added = t.writeFiles(df)
     require(t.log.tryCommit(
       Commit(1L, 0L, "create", added, Nil, df.schema.json, System.currentTimeMillis())),

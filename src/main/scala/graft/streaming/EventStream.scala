@@ -150,15 +150,37 @@ object EventStream {
   def writeGraftTable(df: DataFrame, table: graft.store.GraftTable,
                       checkpointDir: String,
                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val sinkId = java.lang.Integer.toHexString(checkpointDir.hashCode)
+    // Collision-resistant sink id: two sinks on the same table whose
+    // checkpoint paths collided in 32-bit hashCode would dedupe each
+    // other's (sinkId, batchId) labels and silently drop micro-batches.
+    val sinkId = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(checkpointDir.getBytes("UTF-8"))
+      d.take(8).map(b => f"$b%02x").mkString
+    }
+    // High-water mark: replays only ever arrive at or below the last
+    // committed batch, so one history scan at (re)start seeds the mark
+    // and steady-state batches skip the O(commits) log replay entirely.
+    val seen = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val seeded = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val prefix = s"stream-append:$sinkId:"
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val label = s"stream-append:$sinkId:$batchId"
-        val alreadyCommitted = table.history.exists(_.op == label)
-        if (!alreadyCommitted && !batch.isEmpty) { table.appendAs(label, batch); () }
+        if (!seeded.getAndSet(true)) {
+          val high = table.history.iterator
+            .filter(_.op.startsWith(prefix))
+            .map(_.op.stripPrefix(prefix).toLong)
+            .foldLeft(-1L)(math.max)
+          seen.set(high)
+        }
+        val alreadyCommitted = batchId <= seen.get()
+        if (!alreadyCommitted && !batch.isEmpty) {
+          table.appendAs(s"$prefix$batchId", batch)
+          seen.set(math.max(seen.get(), batchId))
+        }
       }
       .start()
   }

@@ -71,6 +71,16 @@ class FunctionsSpec extends SparkSpec {
     assert(one("SELECT levenshtein_distance('kitten', 'sitting') v") == Row(3))
   }
 
+  test("vector_dot raises on dimension mismatch instead of truncating") {
+    // a truncated dot product would silently skew similarity rankings
+    val e = intercept[Exception] {
+      spark.sql("SELECT vector_dot(array(1.0F, 2.0F), array(1.0F)) v").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("dimension mismatch")), messages(e))
+  }
+
   test("approx_most_frequent: exact under capacity, bounded over it") {
     import spark.implicits._
     // exact regime: 3 distinct values, capacity default

@@ -69,6 +69,31 @@ class ServeSpec extends SparkSpec {
     } finally svc.close()
   }
 
+  test("CTE-prefixed DML is gated and never cached") {
+    // `WITH ... INSERT` starts with 'with': it must still hit the
+    // allow_dml gate and must never be served from cache
+    val svc = new QueryService(spark, allowDml = false)
+    try {
+      svc.sql("WITH src AS (SELECT 1 AS x) INSERT INTO some_table SELECT * FROM src") match {
+        case f: svc.Failed => assert(f.error.contains("DML disabled"), f.error)
+        case other => fail(s"unexpected: $other")
+      }
+    } finally svc.close()
+    val svc2 = new QueryService(spark)
+    try {
+      // a CTE with a column list must still classify as a read (the
+      // `(a, b)` parens are not the CTE body) and stay cacheable
+      svc2.sql("WITH s(a, b) AS (SELECT 1, 2) SELECT a + b AS n FROM s") match {
+        case f: svc2.Finished => assert(!f.fromCache && f.rows.head.getInt(0) == 3)
+        case o => fail(s"$o")
+      }
+      svc2.sql("WITH s(a, b) AS (SELECT 1, 2) SELECT a + b AS n FROM s") match {
+        case f: svc2.Finished => assert(f.fromCache) // reads still cache
+        case o => fail(s"$o")
+      }
+    } finally svc2.close()
+  }
+
   test("thrift endpoint serves JDBC clients (walden's BI wire parity)") {
     val port = 10000 + scala.util.Random.nextInt(20000)
     val server = graft.serve.GraftServer.start(spark, port)

@@ -198,6 +198,22 @@ class StoreSpec extends SparkSpec {
     assert(GraftTable.load(spark, root).format == "orc")
   }
 
+  test("create never overwrites a concurrently-published props file") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    // simulate losing the create race: another create already published
+    // its props (orc) but this thread is past the exists check — the
+    // CREATE_NEW publish must abort the loser, not clobber the winner
+    val root = freshRoot
+    Files.createDirectories(Paths.get(root))
+    Files.write(Paths.get(root, "_graft_props.json"), """{"format":"orc"}""".getBytes)
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"), format = "parquet")
+    }
+    val props = new String(Files.readAllBytes(Paths.get(root, "_graft_props.json")))
+    assert(props.contains("orc"), props)
+  }
+
   test("unknown ref fails loudly instead of silently reading head") {
     val root = freshRoot
     val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
