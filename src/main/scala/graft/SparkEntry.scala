@@ -11,6 +11,7 @@ object SparkEntry {
 
   private def catalogs: Seq[QueryEntry] =
     operators.CoreQueries.entries ++
+      operators.DsQueries.entries ++
       operators.FunctionQueries.entries ++
       operators.EventQueries.entries ++
       operators.TextOps.entries ++

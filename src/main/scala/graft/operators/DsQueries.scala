@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{QueryEntry, Tables}
+
+/** TPC-DS-shaped coverage (walden default-enables a `tpcds` catalog —
+  * `tf/variables.tf:241-244`): the three plan shapes that distinguish
+  * DS from the TPC-H-style star queries elsewhere in the corpus —
+  * cross-channel fact unions, wide multi-dimension rollups, and
+  * sales-vs-returns conditional aggregation — expressed over the same
+  * driver tables.
+  *
+  * Scale notes: every join keys on the fact table's foreign key, so
+  * the planner shuffles facts and broadcasts only the genuinely tiny
+  * dims (nation/region, by stats — nothing is force-broadcast);
+  * rollups are two-phase hash aggregates; the channel union is
+  * union-then-aggregate so partial aggregation happens map-side in
+  * each channel before the single shuffle.
+  */
+object DsQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column) = graft.Parity.dsum(c)
+  private def oSum(e: String) = graft.Parity.oSum(e)
+
+  val entries: Seq[QueryEntry] = Seq(
+
+    // ------------------------------------------------------------------
+    // Cross-channel union (TPC-DS q5/q71 shape): two fact channels —
+    // revenue attributed to the CUSTOMER's nation vs the SUPPLIER's
+    // nation — unioned and re-aggregated per (nation, channel).
+    QueryEntry("d01_channel_union",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        val custCh = li
+          .join(Tables(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables(s, d, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables(s, d, "nation").select("n_nationkey", "n_name"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), lit("customer").as("channel"), col("rev"))
+        val suppCh = li
+          .join(Tables(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(Tables(s, d, "nation").select("n_nationkey", "n_name"),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), lit("supplier").as("channel"), col("rev"))
+        custCh.unionByName(suppCh)
+          .groupBy(col("nation"), col("channel"))
+          .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+      },
+      Some(s"""WITH cust AS (
+          SELECT n_name AS nation, 'customer' AS channel,
+            l_extendedprice * (1 - l_discount) AS rev
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey),
+        supp AS (
+          SELECT n_name AS nation, 'supplier' AS channel,
+            l_extendedprice * (1 - l_discount) AS rev
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey),
+        u AS (SELECT * FROM cust UNION ALL SELECT * FROM supp)
+        SELECT nation, channel, ${oSum("rev")} AS revenue, COUNT(*) AS n_items
+        FROM u GROUP BY nation, channel""")),
+
+    // ------------------------------------------------------------------
+    // Wide multi-dimension rollup (TPC-DS q18/q27 shape): fact joined
+    // through supplier geography AND part brand, ROLLUP over the
+    // 3-level dimension hierarchy with GROUPING() labels.
+    QueryEntry("d02_wide_dim_rollup",
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_partkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .join(Tables(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(Tables(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(Tables(s, d, "region").select("r_regionkey", "r_name"),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(Tables(s, d, "part").select("p_partkey", "p_brand"),
+            col("l_partkey") === col("p_partkey"))
+          .rollup(col("r_name"), col("n_name"), col("p_brand"))
+          .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"),
+            grouping(col("r_name")).cast("int").as("g_region"),
+            grouping(col("n_name")).cast("int").as("g_nation"),
+            grouping(col("p_brand")).cast("int").as("g_brand"))
+      },
+      Some(s"""SELECT r_name, n_name, p_brand,
+        ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+        COUNT(*) AS n_items,
+        CAST(GROUPING(r_name) AS INT) AS g_region,
+        CAST(GROUPING(n_name) AS INT) AS g_nation,
+        CAST(GROUPING(p_brand) AS INT) AS g_brand
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY ROLLUP(r_name, n_name, p_brand)""")),
+
+    // ------------------------------------------------------------------
+    // Sales vs returns (TPC-DS store_sales/store_returns shape): per
+    // market segment, total revenue, returned revenue, return ratio.
+    QueryEntry("d03_returns_ratio",
+      (s, d) => {
+        Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .join(Tables(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables(s, d, "customer").select("c_custkey", "c_mktsegment"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            dsum(col("rev")).as("total_rev"),
+            dsum(when(col("l_returnflag") === "R", col("rev")).otherwise(lit(0.0)))
+              .as("return_rev"),
+            count(lit(1)).as("n_items"),
+            sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("n_returned"))
+          .withColumn("return_ratio",
+            round(col("return_rev") / col("total_rev"), 6))
+      },
+      Some(s"""SELECT c_mktsegment,
+        ${oSum("l_extendedprice * (1 - l_discount)")} AS total_rev,
+        ${oSum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS return_rev,
+        COUNT(*) AS n_items,
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        ROUND(${oSum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+          / ${oSum("l_extendedprice * (1 - l_discount)")}, 6) AS return_ratio
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment"""))
+  )
+}
