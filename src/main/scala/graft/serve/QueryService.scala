@@ -14,6 +14,14 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * result cache keyed by normalized SQL, per-service feature flags
   * (allow_ctas / allow_cvas / allow_dml parity).
   *
+  * User impersonation (walden sets `impersonate_user: true` on the
+  * Superset DB — `tf/superset/superset.tf:60`): every submission
+  * carries a user identity; each user executes in an isolated child
+  * SparkSession (own temp-view namespace + `spark.graft.user` conf),
+  * `onUserSession` runs once per user to install per-user views /
+  * row filters, and the result cache is keyed per user so one user's
+  * results are never served to another.
+  *
   * Results are collected only up to `maxResultRows` (BI-shaped
   * consumption); full-size outputs should INSERT/CTAS instead — same
   * discipline Superset imposes on SQL Lab.
@@ -25,7 +33,8 @@ final class QueryService(
     maxResultRows: Int = 10000,
     allowCtas: Boolean = true,
     allowCvas: Boolean = true,
-    allowDml: Boolean = true) extends AutoCloseable {
+    allowDml: Boolean = true,
+    onUserSession: (SparkSession, String) => Unit = (_, _) => ()) extends AutoCloseable {
 
   sealed trait Status
   case object Queued extends Status
@@ -38,6 +47,23 @@ final class QueryService(
   private val nextId = new AtomicLong(0)
   private val statuses = new ConcurrentHashMap[Long, Status]()
   private val cache = new ConcurrentHashMap[String, (Long, Finished)]() // key -> (expiryMs, result)
+
+  /** One isolated child session per user: shared catalog + cached data,
+    * private temp-view namespace and conf (the execution-identity
+    * boundary Spark offers in-process). Created lazily; onUserSession
+    * installs the user's views exactly once. */
+  private val userSessions = new ConcurrentHashMap[String, SparkSession]()
+  private def sessionFor(user: String): SparkSession =
+    // the service identity runs on the embedder's own session (its temp
+    // views are the service's working set); impersonated users each get
+    // an isolated child session
+    if (user == "anonymous") spark
+    else userSessions.computeIfAbsent(user, u => {
+      val s = spark.newSession()
+      s.conf.set("spark.graft.user", u)
+      onUserSession(s, u)
+      s
+    })
 
   /** Lowercased/collapsed form for PREFIX CLASSIFICATION ONLY — never
     * a cache key: collapsing inside string literals would make
@@ -92,12 +118,13 @@ final class QueryService(
     else None
   }
 
-  /** Submit; returns a query id immediately (Celery-task parity). */
-  def submit(sql: String): Long = {
+  /** Submit; returns a query id immediately (Celery-task parity).
+    * `user` is the impersonated execution identity. */
+  def submit(sql: String, user: String = "anonymous"): Long = {
     val id = nextId.incrementAndGet()
     statuses.put(id, Queued)
     pool.submit(new Runnable {
-      override def run(): Unit = execute(id, sql)
+      override def run(): Unit = execute(id, sql, user)
     })
     id
   }
@@ -118,7 +145,7 @@ final class QueryService(
   }
 
   /** Synchronous convenience (SQL Lab sync path). */
-  def sql(text: String): Status = await(submit(text))
+  def sql(text: String, user: String = "anonymous"): Status = await(submit(text, user))
 
   /** Read-only statement prefixes — the ONLY cacheable class. An
     * unrecognized statement (DROP, ALTER, REFRESH, plain CREATE ...)
@@ -127,8 +154,11 @@ final class QueryService(
   private val readPrefixes =
     Seq("select", "with", "values", "show", "describe", "desc ", "explain", "table ")
 
-  private def execute(id: Long, sql: String): Unit = {
-    val key = cacheKey(sql)
+  private def execute(id: Long, sql: String, user: String): Unit = {
+    // cache keyed per user: the same SQL can resolve to different
+    // per-user views, and one user's rows must never serve another's.
+    // Length-prefixed so no (user, sql) pair can collide with another.
+    val key = s"${user.length}:$user:${cacheKey(sql)}"
     try {
       ddlKind(sql).foreach {
         case "ctas" if !allowCtas => throw new IllegalStateException("CTAS disabled (allow_ctas=false)")
@@ -150,7 +180,7 @@ final class QueryService(
       }
       statuses.put(id, Running)
       val t0 = System.nanoTime()
-      val df: DataFrame = spark.sql(sql)
+      val df: DataFrame = sessionFor(user).sql(sql)
       val rows = df.limit(maxResultRows).collect().toSeq
       val fin = Finished(rows, df.columns.toSeq, (System.nanoTime() - t0) / 1000000L, fromCache = false)
       if (cacheable)

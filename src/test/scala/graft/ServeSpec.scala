@@ -94,6 +94,33 @@ class ServeSpec extends SparkSpec {
     } finally svc2.close()
   }
 
+  test("impersonation: per-user sessions see distinct data, caches never cross") {
+    import org.apache.spark.sql.SparkSession
+    // per-user view hook: each user's session gets a `my_orders` view
+    // filtered to their own rows (Superset impersonate_user parity)
+    val hook = (s: SparkSession, user: String) => {
+      val n = if (user == "alice") 3 else 1
+      s.range(n).toDF("x").createOrReplaceTempView("my_orders")
+      ()
+    }
+    val svc = new QueryService(spark, onUserSession = hook)
+    try {
+      def countFor(user: String) = svc.sql("SELECT COUNT(*) AS n FROM my_orders", user) match {
+        case f: svc.Finished => (f.rows.head.getLong(0), f.fromCache)
+        case o => fail(s"$o")
+      }
+      assert(countFor("alice") == ((3L, false)))
+      assert(countFor("bob") == ((1L, false))) // same SQL, different visibility, no cache bleed
+      assert(countFor("alice") == ((3L, true))) // alice's repeat hits HER cache entry
+      // execution identity is visible to the session
+      svc.sql("SELECT 1 AS one", "alice") match {
+        case f: svc.Finished => assert(!f.fromCache); case o => fail(s"$o")
+      }
+      // the parent session's namespace is untouched by user views
+      assert(!spark.catalog.tableExists("my_orders"))
+    } finally svc.close()
+  }
+
   test("thrift endpoint serves JDBC clients (walden's BI wire parity)") {
     val port = 10000 + scala.util.Random.nextInt(20000)
     val server = graft.serve.GraftServer.start(spark, port)
