@@ -10,16 +10,28 @@ import org.apache.spark.sql.types._
   * per-partition batch transforms.
   *
   * Spark-side plumbing (schema, partitioning, batch shape, signatures)
-  * is REAL and tested. The codec step itself is a clearly marked
-  * DETERMINISTIC STUB — this container ships no image/audio libs, so
-  * `stubDecode` derives fake-but-stable pixels/samples from a content
-  * hash. A production deployment swaps `stubDecode`'s body for a real
-  * codec (javax.imageio / ffmpeg bindings) without touching any plan
-  * shape: every operator here is already partition-parallel and
+  * is REAL and tested. The IMAGE path is real too: png/jpeg decode and
+  * resize go through javax.imageio / java.awt (JDK built-ins, headless)
+  * — real dimensions in `withMeta`, real pixel sampling in
+  * `resizeImage`. Audio/video remain a clearly marked DETERMINISTIC
+  * STUB (no codec libs in this container): `stubDecode` derives
+  * fake-but-stable durations/samples from a content hash; a production
+  * deployment swaps its body for ffmpeg bindings without touching any
+  * plan shape. Every operator here is partition-parallel and
   * shuffle-free (narrow maps only; one `explode` for frames whose
   * output is linear in requested frames, not in input bytes).
   */
 object MultimodalOps {
+
+  // ImageIO never needs a display; pin headless so executors on
+  // display-less hosts can't trip AWT initialization
+  System.setProperty("java.awt.headless", "true")
+
+  /** REAL png/jpeg decode via the JDK's javax.imageio. None when the
+    * bytes are not a decodable image — callers fall back to the stub. */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Throwable => None }
 
   /** Typed media metadata. Sniffing is real (magic numbers); numeric
     * fields come from the stub decoder. */
@@ -92,7 +104,13 @@ object MultimodalOps {
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](contentCol)
         val fmt = sniffFormat(bytes)
-        val (w, h, dur, sr) = stubDecode(bytes)
+        // real decode for images (width/height from the actual codec;
+        // stills have no duration/sample rate); stub for audio/video
+        val (w, h, dur, sr) =
+          if (fmt == "png" || fmt == "jpeg")
+            decodeImage(bytes).map(i => (i.getWidth, i.getHeight, 0L, 0))
+              .getOrElse(stubDecode(bytes))
+          else stubDecode(bytes)
         Row.fromSeq(r.toSeq :+ Row(fmt, w, h, dur, sr))
       }
     }(enc)
@@ -112,17 +130,31 @@ object MultimodalOps {
     }(enc)
   }
 
-  /** Image resize: (content, meta) -> resized pseudo-pixels. Output
-    * size is exactly w*h floats — batch shape is real even though the
-    * pixel values are stub-derived. */
+  /** Image resize: content -> w*h grayscale floats in [0,1], row-major.
+    * REAL for decodable png/jpeg (AWT bilinear draw + luminance);
+    * stub-derived pseudo-pixels for everything else, with the same
+    * exact w*h batch shape either way. */
   def resizeImage(df: DataFrame, w: Int, h: Int,
                   contentCol: String = "content", outCol: String = "pixels"): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(
       StructType(df.schema.fields :+ StructField(outCol, ArrayType(FloatType))))
     df.mapPartitions { it: Iterator[Row] =>
       it.map { r =>
-        val base = stubFeatures(r.getAs[Array[Byte]](contentCol), 256)
-        val px = Array.tabulate(w * h)(i => base(i % 256)) // ??? real codec would sample pixels
+        val bytes = r.getAs[Array[Byte]](contentCol)
+        val px = decodeImage(bytes) match {
+          case Some(img) =>
+            val scaled = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+            Array.tabulate(w * h) { i =>
+              val rgb = scaled.getRGB(i % w, i / w)
+              (((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3.0f) / 255.0f
+            }
+          case None => // ??? stub: non-image content has no pixels
+            val base = stubFeatures(bytes, 256)
+            Array.tabulate(w * h)(i => base(i % 256))
+        }
         Row.fromSeq(r.toSeq :+ px.toSeq)
       }
     }(enc)

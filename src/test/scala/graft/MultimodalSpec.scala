@@ -54,6 +54,35 @@ class MultimodalSpec extends SparkSpec {
     assert(px.forall(_.length == 48))
   }
 
+  test("real png decode: actual dimensions and real resized pixels") {
+    import java.awt.image.BufferedImage
+    def pngBytes(img: BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val checker = new BufferedImage(5, 3, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 5; y <- 0 until 3)
+      checker.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0x000000)
+    val white = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 4) white.setRGB(x, y, 0xffffff)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, pngBytes(checker)), Row(2L, pngBytes(white))),
+      StructType(Seq(StructField("id", LongType), StructField("content", BinaryType))))
+    // withMeta reports the REAL dimensions (stills: no duration/rate)
+    val metas = MultimodalOps.withMeta(df)
+      .select("id", "meta.format", "meta.width", "meta.height", "meta.duration_ms")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    assert(metas(1L) == (("png", 5, 3, 0L)), metas)
+    assert(metas(2L) == (("png", 4, 4, 0L)), metas)
+    // resize goes through the real AWT path: a solid-white image
+    // resizes to all-1.0 grayscale pixels, exactly w*h of them
+    val px = MultimodalOps.resizeImage(df, 2, 2).select("id", "pixels")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(px(2L).length == 4 && px(2L).forall(_ == 1.0f), px(2L))
+    assert(px(1L).length == 4 && px(1L).forall(v => v >= 0f && v <= 1f), px(1L))
+  }
+
   test("sampleFrames fan-out matches duration/step") {
     val out = MultimodalOps.sampleFrames(media, everyMs = 5000)
     val counts = out.groupBy("id").count().collect()
