@@ -134,7 +134,8 @@ object FunctionQueries {
           pmod(col("p_partkey"), lit(7)).as("mod7"),
           signum(col("p_retailprice") - 1000).as("sign_p"),
           greatest(col("p_size"), lit(25)).as("gr"),
-          least(col("p_size"), lit(25)).as("ls"))
+          least(col("p_size"), lit(25)).as("ls"),
+          width_bucket(col("p_retailprice"), lit(0.0), lit(2000.0), lit(10)).as("wb"))
       },
       Some("""SELECT p_partkey,
         ABS(p_retailprice - 1000) AS abs_diff,
@@ -148,7 +149,10 @@ object FunctionQueries {
         p_partkey % 7 AS mod7,
         CAST(SIGN(p_retailprice - 1000) AS DOUBLE) AS sign_p,
         CAST(GREATEST(p_size, 25) AS INT) AS gr,
-        CAST(LEAST(p_size, 25) AS INT) AS ls
+        CAST(LEAST(p_size, 25) AS INT) AS ls,
+        CAST(CASE WHEN p_retailprice < 0 THEN 0
+                  WHEN p_retailprice >= 2000 THEN 11
+                  ELSE FLOOR(p_retailprice / 200.0) + 1 END AS BIGINT) AS wb
         FROM part""")),
 
     // ------------------------------------------------------------------

@@ -71,6 +71,15 @@ class FunctionsSpec extends SparkSpec {
     assert(one("SELECT levenshtein_distance('kitten', 'sitting') v") == Row(3))
   }
 
+  test("uuid() yields distinct RFC-4122 v4 values") {
+    // nondeterministic by design -> shape/uniqueness spec, no oracle
+    val us = spark.sql("SELECT uuid() AS u FROM range(5)")
+      .collect().map(_.getString(0))
+    assert(us.distinct.length == 5, us.toSeq)
+    val v4 = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$".r
+    us.foreach(u => assert(v4.findFirstIn(u).isDefined, u))
+  }
+
   test("vector_dot raises on dimension mismatch instead of truncating") {
     // a truncated dot product would silently skew similarity rankings
     val e = intercept[Exception] {
