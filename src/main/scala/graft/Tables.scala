@@ -19,8 +19,13 @@ object Tables {
     // native µs precision (documented semantic delta, SURVEY.md §1.2).
     // GraftSession sets the conf at build time; only set it here for
     // the one table that needs it, so foreign sessions don't get their
-    // parquet read semantics flipped by unrelated table loads.
-    if (name == "events")
+    // parquet read semantics flipped by unrelated table loads. The set
+    // is monotonic (never flips back to false) and skipped when already
+    // true, so concurrent loads of different tables can never observe a
+    // transition — the conf only affects nanos-typed columns, which
+    // only `events` has.
+    if (name == "events" &&
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")

@@ -41,6 +41,15 @@ final case class Commit(
     schemaJson: String,
     timestampMs: Long)
 
+/** Fully-resolved live file set at `version` — the commit log's
+  * checkpoint record (derived, reproducible from the commits). */
+private[store] final case class Checkpoint(version: Long, files: Seq[FileStat])
+
+object CommitLog {
+  /** Publish a resolved-file-set checkpoint every Nth commit. */
+  val CheckpointInterval: Int = 16
+}
+
 /** Append-only JSON commit log + named refs, with optimistic
   * concurrency via atomic file creation.
   *
@@ -51,10 +60,16 @@ final case class Commit(
   *   _graft_refs/<name>       text file holding a version number
   * }}}
   *
-  * Scale note: the log is O(commits) small JSON files; resolving a
-  * snapshot replays the log (cheap — metadata only, no data IO) and
-  * could be checkpointed if commit counts grew large. Data files are
-  * never mutated, so concurrent readers are always consistent.
+  * Scale note: the log is O(commits) small JSON files, but snapshot
+  * resolution does NOT replay all of them: every `checkpointInterval`th
+  * commit also publishes a `.ckpt` file holding the fully-resolved live
+  * file set at that version (the Iceberg manifest-list move), so
+  * resolving any version reads one checkpoint + at most
+  * `checkpointInterval` commit files. Checkpoints are derived data —
+  * deterministic per version, written best-effort with the same
+  * fail-if-exists link, and resolution falls back to full replay when
+  * none exists. Data files are never mutated, so concurrent readers
+  * are always consistent.
   */
 final class CommitLog(tableRoot: String) {
   private implicit val fmts: Formats = DefaultFormats
@@ -112,16 +127,53 @@ final class CommitLog(tableRoot: String) {
     Files.write(tmp, Serialization.write(commit).getBytes(StandardCharsets.UTF_8))
     try {
       Files.createLink(target, tmp)
+      maybeCheckpoint(commit.version)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Resolve the live file set at `version` by replaying the log. */
+  // ---- checkpoints ------------------------------------------------------
+  // `.ckpt` suffix keeps them out of `versions`' `.json` listing.
+  def checkpointInterval: Int = CommitLog.CheckpointInterval
+  private def ckptPath(v: Long): Path = logDir.resolve(f"$v%020d.ckpt")
+
+  private def checkpointVersions: Seq[Long] =
+    if (!Files.isDirectory(logDir)) Seq.empty
+    else {
+      val s = Files.list(logDir)
+      try s.iterator.asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".ckpt"))
+        .map(_.stripSuffix(".ckpt").toLong)
+        .toSeq.sorted
+      finally s.close()
+    }
+
+  /** Best-effort: checkpoints are deterministic derived data, so a lost
+    * race or an IO failure only costs replay length, never correctness. */
+  private def maybeCheckpoint(v: Long): Unit =
+    if (v % checkpointInterval == 0)
+      try {
+        val ck = Checkpoint(v, snapshotFiles(v))
+        val tmp = logDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+        Files.write(tmp, Serialization.write(ck).getBytes(StandardCharsets.UTF_8))
+        try Files.createLink(ckptPath(v), tmp)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        finally Files.deleteIfExists(tmp)
+      } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Resolve the live file set at `version`: seed from the newest
+    * checkpoint at or below it, replay only the commits after. */
   def snapshotFiles(version: Long): Seq[FileStat] = {
     val live = scala.collection.mutable.LinkedHashMap[String, FileStat]()
-    versions.takeWhile(_ <= version).foreach { v =>
+    val base = checkpointVersions.filter(_ <= version).maxOption
+    base.foreach { bv =>
+      val txt = new String(Files.readAllBytes(ckptPath(bv)), StandardCharsets.UTF_8)
+      JsonMethods.parse(txt).extract[Checkpoint].files.foreach(f => live(f.path) = f)
+    }
+    versions.filter(v => v > base.getOrElse(0L) && v <= version).foreach { v =>
       val c = read(v)
       if (c.op == "overwrite" || c.op == "create") live.clear()
       c.removed.foreach(live.remove)

@@ -28,6 +28,26 @@ class StoreSpec extends SparkSpec {
     assert(t2.read().count() == 3)
   }
 
+  test("commit-log checkpoints bound snapshot resolution") {
+    val root = freshRoot
+    val t = GraftTable.create(spark, root, Seq((0L, "v")).toDF("id", "v"))
+    val interval = graft.store.CommitLog.CheckpointInterval
+    (1 to interval + 3).foreach(i => t.append(Seq((i.toLong, "v")).toDF("id", "v")))
+    // a checkpoint landed at the interval boundary...
+    val ckpts = Files.list(java.nio.file.Paths.get(root, "_graft_log"))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      ckpts.iterator().asScala.map(_.getFileName.toString).toVector
+    } finally ckpts.close()
+    assert(names.exists(_.endsWith(".ckpt")), names.sorted)
+    // ...and resolution stays correct across it: head, pre-checkpoint
+    // time travel, post-checkpoint time travel, and a fresh load
+    assert(t.read().count() == interval + 4)
+    assert(t.read(asOfVersion = Some(3)).count() == 3)
+    assert(t.read(asOfVersion = Some(interval.toLong + 2)).count() == interval + 2)
+    assert(GraftTable.load(spark, root).read().count() == interval + 4)
+  }
+
   test("time travel and branches") {
     val root = freshRoot
     val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
