@@ -22,6 +22,46 @@ class PropertySpec extends SparkSpec {
   private def draw(i: Int): List[(Long, Long, String)] =
     rowsGen.pureApply(Gen.Parameters.default, Seed(42L + i))
 
+  test("mainStatement strips any generated CTE prefix down to the main verb") {
+    // the DML gate and cache-eligibility both hang off this parser, so
+    // fuzz it: arbitrary CTE lists (nested parens, quoted strings with
+    // parens/quotes inside, optional column lists, 1..3 CTEs) must
+    // never hide the main statement's verb.
+    val svc = new graft.serve.QueryService(spark)
+    try {
+      val bodyGen: Gen[String] = Gen.oneOf(
+        "select 1",
+        "select count(*) from t where x in (1, (2))",
+        "select 'lit with ) paren', \"id(\" from t",
+        "select f(g(x), ') as', h(')'))", // nested + quoted parens
+        "select * from (select 1) q")
+      val cteGen: Gen[String] = for {
+        name <- Gen.oneOf("a", "b", "cte1")
+        cols <- Gen.oneOf("", "(c1, c2)", " (c1)")
+        body <- bodyGen
+      } yield s"$name$cols as ($body)"
+      val mainGen: Gen[(String, String)] = Gen.oneOf(
+        "select * from a" -> "select",
+        "insert into t select * from a" -> "insert",
+        "update t set x = 1" -> "update",
+        "merge into t using a on t.id = a.id" -> "merge",
+        "delete from t where x in (select 1)" -> "delete")
+      val caseGen: Gen[(String, String)] = for {
+        n <- Gen.chooseNum(1, 3)
+        ctes <- Gen.listOfN(n, cteGen)
+        m <- mainGen
+      } yield (s"with ${ctes.mkString(", ")} ${m._1}", m._2)
+      (0 until 200).foreach { i =>
+        val (sql, verb) = caseGen.pureApply(Gen.Parameters.default, Seed(99L + i))
+        val main = svc.mainStatement(sql)
+        assert(main.startsWith(verb), s"sql=<$sql> main=<$main> want=<$verb>")
+      }
+      // non-CTE statements pass through untouched
+      assert(svc.mainStatement("select 1") == "select 1")
+      assert(svc.mainStatement("insert into t values (1)") == "insert into t values (1)")
+    } finally svc.close()
+  }
+
   test("filter partitions rows: count(p) + count(!p) == count") {
     (0 until 8).foreach { i =>
       val df = draw(i).toDF("k", "v", "s")
