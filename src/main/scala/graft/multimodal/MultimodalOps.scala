@@ -23,15 +23,19 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
-  // ImageIO never needs a display; pin headless so executors on
-  // display-less hosts can't trip AWT initialization
-  System.setProperty("java.awt.headless", "true")
+  // ImageIO never needs a display; default to headless so executors on
+  // display-less hosts can't trip AWT init — but never override an
+  // embedder that explicitly configured a headful JVM
+  if (System.getProperty("java.awt.headless") == null)
+    System.setProperty("java.awt.headless", "true")
 
   /** REAL png/jpeg decode via the JDK's javax.imageio. None when the
-    * bytes are not a decodable image — callers fall back to the stub. */
+    * bytes are not a decodable image — callers fall back to the stub.
+    * NonFatal only: an OOM from a decompression-bomb image must fail
+    * the task, not silently degrade to stub pixels. */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: Throwable => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Typed media metadata. Sniffing is real (magic numbers); numeric
     * fields come from the stub decoder. */

@@ -91,9 +91,17 @@ object TextOps {
             (1 until 16).map(j => min(col(s"h$j")).as(s"m$j")): _*)
           .select(col("doc_id"),
             array((0 until 16).map(j => col(s"m$j")): _*).as("sl"))
+        // Band grouping: band b takes lane b's four ROTATIONS (indices
+        // b, b+4, b+8, b+12), so each band reads a DISJOINT 32-bit
+        // digest lane — bands are independent families, which is what
+        // the OR-across-bands recall argument needs. (Grouping by
+        // rotation instead would make every band a function of the
+        // same four lanes — correlated misses.) Within a band the four
+        // mins are correlated orderings of one lane; that only inflates
+        // candidates, and verification filters those exactly.
         val bands = sigs.selectExpr("doc_id",
           """explode(transform(sequence(0, 3),
-               b -> concat(b, ':', sl[4*b], '|', sl[4*b+1], '|', sl[4*b+2], '|', sl[4*b+3]))) AS band_key""")
+               b -> concat(b, ':', sl[b], '|', sl[b+4], '|', sl[b+8], '|', sl[b+12]))) AS band_key""")
         val cand = bands.select(col("doc_id").as("doc_a"), col("band_key"))
           // corpus-sized both sides: shuffle on the band key (that IS
           // the LSH bucketing), never broadcast
@@ -135,7 +143,7 @@ object TextOps {
         sigs AS (SELECT doc_id, LIST(sig ORDER BY j) AS sl FROM mh GROUP BY doc_id),
         bands AS (SELECT doc_id,
           UNNEST(LIST_TRANSFORM(RANGE(0, 4),
-            b -> CAST(b AS VARCHAR) || ':' || sl[4*b+1] || '|' || sl[4*b+2] || '|' || sl[4*b+3] || '|' || sl[4*b+4])) AS band_key
+            b -> CAST(b AS VARCHAR) || ':' || sl[b+1] || '|' || sl[b+5] || '|' || sl[b+9] || '|' || sl[b+13])) AS band_key
           FROM sigs),
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),

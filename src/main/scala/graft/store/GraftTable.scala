@@ -387,13 +387,26 @@ object GraftTable {
     // tryCommit): a losing concurrent create with a different format
     // must abort HERE, before writing data — not overwrite the
     // winner's props after the winner committed, which would make its
-    // data files read with the wrong format
-    try Files.write(Paths.get(root, "_graft_props.json"),
-      s"""{"format":"$format"}""".getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // data files read with the wrong format. Recovery carve-out: a
+    // props file with NO commits behind it that is older than the
+    // grace window is debris from a crashed create (the exists check
+    // above already proved no table lives here) — replace it instead
+    // of bricking the root forever; a fresh one is a create in flight.
+    val propsPath = Paths.get(root, "_graft_props.json")
+    val propsBytes = s"""{"format":"$format"}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    try Files.write(propsPath, propsBytes, java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalArgumentException(
+        val ageMs = System.currentTimeMillis() -
+          Files.getLastModifiedTime(propsPath).toMillis
+        if (ageMs > 10 * 60 * 1000L) {
+          val tmp = Paths.get(root, s"._props-${java.util.UUID.randomUUID()}")
+          Files.write(tmp, propsBytes)
+          Files.move(tmp, propsPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } else throw new IllegalArgumentException(
           s"requirement failed: table already exists at $root (concurrent create)")
     }
     val added = t.writeFiles(df)

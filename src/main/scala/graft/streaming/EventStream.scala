@@ -164,6 +164,11 @@ object EventStream {
     val seen = new java.util.concurrent.atomic.AtomicLong(-1L)
     val seeded = new java.util.concurrent.atomic.AtomicBoolean(false)
     val prefix = s"stream-append:$sinkId:"
+    // tables written before the SHA-256 sink id carried labels keyed by
+    // the checkpoint path's 32-bit hashCode; honor them when seeding or
+    // a replayed batch on an upgraded pipeline would append twice
+    val legacyPrefix =
+      s"stream-append:${java.lang.Integer.toHexString(checkpointDir.hashCode)}:"
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -171,8 +176,10 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!seeded.getAndSet(true)) {
           val high = table.history.iterator
-            .filter(_.op.startsWith(prefix))
-            .map(_.op.stripPrefix(prefix).toLong)
+            .flatMap(c =>
+              if (c.op.startsWith(prefix)) Some(c.op.stripPrefix(prefix).toLong)
+              else if (c.op.startsWith(legacyPrefix)) Some(c.op.stripPrefix(legacyPrefix).toLong)
+              else None)
             .foldLeft(-1L)(math.max)
           seen.set(high)
         }
