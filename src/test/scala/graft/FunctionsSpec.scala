@@ -71,6 +71,18 @@ class FunctionsSpec extends SparkSpec {
     assert(one("SELECT levenshtein_distance('kitten', 'sitting') v") == Row(3))
   }
 
+  test("Spark 4 variant + family representatives (format/slice/zip/tz)") {
+    // SURVEY §2.4 JSON row names VariantType + parse_json (Spark 4)
+    assert(one("""SELECT variant_get(parse_json('{"a":{"b":7}}'), '$.a.b', 'int') v""") == Row(7))
+    assert(one("""SELECT CAST(parse_json('[1,2,3]') AS STRING) v""") == Row("[1,2,3]"))
+    assert(one("SELECT format_string('%s-%03d', 'x', 7) v") == Row("x-007"))
+    assert(one("SELECT slice(array(1,2,3,4,5), 2, 3) v") == Row(Seq(2, 3, 4)))
+    assert(one("SELECT arrays_zip(array(1,2), array('a','b'))[0].`1` v") == Row("a"))
+    // at_timezone parity: UTC noon is 07:00 in New York (EST offset -5)
+    assert(one("SELECT CAST(from_utc_timestamp(timestamp'2024-01-15 12:00:00', 'America/New_York') AS STRING) v")
+      == Row("2024-01-15 07:00:00"))
+  }
+
   test("uuid() yields distinct RFC-4122 v4 values") {
     // nondeterministic by design -> shape/uniqueness spec, no oracle
     val us = spark.sql("SELECT uuid() AS u FROM range(5)")
