@@ -62,6 +62,30 @@ object VectorOps {
   private val oDot =
     "LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * b.v[i]))"
 
+  /** The v04 banded-LSH candidate+verify pipeline as oracle SQL —
+    * shared by v04 (raw pairs) and t09 (joined to documents). */
+  private lazy val annPairsOracle: String =
+    s"""WITH planes(p, i, w) AS (VALUES $planesSql),
+        flat AS (SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS i FROM embeddings),
+        fx AS (SELECT f.vec_id, f.i, CAST(e.embedding[f.i + 1] AS DOUBLE) AS x
+          FROM flat f JOIN embeddings e ON e.vec_id = f.vec_id),
+        dots AS (SELECT vec_id, p, SUM(CAST(x * w AS DECIMAL(38,18))) AS dot
+          FROM fx JOIN planes ON fx.i = planes.i GROUP BY vec_id, p),
+        sig AS (SELECT vec_id,
+            STRING_AGG(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+          FROM dots GROUP BY vec_id),
+        bands AS (SELECT vec_id,
+            UNNEST(LIST_TRANSFORM(RANGE(0, 4),
+              t -> CAST(t AS VARCHAR) || ':' || SUBSTRING(sig, t * 4 + 1, 4))) AS bucket
+          FROM sig),
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        $oVecs
+        SELECT c.id_a, c.id_b,
+          ROUND($oDot / (SQRT(a.n2) * SQRT(b.n2)), 6) AS cos_sim
+        FROM cand c JOIN en a ON a.vec_id = c.id_a JOIN en b ON b.vec_id = c.id_b
+        WHERE $oDot / (SQRT(a.n2) * SQRT(b.n2)) >= 0.35"""
+
   val entries: Seq[QueryEntry] = Seq(
 
     // ------------------------------------------------------------------
@@ -180,26 +204,37 @@ object VectorOps {
           .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
           .distinct()
       },
-      Some(s"""WITH planes(p, i, w) AS (VALUES $planesSql),
-        flat AS (SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS i FROM embeddings),
-        fx AS (SELECT f.vec_id, f.i, CAST(e.embedding[f.i + 1] AS DOUBLE) AS x
-          FROM flat f JOIN embeddings e ON e.vec_id = f.vec_id),
-        dots AS (SELECT vec_id, p, SUM(CAST(x * w AS DECIMAL(38,18))) AS dot
-          FROM fx JOIN planes ON fx.i = planes.i GROUP BY vec_id, p),
-        sig AS (SELECT vec_id,
-            STRING_AGG(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
-          FROM dots GROUP BY vec_id),
-        bands AS (SELECT vec_id,
-            UNNEST(LIST_TRANSFORM(RANGE(0, 4),
-              t -> CAST(t AS VARCHAR) || ':' || SUBSTRING(sig, t * 4 + 1, 4))) AS bucket
-          FROM sig),
-        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-          FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
-        $oVecs
-        SELECT c.id_a, c.id_b,
-          ROUND($oDot / (SQRT(a.n2) * SQRT(b.n2)), 6) AS cos_sim
-        FROM cand c JOIN en a ON a.vec_id = c.id_a JOIN en b ON b.vec_id = c.id_b
-        WHERE $oDot / (SQRT(a.n2) * SQRT(b.n2)) >= 0.35""")),
+      Some(annPairsOracle)),
+
+    // ------------------------------------------------------------------
+    // Embedding-cosine near-duplicate detection over DOCUMENTS (the
+    // dedup-family item from the training-data brief): candidate pairs
+    // come from the v04 banded-LSH path (never all-pairs), then join
+    // back to the documents table for provenance — the cross-modal
+    // "which docs are semantic dups, and do they share a source"
+    // question a curation pipeline actually asks. documents is
+    // corpus-sized: shuffle-hash on the id key, never broadcast.
+    QueryEntry("t09_embed_dedup",
+      (s, d) => {
+        val pairs = entries.find(_.name == "v04_ann_lsh").get.fn(s, d)
+        val docs = Tables(s, d, "documents").select(col("doc_id"), col("source"))
+        pairs
+          .join(docs.select(col("doc_id").as("id_a"), col("source").as("source_a"))
+            .hint("SHUFFLE_HASH"), "id_a")
+          .join(docs.select(col("doc_id").as("id_b"), col("source").as("source_b"))
+            .hint("SHUFFLE_HASH"), "id_b")
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("source_a"), col("source_b"),
+            (col("source_a") === col("source_b")).as("same_source"),
+            col("cos_sim"))
+      },
+      Some(s"""WITH pairs AS ($annPairsOracle)
+        SELECT p.id_a AS doc_a, p.id_b AS doc_b,
+          da.source AS source_a, db.source AS source_b,
+          da.source = db.source AS same_source, p.cos_sim
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b""")),
 
     // ------------------------------------------------------------------
     // IVF-style ANN: coarse quantize to sampled centroids, probe the
