@@ -50,6 +50,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("DS queries aggregate two-phase; d02 rollup expands before partial agg") {
+    for (name <- Seq("d01_channel_union", "d02_wide_dim_rollup", "d03_returns_ratio")) {
+      val p = plan(SparkEntry.queries(name)(spark, sf()))
+      assert(p.contains("partial_sum"), s"$name missing map-side partial: ${p.take(1500)}")
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$name expected partial+final")
+    }
+    val p2 = plan(SparkEntry.queries("d02_wide_dim_rollup")(spark, sf()))
+    assert(p2.contains("Expand"), "rollup should Expand below the partial aggregate")
+  }
+
   test("aggregations are two-phase (map-side partial)") {
     val df = Tables(spark, sf(), "lineitem")
       .groupBy("l_returnflag").agg(sum("l_quantity"))
