@@ -34,7 +34,8 @@ final class QueryService(
     allowCtas: Boolean = true,
     allowCvas: Boolean = true,
     allowDml: Boolean = true,
-    onUserSession: (SparkSession, String) => Unit = (_, _) => ()) extends AutoCloseable {
+    onUserSession: (SparkSession, String) => Unit = (_, _) => (),
+    maxUserSessions: Int = 256) extends AutoCloseable {
 
   sealed trait Status
   case object Queued extends Status
@@ -51,32 +52,51 @@ final class QueryService(
   /** One isolated child session per user: shared catalog + cached data,
     * private temp-view namespace and conf (the execution-identity
     * boundary Spark offers in-process). Created lazily; onUserSession
-    * installs the user's views exactly once per residency. LRU-bounded:
-    * user is an arbitrary caller-supplied string, so an unbounded map
-    * would let identity churn grow driver memory without limit; an
-    * evicted user's next query just rebuilds its session. Cleared on
-    * close() so per-user temp views don't outlive the service. */
-  private val maxUserSessions = 64
+    * installs the user's views once per residency. LRU-bounded
+    * (`maxUserSessions`): user is an arbitrary caller-supplied string,
+    * so an unbounded map would let identity churn grow driver memory
+    * without limit. Eviction drops the user's session state (temp
+    * views a user created via CVAS are rebuilt by onUserSession on the
+    * next touch, not preserved — size the cap for the real user
+    * population if that matters) AND purges the user's result-cache
+    * entries, so a stale cached read can never outlive the views it
+    * was computed from. Cleared on close(). */
   private val userSessions =
     new java.util.LinkedHashMap[String, SparkSession](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, SparkSession]): Boolean =
-        size() > maxUserSessions
+          e: java.util.Map.Entry[String, SparkSession]): Boolean = {
+        val evict = size() > maxUserSessions
+        if (evict) dropUserCache(e.getKey)
+        evict
+      }
     }
+  private def dropUserCache(user: String): Unit = {
+    val prefix = s"${user.length}:$user:"
+    cache.keySet.asScala.filter(_.startsWith(prefix)).foreach(cache.remove)
+  }
+  // per-user creation locks: session build runs the embedder's
+  // onUserSession callback (arbitrarily slow) — holding the single map
+  // monitor there would serialize every not-yet-resident user's first
+  // query behind it
+  private val userLocks = new ConcurrentHashMap[String, Object]()
   private def sessionFor(user: String): SparkSession =
     // the service identity runs on the embedder's own session (its temp
     // views are the service's working set); impersonated users each get
     // an isolated child session
     if (user == "anonymous") spark
-    else userSessions.synchronized {
-      val cached = userSessions.get(user)
-      if (cached != null) cached
-      else {
-        val s = spark.newSession()
-        s.conf.set("spark.graft.user", user)
-        onUserSession(s, user)
-        userSessions.put(user, s)
-        s
+    else {
+      val hit = userSessions.synchronized(userSessions.get(user))
+      if (hit != null) hit
+      else userLocks.computeIfAbsent(user, _ => new Object).synchronized {
+        val again = userSessions.synchronized(userSessions.get(user))
+        if (again != null) again
+        else {
+          val s = spark.newSession()
+          s.conf.set("spark.graft.user", user)
+          onUserSession(s, user)
+          userSessions.synchronized(userSessions.put(user, s))
+          s
+        }
       }
     }
 
@@ -107,9 +127,19 @@ final class QueryService(
       } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
         while (i < sql.length && sql.charAt(i) != '\n') i += 1 // line comment
       } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        // bracketed comments NEST in Spark's lexer (SQL standard), so
+        // track depth — stopping at the first */ would leave a tail
+        // like `c */ INSERT ...` that Spark still treats as comment,
+        // hiding the INSERT from the DML gate
+        var cdepth = 1
         i += 2
-        while (i + 1 < sql.length && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
-        i = math.min(i + 2, sql.length) // block comment (unterminated -> rest)
+        while (i < sql.length && cdepth > 0) {
+          if (i + 1 < sql.length && sql.charAt(i) == '/' && sql.charAt(i + 1) == '*') {
+            cdepth += 1; i += 2
+          } else if (i + 1 < sql.length && sql.charAt(i) == '*' && sql.charAt(i + 1) == '/') {
+            cdepth -= 1; i += 2
+          } else i += 1
+        }
         out.append(' ')
       } else {
         if (c == '\'' || c == '"' || c == '`') quote = c
@@ -160,8 +190,8 @@ final class QueryService(
     n
   }
 
-  private def ddlKind(sql: String): Option[String] = {
-    val n = mainStatement(classify(sql))
+  /** Classify a mainStatement(classify(...))-normalized statement. */
+  private def ddlKind(n: String): Option[String] = {
     if (n.startsWith("create table") && n.contains(" as ")) Some("ctas")
     else if (n.startsWith("create view") || n.startsWith("create or replace view") ||
       n.startsWith("create temp view") || n.startsWith("create or replace temp view")) Some("cvas")
@@ -212,17 +242,18 @@ final class QueryService(
     // Length-prefixed so no (user, sql) pair can collide with another.
     val key = s"${user.length}:$user:${cacheKey(sql)}"
     try {
-      ddlKind(sql).foreach {
+      // one normalization pass feeds both the gate and cache-eligibility
+      val main = mainStatement(classify(sql))
+      ddlKind(main).foreach {
         case "ctas" if !allowCtas => throw new IllegalStateException("CTAS disabled (allow_ctas=false)")
         case "cvas" if !allowCvas => throw new IllegalStateException("CVAS disabled (allow_cvas=false)")
         case "dml" if !allowDml => throw new IllegalStateException("DML disabled (allow_dml=false)")
         case _ =>
       }
       // cache only provably read-only statements (positive whitelist);
-      // classify the MAIN statement so a CTE-prefixed INSERT/UPDATE/
-      // DELETE/MERGE is never served from cache (its side effect must
-      // run every time)
-      val cacheable = readPrefixes.exists(mainStatement(classify(sql)).startsWith)
+      // the MAIN statement so a CTE-prefixed INSERT/UPDATE/DELETE/MERGE
+      // is never served from cache (its side effect must run every time)
+      val cacheable = readPrefixes.exists(main.startsWith)
       if (cacheable) {
         val hit = cache.get(key)
         if (hit != null && hit._1 > System.currentTimeMillis()) {
@@ -253,6 +284,7 @@ final class QueryService(
   override def close(): Unit = {
     pool.shutdownNow()
     userSessions.synchronized(userSessions.clear())
+    userLocks.clear()
   }
 }
 

@@ -387,27 +387,21 @@ object GraftTable {
     // tryCommit): a losing concurrent create with a different format
     // must abort HERE, before writing data — not overwrite the
     // winner's props after the winner committed, which would make its
-    // data files read with the wrong format. Recovery carve-out: a
-    // props file with NO commits behind it that is older than the
-    // grace window is debris from a crashed create (the exists check
-    // above already proved no table lives here) — replace it instead
-    // of bricking the root forever; a fresh one is a create in flight.
+    // data files read with the wrong format. No implicit time-based
+    // recovery: a create legitimately in flight for any duration must
+    // never be clobbered (the vacuum grace has the same rationale) —
+    // debris from a CRASHED create is cleared by the explicit
+    // clearStaleCreate(), where the operator asserts nothing is in
+    // flight.
     val propsPath = Paths.get(root, "_graft_props.json")
-    val propsBytes = s"""{"format":"$format"}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    try Files.write(propsPath, propsBytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+    try Files.write(propsPath,
+      s"""{"format":"$format"}""".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        val ageMs = System.currentTimeMillis() -
-          Files.getLastModifiedTime(propsPath).toMillis
-        if (ageMs > 10 * 60 * 1000L) {
-          val tmp = Paths.get(root, s"._props-${java.util.UUID.randomUUID()}")
-          Files.write(tmp, propsBytes)
-          Files.move(tmp, propsPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        } else throw new IllegalArgumentException(
-          s"requirement failed: table already exists at $root (concurrent create)")
+        throw new IllegalArgumentException(
+          s"requirement failed: table already exists at $root (concurrent or crashed " +
+            "create; if no create is in flight, run GraftTable.clearStaleCreate)")
     }
     val added = t.writeFiles(df)
     require(t.log.tryCommit(
@@ -415,6 +409,26 @@ object GraftTable {
       s"table already exists at $root")
     t.log.setRef("main", 1L)
     t
+  }
+
+  /** Clear the debris of a CRASHED create (props and data files with no
+    * commit behind them) so the root can be created again. Refuses when
+    * any commit exists — that is a live table, not debris. The CALLER
+    * asserts no create is concurrently in flight; an implicit time-based
+    * heuristic here could clobber a slow in-flight writer's props after
+    * its commit wins. */
+  def clearStaleCreate(root: String): Unit = {
+    val probe = new CommitLog(root)
+    require(!probe.exists, s"table exists at $root — refusing to clear")
+    def rm(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally s.close()
+      }
+    Files.deleteIfExists(Paths.get(root, "_graft_props.json"))
+    rm(Paths.get(root, "data"))
   }
 
   /** Table data format: from _graft_props.json, parquet if absent

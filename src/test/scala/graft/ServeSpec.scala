@@ -94,6 +94,27 @@ class ServeSpec extends SparkSpec {
     } finally svc2.close()
   }
 
+  test("nested bracketed comments cannot hide DML from the gate") {
+    // Spark's lexer nests /* */ (SQL standard): a comment like
+    // /* a /* b */ c */ swallows the whole prefix, so a naive scanner
+    // that stops at the first */ would misclassify the INSERT
+    val svc = new QueryService(spark, allowDml = false)
+    try {
+      svc.sql("/* a /* b */ c */ INSERT INTO some_table VALUES (1)") match {
+        case f: svc.Failed => assert(f.error.contains("DML disabled"), f.error)
+        case other => fail(s"unexpected: $other")
+      }
+      svc.sql("-- note ( \nINSERT INTO some_table VALUES (1)") match {
+        case f: svc.Failed => assert(f.error.contains("DML disabled"), f.error)
+        case other => fail(s"unexpected: $other")
+      }
+      svc.sql("WITH a AS (\n SELECT 1 AS x -- tally (\n) INSERT INTO t SELECT x FROM a") match {
+        case f: svc.Failed => assert(f.error.contains("DML disabled"), f.error)
+        case other => fail(s"unexpected: $other")
+      }
+    } finally svc.close()
+  }
+
   test("impersonation: per-user sessions see distinct data, caches never cross") {
     import org.apache.spark.sql.SparkSession
     // per-user view hook: each user's session gets a `my_orders` view

@@ -232,6 +232,14 @@ class StoreSpec extends SparkSpec {
     }
     val props = new String(Files.readAllBytes(Paths.get(root, "_graft_props.json")))
     assert(props.contains("orc"), props)
+    // explicit recovery path for CRASHED creates (no commits behind the
+    // props): clearStaleCreate unblocks the root, then create succeeds
+    GraftTable.clearStaleCreate(root)
+    val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    assert(t.read().count() == 1 && t.format == "parquet")
+    // ...but refuses on a live table
+    intercept[IllegalArgumentException] { GraftTable.clearStaleCreate(root) }
+    assert(GraftTable.load(spark, root).read().count() == 1)
   }
 
   test("unknown ref fails loudly instead of silently reading head") {
