@@ -86,12 +86,17 @@ object TrinoDialect {
     var inS = false // 'string'
     var inD = false // "ident"
     var inLineComment = false
+    var blockDepth = 0 // /* ... */ nests in Spark's lexer (SQL standard)
     while (i < script.length) {
       val c = script.charAt(i)
       val next = if (i + 1 < script.length) script.charAt(i + 1) else '\u0000'
       if (inLineComment) {
         if (c == '\n') inLineComment = false
         cur.append(c)
+      } else if (blockDepth > 0) {
+        cur.append(c)
+        if (c == '/' && next == '*') { blockDepth += 1; cur.append(next); i += 1 }
+        else if (c == '*' && next == '/') { blockDepth -= 1; cur.append(next); i += 1 }
       } else if (inS) {
         cur.append(c)
         if (c == '\'' && next == '\'') { cur.append(next); i += 1 } // escaped ''
@@ -102,6 +107,7 @@ object TrinoDialect {
         case '\'' => inS = true; cur.append(c)
         case '"' => inD = true; cur.append(c)
         case '-' if next == '-' => inLineComment = true; cur.append(c)
+        case '/' if next == '*' => blockDepth = 1; cur.append(c); cur.append(next); i += 1
         case ';' => out += cur.toString; cur.clear()
         case _ => cur.append(c)
       }

@@ -29,6 +29,13 @@ class SqlSpec extends SparkSpec {
     assert(stmts(1).contains("'a;b'"))
   }
 
+  test("statement splitter never splits inside block comments (nested)") {
+    val stmts = TrinoDialect.splitStatements(
+      "SELECT 1 /* a ; b /* nested ; */ still ; comment */ AS x; SELECT 2 AS y")
+    assert(stmts.size == 2, stmts.mkString("||"))
+    assert(stmts(0).endsWith("AS x") && stmts(1) == "SELECT 2 AS y", stmts.mkString("||"))
+  }
+
   test("scripted execution end-to-end (test-hive.sh shape)") {
     val results = GraftSql.execute(spark,
       """DROP TABLE IF EXISTS sql_spec_foo;
