@@ -36,6 +36,7 @@ final class QueryService(
     allowDml: Boolean = true,
     onUserSession: (SparkSession, String) => Unit = (_, _) => (),
     maxUserSessions: Int = 256) extends AutoCloseable {
+  require(maxUserSessions > 0, s"maxUserSessions must be positive, got $maxUserSessions")
 
   sealed trait Status
   case object Queued extends Status
@@ -62,14 +63,7 @@ final class QueryService(
     * entries, so a stale cached read can never outlive the views it
     * was computed from. Cleared on close(). */
   private val userSessions =
-    new java.util.LinkedHashMap[String, SparkSession](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, SparkSession]): Boolean = {
-        val evict = size() > maxUserSessions
-        if (evict) dropUserCache(e.getKey)
-        evict
-      }
-    }
+    new java.util.LinkedHashMap[String, SparkSession](16, 0.75f, true)
   private def dropUserCache(user: String): Unit = {
     val prefix = s"${user.length}:$user:"
     cache.keySet.asScala.filter(_.startsWith(prefix)).foreach(cache.remove)
@@ -77,7 +71,8 @@ final class QueryService(
   // per-user creation locks: session build runs the embedder's
   // onUserSession callback (arbitrarily slow) — holding the single map
   // monitor there would serialize every not-yet-resident user's first
-  // query behind it
+  // query behind it. Each entry is removed once its session is
+  // resident, so identity churn cannot grow this map without bound.
   private val userLocks = new ConcurrentHashMap[String, Object]()
   private def sessionFor(user: String): SparkSession =
     // the service identity runs on the embedder's own session (its temp
@@ -87,18 +82,40 @@ final class QueryService(
     else {
       val hit = userSessions.synchronized(userSessions.get(user))
       if (hit != null) hit
-      else userLocks.computeIfAbsent(user, _ => new Object).synchronized {
-        val again = userSessions.synchronized(userSessions.get(user))
-        if (again != null) again
-        else {
-          val s = spark.newSession()
-          s.conf.set("spark.graft.user", user)
-          onUserSession(s, user)
-          userSessions.synchronized(userSessions.put(user, s))
-          s
+      else {
+        val result = userLocks.computeIfAbsent(user, _ => new Object).synchronized {
+          val again = userSessions.synchronized(userSessions.get(user))
+          if (again != null) again
+          else {
+            val s = spark.newSession()
+            s.conf.set("spark.graft.user", user)
+            onUserSession(s, user)
+            // manual LRU eviction: find the eldest under the monitor,
+            // purge its cache entries OUTSIDE it — a full cache scan
+            // under the map monitor would serialize every session
+            // lookup behind it
+            val evicted = userSessions.synchronized {
+              userSessions.put(user, s)
+              if (userSessions.size > maxUserSessions) {
+                val it = userSessions.keySet.iterator
+                val eldest = it.next(); it.remove(); Some(eldest)
+              } else None
+            }
+            evicted.foreach(dropUserCache)
+            s
+          }
         }
+        userLocks.remove(user)
+        result
       }
     }
+
+  /** True iff `sess` is still the resident session for `user` — guards
+    * cache writes: a query that ran on a since-evicted session must not
+    * publish its result after the eviction already purged that user's
+    * cache (the views it was computed from are gone). */
+  private def stillResident(user: String, sess: SparkSession): Boolean =
+    user == "anonymous" || (userSessions.synchronized(userSessions.get(user)) eq sess)
 
   /** Lowercased/collapsed form for PREFIX CLASSIFICATION ONLY — never
     * a cache key: collapsing inside string literals would make
@@ -111,7 +128,10 @@ final class QueryService(
 
   /** Remove `-- ...\n` and balanced `/* ... */` comments outside string
     * literals / quoted identifiers, honoring backslash escapes (Spark's
-    * default string literal syntax). */
+    * default string literal syntax). Twin scanner:
+    * `TrinoDialect.splitStatements` lexes the same comment grammar but
+    * PRESERVES text instead of removing it — a comment-lexing fix here
+    * usually applies there too. */
   private def stripComments(sql: String): String = {
     val out = new StringBuilder(sql.length)
     var i = 0
@@ -263,10 +283,14 @@ final class QueryService(
       }
       statuses.put(id, Running)
       val t0 = System.nanoTime()
-      val df: DataFrame = sessionFor(user).sql(sql)
+      val sess = sessionFor(user)
+      val df: DataFrame = sess.sql(sql)
       val rows = df.limit(maxResultRows).collect().toSeq
       val fin = Finished(rows, df.columns.toSeq, (System.nanoTime() - t0) / 1000000L, fromCache = false)
-      if (cacheable)
+      // publish to the cache only if the session we ran on is still the
+      // user's resident one — results computed on an evicted session
+      // must not outlive the eviction's cache purge
+      if (cacheable && stillResident(user, sess))
         cache.put(key, (System.currentTimeMillis() + cacheTtlSeconds * 1000, fin))
       statuses.put(id, fin)
     } catch {

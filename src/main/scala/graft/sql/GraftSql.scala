@@ -78,7 +78,10 @@ object TrinoDialect {
   }
 
   /** Split a multi-statement script on ';' outside quotes/comments —
-    * trino-cli `--execute` scripted mode (`tf/test-hive.sh:14-24`). */
+    * trino-cli `--execute` scripted mode (`tf/test-hive.sh:14-24`).
+    * Twin scanner: `QueryService.stripComments` lexes the same comment
+    * grammar but REMOVES comments — a comment-lexing fix here usually
+    * applies there too. */
   def splitStatements(script: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder

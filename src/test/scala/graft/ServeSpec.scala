@@ -142,6 +142,30 @@ class ServeSpec extends SparkSpec {
     } finally svc.close()
   }
 
+  test("session eviction rebuilds user views and purges the user's cache") {
+    import org.apache.spark.sql.SparkSession
+    val calls = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+    val hook = (s: SparkSession, u: String) => {
+      val n = calls.computeIfAbsent(u, _ => new java.util.concurrent.atomic.AtomicInteger())
+        .incrementAndGet()
+      s.range(n).toDF("x").createOrReplaceTempView("my_view")
+      ()
+    }
+    val svc = new QueryService(spark, onUserSession = hook, maxUserSessions = 2)
+    try {
+      def q(user: String) = svc.sql("SELECT COUNT(*) AS n FROM my_view", user) match {
+        case f: svc.Finished => (f.rows.head.getLong(0), f.fromCache)
+        case o => fail(s"$o")
+      }
+      assert(q("u1") == ((1L, false)))
+      assert(q("u1") == ((1L, true))) // cached while resident
+      q("u2"); q("u3") // cap 2 -> evicts u1
+      // u1's repeat must NOT see the stale cache (purged on eviction)
+      // and the rebuilt session re-ran the hook (2 rows now)
+      assert(q("u1") == ((2L, false)))
+    } finally svc.close()
+  }
+
   test("thrift endpoint serves JDBC clients (walden's BI wire parity)") {
     val port = 10000 + scala.util.Random.nextInt(20000)
     val server = graft.serve.GraftServer.start(spark, port)
