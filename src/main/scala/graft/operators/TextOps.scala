@@ -216,23 +216,35 @@ object TextOps {
         // Same scan-parallelism policy as t02: the gram hashing/sorting
         // and the pair kernel below are pure CPU — spread them across
         // all cores, not the scan's row-group count.
+        // Sub-blocking by length: jaccard >= 0.6 forces the gram-count
+        // ratio min/max >= 0.6 > 1/2, so any matching pair sits in the
+        // same or an adjacent power-of-two bucket of n. Joining on
+        // (source, bucket) with a +-1 explode on one side turns the
+        // O(block^2) pair space into O(sum length-bucket^2) with
+        // IDENTICAL results (the ratio prefilter already discarded
+        // everything the bucket join prunes). length(bin(n)) is
+        // integer-exact in both engines — no float boundary can
+        // disagree between Spark and the oracle.
         val gramSets = docs(s, d)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .selectExpr("doc_id", "source",
           """array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),
                i -> substring(text, i, 5))) AS gs""")
           .selectExpr("doc_id", "source", "size(gs) AS n",
-            "sort_array(transform(gs, g -> xxhash64(g))) AS hs")
-        val a = gramSets.select(col("source"), col("doc_id").as("doc_a"),
-          col("n").as("na"), col("hs").as("ha"))
-        val b = gramSets.select(col("source"), col("doc_id").as("doc_b"),
-          col("n").as("nb"), col("hs").as("hb"))
-        // Sort-merge on the block key — never a broadcast: the gram-set
-        // table is corpus-sized, so a broadcast OOMs at scale. The MERGE
-        // hint keeps the plan shape deterministic at every SF (the
-        // static planner would pick broadcast below the threshold);
-        // within a block the pair kernel still bounds the cost.
-        a.join(b.hint("MERGE"), "source").filter(col("doc_a") < col("doc_b"))
+            "sort_array(transform(gs, g -> xxhash64(g))) AS hs",
+            "length(bin(size(gs))) AS bkt")
+        val a = gramSets.select(col("source"), col("bkt"),
+          col("doc_id").as("doc_a"), col("n").as("na"), col("hs").as("ha"))
+        val b = gramSets
+          .select(col("source"), col("doc_id").as("doc_b"),
+            col("n").as("nb"), col("hs").as("hb"),
+            explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+        // Sort-merge on the (block, bucket) key — never a broadcast: the
+        // gram-set table is corpus-sized, so a broadcast OOMs at scale.
+        // The MERGE hint keeps the plan shape deterministic at every SF
+        // (the static planner would pick broadcast below the threshold).
+        a.join(b.hint("MERGE"), Seq("source", "bkt"))
+          .filter(col("doc_a") < col("doc_b"))
           .filter(least(col("na"), col("nb")).cast("double") >=
             greatest(col("na"), col("nb")) * 0.6)
           .selectExpr("doc_a", "doc_b", "na", "nb",
