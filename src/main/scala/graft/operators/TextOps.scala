@@ -45,52 +45,76 @@ object TextOps {
     // Jaccard verification on candidates only.
     QueryEntry("t02_minhash_lsh",
       (s, d) => {
-        // One narrow pass computes, per row: the distinct-shingle set,
-        // its 16 minhashes (in-row array_min fold — the md5 count is
-        // identical to the explode+groupBy spelling but no 60x row
-        // stream and no shuffle), the band keys, and a sorted xxhash64
-        // fingerprint of the shingle set for the verification kernel.
-        // The only full shuffle left is the band-bucket self-join of a
-        // 4-rows-per-doc table; candidates then verify against the doc
-        // fingerprints via two joins + the codegen'd sorted-merge
+        // Fully in-row signature computation: per document, the
+        // distinct-shingle set, ONE md5 per shingle, 16 minhash lanes
+        // as array_min folds over the digest array, and a sorted
+        // xxhash64 fingerprint for the verification kernel — all in
+        // narrow projections with ZERO shuffles before candidate
+        // generation. (r1 exploded shingles to rows and ran a 16-agg
+        // groupBy — a corpus-word-count-sized shuffle that existed
+        // only to compute a per-doc min; the in-row fold deletes that
+        // stage entirely, which also makes the query insensitive to
+        // scheduler latency: fewer stages, fewer barriers.)
+        // The only shuffles left are the band-bucket self-join of a
+        // 4-rows-per-doc table and the two candidate->fingerprint
+        // joins; candidates verify via the codegen'd sorted-merge
         // intersection (same kernel as t04). 64-bit fingerprint
-        // collisions are the t04 argument: negligible, and worth one
-        // intersection count at most.
+        // collisions are the t04 argument: negligible.
         graft.functions.GraftFunctions.register(s)
         // The corpus lands as few/large parquet row groups; without an
-        // explicit repartition every md5 below runs on the scan's
+        // explicit repartition the per-row CPU below runs on the scan's
         // handful of partitions. CPU-bound stages must not inherit the
         // scan's partitioning — hash-distribute by doc_id first.
-        val base = docs(s, d)
+        //
+        // The coalesce(.., array()) is load-bearing: it makes `sh`
+        // statically non-nullable, so InferFiltersFromConstraints has
+        // no isnotnull(..) to derive from the final jaccard filter.
+        // Without it, Catalyst infers isnotnull over the DOWNSTREAM
+        // size/sort_array expressions, substitutes the whole shingle
+        // pipeline into that predicate during pushdown, and evaluates
+        // it inside the SINGLE-TASK scan filter below the repartition
+        // (measured: 4.6 s single-threaded at sf0.1) — and the
+        // branch-specific inferred filters also make the four consumer
+        // subtrees non-identical, defeating exchange reuse.
+        val raw = docs(s, d)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
           .filter(size(col("ws")) >= 3)
-        // Signature path: ONE md5 per shingle (r1 spent 45% of the whole
-        // bench on 16 md5s per shingle); the 16 minhash lanes are cheap
-        // string slices of the single 32-hex digest — 4 disjoint
-        // 32-bit lanes x 4 cyclic rotations. Fixed-width lowercase hex
-        // means lexicographic MIN == numeric MIN, and the same slicing
-        // is reproduced verbatim in the DuckDB oracle. The digest sits
-        // in its own projection so CollapseProject cannot inline (and
-        // recompute) the non-cheap md5 into all 16 lanes; the slices
-        // stay in whole-stage codegen.
-        val hashed = base.selectExpr("doc_id",
-            """explode(transform(sequence(0, size(ws) - 3),
-                 i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shingle""")
-          .select(col("doc_id"), md5(col("shingle")).as("hd"))
-          .select(col("doc_id") +:
-            (0 until 16).map { j =>
+          .selectExpr("doc_id",
+            """coalesce(array_distinct(transform(sequence(0, size(ws) - 3),
+                 i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))), array()) AS sh""")
+          // hd sits in its own projection, referenced 16 times below:
+          // CollapseProject refuses to inline a non-cheap multi-ref
+          // expression, so md5 runs once per shingle, not 16 times.
+          .selectExpr("doc_id", "size(sh) AS n",
+            "transform(sh, t -> md5(t)) AS hd",
+            "sort_array(array_distinct(transform(sh, t -> xxhash64(t)))) AS hs")
+        // 16 minhash lanes = cheap string slices of the single 32-hex
+        // digest: 4 disjoint 32-bit lanes x 4 cyclic rotations.
+        // Fixed-width lowercase hex means lexicographic MIN == numeric
+        // MIN, and the same slicing is reproduced verbatim in the
+        // DuckDB oracle. Each lane is an in-row array_min fold.
+        //
+        // The trailing repartition is a MATERIALIZATION point, not a
+        // distribution change: it puts an exchange ABOVE the per-doc
+        // md5/minhash/fingerprint compute, so the four consumers below
+        // (two band-join sides, two fingerprint-join sides) reuse ONE
+        // computed copy via exchange reuse instead of re-running the
+        // hash pipeline four times. Payload is doc_id + 16 slices + the
+        // 64-bit fingerprint set (~1 KB/doc) — far smaller than
+        // re-reading and re-hashing the corpus text per branch, at any
+        // scale. It also leaves the data hash-clustered by doc_id,
+        // which the fingerprint joins then consume without a further
+        // shuffle on their build side.
+        val sigs = raw.select(col("doc_id"), col("n"), col("hs"),
+            array((0 until 16).map { j =>
               val base0 = (j % 4) * 8      // which 8-hex-char lane
               val rot = (j / 4) * 2        // cyclic rotation within it
-              concat(
-                substring(col("hd"), base0 + rot + 1, 8 - rot),
-                substring(col("hd"), base0 + 1, rot)).as(s"h$j")
-            }: _*)
-        val sigs = hashed.groupBy(col("doc_id"))
-          .agg(min(col("h0")).as("m0"),
-            (1 until 16).map(j => min(col(s"h$j")).as(s"m$j")): _*)
-          .select(col("doc_id"),
-            array((0 until 16).map(j => col(s"m$j")): _*).as("sl"))
+              array_min(transform(col("hd"), h => concat(
+                substring(h, base0 + rot + 1, 8 - rot),
+                substring(h, base0 + 1, rot))))
+            }: _*).as("sl"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         // Band grouping: band b takes lane b's four ROTATIONS (indices
         // b, b+4, b+8, b+12), so each band reads a DISJOINT 32-bit
         // digest lane — bands are independent families, which is what
@@ -108,15 +132,14 @@ object TextOps {
           .join(bands.select(col("doc_id").as("doc_b"), col("band_key")).hint("SHUFFLE_HASH"), "band_key")
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").distinct()
-        // Verification path: per-doc sorted xxhash64 fingerprint of the
-        // DISTINCT shingle set, built in one narrow no-shuffle pass;
-        // candidates verify via the same codegen'd sorted-merge kernel
-        // as t04 instead of re-joining the 100x-larger shingle rows
-        // twice. 64-bit collisions: the t04 argument — negligible.
-        val hsets = base.selectExpr("doc_id",
-            """sort_array(array_distinct(transform(sequence(0, size(ws) - 3),
-                 i -> xxhash64(concat_ws(' ', ws[i], ws[i+1], ws[i+2]))))) AS hs""")
-          .selectExpr("doc_id", "size(hs) AS n", "hs")
+        // Verification: candidates re-join the per-doc fingerprints
+        // (column pruning drops hd/sl from this branch, so the md5
+        // work is not recomputed here) and count the intersection with
+        // the codegen'd sorted-merge kernel. Both fingerprint sides
+        // prune sigs to the same (doc_id, n, hs) columns, so they share
+        // one reused exchange — and sigs is already hash-clustered by
+        // doc_id, the join key, so neither build side re-shuffles.
+        val hsets = sigs.select(col("doc_id"), col("n"), col("hs"))
         cand
           // hsets is corpus-sized: shuffle-hash on the unique doc key,
           // never broadcast (VERDICT r1 scale rule)
