@@ -172,7 +172,14 @@ object VectorOps {
     // the bucket join is the piece that scales where v01 cannot.
     QueryEntry("v04_ann_lsh",
       (s, d) => {
+        // Materialization exchange ABOVE the signature compute (same
+        // pattern as t02): the per-row 16x64 DECIMAL fold is the
+        // expensive part, and both sides of the bucket self-join
+        // consume it — without this exchange each side recomputes the
+        // signatures; with it the canonically-identical subtrees share
+        // one reused shuffle output (vec_id + 16-char sig, tiny).
         val sig = entries.find(_.name == "v03_lsh_signature").get.fn(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         val bands = sig.selectExpr("vec_id",
           "explode(transform(sequence(0, 3), t -> concat(t, ':', substring(sig, t * 4 + 1, 4)))) AS bucket")
         // verify every bucket collision, dedupe AFTER the threshold
