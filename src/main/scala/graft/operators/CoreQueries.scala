@@ -587,6 +587,69 @@ object CoreQueries {
           FROM f)
         SELECT user_id, STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS run_start,
           STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS run_end, COUNT(*) AS run_len
-        FROM r GROUP BY user_id, run_id HAVING COUNT(*) >= 3"""))
+        FROM r GROUP BY user_id, run_id HAVING COUNT(*) >= 3""")),
+
+    // ------------------------------------------------------------------
+    // MATCH_RECOGNIZE (SQL:2016 row pattern recognition, the full-regex
+    // half q28's gaps-and-islands does not cover): per-user V-shaped
+    // purchase-value patterns, PATTERN (D+ U+) with DEFINE D AS delta<0,
+    // U AS delta>0, ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW.
+    // PREV(value) navigation is precomputed as a lag window column
+    // (Spark-first spelling), then graft's backtracking row-pattern
+    // matcher (operators/PatternMatch.scala) runs over the sorted
+    // per-user stream. The oracle spells the same semantics as
+    // gaps-and-islands SQL: greedy D+ consumes a maximal falling run,
+    // U+ the adjacent maximal rising run, so matches are exactly
+    // (maximal D-run, adjacent U-run) pairs — provably identical to
+    // the NFA's leftmost-greedy, skip-past-last-row behavior.
+    QueryEntry("q29_match_recognize",
+      (s, d) => {
+        val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val ev = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("delta", col("value") - lag(col("value"), 1).over(byTs))
+          // q28 timestamp discipline: format to seconds, never emit
+          // raw ns-truncated timestamps
+          .withColumn("ts_s", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        PatternMatch.matchPattern(ev,
+          partitionBy = Seq("user_id"),
+          orderBy = Seq("ts", "event_id"),
+          symbols = Seq(
+            "D" -> (col("delta") < 0),
+            "U" -> (col("delta") > 0)),
+          pattern = "D+ U+",
+          measures = Seq(
+            PatternMatch.Measure("start_ts", "first", "D", "ts_s"),
+            PatternMatch.Measure("end_ts", "last", "U", "ts_s"),
+            PatternMatch.Measure("n_down", "count", "D"),
+            PatternMatch.Measure("n_up", "count", "U"),
+            PatternMatch.Measure("bottom", "last", "D", "value"),
+            PatternMatch.Measure("peak", "last", "U", "value")))
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        d AS (SELECT user_id, ts, event_id, value,
+            value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+          FROM ev),
+        c AS (SELECT *, CASE WHEN delta < 0 THEN 'D' WHEN delta > 0 THEN 'U' ELSE 'X' END AS cls,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM d),
+        r AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, cls ORDER BY rn) AS grp FROM c),
+        runs AS (SELECT user_id, cls, grp, MIN(rn) AS srn, MAX(rn) AS ern,
+            STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+            STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+            COUNT(*) AS n, ARG_MAX(value, rn) AS last_v
+          FROM r GROUP BY user_id, cls, grp),
+        paired AS (SELECT a.user_id, a.srn,
+            a.start_s AS start_ts, b.end_s AS end_ts,
+            a.n AS n_down, b.n AS n_up, a.last_v AS bottom, b.last_v AS peak
+          FROM runs a JOIN runs b
+            ON b.user_id = a.user_id AND b.srn = a.ern + 1
+           AND a.cls = 'D' AND b.cls = 'U')
+        SELECT user_id,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY srn) AS match_num,
+          start_ts, end_ts, n_down, n_up, bottom, peak
+        FROM paired"""))
   )
 }

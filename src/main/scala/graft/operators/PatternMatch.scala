@@ -1,0 +1,309 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Row-pattern matching (the MATCH_RECOGNIZE surface pinned by the
+  * reference's Trino 468 engine, `docker/devserver/Dockerfile:14`):
+  * regular expressions over partitioned, ordered row streams, with
+  * per-symbol boolean predicates and per-match measures.
+  *
+  * Implemented subset (the commonly used core of SQL:2016 row pattern
+  * recognition): ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW,
+  * greedy quantifiers, patterns over symbols with concatenation,
+  * alternation `|`, grouping `(..)`, and quantifiers `* + ? {n} {n,}
+  * {n,m}`. DEFINE predicates are per-row [[Column]] expressions;
+  * navigation (PREV/NEXT) is expressed Spark-first by precomputing
+  * lag/lead window columns before matching — the predicate then reads
+  * an ordinary column, which keeps symbol evaluation inside
+  * whole-stage codegen.
+  *
+  * Scale design: symbol predicates are evaluated as codegen'd boolean
+  * columns in a narrow projection; rows then shuffle ONCE on the
+  * partition keys and sort within partitions (sort-based exchange —
+  * spillable, no hash map of groups), and the matcher streams the
+  * sorted partition holding only the CURRENT key group in memory.
+  * Memory bound = largest single key group, the same contract as any
+  * per-key sequential scan (and Trino's own matcher); at 100 TB the
+  * partition key is fine-grained (user, symbol, session), so groups
+  * stay small while partitions stream.
+  *
+  * The matcher itself is a backtracking regex engine over the group's
+  * symbol-truth matrix: leftmost match wins, quantifiers prefer more
+  * (greedy), and each matched row is classified by the symbol the
+  * winning path assigned — classifier-aware measures (FIRST/LAST/
+  * COUNT/MIN/MAX/SUM per symbol) read that assignment.
+  */
+object PatternMatch {
+
+  // ---- pattern AST + parser ------------------------------------------
+
+  private[graft] sealed trait Pat
+  private[graft] final case class Sym(idx: Int) extends Pat
+  private[graft] final case class Cat(ps: List[Pat]) extends Pat
+  private[graft] final case class Alt(ps: List[Pat]) extends Pat
+  private[graft] final case class Rep(p: Pat, min: Int, max: Int) extends Pat // max -1 = unbounded
+
+  /** Parse a pattern like `"A B+ (C | D){1,3} E?"` against the symbol
+    * name list. Fails fast on unknown symbols or syntax errors. */
+  private[graft] def parse(pattern: String, symbols: Seq[String]): Pat = {
+    val symIdx = symbols.zipWithIndex.toMap
+    val toks = tokenize(pattern)
+    var pos = 0
+    def peek: String = if (pos < toks.length) toks(pos) else ""
+    def take(): String = { val t = peek; pos += 1; t }
+    def parseAlt(): Pat = {
+      val first = parseCat()
+      if (peek != "|") first
+      else {
+        val ps = scala.collection.mutable.ListBuffer(first)
+        while (peek == "|") { take(); ps += parseCat() }
+        Alt(ps.toList)
+      }
+    }
+    def parseCat(): Pat = {
+      val ps = scala.collection.mutable.ListBuffer[Pat]()
+      while (peek.nonEmpty && peek != "|" && peek != ")") ps += parseRep()
+      if (ps.isEmpty) sys.error(s"empty pattern branch in: $pattern")
+      if (ps.length == 1) ps.head else Cat(ps.toList)
+    }
+    def parseRep(): Pat = {
+      val atom = parseAtom()
+      peek match {
+        case "*" => take(); Rep(atom, 0, -1)
+        case "+" => take(); Rep(atom, 1, -1)
+        case "?" => take(); Rep(atom, 0, 1)
+        case t if t.startsWith("{") =>
+          take()
+          val body = t.substring(1, t.length - 1)
+          val parts = body.split(",", -1)
+          val lo = parts(0).trim.toInt
+          val hi =
+            if (parts.length == 1) lo
+            else if (parts(1).trim.isEmpty) -1
+            else parts(1).trim.toInt
+          require(hi == -1 || hi >= lo, s"bad quantifier {$body}")
+          Rep(atom, lo, hi)
+        case _ => atom
+      }
+    }
+    def parseAtom(): Pat = {
+      val t = take()
+      if (t == "(") {
+        val inner = parseAlt()
+        require(take() == ")", s"unclosed group in: $pattern")
+        inner
+      } else symIdx.get(t) match {
+        case Some(i) => Sym(i)
+        case None    => sys.error(s"unknown symbol '$t' in pattern: $pattern")
+      }
+    }
+    val res = parseAlt()
+    require(pos == toks.length, s"trailing tokens in pattern: $pattern")
+    res
+  }
+
+  private def tokenize(p: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < p.length) {
+      val c = p(i)
+      if (c.isWhitespace) i += 1
+      else if ("()|*+?".indexOf(c) >= 0) { out += c.toString; i += 1 }
+      else if (c == '{') {
+        val j = p.indexOf('}', i)
+        require(j > i, s"unclosed quantifier in: $p")
+        out += p.substring(i, j + 1); i = j + 1
+      } else {
+        var j = i
+        while (j < p.length && (p(j).isLetterOrDigit || p(j) == '_')) j += 1
+        require(j > i, s"unexpected char '${p(i)}' in pattern: $p")
+        out += p.substring(i, j); i = j
+      }
+    }
+    out.result()
+  }
+
+  // ---- matcher --------------------------------------------------------
+
+  /** One match: [start, end) row span plus per-row classifier. */
+  private[graft] final case class Match(start: Int, end: Int, cls: Array[Int])
+
+  /** Backtracking step budget per key group — patterns are small and
+    * rows consume on every Sym, so real workloads sit far below this;
+    * a pathological pattern fails loudly instead of looping. */
+  private val MaxSteps = 10_000_000L
+
+  /** All non-overlapping matches in one key group (rows already in
+    * order): leftmost start, greedy quantifiers, skip past last row. */
+  private[graft] def findMatches(truth: Array[Array[Boolean]], pat: Pat): Seq[Match] = {
+    val n = truth.length
+    val out = scala.collection.mutable.ArrayBuffer[Match]()
+    val cls = Array.fill(n)(-1)
+    var steps = 0L
+    // CPS backtracking: m(p, pos, k) tries to match p starting at pos,
+    // calling k(end) for each admissible end in preference order
+    // (greedy first); returns true as soon as any continuation accepts.
+    def m(p: Pat, pos: Int, k: Int => Boolean): Boolean = {
+      steps += 1
+      if (steps > MaxSteps) sys.error("pattern match exceeded backtracking budget")
+      p match {
+        case Sym(i) =>
+          if (pos < n && truth(pos)(i)) {
+            val prev = cls(pos); cls(pos) = i
+            if (k(pos + 1)) true else { cls(pos) = prev; false }
+          } else false
+        case Cat(ps) =>
+          def cat(rest: List[Pat], at: Int): Boolean = rest match {
+            case Nil     => k(at)
+            case h :: tl => m(h, at, e => cat(tl, e))
+          }
+          cat(ps, pos)
+        case Alt(ps) => ps.exists(alt => m(alt, pos, k))
+        case Rep(p0, min, max) =>
+          def rep(count: Int, at: Int): Boolean = {
+            val more = (max == -1 || count < max) &&
+              m(p0, at, e => if (e == at) false else rep(count + 1, e)) // require progress
+            if (more) true
+            else if (count >= min) k(at)
+            else false
+          }
+          rep(0, pos)
+      }
+    }
+    var start = 0
+    while (start < n) {
+      var matchedEnd = -1
+      // greedy: the first end the backtracking order reaches IS the
+      // preferred (longest-quantifier) parse; record and stop.
+      m(pat, start, e => { matchedEnd = e; true })
+      if (matchedEnd > start) {
+        out += Match(start, matchedEnd, cls.slice(start, matchedEnd))
+        java.util.Arrays.fill(cls, start, matchedEnd, -1)
+        start = matchedEnd // AFTER MATCH SKIP PAST LAST ROW
+      } else {
+        if (matchedEnd == start) java.util.Arrays.fill(cls, 0, n, -1) // empty match: no row consumed
+        start += 1
+      }
+    }
+    out.toSeq
+  }
+
+  // ---- measures -------------------------------------------------------
+
+  /** A per-match output column. `agg` in first|last|min|max|sum|count;
+    * `symbol` restricts to rows the winning path classified as that
+    * symbol ("*" = every matched row); `field` is the input column the
+    * aggregate reads (ignored for count). */
+  final case class Measure(name: String, agg: String, symbol: String, field: String = "")
+
+  /** Run the pattern over `df`. Output: partitionBy columns, then
+    * `match_num` (1-based per partition key, in order), then one
+    * column per measure. */
+  def matchPattern(
+      df: DataFrame,
+      partitionBy: Seq[String],
+      orderBy: Seq[String],
+      symbols: Seq[(String, Column)],
+      pattern: String,
+      measures: Seq[Measure]): DataFrame = {
+
+    val symNames = symbols.map(_._1)
+    val pat = parse(pattern, symNames)
+    val inSchema = df.schema
+    def fieldType(f: String): DataType = inSchema(inSchema.fieldIndex(f)).dataType
+
+    val outSchema = StructType(
+      partitionBy.map(c => inSchema(inSchema.fieldIndex(c))) ++
+        Seq(StructField("match_num", LongType, nullable = false)) ++
+        measures.map { ms =>
+          val dt = ms.agg match {
+            case "count"          => LongType
+            case "first" | "last" => fieldType(ms.field)
+            case "min" | "max" => fieldType(ms.field) match {
+              case DoubleType | FloatType => DoubleType
+              case _                      => LongType
+            }
+            case "sum" => DoubleType
+            case _     => sys.error(s"unknown measure agg: ${ms.agg}")
+          }
+          StructField(ms.name, dt)
+        })
+
+    // narrow, codegen'd projection: keys, order, measure inputs, and
+    // one boolean per symbol predicate
+    val measureFields = measures.filter(_.agg != "count").map(_.field).distinct
+    val projected = df.select(
+      (partitionBy ++ orderBy ++ measureFields).distinct.map(col) ++
+        symbols.map { case (nm, c) => c.cast(BooleanType).as(s"__sym_$nm") }: _*)
+    val pSchema = projected.schema
+    val keyIdx = partitionBy.map(pSchema.fieldIndex).toArray
+    val symIdxs = symNames.map(n => pSchema.fieldIndex(s"__sym_$n")).toArray
+    val fieldIdx = measureFields.map(f => f -> pSchema.fieldIndex(f)).toMap
+    val symOfName = symNames.zipWithIndex.toMap
+
+    val sorted = projected
+      .repartition(partitionBy.map(col): _*)
+      .sortWithinPartitions((partitionBy ++ orderBy).map(col): _*)
+
+    sorted.mapPartitions { iter =>
+      val buf = scala.collection.mutable.ArrayBuffer[Row]()
+      var curKey: Seq[Any] = null
+
+      def emitGroup(): Iterator[Row] = {
+        if (buf.isEmpty) Iterator.empty
+        else {
+          val rows = buf.toArray
+          val truth = rows.map(r => symIdxs.map(i => !r.isNullAt(i) && r.getBoolean(i)))
+          val ms = findMatches(truth, pat)
+          val key = curKey
+          buf.clear()
+          ms.iterator.zipWithIndex.map { case (mt, mi) =>
+            val vals = measures.map { msr =>
+              val want = if (msr.symbol == "*") -1 else symOfName(msr.symbol)
+              val idxs = (mt.start until mt.end).filter(i => want == -1 || mt.cls(i - mt.start) == want)
+              msr.agg match {
+                case "count" => idxs.length.toLong
+                case "first" => if (idxs.isEmpty) null else rows(idxs.head).get(fieldIdx(msr.field))
+                case "last"  => if (idxs.isEmpty) null else rows(idxs.last).get(fieldIdx(msr.field))
+                case "min" | "max" | "sum" =>
+                  val nums = idxs.map(i => rows(i).get(fieldIdx(msr.field)))
+                    .filter(_ != null).map {
+                      case n: java.lang.Number => n.doubleValue()
+                      case other => sys.error(s"non-numeric measure field ${msr.field}: $other")
+                    }
+                  if (nums.isEmpty) null
+                  else if (msr.agg == "sum") nums.sum
+                  else {
+                    val v = if (msr.agg == "min") nums.min else nums.max
+                    fieldType(msr.field) match {
+                      case DoubleType | FloatType => v
+                      case _                      => v.toLong
+                    }
+                  }
+              }
+            }
+            Row.fromSeq(key ++ Seq((mi + 1).toLong) ++ vals)
+          }
+        }
+      }
+
+      new Iterator[Row] {
+        private var pending: Iterator[Row] = Iterator.empty
+        private def advance(): Unit = {
+          while (!pending.hasNext && iter.hasNext) {
+            val r = iter.next()
+            val k = keyIdx.map(r.get).toSeq
+            if (curKey == null) curKey = k
+            if (k != curKey) { pending = emitGroup(); curKey = k; buf += r }
+            else buf += r
+          }
+          if (!pending.hasNext && !iter.hasNext && buf.nonEmpty) pending = emitGroup()
+        }
+        def hasNext: Boolean = { advance(); pending.hasNext }
+        def next(): Row = { advance(); pending.next() }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PatternMatch
+import graft.operators.PatternMatch.{Measure, findMatches, parse}
+
+/** Row-pattern matcher (MATCH_RECOGNIZE subset): parser, NFA semantics
+  * (greedy quantifiers, leftmost match, skip past last row), classifier
+  * assignment, measures, and the end-to-end DataFrame operator.
+  */
+class PatternMatchSpec extends SparkSpec {
+
+  private def truthOf(s: String, syms: String): Array[Array[Boolean]] =
+    s.map(c => syms.map(_ == c).toArray).toArray
+
+  // one symbol per char: rows spelled as a string, e.g. "DDUU"
+  private def spans(rows: String, syms: String, pattern: String): Seq[(Int, Int)] =
+    findMatches(truthOf(rows, syms), parse(pattern, syms.map(_.toString)))
+      .map(m => (m.start, m.end))
+
+  test("plus quantifier is greedy and skips past last row") {
+    assert(spans("DDUUDU", "DU", "D+ U+") === Seq((0, 4), (4, 6)))
+  }
+
+  test("non-matching rows advance the start point") {
+    assert(spans("XDDUX", "DUX", "D+ U+") === Seq((1, 4)))
+  }
+
+  test("alternation and optional") {
+    assert(spans("ABC", "ABC", "A (B | C) C?") === Seq((0, 3)))
+    assert(spans("ACB", "ABC", "A (B | C) B?") === Seq((0, 3)))
+  }
+
+  test("bounded quantifier {n,m} prefers more") {
+    assert(spans("AAAA", "A", "A{2,3}") === Seq((0, 3)))
+    assert(spans("AAAA", "A", "A{1,}") === Seq((0, 4)))
+    assert(spans("AA", "A", "A{3}") === Seq())
+  }
+
+  test("star matches zero occurrences but a match must consume rows") {
+    // B* alone can match empty at every position -> no rows consumed, no matches
+    assert(spans("AAA", "AB", "B*") === Seq())
+    assert(spans("ABBA", "AB", "A B*") === Seq((0, 3), (3, 4)))
+  }
+
+  test("backtracking: greedy rep gives back rows for the suffix") {
+    // A+ A: the + must give one A back
+    assert(spans("AAA", "A", "A+ A") === Seq((0, 3)))
+  }
+
+  test("classifier assigns winning-path symbols with overlapping predicates") {
+    // rows where BOTH symbols hold: pattern decides the classification
+    val truth = Array(Array(true, true), Array(true, true), Array(false, true))
+    val ms = findMatches(truth, parse("A+ B+", Seq("A", "B")))
+    assert(ms.map(m => (m.start, m.end, m.cls.toSeq)) === Seq((0, 3, Seq(0, 0, 1))))
+  }
+
+  test("unknown symbol and syntax errors fail fast") {
+    intercept[RuntimeException](parse("A Q", Seq("A")))
+    intercept[RuntimeException](parse("A (B", Seq("A", "B")))
+  }
+
+  test("end-to-end operator: V-pattern over a keyed ordered frame") {
+    import spark.implicits._
+    // key 1: 10,8,6,9,11 -> one V (2 down, 2 up); key 2: rising only
+    val df = Seq(
+      (1, 1, 10.0), (1, 2, 8.0), (1, 3, 6.0), (1, 4, 9.0), (1, 5, 11.0),
+      (2, 1, 1.0), (2, 2, 2.0), (2, 3, 3.0))
+      .toDF("k", "seq", "v")
+      .withColumn("delta", col("v") - lag(col("v"), 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("seq")))
+    val out = PatternMatch.matchPattern(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq("D" -> (col("delta") < 0), "U" -> (col("delta") > 0)),
+      pattern = "D+ U+",
+      measures = Seq(
+        Measure("n_down", "count", "D"),
+        Measure("n_up", "count", "U"),
+        Measure("bottom", "last", "D", "v"),
+        Measure("peak", "max", "U", "v"),
+        Measure("total", "sum", "*", "v")))
+    val rows = out.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(rows === Seq((1, 1L, 2L, 2L, 6.0, 11.0, 8.0 + 6.0 + 9.0 + 11.0)))
+  }
+
+  test("multiple matches number sequentially per key") {
+    import spark.implicits._
+    val df = Seq((1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"))
+      .toDF("k", "seq", "t")
+    val out = PatternMatch.matchPattern(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq("A" -> (col("t") === "a"), "B" -> (col("t") === "b")),
+      pattern = "A B",
+      measures = Seq(Measure("n", "count", "*")))
+    assert(out.select("match_num").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("q29 entry matches its oracle shape at sf0.001") {
+    val q = SparkEntry.queries("q29_match_recognize")(spark, sf())
+    assert(q.columns.toSeq === Seq("user_id", "match_num", "start_ts", "end_ts",
+      "n_down", "n_up", "bottom", "peak"))
+    assert(q.count() > 0)
+  }
+}
