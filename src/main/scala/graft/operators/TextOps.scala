@@ -389,6 +389,139 @@ object TextOps {
         LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
         LENGTH(text) AS n_chars_obs,
         CAST(LENGTH(text) AS DOUBLE) / LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS chars_per_token
-        FROM documents"""))
+        FROM documents""")),
+
+    // ------------------------------------------------------------------
+    // PII redaction: regex scrub of emails / NANP-style phone numbers /
+    // IPv4 addresses before training. The synthetic corpus carries no
+    // PII, so both engines first INJECT deterministic fake PII into a
+    // doc_id-keyed subset (identical spelling both sides), then redact
+    // — the counts prove the scrubber fires, and the distinct-hash of
+    // the redacted text proves the rewrite is byte-identical. At scale
+    // this is one narrow regexp pass, no shuffle except the final
+    // per-source rollup.
+    QueryEntry("t10_pii_redact",
+      (s, d) => {
+        // regexes via the Column API: Scala strings reach the regex
+        // engine verbatim (selectExpr would re-process backslashes in
+        // SQL literals)
+        val eRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val pRe = "\\+1-555-0[0-9]{3}"
+        val iRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+        docs(s, d)
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 7 === 0,
+                concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com")))
+              .when(col("doc_id") % 11 === 0,
+                concat(col("text"), lit(" call +1-555-0"),
+                  lpad((col("doc_id") % 1000).cast("string"), 3, "0")))
+              .when(col("doc_id") % 13 === 0,
+                concat(col("text"), lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")))
+              .otherwise(col("text")).as("raw"))
+          .select(col("doc_id"), col("source"),
+            size(regexp_extract_all(col("raw"), lit(eRe), lit(0))).as("n_emails"),
+            size(regexp_extract_all(col("raw"), lit(pRe), lit(0))).as("n_phones"),
+            size(regexp_extract_all(col("raw"), lit(iRe), lit(0))).as("n_ips"),
+            regexp_replace(regexp_replace(regexp_replace(col("raw"),
+              eRe, "<EMAIL>"), pRe, "<PHONE>"), iRe, "<IP>").as("clean"))
+          .groupBy(col("source"))
+          .agg(sum(col("n_emails")).as("emails"),
+            sum(col("n_phones")).as("phones"),
+            sum(col("n_ips")).as("ips"),
+            count(when(col("n_emails") + col("n_phones") + col("n_ips") > 0, 1)).as("docs_touched"),
+            countDistinct(md5(col("clean"))).as("distinct_clean"))
+      },
+      Some("""WITH injected AS (SELECT doc_id, source,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               WHEN doc_id % 11 = 0 THEN text || ' call +1-555-0' || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               WHEN doc_id % 13 = 0 THEN text || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+               ELSE text END AS raw
+          FROM documents),
+        scrubbed AS (SELECT doc_id, source,
+          LEN(REGEXP_EXTRACT_ALL(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          LEN(REGEXP_EXTRACT_ALL(raw, '\+1-555-0[0-9]{3}')) AS n_phones,
+          LEN(REGEXP_EXTRACT_ALL(raw, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+          REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(raw,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\+1-555-0[0-9]{3}', '<PHONE>', 'g'),
+            '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean
+          FROM injected)
+        SELECT source, CAST(SUM(n_emails) AS BIGINT) AS emails,
+          CAST(SUM(n_phones) AS BIGINT) AS phones,
+          CAST(SUM(n_ips) AS BIGINT) AS ips,
+          COUNT(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 END) AS docs_touched,
+          COUNT(DISTINCT MD5(clean)) AS distinct_clean
+        FROM scrubbed GROUP BY source""")),
+
+    // ------------------------------------------------------------------
+    // Within-document repetition metrics (Gopher-style quality rules):
+    // duplicate-word fraction and most-frequent-bigram fraction, the
+    // signals used to drop boilerplate/spam before training. The
+    // bigram mode is computed via explode + per-(doc,gram) count + max
+    // — two shuffles, both linear in corpus size, skew-free (keys are
+    // (doc_id, gram)).
+    QueryEntry("t11_repetition",
+      (s, d) => {
+        val base = docs(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .selectExpr("doc_id", "split(lower(text), ' ') AS ws")
+          .filter(size(col("ws")) >= 2)
+        val wordStats = base.selectExpr("doc_id",
+          "size(ws) AS n_words",
+          "size(array_distinct(ws)) AS n_distinct")
+        val topBigram = base
+          .selectExpr("doc_id",
+            """explode(transform(sequence(0, size(ws) - 2),
+                 i -> concat_ws(' ', ws[i], ws[i+1]))) AS gram""")
+          .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"),
+            sum(col("c")).as("n_bigrams"))
+        wordStats.join(topBigram, "doc_id")
+          .selectExpr("doc_id", "n_words",
+            "round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac",
+            "round(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac",
+            "CAST(1.0 - CAST(n_distinct AS DOUBLE) / n_words > 0.9 AS BOOLEAN) AS repetitive")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ws FROM documents
+          WHERE LEN(STRING_SPLIT(LOWER(text), ' ')) >= 2),
+        wordstats AS (SELECT doc_id, LEN(ws) AS n_words,
+            LEN(LIST_DISTINCT(ws)) AS n_distinct FROM base),
+        grams AS (SELECT doc_id,
+            UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws)),
+              i -> ws[i] || ' ' || ws[i+1])) AS gram FROM base),
+        gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram),
+        tb AS (SELECT doc_id, MAX(c) AS top_bigram_n, CAST(SUM(c) AS BIGINT) AS n_bigrams
+          FROM gc GROUP BY doc_id)
+        SELECT w.doc_id, w.n_words,
+          ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+          ROUND(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
+          (1.0 - CAST(n_distinct AS DOUBLE) / n_words) > 0.9 AS repetitive
+        FROM wordstats w JOIN tb ON tb.doc_id = w.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Deterministic train/val/test split: assignment is a pure function
+    // of a content-independent key hash (the q24 cross-engine trick —
+    // md5 hex compares identically in both engines), so the split is
+    // reproducible, join-free, and stable under re-partitioning /
+    // re-ingestion — the property a 100 TB training pipeline actually
+    // needs (no sampling state, no shuffle; splits recoverable from the
+    // key alone).
+    QueryEntry("t12_split",
+      (s, d) => {
+        docs(s, d)
+          .selectExpr("doc_id", "source",
+            """CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'd' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'f' THEN 'val'
+                    ELSE 'test' END AS split""")
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""SELECT source,
+          CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+               WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+               ELSE 'test' END AS split,
+          COUNT(*) AS n_docs
+        FROM documents GROUP BY 1, 2"""))
   )
 }
