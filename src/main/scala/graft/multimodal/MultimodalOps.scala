@@ -10,14 +10,17 @@ import org.apache.spark.sql.types._
   * per-partition batch transforms.
   *
   * Spark-side plumbing (schema, partitioning, batch shape, signatures)
-  * is REAL and tested. The IMAGE path is real too: png/jpeg decode and
+  * is REAL and tested. The IMAGE path is real: png/jpeg decode and
   * resize go through javax.imageio / java.awt (JDK built-ins, headless)
   * — real dimensions in `withMeta`, real pixel sampling in
-  * `resizeImage`. Audio/video remain a clearly marked DETERMINISTIC
-  * STUB (no codec libs in this container): `stubDecode` derives
-  * fake-but-stable durations/samples from a content hash; a production
-  * deployment swaps its body for ffmpeg bindings without touching any
-  * plan shape. Every operator here is partition-parallel and
+  * `resizeImage`. The AUDIO path is real for wav: a manual RIFF chunk
+  * walk (`decodeWav` — the container spec is public; PCM needs no
+  * codec lib) yields actual duration/rate in `withMeta`, and
+  * `audioStats` computes RMS/peak from the actual PCM16 samples. Only
+  * VIDEO remains a clearly marked DETERMINISTIC STUB (no codec libs in
+  * this container): `stubDecode` derives fake-but-stable durations
+  * from a content hash; a production deployment swaps its body for
+  * ffmpeg bindings without touching any plan shape. Every operator here is partition-parallel and
   * shuffle-free (narrow maps only; one `explode` for frames whose
   * output is linear in requested frames, not in input bytes).
   */
@@ -36,6 +39,61 @@ object MultimodalOps {
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL wav decode: manual RIFF chunk walk (public container spec —
+    * no codec lib needed for PCM). Returns None unless the bytes are a
+    * well-formed RIFF/WAVE with a PCM (format 1) or IEEE-float
+    * (format 3) fmt chunk and a data chunk. */
+  final case class WavInfo(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                           nFrames: Long, durationMs: Long,
+                           dataOffset: Int, dataLen: Int)
+
+  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (u16(i) & 0xffffL) | ((u16(i + 2) & 0xffffL) << 16)
+    if (bytes.length < 44 || sniffFormat(bytes) != "wav") return None
+    var pos = 12 // past RIFF size + WAVE
+    var fmt: Option[(Int, Int, Int, Int)] = None // (audioFormat, channels, rate, bits)
+    var data: Option[(Int, Int)] = None          // (offset, len)
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = u32(pos + 4).toInt
+      if (len < 0 || pos + 8 + len > bytes.length) return None // truncated/corrupt
+      if (id == "fmt " && len >= 16)
+        fmt = Some((u16(pos + 8), u16(pos + 10), u32(pos + 12).toInt, u16(pos + 22)))
+      else if (id == "data")
+        data = Some((pos + 8, len))
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    for {
+      (audioFormat, ch, rate, bits) <- fmt
+      if (audioFormat == 1 || audioFormat == 3) && ch > 0 && rate > 0 && bits > 0
+      (off, len) <- data
+      bytesPerFrame = ch * bits / 8
+      if bytesPerFrame > 0
+    } yield {
+      val frames = len.toLong / bytesPerFrame
+      WavInfo(ch, rate, bits, frames, frames * 1000L / rate, off, len)
+    }
+  }
+
+  /** PCM16 sample stream of a decoded wav (channel-interleaved),
+    * normalized to [-1, 1]. Only bits==16 format-1 wavs — the common
+    * training-data case; other depths return an empty array. */
+  def wavSamples(bytes: Array[Byte], info: WavInfo): Array[Float] =
+    if (info.bitsPerSample != 16) Array.empty
+    else {
+      val n = info.dataLen / 2
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        val lo = bytes(info.dataOffset + 2 * i) & 0xff
+        val hi = bytes(info.dataOffset + 2 * i + 1).toInt // sign-extend
+        out(i) = ((hi << 8) | lo) / 32768.0f
+        i += 1
+      }
+      out
+    }
 
   /** Typed media metadata. Sniffing is real (magic numbers); numeric
     * fields come from the stub decoder. */
@@ -109,10 +167,14 @@ object MultimodalOps {
         val bytes = r.getAs[Array[Byte]](contentCol)
         val fmt = sniffFormat(bytes)
         // real decode for images (width/height from the actual codec;
-        // stills have no duration/sample rate); stub for audio/video
+        // stills have no duration/sample rate) and for wav (RIFF chunk
+        // walk: real duration + sample rate); stub only for video
         val (w, h, dur, sr) =
           if (fmt == "png" || fmt == "jpeg")
             decodeImage(bytes).map(i => (i.getWidth, i.getHeight, 0L, 0))
+              .getOrElse(stubDecode(bytes))
+          else if (fmt == "wav")
+            decodeWav(bytes).map(i => (0, 0, i.durationMs, i.sampleRate))
               .getOrElse(stubDecode(bytes))
           else stubDecode(bytes)
         Row.fromSeq(r.toSeq :+ Row(fmt, w, h, dur, sr))
@@ -160,6 +222,42 @@ object MultimodalOps {
             Array.tabulate(w * h)(i => base(i % 256))
         }
         Row.fromSeq(r.toSeq :+ px.toSeq)
+      }
+    }(enc)
+  }
+
+  /** REAL audio feature extraction for wav content: duration, sample
+    * rate, channels, frame count, RMS level and peak amplitude from
+    * the actual PCM samples. Non-wav (or non-PCM16) rows get nulls —
+    * honest absence, not stub numbers. Narrow, shuffle-free. */
+  def audioStats(df: DataFrame, contentCol: String = "content",
+                 outCol: String = "audio"): DataFrame = {
+    val statsSchema = StructType(Seq(
+      StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("duration_ms", LongType),
+      StructField("rms", DoubleType),
+      StructField("peak", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(
+      StructType(df.schema.fields :+ StructField(outCol, statsSchema)))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { it: Iterator[Row] =>
+      it.map { r =>
+        val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
+        val stats = decodeWav(bytes).map { info =>
+          val xs = wavSamples(bytes, info)
+          var sumSq = 0.0; var peak = 0.0; var i = 0
+          while (i < xs.length) {
+            val v = xs(i).toDouble
+            sumSq += v * v
+            val a = math.abs(v); if (a > peak) peak = a
+            i += 1
+          }
+          val rms = if (xs.isEmpty) 0.0 else math.sqrt(sumSq / xs.length)
+          Row(info.channels, info.sampleRate, info.nFrames, info.durationMs, rms, peak)
+        }.orNull
+        Row.fromSeq(r.toSeq :+ stats)
       }
     }(enc)
   }
