@@ -22,6 +22,37 @@ object TextOps {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
 
+  /** The t02 MinHash+LSH near-dup pipeline as oracle SQL — shared by
+    * t02 (raw pairs) and t14 (connected-component cluster rollup). */
+  private val minhashPairsOracle: String =
+    """WITH base AS (
+          SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ws FROM documents
+          WHERE LEN(STRING_SPLIT(LOWER(text), ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+          UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws) - 1),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM base),
+        shd AS (SELECT doc_id, MD5(shingle) AS hd FROM sh),
+        mh AS (SELECT doc_id, j,
+            MIN(SUBSTRING(hd, CAST((j % 4) * 8 + (j // 4) * 2 + 1 AS INT), CAST(8 - (j // 4) * 2 AS INT))
+             || SUBSTRING(hd, CAST((j % 4) * 8 + 1 AS INT), CAST((j // 4) * 2 AS INT))) AS sig
+          FROM shd, (SELECT UNNEST(RANGE(0, 16)) AS j) jt GROUP BY doc_id, j),
+        sigs AS (SELECT doc_id, LIST(sig ORDER BY j) AS sl FROM mh GROUP BY doc_id),
+        bands AS (SELECT doc_id,
+          UNNEST(LIST_TRANSFORM(RANGE(0, 4),
+            b -> CAST(b AS VARCHAR) || ':' || sl[b+1] || '|' || sl[b+5] || '|' || sl[b+9] || '|' || sl[b+13])) AS band_key
+          FROM sigs),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+          GROUP BY c.doc_a, c.doc_b)
+        SELECT doc_a, doc_b,
+          CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS jaccard
+        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.8"""
+
   val entries: Seq[QueryEntry] = Seq(
 
     // ------------------------------------------------------------------
@@ -152,33 +183,7 @@ object TextOps {
             (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
           .filter(col("jaccard") >= 0.8)
       },
-      Some("""WITH base AS (
-          SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ws FROM documents
-          WHERE LEN(STRING_SPLIT(LOWER(text), ' ')) >= 3),
-        sh AS (SELECT DISTINCT doc_id,
-          UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws) - 1),
-            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle FROM base),
-        shd AS (SELECT doc_id, MD5(shingle) AS hd FROM sh),
-        mh AS (SELECT doc_id, j,
-            MIN(SUBSTRING(hd, CAST((j % 4) * 8 + (j // 4) * 2 + 1 AS INT), CAST(8 - (j // 4) * 2 AS INT))
-             || SUBSTRING(hd, CAST((j % 4) * 8 + 1 AS INT), CAST((j // 4) * 2 AS INT))) AS sig
-          FROM shd, (SELECT UNNEST(RANGE(0, 16)) AS j) jt GROUP BY doc_id, j),
-        sigs AS (SELECT doc_id, LIST(sig ORDER BY j) AS sl FROM mh GROUP BY doc_id),
-        bands AS (SELECT doc_id,
-          UNNEST(LIST_TRANSFORM(RANGE(0, 4),
-            b -> CAST(b AS VARCHAR) || ':' || sl[b+1] || '|' || sl[b+5] || '|' || sl[b+9] || '|' || sl[b+13])) AS band_key
-          FROM sigs),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni FROM cand c
-          JOIN sh sa ON sa.doc_id = c.doc_a
-          JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
-          GROUP BY c.doc_a, c.doc_b)
-        SELECT doc_a, doc_b,
-          CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS jaccard
-        FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-        WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.8""")),
+      Some(minhashPairsOracle)),
 
     // ------------------------------------------------------------------
     // SimHash signatures: 64-bit signature from md5(word) nibbles,
@@ -522,6 +527,123 @@ object TextOps {
                WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'val'
                ELSE 'test' END AS split,
           COUNT(*) AS n_docs
-        FROM documents GROUP BY 1, 2"""))
+        FROM documents GROUP BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // Benchmark decontamination: flag training documents sharing word
+    // 5-grams with a held-out eval set (here the deterministic
+    // doc_id % 17 subset standing in for an eval benchmark). The
+    // classic pre-training hygiene step: eval grams are deduped, the
+    // overlap join runs on the gram string (one shuffle, keys are
+    // grams — high cardinality, skew-free), and each training doc
+    // reports how many of its distinct 5-grams appear anywhere in the
+    // eval set. At 100 TB the eval side is benchmark-sized (small) but
+    // still joined by shuffle, not broadcast, per the corpus-broadcast
+    // rule — AQE may still choose broadcast when it truly fits.
+    QueryEntry("t13_decontaminate",
+      (s, d) => {
+        val grams = docs(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .selectExpr("doc_id", "source", "split(lower(text), ' ') AS ws")
+          .filter(size(col("ws")) >= 5)
+          .selectExpr("doc_id", "source",
+            """explode(array_distinct(transform(sequence(0, size(ws) - 5),
+                 i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))) AS g""")
+        val evalGrams = grams.filter(col("doc_id") % 17 === 0).select("g").distinct()
+        grams.filter(col("doc_id") % 17 =!= 0)
+          .join(evalGrams, "g")
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_overlap"))
+          .withColumn("contaminated", col("n_overlap") >= 5)
+      },
+      Some("""WITH base AS (SELECT doc_id, source, STRING_SPLIT(LOWER(text), ' ') AS ws
+          FROM documents WHERE LEN(STRING_SPLIT(LOWER(text), ' ')) >= 5),
+        grams AS (SELECT DISTINCT doc_id, source,
+            UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws) - 3),
+              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS g
+          FROM base),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0)
+        SELECT doc_id, source, COUNT(*) AS n_overlap, COUNT(*) >= 5 AS contaminated
+        FROM grams JOIN ev USING (g)
+        WHERE doc_id % 17 <> 0 GROUP BY doc_id, source""")),
+
+    // ------------------------------------------------------------------
+    // Near-duplicate cluster resolution: connected components over the
+    // t02 pair graph — the step that turns pairwise "A~B" into "keep
+    // one doc per duplicate cluster". Spark-first iterative min-label
+    // propagation: each round joins edge endpoints to current labels
+    // and takes the per-node min (the public Hash-to-Min / GraphX
+    // pattern); rounds = graph diameter (dup clusters are near-cliques
+    // — 2-3 rounds), each round one join + one aggregation, both
+    // shuffle-parallel on node keys. localCheckpoint truncates the
+    // iterative lineage. The fixpoint check is an aggregate (count of
+    // changed labels), not a data collect. The oracle computes the
+    // same components with a recursive reachability CTE.
+    QueryEntry("t14_dup_clusters",
+      (s, d) => {
+        val pairs = entries.find(_.name == "t02_minhash_lsh").get.fn(s, d)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        val edges = pairs.union(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        var labels = edges.select(col("doc_a").as("node")).distinct()
+          .withColumn("label", col("node")).localCheckpoint()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 25) { // 25 >> any real dup-graph diameter
+          val nbrMin = edges
+            .join(labels.select(col("node").as("doc_b"), col("label")), "doc_b")
+            .groupBy(col("doc_a").as("node")).agg(min(col("label")).as("nbr_label"))
+          val next = labels.join(nbrMin, Seq("node"), "left")
+            .select(col("node"), col("label"),
+              least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
+            .localCheckpoint()
+          changed = next.filter(col("new_label") =!= col("label")).count()
+          labels = next.select(col("node"), col("new_label").as("label"))
+          rounds += 1
+        }
+        require(changed == 0, s"label propagation did not converge in $rounds rounds")
+        labels.groupBy(col("label").as("cluster"))
+          .agg(count(lit(1)).as("n_docs"), (count(lit(1)) - 1).as("n_removable"))
+      },
+      Some(s"""WITH pairs AS ($minhashPairsOracle),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach AS (
+          WITH RECURSIVE walk(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+          SELECT node, MIN(label) AS cluster FROM walk GROUP BY node)
+        SELECT cluster, COUNT(*) AS n_docs, COUNT(*) - 1 AS n_removable
+        FROM reach GROUP BY cluster""")),
+
+    // ------------------------------------------------------------------
+    // Stratified sampling: exactly k docs per source stratum, chosen by
+    // a deterministic content-independent hash order (reproducible
+    // across runs/engines/partitionings — no RNG state). One window
+    // per stratum; at scale this is a single shuffle on the stratum
+    // key, and k rows per stratum stream out of each group.
+    QueryEntry("t15_stratified_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        docs(s, d)
+          .withColumn("rk", md5(concat_ws(":", lit("strat"), col("doc_id"))))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))))
+          .filter(col("rn") <= 10)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"),
+            countDistinct(col("doc_id")).as("n_distinct"),
+            min(col("rk")).as("first_rk"))
+      },
+      Some("""WITH ranked AS (SELECT source, doc_id,
+          MD5('strat:' || CAST(doc_id AS VARCHAR)) AS rk,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY MD5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+        SELECT source, COUNT(*) AS n_sampled, COUNT(DISTINCT doc_id) AS n_distinct,
+          MIN(rk) AS first_rk
+        FROM ranked WHERE rn <= 10 GROUP BY source"""))
   )
 }
