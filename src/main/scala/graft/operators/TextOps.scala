@@ -537,9 +537,11 @@ object TextOps {
     // overlap join runs on the gram string (one shuffle, keys are
     // grams — high cardinality, skew-free), and each training doc
     // reports how many of its distinct 5-grams appear anywhere in the
-    // eval set. At 100 TB the eval side is benchmark-sized (small) but
-    // still joined by shuffle, not broadcast, per the corpus-broadcast
-    // rule — AQE may still choose broadcast when it truly fits.
+    // eval set. The eval side is benchmark-sized BY CONTRACT (a
+    // held-out eval suite, not the corpus), so the planner's broadcast
+    // of the deduped eval grams is the correct 100 TB plan: the
+    // corpus-sized gram stream flows map-side against it, no shuffle
+    // of the big side at all (asserted in PlanSpec).
     QueryEntry("t13_decontaminate",
       (s, d) => {
         val grams = docs(s, d)

@@ -43,6 +43,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t02 materializes per-doc signatures once (no expensive filter below the repartition)") {
+    // Round-3 regression gate: InferFiltersFromConstraints must not
+    // push an isnotnull() over the md5/xxhash pipeline below the
+    // repartition into the single-task scan stage (measured 4.6 s of
+    // single-threaded CPU before the coalesce(.., array()) fix), and
+    // the materialization exchange above the per-doc compute must be
+    // present so the four join branches can reuse it.
+    val p = plan(SparkEntry.queries("t02_minhash_lsh")(spark, sf()))
+    val scanFilters = p.linesIterator.filter(_.contains("DataFilters")).mkString("\n")
+    assert(!scanFilters.contains("md5") && !scanFilters.contains("xxhash"),
+      s"expensive expression pushed into scan filter: $scanFilters")
+  }
+
+  test("t13 broadcasts the benchmark-sized eval grams; q29 shuffles once on its key") {
+    // the eval side is benchmark-sized BY CONTRACT (a held-out eval
+    // set, not the corpus), so broadcasting it is the correct plan —
+    // the corpus-side gram stream must NOT be the build side
+    val p13 = plan(SparkEntry.queries("t13_decontaminate")(spark, sf()))
+    assert(p13.contains("BroadcastHashJoin"), p13.take(2000))
+    // the pattern matcher shuffles once on the partition key and sorts
+    // within partitions — no global sort, no window
+    val p29 = plan(SparkEntry.queries("q29_match_recognize")(spark, sf()))
+    assert(p29.contains("Exchange hashpartitioning(user_id"), p29.take(2000))
+    assert(!p29.contains("rangepartitioning"), s"global sort in q29: ${p29.take(2000)}")
+  }
+
   test("q27 has no unpartitioned window (GROUPS frame via day-table joins)") {
     // an unpartitioned WindowExec funnels every row into one task at
     // scale; q27 must compute its GROUPS frame from per-day aggregates
