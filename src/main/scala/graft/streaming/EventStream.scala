@@ -54,6 +54,46 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"), col("approx_users"))
 
+  /** Streaming exact dedup (streaming twin of the t01 batch op):
+    * duplicate event_ids are dropped within the watermark horizon.
+    * dropDuplicatesWithinWatermark keys state on event_id but PURGES
+    * each key once the watermark passes it — bounded state, unlike a
+    * plain dropDuplicates whose key set grows with the stream. At
+    * 100 TB this is the at-least-once -> exactly-once repair step
+    * between a replaying source and the sink. */
+  def dedupEvents(events: DataFrame, horizon: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join: the static dimension is re-planned
+    * per micro-batch (broadcast when it fits), carries no streaming
+    * state, and picks up dimension updates between batches — the
+    * standard lookup-enrichment shape. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(dim, Seq(key), "left")
+
+  /** Stream-stream interval join: purchases within 1h after a view by
+    * the same user. Both sides are watermarked and the join condition
+    * bounds event-time distance, so each side's buffered state is
+    * purged once the watermark passes the interval — the only join
+    * shape that survives an unbounded pair of streams. */
+  def viewToPurchase(events: DataFrame, horizon: String = "30 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("value").as("view_value"))
+      .withWatermark("view_ts", horizon)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", horizon)
+    views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_ts"), col("purchase_ts"),
+        col("view_value"), col("purchase_value"))
+  }
+
   /** Sliding 1h/30min windows (twin of e05). */
   def slidingValue(events: DataFrame): DataFrame =
     events

@@ -99,4 +99,59 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.exists(r => r.getAs[Long]("nEvents") == 3L),
       s"expected the closed 3-event session, got ${emitted.mkString(";")}")
   }
+
+  test("streaming dedup drops replayed event_ids within the watermark") {
+    val landing = Files.createTempDirectory("graft_dedup_in").toString
+    val ckpt = Files.createTempDirectory("graft_dedup_ck").toString
+    val out = Files.createTempDirectory("graft_dedup_out").toString
+    // drop 1: events 0..19; drop 2: REPLAYS 10..19 plus fresh 20..29
+    // (an at-least-once source re-delivering the tail of a batch)
+    mkEvents(20).coalesce(1).write.mode("append").parquet(landing)
+    mkEvents(30).filter($"event_id" >= 10).coalesce(1).write.mode("append").parquet(landing)
+
+    val deduped = EventStream.dedupEvents(
+      EventStream.readEvents(spark, landing, maxFilesPerTrigger = 1))
+    val q = EventStream.writeParquet(deduped, out, ckpt)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+    val ids = spark.read.parquet(out).select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == (0L until 30L), s"got ${ids.length} ids: ${ids.take(40).mkString(",")}")
+  }
+
+  test("stream-static enrichment join carries the dimension, no state") {
+    val landing = Files.createTempDirectory("graft_enrich_in").toString
+    val ckpt = Files.createTempDirectory("graft_enrich_ck").toString
+    val out = Files.createTempDirectory("graft_enrich_out").toString
+    mkEvents(21).coalesce(1).write.mode("append").parquet(landing)
+    val dim = (0L until 7L).map(u => (u, s"segment_${u % 3}")).toDF("user_id", "segment")
+    val q = EventStream.writeParquet(
+      EventStream.enrich(EventStream.readEvents(spark, landing), dim), out, ckpt)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+    val got = spark.read.parquet(out)
+    assert(got.count() == 21)
+    assert(got.filter($"segment".isNull).count() == 0)
+    assert(got.filter($"user_id" === 3L).select("segment").distinct().head().getString(0) == "segment_0")
+  }
+
+  test("stream-stream interval join pairs views with later purchases") {
+    val landing = Files.createTempDirectory("graft_ssj_in").toString
+    val ckpt = Files.createTempDirectory("graft_ssj_ck").toString
+    val out = Files.createTempDirectory("graft_ssj_out").toString
+    val base = 1700000000000000000L
+    def ev(id: Long, secOff: Long, user: Long, typ: String) =
+      (id, base + secOff * 1_000_000_000L, user, typ, id * 1.0, "{}")
+    // user 1: view at t0, purchase 10 min later (paired); purchase
+    // 2h later (outside interval); user 2: purchase with no view.
+    // sentinel far in the future pushes the watermark so results flush.
+    Seq(ev(0, 0, 1, "view"), ev(1, 600, 1, "purchase"),
+      ev(2, 7800, 1, "purchase"), ev(3, 300, 2, "purchase"),
+      ev(99, 86400 * 30, 3, "flush"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(landing)
+    val q = EventStream.writeParquet(
+      EventStream.viewToPurchase(EventStream.readEvents(spark, landing)), out, ckpt)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    assert(rows.head.getAs[Double]("purchase_value") == 1.0)
+  }
 }
