@@ -137,5 +137,78 @@ object DsQueries {
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment"""))
+,
+    // ------------------------------------------------------------------
+    // Window-over-aggregate (TPC-DS q47/q57 shape): monthly revenue per
+    // nation with previous-month delta and a 3-month moving average —
+    // aggregate first (two-phase, one shuffle), THEN window over the
+    // small aggregated series partitioned by nation (never a window
+    // over raw facts: the aggregate reduces cardinality by orders of
+    // magnitude before any ordered state is held).
+    QueryEntry("d04_monthly_momentum",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val monthly = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .join(Tables(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables(s, d, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables(s, d, "nation").select("n_nationkey", "n_name"),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(dsum(col("rev")).as("revenue"))
+        val w = Window.partitionBy(col("nation")).orderBy(col("month"))
+        monthly
+          .withColumn("prev_rev", lag(col("revenue"), 1).over(w))
+          .withColumn("delta", round(col("revenue") - coalesce(col("prev_rev"), col("revenue")), 6))
+          .withColumn("ma3", round(avg(col("revenue")).over(w.rowsBetween(-2, 0)), 6))
+          .select(col("nation"), col("month"), col("revenue"), col("delta"), col("ma3"))
+      },
+      Some(s"""WITH monthly AS (
+          SELECT n_name AS nation, STRFTIME(o_orderdate, '%Y-%m') AS month,
+            ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2)
+        SELECT nation, month, revenue,
+          ROUND(revenue - COALESCE(LAG(revenue) OVER w, revenue), 6) AS delta,
+          ROUND(AVG(revenue) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+        FROM monthly
+        WINDOW w AS (PARTITION BY nation ORDER BY month)""")),
+
+    // ------------------------------------------------------------------
+    // Top-k per group over joined facts (TPC-DS q3/q42 shape): rank
+    // parts by revenue within each brand, keep the top 3 — dense_rank
+    // over the aggregated (brand, part) series, never over raw facts.
+    QueryEntry("d05_topk_per_brand",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val agg = Tables(s, d, "lineitem")
+          .select(col("l_partkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .join(Tables(s, d, "part").select("p_partkey", "p_brand", "p_name"),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_name"))
+          .agg(dsum(col("rev")).as("revenue"))
+        agg.withColumn("rk", dense_rank().over(
+            Window.partitionBy(col("p_brand"))
+              .orderBy(col("revenue").desc, col("p_name"))))
+          .filter(col("rk") <= 3)
+          .select(col("p_brand"), col("p_name"), col("revenue"), col("rk"))
+      },
+      Some(s"""WITH agg AS (
+          SELECT p_brand, p_name, ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2)
+        SELECT p_brand, p_name, revenue, rk FROM (
+          SELECT *, DENSE_RANK() OVER (PARTITION BY p_brand
+            ORDER BY revenue DESC, p_name) AS rk
+          FROM agg) t
+        WHERE rk <= 3"""))
   )
 }
