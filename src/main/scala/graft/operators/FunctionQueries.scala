@@ -312,6 +312,43 @@ object FunctionQueries {
         FROM part""")),
 
     // ------------------------------------------------------------------
+    // Bitwise family (Trino bitwise_and/or/xor/left_shift/right_shift/
+    // bit_count surface): operators + functions over BIGINT, identical
+    // two's-complement semantics in both engines.
+    QueryEntry("f15_bitwise",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+            col("l_partkey"))
+        li.selectExpr("l_orderkey", "ln",
+            "l_partkey & 255 AS band",
+            "ln | 8 AS orr",
+            "CAST(l_partkey ^ ln AS BIGINT) AS xorv",
+            "shiftleft(ln, 3) AS shl",
+            "shiftright(l_partkey, 2) AS shr",
+            "bit_count(l_partkey) AS nbits",
+            "~ln AS notv")
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("orr")).as("sum_orr"),
+            sum(col("xorv")).as("sum_xor"),
+            sum(col("shl")).as("sum_shl"),
+            sum(col("shr")).as("sum_shr"),
+            sum(col("nbits")).as("sum_bits"),
+            sum(col("notv")).as("sum_not"))
+      },
+      Some("""WITH b AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln, l_partkey
+          FROM lineitem)
+        SELECT l_partkey & 255 AS band, COUNT(*) AS n,
+          CAST(SUM(ln | 8) AS BIGINT) AS sum_orr,
+          CAST(SUM(xor(l_partkey, ln)) AS BIGINT) AS sum_xor,
+          CAST(SUM(ln << 3) AS BIGINT) AS sum_shl,
+          CAST(SUM(l_partkey >> 2) AS BIGINT) AS sum_shr,
+          CAST(SUM(bit_count(l_partkey)) AS BIGINT) AS sum_bits,
+          CAST(SUM(~ln) AS BIGINT) AS sum_not
+        FROM b GROUP BY 1""")),
+
+    // ------------------------------------------------------------------
     QueryEntry("f12_xxhash_uuid_shape",
       (s, d) => {
         // xxhash64 / murmur hash: engine-specific values -> assert shape
