@@ -650,6 +650,52 @@ object CoreQueries {
         SELECT user_id,
           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY srn) AS match_num,
           start_ts, end_ts, n_down, n_up, bottom, peak
-        FROM paired"""))
+        FROM paired""")),
+
+    // ------------------------------------------------------------------
+    // Row-pattern funnel (bounded quantifier + backtracking): per-user
+    // PATTERN (V C{1,2} P) over the event stream — view, one or two
+    // clicks (greedy prefers two), purchase. A match span contains no
+    // second V, so matches from distinct views can never overlap —
+    // which lets the oracle spell the same semantics with LEADs: a
+    // view matches iff the next rows are (C,C,P) [greedy] or (C,P).
+    QueryEntry("q30_pattern_funnel",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+        PatternMatch.matchPattern(ev,
+          partitionBy = Seq("user_id"),
+          orderBy = Seq("ts", "event_id"),
+          symbols = Seq(
+            "V" -> (col("event_type") === "view"),
+            "C" -> (col("event_type") === "click"),
+            "P" -> (col("event_type") === "purchase")),
+          pattern = "V C{1,2} P",
+          measures = Seq(
+            PatternMatch.Measure("start_event", "first", "V", "event_id"),
+            PatternMatch.Measure("n_clicks", "count", "C"),
+            PatternMatch.Measure("purchase_value", "last", "P", "value")))
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_id, event_type, value FROM events),
+        w AS (SELECT user_id, event_id, event_type,
+            ROW_NUMBER() OVER win AS rn,
+            LEAD(event_type, 1) OVER win AS t1,
+            LEAD(event_type, 2) OVER win AS t2,
+            LEAD(event_type, 3) OVER win AS t3,
+            LEAD(value, 2) OVER win AS v2,
+            LEAD(value, 3) OVER win AS v3
+          FROM ev WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        m AS (SELECT user_id, rn, event_id AS start_event,
+            CASE WHEN t2 = 'click' AND t3 = 'purchase' THEN 2 ELSE 1 END AS n_clicks,
+            CASE WHEN t2 = 'click' AND t3 = 'purchase' THEN v3 ELSE v2 END AS purchase_value
+          FROM w
+          WHERE event_type = 'view' AND t1 = 'click'
+            AND ((t2 = 'click' AND t3 = 'purchase') OR t2 = 'purchase'))
+        SELECT user_id,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS match_num,
+          start_event, CAST(n_clicks AS BIGINT) AS n_clicks, purchase_value
+        FROM m"""))
   )
 }
