@@ -49,16 +49,19 @@ object MultimodalOps {
                            dataOffset: Int, dataLen: Int)
 
   def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+    if (bytes == null || bytes.length < 44 || sniffFormat(bytes) != "wav") return None
     def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
     def u32(i: Int): Long = (u16(i) & 0xffffL) | ((u16(i + 2) & 0xffffL) << 16)
-    if (bytes.length < 44 || sniffFormat(bytes) != "wav") return None
     var pos = 12 // past RIFF size + WAVE
     var fmt: Option[(Int, Int, Int, Int)] = None // (audioFormat, channels, rate, bits)
     var data: Option[(Int, Int)] = None          // (offset, len)
     while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
       val id = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val len = u32(pos + 4).toInt
-      if (len < 0 || pos + 8 + len > bytes.length) return None // truncated/corrupt
+      // Long arithmetic: a crafted chunk size near 2^31 must fail the
+      // bounds check, not overflow Int and sail past it
+      val lenL = u32(pos + 4)
+      if (lenL < 0 || pos.toLong + 8L + lenL > bytes.length) return None // truncated/corrupt
+      val len = lenL.toInt
       if (id == "fmt " && len >= 16)
         fmt = Some((u16(pos + 8), u16(pos + 10), u32(pos + 12).toInt, u16(pos + 22)))
       else if (id == "data")
@@ -104,8 +107,11 @@ object MultimodalOps {
     StructField("duration_ms", LongType),
     StructField("sample_rate", IntegerType)))
 
-  /** Real content sniffing by magic number — public file signatures. */
+  /** Real content sniffing by magic number — public file signatures.
+    * Null-safe: null content sniffs as "unknown", like any
+    * unrecognized bytes. */
   def sniffFormat(bytes: Array[Byte]): String = {
+    if (bytes == null) return "unknown"
     def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
     if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "png"
     else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpeg"
@@ -115,8 +121,10 @@ object MultimodalOps {
     else "unknown"
   }
 
-  /** Stable 64-bit content hash (FNV-1a; public-domain algorithm). */
+  /** Stable 64-bit content hash (FNV-1a; public-domain algorithm).
+    * Null content hashes like empty content. */
   def contentHash(bytes: Array[Byte]): Long = {
+    if (bytes == null) return 0xcbf29ce484222325L
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
@@ -228,8 +236,10 @@ object MultimodalOps {
 
   /** REAL audio feature extraction for wav content: duration, sample
     * rate, channels, frame count, RMS level and peak amplitude from
-    * the actual PCM samples. Non-wav (or non-PCM16) rows get nulls —
-    * honest absence, not stub numbers. Narrow, shuffle-free. */
+    * the actual PCM samples. Non-wav rows (including null content) get
+    * a null struct; decodable wavs whose sample depth we do not read
+    * (non-PCM16) keep their real header fields but get null rms/peak —
+    * honest absence, never a fake 0.0 "silence". Narrow, shuffle-free. */
   def audioStats(df: DataFrame, contentCol: String = "content",
                  outCol: String = "audio"): DataFrame = {
     val statsSchema = StructType(Seq(
@@ -246,16 +256,20 @@ object MultimodalOps {
       it.map { r =>
         val bytes = r.get(contentIdx).asInstanceOf[Array[Byte]]
         val stats = decodeWav(bytes).map { info =>
-          val xs = wavSamples(bytes, info)
-          var sumSq = 0.0; var peak = 0.0; var i = 0
-          while (i < xs.length) {
-            val v = xs(i).toDouble
-            sumSq += v * v
-            val a = math.abs(v); if (a > peak) peak = a
-            i += 1
+          if (info.bitsPerSample != 16 || info.nFrames == 0)
+            Row(info.channels, info.sampleRate, info.nFrames, info.durationMs, null, null)
+          else {
+            val xs = wavSamples(bytes, info)
+            var sumSq = 0.0; var peak = 0.0; var i = 0
+            while (i < xs.length) {
+              val v = xs(i).toDouble
+              sumSq += v * v
+              val a = math.abs(v); if (a > peak) peak = a
+              i += 1
+            }
+            Row(info.channels, info.sampleRate, info.nFrames, info.durationMs,
+              math.sqrt(sumSq / xs.length), peak)
           }
-          val rms = if (xs.isEmpty) 0.0 else math.sqrt(sumSq / xs.length)
-          Row(info.channels, info.sampleRate, info.nFrames, info.durationMs, rms, peak)
         }.orNull
         Row.fromSeq(r.toSeq :+ stats)
       }

@@ -625,7 +625,11 @@ object CoreQueries {
             PatternMatch.Measure("n_down", "count", "D"),
             PatternMatch.Measure("n_up", "count", "U"),
             PatternMatch.Measure("bottom", "last", "D", "value"),
-            PatternMatch.Measure("peak", "last", "U", "value")))
+            PatternMatch.Measure("peak", "last", "U", "value")),
+          // the lag window above already hash-partitioned by user_id
+          // and sorted by (user_id, ts, event_id) within partitions —
+          // the matcher must not shuffle the stream a second time
+          prePartitioned = true)
       },
       Some("""WITH ev AS (
           SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),

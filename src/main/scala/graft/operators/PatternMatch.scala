@@ -161,16 +161,58 @@ object PatternMatch {
           }
           cat(ps, pos)
         case Alt(ps) => ps.exists(alt => m(alt, pos, k))
+        case Rep(Sym(si), min, max) =>
+          // Iterative fast path for symbol runs (S+, S*, S{n,m}) — the
+          // hot shape. Consumes the run with a loop instead of one
+          // recursion frame per row (a 100k-row run must not overflow
+          // the stack), then tries continuation ends greedily.
+          var end = pos
+          while (end < n && truth(end)(si) && (max == -1 || end - pos < max)) end += 1
+          val saved = java.util.Arrays.copyOfRange(cls, pos, end)
+          java.util.Arrays.fill(cls, pos, end, si)
+          var take = end - pos
+          var ok = false
+          while (!ok && take >= min) {
+            steps += 1
+            ok = k(pos + take)
+            if (!ok) {
+              take -= 1
+              if (take >= 0 && pos + take < end) cls(pos + take) = saved(take)
+            }
+          }
+          if (!ok) System.arraycopy(saved, 0, cls, pos, end - pos)
+          ok
         case Rep(p0, min, max) =>
           def rep(count: Int, at: Int): Boolean = {
             val more = (max == -1 || count < max) &&
-              m(p0, at, e => if (e == at) false else rep(count + 1, e)) // require progress
+              m(p0, at, e => if (e == at) false else rep(count + 1, e)) // progress guard
             if (more) true
             else if (count >= min) k(at)
+            // below min with no consuming iteration left: the remaining
+            // required iterations may still be satisfiable as EMPTY
+            // matches of p0 (e.g. (A?){2} over one A row — SQL:2016
+            // admits the empty second iteration). One empty match of p0
+            // proves all remaining iterations can be empty.
+            else if (m(p0, at, e => e == at)) k(at)
             else false
           }
           rep(0, pos)
       }
+    }
+    // Leftmost-start skip for the common hot shape: when the pattern
+    // HEAD is an unbounded greedy symbol run (S+ / S{n,}), a failed
+    // match that started at row `start` inside an S-run has already
+    // tried every suffix of that run as the head — restarting one row
+    // later retries a strict subset and must fail too. Skipping to the
+    // run's end turns the monotone-run worst case (a long D+ run with
+    // no U after it) from O(run^2) into O(run).
+    val headSym: Int = {
+      def head(p: Pat): Option[Int] = p match {
+        case Rep(Sym(i), min, -1) if min >= 1 => Some(i)
+        case Cat(h :: _)                      => head(h)
+        case _                                => None
+      }
+      head(pat).getOrElse(-1)
     }
     var start = 0
     while (start < n) {
@@ -184,7 +226,11 @@ object PatternMatch {
         start = matchedEnd // AFTER MATCH SKIP PAST LAST ROW
       } else {
         if (matchedEnd == start) java.util.Arrays.fill(cls, 0, n, -1) // empty match: no row consumed
-        start += 1
+        if (headSym >= 0 && truth(start)(headSym)) {
+          var e = start + 1
+          while (e < n && truth(e)(headSym)) e += 1
+          start = e // every start inside the failed head run fails too
+        } else start += 1
       }
     }
     out.toSeq
@@ -200,14 +246,23 @@ object PatternMatch {
 
   /** Run the pattern over `df`. Output: partitionBy columns, then
     * `match_num` (1-based per partition key, in order), then one
-    * column per measure. */
+    * column per measure.
+    *
+    * `prePartitioned = true` asserts the CALLER's contract that `df`
+    * is already hash-distributed by `partitionBy` and sorted within
+    * partitions by `partitionBy ++ orderBy` — true whenever the input
+    * just came through a window over the same keys (the PREV/NEXT
+    * precompute pattern). The matcher then skips its own exchange +
+    * sort, avoiding a second full shuffle of the stream on the same
+    * key. */
   def matchPattern(
       df: DataFrame,
       partitionBy: Seq[String],
       orderBy: Seq[String],
       symbols: Seq[(String, Column)],
       pattern: String,
-      measures: Seq[Measure]): DataFrame = {
+      measures: Seq[Measure],
+      prePartitioned: Boolean = false): DataFrame = {
 
     val symNames = symbols.map(_._1)
     val pat = parse(pattern, symNames)
@@ -243,9 +298,11 @@ object PatternMatch {
     val fieldIdx = measureFields.map(f => f -> pSchema.fieldIndex(f)).toMap
     val symOfName = symNames.zipWithIndex.toMap
 
-    val sorted = projected
-      .repartition(partitionBy.map(col): _*)
-      .sortWithinPartitions((partitionBy ++ orderBy).map(col): _*)
+    val sorted =
+      if (prePartitioned) projected
+      else projected
+        .repartition(partitionBy.map(col): _*)
+        .sortWithinPartitions((partitionBy ++ orderBy).map(col): _*)
 
     sorted.mapPartitions { iter =>
       val buf = scala.collection.mutable.ArrayBuffer[Row]()

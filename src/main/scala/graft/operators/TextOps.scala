@@ -544,6 +544,12 @@ object TextOps {
     // of the big side at all (asserted in PlanSpec).
     QueryEntry("t13_decontaminate",
       (s, d) => {
+        // `grams` feeds both branches, but this is NOT double compute:
+        // the %17 filters are deterministic doc_id predicates, so
+        // Catalyst pushes them below the explode/split into each
+        // branch's scan — the eval branch processes 1/17 of the rows,
+        // the train branch the other 16/17; total gram work ~= one
+        // corpus pass, split disjointly.
         val grams = docs(s, d)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .selectExpr("doc_id", "source", "split(lower(text), ' ') AS ws")

@@ -55,6 +55,26 @@ class PatternMatchSpec extends SparkSpec {
     assert(ms.map(m => (m.start, m.end, m.cls.toSeq)) === Seq((0, 3, Seq(0, 0, 1))))
   }
 
+  test("bounded quantifier over an optional group admits empty iterations (SQL:2016)") {
+    // (A?){2} over one A row: one consuming iteration + one empty
+    // iteration satisfies the {2}
+    assert(spans("A", "A", "(A?){2}") === Seq((0, 1)))
+    assert(spans("AB", "AB", "(A?){3} B") === Seq((0, 2)))
+  }
+
+  test("long monotone head run is linear, not quadratic (no budget blowout)") {
+    // 20k falling rows with no rise: naive backtracking is O(run^2)
+    // ~ 6e8 steps (budget blowout); the head-run start skip makes it
+    // one pass
+    val truth = Array.fill(20000)(Array(true, false)) // all D, never U
+    val ms = findMatches(truth, parse("D+ U+", Seq("D", "U")))
+    assert(ms.isEmpty)
+    // and a run that DOES end in a rise still matches greedily
+    val truth2 = Array.fill(19999)(Array(true, false)) :+ Array(false, true)
+    val ms2 = findMatches(truth2, parse("D+ U+", Seq("D", "U")))
+    assert(ms2.map(m => (m.start, m.end)) === Seq((0, 20000)))
+  }
+
   test("unknown symbol and syntax errors fail fast") {
     intercept[RuntimeException](parse("A Q", Seq("A")))
     intercept[RuntimeException](parse("A (B", Seq("A", "B")))

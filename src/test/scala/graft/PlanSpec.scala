@@ -62,10 +62,13 @@ class PlanSpec extends SparkSpec {
     // the corpus-side gram stream must NOT be the build side
     val p13 = plan(SparkEntry.queries("t13_decontaminate")(spark, sf()))
     assert(p13.contains("BroadcastHashJoin"), p13.take(2000))
-    // the pattern matcher shuffles once on the partition key and sorts
-    // within partitions — no global sort, no window
+    // the pattern matcher rides the lag window's existing partitioning
+    // (prePartitioned contract): EXACTLY one user_id exchange in the
+    // whole plan — a second one means the stream shuffled twice on the
+    // same key — and no global sort
     val p29 = plan(SparkEntry.queries("q29_match_recognize")(spark, sf()))
-    assert(p29.contains("Exchange hashpartitioning(user_id"), p29.take(2000))
+    val nUserExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p29).size
+    assert(nUserExchanges == 1, s"expected 1 user_id exchange, got $nUserExchanges: ${p29.take(2000)}")
     assert(!p29.contains("rangepartitioning"), s"global sort in q29: ${p29.take(2000)}")
   }
 

@@ -141,10 +141,15 @@ class StreamingSpec extends SparkSpec {
       (id, base + secOff * 1_000_000_000L, user, typ, id * 1.0, "{}")
     // user 1: view at t0, purchase 10 min later (paired); purchase
     // 2h later (outside interval); user 2: purchase with no view.
-    // sentinel far in the future pushes the watermark so results flush.
+    // Watermark sentinels must survive the view/purchase FILTERS to
+    // reach the watermark operators (a non-matching event_type never
+    // would): one far-future view and one purchase 2h after it — too
+    // far apart to pair with anything, but each advances its side's
+    // watermark, which a left-outer variant of this join would need
+    // before emitting anything.
     Seq(ev(0, 0, 1, "view"), ev(1, 600, 1, "purchase"),
       ev(2, 7800, 1, "purchase"), ev(3, 300, 2, "purchase"),
-      ev(99, 86400 * 30, 3, "flush"))
+      ev(98, 86400 * 30, 3, "view"), ev(99, 86400 * 30 + 7200, 4, "purchase"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("append").parquet(landing)
     val q = EventStream.writeParquet(
