@@ -129,6 +129,25 @@ class MultimodalSpec extends SparkSpec {
     assert(a.getAs[Long]("duration_ms") == 250L)
   }
 
+  test("non-PCM16 wav keeps real header fields but null rms/peak") {
+    // 8-bit mono PCM: decodable header, sample depth we do not read
+    val frames = 1000
+    val bb = java.nio.ByteBuffer.allocate(44 + frames)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + frames); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(8000)
+    bb.putShort(1); bb.putShort(8)
+    bb.put("data".getBytes); bb.putInt(frames)
+    val wav8 = bb.array()
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, wav8)),
+      StructType(Seq(StructField("id", LongType), StructField("content", BinaryType))))
+    val a = MultimodalOps.audioStats(df).select("audio").head().getStruct(0)
+    assert(a.getAs[Integer]("sample_rate") == 8000 && a.getAs[Long]("duration_ms") == 125L)
+    assert(a.isNullAt(a.fieldIndex("rms")) && a.isNullAt(a.fieldIndex("peak")), a)
+  }
+
   test("truncated or corrupt wav falls back, never throws") {
     val good = wavBytes(8000, 100)
     val truncated = good.take(50) // header promises more data than present

@@ -116,6 +116,48 @@ class PatternMatchSpec extends SparkSpec {
     assert(out.select("match_num").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("matcher agrees with java.util.regex on 500 random (string, pattern) cases") {
+    // Java regex is ALSO a leftmost-greedy backtracking engine, and
+    // Matcher.find() continues past the last match — exactly ONE ROW
+    // PER MATCH + AFTER MATCH SKIP PAST LAST ROW over a
+    // one-symbol-per-row alphabet. Cross-check spans on random inputs.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val symGen = Gen.oneOf("A", "B", "C")
+    val atomGen: Gen[String] = for {
+      s <- symGen
+      q <- Gen.oneOf("", "", "+", "*", "?", "{2}", "{1,3}", "{2,}")
+    } yield s + q
+    val patGen: Gen[String] = for {
+      n <- Gen.chooseNum(1, 4)
+      atoms <- Gen.listOfN(n, atomGen)
+      alt <- Gen.oneOf(true, false)
+      altSym <- symGen
+    } yield {
+      val base = atoms.mkString(" ")
+      if (alt) s"($base | $altSym $altSym)" else base
+    }
+    val rowsGen = for {
+      len <- Gen.chooseNum(0, 24)
+      s <- Gen.listOfN(len, Gen.oneOf('A', 'B', 'C', 'X'))
+    } yield s.mkString
+    for (i <- 0 until 500) {
+      val pat = patGen.pureApply(Gen.Parameters.default, Seed(1000L + i))
+      val rows = rowsGen.pureApply(Gen.Parameters.default, Seed(5000L + i))
+      val got = spans(rows, "ABCX", pat)
+      // same pattern as a Java regex (strip spaces; symbols are chars)
+      val jre = java.util.regex.Pattern.compile(pat.replace(" ", ""))
+      val mt = jre.matcher(rows)
+      val want = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      var from = 0
+      while (from <= rows.length && mt.find(from)) {
+        if (mt.end > mt.start) { want += ((mt.start, mt.end)); from = mt.end }
+        else from = mt.start + 1 // empty regex match consumes nothing
+      }
+      assert(got === want.toSeq, s"case $i: rows='$rows' pattern='$pat'")
+    }
+  }
+
   test("q29 entry matches its oracle shape at sf0.001") {
     val q = SparkEntry.queries("q29_match_recognize")(spark, sf())
     assert(q.columns.toSeq === Seq("user_id", "match_num", "start_ts", "end_ts",
