@@ -349,6 +349,37 @@ object FunctionQueries {
         FROM b GROUP BY 1""")),
 
     // ------------------------------------------------------------------
+    // Array set operations (union/intersect/except + slice/flatten/
+    // position). Set-op outputs are order-unspecified across engines,
+    // so both sides sort before comparison.
+    QueryEntry("f16_array_setops",
+      (s, d) => {
+        Tables(s, d, "part")
+          .selectExpr("p_partkey",
+            "sequence(CAST(1 AS BIGINT), CAST(p_size % 6 + 2 AS BIGINT)) AS a",
+            "sequence(CAST(p_size % 4 + 1 AS BIGINT), CAST(p_size % 4 + 4 AS BIGINT)) AS b")
+          .selectExpr("p_partkey",
+            "sort_array(array_union(a, b)) AS u",
+            "sort_array(array_intersect(a, b)) AS itr",
+            "sort_array(array_except(a, b)) AS exc",
+            "slice(a, 2, 3) AS sl",
+            "flatten(array(a, b)) AS fl",
+            "array_position(b, 2) AS pos")
+      },
+      Some("""WITH x AS (SELECT p_partkey,
+          GENERATE_SERIES(1, p_size % 6 + 2) AS a,
+          GENERATE_SERIES(p_size % 4 + 1, p_size % 4 + 4) AS b
+        FROM part)
+        SELECT p_partkey,
+          LIST_SORT(LIST_DISTINCT(LIST_CONCAT(a, b))) AS u,
+          LIST_SORT(LIST_DISTINCT(LIST_FILTER(a, v -> LIST_CONTAINS(b, v)))) AS itr,
+          LIST_SORT(LIST_DISTINCT(LIST_FILTER(a, v -> NOT LIST_CONTAINS(b, v)))) AS exc,
+          a[2:4] AS sl,
+          FLATTEN([a, b]) AS fl,
+          CAST(COALESCE(LIST_POSITION(b, 2), 0) AS BIGINT) AS pos
+        FROM x""")),
+
+    // ------------------------------------------------------------------
     QueryEntry("f12_xxhash_uuid_shape",
       (s, d) => {
         // xxhash64 / murmur hash: engine-specific values -> assert shape
