@@ -59,8 +59,8 @@ object MultimodalOps {
       val id = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
       // Long arithmetic: a crafted chunk size near 2^31 must fail the
       // bounds check, not overflow Int and sail past it
-      val lenL = u32(pos + 4)
-      if (lenL < 0 || pos.toLong + 8L + lenL > bytes.length) return None // truncated/corrupt
+      val lenL = u32(pos + 4) // always non-negative (masked 16-bit composition)
+      if (pos.toLong + 8L + lenL > bytes.length) return None // truncated/corrupt
       val len = lenL.toInt
       if (id == "fmt " && len >= 16)
         fmt = Some((u16(pos + 8), u16(pos + 10), u32(pos + 12).toInt, u16(pos + 22)))

@@ -225,7 +225,11 @@ object PatternMatch {
         java.util.Arrays.fill(cls, start, matchedEnd, -1)
         start = matchedEnd // AFTER MATCH SKIP PAST LAST ROW
       } else {
-        if (matchedEnd == start) java.util.Arrays.fill(cls, 0, n, -1) // empty match: no row consumed
+        // empty match (matchedEnd == start) consumes nothing and its
+        // accepting path touched no Sym, so cls needs no cleanup —
+        // failed subtrees restored their writes on backtrack (an O(n)
+        // defensive wipe here would make all-optional patterns like
+        // "D* U*" quadratic in group size)
         if (headSym >= 0 && truth(start)(headSym)) {
           var e = start + 1
           while (e < n && truth(e)(headSym)) e += 1
@@ -346,6 +350,11 @@ object PatternMatch {
         }
       }
 
+      // guards the prePartitioned contract: if a key reappears after
+      // its group was emitted, the input was NOT clustered by the
+      // partition keys — matches would be computed on fragments and
+      // match_num would restart, silently wrong. Fail loudly instead.
+      val closed = scala.collection.mutable.HashSet[Seq[Any]]()
       new Iterator[Row] {
         private var pending: Iterator[Row] = Iterator.empty
         private def advance(): Unit = {
@@ -353,10 +362,19 @@ object PatternMatch {
             val r = iter.next()
             val k = keyIdx.map(r.get).toSeq
             if (curKey == null) curKey = k
-            if (k != curKey) { pending = emitGroup(); curKey = k; buf += r }
-            else buf += r
+            if (k != curKey) {
+              if (!closed.add(curKey))
+                sys.error(s"matchPattern: key group $curKey fragmented — input is not " +
+                  "clustered by the partition keys (broken prePartitioned contract?)")
+              pending = emitGroup(); curKey = k; buf += r
+            } else buf += r
           }
-          if (!pending.hasNext && !iter.hasNext && buf.nonEmpty) pending = emitGroup()
+          if (!pending.hasNext && !iter.hasNext && buf.nonEmpty) {
+            if (!closed.add(curKey))
+              sys.error(s"matchPattern: key group $curKey fragmented — input is not " +
+                "clustered by the partition keys (broken prePartitioned contract?)")
+            pending = emitGroup()
+          }
         }
         def hasNext: Boolean = { advance(); pending.hasNext }
         def next(): Row = { advance(); pending.next() }

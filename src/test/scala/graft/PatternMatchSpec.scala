@@ -116,6 +116,26 @@ class PatternMatchSpec extends SparkSpec {
     assert(out.select("match_num").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("all-optional patterns stay linear over large non-matching groups") {
+    // "D* U*" empty-matches at every start; must be O(n), not O(n^2)
+    val truth = Array.fill(50000)(Array(false, false))
+    assert(findMatches(truth, parse("D* U*", Seq("D", "U"))).isEmpty)
+  }
+
+  test("broken prePartitioned contract fails loudly, never silently fragments") {
+    import spark.implicits._
+    // interleaved keys in one partition: group 1 would fragment
+    val df = Seq((1, 1, "a"), (2, 1, "a"), (1, 2, "a")).toDF("k", "seq", "t").coalesce(1)
+    val out = PatternMatch.matchPattern(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq("A" -> (col("t") === "a")), pattern = "A",
+      measures = Seq(Measure("n", "count", "*")),
+      prePartitioned = true)
+    val e = intercept[Exception](out.collect())
+    assert(e.getMessage.contains("fragmented") ||
+      Option(e.getCause).exists(_.getMessage.contains("fragmented")), e.getMessage)
+  }
+
   test("matcher agrees with java.util.regex on 500 random (string, pattern) cases") {
     // Java regex is ALSO a leftmost-greedy backtracking engine, and
     // Matcher.find() continues past the last match — exactly ONE ROW
