@@ -127,6 +127,48 @@ object GraftFunctions {
           s"graft_table(path[, version|'ref']): bad arguments $other")
       }
       df.queryExecution.logical
+    },
+
+    // SQL-level row-pattern matching (Trino exposes MATCH_RECOGNIZE as
+    // SQL; we expose the same matcher TVF-style since Spark's parser
+    // has no MATCH_RECOGNIZE clause):
+    //   graft_match_recognize(
+    //     'table_or_view',
+    //     'part_col[,part_col...]', 'order_col[,order_col...]',
+    //     'SYM:<bool sql expr>[;SYM2:...]',   -- DEFINE
+    //     'D+ U+',                            -- PATTERN
+    //     'name:agg:symbol[:field][,...]')    -- MEASURES
+    // Delegates to operators.PatternMatch (same NFA, same measures).
+    "graft_match_recognize" -> { exprs: Seq[Expression] =>
+      val spark = SparkSession.active
+      def str(e: Expression, what: String): String = e match {
+        case Literal(s, org.apache.spark.sql.types.StringType) => String.valueOf(s)
+        case other => throw new IllegalArgumentException(
+          s"graft_match_recognize $what must be a string literal, got $other")
+      }
+      require(exprs.length == 6,
+        "graft_match_recognize(table, partition_cols, order_cols, defines, pattern, measures)")
+      val df = spark.table(str(exprs(0), "table"))
+      val partCols = str(exprs(1), "partition_cols").split(",").map(_.trim).toSeq
+      val orderCols = str(exprs(2), "order_cols").split(",").map(_.trim).toSeq
+      val symbols = str(exprs(3), "defines").split(";").map(_.trim).filter(_.nonEmpty).toSeq
+        .map { d =>
+          val i = d.indexOf(':')
+          require(i > 0, s"bad DEFINE '$d' (want SYM:<bool expr>)")
+          d.substring(0, i).trim -> org.apache.spark.sql.functions.expr(d.substring(i + 1))
+        }
+      val measures = str(exprs(5), "measures").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        .map { m =>
+          m.split(":").map(_.trim) match {
+            case Array(n, agg, sym)    => graft.operators.PatternMatch.Measure(n, agg, sym)
+            case Array(n, agg, sym, f) => graft.operators.PatternMatch.Measure(n, agg, sym, f)
+            case other => throw new IllegalArgumentException(
+              s"bad MEASURE '$m' (want name:agg:symbol[:field])")
+          }
+        }
+      graft.operators.PatternMatch.matchPattern(
+        df, partCols, orderCols, symbols, str(exprs(4), "pattern"), measures)
+        .queryExecution.logical
     })
 
   def register(spark: SparkSession): Unit = synchronized {

@@ -7,6 +7,28 @@ import graft.sql.{GraftSql, TrinoDialect}
   */
 class SqlSpec extends SparkSpec {
 
+  test("graft_match_recognize TVF: SQL-level row patterns") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1, 1, 10.0), (1, 2, 8.0), (1, 3, 6.0), (1, 4, 9.0), (1, 5, 11.0),
+      (2, 1, 1.0), (2, 2, 2.0))
+      .toDF("k", "seq", "v").createOrReplaceTempView("mr_base")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW mr_in AS
+      SELECT k, seq, v, v - LAG(v) OVER (PARTITION BY k ORDER BY seq) AS delta
+      FROM mr_base""")
+    val rows = spark.sql("""
+      SELECT * FROM graft_match_recognize(
+        'mr_in', 'k', 'seq',
+        'D:delta < 0;U:delta > 0',
+        'D+ U+',
+        'n_down:count:D,n_up:count:U,bottom:last:D:v')""").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Int]("k") == 1 && r.getAs[Long]("n_down") == 2L
+      && r.getAs[Long]("n_up") == 2L && r.getAs[Double]("bottom") == 6.0, r)
+  }
+
+
   test("dialect rewrites") {
     assert(TrinoDialect.rewrite("SELECT date_diff('day', a, b)")
       == "SELECT date_diff(DAY, a, b)")
