@@ -92,7 +92,11 @@ object GraftFunctions {
     // Trino chr(n) -> Spark char; levenshtein_distance -> levenshtein.
     "chr" -> { exprs: Seq[Expression] => Chr(exprs.head) },
     "levenshtein_distance" -> { exprs: Seq[Expression] =>
-      Levenshtein(exprs(0), exprs(1)) })
+      Levenshtein(exprs(0), exprs(1)) },
+    // graft-native UDTF (SURVEY §2.6 generator row): one row per
+    // contiguous n-gram; SELECT-list generator or LATERAL VIEW.
+    "ngrams" -> { exprs: Seq[Expression] =>
+      NgramsGenerator(exprs(0), exprs(1)) })
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v, _) => String.valueOf(v).toInt

@@ -380,6 +380,34 @@ object FunctionQueries {
         FROM x""")),
 
     // ------------------------------------------------------------------
+    // Custom Generator/UDTF (SURVEY §2.6 table-function row): the
+    // graft-native `ngrams` generator exercised through LATERAL VIEW —
+    // row expansion is narrow (no shuffle); the one shuffle is the
+    // doc_id aggregation above it.
+    QueryEntry("f17_ngram_explode",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables(s, d, "documents").createOrReplaceTempView("f17_docs")
+        s.sql("""
+          SELECT doc_id, COUNT(*) AS n_grams,
+                 COUNT(DISTINCT ngram) AS n_distinct,
+                 MIN(ngram) AS first_gram,
+                 SUM(pos) AS sum_pos
+          FROM f17_docs
+          LATERAL VIEW ngrams(split(lower(text), ' '), 3) g AS pos, ngram
+          GROUP BY doc_id""")
+      },
+      Some("""WITH w AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ws
+          FROM documents),
+        g AS (SELECT doc_id, i - 1 AS pos, ARRAY_TO_STRING(ws[i:i+2], ' ') AS ngram
+          FROM w, UNNEST(RANGE(1, LEN(ws) - 1)) AS t(i))
+        SELECT doc_id, COUNT(*) AS n_grams,
+          COUNT(DISTINCT ngram) AS n_distinct,
+          MIN(ngram) AS first_gram,
+          CAST(SUM(pos) AS BIGINT) AS sum_pos
+        FROM g GROUP BY doc_id""")),
+
+    // ------------------------------------------------------------------
     QueryEntry("f12_xxhash_uuid_shape",
       (s, d) => {
         // xxhash64 / murmur hash: engine-specific values -> assert shape

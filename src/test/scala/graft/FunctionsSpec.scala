@@ -136,6 +136,39 @@ class FunctionsSpec extends SparkSpec {
       ("a", 3, 40, 70L), ("b", 1, 5, 5L)))
   }
 
+  test("ngrams generator: rows, positions, null-token windows, short input") {
+    graft.functions.GraftFunctions.register(spark)
+    // basic expansion + 0-based positions
+    val r = spark.sql(
+      "SELECT pos, ngram FROM VALUES (array('a','b','c','d')) AS t(ws) " +
+        "LATERAL VIEW ngrams(ws, 2) g AS pos, ngram ORDER BY pos").collect()
+    assert(r.map(x => (x.getInt(0), x.getString(1))).toSeq
+      == Seq((0, "a b"), (1, "b c"), (2, "c d")))
+    // n == len -> one gram; n > len -> zero rows (LATERAL VIEW drops row)
+    assert(spark.sql("SELECT ngram FROM VALUES (array('x','y')) AS t(ws) " +
+      "LATERAL VIEW ngrams(ws, 2) g AS pos, ngram").collect().map(_.getString(0)).toSeq
+      == Seq("x y"))
+    assert(spark.sql("SELECT ngram FROM VALUES (array('x','y')) AS t(ws) " +
+      "LATERAL VIEW ngrams(ws, 3) g AS pos, ngram").collect().isEmpty)
+    // windows touching a NULL token are skipped, others survive
+    assert(spark.sql(
+      "SELECT ngram FROM VALUES (array('a', CAST(NULL AS STRING), 'c', 'd')) AS t(ws) " +
+        "LATERAL VIEW ngrams(ws, 2) g AS pos, ngram").collect().map(_.getString(0)).toSeq
+      == Seq("c d"))
+    // NULL array -> no rows; OUTER keeps the driving row with NULL cols
+    assert(spark.sql("SELECT ngram FROM VALUES (CAST(NULL AS ARRAY<STRING>)) AS t(ws) " +
+      "LATERAL VIEW ngrams(ws, 2) g AS pos, ngram").collect().isEmpty)
+    assert(spark.sql("SELECT ngram FROM VALUES (CAST(NULL AS ARRAY<STRING>)) AS t(ws) " +
+      "LATERAL VIEW OUTER ngrams(ws, 2) g AS pos, ngram").collect().map(_.isNullAt(0)).toSeq
+      == Seq(true))
+    // n < 1 fails analysis (foldable literal)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM VALUES (array('a')) AS t(ws) " +
+        "LATERAL VIEW ngrams(ws, 0) g AS pos, ngram").collect()
+    }
+    assert(e.getMessage.contains("ngrams n must be >= 1"))
+  }
+
   test("GraftExtensions injects every function at session build (spark.sql.extensions)") {
     // Build a session WITHOUT imperative register(): extensions only —
     // the path spark-submit / Thrift server / Connect deployments use.
