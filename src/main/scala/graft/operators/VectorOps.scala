@@ -296,6 +296,77 @@ object VectorOps {
         ranked AS (SELECT id_q, id_c, cos,
             ROW_NUMBER() OVER (PARTITION BY id_q ORDER BY cos DESC, id_c) AS rn
           FROM pairs)
-        SELECT id_q, id_c, rn, ROUND(cos, 6) AS cos_sim FROM ranked WHERE rn <= 3"""))
+        SELECT id_q, id_c, rn, ROUND(cos, 6) AS cos_sim FROM ranked WHERE rn <= 3""")),
+
+    // ------------------------------------------------------------------
+    // Int8 scalar quantization — the embedding STORAGE scale path. At
+    // 100 TB the float32 corpus is the cost driver: symmetric per-vector
+    // int8 codes are 4x smaller, integer dot products are exact (64
+    // dims x 127^2 << 2^31, no float accumulation noise), and scoring
+    // needs only the quantized norms. This entry quantizes every vector
+    // (code_i = floor(x_i/scale + 0.5), scale = max|x|/127 — the
+    // explicit floor spelling rounds identically in both engines,
+    // unlike ROUND's half-case behavior), ranks neighbors by quantized
+    // cosine, and reports the quantization error against the exact
+    // cosine for the same pair — the recall/accuracy evidence a real
+    // pipeline records before switching storage to codes.
+    // Plan shape: one narrow pass to quantize (no shuffle), broadcast
+    // of the 10-query side, TakeOrdered per query — same scale shape
+    // as v02.
+    QueryEntry("v06_int8_quant",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+          .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+          .selectExpr("vec_id", "v",
+            "greatest(array_max(transform(v, x -> abs(x))), 1e-30D) / 127.0D AS scale")
+          .selectExpr("vec_id", "v",
+            "transform(v, x -> CAST(floor(x / scale + 0.5D) AS INT)) AS q")
+          .selectExpr("vec_id", "v", "q",
+            "vector_dot(v, v) AS n2",
+            "CAST(aggregate(zip_with(q, q, (x, y) -> x * y), 0, (acc, x) -> acc + x) AS DOUBLE) AS qn2")
+        val qs = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("id_q"), col("v").as("va"), col("q").as("qa"),
+            col("n2").as("na2"), col("qn2").as("qna2"))
+        val c = e.select(col("vec_id").as("id_c"), col("v").as("vb"), col("q").as("qb"),
+          col("n2").as("nb2"), col("qn2").as("qnb2"))
+        qs.join(c, col("id_q") =!= col("id_c"))
+          .selectExpr("id_q", "id_c",
+            "CAST(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0, (acc, x) -> acc + x) AS DOUBLE)" +
+              " / (SQRT(qna2) * SQRT(qnb2)) AS qcos",
+            s"$dotExpr / (SQRT(na2) * SQRT(nb2)) AS cos")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("id_q")).orderBy(col("qcos").desc, col("id_c"))))
+          .filter(col("rn") <= 5)
+          .select(col("id_q"), col("id_c"), col("rn"),
+            round(col("qcos"), 6).as("qcos_sim"),
+            round(col("cos"), 6).as("cos_sim"),
+            round(abs(col("cos") - col("qcos")), 6).as("abs_err"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+            LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        sc AS (SELECT vec_id, v,
+            GREATEST(LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))), 1e-30) / 127.0 AS scale
+          FROM e),
+        qz AS (SELECT vec_id, v,
+            LIST_TRANSFORM(v, x -> CAST(FLOOR(x / scale + 0.5) AS INT)) AS q
+          FROM sc),
+        en AS (SELECT vec_id, v, q,
+            LIST_SUM(LIST_TRANSFORM(v, x -> x * x)) AS n2,
+            CAST(LIST_SUM(LIST_TRANSFORM(q, x -> x * x)) AS DOUBLE) AS qn2
+          FROM qz),
+        scored AS (SELECT a.vec_id AS id_q, b.vec_id AS id_c,
+            CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+              / (SQRT(a.qn2) * SQRT(b.qn2)) AS qcos,
+            LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * b.v[i]))
+              / (SQRT(a.n2) * SQRT(b.n2)) AS cos
+          FROM en a JOIN en b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        ranked AS (SELECT id_q, id_c, qcos, cos,
+            ROW_NUMBER() OVER (PARTITION BY id_q ORDER BY qcos DESC, id_c) AS rn
+          FROM scored)
+        SELECT id_q, id_c, rn, ROUND(qcos, 6) AS qcos_sim, ROUND(cos, 6) AS cos_sim,
+          ROUND(ABS(cos - qcos), 6) AS abs_err
+        FROM ranked WHERE rn <= 5"""))
   )
 }
