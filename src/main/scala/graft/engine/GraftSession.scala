@@ -43,6 +43,13 @@ object GraftSession {
       // level so per-table loads need no conf side effects.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Runtime bloom-filter semi-join pruning (explicit, though on by
+      // default): a selective dimension filter builds a bloom of its
+      // join keys at runtime and drops non-matching fact rows BEFORE
+      // the fact-side shuffle — at 100 TB that is the difference
+      // between shuffling the whole fact table and shuffling the
+      // matching slice. PlanSpec gates the injection.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.ui.enabled", "false")
 

@@ -66,6 +66,52 @@ object EventStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-dup filter over a document stream — the streaming
+    * twin of t02's signature pass (graft.operators.TextOps), and the
+    * cheap first stage of a training-data ingest pipeline: documents
+    * whose minhash signature was already seen inside the watermark
+    * horizon are dropped at ingest; the batch LSH band join (t02) and
+    * cluster resolution (t14) remain the full near-dup sweep over the
+    * landed corpus.
+    *
+    * The signature is the SAME 16-lane derivation as the batch op (word
+    * 3-shingles, one md5 per distinct shingle, 4 disjoint 32-bit digest
+    * lanes x 4 rotations, in-row array_min folds — narrow, no shuffle),
+    * so stream-dropped docs are exactly those the batch op would have
+    * verified at jaccard 1.0 signature equality. Sub-3-word docs fall
+    * back to an exact content hash. State is keyed on the signature and
+    * PURGED as the watermark passes — bounded, like dedupEvents.
+    *
+    * Input columns: (doc_id, ts timestamp, text); output keeps them
+    * plus the signature (provenance for the landed table).
+    */
+  def nearDedupDocs(docs: DataFrame, horizon: String = "30 minutes"): DataFrame = {
+    val staged = docs
+      .withColumn("ws", split(lower(col("text")), " "))
+      // sh in its own projection; empty for short docs so the sequence
+      // bound never goes negative
+      .withColumn("sh", expr(
+        """CASE WHEN size(ws) >= 3 THEN
+             coalesce(array_distinct(transform(sequence(0, size(ws) - 3),
+               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))), array())
+           ELSE array() END"""))
+      // one md5 per shingle (multi-ref non-cheap expr stays un-inlined)
+      .withColumn("hd", expr("transform(sh, t -> md5(t))"))
+      .withColumn("sig", when(size(col("sh")) === 0,
+          concat(lit("raw:"), md5(col("text"))))
+        .otherwise(concat_ws("|", (0 until 16).map { j =>
+          val base0 = (j % 4) * 8
+          val rot = (j / 4) * 2
+          array_min(transform(col("hd"), h => concat(
+            substring(h, base0 + rot + 1, 8 - rot),
+            substring(h, base0 + 1, rot))))
+        }: _*)))
+      .drop("ws", "sh", "hd")
+    staged
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("sig")
+  }
+
   /** Stream-static enrichment join: the static dimension is re-planned
     * per micro-batch (broadcast when it fits), carries no streaming
     * state, and picks up dimension updates between batches — the

@@ -134,6 +134,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("selective dim filter injects a runtime bloom filter on the fact side") {
+    // Thresholds scaled to test data (creation side must look small,
+    // application side large); production defaults keep the same shape
+    // at real fact/dimension sizes.
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      val li = Tables(spark, sf(), "lineitem")
+      val pt = Tables(spark, sf(), "part").filter(col("p_size") === 1)
+      val j = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_size")).count()
+      val p = plan(j)
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"), p.take(3000))
+      // the bloom probe must sit on the fact side, keyed by l_partkey
+      assert(p.linesIterator.exists(l =>
+        l.contains("might_contain") && l.contains("l_partkey")), p.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("approx_most_frequent aggregates two-phase via ObjectHashAggregate") {
     graft.functions.GraftFunctions.register(spark)
     Tables.registerAll(spark, sf())

@@ -117,6 +117,40 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == (0L until 30L), s"got ${ids.length} ids: ${ids.take(40).mkString(",")}")
   }
 
+  test("streaming near-dup drops signature-equal docs within the watermark") {
+    val landing = Files.createTempDirectory("graft_neardup_in").toString
+    val ckpt = Files.createTempDirectory("graft_neardup_ck").toString
+    val out = Files.createTempDirectory("graft_neardup_out").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // drop 1: three originals; drop 2: a case variant of doc 0 (same
+    // minhash signature after lower() -> dropped; md5-exact dedup would
+    // MISS it), a word-reordered doc (different shingles -> kept), a
+    // short-doc exact dup (raw-hash fallback -> dropped), a short fresh
+    // doc (kept)
+    Seq((0L, ts(0), "the quick brown fox jumps over the lazy dog"),
+      (1L, ts(1), "pack my box with five dozen liquor jugs"),
+      (2L, ts(2), "hi there"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(landing)
+    Seq((10L, ts(3), "The QUICK Brown Fox Jumps Over The Lazy Dog"),
+      (11L, ts(4), "jugs liquor dozen five with box my pack"),
+      (12L, ts(5), "hi there"),
+      (13L, ts(6), "hi world"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(landing)
+    val docsStream = spark.readStream
+      .schema("doc_id LONG, ts TIMESTAMP, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+    val q = EventStream.writeParquet(EventStream.nearDedupDocs(docsStream), out, ckpt)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+    val got = spark.read.parquet(out)
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L, 11L, 13L))
+    // provenance: the signature column landed, and the case variant's
+    // signature equals the original's (the reason it was dropped)
+    val sig0 = got.filter($"doc_id" === 0L).select("sig").head().getString(0)
+    assert(sig0.split("\\|").length == 16)
+  }
+
   test("stream-static enrichment join carries the dimension, no state") {
     val landing = Files.createTempDirectory("graft_enrich_in").toString
     val ckpt = Files.createTempDirectory("graft_enrich_ck").toString
