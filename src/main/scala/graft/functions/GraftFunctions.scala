@@ -153,8 +153,16 @@ object GraftFunctions {
       require(exprs.length == 6,
         "graft_match_recognize(table, partition_cols, order_cols, defines, pattern, measures)")
       val df = spark.table(str(exprs(0), "table"))
-      val partCols = str(exprs(1), "partition_cols").split(",").map(_.trim).toSeq
-      val orderCols = str(exprs(2), "order_cols").split(",").map(_.trim).toSeq
+      def cols(e: Expression, what: String): Seq[String] = {
+        val cs = str(e, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(cs.nonEmpty,
+          s"graft_match_recognize $what must name at least one column " +
+            "(unpartitioned matching is not supported: a global row " +
+            "pattern serializes the whole input through one task)")
+        cs
+      }
+      val partCols = cols(exprs(1), "partition_cols")
+      val orderCols = cols(exprs(2), "order_cols")
       val symbols = str(exprs(3), "defines").split(";").map(_.trim).filter(_.nonEmpty).toSeq
         .map { d =>
           val i = d.indexOf(':')

@@ -18,9 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * space; a NULL array, a NULL n, or n > cardinality(words) produces no
   * rows; n < 1 is a query-authoring error and fails analysis when
   * foldable (runtime otherwise). An n-gram window containing a NULL
-  * token is skipped entirely, keeping set semantics aligned with the
-  * shingle pipelines in `TextOps` (which filter empty tokens before
-  * shingling).
+  * token is skipped entirely — a joined string cannot represent NULL
+  * faithfully, and emitting a NULL output column would violate the
+  * non-nullable element schema.
   *
   * Scale shape: `Generate` is a narrow, streaming row-expansion — no
   * shuffle, no buffering beyond one input row's grams. This generator is

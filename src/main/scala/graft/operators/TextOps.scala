@@ -22,6 +22,33 @@ object TextOps {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
 
+  /** Word 3-shingle set of a `ws` token-array column — ONE spelling
+    * shared by the batch pipeline (t02) and the streaming ingest filter
+    * (`EventStream.nearDedupDocs`), so the two can never diverge.
+    * Non-nullable by construction (the `coalesce(.., array())` is
+    * load-bearing — see the t02 comment on InferFiltersFromConstraints);
+    * empty for sub-3-word docs so the sequence bound never goes
+    * negative. */
+  private[graft] val shingleSql: String =
+    """CASE WHEN size(ws) >= 3 THEN
+         coalesce(array_distinct(transform(sequence(0, size(ws) - 3),
+           i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))), array())
+       ELSE array() END"""
+
+  /** The 16 minhash lanes over a per-shingle md5-hex array column: 4
+    * disjoint 32-bit digest lanes x 4 cyclic rotations, each an in-row
+    * `array_min` fold. Fixed-width lowercase hex makes lexicographic
+    * MIN == numeric MIN. Shared by t02 and the streaming near-dup
+    * filter; the DuckDB oracle reproduces the same slicing verbatim. */
+  private[graft] def minhashLanes(hd: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    (0 until 16).map { j =>
+      val base0 = (j % 4) * 8      // which 8-hex-char lane
+      val rot = (j / 4) * 2        // cyclic rotation within it
+      array_min(transform(hd, h => concat(
+        substring(h, base0 + rot + 1, 8 - rot),
+        substring(h, base0 + 1, rot))))
+    }
+
   /** The t02 MinHash+LSH near-dup pipeline as oracle SQL — shared by
     * t02 (raw pairs) and t14 (connected-component cluster rollup). */
   private val minhashPairsOracle: String =
@@ -111,9 +138,7 @@ object TextOps {
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
           .filter(size(col("ws")) >= 3)
-          .selectExpr("doc_id",
-            """coalesce(array_distinct(transform(sequence(0, size(ws) - 3),
-                 i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))), array()) AS sh""")
+          .selectExpr("doc_id", s"$shingleSql AS sh")
           // hd sits in its own projection, referenced 16 times below:
           // CollapseProject refuses to inline a non-cheap multi-ref
           // expression, so md5 runs once per shingle, not 16 times.
@@ -138,13 +163,7 @@ object TextOps {
         // which the fingerprint joins then consume without a further
         // shuffle on their build side.
         val sigs = raw.select(col("doc_id"), col("n"), col("hs"),
-            array((0 until 16).map { j =>
-              val base0 = (j % 4) * 8      // which 8-hex-char lane
-              val rot = (j / 4) * 2        // cyclic rotation within it
-              array_min(transform(col("hd"), h => concat(
-                substring(h, base0 + rot + 1, 8 - rot),
-                substring(h, base0 + 1, rot))))
-            }: _*).as("sl"))
+            array(minhashLanes(col("hd")): _*).as("sl"))
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         // Band grouping: band b takes lane b's four ROTATIONS (indices
         // b, b+4, b+8, b+12), so each band reads a DISJOINT 32-bit

@@ -66,51 +66,52 @@ object EventStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Streaming NEAR-dup filter over a document stream — the streaming
-    * twin of t02's signature pass (graft.operators.TextOps), and the
-    * cheap first stage of a training-data ingest pipeline: documents
-    * whose minhash signature was already seen inside the watermark
-    * horizon are dropped at ingest; the batch LSH band join (t02) and
-    * cluster resolution (t14) remain the full near-dup sweep over the
-    * landed corpus.
-    *
-    * The signature is the SAME 16-lane derivation as the batch op (word
-    * 3-shingles, one md5 per distinct shingle, 4 disjoint 32-bit digest
-    * lanes x 4 rotations, in-row array_min folds — narrow, no shuffle),
-    * so stream-dropped docs are exactly those the batch op would have
-    * verified at jaccard 1.0 signature equality. Sub-3-word docs fall
-    * back to an exact content hash. State is keyed on the signature and
-    * PURGED as the watermark passes — bounded, like dedupEvents.
-    *
-    * Input columns: (doc_id, ts timestamp, text); output keeps them
-    * plus the signature (provenance for the landed table).
-    */
-  def nearDedupDocs(docs: DataFrame, horizon: String = "30 minutes"): DataFrame = {
-    val staged = docs
+  /** Appends the t02 minhash signature as a `sig` column (narrow, no
+    * shuffle). The shingle spelling and the 16-lane derivation are the
+    * SHARED definitions in `graft.operators.TextOps` (`shingleSql`,
+    * `minhashLanes`) — one source of truth for batch and stream, with a
+    * parity test in StreamingSpec. Fallbacks: sub-3-word docs get an
+    * exact content hash (`raw:`-prefixed); NULL text gets a
+    * per-document unique key (`null:<doc_id>`) so unfingerprintable
+    * rows are never deduped against each other. */
+  def docSignature(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ws", split(lower(col("text")), " "))
-      // sh in its own projection; empty for short docs so the sequence
-      // bound never goes negative
-      .withColumn("sh", expr(
-        """CASE WHEN size(ws) >= 3 THEN
-             coalesce(array_distinct(transform(sequence(0, size(ws) - 3),
-               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))), array())
-           ELSE array() END"""))
+      .withColumn("sh", expr(graft.operators.TextOps.shingleSql))
       // one md5 per shingle (multi-ref non-cheap expr stays un-inlined)
       .withColumn("hd", expr("transform(sh, t -> md5(t))"))
-      .withColumn("sig", when(size(col("sh")) === 0,
-          concat(lit("raw:"), md5(col("text"))))
-        .otherwise(concat_ws("|", (0 until 16).map { j =>
-          val base0 = (j % 4) * 8
-          val rot = (j / 4) * 2
-          array_min(transform(col("hd"), h => concat(
-            substring(h, base0 + rot + 1, 8 - rot),
-            substring(h, base0 + 1, rot))))
-        }: _*)))
+      .withColumn("sig",
+        when(col("text").isNull, concat(lit("null:"), col("doc_id").cast("string")))
+          .when(size(col("sh")) === 0, concat(lit("raw:"), md5(col("text"))))
+          .otherwise(concat_ws("|",
+            graft.operators.TextOps.minhashLanes(col("hd")): _*)))
       .drop("ws", "sh", "hd")
-    staged
+
+  /** Streaming near-dup filter over a document stream — the cheap first
+    * stage of a training-data ingest pipeline: documents whose minhash
+    * signature was already seen inside the watermark horizon are
+    * dropped at ingest; the batch LSH band join (t02) and cluster
+    * resolution (t14) remain the full near-dup sweep over the landed
+    * corpus.
+    *
+    * Signature equality is a HEURISTIC, not a jaccard proof: the 16
+    * lanes are 4 rotations of 4 disjoint 32-bit md5 lanes, so full-
+    * signature collision overwhelmingly implies a (near-)identical
+    * shingle set, but a false collision permanently drops a document
+    * the batch pipeline would have kept after exact verification.
+    * Deploy this stage when ingest volume makes at-ingest thinning
+    * worth that (quantifiable, tiny) loss; route around it when every
+    * document must survive to the batch sweep. State is keyed on the
+    * signature and PURGED as the watermark passes — bounded, like
+    * dedupEvents.
+    *
+    * Input columns: (doc_id, ts timestamp, text); output keeps them
+    * plus `sig` (provenance for the landed table).
+    */
+  def nearDedupDocs(docs: DataFrame, horizon: String = "30 minutes"): DataFrame =
+    docSignature(docs)
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("sig")
-  }
 
   /** Stream-static enrichment join: the static dimension is re-planned
     * per micro-batch (broadcast when it fits), carries no streaming

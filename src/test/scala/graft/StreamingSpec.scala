@@ -151,6 +151,31 @@ class StreamingSpec extends SparkSpec {
     assert(sig0.split("\\|").length == 16)
   }
 
+  test("docSignature == t02 batch lanes; null text never dedups") {
+    // parity: the streaming sig must be the batch sl array joined by
+    // '|' for any doc with >= 3 words (shared helpers in TextOps)
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val batch = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .selectExpr("doc_id", s"${graft.operators.TextOps.shingleSql} AS sh")
+      .selectExpr("doc_id", "transform(sh, t -> md5(t)) AS hd")
+      .select(col("doc_id"),
+        concat_ws("|", graft.operators.TextOps.minhashLanes(col("hd")): _*).as("batch_sig"))
+    val joined = EventStream.docSignature(docs)
+      .join(batch, "doc_id")
+      .select($"sig" === $"batch_sig").as[Boolean].collect()
+    assert(joined.length == 2 && joined.forall(identity))
+    // null text: per-doc unique key, so two null-text docs keep
+    // distinct signatures (never silently collapsed by the dedup)
+    val nulls = EventStream.docSignature(
+      Seq((7L, null: String), (8L, null: String)).toDF("doc_id", "text"))
+      .select("sig").as[String].collect()
+    assert(nulls.toSet == Set("null:7", "null:8"))
+  }
+
   test("stream-static enrichment join carries the dimension, no state") {
     val landing = Files.createTempDirectory("graft_enrich_in").toString
     val ckpt = Files.createTempDirectory("graft_enrich_ck").toString
