@@ -117,6 +117,38 @@ object EventQueries {
                 - off * INTERVAL '30 minutes' AS win_start, value FROM x)
         SELECT STRFTIME(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
           COUNT(*) AS n, ${oSum("value")} AS total_value
-        FROM y GROUP BY win_start"""))
+        FROM y GROUP BY win_start""")),
+
+    // ------------------------------------------------------------------
+    // Spark 4 VariantType (SURVEY §2.4 JSON row: VariantType+parse_json
+    // is the modern engine-native JSON path — binary-encoded, typed
+    // access without per-access string re-parsing; the Trino analogue
+    // is the json type). parse_json once, then typed variant_get
+    // extraction, missing-path null semantics, and an aggregation over
+    // the extracted values.
+    QueryEntry("e06_variant",
+      (s, d) => {
+        Tables(s, d, "events")
+          .selectExpr("event_id", "parse_json(props) AS v")
+          .selectExpr("event_id",
+            "variant_get(v, '$.k', 'int') AS k",
+            "variant_get(v, '$.k', 'string') AS ks",
+            "variant_get(v, '$.missing', 'int') IS NULL AS miss_is_null")
+          .groupBy(expr("CAST(k % 10 AS INT)").as("kb"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            max(col("ks")).as("max_ks"),
+            count(when(col("miss_is_null"), 1)).as("n_missing"))
+      },
+      Some("""WITH x AS (SELECT event_id,
+          CAST(JSON_EXTRACT(props, '$.k') AS INT) AS k,
+          JSON_EXTRACT_STRING(props, '$.k') AS ks,
+          JSON_EXTRACT(props, '$.missing') IS NULL AS miss_is_null
+        FROM events)
+        SELECT CAST(k % 10 AS INT) AS kb, COUNT(*) AS n,
+          CAST(SUM(k) AS BIGINT) AS sum_k,
+          MAX(ks) AS max_ks,
+          COUNT(CASE WHEN miss_is_null THEN 1 END) AS n_missing
+        FROM x GROUP BY 1"""))
   )
 }

@@ -408,6 +408,44 @@ object FunctionQueries {
         FROM g GROUP BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // URL function family (Trino url_extract_*): synthesize a
+    // deterministic URL per part, extract every component through the
+    // registered parity functions (java URI semantics Spark-side,
+    // regexes in the oracle — identical on well-formed URLs).
+    QueryEntry("f18_url_funcs",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables(s, d, "part")
+          .selectExpr("p_partkey",
+            """concat('https://brand-', lower(replace(p_brand, '#', '')),
+                 '.example.com/parts/', p_partkey,
+                 '?size=', p_size, '&pg=', p_partkey % 7, '#spec') AS url""")
+          .selectExpr("p_partkey", "url",
+            "url_extract_protocol(url) AS proto",
+            "url_extract_host(url) AS host",
+            "url_extract_path(url) AS path",
+            "url_extract_query(url) AS query",
+            "url_extract_parameter(url, 'size') AS p_size_s",
+            "url_extract_parameter(url, 'pg') AS pg",
+            "url_extract_fragment(url) AS frag")
+      },
+      Some("""WITH u AS (SELECT p_partkey,
+          'https://brand-' || LOWER(REPLACE(p_brand, '#', '')) ||
+            '.example.com/parts/' || CAST(p_partkey AS VARCHAR) ||
+            '?size=' || CAST(p_size AS VARCHAR) ||
+            '&pg=' || CAST(p_partkey % 7 AS VARCHAR) || '#spec' AS url
+          FROM part)
+        SELECT p_partkey, url,
+          REGEXP_EXTRACT(url, '^([a-z]+)://', 1) AS proto,
+          REGEXP_EXTRACT(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+          REGEXP_EXTRACT(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+          REGEXP_EXTRACT(url, '\?([^#]*)', 1) AS query,
+          REGEXP_EXTRACT(url, '[?&]size=([^&#]*)', 1) AS p_size_s,
+          REGEXP_EXTRACT(url, '[?&]pg=([^&#]*)', 1) AS pg,
+          REGEXP_EXTRACT(url, '#(.*)$', 1) AS frag
+        FROM u""")),
+
+    // ------------------------------------------------------------------
     QueryEntry("f12_xxhash_uuid_shape",
       (s, d) => {
         // xxhash64 / murmur hash: engine-specific values -> assert shape
