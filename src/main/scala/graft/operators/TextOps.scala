@@ -671,6 +671,40 @@ object TextOps {
         FROM documents)
         SELECT source, COUNT(*) AS n_sampled, COUNT(DISTINCT doc_id) AS n_distinct,
           MIN(rk) AS first_rk
-        FROM ranked WHERE rn <= 10 GROUP BY source"""))
+        FROM ranked WHERE rn <= 10 GROUP BY source""")),
+
+    // ------------------------------------------------------------------
+    // Corpus-statistics scoring: per-word corpus frequencies joined
+    // back per document — the unigram-LM-style commonness signal a
+    // curation pass thresholds on (a high avg frequency = boilerplate/
+    // stopword soup; very low = noise/garble). All-integer math until
+    // the final reported ratio, so the hash is exact.
+    // Scale shape: explode is linear; word counts are one map-side-
+    // combined shuffle on the word key; the join back to occurrences
+    // shuffles on the same key. Stopword keys are hot BY DESIGN —
+    // AQE's skew-join split handles the join side (PlanSpec asserts
+    // the mechanism); the count side is fine because partial
+    // aggregation collapses hot keys map-side.
+    QueryEntry("t16_word_freq",
+      (s, d) => {
+        val w = docs(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("word"))
+        val wf = w.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        w.join(wf, "word")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("cnt")).as("sum_cnt"),
+            round(sum(col("cnt")).cast("double") / count(lit(1)), 6).as("avg_freq"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+            UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word FROM documents),
+        wf AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word)
+        SELECT doc_id, COUNT(*) AS n_words,
+          CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+          ROUND(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 6) AS avg_freq
+        FROM w JOIN wf USING (word)
+        GROUP BY doc_id"""))
   )
 }
