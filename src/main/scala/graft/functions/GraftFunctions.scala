@@ -141,8 +141,11 @@ object GraftFunctions {
     //     'part_col[,part_col...]', 'order_col[,order_col...]',
     //     'SYM:<bool sql expr>[;SYM2:...]',   -- DEFINE
     //     'D+ U+',                            -- PATTERN
-    //     'name:agg:symbol[:field][,...]')    -- MEASURES
+    //     'name:agg:symbol[:field][,...]'     -- MEASURES
+    //     [, 'one'|'all'])                    -- ROWS PER MATCH mode
     // Delegates to operators.PatternMatch (same NFA, same measures).
+    // 'all' = ALL ROWS PER MATCH: keys, order cols, match_num,
+    // classifier per matched row; MEASURES must be '' in that mode.
     "graft_match_recognize" -> { exprs: Seq[Expression] =>
       val spark = SparkSession.active
       def str(e: Expression, what: String): String = e match {
@@ -150,8 +153,8 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"graft_match_recognize $what must be a string literal, got $other")
       }
-      require(exprs.length == 6,
-        "graft_match_recognize(table, partition_cols, order_cols, defines, pattern, measures)")
+      require(exprs.length == 6 || exprs.length == 7,
+        "graft_match_recognize(table, partition_cols, order_cols, defines, pattern, measures[, mode])")
       val df = spark.table(str(exprs(0), "table"))
       def cols(e: Expression, what: String): Seq[String] = {
         val cs = str(e, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -178,9 +181,19 @@ object GraftFunctions {
               s"bad MEASURE '$m' (want name:agg:symbol[:field])")
           }
         }
-      graft.operators.PatternMatch.matchPattern(
-        df, partCols, orderCols, symbols, str(exprs(4), "pattern"), measures)
-        .queryExecution.logical
+      val mode = if (exprs.length == 7) str(exprs(6), "mode") else "one"
+      val out = mode match {
+        case "one" => graft.operators.PatternMatch.matchPattern(
+          df, partCols, orderCols, symbols, str(exprs(4), "pattern"), measures)
+        case "all" =>
+          require(measures.isEmpty,
+            "graft_match_recognize: measures do not apply in 'all' mode — pass ''")
+          graft.operators.PatternMatch.matchPatternAllRows(
+            df, partCols, orderCols, symbols, str(exprs(4), "pattern"))
+        case other => throw new IllegalArgumentException(
+          s"graft_match_recognize mode must be 'one' or 'all', got '$other'")
+      }
+      out.queryExecution.logical
     })
 
   def register(spark: SparkSession): Unit = synchronized {

@@ -657,6 +657,51 @@ object CoreQueries {
         FROM paired""")),
 
     // ------------------------------------------------------------------
+    // ALL ROWS PER MATCH twin of q29: same down-run/up-run pattern,
+    // but emitting every matched row with the classifier the winning
+    // path assigned — the mode BI drill-downs use to paint the rows of
+    // each match. Oracle expands the q29 run-pairing to row grain.
+    QueryEntry("q31_pattern_allrows",
+      (s, d) => {
+        val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val ev = t(s, d, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("delta", col("value") - lag(col("value"), 1).over(byTs))
+        PatternMatch.matchPatternAllRows(ev,
+          partitionBy = Seq("user_id"),
+          orderBy = Seq("ts", "event_id"),
+          symbols = Seq(
+            "D" -> (col("delta") < 0),
+            "U" -> (col("delta") > 0)),
+          pattern = "D+ U+",
+          prePartitioned = true)
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            col("event_id"), col("match_num"), col("classifier"))
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        d AS (SELECT user_id, ts, event_id, value,
+            value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+          FROM ev),
+        c AS (SELECT *, CASE WHEN delta < 0 THEN 'D' WHEN delta > 0 THEN 'U' ELSE 'X' END AS cls,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM d),
+        r AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, cls ORDER BY rn) AS grp FROM c),
+        runs AS (SELECT user_id, cls, grp, MIN(rn) AS srn, MAX(rn) AS ern
+          FROM r GROUP BY user_id, cls, grp),
+        paired AS (SELECT a.user_id, a.srn, b.ern,
+            ROW_NUMBER() OVER (PARTITION BY a.user_id ORDER BY a.srn) AS match_num
+          FROM runs a JOIN runs b
+            ON b.user_id = a.user_id AND b.srn = a.ern + 1
+           AND a.cls = 'D' AND b.cls = 'U')
+        SELECT p.user_id, STRFTIME(x.ts, '%Y-%m-%d %H:%M:%S') AS ts_s, x.event_id,
+          p.match_num, x.cls AS classifier
+        FROM paired p
+        JOIN r x ON x.user_id = p.user_id AND x.rn BETWEEN p.srn AND p.ern""")),
+
+    // ------------------------------------------------------------------
     // Row-pattern funnel (bounded quantifier + backtracking): per-user
     // PATTERN (V C{1,2} P) over the event stream — view, one or two
     // clicks (greedy prefers two), purchase. A match span contains no

@@ -10,7 +10,8 @@ import org.apache.spark.sql.types._
   * per-symbol boolean predicates and per-match measures.
   *
   * Implemented subset (the commonly used core of SQL:2016 row pattern
-  * recognition): ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW,
+  * recognition): ONE ROW PER MATCH and ALL ROWS PER MATCH (OMIT EMPTY
+  * MATCHES; see [[matchPatternAllRows]]), AFTER MATCH SKIP PAST LAST ROW,
   * greedy quantifiers, patterns over symbols with concatenation,
   * alternation `|`, grouping `(..)`, and quantifiers `* + ? {n} {n,}
   * {n,m}`. DEFINE predicates are per-row [[Column]] expressions;
@@ -266,29 +267,64 @@ object PatternMatch {
       symbols: Seq[(String, Column)],
       pattern: String,
       measures: Seq[Measure],
-      prePartitioned: Boolean = false): DataFrame = {
+      prePartitioned: Boolean = false): DataFrame =
+    run(df, partitionBy, orderBy, symbols, pattern, measures,
+      prePartitioned, allRows = false)
+
+  /** ALL ROWS PER MATCH mode (SQL:2016 / Trino): one OUTPUT row per
+    * MATCHED input row — partition keys, order columns, `match_num`,
+    * and `classifier` (the symbol the winning path assigned to that
+    * row). Unmatched rows are omitted (the ALL ROWS ... OMIT EMPTY
+    * default); measures are the ONE ROW mode's concern — join the
+    * classifier stream back to the input on (keys, order) when row
+    * payloads are needed. Same skip semantics and scale shape as
+    * [[matchPattern]]. */
+  def matchPatternAllRows(
+      df: DataFrame,
+      partitionBy: Seq[String],
+      orderBy: Seq[String],
+      symbols: Seq[(String, Column)],
+      pattern: String,
+      prePartitioned: Boolean = false): DataFrame =
+    run(df, partitionBy, orderBy, symbols, pattern, Nil,
+      prePartitioned, allRows = true)
+
+  private def run(
+      df: DataFrame,
+      partitionBy: Seq[String],
+      orderBy: Seq[String],
+      symbols: Seq[(String, Column)],
+      pattern: String,
+      measures: Seq[Measure],
+      prePartitioned: Boolean,
+      allRows: Boolean): DataFrame = {
 
     val symNames = symbols.map(_._1)
     val pat = parse(pattern, symNames)
     val inSchema = df.schema
     def fieldType(f: String): DataType = inSchema(inSchema.fieldIndex(f)).dataType
 
-    val outSchema = StructType(
-      partitionBy.map(c => inSchema(inSchema.fieldIndex(c))) ++
-        Seq(StructField("match_num", LongType, nullable = false)) ++
-        measures.map { ms =>
-          val dt = ms.agg match {
-            case "count"          => LongType
-            case "first" | "last" => fieldType(ms.field)
-            case "min" | "max" => fieldType(ms.field) match {
-              case DoubleType | FloatType => DoubleType
-              case _                      => LongType
+    val outSchema =
+      if (allRows) StructType(
+        (partitionBy ++ orderBy).map(c => inSchema(inSchema.fieldIndex(c))) ++
+          Seq(StructField("match_num", LongType, nullable = false),
+            StructField("classifier", StringType, nullable = false)))
+      else StructType(
+        partitionBy.map(c => inSchema(inSchema.fieldIndex(c))) ++
+          Seq(StructField("match_num", LongType, nullable = false)) ++
+          measures.map { ms =>
+            val dt = ms.agg match {
+              case "count"          => LongType
+              case "first" | "last" => fieldType(ms.field)
+              case "min" | "max" => fieldType(ms.field) match {
+                case DoubleType | FloatType => DoubleType
+                case _                      => LongType
+              }
+              case "sum" => DoubleType
+              case _     => sys.error(s"unknown measure agg: ${ms.agg}")
             }
-            case "sum" => DoubleType
-            case _     => sys.error(s"unknown measure agg: ${ms.agg}")
-          }
-          StructField(ms.name, dt)
-        })
+            StructField(ms.name, dt)
+          })
 
     // narrow, codegen'd projection: keys, order, measure inputs, and
     // one boolean per symbol predicate
@@ -298,6 +334,7 @@ object PatternMatch {
         symbols.map { case (nm, c) => c.cast(BooleanType).as(s"__sym_$nm") }: _*)
     val pSchema = projected.schema
     val keyIdx = partitionBy.map(pSchema.fieldIndex).toArray
+    val orderIdx = orderBy.map(pSchema.fieldIndex).toArray
     val symIdxs = symNames.map(n => pSchema.fieldIndex(s"__sym_$n")).toArray
     val fieldIdx = measureFields.map(f => f -> pSchema.fieldIndex(f)).toMap
     val symOfName = symNames.zipWithIndex.toMap
@@ -320,7 +357,14 @@ object PatternMatch {
           val ms = findMatches(truth, pat)
           val key = curKey
           buf.clear()
-          ms.iterator.zipWithIndex.map { case (mt, mi) =>
+          if (allRows) ms.iterator.zipWithIndex.flatMap { case (mt, mi) =>
+            (mt.start until mt.end).iterator.map { i =>
+              val ci = mt.cls(i - mt.start)
+              Row.fromSeq(key ++ orderIdx.map(rows(i).get) ++
+                Seq((mi + 1).toLong, if (ci >= 0) symNames(ci) else null))
+            }
+          }
+          else ms.iterator.zipWithIndex.map { case (mt, mi) =>
             val vals = measures.map { msr =>
               val want = if (msr.symbol == "*") -1 else symOfName(msr.symbol)
               val idxs = (mt.start until mt.end).filter(i => want == -1 || mt.cls(i - mt.start) == want)

@@ -104,6 +104,28 @@ class PatternMatchSpec extends SparkSpec {
     assert(rows === Seq((1, 1L, 2L, 2L, 6.0, 11.0, 8.0 + 6.0 + 9.0 + 11.0)))
   }
 
+  test("ALL ROWS PER MATCH emits matched rows with classifiers, omits the rest") {
+    import spark.implicits._
+    // key 1: V shape (rows 2-5 matched); key 2: rising only, but the
+    // first row (null delta) is unmatched -> rows 2-3 matched
+    val df = Seq(
+      (1, 1, 10.0), (1, 2, 8.0), (1, 3, 6.0), (1, 4, 9.0), (1, 5, 11.0),
+      (2, 1, 1.0), (2, 2, 2.0), (2, 3, 3.0))
+      .toDF("k", "seq", "v")
+      .withColumn("delta", col("v") - lag(col("v"), 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("seq")))
+    val out = PatternMatch.matchPatternAllRows(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq("D" -> (col("delta") < 0), "U" -> (col("delta") > 0)),
+      pattern = "D+ U+")
+    val rows = out.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(rows === Seq(
+      (1, 2, 1L, "D"), (1, 3, 1L, "D"), (1, 4, 1L, "U"), (1, 5, 1L, "U")))
+    // key 2 has no D run -> no match at all; key 1 row 1 unmatched
+  }
+
   test("multiple matches number sequentially per key") {
     import spark.implicits._
     val df = Seq((1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"))

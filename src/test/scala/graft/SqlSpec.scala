@@ -26,6 +26,14 @@ class SqlSpec extends SparkSpec {
     val r = rows.head
     assert(r.getAs[Int]("k") == 1 && r.getAs[Long]("n_down") == 2L
       && r.getAs[Long]("n_up") == 2L && r.getAs[Double]("bottom") == 6.0, r)
+    // 'all' mode: per-row classifiers for the same match
+    val all = spark.sql("""
+      SELECT * FROM graft_match_recognize(
+        'mr_in', 'k', 'seq',
+        'D:delta < 0;U:delta > 0',
+        'D+ U+', '', 'all')""").collect()
+      .map(x => (x.getAs[Int]("seq"), x.getAs[String]("classifier"))).sorted
+    assert(all.toSeq == Seq((2, "D"), (3, "D"), (4, "U"), (5, "U")), all.toSeq)
   }
 
 
