@@ -37,7 +37,14 @@ object Bench {
     // total over successful queries only — summing -1 sentinels would
     // make a build that BREAKS queries score faster
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: the driver captures only the stdout tail,
+    // which has truncated the per-query map two rounds running. The file
+    // keeps every round's numbers auditable.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SELF.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -4,7 +4,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [queryName...] — trailing names restrict the
+    // dump (local fast loop); the driver passes exactly two args and
+    // gets the full sweep.
+    val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
     val spark = graft.engine.GraftSession.create()
     // wipe stale outputs: a query that regressed to throwing must show
     // up as MISSING downstream, not as its previous run's parquet
@@ -15,9 +18,11 @@ object Verify {
           .forEach(f => Files.deleteIfExists(f))
         finally s.close()
       }
-    rmTree(Paths.get(outDir))
+    if (only.isEmpty) rmTree(Paths.get(outDir))
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

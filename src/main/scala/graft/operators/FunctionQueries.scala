@@ -351,7 +351,10 @@ object FunctionQueries {
     // ------------------------------------------------------------------
     // Array set operations (union/intersect/except + slice/flatten/
     // position). Set-op outputs are order-unspecified across engines,
-    // so both sides sort before comparison.
+    // so both sides sort before comparison. Array columns are serialized
+    // through array_join/ARRAY_TO_STRING so the driver's pandas-based
+    // row sort can hash them (raw numpy arrays are unhashable there);
+    // the set-op logic itself is unchanged.
     QueryEntry("f16_array_setops",
       (s, d) => {
         Tables(s, d, "part")
@@ -359,11 +362,11 @@ object FunctionQueries {
             "sequence(CAST(1 AS BIGINT), CAST(p_size % 6 + 2 AS BIGINT)) AS a",
             "sequence(CAST(p_size % 4 + 1 AS BIGINT), CAST(p_size % 4 + 4 AS BIGINT)) AS b")
           .selectExpr("p_partkey",
-            "sort_array(array_union(a, b)) AS u",
-            "sort_array(array_intersect(a, b)) AS itr",
-            "sort_array(array_except(a, b)) AS exc",
-            "slice(a, 2, 3) AS sl",
-            "flatten(array(a, b)) AS fl",
+            "array_join(sort_array(array_union(a, b)), ',') AS u",
+            "array_join(sort_array(array_intersect(a, b)), ',') AS itr",
+            "array_join(sort_array(array_except(a, b)), ',') AS exc",
+            "array_join(slice(a, 2, 3), ',') AS sl",
+            "array_join(flatten(array(a, b)), ',') AS fl",
             "array_position(b, 2) AS pos")
       },
       Some("""WITH x AS (SELECT p_partkey,
@@ -371,11 +374,12 @@ object FunctionQueries {
           GENERATE_SERIES(p_size % 4 + 1, p_size % 4 + 4) AS b
         FROM part)
         SELECT p_partkey,
-          LIST_SORT(LIST_DISTINCT(LIST_CONCAT(a, b))) AS u,
-          LIST_SORT(LIST_DISTINCT(LIST_FILTER(a, v -> LIST_CONTAINS(b, v)))) AS itr,
-          LIST_SORT(LIST_DISTINCT(LIST_FILTER(a, v -> NOT LIST_CONTAINS(b, v)))) AS exc,
-          a[2:4] AS sl,
-          FLATTEN([a, b]) AS fl,
+          -- COALESCE: DuckDB ARRAY_TO_STRING([]) is NULL, Spark array_join([]) is ''
+          COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST_CONCAT(a, b))), ','), '') AS u,
+          COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST_FILTER(a, v -> LIST_CONTAINS(b, v)))), ','), '') AS itr,
+          COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST_FILTER(a, v -> NOT LIST_CONTAINS(b, v)))), ','), '') AS exc,
+          COALESCE(ARRAY_TO_STRING(a[2:4], ','), '') AS sl,
+          COALESCE(ARRAY_TO_STRING(FLATTEN([a, b]), ','), '') AS fl,
           CAST(COALESCE(LIST_POSITION(b, 2), 0) AS BIGINT) AS pos
         FROM x""")),
 

@@ -201,15 +201,19 @@ object PatternMatch {
       }
     }
     // Leftmost-start skip for the common hot shape: when the pattern
-    // HEAD is an unbounded greedy symbol run (S+ / S{n,}), a failed
+    // HEAD is an unbounded greedy symbol run (S* / S+ / S{n,}), a failed
     // match that started at row `start` inside an S-run has already
-    // tried every suffix of that run as the head — restarting one row
-    // later retries a strict subset and must fail too. Skipping to the
-    // run's end turns the monotone-run worst case (a long D+ run with
-    // no U after it) from O(run^2) into O(run).
+    // tried every continuation position start..runEnd (head lengths
+    // run..min) — restarting one row later retries a strict subset of
+    // those continuation positions and must fail too. Skipping to the
+    // run's end turns the monotone-run worst case (a long D run with no
+    // U after it, for `D+ U` AND for the optional-head `D* U`) from
+    // O(run^2) into O(run). Bounded heads (S{n,m}) are excluded: from
+    // start+1 the continuation can reach position start+1+m, which the
+    // attempt from start never tried.
     val headSym: Int = {
       def head(p: Pat): Option[Int] = p match {
-        case Rep(Sym(i), min, -1) if min >= 1 => Some(i)
+        case Rep(Sym(i), min, -1) if min >= 0 => Some(i)
         case Cat(h :: _)                      => head(h)
         case _                                => None
       }
@@ -259,7 +263,13 @@ object PatternMatch {
     * just came through a window over the same keys (the PREV/NEXT
     * precompute pattern). The matcher then skips its own exchange +
     * sort, avoiding a second full shuffle of the stream on the same
-    * key. */
+    * key. CAUTION: the matcher's runtime guard detects fragmentation
+    * only WITHIN a Spark partition; a key group split ACROSS partitions
+    * (input sorted in files but never hash-clustered) silently yields
+    * per-fragment matches with restarted match_num. When the input's
+    * provenance is anything other than a same-key exchange in this
+    * plan, run [[validatePrePartitioned]] first (one cheap extra job)
+    * or leave prePartitioned = false. */
   def matchPattern(
       df: DataFrame,
       partitionBy: Seq[String],
@@ -289,6 +299,35 @@ object PatternMatch {
     run(df, partitionBy, orderBy, symbols, pattern, Nil,
       prePartitioned, allRows = true)
 
+  /** Global check of the `prePartitioned` contract: every partition-key
+    * group must live entirely inside one Spark partition, contiguously.
+    * Counts key runs per partition (streaming, O(1) memory — valid
+    * because the contract also requires sorting by the keys) and
+    * compares the sum against the global distinct key count: equal iff
+    * no key spans two partitions AND each partition is key-clustered.
+    * One extra narrow job over the key columns only; use when feeding
+    * `prePartitioned = true` from input whose distribution is asserted
+    * rather than produced by this plan (e.g. pre-sorted files). The
+    * in-matcher guard cannot catch cross-partition splits — this can.
+    * Throws on violation. */
+  def validatePrePartitioned(df: DataFrame, partitionBy: Seq[String]): Unit = {
+    val keys = df.select(partitionBy.map(col): _*)
+    val global = keys.distinct().count()
+    val runSum = keys.mapPartitions { it =>
+      var cnt = 0L
+      var prev: Seq[Any] = null
+      it.foreach { r =>
+        val k = r.toSeq
+        if (prev == null || k != prev) { cnt += 1; prev = k }
+      }
+      Iterator.single(cnt)
+    }(Encoders.scalaLong).reduce(_ + _)
+    require(runSum == global,
+      s"prePartitioned contract violated: $global distinct key groups but $runSum " +
+        s"per-partition key runs — some group spans partitions or a partition is " +
+        s"not key-clustered; shuffle first (prePartitioned = false)")
+  }
+
   private def run(
       df: DataFrame,
       partitionBy: Seq[String],
@@ -316,11 +355,20 @@ object PatternMatch {
             val dt = ms.agg match {
               case "count"          => LongType
               case "first" | "last" => fieldType(ms.field)
-              case "min" | "max" => fieldType(ms.field) match {
+              // min/max/sum run through double arithmetic and re-cast —
+              // exact only for integral and floating fields. DECIMAL (and
+              // anything else) is rejected up front rather than silently
+              // truncated to a long; callers cast explicitly when a lossy
+              // measure is acceptable.
+              case "min" | "max" | "sum" => fieldType(ms.field) match {
                 case DoubleType | FloatType => DoubleType
-                case _                      => LongType
+                case ByteType | ShortType | IntegerType | LongType =>
+                  if (ms.agg == "sum") DoubleType else LongType
+                case other => sys.error(
+                  s"measure ${ms.name}: ${ms.agg} over unsupported field type $other — " +
+                    "supported: TINYINT/SMALLINT/INT/BIGINT/FLOAT/DOUBLE " +
+                    "(cast DECIMAL/DATE/STRING fields explicitly first)")
               }
-              case "sum" => DoubleType
               case _     => sys.error(s"unknown measure agg: ${ms.agg}")
             }
             StructField(ms.name, dt)
@@ -394,10 +442,13 @@ object PatternMatch {
         }
       }
 
-      // guards the prePartitioned contract: if a key reappears after
-      // its group was emitted, the input was NOT clustered by the
-      // partition keys — matches would be computed on fragments and
-      // match_num would restart, silently wrong. Fail loudly instead.
+      // guards the prePartitioned contract WITHIN this partition: if a
+      // key reappears after its group was emitted, the input was NOT
+      // clustered by the partition keys — matches would be computed on
+      // fragments and match_num would restart, silently wrong. Fail
+      // loudly instead. Scope limit: a key split ACROSS partitions is
+      // invisible here (each task sees a clean run) — that case needs
+      // the caller-side validatePrePartitioned check.
       val closed = scala.collection.mutable.HashSet[Seq[Any]]()
       new Iterator[Row] {
         private var pending: Iterator[Row] = Iterator.empty

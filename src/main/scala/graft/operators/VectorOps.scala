@@ -86,14 +86,31 @@ object VectorOps {
         FROM cand c JOIN en a ON a.vec_id = c.id_a JOIN en b ON b.vec_id = c.id_b
         WHERE $oDot / (SQRT(a.n2) * SQRT(b.n2)) >= 0.35"""
 
+  /** Hard cap on the brute-force all-pairs path (v01). Above this the
+    * pair space (n^2/2) stops being a calibration-sized job and v01
+    * would be a scale-killer pointed at a corpus — which is v04's job.
+    * The count is a parquet metadata read, not a scan. */
+  private[operators] val BruteForceMaxRows = 100000L
+
+  private def requireBaselineSized(s: SparkSession, d: String): Unit = {
+    val n = Tables(s, d, "embeddings").count()
+    require(n <= BruteForceMaxRows,
+      s"v01_cosine_pairs is the brute-force all-pairs ORACLE BASELINE and refuses " +
+        s"corpus-scale input ($n rows > cap $BruteForceMaxRows): use the banded-LSH " +
+        s"path (v04_ann_lsh) or the IVF index (v05/VectorIndex) at scale")
+  }
+
   val entries: Seq[QueryEntry] = Seq(
 
     // ------------------------------------------------------------------
     // All-pairs cosine above a threshold (embedding near-dup dedup).
     // Brute force is the oracle baseline; the LSH path below is the one
-    // that survives 100 TB.
+    // that survives 100 TB. Guarded: refuses input past
+    // BruteForceMaxRows so the baseline cannot be mistaken for the
+    // production path.
     QueryEntry("v01_cosine_pairs",
       (s, d) => {
+        requireBaselineSized(s, d)
         val e = vecs(s, d)
         val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
         val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n2").as("nb2"))

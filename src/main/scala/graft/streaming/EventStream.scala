@@ -71,7 +71,8 @@ object EventStream {
     * SHARED definitions in `graft.operators.TextOps` (`shingleSql`,
     * `minhashLanes`) — one source of truth for batch and stream, with a
     * parity test in StreamingSpec. Fallbacks: sub-3-word docs get an
-    * exact content hash (`raw:`-prefixed); NULL text gets a
+    * exact content hash (`raw:`-prefixed, over the LOWERCASED text so
+    * normalization matches the shingle path); NULL text gets a
     * per-document unique key (`null:<doc_id>`) so unfingerprintable
     * rows are never deduped against each other. */
   def docSignature(docs: DataFrame): DataFrame =
@@ -82,7 +83,7 @@ object EventStream {
       .withColumn("hd", expr("transform(sh, t -> md5(t))"))
       .withColumn("sig",
         when(col("text").isNull, concat(lit("null:"), col("doc_id").cast("string")))
-          .when(size(col("sh")) === 0, concat(lit("raw:"), md5(col("text"))))
+          .when(size(col("sh")) === 0, concat(lit("raw:"), md5(lower(col("text")))))
           .otherwise(concat_ws("|",
             graft.operators.TextOps.minhashLanes(col("hd")): _*)))
       .drop("ws", "sh", "hd")
