@@ -290,6 +290,12 @@ object TextOps {
         // gram-set table is corpus-sized, so a broadcast OOMs at scale.
         // The MERGE hint keeps the plan shape deterministic at every SF
         // (the static planner would pick broadcast below the threshold).
+        // Measured trade (r4, sf0.1 warm): MERGE 1.33 s, SHUFFLE_HASH
+        // 1.29 s (noise-equal), AQE free choice 0.72 s via
+        // BroadcastHashJoin. The ~0.6 s is the price of refusing the
+        // broadcast plan that dies at corpus scale; SMJ is kept over
+        // SHUFFLE_HASH because its spill path degrades gracefully when
+        // a (source, bucket) block outgrows executor memory.
         a.join(b.hint("MERGE"), Seq("source", "bkt"))
           .filter(col("doc_a") < col("doc_b"))
           .filter(least(col("na"), col("nb")).cast("double") >=

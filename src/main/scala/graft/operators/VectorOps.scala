@@ -46,9 +46,16 @@ object VectorOps {
     // codegen on the pair-scoring Project. Repartition off the scan:
     // the dot-product stages are pure CPU and must use every core,
     // not the parquet row-group count.
+    // coalesce(n2, 0): the norm is never null on real rows, but keeping
+    // the column statically non-nullable stops InferFiltersFromConstraints
+    // from deriving isnotnull(vector_dot(..)) out of downstream cos
+    // predicates and pushing a per-row dot product into the SCAN filter
+    // (the t02 pathology), and keeps the two consumer subtrees of this
+    // exchange canonically identical so it is reused, not recomputed.
     Tables(s, d, "embeddings")
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .selectExpr("vec_id", "embedding AS v", "vector_dot(embedding, embedding) AS n2")
+      .selectExpr("vec_id", "embedding AS v",
+        "coalesce(vector_dot(embedding, embedding), CAST(0 AS DOUBLE)) AS n2")
   }
 
   // codegen'd native expression (graft.functions.VectorDot); same
@@ -189,14 +196,17 @@ object VectorOps {
     // the bucket join is the piece that scales where v01 cannot.
     QueryEntry("v04_ann_lsh",
       (s, d) => {
-        // Materialization exchange ABOVE the signature compute (same
-        // pattern as t02): the per-row 16x64 DECIMAL fold is the
-        // expensive part, and both sides of the bucket self-join
-        // consume it — without this exchange each side recomputes the
-        // signatures; with it the canonically-identical subtrees share
-        // one reused shuffle output (vec_id + 16-char sig, tiny).
+        // Signature sharing: the per-row 16x64 DECIMAL fold is the
+        // expensive part and both sides of the bucket self-join consume
+        // it. The two sides' subtrees are canonically identical, so the
+        // bucket exchange itself is the materialization/reuse point —
+        // AQE's stage cache computes the fold ONCE and the second side
+        // reads a ReusedExchange (PlanSpec-gated). An extra repartition
+        // above the fold (the r3 spelling) only added a fifth
+        // sequential shuffle stage to the chain — at sf0.1 that was the
+        // v04 regression, and at 100 TB it is a full extra pass over
+        // corpus-sized signatures.
         val sig = entries.find(_.name == "v03_lsh_signature").get.fn(s, d)
-          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         val bands = sig.selectExpr("vec_id",
           "explode(transform(sequence(0, 3), t -> concat(t, ':', substring(sig, t * 4 + 1, 4)))) AS bucket")
         // verify every bucket collision, dedupe AFTER the threshold

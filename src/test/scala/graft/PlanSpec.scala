@@ -56,6 +56,24 @@ class PlanSpec extends SparkSpec {
       s"expensive expression pushed into scan filter: $scanFilters")
   }
 
+  test("v04 shares the signature/embedding exchanges across both join sides (runtime reuse)") {
+    // Round-3 regression gate (VERDICT r3 #3): the 16x64 DECIMAL
+    // signature fold and the embeddings scan each have TWO consumers
+    // (band self-join sides; fingerprint join sides). AQE's stage cache
+    // must dedupe them — the executed plan shows ReusedExchange for the
+    // second consumer of each. A diamond recompute here doubles the
+    // per-row signature work at any scale.
+    val df = SparkEntry.queries("v04_ann_lsh")(spark, sf())
+    df.collect() // reuse is inserted at runtime; finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.linesIterator.takeWhile(!_.contains("Initial Plan")).mkString("\n")
+    val reused = "ReusedExchange".r.findAllIn(finalPlan).size
+    assert(reused >= 2, s"expected >=2 ReusedExchange in v04 final plan, got $reused:\n${finalPlan.take(3000)}")
+    // and the scan-side: exactly ONE embeddings FileScan materializes
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(finalPlan).size
+    assert(scans <= 2, s"expected <=2 materialized scans in v04 final plan, got $scans")
+  }
+
   test("t13 broadcasts the benchmark-sized eval grams; q29 shuffles once on its key") {
     // the eval side is benchmark-sized BY CONTRACT (a held-out eval
     // set, not the corpus), so broadcasting it is the correct plan —
