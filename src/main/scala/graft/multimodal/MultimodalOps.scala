@@ -16,10 +16,14 @@ import org.apache.spark.sql.types._
   * `resizeImage`. The AUDIO path is real for wav: a manual RIFF chunk
   * walk (`decodeWav` — the container spec is public; PCM needs no
   * codec lib) yields actual duration/rate in `withMeta`, and
-  * `audioStats` computes RMS/peak from the actual PCM16 samples. Only
-  * VIDEO remains a clearly marked DETERMINISTIC STUB (no codec libs in
-  * this container): `stubDecode` derives fake-but-stable durations
-  * from a content hash; a production deployment swaps its body for
+  * `audioStats` computes RMS/peak from the actual PCM16 samples. The
+  * VIDEO path is real for HEADER metadata: `decodeMp4` walks the
+  * ISO-BMFF box tree (public container spec) and reads actual
+  * duration/timescale from `mvhd` and width/height from `tkhd`, so
+  * `withMeta` and `sampleFrames` cardinality run on real numbers. Only
+  * frame PIXEL decode remains a clearly marked DETERMINISTIC STUB (no
+  * codec libs in this container): per-frame features derive from a
+  * content hash; a production deployment swaps that one body for
   * ffmpeg bindings without touching any plan shape. Every operator here is partition-parallel and
   * shuffle-free (narrow maps only; one `explode` for frames whose
   * output is linear in requested frames, not in input bytes).
@@ -77,6 +81,71 @@ object MultimodalOps {
     } yield {
       val frames = len.toLong / bytesPerFrame
       WavInfo(ch, rate, bits, frames, frames * 1000L / rate, off, len)
+    }
+  }
+
+  /** REAL mp4/ISO-BMFF header decode: a manual box walk (the container
+    * layout is public — ISO/IEC 14496-12; no codec lib needed for
+    * header metadata). `moov/mvhd` gives timescale + duration,
+    * the first video `trak/tkhd` gives presentation width/height
+    * (16.16 fixed point). Frame PIXELS still need a codec and stay
+    * stubbed in [[sampleFrames]] — but duration and dimensions, the
+    * fields a curation pipeline filters on, are read from the actual
+    * container. */
+  final case class Mp4Info(majorBrand: String, timescale: Long, duration: Long,
+                           durationMs: Long, width: Int, height: Int)
+
+  def decodeMp4(bytes: Array[Byte]): Option[Mp4Info] = {
+    if (bytes == null || bytes.length < 16 || sniffFormat(bytes) != "mp4") return None
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    /** Child boxes of [start,end) as (type, payloadStart, payloadEnd);
+      * stops at the first corrupt header (size running past the slice). */
+    def boxes(start: Long, end: Long): Seq[(String, Long, Long)] = {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      var pos = start
+      var ok = true
+      while (ok && pos + 8 <= end) {
+        val size0 = u32(pos.toInt)
+        val typ = new String(bytes, pos.toInt + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val (hdr, size) =
+          if (size0 == 1L && pos + 16 <= end) (16L, u64(pos.toInt + 8))
+          else if (size0 == 0L) (8L, end - pos) // box runs to end of slice
+          else (8L, size0)
+        if (size < hdr || pos + size > end) ok = false
+        else { out += ((typ, pos + hdr, pos + size)); pos += size }
+      }
+      out.result()
+    }
+    val top = boxes(0L, bytes.length.toLong)
+    val major = top.collectFirst { case ("ftyp", s, e) if e - s >= 4 =>
+      new String(bytes, s.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    }.getOrElse("")
+    for {
+      (_, moovS, moovE) <- top.find(_._1 == "moov")
+      moovKids = boxes(moovS, moovE)
+      (_, mvhdS, mvhdE) <- moovKids.find(_._1 == "mvhd")
+      ver = bytes(mvhdS.toInt) & 0xff
+      if mvhdE - mvhdS >= (if (ver == 1) 32 else 20)
+    } yield {
+      val (timescale, duration) =
+        if (ver == 1) (u32(mvhdS.toInt + 20), u64(mvhdS.toInt + 24))
+        else (u32(mvhdS.toInt + 12), u32(mvhdS.toInt + 16))
+      // first trak whose tkhd carries a nonzero visual size (16.16 fixed)
+      val dims = moovKids.collect { case ("trak", s, e) => boxes(s, e) }
+        .flatMap(_.collectFirst { case ("tkhd", s, e) =>
+          val tv = bytes(s.toInt) & 0xff
+          val (wOff, hOff) = if (tv == 1) (88, 92) else (76, 80)
+          if (e - s >= hOff + 4)
+            ((u32(s.toInt + wOff) >> 16).toInt, (u32(s.toInt + hOff) >> 16).toInt)
+          else (0, 0)
+        })
+        .find { case (w, h) => w > 0 && h > 0 }
+      val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+      Mp4Info(major, timescale, duration, durMs,
+        dims.map(_._1).getOrElse(0), dims.map(_._2).getOrElse(0))
     }
   }
 
@@ -183,6 +252,9 @@ object MultimodalOps {
               .getOrElse(stubDecode(bytes))
           else if (fmt == "wav")
             decodeWav(bytes).map(i => (0, 0, i.durationMs, i.sampleRate))
+              .getOrElse(stubDecode(bytes))
+          else if (fmt == "mp4")
+            decodeMp4(bytes).map(i => (i.width, i.height, i.durationMs, 0))
               .getOrElse(stubDecode(bytes))
           else stubDecode(bytes)
         Row.fromSeq(r.toSeq :+ Row(fmt, w, h, dur, sr))

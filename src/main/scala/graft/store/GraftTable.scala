@@ -51,8 +51,28 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
 
   def schema: StructType = schemaAt(currentVersion)
 
-  private def schemaAt(v: Long): StructType =
+  def schemaAt(v: Long): StructType =
     DataType.fromJson(log.schemaJsonAt(v)).asInstanceOf[StructType]
+
+  /** Resolve a version pin: explicit number wins, then a named
+    * branch/tag, else the current head. The catalog layer uses this to
+    * pin one snapshot for a whole query (snapshot isolation). */
+  def resolveVersion(asOfVersion: Option[Long] = None, ref: Option[String] = None): Long =
+    asOfVersion
+      .orElse(ref.map { r =>
+        log.getRef(r).getOrElse(throw new IllegalArgumentException(
+          s"unknown ref '$r' at $root (have: ${log.listRefs.keys.mkString(",")})"))
+      })
+      .getOrElse(currentVersion)
+
+  /** Latest version whose commit landed at or before `tsMs` — the
+    * `TIMESTAMP AS OF` resolution rule (Iceberg snapshot-at-timestamp). */
+  def versionAsOfTimestamp(tsMs: Long): Long = {
+    val vs = log.versions.filter(v => log.read(v).timestampMs <= tsMs)
+    if (vs.isEmpty) throw new IllegalArgumentException(
+      s"no version at or before timestamp $tsMs at $root")
+    vs.max
+  }
 
   /** Snapshot read (optionally time-travel to `asOfVersion` or a named
     * branch/tag), with file-level stats pruning for `filters`. The
@@ -63,12 +83,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def read(asOfVersion: Option[Long] = None,
            ref: Option[String] = None,
            filters: Seq[Column] = Nil): DataFrame = {
-    val v = asOfVersion
-      .orElse(ref.map { r =>
-        log.getRef(r).getOrElse(throw new IllegalArgumentException(
-          s"unknown ref '$r' at $root (have: ${log.listRefs.keys.mkString(",")})"))
-      })
-      .getOrElse(currentVersion)
+    val v = resolveVersion(asOfVersion, ref)
     val files = log.snapshotFiles(v)
     val sch = schemaAt(v)
     val kept = StatsPruner.prune(files, resolve(filters, sch), sch)

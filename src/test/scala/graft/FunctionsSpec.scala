@@ -41,6 +41,30 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(n - exact).toDouble / exact < 0.1)
   }
 
+  test("f11 sketch error envelopes: approx vs exact within documented bounds") {
+    // the f11 entry is rows-only in the driver's oracle (sketches differ
+    // across engines by design) — this is its quantitative evidence:
+    // per-group relative error against the EXACT aggregates.
+    Tables.registerAll(spark, sf())
+    val approx = SparkEntry.queries("f11_approx_aggs")(spark, sf())
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = spark.sql(
+      """SELECT l_returnflag,
+                COUNT(DISTINCT l_partkey) AS nd,
+                percentile(l_extendedprice, 0.5) AS med
+         FROM lineitem GROUP BY l_returnflag""")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (nd, med)) =>
+      val (aNd, aMed) = approx(k)
+      // approx_count_distinct: HLL++ with default rsd 0.05 — assert 3 sigma
+      assert(math.abs(aNd - nd).toDouble / nd < 0.15, s"$k: hll $aNd vs exact $nd")
+      // percentile_approx(accuracy=1000): rank error <= n/1000; on this
+      // distribution that is well inside 5% of the median's value
+      assert(math.abs(aMed - med) / med < 0.05, s"$k: p50 $aMed vs exact $med")
+    }
+  }
+
   test("day_of_week is ISO (Mon=1..Sun=7)") {
     // 2024-01-01 was a Monday
     assert(one("SELECT day_of_week(DATE'2024-01-01') d") == Row(1))

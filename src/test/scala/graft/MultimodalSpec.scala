@@ -159,6 +159,68 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalOps.audioStats(df).select("audio").head().isNullAt(0))
   }
 
+  /** A minimal valid ISO-BMFF file: ftyp + moov(mvhd v0 + trak(tkhd v0))
+    * + mdat. Box layout per ISO/IEC 14496-12 (public spec). */
+  private def mp4Bytes(timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length); bb.put(typ.getBytes("US-ASCII")); bb.put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.put("isom".getBytes); bb.putInt(0x200); bb.put("isom".getBytes)
+      bb.array()
+    })
+    val mvhd = box("mvhd", {
+      val bb = java.nio.ByteBuffer.allocate(100) // v0 mvhd payload size
+      bb.putInt(0)          // version 0 + flags
+      bb.putInt(0); bb.putInt(0) // creation / modification
+      bb.putInt(timescale); bb.putInt(duration)
+      bb.array()            // rate/volume/matrix/next_track_id left zero
+    })
+    val tkhd = box("tkhd", {
+      val bb = java.nio.ByteBuffer.allocate(84) // v0 tkhd payload size
+      bb.putInt(0)          // version 0 + flags
+      bb.position(76); bb.putInt(w << 16) // width,  16.16 fixed
+      bb.putInt(h << 16)                  // height, 16.16 fixed
+      bb.array()
+    })
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    ftyp ++ moov ++ box("mdat", Array[Byte](1, 2, 3, 4))
+  }
+
+  test("real mp4 header decode: mvhd duration + tkhd dimensions") {
+    val mp4 = mp4Bytes(timescale = 600, duration = 3000, w = 640, h = 360) // 5 s
+    val info = MultimodalOps.decodeMp4(mp4).get
+    assert(info.majorBrand == "isom")
+    assert(info.timescale == 600 && info.duration == 3000 && info.durationMs == 5000)
+    assert(info.width == 640 && info.height == 360)
+    // withMeta routes mp4 through the real header parse
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, mp4)),
+      StructType(Seq(StructField("id", LongType), StructField("content", BinaryType))))
+    val m = MultimodalOps.withMeta(df)
+      .select("meta.format", "meta.width", "meta.height", "meta.duration_ms").head()
+    assert((m.getString(0), m.getInt(1), m.getInt(2), m.getLong(3)) == (("mp4", 640, 360, 5000L)))
+    // frame fan-out now runs on the REAL duration: 0..5000 step 1000 -> 6
+    val frames = MultimodalOps.sampleFrames(df, everyMs = 1000)
+    assert(frames.count() == 6)
+  }
+
+  test("corrupt mp4 falls back to the stub, never throws") {
+    val good = mp4Bytes(600, 3000, 640, 360)
+    val truncated = good.take(30)  // moov's declared size runs past the bytes
+    assert(MultimodalOps.decodeMp4(truncated).isEmpty)
+    val ftypOnly = good.take(20)   // complete ftyp box, no moov at all
+    assert(MultimodalOps.decodeMp4(ftypOnly).isEmpty)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, truncated)),
+      StructType(Seq(StructField("id", LongType), StructField("content", BinaryType))))
+    val m = MultimodalOps.withMeta(df).select("meta.format", "meta.duration_ms").head()
+    assert(m.getString(0) == "mp4" && m.getLong(1) > 0) // stub duration, no crash
+  }
+
   test("sampleFrames fan-out matches duration/step") {
     val out = MultimodalOps.sampleFrames(media, everyMs = 5000)
     val counts = out.groupBy("id").count().collect()
