@@ -149,6 +149,35 @@ object EventQueries {
           CAST(SUM(k) AS BIGINT) AS sum_k,
           MAX(ks) AS max_ks,
           COUNT(CASE WHEN miss_is_null THEN 1 END) AS n_missing
-        FROM x GROUP BY 1"""))
+        FROM x GROUP BY 1""")),
+
+    // ------------------------------------------------------------------
+    // As-of (point-in-time) join: every event gets the user's most
+    // recent purchase AT OR BEFORE it. Oracle is DuckDB's native ASOF
+    // LEFT JOIN — our union+window derivation must reproduce it
+    // exactly. Timestamps compare at second granularity (ns-vs-µs
+    // parity, same rule as e01/e02); the right side is pre-aggregated
+    // per (user, sec) to satisfy asofLeft's uniqueness contract.
+    QueryEntry("e07_asof_join",
+      (s, d) => {
+        val src = Tables(s, d, "events")
+        val ev = src.select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"))
+        val purchases = src.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), unix_timestamp(col("ts")).as("psec"))
+          .agg(max(col("value")).as("pval"))
+        AsOfJoin.asofLeft(ev, purchases, keys = Seq("user_id"),
+          leftTs = "sec", rightTs = "psec")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("sec"),
+            col("psec").as("last_purchase_sec"), col("pval").as("last_purchase_value"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+            CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec FROM events),
+          p AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS psec,
+            MAX(value) AS pval
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, e.event_type, e.sec,
+          p.psec AS last_purchase_sec, p.pval AS last_purchase_value
+        FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.sec >= p.psec"""))
   )
 }
