@@ -178,6 +178,41 @@ object EventQueries {
             FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         SELECT e.event_id, e.user_id, e.event_type, e.sec,
           p.psec AS last_purchase_sec, p.pval AS last_purchase_value
-        FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.sec >= p.psec"""))
+        FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.sec >= p.psec""")),
+
+    // ------------------------------------------------------------------
+    // Range (interval) join: events landing in the hour AFTER each
+    // purchase by the same user — the attribution-window query. Grain
+    // binning (RangeJoin) keeps it an equi-join; the oracle states the
+    // same join as a plain BETWEEN predicate, which DuckDB's IEJoin
+    // evaluates natively. Aggregated per purchase for a compact,
+    // hashable result.
+    QueryEntry("e08_interval_join",
+      (s, d) => {
+        val src = Tables(s, d, "events")
+        val ev = src.select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec"))
+        val windows = src.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("lo"),
+            (unix_timestamp(col("ts")) + 3600L).as("hi"))
+        RangeJoin.binnedIntervalJoin(ev, windows, keys = Seq("user_id"),
+          ptCol = "sec", loCol = "lo", hiCol = "hi", grain = 3600L)
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).as("n_events"),
+            count(when(col("event_type") === "error", 1)).as("n_errors"),
+            countDistinct(col("event_type")).as("n_types"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+            CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec FROM events),
+          p AS (SELECT event_id AS purchase_id, user_id,
+            CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS lo,
+            CAST(FLOOR(EPOCH(ts)) AS BIGINT) + 3600 AS hi
+            FROM events WHERE event_type = 'purchase')
+        SELECT p.purchase_id, COUNT(*) AS n_events,
+          COUNT(CASE WHEN e.event_type = 'error' THEN 1 END) AS n_errors,
+          COUNT(DISTINCT e.event_type) AS n_types
+        FROM p JOIN e ON e.user_id = p.user_id AND e.sec BETWEEN p.lo AND p.hi
+        GROUP BY p.purchase_id"""))
   )
 }
