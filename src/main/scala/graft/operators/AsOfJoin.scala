@@ -49,6 +49,9 @@ object AsOfJoin {
     require(collisions.isEmpty,
       s"right columns collide with left: ${collisions.mkString(",")} — rename before joining")
     require(keys.nonEmpty, "as-of join needs at least one equi-key")
+    val reserved = Set("__ts", "__side")
+    require((left.columns ++ right.columns).forall(!reserved(_)),
+      s"column names ${reserved.mkString("/")} are reserved by asofLeft")
 
     val rightTypes = carried.map(c => c -> right.schema(c).dataType).toMap
     // left side: null placeholders for every carried column

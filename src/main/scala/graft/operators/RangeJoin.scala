@@ -36,6 +36,8 @@ object RangeJoin {
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet) -- keys
     require(overlap.isEmpty,
       s"non-key columns collide across sides: ${overlap.mkString(",")} — rename first")
+    require((points.columns ++ intervals.columns).forall(_ != "__grain"),
+      "column name __grain is reserved by binnedIntervalJoin")
 
     val p = points.withColumn("__grain", floor(col(ptCol) / grain))
     val i = intervals

@@ -96,6 +96,18 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
 
   def history: Seq[Commit] = log.versions.map(log.read)
 
+  /** (rows, bytes) of snapshot `v` after stats-pruning `filters` —
+    * metadata-only (commit-log FileStats, no file IO). Feeds the DSv2
+    * catalog's `SupportsReportStatistics` (see the caveat there on
+    * Spark's V1ScanWrapper hiding it from static join selection). */
+  def snapshotStats(v: Long, filters: Seq[Column] = Nil): (Long, Long) = {
+    val files = log.snapshotFiles(v)
+    val kept =
+      if (filters.isEmpty) files
+      else StatsPruner.prune(files, resolve(filters, schemaAt(v)), schemaAt(v))
+    (kept.map(_.rows).sum, kept.map(_.bytes).sum)
+  }
+
   /** Resolve user Columns to Catalyst expressions against `sch` via the
     * analyzer (public API only: analyze a Filter over an empty relation
     * and take its condition). */

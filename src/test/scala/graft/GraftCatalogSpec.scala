@@ -117,6 +117,33 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT count(*) AS n FROM gcat.db7.t").head().getLong(0) == 0)
   }
 
+  test("commit-log stats reach Catalyst: small catalog table broadcasts in a join") {
+    sql("CREATE NAMESPACE gcat.db9")
+    sql("CREATE TABLE gcat.db9.dim (id BIGINT, name STRING)")
+    sql("INSERT INTO gcat.db9.dim SELECT id, concat('n', id) FROM range(50)")
+    sql("CREATE TABLE gcat.db9.fact (id BIGINT, v DOUBLE)")
+    sql("INSERT INTO gcat.db9.fact SELECT id % 50, id * 1.0 FROM range(5000)")
+    val q = sql("""SELECT d.name, sum(f.v) AS s
+                   FROM gcat.db9.fact f JOIN gcat.db9.dim d ON f.id = d.id
+                   GROUP BY d.name""")
+    assert(q.collect().length == 50) // materialize THIS execution's adaptive plan
+    // static planning can't see the scan stats (V1ScanWrapper hides
+    // SupportsReportStatistics — documented in GraftScanBuilder), but
+    // AQE's runtime shuffle sizing must still broadcast the 50-row dim
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("path metacharacters in identifiers are rejected (no warehouse escape)") {
+    sql("CREATE NAMESPACE gcat.db8")
+    for (bad <- Seq("CREATE TABLE gcat.db8.`..` (id BIGINT)",
+                    "CREATE TABLE gcat.db8.`a/b` (id BIGINT)",
+                    "CREATE NAMESPACE gcat.`../outside`")) {
+      val e = intercept[Exception](sql(bad))
+      assert(e.getMessage.contains("illegal identifier"), s"$bad -> ${e.getMessage}")
+    }
+  }
+
   test("rename table across the same namespace") {
     sql("CREATE NAMESPACE gcat.db6")
     sql("CREATE TABLE gcat.db6.old_name (id BIGINT)")
