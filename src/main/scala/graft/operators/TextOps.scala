@@ -711,6 +711,91 @@ object TextOps {
           CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
           ROUND(CAST(SUM(cnt) AS DOUBLE) / COUNT(*), 6) AS avg_freq
         FROM w JOIN wf USING (word)
-        GROUP BY doc_id"""))
+        GROUP BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // END-TO-END curation pipeline: the composition a pre-training data
+    // run actually executes, every stage reusing a derivation already
+    // oracle-proven on its own — quality gate (t07 score), exact dedup
+    // keeping the smallest doc_id per md5 (t01), benchmark
+    // decontamination dropping docs sharing >=5 distinct 5-grams with
+    // the eval subset (t13, doc_id % 17 standing in for the benchmark),
+    // hash split (t12) — reported as per-(source, split) counts, token
+    // totals, and an order-insensitive decimal quality sum.
+    // Scale shape: each stage is one bounded shuffle (window on
+    // md5(text); gram join vs a broadcast-sized eval side; final
+    // groupBy); nothing corpus-sized is collected or broadcast, and
+    // dropping a stage never changes another stage's plan — the
+    // pipeline is linear, restartable at any materialized boundary.
+    QueryEntry("t17_curation_pipeline",
+      (s, d) => {
+        val scored = docs(s, d).selectExpr("doc_id", "source", "text",
+            "size(split(text, ' ')) AS n_words",
+            "CAST(length(regexp_replace(text, '[^.!?,;]', '')) AS DOUBLE) / length(text) AS punct_ratio",
+            "CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE) / length(text) AS digit_ratio")
+          .selectExpr("doc_id", "source", "text", "n_words",
+            """CASE WHEN n_words >= 10 THEN 1.0 ELSE n_words / 10.0 END
+               * (1.0 - punct_ratio) * (1.0 - digit_ratio) AS quality_score""")
+          .filter(col("quality_score") >= 0.5 && col("n_words") >= 5)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        val kept = scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        val corpus = kept.filter(col("doc_id") % 17 =!= 0)
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .selectExpr("doc_id", "split(lower(text), ' ') AS ws")
+          .filter(size(col("ws")) >= 5)
+          .selectExpr("doc_id",
+            """explode(array_distinct(transform(sequence(0, size(ws) - 5),
+                 i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))) AS g""")
+        val evalGrams = grams(docs(s, d).filter(col("doc_id") % 17 === 0))
+          .select("g").distinct()
+        val contaminatedIds = grams(corpus).join(evalGrams, "g")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+          .filter(col("n_overlap") >= 5).select("doc_id")
+        corpus.join(contaminatedIds, Seq("doc_id"), "left_anti")
+          .selectExpr("source", "n_words", "quality_score",
+            """CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'd' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'f' THEN 'val'
+                    ELSE 'test' END AS split""")
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).cast("bigint").as("n_tokens"),
+            round(graft.Parity.dsum(col("quality_score")), 6).as("sum_quality"))
+      },
+      Some(s"""WITH scored AS (SELECT doc_id, source, text,
+            LEN(STRING_SPLIT(text, ' ')) AS n_words,
+            CAST(LENGTH(REGEXP_REPLACE(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+            CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) AS digit_ratio
+          FROM documents),
+        q AS (SELECT doc_id, source, text, n_words,
+            CASE WHEN n_words >= 10 THEN 1.0 ELSE n_words / 10.0 END
+              * (1.0 - punct_ratio) * (1.0 - digit_ratio) AS quality_score
+          FROM scored),
+        gated AS (SELECT * FROM q WHERE quality_score >= 0.5 AND n_words >= 5),
+        kept AS (SELECT * FROM (SELECT gated.*,
+            ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn FROM gated)
+          WHERE rn = 1),
+        corpus AS (SELECT * FROM kept WHERE doc_id % 17 <> 0),
+        evg AS (SELECT DISTINCT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws) - 3),
+              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS g
+          FROM (SELECT STRING_SPLIT(LOWER(text), ' ') AS ws FROM documents
+                WHERE doc_id % 17 = 0 AND LEN(STRING_SPLIT(LOWER(text), ' ')) >= 5)),
+        cg AS (SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws) - 3),
+              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS g
+          FROM (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ws FROM corpus
+                WHERE LEN(STRING_SPLIT(LOWER(text), ' ')) >= 5)),
+        contaminated AS (SELECT doc_id FROM cg JOIN evg USING (g)
+          GROUP BY doc_id HAVING COUNT(*) >= 5)
+        SELECT source,
+          CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+               WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < 'f' THEN 'val'
+               ELSE 'test' END AS split,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+          ROUND(${graft.Parity.oSum("quality_score")}, 6) AS sum_quality
+        FROM corpus
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        GROUP BY 1, 2"""))
   )
 }
