@@ -142,6 +142,62 @@ object EventStream {
         col("view_value"), col("purchase_value"))
   }
 
+  // ------------------------------------------------------------------
+  // streaming as-of enrichment (streaming twin of AsOfJoin / e07)
+  // ------------------------------------------------------------------
+  final case class AsOfEvent(event_id: Long, user_id: Long, event_type: String,
+      sec: Long, value: Double)
+  final case class AsOfState(lastSec: Long, lastVal: Double)
+  final case class AsOfOut(event_id: Long, user_id: Long, event_type: String, sec: Long,
+      last_purchase_sec: Option[Long], last_purchase_value: Option[Double])
+
+  /** Each event carries the user's most recent purchase AT OR BEFORE it
+    * (inclusive, max value on sec ties) — the streaming twin of batch
+    * e07, with O(1) state per user instead of a window sort.
+    *
+    * Exactness contract: events are processed in event-time order
+    * WITHIN each micro-batch (the per-group sort below) and batches
+    * are assumed time-ordered ACROSS triggers (a time-partitioned
+    * landing zone delivers this). A late-arriving event can observe
+    * purchase state newer than itself — the standard streaming
+    * enrichment trade; exact retro-correction is the batch operator's
+    * job. State never times out here (one tuple per user — bounded by
+    * the user population, not the stream); a deployment with churning
+    * keys adds a ProcessingTimeTimeout eviction.
+    */
+  def asofEnrich(events: DataFrame): Dataset[AsOfOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("value"))
+      .as[AsOfEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfState]) =>
+          var st = state.getOption
+          val out = Seq.newBuilder[AsOfOut]
+          // process second-by-second so every event at sec S (purchases
+          // included) sees ALL purchases at S — batch e07's inclusive,
+          // max-on-tie semantics
+          rows.toSeq.groupBy(_.sec).toSeq.sortBy(_._1).foreach { case (sec, group) =>
+            val purchVals = group.filter(_.event_type == "purchase").map(_.value)
+            if (purchVals.nonEmpty) {
+              val v = purchVals.max
+              st = st match {
+                case Some(s) if s.lastSec == sec => Some(AsOfState(sec, math.max(s.lastVal, v)))
+                case _ => Some(AsOfState(sec, v))
+              }
+            }
+            group.foreach(e => out += AsOfOut(e.event_id, e.user_id, e.event_type, e.sec,
+              st.map(_.lastSec), st.map(_.lastVal)))
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Sliding 1h/30min windows (twin of e05). */
   def slidingValue(events: DataFrame): DataFrame =
     events

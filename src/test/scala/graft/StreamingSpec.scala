@@ -100,6 +100,46 @@ class StreamingSpec extends SparkSpec {
       s"expected the closed 3-event session, got ${emitted.mkString(";")}")
   }
 
+  test("streaming as-of enrichment matches the batch AsOfJoin on time-ordered drops") {
+    val landing = Files.createTempDirectory("graft_asof_in").toString
+    val ckpt = Files.createTempDirectory("graft_asof_ck").toString
+    val out = Files.createTempDirectory("graft_asof_out").toString
+    // two drops split ON the time axis (the contract: batches arrive
+    // time-ordered); event types cycle so each user sees interleaved
+    // views/clicks/purchases
+    mkEvents(120).filter($"event_id" < 60).coalesce(1).write.mode("append").parquet(landing)
+    mkEvents(120).filter($"event_id" >= 60).coalesce(1).write.mode("append").parquet(landing)
+
+    val enriched = EventStream.asofEnrich(
+      EventStream.readEvents(spark, landing, maxFilesPerTrigger = 1))
+    val q = EventStream.writeParquet(enriched.toDF(), out, ckpt)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+
+    // batch twin: the SAME derivation e07 uses, on the same data
+    val src = mkEvents(120).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = src.select($"event_id", $"user_id", $"event_type",
+      unix_timestamp($"ts").as("sec"))
+    val purchases = src.filter($"event_type" === "purchase")
+      .groupBy($"user_id", unix_timestamp($"ts").as("psec"))
+      .agg(max($"value").as("pval"))
+    val want = graft.operators.AsOfJoin
+      .asofLeft(ev, purchases, Seq("user_id"), "sec", "psec")
+      .select($"event_id", $"psec", $"pval")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    val got = spark.read.parquet(out)
+      .select("event_id", "last_purchase_sec", "last_purchase_value")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(got.size == 120)
+    assert(got == want, {
+      val diff = want.keySet.filter(k => got.get(k) != want.get(k)).take(5)
+      s"mismatch on ${diff.map(k => s"$k: got=${got.get(k)} want=${want.get(k)}").mkString("; ")}"
+    })
+  }
+
   test("streaming dedup drops replayed event_ids within the watermark") {
     val landing = Files.createTempDirectory("graft_dedup_in").toString
     val ckpt = Files.createTempDirectory("graft_dedup_ck").toString
