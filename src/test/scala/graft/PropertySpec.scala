@@ -125,4 +125,63 @@ class PropertySpec extends SparkSpec {
       assert(got == expect, s"draw $i")
     }
   }
+
+  // --- custom join operators vs brute-force reference semantics ---------
+
+  private val ptsGen: Gen[List[(Long, Long)]] =       // (key, t)
+    Gen.listOfN(30, for {
+      k <- Gen.chooseNum(0L, 4L)
+      t <- Gen.chooseNum(0L, 50L)
+    } yield (k, t))
+
+  private val ivsGen: Gen[List[(Long, Long, Long)]] = // (key, ts, dur>=0 -> [ts, ts+dur])
+    Gen.listOfN(12, for {
+      k <- Gen.chooseNum(0L, 4L)
+      ts <- Gen.chooseNum(0L, 50L)
+      dur <- Gen.chooseNum(0L, 20L)
+    } yield (k, ts, dur))
+
+  test("asofLeft == brute-force latest-right-at-or-before, on random timelines") {
+    (0 until 8).foreach { i =>
+      val pts = ptsGen.pureApply(Gen.Parameters.default, Seed(7L + i))
+        .zipWithIndex.map { case ((k, t), id) => (id.toLong, k, t) }
+      // right side unique per (key, ts) — the operator's contract
+      val rs = ivsGen.pureApply(Gen.Parameters.default, Seed(77L + i))
+        .map { case (k, ts, dur) => (k, ts, dur.toDouble) }
+        .groupBy(t => (t._1, t._2)).map { case ((k, ts), g) => (k, ts, g.map(_._3).max) }
+        .toList
+      val got = graft.operators.AsOfJoin.asofLeft(
+          pts.toDF("id", "k", "t"), rs.toDF("k", "rt", "rv"), Seq("k"), "t", "rt")
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+      val want = pts.map { case (id, k, t) =>
+        val cand = rs.filter(r => r._1 == k && r._2 <= t)
+        id -> (if (cand.isEmpty) (None, None)
+               else { val m = cand.maxBy(_._2); (Some(m._2), Some(m._3)) })
+      }.toMap
+      assert(got == want, s"draw $i")
+    }
+  }
+
+  test("binnedIntervalJoin == brute-force containment, for every grain") {
+    (0 until 6).foreach { i =>
+      val pts = ptsGen.pureApply(Gen.Parameters.default, Seed(13L + i))
+        .zipWithIndex.map { case ((k, t), id) => (id.toLong, k, t) }
+      val ivs = ivsGen.pureApply(Gen.Parameters.default, Seed(131L + i))
+        .zipWithIndex.map { case ((k, ts, dur), id) => (1000L + id, k, ts, ts + dur) }
+      val want = (for {
+        (pid, pk, t) <- pts
+        (iid, ik, lo, hi) <- ivs
+        if pk == ik && t >= lo && t <= hi
+      } yield (pid, iid)).toSet
+      for (grain <- Seq(1L, 3L, 16L, 100L)) {
+        val got = graft.operators.RangeJoin.binnedIntervalJoin(
+            pts.toDF("pid", "k", "t"), ivs.toDF("iid", "k", "lo", "hi"),
+            Seq("k"), "t", "lo", "hi", grain)
+          .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == want, s"draw $i grain $grain")
+      }
+    }
+  }
 }
