@@ -90,6 +90,18 @@ class PlanSpec extends SparkSpec {
     assert(!p29.contains("rangepartitioning"), s"global sort in q29: ${p29.take(2000)}")
   }
 
+  test("t17 pipeline: eval grams broadcast, no cartesian, anti-join present") {
+    // same contract as t13 (the eval side is benchmark-sized), plus the
+    // composition properties: the contamination filter must be an
+    // anti-join (never a collected id list) and nothing may degrade to
+    // a loop join
+    val p = plan(SparkEntry.queries("t17_curation_pipeline")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("LeftAnti"), s"expected an anti-join for contamination: ${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("q27 has no unpartitioned window (GROUPS frame via day-table joins)") {
     // an unpartitioned WindowExec funnels every row into one task at
     // scale; q27 must compute its GROUPS frame from per-day aggregates
