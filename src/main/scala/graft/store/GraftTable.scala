@@ -338,19 +338,66 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * the per-file min/max stats prune like Iceberg partition metadata —
     * a selective read then touches O(1) files instead of all of them.
     * (Iceberg's `write.sort-order` / partition-spec equivalent.)
+    *
+    * `zorderBy` (2+ numeric columns, exclusive with clusterBy) clusters
+    * on an interleaved-bit Z-value instead, so files form tiles in the
+    * multi-dimensional value space and min/max stats prune selective
+    * predicates on ANY of the columns (Delta `OPTIMIZE ZORDER BY` /
+    * Iceberg multi-dim sort parity). A linear sort on (x, y) prunes x
+    * but spreads every y value across all files; Z-order gives both
+    * dimensions ~sqrt coverage. Implementation is scale-first: each
+    * column's 8-bit bucket comes from the GLOBAL min/max in the commit
+    * log's file stats (metadata — no extra scan, no global ntile
+    * window), bucketing + bit interleave are narrow codegen'd
+    * expressions, and the only shuffle is the same repartitionByRange
+    * any clustered rewrite pays. NULLs bucket to 0 (they sort first,
+    * like NULLS FIRST).
     */
   def compact(targetFileMB: Int = 128, clusterBy: Seq[String] = Nil,
-              numFiles: Option[Int] = None): Long = {
+              numFiles: Option[Int] = None, zorderBy: Seq[String] = Nil): Long = {
     val base = currentVersion
     val files = log.snapshotFiles(base)
-    if (files.size <= 1 && clusterBy.isEmpty) return currentVersion
+    if (files.size <= 1 && clusterBy.isEmpty && zorderBy.isEmpty) return currentVersion
     val sch = schema
     val totalBytes = files.map(_.bytes).sum
     val n = numFiles.getOrElse(
       math.max(1, (totalBytes / (targetFileMB.toLong << 20)).toInt))
     val data = readData(files.map(f => s"$root/${f.path}"), sch)
     val df =
-      if (clusterBy.isEmpty) data.repartition(n)
+      if (zorderBy.nonEmpty) {
+        require(clusterBy.isEmpty, "choose clusterBy OR zorderBy, not both")
+        require(zorderBy.size >= 2, "zorderBy needs >= 2 columns (use clusterBy for one)")
+        zorderBy.foreach { c =>
+          require(sch.fieldNames.contains(c), s"no column $c")
+          require(sch(c).dataType.isInstanceOf[NumericType],
+            s"zorderBy needs numeric columns; $c is ${sch(c).dataType.simpleString}")
+        }
+        // global per-column [min, max] from commit-log stats — metadata,
+        // not a data pass; a column with no stats (all-null) is constant
+        val ranges = zorderBy.map { c =>
+          val mins = files.flatMap(_.min.get(c)).map(_.toDouble)
+          val maxs = files.flatMap(_.max.get(c)).map(_.toDouble)
+          if (mins.isEmpty) (0.0, 1.0) else (mins.min, maxs.max)
+        }
+        val bits = 8
+        val buckets = zorderBy.zip(ranges).map { case (c, (lo, hi)) =>
+          val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+          least(lit((1 << bits) - 1), greatest(lit(0),
+            floor((coalesce(col(c).cast("double"), lit(lo)) - lit(lo)) / lit(span) * (1 << bits))))
+            .cast("long")
+        }
+        // interleave: bit i of column j lands at position i*nCols + j
+        val z = (0 until bits).flatMap { i =>
+          buckets.zipWithIndex.map { case (b, j) =>
+            shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * buckets.size + j)
+          }
+        }.reduce(_ + _)
+        data.withColumn("__z", z)
+          .repartitionByRange(n, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      }
+      else if (clusterBy.isEmpty) data.repartition(n)
       else data.repartitionByRange(n, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     commitRetry("compact", writeFiles(df), files.map(_.path), sch.json, basedOn = base)

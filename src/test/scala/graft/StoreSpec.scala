@@ -169,6 +169,41 @@ class StoreSpec extends SparkSpec {
     assert(t.read(filters = Seq(col("id") < 100L)).count() == 100)
   }
 
+  test("Z-order compaction prunes on BOTH dimensions; linear clustering only on one") {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+    def kept(t: GraftTable, colName: String, v: Long): Int =
+      StatsPruner.prune(t.history.last.added,
+        Seq(EqualTo(UnresolvedAttribute(colName), Literal(v))), t.schema).size
+    // independent uniform dims on a 100x100 grid
+    def grid = spark.range(0, 10000).toDF("id")
+      .selectExpr("id", "id % 100 AS x", "CAST(id / 100 AS BIGINT) AS y")
+      .repartition(4)
+
+    val zt = GraftTable.create(spark, freshRoot, grid)
+    zt.compact(numFiles = Some(16), zorderBy = Seq("x", "y"))
+    val zFiles = zt.history.last.added.size
+    assert(zFiles > 4, s"want >4 z-ordered files, got $zFiles")
+    // tiles: a point predicate on EITHER dimension keeps ~sqrt of the files
+    assert(kept(zt, "x", 5L) <= zFiles / 2, s"x: ${kept(zt, "x", 5L)}/$zFiles")
+    assert(kept(zt, "y", 5L) <= zFiles / 2, s"y: ${kept(zt, "y", 5L)}/$zFiles")
+    // data survives the rewrite byte-exactly
+    assert(zt.read().count() == 10000)
+    assert(zt.read(filters = Seq(col("x") === 5L)).count() == 100)
+    assert(zt.read(filters = Seq(col("y") === 5L)).count() == 100)
+
+    // contrast: linear clusterBy(x, y) prunes x but every file spans all y
+    val lt = GraftTable.create(spark, freshRoot, grid)
+    lt.compact(numFiles = Some(16), clusterBy = Seq("x", "y"))
+    val lFiles = lt.history.last.added.size
+    assert(kept(lt, "x", 5L) <= lFiles / 2)
+    assert(kept(lt, "y", 5L) == lFiles, "linear clustering cannot prune the second dim")
+
+    // guards
+    intercept[IllegalArgumentException](zt.compact(zorderBy = Seq("x")))
+    intercept[IllegalArgumentException](zt.compact(clusterBy = Seq("x"), zorderBy = Seq("x", "y")))
+  }
+
   test("orc format: full lifecycle (walden pins iceberg.file-format=ORC)") {
     val root = freshRoot
     val t = GraftTable.create(spark, root,
