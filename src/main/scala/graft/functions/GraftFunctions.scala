@@ -133,6 +133,30 @@ object GraftFunctions {
       df.queryExecution.logical
     },
 
+    // CDC diff between two snapshots (Delta change-data-feed / Nessie
+    // branch-diff parity at the SQL level): rows with _change_type
+    // 'insert'/'delete'; an update is one of each.
+    //   graft_table_changes('<root>', <fromVersion>, <toVersion>)
+    "graft_table_changes" -> { exprs: Seq[Expression] =>
+      val spark = SparkSession.active
+      require(exprs.length == 3,
+        "graft_table_changes(path, fromVersion, toVersion)")
+      def str(e: Expression): String = e match {
+        case Literal(s, org.apache.spark.sql.types.StringType) => String.valueOf(s)
+        case other => throw new IllegalArgumentException(
+          s"graft_table_changes path must be a string literal, got $other")
+      }
+      def long(e: Expression, what: String): Long = e match {
+        case Literal(v, org.apache.spark.sql.types.IntegerType) => String.valueOf(v).toLong
+        case Literal(v, org.apache.spark.sql.types.LongType) => String.valueOf(v).toLong
+        case other => throw new IllegalArgumentException(
+          s"graft_table_changes $what must be an integer literal, got $other")
+      }
+      graft.store.GraftTable.load(spark, str(exprs(0)))
+        .changes(long(exprs(1), "fromVersion"), long(exprs(2), "toVersion"))
+        .queryExecution.logical
+    },
+
     // SQL-level row-pattern matching (Trino exposes MATCH_RECOGNIZE as
     // SQL; we expose the same matcher TVF-style since Spark's parser
     // has no MATCH_RECOGNIZE clause):

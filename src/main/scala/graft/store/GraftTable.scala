@@ -331,6 +331,41 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     commitRetry("merge", writeFiles(toWrite), victims, sch.json, basedOn = base)
   }
 
+  /** Row-level changes between two snapshots (CDC — Delta "change data
+    * feed" / Nessie branch-diff parity): every row appears with
+    * `_change_type` = 'insert' (present at `toVersion`, absent at
+    * `fromVersion`) or 'delete' (the reverse); an update contributes
+    * one of each. Multiset semantics — duplicate rows diff by count.
+    *
+    * Scale: copy-on-write makes this FILE algebra. Only files added or
+    * removed between the snapshots are read (paths from the commit log
+    * — metadata); rows the rewrite carried over unchanged cancel in the
+    * two `exceptAll`s, whose shuffles are bounded by the CHANGED file
+    * bytes, never the table. Untouched files are never opened.
+    */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changes needs fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val beforeFiles = log.snapshotFiles(fromVersion).map(_.path).toSet
+    val afterFiles = log.snapshotFiles(toVersion).map(_.path).toSet
+    val sch = schemaAt(toVersion)
+    def readOrEmpty(paths: Set[String], readSch: StructType): DataFrame =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSch)
+      else readData(paths.toSeq.map(p => s"$root/$p"), readSch)
+    // align the before side to the AFTER schema: columns added between
+    // the versions read as NULL from old files (by-name resolution),
+    // exactly how a time-travel read at toVersion would see them
+    val before0 = readOrEmpty(beforeFiles -- afterFiles, schemaAt(fromVersion))
+    val before = before0.select(sch.fields.map { f =>
+      if (before0.schema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    val after = readOrEmpty(afterFiles -- beforeFiles, sch)
+    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
   /** Compact small files into ~targetFileMB outputs (OPTIMIZE).
     *
     * `clusterBy` additionally range-partitions and sorts the rewrite on

@@ -121,6 +121,11 @@ class SqlSpec extends SparkSpec {
     val j = graft.sql.GraftSql.sql(spark,
       s"SELECT g.v FROM graft_table('$root') g JOIN VALUES (3) AS k(id) ON g.id = k.id")
     assert(j.collect().map(_.getString(0)).toSeq == Seq("c"))
+    // CDC diff TVF: the v1 -> v2 append shows up as one insert
+    val ch = graft.sql.GraftSql.sql(spark,
+      s"SELECT _change_type, id FROM graft_table_changes('$root', 1, 2)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ch == Set(("insert", 3L)))
   }
 
   test("TABLESAMPLE / Dataset.sample draw a seeded subset") {

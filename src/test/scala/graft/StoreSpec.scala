@@ -169,6 +169,37 @@ class StoreSpec extends SparkSpec {
     assert(t.read(filters = Seq(col("id") < 100L)).count() == 100)
   }
 
+  test("changes(v1, v2): CDC diff for append / update / delete / compact / evolution") {
+    val root = freshRoot
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "name", "score")) // v1
+    t.append(Seq((4L, "d", 4.0)).toDF("id", "name", "score"))                          // v2
+    t.update(col("id") === 2L, Map("score" -> lit(22.0)))                              // v3
+    t.delete(col("id") === 3L)                                                         // v4
+    t.compact(numFiles = Some(1))                                                      // v5
+    t.addColumn("note", org.apache.spark.sql.types.StringType)                         // v6
+
+    def diff(a: Long, b: Long): Set[(String, Long, Double)] =
+      t.changes(a, b).select("_change_type", "id", "score").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(diff(1, 2) == Set(("insert", 4L, 4.0)))
+    // update = delete(old) + insert(new); the rewrite's carried rows cancel
+    assert(diff(2, 3) == Set(("insert", 2L, 22.0), ("delete", 2L, 2.0)))
+    assert(diff(3, 4) == Set(("delete", 3L, 3.0)))
+    // compaction rewrites every file but changes no rows
+    assert(t.changes(4, 5).count() == 0)
+    // net diff across the whole history
+    assert(diff(1, 4) == Set(("insert", 4L, 4.0),
+      ("insert", 2L, 22.0), ("delete", 2L, 2.0), ("delete", 3L, 3.0)))
+    // post-evolution diff aligns old files to the new schema (note=NULL)
+    t.append(Seq((5L, "e", 5.0, "hi")).toDF("id", "name", "score", "note"))            // v7
+    val ev = t.changes(5, 7).select("_change_type", "id", "note").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(ev == Set(("insert", 5L, Some("hi"))))
+    intercept[IllegalArgumentException](t.changes(3, 3))
+  }
+
   test("Z-order compaction prunes on BOTH dimensions; linear clustering only on one") {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
