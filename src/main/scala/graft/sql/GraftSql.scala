@@ -129,8 +129,11 @@ object GraftSql {
     *
     * `EXPLAIN ANALYZE <query>` (Trino's executed-plan-with-metrics
     * statement, which Spark SQL lacks) executes the query and returns
-    * the final adaptive physical plan with per-operator runtime
-    * metrics as a single `plan` column.
+    * the FINAL adaptive physical plan plus per-operator runtime
+    * metrics as a single `plan` column. The query must be executed
+    * through its own QueryExecution (`collect()`, not a derived
+    * `count()` — a derived action finalizes a different plan and
+    * leaves this one's metrics empty and its AQE plan unresolved).
     */
   def sql(spark: SparkSession, text: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -138,8 +141,33 @@ object GraftSql {
       case explainAnalyze(body) =>
         import spark.implicits._
         val df = spark.sql(TrinoDialect.rewrite(body))
-        df.count() // execute so metrics are real
-        Seq(df.queryExecution.executedPlan.toString).toDF("plan")
+        df.collect() // finalize THIS execution's adaptive plan + metrics
+        val exec = df.queryExecution.executedPlan
+        val root = exec match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case other => other
+        }
+        val metricLines = Seq.newBuilder[String]
+        def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
+          val ms = p.metrics.toSeq
+            .filter { case (_, m) => m.value > 0 }
+            .sortBy(_._1)
+            .map { case (k, m) => s"$k=${m.value}" }
+          metricLines += ("  " * depth + p.nodeName +
+            (if (ms.isEmpty) "" else ms.mkString(" [", ", ", "]")))
+          // AQE stage wrappers are leaves whose real subtree hangs off
+          // .plan; a ReusedExchange's subtree already printed once
+          val kids = p match {
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+            case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Nil
+            case other => other.children
+          }
+          kids.foreach(walk(_, depth + 1))
+        }
+        walk(root, 0)
+        Seq(exec.toString + "\n== Runtime metrics ==\n" + metricLines.result().mkString("\n"))
+          .toDF("plan")
       case _ => spark.sql(TrinoDialect.rewrite(text))
     }
   }

@@ -95,12 +95,17 @@ class SqlSpec extends SparkSpec {
     assert(out.contains("date_diff(HOUR, t1, t2)"), out)
   }
 
-  test("EXPLAIN ANALYZE returns an executed plan (Trino parity)") {
+  test("EXPLAIN ANALYZE returns the FINAL adaptive plan with real runtime metrics") {
     Tables.registerAll(spark, sf())
     val plan = graft.sql.GraftSql.sql(spark,
       "EXPLAIN ANALYZE SELECT r_name, count(*) FROM region JOIN nation ON r_regionkey = n_regionkey GROUP BY r_name")
       .collect().head.getString(0)
     assert(plan.contains("HashAggregate"), plan.take(500))
+    // the plan must be the EXECUTED one, not the pre-execution estimate
+    assert(plan.contains("isFinalPlan=true"), plan.take(500))
+    // and metrics must be populated from the actual run (5 regions out)
+    val metrics = plan.substring(plan.indexOf("== Runtime metrics =="))
+    assert(metrics.contains("numOutputRows=5"), metrics.take(1500))
   }
 
   test("graft_table TVF: SQL read + time travel into the versioned store") {
