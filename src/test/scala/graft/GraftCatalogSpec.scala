@@ -134,6 +134,23 @@ class GraftCatalogSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("concurrent SQL INSERTs race through optimistic commits, none lost") {
+    sql("CREATE NAMESPACE gcat.db10")
+    sql("CREATE TABLE gcat.db10.t (id BIGINT, src STRING)")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (0 until 4).map { i =>
+      Future { sql(s"INSERT INTO gcat.db10.t SELECT id, 'w$i' FROM range(${i * 100}, ${i * 100 + 100})") }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    assert(sql("SELECT count(*) AS n FROM gcat.db10.t").head().getLong(0) == 400)
+    assert(sql("SELECT count(DISTINCT src) AS n FROM gcat.db10.t").head().getLong(0) == 4)
+    // four append commits landed, linearized by the hard-link race
+    val gt = GraftTable.load(spark, s"$warehouse/db10/t")
+    assert(gt.history.count(_.op == "append") == 4, gt.history.map(_.op))
+  }
+
   test("path metacharacters in identifiers are rejected (no warehouse escape)") {
     sql("CREATE NAMESPACE gcat.db8")
     for (bad <- Seq("CREATE TABLE gcat.db8.`..` (id BIGINT)",
