@@ -267,6 +267,35 @@ object EventStream {
       }
   }
 
+  /** Tail a GraftTable as a STREAM: new data files land in
+    * `root/data/<uuid>/` per commit and the file source discovers them
+    * incrementally — the lakehouse "table as stream" capability (Delta/
+    * Iceberg streaming-source analog), with the same contract those
+    * sources impose:
+    *
+    *  - APPEND-ONLY tables. A copy-on-write rewrite (UPDATE/DELETE/
+    *    MERGE/compact) lands new files whose carried rows would
+    *    re-emit; tail ingest tables, or dedup downstream on a key
+    *    (dedupEvents). Delta refuses non-append sources the same way.
+    *  - File landing slightly precedes commit publish, so a writer
+    *    that crashes between write and commit leaves orphans the
+    *    stream may read; `vacuum()` clears them. Exactly-once
+    *    consumers key on record ids, as with any at-least-once source.
+    *
+    * Scale: discovery is a directory listing per trigger (the source's
+    * own file index, no commit-log replay); reads are ordinary parquet
+    * scans bounded by maxFilesPerTrigger.
+    */
+  def readGraftTableStream(spark: SparkSession, root: String,
+                           maxFilesPerTrigger: Int = 16): DataFrame = {
+    val t = graft.store.GraftTable.load(spark, root)
+    spark.readStream
+      .schema(t.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .format(t.format)
+      .load(s"$root/data/*")
+  }
+
   /** Land a stream into parquet with checkpointing (exactly-once file
     * sink). Partitioned by event_type so downstream scans prune. */
   def writeParquet(df: DataFrame, outDir: String, checkpointDir: String,

@@ -100,6 +100,31 @@ class StreamingSpec extends SparkSpec {
       s"expected the closed 3-event session, got ${emitted.mkString(";")}")
   }
 
+  test("GraftTable tails as a stream: commits become micro-batches") {
+    val ckpt = Files.createTempDirectory("graft_tail_ck").toString
+    val out = Files.createTempDirectory("graft_tail_out").toString
+    val troot = Files.createTempDirectory("graft_tail_t").resolve("t").toString
+    val t = graft.store.GraftTable.create(spark, troot,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.append(Seq((4L, "d"), (5L, "e")).toDF("id", "v"))
+
+    val stream = EventStream.readGraftTableStream(spark, troot, maxFilesPerTrigger = 1)
+    assert(stream.isStreaming)
+    val q = EventStream.writeParquet(stream, out, ckpt)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+    val ids = spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L))
+
+    // a LATER commit is picked up by a resumed stream from the same checkpoint
+    t.append(Seq((6L, "f")).toDF("id", "v"))
+    val q2 = EventStream.writeParquet(
+      EventStream.readGraftTableStream(spark, troot, maxFilesPerTrigger = 1), out, ckpt)
+    assert(q2.awaitTermination(240000), "resumed stream did not drain")
+    val ids2 = spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+    assert(ids2 == (1L to 6L), s"resume must deliver ONLY the new commit once: $ids2")
+  }
+
   test("streaming as-of enrichment matches the batch AsOfJoin on time-ordered drops") {
     val landing = Files.createTempDirectory("graft_asof_in").toString
     val ckpt = Files.createTempDirectory("graft_asof_ck").toString
