@@ -134,6 +134,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("CALL procedures: optimize (zorder), vacuum, create_ref") {
+    sql("CREATE NAMESPACE gcat.db11")
+    sql("CREATE TABLE gcat.db11.t (id BIGINT, x BIGINT, y BIGINT)")
+    sql("INSERT INTO gcat.db11.t SELECT id, id % 100, CAST(id / 100 AS BIGINT) FROM range(10000)")
+    // Trino ALTER TABLE EXECUTE optimize / Delta OPTIMIZE ZORDER parity
+    val opt = sql("CALL gcat.system.optimize('db11.t', 16, '', 'x,y')").collect()
+    assert(opt.length == 1 && opt.head.getInt(1) > 4, opt.mkString)
+    assert(sql("SELECT count(*) AS n FROM gcat.db11.t").head().getLong(0) == 10000)
+    val gt = GraftTable.load(spark, s"$warehouse/db11/t")
+    assert(gt.history.last.op == "compact")
+    // branch/tag ref through SQL, readable via time travel
+    val ref = sql("CALL gcat.system.create_ref('db11.t', 'stable', 2)").collect()
+    assert(ref.head.getString(0) == "stable" && ref.head.getLong(1) == 2L)
+    assert(sql("SELECT count(*) AS n FROM gcat.db11.t VERSION AS OF 'stable'")
+      .head().getLong(0) == 10000)
+    // vacuum: pre-compaction files are unreferenced by... still referenced
+    // by versions 1-2, so a grace-0 vacuum only removes files NO version
+    // references (none here) — assert it runs and reports
+    val vac = sql("CALL gcat.system.vacuum('db11.t', 0)").collect()
+    assert(vac.head.getInt(0) >= 0)
+  }
+
   test("concurrent SQL INSERTs race through optimistic commits, none lost") {
     sql("CREATE NAMESPACE gcat.db10")
     sql("CREATE TABLE gcat.db10.t (id BIGINT, src STRING)")
