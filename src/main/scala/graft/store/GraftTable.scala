@@ -36,6 +36,15 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * `tf/main.tf:96`; both are first-class here). */
   lazy val format: String = GraftTable.formatOf(root)
 
+  /** Columns that get a per-file bloom filter on every write (table
+    * property, fixed at create). The 100 TB point-lookup lever: an
+    * equality predicate on a high-cardinality column that min/max
+    * stats CANNOT prune (uuid-ish values span every file's range)
+    * skips row groups via the bloom instead — both the parquet and
+    * ORC readers consult them during pushdown. Costs ~1 MB/row-group
+    * per column at write time; choose lookup keys, not metrics. */
+  lazy val bloomFilterCols: Seq[String] = GraftTable.bloomColsOf(root)
+
   private def readData(paths: Seq[String], sch: StructType): DataFrame =
     spark.read.schema(sch).format(format).load(paths: _*)
 
@@ -139,7 +148,14 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   private def writeFiles(df: DataFrame): Seq[FileStat] = {
     val sub = s"data/${UUID.randomUUID().toString.take(8)}"
     val dir = s"$root/$sub"
-    df.write.format(format).save(dir)
+    val base = df.write.format(format)
+    val writer =
+      if (bloomFilterCols.isEmpty) base
+      else if (format == "parquet")
+        bloomFilterCols.foldLeft(base)((w, c) =>
+          w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      else base.option("orc.bloom.filter.columns", bloomFilterCols.mkString(","))
+    writer.save(dir)
     collectStats(dir, sub, df.schema)
   }
 
@@ -483,10 +499,17 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
 
 object GraftTable {
   /** Create a new versioned table at `root` from `df` (CTAS).
-    * `format` is parquet (default) or orc, fixed for the table's life. */
+    * `format` is parquet (default) or orc, fixed for the table's life.
+    * `bloomFilterCols` adds per-file bloom filters on those columns to
+    * every write (see [[GraftTable.bloomFilterCols]]). */
   def create(spark: SparkSession, root: String, df: DataFrame,
-             format: String = "parquet"): GraftTable = {
+             format: String = "parquet",
+             bloomFilterCols: Seq[String] = Nil): GraftTable = {
     require(Set("parquet", "orc")(format), s"unsupported format: $format")
+    bloomFilterCols.foreach { c =>
+      require(df.schema.fieldNames.contains(c), s"bloom filter column $c not in schema")
+      require(!c.contains("\"") && !c.contains(","), s"bad bloom column name: $c")
+    }
     val t = new GraftTable(spark, root)
     // refuse BEFORE touching disk: writing props/data first would
     // clobber an existing table's format metadata on a doomed create
@@ -503,8 +526,11 @@ object GraftTable {
     // clearStaleCreate(), where the operator asserts nothing is in
     // flight.
     val propsPath = Paths.get(root, "_graft_props.json")
+    val bloomJson =
+      if (bloomFilterCols.isEmpty) ""
+      else s""","bloom":"${bloomFilterCols.mkString(",")}""""
     try Files.write(propsPath,
-      s"""{"format":"$format"}""".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s"""{"format":"$format"$bloomJson}""".getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -547,7 +573,19 @@ object GraftTable {
     if (!Files.exists(p)) "parquet"
     else {
       val txt = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
-      if (txt.contains("\"orc\"")) "orc" else "parquet"
+      if (txt.contains("\"format\":\"orc\"")) "orc" else "parquet"
+    }
+  }
+
+  /** Bloom-filter column list from _graft_props.json (empty if unset). */
+  private[store] def bloomColsOf(root: String): Seq[String] = {
+    val p = Paths.get(root, "_graft_props.json")
+    if (!Files.exists(p)) Nil
+    else {
+      val txt = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+      """"bloom"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
     }
   }
 

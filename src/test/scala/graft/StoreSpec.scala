@@ -169,6 +169,41 @@ class StoreSpec extends SparkSpec {
     assert(t.read(filters = Seq(col("id") < 100L)).count() == 100)
   }
 
+  test("bloom-filter table property: per-file blooms on the configured column only") {
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot
+    val t = GraftTable.create(spark, root,
+      (0L until 2000L).map(i => (i, s"k$i")).toDF("id", "name"),
+      bloomFilterCols = Seq("name"))
+    t.append((2000L until 3000L).map(i => (i, s"k$i")).toDF("id", "name"))
+    assert(GraftTable.load(spark, root).bloomFilterCols == Seq("name"))
+    // every data file carries a bloom for `name` and none for `id`
+    val conf = spark.sessionState.newHadoopConf()
+    val dataFiles = {
+      val s = Files.walk(java.nio.file.Paths.get(root, "data"))
+      try s.iterator.asScala.map(_.toString).filter(_.endsWith(".parquet")).toVector
+      finally s.close()
+    }
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf))
+      try {
+        val offsets = reader.getFooter.getBlocks.get(0).getColumns.asScala
+          .map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+        assert(offsets("name") >= 0, s"$f: no bloom on name ($offsets)")
+        assert(offsets("id") == -1, s"$f: unexpected bloom on id ($offsets)")
+      } finally reader.close()
+    }
+    // reads behave identically (bloom is IO-only)
+    assert(t.read(filters = Seq(col("name") === "k2500")).count() == 1)
+    assert(t.read().count() == 3000)
+    // unknown column rejected at create
+    intercept[IllegalArgumentException](GraftTable.create(spark, freshRoot,
+      Seq((1L, "x")).toDF("id", "name"), bloomFilterCols = Seq("nope")))
+  }
+
   test("changes(v1, v2): CDC diff for append / update / delete / compact / evolution") {
     val root = freshRoot
     val t = GraftTable.create(spark, root,
