@@ -1,0 +1,84 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+
+/** Incrementally-maintained derived table: `target = transform(src)`,
+  * refreshed by processing ONLY the source rows committed since the
+  * last refresh — the materialized-view maintenance loop every
+  * curation pipeline hand-rolls (score/filter/tokenize the new crawl
+  * batch, never the whole corpus).
+  *
+  * Contract: `transform` must be ROW-LOCAL (filter / project /
+  * generate — each output row derives from exactly one input row) and
+  * the source must have advanced by APPENDS only. Both halves are
+  * enforced: appends-only is validated from commit-log METADATA (op
+  * names between the synced and current versions — no data pass), and
+  * a row-local transform is the caller's declaration (aggregates would
+  * need merge logic, i.e. a different operator). A source that saw
+  * DML/compaction throws; `fullRefresh` rebuilds and re-arms the
+  * incremental loop.
+  *
+  * Scale: a refresh reads exactly the files the new commits added
+  * (paths from the log), transforms, and appends — cost is O(new
+  * data), never O(table). Idempotence: each refresh commit is labeled
+  * with the covered source-version range; a crashed-and-replayed
+  * refresh finds its label in the target history and skips, the same
+  * batch-id dedup the streaming sink uses. The synced watermark lives
+  * in a target ref (`__synced_src`), so it is atomic with the target's
+  * own commit log and survives reloads.
+  */
+object IncrementalView {
+  private val SyncedRef = "__synced_src"
+  private def label(from: Long, to: Long) = s"incr-refresh:$from-$to"
+
+  final case class Refresh(fromVersion: Long, toVersion: Long, appended: Boolean)
+
+  /** Apply new source commits to the target. Returns the covered range;
+    * `appended = false` means nothing new (or a replay found its label). */
+  def refresh(src: GraftTable, target: GraftTable,
+              transform: DataFrame => DataFrame): Refresh = {
+    val last = GraftTable.logOf(target).getRef(SyncedRef).getOrElse(0L)
+    val head = src.currentVersion
+    if (head <= last) return Refresh(last, head, appended = false)
+
+    // appends-only validation from commit METADATA (create counts as the
+    // initial append when starting from zero)
+    val ops = src.history.filter(c => c.version > last && c.version <= head).map(_.op)
+    val nonAppend = ops.filterNot(o =>
+      o == "append" || o.startsWith("stream-append:") || (last == 0L && o == "create"))
+    if (nonAppend.nonEmpty)
+      throw new IllegalStateException(
+        s"source advanced by non-append ops since version $last: " +
+          s"${nonAppend.mkString(",")} — run fullRefresh to rebuild")
+
+    if (target.history.exists(_.op == label(last, head))) {
+      // a crashed previous refresh committed but died before moving the
+      // watermark — finish its bookkeeping, do not double-append
+      target.tag(SyncedRef, Some(head))
+      return Refresh(last, head, appended = false)
+    }
+
+    // exactly the files the new commits added (metadata paths)
+    val newPaths =
+      GraftTable.logOf(src).snapshotFiles(head).map(_.path).toSet --
+        GraftTable.logOf(src).snapshotFiles(last).map(_.path).toSet
+    if (newPaths.nonEmpty) {
+      val sch = src.schemaAt(head)
+      val newRows = src.spark.read.schema(sch).format(src.format)
+        .load(newPaths.toSeq.map(p => s"${src.root}/$p"): _*)
+      target.appendAs(label(last, head), transform(newRows))
+    }
+    target.tag(SyncedRef, Some(head))
+    Refresh(last, head, appended = newPaths.nonEmpty)
+  }
+
+  /** Rebuild the target from the full source (after DML/compaction on
+    * the source broke the incremental contract) and re-arm refresh. */
+  def fullRefresh(src: GraftTable, target: GraftTable,
+                  transform: DataFrame => DataFrame): Refresh = {
+    val head = src.currentVersion
+    target.overwrite(transform(src.read(asOfVersion = Some(head))))
+    target.tag(SyncedRef, Some(head))
+    Refresh(0L, head, appended = true)
+  }
+}

@@ -134,6 +134,17 @@ class GraftCatalogSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("TBLPROPERTIES('bloom'=...) flows into the store's write path") {
+    sql("CREATE NAMESPACE gcat.db12")
+    sql("CREATE TABLE gcat.db12.t (id BIGINT, name STRING) TBLPROPERTIES('bloom'='name')")
+    sql("INSERT INTO gcat.db12.t SELECT id, concat('k', id) FROM range(100)")
+    val gt = GraftTable.load(spark, s"$warehouse/db12/t")
+    assert(gt.bloomFilterCols == Seq("name"))
+    assert(sql("SHOW TBLPROPERTIES gcat.db12.t").collect()
+      .exists(r => r.getString(0) == "bloom" && r.getString(1) == "name"))
+    assert(sql("SELECT count(*) AS n FROM gcat.db12.t WHERE name = 'k7'").head().getLong(0) == 1)
+  }
+
   test("CALL procedures: optimize (zorder), vacuum, create_ref") {
     sql("CREATE NAMESPACE gcat.db11")
     sql("CREATE TABLE gcat.db11.t (id BIGINT, x BIGINT, y BIGINT)")
