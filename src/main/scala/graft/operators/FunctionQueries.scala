@@ -460,6 +460,27 @@ object FunctionQueries {
           hash(col("n_name")).as("murmur"),
           crc32(col("n_name").cast(BinaryType)).as("crc"))
       },
+      None),
+
+    // ------------------------------------------------------------------
+    // MERGEABLE sketch columns (Spark 4 Datasketches HLL): per-group
+    // sketches built once, unioned at query time — the pre-aggregated
+    // sketch-table pattern that replaces COUNT(DISTINCT) rescans at
+    // 100 TB (store sketches in a rollup table; any slice unions in
+    // O(groups), never re-reading the fact data). Sketch bytes are
+    // engine-specific -> rows-only; FunctionsSpec pins the error
+    // envelope and the union-vs-direct consistency property.
+    QueryEntry("f19_hll_sketch_columns",
+      (s, d) => {
+        Tables(s, d, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(expr("hll_sketch_agg(o_custkey)").as("sk"), count(lit(1)).as("n"))
+          .agg(
+            expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)")
+              .as("merged_distinct"),
+            sum(col("n")).as("n_rows"),
+            count(lit(1)).as("n_groups"))
+      },
       None)
   )
 }

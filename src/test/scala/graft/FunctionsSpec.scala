@@ -65,6 +65,21 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("f19 HLL sketch columns: union of per-group sketches ~ exact distinct") {
+    Tables.registerAll(spark, sf())
+    val row = SparkEntry.queries("f19_hll_sketch_columns")(spark, sf()).head()
+    val merged = row.getLong(0)
+    val exact = spark.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders").head().getLong(0)
+    // Datasketches HLL default lgK=12: relative error ~1.6%; assert 5%
+    assert(math.abs(merged - exact).toDouble / exact < 0.05, s"merged=$merged exact=$exact")
+    // mergeability: union of the per-group sketches must agree with a
+    // single sketch built over the whole column (same config)
+    val direct = spark.sql(
+      "SELECT CAST(hll_sketch_estimate(hll_sketch_agg(o_custkey)) AS BIGINT) FROM orders")
+      .head().getLong(0)
+    assert(merged == direct, s"union-of-parts $merged != sketch-of-whole $direct")
+  }
+
   test("day_of_week is ISO (Mon=1..Sun=7)") {
     // 2024-01-01 was a Monday
     assert(one("SELECT day_of_week(DATE'2024-01-01') d") == Row(1))
