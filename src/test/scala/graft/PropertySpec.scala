@@ -1,5 +1,8 @@
 package graft
 
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -123,6 +126,47 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
       val expect = rows.sortBy { case (k, v, s) => (-v, k, s) }.take(5)
       assert(got == expect, s"draw $i")
+    }
+  }
+
+  test("store reads with stats pruning == full-scan filter (random data + predicates)") {
+    // THE store-safety property: StatsPruner EXCLUDES files from the
+    // read, so an over-eager prune silently loses rows. Random
+    // multi-file tables x random predicate trees (incl. nulls, Not,
+    // nested and/or) must read identically with and without pruning.
+    import org.apache.spark.sql.Column
+    val dataGen = Gen.listOfN(60, for {
+      k <- Gen.chooseNum(0L, 20L)
+      v <- Gen.chooseNum(-50, 50)
+      s <- Gen.oneOf("a", "b", "c", null)
+    } yield (k, v.toDouble, s))
+    val leafGen: Gen[Column] = Gen.oneOf(
+      Gen.chooseNum(0L, 20L).map(x => col("k") === x),
+      Gen.chooseNum(0L, 20L).map(x => col("k") > x),
+      Gen.chooseNum(-50, 50).map(x => col("v") <= x.toDouble),
+      Gen.oneOf("a", "b", "c").map(x => col("s") === x),
+      Gen.const(col("s").isNull),
+      Gen.const(col("s").isNotNull))
+    def predGen(depth: Int): Gen[Column] =
+      if (depth == 0) leafGen
+      else Gen.frequency(
+        3 -> leafGen,
+        2 -> (for { l <- predGen(depth - 1); r <- predGen(depth - 1) } yield l && r),
+        2 -> (for { l <- predGen(depth - 1); r <- predGen(depth - 1) } yield l || r),
+        1 -> predGen(depth - 1).map(c => !c))
+
+    val rows = dataGen.pureApply(Gen.Parameters.default, Seed(2024L))
+    val root = Files.createTempDirectory("prune_prop").resolve("t").toString
+    val t = graft.store.GraftTable.create(spark, root,
+      rows.toDF("k", "v", "s").repartition(6)) // several files, mixed ranges
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double, String)] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+        .sortBy(x => (x._1, x._2, Option(x._3).getOrElse("")))
+    (0 until 25).foreach { i =>
+      val p = predGen(2).pureApply(Gen.Parameters.default, Seed(5000L + i))
+      val pruned = canon(t.read(filters = Seq(p)))
+      val full = canon(t.read().filter(p))
+      assert(pruned == full, s"draw $i predicate $p: pruned=${pruned.size} full=${full.size}")
     }
   }
 
