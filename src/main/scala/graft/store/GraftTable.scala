@@ -188,12 +188,23 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       val rel = s"$relDir/$fileName"
       val bytes =
         try Files.size(Paths.get(absDir, fileName)) catch { case _: Exception => 0L }
+      // string bounds are TRUNCATED (StatsPruner.StringBoundLen) so a
+      // long-text column cannot bloat the commit log; lower bounds
+      // prefix-truncate, upper bounds increment-truncate, and an
+      // un-incrementable upper bound is dropped (pruner keeps the file)
+      def bound(f: StructField, v: String, lower: Boolean): Option[String] = f.dataType match {
+        case StringType =>
+          if (lower) Some(StatsPruner.truncateLower(v)) else StatsPruner.truncateUpper(v)
+        case _ => Some(v)
+      }
       FileStat(
         path = rel,
         rows = r.getAs[Long]("__rows"),
         bytes = bytes,
-        min = statCols.flatMap(f => Option(r.getAs[String](s"__min_${f.name}")).map(f.name -> _)).toMap,
-        max = statCols.flatMap(f => Option(r.getAs[String](s"__max_${f.name}")).map(f.name -> _)).toMap,
+        min = statCols.flatMap(f => Option(r.getAs[String](s"__min_${f.name}"))
+          .flatMap(bound(f, _, lower = true)).map(f.name -> _)).toMap,
+        max = statCols.flatMap(f => Option(r.getAs[String](s"__max_${f.name}"))
+          .flatMap(bound(f, _, lower = false)).map(f.name -> _)).toMap,
         nullCount = statCols.map(f => f.name -> r.getAs[Long](s"__nulls_${f.name}")).toMap)
     }.toSeq
   }

@@ -21,6 +21,45 @@ object StatsPruner {
     case _ => false
   }
 
+  /** Max stored length for string bounds. A document table's text
+    * column would otherwise serialize its full min/max TEXT into every
+    * commit — at 100 TB the commit log must stay metadata-sized
+    * (Iceberg truncates bounds the same way, default 16; we keep 64
+    * for better selectivity). */
+  val StringBoundLen = 64
+
+  /** Truncated LOWER bound: a code-point prefix sorts <= the original
+    * under the unsigned-UTF-8 order the stats use, so it stays a valid
+    * lower bound. Never splits a surrogate pair. */
+  def truncateLower(s: String, len: Int = StringBoundLen): String =
+    if (s.length <= len) s
+    else if (Character.isHighSurrogate(s.charAt(len - 1))) s.substring(0, len - 1)
+    else s.substring(0, len)
+
+  /** Truncated UPPER bound: prefix with its last incrementable code
+    * point bumped (skipping the surrogate block) sorts >= ANY string
+    * starting with the original prefix. None when no code point can be
+    * incremented (all U+10FFFF) — the caller then drops the bound and
+    * the pruner keeps the file (conservative). */
+  def truncateUpper(s: String, len: Int = StringBoundLen): Option[String] = {
+    if (s.length <= len) return Some(s)
+    val cps = truncateLower(s, len).codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      val c = cps(i)
+      val next = if (c == 0xD7FF) 0xE000 else c + 1
+      if (next <= 0x10FFFF && !(next >= 0xD800 && next <= 0xDFFF)) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < i) { sb.appendCodePoint(cps(j)); j += 1 }
+        sb.appendCodePoint(next)
+        return Some(sb.toString)
+      }
+      i -= 1
+    }
+    None
+  }
+
   def prune(files: Seq[FileStat], filters: Seq[Expression], schema: StructType): Seq[FileStat] =
     if (filters.isEmpty) files
     else files.filter(f => filters.forall(e => mayMatch(e, f, schema)))

@@ -169,6 +169,46 @@ class StoreSpec extends SparkSpec {
     assert(t.read(filters = Seq(col("id") < 100L)).count() == 100)
   }
 
+  test("string stats bounds are truncated but stay valid (long-text columns)") {
+    val root = freshRoot
+    val longA = "a" * 500 + "LOW"
+    val longZ = "z" * 500 + "HIGH"
+    val t = GraftTable.create(spark, root,
+      Seq((1L, longA), (2L, longZ), (3L, "middle")).toDF("id", "text"))
+    val fs = t.history.last.added
+    // bounds stored truncated — the commit log stays metadata-sized
+    fs.foreach { f =>
+      f.min.get("text").foreach(m => assert(m.length <= StatsPruner.StringBoundLen, m.length))
+      f.max.get("text").foreach(m => assert(m.length <= StatsPruner.StringBoundLen, m.length))
+    }
+    // ...and remain VALID bounds: equality reads on the full long values
+    // still find their rows (a wrong bound would prune the file away)
+    assert(t.read(filters = Seq(col("text") === longA)).count() == 1)
+    assert(t.read(filters = Seq(col("text") === longZ)).count() == 1)
+    assert(t.read(filters = Seq(col("text") === "middle")).count() == 1)
+    // a predicate above even the increment-truncated upper bound
+    // ("zzz...z{") still prunes everything; '|' sorts above '{'
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, Literal}
+    val kept = StatsPruner.prune(fs,
+      Seq(GreaterThan(UnresolvedAttribute("text"), Literal("|"))), t.schema)
+    assert(kept.isEmpty, kept)
+    // ...while a predicate the truncated bound cannot exclude keeps the file
+    val keptZ = StatsPruner.prune(fs,
+      Seq(GreaterThan(UnresolvedAttribute("text"), Literal("zzzz"))), t.schema)
+    assert(keptZ.size == 1, keptZ)
+
+    // truncateUpper edge cases
+    assert(StatsPruner.truncateUpper("abc").contains("abc"))
+    // "abab..." truncated to 64 -> last 'b' increments to 'c'
+    assert(StatsPruner.truncateUpper("ab" * 100).contains(("ab" * 100).take(63) + "c"))
+    val maxCp = new String(Character.toChars(0x10FFFF))
+    assert(StatsPruner.truncateUpper(maxCp * 40, 4).isEmpty,
+      "all-U+10FFFF prefix has no upper bound")
+    // increment skips the surrogate block: U+D7FF bumps to U+E000
+    assert(StatsPruner.truncateUpper("퟿" * 10, 4).contains("퟿" * 3 + ""))
+  }
+
   test("bloom-filter table property: per-file blooms on the configured column only") {
     import scala.jdk.CollectionConverters._
     val root = freshRoot
