@@ -476,6 +476,22 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     commitRetry("altschema", Nil, Nil, next.json)
   }
 
+  /** Drop a column (metadata-only commit — Iceberg `ALTER TABLE ...
+    * DROP COLUMN` parity). Data files keep the bytes; reads resolve by
+    * name against the commit's schema, so the column simply stops
+    * being read. Time travel BEFORE the drop still sees it. NOTE:
+    * column RENAME is deliberately absent — by-name resolution would
+    * silently read NULLs from pre-rename files (Iceberg needs field
+    * IDs for that); drop + add under the new name states the true
+    * semantics (a fresh, initially-NULL column). */
+  def dropColumn(name: String): Long = {
+    val sch = schema
+    require(sch.fieldNames.contains(name), s"no column $name")
+    require(sch.fields.length > 1, "cannot drop the only column")
+    commitRetry("altschema", Nil, Nil,
+      StructType(sch.fields.filterNot(_.name == name)).json)
+  }
+
   /** Delete data files no longer referenced by any version >= the
     * oldest retained ref (vacuum/GC). Returns removed file count.
     *

@@ -86,6 +86,14 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT count(*) AS n FROM gcat.db4.src WHERE note IS NULL").head().getLong(0) == 5)
     sql("INSERT INTO gcat.db4.src VALUES (100, 200, 'x')")
     assert(sql("SELECT note FROM gcat.db4.src WHERE id = 100").head().getString(0) == "x")
+    // DROP COLUMN: metadata-only; pre-drop snapshots still carry it
+    sql("ALTER TABLE gcat.db4.src DROP COLUMN twice")
+    assert(!sql("SELECT * FROM gcat.db4.src").columns.contains("twice"))
+    assert(sql("SELECT count(*) AS n FROM gcat.db4.src").head().getLong(0) == 6)
+    assert(sql("SELECT * FROM gcat.db4.src VERSION AS OF 2").columns.contains("twice"))
+    // appends after the drop align to the narrowed schema
+    sql("INSERT INTO gcat.db4.src VALUES (101, 'y')")
+    assert(sql("SELECT note FROM gcat.db4.src WHERE id = 101").head().getString(0) == "y")
   }
 
   test("catalog reads stats-prune files (pushed filter subset)") {
