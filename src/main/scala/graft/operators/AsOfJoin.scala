@@ -41,9 +41,22 @@ object AsOfJoin {
 
   /** Left as-of join. `rightTs` and all non-key right columns are
     * carried onto each left row; their names must not collide with
-    * left's. Both ts columns must be mutually comparable (same type). */
+    * left's. Both ts columns must be mutually comparable (same type).
+    *
+    * `validateUnique = true` adds one aggregation over the right side
+    * that FAILS LOUDLY when (keys, rightTs) is not unique — without
+    * it, a contract violation silently picks an arbitrary row of the
+    * duplicates (nondeterministic across runs). Pay the check when
+    * the right side's provenance is not already a grouped derivation. */
   def asofLeft(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTs: String, rightTs: String): DataFrame = {
+               leftTs: String, rightTs: String,
+               validateUnique: Boolean = false): DataFrame = {
+    if (validateUnique) {
+      val dup = right.groupBy((keys :+ rightTs).map(col): _*)
+        .count().filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"right side not unique per (${keys.mkString(",")}, $rightTs): ${dup.mkString}")
+    }
     val carried = rightTs +: right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
     val collisions = carried.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,

@@ -30,8 +30,9 @@ object RangeJoin {
     * below, same as SQL BETWEEN semantics). */
   def binnedIntervalJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
                          ptCol: String, loCol: String, hiCol: String,
-                         grain: Long): DataFrame = {
+                         grain: Long, maxFanoutPerInterval: Long = 100000L): DataFrame = {
     require(grain > 0, s"grain must be positive, got $grain")
+    require(maxFanoutPerInterval > 0, "maxFanoutPerInterval must be positive")
     require(keys.nonEmpty, "range join needs at least one equi-key (add a constant to go global)")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet) -- keys
     require(overlap.isEmpty,
@@ -43,8 +44,20 @@ object RangeJoin {
     val i = intervals
       // empty intervals (lo > hi) produce an empty sequence -> no rows
       .filter(col(loCol) <= col(hiCol))
+      // a wild interval (hi - lo >> grain) would explode astronomically
+      // and HANG the job; fail loudly instead. The guard wraps the
+      // sequence's upper bound so column pruning cannot elide it.
       .withColumn("__grain",
-        explode(sequence(floor(col(loCol) / grain), floor(col(hiCol) / grain))))
+        explode(sequence(
+          floor(col(loCol) / grain),
+          when((col(hiCol) - col(loCol)) / grain <= maxFanoutPerInterval,
+            floor(col(hiCol) / grain))
+            .otherwise(raise_error(concat(
+              lit(s"interval wider than maxFanoutPerInterval=$maxFanoutPerInterval " +
+                s"grains at grain $grain: ["),
+              col(loCol), lit(", "), col(hiCol),
+              lit("] — raise the grain or cap the interval")))
+              .cast("long")))))
     p.join(i, keys :+ "__grain")
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__grain")

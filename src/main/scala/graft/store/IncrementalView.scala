@@ -42,8 +42,11 @@ object IncrementalView {
     if (head <= last) return Refresh(last, head, appended = false)
 
     // appends-only validation from commit METADATA (create counts as the
-    // initial append when starting from zero)
-    val ops = src.history.filter(c => c.version > last && c.version <= head).map(_.op)
+    // initial append when starting from zero). Read ONLY the in-range
+    // commits — a long-lived table's full history is O(commits) files.
+    val srcLog = GraftTable.logOf(src)
+    val ops = srcLog.versions.filter(v => v > last && v <= head)
+      .map(v => srcLog.read(v).op)
     val nonAppend = ops.filterNot(o =>
       o == "append" || o.startsWith("stream-append:") || (last == 0L && o == "create"))
     if (nonAppend.nonEmpty)

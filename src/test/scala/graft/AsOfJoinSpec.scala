@@ -38,6 +38,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("k", "t", "tag", "rt", "rv"))
   }
 
+  test("validateUnique catches a duplicate-keyed right side") {
+    val dup = right.union(Seq(("u1", 10L, 99.0)).toDF("k", "rt", "rv"))
+    val e = intercept[IllegalArgumentException](
+      AsOfJoin.asofLeft(left, dup, Seq("k"), "t", "rt", validateUnique = true))
+    assert(e.getMessage.contains("not unique"), e.getMessage)
+    // a clean right side passes with validation on
+    assert(AsOfJoin.asofLeft(left, right, Seq("k"), "t", "rt", validateUnique = true)
+      .count() == left.count())
+  }
+
   test("colliding carried column names are rejected") {
     val bad = right.withColumnRenamed("rv", "tag")
     val e = intercept[IllegalArgumentException](

@@ -45,6 +45,19 @@ class RangeJoinSpec extends SparkSpec {
     assert(plan.contains("__grain"), plan)
   }
 
+  test("wild intervals fail loudly instead of exploding the job") {
+    val wild = Seq(("u1", 0L, Long.MaxValue / 2, "w")).toDF("k", "lo", "hi", "w")
+    val e = intercept[Exception](
+      RangeJoin.binnedIntervalJoin(pts, wild, Seq("k"), "t", "lo", "hi",
+        grain = 10L, maxFanoutPerInterval = 1000L).count())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("maxFanoutPerInterval")), msgs(e).mkString(" | "))
+    // bounded intervals under the same cap pass untouched
+    assert(RangeJoin.binnedIntervalJoin(pts, ivs, Seq("k"), "t", "lo", "hi",
+      grain = 10L, maxFanoutPerInterval = 1000L).count() == 3)
+  }
+
   test("guards: bad grain, colliding columns") {
     intercept[IllegalArgumentException](
       RangeJoin.binnedIntervalJoin(pts, ivs, Seq("k"), "t", "lo", "hi", 0L))
