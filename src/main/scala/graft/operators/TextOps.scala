@@ -796,6 +796,64 @@ object TextOps {
           ROUND(${graft.Parity.oSum("quality_score")}, 6) AS sum_quality
         FROM corpus
         WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // Context-window chunking: split each document into word chunks of
+    // size 64 with overlap 16 (stride 48) — the preprocessing step that
+    // fits long documents into a model's context window while keeping
+    // boundary continuity. Pure expression work: sequence() for chunk
+    // starts, slice() for the words — one narrow pass, explode output
+    // linear in total tokens / stride. Short docs yield their single
+    // whole-doc chunk.
+    QueryEntry("t18_chunking",
+      (s, d) => {
+        docs(s, d)
+          .selectExpr("doc_id", "split(text, ' ') AS ws")
+          .selectExpr("doc_id", "size(ws) AS n_words",
+            "explode(sequence(0, greatest(size(ws) - 17, 0), 48)) AS start", "ws")
+          .selectExpr("doc_id", "n_words", "CAST(start / 48 AS BIGINT) AS chunk_id",
+            "array_join(slice(ws, start + 1, 64), ' ') AS chunk",
+            "least(size(ws) - start, 64) AS chunk_words")
+      },
+      Some("""WITH base AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        starts AS (SELECT doc_id, LEN(ws) AS n_words, ws,
+            UNNEST(RANGE(0, GREATEST(LEN(ws) - 16, 1), 48)) AS start
+          FROM base)
+        SELECT doc_id, n_words, CAST(start / 48 AS BIGINT) AS chunk_id,
+          ARRAY_TO_STRING(LIST_SLICE(ws, start + 1, start + 64), ' ') AS chunk,
+          LEAST(LEN(ws) - start, 64) AS chunk_words
+        FROM starts""")),
+
+    // ------------------------------------------------------------------
+    // Sequence packing: assign documents to fixed token-budget bins by
+    // cumulative token count in a deterministic order — the
+    // sample-efficiency step that fills every training sequence instead
+    // of padding per document. A prefix-sum window (one shuffle on the
+    // source partition, running sum within) gives each doc its bin;
+    // the rollup reports per-bin fill. Deterministic: order is
+    // (source, doc_id), budget 2048 whitespace tokens.
+    QueryEntry("t19_packing",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        docs(s, d)
+          .selectExpr("doc_id", "source", "size(split(text, ' ')) AS toks")
+          .withColumn("before", coalesce(sum(col("toks")).over(w), lit(0L)))
+          .selectExpr("source", "CAST(FLOOR(before / 2048) AS BIGINT) AS bin",
+            "toks")
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("bin_tokens"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS toks
+          FROM documents),
+        c AS (SELECT source, toks,
+            COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          FROM t)
+        SELECT source, CAST(FLOOR(before / 2048) AS BIGINT) AS bin,
+          COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
+        FROM c GROUP BY 1, 2"""))
   )
 }
