@@ -262,6 +262,47 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def append(df: DataFrame): Long =
     commitRetry("append", writeFiles(aligned(df)), Nil, schema.json)
 
+  // ------------------------------------------------------------------
+  // write-audit-publish (WAP)
+  // ------------------------------------------------------------------
+  /** Files written but not yet committed — invisible to every reader
+    * until [[publishStaged]]. */
+  final case class StagedAppend private[GraftTable] (files: Seq[FileStat], schemaJson: String)
+
+  /** WAP step 1 — WRITE: land the data as immutable files under the
+    * table root WITHOUT committing. No snapshot, branch, or time-travel
+    * read can see them (snapshots resolve from the commit log only).
+    * The Iceberg/Nessie write-audit-publish workflow walden's stack
+    * supports via staged snapshots; here staging is simply "files
+    * without a commit", which the store's own crash story already
+    * handles (vacuum's grace window, below). */
+  def stageAppend(df: DataFrame): StagedAppend =
+    StagedAppend(writeFiles(aligned(df)), schema.json)
+
+  /** WAP step 2 — AUDIT: read exactly the staged rows (run quality
+    * gates, count checks, dedup probes) before anything is published. */
+  def readStaged(staged: StagedAppend): DataFrame =
+    readData(staged.files.map(f => s"$root/${f.path}"),
+      DataType.fromJson(staged.schemaJson).asInstanceOf[StructType])
+
+  /** WAP step 3 — PUBLISH: one atomic commit making every staged set
+    * visible together (all-or-nothing across batches). Publishing
+    * under a schema that evolved since staging is safe: reads resolve
+    * by name, so post-evolution columns read as NULL from staged files,
+    * exactly like files appended before an addColumn. */
+  def publishStaged(staged: Seq[StagedAppend]): Long = {
+    require(staged.nonEmpty, "nothing staged")
+    commitRetry("publish", staged.flatMap(_.files), Nil, schema.json)
+  }
+
+  /** Abandon staged files (audit failed). Immediate, explicit delete —
+    * a crashed aborter's leftovers fall to vacuum's unreferenced-file
+    * sweep instead. */
+  def discardStaged(staged: StagedAppend): Unit =
+    staged.files.foreach { f =>
+      Files.deleteIfExists(Paths.get(root, f.path))
+    }
+
   /** Append recorded under a caller-chosen op label — the idempotence
     * hook for streaming sinks: a replayed micro-batch re-presents the
     * same label, the sink sees it in `history`, and skips. */

@@ -169,6 +169,36 @@ class StoreSpec extends SparkSpec {
     assert(t.read(filters = Seq(col("id") < 100L)).count() == 100)
   }
 
+  test("write-audit-publish: staged rows invisible until one atomic publish") {
+    val root = freshRoot
+    val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    val s1 = t.stageAppend(Seq((2L, "b"), (3L, "bad")).toDF("id", "v"))
+    val s2 = t.stageAppend(Seq((4L, "c")).toDF("id", "v"))
+    // WRITE done, nothing visible: head, time travel, refs all clean
+    assert(t.read().count() == 1)
+    assert(t.currentVersion == 1)
+    // AUDIT: staged rows readable in isolation
+    assert(t.readStaged(s1).count() == 2)
+    assert(t.readStaged(s2).select("v").collect().map(_.getString(0)).toSeq == Seq("c"))
+    // audit failed for s1 -> discard; its files disappear
+    t.discardStaged(s1)
+    assert(t.read().count() == 1)
+    // PUBLISH s2 atomically
+    val v = t.publishStaged(Seq(s2))
+    assert(t.read().count() == 2)
+    assert(t.history.last.op == "publish" && t.history.last.version == v)
+    // time travel: before the publish the staged rows never existed
+    assert(t.read(asOfVersion = Some(1)).count() == 1)
+    // normal appends keep working after WAP traffic
+    t.append(Seq((9L, "z")).toDF("id", "v"))
+    assert(t.read().count() == 3)
+    // a crashed stage (never published, never discarded) is exactly the
+    // unreferenced-file case vacuum's grace window owns
+    t.stageAppend(Seq((99L, "orphan")).toDF("id", "v"))
+    assert(t.vacuum(graceMs = 0) > 0)
+    assert(t.read().count() == 3)
+  }
+
   test("string stats bounds are truncated but stay valid (long-text columns)") {
     val root = freshRoot
     val longA = "a" * 500 + "LOW"
