@@ -355,15 +355,15 @@ object PatternMatch {
             val dt = ms.agg match {
               case "count"          => LongType
               case "first" | "last" => fieldType(ms.field)
-              // min/max/sum run through double arithmetic and re-cast —
-              // exact only for integral and floating fields. DECIMAL (and
-              // anything else) is rejected up front rather than silently
-              // truncated to a long; callers cast explicitly when a lossy
-              // measure is acceptable.
+              // min/max/sum: floating fields aggregate in Double,
+              // integral fields in LONG arithmetic end to end — a Double
+              // round-trip would corrupt |v| > 2^53 (snowflake-style
+              // BIGINT ids). DECIMAL (and anything else) is rejected up
+              // front rather than silently truncated; callers cast
+              // explicitly when a lossy measure is acceptable.
               case "min" | "max" | "sum" => fieldType(ms.field) match {
                 case DoubleType | FloatType => DoubleType
-                case ByteType | ShortType | IntegerType | LongType =>
-                  if (ms.agg == "sum") DoubleType else LongType
+                case ByteType | ShortType | IntegerType | LongType => LongType
                 case other => sys.error(
                   s"measure ${ms.name}: ${ms.agg} over unsupported field type $other — " +
                     "supported: TINYINT/SMALLINT/INT/BIGINT/FLOAT/DOUBLE " +
@@ -421,19 +421,25 @@ object PatternMatch {
                 case "first" => if (idxs.isEmpty) null else rows(idxs.head).get(fieldIdx(msr.field))
                 case "last"  => if (idxs.isEmpty) null else rows(idxs.last).get(fieldIdx(msr.field))
                 case "min" | "max" | "sum" =>
-                  val nums = idxs.map(i => rows(i).get(fieldIdx(msr.field)))
-                    .filter(_ != null).map {
-                      case n: java.lang.Number => n.doubleValue()
-                      case other => sys.error(s"non-numeric measure field ${msr.field}: $other")
-                    }
-                  if (nums.isEmpty) null
-                  else if (msr.agg == "sum") nums.sum
-                  else {
-                    val v = if (msr.agg == "min") nums.min else nums.max
-                    fieldType(msr.field) match {
-                      case DoubleType | FloatType => v
-                      case _                      => v.toLong
-                    }
+                  val raw = idxs.map(i => rows(i).get(fieldIdx(msr.field))).filter(_ != null)
+                  if (raw.isEmpty) null
+                  else fieldType(msr.field) match {
+                    // integral fields aggregate in LONG arithmetic — a
+                    // Double round-trip corrupts |v| > 2^53 (snowflake-
+                    // style BIGINT ids), returning values matching no
+                    // row. The `: Any` ascriptions stop Scala's numeric
+                    // lub from silently widening the Long arm to Double.
+                    case DoubleType | FloatType =>
+                      val nums = raw.map(_.asInstanceOf[java.lang.Number].doubleValue())
+                      (if (msr.agg == "sum") nums.sum
+                       else if (msr.agg == "min") nums.min else nums.max): Any
+                    case _ =>
+                      val nums = raw.map {
+                        case n: java.lang.Number => n.longValue()
+                        case other => sys.error(s"non-numeric measure field ${msr.field}: $other")
+                      }
+                      (if (msr.agg == "sum") nums.sum
+                       else if (msr.agg == "min") nums.min else nums.max): Any
                   }
               }
             }

@@ -24,10 +24,16 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Inner range join. `points(ptCol)` and `intervals(loCol, hiCol)`
-    * must be numeric (epoch seconds, positions, ...); non-key column
-    * names must be disjoint across the two sides. Intervals with
+    * must be INTEGRAL (epoch seconds/millis, positions, ...); non-key
+    * column names must be disjoint across the two sides. Intervals with
     * lo > hi match nothing (dropped by the grain sequence bound check
-    * below, same as SQL BETWEEN semantics). */
+    * below, same as SQL BETWEEN semantics).
+    *
+    * Binning is exact LONG floor-division — float division would lose
+    * integer precision above 2^53 (epoch-nanos territory: ulp 256) and
+    * could bin a boundary point and its covering interval into
+    * DIFFERENT grains, silently dropping the match. Fractional domains:
+    * scale to integers first (the caller knows the resolution). */
   def binnedIntervalJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
                          ptCol: String, loCol: String, hiCol: String,
                          grain: Long, maxFanoutPerInterval: Long = 100000L): DataFrame = {
@@ -39,8 +45,26 @@ object RangeJoin {
       s"non-key columns collide across sides: ${overlap.mkString(",")} — rename first")
     require((points.columns ++ intervals.columns).forall(_ != "__grain"),
       "column name __grain is reserved by binnedIntervalJoin")
+    val integralTypes: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    Seq(points.schema(ptCol), intervals.schema(loCol), intervals.schema(hiCol)).foreach(f =>
+      require(integralTypes(f.dataType),
+        s"${f.name} must be an integral type for exact binning, got ${f.dataType.simpleString}"))
 
-    val p = points.withColumn("__grain", floor(col(ptCol) / grain))
+    // the bin id is the GRAIN START, x - pmod(x, g): pure long
+    // arithmetic (no division at all), exact across the full Long
+    // range; interval bins enumerate by sequence(loStart, hiStart, g)
+    def grainStart(c: org.apache.spark.sql.Column) = {
+      val x = c.cast("long")
+      x - pmod(x, lit(grain))
+    }
+    // overflow-safe driver-side width cap for the fan-out guard
+    val maxWidth =
+      try math.multiplyExact(maxFanoutPerInterval, grain)
+      catch { case _: ArithmeticException => Long.MaxValue }
+
+    val p = points.withColumn("__grain", grainStart(col(ptCol)))
     val i = intervals
       // empty intervals (lo > hi) produce an empty sequence -> no rows
       .filter(col(loCol) <= col(hiCol))
@@ -49,15 +73,16 @@ object RangeJoin {
       // sequence's upper bound so column pruning cannot elide it.
       .withColumn("__grain",
         explode(sequence(
-          floor(col(loCol) / grain),
-          when((col(hiCol) - col(loCol)) / grain <= maxFanoutPerInterval,
-            floor(col(hiCol) / grain))
+          grainStart(col(loCol)),
+          when(col(hiCol).cast("long") - col(loCol).cast("long") <= maxWidth,
+            grainStart(col(hiCol)))
             .otherwise(raise_error(concat(
               lit(s"interval wider than maxFanoutPerInterval=$maxFanoutPerInterval " +
                 s"grains at grain $grain: ["),
               col(loCol), lit(", "), col(hiCol),
               lit("] — raise the grain or cap the interval")))
-              .cast("long")))))
+              .cast("long")),
+          lit(grain))))
     p.join(i, keys :+ "__grain")
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__grain")

@@ -141,7 +141,11 @@ object GraftSql {
       case explainAnalyze(body) =>
         import spark.implicits._
         val df = spark.sql(TrinoDialect.rewrite(body))
-        df.collect() // finalize THIS execution's adaptive plan + metrics
+        // Execute THIS QueryExecution without collecting: profiling a
+        // large query must not pull its result set onto the driver.
+        // toRdd runs the (adaptive) executed plan and populates the
+        // same SQLMetrics a collect would.
+        df.queryExecution.toRdd.foreach(_ => ())
         val exec = df.queryExecution.executedPlan
         val root = exec match {
           case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>

@@ -75,13 +75,28 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       .getOrElse(currentVersion)
 
   /** Latest version whose commit landed at or before `tsMs` — the
-    * `TIMESTAMP AS OF` resolution rule (Iceberg snapshot-at-timestamp). */
+    * `TIMESTAMP AS OF` resolution rule (Iceberg snapshot-at-timestamp).
+    * Commit timestamps are monotone along the linear chain, so scan
+    * from the HEAD and stop at the first commit at/before the target —
+    * O(distance from head), not O(history), per query. */
   def versionAsOfTimestamp(tsMs: Long): Long = {
-    val vs = log.versions.filter(v => log.read(v).timestampMs <= tsMs)
-    if (vs.isEmpty) throw new IllegalArgumentException(
+    val it = log.versions.sorted.reverseIterator
+    while (it.hasNext) {
+      val v = it.next()
+      if (log.read(v).timestampMs <= tsMs) return v
+    }
+    throw new IllegalArgumentException(
       s"no version at or before timestamp $tsMs at $root")
-    vs.max
   }
+
+  /** One commit's metadata (op, added files, timestamp) — O(1) log read. */
+  def commitInfo(v: Long): Commit = log.read(v)
+
+  /** TRUNCATE: make the table empty in ONE metadata commit (an
+    * overwrite carrying zero files). Never scans data — `TRUNCATE
+    * TABLE` on a 100 TB table is O(1); history/time travel keep the
+    * pre-truncate snapshots. */
+  def truncate(): Long = commitRetry("overwrite", Nil, Nil, schema.json)
 
   /** Snapshot read (optionally time-travel to `asOfVersion` or a named
     * branch/tag), with file-level stats pruning for `filters`. The
@@ -289,9 +304,21 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * visible together (all-or-nothing across batches). Publishing
     * under a schema that evolved since staging is safe: reads resolve
     * by name, so post-evolution columns read as NULL from staged files,
-    * exactly like files appended before an addColumn. */
+    * exactly like files appended before an addColumn.
+    *
+    * Staged files are unreferenced until this commit, so a vacuum whose
+    * grace window is shorter than the audit can have deleted them —
+    * committing their paths anyway would corrupt the table head. The
+    * existence check fails the publish LOUDLY instead; size a vacuum
+    * grace above the longest audit (same contract as in-flight
+    * creates). */
   def publishStaged(staged: Seq[StagedAppend]): Long = {
     require(staged.nonEmpty, "nothing staged")
+    val gone = staged.flatMap(_.files.map(_.path))
+      .filterNot(p => Files.exists(Paths.get(root, p)))
+    require(gone.isEmpty,
+      s"staged file(s) vanished before publish (vacuum grace shorter than the " +
+        s"audit?): ${gone.take(3).mkString(",")}")
     commitRetry("publish", staged.flatMap(_.files), Nil, schema.json)
   }
 

@@ -41,6 +41,27 @@ object IncrementalView {
     val head = src.currentVersion
     if (head <= last) return Refresh(last, head, appended = false)
 
+    // Crash replay FIRST: a previous refresh starting from `last` may
+    // have committed its range and died before moving the watermark.
+    // The source may have advanced SINCE that crash, so match on the
+    // "from" half of the label and resume from its recorded "to" —
+    // matching the full (last, head) label would miss that case and
+    // re-append the crashed range's rows. The label can only be the
+    // target's most recent refresh commit (watermark is monotone), so
+    // scan the target log from the head and stop at the first one —
+    // O(commits since that refresh), not O(history).
+    val tLog = GraftTable.logOf(target)
+    val lastRefreshOp = tLog.versions.sorted.reverseIterator
+      .map(v => tLog.read(v).op).find(_.startsWith("incr-refresh:"))
+    lastRefreshOp.filter(_.startsWith(s"incr-refresh:$last-"))
+      .map(_.stripPrefix(s"incr-refresh:$last-").toLong) match {
+      case Some(to) =>
+        target.tag(SyncedRef, Some(to))
+        return if (to >= head) Refresh(last, to, appended = false)
+               else refresh(src, target, transform) // continue from `to`
+      case None => ()
+    }
+
     // appends-only validation from commit METADATA (create counts as the
     // initial append when starting from zero). Read ONLY the in-range
     // commits — a long-lived table's full history is O(commits) files.
@@ -53,13 +74,6 @@ object IncrementalView {
       throw new IllegalStateException(
         s"source advanced by non-append ops since version $last: " +
           s"${nonAppend.mkString(",")} — run fullRefresh to rebuild")
-
-    if (target.history.exists(_.op == label(last, head))) {
-      // a crashed previous refresh committed but died before moving the
-      // watermark — finish its bookkeeping, do not double-append
-      target.tag(SyncedRef, Some(head))
-      return Refresh(last, head, appended = false)
-    }
 
     // exactly the files the new commits added (metadata paths)
     val newPaths =

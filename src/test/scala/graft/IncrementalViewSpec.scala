@@ -80,4 +80,22 @@ class IncrementalViewSpec extends SparkSpec {
     assert(!r.appended, "replay must find its label and skip")
     assert(target.read().count() == 2)
   }
+
+  test("crashed refresh + source advanced since: resume from the label's bound, no duplicates") {
+    val src = GraftTable.create(spark, fresh("iv_src4"),
+      Seq((2L, "a")).toDF("id", "v"))
+    val target = GraftTable.create(spark, fresh("iv_tgt4"), xf(src.read().limit(0)))
+    IncrementalView.refresh(src, target, xf)              // covers 0-1, watermark 1
+    src.append(Seq((4L, "bb")).toDF("id", "v"))           // v2
+    IncrementalView.refresh(src, target, xf)              // covers 1-2, watermark 2
+    // crash: the 1-2 refresh committed but the watermark says 1...
+    target.tag("__synced_src", Some(1L))
+    // ...and the source ADVANCED after the crash
+    src.append(Seq((6L, "ccc")).toDF("id", "v"))          // v3
+    val r = IncrementalView.refresh(src, target, xf)
+    assert(r.toVersion == 3 && r.appended)
+    // the crashed range's rows appear ONCE; the post-crash commit flows
+    val got = target.read().select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 4L, 6L), got)
+  }
 }

@@ -144,6 +144,24 @@ class PatternMatchSpec extends SparkSpec {
     assert(findMatches(truth, parse("D* U*", Seq("D", "U"))).isEmpty)
   }
 
+  test("min/max/sum over BIGINT beyond 2^53 stay exact (long arithmetic, no double round-trip)") {
+    import spark.implicits._
+    val big = (1L << 60) + 1L // double ulp here is 256: a round-trip corrupts it
+    val df = Seq((1, 1, big), (1, 2, big + 1L), (1, 3, big + 2L))
+      .toDF("k", "seq", "id")
+    val out = PatternMatch.matchPattern(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq("A" -> col("id").isNotNull), pattern = "A+",
+      measures = Seq(
+        Measure("lo", "min", "*", "id"),
+        Measure("hi", "max", "*", "id"),
+        Measure("tot", "sum", "*", "id"))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("lo") == big && r.getAs[Long]("hi") == big + 2L, r)
+    assert(r.getAs[Long]("tot") == 3L * big + 3L, r)
+  }
+
   test("broken prePartitioned contract fails loudly, never silently fragments") {
     import spark.implicits._
     // interleaved keys in one partition: group 1 would fragment

@@ -45,6 +45,22 @@ class RangeJoinSpec extends SparkSpec {
     assert(plan.contains("__grain"), plan)
   }
 
+  test("binning stays exact beyond 2^53 (no float-division precision loss)") {
+    // values where double arithmetic has ulp 256: a boundary point one
+    // unit inside/outside the interval must bin exactly
+    val base = (1L << 60) + 123456789L
+    val bigPts = Seq(
+      ("u1", base, "in_lo"), ("u1", base + 999L, "in_hi"),
+      ("u1", base - 1L, "below"), ("u1", base + 1000L, "above")
+    ).toDF("k", "t", "tag")
+    val bigIvs = Seq(("u1", base, base + 999L, "w")).toDF("k", "lo", "hi", "w")
+    for (grain <- Seq(1000L, 64L, 7L)) {
+      val got = RangeJoin.binnedIntervalJoin(bigPts, bigIvs, Seq("k"), "t", "lo", "hi", grain)
+        .select("tag").as[String].collect().toSet
+      assert(got == Set("in_lo", "in_hi"), s"grain=$grain got=$got")
+    }
+  }
+
   test("wild intervals fail loudly instead of exploding the job") {
     val wild = Seq(("u1", 0L, Long.MaxValue / 2, "w")).toDF("k", "lo", "hi", "w")
     val e = intercept[Exception](

@@ -197,6 +197,24 @@ class StoreSpec extends SparkSpec {
     t.stageAppend(Seq((99L, "orphan")).toDF("id", "v"))
     assert(t.vacuum(graceMs = 0) > 0)
     assert(t.read().count() == 3)
+    // publishing a staged set whose files a too-eager vacuum already
+    // removed fails LOUDLY instead of committing dangling paths
+    val doomed = t.stageAppend(Seq((7L, "d")).toDF("id", "v"))
+    t.vacuum(graceMs = 0)
+    val e = intercept[IllegalArgumentException](t.publishStaged(Seq(doomed)))
+    assert(e.getMessage.contains("vanished"), e.getMessage)
+    assert(t.read().count() == 3) // head intact
+  }
+
+  test("truncate is one metadata commit; history and time travel survive") {
+    val root = freshRoot
+    val t = GraftTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v = t.truncate()
+    assert(t.read().count() == 0)
+    assert(t.commitInfo(v).op == "overwrite" && t.commitInfo(v).added.isEmpty)
+    assert(t.read(asOfVersion = Some(1)).count() == 2)
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(t.read().count() == 1)
   }
 
   test("string stats bounds are truncated but stay valid (long-text columns)") {
