@@ -80,8 +80,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
     * (backtick-quoted) SQL identifier would escape the warehouse root —
     * reject them outright. */
   private def safe(part: String): String = {
+    // reject path separators, dot-dots and CONTROL chars; plain spaces
+    // are legal in directory names and in backtick-quoted identifiers
     require(part.nonEmpty && part != "." && part != ".." &&
-      !part.contains('/') && !part.contains('\\') && !part.exists(_ <= ' '),
+      !part.contains('/') && !part.contains('\\') && !part.exists(_ < ' '),
       s"illegal identifier part for a path-backed catalog: '$part'")
     part
   }
@@ -302,12 +304,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
       val t = tableByName(input.getUTF8String(0).toString)
       def cols(i: Int): Seq[String] =
         input.getUTF8String(i).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val before = t.currentVersion
       val v = t.compact(numFiles = Some(input.getInt(1)),
         clusterBy = cols(2), zorderBy = cols(3))
       // report THIS commit's file count (O(1) log read); a no-op compact
-      // returns the pre-existing head, whose op is not a compact -> 0
-      val info = t.commitInfo(v)
-      val nFiles = if (info.op == "compact") info.added.size else 0
+      // returns the UNCHANGED head (which may itself be an older
+      // compact's commit) -> 0
+      val nFiles = if (v == before) 0 else t.commitInfo(v).added.size
       resultScan(
         StructType(Seq(StructField("version", LongType), StructField("n_files", IntegerType))),
         InternalRow(v, nFiles))

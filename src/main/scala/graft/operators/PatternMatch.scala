@@ -438,7 +438,10 @@ object PatternMatch {
                         case n: java.lang.Number => n.longValue()
                         case other => sys.error(s"non-numeric measure field ${msr.field}: $other")
                       }
-                      (if (msr.agg == "sum") nums.sum
+                      // addExact: a wrapped Long sum is garbage with no
+                      // signal — overflow raises instead (same loud-
+                      // failure stance as the DECIMAL rejection above)
+                      (if (msr.agg == "sum") nums.foldLeft(0L)(Math.addExact)
                        else if (msr.agg == "min") nums.min else nums.max): Any
                   }
               }

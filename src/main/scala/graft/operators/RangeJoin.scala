@@ -53,11 +53,17 @@ object RangeJoin {
         s"${f.name} must be an integral type for exact binning, got ${f.dataType.simpleString}"))
 
     // the bin id is the GRAIN START, x - pmod(x, g): pure long
-    // arithmetic (no division at all), exact across the full Long
-    // range; interval bins enumerate by sequence(loStart, hiStart, g)
+    // arithmetic (no division at all); interval bins enumerate by
+    // sequence(loStart, hiStart, g). Values within one grain of
+    // Long.MinValue would WRAP in the subtraction (binning them into a
+    // far-positive grain, silently unmatched) — raise instead; real
+    // domains (epochs, offsets) never live at the Long floor.
     def grainStart(c: org.apache.spark.sql.Column) = {
       val x = c.cast("long")
-      x - pmod(x, lit(grain))
+      when(x >= Long.MinValue + grain, x - pmod(x, lit(grain)))
+        .otherwise(raise_error(concat(
+          lit(s"value within one grain ($grain) of Long.MinValue cannot bin exactly: "),
+          x.cast("string"))).cast("long"))
     }
     // overflow-safe driver-side width cap for the fan-out guard
     val maxWidth =
@@ -74,7 +80,10 @@ object RangeJoin {
       .withColumn("__grain",
         explode(sequence(
           grainStart(col(loCol)),
-          when(col(hiCol).cast("long") - col(loCol).cast("long") <= maxWidth,
+          // try_subtract: an interval wider than 2^63 must hit the
+          // guard (null <= maxWidth is false-ish -> raise), not wrap
+          // negative and sneak past it
+          when(try_subtract(col(hiCol).cast("long"), col(loCol).cast("long")) <= maxWidth,
             grainStart(col(hiCol)))
             .otherwise(raise_error(concat(
               lit(s"interval wider than maxFanoutPerInterval=$maxFanoutPerInterval " +

@@ -130,10 +130,11 @@ object GraftSql {
     * `EXPLAIN ANALYZE <query>` (Trino's executed-plan-with-metrics
     * statement, which Spark SQL lacks) executes the query and returns
     * the FINAL adaptive physical plan plus per-operator runtime
-    * metrics as a single `plan` column. The query must be executed
-    * through its own QueryExecution (`collect()`, not a derived
-    * `count()` — a derived action finalizes a different plan and
-    * leaves this one's metrics empty and its AQE plan unresolved).
+    * metrics as a single `plan` column. The query must run through its
+    * OWN QueryExecution (toRdd-based, below) — a derived action like
+    * `count()` finalizes a different plan and leaves this one's
+    * metrics empty — and must NOT `collect()`: profiling a large query
+    * may never materialize its result set on the driver.
     */
   def sql(spark: SparkSession, text: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

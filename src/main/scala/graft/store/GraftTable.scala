@@ -80,7 +80,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * from the HEAD and stop at the first commit at/before the target —
     * O(distance from head), not O(history), per query. */
   def versionAsOfTimestamp(tsMs: Long): Long = {
-    val it = log.versions.sorted.reverseIterator
+    val it = log.versions.reverseIterator // versions is already sorted
     while (it.hasNext) {
       val v = it.next()
       if (log.read(v).timestampMs <= tsMs) return v

@@ -37,7 +37,8 @@ object IncrementalView {
     * `appended = false` means nothing new (or a replay found its label). */
   def refresh(src: GraftTable, target: GraftTable,
               transform: DataFrame => DataFrame): Refresh = {
-    val last = GraftTable.logOf(target).getRef(SyncedRef).getOrElse(0L)
+    val tLog = GraftTable.logOf(target)
+    val last = tLog.getRef(SyncedRef).getOrElse(0L)
     val head = src.currentVersion
     if (head <= last) return Refresh(last, head, appended = false)
 
@@ -50,8 +51,7 @@ object IncrementalView {
     // target's most recent refresh commit (watermark is monotone), so
     // scan the target log from the head and stop at the first one —
     // O(commits since that refresh), not O(history).
-    val tLog = GraftTable.logOf(target)
-    val lastRefreshOp = tLog.versions.sorted.reverseIterator
+    val lastRefreshOp = tLog.versions.reverseIterator // already sorted
       .map(v => tLog.read(v).op).find(_.startsWith("incr-refresh:"))
     lastRefreshOp.filter(_.startsWith(s"incr-refresh:$last-"))
       .map(_.stripPrefix(s"incr-refresh:$last-").toLong) match {
@@ -68,8 +68,11 @@ object IncrementalView {
     val srcLog = GraftTable.logOf(src)
     val ops = srcLog.versions.filter(v => v > last && v <= head)
       .map(v => srcLog.read(v).op)
+    // append-SHAPED ops: add files, remove none ("publish" is WAP's
+    // atomic append; streaming sink labels are appendAs)
     val nonAppend = ops.filterNot(o =>
-      o == "append" || o.startsWith("stream-append:") || (last == 0L && o == "create"))
+      o == "append" || o == "publish" || o.startsWith("stream-append:") ||
+        o.startsWith("incr-refresh:") || (last == 0L && o == "create"))
     if (nonAppend.nonEmpty)
       throw new IllegalStateException(
         s"source advanced by non-append ops since version $last: " +

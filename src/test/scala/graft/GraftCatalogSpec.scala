@@ -160,6 +160,13 @@ class GraftCatalogSpec extends SparkSpec {
     // Trino ALTER TABLE EXECUTE optimize / Delta OPTIMIZE ZORDER parity
     val opt = sql("CALL gcat.system.optimize('db11.t', 16, '', 'x,y')").collect()
     assert(opt.length == 1 && opt.head.getInt(1) > 4, opt.mkString)
+    // compacting an already-single-file table no-ops and reports 0,
+    // not the previous compact's file count
+    sql("CREATE TABLE gcat.db11.one (id BIGINT)")
+    sql("INSERT INTO gcat.db11.one VALUES (1)")
+    sql("CALL gcat.system.optimize('db11.one', 1, '', '')")
+    val noop = sql("CALL gcat.system.optimize('db11.one', 1, '', '')").collect()
+    assert(noop.head.getInt(1) == 0, noop.mkString)
     assert(sql("SELECT count(*) AS n FROM gcat.db11.t").head().getLong(0) == 10000)
     val gt = GraftTable.load(spark, s"$warehouse/db11/t")
     assert(gt.history.last.op == "compact")

@@ -81,6 +81,18 @@ class IncrementalViewSpec extends SparkSpec {
     assert(target.read().count() == 2)
   }
 
+  test("WAP publishes are append-shaped: refresh stays incremental over them") {
+    val src = GraftTable.create(spark, fresh("iv_src5"),
+      Seq((2L, "a")).toDF("id", "v"))
+    val target = GraftTable.create(spark, fresh("iv_tgt5"), xf(src.read().limit(0)))
+    IncrementalView.refresh(src, target, xf)
+    val staged = src.stageAppend(Seq((4L, "bb")).toDF("id", "v"))
+    src.publishStaged(Seq(staged)) // op = "publish"
+    val r = IncrementalView.refresh(src, target, xf)
+    assert(r.appended, "publish must refresh incrementally, not throw")
+    assert(target.read().select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+  }
+
   test("crashed refresh + source advanced since: resume from the label's bound, no duplicates") {
     val src = GraftTable.create(spark, fresh("iv_src4"),
       Seq((2L, "a")).toDF("id", "v"))

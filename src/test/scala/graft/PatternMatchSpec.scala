@@ -160,6 +160,18 @@ class PatternMatchSpec extends SparkSpec {
     val r = out.head
     assert(r.getAs[Long]("lo") == big && r.getAs[Long]("hi") == big + 2L, r)
     assert(r.getAs[Long]("tot") == 3L * big + 3L, r)
+
+    // a sum that would WRAP Long raises instead of returning garbage
+    val huge = Long.MaxValue / 2 + 1L
+    val df2 = Seq((1, 1, huge), (1, 2, huge), (1, 3, huge)).toDF("k", "seq", "id")
+    val out2 = PatternMatch.matchPattern(df2,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq("A" -> col("id").isNotNull), pattern = "A+",
+      measures = Seq(Measure("tot", "sum", "*", "id")))
+    val e = intercept[Exception](out2.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.toLowerCase.contains("overflow")), msgs(e).mkString(" | "))
   }
 
   test("broken prePartitioned contract fails loudly, never silently fragments") {
