@@ -854,6 +854,58 @@ object TextOps {
           FROM t)
         SELECT source, CAST(FLOOR(before / 2048) AS BIGINT) AS bin,
           COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
-        FROM c GROUP BY 1, 2"""))
+        FROM c GROUP BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // Quality operating curve: docs/tokens SURVIVING each quality-score
+    // decile threshold — the tuning query behind t17's fixed gate
+    // ("which threshold keeps the token budget we need?"). One pass:
+    // decile histogram + reverse-cumulative window over ten rows per
+    // source (the window input is deciles, not docs — metadata-sized).
+    QueryEntry("t20_quality_curve",
+      (s, d) => {
+        val scored = docs(s, d)
+          .selectExpr("source", "size(split(text, ' ')) AS toks",
+            "CAST(length(regexp_replace(text, '[^.!?,;]', '')) AS DOUBLE) / length(text) AS punct_ratio",
+            "CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE) / length(text) AS digit_ratio",
+            "size(split(text, ' ')) AS n_words")
+          .selectExpr("source", "toks",
+            """CASE WHEN n_words >= 10 THEN 1.0 ELSE n_words / 10.0 END
+               * (1.0 - punct_ratio) * (1.0 - digit_ratio) AS q""")
+          // decile clamped to [0,9] (q == 1.0 lands in the top decile)
+          .selectExpr("source", "toks",
+            "least(CAST(FLOOR(q * 10) AS BIGINT), CAST(9 AS BIGINT)) AS decile")
+          .groupBy(col("source"), col("decile"))
+          .agg(count(lit(1)).as("n"), sum(col("toks")).cast("long").as("tk"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("decile").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        scored
+          .withColumn("surviving_docs", sum(col("n")).over(w).cast("long"))
+          .withColumn("surviving_tokens", sum(col("tk")).over(w).cast("long"))
+          .selectExpr("source", "decile", "n AS n_docs", "tk AS n_tokens",
+            "surviving_docs", "surviving_tokens")
+      },
+      Some("""WITH scored AS (SELECT source,
+            LEN(STRING_SPLIT(text, ' ')) AS toks,
+            CAST(LENGTH(REGEXP_REPLACE(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+            CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) AS digit_ratio,
+            LEN(STRING_SPLIT(text, ' ')) AS n_words
+          FROM documents),
+        q AS (SELECT source, toks,
+            CASE WHEN n_words >= 10 THEN 1.0 ELSE n_words / 10.0 END
+              * (1.0 - punct_ratio) * (1.0 - digit_ratio) AS q
+          FROM scored),
+        dec AS (SELECT source, toks,
+            LEAST(CAST(FLOOR(q * 10) AS BIGINT), 9) AS decile FROM q),
+        hist AS (SELECT source, decile, COUNT(*) AS n,
+            CAST(SUM(toks) AS BIGINT) AS tk
+          FROM dec GROUP BY 1, 2)
+        SELECT source, decile, n AS n_docs, tk AS n_tokens,
+          CAST(SUM(n) OVER (PARTITION BY source ORDER BY decile DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS surviving_docs,
+          CAST(SUM(tk) OVER (PARTITION BY source ORDER BY decile DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS surviving_tokens
+        FROM hist"""))
   )
 }
