@@ -309,8 +309,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
         clusterBy = cols(2), zorderBy = cols(3))
       // report THIS commit's file count (O(1) log read); a no-op compact
       // returns the UNCHANGED head (which may itself be an older
-      // compact's commit) -> 0
-      val nFiles = if (v == before) 0 else t.commitInfo(v).added.size
+      // compact's commit) -> 0. Both conditions needed: v != before
+      // alone would report a CONCURRENT writer's commit as ours when
+      // it lands inside a no-op optimize.
+      val info = if (v == before) None else Some(t.commitInfo(v))
+      val nFiles = info.filter(_.op == "compact").map(_.added.size).getOrElse(0)
       resultScan(
         StructType(Seq(StructField("version", LongType), StructField("n_files", IntegerType))),
         InternalRow(v, nFiles))

@@ -438,10 +438,17 @@ object PatternMatch {
                         case n: java.lang.Number => n.longValue()
                         case other => sys.error(s"non-numeric measure field ${msr.field}: $other")
                       }
-                      // addExact: a wrapped Long sum is garbage with no
-                      // signal — overflow raises instead (same loud-
-                      // failure stance as the DECIMAL rejection above)
-                      (if (msr.agg == "sum") nums.foldLeft(0L)(Math.addExact)
+                      // sum in BigInt then range-check: exact, ORDER-
+                      // INDEPENDENT (a foldLeft(addExact) would raise on
+                      // transient overflow of representable sums), and a
+                      // true Long overflow still fails loudly — same
+                      // stance as the DECIMAL rejection above
+                      (if (msr.agg == "sum") {
+                        val s = nums.foldLeft(BigInt(0))(_ + _)
+                        if (s.isValidLong) s.toLong
+                        else sys.error(
+                          s"sum measure ${msr.name} overflows BIGINT: $s")
+                      }
                        else if (msr.agg == "min") nums.min else nums.max): Any
                   }
               }

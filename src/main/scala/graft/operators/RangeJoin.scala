@@ -60,7 +60,11 @@ object RangeJoin {
     // domains (epochs, offsets) never live at the Long floor.
     def grainStart(c: org.apache.spark.sql.Column) = {
       val x = c.cast("long")
-      when(x >= Long.MinValue + grain, x - pmod(x, lit(grain)))
+      // NULL keeps BETWEEN semantics: a null value bins to null and the
+      // equi-join drops it (never matches), exactly like SQL BETWEEN —
+      // only an actual near-Long.MinValue value raises
+      when(x.isNull, lit(null).cast("long"))
+        .when(x >= Long.MinValue + grain, x - pmod(x, lit(grain)))
         .otherwise(raise_error(concat(
           lit(s"value within one grain ($grain) of Long.MinValue cannot bin exactly: "),
           x.cast("string"))).cast("long"))

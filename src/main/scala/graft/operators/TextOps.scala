@@ -22,6 +22,32 @@ object TextOps {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
 
+  /** The ONE quality-score definition: t07 reports it per-doc, t17
+    * gates on it, t20 tunes its threshold — spelled once per engine so
+    * the three can never drift. Intermediates are selected as NAMED
+    * columns (n_words, punct_ratio, digit_ratio) and `score` computes
+    * from those names. */
+  private object Quality {
+    // spark-side expression strings
+    val nWords = "size(split(text, ' '))"
+    val punct =
+      "CAST(length(regexp_replace(text, '[^.!?,;]', '')) AS DOUBLE) / length(text)"
+    val digit =
+      "CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE) / length(text)"
+    val score =
+      """CASE WHEN n_words >= 10 THEN 1.0 ELSE n_words / 10.0 END
+         * (1.0 - punct_ratio) * (1.0 - digit_ratio)"""
+    // duckdb-side spellings of the same expressions
+    val duckNWords = "LEN(STRING_SPLIT(text, ' '))"
+    val duckPunct =
+      "CAST(LENGTH(REGEXP_REPLACE(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / LENGTH(text)"
+    val duckDigit =
+      "CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS DOUBLE) / LENGTH(text)"
+    val duckScore =
+      """CASE WHEN n_words >= 10 THEN 1.0 ELSE n_words / 10.0 END
+         * (1.0 - punct_ratio) * (1.0 - digit_ratio)"""
+  }
+
   /** Word 3-shingle set of a `ws` token-array column — ONE spelling
     * shared by the batch pipeline (t02) and the streaming ingest filter
     * (`EventStream.nearDedupDocs`), so the two can never diverge.
@@ -379,29 +405,27 @@ object TextOps {
         docs(s, d)
           .selectExpr("doc_id",
             "length(text) AS n_chars_obs",
-            "size(split(text, ' ')) AS n_words",
-            "CAST(length(regexp_replace(text, '[^.!?,;]', '')) AS DOUBLE) / length(text) AS punct_ratio",
-            "CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE) / length(text) AS digit_ratio",
+            s"${Quality.nWords} AS n_words",
+            s"${Quality.punct} AS punct_ratio",
+            s"${Quality.digit} AS digit_ratio",
             """CAST(size(filter(split(lower(text), ' '),
                  w -> array_contains(array('the','a','of','is','and','to','in'), w))) AS DOUBLE)
                / size(split(text, ' ')) AS stopword_ratio""")
           .selectExpr("doc_id", "n_chars_obs", "n_words", "punct_ratio",
             "digit_ratio", "stopword_ratio",
-            """CASE WHEN n_words >= 10 THEN 1.0 ELSE n_words / 10.0 END
-               * (1.0 - punct_ratio) * (1.0 - digit_ratio) AS quality_score""")
+            s"${Quality.score} AS quality_score")
       },
-      Some("""WITH x AS (SELECT doc_id,
+      Some(s"""WITH x AS (SELECT doc_id,
           LENGTH(text) AS n_chars_obs,
-          LEN(STRING_SPLIT(text, ' ')) AS n_words,
-          CAST(LENGTH(REGEXP_REPLACE(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
-          CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) AS digit_ratio,
+          ${Quality.duckNWords} AS n_words,
+          ${Quality.duckPunct} AS punct_ratio,
+          ${Quality.duckDigit} AS digit_ratio,
           CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
             w -> LIST_CONTAINS(['the','a','of','is','and','to','in'], w))) AS DOUBLE)
             / LEN(STRING_SPLIT(text, ' ')) AS stopword_ratio
           FROM documents)
         SELECT doc_id, n_chars_obs, n_words, punct_ratio, digit_ratio, stopword_ratio,
-          CASE WHEN n_words >= 10 THEN 1.0 ELSE n_words / 10.0 END
-            * (1.0 - punct_ratio) * (1.0 - digit_ratio) AS quality_score
+          ${Quality.duckScore} AS quality_score
         FROM x""")),
 
     // ------------------------------------------------------------------
@@ -730,12 +754,11 @@ object TextOps {
     QueryEntry("t17_curation_pipeline",
       (s, d) => {
         val scored = docs(s, d).selectExpr("doc_id", "source", "text",
-            "size(split(text, ' ')) AS n_words",
-            "CAST(length(regexp_replace(text, '[^.!?,;]', '')) AS DOUBLE) / length(text) AS punct_ratio",
-            "CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE) / length(text) AS digit_ratio")
+            s"${Quality.nWords} AS n_words",
+            s"${Quality.punct} AS punct_ratio",
+            s"${Quality.digit} AS digit_ratio")
           .selectExpr("doc_id", "source", "text", "n_words",
-            """CASE WHEN n_words >= 10 THEN 1.0 ELSE n_words / 10.0 END
-               * (1.0 - punct_ratio) * (1.0 - digit_ratio) AS quality_score""")
+            s"${Quality.score} AS quality_score")
           .filter(col("quality_score") >= 0.5 && col("n_words") >= 5)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
@@ -764,13 +787,12 @@ object TextOps {
             round(graft.Parity.dsum(col("quality_score")), 6).as("sum_quality"))
       },
       Some(s"""WITH scored AS (SELECT doc_id, source, text,
-            LEN(STRING_SPLIT(text, ' ')) AS n_words,
-            CAST(LENGTH(REGEXP_REPLACE(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
-            CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) AS digit_ratio
+            ${Quality.duckNWords} AS n_words,
+            ${Quality.duckPunct} AS punct_ratio,
+            ${Quality.duckDigit} AS digit_ratio
           FROM documents),
         q AS (SELECT doc_id, source, text, n_words,
-            CASE WHEN n_words >= 10 THEN 1.0 ELSE n_words / 10.0 END
-              * (1.0 - punct_ratio) * (1.0 - digit_ratio) AS quality_score
+            ${Quality.duckScore} AS quality_score
           FROM scored),
         gated AS (SELECT * FROM q WHERE quality_score >= 0.5 AND n_words >= 5),
         kept AS (SELECT * FROM (SELECT gated.*,
@@ -865,13 +887,11 @@ object TextOps {
     QueryEntry("t20_quality_curve",
       (s, d) => {
         val scored = docs(s, d)
-          .selectExpr("source", "size(split(text, ' ')) AS toks",
-            "CAST(length(regexp_replace(text, '[^.!?,;]', '')) AS DOUBLE) / length(text) AS punct_ratio",
-            "CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE) / length(text) AS digit_ratio",
-            "size(split(text, ' ')) AS n_words")
-          .selectExpr("source", "toks",
-            """CASE WHEN n_words >= 10 THEN 1.0 ELSE n_words / 10.0 END
-               * (1.0 - punct_ratio) * (1.0 - digit_ratio) AS q""")
+          .selectExpr("source",
+            s"${Quality.nWords} AS n_words",
+            s"${Quality.punct} AS punct_ratio",
+            s"${Quality.digit} AS digit_ratio")
+          .selectExpr("source", "n_words AS toks", s"${Quality.score} AS q")
           // decile clamped to [0,9] (q == 1.0 lands in the top decile)
           .selectExpr("source", "toks",
             "least(CAST(FLOOR(q * 10) AS BIGINT), CAST(9 AS BIGINT)) AS decile")
@@ -886,15 +906,13 @@ object TextOps {
           .selectExpr("source", "decile", "n AS n_docs", "tk AS n_tokens",
             "surviving_docs", "surviving_tokens")
       },
-      Some("""WITH scored AS (SELECT source,
-            LEN(STRING_SPLIT(text, ' ')) AS toks,
-            CAST(LENGTH(REGEXP_REPLACE(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
-            CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) AS digit_ratio,
-            LEN(STRING_SPLIT(text, ' ')) AS n_words
+      Some(s"""WITH scored AS (SELECT source,
+            ${Quality.duckNWords} AS n_words,
+            ${Quality.duckPunct} AS punct_ratio,
+            ${Quality.duckDigit} AS digit_ratio
           FROM documents),
-        q AS (SELECT source, toks,
-            CASE WHEN n_words >= 10 THEN 1.0 ELSE n_words / 10.0 END
-              * (1.0 - punct_ratio) * (1.0 - digit_ratio) AS q
+        q AS (SELECT source, n_words AS toks,
+            ${Quality.duckScore} AS q
           FROM scored),
         dec AS (SELECT source, toks,
             LEAST(CAST(FLOOR(q * 10) AS BIGINT), 9) AS decile FROM q),

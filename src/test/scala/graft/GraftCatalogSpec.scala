@@ -160,11 +160,14 @@ class GraftCatalogSpec extends SparkSpec {
     // Trino ALTER TABLE EXECUTE optimize / Delta OPTIMIZE ZORDER parity
     val opt = sql("CALL gcat.system.optimize('db11.t', 16, '', 'x,y')").collect()
     assert(opt.length == 1 && opt.head.getInt(1) > 4, opt.mkString)
-    // compacting an already-single-file table no-ops and reports 0,
-    // not the previous compact's file count
+    // a no-op optimize whose UNCHANGED HEAD IS an older compact's
+    // commit must report 0, not that compact's file count: multi-file
+    // table -> compact to 1 (head op = compact, added = 1) -> repeat
     sql("CREATE TABLE gcat.db11.one (id BIGINT)")
     sql("INSERT INTO gcat.db11.one VALUES (1)")
-    sql("CALL gcat.system.optimize('db11.one', 1, '', '')")
+    sql("INSERT INTO gcat.db11.one VALUES (2)")
+    val first = sql("CALL gcat.system.optimize('db11.one', 1, '', '')").collect()
+    assert(first.head.getInt(1) == 1, first.mkString) // real compact: 2 files -> 1
     val noop = sql("CALL gcat.system.optimize('db11.one', 1, '', '')").collect()
     assert(noop.head.getInt(1) == 0, noop.mkString)
     assert(sql("SELECT count(*) AS n FROM gcat.db11.t").head().getLong(0) == 10000)

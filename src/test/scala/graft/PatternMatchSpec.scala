@@ -161,7 +161,16 @@ class PatternMatchSpec extends SparkSpec {
     assert(r.getAs[Long]("lo") == big && r.getAs[Long]("hi") == big + 2L, r)
     assert(r.getAs[Long]("tot") == 3L * big + 3L, r)
 
-    // a sum that would WRAP Long raises instead of returning garbage
+    // transient intermediate overflow of a REPRESENTABLE sum succeeds
+    // (BigInt accumulation is order-independent)...
+    val df3 = Seq((1, 1, Long.MaxValue), (1, 2, 1L), (1, 3, -2L)).toDF("k", "seq", "id")
+    val ok = PatternMatch.matchPattern(df3,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq("A" -> col("id").isNotNull), pattern = "A+",
+      measures = Seq(Measure("tot", "sum", "*", "id"))).collect()
+    assert(ok.head.getAs[Long]("tot") == Long.MaxValue - 1L, ok.head)
+
+    // ...while a sum that would WRAP Long raises instead of returning garbage
     val huge = Long.MaxValue / 2 + 1L
     val df2 = Seq((1, 1, huge), (1, 2, huge), (1, 3, huge)).toDF("k", "seq", "id")
     val out2 = PatternMatch.matchPattern(df2,
