@@ -113,13 +113,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
 
   override def loadTable(ident: Identifier): Table = loadPinned(ident, None)
 
-  /** `VERSION AS OF` — numeric snapshot id, or a named branch/tag
-    * (walden's Nessie refs; `FOR SYSTEM_VERSION AS OF` maps here too). */
+  /** `VERSION AS OF` — a named branch/tag (walden's Nessie refs;
+    * `FOR SYSTEM_VERSION AS OF` maps here too) or a numeric snapshot
+    * id. Refs resolve FIRST: a digit-only string that is not a ref
+    * falls back to a snapshot id, so a branch/tag that happens to be
+    * named '2024' stays reachable (the rare numeric snapshot shadowed
+    * by such a ref is still reachable via `CALL system.create_ref`).
+    * Anything that is neither gets a clean error, not a raw
+    * NumberFormatException. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val gt = graftTable(ident)
-    val v =
-      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
-      else gt.resolveVersion(ref = Some(version))
+    val v = gt.refs.getOrElse(version,
+      try version.toLong
+      catch {
+        case _: NumberFormatException =>
+          val known = gt.refs.keys.filterNot(_.startsWith("__")).toSeq.sorted
+          throw new IllegalArgumentException(
+            s"VERSION AS OF '$version' on ${ident.toString}: not a branch/tag " +
+              s"(have: ${known.mkString(",")}) and not a numeric snapshot id")
+      })
     loadPinned(ident, Some(v))
   }
 
@@ -271,8 +283,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
     }
   }
 
+  /** Procedure `table` arguments are warehouse-relative (`db.t`); a
+    * catalog-qualified `<catalogName>.db.t` is accepted by stripping
+    * the prefix (otherwise it would silently resolve to warehouse path
+    * `<catalogName>/db/t` and fail with a confusing identifier).
+    * Identifier parts cannot themselves contain dots — the path-backed
+    * catalog never creates such tables (`safe` rejects separators, and
+    * a dotted directory name is unreachable from this splitter), so the
+    * error message states the expected form instead. */
   private def tableByName(multipart: String): GraftTable = {
-    val parts = multipart.split('.')
+    val parts0 = multipart.split('.')
+    val parts = if (parts0.length > 2 && parts0.head == catalogName) parts0.tail else parts0
+    require(parts.length >= 2,
+      s"procedure table argument must be 'db.table' (warehouse-relative) or " +
+        s"'$catalogName.db.table', got '$multipart'")
     val ident = Identifier.of(parts.init, parts.last)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     GraftTable.load(SparkSession.active, tablePath(ident).toString)

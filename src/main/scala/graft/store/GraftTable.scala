@@ -309,17 +309,31 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * Staged files are unreferenced until this commit, so a vacuum whose
     * grace window is shorter than the audit can have deleted them —
     * committing their paths anyway would corrupt the table head. The
-    * existence check fails the publish LOUDLY instead; size a vacuum
-    * grace above the longest audit (same contract as in-flight
-    * creates). */
+    * pre-commit existence check fails the common case LOUDLY, but it is
+    * a TOCTOU: a vacuum can still delete a staged file BETWEEN the
+    * check and the commit. So existence is RE-verified after the
+    * commit — once committed the files are referenced and vacuum keeps
+    * them, so any deletion must have happened in the pre-commit window;
+    * a post-commit miss triggers an immediate rollback commit removing
+    * the whole publish (all-or-nothing: a partial publish would violate
+    * the WAP contract) and throws. Size a vacuum grace above the
+    * longest audit (same contract as in-flight creates). */
   def publishStaged(staged: Seq[StagedAppend]): Long = {
     require(staged.nonEmpty, "nothing staged")
-    val gone = staged.flatMap(_.files.map(_.path))
-      .filterNot(p => Files.exists(Paths.get(root, p)))
+    val paths = staged.flatMap(_.files.map(_.path))
+    val gone = paths.filterNot(p => Files.exists(Paths.get(root, p)))
     require(gone.isEmpty,
       s"staged file(s) vanished before publish (vacuum grace shorter than the " +
         s"audit?): ${gone.take(3).mkString(",")}")
-    commitRetry("publish", staged.flatMap(_.files), Nil, schema.json)
+    val v = commitRetry("publish", staged.flatMap(_.files), Nil, schema.json)
+    val gone2 = paths.filterNot(p => Files.exists(Paths.get(root, p)))
+    if (gone2.nonEmpty) {
+      commitRetry("publish-rollback", Nil, paths, schema.json)
+      throw new IllegalStateException(
+        s"staged file(s) vanished during publish (vacuum raced the commit); " +
+          s"publish $v rolled back: ${gone2.take(3).mkString(",")}")
+    }
+    v
   }
 
   /** Abandon staged files (audit failed). Immediate, explicit delete —
@@ -335,6 +349,50 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * same label, the sink sees it in `history`, and skips. */
   private[graft] def appendAs(op: String, df: DataFrame): Long =
     commitRetry(op, writeFiles(aligned(df)), Nil, schema.json)
+
+  /** Exactly-once labeled append: commit `df` under `op` UNLESS a
+    * commit whose op satisfies `conflictsWith` already exists — then
+    * skip, delete the just-written files, and return that commit's
+    * version with `appended = false`.
+    *
+    * The dedup is ATOMIC, not best-effort: `tryCommit` succeeds only if
+    * `parent` is still the log head, so re-checking every op <= parent
+    * inside the retry loop is exhaustive — two racers that both passed
+    * a caller-side pre-check cannot both land (the loser's tryCommit
+    * fails, it re-scans, finds the winner's label, and skips). This
+    * closes the check-then-append TOCTOU that a caller-side history
+    * scan alone leaves open. The scan walks ops newest-first (one O(1)
+    * log read each) and short-circuits on the first hit; callers whose
+    * labels are recent (refresh watermarks, streaming batch ids) pay
+    * O(commits since that label), and the scan is driver-side metadata
+    * either way — never a data pass. */
+  private[graft] def appendAsOnce(op: String, df: DataFrame,
+                                  conflictsWith: String => Boolean): (Long, Boolean) = {
+    def existing: Option[Long] =
+      log.versions.reverseIterator.find(v => conflictsWith(log.read(v).op))
+    existing match { // fast path: skip before writing any data
+      case Some(v) => return (v, false)
+      case None => ()
+    }
+    val added = writeFiles(aligned(df))
+    var attempts = 0
+    while (attempts < 20) {
+      val parent = log.latestVersion
+      existing match {
+        case Some(v) =>
+          added.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
+          return (v, false)
+        case None => ()
+      }
+      val c = Commit(parent + 1, parent, op, added, Nil, schema.json, System.currentTimeMillis())
+      if (log.tryCommit(c)) {
+        log.setRef("main", parent + 1)
+        return (parent + 1, true)
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(s"commit conflict not resolved after $attempts attempts: $root")
+  }
 
   def overwrite(df: DataFrame): Long =
     commitRetry("overwrite", writeFiles(aligned(df)), Nil, schema.json)
@@ -497,6 +555,14 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       if (zorderBy.nonEmpty) {
         require(clusterBy.isEmpty, "choose clusterBy OR zorderBy, not both")
         require(zorderBy.size >= 2, "zorderBy needs >= 2 columns (use clusterBy for one)")
+        // the interleaved Z-value lives in one signed long (63 usable
+        // bits): Spark's shiftleft masks the shift amount mod 64, so a
+        // bit position past 63 would wrap around and silently corrupt
+        // the clustering (results stay correct — stats are recomputed —
+        // but pruning quality degrades with no signal). Shrink bits so
+        // bits*nCols <= 63, and refuse when even 1 bit/col won't fit.
+        require(zorderBy.size <= 63,
+          s"zorderBy supports at most 63 columns, got ${zorderBy.size}")
         zorderBy.foreach { c =>
           require(sch.fieldNames.contains(c), s"no column $c")
           require(sch(c).dataType.isInstanceOf[NumericType],
@@ -509,7 +575,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
           val maxs = files.flatMap(_.max.get(c)).map(_.toDouble)
           if (mins.isEmpty) (0.0, 1.0) else (mins.min, maxs.max)
         }
-        val bits = 8
+        val bits = math.min(8, 63 / zorderBy.size)
         val buckets = zorderBy.zip(ranges).map { case (c, (lo, hi)) =>
           val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
           least(lit((1 << bits) - 1), greatest(lit(0),

@@ -86,11 +86,35 @@ object IncrementalView {
       val sch = src.schemaAt(head)
       val newRows = src.spark.read.schema(sch).format(src.format)
         .load(newPaths.toSeq.map(p => s"${src.root}/$p"): _*)
-      target.appendAs(label(last, head), transform(newRows))
+      // Exactly-once against CONCURRENT refreshers, not just crash
+      // replay: two refreshers can both read watermark `last` and both
+      // pass the label scan above before either commits. appendAsOnce
+      // re-checks for any `incr-refresh:<last>-*` label atomically with
+      // the commit (see its doc), so exactly one append lands; the
+      // loser adopts the winner's covered range. Matching on the "from"
+      // half (not the exact label) also catches a racer that saw a
+      // NEWER source head — an exact-label check would double-append
+      // the overlap of (last, head) and (last, head').
+      val (v, appended) = target.appendAsOnce(label(last, head), transform(newRows),
+        op => op.startsWith(s"incr-refresh:$last-"))
+      if (!appended) {
+        val to = target.commitInfo(v).op.stripPrefix(s"incr-refresh:$last-").toLong
+        advanceWatermark(target, tLog, to)
+        return if (to >= head) Refresh(last, to, appended = false)
+               else refresh(src, target, transform) // continue from `to`
+      }
     }
-    target.tag(SyncedRef, Some(head))
+    advanceWatermark(target, tLog, head)
     Refresh(last, head, appended = newPaths.nonEmpty)
   }
+
+  /** Advance the synced watermark MONOTONICALLY: a slow racer must not
+    * regress the ref below a newer refresh's value. The read-then-set
+    * is itself unsynchronized, but a regressed watermark only costs a
+    * redundant refresh attempt, which the label dedup then skips —
+    * never a duplicated row. */
+  private def advanceWatermark(target: GraftTable, tLog: CommitLog, to: Long): Unit =
+    if (tLog.getRef(SyncedRef).getOrElse(0L) < to) target.tag(SyncedRef, Some(to))
 
   /** Rebuild the target from the full source (after DML/compaction on
     * the source broke the incremental contract) and re-arm refresh. */

@@ -185,6 +185,40 @@ class GraftCatalogSpec extends SparkSpec {
     assert(vac.head.getInt(0) >= 0)
   }
 
+  test("VERSION AS OF: refs resolve before numbers; unknown versions error cleanly") {
+    sql("CREATE NAMESPACE gcat.db13")
+    sql("CREATE TABLE gcat.db13.t (id BIGINT)")
+    sql("INSERT INTO gcat.db13.t VALUES (1)") // v2
+    // a branch/tag named with digits only must stay reachable (ref-first)
+    sql("CALL gcat.system.create_ref('db13.t', '2024', 2)")
+    sql("INSERT INTO gcat.db13.t VALUES (2), (3)") // v3
+    assert(sql("SELECT count(*) AS n FROM gcat.db13.t VERSION AS OF '2024'")
+      .head().getLong(0) == 1)
+    // non-ref digits still resolve as a snapshot id
+    assert(sql("SELECT count(*) AS n FROM gcat.db13.t VERSION AS OF '3'")
+      .head().getLong(0) == 3)
+    // neither a ref nor a number -> clean error, not NumberFormatException
+    val e = intercept[Exception](
+      sql("SELECT * FROM gcat.db13.t VERSION AS OF 'no_such_ref'").collect())
+    assert(e.getMessage.contains("not a branch/tag"), e.getMessage)
+    val e2 = intercept[Exception]( // 20+ digits overflow Long — same clean error
+      sql("SELECT * FROM gcat.db13.t VERSION AS OF '99999999999999999999'").collect())
+    assert(e2.getMessage.contains("not a branch/tag"), e2.getMessage)
+  }
+
+  test("CALL table arguments accept the catalog-qualified form") {
+    sql("CREATE NAMESPACE gcat.db14")
+    sql("CREATE TABLE gcat.db14.t (id BIGINT)")
+    sql("INSERT INTO gcat.db14.t VALUES (1)")
+    // 'gcat.db14.t' must strip the catalog prefix, not resolve to
+    // warehouse path gcat/db14/t
+    sql("CALL gcat.system.create_ref('gcat.db14.t', 'r1', 2)")
+    assert(sql("SELECT count(*) AS n FROM gcat.db14.t VERSION AS OF 'r1'")
+      .head().getLong(0) == 1)
+    val e = intercept[Exception](sql("CALL gcat.system.vacuum('t', 0)").collect())
+    assert(e.getMessage.contains("db.table"), e.getMessage)
+  }
+
   test("concurrent SQL INSERTs race through optimistic commits, none lost") {
     sql("CREATE NAMESPACE gcat.db10")
     sql("CREATE TABLE gcat.db10.t (id BIGINT, src STRING)")

@@ -93,6 +93,26 @@ class IncrementalViewSpec extends SparkSpec {
     assert(target.read().select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
   }
 
+  test("concurrent refreshers over the same range: exactly one append lands") {
+    val src = GraftTable.create(spark, fresh("iv_src6"),
+      Seq((2L, "a")).toDF("id", "v"))
+    val target = GraftTable.create(spark, fresh("iv_tgt6"), xf(src.read().limit(0)))
+    IncrementalView.refresh(src, target, xf) // covers 0-1, watermark 1
+    src.append(Seq((4L, "bb"), (6L, "c")).toDF("id", "v")) // v2
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // all racers read watermark 1 and try to cover 1-2; the label dedup
+    // is atomic with the commit (GraftTable.appendAsOnce), so exactly
+    // one appends and the rest adopt its range — no duplicated rows
+    val racers = (0 until 4).map(_ => Future(IncrementalView.refresh(src, target, xf)))
+    val rs = Await.result(Future.sequence(racers), 120.seconds)
+    assert(rs.count(_.appended) == 1, rs)
+    val got = target.read().select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 4L, 6L), got)
+    assert(target.history.count(_.op == "incr-refresh:1-2") == 1, target.history.map(_.op))
+  }
+
   test("crashed refresh + source advanced since: resume from the label's bound, no duplicates") {
     val src = GraftTable.create(spark, fresh("iv_src4"),
       Seq((2L, "a")).toDF("id", "v"))

@@ -358,6 +358,50 @@ class StoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](zt.compact(clusterBy = Seq("x"), zorderBy = Seq("x", "y")))
   }
 
+  test("Z-order with >8 columns shrinks bits so the interleave fits one long") {
+    // 10 columns would need bit position 9*10+9=99 at 8 bits/col — past
+    // 63, where Spark's shiftleft wraps mod 64 and silently scrambles
+    // the Z-value. bits shrinks to 63/10=6 (max position 59); the
+    // rewrite must stay byte-exact.
+    val names = "id" +: (0 until 9).map(i => s"c$i")
+    val wide = spark.range(0, 2000).toDF("id")
+      .selectExpr("id" +: (0 until 9).map(i => s"id % ${i + 2} AS c$i"): _*)
+      .repartition(4)
+    val t = GraftTable.create(spark, freshRoot, wide)
+    t.compact(numFiles = Some(8), zorderBy = names)
+    assert(t.history.last.op == "compact")
+    assert(t.read().count() == 2000)
+    assert(t.read(filters = Seq(col("c3") === 2L)).count() == 400) // id%5==2
+    // >63 columns cannot fit even 1 bit each — refused up front
+    val e = intercept[IllegalArgumentException](
+      t.compact(zorderBy = (1 to 64).map(i => s"z$i")))
+    assert(e.getMessage.contains("63"), e.getMessage)
+  }
+
+  test("appendAsOnce: a re-presented label is skipped atomically, files cleaned") {
+    val t = GraftTable.create(spark, freshRoot,
+      Seq((1L, "a", 1.0)).toDF("id", "name", "score"))
+    val df = Seq((2L, "b", 2.0)).toDF("id", "name", "score")
+    val (v1, a1) = t.appendAsOnce("once:0-1", df, _.startsWith("once:0-"))
+    // same FROM-range, different head — still a conflict (overlap)
+    val (v2, a2) = t.appendAsOnce("once:0-2", df, _.startsWith("once:0-"))
+    assert(a1 && !a2 && v1 == v2, s"$v1/$a1 vs $v2/$a2")
+    assert(t.history.count(_.op.startsWith("once:")) == 1, t.history.map(_.op))
+    assert(t.read().count() == 2)
+    // the skipped attempt left no unreferenced data behind
+    val referenced = t.history.flatMap(_.added).map(_.path).toSet
+    val dataRoot = java.nio.file.Paths.get(t.root, "data")
+    val walk = java.nio.file.Files.walk(dataRoot)
+    import scala.jdk.CollectionConverters._
+    val onDisk = try {
+      walk.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith(".") && !p.getFileName.toString.startsWith("_"))
+        .map(p => java.nio.file.Paths.get(t.root).relativize(p).toString).toSet
+    } finally walk.close()
+    assert((onDisk -- referenced).isEmpty, s"orphans: ${onDisk -- referenced}")
+  }
+
   test("orc format: full lifecycle (walden pins iceberg.file-format=ORC)") {
     val root = freshRoot
     val t = GraftTable.create(spark, root,
