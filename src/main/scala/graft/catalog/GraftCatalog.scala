@@ -392,6 +392,10 @@ private[catalog] final class GraftV2Table(gt: GraftTable, fullName: String,
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
+  /** Store handle + pin state for the SQL DML rule (GraftDml). */
+  private[catalog] def underlying: GraftTable = gt
+  private[catalog] def isTimeTravel: Boolean = timeTravel
+
   override def name(): String = fullName
   override def schema(): StructType = gt.schemaAt(pinned)
   override def partitioning(): Array[Transform] = Array.empty

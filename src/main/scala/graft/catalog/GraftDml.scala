@@ -1,0 +1,168 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, GraftSparkInternals, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, ExprId, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.lit
+
+import graft.store.{GraftTable, MergeWhen}
+
+/** SQL `UPDATE` / `MERGE INTO` for graft catalog tables — the last
+  * walden DML verb not reachable from SQL (DML is a SQL-level surface
+  * there: `allow_dml` `tf/superset/superset.tf:57`; Iceberg row-level
+  * DML pinned `tf/main.tf:94`).
+  *
+  * Route: an injected analyzer resolution rule (the public
+  * `SparkSessionExtensions.injectResolutionRule` seam) rewrites the
+  * RESOLVED `UpdateTable` / `MergeIntoTable` statements over a
+  * [[GraftV2Table]] relation into runnable commands that call the
+  * store's copy-on-write engine directly ([[GraftTable.update]] /
+  * [[GraftTable.mergeInto]]). This route — rather than DSv2
+  * `SupportsRowLevelOperations` — keeps the store's stats-pruned
+  * victim-file discovery: Spark's group-based ReplaceData plan rewrites
+  * every scanned group, while the store rewrites ONLY files that
+  * contain matching rows, which at 100 TB is the difference between a
+  * full-table rewrite and a handful of files for a selective UPDATE.
+  *
+  * Expression hand-off: the statement's expressions arrive resolved
+  * against the relation's attribute ids. They are translated by
+  * exprId — target attributes to their plain column name, MERGE source
+  * attributes to [[GraftTable.MergeSourcePrefix]]-prefixed names (the
+  * store's mergeInto namespace contract) — into fresh by-name
+  * references, so they re-resolve inside the store's own DataFrames.
+  * Subqueries in conditions are rejected loudly (the store evaluates
+  * conditions per-file; correlated subqueries would need a join
+  * rewrite — DELETE's canDeleteWhere draws the same line).
+  */
+final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u: UpdateTable if u.resolved =>
+      graftRelation(u.table).fold(plan) { case (rel, g) =>
+        require(!g.isTimeTravel, s"cannot UPDATE a time-travelled snapshot of ${g.name()}")
+        val tgt = byId(rel.output)
+        val set = u.assignments.map { a =>
+          a.key match {
+            case k: AttributeReference if tgt.contains(k.exprId) =>
+              tgt(k.exprId) -> translate(a.value, tgt, Map.empty)
+            case other => throw new UnsupportedOperationException(
+              s"UPDATE of nested field '${other.sql}' is not supported for graft tables")
+          }
+        }
+        GraftUpdateCommand(g.underlying, u.condition.map(translate(_, tgt, Map.empty)), set)
+      }
+
+    case m: MergeIntoTable if m.resolved =>
+      graftRelation(m.targetTable).fold(plan) { case (rel, g) =>
+        require(!g.isTimeTravel, s"cannot MERGE into a time-travelled snapshot of ${g.name()}")
+        require(!m.schemaEvolutionEnabled,
+          "MERGE WITH SCHEMA EVOLUTION is not supported for graft tables; " +
+            "ALTER TABLE ... ADD COLUMN first")
+        val tgt = byId(rel.output)
+        val src = byId(m.sourceTable.output)
+        def clause(a: MergeAction): MergeWhen = a match {
+          case ua: UpdateAction =>
+            MergeWhen(ua.condition.map(translate(_, tgt, src)),
+              Some(ua.assignments.map { as =>
+                as.key match {
+                  case k: AttributeReference if tgt.contains(k.exprId) =>
+                    tgt(k.exprId) -> translate(as.value, tgt, src)
+                  case other => throw new UnsupportedOperationException(
+                    s"MERGE assignment to nested field '${other.sql}' is not supported")
+                }
+              }.toMap))
+          case da: DeleteAction =>
+            MergeWhen(da.condition.map(translate(_, tgt, src)), None)
+          case ia: InsertAction =>
+            MergeWhen(ia.condition.map(translate(_, tgt, src)),
+              Some(ia.assignments.map { as =>
+                as.key match {
+                  case k: AttributeReference if tgt.contains(k.exprId) =>
+                    tgt(k.exprId) -> translate(as.value, tgt, src)
+                  case other => throw new UnsupportedOperationException(
+                    s"MERGE insert into nested field '${other.sql}' is not supported")
+                }
+              }.toMap))
+          case other => throw new UnsupportedOperationException(
+            s"unsupported MERGE action for graft tables: $other")
+        }
+        GraftMergeCommand(g.underlying, m.sourceTable,
+          translate(m.mergeCondition, tgt, src),
+          m.matchedActions.map(clause),
+          m.notMatchedActions.map(clause),
+          m.notMatchedBySourceActions.map(clause))
+      }
+
+    case _ => plan
+  }
+
+  /** The target relation if (and only if) it is a graft catalog table;
+    * anything else falls through to Spark's own handling. */
+  private def graftRelation(p: LogicalPlan): Option[(DataSourceV2Relation, GraftV2Table)] =
+    p match {
+      case SubqueryAlias(_, child) => graftRelation(child)
+      case r: DataSourceV2Relation =>
+        r.table match {
+          case g: GraftV2Table => Some((r, g))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def byId(attrs: Seq[Attribute]): Map[ExprId, String] =
+    attrs.map(a => a.exprId -> a.name).toMap
+
+  /** Resolved expression → by-name Column in the store's namespace. */
+  private def translate(e: Expression,
+                        tgt: Map[ExprId, String],
+                        src: Map[ExprId, String]): Column = {
+    e.foreach {
+      case _: SubqueryExpression => throw new UnsupportedOperationException(
+        "subqueries in UPDATE/MERGE conditions are not supported for graft tables; " +
+          "materialize the subquery and use MERGE USING")
+      case _ => ()
+    }
+    val renamed = e.transform {
+      case a: AttributeReference =>
+        tgt.get(a.exprId).map(UnresolvedAttribute.quoted)
+          .orElse(src.get(a.exprId)
+            .map(n => UnresolvedAttribute.quoted(GraftTable.MergeSourcePrefix + n)))
+          .getOrElse(throw new UnsupportedOperationException(
+            s"cannot translate column reference '${a.name}' (not a target or source column)"))
+    }
+    GraftSparkInternals.column(renamed)
+  }
+}
+
+/** `UPDATE <graft table> SET ... [WHERE ...]` → one copy-on-write
+  * commit via [[GraftTable.update]] (stats-pruned victim files only). */
+final case class GraftUpdateCommand(gt: GraftTable, cond: Option[Column],
+                                    set: Seq[(String, Column)])
+  extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    gt.update(cond.getOrElse(lit(true)), set.toMap)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO <graft table> USING <source> ON ... WHEN ...` → one
+  * atomic merge commit via [[GraftTable.mergeInto]]. The USING source's
+  * analyzed plan rides along and materializes at run time. */
+final case class GraftMergeCommand(gt: GraftTable, source: LogicalPlan,
+                                   condition: Column,
+                                   matched: Seq[MergeWhen],
+                                   notMatched: Seq[MergeWhen],
+                                   notMatchedBySource: Seq[MergeWhen])
+  extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    gt.mergeInto(GraftSparkInternals.ofRows(session, source),
+      condition, matched, notMatched, notMatchedBySource)
+    Seq.empty
+  }
+}

@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         builder))
     }
+    // SQL UPDATE / MERGE INTO for graft catalog tables: rewrite the
+    // resolved statements onto the store's copy-on-write engine
+    // (see graft.catalog.GraftDmlRule for why not SupportsRowLevelOperations)
+    ext.injectResolutionRule(session => new graft.catalog.GraftDmlRule(session))
   }
 }

@@ -484,6 +484,115 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     commitRetry("merge", writeFiles(toWrite), victims, sch.json, basedOn = base)
   }
 
+  /** General MERGE with ordered WHEN clauses — the engine behind SQL
+    * `MERGE INTO` (walden's row-level DML surface; Iceberg merge pinned
+    * via `tf/main.tf:94`). Semantics follow the SQL standard:
+    *
+    *  - `matched`: for each target row with a source match, the FIRST
+    *    clause whose condition holds applies (UPDATE assignments or
+    *    DELETE); none holding leaves the row unchanged. A target row
+    *    matching MORE than one source row is a cardinality violation
+    *    and throws (a blind join would silently duplicate it).
+    *  - `notMatched`: source rows with no target match insert via the
+    *    first clause whose condition holds; otherwise they are dropped.
+    *  - `notMatchedBySource`: target rows with NO source match take the
+    *    first holding clause (UPDATE/DELETE).
+    *
+    * Column namespace: expressions in `condition` and in every clause
+    * reference target columns by plain name and source columns as
+    * `MergeSourcePrefix + name` (the caller — SQL rule or Scala user —
+    * writes against that contract; mergeInto renames the source side
+    * internally so both namespaces coexist in one join).
+    *
+    * Scale: copy-on-write on the affected files only. Victim discovery
+    * is ONE semi join of the target against the source on `condition`
+    * (AQE/broadcast pick the strategy) collecting file NAMES, not rows;
+    * only those files are rewritten via a left join + one codegen'd
+    * first-match-wins CASE chain per column; the insert side is one
+    * anti join. A `notMatchedBySource` clause inherently touches every
+    * target row, so it promotes ALL live files to victims — that is the
+    * operation's semantics, not an implementation shortcut. */
+  def mergeInto(source: DataFrame, condition: Column,
+                matched: Seq[MergeWhen], notMatched: Seq[MergeWhen],
+                notMatchedBySource: Seq[MergeWhen] = Nil): Long = {
+    import GraftTable.MergeSourcePrefix
+    val base = currentVersion
+    val sch = schema
+    val tgt = read(asOfVersion = Some(base))
+    require(source.columns.toSet.size == source.columns.length,
+      s"merge source has duplicate column names: ${source.columns.mkString(",")}")
+    val marker = MergeSourcePrefix + "present__"
+    val srcP = source
+      .select(source.columns.map(c => col(c).as(MergeSourcePrefix + c)).toIndexedSeq: _*)
+      .withColumn(marker, lit(true))
+
+    // first-match-wins CASE chain over the ordered WHEN clauses
+    def firstWins(clauses: Seq[MergeWhen], out: MergeWhen => Column, default: Column): Column =
+      clauses.reverse.foldLeft(default)((els, cl) =>
+        when(cl.condition.getOrElse(lit(true)), out(cl)).otherwise(els))
+
+    // ---- victims: files whose rows a matched / not-matched-by-source
+    // clause could touch
+    val live = log.snapshotFiles(base)
+    val victims: Seq[String] =
+      if (notMatchedBySource.nonEmpty) live.map(_.path)
+      else if (matched.isEmpty) Nil // insert-only merge never rewrites
+      else {
+        val hitAbs = tgt.withColumn("__f", input_file_name())
+          .join(srcP, condition, "left_semi")
+          .select("__f").distinct().collect().map(_.getString(0))
+        val byName = live.map(f => f.path.split('/').last -> f.path).toMap
+        hitAbs.toSeq.flatMap(a => byName.get(a.substring(a.lastIndexOf('/') + 1)))
+      }
+
+    // ---- rewrite the victim files
+    val rowId = MergeSourcePrefix + "rowid__"
+    val rewritten =
+      if (victims.isEmpty) None
+      else {
+        val vdf = readData(victims.map(p => s"$root/$p"), sch)
+          .withColumn(rowId, monotonically_increasing_id())
+        val joined = vdf.join(srcP, condition, "left")
+        val isM = col(marker).isNotNull
+        if (matched.nonEmpty) {
+          val dup = joined.filter(isM).groupBy(col(rowId)).count()
+            .filter(col("count") > 1).limit(1).count()
+          require(dup == 0,
+            "MERGE cardinality violation: a target row matches more than one " +
+              "source row; deduplicate the source or tighten the ON condition")
+        }
+        val keep =
+          when(isM, firstWins(matched, cl => lit(cl.set.isDefined), lit(true)))
+            .otherwise(firstWins(notMatchedBySource, cl => lit(cl.set.isDefined), lit(true)))
+        Some(joined.filter(keep).select(sch.fields.map { f =>
+          def upd(cl: MergeWhen): Column =
+            cl.set.flatMap(_.get(f.name)).getOrElse(col(f.name))
+          when(isM, firstWins(matched, upd, col(f.name)))
+            .otherwise(firstWins(notMatchedBySource, upd, col(f.name)))
+            .cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*))
+      }
+
+    // ---- inserts: source rows with no target match, first clause wins
+    val inserts =
+      if (notMatched.isEmpty) None
+      else {
+        val srcOnly = srcP.join(tgt, condition, "left_anti")
+        Some(srcOnly.filter(firstWins(notMatched, _ => lit(true), lit(false)))
+          .select(sch.fields.map { f =>
+            firstWins(notMatched,
+              cl => cl.set.flatMap(_.get(f.name)).getOrElse(lit(null)),
+              lit(null)).cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*))
+      }
+
+    val parts = rewritten.toSeq ++ inserts.toSeq
+    if (parts.isEmpty) return base
+    val added = writeFiles(parts.reduce(_ unionByName _))
+    if (added.isEmpty && victims.isEmpty) return base // nothing to change
+    commitRetry("merge", added, victims, sch.json, basedOn = base)
+  }
+
   /** Row-level changes between two snapshots (CDC — Delta "change data
     * feed" / Nessie branch-diff parity): every row appears with
     * `_change_type` = 'insert' (present at `toVersion`, absent at
@@ -658,7 +767,20 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   }
 }
 
+/** One ordered `WHEN` clause of [[GraftTable.mergeInto]]: `condition`
+  * is the clause's extra predicate (None = always applies); `set` is
+  * the UPDATE/INSERT assignments keyed by TARGET column name (None =
+  * DELETE; for not-matched clauses, unassigned columns insert NULL).
+  * Expressions follow mergeInto's namespace contract: target columns
+  * by plain name, source columns as `GraftTable.MergeSourcePrefix +
+  * name`. */
+final case class MergeWhen(condition: Option[Column], set: Option[Map[String, Column]])
+
 object GraftTable {
+  /** Prefix under which [[GraftTable.mergeInto]] exposes SOURCE columns
+    * to clause expressions (target columns keep their plain names). */
+  val MergeSourcePrefix = "__graft_src__"
+
   /** Create a new versioned table at `root` from `df` (CTAS).
     * `format` is parquet (default) or orc, fixed for the table's life.
     * `bloomFilterCols` adds per-file bloom filters on those columns to

@@ -185,6 +185,84 @@ class GraftCatalogSpec extends SparkSpec {
     assert(vac.head.getInt(0) >= 0)
   }
 
+  test("SQL UPDATE routes to one copy-on-write commit") {
+    sql("CREATE NAMESPACE gcat.db15")
+    sql("CREATE TABLE gcat.db15.t (id BIGINT, v STRING, score DOUBLE)")
+    sql("INSERT INTO gcat.db15.t SELECT id, concat('v', id), id * 1.0 FROM range(10)")
+    sql("UPDATE gcat.db15.t SET score = score * 2, v = upper(v) WHERE id >= 7")
+    val got = sql("SELECT id, v, score FROM gcat.db15.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.take(7).forall { case (i, v, s) => v == s"v$i" && s == i.toDouble })
+    assert(got.drop(7).forall { case (i, v, s) => v == s"V$i" && s == i * 2.0 })
+    // one atomic commit; time travel sees the pre-update state
+    val gt = GraftTable.load(spark, s"$warehouse/db15/t")
+    assert(gt.history.map(_.op) == Seq("create", "append", "update"))
+    assert(sql("SELECT v FROM gcat.db15.t VERSION AS OF 2 WHERE id = 9").head().getString(0) == "v9")
+    // unconditioned UPDATE touches every row
+    sql("UPDATE gcat.db15.t SET score = 0.0")
+    assert(sql("SELECT sum(score) AS s FROM gcat.db15.t").head().getDouble(0) == 0.0)
+    // subquery conditions are rejected loudly, not silently mis-run
+    val e = intercept[Exception](
+      sql("UPDATE gcat.db15.t SET v = 'x' WHERE id IN (SELECT id FROM gcat.db15.t)"))
+    assert(e.getMessage.contains("subqueries"), e.getMessage)
+  }
+
+  test("SQL MERGE INTO: upsert with explicit clauses, one atomic commit") {
+    sql("CREATE NAMESPACE gcat.db16")
+    sql("CREATE TABLE gcat.db16.t (id BIGINT, v STRING, n BIGINT)")
+    sql("INSERT INTO gcat.db16.t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    sql("""MERGE INTO gcat.db16.t AS t
+           USING (SELECT * FROM VALUES (2, 'B'), (4, 'D') AS s(id, v)) AS s
+           ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET v = s.v, n = t.n + 1
+           WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (s.id, s.v, 0)""")
+    val got = sql("SELECT id, v, n FROM gcat.db16.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a", 10L), (2L, "B", 21L), (3L, "c", 30L), (4L, "D", 0L)), got)
+    val gt = GraftTable.load(spark, s"$warehouse/db16/t")
+    assert(gt.history.map(_.op) == Seq("create", "append", "merge"))
+    // time travel sees the pre-merge state
+    assert(sql("SELECT v FROM gcat.db16.t VERSION AS OF 2 WHERE id = 2").head().getString(0) == "b")
+  }
+
+  test("SQL MERGE INTO: star clauses, conditional delete, not-matched-by-source") {
+    sql("CREATE NAMESPACE gcat.db17")
+    sql("CREATE TABLE gcat.db17.t (id BIGINT, v STRING)")
+    sql("INSERT INTO gcat.db17.t VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    // UPDATE SET * / INSERT * shorthand
+    sql("""MERGE INTO gcat.db17.t t
+           USING (SELECT * FROM VALUES (1, 'A'), (5, 'E') AS s(id, v)) s
+           ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    assert(sql("SELECT v FROM gcat.db17.t WHERE id IN (1, 5) ORDER BY id").collect()
+      .map(_.getString(0)).toSeq == Seq("A", "E"))
+    // ordered clauses: conditional DELETE before UPDATE; NOT MATCHED BY SOURCE
+    sql("""MERGE INTO gcat.db17.t t
+           USING (SELECT * FROM VALUES (1, 'x'), (2, 'keep') AS s(id, v)) s
+           ON t.id = s.id
+           WHEN MATCHED AND s.v = 'x' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET v = s.v
+           WHEN NOT MATCHED BY SOURCE AND t.id > 4 THEN DELETE""")
+    val got = sql("SELECT id, v FROM gcat.db17.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // id=1 deleted (s.v='x'); id=2 updated; id=3,4 not matched by source, id<=4 kept; id=5 deleted
+    assert(got == Seq((2L, "keep"), (3L, "c"), (4L, "d")), got)
+  }
+
+  test("SQL MERGE INTO: cardinality violation throws instead of duplicating") {
+    sql("CREATE NAMESPACE gcat.db18")
+    sql("CREATE TABLE gcat.db18.t (id BIGINT, v STRING)")
+    sql("INSERT INTO gcat.db18.t VALUES (1, 'a')")
+    val e = intercept[Exception](
+      sql("""MERGE INTO gcat.db18.t t
+             USING (SELECT * FROM VALUES (1, 'x'), (1, 'y') AS s(id, v)) s
+             ON t.id = s.id
+             WHEN MATCHED THEN UPDATE SET v = s.v"""))
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+    assert(sql("SELECT v FROM gcat.db18.t").head().getString(0) == "a")
+  }
+
   test("VERSION AS OF: refs resolve before numbers; unknown versions error cleanly") {
     sql("CREATE NAMESPACE gcat.db13")
     sql("CREATE TABLE gcat.db13.t (id BIGINT)")
