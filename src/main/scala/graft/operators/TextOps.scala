@@ -851,18 +851,47 @@ object TextOps {
     // Sequence packing: assign documents to fixed token-budget bins by
     // cumulative token count in a deterministic order — the
     // sample-efficiency step that fills every training sequence instead
-    // of padding per document. A prefix-sum window (one shuffle on the
-    // source partition, running sum within) gives each doc its bin;
-    // the rollup reports per-bin fill. Deterministic: order is
-    // (source, doc_id), budget 2048 whitespace tokens.
+    // of padding per document. Deterministic: order is (source,
+    // doc_id), budget 2048 whitespace tokens.
+    //
+    // SCALE: the prefix sum is TWO-LEVEL, never one serial pass per
+    // source. A single Window.partitionBy(source) would funnel each
+    // source's entire row set through ONE task (straggler/OOM at 100
+    // TB, where a source is billions of docs). Instead: (1) shard each
+    // source by an ORDER-ALIGNED function of doc_id (floor(doc_id /
+    // width) is monotone in doc_id, so shard boundaries respect the
+    // deterministic order; width comes from one column-pruned max()
+    // reduce), (2) prefix-sum WITHIN each (source, shard) — parallelism
+    // = sources x 256, (3) cumulate the 256 shard totals per source in
+    // a window whose input is shard-level rows (metadata-sized at any
+    // data scale), (4) add the shard offset back via a broadcast join.
+    // Identical "before" values to the serial formulation — sharding is
+    // monotone, so within-shard prefix + preceding-shard total IS the
+    // global prefix. PlanSpec gates the shape (no source-only window).
     QueryEntry("t19_packing",
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("doc_id"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        docs(s, d)
+        import org.apache.spark.sql.expressions.Window
+        val base = docs(s, d)
           .selectExpr("doc_id", "source", "size(split(text, ' ')) AS toks")
-          .withColumn("before", coalesce(sum(col("toks")).over(w), lit(0L)))
+        val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+        val shards = 256L
+        val width = math.max(1L, maxId / shards + 1L)
+        val sharded = base.withColumn("shard", (col("doc_id") / lit(width)).cast("long"))
+        val inShard = Window.partitionBy(col("source"), col("shard"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val withLocal = sharded
+          .withColumn("before_in_shard", coalesce(sum(col("toks")).over(inShard), lit(0L)))
+        val acrossShards = Window.partitionBy(col("source")).orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = sharded.groupBy(col("source"), col("shard"))
+          .agg(sum(col("toks")).as("shard_toks"))
+          .withColumn("offset", coalesce(sum(col("shard_toks")).over(acrossShards), lit(0L)))
+          .select(col("source").as("o_source"), col("shard").as("o_shard"), col("offset"))
+        withLocal
+          .join(broadcast(offsets),
+            col("source") === col("o_source") && col("shard") === col("o_shard"))
+          .withColumn("before", col("offset") + col("before_in_shard"))
           .selectExpr("source", "CAST(FLOOR(before / 2048) AS BIGINT) AS bin",
             "toks")
           .groupBy(col("source"), col("bin"))

@@ -102,6 +102,22 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("t19 packing: two-level prefix sum, no per-source serial window") {
+    // VERDICT r4 #1: Window.partitionBy(source).orderBy(doc_id) funnels
+    // each source's entire row set through ONE task. The restructured
+    // plan must only window within (source, shard) — row-level windows
+    // keyed by source alone are forbidden. The shard-offset window
+    // (source, shard ASC) is allowed: its input is shard-level rows.
+    val p = plan(SparkEntry.queries("t19_packing")(spark, sf()))
+    val badWindow = "windowspecdefinition\\(source#\\d+, doc_id#".r.findFirstIn(p)
+    assert(badWindow.isEmpty, s"per-source serial window in t19: ${p.take(3000)}")
+    // the doc-level window must be sharded: (source, shard, doc_id)
+    assert("windowspecdefinition\\(source#\\d+, shard#\\d+L?, doc_id#".r.findFirstIn(p).isDefined,
+      s"expected (source, shard)-partitioned doc window: ${p.take(3000)}")
+    // the shard-offset join is metadata-sized and must broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q27 has no unpartitioned window (GROUPS frame via day-table joins)") {
     // an unpartitioned WindowExec funnels every row into one task at
     // scale; q27 must compute its GROUPS frame from per-day aggregates
