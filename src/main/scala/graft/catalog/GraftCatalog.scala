@@ -180,6 +180,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1, "nested DROP COLUMN not supported")
         gt.dropColumn(del.fieldNames()(0))
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1, "nested RENAME COLUMN not supported")
+        gt.renameColumn(rn.fieldNames()(0), rn.newName())
       case other =>
         throw new UnsupportedOperationException(s"unsupported table change: $other")
     }

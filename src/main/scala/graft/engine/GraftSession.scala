@@ -43,6 +43,11 @@ object GraftSession {
       // level so per-table loads need no conf side effects.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Column RENAME support: the store stamps parquet.field.id into
+      // every file; this makes reads resolve columns by that id (the
+      // Iceberg rule) so pre-rename files surface renamed columns.
+      // Inert for schemas without ids (external parquet reads unchanged).
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
       // Runtime bloom-filter semi-join pruning (explicit, though on by
       // default): a selective dimension filter builds a bloom of its
       // join keys at runtime and drops non-matching fact rows BEFORE

@@ -31,6 +31,12 @@ import org.apache.spark.sql.types._
 final class GraftTable private (val spark: SparkSession, val root: String) {
   private val log = new CommitLog(root)
 
+  // field-id column resolution must be on for this session (see
+  // readData's doc); GraftSession sets it at build time — this covers
+  // tables loaded into sessions built elsewhere. Inert for id-less
+  // schemas, so it cannot change external parquet reads.
+  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   /** Data file format — parquet (default) or orc, fixed at create time
     * (walden's Iceberg catalog pins `iceberg.file-format = ORC`,
     * `tf/main.tf:96`; both are first-class here). */
@@ -45,6 +51,15 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * per column at write time; choose lookup keys, not metrics. */
   lazy val bloomFilterCols: Seq[String] = GraftTable.bloomColsOf(root)
 
+  /** Snapshot-schema read. `fieldId.read.enabled` (a SESSION conf —
+    * Spark's parquet reader takes it from SQLConf, not per-read
+    * options; GraftSession sets it and load()/create() set it
+    * defensively for foreign sessions) makes the reader match columns
+    * by the `parquet.field.id` metadata the write path stamps —
+    * Iceberg's resolution rule, and what makes column RENAME a
+    * metadata-only commit: pre-rename files still resolve the renamed
+    * column by id. Schemas without ids (pre-rename-support tables, or
+    * external parquet) fall back to ordinary name matching. */
   private def readData(paths: Seq[String], sch: StructType): DataFrame =
     spark.read.schema(sch).format(format).load(paths: _*)
 
@@ -160,10 +175,20 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   // ------------------------------------------------------------------
   // write path
   // ------------------------------------------------------------------
-  private def writeFiles(df: DataFrame): Seq[FileStat] = {
+  private def writeFiles(df: DataFrame): Seq[FileStat] = writeFilesWith(df, schema)
+
+  /** All data writes funnel here. The frame is re-projected against the
+    * table schema WITH its field metadata — projections and CASE
+    * rewrites drop column metadata, and without the `parquet.field.id`
+    * entries the writer would emit id-less files that an id-resolving
+    * read (post-rename) could no longer match. */
+  private def writeFilesWith(df: DataFrame, sch: StructType): Seq[FileStat] = {
+    val dfm = df.select(sch.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name, f.metadata)).toIndexedSeq: _*)
     val sub = s"data/${UUID.randomUUID().toString.take(8)}"
     val dir = s"$root/$sub"
-    val base = df.write.format(format)
+    val base = dfm.write.format(format)
+      .option("spark.sql.parquet.fieldId.write.enabled", "true")
     val writer =
       if (bloomFilterCols.isEmpty) base
       else if (format == "parquet")
@@ -171,7 +196,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
           w.option(s"parquet.bloom.filter.enabled#$c", "true"))
       else base.option("orc.bloom.filter.columns", bloomFilterCols.mkString(","))
     writer.save(dir)
-    collectStats(dir, sub, df.schema)
+    collectStats(dir, sub, sch)
   }
 
   /** One distributed pass: per-file min/max/nullCount over every
@@ -615,13 +640,23 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       if (paths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSch)
       else readData(paths.toSeq.map(p => s"$root/$p"), readSch)
-    // align the before side to the AFTER schema: columns added between
-    // the versions read as NULL from old files (by-name resolution),
-    // exactly how a time-travel read at toVersion would see them
-    val before0 = readOrEmpty(beforeFiles -- afterFiles, schemaAt(fromVersion))
+    // align the before side to the AFTER schema: match columns by FIELD
+    // ID when both schemas carry them (so a rename between the versions
+    // does not masquerade as a drop+add — Iceberg resolution), by name
+    // otherwise; columns added between the versions read as NULL from
+    // old files, exactly how a time-travel read at toVersion sees them
+    val fromSch = schemaAt(fromVersion)
+    val bothIds = sch.fields.forall(f => GraftTable.fieldId(f).isDefined) &&
+      fromSch.fields.forall(f => GraftTable.fieldId(f).isDefined)
+    def sourceName(f: StructField): Option[String] =
+      if (bothIds) fromSch.fields.find(g => GraftTable.fieldId(g) == GraftTable.fieldId(f)).map(_.name)
+      else Some(f.name).filter(fromSch.fieldNames.contains)
+    val before0 = readOrEmpty(beforeFiles -- afterFiles, fromSch)
     val before = before0.select(sch.fields.map { f =>
-      if (before0.schema.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      sourceName(f) match {
+        case Some(n) => col(n).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }.toIndexedSeq: _*)
     val after = readOrEmpty(afterFiles -- beforeFiles, sch)
     after.exceptAll(before).withColumn("_change_type", lit("insert"))
@@ -708,25 +743,84 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     commitRetry("compact", writeFiles(df), files.map(_.path), sch.json, basedOn = base)
   }
 
+  /** Every field id ever assigned in this table's history — the
+    * watermark new columns allocate above, so a dropped column's id is
+    * NEVER reused (reuse would resurface the dropped column's bytes
+    * under the new column via id resolution). O(commits) metadata
+    * reads; DDL-rare. */
+  private def maxFieldIdEver: Long =
+    log.versions.iterator
+      .flatMap(v => DataType.fromJson(log.schemaJsonAt(v)).asInstanceOf[StructType]
+        .fields.flatMap(GraftTable.fieldId))
+      .foldLeft(0L)(math.max)
+
+  /** Has `name` named a column at ANY version? File stats are keyed by
+    * NAME, so reintroducing a retired name would let a predicate on the
+    * new column consult stale stats of the old one — `IS NULL` could
+    * then prune a file whose (all-NULL for the new column) rows match.
+    * Schema evolution refuses retired names outright; conservative,
+    * loud, and cheap (O(commits) metadata reads). */
+  private def nameEverUsed(name: String): Boolean =
+    log.versions.exists(v => DataType.fromJson(log.schemaJsonAt(v))
+      .asInstanceOf[StructType].fieldNames.contains(name))
+
   /** Safe schema evolution: append a nullable column (Iceberg
     * `ALTER TABLE ... ADD COLUMN` parity). Metadata-only commit — no
     * data files are touched; files written before the change read the
-    * new column as NULL (by-name column resolution). */
+    * new column as NULL. On id-tracked tables (every table created
+    * since rename support) the new column gets a fresh field id above
+    * the historical watermark. Retired names are refused (stats are
+    * name-keyed; see [[nameEverUsed]]). */
   def addColumn(name: String, dataType: DataType): Long = {
     val sch = schema
     require(!sch.fieldNames.contains(name), s"column $name already exists")
-    val next = StructType(sch.fields :+ StructField(name, dataType, nullable = true))
+    require(!nameEverUsed(name),
+      s"column name '$name' was used earlier in this table's history (dropped or " +
+        "renamed away); file stats are name-keyed, so reusing it could mis-prune — " +
+        "pick a fresh name")
+    val base = StructField(name, dataType, nullable = true)
+    val hasIds = sch.fields.nonEmpty && sch.fields.forall(f => GraftTable.fieldId(f).isDefined)
+    val field =
+      if (!hasIds) base
+      else base.copy(metadata = new MetadataBuilder()
+        .putLong(GraftTable.FieldIdKey, maxFieldIdEver + 1L).build())
+    commitRetry("altschema", Nil, Nil, StructType(sch.fields :+ field).json)
+  }
+
+  /** Rename a column in ONE metadata commit (Iceberg `ALTER TABLE ...
+    * RENAME COLUMN` parity, pinned in walden via `tf/main.tf:94`).
+    * Possible because reads resolve parquet columns by FIELD ID
+    * (`parquet.field.id`, stamped by every write): pre-rename files
+    * still surface the column's data under its new name, and time
+    * travel before the rename shows the old name. Requires an
+    * id-tracked parquet table; the new name must be fresh (stats are
+    * name-keyed — [[nameEverUsed]]). Note: pre-rename files keep their
+    * stats under the OLD name, so stats pruning on the renamed column
+    * resumes as files are rewritten (compact or DML); correctness never
+    * depends on it. */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val sch = schema
+    require(format == "parquet",
+      "column rename needs parquet field-id resolution; ORC tables cannot rename " +
+        "(drop + add states the true semantics there)")
+    require(sch.fieldNames.contains(oldName), s"no column $oldName")
+    require(!sch.fieldNames.contains(newName), s"column $newName already exists")
+    require(sch.fields.forall(f => GraftTable.fieldId(f).isDefined),
+      s"table at $root predates field-id tracking; rewrite it (CTAS) to enable rename")
+    require(!nameEverUsed(newName),
+      s"column name '$newName' was used earlier in this table's history; file stats " +
+        "are name-keyed, so reusing it could mis-prune — pick a fresh name")
+    val next = StructType(sch.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
     commitRetry("altschema", Nil, Nil, next.json)
   }
 
   /** Drop a column (metadata-only commit — Iceberg `ALTER TABLE ...
-    * DROP COLUMN` parity). Data files keep the bytes; reads resolve by
-    * name against the commit's schema, so the column simply stops
-    * being read. Time travel BEFORE the drop still sees it. NOTE:
-    * column RENAME is deliberately absent — by-name resolution would
-    * silently read NULLs from pre-rename files (Iceberg needs field
-    * IDs for that); drop + add under the new name states the true
-    * semantics (a fresh, initially-NULL column). */
+    * DROP COLUMN` parity). Data files keep the bytes; reads resolve
+    * against the commit's schema, so the column simply stops being
+    * read. Time travel BEFORE the drop still sees it. The dropped
+    * name and field id are both retired for good ([[addColumn]] /
+    * [[maxFieldIdEver]]). */
   def dropColumn(name: String): Long = {
     val sch = schema
     require(sch.fieldNames.contains(name), s"no column $name")
@@ -781,6 +875,22 @@ object GraftTable {
     * to clause expressions (target columns keep their plain names). */
   val MergeSourcePrefix = "__graft_src__"
 
+  /** StructField metadata key Spark's parquet reader/writer use for
+    * field-id column resolution (the Iceberg resolution model). */
+  private[store] val FieldIdKey = "parquet.field.id"
+
+  private[store] def fieldId(f: StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey)) else None
+
+  /** Create-time id assignment: sequential 1..n, preserved verbatim by
+    * every later commit (rename keeps the id, add allocates above the
+    * historical watermark). */
+  private[store] def withFieldIds(sch: StructType): StructType =
+    StructType(sch.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong(FieldIdKey, i + 1L).build())
+    })
+
   /** Create a new versioned table at `root` from `df` (CTAS).
     * `format` is parquet (default) or orc, fixed for the table's life.
     * `bloomFilterCols` adds per-file bloom filters on those columns to
@@ -821,9 +931,10 @@ object GraftTable {
           s"requirement failed: table already exists at $root (concurrent or crashed " +
             "create; if no create is in flight, run GraftTable.clearStaleCreate)")
     }
-    val added = t.writeFiles(df)
+    val sch0 = withFieldIds(df.schema)
+    val added = t.writeFilesWith(df, sch0)
     require(t.log.tryCommit(
-      Commit(1L, 0L, "create", added, Nil, df.schema.json, System.currentTimeMillis())),
+      Commit(1L, 0L, "create", added, Nil, sch0.json, System.currentTimeMillis())),
       s"table already exists at $root")
     t.log.setRef("main", 1L)
     t

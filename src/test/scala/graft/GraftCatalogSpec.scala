@@ -185,6 +185,23 @@ class GraftCatalogSpec extends SparkSpec {
     assert(vac.head.getInt(0) >= 0)
   }
 
+  test("ALTER TABLE RENAME COLUMN: metadata-only, old files id-resolve") {
+    sql("CREATE NAMESPACE gcat.db19")
+    sql("CREATE TABLE gcat.db19.t (id BIGINT, name STRING)")
+    sql("INSERT INTO gcat.db19.t VALUES (1, 'a'), (2, 'b')")
+    sql("ALTER TABLE gcat.db19.t RENAME COLUMN name TO label")
+    // pre-rename files answer under the new name
+    assert(sql("SELECT label FROM gcat.db19.t WHERE id = 1").head().getString(0) == "a")
+    // time travel before the rename shows the old name
+    assert(sql("SELECT * FROM gcat.db19.t VERSION AS OF 2").columns.toSeq == Seq("id", "name"))
+    sql("INSERT INTO gcat.db19.t VALUES (3, 'c')")
+    assert(sql("SELECT label FROM gcat.db19.t ORDER BY id").collect().map(_.getString(0)).toSeq
+      == Seq("a", "b", "c"))
+    // retired names are refused (name-keyed stats could mis-prune)
+    val e = intercept[Exception](sql("ALTER TABLE gcat.db19.t ADD COLUMN name STRING"))
+    assert(e.getMessage.contains("name-keyed"), e.getMessage)
+  }
+
   test("SQL UPDATE routes to one copy-on-write commit") {
     sql("CREATE NAMESPACE gcat.db15")
     sql("CREATE TABLE gcat.db15.t (id BIGINT, v STRING, score DOUBLE)")

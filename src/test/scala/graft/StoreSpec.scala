@@ -402,6 +402,49 @@ class StoreSpec extends SparkSpec {
     assert((onDisk -- referenced).isEmpty, s"orphans: ${onDisk -- referenced}")
   }
 
+  test("column rename is metadata-only: field ids resolve pre-rename files") {
+    import org.apache.spark.sql.types.StringType
+    val t = GraftTable.create(spark, freshRoot,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score"))
+    t.append(Seq((3L, "c", 3.0)).toDF("id", "name", "score"))
+    val preRename = t.currentVersion
+    t.renameColumn("name", "label")
+    // the rename touched no data files
+    assert(t.history.last.op == "altschema" && t.history.last.added.isEmpty)
+    // pre-rename files surface their data under the NEW name (id resolution)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "label", "score"))
+    assert(t.read().orderBy("id").select("label").as[String].collect().toSeq
+      == Seq("a", "b", "c"))
+    // writes after the rename mix with pre-rename files transparently
+    t.append(Seq((4L, "d", 4.0)).toDF("id", "label", "score"))
+    assert(t.read().orderBy("id").select("label").as[String].collect().toSeq
+      == Seq("a", "b", "c", "d"))
+    // time travel BEFORE the rename shows the old name over the same data
+    val old = t.read(asOfVersion = Some(preRename))
+    assert(old.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(old.orderBy("id").select("name").as[String].collect().toSeq == Seq("a", "b", "c"))
+    // copy-on-write DML through the renamed column still works
+    t.update(col("label") === "d", Map("score" -> lit(44.0)))
+    assert(t.read().filter(col("label") === "d").select("score").as[Double].head() == 44.0)
+    // guards: retired names never return (stats are name-keyed), and
+    // rename targets must be fresh
+    intercept[IllegalArgumentException](t.addColumn("name", StringType))
+    intercept[IllegalArgumentException](t.renameColumn("score", "name"))
+    intercept[IllegalArgumentException](t.renameColumn("id", "label"))
+  }
+
+  test("CDC across a rename matches columns by field id, not name") {
+    val t = GraftTable.create(spark, freshRoot,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))          // v1
+    t.renameColumn("v", "w")                               // v2
+    t.update(col("id") === 2L, Map("w" -> lit("B")))       // v3
+    // the rename itself must NOT read as a drop+add of every row;
+    // only the genuine update appears in the diff
+    val d = t.changes(1, 3).select("_change_type", "id", "w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(d == Set(("insert", 2L, "B"), ("delete", 2L, "b")), d)
+  }
+
   test("orc format: full lifecycle (walden pins iceberg.file-format=ORC)") {
     val root = freshRoot
     val t = GraftTable.create(spark, root,
