@@ -13,32 +13,16 @@ object FunctionQueries {
   val entries: Seq[QueryEntry] = Seq(
 
     // ------------------------------------------------------------------
-    QueryEntry("f01_string_funcs",
-      (s, d) => {
-        Tables(s, d, "customer").limit(200).select(
-          col("c_custkey"),
-          concat(lit("cust:"), col("c_name")).as("tagged"),
-          upper(col("c_name")).as("up"),
-          lower(col("c_name")).as("lo"),
-          substring(col("c_name"), 2, 5).as("sub"),
-          trim(lit("  pad  ")).as("trimmed"),
-          regexp_replace(col("c_name"), "_", "-").as("dashed"),
-          length(col("c_name")).as("len"),
-          locate("1", col("c_name")).as("pos1"),
-          lpad(col("c_custkey").cast(StringType), 8, "0").as("padded"),
-          reverse(col("c_name")).as("rev"),
-          element_at(split(col("c_name"), "_"), -1).as("last_part"))
-      },
-      // limit(200) on an unsorted scan is only deterministic because the
-      // oracle filters the same key range instead.
-      None),
-
+    // (f01 retired in r5: it was f02 minus the oracle — lower/trim are
+    // folded into f02 so every string function keeps a checked entry.)
     QueryEntry("f02_string_funcs_oracle",
       (s, d) => {
         Tables(s, d, "customer").filter(col("c_custkey") <= 200).select(
           col("c_custkey"),
           concat(lit("cust:"), col("c_name")).as("tagged"),
           upper(col("c_name")).as("up"),
+          lower(col("c_name")).as("lo"),
+          trim(lit("  pad  ")).as("trimmed"),
           substring(col("c_name"), 2, 5).as("sub"),
           regexp_replace(col("c_name"), "_", "-").as("dashed"),
           length(col("c_name")).as("len"),
@@ -50,6 +34,8 @@ object FunctionQueries {
       Some("""SELECT c_custkey,
         'cust:' || c_name AS tagged,
         UPPER(c_name) AS up,
+        LOWER(c_name) AS lo,
+        TRIM('  pad  ') AS trimmed,
         SUBSTRING(c_name, 2, 5) AS sub,
         REGEXP_REPLACE(c_name, '_', '-', 'g') AS dashed,
         LENGTH(c_name) AS len,
@@ -450,17 +436,12 @@ object FunctionQueries {
         FROM u""")),
 
     // ------------------------------------------------------------------
-    QueryEntry("f12_xxhash_uuid_shape",
-      (s, d) => {
-        // xxhash64 / murmur hash: engine-specific values -> assert shape
-        // downstream (rows-only), but the fan-out/codegen path is real.
-        Tables(s, d, "nation").select(
-          col("n_nationkey"),
-          xxhash64(col("n_name")).as("xx64"),
-          hash(col("n_name")).as("murmur"),
-          crc32(col("n_name").cast(BinaryType)).as("crc"))
-      },
-      None),
+    // (f12 retired in r5: xxhash64/murmur/crc32 values are not DuckDB-
+    // expressible, so the entry could only ever be a gray rows-only
+    // check. The kernels are verified in FunctionsSpec instead — crc32
+    // against java.util.zip.CRC32, a genuinely independent oracle, and
+    // xxhash64/murmur for cross-plan determinism; md5/sha256 stay
+    // DuckDB-checked in f09.)
 
     // ------------------------------------------------------------------
     // MERGEABLE sketch columns (Spark 4 Datasketches HLL): per-group

@@ -131,6 +131,32 @@ class FunctionsSpec extends SparkSpec {
     us.foreach(u => assert(v4.findFirstIn(u).isDefined, u))
   }
 
+  test("crc32 matches java.util.zip.CRC32; xxhash64/murmur are plan-stable") {
+    // crc32 is a public standard — java.util.zip.CRC32 is a genuinely
+    // INDEPENDENT implementation, so this is a real oracle even though
+    // DuckDB lacks the function (why the old f12 entry was retired).
+    val names = Tables(spark, sf(), "nation").select("n_name").collect().map(_.getString(0))
+    assert(names.length == 25)
+    val sparkCrc = Tables(spark, sf(), "nation")
+      .selectExpr("n_name", "crc32(CAST(n_name AS BINARY)) AS c")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    names.foreach { n =>
+      val ref = new java.util.zip.CRC32
+      ref.update(n.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(sparkCrc(n) == ref.getValue, s"crc32($n)")
+    }
+    // xxhash64 / murmur values are engine-pinned (seed 42): assert they
+    // are deterministic across plans/partitionings — the property joins
+    // and bucketing rely on — and collision-free over this input
+    def hashes(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Int)] =
+      df.selectExpr("n_name", "xxhash64(n_name) AS x", "hash(n_name) AS m")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val a = hashes(Tables(spark, sf(), "nation"))
+    val b = hashes(Tables(spark, sf(), "nation").repartition(7).sortWithinPartitions("n_name"))
+    assert(a == b, "hash values must not depend on the physical plan")
+    assert(a.values.map(_._1).toSet.size == 25, "xxhash64 collision on 25 inputs")
+  }
+
   test("vector_dot raises on dimension mismatch instead of truncating") {
     // a truncated dot product would silently skew similarity rankings
     val e = intercept[Exception] {
