@@ -271,24 +271,30 @@ object VectorOps {
         JOIN documents db ON db.doc_id = p.id_b""")),
 
     // ------------------------------------------------------------------
-    // IVF-style ANN: coarse quantize to sampled centroids, probe the
-    // query's cluster. Fully deterministic (same fold order as v01/v02,
-    // centroid ties broken on cent_id) -> oracle-checked.
+    // IVF-style ANN: coarse quantize to sampled centroids (top-1 cell
+    // per vector), MULTI-PROBE the query's top-2 cells — the standard
+    // recall lever (a query near a cell boundary finds its cross-cell
+    // neighbors in its second-choice cell; measured at sf0.01 this
+    // lifts recall@3 from 0.40 single-probe to the VectorRecallSpec
+    // floor). Fully deterministic (same fold order as v01/v02, centroid
+    // ties broken on cent_id) -> oracle-checked. Scale: candidates per
+    // query stay ~2/nCells of the corpus; the probe join is unchanged.
     QueryEntry("v05_ann_ivf",
       (s, d) => {
         val e = vecs(s, d)
         val cents = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("cent_id"), col("v").as("vc"), col("n2").as("nc2"))
-        val assigned = e
+        val scored = e
           .select(col("vec_id").as("id_v"), col("v").as("va"), col("n2").as("na2"))
           .crossJoin(broadcast(cents))
           .selectExpr("id_v", "va", "na2", "cent_id",
             "vector_dot(va, vc) / (SQRT(na2) * SQRT(nc2)) AS ccos")
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("id_v")).orderBy(col("ccos").desc, col("cent_id"))))
-          .filter(col("rn") === 1)
+        val assigned = scored.filter(col("rn") === 1)
           .select(col("id_v"), col("va"), col("na2"), col("cent_id"))
-        val probes = assigned.filter(col("id_v") < 5)
+        // queries probe their top-2 cells; candidates live in their top-1
+        val probes = scored.filter(col("id_v") < 5 && col("rn") <= 2)
           .select(col("id_v").as("id_q"), col("va").as("vq"),
             col("na2").as("nq2"), col("cent_id"))
         probes.join(
@@ -305,19 +311,17 @@ object VectorOps {
       Some(s"""WITH $oVecs,
         cents AS (SELECT vec_id AS cent_id, v AS vc, n2 AS nc2 FROM en WHERE vec_id % 50 = 0),
         scored AS (SELECT a.vec_id AS id_v, c.cent_id,
-            LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * c.vc[i]))
-              / (SQRT(a.n2) * SQRT(c.nc2)) AS ccos
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * c.vc[i]))
+                / (SQRT(a.n2) * SQRT(c.nc2)) DESC, c.cent_id) AS crn
           FROM en a, cents c),
-        assigned AS (SELECT id_v, cent_id FROM (
-            SELECT id_v, cent_id,
-              ROW_NUMBER() OVER (PARTITION BY id_v ORDER BY ccos DESC, cent_id) AS crn
-            FROM scored) t WHERE crn = 1),
+        assigned AS (SELECT id_v, cent_id FROM scored WHERE crn = 1),
+        probes AS (SELECT id_v, cent_id FROM scored WHERE crn <= 2 AND id_v < 5),
         pairs AS (SELECT q.id_v AS id_q, cnd.id_v AS id_c,
             LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(eq.v) + 1), i -> eq.v[i] * ec.v[i]))
               / (SQRT(eq.n2) * SQRT(ec.n2)) AS cos
-          FROM assigned q
-          JOIN assigned cnd ON q.cent_id = cnd.cent_id
-            AND q.id_v < 5 AND q.id_v <> cnd.id_v
+          FROM probes q
+          JOIN assigned cnd ON q.cent_id = cnd.cent_id AND q.id_v <> cnd.id_v
           JOIN en eq ON eq.vec_id = q.id_v
           JOIN en ec ON ec.vec_id = cnd.id_v),
         ranked AS (SELECT id_q, id_c, cos,

@@ -1,0 +1,64 @@
+package graft
+
+/** ANN QUALITY envelope (VERDICT r4 #4): the oracle rows prove
+  * Spark == DuckDB on the same algorithm; these tests measure the
+  * algorithm itself against exact search — the recall evidence a real
+  * pipeline records before trusting an ANN index. Run at sf0.01 (the
+  * correctness-gate scale). Both ANN paths are deterministic, so the
+  * measured recall is a fixed property of (algorithm, dataset) and the
+  * bounds below are tight-but-safe floors, not flaky estimates.
+  */
+class VectorRecallSpec extends SparkSpec {
+
+  private val dir = sf("sf0.01")
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("v04 banded-LSH pairs: exact-verified (no false positives), recall floor vs v01") {
+    val exact = q("v01_cosine_pairs").select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = q("v04_ann_lsh").select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is 1.0 BY CONSTRUCTION: every candidate is re-scored
+    // with the exact cosine before the threshold — assert it anyway
+    assert(ann.subsetOf(exact),
+      s"false positives from the LSH path: ${(ann -- exact).take(5)}")
+    assert(exact.nonEmpty, "baseline produced no pairs — test data changed?")
+    val recall = ann.size.toDouble / exact.size
+    info(f"v04 pair recall = $recall%.3f (${ann.size}/${exact.size})")
+    assert(recall >= 0.55,
+      f"v04 recall $recall%.3f below the documented floor 0.55 " +
+        "(16-bit hyperplane signatures, 4 bands x 4 bits)")
+  }
+
+  test("v05 IVF top-k: recall@3 floor vs an independent exact computation") {
+    // exact neighbors computed DRIVER-SIDE from the raw embeddings — an
+    // implementation independent of every Spark expression under test
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exactTop3: Map[Long, Set[Long]] = (0L until 5L).map { idQ =>
+      val vq = vecs(idQ)
+      idQ -> vecs.iterator.filter(_._1 != idQ)
+        .map { case (id, v) => (id, cos(vq, v)) }.toSeq
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+    }.toMap
+    val ivf = q("v05_ann_ivf").select("id_q", "id_c").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val hits = exactTop3.map { case (idQ, ex) =>
+      val got = ivf.getOrElse(idQ, Set.empty)
+      val h = (ex intersect got).size
+      info(s"v05 query $idQ: recall@3 = $h/3")
+      h
+    }.sum
+    val recall = hits.toDouble / (exactTop3.size * 3)
+    info(f"v05 recall@3 = $recall%.3f ($hits/${exactTop3.size * 3})")
+    // 2-probe IVF with ~2% sampled centroids measures 0.60 here (0.40
+    // single-probe — the probe count is the recall lever); neighbors
+    // past the second-choice cell are missed by design
+    assert(recall >= 0.50, f"v05 recall@3 $recall%.3f below the documented floor 0.50")
+  }
+}
