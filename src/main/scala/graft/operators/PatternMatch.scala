@@ -355,19 +355,24 @@ object PatternMatch {
             val dt = ms.agg match {
               case "count"          => LongType
               case "first" | "last" => fieldType(ms.field)
-              // min/max/sum: floating fields aggregate in Double,
-              // integral fields in LONG arithmetic end to end — a Double
-              // round-trip would corrupt |v| > 2^53 (snowflake-style
-              // BIGINT ids). DECIMAL (and anything else) is rejected up
-              // front rather than silently truncated; callers cast
-              // explicitly when a lossy measure is acceptable.
+              // min/max/sum carry the field's NATIVE numeric family end
+              // to end: floating fields aggregate in Double, integral
+              // fields in LONG arithmetic (a Double round-trip corrupts
+              // |v| > 2^53 snowflake-style BIGINT ids), and DECIMAL
+              // fields in exact BigDecimal — min/max keep the exact
+              // type, sum widens precision by 10 capped at 38, the same
+              // rule Spark's own Sum aggregate applies, so a DECIMAL
+              // window emulation produces the identical output type.
               case "min" | "max" | "sum" => fieldType(ms.field) match {
                 case DoubleType | FloatType => DoubleType
                 case ByteType | ShortType | IntegerType | LongType => LongType
+                case dt: DecimalType =>
+                  if (ms.agg == "sum") DecimalType(math.min(38, dt.precision + 10), dt.scale)
+                  else dt
                 case other => sys.error(
                   s"measure ${ms.name}: ${ms.agg} over unsupported field type $other — " +
-                    "supported: TINYINT/SMALLINT/INT/BIGINT/FLOAT/DOUBLE " +
-                    "(cast DECIMAL/DATE/STRING fields explicitly first)")
+                    "supported: TINYINT/SMALLINT/INT/BIGINT/FLOAT/DOUBLE/DECIMAL " +
+                    "(cast DATE/STRING fields explicitly first)")
               }
               case _     => sys.error(s"unknown measure agg: ${ms.agg}")
             }
@@ -433,6 +438,22 @@ object PatternMatch {
                       val nums = raw.map(_.asInstanceOf[java.lang.Number].doubleValue())
                       (if (msr.agg == "sum") nums.sum
                        else if (msr.agg == "min") nums.min else nums.max): Any
+                    case dt: DecimalType =>
+                      // exact BigDecimal arithmetic in the field's scale
+                      // (addition is associative+commutative — order-
+                      // independent by construction); a sum past the
+                      // widened output precision fails loudly, like the
+                      // BIGINT overflow branch below
+                      val nums = raw.map(_.asInstanceOf[java.math.BigDecimal])
+                      (if (msr.agg == "sum") {
+                        val s = nums.reduce(_ add _)
+                        val outP = math.min(38, dt.precision + 10)
+                        if (s.precision - s.scale > outP - dt.scale)
+                          sys.error(s"sum measure ${msr.name} overflows DECIMAL($outP,${dt.scale}): $s")
+                        s.setScale(dt.scale)
+                      }
+                       else if (msr.agg == "min") nums.min(Ordering.ordered[java.math.BigDecimal])
+                       else nums.max(Ordering.ordered[java.math.BigDecimal])): Any
                     case _ =>
                       val nums = raw.map {
                         case n: java.lang.Number => n.longValue()

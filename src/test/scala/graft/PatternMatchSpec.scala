@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.operators.PatternMatch
 import graft.operators.PatternMatch.{Measure, findMatches, parse}
 
@@ -102,6 +103,55 @@ class PatternMatchSpec extends SparkSpec {
     val rows = out.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
       r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
     assert(rows === Seq((1, 1L, 2L, 2L, 6.0, 11.0, 8.0 + 6.0 + 9.0 + 11.0)))
+  }
+
+  test("DECIMAL measures aggregate exactly in the native type (r4 advice)") {
+    import spark.implicits._
+    // DECIMAL(38,2) prices a real user has; values chosen so a double
+    // round-trip would be tempted to drift (.10 + .20 + .30 != 0.6 in
+    // binary floating point) and so the sum crosses an integer-digit
+    // boundary. Two runs per key: run of rising then one falling row.
+    val df = Seq(
+      (1, 1, "99999999999999999999999999999999.10"),
+      (1, 2, "0.20"), (1, 3, "0.30"), (1, 4, "-5.00"),
+      (2, 1, "1.10"), (2, 2, "2.20"), (2, 3, "-0.01"))
+      .toDF("k", "seq", "p")
+      .withColumn("price", col("p").cast(DecimalType(38, 2)))
+    val out = PatternMatch.matchPattern(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq("A" -> (col("price") > 0), "B" -> (col("price") < 0)),
+      pattern = "A+ B",
+      measures = Seq(
+        Measure("total", "sum", "A", "price"),
+        Measure("lo", "min", "A", "price"),
+        Measure("hi", "max", "A", "price"),
+        Measure("dip", "first", "B", "price")))
+    // output types: min/max/first keep DECIMAL(38,2); sum widens by the
+    // same +10-capped-38 rule Spark's Sum uses -> DECIMAL(38,2) here
+    assert(out.schema("total").dataType == DecimalType(38, 2))
+    assert(out.schema("lo").dataType == DecimalType(38, 2))
+    // window-emulation oracle: the same measures computed by Spark's
+    // own DECIMAL Sum/Min/Max aggregates (an entirely different code
+    // path — Catalyst Decimal arithmetic vs the matcher's BigDecimal)
+    val expect = df.filter(col("price") > 0).groupBy("k")
+      .agg(sum("price").as("total"), min("price").as("lo"), max("price").as("hi"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getDecimal(1), r.getDecimal(2), r.getDecimal(3))).toMap
+    val got = out.collect().map(r => r.getInt(0) ->
+      (r.getDecimal(2), r.getDecimal(3), r.getDecimal(4), r.getDecimal(5))).toMap
+    assert(got.keySet == Set(1, 2))
+    for (k <- Seq(1, 2)) {
+      val (et, el, eh) = expect(k)
+      val (t, l, h, dip) = got(k)
+      assert(t.compareTo(et) == 0, s"k=$k sum: $t != $et")
+      assert(l.compareTo(el) == 0, s"k=$k min: $l != $el")
+      assert(h.compareTo(eh) == 0, s"k=$k max: $h != $eh")
+      assert(dip.signum() < 0, s"k=$k first(B): $dip")
+    }
+    // exactness witness: the fractional sum is exactly .60, not a float
+    // neighborhood of it
+    assert(got(1)._1.remainder(java.math.BigDecimal.ONE).abs()
+      .compareTo(new java.math.BigDecimal("0.60")) == 0, got(1)._1)
   }
 
   test("ALL ROWS PER MATCH emits matched rows with classifiers, omits the rest") {
