@@ -422,6 +422,74 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def overwrite(df: DataFrame): Long =
     commitRetry("overwrite", writeFiles(aligned(df)), Nil, schema.json)
 
+  /** Labeled, exactly-once MULTISET replace: remove one target-row
+    * instance per `deletes` row (null-safe equality on every column),
+    * add `inserts`, in ONE atomic commit — the primitive a CDC-driven
+    * incremental refresh needs (its delete set is row VALUES from a
+    * snapshot diff, not a predicate).
+    *
+    * Copy-on-write: one semi join finds the files containing >=1 row
+    * equal to a delete row; ONLY those files rewrite, via ONE
+    * `exceptAll` over the victim set as a whole (per-file exceptAll
+    * would remove a duplicated row once per file). Costs are bounded by
+    * victim bytes + delete-set bytes, never the table.
+    *
+    * Exactly-once like [[appendAsOnce]]: the `conflictsWith` label scan
+    * re-runs inside the commit loop (atomic with tryCommit); racing the
+    * same label, one replace lands and the loser cleans up its files
+    * and adopts. Victim files rewritten by a concurrent commit fail
+    * validation loudly (same Iceberg semantics as commitRetry). */
+  private[graft] def replaceRowsAs(op: String, deletes: DataFrame, inserts: DataFrame,
+                                   conflictsWith: String => Boolean): (Long, Boolean) = {
+    def existing: Option[Long] =
+      log.versions.reverseIterator.find(v => conflictsWith(log.read(v).op))
+    existing match {
+      case Some(v) => return (v, false)
+      case None => ()
+    }
+    val base = currentVersion
+    val sch = schema
+    val del = aligned(deletes)
+    val tgt = read(asOfVersion = Some(base))
+    val delP = del.select(sch.fieldNames.map(n => col(n).as(s"__del_$n")).toIndexedSeq: _*)
+    val joinCond = sch.fieldNames.map(n => col(n) <=> col(s"__del_$n")).reduce(_ && _)
+    val hitAbs = tgt.withColumn("__f", input_file_name())
+      .join(delP, joinCond, "left_semi")
+      .select("__f").distinct().collect().map(_.getString(0))
+    val byName = log.snapshotFiles(base).map(f => f.path.split('/').last -> f.path).toMap
+    val victims = hitAbs.toSeq.flatMap(a => byName.get(a.substring(a.lastIndexOf('/') + 1)))
+    val kept =
+      if (victims.isEmpty) aligned(inserts)
+      else readData(victims.map(p => s"$root/$p"), sch).exceptAll(del)
+        .unionByName(aligned(inserts))
+    val added = writeFiles(kept)
+    var attempts = 0
+    while (attempts < 20) {
+      val parent = log.latestVersion
+      existing match {
+        case Some(v) =>
+          added.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
+          return (v, false)
+        case None => ()
+      }
+      if (victims.nonEmpty && parent != base) {
+        val live = log.snapshotFiles(parent).map(_.path).toSet
+        val gone = victims.filterNot(live)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"$op@$root conflicts with a concurrent commit: file(s) " +
+              s"${gone.mkString(",")} were rewritten after version $base")
+      }
+      val c = Commit(parent + 1, parent, op, added, victims, sch.json, System.currentTimeMillis())
+      if (log.tryCommit(c)) {
+        log.setRef("main", parent + 1)
+        return (parent + 1, true)
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(s"commit conflict not resolved after $attempts attempts: $root")
+  }
+
   // ------------------------------------------------------------------
   // row-level DML (copy-on-write)
   // ------------------------------------------------------------------

@@ -8,15 +8,17 @@ import org.apache.spark.sql.DataFrame
   * curation pipeline hand-rolls (score/filter/tokenize the new crawl
   * batch, never the whole corpus).
   *
-  * Contract: `transform` must be ROW-LOCAL (filter / project /
-  * generate — each output row derives from exactly one input row) and
-  * the source must have advanced by APPENDS only. Both halves are
-  * enforced: appends-only is validated from commit-log METADATA (op
-  * names between the synced and current versions — no data pass), and
-  * a row-local transform is the caller's declaration (aggregates would
-  * need merge logic, i.e. a different operator). A source that saw
-  * DML/compaction throws; `fullRefresh` rebuilds and re-arms the
-  * incremental loop.
+  * Contract: `transform` must be ROW-LOCAL and DETERMINISTIC (filter /
+  * project / generate — each output row derives from exactly one input
+  * row, the same way every time; aggregates would need merge logic,
+  * i.e. a different operator). Sources that advanced by APPENDS take
+  * the fast path (read only the new files); sources that saw row-level
+  * DML / compaction / schema evolution are maintained through the CDC
+  * snapshot diff ([[refreshViaDiff]] — cost bounded by CHANGED bytes).
+  * The dispatch reads commit-log METADATA only (op names between the
+  * synced and current versions — no data pass). `fullRefresh` rebuilds
+  * from scratch and re-arms the loop (the escape hatch for
+  * nondeterministic transforms).
   *
   * Scale: a refresh reads exactly the files the new commits added
   * (paths from the log), transforms, and appends — cost is O(new
@@ -62,21 +64,20 @@ object IncrementalView {
       case None => ()
     }
 
-    // appends-only validation from commit METADATA (create counts as the
-    // initial append when starting from zero). Read ONLY the in-range
-    // commits — a long-lived table's full history is O(commits) files.
+    // append-or-diff dispatch from commit METADATA (create counts as
+    // the initial append when starting from zero). Read ONLY the
+    // in-range commits — a long-lived table's full history is
+    // O(commits) files. Append-SHAPED ops add files and remove none
+    // ("publish" is WAP's atomic append; streaming sink labels are
+    // appendAs); anything else (DML, compaction, schema evolution)
+    // takes the CDC-diff path below instead of throwing.
     val srcLog = GraftTable.logOf(src)
     val ops = srcLog.versions.filter(v => v > last && v <= head)
       .map(v => srcLog.read(v).op)
-    // append-SHAPED ops: add files, remove none ("publish" is WAP's
-    // atomic append; streaming sink labels are appendAs)
     val nonAppend = ops.filterNot(o =>
       o == "append" || o == "publish" || o.startsWith("stream-append:") ||
         o.startsWith("incr-refresh:") || (last == 0L && o == "create"))
-    if (nonAppend.nonEmpty)
-      throw new IllegalStateException(
-        s"source advanced by non-append ops since version $last: " +
-          s"${nonAppend.mkString(",")} — run fullRefresh to rebuild")
+    if (nonAppend.nonEmpty) return refreshViaDiff(src, target, transform, last, head)
 
     // exactly the files the new commits added (metadata paths)
     val newPaths =
@@ -106,6 +107,39 @@ object IncrementalView {
     }
     advanceWatermark(target, tLog, head)
     Refresh(last, head, appended = newPaths.nonEmpty)
+  }
+
+  /** DIFF path: the source advanced by row-level DML (or compaction /
+    * schema evolution) — maintain the target from the CDC snapshot diff
+    * ([[GraftTable.changes]]: file algebra, cost bounded by CHANGED
+    * bytes) instead of rebuilding. For a DETERMINISTIC row-local
+    * `transform`, `target = transform(src)` is maintained exactly by
+    *   delete transform(diff deletes), insert transform(diff inserts)
+    * as one atomic multiset replace ([[GraftTable.replaceRowsAs]]):
+    * every target row derived from a deleted source row re-derives from
+    * the diff's delete side and is removed value-for-value (updates
+    * contribute one delete + one insert; compaction diffs to nothing).
+    * Determinism is the contract that makes re-derivation match —
+    * a transform reading clocks or rand() needs fullRefresh.
+    * Idempotence/concurrency: same label + atomic dedup as the append
+    * path, so crash replay and racers skip or adopt identically. */
+  private def refreshViaDiff(src: GraftTable, target: GraftTable,
+                             transform: DataFrame => DataFrame,
+                             last: Long, head: Long): Refresh = {
+    import org.apache.spark.sql.functions.col
+    val diff = src.changes(last, head)
+    val ins = transform(diff.filter(col("_change_type") === "insert").drop("_change_type"))
+    val del = transform(diff.filter(col("_change_type") === "delete").drop("_change_type"))
+    val (v, applied) = target.replaceRowsAs(label(last, head), del, ins,
+      op => op.startsWith(s"incr-refresh:$last-"))
+    if (!applied) {
+      val to = target.commitInfo(v).op.stripPrefix(s"incr-refresh:$last-").toLong
+      advanceWatermark(target, GraftTable.logOf(target), to)
+      return if (to >= head) Refresh(last, to, appended = false)
+             else refresh(src, target, transform)
+    }
+    advanceWatermark(target, GraftTable.logOf(target), head)
+    Refresh(last, head, appended = true)
   }
 
   /** Advance the synced watermark MONOTONICALLY: a slow racer must not

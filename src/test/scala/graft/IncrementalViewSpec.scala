@@ -47,20 +47,61 @@ class IncrementalViewSpec extends SparkSpec {
     assert(target.read().orderBy("id").collect().toSeq == want)
   }
 
-  test("non-append source ops are refused; fullRefresh recovers") {
+  test("source DELETE maintains the target through the CDC diff path") {
     val src = GraftTable.create(spark, fresh("iv_src2"),
-      Seq((1L, "a"), (2L, "bb")).toDF("id", "v"))
+      Seq((1L, "a"), (2L, "bb"), (4L, "cccc")).toDF("id", "v"))
     val target = GraftTable.create(spark, fresh("iv_tgt2"), xf(src.read().limit(0)))
     IncrementalView.refresh(src, target, xf)
+    assert(target.read().select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
 
+    // row-level DML on the source: the refresh must apply the diff, not
+    // throw and not rebuild — exactly one replace commit, O(changed)
     src.delete(col("id") === 2L)
-    val e = intercept[IllegalStateException](IncrementalView.refresh(src, target, xf))
-    assert(e.getMessage.contains("non-append"), e.getMessage)
+    val r = IncrementalView.refresh(src, target, xf)
+    assert(r.appended)
+    assert(target.read().select("id").as[Long].collect().toSeq == Seq(4L))
+    assert(target.history.count(_.op.startsWith("incr-refresh:")) == 2,
+      target.history.map(_.op))
+    // equals the from-scratch recompute
+    assert(target.read().orderBy("id").collect().toSeq
+      == xf(src.read()).orderBy("id").collect().toSeq)
 
+    // the loop stays armed: appends keep flowing after the diff refresh
+    src.append(Seq((8L, "x")).toDF("id", "v"))
+    IncrementalView.refresh(src, target, xf)
+    assert(target.read().select("id").as[Long].collect().sorted.toSeq == Seq(4L, 8L))
+  }
+
+  test("source UPDATE + compaction flow through the diff path; replay skips") {
+    val src = GraftTable.create(spark, fresh("iv_src7"),
+      Seq((2L, "a"), (4L, "bb"), (6L, "ccc")).toDF("id", "v"))
+    val target = GraftTable.create(spark, fresh("iv_tgt7"), xf(src.read().limit(0)))
+    IncrementalView.refresh(src, target, xf)
+    // update = delete+insert in the diff; compaction diffs to nothing
+    src.update(col("id") === 4L, Map("v" -> lit("BBBB")))
+    src.compact(numFiles = Some(1))
+    val r = IncrementalView.refresh(src, target, xf)
+    assert(r.appended)
+    val want = xf(src.read()).orderBy("id").collect().toSeq
+    assert(target.read().orderBy("id").collect().toSeq == want)
+    assert(target.read().filter(col("id") === 4L).select("n").as[Int].head() == 4)
+    // crash replay of the diff refresh: rewind the watermark — the
+    // labeled replace is found and skipped, rows unchanged
+    target.tag("__synced_src", Some(1L))
+    val r2 = IncrementalView.refresh(src, target, xf)
+    assert(!r2.appended)
+    assert(target.read().orderBy("id").collect().toSeq == want)
+  }
+
+  test("fullRefresh remains the escape hatch and re-arms the loop") {
+    val src = GraftTable.create(spark, fresh("iv_src8"),
+      Seq((1L, "a"), (2L, "bb")).toDF("id", "v"))
+    val target = GraftTable.create(spark, fresh("iv_tgt8"), xf(src.read().limit(0)))
+    IncrementalView.refresh(src, target, xf)
+    src.delete(col("id") === 2L)
     val r = IncrementalView.fullRefresh(src, target, xf)
     assert(r.appended)
-    assert(target.read().count() == 0) // id=2 was the only even row, now deleted
-    // incremental loop re-armed: appends flow again
+    assert(target.read().count() == 0)
     src.append(Seq((8L, "x")).toDF("id", "v"))
     IncrementalView.refresh(src, target, xf)
     assert(target.read().select("id").as[Long].collect().toSeq == Seq(8L))
