@@ -44,10 +44,13 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       // Column RENAME support: the store stamps parquet.field.id into
-      // every file; this makes reads resolve columns by that id (the
-      // Iceberg rule) so pre-rename files surface renamed columns.
-      // Inert for schemas without ids (external parquet reads unchanged).
+      // every file; read-side id resolution (the Iceberg rule) lets
+      // pre-rename files surface renamed columns. Inert for schemas
+      // without ids (external parquet reads unchanged). Write side is
+      // Spark's default, re-pinned so no deployment can silently write
+      // id-less files a post-rename read would resolve to NULL.
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
       // Runtime bloom-filter semi-join pruning (explicit, though on by
       // default): a selective dimension filter builds a bloom of its
       // join keys at runtime and drops non-matching fact rows BEFORE

@@ -31,11 +31,16 @@ import org.apache.spark.sql.types._
 final class GraftTable private (val spark: SparkSession, val root: String) {
   private val log = new CommitLog(root)
 
-  // field-id column resolution must be on for this session (see
-  // readData's doc); GraftSession sets it at build time — this covers
-  // tables loaded into sessions built elsewhere. Inert for id-less
-  // schemas, so it cannot change external parquet reads.
+  // Field-id column resolution must be on for this session (see
+  // readData's doc); GraftSession sets both at build time — this covers
+  // tables loaded into sessions built elsewhere. Read side is inert for
+  // id-less schemas (external parquet reads unchanged); write side is
+  // Spark's default, re-pinned because a session that disabled it would
+  // write id-less files that a post-rename read resolves to NULL. Both
+  // are SESSION confs: ParquetFileFormat re-derives the hadoop-conf
+  // keys from SQLConf, so per-read/per-write .option()s are inert.
   spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+  spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
 
   /** Data file format — parquet (default) or orc, fixed at create time
     * (walden's Iceberg catalog pins `iceberg.file-format = ORC`,
@@ -188,7 +193,6 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val sub = s"data/${UUID.randomUUID().toString.take(8)}"
     val dir = s"$root/$sub"
     val base = dfm.write.format(format)
-      .option("spark.sql.parquet.fieldId.write.enabled", "true")
     val writer =
       if (bloomFilterCols.isEmpty) base
       else if (format == "parquet")
@@ -249,7 +253,17 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     }.toSeq
   }
 
-  /** Publish a commit, retrying on version races.
+  /** Newest commit whose op satisfies `domain` — reverse scan from the
+    * head, one O(1) log read per commit, short-circuiting at the first
+    * hit. Callers pick a `domain` whose newest member is frequent
+    * (e.g. "any incr-refresh label") so the scan is O(commits since
+    * that op), not O(history). */
+  private def newestCommitIn(domain: String => Boolean): Option[Commit] =
+    log.versions.reverseIterator.map(log.read).find(c => domain(c.op))
+
+  /** THE commit loop (single implementation — append, DML, dedup'd
+    * variants all land here). Retries on version races. Returns
+    * (version, applied).
     *
     * `basedOn`: the snapshot version the operation computed `removed`
     * against. If another writer landed in between, file-level conflict
@@ -259,12 +273,31 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * would resurrect its deleted rows AND duplicate its surviving rows.
     * Such conflicts throw; the caller re-runs the DML on the fresh
     * snapshot. Pure appends (`removed` empty) never conflict.
-    */
-  private def commitRetry(op: String, added: Seq[FileStat], removed: Seq[String],
-                          schemaJson: String, basedOn: Long = -1L): Long = {
+    *
+    * `dedup`: optional (domain, conflicts) pair for exactly-once
+    * labeled commits. Before each attempt the newest `domain` commit is
+    * re-checked against `conflicts`; on a hit the just-written files
+    * are deleted and (thatVersion, applied = false) returns. The check
+    * is ATOMIC with the commit: tryCommit succeeds only if `parent` is
+    * still the head, so the re-scan covers every commit that could
+    * conflict. Contract on the caller: `conflicts` must be monotone
+    * within `domain` — if ANY domain commit conflicts, the NEWEST one
+    * must (IncrementalView's contiguous watermark ranges satisfy this:
+    * any overlap implies the newest range overlaps). */
+  private def commitOnce(op: String, added: Seq[FileStat], removed: Seq[String],
+                         schemaJson: String, basedOn: Long,
+                         dedup: Option[(String => Boolean, String => Boolean)]): (Long, Boolean) = {
     var attempts = 0
     while (attempts < 20) {
       val parent = log.latestVersion
+      dedup.flatMap { case (domain, conflicts) =>
+        newestCommitIn(domain).filter(c => conflicts(c.op))
+      } match {
+        case Some(c) =>
+          added.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
+          return (c.version, false)
+        case None => ()
+      }
       if (removed.nonEmpty && basedOn >= 0 && parent != basedOn) {
         val live = log.snapshotFiles(parent).map(_.path).toSet
         val gone = removed.filterNot(live)
@@ -278,11 +311,22 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       val c = Commit(next, parent, op, added, removed, schemaJson, System.currentTimeMillis())
       if (log.tryCommit(c)) {
         log.setRef("main", next)
-        return next
+        return (next, true)
       }
       attempts += 1
     }
     throw new IllegalStateException(s"commit conflict not resolved after $attempts attempts: $root")
+  }
+
+  private def commitRetry(op: String, added: Seq[FileStat], removed: Seq[String],
+                          schemaJson: String, basedOn: Long = -1L): Long =
+    commitOnce(op, added, removed, schemaJson, basedOn, None)._1
+
+  /** Map absolute scanned file names back to commit-log-relative paths
+    * (file names are UUID-part-named — unique per table). */
+  private def victimPaths(hitAbs: Seq[String], live: Seq[FileStat]): Seq[String] = {
+    val byName = live.map(f => f.path.split('/').last -> f.path).toMap
+    hitAbs.flatMap(a => byName.get(a.substring(a.lastIndexOf('/') + 1)))
   }
 
   /** Align an incoming frame to the table schema: columns resolve by
@@ -333,16 +377,19 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     *
     * Staged files are unreferenced until this commit, so a vacuum whose
     * grace window is shorter than the audit can have deleted them —
-    * committing their paths anyway would corrupt the table head. The
-    * pre-commit existence check fails the common case LOUDLY, but it is
-    * a TOCTOU: a vacuum can still delete a staged file BETWEEN the
-    * check and the commit. So existence is RE-verified after the
-    * commit — once committed the files are referenced and vacuum keeps
-    * them, so any deletion must have happened in the pre-commit window;
-    * a post-commit miss triggers an immediate rollback commit removing
-    * the whole publish (all-or-nothing: a partial publish would violate
-    * the WAP contract) and throws. Size a vacuum grace above the
-    * longest audit (same contract as in-flight creates). */
+    * committing their paths anyway would corrupt the table head. Three
+    * layers defend this, narrowing (not eliminating — there is no lock)
+    * the race: the pre-commit existence check fails the common case
+    * LOUDLY; the post-commit re-verify catches a vacuum that deleted
+    * between check and commit and rolls the whole publish back
+    * (all-or-nothing: a partial publish would violate the WAP
+    * contract); and vacuum itself re-validates its candidates against
+    * the CURRENT log right before deleting, so a publish that committed
+    * during its walk is spared. The irreducible residue — a vacuum
+    * whose final re-read predates this commit and whose delete lands
+    * after the re-verify — is exactly what the grace window exists for:
+    * size it above the longest audit (same contract as in-flight
+    * creates). */
   def publishStaged(staged: Seq[StagedAppend]): Long = {
     require(staged.nonEmpty, "nothing staged")
     val paths = staged.flatMap(_.files.map(_.path))
@@ -375,48 +422,21 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   private[graft] def appendAs(op: String, df: DataFrame): Long =
     commitRetry(op, writeFiles(aligned(df)), Nil, schema.json)
 
-  /** Exactly-once labeled append: commit `df` under `op` UNLESS a
-    * commit whose op satisfies `conflictsWith` already exists — then
-    * skip, delete the just-written files, and return that commit's
-    * version with `appended = false`.
-    *
-    * The dedup is ATOMIC, not best-effort: `tryCommit` succeeds only if
-    * `parent` is still the log head, so re-checking every op <= parent
-    * inside the retry loop is exhaustive — two racers that both passed
-    * a caller-side pre-check cannot both land (the loser's tryCommit
-    * fails, it re-scans, finds the winner's label, and skips). This
-    * closes the check-then-append TOCTOU that a caller-side history
-    * scan alone leaves open. The scan walks ops newest-first (one O(1)
-    * log read each) and short-circuits on the first hit; callers whose
-    * labels are recent (refresh watermarks, streaming batch ids) pay
-    * O(commits since that label), and the scan is driver-side metadata
-    * either way — never a data pass. */
+  /** Exactly-once labeled append: commit `df` under `op` UNLESS the
+    * newest commit in `domain` satisfies `conflicts` — then skip,
+    * delete the just-written files, and return that commit's version
+    * with `applied = false`. Dedup is atomic with the commit and the
+    * scan is bounded (see [[commitOnce]], including the monotonicity
+    * contract on `conflicts`). */
   private[graft] def appendAsOnce(op: String, df: DataFrame,
-                                  conflictsWith: String => Boolean): (Long, Boolean) = {
-    def existing: Option[Long] =
-      log.versions.reverseIterator.find(v => conflictsWith(log.read(v).op))
-    existing match { // fast path: skip before writing any data
-      case Some(v) => return (v, false)
+                                  domain: String => Boolean,
+                                  conflicts: String => Boolean): (Long, Boolean) = {
+    newestCommitIn(domain).filter(c => conflicts(c.op)) match {
+      case Some(c) => return (c.version, false) // fast path: skip before writing
       case None => ()
     }
-    val added = writeFiles(aligned(df))
-    var attempts = 0
-    while (attempts < 20) {
-      val parent = log.latestVersion
-      existing match {
-        case Some(v) =>
-          added.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
-          return (v, false)
-        case None => ()
-      }
-      val c = Commit(parent + 1, parent, op, added, Nil, schema.json, System.currentTimeMillis())
-      if (log.tryCommit(c)) {
-        log.setRef("main", parent + 1)
-        return (parent + 1, true)
-      }
-      attempts += 1
-    }
-    throw new IllegalStateException(s"commit conflict not resolved after $attempts attempts: $root")
+    commitOnce(op, writeFiles(aligned(df)), Nil, schema.json, -1L,
+      Some((domain, conflicts)))
   }
 
   def overwrite(df: DataFrame): Long =
@@ -434,17 +454,14 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * would remove a duplicated row once per file). Costs are bounded by
     * victim bytes + delete-set bytes, never the table.
     *
-    * Exactly-once like [[appendAsOnce]]: the `conflictsWith` label scan
-    * re-runs inside the commit loop (atomic with tryCommit); racing the
-    * same label, one replace lands and the loser cleans up its files
-    * and adopts. Victim files rewritten by a concurrent commit fail
-    * validation loudly (same Iceberg semantics as commitRetry). */
+    * Exactly-once like [[appendAsOnce]] (same [[commitOnce]] dedup,
+    * same monotonicity contract); victim files rewritten by a
+    * concurrent commit fail validation loudly. */
   private[graft] def replaceRowsAs(op: String, deletes: DataFrame, inserts: DataFrame,
-                                   conflictsWith: String => Boolean): (Long, Boolean) = {
-    def existing: Option[Long] =
-      log.versions.reverseIterator.find(v => conflictsWith(log.read(v).op))
-    existing match {
-      case Some(v) => return (v, false)
+                                   domain: String => Boolean,
+                                   conflicts: String => Boolean): (Long, Boolean) = {
+    newestCommitIn(domain).filter(c => conflicts(c.op)) match {
+      case Some(c) => return (c.version, false)
       case None => ()
     }
     val base = currentVersion
@@ -456,38 +473,12 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val hitAbs = tgt.withColumn("__f", input_file_name())
       .join(delP, joinCond, "left_semi")
       .select("__f").distinct().collect().map(_.getString(0))
-    val byName = log.snapshotFiles(base).map(f => f.path.split('/').last -> f.path).toMap
-    val victims = hitAbs.toSeq.flatMap(a => byName.get(a.substring(a.lastIndexOf('/') + 1)))
+    val victims = victimPaths(hitAbs.toSeq, log.snapshotFiles(base))
     val kept =
       if (victims.isEmpty) aligned(inserts)
       else readData(victims.map(p => s"$root/$p"), sch).exceptAll(del)
         .unionByName(aligned(inserts))
-    val added = writeFiles(kept)
-    var attempts = 0
-    while (attempts < 20) {
-      val parent = log.latestVersion
-      existing match {
-        case Some(v) =>
-          added.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
-          return (v, false)
-        case None => ()
-      }
-      if (victims.nonEmpty && parent != base) {
-        val live = log.snapshotFiles(parent).map(_.path).toSet
-        val gone = victims.filterNot(live)
-        if (gone.nonEmpty)
-          throw new java.util.ConcurrentModificationException(
-            s"$op@$root conflicts with a concurrent commit: file(s) " +
-              s"${gone.mkString(",")} were rewritten after version $base")
-      }
-      val c = Commit(parent + 1, parent, op, added, victims, sch.json, System.currentTimeMillis())
-      if (log.tryCommit(c)) {
-        log.setRef("main", parent + 1)
-        return (parent + 1, true)
-      }
-      attempts += 1
-    }
-    throw new IllegalStateException(s"commit conflict not resolved after $attempts attempts: $root")
+    commitOnce(op, writeFiles(kept), victims, sch.json, base, Some((domain, conflicts)))
   }
 
   // ------------------------------------------------------------------
@@ -504,8 +495,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val hit = readData(candidates.map(f => s"$root/${f.path}"), sch)
       .filter(cond)
       .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
-    val byName = candidates.map(f => f.path.split('/').last -> f.path).toMap
-    (base, hit.toSeq.flatMap(abs => byName.get(abs.substring(abs.lastIndexOf('/') + 1))))
+    (base, victimPaths(hit.toSeq, candidates))
   }
 
   def delete(cond: Column): Long = {
@@ -555,9 +545,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val hitAbs = tgt.withColumn("__f", input_file_name())
       .join(srcK.select(keyIn: _*).distinct(), keyCols, "left_semi")
       .select("__f").distinct().collect().map(_.getString(0))
-    val live = log.snapshotFiles(base)
-    val byName = live.map(f => f.path.split('/').last -> f.path).toMap
-    val victims = hitAbs.toSeq.flatMap(a => byName.get(a.substring(a.lastIndexOf('/') + 1)))
+    val victims = victimPaths(hitAbs.toSeq, log.snapshotFiles(base))
 
     val updatedVictims =
       if (victims.isEmpty) None
@@ -614,7 +602,16 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val tgt = read(asOfVersion = Some(base))
     require(source.columns.toSet.size == source.columns.length,
       s"merge source has duplicate column names: ${source.columns.mkString(",")}")
-    val marker = MergeSourcePrefix + "present__"
+    // internal marker / row-id names must collide with NEITHER the
+    // prefixed source columns NOR the target schema (withColumn would
+    // silently replace a same-named real column — e.g. a source column
+    // literally named "present__")
+    val taken = source.columns.map(MergeSourcePrefix + _).toSet ++ sch.fieldNames
+    def freshName(base: String): String =
+      Iterator.from(0)
+        .map(i => if (i == 0) MergeSourcePrefix + base else s"$MergeSourcePrefix$base$i")
+        .find(n => !taken(n)).get
+    val marker = freshName("present__")
     val srcP = source
       .select(source.columns.map(c => col(c).as(MergeSourcePrefix + c)).toIndexedSeq: _*)
       .withColumn(marker, lit(true))
@@ -634,12 +631,11 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         val hitAbs = tgt.withColumn("__f", input_file_name())
           .join(srcP, condition, "left_semi")
           .select("__f").distinct().collect().map(_.getString(0))
-        val byName = live.map(f => f.path.split('/').last -> f.path).toMap
-        hitAbs.toSeq.flatMap(a => byName.get(a.substring(a.lastIndexOf('/') + 1)))
+        victimPaths(hitAbs.toSeq, live)
       }
 
     // ---- rewrite the victim files
-    val rowId = MergeSourcePrefix + "rowid__"
+    val rowId = freshName("rowid__")
     val rewritten =
       if (victims.isEmpty) None
       else {
@@ -699,8 +695,11 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * bytes, never the table. Untouched files are never opened.
     */
   def changes(fromVersion: Long, toVersion: Long): DataFrame = {
-    require(fromVersion < toVersion,
-      s"changes needs fromVersion < toVersion, got $fromVersion >= $toVersion")
+    require(fromVersion >= 0 && fromVersion < toVersion,
+      s"changes needs 0 <= fromVersion < toVersion, got ($fromVersion, $toVersion)")
+    // fromVersion == 0 is the empty pre-create snapshot: every row at
+    // toVersion diffs as an insert (the CDC base case a first-ever
+    // incremental refresh over a DML-bearing source needs)
     val beforeFiles = log.snapshotFiles(fromVersion).map(_.path).toSet
     val afterFiles = log.snapshotFiles(toVersion).map(_.path).toSet
     val sch = schemaAt(toVersion)
@@ -713,7 +712,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     // does not masquerade as a drop+add — Iceberg resolution), by name
     // otherwise; columns added between the versions read as NULL from
     // old files, exactly how a time-travel read at toVersion sees them
-    val fromSch = schemaAt(fromVersion)
+    val fromSch = if (fromVersion == 0) sch else schemaAt(fromVersion)
     val bothIds = sch.fields.forall(f => GraftTable.fieldId(f).isDefined) &&
       fromSch.fields.forall(f => GraftTable.fieldId(f).isDefined)
     def sourceName(f: StructField): Option[String] =
@@ -911,7 +910,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val dataRoot = Paths.get(root, "data")
     if (!Files.isDirectory(dataRoot)) return 0
     val cutoff = System.currentTimeMillis() - graceMs
-    var removed = 0
+    val candidates = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
     val walk = Files.walk(dataRoot)
     try {
       val it = walk.iterator()
@@ -921,10 +920,25 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         if (Files.isRegularFile(p) && !leaf.startsWith(".") && !leaf.startsWith("_") &&
             Files.getLastModifiedTime(p).toMillis < cutoff) {
           val rel = Paths.get(root).relativize(p).toString
-          if (!referenced.contains(rel)) { Files.delete(p); removed += 1 }
+          if (!referenced.contains(rel)) candidates += p
         }
       }
     } finally walk.close()
+    if (candidates.isEmpty) return 0
+    // RE-validate against the log as of NOW, immediately before
+    // deleting: a publish that committed while the walk ran would
+    // otherwise lose its freshly-referenced staged files to the walk's
+    // stale snapshot. A publish landing inside the tiny re-read->delete
+    // window remains possible — the grace period is the real defense
+    // for in-flight staging (same contract as in-flight creates), and
+    // publishStaged's post-commit existence check catches the
+    // pre-commit half of that interleaving loudly.
+    val referencedNow = log.versions.flatMap(v => log.snapshotFiles(v).map(_.path)).toSet
+    var removed = 0
+    candidates.foreach { p =>
+      val rel = Paths.get(root).relativize(p).toString
+      if (!referencedNow.contains(rel) && Files.deleteIfExists(p)) removed += 1
+    }
     removed
   }
 }

@@ -15,23 +15,32 @@ import org.apache.spark.sql.DataFrame
   * the fast path (read only the new files); sources that saw row-level
   * DML / compaction / schema evolution are maintained through the CDC
   * snapshot diff ([[refreshViaDiff]] — cost bounded by CHANGED bytes).
-  * The dispatch reads commit-log METADATA only (op names between the
-  * synced and current versions — no data pass). `fullRefresh` rebuilds
-  * from scratch and re-arms the loop (the escape hatch for
-  * nondeterministic transforms).
+  * The dispatch reads commit-log METADATA only (file add/remove shapes
+  * between the synced and current versions — no data pass).
+  * `fullRefresh` rebuilds from scratch and re-arms the loop (the
+  * escape hatch for nondeterministic transforms).
   *
   * Scale: a refresh reads exactly the files the new commits added
   * (paths from the log), transforms, and appends — cost is O(new
   * data), never O(table). Idempotence: each refresh commit is labeled
-  * with the covered source-version range; a crashed-and-replayed
-  * refresh finds its label in the target history and skips, the same
-  * batch-id dedup the streaming sink uses. The synced watermark lives
-  * in a target ref (`__synced_src`), so it is atomic with the target's
-  * own commit log and survives reloads.
+  * with the covered source-version range; ranges are CONTIGUOUS from 0
+  * (each refresh starts at the watermark the previous one advanced),
+  * so "some refresh already covered past `last`" is equivalent to "the
+  * NEWEST refresh label's upper bound exceeds `last`" — the O(1)
+  * overlap rule both the replay scan and the store's atomic label
+  * dedup use. The synced watermark lives in a target ref
+  * (`__synced_src`), atomic with the target's own commit log.
   */
 object IncrementalView {
   private val SyncedRef = "__synced_src"
-  private def label(from: Long, to: Long) = s"incr-refresh:$from-$to"
+  private val LabelPrefix = "incr-refresh:"
+  private def label(from: Long, to: Long) = s"$LabelPrefix$from-$to"
+
+  private def isRefreshLabel(op: String): Boolean = op.startsWith(LabelPrefix)
+
+  /** Upper bound of a refresh label's covered range ("incr-refresh:F-T" -> T). */
+  private def labelTo(op: String): Long =
+    op.stripPrefix(LabelPrefix).split('-').last.toLong
 
   final case class Refresh(fromVersion: Long, toVersion: Long, appended: Boolean)
 
@@ -44,62 +53,58 @@ object IncrementalView {
     val head = src.currentVersion
     if (head <= last) return Refresh(last, head, appended = false)
 
-    // Crash replay FIRST: a previous refresh starting from `last` may
-    // have committed its range and died before moving the watermark.
-    // The source may have advanced SINCE that crash, so match on the
-    // "from" half of the label and resume from its recorded "to" —
-    // matching the full (last, head) label would miss that case and
-    // re-append the crashed range's rows. The label can only be the
-    // target's most recent refresh commit (watermark is monotone), so
-    // scan the target log from the head and stop at the first one —
-    // O(commits since that refresh), not O(history).
-    val lastRefreshOp = tLog.versions.reverseIterator // already sorted
-      .map(v => tLog.read(v).op).find(_.startsWith("incr-refresh:"))
-    lastRefreshOp.filter(_.startsWith(s"incr-refresh:$last-"))
-      .map(_.stripPrefix(s"incr-refresh:$last-").toLong) match {
+    // Replay/racer adoption FIRST: a refresh may have committed its
+    // range and died before moving the watermark (crash), or another
+    // refresher may have advanced past our stale watermark read. Both
+    // reduce to the overlap rule: the newest refresh label's `to`
+    // exceeding `last` means the range from `last` is (partly) covered
+    // — adopt its bound and continue from there. Scanning stops at the
+    // FIRST refresh label from the head: O(commits since the last
+    // refresh), and sufficient because ranges are contiguous (class
+    // doc), so the newest label always carries the maximal `to`.
+    val newestTo = tLog.versions.reverseIterator
+      .map(v => tLog.read(v).op).find(isRefreshLabel).map(labelTo)
+    newestTo.filter(_ > last) match {
       case Some(to) =>
-        target.tag(SyncedRef, Some(to))
+        advanceWatermark(target, tLog, to)
         return if (to >= head) Refresh(last, to, appended = false)
                else refresh(src, target, transform) // continue from `to`
       case None => ()
     }
 
-    // append-or-diff dispatch from commit METADATA (create counts as
-    // the initial append when starting from zero). Read ONLY the
-    // in-range commits — a long-lived table's full history is
-    // O(commits) files. Append-SHAPED ops add files and remove none
-    // ("publish" is WAP's atomic append; streaming sink labels are
-    // appendAs); anything else (DML, compaction, schema evolution)
-    // takes the CDC-diff path below instead of throwing.
+    // Append-or-diff dispatch from commit METADATA — the in-range
+    // commits' file shapes, never op-name conventions: a commit is
+    // append-shaped iff it removes nothing and is not a snapshot reset
+    // ("overwrite" carries empty `removed` but clears the file set).
+    // This matters for CHAINED views: a mid-tier diff refresh commits
+    // an `incr-refresh:` label WITH removed files; classifying labels
+    // as appends by name would make the downstream view re-append every
+    // surviving row of the rewritten victims. DML / compaction /
+    // rollbacks take the CDC-diff path below instead of throwing.
     val srcLog = GraftTable.logOf(src)
-    val ops = srcLog.versions.filter(v => v > last && v <= head)
-      .map(v => srcLog.read(v).op)
-    val nonAppend = ops.filterNot(o =>
-      o == "append" || o == "publish" || o.startsWith("stream-append:") ||
-        o.startsWith("incr-refresh:") || (last == 0L && o == "create"))
-    if (nonAppend.nonEmpty) return refreshViaDiff(src, target, transform, last, head)
+    val inRange = srcLog.versions.filter(v => v > last && v <= head).map(srcLog.read)
+    val appendShaped = inRange.forall(c =>
+      (c.removed.isEmpty && c.op != "overwrite") || (last == 0L && c.op == "create"))
+    if (!appendShaped) return refreshViaDiff(src, target, transform, last, head)
 
     // exactly the files the new commits added (metadata paths)
     val newPaths =
-      GraftTable.logOf(src).snapshotFiles(head).map(_.path).toSet --
-        GraftTable.logOf(src).snapshotFiles(last).map(_.path).toSet
+      srcLog.snapshotFiles(head).map(_.path).toSet --
+        srcLog.snapshotFiles(last).map(_.path).toSet
     if (newPaths.nonEmpty) {
       val sch = src.schemaAt(head)
       val newRows = src.spark.read.schema(sch).format(src.format)
         .load(newPaths.toSeq.map(p => s"${src.root}/$p"): _*)
       // Exactly-once against CONCURRENT refreshers, not just crash
       // replay: two refreshers can both read watermark `last` and both
-      // pass the label scan above before either commits. appendAsOnce
-      // re-checks for any `incr-refresh:<last>-*` label atomically with
-      // the commit (see its doc), so exactly one append lands; the
-      // loser adopts the winner's covered range. Matching on the "from"
-      // half (not the exact label) also catches a racer that saw a
-      // NEWER source head — an exact-label check would double-append
-      // the overlap of (last, head) and (last, head').
+      // pass the scan above before either commits. The store re-checks
+      // the overlap rule atomically with the commit (appendAsOnce →
+      // commitOnce), so exactly one lands; the loser adopts the
+      // winner's covered bound.
       val (v, appended) = target.appendAsOnce(label(last, head), transform(newRows),
-        op => op.startsWith(s"incr-refresh:$last-"))
+        isRefreshLabel, op => labelTo(op) > last)
       if (!appended) {
-        val to = target.commitInfo(v).op.stripPrefix(s"incr-refresh:$last-").toLong
+        val to = labelTo(target.commitInfo(v).op)
         advanceWatermark(target, tLog, to)
         return if (to >= head) Refresh(last, to, appended = false)
                else refresh(src, target, transform) // continue from `to`
@@ -119,10 +124,10 @@ object IncrementalView {
     * every target row derived from a deleted source row re-derives from
     * the diff's delete side and is removed value-for-value (updates
     * contribute one delete + one insert; compaction diffs to nothing).
-    * Determinism is the contract that makes re-derivation match —
-    * a transform reading clocks or rand() needs fullRefresh.
-    * Idempotence/concurrency: same label + atomic dedup as the append
-    * path, so crash replay and racers skip or adopt identically. */
+    * `last == 0` is the base case: changes(0, head) diffs against the
+    * empty pre-create snapshot, so the whole source arrives as inserts.
+    * Idempotence/concurrency: same label + atomic overlap dedup as the
+    * append path, so crash replay and racers skip or adopt identically. */
   private def refreshViaDiff(src: GraftTable, target: GraftTable,
                              transform: DataFrame => DataFrame,
                              last: Long, head: Long): Refresh = {
@@ -131,9 +136,9 @@ object IncrementalView {
     val ins = transform(diff.filter(col("_change_type") === "insert").drop("_change_type"))
     val del = transform(diff.filter(col("_change_type") === "delete").drop("_change_type"))
     val (v, applied) = target.replaceRowsAs(label(last, head), del, ins,
-      op => op.startsWith(s"incr-refresh:$last-"))
+      isRefreshLabel, op => labelTo(op) > last)
     if (!applied) {
-      val to = target.commitInfo(v).op.stripPrefix(s"incr-refresh:$last-").toLong
+      val to = labelTo(target.commitInfo(v).op)
       advanceWatermark(target, GraftTable.logOf(target), to)
       return if (to >= head) Refresh(last, to, appended = false)
              else refresh(src, target, transform)
@@ -150,8 +155,9 @@ object IncrementalView {
   private def advanceWatermark(target: GraftTable, tLog: CommitLog, to: Long): Unit =
     if (tLog.getRef(SyncedRef).getOrElse(0L) < to) target.tag(SyncedRef, Some(to))
 
-  /** Rebuild the target from the full source (after DML/compaction on
-    * the source broke the incremental contract) and re-arm refresh. */
+  /** Rebuild the target from the full source and re-arm refresh — the
+    * escape hatch for nondeterministic transforms (the diff path
+    * handles deterministic ones incrementally). */
   def fullRefresh(src: GraftTable, target: GraftTable,
                   transform: DataFrame => DataFrame): Refresh = {
     val head = src.currentVersion

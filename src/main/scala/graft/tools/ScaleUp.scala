@@ -1,0 +1,109 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.engine.GraftSession
+
+/** Bench-only dataset scale-up: replicate the driver's sf0.1 tables K
+  * times with key remapping so the result behaves like a genuinely
+  * larger corpus (VERDICT r4 #8: "bench at sf1 once" — the driver ships
+  * no sf1, so this builds one under /tmp for SCALING measurements, not
+  * correctness: the DuckDB oracle never sees it).
+  *
+  * Faithful scaling requires more than row duplication:
+  *  - Foreign keys offset per replica (`key + r * (max+1)`) so join
+  *    fan-outs stay constant: each order still has ~4 lineitems, each
+  *    customer the same order count. The nation/region dimensions stay
+  *    fixed (25/5 rows at every TPC-H scale), so group cardinalities on
+  *    them grow in ROWS, not groups — exactly like real TPC-H.
+  *  - Document text must NOT be copied verbatim: 10 exact copies of
+  *    every doc would grow near-dup pair outputs ~K^2 (and collapse
+  *    under exact dedup), misrepresenting the dedup workloads. Each
+  *    replica deterministically re-orders each doc's words by a
+  *    replica-keyed hash sort: within a replica, documents that shared
+  *    vocabulary still share it (near-dup rates per replica stay
+  *    realistic); across replicas, shingle sequences differ (no
+  *    artificial K^2 blowup).
+  *  - Embeddings rotate by r positions per replica: norms and
+  *    per-dimension distributions are preserved, cross-replica cosine
+  *    structure is scrambled, so ANN candidate rates scale linearly.
+  *  - Events offset user_id per replica (same sessions-per-user shape)
+  *    and keep timestamps (window densities grow linearly).
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> [factor=10]
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <srcSfDir> <outDir> [factor]")
+    val (srcDir, outDir) = (args(0), args(1))
+    val k = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.create()
+    spark.sparkContext.setLogLevel("WARN")
+    scaleAll(spark, srcDir, outDir, k)
+    println(s"""{"scaleup": "$outDir", "factor": $k}""")
+  }
+
+  def scaleAll(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
+    val reps = spark.range(0, k).select(col("id").cast("int").as("__r"))
+
+    /** Offset span for a key DOMAIN, from the table that OWNS the key
+      * (its primary side) — a child FK column's own max understates the
+      * domain whenever some parent rows have no children (in TPC-H a
+      * third of customers have no orders), which would shift parent and
+      * child replicas by different amounts and misalign every join. */
+    def span(ownerTable: String, keyCol: String): Long =
+      Tables(spark, srcDir, ownerTable).agg(max(col(keyCol))).head.getLong(0) + 1L
+
+    val custSpan = span("customer", "c_custkey")
+    val suppSpan = span("supplier", "s_suppkey")
+    val partSpan = span("part", "p_partkey")
+    val ordSpan = span("orders", "o_orderkey")
+
+    /** Cross-join with the replica table; offset each key by
+      * r * its DOMAIN span — one pass, no shuffle beyond the write. */
+    def replicate(t: String, keys: Seq[(String, Long)]): DataFrame = {
+      val rep = Tables(spark, srcDir, t).crossJoin(broadcast(reps))
+      keys.foldLeft(rep) { case (d, (c, sp)) =>
+        d.withColumn(c, col(c) + col("__r") * sp)
+      }
+    }
+
+    def write(t: String, df: DataFrame): Unit = {
+      df.drop("__r")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"scaled $t x$k")
+    }
+
+    // fixed dimensions: copy verbatim
+    for (t <- Seq("region", "nation"))
+      write(t, Tables(spark, srcDir, t))
+
+    write("customer", replicate("customer", Seq("c_custkey" -> custSpan)))
+    write("supplier", replicate("supplier", Seq("s_suppkey" -> suppSpan)))
+    write("part", replicate("part", Seq("p_partkey" -> partSpan)))
+    write("orders", replicate("orders",
+      Seq("o_orderkey" -> ordSpan, "o_custkey" -> custSpan)))
+    write("lineitem", replicate("lineitem",
+      Seq("l_orderkey" -> ordSpan, "l_partkey" -> partSpan, "l_suppkey" -> suppSpan)))
+    write("events", replicate("events",
+      Seq("event_id" -> span("events", "event_id"), "user_id" -> span("events", "user_id"))))
+
+    // documents: per-replica deterministic word re-order (see scaladoc)
+    write("documents",
+      replicate("documents", Seq("doc_id" -> span("documents", "doc_id")))
+        .withColumn("text", when(col("__r") === 0, col("text")).otherwise(
+          array_join(
+            expr("array_sort(transform(split(text, ' '), w -> struct(xxhash64(w, __r) AS h, w AS w))).w"),
+            " "))))
+
+    // embeddings: rotate the vector by r positions per replica
+    write("embeddings",
+      replicate("embeddings", Seq("vec_id" -> span("embeddings", "vec_id")))
+        .withColumn("embedding", expr(
+          """transform(sequence(0, size(embedding) - 1),
+               i -> element_at(embedding, ((i + __r) % size(embedding)) + 1))""")))
+  }
+}

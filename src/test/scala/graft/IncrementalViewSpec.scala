@@ -93,6 +93,43 @@ class IncrementalViewSpec extends SparkSpec {
     assert(target.read().orderBy("id").collect().toSeq == want)
   }
 
+  test("chained views: a mid-tier diff refresh does not duplicate downstream") {
+    // code-review r5 finding: diff refreshes commit incr-refresh labels
+    // WITH removed files; the downstream dispatch must classify by
+    // commit shape (removed.isEmpty), not by op name, or it re-appends
+    // every surviving row of the rewritten victims
+    val src = GraftTable.create(spark, fresh("iv_src9"),
+      Seq((2L, "a"), (4L, "bb"), (6L, "ccc")).toDF("id", "v"))
+    val keep: DataFrame => DataFrame = df => df // identity: rows flow through
+    val mid = GraftTable.create(spark, fresh("iv_mid9"), src.read().limit(0))
+    val tgt = GraftTable.create(spark, fresh("iv_tgt9"), xf(mid.read().limit(0)))
+    IncrementalView.refresh(src, mid, keep)
+    IncrementalView.refresh(mid, tgt, xf)
+    assert(tgt.read().select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L, 6L))
+    // DML on src -> mid takes the diff path (its label commit removes files)
+    src.delete(col("id") === 4L)
+    IncrementalView.refresh(src, mid, keep)
+    assert(mid.read().select("id").as[Long].collect().sorted.toSeq == Seq(2L, 6L))
+    // tgt's refresh over mid must ALSO take the diff path — and agree
+    // with the from-scratch recompute (no duplicated survivors)
+    IncrementalView.refresh(mid, tgt, xf)
+    val got = tgt.read().select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 6L), got)
+  }
+
+  test("first refresh over a source whose history already has DML") {
+    // code-review r5 finding: last == 0 with non-append history used to
+    // crash in changes(0, head); it must flow as the all-inserts base case
+    val src = GraftTable.create(spark, fresh("iv_src10"),
+      Seq((2L, "a"), (4L, "bb")).toDF("id", "v"))
+    src.delete(col("id") === 4L)
+    src.append(Seq((6L, "ccc")).toDF("id", "v"))
+    val target = GraftTable.create(spark, fresh("iv_tgt10"), xf(src.read().limit(0)))
+    val r = IncrementalView.refresh(src, target, xf)
+    assert(r.appended && r.fromVersion == 0)
+    assert(target.read().select("id").as[Long].collect().sorted.toSeq == Seq(2L, 6L))
+  }
+
   test("fullRefresh remains the escape hatch and re-arms the loop") {
     val src = GraftTable.create(spark, fresh("iv_src8"),
       Seq((1L, "a"), (2L, "bb")).toDF("id", "v"))

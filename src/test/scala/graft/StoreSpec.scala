@@ -382,9 +382,11 @@ class StoreSpec extends SparkSpec {
     val t = GraftTable.create(spark, freshRoot,
       Seq((1L, "a", 1.0)).toDF("id", "name", "score"))
     val df = Seq((2L, "b", 2.0)).toDF("id", "name", "score")
-    val (v1, a1) = t.appendAsOnce("once:0-1", df, _.startsWith("once:0-"))
+    val (v1, a1) = t.appendAsOnce("once:0-1", df,
+      _.startsWith("once:"), _.startsWith("once:0-"))
     // same FROM-range, different head — still a conflict (overlap)
-    val (v2, a2) = t.appendAsOnce("once:0-2", df, _.startsWith("once:0-"))
+    val (v2, a2) = t.appendAsOnce("once:0-2", df,
+      _.startsWith("once:"), _.startsWith("once:0-"))
     assert(a1 && !a2 && v1 == v2, s"$v1/$a1 vs $v2/$a2")
     assert(t.history.count(_.op.startsWith("once:")) == 1, t.history.map(_.op))
     assert(t.read().count() == 2)
