@@ -83,8 +83,13 @@ object IncrementalView {
     // rollbacks take the CDC-diff path below instead of throwing.
     val srcLog = GraftTable.logOf(src)
     val inRange = srcLog.versions.filter(v => v > last && v <= head).map(srcLog.read)
+    // "create" resets the live set exactly like "overwrite" in the log
+    // replay — keep the predicate symmetric so a hypothetical
+    // mid-history create could never classify as a pure append; today
+    // create only ever appears as version 1 (the last == 0 base case)
     val appendShaped = inRange.forall(c =>
-      (c.removed.isEmpty && c.op != "overwrite") || (last == 0L && c.op == "create"))
+      (c.removed.isEmpty && c.op != "overwrite" && c.op != "create") ||
+        (last == 0L && c.op == "create"))
     if (!appendShaped) return refreshViaDiff(src, target, transform, last, head)
 
     // exactly the files the new commits added (metadata paths)

@@ -88,8 +88,13 @@ object ScaleUp {
       Seq("o_orderkey" -> ordSpan, "o_custkey" -> custSpan)))
     write("lineitem", replicate("lineitem",
       Seq("l_orderkey" -> ordSpan, "l_partkey" -> partSpan, "l_suppkey" -> suppSpan)))
+    // events: the Tables loader expects ts as RAW EPOCH-NANOS INT64
+    // (driver parquet is TIMESTAMP(NANOS) read under nanosAsLong) and
+    // converts unconditionally — write ts back in that shape or every
+    // events query fails on the scaled dataset
     write("events", replicate("events",
-      Seq("event_id" -> span("events", "event_id"), "user_id" -> span("events", "user_id"))))
+      Seq("event_id" -> span("events", "event_id"), "user_id" -> span("events", "user_id")))
+      .withColumn("ts", (unix_micros(col("ts")) * 1000L).cast("long")))
 
     // documents: per-replica deterministic word re-order (see scaladoc)
     write("documents",
