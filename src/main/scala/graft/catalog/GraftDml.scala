@@ -64,29 +64,21 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             "ALTER TABLE ... ADD COLUMN first")
         val tgt = byId(rel.output)
         val src = byId(m.sourceTable.output)
+        def assigns(as: Seq[Assignment]): Map[String, Column] = as.map { a =>
+          a.key match {
+            case k: AttributeReference if tgt.contains(k.exprId) =>
+              tgt(k.exprId) -> translate(a.value, tgt, src)
+            case other => throw new UnsupportedOperationException(
+              s"MERGE assignment to nested field '${other.sql}' is not supported")
+          }
+        }.toMap
         def clause(a: MergeAction): MergeWhen = a match {
           case ua: UpdateAction =>
-            MergeWhen(ua.condition.map(translate(_, tgt, src)),
-              Some(ua.assignments.map { as =>
-                as.key match {
-                  case k: AttributeReference if tgt.contains(k.exprId) =>
-                    tgt(k.exprId) -> translate(as.value, tgt, src)
-                  case other => throw new UnsupportedOperationException(
-                    s"MERGE assignment to nested field '${other.sql}' is not supported")
-                }
-              }.toMap))
+            MergeWhen(ua.condition.map(translate(_, tgt, src)), Some(assigns(ua.assignments)))
           case da: DeleteAction =>
             MergeWhen(da.condition.map(translate(_, tgt, src)), None)
           case ia: InsertAction =>
-            MergeWhen(ia.condition.map(translate(_, tgt, src)),
-              Some(ia.assignments.map { as =>
-                as.key match {
-                  case k: AttributeReference if tgt.contains(k.exprId) =>
-                    tgt(k.exprId) -> translate(as.value, tgt, src)
-                  case other => throw new UnsupportedOperationException(
-                    s"MERGE insert into nested field '${other.sql}' is not supported")
-                }
-              }.toMap))
+            MergeWhen(ia.condition.map(translate(_, tgt, src)), Some(assigns(ia.assignments)))
           case other => throw new UnsupportedOperationException(
             s"unsupported MERGE action for graft tables: $other")
         }

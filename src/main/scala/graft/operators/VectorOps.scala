@@ -19,25 +19,95 @@ import graft.{QueryEntry, Tables}
   */
 object VectorOps {
 
-  /** Deterministic hyperplane weights (16 planes x 64 dims) via an LCG,
-    * embedded identically into the Spark plan and the DuckDB oracle. */
-  private[operators] val planes: Seq[(Int, Int, Double)] =
-    for (p <- 0 until 16; i <- 0 until 64) yield {
+  /** Deterministic hyperplane weights (nPlanes x 64 dims) via an LCG,
+    * embedded identically into the Spark plan and the DuckDB oracle.
+    * The GEOMETRY IS THE SCALE LEVER (measured at 10x in BENCH_SF1 /
+    * SCALE.md): bucket count per band is 2^bandBits, so bits-per-band
+    * must grow ~log2(corpus) to keep per-bucket occupancy — and with it
+    * the quadratic within-bucket candidate count — flat; band count
+    * then restores recall. [[annPairs]] takes both as parameters; the
+    * pinned 16-plane / 4x4-band default is what the sf0.01 DuckDB
+    * oracle and the VectorRecallSpec envelope are calibrated to. */
+  private[operators] def planesFor(nPlanes: Int): Seq[(Int, Int, Double)] =
+    for (p <- 0 until nPlanes; i <- 0 until 64) yield {
       val seed = (p * 64 + i).toLong
       val h = (seed * 2654435761L + 1013904223L) & 0xffffffffL
       (p, i, h.toDouble / 4294967296.0 * 2.0 - 1.0)
     }
 
+  private[operators] val planes: Seq[(Int, Int, Double)] = planesFor(16)
+
   private def planesSql: String =
     planes.map { case (p, i, w) => s"($p,$i,$w)" }.mkString(",")
 
-  /** The same 16x64 plane matrix as a nested array literal — constant-
-    * folded once into the plan, so the signature is a single-pass
-    * per-row fold (no row explosion, no join, no shuffle). */
-  private def planesArraySql: String =
-    (0 until 16).map { p =>
-      (0 until 64).map(i => planes(p * 64 + i)._3).mkString("array(", ",", ")")
+  /** The plane matrix as a nested array literal — constant-folded once
+    * into the plan, so the signature is a single-pass per-row fold (no
+    * row explosion, no join, no shuffle). */
+  private def planesArraySqlFor(nPlanes: Int): String = {
+    val ps = planesFor(nPlanes)
+    (0 until nPlanes).map { p =>
+      (0 until 64).map(i => ps(p * 64 + i)._3).mkString("array(", ",", ")")
     }.mkString("array(", ",", ")")
+  }
+
+  private def planesArraySql: String = planesArraySqlFor(16)
+
+  /** Per-row hyperplane signature column for any plane count (exact
+    * DECIMAL accumulation — deterministic sign bits; see v03's notes). */
+  private[operators] def sigDf(s: SparkSession, d: String, nPlanes: Int): DataFrame =
+    Tables(s, d, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .selectExpr("vec_id",
+        s"""array_join(transform(${planesArraySqlFor(nPlanes)}, wrow ->
+              CASE WHEN aggregate(
+                  zip_with(embedding, wrow,
+                    (x, w) -> CAST(CAST(x AS DOUBLE) * w AS DECIMAL(38,18))),
+                  CAST(0 AS DECIMAL(38,18)),
+                  (acc, t) -> CAST(acc + t AS DECIMAL(38,18))) >= 0
+                THEN '1' ELSE '0' END), '') AS sig""")
+
+  /** Banded-LSH ANN pairs over a parametric (nPlanes, bandBits)
+    * geometry — the PRODUCTION entry point; the pinned v04 query entry
+    * is `annPairs(s, d, 16, 4, 0.35)`. Candidates share any
+    * `bandBits`-bit signature band (nPlanes/bandBits tables), then
+    * exact cosine verification on candidates only. Same plan shape at
+    * every geometry: one signature fold reused across both join sides,
+    * SHUFFLE_HASH everywhere, never a broadcast (PlanSpec-gated at the
+    * default). */
+  def annPairs(s: SparkSession, d: String, nPlanes: Int, bandBits: Int,
+               threshold: Double): DataFrame = {
+    require(nPlanes % bandBits == 0,
+      s"nPlanes ($nPlanes) must be a multiple of bandBits ($bandBits)")
+    val nBands = nPlanes / bandBits
+    val sig = sigDf(s, d, nPlanes)
+    val bands = sig.selectExpr("vec_id",
+      s"explode(transform(sequence(0, ${nBands - 1}), t -> concat(t, ':', substring(sig, t * $bandBits + 1, $bandBits)))) AS bucket")
+    val cand = bands.select(col("vec_id").as("id_a"), col("bucket"))
+      .join(bands.select(col("vec_id").as("id_b"), col("bucket")).hint("SHUFFLE_HASH"), "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val e = vecs(s, d)
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n2").as("nb2"))
+        .hint("SHUFFLE_HASH"), "id_b")
+      .selectExpr("id_a", "id_b", s"$dotExpr / (SQRT(na2) * SQRT(nb2)) AS cos")
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+      .distinct()
+  }
+
+  /** Band-bucket occupancy profile for a geometry — the saturation
+    * diagnostic (max/mean rows per bucket) a deployment checks before
+    * pinning bits-per-band at its corpus size. */
+  def bandOccupancy(s: SparkSession, d: String, nPlanes: Int, bandBits: Int): DataFrame = {
+    require(nPlanes % bandBits == 0, "nPlanes must be a multiple of bandBits")
+    val nBands = nPlanes / bandBits
+    sigDf(s, d, nPlanes).selectExpr("vec_id",
+      s"explode(transform(sequence(0, ${nBands - 1}), t -> concat(t, ':', substring(sig, t * $bandBits + 1, $bandBits)))) AS bucket")
+      .groupBy("bucket").count()
+  }
 
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -169,16 +239,7 @@ object VectorOps {
         // bits match the oracle's flat-SUM spelling exactly. (The
         // explode+join+groupBy spelling of this computes the same
         // decimals through 2 shuffles of 64x the rows.)
-        Tables(s, d, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-          .selectExpr("vec_id",
-          s"""array_join(transform($planesArraySql, wrow ->
-                CASE WHEN aggregate(
-                    zip_with(embedding, wrow,
-                      (x, w) -> CAST(CAST(x AS DOUBLE) * w AS DECIMAL(38,18))),
-                    CAST(0 AS DECIMAL(38,18)),
-                    (acc, t) -> CAST(acc + t AS DECIMAL(38,18))) >= 0
-                  THEN '1' ELSE '0' END), '') AS sig""")
+        sigDf(s, d, 16)
       },
       Some(s"""WITH planes(p, i, w) AS (VALUES $planesSql),
         flat AS (SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS i FROM embeddings),
@@ -194,50 +255,20 @@ object VectorOps {
     // Banded LSH ANN: candidates share any 4-bit signature band (4
     // tables), then exact cosine verification on candidates only —
     // the bucket join is the piece that scales where v01 cannot.
+    // Plan notes (all preserved inside [[annPairs]], PlanSpec-gated):
+    //  - Signature sharing: both sides of the bucket self-join consume
+    //    the per-row DECIMAL fold; the canonical subtrees make the
+    //    bucket exchange the reuse point (AQE stage cache ->
+    //    ReusedExchange). An extra repartition above the fold was the
+    //    r3 regression (a fifth sequential shuffle = a full extra pass
+    //    over corpus-sized signatures at 100 TB).
+    //  - Verify every bucket collision, dedupe AFTER the threshold:
+    //    distinct on surviving pairs beats shuffling millions of
+    //    candidates, at the price of re-scoring multi-band collisions.
+    //  - SHUFFLE_HASH everywhere, never broadcast: bands and embeddings
+    //    are corpus-sized.
     QueryEntry("v04_ann_lsh",
-      (s, d) => {
-        // Signature sharing: the per-row 16x64 DECIMAL fold is the
-        // expensive part and both sides of the bucket self-join consume
-        // it. The two sides' subtrees are canonically identical, so the
-        // bucket exchange itself is the materialization/reuse point —
-        // AQE's stage cache computes the fold ONCE and the second side
-        // reads a ReusedExchange (PlanSpec-gated). An extra repartition
-        // above the fold (the r3 spelling) only added a fifth
-        // sequential shuffle stage to the chain — at sf0.1 that was the
-        // v04 regression, and at 100 TB it is a full extra pass over
-        // corpus-sized signatures.
-        val sig = entries.find(_.name == "v03_lsh_signature").get.fn(s, d)
-        val bands = sig.selectExpr("vec_id",
-          "explode(transform(sequence(0, 3), t -> concat(t, ':', substring(sig, t * 4 + 1, 4)))) AS bucket")
-        // verify every bucket collision, dedupe AFTER the threshold
-        // filter: distinct on the few surviving pairs beats a full
-        // shuffle of millions of candidate pairs, at the price of
-        // re-scoring the ~20% of pairs that collide in >1 band (the
-        // codegen'd dot is cheaper than the shuffle it replaces).
-        // The bands table is corpus-sized (4 rows per vector): the
-        // bucket self-join must shuffle on bucket — that IS the LSH
-        // bucketing — never broadcast.
-        val cand = bands.select(col("vec_id").as("id_a"), col("bucket"))
-          .join(bands.select(col("vec_id").as("id_b"), col("bucket")).hint("SHUFFLE_HASH"), "bucket")
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b")
-        // Shuffle-hash joins on the unique id keys — never a broadcast:
-        // the embeddings table is corpus-sized, so broadcasting it (twice)
-        // OOMs the executors at scale. SHUFFLE_HASH distributes both
-        // sides by id and builds per-partition maps over ~1/N of the
-        // table each; the hint also keeps the plan deterministic at
-        // small SF where the static planner would pick broadcast.
-        val e = vecs(s, d)
-        cand
-          .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
-            .hint("SHUFFLE_HASH"), "id_a")
-          .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n2").as("nb2"))
-            .hint("SHUFFLE_HASH"), "id_b")
-          .selectExpr("id_a", "id_b", s"$dotExpr / (SQRT(na2) * SQRT(nb2)) AS cos")
-          .filter(col("cos") >= 0.35)
-          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
-          .distinct()
-      },
+      (s, d) => annPairs(s, d, nPlanes = 16, bandBits = 4, threshold = 0.35),
       Some(annPairsOracle)),
 
     // ------------------------------------------------------------------

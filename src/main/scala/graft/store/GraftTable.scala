@@ -451,8 +451,18 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * Copy-on-write: one semi join finds the files containing >=1 row
     * equal to a delete row; ONLY those files rewrite, via ONE
     * `exceptAll` over the victim set as a whole (per-file exceptAll
-    * would remove a duplicated row once per file). Costs are bounded by
-    * victim bytes + delete-set bytes, never the table.
+    * would remove a duplicated row once per file). The delete set is
+    * persisted for its three consumers (count, semi join, exceptAll) —
+    * its upstream is typically a CDC diff + transform, too expensive to
+    * recompute. Costs stay bounded by victim bytes + delete-set bytes.
+    *
+    * EVERY delete row must actually remove a target row — enforced by
+    * row accounting (victim stats rows − survivor rows == delete
+    * count), not trusted: a shortfall means the caller's re-derivation
+    * does not match what it originally wrote (nondeterministic
+    * transform, out-of-band target edits) and silently skipping those
+    * deletes would leave phantom rows forever. Fails BEFORE committing,
+    * with fullRefresh as the remedy.
     *
     * Exactly-once like [[appendAsOnce]] (same [[commitOnce]] dedup,
     * same monotonicity contract); victim files rewritten by a
@@ -466,19 +476,38 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     }
     val base = currentVersion
     val sch = schema
-    val del = aligned(deletes)
-    val tgt = read(asOfVersion = Some(base))
-    val delP = del.select(sch.fieldNames.map(n => col(n).as(s"__del_$n")).toIndexedSeq: _*)
-    val joinCond = sch.fieldNames.map(n => col(n) <=> col(s"__del_$n")).reduce(_ && _)
-    val hitAbs = tgt.withColumn("__f", input_file_name())
-      .join(delP, joinCond, "left_semi")
-      .select("__f").distinct().collect().map(_.getString(0))
-    val victims = victimPaths(hitAbs.toSeq, log.snapshotFiles(base))
-    val kept =
-      if (victims.isEmpty) aligned(inserts)
-      else readData(victims.map(p => s"$root/$p"), sch).exceptAll(del)
-        .unionByName(aligned(inserts))
-    commitOnce(op, writeFiles(kept), victims, sch.json, base, Some((domain, conflicts)))
+    val del = aligned(deletes).persist()
+    try {
+      val delCount = del.count()
+      val victims: Seq[String] =
+        if (delCount == 0) Nil
+        else {
+          val tgt = read(asOfVersion = Some(base))
+          val delP = del.select(sch.fieldNames.map(n => col(n).as(s"__del_$n")).toIndexedSeq: _*)
+          val joinCond = sch.fieldNames.map(n => col(n) <=> col(s"__del_$n")).reduce(_ && _)
+          val hitAbs = tgt.withColumn("__f", input_file_name())
+            .join(delP, joinCond, "left_semi")
+            .select("__f").distinct().collect().map(_.getString(0))
+          victimPaths(hitAbs.toSeq, log.snapshotFiles(base))
+        }
+      val survivorFiles =
+        if (victims.isEmpty) Nil
+        else writeFiles(readData(victims.map(p => s"$root/$p"), sch).exceptAll(del))
+      val victimRows = log.snapshotFiles(base)
+        .filter(f => victims.contains(f.path)).map(_.rows).sum
+      val matched = victimRows - survivorFiles.map(_.rows).sum
+      if (matched != delCount) {
+        survivorFiles.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
+        throw new IllegalStateException(
+          s"$op@$root: only $matched of $delCount delete rows matched target rows — " +
+            "the re-derived delete set does not match what was originally written " +
+            "(nondeterministic transform, or the target was modified out-of-band); " +
+            "run fullRefresh to rebuild")
+      }
+      val insertFiles = writeFiles(aligned(inserts))
+      commitOnce(op, survivorFiles ++ insertFiles, victims, sch.json, base,
+        Some((domain, conflicts)))
+    } finally del.unpersist()
   }
 
   // ------------------------------------------------------------------
@@ -602,6 +631,13 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val tgt = read(asOfVersion = Some(base))
     require(source.columns.toSet.size == source.columns.length,
       s"merge source has duplicate column names: ${source.columns.mkString(",")}")
+    // the prefix is the namespace boundary: a TARGET column already
+    // starting with it would collide with a renamed source column in
+    // the joined frame (ambiguous reference deep in the rewrite) —
+    // reject up front with a clear message instead
+    require(sch.fieldNames.forall(!_.startsWith(MergeSourcePrefix)),
+      s"target columns may not start with the reserved merge prefix " +
+        s"'$MergeSourcePrefix': ${sch.fieldNames.filter(_.startsWith(MergeSourcePrefix)).mkString(",")}")
     // internal marker / row-id names must collide with NEITHER the
     // prefixed source columns NOR the target schema (withColumn would
     // silently replace a same-named real column — e.g. a source column
@@ -831,6 +867,31 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     log.versions.exists(v => DataType.fromJson(log.schemaJsonAt(v))
       .asInstanceOf[StructType].fieldNames.contains(name))
 
+  /** Schema-evolution commit loop: `build` derives the next schema from
+    * the CURRENT head schema and is RE-RUN on every retry — a stale
+    * payload must never be replayed after a racing DDL commit lands
+    * (two concurrent addColumns would otherwise both base on the same
+    * parent: the loser's retry would drop the winner's column, and two
+    * columns could mint the SAME field id, binding one column's name to
+    * the other's bytes under id resolution). All validation (name
+    * clashes, retired names, id allocation) therefore lives inside
+    * `build`, where it sees every previously-landed change. */
+  private def commitSchemaChange(build: StructType => StructType): Long = {
+    var attempts = 0
+    while (attempts < 20) {
+      val parent = log.latestVersion
+      val next = build(schemaAt(parent))
+      val c = Commit(parent + 1, parent, "altschema", Nil, Nil, next.json,
+        System.currentTimeMillis())
+      if (log.tryCommit(c)) {
+        log.setRef("main", parent + 1)
+        return parent + 1
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(s"commit conflict not resolved after $attempts attempts: $root")
+  }
+
   /** Safe schema evolution: append a nullable column (Iceberg
     * `ALTER TABLE ... ADD COLUMN` parity). Metadata-only commit — no
     * data files are touched; files written before the change read the
@@ -838,21 +899,21 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * since rename support) the new column gets a fresh field id above
     * the historical watermark. Retired names are refused (stats are
     * name-keyed; see [[nameEverUsed]]). */
-  def addColumn(name: String, dataType: DataType): Long = {
-    val sch = schema
-    require(!sch.fieldNames.contains(name), s"column $name already exists")
-    require(!nameEverUsed(name),
-      s"column name '$name' was used earlier in this table's history (dropped or " +
-        "renamed away); file stats are name-keyed, so reusing it could mis-prune — " +
-        "pick a fresh name")
-    val base = StructField(name, dataType, nullable = true)
-    val hasIds = sch.fields.nonEmpty && sch.fields.forall(f => GraftTable.fieldId(f).isDefined)
-    val field =
-      if (!hasIds) base
-      else base.copy(metadata = new MetadataBuilder()
-        .putLong(GraftTable.FieldIdKey, maxFieldIdEver + 1L).build())
-    commitRetry("altschema", Nil, Nil, StructType(sch.fields :+ field).json)
-  }
+  def addColumn(name: String, dataType: DataType): Long =
+    commitSchemaChange { sch =>
+      require(!sch.fieldNames.contains(name), s"column $name already exists")
+      require(!nameEverUsed(name),
+        s"column name '$name' was used earlier in this table's history (dropped or " +
+          "renamed away); file stats are name-keyed, so reusing it could mis-prune — " +
+          "pick a fresh name")
+      val base = StructField(name, dataType, nullable = true)
+      val hasIds = sch.fields.nonEmpty && sch.fields.forall(f => GraftTable.fieldId(f).isDefined)
+      val field =
+        if (!hasIds) base
+        else base.copy(metadata = new MetadataBuilder()
+          .putLong(GraftTable.FieldIdKey, maxFieldIdEver + 1L).build())
+      StructType(sch.fields :+ field)
+    }
 
   /** Rename a column in ONE metadata commit (Iceberg `ALTER TABLE ...
     * RENAME COLUMN` parity, pinned in walden via `tf/main.tf:94`).
@@ -865,22 +926,21 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * stats under the OLD name, so stats pruning on the renamed column
     * resumes as files are rewritten (compact or DML); correctness never
     * depends on it. */
-  def renameColumn(oldName: String, newName: String): Long = {
-    val sch = schema
-    require(format == "parquet",
-      "column rename needs parquet field-id resolution; ORC tables cannot rename " +
-        "(drop + add states the true semantics there)")
-    require(sch.fieldNames.contains(oldName), s"no column $oldName")
-    require(!sch.fieldNames.contains(newName), s"column $newName already exists")
-    require(sch.fields.forall(f => GraftTable.fieldId(f).isDefined),
-      s"table at $root predates field-id tracking; rewrite it (CTAS) to enable rename")
-    require(!nameEverUsed(newName),
-      s"column name '$newName' was used earlier in this table's history; file stats " +
-        "are name-keyed, so reusing it could mis-prune — pick a fresh name")
-    val next = StructType(sch.fields.map(f =>
-      if (f.name == oldName) f.copy(name = newName) else f))
-    commitRetry("altschema", Nil, Nil, next.json)
-  }
+  def renameColumn(oldName: String, newName: String): Long =
+    commitSchemaChange { sch =>
+      require(format == "parquet",
+        "column rename needs parquet field-id resolution; ORC tables cannot rename " +
+          "(drop + add states the true semantics there)")
+      require(sch.fieldNames.contains(oldName), s"no column $oldName")
+      require(!sch.fieldNames.contains(newName), s"column $newName already exists")
+      require(sch.fields.forall(f => GraftTable.fieldId(f).isDefined),
+        s"table at $root predates field-id tracking; rewrite it (CTAS) to enable rename")
+      require(!nameEverUsed(newName),
+        s"column name '$newName' was used earlier in this table's history; file stats " +
+          "are name-keyed, so reusing it could mis-prune — pick a fresh name")
+      StructType(sch.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+    }
 
   /** Drop a column (metadata-only commit — Iceberg `ALTER TABLE ...
     * DROP COLUMN` parity). Data files keep the bytes; reads resolve
@@ -888,13 +948,12 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * read. Time travel BEFORE the drop still sees it. The dropped
     * name and field id are both retired for good ([[addColumn]] /
     * [[maxFieldIdEver]]). */
-  def dropColumn(name: String): Long = {
-    val sch = schema
-    require(sch.fieldNames.contains(name), s"no column $name")
-    require(sch.fields.length > 1, "cannot drop the only column")
-    commitRetry("altschema", Nil, Nil,
-      StructType(sch.fields.filterNot(_.name == name)).json)
-  }
+  def dropColumn(name: String): Long =
+    commitSchemaChange { sch =>
+      require(sch.fieldNames.contains(name), s"no column $name")
+      require(sch.fields.length > 1, "cannot drop the only column")
+      StructType(sch.fields.filterNot(_.name == name))
+    }
 
   /** Delete data files no longer referenced by any version >= the
     * oldest retained ref (vacuum/GC). Returns removed file count.
@@ -906,7 +965,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * defaults to a 3-day cutoff).
     */
   def vacuum(graceMs: Long = 10 * 60 * 1000L): Int = {
-    val referenced = log.versions.flatMap(v => log.snapshotFiles(v).map(_.path)).toSet
+    val versionsAtStart = log.versions
+    val referenced = versionsAtStart.flatMap(v => log.snapshotFiles(v).map(_.path)).toSet
     val dataRoot = Paths.get(root, "data")
     if (!Files.isDirectory(dataRoot)) return 0
     val cutoff = System.currentTimeMillis() - graceMs
@@ -925,19 +985,22 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       }
     } finally walk.close()
     if (candidates.isEmpty) return 0
-    // RE-validate against the log as of NOW, immediately before
-    // deleting: a publish that committed while the walk ran would
-    // otherwise lose its freshly-referenced staged files to the walk's
-    // stale snapshot. A publish landing inside the tiny re-read->delete
-    // window remains possible — the grace period is the real defense
-    // for in-flight staging (same contract as in-flight creates), and
-    // publishStaged's post-commit existence check catches the
-    // pre-commit half of that interleaving loudly.
-    val referencedNow = log.versions.flatMap(v => log.snapshotFiles(v).map(_.path)).toSet
+    // RE-validate against commits that landed DURING the walk,
+    // immediately before deleting: a publish that committed while the
+    // walk ran would otherwise lose its freshly-referenced staged files
+    // to the walk's stale snapshot. Only the NEW commits' added paths
+    // need reading (a commit can only reference files it adds — O(new
+    // commits), not a full O(versions) log replay). A publish landing
+    // inside the tiny re-read->delete window remains possible — the
+    // grace period is the real defense for in-flight staging (same
+    // contract as in-flight creates), and publishStaged's post-commit
+    // existence check catches the pre-commit half of that interleaving.
+    val newlyAdded = log.versions.filterNot(versionsAtStart.toSet)
+      .flatMap(v => log.read(v).added.map(_.path)).toSet
     var removed = 0
     candidates.foreach { p =>
       val rel = Paths.get(root).relativize(p).toString
-      if (!referencedNow.contains(rel) && Files.deleteIfExists(p)) removed += 1
+      if (!newlyAdded.contains(rel) && Files.deleteIfExists(p)) removed += 1
     }
     removed
   }

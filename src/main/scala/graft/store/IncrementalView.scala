@@ -65,29 +65,26 @@ object IncrementalView {
     val newestTo = tLog.versions.reverseIterator
       .map(v => tLog.read(v).op).find(isRefreshLabel).map(labelTo)
     newestTo.filter(_ > last) match {
-      case Some(to) =>
-        advanceWatermark(target, tLog, to)
-        return if (to >= head) Refresh(last, to, appended = false)
-               else refresh(src, target, transform) // continue from `to`
+      case Some(to) => return adopt(src, target, transform, last, head, to)
       case None => ()
     }
 
     // Append-or-diff dispatch from commit METADATA — the in-range
     // commits' file shapes, never op-name conventions: a commit is
-    // append-shaped iff it removes nothing and is not a snapshot reset
-    // ("overwrite" carries empty `removed` but clears the file set).
-    // This matters for CHAINED views: a mid-tier diff refresh commits
-    // an `incr-refresh:` label WITH removed files; classifying labels
-    // as appends by name would make the downstream view re-append every
+    // append-shaped iff it removes nothing, is not a snapshot reset
+    // ("overwrite"/"create" carry empty `removed` but clear the file
+    // set in log replay), and did not change the schema. This matters
+    // for CHAINED views: a mid-tier diff refresh commits an
+    // `incr-refresh:` label WITH removed files; classifying labels as
+    // appends by name would make the downstream view re-append every
     // surviving row of the rewritten victims. DML / compaction /
-    // rollbacks take the CDC-diff path below instead of throwing.
+    // rollbacks / schema evolution take the CDC-diff path below
+    // instead of throwing.
     val srcLog = GraftTable.logOf(src)
     val inRange = srcLog.versions.filter(v => v > last && v <= head).map(srcLog.read)
-    // "create" resets the live set exactly like "overwrite" in the log
-    // replay — keep the predicate symmetric so a hypothetical
-    // mid-history create could never classify as a pure append; today
-    // create only ever appears as version 1 (the last == 0 base case)
-    val appendShaped = inRange.forall(c =>
+    val schemaChanged = last > 0L &&
+      srcLog.schemaJsonAt(last) != srcLog.schemaJsonAt(head)
+    val appendShaped = !schemaChanged && inRange.forall(c =>
       (c.removed.isEmpty && c.op != "overwrite" && c.op != "create") ||
         (last == 0L && c.op == "create"))
     if (!appendShaped) return refreshViaDiff(src, target, transform, last, head)
@@ -108,15 +105,22 @@ object IncrementalView {
       // winner's covered bound.
       val (v, appended) = target.appendAsOnce(label(last, head), transform(newRows),
         isRefreshLabel, op => labelTo(op) > last)
-      if (!appended) {
-        val to = labelTo(target.commitInfo(v).op)
-        advanceWatermark(target, tLog, to)
-        return if (to >= head) Refresh(last, to, appended = false)
-               else refresh(src, target, transform) // continue from `to`
-      }
+      if (!appended)
+        return adopt(src, target, transform, last, head, labelTo(target.commitInfo(v).op))
     }
     advanceWatermark(target, tLog, head)
     Refresh(last, head, appended = newPaths.nonEmpty)
+  }
+
+  /** A refresh covering past `last` already landed (crash replay or a
+    * racing refresher won): advance the watermark to its bound and
+    * either finish or continue from there. */
+  private def adopt(src: GraftTable, target: GraftTable,
+                    transform: DataFrame => DataFrame,
+                    last: Long, head: Long, to: Long): Refresh = {
+    advanceWatermark(target, GraftTable.logOf(target), to)
+    if (to >= head) Refresh(last, to, appended = false)
+    else refresh(src, target, transform) // continue from `to`
   }
 
   /** DIFF path: the source advanced by row-level DML (or compaction /
@@ -142,12 +146,8 @@ object IncrementalView {
     val del = transform(diff.filter(col("_change_type") === "delete").drop("_change_type"))
     val (v, applied) = target.replaceRowsAs(label(last, head), del, ins,
       isRefreshLabel, op => labelTo(op) > last)
-    if (!applied) {
-      val to = labelTo(target.commitInfo(v).op)
-      advanceWatermark(target, GraftTable.logOf(target), to)
-      return if (to >= head) Refresh(last, to, appended = false)
-             else refresh(src, target, transform)
-    }
+    if (!applied)
+      return adopt(src, target, transform, last, head, labelTo(target.commitInfo(v).op))
     advanceWatermark(target, GraftTable.logOf(target), head)
     Refresh(last, head, appended = true)
   }

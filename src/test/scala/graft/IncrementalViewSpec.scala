@@ -130,6 +130,45 @@ class IncrementalViewSpec extends SparkSpec {
     assert(target.read().select("id").as[Long].collect().sorted.toSeq == Seq(2L, 6L))
   }
 
+  test("source schema evolution routes to the diff path, not a confusing append failure") {
+    val src = GraftTable.create(spark, fresh("iv_src11"),
+      Seq((2L, "a")).toDF("id", "v"))
+    val target = GraftTable.create(spark, fresh("iv_tgt11"), xf(src.read().limit(0)))
+    IncrementalView.refresh(src, target, xf)
+    // rename v -> w, then append under the new schema; the transform
+    // still reads 'v', so the refresh must fail with the TRANSFORM's
+    // clear analysis error (diff path), not the append path's internal
+    // 'unknown column w' alignment dead-end
+    src.renameColumn("v", "w")
+    src.append(Seq((4L, "bb")).toDF("id", "w"))
+    val e = intercept[Exception](IncrementalView.refresh(src, target, xf))
+    assert(e.getMessage.contains("v"), e.getMessage) // names the missing column
+    // a schema-aware transform flows through the diff path fine
+    val xf2: DataFrame => DataFrame =
+      df => df.filter(col("id") % 2 === 0).selectExpr("id", "w AS v", "length(w) AS n")
+    val r = IncrementalView.refresh(src, target, xf2)
+    assert(r.appended)
+    assert(target.read().select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+  }
+
+  test("nondeterministic transform fails loudly on the diff path (no phantom rows)") {
+    val src = GraftTable.create(spark, fresh("iv_src12"),
+      Seq((2L, "a"), (4L, "bb")).toDF("id", "v"))
+    // rand() makes re-derivation never match what was written
+    val bad: DataFrame => DataFrame =
+      df => df.selectExpr("id", "v", "CAST(rand() * 1e9 AS INT) AS n")
+    val target = GraftTable.create(spark, fresh("iv_tgt12"), bad(src.read().limit(0)))
+    IncrementalView.refresh(src, target, bad)
+    src.delete(col("id") === 2L)
+    val e = intercept[IllegalStateException](IncrementalView.refresh(src, target, bad))
+    assert(e.getMessage.contains("fullRefresh"), e.getMessage)
+    // nothing was committed by the failed refresh
+    assert(target.read().count() == 2)
+    // and fullRefresh recovers
+    IncrementalView.fullRefresh(src, target, bad)
+    assert(target.read().select("id").as[Long].collect().toSeq == Seq(4L))
+  }
+
   test("fullRefresh remains the escape hatch and re-arms the loop") {
     val src = GraftTable.create(spark, fresh("iv_src8"),
       Seq((1L, "a"), (2L, "bb")).toDF("id", "v"))

@@ -435,6 +435,26 @@ class StoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.renameColumn("id", "label"))
   }
 
+  test("concurrent ADD COLUMNs both land with distinct field ids") {
+    // code-review r5 finding: the schema payload must be rebuilt inside
+    // the commit loop — a stale retry would drop the winner's column or
+    // mint a duplicate field id (binding one column's name to the
+    // other's bytes under id resolution)
+    val t = GraftTable.create(spark, freshRoot,
+      Seq((1L, "x")).toDF("id", "v"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val adders = Seq("a1", "a2", "a3", "a4").map { n =>
+      Future(t.addColumn(n, org.apache.spark.sql.types.StringType))
+    }
+    Await.result(Future.sequence(adders), 60.seconds)
+    val sch = t.schema
+    assert(sch.fieldNames.toSet == Set("id", "v", "a1", "a2", "a3", "a4"), sch.fieldNames.toSeq)
+    val ids = sch.fields.map(f => f.metadata.getLong("parquet.field.id"))
+    assert(ids.distinct.length == ids.length, s"duplicate field ids: ${ids.toSeq}")
+  }
+
   test("CDC across a rename matches columns by field id, not name") {
     val t = GraftTable.create(spark, freshRoot,
       Seq((1L, "a"), (2L, "b")).toDF("id", "v"))          // v1

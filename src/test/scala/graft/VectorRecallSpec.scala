@@ -9,6 +9,7 @@ package graft
   * bounds below are tight-but-safe floors, not flaky estimates.
   */
 class VectorRecallSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.{col, max}
 
   private val dir = sf("sf0.01")
   private def q(name: String) = SparkEntry.queries(name)(spark, dir)
@@ -28,6 +29,36 @@ class VectorRecallSpec extends SparkSpec {
     assert(recall >= 0.55,
       f"v04 recall $recall%.3f below the documented floor 0.55 " +
         "(16-bit hyperplane signatures, 4 bands x 4 bits)")
+  }
+
+  test("LSH geometry is parametric and wider bands cut bucket saturation") {
+    import graft.operators.VectorOps
+    // the pinned entry IS the parametric operator at (16, 4) — one code
+    // path, so the oracle-checked geometry and the production-tunable
+    // one can never drift
+    val entryPairs = q("v04_ann_lsh").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val paramPairs = VectorOps.annPairs(spark, dir, nPlanes = 16, bandBits = 4, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(paramPairs == entryPairs)
+    // the 10x bench measured the 4-bit geometry saturating (BENCH_SF1:
+    // 16 bucket values per band -> quadratic candidate growth). The
+    // lever: more bits per band. 8-bit bands over 64 planes keep 8
+    // bands (recall knob) while multiplying bucket values x16 — max
+    // occupancy must drop, and with it the within-bucket pair count.
+    def maxOcc(nPlanes: Int, bits: Int): Long =
+      VectorOps.bandOccupancy(spark, dir, nPlanes, bits)
+        .agg(max(col("count"))).head().getLong(0)
+    val narrow = maxOcc(16, 4)
+    val wide = maxOcc(64, 8)
+    info(s"max band-bucket occupancy: 4-bit=$narrow, 8-bit=$wide")
+    assert(wide < narrow / 2,
+      s"8-bit bands should cut max occupancy well below 4-bit ($wide vs $narrow)")
+    // exact verification holds at ANY geometry: no false positives
+    val exact = q("v01_cosine_pairs").select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val widePairs = VectorOps.annPairs(spark, dir, 64, 8, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(widePairs.subsetOf(exact), (widePairs -- exact).take(5))
   }
 
   test("v05 IVF top-k: recall@3 floor vs an independent exact computation") {
