@@ -272,7 +272,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(SystemNs))
-      Array("optimize", "vacuum", "create_ref").map(Identifier.of(SystemNs, _))
+      Array("optimize", "vacuum", "create_ref", "rollback").map(Identifier.of(SystemNs, _))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -282,6 +282,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
       case "optimize" => new OptimizeProcedure
       case "vacuum" => new VacuumProcedure
       case "create_ref" => new CreateRefProcedure
+      case "rollback" => new RollbackProcedure
       case other => throw new UnsupportedOperationException(s"no procedure $other")
     }
   }
@@ -360,6 +361,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
     override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
       val removed = tableByName(input.getUTF8String(0).toString).vacuum(input.getLong(1))
       resultScan(StructType(Seq(StructField("removed_files", IntegerType))), InternalRow(removed))
+    }
+  }
+
+  /** `CALL c.system.rollback(table, version)` — Iceberg
+    * rollback_to_snapshot / Delta RESTORE: one metadata commit
+    * re-publishing the target snapshot's file set (O(1) at any size;
+    * history stays time-travelable — see GraftTable.rollback). */
+  private final class RollbackProcedure extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "restore the table to an earlier snapshot in one metadata commit"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", org.apache.spark.sql.types.StringType).build(),
+      ProcedureParameter.in("version", LongType).build())
+    override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val t = tableByName(input.getUTF8String(0).toString)
+      val v = t.rollback(input.getLong(1))
+      resultScan(
+        StructType(Seq(StructField("restored_to", LongType), StructField("version", LongType))),
+        InternalRow(input.getLong(1), v))
     }
   }
 

@@ -157,6 +157,35 @@ object GraftFunctions {
         .queryExecution.logical
     },
 
+    // Commit history as a relation (Iceberg `t.history` / Delta
+    // DESCRIBE HISTORY parity at the SQL level) — metadata-only, one
+    // O(1) log read per commit:
+    //   graft_table_history('<root>')
+    "graft_table_history" -> { exprs: Seq[Expression] =>
+      val spark = SparkSession.active
+      require(exprs.length == 1, "graft_table_history(path)")
+      val path = exprs.head match {
+        case Literal(s, org.apache.spark.sql.types.StringType) => String.valueOf(s)
+        case other => throw new IllegalArgumentException(
+          s"graft_table_history path must be a string literal, got $other")
+      }
+      val t = graft.store.GraftTable.load(spark, path)
+      val rows = t.history.map(c => org.apache.spark.sql.Row(
+        c.version, c.parent, c.op,
+        c.added.size, c.added.map(_.rows).sum, c.removed.size,
+        new java.sql.Timestamp(c.timestampMs)))
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("parent", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_added_files", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_added_rows", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_removed_files", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("committed_at", org.apache.spark.sql.types.TimestampType)))
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, sch).queryExecution.logical
+    },
+
     // SQL-level row-pattern matching (Trino exposes MATCH_RECOGNIZE as
     // SQL; we expose the same matcher TVF-style since Spark's parser
     // has no MATCH_RECOGNIZE clause):

@@ -766,6 +766,24 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       .unionByName(before.exceptAll(after).withColumn("_change_type", lit("delete")))
   }
 
+  /** ROLLBACK/RESTORE to an earlier snapshot (Iceberg
+    * rollback_to_snapshot / Delta RESTORE / Nessie branch reset
+    * parity): ONE metadata commit re-publishing snapshot `toVersion`'s
+    * exact file set and schema — no data is read or copied, O(1) at
+    * any table size. History is preserved: the rolled-back-over
+    * versions stay time-travelable, and the rollback itself is a new
+    * version (so a rollback can be rolled back). The restored files
+    * are referenced by the old snapshot already, so vacuum never
+    * raced them. */
+  def rollback(toVersion: Long): Long = {
+    val head = currentVersion
+    require(toVersion > 0 && toVersion <= head,
+      s"rollback target $toVersion out of range (1..$head)")
+    if (toVersion == head) return head
+    commitRetry("overwrite", log.snapshotFiles(toVersion), Nil,
+      schemaAt(toVersion).json)
+  }
+
   /** Compact small files into ~targetFileMB outputs (OPTIMIZE).
     *
     * `clusterBy` additionally range-partitions and sorts the rewrite on

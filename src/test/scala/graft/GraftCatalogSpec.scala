@@ -314,6 +314,34 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("db.table"), e.getMessage)
   }
 
+  test("CALL rollback restores a snapshot in one metadata commit; history TVF reads it") {
+    sql("CREATE NAMESPACE gcat.db20")
+    sql("CREATE TABLE gcat.db20.t (id BIGINT)")
+    sql("INSERT INTO gcat.db20.t VALUES (1), (2)") // v2
+    sql("INSERT INTO gcat.db20.t VALUES (3)")      // v3
+    sql("DELETE FROM gcat.db20.t WHERE id = 1")    // v4
+    assert(sql("SELECT count(*) AS n FROM gcat.db20.t").head().getLong(0) == 2)
+    val out = sql("CALL gcat.system.rollback('db20.t', 2)").collect()
+    assert(out.head.getLong(0) == 2L)
+    // restored to the v2 state; rolled-over versions remain travelable
+    assert(sql("SELECT count(*) AS n FROM gcat.db20.t").head().getLong(0) == 2)
+    assert(sql("SELECT sum(id) AS s FROM gcat.db20.t").head().getLong(0) == 3) // {1,2}
+    assert(sql("SELECT count(*) AS n FROM gcat.db20.t VERSION AS OF 4").head().getLong(0) == 2)
+    assert(sql("SELECT sum(id) AS s FROM gcat.db20.t VERSION AS OF 3").head().getLong(0) == 6)
+    // the rollback touched no data files (pure metadata commit)
+    val gt = GraftTable.load(spark, s"$warehouse/db20/t")
+    assert(gt.history.last.op == "overwrite")
+    assert(gt.history.last.added.map(_.path).toSet
+      == gt.commitInfo(2).added.map(_.path).toSet ++ gt.commitInfo(1).added.map(_.path).toSet)
+    // history surface through SQL (Iceberg t.history parity)
+    graft.functions.GraftFunctions.register(spark)
+    val hist = spark.sql(
+      s"SELECT version, op FROM graft_table_history('$warehouse/db20/t') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L), hist)
+    assert(hist.last._2 == "overwrite")
+  }
+
   test("concurrent SQL INSERTs race through optimistic commits, none lost") {
     sql("CREATE NAMESPACE gcat.db10")
     sql("CREATE TABLE gcat.db10.t (id BIGINT, src STRING)")
