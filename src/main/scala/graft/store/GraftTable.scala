@@ -558,7 +558,13 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * Copy-on-write on the matched files only; the not-matched-insert
     * side is ONE anti-join against the full target.
     */
-  def merge(source: DataFrame, keyCols: Seq[String]): Long = {
+  def merge(source: DataFrame, keyCols: Seq[String]): Long =
+    merge(source, keyCols, "merge")
+
+  /** As [[merge]], with a caller-chosen commit label — the idempotence
+    * hook for streaming upsert sinks (the label records the batch id,
+    * exactly like [[appendAs]] for append sinks). */
+  private[graft] def merge(source: DataFrame, keyCols: Seq[String], op: String): Long = {
     val base = currentVersion
     val sch = schema
     val tgt = read(asOfVersion = Some(base))
@@ -591,7 +597,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       }
     val inserts = srcK.join(tgt.select(keyIn: _*).distinct(), keyCols, "left_anti")
     val toWrite = (updatedVictims.toSeq :+ inserts).reduce(_ unionByName _)
-    commitRetry("merge", writeFiles(toWrite), victims, sch.json, basedOn = base)
+    commitRetry(op, writeFiles(toWrite), victims, sch.json, basedOn = base)
   }
 
   /** General MERGE with ordered WHEN clauses — the engine behind SQL

@@ -364,4 +364,65 @@ object EventStream {
       }
       .start()
   }
+
+  /** UPSERT a stream into a versioned GraftTable: each micro-batch is
+    * one atomic copy-on-write MERGE commit keyed on `keyCols` — CDC
+    * ingestion into the snapshot layer (the Iceberg `MERGE INTO` +
+    * structured-streaming loop walden's stack hand-assembles). Matched
+    * keys take the batch's row; new keys insert; every snapshot stays
+    * time-travelable.
+    *
+    * In-batch key collisions resolve by `sequenceCol` when given
+    * (highest sequence wins — the CDC "latest change" rule; ties break
+    * unspecified) — otherwise duplicate keys in one batch fail loudly
+    * (the store's merge cardinality check).
+    *
+    * Exactly-once mirrors [[writeGraftTable]]: each merge commit
+    * carries a (sink, batchId) label; a crash between the table commit
+    * and the checkpoint replays the batch, which finds its label at or
+    * below the seeded high-water mark and skips. Merge commits REMOVE
+    * files, which is fine for the mark: labels are still monotone in
+    * batchId along the history. */
+  def upsertGraftTable(df: DataFrame, table: graft.store.GraftTable,
+                       keyCols: Seq[String], checkpointDir: String,
+                       sequenceCol: Option[String] = None,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val sinkId = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(checkpointDir.getBytes("UTF-8"))
+      d.take(8).map(b => f"$b%02x").mkString
+    }
+    val prefix = s"stream-merge:$sinkId:"
+    val seen = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val seeded = new java.util.concurrent.atomic.AtomicBoolean(false)
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!seeded.getAndSet(true)) {
+          val high = table.history.iterator
+            .flatMap(c => if (c.op.startsWith(prefix))
+              Some(c.op.stripPrefix(prefix).toLong) else None)
+            .foldLeft(-1L)(math.max)
+          seen.set(high)
+        }
+        if (batchId > seen.get() && !batch.isEmpty) {
+          val src = sequenceCol match {
+            case None => batch
+            case Some(seq) =>
+              // latest-per-key within the batch: one window over the
+              // BATCH (bounded by trigger size, never the table)
+              import org.apache.spark.sql.expressions.Window
+              batch.withColumn("__rn", row_number().over(
+                  Window.partitionBy(keyCols.map(col): _*).orderBy(col(seq).desc)))
+                .filter(col("__rn") === 1).drop("__rn")
+          }
+          table.merge(src, keyCols, s"$prefix$batchId")
+          seen.set(math.max(seen.get(), batchId))
+        }
+      }
+      .start()
+  }
 }

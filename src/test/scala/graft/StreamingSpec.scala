@@ -75,6 +75,41 @@ class StreamingSpec extends SparkSpec {
     assert(appends.map(_.op).distinct.size == 2)
   }
 
+  test("stream UPSERTS into a GraftTable: per-batch merge commits, latest-per-key") {
+    val landing = Files.createTempDirectory("graft_landing_up").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_up").toString
+    val troot = Files.createTempDirectory("graft_up").resolve("t").toString
+    // batch 1 (one file): keys 1,2; batch 2: update key 2 (twice — the
+    // higher seq must win) + insert key 3
+    Seq((1L, "a", 10L), (2L, "b", 11L)).toDF("id", "v", "seq")
+      .coalesce(1).write.mode("append").parquet(landing)
+    Seq((2L, "b2", 20L), (2L, "b3", 21L), (3L, "c", 22L)).toDF("id", "v", "seq")
+      .coalesce(1).write.mode("append").parquet(landing)
+
+    val table = graft.store.GraftTable.create(spark, troot,
+      Seq.empty[(Long, String, Long)].toDF("id", "v", "seq"))
+    val src = spark.readStream.schema("id LONG, v STRING, seq LONG")
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = EventStream.upsertGraftTable(src, table, Seq("id"), ckpt,
+      sequenceCol = Some("seq"))
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+
+    val got = table.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b3"), (3L, "c")), got)
+    // one labeled merge commit per micro-batch; snapshots time-travel
+    val merges = table.history.filter(_.op.startsWith("stream-merge:"))
+    assert(merges.size == 2, table.history.map(_.op))
+    assert(table.read(asOfVersion = Some(merges.head.version)).count() == 2)
+    // restarting the drained stream replays nothing (labels seed the mark)
+    val q2 = EventStream.upsertGraftTable(
+      spark.readStream.schema("id LONG, v STRING, seq LONG")
+        .option("maxFilesPerTrigger", 1).parquet(landing),
+      table, Seq("id"), ckpt, sequenceCol = Some("seq"))
+    assert(q2.awaitTermination(240000))
+    assert(table.history.count(_.op.startsWith("stream-merge:")) == 2)
+  }
+
   test("sessionization (batch twin over the stateful op's input shape)") {
     // 3 events within gap, 30+min hole, then 2 more -> 2 sessions
     val base = 1700000000000000000L
