@@ -116,7 +116,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * overwrite carrying zero files). Never scans data — `TRUNCATE
     * TABLE` on a 100 TB table is O(1); history/time travel keep the
     * pre-truncate snapshots. */
-  def truncate(): Long = commitRetry("overwrite", Nil, Nil, schema.json)
+  def truncate(): Long = commitRetry("overwrite", Nil, Nil, InheritSchema(schema.json))
 
   /** Snapshot read (optionally time-travel to `asOfVersion` or a named
     * branch/tag), with file-level stats pruning for `filters`. The
@@ -261,6 +261,26 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   private def newestCommitIn(domain: String => Boolean): Option[Commit] =
     log.versions.reverseIterator.map(log.read).find(c => domain(c.op))
 
+  /** What schema a commit publishes — and, critically, what happens
+    * when a schema-evolution commit lands BETWEEN an operation reading
+    * the schema and its tryCommit. A retry must never replay a captured
+    * pre-DDL schema json: that would silently drop the racer's new
+    * column from the head (and its name is then permanently retired).
+    *  - [[PinSchema]]: the op IS a schema change (altschema, rollback) —
+    *    publish exactly this json.
+    *  - [[InheritSchema]]: additive data commits (appends, overwrite) —
+    *    re-read the PARENT's schema on every attempt; the op's files
+    *    simply predate any concurrently-added column (read as NULL by
+    *    name/id, like any pre-evolution file).
+    *  - [[SameSchema]]: victim-rewriting DML — a concurrent schema
+    *    change means the rewrite was computed under a stale column set
+    *    (a concurrently-added column's values in victim files would be
+    *    silently dropped), so drift fails loudly like a file conflict. */
+  private sealed trait SchemaMode { def captured: String }
+  private final case class PinSchema(captured: String) extends SchemaMode
+  private final case class InheritSchema(captured: String) extends SchemaMode
+  private final case class SameSchema(captured: String) extends SchemaMode
+
   /** THE commit loop (single implementation — append, DML, dedup'd
     * variants all land here). Retries on version races. Returns
     * (version, applied).
@@ -285,7 +305,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * must (IncrementalView's contiguous watermark ranges satisfy this:
     * any overlap implies the newest range overlaps). */
   private def commitOnce(op: String, added: Seq[FileStat], removed: Seq[String],
-                         schemaJson: String, basedOn: Long,
+                         schema: SchemaMode, basedOn: Long,
                          dedup: Option[(String => Boolean, String => Boolean)]): (Long, Boolean) = {
     var attempts = 0
     while (attempts < 20) {
@@ -307,6 +327,17 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
               s"${gone.mkString(",")} were rewritten after version $basedOn; " +
               "re-run the operation on the current snapshot")
       }
+      val schemaJson = schema match {
+        case PinSchema(j) => j
+        case InheritSchema(j) => if (parent == 0L) j else log.schemaJsonAt(parent)
+        case SameSchema(j) =>
+          val now = if (parent == 0L) j else log.schemaJsonAt(parent)
+          if (now != j)
+            throw new java.util.ConcurrentModificationException(
+              s"$op@$root conflicts with a concurrent schema change: the rewrite " +
+                "was computed under a stale column set; re-run on the current snapshot")
+          j
+      }
       val next = parent + 1
       val c = Commit(next, parent, op, added, removed, schemaJson, System.currentTimeMillis())
       if (log.tryCommit(c)) {
@@ -318,12 +349,12 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     throw new IllegalStateException(s"commit conflict not resolved after $attempts attempts: $root")
   }
 
-  private def commitRetry(op: String, added: Seq[FileStat], removed: Seq[String],
-                          schemaJson: String, basedOn: Long = -1L): Long =
-    commitOnce(op, added, removed, schemaJson, basedOn, None)._1
-
   /** Map absolute scanned file names back to commit-log-relative paths
     * (file names are UUID-part-named — unique per table). */
+  private def commitRetry(op: String, added: Seq[FileStat], removed: Seq[String],
+                          schema: SchemaMode, basedOn: Long = -1L): Long =
+    commitOnce(op, added, removed, schema, basedOn, None)._1
+
   private def victimPaths(hitAbs: Seq[String], live: Seq[FileStat]): Seq[String] = {
     val byName = live.map(f => f.path.split('/').last -> f.path).toMap
     hitAbs.flatMap(a => byName.get(a.substring(a.lastIndexOf('/') + 1)))
@@ -344,7 +375,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   }
 
   def append(df: DataFrame): Long =
-    commitRetry("append", writeFiles(aligned(df)), Nil, schema.json)
+    commitRetry("append", writeFiles(aligned(df)), Nil, InheritSchema(schema.json))
 
   // ------------------------------------------------------------------
   // write-audit-publish (WAP)
@@ -397,10 +428,10 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     require(gone.isEmpty,
       s"staged file(s) vanished before publish (vacuum grace shorter than the " +
         s"audit?): ${gone.take(3).mkString(",")}")
-    val v = commitRetry("publish", staged.flatMap(_.files), Nil, schema.json)
+    val v = commitRetry("publish", staged.flatMap(_.files), Nil, InheritSchema(schema.json))
     val gone2 = paths.filterNot(p => Files.exists(Paths.get(root, p)))
     if (gone2.nonEmpty) {
-      commitRetry("publish-rollback", Nil, paths, schema.json)
+      commitRetry("publish-rollback", Nil, paths, InheritSchema(schema.json))
       throw new IllegalStateException(
         s"staged file(s) vanished during publish (vacuum raced the commit); " +
           s"publish $v rolled back: ${gone2.take(3).mkString(",")}")
@@ -420,7 +451,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * hook for streaming sinks: a replayed micro-batch re-presents the
     * same label, the sink sees it in `history`, and skips. */
   private[graft] def appendAs(op: String, df: DataFrame): Long =
-    commitRetry(op, writeFiles(aligned(df)), Nil, schema.json)
+    commitRetry(op, writeFiles(aligned(df)), Nil, InheritSchema(schema.json))
 
   /** Exactly-once labeled append: commit `df` under `op` UNLESS the
     * newest commit in `domain` satisfies `conflicts` — then skip,
@@ -435,12 +466,12 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       case Some(c) => return (c.version, false) // fast path: skip before writing
       case None => ()
     }
-    commitOnce(op, writeFiles(aligned(df)), Nil, schema.json, -1L,
+    commitOnce(op, writeFiles(aligned(df)), Nil, InheritSchema(schema.json), -1L,
       Some((domain, conflicts)))
   }
 
   def overwrite(df: DataFrame): Long =
-    commitRetry("overwrite", writeFiles(aligned(df)), Nil, schema.json)
+    commitRetry("overwrite", writeFiles(aligned(df)), Nil, InheritSchema(schema.json))
 
   /** Labeled, exactly-once MULTISET replace: remove one target-row
     * instance per `deletes` row (null-safe equality on every column),
@@ -479,6 +510,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val del = aligned(deletes).persist()
     try {
       val delCount = del.count()
+      val live = log.snapshotFiles(base)
       val victims: Seq[String] =
         if (delCount == 0) Nil
         else {
@@ -488,13 +520,13 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
           val hitAbs = tgt.withColumn("__f", input_file_name())
             .join(delP, joinCond, "left_semi")
             .select("__f").distinct().collect().map(_.getString(0))
-          victimPaths(hitAbs.toSeq, log.snapshotFiles(base))
+          victimPaths(hitAbs.toSeq, live)
         }
       val survivorFiles =
         if (victims.isEmpty) Nil
         else writeFiles(readData(victims.map(p => s"$root/$p"), sch).exceptAll(del))
-      val victimRows = log.snapshotFiles(base)
-        .filter(f => victims.contains(f.path)).map(_.rows).sum
+      val victimSet = victims.toSet
+      val victimRows = live.filter(f => victimSet(f.path)).map(_.rows).sum
       val matched = victimRows - survivorFiles.map(_.rows).sum
       if (matched != delCount) {
         survivorFiles.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
@@ -505,7 +537,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
             "run fullRefresh to rebuild")
       }
       val insertFiles = writeFiles(aligned(inserts))
-      commitOnce(op, survivorFiles ++ insertFiles, victims, sch.json, base,
+      commitOnce(op, survivorFiles ++ insertFiles, victims, SameSchema(sch.json), base,
         Some((domain, conflicts)))
     } finally del.unpersist()
   }
@@ -537,7 +569,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val survivors = readData(victims.map(p => s"$root/$p"), sch)
       .filter(!coalesce(cond, lit(false)))
     val added = if (survivors.isEmpty) Nil else writeFiles(survivors)
-    commitRetry("delete", added, victims, sch.json, basedOn = base)
+    commitRetry("delete", added, victims, SameSchema(sch.json), basedOn = base)
   }
 
   def update(cond: Column, set: Map[String, Column]): Long = {
@@ -550,7 +582,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         .map(v => when(cond, v.cast(sch(n).dataType)).otherwise(col(n)).as(n))
         .getOrElse(col(n))
     }.toIndexedSeq: _*)
-    commitRetry("update", writeFiles(rewritten), victims, sch.json, basedOn = base)
+    commitRetry("update", writeFiles(rewritten), victims, SameSchema(sch.json), basedOn = base)
   }
 
   /** MERGE keyed on equality of `keyCols`: matched target rows take the
@@ -597,7 +629,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       }
     val inserts = srcK.join(tgt.select(keyIn: _*).distinct(), keyCols, "left_anti")
     val toWrite = (updatedVictims.toSeq :+ inserts).reduce(_ unionByName _)
-    commitRetry(op, writeFiles(toWrite), victims, sch.json, basedOn = base)
+    commitRetry(op, writeFiles(toWrite), victims, SameSchema(sch.json), basedOn = base)
   }
 
   /** General MERGE with ordered WHEN clauses — the engine behind SQL
@@ -630,7 +662,16 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * operation's semantics, not an implementation shortcut. */
   def mergeInto(source: DataFrame, condition: Column,
                 matched: Seq[MergeWhen], notMatched: Seq[MergeWhen],
-                notMatchedBySource: Seq[MergeWhen] = Nil): Long = {
+                notMatchedBySource: Seq[MergeWhen] = Nil): Long =
+    mergeInto(source, condition, matched, notMatched, notMatchedBySource, "merge")
+
+  /** As the public [[mergeInto]], with a caller-chosen commit label
+    * (streaming upsert sinks record the batch id — same hook as
+    * [[appendAs]]). */
+  private[graft] def mergeInto(source: DataFrame, condition: Column,
+                               matched: Seq[MergeWhen], notMatched: Seq[MergeWhen],
+                               notMatchedBySource: Seq[MergeWhen],
+                               op: String): Long = {
     import GraftTable.MergeSourcePrefix
     val base = currentVersion
     val sch = schema
@@ -721,7 +762,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     if (parts.isEmpty) return base
     val added = writeFiles(parts.reduce(_ unionByName _))
     if (added.isEmpty && victims.isEmpty) return base // nothing to change
-    commitRetry("merge", added, victims, sch.json, basedOn = base)
+    commitRetry(op, added, victims, SameSchema(sch.json), basedOn = base)
   }
 
   /** Row-level changes between two snapshots (CDC — Delta "change data
@@ -787,7 +828,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       s"rollback target $toVersion out of range (1..$head)")
     if (toVersion == head) return head
     commitRetry("overwrite", log.snapshotFiles(toVersion), Nil,
-      schemaAt(toVersion).json)
+      PinSchema(schemaAt(toVersion).json))
   }
 
   /** Compact small files into ~targetFileMB outputs (OPTIMIZE).
@@ -867,7 +908,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       else if (clusterBy.isEmpty) data.repartition(n)
       else data.repartitionByRange(n, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    commitRetry("compact", writeFiles(df), files.map(_.path), sch.json, basedOn = base)
+    commitRetry("compact", writeFiles(df), files.map(_.path), SameSchema(sch.json), basedOn = base)
   }
 
   /** Every field id ever assigned in this table's history — the
@@ -1163,5 +1204,5 @@ object GraftTable {
   /** Test hook: drive commitRetry's conflict validation directly. */
   private[graft] def commitForTest(t: GraftTable, op: String,
       added: Seq[FileStat], removed: Seq[String], basedOn: Long): Long =
-    t.commitRetry(op, added, removed, t.schema.json, basedOn)
+    t.commitRetry(op, added, removed, t.SameSchema(t.schema.json), basedOn)
 }

@@ -323,104 +323,121 @@ object EventStream {
   def writeGraftTable(df: DataFrame, table: graft.store.GraftTable,
                       checkpointDir: String,
                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    // Collision-resistant sink id: two sinks on the same table whose
-    // checkpoint paths collided in 32-bit hashCode would dedupe each
-    // other's (sinkId, batchId) labels and silently drop micro-batches.
-    val sinkId = {
-      val d = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(checkpointDir.getBytes("UTF-8"))
-      d.take(8).map(b => f"$b%02x").mkString
-    }
-    // High-water mark: replays only ever arrive at or below the last
-    // committed batch, so one history scan at (re)start seeds the mark
-    // and steady-state batches skip the O(commits) log replay entirely.
-    val seen = new java.util.concurrent.atomic.AtomicLong(-1L)
-    val seeded = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val prefix = s"stream-append:$sinkId:"
+    val prefix = s"stream-append:${sinkId(checkpointDir)}:"
     // tables written before the SHA-256 sink id carried labels keyed by
     // the checkpoint path's 32-bit hashCode; honor them when seeding or
     // a replayed batch on an upgraded pipeline would append twice
     val legacyPrefix =
       s"stream-append:${java.lang.Integer.toHexString(checkpointDir.hashCode)}:"
+    val mark = new BatchMark(table, Seq(prefix, legacyPrefix))
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!seeded.getAndSet(true)) {
-          val high = table.history.iterator
-            .flatMap(c =>
-              if (c.op.startsWith(prefix)) Some(c.op.stripPrefix(prefix).toLong)
-              else if (c.op.startsWith(legacyPrefix)) Some(c.op.stripPrefix(legacyPrefix).toLong)
-              else None)
-            .foldLeft(-1L)(math.max)
-          seen.set(high)
-        }
-        val alreadyCommitted = batchId <= seen.get()
-        if (!alreadyCommitted && !batch.isEmpty) {
+        if (!mark.alreadyCommitted(batchId) && !batch.isEmpty) {
           table.appendAs(s"$prefix$batchId", batch)
-          seen.set(math.max(seen.get(), batchId))
+          mark.advance(batchId)
         }
       }
       .start()
   }
 
+  /** Collision-resistant sink identity: two sinks on the same table
+    * whose checkpoint paths collided in 32-bit hashCode would dedupe
+    * each other's (sinkId, batchId) labels and silently drop batches. */
+  private def sinkId(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+
+  /** Batch high-water mark for exactly-once sinks: replays only ever
+    * arrive at or below the last committed batch, so ONE history scan
+    * at (re)start seeds the mark and steady-state batches skip the
+    * O(commits) log replay entirely. */
+  private final class BatchMark(table: graft.store.GraftTable, prefixes: Seq[String]) {
+    private val seen = new java.util.concurrent.atomic.AtomicLong(-1L)
+    private val seeded = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def alreadyCommitted(batchId: Long): Boolean = {
+      if (!seeded.getAndSet(true)) {
+        val high = table.history.iterator
+          .flatMap(c => prefixes.collectFirst {
+            case p if c.op.startsWith(p) => c.op.stripPrefix(p).toLong
+          })
+          .foldLeft(-1L)(math.max)
+        seen.set(high)
+      }
+      batchId <= seen.get()
+    }
+    def advance(batchId: Long): Unit =
+      seen.updateAndGet(s => math.max(s, batchId))
+  }
+
   /** UPSERT a stream into a versioned GraftTable: each micro-batch is
     * one atomic copy-on-write MERGE commit keyed on `keyCols` — CDC
     * ingestion into the snapshot layer (the Iceberg `MERGE INTO` +
-    * structured-streaming loop walden's stack hand-assembles). Matched
-    * keys take the batch's row; new keys insert; every snapshot stays
-    * time-travelable.
+    * structured-streaming loop walden's stack hand-assembles). New keys
+    * insert; matched keys take the batch's row, and every snapshot
+    * stays time-travelable.
     *
-    * In-batch key collisions resolve by `sequenceCol` when given
-    * (highest sequence wins — the CDC "latest change" rule; ties break
-    * unspecified) — otherwise duplicate keys in one batch fail loudly
-    * (the store's merge cardinality check).
+    * `sequenceCol` (strongly recommended for CDC) makes ordering a
+    * TABLE-LEVEL guarantee, not a per-batch one: the column must exist
+    * in the table, in-batch collisions keep the highest sequence, and
+    * matched rows update ONLY when the incoming sequence is higher than
+    * the stored one — so a late/backfilled batch can never regress a
+    * newer row (the merge condition compares against the TARGET's
+    * sequence, not just within the batch). Without it, duplicate keys
+    * in one batch fail loudly (merge cardinality check) and matched
+    * keys take the batch's row unconditionally.
     *
     * Exactly-once mirrors [[writeGraftTable]]: each merge commit
     * carries a (sink, batchId) label; a crash between the table commit
     * and the checkpoint replays the batch, which finds its label at or
     * below the seeded high-water mark and skips. Merge commits REMOVE
-    * files, which is fine for the mark: labels are still monotone in
+    * files, which is fine for the mark: labels stay monotone in
     * batchId along the history. */
   def upsertGraftTable(df: DataFrame, table: graft.store.GraftTable,
                        keyCols: Seq[String], checkpointDir: String,
                        sequenceCol: Option[String] = None,
                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
-    val sinkId = {
-      val d = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(checkpointDir.getBytes("UTF-8"))
-      d.take(8).map(b => f"$b%02x").mkString
-    }
-    val prefix = s"stream-merge:$sinkId:"
-    val seen = new java.util.concurrent.atomic.AtomicLong(-1L)
-    val seeded = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sequenceCol.foreach(s => require(table.schema.fieldNames.contains(s),
+      s"sequenceCol '$s' must be a table column (the ordering guarantee " +
+        "compares incoming rows against the STORED sequence)"))
+    val prefix = s"stream-merge:${sinkId(checkpointDir)}:"
+    val mark = new BatchMark(table, Seq(prefix))
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!seeded.getAndSet(true)) {
-          val high = table.history.iterator
-            .flatMap(c => if (c.op.startsWith(prefix))
-              Some(c.op.stripPrefix(prefix).toLong) else None)
-            .foldLeft(-1L)(math.max)
-          seen.set(high)
-        }
-        if (batchId > seen.get() && !batch.isEmpty) {
-          val src = sequenceCol match {
-            case None => batch
+        if (!mark.alreadyCommitted(batchId) && !batch.isEmpty) {
+          sequenceCol match {
+            case None =>
+              table.merge(batch, keyCols, s"$prefix$batchId")
             case Some(seq) =>
-              // latest-per-key within the batch: one window over the
-              // BATCH (bounded by trigger size, never the table)
+              // latest-per-key WITHIN the batch first (one window over
+              // the batch — bounded by trigger size, never the table)
               import org.apache.spark.sql.expressions.Window
-              batch.withColumn("__rn", row_number().over(
+              val rn = Iterator.from(0).map(i => s"__graft_rn$i")
+                .find(n => !batch.columns.contains(n)).get
+              val latest = batch.withColumn(rn, row_number().over(
                   Window.partitionBy(keyCols.map(col): _*).orderBy(col(seq).desc)))
-                .filter(col("__rn") === 1).drop("__rn")
+                .filter(col(rn) === 1).drop(rn)
+              // then a CONDITIONAL merge: update only when the incoming
+              // sequence beats the stored one (late batches skip)
+              val srcPfx = graft.store.GraftTable.MergeSourcePrefix
+              val sch = table.schema
+              val cond = keyCols.map(k => col(k) <=> col(srcPfx + k)).reduce(_ && _)
+              val setAll = sch.fieldNames.map(n => n -> col(srcPfx + n)).toMap
+              table.mergeInto(latest, cond,
+                matched = Seq(graft.store.MergeWhen(
+                  Some(col(srcPfx + seq) > col(seq)), Some(setAll))),
+                notMatched = Seq(graft.store.MergeWhen(None, Some(setAll))),
+                notMatchedBySource = Nil,
+                op = s"$prefix$batchId")
           }
-          table.merge(src, keyCols, s"$prefix$batchId")
-          seen.set(math.max(seen.get(), batchId))
+          mark.advance(batchId)
         }
       }
       .start()

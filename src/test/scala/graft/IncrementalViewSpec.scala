@@ -142,7 +142,9 @@ class IncrementalViewSpec extends SparkSpec {
     src.renameColumn("v", "w")
     src.append(Seq((4L, "bb")).toDF("id", "w"))
     val e = intercept[Exception](IncrementalView.refresh(src, target, xf))
-    assert(e.getMessage.contains("v"), e.getMessage) // names the missing column
+    // the analysis error names the missing column distinctly (backtick
+    // form) — a bare contains("v") would match almost any message
+    assert(e.getMessage.contains("`v`"), e.getMessage)
     // a schema-aware transform flows through the diff path fine
     val xf2: DataFrame => DataFrame =
       df => df.filter(col("id") % 2 === 0).selectExpr("id", "w AS v", "length(w) AS n")

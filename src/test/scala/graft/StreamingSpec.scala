@@ -101,13 +101,51 @@ class StreamingSpec extends SparkSpec {
     val merges = table.history.filter(_.op.startsWith("stream-merge:"))
     assert(merges.size == 2, table.history.map(_.op))
     assert(table.read(asOfVersion = Some(merges.head.version)).count() == 2)
-    // restarting the drained stream replays nothing (labels seed the mark)
+
+    // CRASH REPLAY: simulate dying between the table commit and the
+    // checkpoint commit by deleting the last batch's checkpoint commit
+    // marker — Spark re-runs that batch; the label high-water mark must
+    // skip it (this is the dedup the labels exist for; a plain restart
+    // would test only Spark's own checkpoint)
+    val lastCommit = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(lastCommit.delete())
+    // the local checksum FS keeps a .N.crc sibling; left behind, it
+    // blocks Spark's rename when the batch re-commits the marker
+    new java.io.File(lastCommit.getParentFile, s".${lastCommit.getName}.crc").delete()
     val q2 = EventStream.upsertGraftTable(
       spark.readStream.schema("id LONG, v STRING, seq LONG")
         .option("maxFilesPerTrigger", 1).parquet(landing),
       table, Seq("id"), ckpt, sequenceCol = Some("seq"))
     assert(q2.awaitTermination(240000))
-    assert(table.history.count(_.op.startsWith("stream-merge:")) == 2)
+    assert(table.history.count(_.op.startsWith("stream-merge:")) == 2,
+      table.history.map(_.op))
+    assert(table.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "b3"), (3L, "c")))
+  }
+
+  test("upsert sink: a late batch with an older sequence never regresses a row") {
+    val landing = Files.createTempDirectory("graft_landing_late").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_late").toString
+    val troot = Files.createTempDirectory("graft_late").resolve("t").toString
+    // batch 1: key 1 at seq 20; batch 2 (late/backfilled file): key 1
+    // at seq 10 + a fresh key 2 — the stale update must be SKIPPED
+    // while the insert still flows
+    Seq((1L, "new", 20L)).toDF("id", "v", "seq")
+      .coalesce(1).write.mode("append").parquet(landing)
+    Seq((1L, "stale", 10L), (2L, "x", 11L)).toDF("id", "v", "seq")
+      .coalesce(1).write.mode("append").parquet(landing)
+    val table = graft.store.GraftTable.create(spark, troot,
+      Seq.empty[(Long, String, Long)].toDF("id", "v", "seq"))
+    val q = EventStream.upsertGraftTable(
+      spark.readStream.schema("id LONG, v STRING, seq LONG")
+        .option("maxFilesPerTrigger", 1).parquet(landing),
+      table, Seq("id"), ckpt, sequenceCol = Some("seq"))
+    assert(q.awaitTermination(240000))
+    val got = table.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "new", 20L), (2L, "x", 11L)), got)
   }
 
   test("sessionization (batch twin over the stateful op's input shape)") {
