@@ -68,6 +68,12 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   private def readData(paths: Seq[String], sch: StructType): DataFrame =
     spark.read.schema(sch).format(format).load(paths: _*)
 
+  /** Read specific committed files under this table's root (paths are
+    * commit-log-relative) with field-id resolution — the streaming
+    * source's per-commit-range read path. */
+  private[graft] def readCommittedFiles(paths: Seq[String], sch: StructType): DataFrame =
+    readData(paths.map(p => s"$root/$p"), sch)
+
   // ------------------------------------------------------------------
   // read path
   // ------------------------------------------------------------------

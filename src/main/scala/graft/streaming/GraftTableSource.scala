@@ -1,0 +1,184 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, GraftSparkInternals, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.store.GraftTable
+
+/** `spark.readStream.format("graft-table")` — stream a versioned
+  * GraftTable by COMMIT-LOG OFFSET (the Delta `DeltaSource` / Iceberg
+  * incremental-read analog; walden gets this from Iceberg's streaming
+  * source over the Nessie catalog, `tf/main.tf:94`).
+  *
+  * Offsets are commit versions, so micro-batches align exactly with
+  * commit boundaries: unlike the glob-listing tail
+  * ([[EventStream.readGraftTableStream]]), a file landed by a writer
+  * that crashed before publishing its commit is NEVER read, and
+  * replays are exact (version ranges come from the checkpoint).
+  *
+  * Options:
+  *  - `path` — table root (or pass to `.load(root)`)
+  *  - `cdc` (default false) — emit the per-commit row-level change
+  *    feed instead of appended rows: table columns plus
+  *    `_change_type` ('insert'|'delete'; an update contributes one of
+  *    each) and `_commit_version` (Delta CDF's column names).
+  *    Handles EVERY commit shape — UPDATE/DELETE/MERGE/compaction
+  *    rewrites diff by file algebra ([[GraftTable.changes]]), reading
+  *    only the files each commit touched.
+  *  - `startingVersion` (default 0) — first offset; rows of commits
+  *    `<= startingVersion` are not emitted. `latest` = the head at
+  *    stream start (new commits only).
+  *  - `ignoreChanges` (default false, append mode only) — Delta
+  *    parity: a rewrite commit (UPDATE/DELETE/MERGE/compact/rollback)
+  *    in the range fails the stream loudly unless set, because its
+  *    added files RE-CARRY surviving rows (at-least-once re-emission
+  *    a downstream keyed dedup must absorb). CDC mode never needs it.
+  *  - `maxCommitsPerTrigger` (default unbounded) — bound catch-up
+  *    batch size. Offsets only ever advance by whole commits.
+  *
+  * Scale: batch planning is O(commits in range) metadata reads (no
+  * directory listing, no log replay per trigger — `currentVersion` is
+  * one ref read). Append batches scan exactly the files the range's
+  * commits added; CDC batches scan exactly the files the commits
+  * touched. Schema is pinned at stream start; a batch whose range
+  * crossed an incompatible schema change (rename/drop of a streamed
+  * column) fails loudly with a restart hint — additive columns are
+  * simply not emitted until restart (Delta's contract).
+  */
+final class GraftSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-table"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-table source needs a table root: .option(\"path\", root) or .load(root)"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val t = GraftTable.load(sqlContext.sparkSession, rootOf(parameters))
+    (shortName(), GraftTableSource.streamSchema(t.schema, GraftTableSource.isCdc(parameters)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new GraftTableSource(GraftTable.load(sqlContext.sparkSession, rootOf(parameters)),
+      parameters)
+}
+
+private[streaming] object GraftTableSource {
+  def isCdc(parameters: Map[String, String]): Boolean =
+    parameters.get("cdc").exists(_.toBoolean)
+
+  def streamSchema(table: StructType, cdc: Boolean): StructType =
+    if (!cdc) table
+    else table.add("_change_type", StringType, nullable = false)
+      .add("_commit_version", LongType, nullable = false)
+}
+
+final class GraftTableSource(table: GraftTable, parameters: Map[String, String])
+  extends Source {
+
+  private val cdc = GraftTableSource.isCdc(parameters)
+  private val ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean)
+  private val maxCommits = parameters.get("maxCommitsPerTrigger").map(_.toLong)
+  maxCommits.foreach(m => require(m > 0, s"maxCommitsPerTrigger must be positive, got $m"))
+  private val startingVersion: Long = parameters.get("startingVersion") match {
+    case Some("latest") => table.currentVersion
+    case Some(v) => v.toLong
+    case None => 0L
+  }
+  /** Table schema pinned at stream start — every batch aligns to it. */
+  private val pinned: StructType = table.schema
+
+  override val schema: StructType = GraftTableSource.streamSchema(pinned, cdc)
+
+  /** Highest version handed to the engine — rate limiting resumes from
+    * here, and [[getBatch]]/[[commit]] re-seed it after a restart so a
+    * bounded stream does not ramp up from `startingVersion` again. */
+  private var shown: Long = startingVersion
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] = synchronized {
+    val head = table.currentVersion
+    val next = maxCommits match {
+      case Some(m) => math.min(head, shown + m)
+      case None => head
+    }
+    if (next > shown) shown = next
+    if (shown > startingVersion) Some(LongOffset(shown)) else None
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val s = start.map(versionOf).getOrElse(startingVersion)
+    val e = versionOf(end)
+    synchronized { shown = math.max(shown, e) }
+    val batch =
+      if (e <= s) emptyBatch()
+      else if (cdc) cdcBatch(s, e)
+      else appendBatch(s, e)
+    GraftSparkInternals.asStreamingBatch(align(batch))
+  }
+
+  private def emptyBatch(): DataFrame = {
+    val spark = table.spark
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Rows appended by commits in (s, e]: exactly those commits' added
+    * files. Rewrite/reset commits are refused (or re-emitted wholesale
+    * under `ignoreChanges`) — their added files carry surviving old
+    * rows, which an append stream must not silently re-emit. */
+  private def appendBatch(s: Long, e: Long): DataFrame = {
+    val commits = ((s + 1) to e).map(table.commitInfo)
+    val rewrites = commits.filter(c => c.removed.nonEmpty || c.op == "overwrite")
+    if (rewrites.nonEmpty && !ignoreChanges)
+      throw new IllegalStateException(
+        s"graft-table append stream hit non-append commit(s) " +
+          s"${rewrites.map(c => s"v${c.version}(${c.op})").mkString(", ")} at ${tableRoot}; " +
+          "use .option(\"cdc\", true) for the row-level change feed, or " +
+          ".option(\"ignoreChanges\", true) to re-emit carried rows (dedup downstream)")
+    val files = commits.flatMap(_.added).map(_.path)
+    if (files.isEmpty) emptyBatch()
+    else table.readCommittedFiles(files, table.schemaAt(e))
+  }
+
+  /** Per-commit change feed over (s, e]: each commit diffs against its
+    * parent ([[GraftTable.changes]] — file algebra, only touched files
+    * read) and is stamped with its version, Delta-CDF style. Batch plan
+    * size is O(commits in range) — bound it with maxCommitsPerTrigger
+    * when catching up over long histories. */
+  private def cdcBatch(s: Long, e: Long): DataFrame =
+    ((s + 1) to e).map { v =>
+      table.changes(v - 1, v).withColumn("_commit_version", lit(v))
+    }.reduce(_ unionByName _)
+
+  /** Align a batch to the pinned stream schema. Additive evolution mid-
+    * stream is benign (new columns are not streamed until restart); a
+    * rename/drop of a streamed column surfaces here as a missing
+    * column — fail with the restart hint rather than emitting NULLs. */
+  private def align(df: DataFrame): DataFrame = {
+    val missing = schema.fieldNames.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-table stream schema drifted: column(s) ${missing.mkString(", ")} " +
+          s"no longer exist at ${tableRoot} (renamed or dropped mid-stream); " +
+          "restart the stream to adopt the new schema")
+    df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+  }
+
+  private def tableRoot: String = table.root
+
+  override def commit(end: Offset): Unit =
+    synchronized { shown = math.max(shown, versionOf(end)) }
+
+  override def stop(): Unit = ()
+}

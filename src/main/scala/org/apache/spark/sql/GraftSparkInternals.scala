@@ -13,6 +13,10 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *  - [[column]]: wrap a Catalyst Expression as a public Column — how
   *    translated assignment/condition expressions cross back into the
   *    public DataFrame API the store is built on.
+  *  - [[asStreamingBatch]]: re-tag a batch DataFrame as streaming — the
+  *    one thing a V1 streaming `Source.getBatch` result must carry
+  *    (MicroBatchExecution asserts `isStreaming`); Delta's DeltaSource
+  *    crosses the same seam via DeltaLog.createDataFrame.
   *
   * Nothing else may live here: every other Spark touchpoint in the repo
   * goes through the public DataFrame/DSv2/extension APIs.
@@ -22,4 +26,9 @@ object GraftSparkInternals {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  def asStreamingBatch(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The commit-log-offset streaming source (`format("graft-table")`):
+  * offsets are commit versions, batches align with commit boundaries,
+  * CDC mode emits the per-commit row-level change feed. Each scenario
+  * drains with Trigger.AvailableNow into a collecting sink and checks
+  * against the table's own batch surfaces (read / changes).
+  */
+class GraftTableSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(dir: String) =
+    graft.store.GraftTable.create(spark, dir,
+      Seq.empty[(Long, String)].toDF("id", "v"))
+
+  private def drainToParquet(root: String, out: String, ckpt: String,
+                             options: Map[String, String] = Map.empty): Unit = {
+    val reader = spark.readStream.format("graft-table")
+    options.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(root).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+  }
+
+  test("append tail: commit-aligned batches, checkpoint resume emits only new commits") {
+    val troot = Files.createTempDirectory("gts_a").resolve("t").toString
+    val out = Files.createTempDirectory("gts_a_out").toString
+    val ckpt = Files.createTempDirectory("gts_a_ckpt").toString
+    val t = mkTable(troot)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+
+    drainToParquet(troot, out, ckpt)
+    assert(spark.read.parquet(out).orderBy("id").as[(Long, String)].collect().toSeq
+      == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // new commit after the first drain: resume must emit ONLY it
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    drainToParquet(troot, out, ckpt)
+    assert(spark.read.parquet(out).count() == 4)
+    assert(spark.read.parquet(out).orderBy("id").as[(Long, String)].collect().toSeq
+      == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("append tail refuses a rewrite commit; ignoreChanges re-emits carried rows") {
+    val troot = Files.createTempDirectory("gts_r").resolve("t").toString
+    val out = Files.createTempDirectory("gts_r_out").toString
+    val ckpt = Files.createTempDirectory("gts_r_ckpt").toString
+    val t = mkTable(troot)
+    // one data file, so the update's rewrite CARRIES the untouched row
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    t.update($"id" === 1L, Map("v" -> lit("a2")))
+
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainToParquet(troot, out, ckpt)
+    }
+    assert(e.getCause.getMessage.contains("non-append commit"), e.getCause.getMessage)
+    assert(e.getCause.getMessage.contains("cdc"), e.getCause.getMessage)
+
+    // ignoreChanges: the rewrite's files re-emit the carried row (2,b)
+    // alongside the updated (1,a2) — Delta's documented at-least-once
+    val out2 = Files.createTempDirectory("gts_r_out2").toString
+    val ckpt2 = Files.createTempDirectory("gts_r_ckpt2").toString
+    drainToParquet(troot, out2, ckpt2, Map("ignoreChanges" -> "true"))
+    val got = spark.read.parquet(out2).as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a"), (1L, "a2"), (2L, "b"), (2L, "b")), got)
+  }
+
+  test("cdc mode: per-commit change feed matches the batch changes() surface") {
+    val troot = Files.createTempDirectory("gts_c").resolve("t").toString
+    val out = Files.createTempDirectory("gts_c_out").toString
+    val ckpt = Files.createTempDirectory("gts_c_ckpt").toString
+    val t = mkTable(troot)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))       // v2
+    val updV = t.update($"id" === 1L, Map("v" -> lit("a2")))  // v3
+    val delV = t.delete($"id" === 2L)                         // v4
+
+    drainToParquet(troot, out, ckpt, Map("cdc" -> "true"))
+    val feed = spark.read.parquet(out)
+      .as[(Long, String, String, Long)].collect().sorted.toSeq
+    assert(feed == Seq(
+      (1L, "a", "delete", updV),
+      (1L, "a", "insert", 2L),
+      (1L, "a2", "insert", updV),
+      (2L, "b", "delete", delV),
+      (2L, "b", "insert", 2L)), feed)
+
+    // the whole feed, ignoring version attribution, equals one batch diff
+    val batchDiff = t.changes(0, t.currentVersion)
+      .as[(Long, String, String)].collect().sorted.toSeq
+    // net feed == net diff: cancel per-row insert/delete pairs
+    def net(rows: Seq[(Long, String, String)]) =
+      rows.groupBy(r => (r._1, r._2)).view.mapValues { g =>
+        g.count(_._3 == "insert") - g.count(_._3 == "delete")
+      }.filter(_._2 != 0).toMap
+    assert(net(feed.map(r => (r._1, r._2, r._3))) == net(batchDiff))
+  }
+
+  test("startingVersion=latest emits only commits made after stream start") {
+    val troot = Files.createTempDirectory("gts_s").resolve("t").toString
+    val ckpt = Files.createTempDirectory("gts_s_ckpt").toString
+    val t = mkTable(troot)
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+
+    // running query (default trigger): history invisible, live commit seen
+    val buf = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("graft-table")
+      .option("startingVersion", "latest").load(troot)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized { buf ++= b.as[(Long, String)].collect() }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(buf.isEmpty, buf)
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(buf.toSeq == Seq((3L, "c")), buf)
+    } finally q.stop()
+  }
+
+  test("maxCommitsPerTrigger: catch-up advances one commit per micro-batch") {
+    val troot = Files.createTempDirectory("gts_m").resolve("t").toString
+    val ckpt = Files.createTempDirectory("gts_m_ckpt").toString
+    val t = mkTable(troot)
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+
+    // running query: Trigger.AvailableNow's wrapper snapshots getOffset
+    // ONCE, which would defeat the ladder — the default trigger drains
+    // it batch by batch under processAllAvailable
+    var batches = 0
+    val rows = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("graft-table")
+      .option("maxCommitsPerTrigger", "1").load(troot)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val got = b.as[(Long, String)].collect()
+        rows.synchronized { if (got.nonEmpty) batches += 1; rows ++= got }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batches == 3, s"expected 3 single-commit batches, got $batches")
+      assert(rows.sorted.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")), rows)
+    } finally q.stop()
+  }
+}
