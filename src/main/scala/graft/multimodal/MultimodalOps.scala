@@ -348,6 +348,132 @@ object MultimodalOps {
     }(enc)
   }
 
+  // ------------------------------------------------------------------
+  // image near-duplicate detection (perceptual hash)
+  // ------------------------------------------------------------------
+
+  /** 32x32 DCT basis for pHash, built once per JVM (driver and each
+    * executor): dct(k, n) = c(k) * cos(pi/N * (n + 1/2) * k). */
+  private lazy val dctBasis: Array[Array[Double]] = {
+    val n = 32
+    Array.tabulate(n, n) { (k, x) =>
+      val c = if (k == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+      c * math.cos(math.Pi / n * (x + 0.5) * k)
+    }
+  }
+
+  /** REAL 64-bit perceptual hash (pHash) of a decodable image: decode,
+    * bilinear-resize to 32x32 grayscale, 2D DCT-II, keep the 8x8
+    * low-frequency block, threshold each coefficient against the
+    * block's median (DC excluded from the median — it is pure mean
+    * brightness). Bit i is then stable under resizing, re-encoding,
+    * brightness shifts and mild noise — the standard pHash contract.
+    * None for non-decodable bytes. Pure JVM math on JDK decode — no
+    * codec stubs anywhere in this path. */
+  def imagePHash(bytes: Array[Byte]): Option[Long] =
+    decodeImage(bytes).map { img =>
+      val n = 32
+      // AREA-AVERAGING downscale, not draw-with-interpolation: hash
+      // stability under resize is the operator's whole contract, and
+      // bilinear reads only a 2x2 neighborhood — at >2x downscale it
+      // aliases high frequencies into the 8x8 low-frequency block the
+      // hash thresholds, flipping bits between renditions of the SAME
+      // picture. Area averaging integrates the full pixel footprint,
+      // so any source resolution converges to the same 32x32 raster.
+      val area = img.getScaledInstance(n, n, java.awt.Image.SCALE_AREA_AVERAGING)
+      val scaled = new java.awt.image.BufferedImage(
+        n, n, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try g.drawImage(area, 0, 0, null) finally g.dispose()
+      val px = Array.tabulate(n, n) { (y, x) =>
+        val rgb = scaled.getRGB(x, y)
+        ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3.0
+      }
+      // separable 2D DCT restricted to the 8x8 output block: only 8
+      // basis rows on each side ever multiply — O(8*32*32)*2, not 32^3
+      val tmp = Array.tabulate(8, n) { (u, x) =>
+        var s = 0.0; var y = 0
+        while (y < n) { s += dctBasis(u)(y) * px(y)(x); y += 1 }
+        s
+      }
+      val block = Array.tabulate(8, 8) { (u, v) =>
+        var s = 0.0; var x = 0
+        while (x < n) { s += dctBasis(v)(x) * tmp(u)(x); x += 1 }
+        s
+      }
+      val acs = (for { u <- 0 until 8; v <- 0 until 8; if u != 0 || v != 0 }
+        yield block(u)(v)).sorted
+      val median = (acs(30) + acs(31)) / 2.0 // 63 ACs: middle pair
+      var h = 0L
+      for { u <- 0 until 8; v <- 0 until 8; if u != 0 || v != 0 }
+        if (block(u)(v) > median) h |= 1L << (u * 8 + v)
+      h
+    }
+
+  /** Column of 64-bit pHashes (null for non-decodable content). Narrow,
+    * shuffle-free; the decode+DCT cost is per-row CPU that scales out
+    * with partitions. */
+  def withPHash(df: DataFrame, contentCol: String = "content",
+                outCol: String = "phash"): DataFrame = {
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = org.apache.spark.sql.Encoders.row(
+      StructType(df.schema.fields :+ StructField(outCol, LongType)))
+    df.mapPartitions { it: Iterator[Row] =>
+      it.map { r =>
+        val h = imagePHash(r.get(contentIdx).asInstanceOf[Array[Byte]])
+        Row.fromSeq(r.toSeq :+ h.map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate pairs: pHash + banded hamming LSH — the
+    * image-modality member of the dedup family (t01/t02/t03 for text,
+    * t09/v04 for embeddings).
+    *
+    * Scale shape is EXACTLY t02's: split each 64-bit hash into
+    * `maxHamming + 1` bit-bands; by pigeonhole, two hashes within
+    * `maxHamming` bit flips agree exactly on at least one band, so a
+    * self-equi-join on (band index, band value) generates every true
+    * pair WITHOUT an all-pairs comparison. Candidates verify with the
+    * codegen'd `bit_count(h1 ^ h2) <= maxHamming` — never a UDF.
+    * Output: (id1, id2, hamming), id1 < id2, exactly once each.
+    *
+    * 100 TB: candidates are bounded by band collisions (64/(k+1)-bit
+    * bands keep random collision rates ~2^-7 per band at k=8); the
+    * joins shuffle hash-sized rows (id, long), never content bytes. */
+  def nearDupImages(df: DataFrame, idCol: String = "id",
+                    contentCol: String = "content",
+                    maxHamming: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val nBands = maxHamming + 1
+    val hashed = withPHash(df.select(col(idCol), col(contentCol)), contentCol, "phash")
+      .filter(col("phash").isNotNull)
+      .select(col(idCol), col("phash"))
+    // band b covers bits [b*64/nBands, (b+1)*64/nBands) — even split,
+    // widths differ by at most one bit
+    val banded = hashed.select(col(idCol), col("phash"),
+      explode(array((0 until nBands).map { b =>
+        val lo = b * 64 / nBands
+        val hi = (b + 1) * 64 / nBands
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("phash"), lo)
+            .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bval"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("phash"), col("bb.band"), col("bb.bval"))
+    val l = banded.select(col(idCol).as("id1"), col("phash").as("h1"),
+      col("band"), col("bval"))
+    val r = banded.select(col(idCol).as("id2"), col("phash").as("h2"),
+      col("band"), col("bval"))
+    l.hint("shuffle_hash")
+      .join(r, Seq("band", "bval"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Frame sampling for video: one output row per sampled frame with
     * frame_ts_ms + a per-frame feature stub. Output cardinality =
     * ceil(duration/everyMs) per row — linear and bounded, never a

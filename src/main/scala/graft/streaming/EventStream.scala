@@ -442,4 +442,67 @@ object EventStream {
       }
       .start()
   }
+
+  /** TABLE-TO-TABLE REPLICATION: apply a row-level change feed (the
+    * `format("graft-table")` `cdc=true` stream — table columns plus
+    * `_change_type`/`_commit_version`) to another GraftTable, keyed on
+    * `keyCols`. The full CDC loop walden's stack would hand-assemble
+    * from Iceberg CDC + MERGE: source DML of any shape (INSERT/UPDATE/
+    * DELETE/MERGE/compact) converges the target to the source's state.
+    *
+    * Per micro-batch: reduce to the NET effect per key (latest
+    * `_commit_version` wins; within one commit an update's insert
+    * outranks its delete twin), then ONE atomic merge commit —
+    * matched+delete rows delete, matched+insert rows update, unmatched
+    * inserts insert; a key inserted and deleted within the batch never
+    * touches the target. Cross-batch ordering needs no sequence guard:
+    * the graft-table CDC source delivers commit versions monotonically,
+    * so batch N+1's changes all postdate batch N's.
+    *
+    * Contract: `keyCols` must uniquely identify rows in the source
+    * (keyed replication — the standard CDC-apply assumption; multiset
+    * tables replicate with [[upsertGraftTable]] semantics instead).
+    * Exactly-once mirrors the other sinks via labeled commits. */
+  def applyCdcGraftTable(df: DataFrame, table: graft.store.GraftTable,
+                         keyCols: Seq[String], checkpointDir: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(keyCols.nonEmpty, "CDC apply needs at least one key column")
+    val prefix = s"stream-cdc:${sinkId(checkpointDir)}:"
+    val mark = new BatchMark(table, Seq(prefix))
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!mark.alreadyCommitted(batchId) && !batch.isEmpty) {
+          require(batch.columns.contains("_change_type")
+              && batch.columns.contains("_commit_version"),
+            "applyCdcGraftTable expects a change feed with _change_type and " +
+              "_commit_version (spark.readStream.format(\"graft-table\").option(\"cdc\", true))")
+          import org.apache.spark.sql.expressions.Window
+          val rn = Iterator.from(0).map(i => s"__graft_rn$i")
+            .find(n => !batch.columns.contains(n)).get
+          val net = batch.withColumn(rn, row_number().over(
+              Window.partitionBy(keyCols.map(col): _*)
+                .orderBy(col("_commit_version").desc,
+                  when(col("_change_type") === "insert", 1).otherwise(0).desc)))
+            .filter(col(rn) === 1).drop(rn)
+          val srcPfx = graft.store.GraftTable.MergeSourcePrefix
+          val sch = table.schema
+          val cond = keyCols.map(k => col(k) <=> col(srcPfx + k)).reduce(_ && _)
+          val setAll = sch.fieldNames.map(n => n -> col(srcPfx + n)).toMap
+          table.mergeInto(net, cond,
+            matched = Seq(
+              graft.store.MergeWhen( // net delete: remove the target row
+                Some(col(srcPfx + "_change_type") === "delete"), None),
+              graft.store.MergeWhen(None, Some(setAll))),
+            notMatched = Seq(graft.store.MergeWhen( // never insert a net delete
+              Some(col(srcPfx + "_change_type") === "insert"), Some(setAll))),
+            notMatchedBySource = Nil,
+            op = s"$prefix$batchId")
+          mark.advance(batchId)
+        }
+      }
+      .start()
+  }
 }

@@ -104,6 +104,42 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(net(feed.map(r => (r._1, r._2, r._3))) == net(batchDiff))
   }
 
+  test("CDC replication loop: target converges to the source across arbitrary DML") {
+    val aroot = Files.createTempDirectory("gts_rep").resolve("a").toString
+    val broot = Files.createTempDirectory("gts_rep").resolve("b").toString
+    val ckpt = Files.createTempDirectory("gts_rep_ckpt").toString
+    val a = mkTable(aroot)
+    val b = mkTable(broot)
+    a.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    a.update($"id" === 2L, Map("v" -> lit("b2")))
+    a.delete($"id" === 3L)
+    a.append(Seq((4L, "d")).toDF("id", "v"))
+
+    def replicate(): Unit = {
+      val q = graft.streaming.EventStream.applyCdcGraftTable(
+        spark.readStream.format("graft-table").option("cdc", "true").load(aroot),
+        b, Seq("id"), ckpt)
+      assert(q.awaitTermination(240000), "replication did not drain in 240s")
+    }
+    def snap(t: graft.store.GraftTable) =
+      t.read().orderBy("id").as[(Long, String)].collect().toSeq
+
+    replicate()
+    assert(snap(b) == snap(a), s"b=${snap(b)} a=${snap(a)}")
+    assert(snap(b) == Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+
+    // more DML on the source; resume from the checkpoint — only the
+    // new commits apply, and the target converges again
+    a.delete($"id" === 1L)
+    a.append(Seq((5L, "e")).toDF("id", "v"))
+    a.update($"id" === 4L, Map("v" -> lit("d2")))
+    replicate()
+    assert(snap(b) == snap(a), s"b=${snap(b)} a=${snap(a)}")
+    assert(snap(b) == Seq((2L, "b2"), (4L, "d2"), (5L, "e")))
+    // every replication batch is one atomic labeled commit on the target
+    assert(b.history.count(_.op.startsWith("stream-cdc:")) >= 2)
+  }
+
   test("startingVersion=latest emits only commits made after stream start") {
     val troot = Files.createTempDirectory("gts_s").resolve("t").toString
     val ckpt = Files.createTempDirectory("gts_s_ckpt").toString

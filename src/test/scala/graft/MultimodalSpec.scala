@@ -221,6 +221,44 @@ class MultimodalSpec extends SparkSpec {
     assert(m.getString(0) == "mp4" && m.getLong(1) > 0) // stub duration, no crash
   }
 
+  test("pHash: stable under resize + brightness, far for different images") {
+    import java.awt.image.BufferedImage
+    def pngBytes(img: BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val a = MultimodalOps.imagePHash(pngBytes(MultimodalSpec.field(1, 64, 0))).get
+    val aScaled = MultimodalOps.imagePHash(pngBytes(MultimodalSpec.field(1, 96, 12))).get
+    val b = MultimodalOps.imagePHash(pngBytes(MultimodalSpec.field(2, 64, 0))).get
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, aScaled) <= 8, s"near-dup pair too far: ${ham(a, aScaled)}")
+    assert(ham(a, b) > 16, s"distinct images too close: ${ham(a, b)}")
+    // non-decodable bytes: honest absence
+    assert(MultimodalOps.imagePHash("not an image".getBytes).isEmpty)
+  }
+
+  test("nearDupImages finds the perturbed copy and nothing else") {
+    import java.awt.image.BufferedImage
+    def pngBytes(img: BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val gradA = pngBytes(MultimodalSpec.field(11, 64, 0))
+    val gradA2 = pngBytes(MultimodalSpec.field(11, 80, 10)) // resized + brighter
+    val stripes = pngBytes(MultimodalSpec.field(12, 64, 0))
+    val blob = pngBytes(MultimodalSpec.field(13, 64, 0))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, gradA), Row(2L, gradA2), Row(3L, stripes), Row(4L, blob),
+        Row(5L, "not an image".getBytes)),
+      StructType(Seq(StructField("id", LongType), StructField("content", BinaryType))))
+    val pairs = MultimodalOps.nearDupImages(df, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs)
+  }
+
   test("sampleFrames fan-out matches duration/step") {
     val out = MultimodalOps.sampleFrames(media, everyMs = 5000)
     val counts = out.groupBy("id").count().collect()
@@ -229,5 +267,39 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     counts.foreach { case (id, n) => assert(n == durs(id) / 5000 + 1) }
     assert(out.schema("frame_features").dataType == ArrayType(FloatType))
+  }
+}
+
+object MultimodalSpec {
+  /** Deterministic spectrum-rich grayscale image: a seeded sum of 2D
+    * sinusoids with frequencies spanning pHash's whole 8x8 DCT block.
+    * Frequencies are relative to image size, so the SAME seed rendered
+    * at ANY resolution is the same continuous picture — the invariance
+    * pHash promises. (A flat gradient or single pure tone is spectrally
+    * degenerate: most ACs ~0 and the median threshold slices noise.) */
+  def field(seed: Long, n: Int, brighten: Int): java.awt.image.BufferedImage = {
+    val rnd = new scala.util.Random(seed)
+    // DENSE spectrum: one component per half-integer frequency pair up
+    // to 3.5 cycles (DCT bins 1..7 in each axis), random amplitude and
+    // phase — every bin of the 8x8 block carries decisive energy, like
+    // a photo's 1/f spectrum. A sparse field leaves ~50 bins near zero,
+    // all clustered at the median threshold, where resampling noise
+    // flips bits of the SAME picture.
+    val comps = for {
+      i <- 1 to 7; j <- 1 to 7
+    } yield (i * 0.5, j * 0.5, rnd.nextDouble() * 2 * math.Pi,
+      rnd.nextDouble() * 2 * math.Pi, 0.2 + rnd.nextDouble())
+    val norm = comps.map(_._5).sum * 0.35 // sparse-sum scale: keep contrast
+    val img = new java.awt.image.BufferedImage(
+      n, n, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until n; y <- 0 until n) {
+      val s = comps.map { case (fx, fy, p1, p2, a) =>
+        a * math.sin(2 * math.Pi * fx * x / n + p1) *
+          math.cos(2 * math.Pi * fy * y / n + p2)
+      }.sum / norm
+      val v = math.max(0, math.min(255, (128 + 115 * s).toInt + brighten))
+      img.setRGB(x, y, v << 16 | v << 8 | v)
+    }
+    img
   }
 }
