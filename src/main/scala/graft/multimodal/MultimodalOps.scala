@@ -403,7 +403,7 @@ object MultimodalOps {
       }
       val acs = (for { u <- 0 until 8; v <- 0 until 8; if u != 0 || v != 0 }
         yield block(u)(v)).sorted
-      val median = (acs(30) + acs(31)) / 2.0 // 63 ACs: middle pair
+      val median = acs(31) // 63 ACs, odd count: the middle element
       var h = 0L
       for { u <- 0 until 8; v <- 0 until 8; if u != 0 || v != 0 }
         if (block(u)(v) > median) h |= 1L << (u * 8 + v)
@@ -456,9 +456,14 @@ object MultimodalOps {
       explode(array((0 until nBands).map { b =>
         val lo = b * 64 / nBands
         val hi = (b + 1) * 64 / nBands
+        // width-safe mask: at maxHamming=0 the single band is all 64
+        // bits, and 1L<<64 wraps to 1L on the JVM — the -1L branch
+        // keeps that case an exact-hash equi-join instead of a
+        // constant-key all-pairs collapse
+        val mask = if (hi - lo >= 64) -1L else (1L << (hi - lo)) - 1
         struct(lit(b).as("band"),
           shiftrightunsigned(col("phash"), lo)
-            .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bval"))
+            .bitwiseAND(lit(mask)).as("bval"))
       }: _*)).as("bb"))
       .select(col(idCol), col("phash"), col("bb.band"), col("bb.bval"))
     val l = banded.select(col(idCol).as("id1"), col("phash").as("h1"),

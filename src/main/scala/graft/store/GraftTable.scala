@@ -355,12 +355,12 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     throw new IllegalStateException(s"commit conflict not resolved after $attempts attempts: $root")
   }
 
-  /** Map absolute scanned file names back to commit-log-relative paths
-    * (file names are UUID-part-named — unique per table). */
   private def commitRetry(op: String, added: Seq[FileStat], removed: Seq[String],
                           schema: SchemaMode, basedOn: Long = -1L): Long =
     commitOnce(op, added, removed, schema, basedOn, None)._1
 
+  /** Map absolute scanned file names back to commit-log-relative paths
+    * (file names are UUID-part-named — unique per table). */
   private def victimPaths(hitAbs: Seq[String], live: Seq[FileStat]): Seq[String] = {
     val byName = live.map(f => f.path.split('/').last -> f.path).toMap
     hitAbs.flatMap(a => byName.get(a.substring(a.lastIndexOf('/') + 1)))

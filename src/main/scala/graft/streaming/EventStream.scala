@@ -430,9 +430,14 @@ object EventStream {
               val sch = table.schema
               val cond = keyCols.map(k => col(k) <=> col(srcPfx + k)).reduce(_ && _)
               val setAll = sch.fieldNames.map(n => n -> col(srcPfx + n)).toMap
+              // NULL handling is explicit, not three-valued-accident: a
+              // stored NULL sequence (e.g. an initial load before the
+              // CDC feed) is always updatable; an incoming NULL never
+              // beats a stored non-null (and a bare `src > tgt` would
+              // evaluate NULL and silently freeze the row forever)
               table.mergeInto(latest, cond,
                 matched = Seq(graft.store.MergeWhen(
-                  Some(col(srcPfx + seq) > col(seq)), Some(setAll))),
+                  Some(col(seq).isNull || col(srcPfx + seq) > col(seq)), Some(setAll))),
                 notMatched = Seq(graft.store.MergeWhen(None, Some(setAll))),
                 notMatchedBySource = Nil,
                 op = s"$prefix$batchId")

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, GraftSparkInternals, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => ConnectorOffset}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
@@ -81,7 +82,7 @@ private[streaming] object GraftTableSource {
 }
 
 final class GraftTableSource(table: GraftTable, parameters: Map[String, String])
-  extends Source {
+  extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val cdc = GraftTableSource.isCdc(parameters)
   private val ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean)
@@ -89,7 +90,10 @@ final class GraftTableSource(table: GraftTable, parameters: Map[String, String])
   maxCommits.foreach(m => require(m > 0, s"maxCommitsPerTrigger must be positive, got $m"))
   private val startingVersion: Long = parameters.get("startingVersion") match {
     case Some("latest") => table.currentVersion
-    case Some(v) => v.toLong
+    case Some(v) =>
+      val n = v.toLong
+      require(n >= 0, s"startingVersion must be >= 0 or 'latest', got $n")
+      n
     case None => 0L
   }
   /** Table schema pinned at stream start — every batch aligns to it. */
@@ -97,30 +101,49 @@ final class GraftTableSource(table: GraftTable, parameters: Map[String, String])
 
   override val schema: StructType = GraftTableSource.streamSchema(pinned, cdc)
 
-  /** Highest version handed to the engine — rate limiting resumes from
-    * here, and [[getBatch]]/[[commit]] re-seed it after a restart so a
-    * bounded stream does not ramp up from `startingVersion` again. */
-  private var shown: Long = startingVersion
+  /** Trigger.AvailableNow end target, captured once at run start —
+    * implementing [[SupportsTriggerAvailableNow]] keeps the engine
+    * from wrapping this source in AvailableNowSourceWrapper, whose
+    * one-shot getOffset snapshot would cap a rate-limited catch-up at
+    * the FIRST batch's end instead of draining to the captured head. */
+  @volatile private var availableNowCap: Option[Long] = None
 
-  private def versionOf(o: Offset): Long = o match {
+  private def versionOf(o: ConnectorOffset): Long = o match {
     case l: LongOffset => l.offset
     case other => other.json.trim.toLong
   }
 
-  override def getOffset: Option[Offset] = synchronized {
-    val head = table.currentVersion
-    val next = maxCommits match {
-      case Some(m) => math.min(head, shown + m)
-      case None => head
-    }
-    if (next > shown) shown = next
-    if (shown > startingVersion) Some(LongOffset(shown)) else None
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def initialOffset(): ConnectorOffset = LongOffset(startingVersion)
+
+  override def deserializeOffset(json: String): ConnectorOffset =
+    LongOffset(json.trim.toLong)
+
+  override def reportLatestOffset(): ConnectorOffset = LongOffset(table.currentVersion)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(table.currentVersion)
+
+  /** Admission control: the engine hands us ITS recorded progress, so
+    * rate limiting needs no source-side state and restarts resume from
+    * the checkpoint, never from a re-resolved startingVersion. */
+  override def latestOffset(startOffset: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
+    // the engine passes null before any offset is recorded (first-ever
+    // batch); progress then starts at the configured startingVersion
+    val start = if (startOffset == null) startingVersion else versionOf(startOffset)
+    val head = availableNowCap.fold(table.currentVersion)(math.min(table.currentVersion, _))
+    val next = maxCommits.fold(head)(m => math.min(head, start + m))
+    LongOffset(math.max(next, start))
   }
+
+  override def getOffset: Option[Offset] =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is called instead (SupportsAdmissionControl)")
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val s = start.map(versionOf).getOrElse(startingVersion)
     val e = versionOf(end)
-    synchronized { shown = math.max(shown, e) }
     val batch =
       if (e <= s) emptyBatch()
       else if (cdc) cdcBatch(s, e)
@@ -176,9 +199,6 @@ final class GraftTableSource(table: GraftTable, parameters: Map[String, String])
   }
 
   private def tableRoot: String = table.root
-
-  override def commit(end: Offset): Unit =
-    synchronized { shown = math.max(shown, versionOf(end)) }
 
   override def stop(): Unit = ()
 }

@@ -162,6 +162,21 @@ class GraftTableSourceSpec extends SparkSpec {
       q.processAllAvailable()
       assert(buf.toSeq == Seq((3L, "c")), buf)
     } finally q.stop()
+
+    // RESTART catch-up: commits made while the stream was DOWN must
+    // drain on resume — the engine's checkpointed offset governs, not a
+    // re-resolved 'latest' head (which would withhold them forever)
+    t.append(Seq((4L, "d")).toDF("id", "v"))
+    val buf2 = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val q2 = spark.readStream.format("graft-table")
+      .option("startingVersion", "latest").load(troot)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf2.synchronized { buf2 ++= b.as[(Long, String)].collect() }; ()
+      }.start()
+    assert(q2.awaitTermination(240000))
+    assert(buf2.toSeq == Seq((4L, "d")), buf2)
   }
 
   test("maxCommitsPerTrigger: catch-up advances one commit per micro-batch") {
@@ -172,22 +187,22 @@ class GraftTableSourceSpec extends SparkSpec {
     t.append(Seq((2L, "b")).toDF("id", "v"))
     t.append(Seq((3L, "c")).toDF("id", "v"))
 
-    // running query: Trigger.AvailableNow's wrapper snapshots getOffset
-    // ONCE, which would defeat the ladder — the default trigger drains
-    // it batch by batch under processAllAvailable
+    // Trigger.AvailableNow is the hard case: the source implements
+    // SupportsTriggerAvailableNow, so the run drains the WHOLE backlog
+    // one commit per micro-batch (a plain V1 source would be wrapped
+    // with a one-shot getOffset snapshot and stop after commit 1)
     var batches = 0
     val rows = scala.collection.mutable.ListBuffer.empty[(Long, String)]
     val q = spark.readStream.format("graft-table")
       .option("maxCommitsPerTrigger", "1").load(troot)
       .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         val got = b.as[(Long, String)].collect()
         rows.synchronized { if (got.nonEmpty) batches += 1; rows ++= got }; ()
       }.start()
-    try {
-      q.processAllAvailable()
-      assert(batches == 3, s"expected 3 single-commit batches, got $batches")
-      assert(rows.sorted.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")), rows)
-    } finally q.stop()
+    assert(q.awaitTermination(240000), "bounded catch-up did not drain in 240s")
+    assert(batches == 3, s"expected 3 single-commit batches, got $batches")
+    assert(rows.sorted.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")), rows)
   }
 }

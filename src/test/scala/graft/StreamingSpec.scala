@@ -148,6 +148,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, "new", 20L), (2L, "x", 11L)), got)
   }
 
+  test("upsert sink: a stored NULL sequence is always updatable (initial-load rows)") {
+    val landing = Files.createTempDirectory("graft_landing_null").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_null").toString
+    val troot = Files.createTempDirectory("graft_null").resolve("t").toString
+    // the table starts from a bulk load with no CDC sequence yet — a
+    // bare `src.seq > tgt.seq` would evaluate NULL and freeze the row
+    val table = graft.store.GraftTable.create(spark, troot,
+      Seq((1L, "loaded", Option.empty[Long])).toDF("id", "v", "seq"))
+    Seq((1L, "cdc", Some(5L)), (2L, "x", Some(6L))).toDF("id", "v", "seq")
+      .coalesce(1).write.mode("append").parquet(landing)
+    val q = EventStream.upsertGraftTable(
+      spark.readStream.schema("id LONG, v STRING, seq LONG").parquet(landing),
+      table, Seq("id"), ckpt, sequenceCol = Some("seq"))
+    assert(q.awaitTermination(240000))
+    val got = table.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "cdc"), (2L, "x")), got)
+  }
+
   test("sessionization (batch twin over the stateful op's input shape)") {
     // 3 events within gap, 30+min hole, then 2 more -> 2 sessions
     val base = 1700000000000000000L
