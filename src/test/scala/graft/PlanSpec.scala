@@ -252,4 +252,25 @@ class PlanSpec extends SparkSpec {
     val p = plan(df)
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(2000))
   }
+
+  test("image near-dup candidates come from a banded equi-join, never a cartesian") {
+    // the operator's 100 TB contract: band-bucket self-join (an
+    // EQUI-join on (band, bval)) generates candidates; all-pairs must
+    // never form — including at maxHamming=0, where the single band is
+    // the full 64-bit hash (a width-masking bug once collapsed that
+    // case to a constant join key, i.e. a de-facto cartesian)
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, Array[Byte](1, 2)),
+        org.apache.spark.sql.Row(2L, Array[Byte](3, 4))),
+      StructType(Seq(StructField("id", LongType), StructField("content", BinaryType))))
+    for (k <- Seq(0, 8)) {
+      val p = plan(graft.multimodal.MultimodalOps.nearDupImages(df, maxHamming = k))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"maxHamming=$k plan degenerated to all-pairs:\n${p.take(2000)}")
+      assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+        s"maxHamming=$k candidates should come from a shuffled equi-join:\n${p.take(2000)}")
+    }
+  }
 }
