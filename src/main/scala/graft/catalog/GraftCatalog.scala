@@ -155,8 +155,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables cluster via compact(clusterBy) + stats pruning, not static partitions")
+    // PARTITIONED BY (c1, c2) maps to the store's WRITE-TIME cluster
+    // spec: every write range-clusters its files on those columns and
+    // min/max stats prune them — partition-grade pruning without
+    // directory layout (the Iceberg hidden-partitioning idea, with
+    // range clustering as the one transform)
+    val clusterCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        val parts = t.references.head.fieldNames
+        require(parts.length == 1,
+          s"nested partition column not supported: ${t.describe}")
+        parts.head
+      case t => throw new UnsupportedOperationException(
+        s"unsupported partition transform '${t.describe}': graft maps " +
+          "PARTITIONED BY (col, ...) to its write-time range-cluster spec; " +
+          "bucket/temporal transforms are subsumed by range clustering + stats pruning")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = tablePath(ident)
     if (!Files.isDirectory(dir.getParent)) throw new NoSuchNamespaceException(ident.namespace())
@@ -167,7 +181,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
     val bloomCols = Option(properties.get("bloom")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    val gt = GraftTable.create(spark, dir.toString, empty, fmt, bloomCols)
+    val gt = GraftTable.create(spark, dir.toString, empty, fmt, bloomCols, clusterCols)
     new GraftV2Table(gt, s"$catalogName.${ident.toString}", gt.currentVersion, timeTravel = false)
   }
 

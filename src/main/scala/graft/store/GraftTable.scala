@@ -56,6 +56,14 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * per column at write time; choose lookup keys, not metrics. */
   lazy val bloomFilterCols: Seq[String] = GraftTable.bloomColsOf(root)
 
+  /** Write-time cluster spec (Iceberg `write.sort-order` parity), fixed
+    * at create: EVERY write — appends, streaming micro-batches, DML
+    * rewrites — range-partitions and sorts its files on these columns,
+    * so min/max file stats prune from the first commit on, not only
+    * after an OPTIMIZE. Tracked by FIELD ID: rename follows the column
+    * automatically; dropping a cluster column is refused loudly. */
+  lazy val clusterFieldIds: Seq[Long] = GraftTable.clusterIdsOf(root)
+
   /** Snapshot-schema read. `fieldId.read.enabled` (a SESSION conf —
     * Spark's parquet reader takes it from SQLConf, not per-read
     * options; GraftSession sets it and load()/create() set it
@@ -194,8 +202,26 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * entries the writer would emit id-less files that an id-resolving
     * read (post-rename) could no longer match. */
   private def writeFilesWith(df: DataFrame, sch: StructType): Seq[FileStat] = {
-    val dfm = df.select(sch.fields.map(f =>
+    val dfm0 = df.select(sch.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name, f.metadata)).toIndexedSeq: _*)
+    // apply the create-time cluster spec: resolve field ids to their
+    // CURRENT names (rename-proof), then range-cluster + sort so each
+    // file covers a narrow, stats-prunable span. Empty range partitions
+    // write no file, so small batches do not fan out to the partition
+    // count — but frequent tiny clustered appends still accumulate
+    // small files; compact() remains the consolidation path.
+    val dfm =
+      if (clusterFieldIds.isEmpty) dfm0
+      else {
+        val names = clusterFieldIds.map { id =>
+          sch.fields.find(f => GraftTable.fieldId(f).contains(id)).getOrElse(
+            throw new IllegalStateException(
+              s"cluster field id $id missing from write schema at $root " +
+                "(was a cluster column dropped outside dropColumn's guard?)")).name
+        }
+        dfm0.repartitionByRange(names.map(col): _*)
+          .sortWithinPartitions(names.map(col): _*)
+      }
     val sub = s"data/${UUID.randomUUID().toString.take(8)}"
     val dir = s"$root/$sub"
     val base = dfm.write.format(format)
@@ -1023,6 +1049,13 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     commitSchemaChange { sch =>
       require(sch.fieldNames.contains(name), s"no column $name")
       require(sch.fields.length > 1, "cannot drop the only column")
+      // a cluster column cannot be dropped: every write resolves the
+      // spec's field ids against the write schema and would fail there
+      // with a far worse message (rename is fine — id-tracked)
+      val dropped = sch.fields.find(_.name == name).flatMap(GraftTable.fieldId)
+      require(dropped.forall(id => !clusterFieldIds.contains(id)),
+        s"column $name is part of the table's write-time cluster spec; " +
+          "it cannot be dropped")
       StructType(sch.fields.filterNot(_.name == name))
     }
 
@@ -1110,14 +1143,21 @@ object GraftTable {
   /** Create a new versioned table at `root` from `df` (CTAS).
     * `format` is parquet (default) or orc, fixed for the table's life.
     * `bloomFilterCols` adds per-file bloom filters on those columns to
-    * every write (see [[GraftTable.bloomFilterCols]]). */
+    * every write (see [[GraftTable.bloomFilterCols]]).
+    * `clusterBy` fixes a write-time cluster spec (see
+    * [[GraftTable.clusterFieldIds]]): every write range-clusters its
+    * files on these columns for stats pruning from the first commit. */
   def create(spark: SparkSession, root: String, df: DataFrame,
              format: String = "parquet",
-             bloomFilterCols: Seq[String] = Nil): GraftTable = {
+             bloomFilterCols: Seq[String] = Nil,
+             clusterBy: Seq[String] = Nil): GraftTable = {
     require(Set("parquet", "orc")(format), s"unsupported format: $format")
     bloomFilterCols.foreach { c =>
       require(df.schema.fieldNames.contains(c), s"bloom filter column $c not in schema")
       require(!c.contains("\"") && !c.contains(","), s"bad bloom column name: $c")
+    }
+    clusterBy.foreach { c =>
+      require(df.schema.fieldNames.contains(c), s"cluster column $c not in schema")
     }
     val t = new GraftTable(spark, root)
     // refuse BEFORE touching disk: writing props/data first would
@@ -1138,8 +1178,16 @@ object GraftTable {
     val bloomJson =
       if (bloomFilterCols.isEmpty) ""
       else s""","bloom":"${bloomFilterCols.mkString(",")}""""
+    // cluster spec persists as FIELD IDS (create-time assignment is
+    // positional 1..n) so rename keeps clustering, by id resolution
+    val clusterJson =
+      if (clusterBy.isEmpty) ""
+      else {
+        val ids = clusterBy.map(c => df.schema.fieldIndex(c) + 1L)
+        s""","clusterIds":"${ids.mkString(",")}""""
+      }
     try Files.write(propsPath,
-      s"""{"format":"$format"$bloomJson}""".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s"""{"format":"$format"$bloomJson$clusterJson}""".getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -1195,6 +1243,17 @@ object GraftTable {
       val txt = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
       """"bloom"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
         .map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+    }
+  }
+
+  private[store] def clusterIdsOf(root: String): Seq[Long] = {
+    val p = Paths.get(root, "_graft_props.json")
+    if (!Files.exists(p)) Nil
+    else {
+      val txt = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+      """"clusterIds"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq)
         .getOrElse(Nil)
     }
   }

@@ -153,6 +153,20 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT count(*) AS n FROM gcat.db12.t WHERE name = 'k7'").head().getLong(0) == 1)
   }
 
+  test("PARTITIONED BY maps to the write-time cluster spec; other transforms refused") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.dbp")
+    sql("CREATE TABLE gcat.dbp.pt (id BIGINT, v STRING) PARTITIONED BY (id)")
+    val gt = GraftTable.load(spark,
+      java.nio.file.Paths.get(warehouse, "dbp", "pt").toString)
+    assert(gt.clusterFieldIds == Seq(1L), gt.clusterFieldIds)
+    sql("INSERT INTO gcat.dbp.pt SELECT id, CAST(id AS STRING) FROM range(0, 100)")
+    assert(sql("SELECT count(*) FROM gcat.dbp.pt WHERE id < 10").head().getLong(0) == 10)
+    // non-identity transforms are refused with the mapping explained
+    val e = intercept[Exception](
+      sql("CREATE TABLE gcat.dbp.pt2 (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))"))
+    assert(e.getMessage.contains("range-cluster"), e.getMessage)
+  }
+
   test("CALL procedures: optimize (zorder), vacuum, create_ref") {
     sql("CREATE NAMESPACE gcat.db11")
     sql("CREATE TABLE gcat.db11.t (id BIGINT, x BIGINT, y BIGINT)")

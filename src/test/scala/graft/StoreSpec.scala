@@ -169,6 +169,56 @@ class StoreSpec extends SparkSpec {
     assert(t.read(filters = Seq(col("id") < 100L)).count() == 100)
   }
 
+  test("write-time cluster spec: every append prunes from commit one; rename follows; drop refused") {
+    val root = freshRoot
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{LessThan, Literal}
+    // AQE sizes the range-clustered write's files by BYTES (the right
+    // behavior at scale — one advisory-sized file per range span); this
+    // test's ~100 KB batches would coalesce to one file under the
+    // default 64 MB advisory, so shrink it for the test's duration
+    val advisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val minPart = spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4KB")
+    try {
+    // create WITH the spec: the uniformly-shuffled create batch itself
+    // lands range-clustered — no compact() needed before pruning works
+    val t = GraftTable.create(spark, root,
+      spark.range(0, 8000).toDF("id").withColumn("v", col("id") * 2)
+        .repartition(8), clusterBy = Seq("id"))
+    val pred = Seq(LessThan(UnresolvedAttribute("id"), Literal(100L)))
+    val created = t.history.last.added
+    val kept0 = StatsPruner.prune(created, pred, t.schema)
+    assert(created.size > 1 && kept0.size == 1,
+      s"create batch should land clustered, pruned ${kept0.size}/${created.size}")
+    // an ordinary append clusters too
+    t.append(spark.range(8000, 16000).toDF("id").withColumn("v", col("id") * 2)
+      .repartition(8))
+    val appended = t.history.last.added
+    assert(appended.size > 1 &&
+      StatsPruner.prune(appended,
+        Seq(LessThan(UnresolvedAttribute("id"), Literal(8100L))), t.schema).size == 1)
+    assert(t.read(filters = Seq(col("id") < 100L)).count() == 100)
+    // rename: the spec is field-id-tracked, clustering continues
+    t.renameColumn("id", "doc_id")
+    t.append(spark.range(16000, 24000).toDF("doc_id").withColumn("v", col("doc_id") * 2)
+      .repartition(8))
+    val renamed = t.history.last.added
+    assert(renamed.size > 1 &&
+      StatsPruner.prune(renamed,
+        Seq(LessThan(UnresolvedAttribute("doc_id"), Literal(16100L))), t.schema).size == 1)
+    // dropping a cluster column is refused loudly; other columns drop fine
+    val e = intercept[IllegalArgumentException](t.dropColumn("doc_id"))
+    assert(e.getMessage.contains("cluster spec"), e.getMessage)
+    t.dropColumn("v")
+    assert(t.schema.fieldNames.toSeq == Seq("doc_id"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
+    }
+  }
+
   test("write-audit-publish: staged rows invisible until one atomic publish") {
     val root = freshRoot
     val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
