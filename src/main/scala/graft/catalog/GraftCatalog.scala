@@ -438,12 +438,21 @@ private[catalog] final class GraftV2Table(gt: GraftTable, fullName: String,
 
   override def name(): String = fullName
   override def schema(): StructType = gt.schemaAt(pinned)
-  override def partitioning(): Array[Transform] = Array.empty
+  // the cluster spec round-trips through introspection: DESCRIBE /
+  // SHOW TBLPROPERTIES / Table.partitioning() report what CREATE
+  // TABLE ... PARTITIONED BY declared, so tooling that recreates the
+  // table from reported metadata keeps the clustering
+  override def partitioning(): Array[Transform] =
+    gt.clusterColumns.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   override def properties(): util.Map[String, String] = {
     val base = Map("format" -> gt.format, "version" -> pinned.toString,
-      TableCatalog.PROP_LOCATION -> gt.root)
-    (if (gt.bloomFilterCols.isEmpty) base
-     else base + ("bloom" -> gt.bloomFilterCols.mkString(","))).asJava
+      TableCatalog.PROP_LOCATION -> gt.root) ++
+      (if (gt.bloomFilterCols.isEmpty) Map.empty
+       else Map("bloom" -> gt.bloomFilterCols.mkString(","))) ++
+      (if (gt.clusterColumns.isEmpty) Map.empty
+       else Map("clusterBy" -> gt.clusterColumns.mkString(",")))
+    base.asJava
   }
 
   override def capabilities(): util.Set[TableCapability] =

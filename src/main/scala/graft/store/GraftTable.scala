@@ -64,6 +64,10 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * automatically; dropping a cluster column is refused loudly. */
   lazy val clusterFieldIds: Seq[Long] = GraftTable.clusterIdsOf(root)
 
+  /** The cluster spec's CURRENT column names (follows renames). */
+  def clusterColumns: Seq[String] =
+    if (clusterFieldIds.isEmpty) Nil else clusterSpecNames(schema)
+
   /** Snapshot-schema read. `fieldId.read.enabled` (a SESSION conf —
     * Spark's parquet reader takes it from SQLConf, not per-read
     * options; GraftSession sets it and load()/create() set it
@@ -196,12 +200,28 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   // ------------------------------------------------------------------
   private def writeFiles(df: DataFrame): Seq[FileStat] = writeFilesWith(df, schema)
 
+  /** The cluster spec's field ids resolved to their names in `sch`
+    * (rename-proof). Loud when an id is missing — dropColumn's guard
+    * should make that unreachable. */
+  private def clusterSpecNames(sch: StructType): Seq[String] =
+    clusterFieldIds.map { id =>
+      sch.fields.find(f => GraftTable.fieldId(f).contains(id)).getOrElse(
+        throw new IllegalStateException(
+          s"cluster field id $id missing from write schema at $root " +
+            "(was a cluster column dropped outside dropColumn's guard?)")).name
+    }
+
   /** All data writes funnel here. The frame is re-projected against the
     * table schema WITH its field metadata — projections and CASE
     * rewrites drop column metadata, and without the `parquet.field.id`
     * entries the writer would emit id-less files that an id-resolving
     * read (post-rename) could no longer match. */
-  private def writeFilesWith(df: DataFrame, sch: StructType): Seq[FileStat] = {
+  /** `applyClusterSpec = false` is for callers that already shaped the
+    * frame themselves (compact's explicit clusterBy/zorderBy layouts —
+    * re-ranging here would silently destroy a Z-order tiling and
+    * override the caller's file-count choice). */
+  private def writeFilesWith(df: DataFrame, sch: StructType,
+                             applyClusterSpec: Boolean = true): Seq[FileStat] = {
     val dfm0 = df.select(sch.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name, f.metadata)).toIndexedSeq: _*)
     // apply the create-time cluster spec: resolve field ids to their
@@ -211,14 +231,9 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     // count — but frequent tiny clustered appends still accumulate
     // small files; compact() remains the consolidation path.
     val dfm =
-      if (clusterFieldIds.isEmpty) dfm0
+      if (clusterFieldIds.isEmpty || !applyClusterSpec) dfm0
       else {
-        val names = clusterFieldIds.map { id =>
-          sch.fields.find(f => GraftTable.fieldId(f).contains(id)).getOrElse(
-            throw new IllegalStateException(
-              s"cluster field id $id missing from write schema at $root " +
-                "(was a cluster column dropped outside dropColumn's guard?)")).name
-        }
+        val names = clusterSpecNames(sch)
         dfm0.repartitionByRange(names.map(col): _*)
           .sortWithinPartitions(names.map(col): _*)
       }
@@ -895,6 +910,15 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val n = numFiles.getOrElse(
       math.max(1, (totalBytes / (targetFileMB.toLong << 20)).toInt))
     val data = readData(files.map(f => s"$root/${f.path}"), sch)
+    // compact shapes its own layout, so the write below BYPASSES the
+    // create-time cluster spec: an explicit clusterBy/zorderBy is the
+    // caller's deliberate re-layout choice (a zorder tiling re-ranged
+    // by the spec would be silently destroyed), and a PLAIN compact on
+    // a spec table consolidates ALONG the spec — same order, but with
+    // compact's own file-count control instead of AQE write sizing
+    val effCluster =
+      if (clusterBy.nonEmpty || zorderBy.nonEmpty) clusterBy
+      else clusterSpecNames(sch)
     val df =
       if (zorderBy.nonEmpty) {
         require(clusterBy.isEmpty, "choose clusterBy OR zorderBy, not both")
@@ -937,10 +961,11 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
           .sortWithinPartitions(col("__z"))
           .drop("__z")
       }
-      else if (clusterBy.isEmpty) data.repartition(n)
-      else data.repartitionByRange(n, clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.map(col): _*)
-    commitRetry("compact", writeFiles(df), files.map(_.path), SameSchema(sch.json), basedOn = base)
+      else if (effCluster.isEmpty) data.repartition(n)
+      else data.repartitionByRange(n, effCluster.map(col): _*)
+        .sortWithinPartitions(effCluster.map(col): _*)
+    commitRetry("compact", writeFilesWith(df, sch, applyClusterSpec = false),
+      files.map(_.path), SameSchema(sch.json), basedOn = base)
   }
 
   /** Every field id ever assigned in this table's history — the
@@ -1156,8 +1181,19 @@ object GraftTable {
       require(df.schema.fieldNames.contains(c), s"bloom filter column $c not in schema")
       require(!c.contains("\"") && !c.contains(","), s"bad bloom column name: $c")
     }
-    clusterBy.foreach { c =>
-      require(df.schema.fieldNames.contains(c), s"cluster column $c not in schema")
+    // resolve cluster columns case-insensitively (Spark's default
+    // resolution — SQL PARTITIONED BY (ID) must hit column id) and
+    // refuse non-orderable types HERE: repartitionByRange would throw
+    // mid-create, after props and log landed, stranding the root in
+    // crashed-create state (the refuse-before-touching-disk invariant)
+    val clusterResolved = clusterBy.map { c =>
+      val name = df.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"requirement failed: cluster column $c not in schema"))
+      val dt = df.schema(name).dataType
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt),
+        s"cluster column $name has non-orderable type ${dt.simpleString}")
+      name
     }
     val t = new GraftTable(spark, root)
     // refuse BEFORE touching disk: writing props/data first would
@@ -1181,9 +1217,9 @@ object GraftTable {
     // cluster spec persists as FIELD IDS (create-time assignment is
     // positional 1..n) so rename keeps clustering, by id resolution
     val clusterJson =
-      if (clusterBy.isEmpty) ""
+      if (clusterResolved.isEmpty) ""
       else {
-        val ids = clusterBy.map(c => df.schema.fieldIndex(c) + 1L)
+        val ids = clusterResolved.map(c => df.schema.fieldIndex(c) + 1L)
         s""","clusterIds":"${ids.mkString(",")}""""
       }
     try Files.write(propsPath,
@@ -1226,37 +1262,28 @@ object GraftTable {
 
   /** Table data format: from _graft_props.json, parquet if absent
     * (pre-props tables). */
-  private[store] def formatOf(root: String): String = {
+  /** One reader for the flat string props in `_graft_props.json`. */
+  private def propOf(root: String, key: String): Option[String] = {
     val p = Paths.get(root, "_graft_props.json")
-    if (!Files.exists(p)) "parquet"
+    if (!Files.exists(p)) None
     else {
       val txt = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
-      if (txt.contains("\"format\":\"orc\"")) "orc" else "parquet"
+      (""""REPLACE_KEY"\s*:\s*"([^"]*)"""".replace("REPLACE_KEY", key)).r
+        .findFirstMatchIn(txt).map(_.group(1))
     }
   }
+
+  private[store] def formatOf(root: String): String =
+    propOf(root, "format").getOrElse("parquet")
 
   /** Bloom-filter column list from _graft_props.json (empty if unset). */
-  private[store] def bloomColsOf(root: String): Seq[String] = {
-    val p = Paths.get(root, "_graft_props.json")
-    if (!Files.exists(p)) Nil
-    else {
-      val txt = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
-      """"bloom"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
-        .map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil)
-    }
-  }
+  private[store] def bloomColsOf(root: String): Seq[String] =
+    propOf(root, "bloom").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
-  private[store] def clusterIdsOf(root: String): Seq[Long] = {
-    val p = Paths.get(root, "_graft_props.json")
-    if (!Files.exists(p)) Nil
-    else {
-      val txt = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
-      """"clusterIds"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
-        .map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq)
-        .getOrElse(Nil)
-    }
-  }
+  private[store] def clusterIdsOf(root: String): Seq[Long] =
+    propOf(root, "clusterIds").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).map(_.toLong)
 
   def load(spark: SparkSession, root: String): GraftTable = {
     val t = new GraftTable(spark, root)

@@ -155,12 +155,22 @@ class GraftCatalogSpec extends SparkSpec {
 
   test("PARTITIONED BY maps to the write-time cluster spec; other transforms refused") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.dbp")
-    sql("CREATE TABLE gcat.dbp.pt (id BIGINT, v STRING) PARTITIONED BY (id)")
+    // case-mismatched identifier resolves like everywhere else in SQL
+    sql("CREATE TABLE gcat.dbp.pt (id BIGINT, v STRING) PARTITIONED BY (ID)")
     val gt = GraftTable.load(spark,
       java.nio.file.Paths.get(warehouse, "dbp", "pt").toString)
     assert(gt.clusterFieldIds == Seq(1L), gt.clusterFieldIds)
     sql("INSERT INTO gcat.dbp.pt SELECT id, CAST(id AS STRING) FROM range(0, 100)")
     assert(sql("SELECT count(*) FROM gcat.dbp.pt WHERE id < 10").head().getLong(0) == 10)
+    // the spec round-trips through introspection
+    assert(sql("SHOW TBLPROPERTIES gcat.dbp.pt").collect()
+      .exists(r => r.getString(0) == "clusterBy" && r.getString(1) == "id"))
+    val parts = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("dbp"), "pt"))
+      .partitioning()
+    // IdentityTransform.describe() is the bare column name
+    assert(parts.map(_.describe()).toSeq == Seq("id"), parts.toSeq)
     // non-identity transforms are refused with the mapping explained
     val e = intercept[Exception](
       sql("CREATE TABLE gcat.dbp.pt2 (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))"))

@@ -211,8 +211,24 @@ class StoreSpec extends SparkSpec {
     // dropping a cluster column is refused loudly; other columns drop fine
     val e = intercept[IllegalArgumentException](t.dropColumn("doc_id"))
     assert(e.getMessage.contains("cluster spec"), e.getMessage)
+    // an explicit compact layout is NOT re-ranged by the spec: zorder
+    // on (doc_id, v) must keep its tiling — both dims prune
+    t.compact(zorderBy = Seq("doc_id", "v"), numFiles = Some(8))
+    val zfiles = t.history.last.added
+    val pruneV = StatsPruner.prune(zfiles,
+      Seq(LessThan(UnresolvedAttribute("v"), Literal(2000L))), t.schema)
+    assert(zfiles.size > 2 && pruneV.size < zfiles.size,
+      s"zorder tiling destroyed by the cluster spec: v-pruned ${pruneV.size}/${zfiles.size}")
     t.dropColumn("v")
     assert(t.schema.fieldNames.toSeq == Seq("doc_id"))
+    // non-orderable cluster columns refuse BEFORE touching disk
+    val root2 = freshRoot
+    val e2 = intercept[IllegalArgumentException](
+      GraftTable.create(spark, root2,
+        spark.range(3).toDF("id").withColumn("m", map(col("id").cast("string"), col("id"))),
+        clusterBy = Seq("m")))
+    assert(e2.getMessage.contains("non-orderable"), e2.getMessage)
+    GraftTable.create(spark, root2, spark.range(3).toDF("id")) // root reusable
     } finally {
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
       spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
