@@ -180,8 +180,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
     // TBLPROPERTIES('bloom'='c1,c2') — per-file bloom filters on writes
     val bloomCols = Option(properties.get("bloom")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    // TBLPROPERTIES('clusterBy'='c1,c2') — the round-trip spelling SHOW
+    // TBLPROPERTIES reports (partitioning() must stay empty, see
+    // GraftV2Table), accepted alongside PARTITIONED BY
+    val propCluster = Option(properties.get("clusterBy")).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    val gt = GraftTable.create(spark, dir.toString, empty, fmt, bloomCols, clusterCols)
+    val gt = GraftTable.create(spark, dir.toString, empty, fmt, bloomCols,
+      (clusterCols ++ propCluster).distinct)
     new GraftV2Table(gt, s"$catalogName.${ident.toString}", gt.currentVersion, timeTravel = false)
   }
 
@@ -438,20 +444,27 @@ private[catalog] final class GraftV2Table(gt: GraftTable, fullName: String,
 
   override def name(): String = fullName
   override def schema(): StructType = gt.schemaAt(pinned)
-  // the cluster spec round-trips through introspection: DESCRIBE /
-  // SHOW TBLPROPERTIES / Table.partitioning() report what CREATE
-  // TABLE ... PARTITIONED BY declared, so tooling that recreates the
-  // table from reported metadata keeps the clustering
-  override def partitioning(): Array[Transform] =
-    gt.clusterColumns.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+  // the cluster spec round-trips through SHOW TBLPROPERTIES (and
+  // createTable accepts TBLPROPERTIES('clusterBy'=...) back), NOT
+  // through partitioning(): a non-empty partitioning() makes Spark
+  // plan INSERT OVERWRITE as OverwritePartitionsDynamic under
+  // partitionOverwriteMode=dynamic, a capability this table does not
+  // implement — the documented truncate-overwrite path would regress
+  // to an analysis error on every clustered table.
+  override def partitioning(): Array[Transform] = Array.empty
+  // resolved ONCE against the PINNED snapshot's schema: a table time-
+  // travelled to before a rename must report the column name its own
+  // schema() carries, and Spark calls these metadata methods
+  // repeatedly during planning (the commit-log read + json parse must
+  // not repeat per call)
+  private lazy val clusterCols: Seq[String] = gt.clusterColumnsAt(pinned)
   override def properties(): util.Map[String, String] = {
     val base = Map("format" -> gt.format, "version" -> pinned.toString,
       TableCatalog.PROP_LOCATION -> gt.root) ++
       (if (gt.bloomFilterCols.isEmpty) Map.empty
        else Map("bloom" -> gt.bloomFilterCols.mkString(","))) ++
-      (if (gt.clusterColumns.isEmpty) Map.empty
-       else Map("clusterBy" -> gt.clusterColumns.mkString(",")))
+      (if (clusterCols.isEmpty) Map.empty
+       else Map("clusterBy" -> clusterCols.mkString(",")))
     base.asJava
   }
 
@@ -578,7 +591,19 @@ private[catalog] object GraftScanBuilder {
 
 /** INSERT INTO → append commit; INSERT OVERWRITE → overwrite commit.
   * The V1Write seam hands us the materialized source DataFrame, which
-  * GraftTable writes distributed (immutable files + one stats pass). */
+  * GraftTable writes distributed (immutable files + one stats pass).
+  *
+  * KNOWN LIMIT: `INSERT OVERWRITE` under
+  * `spark.sql.sources.partitionOverwriteMode=dynamic` fails with a
+  * clear analysis error. Spark 4.1 plans OverwritePartitionsDynamic on
+  * that conf ALONE (never consulting partitioning(), verified in the
+  * shipped bytecode), and its capability check demands full DSv2
+  * BATCH_WRITE — there is no V1-write exec for dynamic overwrite, so a
+  * V1-bridge table cannot claim it (advertising BATCH_WRITE without a
+  * real BatchWrite would fail at physical planning instead). Sessions
+  * writing through this catalog keep the default static mode; the
+  * table declares no Spark-visible partitions, so dynamic mode could
+  * only ever mean the same full overwrite anyway. */
 private[catalog] final class GraftWriteBuilder(gt: GraftTable)
   extends WriteBuilder with SupportsTruncate {
 

@@ -65,8 +65,13 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   lazy val clusterFieldIds: Seq[Long] = GraftTable.clusterIdsOf(root)
 
   /** The cluster spec's CURRENT column names (follows renames). */
-  def clusterColumns: Seq[String] =
-    if (clusterFieldIds.isEmpty) Nil else clusterSpecNames(schema)
+  def clusterColumns: Seq[String] = clusterColumnsAt(currentVersion)
+
+  /** The cluster spec's names as of snapshot `v` — what a time-travel
+    * read's metadata must report (a pre-rename snapshot carries the
+    * pre-rename name). */
+  def clusterColumnsAt(v: Long): Seq[String] =
+    if (clusterFieldIds.isEmpty) Nil else clusterSpecNames(schemaAt(v))
 
   /** Snapshot-schema read. `fieldId.read.enabled` (a SESSION conf —
     * Spark's parquet reader takes it from SQLConf, not per-read
@@ -1187,9 +1192,13 @@ object GraftTable {
     // mid-create, after props and log landed, stranding the root in
     // crashed-create state (the refuse-before-touching-disk invariant)
     val clusterResolved = clusterBy.map { c =>
-      val name = df.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
-        throw new IllegalArgumentException(
-          s"requirement failed: cluster column $c not in schema"))
+      // exact name first: under spark.sql.caseSensitive=true a frame
+      // can carry both 'Id' and 'id', and a first-insensitive-match
+      // would silently cluster the wrong column
+      val name = df.schema.fieldNames.find(_ == c)
+        .orElse(df.schema.fieldNames.find(_.equalsIgnoreCase(c))).getOrElse(
+          throw new IllegalArgumentException(
+            s"requirement failed: cluster column $c not in schema"))
       val dt = df.schema(name).dataType
       require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt),
         s"cluster column $name has non-orderable type ${dt.simpleString}")

@@ -162,15 +162,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(gt.clusterFieldIds == Seq(1L), gt.clusterFieldIds)
     sql("INSERT INTO gcat.dbp.pt SELECT id, CAST(id AS STRING) FROM range(0, 100)")
     assert(sql("SELECT count(*) FROM gcat.dbp.pt WHERE id < 10").head().getLong(0) == 10)
-    // the spec round-trips through introspection
+    // the spec round-trips through TBLPROPERTIES — and NOT through
+    // partitioning() (the cluster spec is a storage layout, not engine
+    // partitioning; no Spark-visible partitions exist)
     assert(sql("SHOW TBLPROPERTIES gcat.dbp.pt").collect()
       .exists(r => r.getString(0) == "clusterBy" && r.getString(1) == "id"))
-    val parts = spark.sessionState.catalogManager.catalog("gcat")
+    val v2t = spark.sessionState.catalogManager.catalog("gcat")
       .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
       .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("dbp"), "pt"))
-      .partitioning()
-    // IdentityTransform.describe() is the bare column name
-    assert(parts.map(_.describe()).toSeq == Seq("id"), parts.toSeq)
+    assert(v2t.partitioning().isEmpty)
+    // static INSERT OVERWRITE works; dynamic mode fails LOUDLY at
+    // analysis (Spark plans OverwritePartitionsDynamic on the conf
+    // alone, and no V1-write exec exists for it — documented limit at
+    // GraftWriteBuilder, never a silent wrong answer)
+    sql("INSERT OVERWRITE gcat.dbp.pt SELECT id, 'ow' FROM range(0, 5)")
+    assert(sql("SELECT count(*) FROM gcat.dbp.pt").head().getLong(0) == 5)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val de = intercept[org.apache.spark.sql.AnalysisException](
+        sql("INSERT OVERWRITE gcat.dbp.pt SELECT id, 'ow2' FROM range(0, 5)"))
+      assert(de.getMessage.contains("dynamic overwrite"), de.getMessage)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    // the reported property recreates the spec via TBLPROPERTIES
+    sql("CREATE TABLE gcat.dbp.pt3 (id BIGINT, v STRING) TBLPROPERTIES ('clusterBy'='id')")
+    val gt3 = GraftTable.load(spark,
+      java.nio.file.Paths.get(warehouse, "dbp", "pt3").toString)
+    assert(gt3.clusterFieldIds == Seq(1L), gt3.clusterFieldIds)
     // non-identity transforms are refused with the mapping explained
     val e = intercept[Exception](
       sql("CREATE TABLE gcat.dbp.pt2 (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))"))
