@@ -429,6 +429,85 @@ object VectorOps {
           FROM scored)
         SELECT id_q, id_c, rn, ROUND(qcos, 6) AS qcos_sim, ROUND(cos, 6) AS cos_sim,
           ROUND(ABS(cos - qcos), 6) AS abs_err
-        FROM ranked WHERE rn <= 5"""))
+        FROM ranked WHERE rn <= 5""")),
+
+    // ------------------------------------------------------------------
+    // Quantized IVF — the two scale paths COMPOSED: v05's cell-pruned
+    // candidate generation scoring over v06's int8 codes. At 100 TB
+    // this is the production ANN shape: the index scan reads 4x fewer
+    // bytes per candidate and the in-cell dots are exact integer
+    // arithmetic. Cell ASSIGNMENT stays float — centroids are
+    // metadata-sized (broadcast), assignment quality sets recall, and
+    // quantizing that one pass would save nothing.
+    QueryEntry("v07_ann_ivf_q",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+          .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+          .selectExpr("vec_id", "v",
+            "greatest(array_max(transform(v, x -> abs(x))), 1e-30D) / 127.0D AS scale")
+          .selectExpr("vec_id", "v",
+            "transform(v, x -> CAST(floor(x / scale + 0.5D) AS INT)) AS q")
+          .selectExpr("vec_id", "v", "q", "vector_dot(v, v) AS n2",
+            "CAST(aggregate(zip_with(q, q, (x, y) -> x * y), 0, (acc, x) -> acc + x) AS DOUBLE) AS qn2")
+        val cents = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cent_id"), col("v").as("vc"), col("n2").as("nc2"))
+        val scored = e
+          .select(col("vec_id").as("id_v"), col("v").as("va"), col("q").as("qa"),
+            col("n2").as("na2"), col("qn2").as("qna2"))
+          .crossJoin(broadcast(cents))
+          .selectExpr("id_v", "qa", "qna2", "cent_id",
+            "vector_dot(va, vc) / (SQRT(na2) * SQRT(nc2)) AS ccos")
+          .withColumn("crn", row_number().over(
+            Window.partitionBy(col("id_v")).orderBy(col("ccos").desc, col("cent_id"))))
+        val assigned = scored.filter(col("crn") === 1)
+          .select(col("id_v"), col("qa"), col("qna2"), col("cent_id"))
+        val probes = scored.filter(col("id_v") < 5 && col("crn") <= 2)
+          .select(col("id_v").as("id_q"), col("qa").as("qq"),
+            col("qna2").as("qnq2"), col("cent_id"))
+        probes.join(
+            assigned.select(col("id_v").as("id_c"), col("qa").as("qb"),
+              col("qna2").as("qnb2"), col("cent_id")), Seq("cent_id"))
+          .filter(col("id_q") =!= col("id_c"))
+          .selectExpr("id_q", "id_c",
+            "CAST(aggregate(zip_with(qq, qb, (x, y) -> x * y), 0, (acc, x) -> acc + x) AS DOUBLE)" +
+              " / (SQRT(qnq2) * SQRT(qnb2)) AS qcos")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("id_q")).orderBy(col("qcos").desc, col("id_c"))))
+          .filter(col("rn") <= 3)
+          .select(col("id_q"), col("id_c"), col("rn"), round(col("qcos"), 6).as("qcos_sim"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+            LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        sc AS (SELECT vec_id, v,
+            GREATEST(LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))), 1e-30) / 127.0 AS scale
+          FROM e),
+        qz AS (SELECT vec_id, v,
+            LIST_TRANSFORM(v, x -> CAST(FLOOR(x / scale + 0.5) AS INT)) AS q
+          FROM sc),
+        en AS (SELECT vec_id, v, q,
+            LIST_SUM(LIST_TRANSFORM(v, x -> x * x)) AS n2,
+            CAST(LIST_SUM(LIST_TRANSFORM(q, x -> x * x)) AS DOUBLE) AS qn2
+          FROM qz),
+        cents AS (SELECT vec_id AS cent_id, v AS vc, n2 AS nc2 FROM en WHERE vec_id % 50 = 0),
+        scored AS (SELECT a.vec_id AS id_v, c.cent_id,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * c.vc[i]))
+                / (SQRT(a.n2) * SQRT(c.nc2)) DESC, c.cent_id) AS crn
+          FROM en a, cents c),
+        assigned AS (SELECT id_v, cent_id FROM scored WHERE crn = 1),
+        probes AS (SELECT id_v, cent_id FROM scored WHERE crn <= 2 AND id_v < 5),
+        pairs AS (SELECT q.id_v AS id_q, cnd.id_v AS id_c,
+            CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(eq.q) + 1), i -> eq.q[i] * ec.q[i])) AS DOUBLE)
+              / (SQRT(eq.qn2) * SQRT(ec.qn2)) AS qcos
+          FROM probes q
+          JOIN assigned cnd ON q.cent_id = cnd.cent_id AND q.id_v <> cnd.id_v
+          JOIN en eq ON eq.vec_id = q.id_v
+          JOIN en ec ON ec.vec_id = cnd.id_v),
+        ranked AS (SELECT id_q, id_c, qcos,
+            ROW_NUMBER() OVER (PARTITION BY id_q ORDER BY qcos DESC, id_c) AS rn
+          FROM pairs)
+        SELECT id_q, id_c, rn, ROUND(qcos, 6) AS qcos_sim FROM ranked WHERE rn <= 3"""))
   )
 }
