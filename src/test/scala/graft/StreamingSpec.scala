@@ -148,6 +148,40 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, "new", 20L), (2L, "x", 11L)), got)
   }
 
+  test("stream into a CLUSTERED table: micro-batch files land range-clustered") {
+    val landing = Files.createTempDirectory("graft_landing_cl").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_cl").toString
+    val troot = Files.createTempDirectory("graft_cl").resolve("t").toString
+    // shrink AQE write sizing so the small batch splits into ranges
+    val advisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val minPart = spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4KB")
+    try {
+      val table = graft.store.GraftTable.create(spark, troot,
+        Seq.empty[(Long, String)].toDF("id", "v"), clusterBy = Seq("id"))
+      // one wide-range uniformly-shuffled batch
+      spark.range(0, 8000).selectExpr("id", "CAST(id AS STRING) AS v")
+        .repartition(8).write.mode("append").parquet(landing)
+      val q = EventStream.writeGraftTable(
+        spark.readStream.schema("id LONG, v STRING").parquet(landing), table, ckpt)
+      assert(q.awaitTermination(240000))
+      // the streaming commit's files are range-clustered: a selective
+      // id predicate prunes to a strict subset via min/max stats
+      val added = table.history.last.added
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{LessThan, Literal}
+      val kept = graft.store.StatsPruner.prune(added,
+        Seq(LessThan(UnresolvedAttribute("id"), Literal(100L))), table.schema)
+      assert(added.size > 1 && kept.size == 1,
+        s"streaming batch should land clustered: pruned ${kept.size}/${added.size}")
+      assert(table.read().count() == 8000)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
+    }
+  }
+
   test("upsert sink: a stored NULL sequence is always updatable (initial-load rows)") {
     val landing = Files.createTempDirectory("graft_landing_null").toString
     val ckpt = Files.createTempDirectory("graft_ckpt_null").toString

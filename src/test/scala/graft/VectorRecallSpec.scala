@@ -91,5 +91,18 @@ class VectorRecallSpec extends SparkSpec {
     // single-probe — the probe count is the recall lever); neighbors
     // past the second-choice cell are missed by design
     assert(recall >= 0.50, f"v05 recall@3 $recall%.3f below the documented floor 0.50")
+
+    // v07 (same cells, int8-quantized scoring) must not lose recall to
+    // quantization: same candidate sets, and 8-bit symmetric codes
+    // perturb cosines far less than the ranking gaps at this scale
+    val ivfQ = q("v07_ann_ivf_q").select("id_q", "id_c").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val hitsQ = exactTop3.map { case (idQ, ex) =>
+      (ex intersect ivfQ.getOrElse(idQ, Set.empty)).size
+    }.sum
+    val recallQ = hitsQ.toDouble / (exactTop3.size * 3)
+    info(f"v07 recall@3 = $recallQ%.3f ($hitsQ/${exactTop3.size * 3})")
+    assert(recallQ >= recall - 1.0 / (exactTop3.size * 3),
+      f"quantized scoring lost more than one neighbor vs float IVF: $recallQ%.3f vs $recall%.3f")
   }
 }
