@@ -132,6 +132,54 @@ object VectorOps {
   // left-fold accumulation order as the HOF spelling -> same bits.
   private val dotExpr = "vector_dot(va, vb)"
 
+  /** THE int8 quantization pipeline — ONE spelling shared by v06
+    * (quantized brute force) and v07 (quantized IVF), so the rounding
+    * rule (floor(x/scale + 0.5), scale = max|x|/127) can never drift
+    * between the entries the recall-parity spec compares. Columns:
+    * vec_id, v (double), q (int codes), n2 (float norm²), qn2
+    * (quantized norm², exact integer summed). */
+  private def qVecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables(s, d, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("vec_id", "v",
+        "greatest(array_max(transform(v, x -> abs(x))), 1e-30D) / 127.0D AS scale")
+      .selectExpr("vec_id", "v",
+        "transform(v, x -> CAST(floor(x / scale + 0.5D) AS INT)) AS q")
+      .selectExpr("vec_id", "v", "q", "vector_dot(v, v) AS n2",
+        "CAST(aggregate(zip_with(q, q, (x, y) -> x * y), 0, (acc, x) -> acc + x) AS DOUBLE) AS qn2")
+  }
+
+  /** DuckDB twin of [[qVecs]] — the oracle-side single spelling. */
+  private val oQVecs =
+    """e AS (SELECT vec_id,
+            LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        sc AS (SELECT vec_id, v,
+            GREATEST(LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))), 1e-30) / 127.0 AS scale
+          FROM e),
+        qz AS (SELECT vec_id, v,
+            LIST_TRANSFORM(v, x -> CAST(FLOOR(x / scale + 0.5) AS INT)) AS q
+          FROM sc),
+        en AS (SELECT vec_id, v, q,
+            LIST_SUM(LIST_TRANSFORM(v, x -> x * x)) AS n2,
+            CAST(LIST_SUM(LIST_TRANSFORM(q, x -> x * x)) AS DOUBLE) AS qn2
+          FROM qz)"""
+
+  /** The IVF cell geometry as oracle SQL — cents/assignment/probes CTEs
+    * over an `en(vec_id, v, n2, ...)` CTE, shared by v05 (float
+    * scoring) and v07 (quantized scoring) so the cell rule is spelled
+    * once. */
+  private val oIvfCells =
+    """cents AS (SELECT vec_id AS cent_id, v AS vc, n2 AS nc2 FROM en WHERE vec_id % 50 = 0),
+        scored AS (SELECT a.vec_id AS id_v, c.cent_id,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * c.vc[i]))
+                / (SQRT(a.n2) * SQRT(c.nc2)) DESC, c.cent_id) AS crn
+          FROM en a, cents c),
+        assigned AS (SELECT id_v, cent_id FROM scored WHERE crn = 1),
+        probes AS (SELECT id_v, cent_id FROM scored WHERE crn <= 2 AND id_v < 5)"""
+
   private val oVecs =
     """e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        en AS (SELECT vec_id, v, LIST_SUM(LIST_TRANSFORM(v, x -> x * x)) AS n2 FROM e)"""
@@ -340,14 +388,7 @@ object VectorOps {
           .select(col("id_q"), col("id_c"), col("rn"), round(col("cos"), 6).as("cos_sim"))
       },
       Some(s"""WITH $oVecs,
-        cents AS (SELECT vec_id AS cent_id, v AS vc, n2 AS nc2 FROM en WHERE vec_id % 50 = 0),
-        scored AS (SELECT a.vec_id AS id_v, c.cent_id,
-            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-              LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * c.vc[i]))
-                / (SQRT(a.n2) * SQRT(c.nc2)) DESC, c.cent_id) AS crn
-          FROM en a, cents c),
-        assigned AS (SELECT id_v, cent_id FROM scored WHERE crn = 1),
-        probes AS (SELECT id_v, cent_id FROM scored WHERE crn <= 2 AND id_v < 5),
+        $oIvfCells,
         pairs AS (SELECT q.id_v AS id_q, cnd.id_v AS id_c,
             LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(eq.v) + 1), i -> eq.v[i] * ec.v[i]))
               / (SQRT(eq.n2) * SQRT(ec.n2)) AS cos
@@ -377,17 +418,7 @@ object VectorOps {
     // as v02.
     QueryEntry("v06_int8_quant",
       (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val e = Tables(s, d, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-          .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-          .selectExpr("vec_id", "v",
-            "greatest(array_max(transform(v, x -> abs(x))), 1e-30D) / 127.0D AS scale")
-          .selectExpr("vec_id", "v",
-            "transform(v, x -> CAST(floor(x / scale + 0.5D) AS INT)) AS q")
-          .selectExpr("vec_id", "v", "q",
-            "vector_dot(v, v) AS n2",
-            "CAST(aggregate(zip_with(q, q, (x, y) -> x * y), 0, (acc, x) -> acc + x) AS DOUBLE) AS qn2")
+        val e = qVecs(s, d)
         val qs = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("id_q"), col("v").as("va"), col("q").as("qa"),
             col("n2").as("na2"), col("qn2").as("qna2"))
@@ -406,18 +437,7 @@ object VectorOps {
             round(col("cos"), 6).as("cos_sim"),
             round(abs(col("cos") - col("qcos")), 6).as("abs_err"))
       },
-      Some("""WITH e AS (SELECT vec_id,
-            LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        sc AS (SELECT vec_id, v,
-            GREATEST(LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))), 1e-30) / 127.0 AS scale
-          FROM e),
-        qz AS (SELECT vec_id, v,
-            LIST_TRANSFORM(v, x -> CAST(FLOOR(x / scale + 0.5) AS INT)) AS q
-          FROM sc),
-        en AS (SELECT vec_id, v, q,
-            LIST_SUM(LIST_TRANSFORM(v, x -> x * x)) AS n2,
-            CAST(LIST_SUM(LIST_TRANSFORM(q, x -> x * x)) AS DOUBLE) AS qn2
-          FROM qz),
+      Some(s"""WITH $oQVecs,
         scored AS (SELECT a.vec_id AS id_q, b.vec_id AS id_c,
             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
               / (SQRT(a.qn2) * SQRT(b.qn2)) AS qcos,
@@ -441,16 +461,7 @@ object VectorOps {
     // quantizing that one pass would save nothing.
     QueryEntry("v07_ann_ivf_q",
       (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val e = Tables(s, d, "embeddings")
-          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-          .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-          .selectExpr("vec_id", "v",
-            "greatest(array_max(transform(v, x -> abs(x))), 1e-30D) / 127.0D AS scale")
-          .selectExpr("vec_id", "v",
-            "transform(v, x -> CAST(floor(x / scale + 0.5D) AS INT)) AS q")
-          .selectExpr("vec_id", "v", "q", "vector_dot(v, v) AS n2",
-            "CAST(aggregate(zip_with(q, q, (x, y) -> x * y), 0, (acc, x) -> acc + x) AS DOUBLE) AS qn2")
+        val e = qVecs(s, d)
         val cents = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("cent_id"), col("v").as("vc"), col("n2").as("nc2"))
         val scored = e
@@ -478,26 +489,8 @@ object VectorOps {
           .filter(col("rn") <= 3)
           .select(col("id_q"), col("id_c"), col("rn"), round(col("qcos"), 6).as("qcos_sim"))
       },
-      Some("""WITH e AS (SELECT vec_id,
-            LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        sc AS (SELECT vec_id, v,
-            GREATEST(LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))), 1e-30) / 127.0 AS scale
-          FROM e),
-        qz AS (SELECT vec_id, v,
-            LIST_TRANSFORM(v, x -> CAST(FLOOR(x / scale + 0.5) AS INT)) AS q
-          FROM sc),
-        en AS (SELECT vec_id, v, q,
-            LIST_SUM(LIST_TRANSFORM(v, x -> x * x)) AS n2,
-            CAST(LIST_SUM(LIST_TRANSFORM(q, x -> x * x)) AS DOUBLE) AS qn2
-          FROM qz),
-        cents AS (SELECT vec_id AS cent_id, v AS vc, n2 AS nc2 FROM en WHERE vec_id % 50 = 0),
-        scored AS (SELECT a.vec_id AS id_v, c.cent_id,
-            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-              LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * c.vc[i]))
-                / (SQRT(a.n2) * SQRT(c.nc2)) DESC, c.cent_id) AS crn
-          FROM en a, cents c),
-        assigned AS (SELECT id_v, cent_id FROM scored WHERE crn = 1),
-        probes AS (SELECT id_v, cent_id FROM scored WHERE crn <= 2 AND id_v < 5),
+      Some(s"""WITH $oQVecs,
+        $oIvfCells,
         pairs AS (SELECT q.id_v AS id_q, cnd.id_v AS id_c,
             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(eq.q) + 1), i -> eq.q[i] * ec.q[i])) AS DOUBLE)
               / (SQRT(eq.qn2) * SQRT(ec.qn2)) AS qcos

@@ -102,7 +102,9 @@ class VectorRecallSpec extends SparkSpec {
     }.sum
     val recallQ = hitsQ.toDouble / (exactTop3.size * 3)
     info(f"v07 recall@3 = $recallQ%.3f ($hitsQ/${exactTop3.size * 3})")
-    assert(recallQ >= recall - 1.0 / (exactTop3.size * 3),
-      f"quantized scoring lost more than one neighbor vs float IVF: $recallQ%.3f vs $recall%.3f")
+    // integer comparison: the float spelling (recallQ >= recall - 1/15)
+    // fails the exactly-one-lost case on rounding at some hit counts
+    assert(hitsQ >= hits - 1,
+      s"quantized scoring lost more than one neighbor vs float IVF: $hitsQ vs $hits hits")
   }
 }
