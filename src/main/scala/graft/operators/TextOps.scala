@@ -22,6 +22,49 @@ object TextOps {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
 
+  /** THE simhash signature — ONE spelling shared by t03 (signatures)
+    * and t21 (banded near-dup pairs): md5(word) nibbles vote per bit,
+    * weighted by term frequency; output is the 64-char bit string
+    * (string form keeps the pair entries' banding/hamming in plain
+    * codegen'd string ops with an exact DuckDB twin). */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(col("doc_id"), md5(col("word")).as("h"))
+    val bits = words
+      .selectExpr("doc_id", "h", "explode(sequence(0, 63)) AS pos")
+      .selectExpr("doc_id", "pos",
+        """CAST(FLOOR((conv(substring(h, CAST(pos / 4 AS INT) + 1, 1), 16, 10))
+             / POWER(2, 3 - pos % 4)) AS INT) % 2 AS bit""")
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("bit") * 2 - 1).as("vote"))
+      .select(col("doc_id"), col("pos"),
+        when(col("vote") > 0, lit("1")).otherwise(lit("0")).as("b"))
+    bits.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("b")))).as("pb"))
+      .selectExpr("doc_id", "array_join(transform(pb, x -> x.b), '') AS simhash")
+  }
+
+  /** DuckDB twin of [[simhashSigs]] — ends in a `sigs(doc_id, simhash)`
+    * CTE. */
+  private val oSimhashSigs =
+    """toks AS (
+          SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w
+          FROM documents),
+        words AS (
+          SELECT doc_id, MD5(w) AS h FROM toks WHERE LEN(w) > 0),
+        bits AS (SELECT doc_id, pos,
+            CAST(FLOOR((STRPOS('0123456789abcdef', SUBSTRING(h, CAST(FLOOR(pos / 4) AS INT) + 1, 1)) - 1)
+              / POWER(2, 3 - pos % 4)) AS INT) % 2 AS bit
+          FROM words, (SELECT UNNEST(RANGE(0, 64)) AS pos) p),
+        votes AS (SELECT doc_id, pos, SUM(bit * 2 - 1) AS vote
+          FROM bits GROUP BY doc_id, pos),
+        sigs AS (SELECT doc_id,
+            STRING_AGG(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+          FROM votes GROUP BY doc_id)"""
+
   /** The ONE quality-score definition: t07 reports it per-doc, t17
     * gates on it, t20 tunes its threshold — spelled once per engine so
     * the three can never drift. Intermediates are selected as NAMED
@@ -234,39 +277,51 @@ object TextOps {
     // SimHash signatures: 64-bit signature from md5(word) nibbles,
     // per-bit majority vote weighted by term frequency.
     QueryEntry("t03_simhash",
+      (s, d) => simhashSigs(s, d),
+      Some(s"""WITH $oSimhashSigs SELECT doc_id, simhash FROM sigs""")),
+
+    // ------------------------------------------------------------------
+    // SimHash near-dup PAIRS — Manku/Google web-dedup: hamming <= 3
+    // over the 64-bit signatures via 4 x 16-bit bands (pigeonhole: any
+    // pair within hamming 3 agrees exactly on at least one band, so
+    // the band equi-join generates every true pair — never all-pairs).
+    // Verification compares the 64 signature chars; candidates are
+    // bounded by 16-bit band collisions (~2^-16/band on random text).
+    QueryEntry("t21_simhash_pairs",
       (s, d) => {
-        val words = docs(s, d)
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
-          .filter(length(col("word")) > 0)
-          .select(col("doc_id"), md5(col("word")).as("h"))
-        val bits = words
-          .selectExpr("doc_id", "h", "explode(sequence(0, 63)) AS pos")
-          .selectExpr("doc_id", "pos",
-            """CAST(FLOOR((conv(substring(h, CAST(pos / 4 AS INT) + 1, 1), 16, 10))
-                 / POWER(2, 3 - pos % 4)) AS INT) % 2 AS bit""")
-          .groupBy(col("doc_id"), col("pos"))
-          .agg(sum(col("bit") * 2 - 1).as("vote"))
-          .select(col("doc_id"), col("pos"),
-            when(col("vote") > 0, lit("1")).otherwise(lit("0")).as("b"))
-        bits.groupBy(col("doc_id"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("b")))).as("pb"))
-          .selectExpr("doc_id", "array_join(transform(pb, x -> x.b), '') AS simhash")
+        val sigs = simhashSigs(s, d)
+        val banded = sigs.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              expr(s"substring(simhash, ${b * 16 + 1}, 16)").as("bval"))): _*)).as("bb"))
+          .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bval"))
+        val l = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
+          col("band"), col("bval"))
+        val r = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
+          col("band"), col("bval"))
+        // corpus-sized both sides: shuffle on the band key, never broadcast
+        l.hint("shuffle_hash").join(r, Seq("band", "bval"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("size(filter(zip_with(split(sa, ''), split(sb, ''), (x, y) -> x <> y), p -> p))")
+              .as("hamming"))
+          .filter(col("hamming") <= 3)
+          .distinct()
       },
-      Some("""WITH toks AS (
-          SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w
-          FROM documents),
-        words AS (
-          SELECT doc_id, MD5(w) AS h FROM toks WHERE LEN(w) > 0),
-        bits AS (SELECT doc_id, pos,
-            CAST(FLOOR((STRPOS('0123456789abcdef', SUBSTRING(h, CAST(FLOOR(pos / 4) AS INT) + 1, 1)) - 1)
-              / POWER(2, 3 - pos % 4)) AS INT) % 2 AS bit
-          FROM words, (SELECT UNNEST(RANGE(0, 64)) AS pos) p),
-        votes AS (SELECT doc_id, pos, SUM(bit * 2 - 1) AS vote
-          FROM bits GROUP BY doc_id, pos)
-        SELECT doc_id,
-          STRING_AGG(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
-        FROM votes GROUP BY doc_id""")),
+      Some(s"""WITH $oSimhashSigs,
+        bands AS (SELECT doc_id, simhash, b AS band,
+            SUBSTRING(simhash, b * 16 + 1, 16) AS bval
+          FROM sigs, (SELECT UNNEST(RANGE(0, 4)) AS b) bs),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.simhash AS sa, b.simhash AS sb
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+        scored AS (SELECT doc_a, doc_b,
+            CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+              i -> CASE WHEN SUBSTRING(sa, i, 1) <> SUBSTRING(sb, i, 1)
+                   THEN 1 ELSE 0 END)) AS INT) AS hamming
+          FROM cand)
+        SELECT DISTINCT doc_a, doc_b, hamming FROM scored WHERE hamming <= 3""")),
 
     // ------------------------------------------------------------------
     // Character 5-gram Jaccard near-dup, blocked by source (at scale the

@@ -253,6 +253,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(2000))
   }
 
+  test("t21 simhash pairs: ONE signature computation, band join reuses the exchange") {
+    // the signature agg (64 bit-votes per doc) is the expensive stage;
+    // both band-join sides must consume ONE computed copy — a diamond
+    // recompute doubles the per-word explode at any scale (the v04
+    // regression class)
+    val df = SparkEntry.queries("t21_simhash_pairs")(spark, sf())
+    df.collect() // reuse is inserted at runtime; finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.linesIterator.takeWhile(!_.contains("Initial Plan")).mkString("\n")
+    assert("ReusedExchange".r.findAllIn(finalPlan).nonEmpty,
+      s"no ReusedExchange in t21 final plan:\n${finalPlan.take(2000)}")
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(finalPlan).size
+    assert(scans <= 1, s"expected <=1 materialized documents scan, got $scans")
+  }
+
   test("image near-dup candidates come from a banded equi-join, never a cartesian") {
     // the operator's 100 TB contract: band-bucket self-join (an
     // EQUI-join on (band, bval)) generates candidates; all-pairs must
