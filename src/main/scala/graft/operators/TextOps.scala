@@ -324,63 +324,71 @@ object TextOps {
         SELECT DISTINCT doc_a, doc_b, hamming FROM scored WHERE hamming <= 3""")),
 
     // ------------------------------------------------------------------
-    // Character 5-gram Jaccard near-dup, blocked by source (at scale the
-    // block key bounds the pairwise cost; cross-block recall comes from
-    // t02's LSH path).
+    // Character 5-gram Jaccard near-dup, blocked by source. Candidate
+    // generation is the SAME 16-lane/4-band minhash family t02 uses —
+    // over the gram md5s instead of word shingles — so the pair space
+    // is band-bucket-bounded (linear in corpus size), never the
+    // within-block quadratic the r5 sf1 bench measured (46.5 s for 10x
+    // rows under the old (source, length-bucket) join). The oracle
+    // reproduces the banding verbatim, so Spark == DuckDB is exact BY
+    // CONSTRUCTION; the banding's recall against brute-force all-pairs
+    // is measured separately in TextRecallSpec (the t02 discipline).
     QueryEntry("t04_ngram_jaccard",
       (s, d) => {
-        // Source-blocked exact verification with a codegen'd kernel:
-        // each doc's gram set is hashed+sorted ONCE (xxhash64 per gram,
-        // 64-bit fingerprint — collision odds are negligible and a
-        // collision could only nudge one intersection count by 1);
-        // every pair is then one allocation-free sorted-merge count
+        // Exact verification with a codegen'd kernel: each doc's gram
+        // set is hashed+sorted ONCE (xxhash64 per gram, 64-bit
+        // fingerprint — collision odds are negligible and a collision
+        // could only nudge one intersection count by 1); every
+        // candidate pair is then one allocation-free sorted-merge count
         // (graft.functions.SortedIntersectSize) inside whole-stage
-        // codegen, after a length-ratio prefilter (jaccard <=
-        // min/max, so failing pairs can never reach 0.6). The block
-        // key bounds the pairwise cost; cross-block recall is t02's
-        // LSH path, which is also the 100 TB scale path when blocks
-        // grow beyond quadratic reach.
+        // codegen, after a length-ratio prefilter. Both filters are
+        // result-neutral relative to the oracle: ratio < 0.6 implies
+        // jaccard <= min/max < 0.6, so the oracle needs neither.
         graft.functions.GraftFunctions.register(s)
         // Same scan-parallelism policy as t02: the gram hashing/sorting
         // and the pair kernel below are pure CPU — spread them across
-        // all cores, not the scan's row-group count.
-        // Sub-blocking by length: jaccard >= 0.6 forces the gram-count
-        // ratio min/max >= 0.6 > 1/2, so any matching pair sits in the
-        // same or an adjacent power-of-two bucket of n. Joining on
-        // (source, bucket) with a +-1 explode on one side turns the
-        // O(block^2) pair space into O(sum length-bucket^2) with
-        // IDENTICAL results (the ratio prefilter already discarded
-        // everything the bucket join prunes). length(bin(n)) is
-        // integer-exact in both engines — no float boundary can
-        // disagree between Spark and the oracle.
+        // all cores, not the scan's row-group count. The trailing
+        // repartition on sigs is the t02 materialization point: one
+        // computed copy of the md5/minhash/fingerprint work feeds all
+        // four join branches via exchange reuse.
         val gramSets = docs(s, d)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .selectExpr("doc_id", "source",
           """array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),
                i -> substring(text, i, 5))) AS gs""")
           .selectExpr("doc_id", "source", "size(gs) AS n",
-            "sort_array(transform(gs, g -> xxhash64(g))) AS hs",
-            "length(bin(size(gs))) AS bkt")
-        val a = gramSets.select(col("source"), col("bkt"),
-          col("doc_id").as("doc_a"), col("n").as("na"), col("hs").as("ha"))
-        val b = gramSets
-          .select(col("source"), col("doc_id").as("doc_b"),
-            col("n").as("nb"), col("hs").as("hb"),
-            explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
-        // Sort-merge on the (block, bucket) key — never a broadcast: the
-        // gram-set table is corpus-sized, so a broadcast OOMs at scale.
-        // The MERGE hint keeps the plan shape deterministic at every SF
-        // (the static planner would pick broadcast below the threshold).
-        // Measured trade (r4, sf0.1 warm): MERGE 1.33 s, SHUFFLE_HASH
-        // 1.29 s (noise-equal), AQE free choice 0.72 s via
-        // BroadcastHashJoin. The ~0.6 s is the price of refusing the
-        // broadcast plan that dies at corpus scale; SMJ is kept over
-        // SHUFFLE_HASH because its spill path degrades gracefully when
-        // a (source, bucket) block outgrows executor memory.
-        a.join(b.hint("MERGE"), Seq("source", "bkt"))
+            "transform(gs, g -> md5(g)) AS hd",
+            "sort_array(transform(gs, g -> xxhash64(g))) AS hs")
+        val sigs = gramSets.select(col("doc_id"), col("source"), col("n"), col("hs"),
+            array(minhashLanes(col("hd")): _*).as("sl"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        // Band grouping identical to t02: band b = lane b's four
+        // rotations, each band a disjoint 32-bit digest lane. The
+        // source column rides along so the equi-join key is
+        // (source, band_key) — same-source pairs only, as before. The
+        // gram count n rides along too: the length-ratio prefilter
+        // (jaccard <= min/max, so ratio < 0.6 implies jaccard < 0.6 —
+        // result-neutral) runs INSIDE the band join, before the
+        // distinct, so impossible pairs never reach the dedup shuffle
+        // or the verify joins.
+        val bands = sigs.selectExpr("doc_id", "source", "n",
+          """explode(transform(sequence(0, 3),
+               b -> concat(b, ':', sl[b], '|', sl[b+4], '|', sl[b+8], '|', sl[b+12]))) AS band_key""")
+        // Corpus-sized both sides: shuffle on the band key (that IS the
+        // LSH bucketing), never broadcast.
+        val cand = bands.select(col("source"), col("doc_id").as("doc_a"), col("n").as("na"), col("band_key"))
+          .join(bands.select(col("source"), col("doc_id").as("doc_b"), col("n").as("nb"), col("band_key"))
+            .hint("SHUFFLE_HASH"), Seq("source", "band_key"))
           .filter(col("doc_a") < col("doc_b"))
           .filter(least(col("na"), col("nb")).cast("double") >=
             greatest(col("na"), col("nb")) * 0.6)
+          .select("doc_a", "doc_b").distinct()
+        val hsets = sigs.select(col("doc_id"), col("n"), col("hs"))
+        cand
+          .join(hsets.select(col("doc_id").as("doc_a"), col("n").as("na"), col("hs").as("ha"))
+            .hint("SHUFFLE_HASH"), "doc_a")
+          .join(hsets.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("hs").as("hb"))
+            .hint("SHUFFLE_HASH"), "doc_b")
           .selectExpr("doc_a", "doc_b", "na", "nb",
             "sorted_intersect_size(ha, hb) AS ni")
           .select(col("doc_a"), col("doc_b"),
@@ -390,13 +398,28 @@ object TextOps {
       Some("""WITH grams AS (SELECT doc_id, source,
           LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(text) - 4, 1) + 1),
             i -> SUBSTRING(text, i, 5))) AS gs
-          FROM documents)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          CAST(LEN(LIST_INTERSECT(a.gs, b.gs)) AS DOUBLE) /
-            (LEN(a.gs) + LEN(b.gs) - LEN(LIST_INTERSECT(a.gs, b.gs))) AS jaccard
-        FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE CAST(LEN(LIST_INTERSECT(a.gs, b.gs)) AS DOUBLE) /
-            (LEN(a.gs) + LEN(b.gs) - LEN(LIST_INTERSECT(a.gs, b.gs))) >= 0.6""")),
+          FROM documents),
+        shd AS (SELECT doc_id, MD5(UNNEST(gs)) AS hd FROM grams),
+        mh AS (SELECT doc_id, j,
+            MIN(SUBSTRING(hd, CAST((j % 4) * 8 + (j // 4) * 2 + 1 AS INT), CAST(8 - (j // 4) * 2 AS INT))
+             || SUBSTRING(hd, CAST((j % 4) * 8 + 1 AS INT), CAST((j // 4) * 2 AS INT))) AS sig
+          FROM shd, (SELECT UNNEST(RANGE(0, 16)) AS j) jt GROUP BY doc_id, j),
+        sigs AS (SELECT doc_id, LIST(sig ORDER BY j) AS sl FROM mh GROUP BY doc_id),
+        bands AS (SELECT s.doc_id, g.source,
+          UNNEST(LIST_TRANSFORM(RANGE(0, 4),
+            b -> CAST(b AS VARCHAR) || ':' || sl[b+1] || '|' || sl[b+5] || '|' || sl[b+9] || '|' || sl[b+13])) AS band_key
+          FROM sigs s JOIN grams g USING (doc_id)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.source = b.source AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b,
+          CAST(LEN(LIST_INTERSECT(ga.gs, gb.gs)) AS DOUBLE) /
+            (LEN(ga.gs) + LEN(gb.gs) - LEN(LIST_INTERSECT(ga.gs, gb.gs))) AS jaccard
+        FROM cand c
+          JOIN grams ga ON ga.doc_id = c.doc_a
+          JOIN grams gb ON gb.doc_id = c.doc_b
+        WHERE CAST(LEN(LIST_INTERSECT(ga.gs, gb.gs)) AS DOUBLE) /
+            (LEN(ga.gs) + LEN(gb.gs) - LEN(LIST_INTERSECT(ga.gs, gb.gs))) >= 0.6""")),
 
     // ------------------------------------------------------------------
     // Document fingerprints: whole-doc content hash over normalized text

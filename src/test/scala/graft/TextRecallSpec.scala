@@ -54,4 +54,42 @@ class TextRecallSpec extends SparkSpec {
     assert(recall >= 0.9,
       f"t02 recall $recall%.3f below the documented floor 0.9")
   }
+
+  test("t04 char-5-gram banding: exact-verified, recall floor vs brute force") {
+    graft.functions.GraftFunctions.register(spark)
+    // brute force = the r5 exact all-pairs-within-source definition t04
+    // used before banding replaced the quadratic (source, length-bucket)
+    // join — the ground truth the banded candidates are measured against
+    val sets = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "source",
+        """array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),
+             i -> substring(text, i, 5))) AS gs""")
+      .selectExpr("doc_id", "source", "size(gs) AS n",
+        "sort_array(transform(gs, g -> xxhash64(g))) AS hs")
+    val brute = sets.select(col("source"), col("doc_id").as("doc_a"), col("n").as("na"), col("hs").as("ha"))
+      .join(sets.select(col("source"), col("doc_id").as("doc_b"), col("n").as("nb"), col("hs").as("hb")), "source")
+      .filter(col("doc_a") < col("doc_b"))
+      .selectExpr("doc_a", "doc_b", "na", "nb", "sorted_intersect_size(ha, hb) AS ni")
+      .select(col("doc_a"), col("doc_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val banded = SparkEntry.queries("t04_ngram_jaccard")(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(banded.subsetOf(brute),
+      s"false positives from the banded path: ${(banded -- brute).take(5)}")
+    assert(brute.nonEmpty, "brute force found no 5-gram dup pairs — test data changed?")
+    val recall = banded.size.toDouble / brute.size
+    info(f"t04 pair recall = $recall%.3f (${banded.size}/${brute.size})")
+    // At jaccard >= 0.6, one-band collision odds per 4-rotation band are
+    // lower than t02's 0.8-threshold case, but the corpus's true dup
+    // pairs are near-identical (jaccard ~0.9+) where collision is
+    // near-certain; floor kept conservative against corpus drift.
+    assert(recall >= 0.8,
+      f"t04 recall $recall%.3f below the documented floor 0.8")
+  }
 }
