@@ -14,10 +14,10 @@ import org.apache.spark.sql.connector.read.LocalScan
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -56,9 +56,11 @@ import graft.store.GraftTable
   * the IO the pruning avoids — the per-row V1 Row conversion is the
   * accepted bridge cost (identical trade to Spark's JDBC connector).
   *
-  * Write path: INSERT INTO appends, INSERT OVERWRITE truncates —
-  * both land as GraftTable commits via the [[V1Write]] seam, keeping
-  * the store's atomic-rename optimistic concurrency.
+  * Write path: native DSv2 BATCH_WRITE ([[GraftBatchWrite]]) —
+  * INSERT INTO appends, INSERT OVERWRITE truncates (static) or
+  * replaces exactly the written partitions (dynamic mode, Iceberg
+  * parity); executors write the files, the driver lands ONE GraftTable
+  * commit, keeping the store's atomic-rename optimistic concurrency.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
   private var catalogName: String = _
@@ -444,13 +446,16 @@ private[catalog] final class GraftV2Table(gt: GraftTable, fullName: String,
 
   override def name(): String = fullName
   override def schema(): StructType = gt.schemaAt(pinned)
-  // the cluster spec round-trips through SHOW TBLPROPERTIES (and
+  // The cluster spec round-trips through SHOW TBLPROPERTIES (and
   // createTable accepts TBLPROPERTIES('clusterBy'=...) back), NOT
-  // through partitioning(): a non-empty partitioning() makes Spark
-  // plan INSERT OVERWRITE as OverwritePartitionsDynamic under
-  // partitionOverwriteMode=dynamic, a capability this table does not
-  // implement — the documented truncate-overwrite path would regress
-  // to an analysis error on every clustered table.
+  // through partitioning(): graft clustering is range-clustering
+  // (Iceberg write.sort-order), not discrete identity partitions, so
+  // advertising it as partitioning() would misdescribe the layout to
+  // planner rules that assume one-value-per-partition. Dynamic
+  // INSERT OVERWRITE still keys on the spec (Spark plans
+  // OverwritePartitionsDynamic from the session conf alone; the
+  // replaced-partition identity is the connector's to define — see
+  // GraftTable.adoptBatchWrite).
   override def partitioning(): Array[Transform] = Array.empty
   // resolved ONCE against the PINNED snapshot's schema: a table time-
   // travelled to before a rename must report the column name its own
@@ -469,8 +474,8 @@ private[catalog] final class GraftV2Table(gt: GraftTable, fullName: String,
   }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(gt, pinned, schema())
@@ -589,31 +594,3 @@ private[catalog] object GraftScanBuilder {
   }
 }
 
-/** INSERT INTO → append commit; INSERT OVERWRITE → overwrite commit.
-  * The V1Write seam hands us the materialized source DataFrame, which
-  * GraftTable writes distributed (immutable files + one stats pass).
-  *
-  * KNOWN LIMIT: `INSERT OVERWRITE` under
-  * `spark.sql.sources.partitionOverwriteMode=dynamic` fails with a
-  * clear analysis error. Spark 4.1 plans OverwritePartitionsDynamic on
-  * that conf ALONE (never consulting partitioning(), verified in the
-  * shipped bytecode), and its capability check demands full DSv2
-  * BATCH_WRITE — there is no V1-write exec for dynamic overwrite, so a
-  * V1-bridge table cannot claim it (advertising BATCH_WRITE without a
-  * real BatchWrite would fail at physical planning instead). Sessions
-  * writing through this catalog keep the default static mode; the
-  * table declares no Spark-visible partitions, so dynamic mode could
-  * only ever mean the same full overwrite anyway. */
-private[catalog] final class GraftWriteBuilder(gt: GraftTable)
-  extends WriteBuilder with SupportsTruncate {
-
-  private var overwrite = false
-
-  override def truncate(): WriteBuilder = { overwrite = true; this }
-
-  override def build(): V1Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation =
-      (data, overwriteFlag) =>
-        if (overwrite || overwriteFlag) gt.overwrite(data) else gt.append(data)
-  }
-}

@@ -525,6 +525,86 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   def overwrite(df: DataFrame): Long =
     commitRetry("overwrite", writeFiles(aligned(df)), Nil, InheritSchema(schema.json))
 
+  // ------------------------------------------------------------------
+  // DSv2 batch-write adoption (files written by executor DataWriters)
+  // ------------------------------------------------------------------
+  /** Allocate the per-write directory for one DSv2 batch write — same
+    * `data/<uuid8>` layout every write path uses, so vacuum's
+    * unreferenced-file sweep covers crashed DSv2 writes for free. */
+  private[graft] def newBatchWriteDir(): String =
+    s"data/${UUID.randomUUID().toString.take(8)}"
+
+  /** Writer options a DSv2 DataWriter must carry so executor-written
+    * files match [[writeFilesWith]]'s (per-file bloom filters). */
+  private[graft] def batchWriterOptions: Map[String, String] =
+    if (bloomFilterCols.isEmpty) Map.empty
+    else if (format == "parquet")
+      bloomFilterCols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+    else Map("orc.bloom.filter.columns" -> bloomFilterCols.mkString(","))
+
+  /** Adopt executor-written files under `subdir` as ONE atomic commit —
+    * the driver-side half of the DSv2 [[org.apache.spark.sql.connector.write.BatchWrite]]:
+    * the stats pass and the commit loop are the SAME code every other
+    * write path uses, so WAP vacuum semantics, stats pruning, and
+    * concurrent-writer retries all apply unchanged.
+    *
+    * `dynamicPartitions = false`: plain append, or (with `truncate`)
+    * the static INSERT OVERWRITE (snapshot = exactly the new files).
+    *
+    * `dynamicPartitions = true` is Iceberg-parity dynamic partition
+    * overwrite: replace exactly the partitions present in the written
+    * rows, leave every other partition untouched. Partition identity is
+    * the write-time cluster spec (the table's only partition notion —
+    * SQL `PARTITIONED BY` lands there); with no spec the table is
+    * unpartitioned and dynamic mode degenerates to the full overwrite,
+    * Hive/Spark semantics. Victim discovery is stats-pruned (the spec
+    * range-clusters every file on exactly these columns, so pruning is
+    * partition-grade); victims rewrite copy-on-write minus the
+    * replaced partitions' rows; ONE commit adds written + survivor
+    * files and removes victims — rewrite-shaped (`removed` non-empty),
+    * so CDC diffs, incremental views, and the streaming source all
+    * classify it correctly by shape. */
+  private[graft] def adoptBatchWrite(subdir: String, truncate: Boolean,
+                                     dynamicPartitions: Boolean): Long = {
+    val sch = schema
+    val absDir = s"$root/$subdir"
+    val written =
+      if (Files.isDirectory(Paths.get(absDir))) collectStats(absDir, subdir, sch)
+      else Nil
+    if (!dynamicPartitions || clusterFieldIds.isEmpty) {
+      // empty dynamic overwrite replaces no partitions, an empty append
+      // adds nothing: no-op, no commit. (An empty STATIC overwrite still
+      // commits — INSERT OVERWRITE of an empty query truncates.)
+      if (written.isEmpty && (dynamicPartitions || !truncate)) return currentVersion
+      val op = if (truncate || dynamicPartitions) "overwrite" else "append"
+      return commitRetry(op, written, Nil, InheritSchema(sch.json))
+    }
+    if (written.isEmpty) return currentVersion
+    val parts = clusterSpecNames(sch)
+    // the distinct partition tuples this write touches — metadata-sized
+    // (the number of partitions in one batch, not the row count)
+    val tuples = readData(Seq(absDir), sch).select(parts.map(col): _*).distinct().collect()
+    require(tuples.length <= 1000,
+      s"dynamic overwrite would replace ${tuples.length} partitions in one commit " +
+        "(cap 1000: the per-partition predicate is a planned expression); " +
+        "split the write or use static overwrite")
+    val cond = tuples.map { r =>
+      parts.zipWithIndex.map { case (p, i) =>
+        if (r.isNullAt(i)) col(p).isNull else col(p) === lit(r.get(i))
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    val (base, victims) = matchingFiles(cond)
+    val survivors =
+      if (victims.isEmpty) Nil
+      else {
+        val surv = readData(victims.map(p => s"$root/$p"), sch)
+          .filter(!coalesce(cond, lit(false)))
+        if (surv.isEmpty) Nil else writeFiles(surv)
+      }
+    commitRetry("overwrite-dynamic", written ++ survivors, victims,
+      SameSchema(sch.json), basedOn = base)
+  }
+
   /** Labeled, exactly-once MULTISET replace: remove one target-row
     * instance per `deletes` row (null-safe equality on every column),
     * add `inserts`, in ONE atomic commit — the primitive a CDC-driven

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import java.time.format.DateTimeFormatter
+import scala.jdk.CollectionConverters._
 
 import graft.store.GraftTable
 
@@ -171,18 +172,26 @@ class GraftCatalogSpec extends SparkSpec {
       .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
       .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("dbp"), "pt"))
     assert(v2t.partitioning().isEmpty)
-    // static INSERT OVERWRITE works; dynamic mode fails LOUDLY at
-    // analysis (Spark plans OverwritePartitionsDynamic on the conf
-    // alone, and no V1-write exec exists for it — documented limit at
-    // GraftWriteBuilder, never a silent wrong answer)
+    // static INSERT OVERWRITE truncate-overwrites; dynamic mode (the
+    // r5 V1-bridge gap, closed by the native BATCH_WRITE) replaces
+    // EXACTLY the partitions present in the written rows — Iceberg
+    // dynamic partition overwrite semantics, keyed on the cluster spec
     sql("INSERT OVERWRITE gcat.dbp.pt SELECT id, 'ow' FROM range(0, 5)")
     assert(sql("SELECT count(*) FROM gcat.dbp.pt").head().getLong(0) == 5)
+    val vBeforeDyn = gt.currentVersion
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      val de = intercept[org.apache.spark.sql.AnalysisException](
-        sql("INSERT OVERWRITE gcat.dbp.pt SELECT id, 'ow2' FROM range(0, 5)"))
-      assert(de.getMessage.contains("dynamic overwrite"), de.getMessage)
+      sql("INSERT OVERWRITE gcat.dbp.pt SELECT id, 'dyn' FROM VALUES (3L), (100L) AS t(id)")
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    // untouched partitions survive, written ones replaced, new ones added
+    assert(sql("SELECT id, v FROM gcat.dbp.pt ORDER BY id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(0L -> "ow", 1L -> "ow", 2L -> "ow", 4L -> "ow", 3L -> "dyn", 100L -> "dyn")
+        .sortBy(_._1))
+    // ONE atomic commit, rewrite-shaped (victims removed, new+survivor added)
+    assert(gt.currentVersion == vBeforeDyn + 1)
+    val dynC = gt.commitInfo(gt.currentVersion)
+    assert(dynC.op == "overwrite-dynamic" && dynC.removed.nonEmpty, dynC)
     // the reported property recreates the spec via TBLPROPERTIES
     sql("CREATE TABLE gcat.dbp.pt3 (id BIGINT, v STRING) TBLPROPERTIES ('clusterBy'='id')")
     val gt3 = GraftTable.load(spark,
@@ -192,6 +201,68 @@ class GraftCatalogSpec extends SparkSpec {
     val e = intercept[Exception](
       sql("CREATE TABLE gcat.dbp.pt2 (id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))"))
     assert(e.getMessage.contains("range-cluster"), e.getMessage)
+  }
+
+  test("DSv2 batch write: cluster spec shapes files, stats + field ids intact") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.dbw")
+    sql("CREATE TABLE gcat.dbw.w (k BIGINT, s STRING) PARTITIONED BY (k)")
+    val gt = GraftTable.load(spark,
+      java.nio.file.Paths.get(warehouse, "dbw", "w").toString)
+    val advisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val minPart = spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    try {
+      // small advisory + min-partition size so AQE's runtime sizing of
+      // the required ordered distribution yields multiple range
+      // partitions = files (the write surfaces the session advisory
+      // via RequiresDistributionAndOrdering.advisoryPartitionSizeInBytes;
+      // minPartitionSize is AQE's 1MB floor, above this test's data)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8KB")
+      sql("INSERT INTO gcat.dbw.w SELECT id % 50, repeat(uuid(), 4) FROM range(0, 20000)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
+    }
+    val added = gt.history.last.added
+    assert(added.size > 1, s"expected a multi-file clustered write, got ${added.size}")
+    // every file carries min/max/null stats (the one-pass stats job ran
+    // over executor-written files), and the range-cluster spec produced
+    // non-overlapping [min,max] spans on k — partition-grade pruning
+    assert(added.forall(f => f.min.contains("k") && f.max.contains("k")))
+    val spans = added.map(f => (f.min("k").toLong, f.max("k").toLong)).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlapping file spans: $spans")
+      case _ => ()
+    }
+    // field-id metadata survived the executor-side parquet write:
+    // rename resolves old files by id, so no value reads as NULL
+    sql("ALTER TABLE gcat.dbw.w RENAME COLUMN s TO s2")
+    assert(sql("SELECT count(s2) FROM gcat.dbw.w").head().getLong(0) == 20000)
+    assert(sql("SELECT count(*) FROM gcat.dbw.w WHERE k = 7").head().getLong(0) == 400)
+    // dynamic overwrite with NO cluster spec = full overwrite (Hive
+    // semantics for unpartitioned tables)
+    sql("CREATE TABLE gcat.dbw.u (k BIGINT, s STRING)")
+    sql("INSERT INTO gcat.dbw.u SELECT id, 'a' FROM range(0, 10)")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try sql("INSERT OVERWRITE gcat.dbw.u SELECT id, 'b' FROM range(0, 3)")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    assert(sql("SELECT count(*) FROM gcat.dbw.u").head().getLong(0) == 3)
+    // no stray files in the DSv2 write's own directories: every file a
+    // batch-write subdir holds is referenced by the log (the create
+    // path's zero-row part file is a separate, pre-existing vacuum
+    // concern — scope to the commits this test produced)
+    val live = gt.history.flatMap(_.added).map(_.path).toSet
+    val writeDirs = added.map(_.path.split('/').init.mkString("/")).toSet
+    val onDisk = writeDirs.flatMap { d =>
+      val dir = java.nio.file.Paths.get(warehouse, "dbw", "w", d)
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.filter(p => java.nio.file.Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith(".") &&
+        !p.getFileName.toString.startsWith("_"))
+        .map(p => s"$d/${p.getFileName}").toSet
+      finally s.close()
+    }
+    assert(onDisk.subsetOf(live), s"unreferenced files: ${(onDisk -- live).take(3)}")
   }
 
   test("CALL procedures: optimize (zorder), vacuum, create_ref") {
