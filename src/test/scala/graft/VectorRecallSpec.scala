@@ -28,7 +28,7 @@ class VectorRecallSpec extends SparkSpec {
     info(f"v04 pair recall = $recall%.3f (${ann.size}/${exact.size})")
     assert(recall >= 0.55,
       f"v04 recall $recall%.3f below the documented floor 0.55 " +
-        "(16-bit hyperplane signatures, 4 bands x 4 bits)")
+        "(20-bit hyperplane signatures, 5 bands x 4 bits — geometryFor(500))")
   }
 
   test("LSH geometry is parametric and wider bands cut bucket saturation") {
@@ -37,7 +37,8 @@ class VectorRecallSpec extends SparkSpec {
     // path, so the oracle-checked geometry and the production-tunable
     // one can never drift
     val entryPairs = q("v04_ann_lsh").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val paramPairs = VectorOps.annPairs(spark, dir, nPlanes = 16, bandBits = 4, threshold = 0.35)
+    val (gp, gb) = VectorOps.geometryFor(500)
+    val paramPairs = VectorOps.annPairs(spark, dir, nPlanes = gp, bandBits = gb, threshold = 0.35)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(paramPairs == entryPairs)
     // the 10x bench measured the 4-bit geometry saturating (BENCH_SF1:
@@ -59,6 +60,101 @@ class VectorRecallSpec extends SparkSpec {
     val widePairs = VectorOps.annPairs(spark, dir, 64, 8, 0.35)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(widePairs.subsetOf(exact), (widePairs -- exact).take(5))
+  }
+
+  test("geometryFor: oracle anchor at gate scale, log-N bits, banded-cap law") {
+    import graft.operators.VectorOps.geometryFor
+    // the correctness gate's scale IS the oracle geometry — adaptive
+    // and DuckDB-checked entries are one code path at sf0.01
+    assert(geometryFor(500) == (20, 4))
+    assert(geometryFor(50) == (20, 4)) // floor: tiny corpora keep the demo geometry
+    // bits grow with log2(N / targetOccupancy): occupancy — and the
+    // quadratic within-bucket term — stays flat as the corpus grows
+    assert(geometryFor(2000)._2 == 6)
+    assert(geometryFor(20000)._2 == 10)
+    assert(geometryFor(20000) == (230, 10))
+    val bitsUp = Seq(500L, 2000L, 20000L, 200000L, 2000000L).map(geometryFor(_)._2)
+    assert(bitsUp == bitsUp.sorted, s"bits must be monotone in N: $bitsUp")
+    // band count holds model recall at the design similarity (~N^0.5
+    // growth — the classical LSH exponent) until the cap
+    assert(geometryFor(200000)._1 / geometryFor(200000)._2 > 23)
+    assert(geometryFor(1L << 40)._1 / geometryFor(1L << 40)._2 == 32,
+      "band count must cap (documented recall decay past the cap)")
+  }
+
+  test("v04 adaptive geometry at 10x scale: planted near-dup recall, flat occupancy") {
+    import org.apache.spark.sql.functions.{broadcast, expr, max => smax}
+    import graft.operators.VectorOps
+    val sqlc = spark
+    import sqlc.implicits._
+    // ---- build a 20k corpus: sf0.1 embeddings x10 (ScaleUp's rotation
+    // rule — cross-replica cosine structure scrambled, so candidate
+    // rates scale like a genuinely bigger corpus), plus PLANTED
+    // near-dup pairs at exact cosines (the data has no natural pairs
+    // above 0.5 at this scale to measure recall on)
+    val base = Tables(spark, sf("sf0.1"), "embeddings").select("vec_id", "embedding")
+    val span = base.agg(smax(col("vec_id"))).head().getLong(0) + 1
+    val reps = spark.range(0, 10).select(col("id").cast("int").as("__r"))
+    val scaled = base.crossJoin(broadcast(reps))
+      .withColumn("vec_id", col("vec_id") + col("__r") * span)
+      .withColumn("embedding", expr(
+        """transform(sequence(0, size(embedding) - 1),
+             i -> element_at(embedding, ((i + __r) % size(embedding)) + 1))"""))
+      .drop("__r")
+    // planted pair i: (seed vec i, 10_000_000 + i) at cosine c exactly
+    // (c*v_hat + sqrt(1-c^2)*w_hat, w_hat deterministic and orthonormal
+    // to v) — 40 pairs at 0.85 (clear near-dups), 40 at 0.65 (the
+    // design-similarity margin)
+    def plant(seed: Array[Float], c: Double, salt: Int): Array[Float] = {
+      val v = seed.map(_.toDouble)
+      val vh = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+      val w0 = Array.tabulate(v.length) { i =>
+        val h = ((salt * 64 + i).toLong * 2654435761L + 1013904223L) & 0xffffffffL
+        h.toDouble / 4294967296.0 * 2 - 1
+      }
+      val proj = vh.zip(w0).map { case (a, b) => a * b }.sum
+      val wh = {
+        val w = w0.zip(vh).map { case (b, a) => b - proj * a }
+        val n = math.sqrt(w.map(x => x * x).sum); w.map(_ / n)
+      }
+      val s = math.sqrt(1 - c * c)
+      vh.zip(wh).map { case (a, b) => (c * a + s * b).toFloat }
+    }
+    val seeds = base.filter(col("vec_id") < 80).orderBy("vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val plantedRows = seeds.map { case (id, v) =>
+      val c = if (id < 40) 0.85 else 0.65
+      (10000000L + id, plant(v, c, salt = id.toInt))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("v04scale").toString
+    scaled.unionByName(plantedRows.toSeq.toDF("vec_id", "embedding"))
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    val n = Tables(spark, dir, "embeddings").count()
+    val (np, bb) = VectorOps.geometryFor(n)
+    assert(bb == 10, s"20k corpus must widen bands to 10 bits, got ($np, $bb)")
+    // ---- the REAL entry (adaptive) against the planted ground truth
+    val pairs = SparkEntry.queries("v04_ann_lsh")(spark, dir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(ids: Range): Double =
+      ids.count(i => pairs.contains((i.toLong, 10000000L + i))).toDouble / ids.size
+    val rHigh = recallOf(0 until 40)
+    val rMargin = recallOf(40 until 80)
+    info(f"planted recall: cos=0.85 -> $rHigh%.2f, cos=0.65 -> $rMargin%.2f (geometry ($np, $bb))")
+    // collision model predicts 0.97 at 0.85 and 0.61 at 0.65 for
+    // (230, 10); floors leave room for float32 seed noise
+    assert(rHigh >= 0.80, f"near-dup (0.85) recall $rHigh%.2f below 0.80")
+    assert(rMargin >= 0.35, f"design-margin (0.65) recall $rMargin%.2f below 0.35")
+    // ---- the scale property itself: adaptive bits hold per-bucket
+    // occupancy flat where the gate geometry saturates linearly
+    def maxOcc(p: Int, b: Int): Long =
+      VectorOps.bandOccupancy(spark, dir, p, b).agg(smax(col("count"))).head().getLong(0)
+    val occAdaptive = maxOcc(np, bb)
+    val occPinned = maxOcc(16, 4)
+    info(s"max band-bucket occupancy at 20k rows: adaptive=$occAdaptive, (16,4)=$occPinned")
+    assert(occAdaptive < occPinned / 4,
+      s"adaptive geometry must cut bucket saturation: $occAdaptive vs $occPinned")
+    assert(occAdaptive <= 256, s"occupancy should stay near targetOccupancy: $occAdaptive")
   }
 
   test("v05 IVF top-k: recall@3 floor vs an independent exact computation") {
