@@ -43,6 +43,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t14 convergence loop pays ONE action per round (observe-folded fixpoint)") {
+    // VERDICT r5 #7: the loop's separate changed-labels count() doubled
+    // the short-stage count per round — under host contention every
+    // driver barrier multiplies scheduler latency (measured 19x). The
+    // fixpoint check must ride the checkpoint materialization as an
+    // observed metric: rounds show up as checkpoint-family actions and
+    // NOTHING else (no count actions at all during the build).
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        names.add(funcName)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val actions = try {
+      SparkEntry.queries("t14_dup_clusters")(spark, sf("sf0.01")).collect()
+      // the listener bus is async — wait for the trailing collect event
+      var tries = 0
+      while (tries < 100 && !names.toArray.exists(_ == "collect")) { Thread.sleep(100); tries += 1 }
+      names.toArray.map(_.toString).toSeq
+    } finally spark.listenerManager.unregister(listener)
+    info(s"t14 actions: $actions")
+    assert(!actions.contains("count"),
+      s"t14 ran a separate count() action inside the convergence loop: $actions")
+    // per-round actions are the localCheckpoint materializations (t02
+    // pairs + initial labels + >=2 propagation rounds)
+    assert(actions.count(_.toLowerCase.contains("checkpoint")) >= 4, s"$actions")
+  }
+
   test("t02 materializes per-doc signatures once (no expensive filter below the repartition)") {
     // Round-3 regression gate: InferFiltersFromConstraints must not
     // push an isnotnull() over the md5/xxhash pipeline below the
