@@ -519,7 +519,16 @@ private[catalog] final class GraftScanBuilder(gt: GraftTable, version: Long,
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
 
-  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  // TOP-LEVEL pruning only: Spark's nested-schema pruning hands a
+  // narrowed struct (e.g. meta<score> of meta<lang,score>) — but the
+  // V1 bridge's RDD[Row] carries full structs, and the row-encoder
+  // boundary trusts readSchema(), so advertising the narrowed struct
+  // corrupts the conversion (String-where-Double crash on the first
+  // struct read through the catalog). Re-widen every required field to
+  // its full type; Spark re-extracts the nested field above the scan
+  // (the standard V1 contract — V1 file sources do the same).
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(requiredSchema.fields.map(f => fullSchema(f.name)))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftScanBuilder.toColumn(f, fullSchema).isDefined)

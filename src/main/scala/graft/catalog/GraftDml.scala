@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.{Column, GraftSparkInternals, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, ExprId, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Exists, ExprId, Expression, GetStructField, In, InSubquery, ListQuery, Literal, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -29,14 +29,28 @@ import graft.store.{GraftTable, MergeWhen}
   * full-table rewrite and a handful of files for a selective UPDATE.
   *
   * Expression hand-off: the statement's expressions arrive resolved
-  * against the relation's attribute ids. They are translated by
-  * exprId — target attributes to their plain column name, MERGE source
-  * attributes to [[GraftTable.MergeSourcePrefix]]-prefixed names (the
-  * store's mergeInto namespace contract) — into fresh by-name
-  * references, so they re-resolve inside the store's own DataFrames.
-  * Subqueries in conditions are rejected loudly (the store evaluates
-  * conditions per-file; correlated subqueries would need a join
-  * rewrite — DELETE's canDeleteWhere draws the same line).
+  * against the relation's attribute ids. At command RUN time they are
+  * translated by exprId — target attributes to their plain column name,
+  * MERGE source attributes to [[GraftTable.MergeSourcePrefix]]-prefixed
+  * names (the store's mergeInto namespace contract) — into fresh
+  * by-name references, so they re-resolve inside the store's own
+  * DataFrames.
+  *
+  * UNCORRELATED subqueries in conditions and assignments (r5 verdict
+  * #5: `UPDATE ... WHERE k IN (SELECT ...)`, `MERGE ... ON ... AND t.v
+  * > (SELECT avg ...)`) are MATERIALIZED ONCE at run time — scalar →
+  * literal, `[NOT] IN (SELECT ...)` → a value-list `In` (SQL
+  * three-valued NULL semantics preserved by the `In` expression),
+  * `[NOT] EXISTS` → boolean literal — and the folded condition then
+  * drives BOTH the store's stats-based victim-file discovery and the
+  * row-level rewrite: one subquery evaluation, reused everywhere,
+  * and literal/value-list predicates prune files by min/max stats
+  * exactly like hand-written ones. A subquery over the target table
+  * itself reads the pre-update snapshot (evaluate-then-commit — the
+  * standard SQL DML ordering). CORRELATED subqueries stay a loud
+  * error: the store evaluates conditions per-file; a correlated probe
+  * would need a per-row join rewrite — `MERGE USING` is that rewrite,
+  * spelled explicitly.
   */
 final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -45,15 +59,8 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       graftRelation(u.table).fold(plan) { case (rel, g) =>
         require(!g.isTimeTravel, s"cannot UPDATE a time-travelled snapshot of ${g.name()}")
         val tgt = byId(rel.output)
-        val set = u.assignments.map { a =>
-          a.key match {
-            case k: AttributeReference if tgt.contains(k.exprId) =>
-              tgt(k.exprId) -> translate(a.value, tgt, Map.empty)
-            case other => throw new UnsupportedOperationException(
-              s"UPDATE of nested field '${other.sql}' is not supported for graft tables")
-          }
-        }
-        GraftUpdateCommand(g.underlying, u.condition.map(translate(_, tgt, Map.empty)), set)
+        val set = u.assignments.map(a => assignOf(a, tgt))
+        GraftUpdateCommand(g.underlying, u.condition.map(RawExpr), set, tgt)
       }
 
     case m: MergeIntoTable if m.resolved =>
@@ -64,29 +71,23 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             "ALTER TABLE ... ADD COLUMN first")
         val tgt = byId(rel.output)
         val src = byId(m.sourceTable.output)
-        def assigns(as: Seq[Assignment]): Map[String, Column] = as.map { a =>
-          a.key match {
-            case k: AttributeReference if tgt.contains(k.exprId) =>
-              tgt(k.exprId) -> translate(a.value, tgt, src)
-            case other => throw new UnsupportedOperationException(
-              s"MERGE assignment to nested field '${other.sql}' is not supported")
-          }
-        }.toMap
-        def clause(a: MergeAction): MergeWhen = a match {
+        def assigns(as: Seq[Assignment]): Seq[DmlAssign] = as.map(a => assignOf(a, tgt))
+        def clause(a: MergeAction): RawMergeWhen = a match {
           case ua: UpdateAction =>
-            MergeWhen(ua.condition.map(translate(_, tgt, src)), Some(assigns(ua.assignments)))
+            RawMergeWhen(ua.condition.map(RawExpr), Some(assigns(ua.assignments)))
           case da: DeleteAction =>
-            MergeWhen(da.condition.map(translate(_, tgt, src)), None)
+            RawMergeWhen(da.condition.map(RawExpr), None)
           case ia: InsertAction =>
-            MergeWhen(ia.condition.map(translate(_, tgt, src)), Some(assigns(ia.assignments)))
+            RawMergeWhen(ia.condition.map(RawExpr), Some(assigns(ia.assignments)))
           case other => throw new UnsupportedOperationException(
             s"unsupported MERGE action for graft tables: $other")
         }
         GraftMergeCommand(g.underlying, m.sourceTable,
-          translate(m.mergeCondition, tgt, src),
+          RawExpr(m.mergeCondition),
           m.matchedActions.map(clause),
           m.notMatchedActions.map(clause),
-          m.notMatchedBySourceActions.map(clause))
+          m.notMatchedBySourceActions.map(clause),
+          tgt, src)
       }
 
     case _ => plan
@@ -108,17 +109,86 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def byId(attrs: Seq[Attribute]): Map[ExprId, String] =
     attrs.map(a => a.exprId -> a.name).toMap
 
-  /** Resolved expression → by-name Column in the store's namespace. */
-  private def translate(e: Expression,
-                        tgt: Map[ExprId, String],
-                        src: Map[ExprId, String]): Column = {
-    e.foreach {
-      case _: SubqueryExpression => throw new UnsupportedOperationException(
-        "subqueries in UPDATE/MERGE conditions are not supported for graft tables; " +
-          "materialize the subquery and use MERGE USING")
+  /** Assignment key → (target column, struct path). `SET s.f = expr`
+    * (r5 verdict #6) peels the resolved `GetStructField` chain down to
+    * the base attribute; the command rebuilds the struct copy-on-write
+    * with `Column.withField`, so sibling fields and the schema's
+    * field-id metadata are untouched (the commit is schema-preserving).
+    * Array-element / map-key targets stay unsupported, loudly. */
+  private def assignOf(a: Assignment, tgt: Map[ExprId, String]): DmlAssign = {
+    def peel(e: Expression, acc: List[String]): DmlAssign = e match {
+      case g: GetStructField => peel(g.child, g.extractFieldName :: acc)
+      case ar: AttributeReference if tgt.contains(ar.exprId) =>
+        DmlAssign(tgt(ar.exprId), acc, RawExpr(a.value))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported DML assignment target '${other.sql}' for graft tables " +
+          "(columns and nested struct fields are assignable; array elements are not)")
+    }
+    peel(a.key, Nil)
+  }
+}
+
+/** One SET assignment: `column` (top-level) plus an optional struct
+  * `path` below it; `value` translates at run time. */
+private[catalog] final case class DmlAssign(column: String, path: Seq[String], value: RawExpr)
+
+/** Opaque holder for a resolved expression riding inside a command —
+  * deliberately NOT an `Expression`, so `QueryPlan`'s product scan
+  * never traverses it: subquery expressions in DML conditions would
+  * otherwise trip CheckAnalysis (subqueries are only legal under a
+  * fixed set of operators, and a custom command is not one). */
+private[catalog] final case class RawExpr(e: Expression)
+
+private[catalog] final case class RawMergeWhen(cond: Option[RawExpr],
+                                               assigns: Option[Seq[DmlAssign]])
+
+private[catalog] object GraftDmlExprs {
+  /** Value-list ceiling for a materialized IN-subquery. Above this the
+    * folded predicate stops being a sane planned expression (and stats
+    * pruning stops paying) — the scalable spelling is MERGE USING,
+    * which shuffles instead of materializing. */
+  val MaxInValues = 100000
+
+  private def requireUncorrelated(outer: Seq[Expression], what: String): Unit =
+    if (outer.nonEmpty) throw new UnsupportedOperationException(
+      s"correlated $what in UPDATE/MERGE conditions is not supported for graft tables; " +
+        "rewrite as MERGE USING (the explicit join spelling)")
+
+  /** Resolved expression → by-name Column in the store's namespace,
+    * materializing uncorrelated subqueries (see class doc). Runs at
+    * command execution, so each subquery is evaluated exactly once per
+    * statement. */
+  def translate(session: SparkSession, raw: RawExpr,
+                tgt: Map[ExprId, String], src: Map[ExprId, String]): Column = {
+    val folded = raw.e.transformUp {
+      case s: ScalarSubquery =>
+        requireUncorrelated(s.outerAttrs, "scalar subquery")
+        val rows = GraftSparkInternals.ofRows(session, s.plan).collect()
+        if (rows.length > 1) throw new IllegalStateException(
+          s"scalar subquery in DML returned ${rows.length} rows")
+        Literal.create(if (rows.isEmpty) null else rows(0).get(0), s.dataType)
+      case in: InSubquery =>
+        val q: ListQuery = in.query
+        requireUncorrelated(q.outerAttrs, "IN subquery")
+        if (in.values.length != 1) throw new UnsupportedOperationException(
+          "multi-column IN subqueries in DML are not supported for graft tables")
+        val elemType = q.plan.output.head.dataType
+        val vals = GraftSparkInternals.ofRows(session, q.plan)
+          .distinct().limit(MaxInValues + 1).collect()
+        if (vals.length > MaxInValues) throw new UnsupportedOperationException(
+          s"IN subquery in DML materialized more than $MaxInValues distinct values; " +
+            "use MERGE USING for join-scale subqueries")
+        In(in.values.head, vals.toSeq.map(r => Literal.create(r.get(0), elemType)))
+      case ex: Exists =>
+        requireUncorrelated(ex.outerAttrs, "EXISTS subquery")
+        Literal(!GraftSparkInternals.ofRows(session, ex.plan).isEmpty)
+    }
+    folded.foreach {
+      case s: SubqueryExpression => throw new UnsupportedOperationException(
+        s"unsupported subquery form in graft DML: ${s.getClass.getSimpleName}")
       case _ => ()
     }
-    val renamed = e.transform {
+    val renamed = folded.transform {
       case a: AttributeReference =>
         tgt.get(a.exprId).map(UnresolvedAttribute.quoted)
           .orElse(src.get(a.exprId)
@@ -128,16 +198,38 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     GraftSparkInternals.column(renamed)
   }
+
+  /** Assignments → the store's `column -> value` map. Nested-field
+    * assignments on one struct column fold into a single
+    * `withField`-rebuilt value (RHS expressions all see the OLD row —
+    * standard SQL UPDATE semantics — because the rebuild's base is the
+    * pre-update column). */
+  def buildSet(session: SparkSession, assigns: Seq[DmlAssign],
+               tgt: Map[ExprId, String], src: Map[ExprId, String]): Map[String, Column] =
+    assigns.groupBy(_.column).map { case (base, as) =>
+      if (as.exists(_.path.isEmpty)) {
+        if (as.length != 1) throw new UnsupportedOperationException(
+          s"conflicting assignments to column '$base' in one statement")
+        base -> translate(session, as.head.value, tgt, src)
+      } else {
+        base -> as.foldLeft(org.apache.spark.sql.functions.col(s"`$base`")) { (acc, a) =>
+          acc.withField(a.path.map(p => s"`$p`").mkString("."),
+            translate(session, a.value, tgt, src))
+        }
+      }
+    }
 }
 
 /** `UPDATE <graft table> SET ... [WHERE ...]` → one copy-on-write
   * commit via [[GraftTable.update]] (stats-pruned victim files only). */
-final case class GraftUpdateCommand(gt: GraftTable, cond: Option[Column],
-                                    set: Seq[(String, Column)])
+final case class GraftUpdateCommand(gt: GraftTable, cond: Option[RawExpr],
+                                    set: Seq[DmlAssign],
+                                    tgt: Map[ExprId, String])
   extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override def run(session: SparkSession): Seq[Row] = {
-    gt.update(cond.getOrElse(lit(true)), set.toMap)
+    gt.update(cond.map(GraftDmlExprs.translate(session, _, tgt, Map.empty)).getOrElse(lit(true)),
+      GraftDmlExprs.buildSet(session, set, tgt, Map.empty))
     Seq.empty
   }
 }
@@ -146,15 +238,21 @@ final case class GraftUpdateCommand(gt: GraftTable, cond: Option[Column],
   * atomic merge commit via [[GraftTable.mergeInto]]. The USING source's
   * analyzed plan rides along and materializes at run time. */
 final case class GraftMergeCommand(gt: GraftTable, source: LogicalPlan,
-                                   condition: Column,
-                                   matched: Seq[MergeWhen],
-                                   notMatched: Seq[MergeWhen],
-                                   notMatchedBySource: Seq[MergeWhen])
+                                   condition: RawExpr,
+                                   matched: Seq[RawMergeWhen],
+                                   notMatched: Seq[RawMergeWhen],
+                                   notMatchedBySource: Seq[RawMergeWhen],
+                                   tgt: Map[ExprId, String],
+                                   src: Map[ExprId, String])
   extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override def run(session: SparkSession): Seq[Row] = {
+    def tr(r: RawExpr): Column = GraftDmlExprs.translate(session, r, tgt, src)
+    def when(w: RawMergeWhen): MergeWhen =
+      MergeWhen(w.cond.map(tr), w.assigns.map(GraftDmlExprs.buildSet(session, _, tgt, src)))
     gt.mergeInto(GraftSparkInternals.ofRows(session, source),
-      condition, matched, notMatched, notMatchedBySource)
+      tr(condition), matched.map(when), notMatched.map(when),
+      notMatchedBySource.map(when))
     Seq.empty
   }
 }
