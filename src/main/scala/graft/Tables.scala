@@ -44,11 +44,24 @@ object Tables {
 /** One operator-coverage entry: a DataFrame-API query plus (when the
   * semantics are ANSI-SQL-expressible) a DuckDB oracle that must
   * hash-match it on the same parquet inputs.
+  *
+  * The oracle is BY-NAME and memoized: a handful of oracles are
+  * generated from runtime state (v07 embeds the trained IVF centroid
+  * table as literals), which must not execute at class load — only
+  * when the correctness gate actually dumps oracle_sql.json.
   */
-final case class QueryEntry(
-    name: String,
-    fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+final class QueryEntry(
+    val name: String,
+    val fn: (SparkSession, String) => DataFrame,
+    oracleGen: () => Option[String]) {
+  lazy val oracle: Option[String] = oracleGen()
+}
+
+object QueryEntry {
+  def apply(name: String, fn: (SparkSession, String) => DataFrame,
+            oracle: => Option[String]): QueryEntry =
+    new QueryEntry(name, fn, () => oracle)
+}
 
 /** The float-parity discipline (SURVEY.md §7.5), in ONE place: sums
   * over doubles route through DECIMAL(38,6) — exact and reduction-

@@ -8,6 +8,9 @@ object Verify {
     // dump (local fast loop); the driver passes exactly two args and
     // gets the full sweep.
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
+    // dynamic oracles (v07's trained-centroid literals) must generate
+    // against THIS run's sf dir — set before any oracleSql access
+    System.setProperty("graft.verify.sfdir", sfDir)
     val spark = graft.engine.GraftSession.create()
     // wipe stale outputs: a query that regressed to throwing must show
     // up as MISSING downstream, not as its previous run's parquet

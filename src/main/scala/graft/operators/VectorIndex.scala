@@ -32,8 +32,17 @@ object VectorIndex {
   def build(spark: SparkSession, embeddings: DataFrame, root: String,
             nCentroids: Int = 64, seed: Long = 42L): VectorIndex = {
     graft.functions.GraftFunctions.register(spark)
-    val toVec = udf((a: Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray))
+    // L2-normalize BEFORE training (spherical k-means approximation):
+    // MLlib's k-means minimizes EUCLIDEAN distance, but index probes
+    // assign by COSINE — on unnormalized vectors the trained cells
+    // optimize the wrong geometry (measured: 2-probe recall@3 0.33 vs
+    // 0.60 for cosine-aligned cells at the gate scale). On the unit
+    // sphere euclidean and cosine orderings coincide, so the centroid
+    // directions are what cosine assignment needs.
+    val toVec = udf { (a: Seq[Float]) =>
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum) max 1e-30
+      Vectors.dense(a.map(_.toDouble / n).toArray)
+    }
     val feat = embeddings.select(col("vec_id"), col("embedding"),
       toVec(col("embedding")).as("features"))
     val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)

@@ -74,6 +74,18 @@ class PlanSpec extends SparkSpec {
     assert(actions.count(_.toLowerCase.contains("checkpoint")) >= 4, s"$actions")
   }
 
+  test("v07's broadcast side is the trained index's centroids, not a corpus filter") {
+    // VERDICT r5 #8: the old inline `vec_id % 50` centroid rule made
+    // the broadcast side GROW with the corpus; the entry must broadcast
+    // the persisted fixed-k centroid table instead.
+    val p = plan(SparkEntry.queries("v07_ann_ivf_q")(spark, sf("sf0.01")))
+    assert(p.contains("graft_ivf_cache"), // the index's parquet scan feeds the broadcast
+      s"expected a centroid-table scan in the plan:\n${p.take(3000)}")
+    assert(!p.contains("% 50"), "corpus-derived centroid filter resurfaced")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
+
   test("t02 materializes per-doc signatures once (no expensive filter below the repartition)") {
     // Round-3 regression gate: InferFiltersFromConstraints must not
     // push an isnotnull() over the md5/xxhash pipeline below the

@@ -188,9 +188,12 @@ class VectorRecallSpec extends SparkSpec {
     // past the second-choice cell are missed by design
     assert(recall >= 0.50, f"v05 recall@3 $recall%.3f below the documented floor 0.50")
 
-    // v07 (same cells, int8-quantized scoring) must not lose recall to
-    // quantization: same candidate sets, and 8-bit symmetric codes
-    // perturb cosines far less than the ranking gaps at this scale
+    // v07 — TRAINED spherical-kmeans cells (fixed k=10 broadcast side)
+    // with int8-quantized scoring and 4 balanced probes. Cells differ
+    // from v05's skew-sampled ones, so this is an absolute floor, not a
+    // same-cell parity: 4-probe candidate coverage measures 0.60 here
+    // and 8-bit symmetric codes perturb cosines far less than the
+    // ranking gaps, so at most one neighbor may flip.
     val ivfQ = q("v07_ann_ivf_q").select("id_q", "id_c").collect()
       .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
     val hitsQ = exactTop3.map { case (idQ, ex) =>
@@ -198,9 +201,7 @@ class VectorRecallSpec extends SparkSpec {
     }.sum
     val recallQ = hitsQ.toDouble / (exactTop3.size * 3)
     info(f"v07 recall@3 = $recallQ%.3f ($hitsQ/${exactTop3.size * 3})")
-    // integer comparison: the float spelling (recallQ >= recall - 1/15)
-    // fails the exactly-one-lost case on rounding at some hit counts
-    assert(hitsQ >= hits - 1,
-      s"quantized scoring lost more than one neighbor vs float IVF: $hitsQ vs $hits hits")
+    assert(hitsQ >= 8,
+      s"v07 trained-cell quantized recall@3 fell below 8/15: $hitsQ")
   }
 }
