@@ -39,8 +39,19 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   // write id-less files that a post-rename read resolves to NULL. Both
   // are SESSION confs: ParquetFileFormat re-derives the hadoop-conf
   // keys from SQLConf, so per-read/per-write .option()s are inert.
-  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-  spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+  // A session that EXPLICITLY set either to false gets a loud error
+  // instead of a silent flip — the user turned id resolution off on
+  // purpose (e.g. reading external Iceberg files by position) and
+  // overriding it would change unrelated reads in the same session.
+  for (key <- Seq("spark.sql.parquet.fieldId.read.enabled",
+                  "spark.sql.parquet.fieldId.write.enabled")) {
+    if (spark.conf.getAll.get(key).contains("false"))
+      throw new IllegalStateException(
+        s"graft tables require $key=true (field-id column resolution — rename " +
+          s"support and post-rename reads depend on it), but this session explicitly " +
+          "sets it false; unset it, or load the table in a GraftSession")
+    spark.conf.set(key, "true")
+  }
 
   /** Data file format — parquet (default) or orc, fixed at create time
     * (walden's Iceberg catalog pins `iceberg.file-format = ORC`,
@@ -366,7 +377,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         newestCommitIn(domain).filter(c => conflicts(c.op))
       } match {
         case Some(c) =>
-          added.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
+          discardWrittenFiles(added)
           return (c.version, false)
         case None => ()
       }
@@ -495,9 +506,35 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * a crashed aborter's leftovers fall to vacuum's unreferenced-file
     * sweep instead. */
   def discardStaged(staged: StagedAppend): Unit =
-    staged.files.foreach { f =>
-      Files.deleteIfExists(Paths.get(root, f.path))
+    discardWrittenFiles(staged.files)
+
+  /** Delete never-committed files AND their per-write `data/<uuid8>`
+    * directories when only marker files (`_SUCCESS`, `.crc` siblings)
+    * remain: vacuum skips dot/underscore names and never removes
+    * directories, so a frequently-skipping writer (dedup'd streaming
+    * replays, failed audits) would otherwise leak empty directories
+    * without bound. Only directories whose data files are ALL gone are
+    * touched — a shared directory with surviving files is left alone. */
+  private def discardWrittenFiles(files: Seq[FileStat]): Unit = {
+    files.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
+    files.map(f => Paths.get(root, f.path).getParent).distinct.foreach { dir =>
+      if (dir != null && Files.isDirectory(dir) && dir.startsWith(Paths.get(root))) {
+        val s = Files.list(dir)
+        val remaining = try {
+          val it = s.iterator(); val b = Vector.newBuilder[java.nio.file.Path]
+          while (it.hasNext) b += it.next(); b.result()
+        } finally s.close()
+        val onlyMarkers = remaining.forall { p =>
+          val n = p.getFileName.toString
+          n.startsWith("_") || n.startsWith(".")
+        }
+        if (onlyMarkers) {
+          remaining.foreach(p => Files.deleteIfExists(p))
+          Files.deleteIfExists(dir)
+        }
+      }
     }
+  }
 
   /** Append recorded under a caller-chosen op label — the idempotence
     * hook for streaming sinks: a replayed micro-batch re-presents the
@@ -661,7 +698,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       val victimRows = live.filter(f => victimSet(f.path)).map(_.rows).sum
       val matched = victimRows - survivorFiles.map(_.rows).sum
       if (matched != delCount) {
-        survivorFiles.foreach(f => Files.deleteIfExists(Paths.get(root, f.path)))
+        discardWrittenFiles(survivorFiles)
         throw new IllegalStateException(
           s"$op@$root: only $matched of $delCount delete rows matched target rows — " +
             "the re-derived delete set does not match what was originally written " +
@@ -1238,7 +1275,7 @@ object GraftTable {
     * field-id column resolution (the Iceberg resolution model). */
   private[store] val FieldIdKey = "parquet.field.id"
 
-  private[store] def fieldId(f: StructField): Option[Long] =
+  private[graft] def fieldId(f: StructField): Option[Long] =
     if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey)) else None
 
   /** Create-time id assignment: sequential 1..n, preserved verbatim by

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.store.GraftTable
 
@@ -171,32 +171,68 @@ final class GraftTableSource(table: GraftTable, parameters: Map[String, String])
           ".option(\"ignoreChanges\", true) to re-emit carried rows (dedup downstream)")
     val files = commits.flatMap(_.added).map(_.path)
     if (files.isEmpty) emptyBatch()
-    else table.readCommittedFiles(files, table.schemaAt(e))
+    else alignToPinned(
+      table.readCommittedFiles(files, table.schemaAt(e)), table.schemaAt(e))
   }
 
   /** Per-commit change feed over (s, e]: each commit diffs against its
     * parent ([[GraftTable.changes]] — file algebra, only touched files
-    * read) and is stamped with its version, Delta-CDF style. Batch plan
+    * read) and is stamped with its version, Delta-CDF style. EACH diff
+    * is aligned to the pinned schema BEFORE the union: a diff carries
+    * its own commit's schema, so a range crossing an addColumn/rename
+    * would otherwise fail the union (and, after a restart, wedge the
+    * stream permanently — the checkpointed offset still precedes the
+    * evolution, so no restart could ever advance past it). Batch plan
     * size is O(commits in range) — bound it with maxCommitsPerTrigger
     * when catching up over long histories. */
   private def cdcBatch(s: Long, e: Long): DataFrame =
     ((s + 1) to e).map { v =>
-      table.changes(v - 1, v).withColumn("_commit_version", lit(v))
+      alignToPinned(table.changes(v - 1, v), table.schemaAt(v), Seq("_change_type"))
+        .withColumn("_commit_version", lit(v))
     }.reduce(_ unionByName _)
 
-  /** Align a batch to the pinned stream schema. Additive evolution mid-
-    * stream is benign (new columns are not streamed until restart); a
-    * rename/drop of a streamed column surfaces here as a missing
-    * column — fail with the restart hint rather than emitting NULLs. */
-  private def align(df: DataFrame): DataFrame = {
-    val missing = schema.fieldNames.filterNot(df.columns.contains)
-    if (missing.nonEmpty)
-      throw new IllegalStateException(
-        s"graft-table stream schema drifted: column(s) ${missing.mkString(", ")} " +
-          s"no longer exist at ${tableRoot} (renamed or dropped mid-stream); " +
-          "restart the stream to adopt the new schema")
-    df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+  /** Align a batch whose data columns follow `srcSch` to the PINNED
+    * stream schema by FIELD ID (name fallback when either side lacks
+    * ids) — the same resolution rule the store's rename machinery uses:
+    *  - a rename anywhere in the range resolves to the pinned name in
+    *    both directions (pre-rename commits after a restart included);
+    *  - a pinned column absent from a commit's schema but alive at the
+    *    table HEAD was added after that commit — its rows genuinely
+    *    predate the column, NULL-fill (how a time-travel read sees
+    *    them);
+    *  - a pinned column GONE from the head was dropped mid-stream —
+    *    fail loudly with the restart hint (restart re-pins without it;
+    *    NULLs here would silently fabricate data). */
+  private def alignToPinned(df: DataFrame, srcSch: StructType,
+                            extraCols: Seq[String] = Nil): DataFrame = {
+    import graft.store.GraftTable.fieldId
+    val bothIds = pinned.fields.forall(f => fieldId(f).isDefined) &&
+      srcSch.fields.forall(f => fieldId(f).isDefined)
+    def srcName(f: StructField): Option[String] =
+      if (bothIds) srcSch.fields.find(g => fieldId(g) == fieldId(f)).map(_.name)
+      else Some(f.name).filter(srcSch.fieldNames.contains)
+    lazy val headSch = table.schema
+    lazy val headIds = headSch.fields.forall(f => fieldId(f).isDefined)
+    val cols = pinned.fields.map { f =>
+      srcName(f) match {
+        case Some(n) => col(n).cast(f.dataType).as(f.name)
+        case None =>
+          val liveAtHead =
+            if (bothIds && headIds) headSch.fields.exists(g => fieldId(g) == fieldId(f))
+            else headSch.fieldNames.contains(f.name)
+          if (!liveAtHead) throw new IllegalStateException(
+            s"graft-table stream column '${f.name}' was dropped from ${tableRoot} " +
+              "mid-stream; restart the stream to adopt the new schema")
+          lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    df.select((cols.toIndexedSeq ++ extraCols.map(col)): _*)
   }
+
+  /** Final conform to the declared stream schema (column order/types;
+    * per-batch field-id alignment above already guarantees presence). */
+  private def align(df: DataFrame): DataFrame =
+    df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
 
   private def tableRoot: String = table.root
 

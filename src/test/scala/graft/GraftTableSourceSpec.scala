@@ -104,6 +104,62 @@ class GraftTableSourceSpec extends SparkSpec {
     assert(net(feed.map(r => (r._1, r._2, r._3))) == net(batchDiff))
   }
 
+  test("batches crossing addColumn/renameColumn align by field id (no wedge)") {
+    // ADVICE r5 (medium): a CDC offset range crossing a schema-evolution
+    // commit used to fail the per-commit unionByName — and after the
+    // advised restart the checkpointed offset still preceded the
+    // evolution, wedging the stream PERMANENTLY. Every per-commit diff
+    // (and rate-limited append batch) now aligns to the pinned schema
+    // by field id before the union.
+    val troot = Files.createTempDirectory("gts_ev").resolve("t").toString
+    val t = mkTable(troot)
+    t.append(Seq((1L, "a")).toDF("id", "v"))                      // v2 (schema id,v)
+    t.addColumn("w", org.apache.spark.sql.types.LongType)         // v3
+    t.append(Seq((2L, "b", 20L)).toDF("id", "v", "w"))            // v4
+    t.renameColumn("v", "v2")                                     // v5
+    t.append(Seq((3L, "c", 30L)).toDF("id", "v2", "w"))           // v6
+    // CDC: ONE batch spans both evolution commits; stream starts AFTER
+    // them, so pinned = (id, v2, w) and pre-evolution diffs must align
+    val out = Files.createTempDirectory("gts_ev_out").toString
+    val ckpt = Files.createTempDirectory("gts_ev_ckpt").toString
+    drainToParquet(troot, out, ckpt, Map("cdc" -> "true"))
+    val feed = spark.read.parquet(out)
+      .selectExpr("id", "v2", "w", "_change_type", "_commit_version")
+      .as[(Long, String, Option[Long], String, Long)].collect().sorted.toSeq
+    assert(feed == Seq(
+      (1L, "a", None, "insert", 2L),        // pre-addColumn rows: w NULL, v under the new name
+      (2L, "b", Some(20L), "insert", 4L),
+      (3L, "c", Some(30L), "insert", 6L)), feed)
+    // APPEND mode, rate-limited to one commit per batch: the batch for
+    // v2 ends BEFORE the evolution commits (schemaAt(2) = old names)
+    val out2 = Files.createTempDirectory("gts_ev_out2").toString
+    val ckpt2 = Files.createTempDirectory("gts_ev_ckpt2").toString
+    drainToParquet(troot, out2, ckpt2, Map("maxCommitsPerTrigger" -> "1"))
+    val rows = spark.read.parquet(out2).selectExpr("id", "v2", "w")
+      .as[(Long, String, Option[Long])].collect().sorted.toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", Some(20L)), (3L, "c", Some(30L))), rows)
+    // a mid-stream DROP of a streamed column fails loudly — pinned
+    // still carries the column, so NULL-filling would fabricate data
+    val out3 = Files.createTempDirectory("gts_ev_out3").toString
+    val ckpt3 = Files.createTempDirectory("gts_ev_ckpt3").toString
+    val q = spark.readStream.format("graft-table").load(troot).writeStream
+      .format("parquet").option("path", out3)
+      .option("checkpointLocation", ckpt3).start()
+    try {
+      q.processAllAvailable() // pins (id, v2, w); drains the backlog
+      assert(spark.read.parquet(out3).count() == 3)
+      t.dropColumn("w")
+      t.append(Seq((5L, "e")).toDF("id", "v2"))
+      try q.processAllAvailable() catch { case _: Exception => () }
+      val err = q.exception.map(_.toString).getOrElse("")
+      assert(err.contains("dropped") && err.contains("restart"), err)
+    } finally q.stop()
+    // the restart hint is TRUTHFUL: a fresh stream on the same
+    // checkpoint re-pins without the column and drains past the drop
+    drainToParquet(troot, out3, ckpt3)
+    assert(spark.read.parquet(out3).select("id").distinct().count() == 4)
+  }
+
   test("CDC replication loop: target converges to the source across arbitrary DML") {
     val aroot = Files.createTempDirectory("gts_rep").resolve("a").toString
     val broot = Files.createTempDirectory("gts_rep").resolve("b").toString

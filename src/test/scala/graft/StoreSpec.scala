@@ -246,9 +246,14 @@ class StoreSpec extends SparkSpec {
     // AUDIT: staged rows readable in isolation
     assert(t.readStaged(s1).count() == 2)
     assert(t.readStaged(s2).select("v").collect().map(_.getString(0)).toSeq == Seq("c"))
-    // audit failed for s1 -> discard; its files disappear
+    // audit failed for s1 -> discard; its files disappear AND its
+    // per-write directory (with _SUCCESS/.crc markers) goes with them —
+    // vacuum never removes directories, so discard must (ADVICE r5)
     t.discardStaged(s1)
     assert(t.read().count() == 1)
+    val s1Dir = java.nio.file.Paths.get(root, s1.files.head.path).getParent
+    assert(!java.nio.file.Files.exists(s1Dir),
+      s"discarded write's directory should be fully removed: $s1Dir")
     // PUBLISH s2 atomically
     val v = t.publishStaged(Seq(s2))
     assert(t.read().count() == 2)
@@ -270,6 +275,23 @@ class StoreSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](t.publishStaged(Seq(doomed)))
     assert(e.getMessage.contains("vanished"), e.getMessage)
     assert(t.read().count() == 3) // head intact
+  }
+
+  test("a session that explicitly disabled field-id resolution is refused loudly") {
+    // ADVICE r5: silently flipping the SESSION conf would change how
+    // unrelated parquet reads in that session resolve columns
+    val root = freshRoot
+    GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
+    val e = intercept[IllegalStateException](GraftTable.load(s2, root))
+    assert(e.getMessage.contains("fieldId") && e.getMessage.contains("explicitly"),
+      e.getMessage)
+    // same session with the conf cleared back to default: load flips it
+    // on (the documented foreign-session cover) and reads fine
+    s2.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+    assert(GraftTable.load(s2, root).read().count() == 1)
+    assert(s2.conf.get("spark.sql.parquet.fieldId.read.enabled") == "true")
   }
 
   test("truncate is one metadata commit; history and time travel survive") {
