@@ -121,17 +121,23 @@ private[catalog] final class GraftBatchWrite(gt: GraftTable, truncate: Boolean, 
       new SerializableHadoopConf(job.getConfiguration), sch, s"${gt.root}/$subdir")
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    gt.adoptBatchWrite(subdir, truncate = truncate, dynamicPartitions = dynamic)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // adopt ONLY the files the committed task attempts reported: a task
+    // attempt that died mid-write never runs abort() (Spark's contract —
+    // JVM crashes skip it), so its torn/duplicate file can be sitting in
+    // the write directory next to the retried attempt's committed one.
+    // Directory listing is NOT the source of truth; the messages are.
+    val committed = messages.collect {
+      case GraftFileMessage(file, _) if file.nonEmpty => file
+    }
+    gt.adoptBatchWrite(subdir, truncate = truncate, dynamicPartitions = dynamic,
+      committedFiles = committed.toSeq)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // best-effort: committed tasks' files die here; a crashed driver's
+    // best-effort sweep of the whole write directory (covers committed
+    // tasks' files AND dead attempts' leftovers); a crashed driver's
     // leftovers fall to vacuum's unreferenced-file grace sweep
-    messages.foreach {
-      case GraftFileMessage(file, _) if file.nonEmpty =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(gt.root, subdir, file))
-      case _ => ()
-    }
     val dir = java.nio.file.Paths.get(gt.root, subdir)
     if (java.nio.file.Files.isDirectory(dir)) {
       val leftovers = java.nio.file.Files.list(dir)

@@ -212,6 +212,14 @@ private[catalog] object GraftDmlExprs {
           s"conflicting assignments to column '$base' in one statement")
         base -> translate(session, as.head.value, tgt, src)
       } else {
+        // duplicate or nested-overlapping paths would silently last-win
+        // through the withField fold — reject, matching the top-level
+        // duplicate rule (SET s.a = x, s.a.b = y is ambiguous: does b
+        // come from x or y?)
+        for (Seq(a, b) <- as.map(_.path).sortBy(_.length).combinations(2))
+          if (b.startsWith(a)) throw new UnsupportedOperationException(
+            s"conflicting assignments to '$base.${a.mkString(".")}' and " +
+              s"'$base.${b.mkString(".")}' in one statement")
         base -> as.foldLeft(org.apache.spark.sql.functions.col(s"`$base`")) { (acc, a) =>
           acc.withField(a.path.map(p => s"`$p`").mkString("."),
             translate(session, a.value, tgt, src))

@@ -19,15 +19,16 @@ import graft.{QueryEntry, Tables}
   */
 object VectorOps {
 
-  /** Deterministic hyperplane weights (nPlanes x 64 dims) via an LCG,
-    * embedded identically into the Spark plan and the DuckDB oracle.
+  /** Deterministic hyperplane weights (nPlanes x 64 dims), embedded
+    * identically into the Spark plan and the DuckDB oracle.
     * The GEOMETRY IS THE SCALE LEVER (measured at 10x in BENCH_SF1 /
     * SCALE.md): bucket count per band is 2^bandBits, so bits-per-band
     * must grow ~log2(corpus) to keep per-bucket occupancy — and with it
     * the quadratic within-bucket candidate count — flat; band count
-    * then restores recall. [[annPairs]] takes both as parameters; the
-    * pinned 16-plane / 4x4-band default is what the sf0.01 DuckDB
-    * oracle and the VectorRecallSpec envelope are calibrated to. */
+    * then restores recall. [[annPairs]] takes both as parameters;
+    * [[geometryFor]] is the law, and its gate-scale anchor
+    * geometryFor(500) == (20, 4) is what the sf0.01 DuckDB oracle and
+    * the VectorRecallSpec envelope are calibrated to. */
   private[operators] def planesFor(nPlanes: Int): Seq[(Int, Int, Double)] =
     for (p <- 0 until nPlanes; i <- 0 until 64) yield {
       // splitmix64 finalizer — full avalanche per (plane, dim) cell. A
@@ -126,9 +127,11 @@ object VectorOps {
     * right call: at that scale near-dup candidates come from composing
     * the IVF cell structure (v05/v07) with banding inside cells).
     *
-    * Anchor: geometryFor(500) == (16, 4) — the sf0.01 oracle geometry,
-    * so the DuckDB-checked entry and the adaptive production entry are
-    * the SAME code path at the correctness gate's scale.
+    * Anchor: geometryFor(500) == (20, 4) — the sf0.01 oracle geometry
+    * (5 bands x 4 bits; the 5-band floor holds the measured 0.55
+    * overall-recall floor there), so the DuckDB-checked entry and the
+    * adaptive production entry are the SAME code path at the
+    * correctness gate's scale.
     *
     * The demo threshold 0.35 is NOT the design point: a 0.35-cosine is
     * a 69.5-degree angle, and the answer set there is itself quadratic
@@ -152,7 +155,7 @@ object VectorOps {
 
   /** Banded-LSH ANN pairs over a parametric (nPlanes, bandBits)
     * geometry — the PRODUCTION entry point; the pinned v04 query entry
-    * is `annPairs(s, d, 16, 4, 0.35)`. Candidates share any
+    * is `annPairs(s, d, geometryFor(N), 0.35)`. Candidates share any
     * `bandBits`-bit signature band (nPlanes/bandBits tables), then
     * exact cosine verification on candidates only. Same plan shape at
     * every geometry: one signature fold reused across both join sides,
@@ -311,10 +314,29 @@ object VectorOps {
   // broadcast side is fixed-k (10 trained centroids) at ANY corpus
   // size, where the old `vec_id % 50` rule grew with the corpus.
   // ------------------------------------------------------------------
+  /** Cache key = dir path + a FINGERPRINT of the embeddings data (file
+    * names, sizes, mtimes): regenerated test data at the same path must
+    * invalidate the cache — both the entry and the oracle would read
+    * stale centroids and agree with each other, silently degrading the
+    * documented recall. */
   private def indexRootFor(d: String): String = {
+    val target = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val listing =
+      if (java.nio.file.Files.isDirectory(target)) {
+        val s = java.nio.file.Files.list(target)
+        try {
+          val b = Vector.newBuilder[String]
+          s.iterator().forEachRemaining(p => b += s"${p.getFileName}:" +
+            s"${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+          b.result().sorted.mkString(",")
+        } finally s.close()
+      } else if (java.nio.file.Files.exists(target))
+        s"${java.nio.file.Files.size(target)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(target).toMillis}"
+      else "absent"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
+      .digest((new java.io.File(d).getCanonicalPath + "|" + listing).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cache/$key"
   }
 

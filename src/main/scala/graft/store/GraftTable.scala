@@ -602,11 +602,29 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * so CDC diffs, incremental views, and the streaming source all
     * classify it correctly by shape. */
   private[graft] def adoptBatchWrite(subdir: String, truncate: Boolean,
-                                     dynamicPartitions: Boolean): Long = {
+                                     dynamicPartitions: Boolean,
+                                     committedFiles: Seq[String]): Long = {
     val sch = schema
     val absDir = s"$root/$subdir"
+    // The COMMIT MESSAGES are the source of truth, not the directory: a
+    // task attempt that died mid-write skips abort() (Spark's contract
+    // on JVM crashes), so the directory can hold its torn or duplicate
+    // file next to the retried attempt's committed one. Purge anything
+    // unreported BEFORE the stats pass reads the directory — a torn
+    // parquet would otherwise crash it, a complete orphan would commit
+    // duplicate rows.
+    val allowed = committedFiles.toSet
+    if (Files.isDirectory(Paths.get(absDir))) {
+      val s = Files.list(Paths.get(absDir))
+      try s.iterator().forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (!n.startsWith(".") && !n.startsWith("_") && !allowed(n))
+          Files.deleteIfExists(p)
+      } finally s.close()
+    }
     val written =
-      if (Files.isDirectory(Paths.get(absDir))) collectStats(absDir, subdir, sch)
+      if (allowed.nonEmpty && Files.isDirectory(Paths.get(absDir)))
+        collectStats(absDir, subdir, sch)
       else Nil
     if (!dynamicPartitions || clusterFieldIds.isEmpty) {
       // empty dynamic overwrite replaces no partitions, an empty append
@@ -619,7 +637,10 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     if (written.isEmpty) return currentVersion
     val parts = clusterSpecNames(sch)
     // the distinct partition tuples this write touches — metadata-sized
-    // (the number of partitions in one batch, not the row count)
+    // (the number of partitions in one batch, not the row count); the
+    // scan is COLUMN-PRUNED to the cluster columns (parquet reads just
+    // those pages), so this second pass is cheap next to the full-width
+    // stats pass above
     val tuples = readData(Seq(absDir), sch).select(parts.map(col): _*).distinct().collect()
     require(tuples.length <= 1000,
       s"dynamic overwrite would replace ${tuples.length} partitions in one commit " +

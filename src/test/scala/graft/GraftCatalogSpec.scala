@@ -409,6 +409,44 @@ class GraftCatalogSpec extends SparkSpec {
            WHEN MATCHED THEN UPDATE SET meta.lang = s.nl""")
     assert(sql("SELECT meta.lang FROM gcat.db24.t WHERE id = 1").head().getString(0) == "fr")
     assert(sql("SELECT meta.score FROM gcat.db24.t WHERE id = 1").head().getDouble(0) == 1.0)
+    // duplicate / overlapping nested targets are ambiguous — rejected
+    // loudly like duplicate top-level assignments, never silent last-win
+    val dup = intercept[Exception](
+      sql("UPDATE gcat.db24.t SET meta.score = 1.0, meta.score = 2.0"))
+    assert(dup.getMessage.contains("conflicting"), dup.getMessage)
+  }
+
+  test("batch-write adoption trusts commit messages, not the directory") {
+    // a task attempt that dies mid-write never runs abort() — its torn
+    // or duplicate file sits in the write directory next to the retried
+    // attempt's committed file and MUST NOT be adopted
+    sql("CREATE NAMESPACE gcat.db25")
+    sql("CREATE TABLE gcat.db25.t (id BIGINT, v STRING)")
+    sql("INSERT INTO gcat.db25.t SELECT id, 'x' FROM range(0, 10)")
+    val gt = GraftTable.load(spark, s"$warehouse/db25/t")
+    val committedStat = gt.history.last.added.head
+    val committedFile = committedStat.path // data/<uuid8>/part-...
+    // simulate a dead attempt's leftover: a DUPLICATE of a real file
+    // (complete parquet — the worst case, silently doubling rows) in a
+    // fresh batch-write dir, alongside one genuinely committed file
+    val dir = gt.newBatchWriteDir()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(warehouse, "db25", "t", dir))
+    def plant(name: String): String = {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(warehouse, "db25", "t", committedFile),
+        java.nio.file.Paths.get(warehouse, "db25", "t", dir, name))
+      name
+    }
+    val real = plant("part-0-real.parquet")
+    plant("part-1-orphan.parquet")
+    gt.adoptBatchWrite(dir, truncate = false, dynamicPartitions = false,
+      committedFiles = Seq(real))
+    // only the reported file's rows landed (one copy, not two)
+    assert(sql("SELECT count(*) FROM gcat.db25.t").head().getLong(0)
+      == 10 + committedStat.rows)
+    // and the orphan is gone from disk, not lingering for vacuum
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(warehouse, "db25", "t", dir, "part-1-orphan.parquet")))
   }
 
   test("SQL MERGE INTO: upsert with explicit clauses, one atomic commit") {
