@@ -90,6 +90,19 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           tgt, src)
       }
 
+    // DELETE stays on the native DSv2 SupportsDelete path (stats-pruned
+    // copy-on-write) EXCEPT when the condition carries a subquery —
+    // V1 Filters cannot express one, so Spark's path dead-ends in an
+    // analysis error. Those route through the same materialize-once
+    // machinery as UPDATE/MERGE (Trino/Iceberg parity:
+    // `DELETE FROM t WHERE k IN (SELECT ...)`).
+    case dft: DeleteFromTable if dft.resolved &&
+        dft.condition.exists(_.isInstanceOf[SubqueryExpression]) =>
+      graftRelation(dft.table).fold(plan) { case (rel, g) =>
+        require(!g.isTimeTravel, s"cannot DELETE from a time-travelled snapshot of ${g.name()}")
+        GraftDeleteCommand(g.underlying, RawExpr(dft.condition), byId(rel.output))
+      }
+
     case _ => plan
   }
 
@@ -238,6 +251,20 @@ final case class GraftUpdateCommand(gt: GraftTable, cond: Option[RawExpr],
   override def run(session: SparkSession): Seq[Row] = {
     gt.update(cond.map(GraftDmlExprs.translate(session, _, tgt, Map.empty)).getOrElse(lit(true)),
       GraftDmlExprs.buildSet(session, set, tgt, Map.empty))
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM <graft table> WHERE <condition with subqueries>` → one
+  * copy-on-write commit via [[GraftTable.delete]]; the folded condition
+  * (subqueries materialized once) drives stats-pruned victim discovery
+  * exactly like the predicate-only path. */
+final case class GraftDeleteCommand(gt: GraftTable, cond: RawExpr,
+                                    tgt: Map[ExprId, String])
+  extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    gt.delete(GraftDmlExprs.translate(session, cond, tgt, Map.empty))
     Seq.empty
   }
 }

@@ -380,6 +380,13 @@ class GraftCatalogSpec extends SparkSpec {
     sql("UPDATE gcat.db23.t SET score = -1 WHERE id IN " +
       "(SELECT id FROM gcat.db23.t WHERE score >= 18)")
     assert(sql("SELECT count(*) FROM gcat.db23.t WHERE score = -1").head().getLong(0) == 2)
+    // DELETE with a subquery condition: the native SupportsDelete path
+    // cannot express it as V1 filters — routes through the same
+    // materialize-once machinery, one copy-on-write delete commit
+    sql("DELETE FROM gcat.db23.t WHERE id IN (SELECT id FROM gcat.db23.picks)")
+    assert(sql("SELECT count(*) FROM gcat.db23.t").head().getLong(0) == 18)
+    assert(sql("SELECT count(*) FROM gcat.db23.t WHERE id IN (12, 15)").head().getLong(0) == 0)
+    assert(gt.commitInfo(gt.currentVersion).op == "delete")
   }
 
   test("UPDATE/MERGE SET on nested struct fields rebuilds copy-on-write") {
