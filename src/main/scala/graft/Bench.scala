@@ -12,6 +12,16 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // record host load with the run: this shared host gets multi-minute
+    // contention bursts (documented r5 adjudication — a bench captured
+    // under load 10+ reads like a 2-20x regression); the 1-min loadavg
+    // at start and end lets a reader reject a contended sample without
+    // a rerun
+    def loadavg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0)
+      catch { case _: Exception => "-1" }
+    val loadBefore = loadavg()
     val spark = engine.GraftSession.create()
     val warm = Tables(spark, sfDir, "region").count()
     require(warm > 0)
@@ -37,7 +47,8 @@ object Bench {
     // total over successful queries only — summing -1 sentinels would
     // make a build that BREAKS queries score faster
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""loadavg_before":$loadBefore,"loadavg_after":${loadavg()}}"""
     println(json)
     // Also persist to a file: the driver captures only the stdout tail,
     // which has truncated the per-query map two rounds running. The file
