@@ -516,8 +516,8 @@ object VectorOps {
     QueryEntry("v04_ann_lsh",
       (s, d) => {
         // corpus-size-adaptive geometry (one parquet-metadata count);
-        // at the correctness gate's sf0.01 (N=500) this IS (16, 4) —
-        // exactly the static oracle SQL's geometry
+        // at the correctness gate's sf0.01 (N=500) this IS (20, 4) —
+        // exactly the generated oracle SQL's geometry
         val (np, bb) = geometryFor(Tables(s, d, "embeddings").count())
         annPairs(s, d, nPlanes = np, bandBits = bb, threshold = 0.35)
       },

@@ -267,8 +267,12 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
   }
 
   /** One distributed pass: per-file min/max/nullCount over every
-    * atomic column. Only file-count rows reach the driver. */
-  private def collectStats(absDir: String, relDir: String, sch: StructType): Seq[FileStat] = {
+    * atomic column. Only file-count rows reach the driver. `onlyFiles`
+    * restricts the pass to exactly those file names (the DSv2 adoption
+    * path, where the task commit messages — not a directory listing —
+    * are the source of truth). */
+  private def collectStats(absDir: String, relDir: String, sch: StructType,
+                           onlyFiles: Option[Seq[String]] = None): Seq[FileStat] = {
     val statCols = sch.fields.filter(f => StatsPruner.comparable(f.dataType))
     // TIMESTAMP stats as epoch micros: a cast-to-string renders in the
     // session timezone, which the pruner cannot know at read time —
@@ -285,7 +289,7 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
             render(max(col(f.name)), f.dataType).as(s"__max_${f.name}"),
             sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
         }
-    val rows = readData(Seq(absDir), sch)
+    val rows = readData(onlyFiles.fold(Seq(absDir))(_.map(n => s"$absDir/$n")), sch)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -609,10 +613,13 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     // The COMMIT MESSAGES are the source of truth, not the directory: a
     // task attempt that died mid-write skips abort() (Spark's contract
     // on JVM crashes), so the directory can hold its torn or duplicate
-    // file next to the retried attempt's committed one. Purge anything
-    // unreported BEFORE the stats pass reads the directory — a torn
-    // parquet would otherwise crash it, a complete orphan would commit
-    // duplicate rows.
+    // file next to the retried attempt's committed one — and a ZOMBIE
+    // attempt on a partitioned executor can drop one in at any moment.
+    // The stats pass and the partition-tuple scan therefore read
+    // EXACTLY the reported files (never a directory listing); the purge
+    // of unreported files is hygiene, not load-bearing. A reported file
+    // missing from disk fails loudly — silently dropping it would lose
+    // committed rows.
     val allowed = committedFiles.toSet
     if (Files.isDirectory(Paths.get(absDir))) {
       val s = Files.list(Paths.get(absDir))
@@ -622,9 +629,12 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
           Files.deleteIfExists(p)
       } finally s.close()
     }
+    val missing = committedFiles.filterNot(n => Files.exists(Paths.get(absDir, n)))
+    require(missing.isEmpty,
+      s"batch write $subdir: committed file(s) vanished before adoption " +
+        s"(${missing.take(3).mkString(",")}); aborting instead of losing rows")
     val written =
-      if (allowed.nonEmpty && Files.isDirectory(Paths.get(absDir)))
-        collectStats(absDir, subdir, sch)
+      if (allowed.nonEmpty) collectStats(absDir, subdir, sch, Some(committedFiles))
       else Nil
     if (!dynamicPartitions || clusterFieldIds.isEmpty) {
       // empty dynamic overwrite replaces no partitions, an empty append
@@ -641,7 +651,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     // scan is COLUMN-PRUNED to the cluster columns (parquet reads just
     // those pages), so this second pass is cheap next to the full-width
     // stats pass above
-    val tuples = readData(Seq(absDir), sch).select(parts.map(col): _*).distinct().collect()
+    val tuples = readData(committedFiles.map(n => s"$absDir/$n"), sch)
+      .select(parts.map(col): _*).distinct().collect()
     require(tuples.length <= 1000,
       s"dynamic overwrite would replace ${tuples.length} partitions in one commit " +
         "(cap 1000: the per-partition predicate is a planned expression); " +
