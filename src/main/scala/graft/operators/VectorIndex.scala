@@ -47,10 +47,21 @@ object VectorIndex {
       toVec(col("embedding")).as("features"))
     val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
       .fit(feat)
+    // int8 codes stored WITH the assignment (the production IVF-PQ-lite
+    // shape v07 demos): symmetric per-vector quantization, scale =
+    // max|x|/127, floor(x/scale + 0.5) — the same spelling as v06/v07,
+    // so searchQuantized scores exact integer dots over 4x fewer bytes
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("embedding"),
         col("prediction").cast("long").as("cent_id"),
         expr("vector_dot(embedding, embedding)").as("n2"))
+      .withColumn("__scale", expr(
+        "greatest(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30D) / 127.0D"))
+      .withColumn("q", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / __scale + 0.5D) AS INT))"))
+      .withColumn("qn2", expr(
+        "CAST(aggregate(zip_with(q, q, (x, y) -> x * y), 0, (acc, x) -> acc + x) AS DOUBLE)"))
+      .drop("__scale")
     val table = GraftTable.create(spark, s"$root/assignments", assigned)
     // cluster the physical layout on cent_id: probes now prune files
     table.compact(clusterBy = Seq("cent_id"),
@@ -90,9 +101,7 @@ final class VectorIndex private[operators] (spark: SparkSession, root: String) {
     * clustered layout's stats. */
   def search(query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val probes = centroids
-      .sortBy { case (_, c) => -cosine(query, c) }
-      .take(nprobe).map(_._1)
+    val probes = probeCells(query, nprobe)
     val qLit = query.map(x => s"CAST($x AS FLOAT)").mkString("array(", ",", ")")
     val qn2 = query.map(x => x.toDouble * x).sum
     table.read(filters = Seq(col("cent_id").isin(probes.toIndexedSeq: _*)))
@@ -101,4 +110,29 @@ final class VectorIndex private[operators] (spark: SparkSession, root: String) {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** As [[search]], but scoring the stored INT8 codes — the production
+    * shape at 100 TB: the probed cells' scan reads the 4x-smaller code
+    * column instead of the float embeddings, the dots are exact integer
+    * arithmetic, and cell selection stays float (centroids are
+    * metadata-sized; assignment quality sets recall). The query is
+    * quantized with the index's own rule so both sides share the
+    * rounding. */
+  def searchQuantized(query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val probes = probeCells(query, nprobe)
+    val scale = math.max(query.map(x => math.abs(x.toDouble)).max, 1e-30) / 127.0
+    val qq = query.map(x => math.floor(x.toDouble / scale + 0.5).toInt)
+    val qqn2 = qq.map(x => x.toDouble * x).sum
+    val qLit = qq.mkString("array(", ",", ")")
+    table.read(filters = Seq(col("cent_id").isin(probes.toIndexedSeq: _*)))
+      .selectExpr("vec_id", "cent_id",
+        s"CAST(aggregate(zip_with(q, $qLit, (x, y) -> x * y), 0, (acc, x) -> acc + x) AS DOUBLE)" +
+          s" / (SQRT(qn2) * SQRT($qqn2)) AS qcos")
+      .orderBy(col("qcos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  private def probeCells(query: Array[Float], nprobe: Int): Array[Long] =
+    centroids.sortBy { case (_, c) => -cosine(query, c) }.take(nprobe).map(_._1)
 }

@@ -36,5 +36,16 @@ class VectorIndexSpec extends SparkSpec {
     // reload from disk works (index is fully persisted state)
     val again = VectorIndex.load(spark, root).search(q, k = 1, nprobe = 2).collect()
     assert(again.head.getLong(0) == 7L)
+
+    // QUANTIZED search (the production shape): same probed cells, int8
+    // codes scored with exact integer dots — self-hit still first
+    // (quantized self-cosine is exactly 1 up to the shared rounding),
+    // and the top-k set stays within one neighbor of the float ranking
+    val qf = idx.search(q, k = 5, nprobe = 2).collect().map(_.getLong(0)).toSet
+    val qz = idx.searchQuantized(q, k = 5, nprobe = 2).collect()
+    assert(qz.head.getLong(0) == 7L, qz.mkString(";"))
+    assert(math.abs(qz.head.getDouble(2) - 1.0) < 1e-6, qz.head.toString)
+    val overlap = (qf intersect qz.map(_.getLong(0)).toSet).size
+    assert(overlap >= 4, s"quantized top-5 drifted from float top-5: $overlap/5")
   }
 }
