@@ -167,11 +167,26 @@ object VectorOps {
       s"nPlanes ($nPlanes) must be a multiple of bandBits ($bandBits)")
     val nBands = nPlanes / bandBits
     val sig = sigFor(s, d, nPlanes, bandBits)
-    val bands = sig.selectExpr("vec_id",
-      s"explode(transform(sequence(0, ${nBands - 1}), t -> concat(t, ':', substring(sig, t * $bandBits + 1, $bandBits)))) AS bucket")
-    val cand = bands.select(col("vec_id").as("id_a"), col("bucket"))
-      .join(bands.select(col("vec_id").as("id_b"), col("bucket")).hint("SHUFFLE_HASH"), "bucket")
+    // FIRST-MATCH-BAND emission (same discipline as t21): a pair is a
+    // candidate only in its LOWEST agreeing band — earlier bands must
+    // differ (cheap prefix compares on the signature riding the band
+    // rows). At wide geometries a near-dup pair agrees in several of
+    // the ~sqrt(N) bands, so emit-everywhere multiplied the expensive
+    // vector-attach verify by that factor and needed a trailing
+    // distinct; exactly-once emission needs neither. Output set is
+    // identical (exact verification unchanged) — the oracle's DISTINCT
+    // candidate spelling hashes the same.
+    val bands = sig.selectExpr("vec_id", "sig",
+      s"explode(sequence(0, ${nBands - 1})) AS band")
+      .selectExpr("vec_id", "sig", "band",
+        s"concat(band, ':', substring(sig, band * $bandBits + 1, $bandBits)) AS bucket")
+    val cand = bands.select(col("vec_id").as("id_a"), col("sig").as("sga"),
+        col("band"), col("bucket"))
+      .join(bands.select(col("vec_id").as("id_b"), col("sig").as("sgb"),
+        col("band"), col("bucket")).hint("SHUFFLE_HASH"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .filter(expr("band = 0 OR NOT exists(sequence(0, band - 1), " +
+        s"j -> substring(sga, j * $bandBits + 1, $bandBits) = substring(sgb, j * $bandBits + 1, $bandBits))"))
       .select("id_a", "id_b")
     val e = vecs(s, d)
     cand
@@ -182,7 +197,6 @@ object VectorOps {
       .selectExpr("id_a", "id_b", s"$dotExpr / (SQRT(na2) * SQRT(nb2)) AS cos")
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
-      .distinct()
   }
 
   /** Band-bucket occupancy profile for a geometry — the saturation
