@@ -48,20 +48,15 @@ object VectorIndex {
     val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
       .fit(feat)
     // int8 codes stored WITH the assignment (the production IVF-PQ-lite
-    // shape v07 demos): symmetric per-vector quantization, scale =
-    // max|x|/127, floor(x/scale + 0.5) — the same spelling as v06/v07,
-    // so searchQuantized scores exact integer dots over 4x fewer bytes
-    val assigned = model.transform(feat)
-      .select(col("vec_id"), col("embedding"),
-        col("prediction").cast("long").as("cent_id"),
-        expr("vector_dot(embedding, embedding)").as("n2"))
-      .withColumn("__scale", expr(
-        "greatest(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30D) / 127.0D"))
-      .withColumn("q", expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / __scale + 0.5D) AS INT))"))
-      .withColumn("qn2", expr(
-        "CAST(aggregate(zip_with(q, q, (x, y) -> x * y), 0, (acc, x) -> acc + x) AS DOUBLE)"))
-      .drop("__scale")
+    // shape v07 demos) — THE shared quantization spelling
+    // ([[VectorOps.withInt8Codes]]), so the stored codes and the inline
+    // v06/v07 entries can never drift on the rounding rule
+    val assigned = VectorOps.withInt8Codes(
+      model.transform(feat)
+        .select(col("vec_id"), col("embedding"),
+          col("prediction").cast("long").as("cent_id"),
+          expr("vector_dot(embedding, embedding)").as("n2")),
+      "embedding")
     val table = GraftTable.create(spark, s"$root/assignments", assigned)
     // cluster the physical layout on cent_id: probes now prune files
     table.compact(clusterBy = Seq("cent_id"),
@@ -105,6 +100,9 @@ final class VectorIndex private[operators] (spark: SparkSession, root: String) {
     val qLit = query.map(x => s"CAST($x AS FLOAT)").mkString("array(", ",", ")")
     val qn2 = query.map(x => x.toDouble * x).sum
     table.read(filters = Seq(col("cent_id").isin(probes.toIndexedSeq: _*)))
+      // a zero vector's cosine is 0/0 = NaN, which descending order
+      // sorts ABOVE every real score — exclude undefined directions
+      .filter(col("n2") > 0)
       .selectExpr("vec_id", "cent_id",
         s"vector_dot(embedding, $qLit) / (SQRT(n2) * SQRT($qn2)) AS cos")
       .orderBy(col("cos").desc, col("vec_id"))
@@ -120,12 +118,20 @@ final class VectorIndex private[operators] (spark: SparkSession, root: String) {
     * rounding. */
   def searchQuantized(query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // loud, actionable error for a pre-quantization index on disk (the
+    // alternative is an UNRESOLVED_COLUMN deep inside the scan)
+    require(table.schema.fieldNames.contains("q"),
+      s"index at $root predates stored int8 codes — rebuild with VectorIndex.build " +
+        "to use searchQuantized (float search() still works)")
     val probes = probeCells(query, nprobe)
     val scale = math.max(query.map(x => math.abs(x.toDouble)).max, 1e-30) / 127.0
     val qq = query.map(x => math.floor(x.toDouble / scale + 0.5).toInt)
     val qqn2 = qq.map(x => x.toDouble * x).sum
     val qLit = qq.mkString("array(", ",", ")")
     table.read(filters = Seq(col("cent_id").isin(probes.toIndexedSeq: _*)))
+      // zero quantized norm = undefined direction = NaN cosine, which
+      // would sort above every real score in descending order
+      .filter(col("qn2") > 0)
       .selectExpr("vec_id", "cent_id",
         s"CAST(aggregate(zip_with(q, $qLit, (x, y) -> x * y), 0, (acc, x) -> acc + x) AS DOUBLE)" +
           s" / (SQRT(qn2) * SQRT($qqn2)) AS qcos")

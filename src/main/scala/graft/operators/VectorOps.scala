@@ -176,14 +176,21 @@ object VectorOps {
     // distinct; exactly-once emission needs neither. Output set is
     // identical (exact verification unchanged) — the oracle's DISTINCT
     // candidate spelling hashes the same.
+    // the rider is only the PREFIX the first-match filter reads
+    // (band * bandBits chars — empty for band 0, the most common
+    // survivor): shipping the full signature would double the candidate
+    // join's shuffled bytes at wide geometries for dead suffix weight.
+    // `bucket` embeds the band as its concat prefix, so it is the ONE
+    // join key; the band ordinal rides separately for the filter.
     val bands = sig.selectExpr("vec_id", "sig",
       s"explode(sequence(0, ${nBands - 1})) AS band")
-      .selectExpr("vec_id", "sig", "band",
-        s"concat(band, ':', substring(sig, band * $bandBits + 1, $bandBits)) AS bucket")
-    val cand = bands.select(col("vec_id").as("id_a"), col("sig").as("sga"),
+      .selectExpr("vec_id", "band",
+        s"concat(band, ':', substring(sig, band * $bandBits + 1, $bandBits)) AS bucket",
+        s"substring(sig, 1, band * $bandBits) AS sigp")
+    val cand = bands.select(col("vec_id").as("id_a"), col("sigp").as("sga"),
         col("band"), col("bucket"))
-      .join(bands.select(col("vec_id").as("id_b"), col("sig").as("sgb"),
-        col("band"), col("bucket")).hint("SHUFFLE_HASH"), Seq("band", "bucket"))
+      .join(bands.select(col("vec_id").as("id_b"), col("sigp").as("sgb"),
+        col("bucket")).hint("SHUFFLE_HASH"), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .filter(expr("band = 0 OR NOT exists(sequence(0, band - 1), " +
         s"j -> substring(sga, j * $bandBits + 1, $bandBits) = substring(sgb, j * $bandBits + 1, $bandBits))"))
@@ -239,17 +246,30 @@ object VectorOps {
     * between the entries the recall-parity spec compares. Columns:
     * vec_id, v (double), q (int codes), n2 (float norm²), qn2
     * (quantized norm², exact integer summed). */
+  /** THE int8 quantization spelling, appended as `q` (codes) + `qn2`
+    * (quantized norm², exact integer summed then double-cast) from a
+    * float-or-double array column — ONE implementation shared by v06,
+    * v07 AND [[VectorIndex.build]]'s stored codes, so the rounding rule
+    * (floor(x/scale + 0.5), scale = max|x|/127) can never drift between
+    * the inline entries and the persisted index the recall-parity specs
+    * compare. (The DuckDB twin is [[oQVecs]]; `searchQuantized`'s
+    * driver-side query quantization mirrors it in Scala.) */
+  private[operators] def withInt8Codes(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__qv", expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
+      .withColumn("__scale",
+        expr("greatest(array_max(transform(__qv, x -> abs(x))), 1e-30D) / 127.0D"))
+      .withColumn("q", expr("transform(__qv, x -> CAST(floor(x / __scale + 0.5D) AS INT))"))
+      .withColumn("qn2", expr(
+        "CAST(aggregate(zip_with(q, q, (x, y) -> x * y), 0, (acc, x) -> acc + x) AS DOUBLE)"))
+      .drop("__qv", "__scale")
+
   private def qVecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables(s, d, "embeddings")
+    val base = Tables(s, d, "embeddings")
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-      .selectExpr("vec_id", "v",
-        "greatest(array_max(transform(v, x -> abs(x))), 1e-30D) / 127.0D AS scale")
-      .selectExpr("vec_id", "v",
-        "transform(v, x -> CAST(floor(x / scale + 0.5D) AS INT)) AS q")
-      .selectExpr("vec_id", "v", "q", "vector_dot(v, v) AS n2",
-        "CAST(aggregate(zip_with(q, q, (x, y) -> x * y), 0, (acc, x) -> acc + x) AS DOUBLE) AS qn2")
+    withInt8Codes(base, "v")
+      .selectExpr("vec_id", "v", "q", "vector_dot(v, v) AS n2", "qn2")
   }
 
   /** DuckDB twin of [[qVecs]] — the oracle-side single spelling. */
