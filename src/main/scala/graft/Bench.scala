@@ -14,9 +14,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // record host load with the run: this shared host gets multi-minute
     // contention bursts (documented r5 adjudication — a bench captured
-    // under load 10+ reads like a 2-20x regression); the 1-min loadavg
-    // at start and end lets a reader reject a contended sample without
-    // a rerun
+    // under load 10+ reads like a 2-20x regression). The PRE-run idle
+    // loadavg is the clean external-contention signal; the post-run
+    // value includes this bench's own local[32] executor threads and
+    // only bounds it from above.
     def loadavg(): String =
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0)
