@@ -28,12 +28,28 @@ object Tables {
         spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // integer `div`, not `/`: double division loses precision above
-      // 2^53 and epoch-nanos are ~1.7e18.
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") {
+      // ts arrives in one of three physical shapes depending on the
+      // data's generation: epoch-nanos INT64 (TIMESTAMP(NANOS) parquet
+      // under nanosAsLong, and ScaleUp's scaled dirs), TIMESTAMP_NTZ
+      // (plain timestamp[us] parquet — round-7 driver data), or already
+      // session-TZ TIMESTAMP. Normalize all three to TimestampType —
+      // the session TZ is UTC (GraftSession), so the NTZ cast is
+      // value-preserving and every downstream query/oracle sees the
+      // same wall-clock instants.
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType =>
+          // integer `div`, not `/`: double division loses precision
+          // above 2^53 and epoch-nanos are ~1.7e18.
+          df.withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 
   /** Register every table as a temp view (for spark.sql entry points). */
@@ -45,16 +61,25 @@ object Tables {
   * semantics are ANSI-SQL-expressible) a DuckDB oracle that must
   * hash-match it on the same parquet inputs.
   *
-  * The oracle is BY-NAME and memoized: a handful of oracles are
-  * generated from runtime state (v07 embeds the trained IVF centroid
-  * table as literals), which must not execute at class load — only
-  * when the correctness gate actually dumps oracle_sql.json.
+  * The oracle is BY-NAME and memoized PER VERIFY DIR: a handful of
+  * oracles are generated from runtime state (v07 embeds the trained
+  * IVF centroid table as literals, v04 derives its LSH geometry from
+  * the corpus count), which must not execute at class load — only when
+  * the correctness gate actually dumps oracle_sql.json. Keying the
+  * memo on the `graft.verify.sfdir` value at access time means a JVM
+  * that touches an oracle before Verify sets the property (or runs
+  * Verify twice against different sf dirs) can never latch generated
+  * literals for the wrong corpus (ADVICE r6).
   */
 final class QueryEntry(
     val name: String,
     val fn: (SparkSession, String) => DataFrame,
     oracleGen: () => Option[String]) {
-  lazy val oracle: Option[String] = oracleGen()
+  private[this] val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+  def oracle: Option[String] =
+    memo.computeIfAbsent(sys.props.getOrElse("graft.verify.sfdir", ""),
+      _ => oracleGen())
 }
 
 object QueryEntry {

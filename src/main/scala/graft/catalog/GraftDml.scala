@@ -167,35 +167,72 @@ private[catalog] object GraftDmlExprs {
       s"correlated $what in UPDATE/MERGE conditions is not supported for graft tables; " +
         "rewrite as MERGE USING (the explicit join spelling)")
 
-  /** Resolved expression → by-name Column in the store's namespace,
-    * materializing uncorrelated subqueries (see class doc). Runs at
-    * command execution, so each subquery is evaluated exactly once per
-    * statement. */
-  def translate(session: SparkSession, raw: RawExpr,
-                tgt: Map[ExprId, String], src: Map[ExprId, String]): Column = {
-    val folded = raw.e.transformUp {
-      case s: ScalarSubquery =>
+  /** Per-STATEMENT subquery materialization memo, keyed on the
+    * subquery plan's canonicalized form (plus the evaluation kind —
+    * scalar/IN/EXISTS collect differently). Commands create ONE
+    * materializer per `run`, so the same uncorrelated subquery
+    * appearing in a MERGE condition plus several WHEN clauses (or in
+    * both condition and assignment) is evaluated once and every
+    * occurrence folds to the identical result — a statement can never
+    * observe two snapshots of a concurrently-committed table
+    * (ADVICE r6; this is what "once per statement" in the class doc
+    * promises). */
+  final class Materializer(session: SparkSession) {
+    private val memo =
+      scala.collection.mutable.HashMap[(String, LogicalPlan), Expression]()
+    private def once(kind: String, plan: LogicalPlan)(eval: => Expression): Expression =
+      memo.getOrElseUpdate((kind, plan.canonicalized), eval)
+
+    def translate(raw: RawExpr,
+                  tgt: Map[ExprId, String], src: Map[ExprId, String]): Column =
+      GraftDmlExprs.translate(session, raw, tgt, src, this)
+
+    def buildSet(assigns: Seq[DmlAssign],
+                 tgt: Map[ExprId, String], src: Map[ExprId, String]): Map[String, Column] =
+      GraftDmlExprs.buildSet(session, assigns, tgt, src, this)
+
+    private[catalog] def fold(e: Expression): Expression = e.transformUp {
+      case s: ScalarSubquery => once("scalar", s.plan) {
         requireUncorrelated(s.outerAttrs, "scalar subquery")
         val rows = GraftSparkInternals.ofRows(session, s.plan).collect()
         if (rows.length > 1) throw new IllegalStateException(
           s"scalar subquery in DML returned ${rows.length} rows")
         Literal.create(if (rows.isEmpty) null else rows(0).get(0), s.dataType)
+      }
       case in: InSubquery =>
         val q: ListQuery = in.query
-        requireUncorrelated(q.outerAttrs, "IN subquery")
-        if (in.values.length != 1) throw new UnsupportedOperationException(
-          "multi-column IN subqueries in DML are not supported for graft tables")
-        val elemType = q.plan.output.head.dataType
-        val vals = GraftSparkInternals.ofRows(session, q.plan)
-          .distinct().limit(MaxInValues + 1).collect()
-        if (vals.length > MaxInValues) throw new UnsupportedOperationException(
-          s"IN subquery in DML materialized more than $MaxInValues distinct values; " +
-            "use MERGE USING for join-scale subqueries")
-        In(in.values.head, vals.toSeq.map(r => Literal.create(r.get(0), elemType)))
-      case ex: Exists =>
+        val folded = once("in", q.plan) {
+          requireUncorrelated(q.outerAttrs, "IN subquery")
+          if (in.values.length != 1) throw new UnsupportedOperationException(
+            "multi-column IN subqueries in DML are not supported for graft tables")
+          val elemType = q.plan.output.head.dataType
+          val vals = GraftSparkInternals.ofRows(session, q.plan)
+            .distinct().limit(MaxInValues + 1).collect()
+          if (vals.length > MaxInValues) throw new UnsupportedOperationException(
+            s"IN subquery in DML materialized more than $MaxInValues distinct values; " +
+              "use MERGE USING for join-scale subqueries")
+          In(in.values.head, vals.toSeq.map(r => Literal.create(r.get(0), elemType)))
+        }
+        // the memoized In carries the FIRST occurrence's probe value;
+        // rebind the cached value list to THIS occurrence's probe
+        folded match {
+          case In(_, list) => In(in.values.head, list)
+          case other => other
+        }
+      case ex: Exists => once("exists", ex.plan) {
         requireUncorrelated(ex.outerAttrs, "EXISTS subquery")
         Literal(!GraftSparkInternals.ofRows(session, ex.plan).isEmpty)
+      }
     }
+  }
+
+  /** Resolved expression → by-name Column in the store's namespace,
+    * materializing uncorrelated subqueries (see class doc) through the
+    * per-statement [[Materializer]]. */
+  def translate(session: SparkSession, raw: RawExpr,
+                tgt: Map[ExprId, String], src: Map[ExprId, String],
+                mat: Materializer): Column = {
+    val folded = mat.fold(raw.e)
     folded.foreach {
       case s: SubqueryExpression => throw new UnsupportedOperationException(
         s"unsupported subquery form in graft DML: ${s.getClass.getSimpleName}")
@@ -218,12 +255,13 @@ private[catalog] object GraftDmlExprs {
     * standard SQL UPDATE semantics — because the rebuild's base is the
     * pre-update column). */
   def buildSet(session: SparkSession, assigns: Seq[DmlAssign],
-               tgt: Map[ExprId, String], src: Map[ExprId, String]): Map[String, Column] =
+               tgt: Map[ExprId, String], src: Map[ExprId, String],
+               mat: Materializer): Map[String, Column] =
     assigns.groupBy(_.column).map { case (base, as) =>
       if (as.exists(_.path.isEmpty)) {
         if (as.length != 1) throw new UnsupportedOperationException(
           s"conflicting assignments to column '$base' in one statement")
-        base -> translate(session, as.head.value, tgt, src)
+        base -> translate(session, as.head.value, tgt, src, mat)
       } else {
         // duplicate or nested-overlapping paths would silently last-win
         // through the withField fold — reject, matching the top-level
@@ -235,7 +273,7 @@ private[catalog] object GraftDmlExprs {
               s"'$base.${b.mkString(".")}' in one statement")
         base -> as.foldLeft(org.apache.spark.sql.functions.col(s"`$base`")) { (acc, a) =>
           acc.withField(a.path.map(p => s"`$p`").mkString("."),
-            translate(session, a.value, tgt, src))
+            translate(session, a.value, tgt, src, mat))
         }
       }
     }
@@ -249,8 +287,9 @@ final case class GraftUpdateCommand(gt: GraftTable, cond: Option[RawExpr],
   extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override def run(session: SparkSession): Seq[Row] = {
-    gt.update(cond.map(GraftDmlExprs.translate(session, _, tgt, Map.empty)).getOrElse(lit(true)),
-      GraftDmlExprs.buildSet(session, set, tgt, Map.empty))
+    val mat = new GraftDmlExprs.Materializer(session)
+    gt.update(cond.map(mat.translate(_, tgt, Map.empty)).getOrElse(lit(true)),
+      mat.buildSet(set, tgt, Map.empty))
     Seq.empty
   }
 }
@@ -264,7 +303,7 @@ final case class GraftDeleteCommand(gt: GraftTable, cond: RawExpr,
   extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override def run(session: SparkSession): Seq[Row] = {
-    gt.delete(GraftDmlExprs.translate(session, cond, tgt, Map.empty))
+    gt.delete(new GraftDmlExprs.Materializer(session).translate(cond, tgt, Map.empty))
     Seq.empty
   }
 }
@@ -282,9 +321,10 @@ final case class GraftMergeCommand(gt: GraftTable, source: LogicalPlan,
   extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override def run(session: SparkSession): Seq[Row] = {
-    def tr(r: RawExpr): Column = GraftDmlExprs.translate(session, r, tgt, src)
+    val mat = new GraftDmlExprs.Materializer(session)
+    def tr(r: RawExpr): Column = mat.translate(r, tgt, src)
     def when(w: RawMergeWhen): MergeWhen =
-      MergeWhen(w.cond.map(tr), w.assigns.map(GraftDmlExprs.buildSet(session, _, tgt, src)))
+      MergeWhen(w.cond.map(tr), w.assigns.map(mat.buildSet(_, tgt, src)))
     gt.mergeInto(GraftSparkInternals.ofRows(session, source),
       tr(condition), matched.map(when), notMatched.map(when),
       notMatchedBySource.map(when))

@@ -102,11 +102,16 @@ object VectorOps {
       .selectExpr("vec_id", s"concat(${bits.mkString(",")}) AS sig")
   }
 
-  /** The oracle-calibrated geometry — DECIMAL-exact signatures so Spark
-    * and DuckDB agree bit-for-bit; everything else is production scale
-    * territory and takes [[sigDfFast]]. */
+  /** Oracle-facing runs take the DECIMAL-exact signature so Spark and
+    * DuckDB agree bit-for-bit; everything else is production scale
+    * territory and takes [[sigDfFast]]. "Oracle-facing" = the gate
+    * geometry (geometryFor anchor), OR any corpus a Verify run is
+    * actively comparing (`graft.verify.sfdir` points at `d` — ADVICE
+    * r6: the generated oracle is geometry-adaptive, so the Spark side
+    * must stay bit-exact at whatever geometry that corpus yields). */
   private def sigFor(s: SparkSession, d: String, nPlanes: Int, bandBits: Int): DataFrame =
-    if ((nPlanes, bandBits) == geometryFor(500)) sigDf(s, d, nPlanes)
+    if ((nPlanes, bandBits) == geometryFor(500) ||
+        sys.props.get("graft.verify.sfdir").contains(d)) sigDf(s, d, nPlanes)
     else sigDfFast(s, d, nPlanes)
 
   /** Corpus-size-adaptive LSH geometry (VERDICT r5 #3 — the fixed
@@ -308,17 +313,20 @@ object VectorOps {
   private val oDot =
     "LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * b.v[i]))"
 
-  /** The sf0.01 correctness-gate geometry — geometryFor at the gate's
-    * corpus size, so the adaptive entry and this static oracle are the
-    * same geometry exactly where the DuckDB comparison runs. */
-  private lazy val (oraclePlanes, oracleBits) = geometryFor(500)
-  private lazy val oracleBands = oraclePlanes / oracleBits
-
   /** The v04 banded-LSH candidate+verify pipeline as oracle SQL —
     * shared by v04 (raw pairs) and t09 (joined to documents); generated
     * from the SAME geometry + plane constants the Spark entry uses at
-    * the gate scale. */
-  private lazy val annPairsOracle: String =
+    * the VERIFY RUN'S corpus (ADVICE r6: a static geometryFor(500) pin
+    * reported false mismatches for any sf dir outside the (20, 4)
+    * regime — the sf dir comes from the same `graft.verify.sfdir`
+    * sysprop mechanism as [[v07OracleSql]], defaulting to the gate
+    * dir; QueryEntry memoizes per sfdir so this generates once per
+    * verified corpus). */
+  private def annPairsOracle: String = {
+    val d = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+    val s = SparkSession.getActiveSession.getOrElse(graft.engine.GraftSession.create())
+    val (oraclePlanes, oracleBits) = geometryFor(Tables(s, d, "embeddings").count())
+    val oracleBands = oraclePlanes / oracleBits
     s"""WITH planes(p, i, w) AS (VALUES ${planesSqlFor(oraclePlanes)}),
         flat AS (SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS i FROM embeddings),
         fx AS (SELECT f.vec_id, f.i, CAST(e.embedding[f.i + 1] AS DOUBLE) AS x
@@ -339,6 +347,7 @@ object VectorOps {
           ROUND($oDot / (SQRT(a.n2) * SQRT(b.n2)), 6) AS cos_sim
         FROM cand c JOIN en a ON a.vec_id = c.id_a JOIN en b ON b.vec_id = c.id_b
         WHERE $oDot / (SQRT(a.n2) * SQRT(b.n2)) >= 0.35"""
+  }
 
   // ------------------------------------------------------------------
   // Trained-IVF support for v07 (r5 verdict #8): ONE KMeans index per
@@ -348,30 +357,56 @@ object VectorOps {
   // broadcast side is fixed-k (10 trained centroids) at ANY corpus
   // size, where the old `vec_id % 50` rule grew with the corpus.
   // ------------------------------------------------------------------
-  /** Cache key = dir path + a FINGERPRINT of the embeddings data (file
-    * names, sizes, mtimes): regenerated test data at the same path must
-    * invalidate the cache — both the entry and the oracle would read
-    * stale centroids and agree with each other, silently degrading the
-    * documented recall. */
+  /** Cache key = dir path + a FINGERPRINT of the embeddings data:
+    * regenerated test data at the same path must invalidate the cache —
+    * both the entry and the oracle would read stale centroids and agree
+    * with each other, silently degrading the documented recall.
+    *
+    * The fingerprint is CONTENT-SENSITIVE, not just name/size/mtime
+    * (ADVICE r6): each file contributes an MD5 of its first and last
+    * 64 KiB — the parquet footer lives in the tail and carries row
+    * counts/column stats, so mtime/size-identical regeneration still
+    * changes the key. Constant I/O per file, never a full scan. The
+    * cache root is PER-USER (user.name in the path): on a multi-user
+    * host another user's directory at the same key can neither block
+    * our atomic rename nor serve us their centroids. */
   private def indexRootFor(d: String): String = {
-    val target = java.nio.file.Paths.get(d, "embeddings.parquet")
+    import java.nio.file.{Files, Path, Paths}
+    def headTail(p: Path): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val ch = java.nio.channels.FileChannel.open(p)
+      try {
+        val sz = ch.size()
+        val head = java.nio.ByteBuffer.allocate(math.min(sz, 65536L).toInt)
+        ch.read(head, 0L); md.update(head.array(), 0, head.position())
+        if (sz > 65536L) {
+          val tail = java.nio.ByteBuffer.allocate(math.min(sz - 65536L, 65536L).toInt)
+          ch.read(tail, sz - tail.capacity()); md.update(tail.array(), 0, tail.position())
+        }
+      } finally ch.close()
+      md.digest().map("%02x".format(_)).mkString.take(12)
+    }
+    val target = Paths.get(d, "embeddings.parquet")
     val listing =
-      if (java.nio.file.Files.isDirectory(target)) {
-        val s = java.nio.file.Files.list(target)
+      if (Files.isDirectory(target)) {
+        val s = Files.list(target)
         try {
           val b = Vector.newBuilder[String]
-          s.iterator().forEachRemaining(p => b += s"${p.getFileName}:" +
-            s"${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+          s.iterator().forEachRemaining { p =>
+            val ht = if (Files.isRegularFile(p)) headTail(p) else "dir"
+            b += s"${p.getFileName}:${Files.size(p)}:$ht"
+          }
           b.result().sorted.mkString(",")
         } finally s.close()
-      } else if (java.nio.file.Files.exists(target))
-        s"${java.nio.file.Files.size(target)}:" +
-          s"${java.nio.file.Files.getLastModifiedTime(target).toMillis}"
+      } else if (Files.exists(target))
+        s"${Files.size(target)}:${headTail(target)}"
       else "absent"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest((new java.io.File(d).getCanonicalPath + "|" + listing).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cache/$key"
+    val user = Option(System.getProperty("user.name")).getOrElse("anon")
+      .replaceAll("[^A-Za-z0-9_.-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cache-$user/$key"
   }
 
   /** Build-or-load the per-dir trained index; concurrent/crashed builds
