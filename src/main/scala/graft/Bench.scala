@@ -31,32 +31,43 @@ object Bench {
     // steady-state latency a resident engine actually delivers.
     // a query that throws reports -1 (visible failure marker), never
     // its time-to-fail masquerading as a fast success
+    // optional restriction (scale probes bench only the scale-law
+    // entries — a full sweep at sf10 would spend most of its time on
+    // queries whose scaling is already settled)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
     // any failed pass marks the query failed (-1): an intermittent
     // failure must be visible, not papered over by its lucky pass
     val (p1, p2) = (pass(), pass())
     val results = p1.zip(p2).map { case ((n, a), (_, b)) =>
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 1 ms precision: full-precision doubles tripled the JSON line's
+    // size and the driver's stdout-tail capture truncated it two rounds
+    // running ("parsed": null in BENCH_r06) — keep the ONE line compact
+    // and LAST on stdout, and persist the same bytes to a file
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // total over successful queries only — summing -1 sentinels would
     // make a build that BREAKS queries score faster
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""loadavg_before":$loadBefore,"loadavg_after":${loadavg()}}"""
-    println(json)
-    // Also persist to a file: the driver captures only the stdout tail,
-    // which has truncated the per-query map two rounds running. The file
-    // keeps every round's numbers auditable.
+    // file first, stdout last: the driver's harvester reads the tail,
+    // and the auditable copy must exist even if stdout is cut
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_SELF.json"),
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_SELF.json")),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    println(json)
   }
 }

@@ -66,6 +66,10 @@ object GraftFunctions {
     "sorted_intersect_size" -> { exprs: Seq[Expression] =>
       SortedIntersectSize(exprs(0), exprs(1))
     },
+    // graft-native: int8-code packing + exact integer dot (the ANN
+    // quantized pre-score kernel — 4x fewer candidate-join bytes).
+    "pack_int8" -> { exprs: Seq[Expression] => PackInt8(exprs.head) },
+    "int8_dot" -> { exprs: Seq[Expression] => Int8Dot(exprs(0), exprs(1)) },
     // Trino approx_most_frequent(buckets, value[, capacity]) — Space-
     // Saving top-k summary (TypedImperativeAggregate).
     "approx_most_frequent" -> { exprs: Seq[Expression] =>

@@ -200,8 +200,53 @@ object VectorOps {
       .filter(expr("band = 0 OR NOT exists(sequence(0, band - 1), " +
         s"j -> substring(sga, j * $bandBits + 1, $bandBits) = substring(sgb, j * $bandBits + 1, $bandBits))"))
       .select("id_a", "id_b")
+    // QUANTIZED PRE-SCORE (VERDICT r6 #1): the candidate attach was the
+    // dominant stage at scale — every candidate carried two full float
+    // vectors (~512 B/pair) through the verify joins. Candidates now
+    // first attach the packed int8 codes (64 B + three scalars per
+    // side), score an EXACT integer dot, and are rejected by a
+    // CERTIFIED upper bound on the true cosine; only near/above-
+    // threshold survivors (~1% at corpus scale) attach floats for the
+    // exact score. The bound: with codes q = floor(x/s + 0.5),
+    // per-element error |e_i| <= s/2 exactly, so
+    //   dot(a,b) <= s_a*s_b*(Q + l1_a/2 + l1_b/2 + d/4)
+    // (Q = integer code dot, l1 = sum|q|, d = dims — the three error
+    // terms are the q*e cross products and the e*e tail). Dividing by
+    // the true float norms gives an upper bound on cosine; a pair is
+    // dropped ONLY when that bound (plus 1e-9 double-arithmetic slack)
+    // is below the threshold, so the emitted pair set — and the oracle
+    // hash — is IDENTICAL to the unfiltered spelling by construction,
+    // not by tuning. (Spec: VectorRecallSpec bound-soundness +
+    // equality tests.)
+    // every derived column coalesced to statically NON-NULLABLE (the
+    // t02/vecs discipline): the prescore filter upstream would
+    // otherwise make InferFiltersFromConstraints derive isnotnull()
+    // over the whole quantize pipeline and push it into the scan —
+    // splitting the embeddings exchange into per-branch scans (3
+    // materialized scans instead of 2 with reuse; PlanSpec-gated).
+    // The fallbacks never fire on real rows (embeddings are dense by
+    // contract); a contract-violating null embedding now fails loudly
+    // in int8_dot instead of silently dropping.
+    val qe = withInt8Codes(vecs(s, d), "v")
+      .selectExpr("vec_id",
+        "coalesce(pack_int8(q), CAST('' AS BINARY)) AS qc",
+        "coalesce(qscale, 1e-30D) AS qscale",
+        "coalesce(CAST(aggregate(q, 0, (acc, x) -> acc + abs(x)) AS DOUBLE), 0D) AS ql1",
+        "n2")
+    val pre = cand
+      .join(qe.select(col("vec_id").as("id_a"), col("qc").as("qca"),
+          col("qscale").as("qsa"), col("ql1").as("l1a"), col("n2").as("na2"))
+        .hint("SHUFFLE_HASH"), "id_a")
+      .join(qe.select(col("vec_id").as("id_b"), col("qc").as("qcb"),
+          col("qscale").as("qsb"), col("ql1").as("l1b"), col("n2").as("nb2"))
+        .hint("SHUFFLE_HASH"), "id_b")
+      .filter(expr(
+        "qsa * qsb * (CAST(int8_dot(qca, qcb) AS DOUBLE) + l1a / 2.0D + l1b / 2.0D" +
+          " + CAST(length(qca) AS DOUBLE) / 4.0D) / (SQRT(na2) * SQRT(nb2)) + 1e-9D" +
+          s" >= $threshold"))
+      .select("id_a", "id_b")
     val e = vecs(s, d)
-    cand
+    pre
       .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
         .hint("SHUFFLE_HASH"), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n2").as("nb2"))
@@ -261,12 +306,12 @@ object VectorOps {
     * driver-side query quantization mirrors it in Scala.) */
   private[operators] def withInt8Codes(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("__qv", expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
-      .withColumn("__scale",
+      .withColumn("qscale",
         expr("greatest(array_max(transform(__qv, x -> abs(x))), 1e-30D) / 127.0D"))
-      .withColumn("q", expr("transform(__qv, x -> CAST(floor(x / __scale + 0.5D) AS INT))"))
+      .withColumn("q", expr("transform(__qv, x -> CAST(floor(x / qscale + 0.5D) AS INT))"))
       .withColumn("qn2", expr(
         "CAST(aggregate(zip_with(q, q, (x, y) -> x * y), 0, (acc, x) -> acc + x) AS DOUBLE)"))
-      .drop("__qv", "__scale")
+      .drop("__qv")
 
   private def qVecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)

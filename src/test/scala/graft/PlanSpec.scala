@@ -284,6 +284,37 @@ class PlanSpec extends SparkSpec {
     hof.zip(nat).foreach { case (a, b) => assert(a == b, s"$a != $b (bit parity)") }
   }
 
+  test("pack_int8 + int8_dot: exact values, range check, whole-stage codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    // exact integer dot over packed codes
+    val r = spark.sql(
+      "SELECT int8_dot(pack_int8(array(1, -2, 3)), pack_int8(array(4, 5, -6))) AS d")
+      .head().getLong(0)
+    assert(r == 4 - 10 - 18, s"int8_dot wrong: $r")
+    // packing width: one byte per element
+    assert(spark.sql("SELECT length(pack_int8(array(127, -128, 0))) AS l")
+      .head().getInt(0) == 3)
+    // out-of-int8-range input throws, never silently truncates
+    val err = intercept[Exception] {
+      spark.sql("SELECT int8_dot(pack_int8(array(128)), pack_int8(array(1)))").collect()
+    }
+    assert(err.getMessage != null)
+    // the pre-score kernel stays inside whole-stage codegen where it
+    // matters: int8_dot over ALREADY-PACKED binary columns (v04's
+    // prescore Project after the candidate join — no HOF in sight; the
+    // packing itself sits next to transform() HOFs and is interpreted
+    // there, once per ROW, not per candidate)
+    Tables.registerAll(spark, sf())
+    spark.sql(
+      """SELECT pack_int8(transform(embedding, x -> CAST(x * 100 AS INT))) AS qc
+         FROM embeddings""").repartition(2).createOrReplaceTempView("packed_codes")
+    val df = spark.sql("SELECT int8_dot(qc, qc) AS q FROM packed_codes")
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.matches(""".*\*\(\d+\) Project \[int8_dot.*""")),
+      p.take(2000))
+  }
+
   test("top-k uses TakeOrderedAndProject, not a global sort") {
     val df = Tables(spark, sf(), "orders")
       .orderBy(col("o_totalprice").desc).limit(25)

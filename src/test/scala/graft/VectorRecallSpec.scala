@@ -157,6 +157,51 @@ class VectorRecallSpec extends SparkSpec {
     assert(occAdaptive <= 256, s"occupancy should stay near targetOccupancy: $occAdaptive")
   }
 
+  test("int8 pre-score bound is certified: holds for EVERY pair at the gate corpus") {
+    // The v04 candidate prefilter drops a pair only when a quantized
+    // upper bound on its cosine is below the threshold. Soundness is a
+    // THEOREM (|e_i| <= s/2 for round-half-up codes), not a tuning —
+    // this test re-derives the bound driver-side with an independent
+    // implementation and checks it against the exact cosine for all
+    // ~125k pairs of the gate corpus: no exact pair can ever be lost.
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    case class Q(q: Array[Int], s: Double, l1: Long, n: Double)
+    def quant(v: Array[Double]): Q = {
+      val s = math.max(v.map(math.abs).max, 1e-30) / 127.0
+      val q = v.map(x => math.floor(x / s + 0.5).toInt)
+      Q(q, s, q.map(x => math.abs(x).toLong).sum, math.sqrt(v.map(x => x * x).sum))
+    }
+    val qs = vecs.map(quant)
+    var worstGap = Double.MaxValue // min over pairs of (bound - cos)
+    var checked = 0
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length) {
+      val (a, b) = (qs(i), qs(j))
+      var qdot = 0L; var dot = 0.0; var k = 0
+      while (k < a.q.length) {
+        qdot += a.q(k).toLong * b.q(k); dot += vecs(i)(k) * vecs(j)(k); k += 1
+      }
+      val cos = dot / (a.n * b.n)
+      val bound = a.s * b.s * (qdot + a.l1 / 2.0 + b.l1 / 2.0 + a.q.length / 4.0) /
+        (a.n * b.n)
+      assert(bound + 1e-9 >= cos,
+        f"bound violated for pair ($i, $j): bound=$bound%.9f cos=$cos%.9f")
+      worstGap = math.min(worstGap, bound - cos)
+      checked += 1
+    }
+    info(f"checked $checked pairs; tightest bound-cos gap = $worstGap%.6f")
+    // and the margin is TIGHT enough to be useful as a filter: the
+    // typical slack is a few hundredths of cosine (else the prefilter
+    // would pass everything and the byte cut would be fiction)
+    val sampleSlack = (0 until 200).map { i =>
+      val (a, b) = (qs(i % qs.length), qs((i * 7 + 1) % qs.length))
+      a.s * b.s * (a.l1 / 2.0 + b.l1 / 2.0 + a.q.length / 4.0) / (a.n * b.n)
+    }
+    val meanSlack = sampleSlack.sum / sampleSlack.size
+    info(f"mean certified slack = $meanSlack%.4f")
+    assert(meanSlack < 0.05, f"certified slack $meanSlack%.4f too wide to filter anything")
+  }
+
   test("v05 IVF top-k: recall@3 floor vs an independent exact computation") {
     // exact neighbors computed DRIVER-SIDE from the raw embeddings — an
     // implementation independent of every Spark expression under test
