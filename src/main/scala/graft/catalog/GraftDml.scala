@@ -47,10 +47,15 @@ import graft.store.{GraftTable, MergeWhen}
   * and literal/value-list predicates prune files by min/max stats
   * exactly like hand-written ones. A subquery over the target table
   * itself reads the pre-update snapshot (evaluate-then-commit — the
-  * standard SQL DML ordering). CORRELATED subqueries stay a loud
-  * error: the store evaluates conditions per-file; a correlated probe
-  * would need a per-row join rewrite — `MERGE USING` is that rewrite,
-  * spelled explicitly.
+  * standard SQL DML ordering).
+  *
+  * CORRELATED subqueries in UPDATE/DELETE conditions (r6 verdict #3)
+  * lower onto the merge engine: Spark's own decorrelation evaluates
+  * `Filter(cond, target)` into the matched-row set, which becomes the
+  * `MERGE USING` source with row-value identity (null-safe equality
+  * over all columns — sound because DML semantics are functions of row
+  * values) as the ON clause. Correlated subqueries in ASSIGNMENTS or
+  * MERGE clauses stay a loud error pointing at explicit `MERGE USING`.
   */
 final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -60,7 +65,7 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         require(!g.isTimeTravel, s"cannot UPDATE a time-travelled snapshot of ${g.name()}")
         val tgt = byId(rel.output)
         val set = u.assignments.map(a => assignOf(a, tgt))
-        GraftUpdateCommand(g.underlying, u.condition.map(RawExpr), set, tgt)
+        GraftUpdateCommand(g.underlying, u.condition.map(RawExpr), set, tgt, rel)
       }
 
     case m: MergeIntoTable if m.resolved =>
@@ -91,16 +96,17 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
 
     // DELETE stays on the native DSv2 SupportsDelete path (stats-pruned
-    // copy-on-write) EXCEPT when the condition carries a subquery —
-    // V1 Filters cannot express one, so Spark's path dead-ends in an
-    // analysis error. Those route through the same materialize-once
-    // machinery as UPDATE/MERGE (Trino/Iceberg parity:
-    // `DELETE FROM t WHERE k IN (SELECT ...)`).
+    // copy-on-write) EXCEPT when the condition carries a subquery
+    // ANYWHERE in its tree — V1 Filters cannot express one, so Spark's
+    // path dead-ends in an analysis error. Those route through the same
+    // materialize-once machinery as UPDATE/MERGE (Trino/Iceberg parity:
+    // `DELETE FROM t WHERE k IN (SELECT ...)`), or the correlated
+    // lowering when the subquery references target columns.
     case dft: DeleteFromTable if dft.resolved &&
-        dft.condition.exists(_.isInstanceOf[SubqueryExpression]) =>
+        dft.condition.exists(c => c.exists(_.isInstanceOf[SubqueryExpression])) =>
       graftRelation(dft.table).fold(plan) { case (rel, g) =>
         require(!g.isTimeTravel, s"cannot DELETE from a time-travelled snapshot of ${g.name()}")
-        GraftDeleteCommand(g.underlying, RawExpr(dft.condition), byId(rel.output))
+        GraftDeleteCommand(g.underlying, RawExpr(dft.condition), byId(rel.output), rel)
       }
 
     case _ => plan
@@ -164,8 +170,53 @@ private[catalog] object GraftDmlExprs {
 
   private def requireUncorrelated(outer: Seq[Expression], what: String): Unit =
     if (outer.nonEmpty) throw new UnsupportedOperationException(
-      s"correlated $what in UPDATE/MERGE conditions is not supported for graft tables; " +
-        "rewrite as MERGE USING (the explicit join spelling)")
+      s"correlated $what in DML assignments or MERGE clauses is not supported for " +
+        "graft tables; rewrite as MERGE USING (the explicit join spelling). " +
+        "Correlated subqueries ARE supported in UPDATE/DELETE conditions.")
+
+  /** True iff the expression tree carries a subquery that references
+    * the outer (target) relation — the form the row-identity merge
+    * lowering handles. */
+  def hasCorrelated(e: Expression): Boolean = e.exists {
+    case s: SubqueryExpression => s.getOuterAttrs.nonEmpty
+    case _ => false
+  }
+
+  /** The matched-row set of a correlated UPDATE/DELETE condition,
+    * evaluated by SPARK'S OWN subquery machinery (r6 verdict #3): a
+    * `Filter(cond, relation)` plan is exactly `SELECT * FROM t WHERE
+    * <cond>`, which the optimizer decorrelates into the usual
+    * semi/anti-join plans — no hand-rolled decorrelation, arbitrary
+    * correlated shapes (EXISTS / NOT EXISTS / IN / NOT IN / scalar
+    * comparisons) for free, evaluated once against the pre-update
+    * snapshot. `distinct()` makes the set a row-VALUE set, which is
+    * sound because a DML condition and its SET clauses are functions
+    * of row values alone — equal rows match and transform equally. */
+  def correlatedMatches(session: SparkSession, rel: LogicalPlan,
+                        cond: Expression): org.apache.spark.sql.DataFrame =
+    GraftSparkInternals.ofRows(session, Filter(cond, rel)).distinct()
+
+  /** Row-identity merge ON clause: null-safe equality over every
+    * target column against its MergeSourcePrefix-renamed twin. Demands
+    * a map-free schema — maps are not comparable in Spark, so rows
+    * could not be re-identified; the error names the workaround. */
+  def rowIdentityOn(sch: org.apache.spark.sql.types.StructType): Column = {
+    val mapped = sch.fields.filter(f => hasMapType(f.dataType)).map(_.name)
+    if (mapped.nonEmpty) throw new UnsupportedOperationException(
+      "correlated UPDATE/DELETE conditions need row-value identity (null-safe " +
+        s"equality over all columns), and map-typed columns are not comparable: " +
+        s"${mapped.mkString(",")} — rewrite as MERGE USING with an explicit key")
+    sch.fieldNames.map(n => org.apache.spark.sql.functions.col(s"`$n`") <=>
+        org.apache.spark.sql.functions.col(s"`${GraftTable.MergeSourcePrefix}$n`"))
+      .reduce(_ && _)
+  }
+
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMapType(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMapType(a.elementType)
+    case _ => false
+  }
 
   /** Per-STATEMENT subquery materialization memo, keyed on the
     * subquery plan's canonicalized form (plus the evaluation kind —
@@ -280,16 +331,29 @@ private[catalog] object GraftDmlExprs {
 }
 
 /** `UPDATE <graft table> SET ... [WHERE ...]` → one copy-on-write
-  * commit via [[GraftTable.update]] (stats-pruned victim files only). */
+  * commit via [[GraftTable.update]] (stats-pruned victim files only).
+  * A CORRELATED subquery in the condition (r6 verdict #3) lowers onto
+  * [[GraftTable.mergeInto]]: the matched-row set (computed by Spark's
+  * own decorrelation over the pre-update snapshot) is the USING
+  * source, row-value identity the ON clause, and the SET map the one
+  * WHEN MATCHED UPDATE — one atomic commit, only matching files
+  * rewritten, exactly like the uncorrelated path. */
 final case class GraftUpdateCommand(gt: GraftTable, cond: Option[RawExpr],
                                     set: Seq[DmlAssign],
-                                    tgt: Map[ExprId, String])
+                                    tgt: Map[ExprId, String],
+                                    rel: LogicalPlan)
   extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override def run(session: SparkSession): Seq[Row] = {
     val mat = new GraftDmlExprs.Materializer(session)
-    gt.update(cond.map(mat.translate(_, tgt, Map.empty)).getOrElse(lit(true)),
-      mat.buildSet(set, tgt, Map.empty))
+    if (cond.exists(c => GraftDmlExprs.hasCorrelated(c.e))) {
+      val matches = GraftDmlExprs.correlatedMatches(session, rel, cond.get.e)
+      gt.mergeInto(matches, GraftDmlExprs.rowIdentityOn(gt.schema),
+        Seq(MergeWhen(None, Some(mat.buildSet(set, tgt, Map.empty)))),
+        Nil, Nil, "update")
+    } else
+      gt.update(cond.map(mat.translate(_, tgt, Map.empty)).getOrElse(lit(true)),
+        mat.buildSet(set, tgt, Map.empty))
     Seq.empty
   }
 }
@@ -297,13 +361,21 @@ final case class GraftUpdateCommand(gt: GraftTable, cond: Option[RawExpr],
 /** `DELETE FROM <graft table> WHERE <condition with subqueries>` → one
   * copy-on-write commit via [[GraftTable.delete]]; the folded condition
   * (subqueries materialized once) drives stats-pruned victim discovery
-  * exactly like the predicate-only path. */
+  * exactly like the predicate-only path. Correlated conditions lower
+  * onto a row-identity merge with one WHEN MATCHED DELETE clause
+  * (see [[GraftUpdateCommand]]). */
 final case class GraftDeleteCommand(gt: GraftTable, cond: RawExpr,
-                                    tgt: Map[ExprId, String])
+                                    tgt: Map[ExprId, String],
+                                    rel: LogicalPlan)
   extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override def run(session: SparkSession): Seq[Row] = {
-    gt.delete(new GraftDmlExprs.Materializer(session).translate(cond, tgt, Map.empty))
+    if (GraftDmlExprs.hasCorrelated(cond.e)) {
+      val matches = GraftDmlExprs.correlatedMatches(session, rel, cond.e)
+      gt.mergeInto(matches, GraftDmlExprs.rowIdentityOn(gt.schema),
+        Seq(MergeWhen(None, None)), Nil, Nil, "delete")
+    } else
+      gt.delete(new GraftDmlExprs.Materializer(session).translate(cond, tgt, Map.empty))
     Seq.empty
   }
 }

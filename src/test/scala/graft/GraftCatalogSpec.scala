@@ -330,12 +330,61 @@ class GraftCatalogSpec extends SparkSpec {
     // unconditioned UPDATE touches every row
     sql("UPDATE gcat.db15.t SET score = 0.0")
     assert(sql("SELECT sum(score) AS s FROM gcat.db15.t").head().getDouble(0) == 0.0)
-    // CORRELATED subqueries are rejected loudly, not silently mis-run
-    // (uncorrelated ones materialize — see the dedicated subquery test)
+    // CORRELATED condition (self-referential): reads the pre-update
+    // snapshot — every id with a successor row matches (0..8), id 9
+    // does not (see the dedicated correlated-DML test for the lowering)
+    sql("UPDATE gcat.db15.t AS t SET v = 'x' WHERE EXISTS " +
+      "(SELECT 1 FROM gcat.db15.t u WHERE u.id = t.id + 1)")
+    assert(sql("SELECT v FROM gcat.db15.t WHERE id = 9").head().getString(0) == "V9")
+    assert(sql("SELECT count(*) FROM gcat.db15.t WHERE v = 'x'").head().getLong(0) == 9)
+    // correlated subqueries in ASSIGNMENTS stay a loud error
     val e = intercept[Exception](
-      sql("UPDATE gcat.db15.t AS t SET v = 'x' WHERE EXISTS " +
-        "(SELECT 1 FROM gcat.db15.t u WHERE u.id = t.id + 1)"))
+      sql("UPDATE gcat.db15.t AS t SET v = (SELECT max(u.v) FROM gcat.db15.t u " +
+        "WHERE u.id = t.id + 1) WHERE id = 0"))
     assert(e.getMessage.contains("correlated"), e.getMessage)
+  }
+
+  test("correlated UPDATE/DELETE conditions lower onto the row-identity merge") {
+    sql("CREATE NAMESPACE gcat.db26")
+    sql("CREATE TABLE gcat.db26.t (id BIGINT, v STRING, score DOUBLE)")
+    sql("INSERT INTO gcat.db26.t SELECT id, concat('v', id), id * 1.0 FROM range(0, 10)")
+    sql("INSERT INTO gcat.db26.t SELECT id, concat('v', id), id * 1.0 FROM range(10, 20)")
+    sql("CREATE TABLE gcat.db26.s (k BIGINT, grp STRING)")
+    sql("INSERT INTO gcat.db26.s VALUES (12, 'a'), (15, 'a'), (3, 'b')")
+    val gt = GraftTable.load(spark, s"$warehouse/db26/t")
+    val before = gt.currentVersion
+    // correlated EXISTS with a residual predicate inside the subquery:
+    // Spark's own decorrelation computes the matched rows; the merge
+    // applies the SET through ONE atomic commit
+    sql("UPDATE gcat.db26.t AS t SET v = 'hit' WHERE EXISTS " +
+      "(SELECT 1 FROM gcat.db26.s s WHERE s.k = t.id AND s.grp = 'a')")
+    assert(sql("SELECT id FROM gcat.db26.t WHERE v = 'hit' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(12L, 15L))
+    val c = gt.commitInfo(gt.currentVersion)
+    assert(gt.currentVersion == before + 1 && c.op == "update", c)
+    // only the file(s) holding ids 10..19 were rewritten: the merge's
+    // victim discovery semi-joins the matched rows, so the first
+    // append's file never rewrites
+    val firstAppend = gt.commitInfo(before - 1).added.map(_.path).toSet
+    assert(c.removed.toSet.intersect(firstAppend).isEmpty, c.removed)
+    assert(c.removed.nonEmpty)
+    // time travel still shows the pre-update values (atomicity)
+    assert(sql(s"SELECT v FROM gcat.db26.t VERSION AS OF $before WHERE id = 12")
+      .head().getString(0) == "v12")
+    // correlated IN in a DELETE (r6 verdict #3's second shape): the
+    // subquery references t.score — ids 3, 12, 15 satisfy k <= score
+    sql("DELETE FROM gcat.db26.t AS t WHERE t.id IN " +
+      "(SELECT s.k FROM gcat.db26.s s WHERE s.k <= t.score)")
+    assert(sql("SELECT count(*) FROM gcat.db26.t").head().getLong(0) == 17)
+    assert(sql("SELECT count(*) FROM gcat.db26.t WHERE id IN (3, 12, 15)")
+      .head().getLong(0) == 0)
+    assert(gt.commitInfo(gt.currentVersion).op == "delete")
+    // NOT EXISTS decorrelates too — rows with no s partner survive a
+    // keep-only delete
+    val n = sql("SELECT count(*) FROM gcat.db26.t").head().getLong(0)
+    sql("DELETE FROM gcat.db26.t AS t WHERE NOT EXISTS " +
+      "(SELECT 1 FROM gcat.db26.s s WHERE s.k = t.id) AND t.id >= 18")
+    assert(sql("SELECT count(*) FROM gcat.db26.t").head().getLong(0) == n - 2)
   }
 
   test("DML subquery conditions: materialized once, victims stats-pruned") {
