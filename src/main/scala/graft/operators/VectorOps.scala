@@ -29,7 +29,7 @@ object VectorOps {
     * [[geometryFor]] is the law, and its gate-scale anchor
     * geometryFor(500) == (20, 4) is what the sf0.01 DuckDB oracle and
     * the VectorRecallSpec envelope are calibrated to. */
-  private[operators] def planesFor(nPlanes: Int): Seq[(Int, Int, Double)] =
+  private[graft] def planesFor(nPlanes: Int): Seq[(Int, Int, Double)] =
     for (p <- 0 until nPlanes; i <- 0 until 64) yield {
       // splitmix64 finalizer — full avalanche per (plane, dim) cell. A
       // multiplicative LCG on the SEQUENTIAL seed is not usable here:
@@ -81,38 +81,55 @@ object VectorOps {
                   (acc, t) -> CAST(acc + t AS DECIMAL(38,18))) >= 0
                 THEN '1' ELSE '0' END), '') AS sig""")
 
-  /** Production-geometry signature: one codegen'd [[graft.functions.VectorDot]]
-    * per plane against a constant-folded double array — a tight fused
-    * loop, ~15x faster than the DECIMAL HOF fold at wide plane counts
-    * (the decimal fold is interpreted per element; 230 planes x 64 dims
-    * of it dominated the sf1 run at 14s+). IEEE doubles in a fixed
-    * left-to-right order are deterministic within Spark; the DECIMAL
-    * spelling exists only so the 16-plane ORACLE geometry produces
+  /** Production-geometry BAND VALUES: the whole signature pass as ONE
+    * fused codegen loop ([[graft.functions.HyperplaneBands]]) emitting
+    * `array<bigint>` of band values directly. The per-plane spelling —
+    * 230 `vector_dot(embedding, <const>)` CASE expressions concatenated
+    * into a bit string — exceeded the whole-stage-codegen method budget
+    * at wide geometries and fell back to interpreted eval: measured
+    * 15-17 s of a 33 s sf1 candidate run, vs ~1 s fused. IEEE doubles
+    * in a fixed left-to-right order are deterministic within Spark; the
+    * DECIMAL spelling exists only so ORACLE geometries produce
     * bit-identical signs under DuckDB's unordered SUM — production
     * geometries never cross engines, so they take the fast path. */
-  private[operators] def sigDfFast(s: SparkSession, d: String, nPlanes: Int): DataFrame = {
+  private[graft] def sigvDfFast(s: SparkSession, d: String,
+                                    nPlanes: Int, bandBits: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val ps = planesFor(nPlanes)
-    val bits = (0 until nPlanes).map { p =>
-      val arr = (0 until 64).map(i => ps(p * 64 + i)._3).mkString(",")
-      s"CASE WHEN vector_dot(embedding, CAST(array($arr) AS ARRAY<DOUBLE>)) >= 0D THEN '1' ELSE '0' END"
-    }
+    val matrix: Seq[Seq[Double]] =
+      (0 until nPlanes).map(p => (0 until 64).map(i => ps(p * 64 + i)._3))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    val bandsExpr = graft.functions.HyperplaneBands(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("embedding"),
+      Literal.create(matrix, ArrayType(ArrayType(DoubleType))),
+      Literal.create(bandBits, IntegerType))
     Tables(s, d, "embeddings")
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .selectExpr("vec_id", s"concat(${bits.mkString(",")}) AS sig")
+      .select(col("vec_id"),
+        coalesce(org.apache.spark.sql.GraftSparkInternals.column(bandsExpr),
+          lit(Array.empty[Long])).as("sigv"))
   }
 
-  /** Oracle-facing runs take the DECIMAL-exact signature so Spark and
-    * DuckDB agree bit-for-bit; everything else is production scale
-    * territory and takes [[sigDfFast]]. "Oracle-facing" = the gate
-    * geometry (geometryFor anchor), OR any corpus a Verify run is
-    * actively comparing (`graft.verify.sfdir` points at `d` — ADVICE
-    * r6: the generated oracle is geometry-adaptive, so the Spark side
-    * must stay bit-exact at whatever geometry that corpus yields). */
-  private def sigFor(s: SparkSession, d: String, nPlanes: Int, bandBits: Int): DataFrame =
+  /** Band-value rows (vec_id, sigv: array<bigint>) for a geometry.
+    * Oracle-facing runs derive them from the DECIMAL-exact bit string
+    * so Spark and DuckDB agree bit-for-bit; everything else is
+    * production scale territory and takes [[sigvDfFast]].
+    * "Oracle-facing" = the gate geometry (geometryFor anchor), OR any
+    * corpus a Verify run is actively comparing (`graft.verify.sfdir`
+    * points at `d` — ADVICE r6: the generated oracle is
+    * geometry-adaptive, so the Spark side must stay bit-exact at
+    * whatever geometry that corpus yields). */
+  private def sigvFor(s: SparkSession, d: String, nPlanes: Int, bandBits: Int): DataFrame = {
+    val nBands = nPlanes / bandBits
     if ((nPlanes, bandBits) == geometryFor(500) ||
-        sys.props.get("graft.verify.sfdir").contains(d)) sigDf(s, d, nPlanes)
-    else sigDfFast(s, d, nPlanes)
+        sys.props.get("graft.verify.sfdir").contains(d))
+      sigDf(s, d, nPlanes).selectExpr("vec_id",
+        s"""coalesce(transform(sequence(0, ${nBands - 1}),
+              t -> CAST(conv(substring(sig, t * $bandBits + 1, $bandBits), 2, 10) AS BIGINT)),
+            CAST(array() AS ARRAY<BIGINT>)) AS sigv""")
+    else sigvDfFast(s, d, nPlanes, bandBits)
+  }
 
   /** Corpus-size-adaptive LSH geometry (VERDICT r5 #3 — the fixed
     * (16, 4) default saturates: bucket occupancy grows linearly with N,
@@ -171,34 +188,38 @@ object VectorOps {
     require(nPlanes % bandBits == 0,
       s"nPlanes ($nPlanes) must be a multiple of bandBits ($bandBits)")
     val nBands = nPlanes / bandBits
-    val sig = sigFor(s, d, nPlanes, bandBits)
     // FIRST-MATCH-BAND emission (same discipline as t21): a pair is a
     // candidate only in its LOWEST agreeing band — earlier bands must
-    // differ (cheap prefix compares on the signature riding the band
-    // rows). At wide geometries a near-dup pair agrees in several of
-    // the ~sqrt(N) bands, so emit-everywhere multiplied the expensive
-    // vector-attach verify by that factor and needed a trailing
-    // distinct; exactly-once emission needs neither. Output set is
-    // identical (exact verification unchanged) — the oracle's DISTINCT
-    // candidate spelling hashes the same.
-    // the rider is only the PREFIX the first-match filter reads
-    // (band * bandBits chars — empty for band 0, the most common
-    // survivor): shipping the full signature would double the candidate
-    // join's shuffled bytes at wide geometries for dead suffix weight.
-    // `bucket` embeds the band as its concat prefix, so it is the ONE
-    // join key; the band ordinal rides separately for the filter.
-    val bands = sig.selectExpr("vec_id", "sig",
-      s"explode(sequence(0, ${nBands - 1})) AS band")
-      .selectExpr("vec_id", "band",
-        s"concat(band, ':', substring(sig, band * $bandBits + 1, $bandBits)) AS bucket",
-        s"substring(sig, 1, band * $bandBits) AS sigp")
-    val cand = bands.select(col("vec_id").as("id_a"), col("sigp").as("sga"),
-        col("band"), col("bucket"))
-      .join(bands.select(col("vec_id").as("id_b"), col("sigp").as("sgb"),
-        col("bucket")).hint("SHUFFLE_HASH"), Seq("bucket"))
+    // differ — so all-band collisions verify ONCE and no trailing
+    // distinct is needed. Output set is identical (exact verification
+    // unchanged) — the oracle's DISTINCT candidate spelling hashes the
+    // same.
+    //
+    // REPRESENTATION (round 7): band values ride as one BIGINT per
+    // band (array<bigint> per row, from the fused [[sigvDfFast]]
+    // kernel), not substrings of a bit string. Integer band values
+    // make the join keys (band, bval) cheap to hash and the
+    // first-match filter an UNROLLED and codegen'd conjunction of
+    // element_at integer compares (the old `NOT exists(sequence(...),
+    // j -> substring = substring)` HOF ran interpreted per raw
+    // collision and blocked codegen for the whole post-join filter).
+    // The bit-string signature stays the cross-engine oracle contract;
+    // this is only its transport.
+    val sigv = sigvFor(s, d, nPlanes, bandBits)
+    val bands = sigv
+      .select(col("vec_id"), col("sigv"), posexplode(col("sigv")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    val firstMatch =
+      if (nBands <= 1) "true"
+      else (0 until nBands - 1).map(j =>
+        s"(band <= $j OR element_at(sga, ${j + 1}) != element_at(sgb, ${j + 1}))")
+        .mkString(" AND ")
+    val cand = bands.select(col("vec_id").as("id_a"), col("sigv").as("sga"),
+        col("band"), col("bval"))
+      .join(bands.select(col("vec_id").as("id_b"), col("sigv").as("sgb"),
+        col("band"), col("bval")).hint("SHUFFLE_HASH"), Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
-      .filter(expr("band = 0 OR NOT exists(sequence(0, band - 1), " +
-        s"j -> substring(sga, j * $bandBits + 1, $bandBits) = substring(sgb, j * $bandBits + 1, $bandBits))"))
+      .filter(expr(firstMatch))
       .select("id_a", "id_b")
     // QUANTIZED PRE-SCORE (VERDICT r6 #1): the candidate attach was the
     // dominant stage at scale — every candidate carried two full float
@@ -261,9 +282,9 @@ object VectorOps {
     * pinning bits-per-band at its corpus size. */
   def bandOccupancy(s: SparkSession, d: String, nPlanes: Int, bandBits: Int): DataFrame = {
     require(nPlanes % bandBits == 0, "nPlanes must be a multiple of bandBits")
-    val nBands = nPlanes / bandBits
-    sigFor(s, d, nPlanes, bandBits).selectExpr("vec_id",
-      s"explode(transform(sequence(0, ${nBands - 1}), t -> concat(t, ':', substring(sig, t * $bandBits + 1, $bandBits)))) AS bucket")
+    sigvFor(s, d, nPlanes, bandBits)
+      .select(posexplode(col("sigv")))
+      .selectExpr("concat(pos, ':', col) AS bucket")
       .groupBy("bucket").count()
   }
 

@@ -315,6 +315,31 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("hyperplane_bands fused kernel: bit parity with the per-plane spelling") {
+    // the fused signature loop must produce the SAME sign bits as one
+    // vector_dot per plane (identical left-to-right double fold) — a
+    // silent divergence would quietly shift every LSH bucket
+    graft.functions.GraftFunctions.register(spark)
+    Tables.registerAll(spark, sf())
+    import graft.operators.VectorOps
+    val fused = VectorOps.sigvDfFast(spark, sf(), 16, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val ps = VectorOps.planesFor(16)
+    val perPlane = (0 until 16).map { p =>
+      val arr = (0 until 64).map(i => ps(p * 64 + i)._3).mkString(",")
+      s"CASE WHEN vector_dot(embedding, CAST(array($arr) AS ARRAY<DOUBLE>)) >= 0D THEN '1' ELSE '0' END"
+    }
+    val strings = spark.sql(
+      s"SELECT vec_id, concat(${perPlane.mkString(",")}) AS sig FROM embeddings")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fused.keySet == strings.keySet)
+    fused.foreach { case (id, bands) =>
+      val expect = (0 until 4).map(t =>
+        java.lang.Long.parseLong(strings(id).substring(t * 4, t * 4 + 4), 2))
+      assert(bands == expect, s"vec $id: $bands != $expect (sig ${strings(id)})")
+    }
+  }
+
   test("top-k uses TakeOrderedAndProject, not a global sort") {
     val df = Tables(spark, sf(), "orders")
       .orderBy(col("o_totalprice").desc).limit(25)
