@@ -474,8 +474,14 @@ private[catalog] final class GraftV2Table(gt: GraftTable, fullName: String,
   }
 
   override def capabilities(): util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION gates MERGE WITH SCHEMA EVOLUTION:
+    // Spark's ResolveMergeIntoSchemaEvolution only fires when the
+    // target declares it, then routes the additive changes through
+    // TableCatalog.alterTable (our ALTER path: fresh field ids,
+    // metadata-only commit, retired-name guard)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(gt, pinned, schema())

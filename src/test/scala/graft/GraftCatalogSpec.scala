@@ -344,6 +344,59 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("correlated"), e.getMessage)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source columns through the ALTER path") {
+    sql("CREATE NAMESPACE gcat.db27")
+    sql("CREATE TABLE gcat.db27.t (id BIGINT, v STRING)")
+    sql("INSERT INTO gcat.db27.t VALUES (1, 'a'), (2, 'b')")
+    val gt = GraftTable.load(spark, s"$warehouse/db27/t")
+    val before = gt.currentVersion
+    sql("""MERGE WITH SCHEMA EVOLUTION INTO gcat.db27.t AS t
+           USING (SELECT * FROM VALUES (CAST(2 AS BIGINT), 'B', CAST(20.0 AS DOUBLE)),
+                                       (CAST(3 AS BIGINT), 'c', CAST(30.0 AS DOUBLE)) AS x(id, v, score)) AS s
+           ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    // the wider source's column arrived: pre-evolution rows read NULL,
+    // matched/inserted rows carry values
+    val got = sql("SELECT id, v, score FROM gcat.db27.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq == Seq((1L, "a", None), (2L, "B", Some(20.0)), (3L, "c", Some(30.0))), got.toSeq)
+    // Spark's ResolveMergeIntoSchemaEvolution routed the change through
+    // our ALTER path: one metadata-only altschema commit (fresh field
+    // id, SchemaMode Pin), then ONE merge commit — atomic, auditable
+    assert(gt.history.map(_.op) == Seq("create", "append", "altschema", "merge"),
+      gt.history.map(_.op))
+    val f = gt.schema.fields.find(_.name == "score").get
+    assert(graft.store.GraftTable.fieldId(f).isDefined,
+      "evolved column must get a field id")
+    // CDC across the evolution commit aligns to the evolved schema
+    val ch = gt.changes(before, gt.currentVersion)
+    assert(ch.columns.contains("score"))
+    val ins = ch.filter("_change_type = 'insert' AND id = 3").collect()
+    assert(ins.length == 1 && ins(0).getDouble(ins(0).fieldIndex("score")) == 30.0)
+    // a second additive evolution in a later merge composes — the
+    // SchemaMode machinery treats each as an independent altschema
+    sql("""MERGE WITH SCHEMA EVOLUTION INTO gcat.db27.t AS t
+           USING (SELECT * FROM VALUES (CAST(9 AS BIGINT), 'z', CAST(1.0 AS DOUBLE), 'extra')
+                  AS x(id, v, score, note)) AS s
+           ON t.id = s.id
+           WHEN NOT MATCHED THEN INSERT *""")
+    assert(sql("SELECT note FROM gcat.db27.t WHERE id = 9").head().getString(0) == "extra")
+    assert(sql("SELECT count(*) FROM gcat.db27.t WHERE note IS NULL").head().getLong(0) == 3)
+    // WITHOUT the clause there is NO silent evolution: the star
+    // expansion covers target columns only, the extra source column is
+    // ignored, and the schema stays put (standard Spark star rules)
+    sql("""MERGE INTO gcat.db27.t AS t
+           USING (SELECT * FROM VALUES (CAST(10 AS BIGINT), 'q', CAST(2.0 AS DOUBLE), 'x', 5)
+                  AS x(id, v, score, note, extra2)) AS s
+           ON t.id = s.id
+           WHEN NOT MATCHED THEN INSERT *""")
+    assert(!gt.schema.fieldNames.contains("extra2"),
+      "MERGE without WITH SCHEMA EVOLUTION must not evolve the schema")
+    assert(sql("SELECT v FROM gcat.db27.t WHERE id = 10").head().getString(0) == "q")
+  }
+
   test("correlated UPDATE/DELETE conditions lower onto the row-identity merge") {
     sql("CREATE NAMESPACE gcat.db26")
     sql("CREATE TABLE gcat.db26.t (id BIGINT, v STRING, score DOUBLE)")
