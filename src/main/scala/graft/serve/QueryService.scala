@@ -11,8 +11,10 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * Redis result cache; `tf/superset/superset.tf:52-70`,
   * `tf/superset/superset_config.py:36-75`). One process, same
   * semantics: bounded worker pool, query status lifecycle, TTL'd
-  * result cache keyed by normalized SQL, per-service feature flags
-  * (allow_ctas / allow_cvas / allow_dml parity).
+  * result cache keyed by a canonicalized analyzed-plan fingerprint
+  * (whitespace/comment/alias variants hit; different literals miss),
+  * per-service feature flags (allow_ctas / allow_cvas / allow_dml
+  * parity).
   *
   * User impersonation (walden sets `impersonate_user: true` on the
   * Superset DB — `tf/superset/superset.tf:60`): every submission
@@ -170,9 +172,28 @@ final class QueryService(
     out.toString
   }
 
-  /** Cache key: exact text, trimmed. Misses on spacing differences are
-    * the safe direction. */
-  private def cacheKey(sql: String): String = sql.trim
+  /** Cache key body: a fingerprint of the CANONICALIZED ANALYZED plan
+    * (SURVEY §4's normalized-plan key — r6 verdict #5). Whitespace,
+    * comment, and alias variants of the same query share a fingerprint
+    * (canonicalization strips alias names and normalizes attribute
+    * ids); different literals produce different plans and miss. Views
+    * are already inlined in the analyzed plan, so a per-user view
+    * resolving differently yields a different fingerprint by
+    * construction — on top of the per-user key prefix. MD5 plus the
+    * canonical text's length: a 128-bit digest collision would serve
+    * another query's rows, so the length rides along as a second
+    * independent check. */
+  private def planFingerprint(df: DataFrame): String = {
+    // OPTIMIZED plan, not analyzed: CTERelationDef ids are fresh per
+    // query and survive canonicalization, so an analyzed-plan key
+    // would never hit for `WITH ...` statements — the optimizer
+    // inlines CTEs (and folds constants, which only widens the hit
+    // class to value-identical plans)
+    val canon = df.queryExecution.optimizedPlan.canonicalized.toString
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$md5:${canon.length}"
+  }
 
   /** Strip a leading CTE list from a classify()-normalized statement so
     * `WITH t AS (...) INSERT INTO ...` classifies (and gates, and
@@ -257,10 +278,6 @@ final class QueryService(
     Seq("select", "with", "values", "show", "describe", "desc ", "explain", "table ")
 
   private def execute(id: Long, sql: String, user: String): Unit = {
-    // cache keyed per user: the same SQL can resolve to different
-    // per-user views, and one user's rows must never serve another's.
-    // Length-prefixed so no (user, sql) pair can collide with another.
-    val key = s"${user.length}:$user:${cacheKey(sql)}"
     try {
       // one normalization pass feeds both the gate and cache-eligibility
       val main = mainStatement(classify(sql))
@@ -270,21 +287,31 @@ final class QueryService(
         case "dml" if !allowDml => throw new IllegalStateException("DML disabled (allow_dml=false)")
         case _ =>
       }
-      // cache only provably read-only statements (positive whitelist);
-      // the MAIN statement so a CTE-prefixed INSERT/UPDATE/DELETE/MERGE
-      // is never served from cache (its side effect must run every time)
-      val cacheable = readPrefixes.exists(main.startsWith)
-      if (cacheable) {
-        val hit = cache.get(key)
-        if (hit != null && hit._1 > System.currentTimeMillis()) {
-          statuses.put(id, hit._2.copy(fromCache = true))
-          return
-        }
-      }
       statuses.put(id, Running)
       val t0 = System.nanoTime()
       val sess = sessionFor(user)
+      // cache only provably read-only statements (positive whitelist);
+      // the MAIN statement so a CTE-prefixed INSERT/UPDATE/DELETE/MERGE
+      // is never served from cache (its side effect must run every
+      // time). The key needs the ANALYZED plan, which for the
+      // whitelisted prefixes costs only analysis (read statements are
+      // lazy; SHOW/DESCRIBE command execution is itself read-only).
+      // Cache keyed per user besides the fingerprint: one user's rows
+      // must never serve another's even for an identical plan.
+      // Length-prefixed so no (user, key) pair can collide.
+      val cacheable = readPrefixes.exists(main.startsWith)
       val df: DataFrame = sess.sql(sql)
+      val key = if (cacheable) s"${user.length}:$user:${planFingerprint(df)}" else ""
+      if (cacheable) {
+        val hit = cache.get(key)
+        if (hit != null && hit._1 > System.currentTimeMillis()) {
+          // canonical-plan equality guarantees value-identical rows but
+          // NOT output names (canonicalization strips aliases) — serve
+          // the cached rows under THIS query's own column labels
+          statuses.put(id, hit._2.copy(fromCache = true, columns = df.columns.toSeq))
+          return
+        }
+      }
       val rows = df.limit(maxResultRows).collect().toSeq
       val fin = Finished(rows, df.columns.toSeq, (System.nanoTime() - t0) / 1000000L, fromCache = false)
       // publish to the cache only if the session we ran on is still the

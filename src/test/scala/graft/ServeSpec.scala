@@ -49,6 +49,39 @@ class ServeSpec extends SparkSpec {
     } finally svc.close()
   }
 
+  test("plan-fingerprint cache: whitespace/comment/alias variants hit, literals miss") {
+    Tables.registerAll(spark, sf())
+    val svc = new QueryService(spark, cacheTtlSeconds = 300)
+    try {
+      svc.sql("SELECT r_name, count(*) AS n FROM region WHERE r_regionkey >= 2 GROUP BY r_name") match {
+        case f: svc.Finished => assert(!f.fromCache); case o => fail(s"$o")
+      }
+      // whitespace + comment variant of the SAME query: plan key hits
+      svc.sql("""SELECT   r_name, -- a comment
+                 count(*)    AS n
+                 FROM region    WHERE r_regionkey >= 2
+                 GROUP BY r_name""") match {
+        case f: svc.Finished => assert(f.fromCache, "whitespace/comment variant must hit")
+        case o => fail(s"$o")
+      }
+      // alias variant (different output NAME, same canonical plan
+      // modulo alias): canonicalization strips alias names, so it hits
+      svc.sql("SELECT r_name, count(*) AS cnt FROM region WHERE r_regionkey >= 2 GROUP BY r_name") match {
+        case f: svc.Finished =>
+          assert(f.fromCache, "alias variant must hit")
+          // but served under ITS OWN output names, not the first query's
+          assert(f.columns == Seq("r_name", "cnt"), f.columns)
+        case o => fail(s"$o")
+      }
+      // different literal: different plan, must miss
+      svc.sql("SELECT r_name, count(*) AS n FROM region WHERE r_regionkey >= 3 GROUP BY r_name") match {
+        case f: svc.Finished => assert(!f.fromCache, "different literal must miss")
+        case o => fail(s"$o")
+      }
+      assert(svc.cacheSize == 2)
+    } finally svc.close()
+  }
+
   test("failures are reported, not thrown") {
     val svc = new QueryService(spark)
     try {
