@@ -70,6 +70,9 @@ object GraftFunctions {
     // quantized pre-score kernel — 4x fewer candidate-join bytes).
     "pack_int8" -> { exprs: Seq[Expression] => PackInt8(exprs.head) },
     "int8_dot" -> { exprs: Seq[Expression] => Int8Dot(exprs(0), exprs(1)) },
+    // graft-native: whole-document SimHash in one pass (replaces the
+    // word x64-position explode+shuffle spelling; bit-identical).
+    "simhash64" -> { exprs: Seq[Expression] => Simhash64(exprs.head) },
     // Trino approx_most_frequent(buckets, value[, capacity]) — Space-
     // Saving top-k summary (TypedImperativeAggregate).
     "approx_most_frequent" -> { exprs: Seq[Expression] =>

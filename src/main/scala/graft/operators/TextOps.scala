@@ -28,23 +28,16 @@ object TextOps {
     * (string form keeps the pair entries' banding/hamming in plain
     * codegen'd string ops with an exact DuckDB twin). */
   private def simhashSigs(s: SparkSession, d: String): DataFrame = {
-    val words = docs(s, d)
+    // ONE fused pass ([[graft.functions.Simhash64]]): the old
+    // relational spelling exploded every word x64 bit positions
+    // through two shuffles (~200M aggregated rows at 20k docs, growing
+    // linearly with corpus bytes x64). Votes are order-independent
+    // integer sums, so the fused kernel is bit-identical and the
+    // DuckDB oracle twin below is untouched.
+    graft.functions.GraftFunctions.register(s)
+    docs(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .select(col("doc_id"), md5(col("word")).as("h"))
-    val bits = words
-      .selectExpr("doc_id", "h", "explode(sequence(0, 63)) AS pos")
-      .selectExpr("doc_id", "pos",
-        """CAST(FLOOR((conv(substring(h, CAST(pos / 4 AS INT) + 1, 1), 16, 10))
-             / POWER(2, 3 - pos % 4)) AS INT) % 2 AS bit""")
-      .groupBy(col("doc_id"), col("pos"))
-      .agg(sum(col("bit") * 2 - 1).as("vote"))
-      .select(col("doc_id"), col("pos"),
-        when(col("vote") > 0, lit("1")).otherwise(lit("0")).as("b"))
-    bits.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("b")))).as("pb"))
-      .selectExpr("doc_id", "array_join(transform(pb, x -> x.b), '') AS simhash")
+      .selectExpr("doc_id", "simhash64(text) AS simhash")
   }
 
   /** DuckDB twin of [[simhashSigs]] — ends in a `sigs(doc_id, simhash)`
@@ -316,10 +309,18 @@ object TextOps {
         val r = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
           col("hi").as("hib"), col("lo").as("lob"), col("band"), col("bval"))
         // corpus-sized both sides: shuffle on the band key, never broadcast
+        // first-match filter UNROLLED (round 7, the v04 discipline):
+        // the `NOT exists(sequence(...))` HOF ran interpreted per raw
+        // collision and blocked codegen for the post-join filter — at
+        // sf10 one straggler task spent 15+ min in ArrayExists.eval.
+        // Three codegen'd substring compares, short-circuited, same
+        // exactly-once emission.
+        val firstMatch = (0 until 3).map(j =>
+          s"(band <= $j OR substring(sa, ${j * 16 + 1}, 16) != substring(sb, ${j * 16 + 1}, 16))")
+          .mkString(" AND ")
         l.hint("shuffle_hash").join(r, Seq("band", "bval"))
           .filter(col("doc_a") < col("doc_b"))
-          .filter(expr("band = 0 OR NOT exists(sequence(0, band - 1), " +
-            "j -> substring(sa, j * 16 + 1, 16) = substring(sb, j * 16 + 1, 16))"))
+          .filter(expr(firstMatch))
           .select(col("doc_a"), col("doc_b"),
             expr("CAST(bit_count(hia ^ hib) + bit_count(loa ^ lob) AS INT) AS hamming"))
           .filter(col("hamming") <= 3)
