@@ -73,6 +73,11 @@ object GraftFunctions {
     // graft-native: whole-document SimHash in one pass (replaces the
     // word x64-position explode+shuffle spelling; bit-identical).
     "simhash64" -> { exprs: Seq[Expression] => Simhash64(exprs.head) },
+    // graft-native: fused MinHash signature + char-gram generator (the
+    // t02/t04 per-document kernel; replaces ~19 interpreted HOF passes).
+    "shingle_sig" -> { exprs: Seq[Expression] =>
+      ShingleSig(exprs(0), exprs(1), exprs(2)) },
+    "char_grams" -> { exprs: Seq[Expression] => CharGrams(exprs(0), exprs(1)) },
     // Trino approx_most_frequent(buckets, value[, capacity]) — Space-
     // Saving top-k summary (TypedImperativeAggregate).
     "approx_most_frequent" -> { exprs: Seq[Expression] =>

@@ -201,12 +201,14 @@ object TextOps {
           .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
           .filter(size(col("ws")) >= 3)
           .selectExpr("doc_id", s"$shingleSql AS sh")
-          // hd sits in its own projection, referenced 16 times below:
-          // CollapseProject refuses to inline a non-cheap multi-ref
-          // expression, so md5 runs once per shingle, not 16 times.
-          .selectExpr("doc_id", "size(sh) AS n",
-            "transform(sh, t -> md5(t)) AS hd",
-            "sort_array(array_distinct(transform(sh, t -> xxhash64(t)))) AS hs")
+          // FUSED kernel (round 7): one pass computes the shingle
+          // count, 16 md5 minhash lanes, and the distinct sorted
+          // xxhash fingerprints — replacing one md5 transform, 16
+          // array_min lane folds, and an xxhash transform+sort of
+          // interpreted HOF evaluation per document. Bit-identical
+          // (mins and sorted sets are order-free); oracle untouched.
+          .selectExpr("doc_id", "shingle_sig(sh, false, true) AS sig")
+          .selectExpr("doc_id", "sig.n AS n", "sig.hs AS hs", "sig.sl AS sl")
         // 16 minhash lanes = cheap string slices of the single 32-hex
         // digest: 4 disjoint 32-bit lanes x 4 cyclic rotations.
         // Fixed-width lowercase hex means lexicographic MIN == numeric
@@ -224,8 +226,7 @@ object TextOps {
         // scale. It also leaves the data hash-clustered by doc_id,
         // which the fingerprint joins then consume without a further
         // shuffle on their build side.
-        val sigs = raw.select(col("doc_id"), col("n"), col("hs"),
-            array(minhashLanes(col("hd")): _*).as("sl"))
+        val sigs = raw
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         // Band grouping: band b takes lane b's four ROTATIONS (indices
         // b, b+4, b+8, b+12), so each band reads a DISJOINT 32-bit
@@ -368,16 +369,17 @@ object TextOps {
         // repartition on sigs is the t02 materialization point: one
         // computed copy of the md5/minhash/fingerprint work feeds all
         // four join branches via exchange reuse.
-        val gramSets = docs(s, d)
+        // FUSED signature kernel (round 7): char_grams emits the gram
+        // array in one generated loop and shingle_sig computes distinct
+        // count + 16 md5 lanes + sorted xxhash fingerprints in ONE pass
+        // — the relational spelling ran ~19 interpreted HOF passes per
+        // doc (2.9B lane lambda evals at sf10). Outputs bit-identical
+        // (mins and sorted sets are order-free); oracle untouched.
+        val sigs = docs(s, d)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .selectExpr("doc_id", "source",
-          """array_distinct(transform(sequence(1, greatest(length(text) - 4, 1)),
-               i -> substring(text, i, 5))) AS gs""")
-          .selectExpr("doc_id", "source", "size(gs) AS n",
-            "transform(gs, g -> md5(g)) AS hd",
-            "sort_array(transform(gs, g -> xxhash64(g))) AS hs")
-        val sigs = gramSets.select(col("doc_id"), col("source"), col("n"), col("hs"),
-            array(minhashLanes(col("hd")): _*).as("sl"))
+            "shingle_sig(char_grams(text, 5), true, false) AS sig")
+          .selectExpr("doc_id", "source", "sig.n AS n", "sig.hs AS hs", "sig.sl AS sl")
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         // Band grouping identical to t02: band b = lane b's four
         // rotations, each band a disjoint 32-bit digest lane. The
