@@ -58,6 +58,89 @@ object TextOps {
             STRING_AGG(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
           FROM votes GROUP BY doc_id)"""
 
+  /** Corpus-adaptive simhash band geometry (t21): number of blocks B
+    * the 64-bit signature splits into for the hamming<=3 search.
+    * Candidates come from agreeing exactly on B-3 of the B blocks
+    * (C(B,3) join families); matched width is the sum of the included
+    * block widths, so RANDOM collisions per doc are about
+    * C(B,3) * N / 2^matched. B=4 matches one 16-bit block — at
+    * corpus sizes past ~2^15 those buckets saturate and random
+    * candidate pairs grow ~N^2/2^16 (the round-7 sf10 bench measured
+    * exactly this: 250 s, dominated by band-join output). Growing B
+    * widens the matched key (B=5: 25 bits over 10 families, B=6: 31
+    * bits over 20) at a linear cost of C(B,3) rows/doc — the classical
+    * Manku et al. WWW'07 table construction. Pick the smallest B whose
+    * expected random candidates per doc stay <= ~2; the OUTPUT is
+    * B-invariant (pigeonhole completeness + exact hamming verify), so
+    * geometry is pure cost tuning and the DuckDB oracle is untouched. */
+  private[graft] def simhashBlocksFor(n: Long): Int =
+    if (4L * n <= 2L * (1L << 16)) 4        // matched 16 bits, 4 families
+    else if (10L * n <= 2L * (1L << 25)) 5  // matched >=25 bits, 10 families
+    else 6                                   // matched >=31 bits, 20 families
+
+  /** t21's pair pipeline, geometry-forceable for the invariance spec.
+    * Block values ride as ints sliced from the packed 64-bit signature
+    * (shiftrightunsigned off `(hi << 32) | lo`) — integer-only
+    * transport, no signature strings cross the shuffle. */
+  private[graft] def simhashPairs(s: SparkSession, d: String,
+      forceBlocks: Option[Int] = None): DataFrame = {
+    val nb = forceBlocks.getOrElse(simhashBlocksFor(docs(s, d).count()))
+    val widths = nb match {
+      case 4 => Seq(16, 16, 16, 16)
+      case 5 => Seq(13, 13, 13, 13, 12)
+      case _ => Seq(11, 11, 11, 11, 10, 10)
+    }
+    val offs = widths.scanLeft(0)(_ + _)
+    // families = all ways to EXCLUDE 3 blocks; incl(j) = matched blocks
+    val incl: Seq[Seq[Int]] =
+      (0 until nb).combinations(nb - 3).map(_.toSeq).toSeq
+    def blockExpr(i: Int): String =
+      s"CAST(shiftrightunsigned(fullsig, ${64 - offs(i) - widths(i)}) & ${(1L << widths(i)) - 1}L AS INT)"
+    // per-family key: included block values packed 16 bits apart (fits
+    // a long at B-3 <= 3 blocks); join key is (band, bval) — both ints
+    def keyExpr(set: Seq[Int]): String =
+      set.map(i => s"CAST(bk$i AS BIGINT)")
+        .reduce((a, b) => s"((($a) << 16) | ($b))")
+    val sigs = simhashSigs(s, d)
+      .selectExpr("doc_id",
+        "CAST(conv(substring(simhash, 1, 32), 2, 10) AS LONG) AS hi",
+        "CAST(conv(substring(simhash, 33, 32), 2, 10) AS LONG) AS lo")
+      .selectExpr("doc_id", "hi", "lo", "shiftleft(hi, 32) | lo AS fullsig")
+      .selectExpr(Seq("doc_id", "hi", "lo") ++
+        (0 until nb).map(i => s"${blockExpr(i)} AS bk$i"): _*)
+    val banded = sigs.select(
+      Seq(col("doc_id"), col("hi"), col("lo")) ++
+        (0 until nb).map(i => col(s"bk$i")) :+
+        explode(array(incl.zipWithIndex.map { case (set, j) =>
+          struct(lit(j).as("band"), expr(keyExpr(set)).as("bval"))
+        }: _*)).as("bb"): _*)
+      .select(Seq(col("doc_id"), col("hi"), col("lo"),
+        col("bb.band").as("band"), col("bb.bval").as("bval")) ++
+        (0 until nb).map(i => col(s"bk$i")): _*)
+    val l = banded.select(Seq(col("doc_id").as("doc_a"),
+      col("hi").as("hia"), col("lo").as("loa"), col("band"), col("bval")) ++
+      (0 until nb).map(i => col(s"bk$i").as(s"bka$i")): _*)
+    val r = banded.select(Seq(col("doc_id").as("doc_b"),
+      col("hi").as("hib"), col("lo").as("lob"), col("band"), col("bval")) ++
+      (0 until nb).map(i => col(s"bk$i").as(s"bkb$i")): _*)
+    // FIRST-MATCH-FAMILY emission (the round-6 discipline, generalized):
+    // a pair is emitted only by its lowest fully-agreeing family —
+    // earlier families must differ in >=1 included block — so dup
+    // classes that collide in every family verify ONCE and no trailing
+    // distinct() is needed. Unrolled int compares, codegen'd.
+    val firstMatch = (0 until incl.size - 1).map { j =>
+      val diff = incl(j).map(i => s"bka$i != bkb$i").mkString(" OR ")
+      s"(band <= $j OR ($diff))"
+    }.mkString(" AND ")
+    // corpus-sized both sides: shuffle on the band key, never broadcast
+    l.hint("shuffle_hash").join(r, Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(expr(firstMatch))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(hia ^ hib) + bit_count(loa ^ lob) AS INT) AS hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
   /** The ONE quality-score definition: t07 reports it per-doc, t17
     * gates on it, t20 tunes its threshold — spelled once per engine so
     * the three can never drift. Intermediates are selected as NAMED
@@ -276,56 +359,15 @@ object TextOps {
 
     // ------------------------------------------------------------------
     // SimHash near-dup PAIRS — Manku/Google web-dedup: hamming <= 3
-    // over the 64-bit signatures via 4 x 16-bit bands (pigeonhole: any
-    // pair within hamming 3 agrees exactly on at least one band, so
-    // the band equi-join generates every true pair — never all-pairs).
-    // Verification compares the 64 signature chars; candidates are
-    // bounded by 16-bit band collisions (~2^-16/band on random text).
+    // over the 64-bit signatures via block-combination bands
+    // (pigeonhole: the <= 3 differing bits fall in <= 3 blocks, so the
+    // pair agrees exactly on SOME choice of B-3 blocks — the band
+    // equi-join over all C(B,3) choices generates every true pair,
+    // never all-pairs). Geometry is corpus-size-adaptive (see
+    // [[simhashBlocksFor]]); the OUTPUT is geometry-invariant by the
+    // pigeonhole argument, so the oracle never changes.
     QueryEntry("t21_simhash_pairs",
-      (s, d) => {
-        // Two candidate-cost disciplines on top of the banding, both
-        // load-bearing when signature DUP-CLASSES exist (exact-duplicate
-        // docs share all 4 bands — the common case a web dedup exists
-        // for, and exactly what the 10x bench surfaces):
-        //  1. FIRST-MATCH-BAND emission (Manku): a pair is emitted only
-        //     by its lowest agreeing band (earlier bands must differ),
-        //     so all-band collisions verify ONCE, not 4x, and the
-        //     trailing distinct() disappears entirely.
-        //  2. hamming via bit_count(xor) over the signature packed into
-        //     two 32-bit halves — pure codegen'd integer ops; the
-        //     split/zip_with HOF chain it replaces evaluated 64
-        //     interpreted lambdas per candidate.
-        val sigs = simhashSigs(s, d)
-          .selectExpr("doc_id", "simhash",
-            "CAST(conv(substring(simhash, 1, 32), 2, 10) AS LONG) AS hi",
-            "CAST(conv(substring(simhash, 33, 32), 2, 10) AS LONG) AS lo")
-        val banded = sigs.select(col("doc_id"), col("simhash"), col("hi"), col("lo"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              expr(s"substring(simhash, ${b * 16 + 1}, 16)").as("bval"))): _*)).as("bb"))
-          .select(col("doc_id"), col("simhash"), col("hi"), col("lo"),
-            col("bb.band"), col("bb.bval"))
-        val l = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
-          col("hi").as("hia"), col("lo").as("loa"), col("band"), col("bval"))
-        val r = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
-          col("hi").as("hib"), col("lo").as("lob"), col("band"), col("bval"))
-        // corpus-sized both sides: shuffle on the band key, never broadcast
-        // first-match filter UNROLLED (round 7, the v04 discipline):
-        // the `NOT exists(sequence(...))` HOF ran interpreted per raw
-        // collision and blocked codegen for the post-join filter — at
-        // sf10 one straggler task spent 15+ min in ArrayExists.eval.
-        // Three codegen'd substring compares, short-circuited, same
-        // exactly-once emission.
-        val firstMatch = (0 until 3).map(j =>
-          s"(band <= $j OR substring(sa, ${j * 16 + 1}, 16) != substring(sb, ${j * 16 + 1}, 16))")
-          .mkString(" AND ")
-        l.hint("shuffle_hash").join(r, Seq("band", "bval"))
-          .filter(col("doc_a") < col("doc_b"))
-          .filter(expr(firstMatch))
-          .select(col("doc_a"), col("doc_b"),
-            expr("CAST(bit_count(hia ^ hib) + bit_count(loa ^ lob) AS INT) AS hamming"))
-          .filter(col("hamming") <= 3)
-      },
+      (s, d) => simhashPairs(s, d),
       Some(s"""WITH $oSimhashSigs,
         bands AS (SELECT doc_id, simhash, b AS band,
             SUBSTRING(simhash, b * 16 + 1, 16) AS bval

@@ -21,11 +21,21 @@ import graft.engine.GraftSession
   *  - Document text must NOT be copied verbatim: 10 exact copies of
   *    every doc would grow near-dup pair outputs ~K^2 (and collapse
   *    under exact dedup), misrepresenting the dedup workloads. Each
-  *    replica deterministically re-orders each doc's words by a
-  *    replica-keyed hash sort: within a replica, documents that shared
-  *    vocabulary still share it (near-dup rates per replica stay
-  *    realistic); across replicas, shingle sequences differ (no
-  *    artificial K^2 blowup).
+  *    replica deterministically SUBSTITUTES ~40% of word occurrences
+  *    (replica-keyed suffix, chosen by a word-keyed hash so the same
+  *    word maps the same way everywhere in a replica) and then
+  *    re-orders each doc's words by a replica-keyed hash sort. The
+  *    substitution is the load-bearing half: re-ordering alone leaves
+  *    every ORDER-INVARIANT signature identical across replicas —
+  *    simhash (per-word-multiset bit votes: measured hamming 0 between
+  *    a doc and any reordering) and most of the char-5-gram set
+  *    (intra-word grams survive) — which made t21's sf10 answer and
+  *    t04's sf10 candidate set grow ~K^2 (the round-7 235 s / 250 s
+  *    sf10 outliers). A consistent 40% vocabulary remap keeps
+  *    within-replica similarity structure intact (shared words stay
+  *    shared) while pushing cross-replica simhash far past hamming 3
+  *    and cross-replica gram Jaccard far below the 0.6 answer/band
+  *    regime.
   *  - Embeddings rotate by r positions per replica: norms and
   *    per-dimension distributions are preserved, cross-replica cosine
   *    structure is scrambled, so ANN candidate rates scale linearly.
@@ -96,12 +106,17 @@ object ScaleUp {
       Seq("event_id" -> span("events", "event_id"), "user_id" -> span("events", "user_id")))
       .withColumn("ts", (unix_micros(col("ts")) * 1000L).cast("long")))
 
-    // documents: per-replica deterministic word re-order (see scaladoc)
+    // documents: per-replica deterministic word substitution + re-order
+    // (see scaladoc — substitution defeats order-invariant signatures)
     write("documents",
       replicate("documents", Seq("doc_id" -> span("documents", "doc_id")))
         .withColumn("text", when(col("__r") === 0, col("text")).otherwise(
           array_join(
-            expr("array_sort(transform(split(text, ' '), w -> struct(xxhash64(w, __r) AS h, w AS w))).w"),
+            expr("""array_sort(transform(
+                 transform(split(text, ' '),
+                   w -> IF(pmod(xxhash64(w, __r), 10) < 4,
+                           concat(w, '~', __r), w)),
+                 w -> struct(xxhash64(w, __r, 7919) AS h, w AS w))).w"""),
             " "))))
 
     // embeddings: rotate the vector by r positions per replica

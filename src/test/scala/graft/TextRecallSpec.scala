@@ -92,4 +92,23 @@ class TextRecallSpec extends SparkSpec {
     assert(recall >= 0.8,
       f"t04 recall $recall%.3f below the documented floor 0.8")
   }
+
+  test("t21 simhash pairs: OUTPUT is band-geometry-invariant (B=4/5/6 identical)") {
+    // The adaptive geometry (simhashBlocksFor) is pure cost tuning:
+    // pigeonhole completeness says any pair within hamming 3 agrees on
+    // B-3 of B blocks for EVERY B, and the exact bit_count verify
+    // rejects everything else — so all three geometries must emit
+    // exactly the same pair set. This is what lets the corpus size
+    // pick the geometry without touching the DuckDB oracle.
+    val byB = Seq(4, 5, 6).map { b =>
+      b -> graft.operators.TextOps.simhashPairs(spark, dir, Some(b))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }.toMap
+    assert(byB(4).nonEmpty, "no simhash near-dup pairs at sf0.01 — test data changed?")
+    info(s"t21 pairs at sf0.01: ${byB(4).size}")
+    assert(byB(5) == byB(4),
+      s"B=5 diverges: only-in-4=${(byB(4) -- byB(5)).take(3)} only-in-5=${(byB(5) -- byB(4)).take(3)}")
+    assert(byB(6) == byB(4),
+      s"B=6 diverges: only-in-4=${(byB(4) -- byB(6)).take(3)} only-in-6=${(byB(6) -- byB(4)).take(3)}")
+  }
 }
