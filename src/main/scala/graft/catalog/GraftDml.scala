@@ -54,8 +54,12 @@ import graft.store.{GraftTable, MergeWhen}
   * `Filter(cond, target)` into the matched-row set, which becomes the
   * `MERGE USING` source with row-value identity (null-safe equality
   * over all columns — sound because DML semantics are functions of row
-  * values) as the ON clause. Correlated subqueries in ASSIGNMENTS or
-  * MERGE clauses stay a loud error pointing at explicit `MERGE USING`.
+  * values) as the ON clause. Correlated subqueries in UPDATE
+  * ASSIGNMENTS (round 7) ride the same lowering: each SET value
+  * becomes a projected column over the matched rows (decorrelated in
+  * the same pre-update pass), and the merge's SET reads it back from
+  * the source namespace. Correlated subqueries inside MERGE WHEN
+  * clauses stay a loud error pointing at explicit `MERGE USING`.
   */
 final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -175,9 +179,10 @@ private[catalog] object GraftDmlExprs {
 
   private def requireUncorrelated(outer: Seq[Expression], what: String): Unit =
     if (outer.nonEmpty) throw new UnsupportedOperationException(
-      s"correlated $what in DML assignments or MERGE clauses is not supported for " +
-        "graft tables; rewrite as MERGE USING (the explicit join spelling). " +
-        "Correlated subqueries ARE supported in UPDATE/DELETE conditions.")
+      s"correlated $what in MERGE clauses is not supported for graft tables; " +
+        "rewrite as MERGE USING (the explicit join spelling). Correlated " +
+        "subqueries ARE supported in UPDATE conditions and assignments and " +
+        "DELETE conditions.")
 
   /** True iff the expression tree carries a subquery that references
     * the outer (target) relation — the form the row-identity merge
@@ -196,10 +201,32 @@ private[catalog] object GraftDmlExprs {
     * comparisons) for free, evaluated once against the pre-update
     * snapshot. `distinct()` makes the set a row-VALUE set, which is
     * sound because a DML condition and its SET clauses are functions
-    * of row values alone — equal rows match and transform equally. */
+    * of row values alone — equal rows match and transform equally.
+    *
+    * `setValues` (round 7) extends the same machinery to correlated
+    * ASSIGNMENTS: each SET value expression rides as a projected
+    * column over the matched rows — correlated scalar subqueries are
+    * legal under Project, so Spark decorrelates them into left outer
+    * joins (missing partner → NULL, >1 row per outer row → Spark's
+    * own runtime error: standard scalar-subquery semantics) in the
+    * SAME pre-update-snapshot pass as the condition. The computed
+    * columns are deterministic functions of row values, so the
+    * row-value distinct stays sound. */
   def correlatedMatches(session: SparkSession, rel: LogicalPlan,
-                        cond: Expression): org.apache.spark.sql.DataFrame =
-    GraftSparkInternals.ofRows(session, Filter(cond, rel)).distinct()
+                        cond: Expression,
+                        setValues: Seq[Expression] = Nil): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    val matched = Filter(cond, rel)
+    val plan = if (setValues.isEmpty) matched
+      else Project(rel.output ++ setValues.zipWithIndex.map {
+        case (e, i) => Alias(e, setColName(i))()
+      }, matched)
+    GraftSparkInternals.ofRows(session, plan).distinct()
+  }
+
+  /** Name of the i-th computed SET column riding on the matched-row
+    * source (readable inside the merge as MergeSourcePrefix + this). */
+  def setColName(i: Int): String = s"__graft_set_$i"
 
   /** Row-identity merge ON clause: null-safe equality over every
     * target column against its MergeSourcePrefix-renamed twin. Demands
@@ -351,10 +378,24 @@ final case class GraftUpdateCommand(gt: GraftTable, cond: Option[RawExpr],
   override def output: Seq[Attribute] = Nil
   override def run(session: SparkSession): Seq[Row] = {
     val mat = new GraftDmlExprs.Materializer(session)
-    if (cond.exists(c => GraftDmlExprs.hasCorrelated(c.e))) {
-      val matches = GraftDmlExprs.correlatedMatches(session, rel, cond.get.e)
+    val corrAssigns = set.exists(a => GraftDmlExprs.hasCorrelated(a.value.e))
+    if (corrAssigns || cond.exists(c => GraftDmlExprs.hasCorrelated(c.e))) {
+      // correlated condition and/or assignments: ALL SET values become
+      // computed columns on the matched-row source (one decorrelated
+      // pre-update-snapshot pass), and the merge's SET reads them back
+      // through the source namespace — uncorrelated values compute to
+      // the same thing either way (functions of the pre-update row)
+      val matches = GraftDmlExprs.correlatedMatches(session, rel,
+        cond.map(_.e).getOrElse(Literal(true)),
+        if (corrAssigns) set.map(_.value.e) else Nil)
+      val setFrom = if (corrAssigns)
+        set.zipWithIndex.map { case (a, i) =>
+          a.copy(value = RawExpr(UnresolvedAttribute.quoted(
+            GraftTable.MergeSourcePrefix + GraftDmlExprs.setColName(i))))
+        }
+      else set
       gt.mergeInto(matches, GraftDmlExprs.rowIdentityOn(gt.schema),
-        Seq(MergeWhen(None, Some(mat.buildSet(set, tgt, Map.empty)))),
+        Seq(MergeWhen(None, Some(mat.buildSet(setFrom, tgt, Map.empty)))),
         Nil, Nil, "update")
     } else
       gt.update(cond.map(mat.translate(_, tgt, Map.empty)).getOrElse(lit(true)),

@@ -337,10 +337,50 @@ class GraftCatalogSpec extends SparkSpec {
       "(SELECT 1 FROM gcat.db15.t u WHERE u.id = t.id + 1)")
     assert(sql("SELECT v FROM gcat.db15.t WHERE id = 9").head().getString(0) == "V9")
     assert(sql("SELECT count(*) FROM gcat.db15.t WHERE v = 'x'").head().getLong(0) == 9)
-    // correlated subqueries in ASSIGNMENTS stay a loud error
+    // correlated subquery in an ASSIGNMENT (round 7): each row reads
+    // its successor's v from the pre-update snapshot; id 9 has none ->
+    // NULL (standard scalar-subquery semantics)
+    sql("UPDATE gcat.db15.t AS t SET v = (SELECT max(u.v) FROM gcat.db15.t u " +
+      "WHERE u.id = t.id + 1) WHERE id IN (0, 9)")
+    assert(sql("SELECT v FROM gcat.db15.t WHERE id = 0").head().getString(0) == "x")
+    assert(sql("SELECT v FROM gcat.db15.t WHERE id = 9").head().isNullAt(0))
+  }
+
+  test("correlated UPDATE assignments compute per-row SET values via the merge lowering") {
+    sql("CREATE NAMESPACE gcat.db28")
+    sql("CREATE TABLE gcat.db28.t (id BIGINT, v STRING, total DOUBLE)")
+    sql("INSERT INTO gcat.db28.t VALUES (1, 'a', 0.0), (2, 'b', 0.0), (3, 'c', 0.0)")
+    sql("CREATE TABLE gcat.db28.o (cust BIGINT, amt DOUBLE)")
+    sql("INSERT INTO gcat.db28.o VALUES (1, 5.0), (1, 7.0), (2, 3.0)")
+    val gt = GraftTable.load(spark, s"$warehouse/db28/t")
+    val before = gt.currentVersion
+    // unconditioned UPDATE with a correlated aggregate per row: the
+    // Trino 468 shape (`UPDATE t SET x = (SELECT agg ... WHERE s.k =
+    // t.k)`); id 3 has no orders -> NULL, one atomic commit
+    sql("UPDATE gcat.db28.t AS t SET total = " +
+      "(SELECT sum(o.amt) FROM gcat.db28.o o WHERE o.cust = t.id)")
+    val got = sql("SELECT id, total FROM gcat.db28.t ORDER BY id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.toSeq == Seq(1L -> Some(12.0), 2L -> Some(3.0), 3L -> None), got.toSeq)
+    assert(gt.currentVersion == before + 1 &&
+      gt.commitInfo(gt.currentVersion).op == "update")
+    // mixed: correlated condition AND correlated assignment PLUS an
+    // uncorrelated assignment in one statement — all values read the
+    // pre-update snapshot; id 3 (no orders) is untouched by the EXISTS
+    sql("UPDATE gcat.db28.t AS t SET " +
+      "total = (SELECT count(*) FROM gcat.db28.o o WHERE o.cust = t.id) * 1.0, " +
+      "v = 'seen' " +
+      "WHERE EXISTS (SELECT 1 FROM gcat.db28.o o WHERE o.cust = t.id)")
+    val got2 = sql("SELECT id, v, total FROM gcat.db28.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got2.toSeq == Seq((1L, "seen", Some(2.0)), (2L, "seen", Some(1.0)),
+      (3L, "c", None)), got2.toSeq)
+    // correlated subqueries inside MERGE WHEN clauses stay a loud error
     val e = intercept[Exception](
-      sql("UPDATE gcat.db15.t AS t SET v = (SELECT max(u.v) FROM gcat.db15.t u " +
-        "WHERE u.id = t.id + 1) WHERE id = 0"))
+      sql("""MERGE INTO gcat.db28.t AS t USING gcat.db28.o AS o ON t.id = o.cust
+             WHEN MATCHED THEN UPDATE SET total =
+               (SELECT max(u.amt) FROM gcat.db28.o u WHERE u.cust = t.id)"""))
     assert(e.getMessage.contains("correlated"), e.getMessage)
   }
 
