@@ -54,7 +54,11 @@ object Bench {
     // size and the driver's stdout-tail capture truncated it two rounds
     // running ("parsed": null in BENCH_r06) — keep the ONE line compact
     // and LAST on stdout, and persist the same bytes to a file
-    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and
+    // a comma-decimal host would write {"value":46,200,...} — invalid
+    // JSON, the exact parse failure this artifact exists to prevent
+    def f3(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // total over successful queries only — summing -1 sentinels would

@@ -36,6 +36,15 @@ object TextOps {
     // DuckDB oracle twin below is untouched.
     graft.functions.GraftFunctions.register(s)
     docs(s, d)
+      // WORDLESS docs are ABSENT from the signature set — the contract
+      // the relational spelling established (explode + LEN(w) > 0
+      // emitted zero rows for NULL / '' / all-space text) and the
+      // DuckDB twin still enforces. Without this filter the fused
+      // kernel would hand every empty doc the all-zero signature, and
+      // K empty docs would emit K^2/2 spurious hamming-0 "near-dup"
+      // pairs in t21. `trim` strips exactly ' ' (matching the
+      // split-on-space tokenizer: any other whitespace IS a word).
+      .where("text IS NOT NULL AND trim(text) != ''")
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .selectExpr("doc_id", "simhash64(text) AS simhash")
   }

@@ -293,9 +293,14 @@ final class QueryService(
       // cache only provably read-only statements (positive whitelist);
       // the MAIN statement so a CTE-prefixed INSERT/UPDATE/DELETE/MERGE
       // is never served from cache (its side effect must run every
-      // time). The key needs the ANALYZED plan, which for the
-      // whitelisted prefixes costs only analysis (read statements are
-      // lazy; SHOW/DESCRIBE command execution is itself read-only).
+      // time). The key runs analysis + OPTIMIZATION (planFingerprint
+      // reads the optimized plan — see its doc for why analyzed-plan
+      // keys can never hit for CTEs): a deliberate trade — optimizer
+      // milliseconds buy alias/CTE/constant-fold-invariant hits, and
+      // the cache exists for queries whose EXECUTION dwarfs planning.
+      // Neither triggers execution for the whitelisted prefixes (read
+      // statements are lazy; SHOW/DESCRIBE command execution is itself
+      // read-only).
       // Cache keyed per user besides the fingerprint: one user's rows
       // must never serve another's even for an identical plan.
       // Length-prefixed so no (user, key) pair can collide.

@@ -234,6 +234,54 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("ngrams n must be >= 1"))
   }
 
+  test("shingle_sig lanes == minhashLanes (batch kernel vs streaming SQL spelling)") {
+    // The fused kernel reimplements the 16-lane rotated-slice minhash
+    // that TextOps.minhashLanes spells in SQL — and the STREAMING
+    // ingest dedup (EventStream.docSignature) still builds signatures
+    // from minhashLanes. This parity pin is what keeps a future edit
+    // to either spelling from silently desynchronizing streaming
+    // near-dup ingest from the batch t02 signatures.
+    graft.functions.GraftFunctions.register(spark)
+    val items = spark.sql(
+      """SELECT * FROM VALUES
+           (array('alpha beta gamma', 'beta gamma delta', 'alpha beta gamma')),
+           (array('x')), (array('a b c', 'd e f', 'g h i', 'a b c'))
+         AS t(sh)""")
+    val viaKernel = items.selectExpr("shingle_sig(sh, false, true).sl AS sl")
+    val viaSql = items
+      .selectExpr("transform(array_distinct(sh), t -> md5(t)) AS hd")
+      .select(org.apache.spark.sql.functions.array(
+        graft.operators.TextOps.minhashLanes(
+          org.apache.spark.sql.functions.col("hd")): _*).as("sl"))
+    assert(viaKernel.collect().map(_.getSeq[String](0)).toSeq ==
+      viaSql.collect().map(_.getSeq[String](0)).toSeq)
+  }
+
+  test("simhash signatures omit wordless docs (NULL / empty / all-space text)") {
+    // the relational spelling (explode + LEN(w) > 0) and the DuckDB
+    // oracle both drop docs with no words; the fused kernel must not
+    // resurrect them as all-zero signatures — K empty docs would emit
+    // K^2/2 spurious hamming-0 pairs in t21
+    val dir = java.nio.file.Files.createTempDirectory("sim_docs").toString
+    spark.sql(
+      """SELECT * FROM VALUES
+           (CAST(1 AS BIGINT), 'real words here', 'web'),
+           (CAST(2 AS BIGINT), 'real words here', 'web'),
+           (CAST(3 AS BIGINT), '', 'web'),
+           (CAST(4 AS BIGINT), '   ', 'web'),
+           (CAST(5 AS BIGINT), CAST(NULL AS STRING), 'web'),
+           (CAST(6 AS BIGINT), '', 'web')
+         AS t(doc_id, text, source)""")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sigs = SparkEntry.queries("t03_simhash")(spark, dir).collect()
+    assert(sigs.map(_.getLong(0)).toSet == Set(1L, 2L),
+      s"wordless docs must be absent from t03: ${sigs.mkString(",")}")
+    val pairs = SparkEntry.queries("t21_simhash_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)),
+      s"only the real dup pair may emit (no empty-doc pairs): ${pairs.mkString(",")}")
+  }
+
   test("GraftExtensions injects every function at session build (spark.sql.extensions)") {
     // Build a session WITHOUT imperative register(): extensions only —
     // the path spark-submit / Thrift server / Connect deployments use.
