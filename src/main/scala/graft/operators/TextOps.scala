@@ -1110,6 +1110,86 @@ object TextOps {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS surviving_docs,
           CAST(SUM(tk) OVER (PARTITION BY source ORDER BY decile DESC
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS surviving_tokens
-        FROM hist"""))
+        FROM hist""")),
+
+    // ------------------------------------------------------------------
+    // Weighted corpus mixing under a token budget — the sampling-ratio
+    // step a pre-training run executes after curation: give each source
+    // a mixing weight, spend a global token budget (here half the
+    // corpus) across sources in proportion, and select each source's
+    // docs in a deterministic hash order until its share is spent.
+    // Distinct from t15 (fixed k docs per stratum) and t19 (packing
+    // into fixed bins): the budget is in TOKENS and the per-source
+    // share comes from the weight vector. Weights are proportional to
+    // the source index + 1 (a skewed mix exercising the arithmetic);
+    // ALL budget math is integer (idx+1)*T div sumIdx — a double
+    // intermediate would let Spark and DuckDB round an ulp apart at a
+    // floor() boundary and flip a doc across the budget line.
+    //
+    // SCALE: the per-source cumulative sum reuses t19's TWO-LEVEL
+    // prefix-sum shape — shard each source by the leading byte of the
+    // selection hash (order-ALIGNED: fixed-width lowercase hex makes
+    // prefix order == string order), prefix-sum within (source, shard),
+    // cumulate the 256 shard totals per source over metadata-sized
+    // rows, broadcast the offsets back. No source-ever funnels through
+    // one task; budgets/totals are one scalar reduce + a 20-row agg.
+    QueryEntry("t22_source_mix",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = docs(s, d)
+          .selectExpr("doc_id", "source", "size(split(text, ' ')) AS toks",
+            "md5(CAST(doc_id AS STRING)) AS h",
+            "CAST(substring(source, 4) AS BIGINT) + 1 AS widx")
+        // global budget + weight normalizer: metadata-sized reduces
+        val tot = base.agg(sum(col("toks")).cast("long")).head.getLong(0)
+        val budgetT = tot / 2
+        val srcW = base.groupBy(col("source"), col("widx"))
+          .agg(sum(col("toks")).cast("long").as("src_toks"))
+        val sumIdx = srcW.agg(sum(col("widx"))).head.getLong(0)
+        val budgets = srcW
+          .selectExpr("source AS b_source",
+            s"widx * ${budgetT}L div ${sumIdx}L AS budget_tokens")
+        // two-level prefix sum in h-order within source (t19 shape)
+        val sharded = base.withColumn("shard",
+          expr("conv(substring(h, 1, 2), 16, 10)").cast("long"))
+        val inShard = Window.partitionBy(col("source"), col("shard"))
+          .orderBy(col("h")).rowsBetween(Window.unboundedPreceding, -1)
+        val withLocal = sharded
+          .withColumn("before_in_shard", coalesce(sum(col("toks")).over(inShard), lit(0L)))
+        val acrossShards = Window.partitionBy(col("source")).orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = sharded.groupBy(col("source"), col("shard"))
+          .agg(sum(col("toks")).as("shard_toks"))
+          .withColumn("offset", coalesce(sum(col("shard_toks")).over(acrossShards), lit(0L)))
+          .select(col("source").as("o_source"), col("shard").as("o_shard"), col("offset"))
+        withLocal
+          .join(broadcast(offsets),
+            col("source") === col("o_source") && col("shard") === col("o_shard"))
+          .withColumn("cum", col("offset") + col("before_in_shard") + col("toks"))
+          .join(broadcast(budgets), col("source") === col("b_source"))
+          .filter(col("cum") <= col("budget_tokens"))
+          .groupBy(col("source"), col("budget_tokens"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).cast("long").as("mix_tokens"))
+          .select("source", "budget_tokens", "n_docs", "mix_tokens")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS toks,
+            MD5(CAST(doc_id AS VARCHAR)) AS h,
+            CAST(SUBSTRING(source, 4) AS BIGINT) + 1 AS widx
+          FROM documents),
+        tot AS (SELECT CAST(SUM(toks) AS BIGINT) // 2 AS budget_t FROM t),
+        sw AS (SELECT source, widx FROM t GROUP BY 1, 2),
+        si AS (SELECT SUM(widx) AS sum_idx FROM sw),
+        budgets AS (SELECT source, widx * budget_t // sum_idx AS budget_tokens
+          FROM sw, tot, si),
+        c AS (SELECT source, toks,
+            SUM(toks) OVER (PARTITION BY source ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+        SELECT c.source, CAST(b.budget_tokens AS BIGINT) AS budget_tokens,
+          COUNT(*) AS n_docs, CAST(SUM(c.toks) AS BIGINT) AS mix_tokens
+        FROM c JOIN budgets b ON b.source = c.source
+        WHERE c.cum <= b.budget_tokens
+        GROUP BY 1, 2"""))
   )
 }

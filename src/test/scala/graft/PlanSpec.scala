@@ -161,6 +161,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("t22 source mix: two-level prefix sum in hash order, budgets broadcast") {
+    // same discipline as t19, but the deterministic order is the
+    // selection hash h: the doc-level window must be (source, shard)-
+    // partitioned (shard = leading byte of h, order-aligned), never a
+    // source-only row-level window; budget/offset joins broadcast
+    val p = plan(SparkEntry.queries("t22_source_mix")(spark, sf()))
+    assert("windowspecdefinition\\(source#\\d+, h#".r.findFirstIn(p).isEmpty,
+      s"per-source serial window in t22: ${p.take(3000)}")
+    assert("windowspecdefinition\\(source#\\d+, shard#\\d+L?, h#".r.findFirstIn(p).isDefined,
+      s"expected (source, shard)-partitioned hash-order window: ${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q27 has no unpartitioned window (GROUPS frame via day-table joins)") {
     // an unpartitioned WindowExec funnels every row into one task at
     // scale; q27 must compute its GROUPS frame from per-day aggregates
