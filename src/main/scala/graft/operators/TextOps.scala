@@ -150,6 +150,36 @@ object TextOps {
       .filter(col("hamming") <= 3)
   }
 
+  /** Two-level prefix sum of `toks` within `source` — the ONE spelling
+    * t19 (packing, doc_id order) and t22 (mixing, hash order) share.
+    * Never a source-only row-level window (one task per source at 100
+    * TB): prefix-sum within (source, shard) — `shardExpr` MUST be
+    * monotone in `orderCol` so within-shard prefix + preceding-shard
+    * totals IS the global prefix — then cumulate the per-shard totals
+    * over metadata-sized rows and broadcast the offsets back. Emits
+    * `before` (global exclusive prefix); drops the plumbing columns.
+    * Both consumers' plan shapes are gated in PlanSpec. */
+  private def twoLevelPrefix(df: DataFrame, orderCol: String,
+      shardExpr: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sharded = df.withColumn("shard", shardExpr)
+    val inShard = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = sharded
+      .withColumn("before_in_shard", coalesce(sum(col("toks")).over(inShard), lit(0L)))
+    val acrossShards = Window.partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("source"), col("shard"))
+      .agg(sum(col("toks")).as("shard_toks"))
+      .withColumn("offset", coalesce(sum(col("shard_toks")).over(acrossShards), lit(0L)))
+      .select(col("source").as("o_source"), col("shard").as("o_shard"), col("offset"))
+    withLocal
+      .join(broadcast(offsets),
+        col("source") === col("o_source") && col("shard") === col("o_shard"))
+      .withColumn("before", col("offset") + col("before_in_shard"))
+      .drop("o_source", "o_shard", "offset", "before_in_shard")
+  }
+
   /** The ONE quality-score definition: t07 reports it per-doc, t17
     * gates on it, t20 tunes its threshold — spelled once per engine so
     * the three can never drift. Intermediates are selected as NAMED
@@ -1011,44 +1041,23 @@ object TextOps {
     // of padding per document. Deterministic: order is (source,
     // doc_id), budget 2048 whitespace tokens.
     //
-    // SCALE: the prefix sum is TWO-LEVEL, never one serial pass per
-    // source. A single Window.partitionBy(source) would funnel each
-    // source's entire row set through ONE task (straggler/OOM at 100
-    // TB, where a source is billions of docs). Instead: (1) shard each
-    // source by an ORDER-ALIGNED function of doc_id (floor(doc_id /
-    // width) is monotone in doc_id, so shard boundaries respect the
-    // deterministic order; width comes from one column-pruned max()
-    // reduce), (2) prefix-sum WITHIN each (source, shard) — parallelism
-    // = sources x 256, (3) cumulate the 256 shard totals per source in
-    // a window whose input is shard-level rows (metadata-sized at any
-    // data scale), (4) add the shard offset back via a broadcast join.
-    // Identical "before" values to the serial formulation — sharding is
-    // monotone, so within-shard prefix + preceding-shard total IS the
-    // global prefix. PlanSpec gates the shape (no source-only window).
+    // SCALE: the prefix sum is TWO-LEVEL ([[twoLevelPrefix]], shared
+    // with t22), never one serial pass per source. A single
+    // Window.partitionBy(source) would funnel each source's entire row
+    // set through ONE task (straggler/OOM at 100 TB, where a source is
+    // billions of docs). The shard function floor(doc_id / width) is
+    // monotone in the doc_id order (width from one column-pruned max()
+    // reduce), so the helper's order-alignment contract holds and the
+    // "before" values are identical to the serial formulation.
+    // PlanSpec gates the shape (no source-only window).
     QueryEntry("t19_packing",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val base = docs(s, d)
           .selectExpr("doc_id", "source", "size(split(text, ' ')) AS toks")
         val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
         val shards = 256L
         val width = math.max(1L, maxId / shards + 1L)
-        val sharded = base.withColumn("shard", (col("doc_id") / lit(width)).cast("long"))
-        val inShard = Window.partitionBy(col("source"), col("shard"))
-          .orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val withLocal = sharded
-          .withColumn("before_in_shard", coalesce(sum(col("toks")).over(inShard), lit(0L)))
-        val acrossShards = Window.partitionBy(col("source")).orderBy(col("shard"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = sharded.groupBy(col("source"), col("shard"))
-          .agg(sum(col("toks")).as("shard_toks"))
-          .withColumn("offset", coalesce(sum(col("shard_toks")).over(acrossShards), lit(0L)))
-          .select(col("source").as("o_source"), col("shard").as("o_shard"), col("offset"))
-        withLocal
-          .join(broadcast(offsets),
-            col("source") === col("o_source") && col("shard") === col("o_shard"))
-          .withColumn("before", col("offset") + col("before_in_shard"))
+        twoLevelPrefix(base, "doc_id", (col("doc_id") / lit(width)).cast("long"))
           .selectExpr("source", "CAST(FLOOR(before / 2048) AS BIGINT) AS bin",
             "toks")
           .groupBy(col("source"), col("bin"))
@@ -1126,46 +1135,40 @@ object TextOps {
     // intermediate would let Spark and DuckDB round an ulp apart at a
     // floor() boundary and flip a doc across the budget line.
     //
-    // SCALE: the per-source cumulative sum reuses t19's TWO-LEVEL
-    // prefix-sum shape — shard each source by the leading byte of the
-    // selection hash (order-ALIGNED: fixed-width lowercase hex makes
-    // prefix order == string order), prefix-sum within (source, shard),
-    // cumulate the 256 shard totals per source over metadata-sized
-    // rows, broadcast the offsets back. No source-ever funnels through
-    // one task; budgets/totals are one scalar reduce + a 20-row agg.
+    // SCALE: the per-source cumulative sum is [[twoLevelPrefix]] (t19's
+    // shape, shared spelling) — the shard is the leading byte of the
+    // selection hash, which is order-ALIGNED because fixed-width
+    // lowercase hex sorts as strings. No source ever funnels through
+    // one task. Budgets come from ONE metadata-sized prelim job (the
+    // 20-row per-source agg collects; totals/normalizer are driver
+    // sums over those 20 rows; the per-source budget table re-enters
+    // the plan as a broadcast literal frame — the corpus is scanned
+    // once in the prelim and once in the main job, never more).
     QueryEntry("t22_source_mix",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
+        // text IS NOT NULL: Spark's legacy sizeOfNull makes
+        // size(split(NULL)) = -1 where DuckDB's LEN(STRING_SPLIT(NULL))
+        // is NULL-skipped by SUM — a NULL doc would corrupt the Spark
+        // budgets while the oracle ignored it. (Empty text is fine:
+        // both engines count the single empty token.)
         val base = docs(s, d)
+          .where("text IS NOT NULL")
           .selectExpr("doc_id", "source", "size(split(text, ' ')) AS toks",
             "md5(CAST(doc_id AS STRING)) AS h",
             "CAST(substring(source, 4) AS BIGINT) + 1 AS widx")
-        // global budget + weight normalizer: metadata-sized reduces
-        val tot = base.agg(sum(col("toks")).cast("long")).head.getLong(0)
-        val budgetT = tot / 2
-        val srcW = base.groupBy(col("source"), col("widx"))
-          .agg(sum(col("toks")).cast("long").as("src_toks"))
-        val sumIdx = srcW.agg(sum(col("widx"))).head.getLong(0)
-        val budgets = srcW
-          .selectExpr("source AS b_source",
-            s"widx * ${budgetT}L div ${sumIdx}L AS budget_tokens")
-        // two-level prefix sum in h-order within source (t19 shape)
-        val sharded = base.withColumn("shard",
-          expr("conv(substring(h, 1, 2), 16, 10)").cast("long"))
-        val inShard = Window.partitionBy(col("source"), col("shard"))
-          .orderBy(col("h")).rowsBetween(Window.unboundedPreceding, -1)
-        val withLocal = sharded
-          .withColumn("before_in_shard", coalesce(sum(col("toks")).over(inShard), lit(0L)))
-        val acrossShards = Window.partitionBy(col("source")).orderBy(col("shard"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = sharded.groupBy(col("source"), col("shard"))
-          .agg(sum(col("toks")).as("shard_toks"))
-          .withColumn("offset", coalesce(sum(col("shard_toks")).over(acrossShards), lit(0L)))
-          .select(col("source").as("o_source"), col("shard").as("o_shard"), col("offset"))
-        withLocal
-          .join(broadcast(offsets),
-            col("source") === col("o_source") && col("shard") === col("o_shard"))
-          .withColumn("cum", col("offset") + col("before_in_shard") + col("toks"))
+        // ONE prelim job: per-source token mass + weight index, 20 rows
+        val srcRows = base.groupBy(col("source"), col("widx"))
+          .agg(sum(col("toks")).cast("long").as("src_toks")).collect()
+        val budgetT = srcRows.map(_.getLong(2)).sum / 2
+        val sumIdx = srcRows.map(_.getLong(1)).sum
+        // all-integer budget math (see the header comment)
+        import s.implicits._
+        val budgets = srcRows.toSeq
+          .map(r => (r.getString(0), r.getLong(1) * budgetT / sumIdx))
+          .toDF("b_source", "budget_tokens")
+        twoLevelPrefix(base, "h",
+            expr("conv(substring(h, 1, 2), 16, 10)").cast("long"))
+          .withColumn("cum", col("before") + col("toks"))
           .join(broadcast(budgets), col("source") === col("b_source"))
           .filter(col("cum") <= col("budget_tokens"))
           .groupBy(col("source"), col("budget_tokens"))
@@ -1176,7 +1179,7 @@ object TextOps {
       Some("""WITH t AS (SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS toks,
             MD5(CAST(doc_id AS VARCHAR)) AS h,
             CAST(SUBSTRING(source, 4) AS BIGINT) + 1 AS widx
-          FROM documents),
+          FROM documents WHERE text IS NOT NULL),
         tot AS (SELECT CAST(SUM(toks) AS BIGINT) // 2 AS budget_t FROM t),
         sw AS (SELECT source, widx FROM t GROUP BY 1, 2),
         si AS (SELECT SUM(widx) AS sum_idx FROM sw),
