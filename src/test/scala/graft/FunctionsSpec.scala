@@ -282,6 +282,26 @@ class FunctionsSpec extends SparkSpec {
       s"only the real dup pair may emit (no empty-doc pairs): ${pairs.mkString(",")}")
   }
 
+  test("t22 source mix: integer budgets, zero-budget sources absent, boundary inclusive") {
+    // hand-computed fixture: total toks 15 -> budget 7; sumIdx 1+2+20=23
+    // src0: 1*7 div 23 = 0, src1: 2*7 div 23 = 0 -> no doc fits, absent
+    // src19: 20*7 div 23 = 6; hash order md5('4') < md5('5') -> doc 4
+    // (cum 2) then doc 5 (cum 6 == budget, INCLUSIVE) -> both selected
+    val dir = java.nio.file.Files.createTempDirectory("mix_docs").toString
+    spark.sql(
+      """SELECT * FROM VALUES
+           (CAST(1 AS BIGINT), 'a b c', 'src0'),
+           (CAST(2 AS BIGINT), 'd e', 'src0'),
+           (CAST(3 AS BIGINT), 'a b c d', 'src1'),
+           (CAST(4 AS BIGINT), 'x y', 'src19'),
+           (CAST(5 AS BIGINT), 'z w v u', 'src19')
+         AS t(doc_id, text, source)""")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t22_source_mix")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("src19", 6L, 2L, 6L)), got.toSeq)
+  }
+
   test("GraftExtensions injects every function at session build (spark.sql.extensions)") {
     // Build a session WITHOUT imperative register(): extensions only —
     // the path spark-submit / Thrift server / Connect deployments use.
