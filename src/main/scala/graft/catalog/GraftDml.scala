@@ -58,8 +58,30 @@ import graft.store.{GraftTable, MergeWhen}
   * ASSIGNMENTS (round 7) ride the same lowering: each SET value
   * becomes a projected column over the matched rows (decorrelated in
   * the same pre-update pass), and the merge's SET reads it back from
-  * the source namespace. Correlated subqueries inside MERGE WHEN
-  * clauses stay a loud error pointing at explicit `MERGE USING`.
+  * the source namespace.
+  *
+  * Correlated subqueries inside MERGE WHEN clauses (round 8, r7
+  * verdict #3) ride two lowerings, by where the correlation sits:
+  *
+  *  - only in `WHEN NOT MATCHED` (insert) clauses: those expressions
+  *    may reference SOURCE columns alone (SQL rule, enforced by the
+  *    analyzer), so each correlated condition/value is projected as a
+  *    computed column directly onto the source plan — Spark
+  *    decorrelates under Project — and the merge runs otherwise
+  *    unchanged (real row semantics, multiplicity preserved).
+  *  - in `WHEN MATCHED` clauses (may reference target AND source): the
+  *    matched PAIR set `Join(target, source, Inner, on)` is evaluated
+  *    pre-commit with every correlated expression projected as a
+  *    column, value-distinct'd, unioned with the anti-join source rows
+  *    (for inserts), and fed to the store as a row-identity merge —
+  *    the same machinery as correlated UPDATE, so row-VALUE semantics
+  *    apply (duplicate target rows transform alike; identical-valued
+  *    multiple source matches collapse instead of raising the
+  *    cardinality error — documented delta from the row-id path).
+  *
+  *  `WHEN NOT MATCHED BY SOURCE` correlated conditions stay a loud
+  *  error: those rows have no source partner to carry a computed flag,
+  *  and the spelling (absent from Trino) has an UPDATE/DELETE rewrite.
   */
 final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -101,7 +123,7 @@ final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           m.matchedActions.map(clause),
           m.notMatchedActions.map(clause),
           m.notMatchedBySourceActions.map(clause),
-          tgt, src)
+          tgt, src, rel)
       }
 
     // DELETE stays on the native DSv2 SupportsDelete path (stats-pruned
@@ -177,12 +199,21 @@ private[catalog] object GraftDmlExprs {
     * which shuffles instead of materializing. */
   val MaxInValues = 100000
 
+  /** Row ceiling for a materialized MULTI-COLUMN IN subquery: the
+    * folded predicate is an OR-chain with one conjunction per row (the
+    * 3VL-preserving spelling — see the fold), so the expression tree
+    * grows O(rows × cols); past a few thousand rows optimization time
+    * dominates and MERGE USING is the right tool. */
+  val MaxInMultiColRows = 10000
+
   private def requireUncorrelated(outer: Seq[Expression], what: String): Unit =
     if (outer.nonEmpty) throw new UnsupportedOperationException(
-      s"correlated $what in MERGE clauses is not supported for graft tables; " +
-        "rewrite as MERGE USING (the explicit join spelling). Correlated " +
-        "subqueries ARE supported in UPDATE conditions and assignments and " +
-        "DELETE conditions.")
+      s"correlated $what here is not supported for graft tables " +
+        "(supported: UPDATE conditions and assignments, DELETE conditions, " +
+        "MERGE WHEN MATCHED / WHEN NOT MATCHED clauses). A correlated " +
+        "subquery in the MERGE ON condition or a WHEN NOT MATCHED BY SOURCE " +
+        "clause has no lowering — move it into a WHEN clause condition or " +
+        "rewrite the statement as separate UPDATE/DELETE.")
 
   /** True iff the expression tree carries a subquery that references
     * the outer (target) relation — the form the row-identity merge
@@ -212,10 +243,24 @@ private[catalog] object GraftDmlExprs {
     * SAME pre-update-snapshot pass as the condition. The computed
     * columns are deterministic functions of row values, so the
     * row-value distinct stays sound. */
+  /** Reserved name prefix for computed columns the correlated lowerings
+    * project onto their sources (`__graft_set_N`, `__graft_when_*`,
+    * `__graft_s_*`, `__graft_t_present`). A real column already using
+    * the prefix would make source-namespace resolution ambiguous in the
+    * merge — reject loudly up front (ADVICE r7 #4). */
+  val ReservedPrefix = "__graft_"
+  def requireNoReserved(attrs: Seq[Attribute], what: String): Unit = {
+    val bad = attrs.map(_.name).filter(_.startsWith(ReservedPrefix))
+    if (bad.nonEmpty) throw new UnsupportedOperationException(
+      s"$what columns may not start with the reserved prefix '$ReservedPrefix' " +
+        s"when a correlated DML lowering is in play: ${bad.mkString(",")}")
+  }
+
   def correlatedMatches(session: SparkSession, rel: LogicalPlan,
                         cond: Expression,
                         setValues: Seq[Expression] = Nil): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
+    if (setValues.nonEmpty) requireNoReserved(rel.output, "target")
     val matched = Filter(cond, rel)
     val plan = if (setValues.isEmpty) matched
       else Project(rel.output ++ setValues.zipWithIndex.map {
@@ -243,7 +288,7 @@ private[catalog] object GraftDmlExprs {
       .reduce(_ && _)
   }
 
-  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+  private[catalog] def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case _: org.apache.spark.sql.types.MapType => true
     case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMapType(f.dataType))
     case a: org.apache.spark.sql.types.ArrayType => hasMapType(a.elementType)
@@ -265,6 +310,21 @@ private[catalog] object GraftDmlExprs {
       scala.collection.mutable.HashMap[(String, LogicalPlan), Expression]()
     private def once(kind: String, plan: LogicalPlan)(eval: => Expression): Expression =
       memo.getOrElseUpdate((kind, plan.canonicalized), eval)
+    // IN-subquery value ROWS are memoized separately from the folded
+    // expression: each occurrence rebinds the cached rows to its own
+    // probe expressions (single-column → In list; multi-column → the
+    // 3VL OR-chain), so one collect serves every occurrence
+    private val inRows = scala.collection.mutable.HashMap[LogicalPlan, Array[Row]]()
+    private def rowsOnce(q: ListQuery, cap: Int): Array[Row] =
+      inRows.getOrElseUpdate(q.plan.canonicalized, {
+        requireUncorrelated(q.outerAttrs, "IN subquery")
+        val vals = GraftSparkInternals.ofRows(session, q.plan)
+          .distinct().limit(cap + 1).collect()
+        if (vals.length > cap) throw new UnsupportedOperationException(
+          s"IN subquery in DML materialized more than $cap distinct " +
+            "values/rows; use MERGE USING for join-scale subqueries")
+        vals
+      })
 
     def translate(raw: RawExpr,
                   tgt: Map[ExprId, String], src: Map[ExprId, String]): Column =
@@ -282,26 +342,29 @@ private[catalog] object GraftDmlExprs {
           s"scalar subquery in DML returned ${rows.length} rows")
         Literal.create(if (rows.isEmpty) null else rows(0).get(0), s.dataType)
       }
-      case in: InSubquery =>
+      case in: InSubquery if in.values.length == 1 =>
         val q: ListQuery = in.query
-        val folded = once("in", q.plan) {
-          requireUncorrelated(q.outerAttrs, "IN subquery")
-          if (in.values.length != 1) throw new UnsupportedOperationException(
-            "multi-column IN subqueries in DML are not supported for graft tables")
-          val elemType = q.plan.output.head.dataType
-          val vals = GraftSparkInternals.ofRows(session, q.plan)
-            .distinct().limit(MaxInValues + 1).collect()
-          if (vals.length > MaxInValues) throw new UnsupportedOperationException(
-            s"IN subquery in DML materialized more than $MaxInValues distinct values; " +
-              "use MERGE USING for join-scale subqueries")
-          In(in.values.head, vals.toSeq.map(r => Literal.create(r.get(0), elemType)))
-        }
-        // the memoized In carries the FIRST occurrence's probe value;
-        // rebind the cached value list to THIS occurrence's probe
-        folded match {
-          case In(_, list) => In(in.values.head, list)
-          case other => other
-        }
+        val elemType = q.plan.output.head.dataType
+        In(in.values.head,
+          rowsOnce(q, MaxInValues).toSeq.map(r => Literal.create(r.get(0), elemType)))
+      case in: InSubquery =>
+        // multi-column `(a,b) IN (SELECT x,y ...)` (r7 verdict #4):
+        // folded to an OR-chain of per-column conjunctions rather than
+        // an `In` over structs — Spark's struct equality treats NULL
+        // fields as equal values (ordering comparison), which breaks
+        // SQL three-valued logic; the chain keeps it exactly: a row
+        // with a NULL component compares UNKNOWN, AND/OR propagate, so
+        // `NOT IN` over a list containing NULLs filters nothing — the
+        // standard (and DuckDB/Trino) behavior. The tighter row cap
+        // reflects the predicate's O(rows × cols) expression size.
+        val q: ListQuery = in.query
+        import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Or}
+        val rows = rowsOnce(q, MaxInMultiColRows)
+        rows.toSeq.map { r =>
+          in.values.zip(q.plan.output).zipWithIndex.map { case ((v, a), i) =>
+            EqualTo(v, Literal.create(r.get(i), a.dataType)): Expression
+          }.reduce(And(_, _))
+        }.reduceOption(Or(_, _)).getOrElse(Literal(false))
       case ex: Exists => once("exists", ex.plan) {
         requireUncorrelated(ex.outerAttrs, "EXISTS subquery")
         Literal(!GraftSparkInternals.ofRows(session, ex.plan).isEmpty)
@@ -428,24 +491,162 @@ final case class GraftDeleteCommand(gt: GraftTable, cond: RawExpr,
 
 /** `MERGE INTO <graft table> USING <source> ON ... WHEN ...` → one
   * atomic merge commit via [[GraftTable.mergeInto]]. The USING source's
-  * analyzed plan rides along and materializes at run time. */
+  * analyzed plan rides along and materializes at run time. Correlated
+  * subqueries in WHEN clauses take one of two lowerings (class doc of
+  * [[GraftDmlRule]]): source-side flag projection when only insert
+  * clauses correlate; the row-identity pair-set merge when matched
+  * clauses do. */
 final case class GraftMergeCommand(gt: GraftTable, source: LogicalPlan,
                                    condition: RawExpr,
                                    matched: Seq[RawMergeWhen],
                                    notMatched: Seq[RawMergeWhen],
                                    notMatchedBySource: Seq[RawMergeWhen],
                                    tgt: Map[ExprId, String],
-                                   src: Map[ExprId, String])
+                                   src: Map[ExprId, String],
+                                   rel: LogicalPlan)
   extends LeafRunnableCommand {
+  import GraftDmlExprs._
   override def output: Seq[Attribute] = Nil
+
+  private def whenCorr(w: RawMergeWhen): Boolean =
+    w.cond.exists(c => hasCorrelated(c.e)) ||
+      w.assigns.exists(_.exists(a => hasCorrelated(a.value.e)))
+
+  /** Collects correlated clause expressions as named projection columns
+    * (`__graft_when_m0`, ...); the clause is rewritten to read the
+    * computed column back through the merge's source namespace. */
+  private final class Projector(prefix: String) {
+    val cols = scala.collection.mutable.ArrayBuffer[(Expression, String)]()
+    private def srcRef(n: String): RawExpr =
+      RawExpr(UnresolvedAttribute.quoted(GraftTable.MergeSourcePrefix + n))
+    def lower(w: RawMergeWhen): RawMergeWhen = if (!whenCorr(w)) w else {
+      def add(e: Expression): RawExpr = {
+        val n = s"$prefix${cols.length}"; cols += ((e, n)); srcRef(n)
+      }
+      RawMergeWhen(
+        w.cond.map(c => if (hasCorrelated(c.e)) add(c.e) else c),
+        w.assigns.map(_.map(a =>
+          if (hasCorrelated(a.value.e)) a.copy(value = add(a.value.e)) else a)))
+    }
+  }
+
   override def run(session: SparkSession): Seq[Row] = {
-    val mat = new GraftDmlExprs.Materializer(session)
+    if (notMatchedBySource.exists(whenCorr)) throw new UnsupportedOperationException(
+      "correlated subqueries in WHEN NOT MATCHED BY SOURCE clauses are not " +
+        "supported for graft tables (no source row to carry the computed " +
+        "flag); rewrite the clause as a separate correlated UPDATE/DELETE")
+    if (matched.exists(whenCorr)) runRowIdentity(session)
+    else if (notMatched.exists(whenCorr)) runSourceFlags(session)
+    else runDirect(session)
+    Seq.empty
+  }
+
+  private def runDirect(session: SparkSession): Unit = {
+    val mat = new Materializer(session)
     def tr(r: RawExpr): Column = mat.translate(r, tgt, src)
     def when(w: RawMergeWhen): MergeWhen =
       MergeWhen(w.cond.map(tr), w.assigns.map(mat.buildSet(_, tgt, src)))
     gt.mergeInto(GraftSparkInternals.ofRows(session, source),
       tr(condition), matched.map(when), notMatched.map(when),
       notMatchedBySource.map(when))
-    Seq.empty
+  }
+
+  /** Correlation ONLY in insert clauses: those expressions reference
+    * source columns alone (analyzer-enforced SQL rule), so each rides
+    * as a computed column projected onto the source plan — Spark
+    * decorrelates under Project — and the merge is otherwise the
+    * direct one: real rows, multiplicity preserved, every clause kind
+    * intact. */
+  private def runSourceFlags(session: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    requireNoReserved(source.output, "merge source")
+    val proj = new Projector("__graft_when_i")
+    val ins2 = notMatched.map(proj.lower)
+    val src2 = Project(
+      source.output ++ proj.cols.map { case (e, n) => Alias(e, n)() }, source)
+    val mat = new Materializer(session)
+    def tr(r: RawExpr): Column = mat.translate(r, tgt, src)
+    def when(w: RawMergeWhen): MergeWhen =
+      MergeWhen(w.cond.map(tr), w.assigns.map(mat.buildSet(_, tgt, src)))
+    gt.mergeInto(GraftSparkInternals.ofRows(session, src2),
+      tr(condition), matched.map(when), ins2.map(when),
+      notMatchedBySource.map(when))
+  }
+
+  /** Correlation in WHEN MATCHED clauses (may reference target AND
+    * source columns): evaluate the matched PAIR set — `Join(target,
+    * source, Inner, on)` over the pre-merge snapshot — with every
+    * correlated expression projected as a column (Spark decorrelates),
+    * value-distinct it, union the anti-join source rows (for inserts,
+    * with their own flags), and run the store merge with row-value
+    * identity ∧ a presence marker as the ON clause. Row-VALUE
+    * semantics, like correlated UPDATE: duplicate target rows
+    * transform alike; identical-valued multiple source matches
+    * collapse instead of raising the cardinality error. Distinct needs
+    * comparable columns, so map-typed columns on either side are
+    * rejected loudly. */
+  private def runRowIdentity(session: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.RightOuter
+    requireNoReserved(rel.output, "target")
+    requireNoReserved(source.output, "merge source")
+    val badMaps = source.output.filter(a => hasMapType(a.dataType)).map(_.name)
+    if (badMaps.nonEmpty) throw new UnsupportedOperationException(
+      "correlated MERGE WHEN MATCHED clauses need a value-comparable pair " +
+        s"set, and map-typed source columns are not comparable: " +
+        s"${badMaps.mkString(",")} — rewrite without the correlated clause")
+    val sName = (n: String) => "__graft_s_" + n
+    val present = "__graft_t_present"
+
+    val mat = new Materializer(session)
+    // pre-fold uncorrelated subqueries out of the ON condition so the
+    // Catalyst join below never carries a subquery in its condition
+    val onExpr = mat.fold(condition.e)
+
+    val mProj = new Projector("__graft_when_m")
+    val matched2 = matched.map(mProj.lower)
+    val iProj = new Projector("__graft_when_i")
+    val ins2 = notMatched.map(iProj.lower)
+
+    // ONE right-outer join carries both halves — matched (t,s) pairs
+    // (marker true) and unmatched source rows (marker null) — so no
+    // Union sits above subquery-bearing projections (Union's
+    // constraint rewrite chokes on attributes local to a subquery
+    // plan). If there are no insert clauses an inner join suffices:
+    // unmatched source rows could never act.
+    val left = Project(
+      rel.output :+ Alias(Literal(true), present)(), rel)
+    val joinType = if (notMatched.isEmpty) org.apache.spark.sql.catalyst.plans.Inner
+      else RightOuter
+    val joined = Join(left, source, joinType, Some(onExpr), JoinHint.NONE)
+    // flag expressions are total over the pair set: on unmatched rows
+    // (all-null target side) an EXISTS evaluates false and a scalar
+    // subquery null — unused either way, the store only consults
+    // matched flags on matches and insert flags on non-matches
+    val full = Project(
+      left.output ++ source.output.map(a => Alias(a, sName(a.name))()) ++
+        (mProj.cols ++ iProj.cols).map { case (e, n) => Alias(e, n)() },
+      joined)
+    // value-distinct the MATCHED pairs only: unmatched source rows keep
+    // real-row multiplicity (each inserts) via a per-row salt that is
+    // NULL exactly on matches — duplicate pairs collapse, duplicate
+    // unmatched source rows never do
+    import org.apache.spark.sql.functions.{col, monotonically_increasing_id, when => sqlWhen}
+    val srcDf = GraftSparkInternals.ofRows(session, full)
+      .withColumn("__graft_row_salt",
+        sqlWhen(col(present).isNull, monotonically_increasing_id()))
+      .distinct()
+
+    // source columns now live under their __graft_s_ rename in the pair
+    // set; target columns keep plain names (resolved against the
+    // store's target side, identical values for matched rows)
+    val srcRenamedMap = src.map { case (id, n) => id -> sName(n) }
+    def tr(r: RawExpr): Column = mat.translate(r, tgt, srcRenamedMap)
+    def when(w: RawMergeWhen): MergeWhen =
+      MergeWhen(w.cond.map(tr), w.assigns.map(mat.buildSet(_, tgt, srcRenamedMap)))
+    val on = rowIdentityOn(gt.schema) &&
+      org.apache.spark.sql.functions.col(s"`${GraftTable.MergeSourcePrefix}$present`")
+    gt.mergeInto(srcDf, on, matched2.map(when), ins2.map(when),
+      notMatchedBySource.map(when), "merge")
   }
 }

@@ -81,11 +81,29 @@ object TextOps {
     * Manku et al. WWW'07 table construction. Pick the smallest B whose
     * expected random candidates per doc stay <= ~2; the OUTPUT is
     * B-invariant (pigeonhole completeness + exact hamming verify), so
-    * geometry is pure cost tuning and the DuckDB oracle is untouched. */
+    * geometry is pure cost tuning and the DuckDB oracle is untouched.
+    *
+    * The ladder is open-ended (ADVICE r7 #3): widths distribute 64
+    * bits as evenly as B allows, and the tier bound uses the exact
+    * worst-case matched width 64 − (three widest blocks). Capped at
+    * B=12 — matched >=46 bits over 220 families, i.e. candidates/doc
+    * <=2 out to N ≈ 6e11 docs (a 100 TB corpus at 1 KB/doc is ~1e11),
+    * beyond which candidates grow linearly again, documented. Tiers
+    * B>=7 are constructed by the same law as the measured 4/5/6 but
+    * have no at-scale measurement yet (geometry invariance is spec'd
+    * for B=4..7 in TextRecallSpec). */
+  private[graft] def simhashWidths(nb: Int): Seq[Int] = {
+    val base = 64 / nb
+    val extra = 64 % nb
+    Seq.fill(extra)(base + 1) ++ Seq.fill(nb - extra)(base)
+  }
   private[graft] def simhashBlocksFor(n: Long): Int =
-    if (4L * n <= 2L * (1L << 16)) 4        // matched 16 bits, 4 families
-    else if (10L * n <= 2L * (1L << 25)) 5  // matched >=25 bits, 10 families
-    else 6                                   // matched >=31 bits, 20 families
+    (4 to 12).find { b =>
+      val ws = simhashWidths(b)
+      val matched = 64 - ws.sorted.reverse.take(3).sum
+      val fam = b.toLong * (b - 1) * (b - 2) / 6
+      fam * n <= 2L * (1L << matched)
+    }.getOrElse(12)
 
   /** t21's pair pipeline, geometry-forceable for the invariance spec.
     * Block values ride as ints sliced from the packed 64-bit signature
@@ -93,23 +111,27 @@ object TextOps {
     * transport, no signature strings cross the shuffle. */
   private[graft] def simhashPairs(s: SparkSession, d: String,
       forceBlocks: Option[Int] = None): DataFrame = {
-    val nb = forceBlocks.getOrElse(simhashBlocksFor(docs(s, d).count()))
-    val widths = nb match {
-      case 4 => Seq(16, 16, 16, 16)
-      case 5 => Seq(13, 13, 13, 13, 12)
-      case _ => Seq(11, 11, 11, 11, 10, 10)
-    }
+    // geometry picks by the SIGNATURE population — wordless docs are
+    // absent from the signature set (filter mirrors simhashSigs), so
+    // counting them too could select one tier higher than the actual
+    // band-join population warrants near a boundary (ADVICE r7 #1)
+    val nb = forceBlocks.getOrElse(simhashBlocksFor(
+      docs(s, d).where("text IS NOT NULL AND trim(text) != ''").count()))
+    val widths = simhashWidths(nb)
     val offs = widths.scanLeft(0)(_ + _)
     // families = all ways to EXCLUDE 3 blocks; incl(j) = matched blocks
     val incl: Seq[Seq[Int]] =
       (0 until nb).combinations(nb - 3).map(_.toSeq).toSeq
     def blockExpr(i: Int): String =
       s"CAST(shiftrightunsigned(fullsig, ${64 - offs(i) - widths(i)}) & ${(1L << widths(i)) - 1}L AS INT)"
-    // per-family key: included block values packed 16 bits apart (fits
-    // a long at B-3 <= 3 blocks); join key is (band, bval) — both ints
+    // per-family key: included block values packed widths.max bits
+    // apart — injective, and (B-3-1)*spacing + max <= 54 bits at every
+    // tier of the ladder, so the key stays one positive long; join key
+    // is (band, bval) — both ints
+    val spacing = widths.max
     def keyExpr(set: Seq[Int]): String =
       set.map(i => s"CAST(bk$i AS BIGINT)")
-        .reduce((a, b) => s"((($a) << 16) | ($b))")
+        .reduce((a, b) => s"((($a) << $spacing) | ($b))")
     val sigs = simhashSigs(s, d)
       .selectExpr("doc_id",
         "CAST(conv(substring(simhash, 1, 32), 2, 10) AS LONG) AS hi",

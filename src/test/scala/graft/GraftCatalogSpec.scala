@@ -376,12 +376,16 @@ class GraftCatalogSpec extends SparkSpec {
         if (r.isNullAt(2)) None else Some(r.getDouble(2))))
     assert(got2.toSeq == Seq((1L, "seen", Some(2.0)), (2L, "seen", Some(1.0)),
       (3L, "c", None)), got2.toSeq)
-    // correlated subqueries inside MERGE WHEN clauses stay a loud error
-    val e = intercept[Exception](
-      sql("""MERGE INTO gcat.db28.t AS t USING gcat.db28.o AS o ON t.id = o.cust
-             WHEN MATCHED THEN UPDATE SET total =
-               (SELECT max(u.amt) FROM gcat.db28.o u WHERE u.cust = t.id)"""))
-    assert(e.getMessage.contains("correlated"), e.getMessage)
+    // correlated subqueries inside MERGE WHEN clauses lower onto the
+    // pair-set merge since round 8 (dedicated spec below); the shape
+    // that used to error now computes per-row aggregates in the SET
+    sql("""MERGE INTO gcat.db28.t AS t
+           USING (SELECT DISTINCT cust FROM gcat.db28.o) AS o ON t.id = o.cust
+           WHEN MATCHED THEN UPDATE SET total =
+             (SELECT max(u.amt) FROM gcat.db28.o u WHERE u.cust = t.id)""")
+    val got3 = sql("SELECT id, total FROM gcat.db28.t ORDER BY id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got3.toSeq == Seq(1L -> Some(7.0), 2L -> Some(3.0), 3L -> None), got3.toSeq)
   }
 
   test("MERGE WITH SCHEMA EVOLUTION adds source columns through the ALTER path") {
@@ -529,6 +533,97 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT count(*) FROM gcat.db23.t").head().getLong(0) == 18)
     assert(sql("SELECT count(*) FROM gcat.db23.t WHERE id IN (12, 15)").head().getLong(0) == 0)
     assert(gt.commitInfo(gt.currentVersion).op == "delete")
+  }
+
+  test("correlated subqueries in MERGE WHEN clauses lower onto the pair-set merge") {
+    sql("CREATE NAMESPACE gcat.db30")
+    sql("CREATE TABLE gcat.db30.t (id BIGINT, v STRING, score DOUBLE)")
+    sql("INSERT INTO gcat.db30.t SELECT id, concat('v', id), id * 1.0 FROM range(0, 10)")
+    sql("CREATE TABLE gcat.db30.aux (k BIGINT, grp STRING, m DOUBLE)")
+    sql("INSERT INTO gcat.db30.aux VALUES (2, 'a', 20.0), (5, 'a', 50.0), (7, 'b', 70.0)")
+    val gt = GraftTable.load(spark, s"$warehouse/db30/t")
+    val before = gt.currentVersion
+    // WHEN MATCHED AND EXISTS(correlated on t) — the r7 verdict #3
+    // headline shape — plus an insert clause, in ONE atomic commit:
+    // matched ids {2,5,7,9}; of those, aux grp='a' holds for {2,5};
+    // source ids {11,12} don't match and insert
+    sql("""MERGE INTO gcat.db30.t AS t
+           USING (SELECT * FROM VALUES (CAST(2 AS BIGINT), 'M2'),
+                    (CAST(5 AS BIGINT), 'M5'), (CAST(7 AS BIGINT), 'M7'),
+                    (CAST(9 AS BIGINT), 'M9'), (CAST(11 AS BIGINT), 'N11'),
+                    (CAST(12 AS BIGINT), 'N12') AS x(id, nv)) AS s
+           ON t.id = s.id
+           WHEN MATCHED AND EXISTS (SELECT 1 FROM gcat.db30.aux a
+                                    WHERE a.k = t.id AND a.grp = 'a')
+             THEN UPDATE SET v = s.nv
+           WHEN NOT MATCHED THEN INSERT (id, v, score) VALUES (s.id, s.nv, -1.0)""")
+    assert(gt.currentVersion == before + 1, "one atomic commit")
+    assert(gt.commitInfo(gt.currentVersion).op == "merge")
+    val got = sql("SELECT id, v FROM gcat.db30.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.filter(x => Seq(2L, 5L).contains(x._1)) == Seq(2L -> "M2", 5L -> "M5"), got)
+    assert(got.filter(x => Seq(7L, 9L).contains(x._1)) == Seq(7L -> "v7", 9L -> "v9"), got)
+    assert(got.filter(_._1 >= 11) == Seq(11L -> "N11", 12L -> "N12"), got)
+    // correlated SCALAR subquery in a matched-clause ASSIGNMENT: SET
+    // reads a per-row aggregate over aux (missing partner -> NULL)
+    sql("""MERGE INTO gcat.db30.t AS t
+           USING (SELECT * FROM VALUES (CAST(2 AS BIGINT)), (CAST(9 AS BIGINT)) AS x(id)) AS s
+           ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET
+             score = (SELECT max(a.m) FROM gcat.db30.aux a WHERE a.k = t.id)""")
+    val scores = sql("SELECT id, score FROM gcat.db30.t WHERE id IN (2, 9) ORDER BY id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(scores == Seq(2L -> Some(20.0), 9L -> None), scores)
+    // correlation ONLY in the insert clause (light path: flags projected
+    // onto the source, real row multiplicity): duplicate unmatched
+    // source rows insert TWICE
+    val nBefore = sql("SELECT count(*) FROM gcat.db30.t").head().getLong(0)
+    sql("""MERGE INTO gcat.db30.t AS t
+           USING (SELECT * FROM VALUES (CAST(30 AS BIGINT), 'D'), (CAST(30 AS BIGINT), 'D'),
+                    (CAST(31 AS BIGINT), 'E') AS x(id, nv)) AS s
+           ON t.id = s.id
+           WHEN NOT MATCHED AND EXISTS (SELECT 1 FROM gcat.db30.aux a
+                                        WHERE a.m > CAST(s.id AS DOUBLE))
+             THEN INSERT (id, v, score) VALUES (s.id, s.nv, 0.0)""")
+    // aux.m max is 70: id=30 qualifies (x2), id=31 qualifies; all insert
+    assert(sql("SELECT count(*) FROM gcat.db30.t").head().getLong(0) == nBefore + 3)
+    assert(sql("SELECT count(*) FROM gcat.db30.t WHERE id = 30").head().getLong(0) == 2)
+    // NOT MATCHED BY SOURCE with a correlated condition: loud error
+    val err = intercept[Exception] {
+      sql("""MERGE INTO gcat.db30.t AS t
+             USING (SELECT CAST(2 AS BIGINT) AS id) AS s
+             ON t.id = s.id
+             WHEN NOT MATCHED BY SOURCE AND EXISTS
+               (SELECT 1 FROM gcat.db30.aux a WHERE a.k = t.id) THEN DELETE""")
+    }
+    assert(err.getMessage.contains("NOT MATCHED BY SOURCE"), err.getMessage)
+  }
+
+  test("multi-column IN subqueries in DML: 3VL preserved") {
+    sql("CREATE NAMESPACE gcat.db31")
+    sql("CREATE TABLE gcat.db31.t (a BIGINT, b STRING, v STRING)")
+    sql("INSERT INTO gcat.db31.t VALUES (1, 'x', 'r1'), (1, 'y', 'r2'), " +
+      "(2, 'x', 'r3'), (3, 'z', 'r4')")
+    sql("CREATE TABLE gcat.db31.pick (pa BIGINT, pb STRING)")
+    sql("INSERT INTO gcat.db31.pick VALUES (1, 'x'), (3, 'z')")
+    // row-wise IN: only exact (a,b) pairs update — (1,'y') and (2,'x')
+    // share one component each with the list and must NOT match
+    sql("UPDATE gcat.db31.t SET v = 'hit' WHERE (a, b) IN " +
+      "(SELECT pa, pb FROM gcat.db31.pick)")
+    val got = sql("SELECT v FROM gcat.db31.t ORDER BY a, b")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("hit", "r2", "r3", "hit"), got)
+    // NULL semantics: a NULL row in the list makes NOT IN unknown for
+    // every non-matching probe — the standard says filter NOTHING
+    sql("INSERT INTO gcat.db31.pick VALUES (NULL, NULL)")
+    val n = sql("SELECT count(*) FROM gcat.db31.t").head().getLong(0)
+    sql("DELETE FROM gcat.db31.t WHERE (a, b) NOT IN (SELECT pa, pb FROM gcat.db31.pick)")
+    assert(sql("SELECT count(*) FROM gcat.db31.t").head().getLong(0) == n,
+      "NOT IN over a list containing an all-NULL row must delete nothing")
+    // positive IN still matches true rows through the unknowns
+    sql("DELETE FROM gcat.db31.t WHERE (a, b) IN (SELECT pa, pb FROM gcat.db31.pick)")
+    assert(sql("SELECT v FROM gcat.db31.t ORDER BY a").collect().map(_.getString(0)).toSeq
+      == Seq("r2", "r3"))
   }
 
   test("UPDATE/MERGE SET on nested struct fields rebuilds copy-on-write") {

@@ -93,22 +93,47 @@ class TextRecallSpec extends SparkSpec {
       f"t04 recall $recall%.3f below the documented floor 0.8")
   }
 
-  test("t21 simhash pairs: OUTPUT is band-geometry-invariant (B=4/5/6 identical)") {
+  test("t21 simhash pairs: OUTPUT is band-geometry-invariant (B=4/5/6/7 identical)") {
     // The adaptive geometry (simhashBlocksFor) is pure cost tuning:
     // pigeonhole completeness says any pair within hamming 3 agrees on
     // B-3 of B blocks for EVERY B, and the exact bit_count verify
-    // rejects everything else — so all three geometries must emit
-    // exactly the same pair set. This is what lets the corpus size
-    // pick the geometry without touching the DuckDB oracle.
-    val byB = Seq(4, 5, 6).map { b =>
+    // rejects everything else — so all geometries must emit exactly
+    // the same pair set. This is what lets the corpus size pick the
+    // geometry without touching the DuckDB oracle. B=7 exercises the
+    // generalized ladder (computed widths, adaptive key spacing).
+    val byB = Seq(4, 5, 6, 7).map { b =>
       b -> graft.operators.TextOps.simhashPairs(spark, dir, Some(b))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     }.toMap
     assert(byB(4).nonEmpty, "no simhash near-dup pairs at sf0.01 — test data changed?")
     info(s"t21 pairs at sf0.01: ${byB(4).size}")
-    assert(byB(5) == byB(4),
-      s"B=5 diverges: only-in-4=${(byB(4) -- byB(5)).take(3)} only-in-5=${(byB(5) -- byB(4)).take(3)}")
-    assert(byB(6) == byB(4),
-      s"B=6 diverges: only-in-4=${(byB(4) -- byB(6)).take(3)} only-in-6=${(byB(6) -- byB(4)).take(3)}")
+    for (b <- Seq(5, 6, 7)) assert(byB(b) == byB(4),
+      s"B=$b diverges: only-in-4=${(byB(4) -- byB(b)).take(3)} only-in-$b=${(byB(b) -- byB(4)).take(3)}")
+  }
+
+  test("simhash band ladder: tier bounds and key-packing invariants hold for B=4..12") {
+    import graft.operators.TextOps.{simhashBlocksFor, simhashWidths}
+    for (b <- 4 to 12) {
+      val ws = simhashWidths(b)
+      assert(ws.sum == 64 && ws.length == b, s"B=$b widths $ws")
+      assert(ws.max - ws.min <= 1, s"B=$b widths not balanced: $ws")
+      // the banded join key packs B-3 included blocks widths.max apart
+      // — must stay within a positive signed long
+      assert((b - 3 - 1) * ws.max + ws.max <= 63, s"B=$b key overflows a long")
+    }
+    // the measured tier boundaries from rounds 6-7 are unchanged
+    assert(simhashBlocksFor(30000) == 4)
+    assert(simhashBlocksFor(40000) == 5)
+    assert(simhashBlocksFor(6000000) == 5)
+    assert(simhashBlocksFor(8000000) == 6)
+    // the ladder now extends past B=6 (ADVICE r7 #3): ~214M docs was
+    // the old ceiling; the bound law picks 7 just past it
+    assert(simhashBlocksFor(300000000L) == 7)
+    assert(simhashBlocksFor(4000000000L) == 8)
+    // monotone: more docs never picks a narrower geometry
+    val ns = Seq(1L, 1000L, 1e5.toLong, 1e7.toLong, 1e9.toLong, 1e11.toLong, 1e13.toLong)
+    val tiers = ns.map(simhashBlocksFor)
+    assert(tiers == tiers.sorted, s"non-monotone tiers: $tiers")
+    assert(tiers.last == 12, "cap tier reachable")
   }
 }
