@@ -202,6 +202,62 @@ object TextOps {
       .drop("o_source", "o_shard", "offset", "before_in_shard")
   }
 
+  /** Weighted corpus mixing under a global token budget — the PUBLIC
+    * operator behind t22 (r7 verdict #6 lifted the demo's name-parsed
+    * weight into this explicit parameter). Selects documents from each
+    * source in deterministic selection-hash order (md5 of doc_id)
+    * until the source's share of `budgetTokens` is spent.
+    *
+    * `weights` is a metadata-sized `(source, weight)` table — INTEGER
+    * weights, one row per source: each source's budget is
+    * `weight * budgetTokens div sum(weights)`, all-integer arithmetic
+    * (a double intermediate would let two engines round an ulp apart
+    * at a floor() boundary and flip a doc across the budget line). A
+    * zero-weight source gets budget 0 and is absent from the mix;
+    * sources missing from the table are dropped (inner join).
+    *
+    * SCALE: the per-source cumulative sum is [[twoLevelPrefix]] (t19's
+    * sharded shape — the shard is the leading byte of the selection
+    * hash, order-aligned because fixed-width hex sorts as strings), so
+    * no source ever funnels through one task; budgets re-enter the
+    * plan as a broadcast literal frame. Docs with NULL text are
+    * excluded (Spark's legacy sizeOfNull would count them -1 where
+    * SUM-skipping engines ignore them). */
+  def sourceMix(docsDf: DataFrame, weights: DataFrame,
+                budgetTokens: Long): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    require(budgetTokens >= 0, s"sourceMix: negative budget $budgetTokens")
+    val wRows = weights
+      .selectExpr("CAST(source AS STRING) AS source", "CAST(weight AS BIGINT) AS weight")
+      .collect()
+    require(wRows.nonEmpty, "sourceMix: empty weight table")
+    require(wRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "sourceMix: NULL source or weight in the weight table")
+    require(wRows.forall(_.getLong(1) >= 0),
+      s"sourceMix: negative weight for ${wRows.filter(_.getLong(1) < 0).map(_.getString(0)).mkString(",")}")
+    require(wRows.map(_.getString(0)).distinct.length == wRows.length,
+      "sourceMix: duplicate source in the weight table")
+    val sumW = wRows.map(_.getLong(1)).sum
+    require(sumW > 0, "sourceMix: all weights are zero")
+    val budgets = wRows.toSeq
+      .map(r => (r.getString(0), r.getLong(1) * budgetTokens / sumW))
+      .toDF("b_source", "budget_tokens")
+    val base = docsDf
+      .where("text IS NOT NULL")
+      .selectExpr("doc_id", "source", "size(split(text, ' ')) AS toks",
+        "md5(CAST(doc_id AS STRING)) AS h")
+    twoLevelPrefix(base, "h",
+        expr("conv(substring(h, 1, 2), 16, 10)").cast("long"))
+      .withColumn("cum", col("before") + col("toks"))
+      .join(broadcast(budgets), col("source") === col("b_source"))
+      .filter(col("cum") <= col("budget_tokens"))
+      .groupBy(col("source"), col("budget_tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("mix_tokens"))
+      .select("source", "budget_tokens", "n_docs", "mix_tokens")
+  }
+
   /** The ONE quality-score definition: t07 reports it per-doc, t17
     * gates on it, t20 tunes its threshold — spelled once per engine so
     * the three can never drift. Intermediates are selected as NAMED
@@ -1168,35 +1224,30 @@ object TextOps {
     // once in the prelim and once in the main job, never more).
     QueryEntry("t22_source_mix",
       (s, d) => {
-        // text IS NOT NULL: Spark's legacy sizeOfNull makes
-        // size(split(NULL)) = -1 where DuckDB's LEN(STRING_SPLIT(NULL))
-        // is NULL-skipped by SUM — a NULL doc would corrupt the Spark
-        // budgets while the oracle ignored it. (Empty text is fine:
-        // both engines count the single empty token.)
-        val base = docs(s, d)
+        // ONE prelim job: per-source token mass + the DEMO weight
+        // (proportional to the source index + 1 — a skewed vector
+        // exercising the arithmetic; production callers hand
+        // [[sourceMix]] an explicit weight table instead), 20 rows.
+        val srcRows = docs(s, d)
           .where("text IS NOT NULL")
-          .selectExpr("doc_id", "source", "size(split(text, ' ')) AS toks",
-            "md5(CAST(doc_id AS STRING)) AS h",
+          .selectExpr("source", "size(split(text, ' ')) AS toks",
             "CAST(substring(source, 4) AS BIGINT) + 1 AS widx")
-        // ONE prelim job: per-source token mass + weight index, 20 rows
-        val srcRows = base.groupBy(col("source"), col("widx"))
+          .groupBy(col("source"), col("widx"))
           .agg(sum(col("toks")).cast("long").as("src_toks")).collect()
+        // Spark's non-ANSI CAST silently NULLs a source not named
+        // 'srcN' (DuckDB raises) — a nonconforming corpus must fail
+        // loudly here, not surface as a parity divergence (ADVICE r7
+        // #2)
+        val bad = srcRows.filter(_.isNullAt(1)).map(_.getString(0))
+        require(bad.isEmpty,
+          s"t22's demo weight vector parses the source NAME as 'srcN'; " +
+            s"nonconforming sources: ${bad.mkString(",")} — call " +
+            "TextOps.sourceMix with an explicit weight table instead")
         val budgetT = srcRows.map(_.getLong(2)).sum / 2
-        val sumIdx = srcRows.map(_.getLong(1)).sum
-        // all-integer budget math (see the header comment)
         import s.implicits._
-        val budgets = srcRows.toSeq
-          .map(r => (r.getString(0), r.getLong(1) * budgetT / sumIdx))
-          .toDF("b_source", "budget_tokens")
-        twoLevelPrefix(base, "h",
-            expr("conv(substring(h, 1, 2), 16, 10)").cast("long"))
-          .withColumn("cum", col("before") + col("toks"))
-          .join(broadcast(budgets), col("source") === col("b_source"))
-          .filter(col("cum") <= col("budget_tokens"))
-          .groupBy(col("source"), col("budget_tokens"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("toks")).cast("long").as("mix_tokens"))
-          .select("source", "budget_tokens", "n_docs", "mix_tokens")
+        val weights = srcRows.toSeq
+          .map(r => (r.getString(0), r.getLong(1))).toDF("source", "weight")
+        sourceMix(docs(s, d), weights, budgetT)
       },
       Some("""WITH t AS (SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS toks,
             MD5(CAST(doc_id AS VARCHAR)) AS h,

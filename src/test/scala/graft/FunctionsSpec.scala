@@ -302,6 +302,43 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("src19", 6L, 2L, 6L)), got.toSeq)
   }
 
+  test("sourceMix with an explicit weight table: zero weight absent, unlisted dropped") {
+    import spark.implicits._
+    // same doc fixture as the t22 test, plus a source NOT in the
+    // weight table; weights src0=0, src1=1, src19=1 under budget 8:
+    // sumW=2 -> src1 budget 4 (doc 3, toks 4, cum 4 <= 4: selected),
+    // src19 budget 4 (hash order doc 4 cum 2 selected; doc 5 cum 6 >
+    // 4 rejected); src0 budget 0 -> absent; 'extra' unlisted -> dropped
+    val docsDf = spark.sql(
+      """SELECT * FROM VALUES
+           (CAST(1 AS BIGINT), 'a b c', 'src0'),
+           (CAST(2 AS BIGINT), 'd e', 'src0'),
+           (CAST(3 AS BIGINT), 'a b c d', 'src1'),
+           (CAST(4 AS BIGINT), 'x y', 'src19'),
+           (CAST(5 AS BIGINT), 'z w v u', 'src19'),
+           (CAST(6 AS BIGINT), 'not in the weight table', 'extra')
+         AS t(doc_id, text, source)""")
+    val weights = Seq(("src0", 0L), ("src1", 1L), ("src19", 1L))
+      .toDF("source", "weight")
+    val got = graft.operators.TextOps.sourceMix(docsDf, weights, 8L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("src1", 4L, 1L, 4L), ("src19", 4L, 1L, 2L)), got.toSeq)
+    // malformed weight tables fail loudly, never silently misallocate
+    val dup = Seq(("src1", 1L), ("src1", 2L)).toDF("source", "weight")
+    assert(intercept[IllegalArgumentException](
+      graft.operators.TextOps.sourceMix(docsDf, dup, 8L))
+      .getMessage.contains("duplicate"))
+    val neg = Seq(("src1", -1L), ("src19", 2L)).toDF("source", "weight")
+    assert(intercept[IllegalArgumentException](
+      graft.operators.TextOps.sourceMix(docsDf, neg, 8L))
+      .getMessage.contains("negative"))
+    val zero = Seq(("src1", 0L)).toDF("source", "weight")
+    assert(intercept[IllegalArgumentException](
+      graft.operators.TextOps.sourceMix(docsDf, zero, 8L))
+      .getMessage.contains("zero"))
+  }
+
   test("GraftExtensions injects every function at session build (spark.sql.extensions)") {
     // Build a session WITHOUT imperative register(): extensions only —
     // the path spark-submit / Thrift server / Connect deployments use.
