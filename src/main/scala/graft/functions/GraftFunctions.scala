@@ -202,12 +202,19 @@ object GraftFunctions {
     // SQL; we expose the same matcher TVF-style since Spark's parser
     // has no MATCH_RECOGNIZE clause):
     //   graft_match_recognize(
-    //     'table_or_view',
+    //     'table_or_view' | 'SELECT ...',     -- source (query strings
+    //                                         -- power the SQL-text
+    //                                         -- MATCH_RECOGNIZE rewrite)
     //     'part_col[,part_col...]', 'order_col[,order_col...]',
     //     'SYM:<bool sql expr>[;SYM2:...]',   -- DEFINE
     //     'D+ U+',                            -- PATTERN
     //     'name:agg:symbol[:field][,...]'     -- MEASURES
-    //     [, 'one'|'all'])                    -- ROWS PER MATCH mode
+    //     [, 'one'|'all'                      -- ROWS PER MATCH mode
+    //     [, 'true'|'false']])                -- prePartitioned: caller
+    //                                         -- asserts the source is
+    //                                         -- already key-clustered
+    //                                         -- + sorted (the nav-
+    //                                         -- window wrapper is)
     // Delegates to operators.PatternMatch (same NFA, same measures).
     // 'all' = ALL ROWS PER MATCH: keys, order cols, match_num,
     // classifier per matched row; MEASURES must be '' in that mode.
@@ -218,9 +225,12 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"graft_match_recognize $what must be a string literal, got $other")
       }
-      require(exprs.length == 6 || exprs.length == 7,
-        "graft_match_recognize(table, partition_cols, order_cols, defines, pattern, measures[, mode])")
-      val df = spark.table(str(exprs(0), "table"))
+      require(exprs.length >= 6 && exprs.length <= 8,
+        "graft_match_recognize(source, partition_cols, order_cols, defines, pattern, measures[, mode[, prepartitioned]])")
+      val srcStr = str(exprs(0), "source")
+      val df =
+        if (srcStr.matches("""(?is)^\s*(SELECT|WITH|VALUES)\b.*""")) spark.sql(srcStr)
+        else spark.table(srcStr)
       def cols(e: Expression, what: String): Seq[String] = {
         val cs = str(e, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         require(cs.nonEmpty,
@@ -246,15 +256,23 @@ object GraftFunctions {
               s"bad MEASURE '$m' (want name:agg:symbol[:field])")
           }
         }
-      val mode = if (exprs.length == 7) str(exprs(6), "mode") else "one"
+      val mode = if (exprs.length >= 7) str(exprs(6), "mode") else "one"
+      val pre = exprs.length == 8 && (str(exprs(7), "prepartitioned") match {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"graft_match_recognize prepartitioned must be 'true' or 'false', got '$other'")
+      })
       val out = mode match {
         case "one" => graft.operators.PatternMatch.matchPattern(
-          df, partCols, orderCols, symbols, str(exprs(4), "pattern"), measures)
+          df, partCols, orderCols, symbols, str(exprs(4), "pattern"), measures,
+          prePartitioned = pre)
         case "all" =>
           require(measures.isEmpty,
             "graft_match_recognize: measures do not apply in 'all' mode — pass ''")
           graft.operators.PatternMatch.matchPatternAllRows(
-            df, partCols, orderCols, symbols, str(exprs(4), "pattern"))
+            df, partCols, orderCols, symbols, str(exprs(4), "pattern"),
+            prePartitioned = pre)
         case other => throw new IllegalArgumentException(
           s"graft_match_recognize mode must be 'one' or 'all', got '$other'")
       }

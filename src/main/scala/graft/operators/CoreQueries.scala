@@ -603,33 +603,34 @@ object CoreQueries {
     // (maximal D-run, adjacent U-run) pairs — provably identical to
     // the NFA's leftmost-greedy, skip-past-last-row behavior.
     QueryEntry("q29_match_recognize",
+      // Round 8: the entry types the TRINO CLAUSE ITSELF — SQL text
+      // through the injected-parser surface (sql/MatchRecognizeSql),
+      // which lowers onto the same PatternMatch operator the round-6/7
+      // entries called directly: PREV() becomes the lag window column
+      // (whose exchange the matcher then reuses, prePartitioned — one
+      // shuffle, the exact plan the operator spelling produced), and
+      // the oracle is byte-unchanged, so the correctness gate now
+      // checks the SQL-Lab path end-to-end. q28 timestamp discipline:
+      // ts formatted to seconds inside the source subquery.
       (s, d) => {
-        val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val ev = t(s, d, "events")
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-          .withColumn("delta", col("value") - lag(col("value"), 1).over(byTs))
-          // q28 timestamp discipline: format to seconds, never emit
-          // raw ns-truncated timestamps
-          .withColumn("ts_s", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
-        PatternMatch.matchPattern(ev,
-          partitionBy = Seq("user_id"),
-          orderBy = Seq("ts", "event_id"),
-          symbols = Seq(
-            "D" -> (col("delta") < 0),
-            "U" -> (col("delta") > 0)),
-          pattern = "D+ U+",
-          measures = Seq(
-            PatternMatch.Measure("start_ts", "first", "D", "ts_s"),
-            PatternMatch.Measure("end_ts", "last", "U", "ts_s"),
-            PatternMatch.Measure("n_down", "count", "D"),
-            PatternMatch.Measure("n_up", "count", "U"),
-            PatternMatch.Measure("bottom", "last", "D", "value"),
-            PatternMatch.Measure("peak", "last", "U", "value")),
-          // the lag window above already hash-partitioned by user_id
-          // and sorted by (user_id, ts, event_id) within partitions —
-          // the matcher must not shuffle the stream a second time
-          prePartitioned = true)
+        t(s, d, "events").createOrReplaceTempView("mr_events")
+        s.sql("""
+          SELECT * FROM (
+            SELECT user_id, ts, event_id, value,
+                   date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s
+            FROM mr_events WHERE event_type = 'purchase'
+          ) MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(D.ts_s) AS start_ts, LAST(U.ts_s) AS end_ts,
+              COUNT(D.*) AS n_down, COUNT(U.*) AS n_up,
+              LAST(D.value) AS bottom, LAST(U.value) AS peak
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (D+ U+)
+            DEFINE D AS D.value < PREV(D.value),
+                   U AS U.value > PREV(U.value)
+          )""")
       },
       Some("""WITH ev AS (
           SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
@@ -662,23 +663,25 @@ object CoreQueries {
     // path assigned — the mode BI drill-downs use to paint the rows of
     // each match. Oracle expands the q29 run-pairing to row grain.
     QueryEntry("q31_pattern_allrows",
+      // SQL-text spelling since round 8, like q29 (same lowering, same
+      // one-shuffle plan, oracle unchanged)
       (s, d) => {
-        val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val ev = t(s, d, "events")
-          .filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-          .withColumn("delta", col("value") - lag(col("value"), 1).over(byTs))
-        PatternMatch.matchPatternAllRows(ev,
-          partitionBy = Seq("user_id"),
-          orderBy = Seq("ts", "event_id"),
-          symbols = Seq(
-            "D" -> (col("delta") < 0),
-            "U" -> (col("delta") > 0)),
-          pattern = "D+ U+",
-          prePartitioned = true)
-          .select(col("user_id"),
-            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
-            col("event_id"), col("match_num"), col("classifier"))
+        t(s, d, "events").createOrReplaceTempView("mr_events")
+        s.sql("""
+          SELECT user_id, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s,
+                 event_id, match_num, classifier
+          FROM (
+            SELECT user_id, ts, event_id, value
+            FROM mr_events WHERE event_type = 'purchase'
+          ) MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (D+ U+)
+            DEFINE D AS D.value < PREV(D.value),
+                   U AS U.value > PREV(U.value)
+          )""")
       },
       Some("""WITH ev AS (
           SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
@@ -709,22 +712,26 @@ object CoreQueries {
     // which lets the oracle spell the same semantics with LEADs: a
     // view matches iff the next rows are (C,C,P) [greedy] or (C,P).
     QueryEntry("q30_pattern_funnel",
+      // SQL-text spelling since round 8, like q29 (bounded quantifier
+      // through the clause grammar; no PREV here, so the matcher does
+      // its own single exchange — the operator spelling's plan)
       (s, d) => {
-        val ev = t(s, d, "events")
-          .select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type"), col("value"))
-        PatternMatch.matchPattern(ev,
-          partitionBy = Seq("user_id"),
-          orderBy = Seq("ts", "event_id"),
-          symbols = Seq(
-            "V" -> (col("event_type") === "view"),
-            "C" -> (col("event_type") === "click"),
-            "P" -> (col("event_type") === "purchase")),
-          pattern = "V C{1,2} P",
-          measures = Seq(
-            PatternMatch.Measure("start_event", "first", "V", "event_id"),
-            PatternMatch.Measure("n_clicks", "count", "C"),
-            PatternMatch.Measure("purchase_value", "last", "P", "value")))
+        t(s, d, "events").createOrReplaceTempView("mr_events")
+        s.sql("""
+          SELECT * FROM (
+            SELECT user_id, ts, event_id, event_type, value FROM mr_events
+          ) MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(V.event_id) AS start_event,
+              COUNT(C.*) AS n_clicks, LAST(P.value) AS purchase_value
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (V C{1,2} P)
+            DEFINE V AS V.event_type = 'view',
+                   C AS C.event_type = 'click',
+                   P AS P.event_type = 'purchase'
+          )""")
       },
       Some("""WITH ev AS (
           SELECT user_id, ts, event_id, event_type, value FROM events),

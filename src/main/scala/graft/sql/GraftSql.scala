@@ -24,8 +24,8 @@ object TrinoDialect {
     * Rewrites apply ONLY outside string literals: a literal containing
     * "approx_percentile(" is user DATA and must survive verbatim.
     */
-  def rewrite(sql: String): String =
-    mapOutsideLiterals(sql) { code =>
+  def rewrite(sql: String): String = {
+    val named = mapOutsideLiterals(sql) { code =>
       // Trino date_diff('day', a, b) -> Spark date_diff(DAY, a, b)
       val s1 = dateDiff.replaceAllIn(code, m => s"date_diff(${m.group(1).toUpperCase},")
       // Trino date_add('day', n, ts) -> Spark timestampadd(DAY, n, ts)
@@ -33,6 +33,12 @@ object TrinoDialect {
       // Trino approx_percentile(x, p) == Spark percentile_approx(x, p)
       approxPct.replaceAllIn(s2, _ => "percentile_approx(")
     }
+    // Trino MATCH_RECOGNIZE clause -> graft_match_recognize TVF (its
+    // own literal-aware scanner; no-op without the keyword). LAST: the
+    // rewrite quotes DEFINE/MEASURES into TVF string literals, where
+    // the function-name rewrites above could no longer reach them.
+    MatchRecognizeSql.rewrite(named)
+  }
 
   /** Apply `f` to the non-literal segments of `sql`, passing
     * single-quoted literals (with '' escapes) through untouched.

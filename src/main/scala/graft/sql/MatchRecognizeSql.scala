@@ -1,0 +1,344 @@
+package graft.sql
+
+import scala.collection.mutable.LinkedHashMap
+import scala.util.matching.Regex
+
+/** Trino-syntax `MATCH_RECOGNIZE` as SQL TEXT (r7 verdict #2): a
+  * source-to-source rewrite lowering the SQL:2016 clause onto the
+  * `graft_match_recognize` table function, which runs
+  * [[graft.operators.PatternMatch]] — same NFA, measures and skip
+  * semantics the operator API exposes. Wired into every session two
+  * ways: the injected parser ([[GraftSqlParser]], via
+  * `GraftExtensions.injectParser`) rewrites text before Spark's parser
+  * sees it, and [[TrinoDialect.rewrite]] applies the same pass for
+  * GraftSql scripts — so the clause a SQL Lab user types against the
+  * reference's Trino 468 [pinned `docker/devserver/Dockerfile:14`]
+  * parses here too.
+  *
+  * Supported (the Trino core):
+  * {{{
+  *   <table | (subquery)> MATCH_RECOGNIZE (
+  *     PARTITION BY c [, ...]            -- required: a global pattern
+  *                                       -- serializes one task
+  *     ORDER BY c [ASC] [, ...]
+  *     [MEASURES agg(S.f) AS name, COUNT(S.*) AS n, S.f AS v, ...]
+  *     [ONE ROW PER MATCH | ALL ROWS PER MATCH]
+  *     [AFTER MATCH SKIP PAST LAST ROW]
+  *     PATTERN ( <symbols with | ( ) * + ? {n} {n,} {n,m}> )
+  *     [DEFINE S AS cond [, ...]]        -- cond may use S.col and
+  *                                       -- PREV/NEXT(S.col [, n])
+  *   ) [AS alias]
+  * }}}
+  *
+  * PREV/NEXT become lag/lead window columns on a wrapped source — the
+  * operator's Spark-first navigation contract — and because that
+  * window hash-clusters and sorts by the same keys, the matcher skips
+  * its own exchange (prePartitioned), keeping the SQL spelling at ONE
+  * shuffle like the hand-written operator calls. Unsupported Trino
+  * forms fail LOUDLY with the feature named: DESC ordering, SKIP TO
+  * variants, SUBSET, MEASURES under ALL ROWS PER MATCH, FIRST/LAST
+  * navigation inside DEFINE, WITH UNMATCHED ROWS / SHOW EMPTY MATCHES
+  * (PERMUTE / anchors / exclusions are rejected downstream by the
+  * pattern parser).
+  */
+object MatchRecognizeSql {
+
+  /** Rewrite every `MATCH_RECOGNIZE` clause in `sql`; text without the
+    * keyword passes through untouched (one cheap uppercase scan). */
+  def rewrite(sql: String): String = {
+    if (!sql.toUpperCase.contains("MATCH_RECOGNIZE")) return sql
+    val m = maskedUpper(sql)
+    KwRx.findFirstMatchIn(m) match {
+      case None => sql
+      case Some(k) =>
+        var open = k.end
+        while (open < m.length && m.charAt(open).isWhitespace) open += 1
+        require(open < m.length && m.charAt(open) == '(',
+          "MATCH_RECOGNIZE must be followed by a parenthesized clause body")
+        val close = closeParen(m, open)
+        require(close > 0, "unbalanced parens in MATCH_RECOGNIZE body")
+        // the source sits immediately left of the keyword: either a
+        // parenthesized subquery or a (possibly qualified) identifier
+        var srcEnd = k.start
+        while (srcEnd > 0 && m.charAt(srcEnd - 1).isWhitespace) srcEnd -= 1
+        require(srcEnd > 0, "MATCH_RECOGNIZE has no source table")
+        val srcStart =
+          if (m.charAt(srcEnd - 1) == ')') {
+            val o = openParen(m, srcEnd - 1)
+            require(o >= 0, "unbalanced parens before MATCH_RECOGNIZE")
+            o
+          } else {
+            var i = srcEnd
+            while (i > 0 && (m.charAt(i - 1).isLetterOrDigit ||
+              "_.`\"".indexOf(sql.charAt(i - 1)) >= 0)) i -= 1
+            require(i < srcEnd,
+              "MATCH_RECOGNIZE source must be a table name or (subquery)")
+            i
+          }
+        val call = translate(sql.substring(srcStart, srcEnd),
+          sql.substring(open + 1, close))
+        // recurse for further occurrences (and nested ones in the src)
+        rewrite(sql.substring(0, srcStart) + call + sql.substring(close + 1))
+    }
+  }
+
+  private val KwRx = """\bMATCH_RECOGNIZE\b""".r
+  private val Ident = """[A-Za-z_][A-Za-z0-9_]*"""
+
+  private def translate(src: String, body: String): String = {
+    val m = maskedUpper(body)
+    val depth = {
+      val d = new Array[Int](m.length)
+      var cur = 0
+      var i = 0
+      while (i < m.length) {
+        if (m.charAt(i) == '(') { d(i) = cur; cur += 1 }
+        else if (m.charAt(i) == ')') { cur -= 1; d(i) = cur }
+        else d(i) = cur
+        i += 1
+      }
+      d
+    }
+    val clauseRx: Seq[(String, Regex)] = Seq(
+      "PARTITION" -> """\bPARTITION\s+BY\b""".r,
+      "ORDER" -> """\bORDER\s+BY\b""".r,
+      "MEASURES" -> """\bMEASURES\b""".r,
+      "ONEROW" -> """\bONE\s+ROW\s+PER\s+MATCH\b""".r,
+      "ALLROWS" -> """\bALL\s+ROWS\s+PER\s+MATCH\b""".r,
+      "AFTER" -> """\bAFTER\s+MATCH\b""".r,
+      "PATTERN" -> """\bPATTERN\b""".r,
+      "SUBSET" -> """\bSUBSET\b""".r,
+      "DEFINE" -> """\bDEFINE\b""".r)
+    val hits = clauseRx.flatMap { case (name, rx) =>
+      rx.findAllMatchIn(m).filter(h => depth(h.start) == 0)
+        .map(h => (h.start, h.end, name))
+    }.sortBy(_._1)
+    require(hits.nonEmpty, "empty MATCH_RECOGNIZE body")
+    val names = hits.map(_._3)
+    require(names.distinct.length == names.length,
+      s"duplicate MATCH_RECOGNIZE clause: ${names.diff(names.distinct).mkString(",")}")
+    require(!names.contains("SUBSET"),
+      "MATCH_RECOGNIZE SUBSET (symbol unions) is not supported — expand " +
+        "the union into the pattern/defines")
+    val seg: Map[String, String] = hits.zipWithIndex.map { case ((_, e, name), i) =>
+      val until = if (i + 1 < hits.length) hits(i + 1)._1 else body.length
+      name -> body.substring(e, until).trim
+    }.toMap
+    def segOf(n: String, what: String): String = seg.getOrElse(n,
+      throw new IllegalArgumentException(s"MATCH_RECOGNIZE needs a $what clause"))
+
+    // ---- PARTITION BY / ORDER BY: identifier lists; ASC tolerated,
+    // anything else named loudly
+    def colList(text: String, what: String, stripAsc: Boolean): Seq[String] =
+      splitTop(text).map { c0 =>
+        var c = c0.trim
+        if (stripAsc) {
+          require(!c.toUpperCase.matches("""(?s).*\b(DESC|NULLS)\b.*"""),
+            s"MATCH_RECOGNIZE ORDER BY supports ascending order only " +
+              s"(the matcher reads the stream in ascending key order): '$c'")
+          c = c.replaceAll("""(?i)\s+ASC$""", "")
+        }
+        require(c.matches(Ident + """(\.""" + Ident + """)?"""),
+          s"MATCH_RECOGNIZE $what entries must be plain columns, got '$c' " +
+            "(compute expressions in a subquery source)")
+        c
+      }
+    val parts = colList(segOf("PARTITION", "PARTITION BY"), "PARTITION BY", stripAsc = false)
+    val orders = colList(segOf("ORDER", "ORDER BY"), "ORDER BY", stripAsc = true)
+
+    // ---- mode + skip
+    val mode = if (seg.contains("ALLROWS")) "all" else "one"
+    if (seg.contains("ALLROWS")) {
+      val rest = seg("ALLROWS").toUpperCase
+      require(!rest.contains("UNMATCHED") && !rest.contains("EMPTY"),
+        "ALL ROWS PER MATCH WITH UNMATCHED ROWS / SHOW EMPTY MATCHES is " +
+          "not supported (OMIT EMPTY MATCHES semantics only)")
+    }
+    seg.get("AFTER").foreach { a =>
+      require(a.toUpperCase.replaceAll("""\s+""", " ").trim == "SKIP PAST LAST ROW",
+        s"AFTER MATCH supports only SKIP PAST LAST ROW, got 'AFTER MATCH $a'")
+    }
+
+    // ---- PATTERN ( ... ): inner text feeds the operator's pattern
+    // parser; symbols normalize to upper case (SQL identifiers)
+    val patSeg = segOf("PATTERN", "PATTERN").trim
+    require(patSeg.startsWith("(") && closeParen(maskedUpper(patSeg), 0) == patSeg.length - 1,
+      s"PATTERN must be parenthesized: '$patSeg'")
+    val pattern = patSeg.substring(1, patSeg.length - 1).trim.toUpperCase
+    val patSyms = Ident.r.findAllIn(pattern).toSeq.distinct
+
+    // ---- DEFINE: translate S.col row refs and PREV/NEXT navigation
+    val navs = LinkedHashMap[(String, String, Int), String]()
+    val defined = seg.get("DEFINE").map(splitTop(_).map { d =>
+      val dm = ("""(?is)^(""" + Ident + """)\s+AS\s+(.+)$""").r
+      d.trim match {
+        case dm(sym, cond) => sym.toUpperCase -> cond.trim
+        case other => throw new IllegalArgumentException(
+          s"bad DEFINE entry '$other' (want SYMBOL AS condition)")
+      }
+    }).getOrElse(Nil)
+    val symSet = (patSyms ++ defined.map(_._1)).toSet
+    defined.foreach { case (s, _) =>
+      require(patSyms.contains(s),
+        s"DEFINE symbol '$s' does not appear in PATTERN ($pattern)")
+    }
+    val navRx = ("""(?i)\b(PREV|NEXT)\s*\(\s*(""" + Ident +
+      """)\s*\.\s*(""" + Ident + """)\s*(?:,\s*(\d+)\s*)?\)""").r
+    val symRefRx = ("""\b(?i:(""" + symSet.map(Regex.quote).mkString("|") +
+      """))\s*\.\s*""").r
+    def xlate(cond: String): String = {
+      val c1 = navRx.replaceAllIn(cond, h => {
+        val fn = h.group(1).toLowerCase
+        require(symSet.contains(h.group(2).toUpperCase),
+          s"$fn() argument must be SYMBOL.column, got '${h.group(2)}.${h.group(3)}'")
+        val n = Option(h.group(4)).map(_.toInt).getOrElse(1)
+        Regex.quoteReplacement(
+          navs.getOrElseUpdate((fn, h.group(3), n), s"__mr_${fn}_${h.group(3)}_$n"))
+      })
+      ("""(?i)\b(PREV|NEXT|FIRST|LAST)\s*\(""").r.findFirstIn(maskedUpper(c1)).foreach { f =>
+        throw new IllegalArgumentException(
+          s"unsupported navigation '${f.trim}...' in DEFINE condition '$cond' — " +
+            "supported: PREV/NEXT(SYMBOL.column [, n]) (classifier-history " +
+            "navigation like LAST(A.x) is not)")
+      }
+      val out = symRefRx.replaceAllIn(c1, "").trim
+      require(!out.contains(";"),
+        s"DEFINE condition may not contain ';': '$cond'")
+      out
+    }
+    val defs = (defined.map { case (s, c) => s -> xlate(c) } ++
+      patSyms.filterNot(s => defined.exists(_._1 == s)).map(_ -> "true"))
+      .map { case (s, c) => s"$s:$c" }.mkString(";")
+
+    // ---- MEASURES: the agg(SYM.field) grammar of PatternMatch.Measure
+    val measures = seg.get("MEASURES").map { mtext =>
+      require(mode == "one",
+        "MEASURES with ALL ROWS PER MATCH is not supported — ALL ROWS " +
+          "emits (keys, order, match_num, classifier); compute row " +
+          "payloads by joining back on (keys, order)")
+      splitTop(mtext).map { e0 =>
+        val asRx = ("""(?is)^(.+?)\s+AS\s+(""" + Ident + """)$""").r
+        val (ex, name) = e0.trim match {
+          case asRx(x, n) => (x.trim, n)
+          case other => throw new IllegalArgumentException(
+            s"MEASURES entry needs 'expr AS name': '$other'")
+        }
+        val aggRx = ("""(?i)^(FIRST|LAST|MIN|MAX|SUM)\s*\(\s*(""" + Ident +
+          """)\s*\.\s*(""" + Ident + """)\s*\)$""").r
+        val cntStarRx = """(?i)^COUNT\s*\(\s*\*\s*\)$""".r
+        val cntSymRx = ("""(?i)^COUNT\s*\(\s*(""" + Ident + """)\s*\.\s*\*\s*\)$""").r
+        val bareRx = ("""^(""" + Ident + """)\s*\.\s*(""" + Ident + """)$""").r
+        def sym(s: String): String = {
+          val u = s.toUpperCase
+          require(symSet.contains(u), s"unknown pattern symbol '$s' in MEASURES")
+          u
+        }
+        ex match {
+          case aggRx(agg, s, f) => s"$name:${agg.toLowerCase}:${sym(s)}:$f"
+          case cntStarRx()      => s"$name:count:*"
+          case cntSymRx(s)      => s"$name:count:${sym(s)}"
+          case bareRx(s, f) if symSet.contains(s.toUpperCase) =>
+            s"$name:last:${sym(s)}:$f" // Trino FINAL LAST semantics
+          case other => throw new IllegalArgumentException(
+            s"unsupported MEASURES expression '$other' — supported: " +
+              "FIRST/LAST/MIN/MAX/SUM(SYM.col), COUNT(*), COUNT(SYM.*), " +
+              "SYM.col (= final LAST); COUNT(SYM.col) counts rows not " +
+              "non-nulls here, spell it COUNT(SYM.*)")
+        }
+      }.mkString(",")
+    }.getOrElse("")
+
+    // ---- source: wrap with lag/lead nav columns when DEFINE used
+    // PREV/NEXT; the window clusters+sorts by the matcher's own keys,
+    // so the TVF can skip its exchange (prePartitioned=true)
+    val srcT = src.trim
+    val isSub = srcT.startsWith("(")
+    val inner = if (isSub) srcT.substring(1, srcT.length - 1).trim else srcT
+    val (srcArg, pre) =
+      if (navs.isEmpty) (inner, "false")
+      else {
+        val navCols = navs.map { case ((fn, f, n), cname) =>
+          val w = if (fn == "prev") "lag" else "lead"
+          s"$w($f, $n) OVER (PARTITION BY ${parts.mkString(", ")} " +
+            s"ORDER BY ${orders.mkString(", ")}) AS $cname"
+        }.mkString(", ")
+        val from = if (isSub) s"($inner) __graft_mr_src" else srcT
+        (s"SELECT *, $navCols FROM $from", "true")
+      }
+
+    def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    s"graft_match_recognize(${q(srcArg)}, ${q(parts.mkString(","))}, " +
+      s"${q(orders.mkString(","))}, ${q(defs)}, ${q(pattern)}, " +
+      s"${q(measures)}, ${q(mode)}, ${q(pre)})"
+  }
+
+  /** Split on top-level commas (outside parens; `s` may contain
+    * literals — commas inside them don't split because the scan walks
+    * the masked twin). */
+  private def splitTop(s: String): Seq[String] = {
+    val m = maskedUpper(s)
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < m.length) {
+      m.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Uppercased copy with quoted regions (single/double/backtick,
+    * with '' escapes) blanked to spaces — same length, so indexes map
+    * 1:1 onto the original text. */
+  private def maskedUpper(s: String): String = {
+    val out = s.toCharArray
+    var i = 0
+    while (i < out.length) {
+      val c = out(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        out(i) = ' '
+        var j = i + 1
+        var done = false
+        while (j < out.length && !done) {
+          if (out(j) == c) {
+            if (c == '\'' && j + 1 < out.length && out(j + 1) == '\'') {
+              out(j) = ' '; out(j + 1) = ' '; j += 2
+            } else { out(j) = ' '; done = true }
+          } else { out(j) = ' '; j += 1 }
+        }
+        i = j + 1
+      } else { out(i) = c.toUpper; i += 1 }
+    }
+    new String(out)
+  }
+
+  private def closeParen(m: String, open: Int): Int = {
+    var d = 0
+    var i = open
+    while (i < m.length) {
+      if (m.charAt(i) == '(') d += 1
+      else if (m.charAt(i) == ')') { d -= 1; if (d == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  private def openParen(m: String, close: Int): Int = {
+    var d = 0
+    var i = close
+    while (i >= 0) {
+      if (m.charAt(i) == ')') d += 1
+      else if (m.charAt(i) == '(') { d -= 1; if (d == 0) return i }
+      i -= 1
+    }
+    -1
+  }
+}

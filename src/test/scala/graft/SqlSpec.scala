@@ -148,6 +148,70 @@ class SqlSpec extends SparkSpec {
     assert(ts > n / 20 && ts < n / 5, s"TABLESAMPLE expected ~10% of $n, got $ts")
   }
 
+  test("Trino MATCH_RECOGNIZE clause: the SQL Lab shape parses and matches") {
+    import spark.implicits._
+    Seq((1L, 1, 10.0), (1L, 2, 8.0), (1L, 3, 6.0), (1L, 4, 9.0), (1L, 5, 11.0),
+        (2L, 1, 5.0), (2L, 2, 7.0))
+      .toDF("user_id", "seq", "price").createOrReplaceTempView("mr_ticks")
+    // plain spark.sql — the injected parser path (no GraftSql wrapper)
+    val out = spark.sql("""
+      SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY seq
+        MEASURES FIRST(D.seq) AS start_seq, LAST(D.price) AS bottom,
+          COUNT(D.*) AS n_down, LAST(U.price) AS peak
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (D+ U+)
+        DEFINE D AS D.price < PREV(D.price), U AS U.price > PREV(U.price)
+      )""").collect()
+    // user 1: 10,8,6,9,11 -> D = {seq 2,3}, U = {4,5}, one V match;
+    // user 2 only rises -> D+ never starts
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert((r.getLong(0), r.getInt(2), r.getDouble(3), r.getLong(4), r.getDouble(5)) ==
+      ((1L, 2, 6.0, 2L, 11.0)), r)
+    // ALL ROWS PER MATCH over a SUBQUERY source, through GraftSql (the
+    // trino-cli path); classifier paints each matched row
+    val all = GraftSql.sql(spark, """
+      SELECT * FROM (SELECT user_id, seq, price FROM mr_ticks WHERE price < 100)
+      MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY seq
+        ALL ROWS PER MATCH
+        PATTERN (D+ U+)
+        DEFINE D AS D.price < PREV(D.price), U AS U.price > PREV(U.price)
+      )""").collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+    assert(all.toSeq == Seq((1L, 2, "D"), (1L, 3, "D"), (1L, 4, "U"), (1L, 5, "U")),
+      all.mkString(";"))
+    // undefined pattern symbols default to TRUE (Trino semantics);
+    // bare SYM.col measure = final LAST
+    val anyRow = spark.sql("""
+      SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY seq
+        MEASURES A.price AS last_price, COUNT(*) AS n
+        PATTERN (A+)
+        DEFINE A AS A.price > 0
+      )""").collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    assert(anyRow.toSet == Set((1L, 11.0, 5L), (2L, 7.0, 2L)), anyRow.mkString(";"))
+    // unsupported Trino forms are LOUD, with the feature named
+    def failsWith(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage != null && e.getMessage.contains(needle),
+        s"wanted '$needle' in: ${e.getMessage}")
+    }
+    failsWith("""SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY seq DESC
+        PATTERN (A) DEFINE A AS A.price > 0)""", "ascending")
+    failsWith("""SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY seq
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A) DEFINE A AS A.price > 0)""", "SKIP PAST LAST ROW")
+    failsWith("""SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY seq
+        PATTERN (A) DEFINE A AS LAST(A.price) > 0)""", "navigation")
+  }
+
   test("Trino date_diff over real tables via dialect") {
     Tables.registerAll(spark, sf())
     val n = GraftSql.sql(spark,
