@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -16,6 +16,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def rw(t: String): String = MatchRecognizeSql.rewrite(t)
   override def parsePlan(sqlText: String): LogicalPlan = delegate.parsePlan(rw(sqlText))
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(rw(sqlText))
+  // must forward EXPLICITLY: the interface default discards the
+  // parameter context (falls back to bare parsePlan), which unbinds
+  // every named parameter of spark.sql(text, args)
+  override def parsePlanWithParameters(sqlText: String,
+                                       ctx: ParameterContext): LogicalPlan =
+    delegate.parsePlanWithParameters(rw(sqlText), ctx)
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
     delegate.parseTableIdentifier(sqlText)

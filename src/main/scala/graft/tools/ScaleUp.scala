@@ -47,12 +47,17 @@ import graft.engine.GraftSession
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleUp <srcSfDir> <outDir> [factor]")
+    require(args.length >= 2,
+      "usage: ScaleUp <srcSfDir> <outDir> [factor] [documents]")
     val (srcDir, outDir) = (args(0), args(1))
     val k = if (args.length > 2) args(2).toInt else 10
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("WARN")
-    scaleAll(spark, srcDir, outDir, k)
+    // docs-only mode (round-8 t21 band-ladder probe: the B=5→B=6
+    // boundary sits at 6.7M docs — factor ~1300+ on sf0.1's 5k docs —
+    // where scaling the other nine tables would be pure waste)
+    if (args.length > 3 && args(3) == "documents") scaleDocs(spark, srcDir, outDir, k)
+    else scaleAll(spark, srcDir, outDir, k)
     println(s"""{"scaleup": "$outDir", "factor": $k}""")
   }
 
@@ -108,16 +113,7 @@ object ScaleUp {
 
     // documents: per-replica deterministic word substitution + re-order
     // (see scaladoc — substitution defeats order-invariant signatures)
-    write("documents",
-      replicate("documents", Seq("doc_id" -> span("documents", "doc_id")))
-        .withColumn("text", when(col("__r") === 0, col("text")).otherwise(
-          array_join(
-            expr("""array_sort(transform(
-                 transform(split(text, ' '),
-                   w -> IF(pmod(xxhash64(w, __r), 10) < 4,
-                           concat(w, '~', __r), w)),
-                 w -> struct(xxhash64(w, __r, 7919) AS h, w AS w))).w"""),
-            " "))))
+    write("documents", scaledDocs(spark, srcDir, reps))
 
     // embeddings: rotate the vector by r positions per replica
     write("embeddings",
@@ -125,5 +121,35 @@ object ScaleUp {
         .withColumn("embedding", expr(
           """transform(sequence(0, size(embedding) - 1),
                i -> element_at(embedding, ((i + __r) % size(embedding)) + 1))""")))
+  }
+
+  /** The documents table's replica transform, shared by [[scaleAll]]
+    * and the docs-only mode. */
+  private def scaledDocs(spark: SparkSession, srcDir: String,
+                         reps: DataFrame): DataFrame = {
+    val span = Tables(spark, srcDir, "documents")
+      .agg(max(col("doc_id"))).head.getLong(0) + 1L
+    Tables(spark, srcDir, "documents").crossJoin(broadcast(reps))
+      .withColumn("doc_id", col("doc_id") + col("__r") * span)
+      .withColumn("text", when(col("__r") === 0, col("text")).otherwise(
+        array_join(
+          expr("""array_sort(transform(
+               transform(split(text, ' '),
+                 w -> IF(pmod(xxhash64(w, __r), 10) < 4,
+                         concat(w, '~', __r), w)),
+               w -> struct(xxhash64(w, __r, 7919) AS h, w AS w))).w"""),
+          " ")))
+  }
+
+  /** Docs-only scale-up (band-ladder probes). Repartitions the output
+    * so a many-hundred-replica corpus lands as parallel-readable files
+    * rather than one giant row group per source file. */
+  def scaleDocs(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
+    val reps = spark.range(0, k).select(col("id").cast("int").as("__r"))
+    scaledDocs(spark, srcDir, reps)
+      .drop("__r")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    println(s"scaled documents x$k")
   }
 }
