@@ -53,11 +53,15 @@ object ScaleUp {
     val k = if (args.length > 2) args(2).toInt else 10
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("WARN")
-    // docs-only mode (round-8 t21 band-ladder probe: the B=5→B=6
-    // boundary sits at 6.7M docs — factor ~1300+ on sf0.1's 5k docs —
-    // where scaling the other nine tables would be pure waste)
-    if (args.length > 3 && args(3) == "documents") scaleDocs(spark, srcDir, outDir, k)
-    else scaleAll(spark, srcDir, outDir, k)
+    // single-table modes (round-8 probes: the t21 band ladder needs a
+    // 1300x+ docs-only corpus; the v04 artifact fix needs sf10's
+    // embeddings regenerated — scaling the other tables is pure waste)
+    args.drop(3).headOption match {
+      case Some("documents") => scaleDocs(spark, srcDir, outDir, k)
+      case Some("embeddings") => scaleEmbeddings(spark, srcDir, outDir, k)
+      case Some(other) => sys.error(s"unknown table mode '$other'")
+      case None => scaleAll(spark, srcDir, outDir, k)
+    }
     println(s"""{"scaleup": "$outDir", "factor": $k}""")
   }
 
@@ -115,12 +119,45 @@ object ScaleUp {
     // (see scaladoc — substitution defeats order-invariant signatures)
     write("documents", scaledDocs(spark, srcDir, reps))
 
-    // embeddings: rotate the vector by r positions per replica
-    write("embeddings",
-      replicate("embeddings", Seq("vec_id" -> span("embeddings", "vec_id")))
-        .withColumn("embedding", expr(
-          """transform(sequence(0, size(embedding) - 1),
-               i -> element_at(embedding, ((i + __r) % size(embedding)) + 1))""")))
+    // embeddings: rotate the vector by r positions per replica, AND —
+    // once r wraps past the dimension count — flip signs by a
+    // wrap-keyed per-position hash. Rotation ALONE is cyclic in dim:
+    // replicas r and r+dim get the IDENTICAL transform, so any factor
+    // > dim (the 100x probe at dim=64) mints exact cross-replica
+    // duplicates — the round-8 v04 probe at the 0.6 design threshold
+    // measured exactly 36 replica-pairs x 2000 vectors = 72k bogus
+    // answer pairs. Sign flips preserve norms and per-dimension
+    // magnitude distributions while scrambling cosine across wraps
+    // (~half the terms negate); replicas below one wrap are
+    // byte-identical to the old generator, keeping sf1 comparable.
+    write("embeddings", scaledEmbeddings(spark, srcDir, reps))
+  }
+
+  /** The embeddings table's replica transform (see the scaleAll
+    * comment), shared with the embeddings-only mode. */
+  private def scaledEmbeddings(spark: SparkSession, srcDir: String,
+                               reps: DataFrame): DataFrame = {
+    val span = Tables(spark, srcDir, "embeddings")
+      .agg(max(col("vec_id"))).head.getLong(0) + 1L
+    Tables(spark, srcDir, "embeddings").crossJoin(broadcast(reps))
+      .withColumn("vec_id", col("vec_id") + col("__r") * span)
+      .withColumn("embedding", expr(
+        """transform(sequence(0, size(embedding) - 1),
+             i -> CAST(element_at(embedding, ((i + __r) % size(embedding)) + 1)
+                  * IF(__r < size(embedding)
+                       OR pmod(xxhash64(i, CAST(FLOOR(__r / size(embedding)) AS INT)), 2) = 0,
+                       1.0D, -1.0D) AS FLOAT))"""))
+  }
+
+  /** Embeddings-only scale-up (ANN probes; same rationale as
+    * [[scaleDocs]]). */
+  def scaleEmbeddings(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
+    val reps = spark.range(0, k).select(col("id").cast("int").as("__r"))
+    scaledEmbeddings(spark, srcDir, reps)
+      .drop("__r")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    println(s"scaled embeddings x$k")
   }
 
   /** The documents table's replica transform, shared by [[scaleAll]]
