@@ -210,23 +210,29 @@ object MatchRecognizeSql {
       patSyms.filterNot(s => defined.exists(_._1 == s)).map(_ -> "true"))
       .map { case (s, c) => s"$s:$c" }.mkString(";")
 
-    // ---- MEASURES: the agg(SYM.field) grammar of PatternMatch.Measure
+    // ---- MEASURES: the agg(SYM.field) grammar of PatternMatch.Measure;
+    // MATCH_NUMBER() rides as a post-select alias of the TVF's own
+    // match_num column
+    var mnAliases = List.empty[String]
+    var measureNames = List.empty[String]
     val measures = seg.get("MEASURES").map { mtext =>
       require(mode == "one",
         "MEASURES with ALL ROWS PER MATCH is not supported — ALL ROWS " +
           "emits (keys, order, match_num, classifier); compute row " +
           "payloads by joining back on (keys, order)")
-      splitTop(mtext).map { e0 =>
+      splitTop(mtext).flatMap { e0 =>
         val asRx = ("""(?is)^(.+?)\s+AS\s+(""" + Ident + """)$""").r
         val (ex, name) = e0.trim match {
           case asRx(x, n) => (x.trim, n)
           case other => throw new IllegalArgumentException(
             s"MEASURES entry needs 'expr AS name': '$other'")
         }
+        measureNames :+= name
         val aggRx = ("""(?i)^(FIRST|LAST|MIN|MAX|SUM)\s*\(\s*(""" + Ident +
           """)\s*\.\s*(""" + Ident + """)\s*\)$""").r
         val cntStarRx = """(?i)^COUNT\s*\(\s*\*\s*\)$""".r
         val cntSymRx = ("""(?i)^COUNT\s*\(\s*(""" + Ident + """)\s*\.\s*\*\s*\)$""").r
+        val mnRx = """(?i)^MATCH_NUMBER\s*\(\s*\)$""".r
         val bareRx = ("""^(""" + Ident + """)\s*\.\s*(""" + Ident + """)$""").r
         def sym(s: String): String = {
           val u = s.toUpperCase
@@ -234,16 +240,17 @@ object MatchRecognizeSql {
           u
         }
         ex match {
-          case aggRx(agg, s, f) => s"$name:${agg.toLowerCase}:${sym(s)}:$f"
-          case cntStarRx()      => s"$name:count:*"
-          case cntSymRx(s)      => s"$name:count:${sym(s)}"
+          case aggRx(agg, s, f) => Some(s"$name:${agg.toLowerCase}:${sym(s)}:$f")
+          case cntStarRx()      => Some(s"$name:count:*")
+          case cntSymRx(s)      => Some(s"$name:count:${sym(s)}")
+          case mnRx()           => mnAliases :+= name; None
           case bareRx(s, f) if symSet.contains(s.toUpperCase) =>
-            s"$name:last:${sym(s)}:$f" // Trino FINAL LAST semantics
+            Some(s"$name:last:${sym(s)}:$f") // Trino FINAL LAST semantics
           case other => throw new IllegalArgumentException(
             s"unsupported MEASURES expression '$other' — supported: " +
               "FIRST/LAST/MIN/MAX/SUM(SYM.col), COUNT(*), COUNT(SYM.*), " +
-              "SYM.col (= final LAST); COUNT(SYM.col) counts rows not " +
-              "non-nulls here, spell it COUNT(SYM.*)")
+              "MATCH_NUMBER(), SYM.col (= final LAST); COUNT(SYM.col) " +
+              "counts rows not non-nulls here, spell it COUNT(SYM.*)")
         }
       }.mkString(",")
     }.getOrElse("")
@@ -267,9 +274,17 @@ object MatchRecognizeSql {
       }
 
     def q(s: String): String = "'" + s.replace("'", "''") + "'"
-    s"graft_match_recognize(${q(srcArg)}, ${q(parts.mkString(","))}, " +
+    val call = s"graft_match_recognize(${q(srcArg)}, ${q(parts.mkString(","))}, " +
       s"${q(orders.mkString(","))}, ${q(defs)}, ${q(pattern)}, " +
       s"${q(measures)}, ${q(mode)}, ${q(pre)})"
+    // MATCH_NUMBER() measures alias the TVF's own match_num in a
+    // post-select that restores the declared measure order
+    if (mnAliases.isEmpty) call
+    else {
+      val outs = parts ++ Seq("match_num") ++ measureNames.map(n =>
+        if (mnAliases.contains(n)) s"match_num AS $n" else n)
+      s"(SELECT ${outs.mkString(", ")} FROM $call)"
+    }
   }
 
   /** Split on top-level commas (outside parens; `s` may contain

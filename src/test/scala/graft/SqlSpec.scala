@@ -194,6 +194,14 @@ class SqlSpec extends SparkSpec {
         DEFINE A AS A.price > 0
       )""").collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
     assert(anyRow.toSet == Set((1L, 11.0, 5L), (2L, 7.0, 2L)), anyRow.mkString(";"))
+    // MATCH_NUMBER() measures ride as post-select aliases of match_num
+    val mn = spark.sql("""
+      SELECT mn, n FROM mr_ticks MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY seq
+        MEASURES MATCH_NUMBER() AS mn, COUNT(*) AS n
+        PATTERN (A+) DEFINE A AS A.price > 0
+      )""").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mn.toSet == Set((1L, 5L), (1L, 2L)), mn.mkString(";"))
     // unsupported Trino forms are LOUD, with the feature named
     def failsWith(sql: String, needle: String): Unit = {
       val e = intercept[Exception](spark.sql(sql).collect())
