@@ -588,6 +588,19 @@ class GraftCatalogSpec extends SparkSpec {
     // aux.m max is 70: id=30 qualifies (x2), id=31 qualifies; all insert
     assert(sql("SELECT count(*) FROM gcat.db30.t").head().getLong(0) == nBefore + 3)
     assert(sql("SELECT count(*) FROM gcat.db30.t WHERE id = 30").head().getLong(0) == 2)
+    // cardinality: two DISTINCT-valued source rows matching one target
+    // row still violate through the pair-set lowering (identical-valued
+    // duplicates would collapse — the documented row-value delta)
+    val card = intercept[Exception] {
+      sql("""MERGE INTO gcat.db30.t AS t
+             USING (SELECT * FROM VALUES (CAST(2 AS BIGINT), 'X'),
+                      (CAST(2 AS BIGINT), 'Y') AS x(id, nv)) AS s
+             ON t.id = s.id
+             WHEN MATCHED AND EXISTS (SELECT 1 FROM gcat.db30.aux a
+                                      WHERE a.k = t.id)
+               THEN UPDATE SET v = s.nv""")
+    }
+    assert(card.getMessage.contains("cardinality"), card.getMessage)
     // NOT MATCHED BY SOURCE with a correlated condition: loud error
     val err = intercept[Exception] {
       sql("""MERGE INTO gcat.db30.t AS t
