@@ -1266,6 +1266,87 @@ object TextOps {
           COUNT(*) AS n_docs, CAST(SUM(c.toks) AS BIGINT) AS mix_tokens
         FROM c JOIN budgets b ON b.source = c.source
         WHERE c.cum <= b.budget_tokens
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // Cross-document repeated-substring (boilerplate) detection — the
+    // exact-substring tier of training-data dedup (Lee et al.,
+    // "Deduplicating Training Data Makes Language Models Better",
+    // ACL'22): a word 8-gram occurring in >=2 DISTINCT docs is
+    // boilerplate (headers, license blocks, templated spans — content
+    // document-level dedup can't see because the surrounding text
+    // differs); every token covered by any such window is removable.
+    // Lee et al. use 50-token windows over a suffix array; the
+    // shuffle-parallel re-expression is sliding-gram hashing — window
+    // length is a corpus knob (8 here: synthetic docs average ~60
+    // tokens), detection is exact either way. Distinct from t01 (whole-
+    // doc dup), t04/t02 (doc-level near-dup) and t13 (grams vs a FIXED
+    // eval set): the dup set here is corpus-global, self-referential.
+    // Per doc: token count, dup-gram occurrences, tokens covered by
+    // >=1 dup window, the post-removal token count, boilerplate
+    // fraction. (Exact duplicate docs with >=8 tokens come out
+    // bp_frac=1.0 — every window repeats — asserted vs t01 in
+    // TextRecallSpec.)
+    //
+    // SCALE: linear explode (L-7 grams/doc), the global count keyed on
+    // md5(gram) — fixed 32-byte shuffle keys however long the text
+    // window is (at 50-token windows raw keys would be ~10x wider) and
+    // collision-safe at corpus scale (128 bits vs ~2^47 distinct grams
+    // per 100 TB). Coverage is a per-doc COUNT(DISTINCT pos) over an
+    // 8x-bounded explode of hit windows — all shuffles key on gram
+    // hash or doc_id, nothing corpus-sized is collected or broadcast,
+    // no join ever exceeds the hit set. A doc's gram rows fan out
+    // linearly, so skew is bounded by the longest DOCUMENT, not by
+    // gram popularity (the md5 count absorbs popular grams map-side).
+    QueryEntry("t23_boilerplate",
+      (s, d) => {
+        val base = docs(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .selectExpr("doc_id",
+            "filter(split(lower(coalesce(text, '')), ' '), w -> length(w) > 0) AS ws")
+        val grams = base.filter(size(col("ws")) >= 8)
+          .selectExpr("doc_id",
+            """explode(transform(sequence(0, size(ws) - 8),
+                 i -> struct(i + 1 AS i, md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2],
+                   ws[i+3], ws[i+4], ws[i+5], ws[i+6], ws[i+7])) AS h))) AS gi""")
+          .selectExpr("doc_id", "gi.i AS i", "gi.h AS h")
+        val dup = grams.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        val hits = grams.join(dup, "h").select("doc_id", "i")
+        val cov = hits.selectExpr("doc_id", "explode(sequence(i, i + 7)) AS p")
+          .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("n_covered"))
+        val nh = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
+        base.selectExpr("doc_id", "CAST(size(ws) AS BIGINT) AS n_tokens")
+          .join(nh, Seq("doc_id"), "left").join(cov, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+            coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+            (col("n_tokens") - coalesce(col("n_covered"), lit(0L))).as("kept_tokens"),
+            when(col("n_tokens") > 0,
+              round(coalesce(col("n_covered"), lit(0L)).cast("double") / col("n_tokens"), 6))
+              .otherwise(lit(0.0)).as("bp_frac"))
+      },
+      Some("""WITH base AS (SELECT doc_id,
+            LIST_FILTER(STRING_SPLIT(LOWER(COALESCE(text, '')), ' '), w -> LEN(w) > 0) AS ws
+          FROM documents),
+        idx AS (SELECT doc_id, ws, UNNEST(RANGE(1, LEN(ws) - 6)) AS i
+          FROM base WHERE LEN(ws) >= 8),
+        grams AS (SELECT doc_id, i,
+            MD5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]) AS h
+          FROM idx),
+        dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, i FROM grams JOIN dup USING (h)),
+        cov AS (SELECT doc_id, COUNT(DISTINCT p) AS n_covered FROM
+          (SELECT doc_id, UNNEST(RANGE(i, i + 8)) AS p FROM hits) GROUP BY doc_id),
+        nh AS (SELECT doc_id, COUNT(*) AS n_dup_grams FROM hits GROUP BY doc_id)
+        SELECT b.doc_id, LEN(b.ws) AS n_tokens,
+          COALESCE(nh.n_dup_grams, 0) AS n_dup_grams,
+          COALESCE(cov.n_covered, 0) AS n_covered,
+          LEN(b.ws) - COALESCE(cov.n_covered, 0) AS kept_tokens,
+          CASE WHEN LEN(b.ws) > 0
+            THEN ROUND(CAST(COALESCE(cov.n_covered, 0) AS DOUBLE) / LEN(b.ws), 6)
+            ELSE 0.0 END AS bp_frac
+        FROM base b LEFT JOIN nh USING (doc_id) LEFT JOIN cov USING (doc_id)"""))
   )
 }

@@ -544,6 +544,38 @@ object VectorOps {
         SELECT id_q, id_c, rn, ROUND(qcos, 6) AS qcos_sim FROM ranked WHERE rn <= 3"""
   }
 
+  /** v08's oracle — same persisted-centroid-literals mechanism as
+    * [[v07OracleSql]] (and the same memoization caveats): assignment
+    * and in-cell cosines re-derived in pure DuckDB list arithmetic
+    * over the SAME trained centroid table the Spark entry broadcasts. */
+  private def v08OracleSql: String = {
+    val d = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+    val s = SparkSession.getActiveSession.getOrElse(graft.engine.GraftSession.create())
+    val root = ensureIndex(s, d)
+    val cents = s.read.parquet(s"$root/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+    val vals = cents.map { case (id, v) => s"($id, [${v.mkString(",")}])" }.mkString(",")
+    s"""WITH $oVecs,
+        cents0(cent_id, vc0) AS (VALUES $vals),
+        cents AS (SELECT CAST(cent_id AS BIGINT) AS cent_id, vc0 AS vc,
+            LIST_SUM(LIST_TRANSFORM(vc0, x -> x * x)) AS nc2 FROM cents0),
+        scored AS (SELECT a.vec_id AS id_v, c.cent_id,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * c.vc[i]))
+                / (SQRT(a.n2) * SQRT(c.nc2)) DESC, c.cent_id) AS crn
+          FROM en a, cents c),
+        assigned AS (SELECT id_v, cent_id FROM scored WHERE crn = 1),
+        pairs AS (SELECT x.cent_id, x.id_v AS id_a, y.id_v AS id_b,
+            LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * b.v[i]))
+              / (SQRT(a.n2) * SQRT(b.n2)) AS cos
+          FROM assigned x JOIN assigned y ON x.cent_id = y.cent_id AND x.id_v < y.id_v
+          JOIN en a ON a.vec_id = x.id_v JOIN en b ON b.vec_id = y.id_v)
+        SELECT id_b AS vec_id, cent_id, MIN(id_a) AS dom_id, COUNT(*) AS n_dom,
+          ROUND(MAX(cos), 6) AS max_cos
+        FROM pairs WHERE cos >= 0.35 GROUP BY 1, 2"""
+  }
+
   /** Hard cap on the brute-force all-pairs path (v01). Above this the
     * pair space (n^2/2) stops being a calibration-sized job and v01
     * would be a scale-killer pointed at a corpus — which is v04's job.
@@ -837,6 +869,52 @@ object VectorOps {
           .filter(col("rn") <= 3)
           .select(col("id_q"), col("id_c"), col("rn"), round(col("qcos"), 6).as("qcos_sim"))
       },
-      Some(v07OracleSql))
+      Some(v07OracleSql)),
+
+    // ------------------------------------------------------------------
+    // Semantic dedup (the SemDeDup recipe — Abbas et al. 2023,
+    // arXiv:2303.09540): k-means cells from the TRAINED [[VectorIndex]]
+    // bound the candidate space, and inside each cell any vector with a
+    // LOWER-id neighbor at cosine >= 0.35 is semantically redundant —
+    // the deterministic greedy keep-lowest-id variant of the paper's
+    // per-cluster pruning. Distinct from t09/v04 (LSH over raw
+    // vectors, pair OUTPUT): this is the drop-DECISION operator — per
+    // dominated vector it reports its cell, the smallest dominating
+    // id, how many in-cell neighbors dominate it, and the strongest
+    // cosine; the kept set is everything absent from the output.
+    //
+    // SCALE: assignment is one broadcast of k metadata-sized centroids
+    // + a narrow per-row argmax; the pair join is an equi-join ON THE
+    // CELL — expected pairs per cell (N/k)^2/2, so k grows with the
+    // corpus (k ~ sqrt(N) keeps per-cell work flat; the index trains
+    // k as a corpus knob, fixed 10 at gate scale). Nothing all-pairs,
+    // nothing corpus-sized on the driver; cells are spherical-balanced
+    // (v07 note) so the cell join has no runaway key.
+    QueryEntry("v08_semantic_dedup",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cents = indexCentroids(s, d)
+        val assigned = e
+          .select(col("vec_id").as("id_v"), col("v").as("va"), col("n2").as("na2"))
+          .crossJoin(broadcast(cents))
+          .selectExpr("id_v", "va", "na2", "cent_id",
+            "vector_dot(va, vc) / (SQRT(na2) * SQRT(nc2)) AS ccos")
+          .withColumn("crn", row_number().over(
+            Window.partitionBy(col("id_v")).orderBy(col("ccos").desc, col("cent_id"))))
+          .filter(col("crn") === 1)
+          .select(col("id_v"), col("va"), col("na2"), col("cent_id"))
+        val l = assigned.select(col("id_v").as("id_a"), col("va"),
+          col("na2"), col("cent_id"))
+        val r = assigned.select(col("id_v").as("id_b"), col("va").as("vb"),
+          col("na2").as("nb2"), col("cent_id"))
+        l.join(r, Seq("cent_id")).filter(col("id_a") < col("id_b"))
+          .selectExpr("cent_id", "id_a", "id_b",
+            s"$dotExpr / (SQRT(na2) * SQRT(nb2)) AS cos")
+          .filter(col("cos") >= 0.35)
+          .groupBy(col("id_b").as("vec_id"), col("cent_id"))
+          .agg(min(col("id_a")).as("dom_id"), count(lit(1)).as("n_dom"),
+            round(max(col("cos")), 6).as("max_cos"))
+      },
+      Some(v08OracleSql))
   )
 }

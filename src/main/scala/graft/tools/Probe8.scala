@@ -60,6 +60,36 @@ object Probe8 {
           val secs = (System.nanoTime() - t0) / 1e9
           s"""{"probe":"t21","dir":"$dir","n":$nd,"blocks":$b,""" +
             s""""pairs":$pairs,"sec":${f3(secs)},"loadavg_before":$load}"""
+        case "t23" =>
+          // boilerplate detection: ONE action folding the per-doc
+          // report to corpus totals (rows == docs, so a bare count
+          // would measure nothing about the dup-gram volume)
+          val dir = parts(1)
+          val r = graft.SparkEntry.queries("t23_boilerplate")(spark, dir)
+            .agg(org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("docs"),
+              org.apache.spark.sql.functions.sum("n_dup_grams").as("dups"),
+              org.apache.spark.sql.functions.sum("n_covered").as("cov"))
+            .collect()(0)
+          val secs = (System.nanoTime() - t0) / 1e9
+          s"""{"probe":"t23","dir":"$dir","docs":${r.getLong(0)},""" +
+            s""""dup_grams":${r.getLong(1)},"covered":${r.getLong(2)},""" +
+            s""""sec":${f3(secs)},"loadavg_before":$load}"""
+        case "v08" =>
+          // semantic dedup: first invocation on a fresh dir pays the
+          // index TRAIN (ensureIndex persists it) — the A/B discipline
+          // runs each spec twice and reads the warm number
+          val dir = parts(1)
+          val r = graft.SparkEntry.queries("v08_semantic_dedup")(spark, dir)
+            .agg(org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("dropped"),
+              org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.sum("n_dom"),
+                org.apache.spark.sql.functions.lit(0L)).as("pairs"))
+            .collect()(0)
+          val secs = (System.nanoTime() - t0) / 1e9
+          s"""{"probe":"v08","dir":"$dir","dropped":${r.getLong(0)},""" +
+            s""""pairs":${r.getLong(1)},"sec":${f3(secs)},"loadavg_before":$load}"""
         case other => sys.error(s"unknown probe '$other'")
       }
       println(json)

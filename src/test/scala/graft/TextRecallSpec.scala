@@ -136,4 +136,60 @@ class TextRecallSpec extends SparkSpec {
     assert(tiers == tiers.sorted, s"non-monotone tiers: $tiers")
     assert(tiers.last == 12, "cap tier reachable")
   }
+
+  test("t23 boilerplate: per-doc coverage invariants at the gate corpus") {
+    val out = SparkEntry.queries("t23_boilerplate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(out.size == 500, "one row per document")
+    // invariants: coverage within [0, n_tokens]; kept is the complement;
+    // a doc shorter than the 8-token window can never be covered
+    out.foreach { case (id, (nt, ndup, ncov, kept, frac)) =>
+      assert(ncov >= 0 && ncov <= nt, s"doc $id coverage $ncov outside [0, $nt]")
+      assert(kept == nt - ncov, s"doc $id kept $kept != $nt - $ncov")
+      if (nt < 8) assert(ncov == 0 && ndup == 0, s"doc $id shorter than the window but covered")
+      if (ndup == 0) assert(ncov == 0, s"doc $id covered without a dup-gram hit")
+      if (ncov > 0) assert(ndup > 0 && frac > 0.0)
+    }
+    // the corpus has NO byte-identical doc twins (t01 n_dups = 0), yet
+    // overlapping shared windows still fully cover some docs
+    assert(out.values.exists(_._5 == 1.0), "expected fully-covered docs at sf0.01")
+    // a doc whose every 8-gram is unique corpus-wide keeps every token
+    assert(out.values.exists { case (nt, ndup, _, _, _) => nt >= 8 && ndup == 0 },
+      "expected some fully-unique docs at sf0.01")
+    info(s"t23: ${out.values.count(_._3 > 0)} of 500 docs carry boilerplate")
+  }
+
+  test("t23 boilerplate: hand-computed planted fixture (twin, partial overlap, short, NULL)") {
+    // planted corpus, every expected row derived by hand:
+    //   0/1 identical 12-token twins        -> every window dup, frac 1.0
+    //   2   12 unique tokens                -> zero coverage
+    //   3   shares ONE 8-gram with 0 (c..j at start 3) -> 8 covered, 4 kept
+    //   4   7 tokens (shorter than window)  -> zero grams, zero coverage
+    //   5   NULL text                       -> 0 tokens, frac 0.0
+    val tmp = java.nio.file.Files.createTempDirectory("t23corpus").toString
+    import spark.implicits._
+    Seq(
+      (0L, "a b c d e f g h i j k l"),
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "m n o p q r s t u v w x"),
+      (3L, "z1 z2 c d e f g h i j z3 z4"),
+      (4L, "p1 p2 p3 p4 p5 p6 p7"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("t23_boilerplate")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    val expected = Map(
+      0L -> (12L, 5L, 12L, 0L, 1.0),
+      1L -> (12L, 5L, 12L, 0L, 1.0),
+      2L -> (12L, 0L, 0L, 12L, 0.0),
+      3L -> (12L, 1L, 8L, 4L, 0.666667),
+      4L -> (7L, 0L, 0L, 7L, 0.0),
+      5L -> (0L, 0L, 0L, 0L, 0.0))
+    assert(got == expected, s"planted fixture mismatch: $got")
+  }
 }

@@ -249,4 +249,36 @@ class VectorRecallSpec extends SparkSpec {
     assert(hitsQ >= 8,
       s"v07 trained-cell quantized recall@3 fell below 8/15: $hitsQ")
   }
+
+  test("v08 semantic dedup: sound vs exact pairs, greedy-min dominator, cluster recall") {
+    // exact ground truth: v01's brute-force pairs at the same 0.35
+    // threshold, keyed by the higher id (the one v08 may drop)
+    val exact = q("v01_cosine_pairs").select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val partners = exact.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).toSet }
+    val out = q("v08_semantic_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty, "v08 dropped nothing at sf0.01 — test data changed?")
+    assert(out.map(_._1).distinct.length == out.length, "one verdict row per dropped vector")
+    out.foreach { case (b, _, dom, nDom, maxCos) =>
+      // greedy keep-lowest-id: the dominator always precedes the dropped
+      assert(dom < b, s"dominator $dom does not precede dropped $b")
+      // SOUND: every claimed domination is a true >=0.35 cosine pair
+      // (cell-scoping can only REMOVE candidates, never invent one)
+      assert(partners.getOrElse(b, Set.empty).contains(dom),
+        s"v08 claims $dom dominates $b but the exact pair set disagrees")
+      assert(nDom >= 1 && nDom <= partners(b).size,
+        s"$b: n_dom $nDom outside [1, ${partners(b).size}]")
+      assert(maxCos >= 0.35 && maxCos <= 1.0, s"$b: max_cos $maxCos out of range")
+    }
+    // cluster recall: fraction of exact pairs landing in one cell. k=10
+    // cells at 500 vecs — random assignment would capture ~1/k = 0.10;
+    // trained cells measure 0.417 (113/271): the clustering genuinely
+    // concentrates semantic neighbors. Floor safely under the measured
+    // fixed value (deterministic index + corpus).
+    val captured = out.map(_._4).sum
+    val recall = captured.toDouble / exact.length
+    info(f"v08 cluster pair recall = $recall%.3f ($captured/${exact.length})")
+    assert(recall >= 0.35, f"v08 cluster recall $recall%.3f below floor 0.35")
+  }
 }
