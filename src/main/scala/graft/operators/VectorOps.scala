@@ -477,13 +477,24 @@ object VectorOps {
 
   /** Build-or-load the per-dir trained index; concurrent/crashed builds
     * resolve via build-to-temp + atomic rename. Returns the root. */
-  private[operators] def ensureIndex(s: SparkSession, d: String): String = synchronized {
-    val root = indexRootFor(d)
+  /** v08's cell-count law: SemDeDup's candidate space is N²/2k pairs
+    * (k cells of N/k, all-pairs inside each), so fixed k is quadratic
+    * at scale. k = max(10, ceil(sqrt(N/5))) puts total candidate work
+    * at ~sqrt(5)/2 · N^1.5 — the same N^1.5 family as v04's banded-LSH
+    * candidate law — while leaving the sf0.01 gate corpus (N=500) at
+    * exactly the k=10 index v05/v07 share, so the oracle numbers are
+    * untouched. Per-cell expected population ~sqrt(5N) keeps every
+    * cell's pair block executor-sized at any corpus. */
+  private[graft] def dedupCellsFor(n: Long): Int =
+    math.max(10, math.ceil(math.sqrt(n / 5.0)).toInt)
+
+  private[operators] def ensureIndex(s: SparkSession, d: String, k: Int = 10): String = synchronized {
+    val root = if (k == 10) indexRootFor(d) else s"${indexRootFor(d)}-k$k"
     val marker = java.nio.file.Paths.get(root, "centroids", "_SUCCESS")
     if (!java.nio.file.Files.exists(marker)) {
       val tmp = root + "-build-" + java.util.UUID.randomUUID().toString.take(8)
       VectorIndex.build(s, Tables(s, d, "embeddings").select("vec_id", "embedding"),
-        tmp, nCentroids = 10, seed = 42L)
+        tmp, nCentroids = k, seed = 42L)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root).getParent)
       try java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
         java.nio.file.Paths.get(root), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -500,9 +511,9 @@ object VectorOps {
 
   /** The index's centroid table as the assignment-side DataFrame —
     * metadata-sized (fixed k), double-cast once, norms precomputed. */
-  private[operators] def indexCentroids(s: SparkSession, d: String): DataFrame = {
+  private[operators] def indexCentroids(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val root = ensureIndex(s, d)
+    val root = ensureIndex(s, d, k)
     s.read.parquet(s"$root/centroids")
       .selectExpr("cent_id", "transform(centroid, x -> CAST(x AS DOUBLE)) AS vc")
       .selectExpr("cent_id", "vc", "vector_dot(vc, vc) AS nc2")
@@ -551,7 +562,8 @@ object VectorOps {
   private def v08OracleSql: String = {
     val d = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
     val s = SparkSession.getActiveSession.getOrElse(graft.engine.GraftSession.create())
-    val root = ensureIndex(s, d)
+    val n = Tables(s, d, "embeddings").count()
+    val root = ensureIndex(s, d, dedupCellsFor(n))
     val cents = s.read.parquet(s"$root/centroids").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
       .sortBy(_._1)
@@ -885,15 +897,19 @@ object VectorOps {
     //
     // SCALE: assignment is one broadcast of k metadata-sized centroids
     // + a narrow per-row argmax; the pair join is an equi-join ON THE
-    // CELL — expected pairs per cell (N/k)^2/2, so k grows with the
-    // corpus (k ~ sqrt(N) keeps per-cell work flat; the index trains
-    // k as a corpus knob, fixed 10 at gate scale). Nothing all-pairs,
-    // nothing corpus-sized on the driver; cells are spherical-balanced
-    // (v07 note) so the cell join has no runaway key.
+    // CELL with k GROWING with the corpus ([[dedupCellsFor]]: k =
+    // max(10, sqrt(N/5)) caps total candidate work at ~N^1.5, the v04
+    // law family; per-cell population ~sqrt(5N) keeps each pair block
+    // executor-sized — fixed k would be N²/2k, a quadratic scale-
+    // killer). The count feeding the law is a parquet metadata read.
+    // Nothing all-pairs, nothing corpus-sized on the driver; cells are
+    // spherical-balanced (v07 note) so the cell join has no runaway
+    // key.
     QueryEntry("v08_semantic_dedup",
       (s, d) => {
         val e = vecs(s, d)
-        val cents = indexCentroids(s, d)
+        val n = Tables(s, d, "embeddings").count()
+        val cents = indexCentroids(s, d, dedupCellsFor(n))
         val assigned = e
           .select(col("vec_id").as("id_v"), col("v").as("va"), col("n2").as("na2"))
           .crossJoin(broadcast(cents))

@@ -281,4 +281,22 @@ class VectorRecallSpec extends SparkSpec {
     info(f"v08 cluster pair recall = $recall%.3f ($captured/${exact.length})")
     assert(recall >= 0.35, f"v08 cluster recall $recall%.3f below floor 0.35")
   }
+
+  test("v08 cell-count law: gate anchor, monotone, N^1.5 candidate work") {
+    import graft.operators.VectorOps.dedupCellsFor
+    // the gate corpus must land on EXACTLY the k=10 index v05/v07
+    // share — that anchors the oracle numbers
+    assert(dedupCellsFor(500) == 10)
+    // monotone in N, never below the floor
+    val ns = Seq(1L, 500L, 5000L, 50000L, 500000L, 5000000L, 5L * 1000 * 1000 * 1000)
+    val ks = ns.map(dedupCellsFor)
+    assert(ks == ks.sorted && ks.forall(_ >= 10), s"law not monotone: $ks")
+    // total candidate work N^2/2k must stay within the N^1.5 family:
+    // 100x the corpus => <= ~1000x the pairs (plus law rounding slack),
+    // never the 10000x a fixed k would give
+    for (Seq(a, b) <- ns.filter(_ >= 500).sliding(2).map(_.toSeq).toSeq if b == a * 10) {
+      val growth = (b.toDouble * b / dedupCellsFor(b)) / (a.toDouble * a / dedupCellsFor(a))
+      assert(growth <= 35.0, s"pair-work growth $growth for 10x at N=$a exceeds the N^1.5 law")
+    }
+  }
 }
