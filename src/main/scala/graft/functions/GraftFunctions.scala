@@ -108,7 +108,28 @@ object GraftFunctions {
     // graft-native UDTF (SURVEY §2.6 generator row): one row per
     // contiguous n-gram; SELECT-list generator or LATERAL VIEW.
     "ngrams" -> { exprs: Seq[Expression] =>
-      NgramsGenerator(exprs(0), exprs(1)) })
+      NgramsGenerator(exprs(0), exprs(1)) },
+    // Spark's own runtime-filter kernel pair, exposed as SQL functions
+    // (the build/probe halves of a semi-join bloom prefilter — what
+    // InjectRuntimeFilter plants automatically when stats allow, made
+    // available as an explicit operator for build/probe pipelines like
+    // t24 where the build side is computed, not a scanned table):
+    //   bloom_build(x, est_items, num_bits)  — aggregate; distributed
+    //     partial blooms over xxhash64(x), merged into one serialized
+    //     bitset (the only thing that crosses the wire);
+    //   might_contain(bf, x) — codegen'd probe of xxhash64(x) against
+    //     a bloom CONSTANT (literal bytes or scalar subquery). No
+    //     false negatives by construction; false positives must be
+    //     removed by an exact verify downstream.
+    "bloom_build" -> { exprs: Seq[Expression] =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new XxHash64(Seq(exprs(0))),
+        Cast(exprs(1), org.apache.spark.sql.types.LongType),
+        Cast(exprs(2), org.apache.spark.sql.types.LongType)).toAggregateExpression()
+    },
+    "might_contain" -> { exprs: Seq[Expression] =>
+      BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1))))
+    })
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v, _) => String.valueOf(v).toInt

@@ -22,6 +22,33 @@ object TextOps {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
 
+  /** Distinct word 5-grams per doc — the shared front half of the
+    * decontamination entries (t13 broadcast-verify / t24 bloom-probe;
+    * one spelling so the two are provably the same overlap measure). */
+  private def wordFiveGrams(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .selectExpr("doc_id", "source", "split(lower(text), ' ') AS ws")
+      .filter(size(col("ws")) >= 5)
+      .selectExpr("doc_id", "source",
+        """explode(array_distinct(transform(sequence(0, size(ws) - 5),
+             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))) AS g""")
+
+  /** DuckDB twin of the decontamination overlap measure — shared by
+    * t13 and t24, which differ only in the Spark-side PLAN (broadcast
+    * verify vs bloom prefilter + shuffled verify), never the answer. */
+  private val oDecontaminate: String =
+    """WITH base AS (SELECT doc_id, source, STRING_SPLIT(LOWER(text), ' ') AS ws
+          FROM documents WHERE LEN(STRING_SPLIT(LOWER(text), ' ')) >= 5),
+        grams AS (SELECT DISTINCT doc_id, source,
+            UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws) - 3),
+              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS g
+          FROM base),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0)
+        SELECT doc_id, source, COUNT(*) AS n_overlap, COUNT(*) >= 5 AS contaminated
+        FROM grams JOIN ev USING (g)
+        WHERE doc_id % 17 <> 0 GROUP BY doc_id, source"""
+
   /** THE simhash signature — ONE spelling shared by t03 (signatures)
     * and t21 (banded near-dup pairs): md5(word) nibbles vote per bit,
     * weighted by term frequency; output is the 64-char bit string
@@ -855,13 +882,7 @@ object TextOps {
         // branch's scan — the eval branch processes 1/17 of the rows,
         // the train branch the other 16/17; total gram work ~= one
         // corpus pass, split disjointly.
-        val grams = docs(s, d)
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-          .selectExpr("doc_id", "source", "split(lower(text), ' ') AS ws")
-          .filter(size(col("ws")) >= 5)
-          .selectExpr("doc_id", "source",
-            """explode(array_distinct(transform(sequence(0, size(ws) - 5),
-                 i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))) AS g""")
+        val grams = wordFiveGrams(s, d)
         val evalGrams = grams.filter(col("doc_id") % 17 === 0).select("g").distinct()
         grams.filter(col("doc_id") % 17 =!= 0)
           .join(evalGrams, "g")
@@ -869,16 +890,7 @@ object TextOps {
           .agg(count(lit(1)).as("n_overlap"))
           .withColumn("contaminated", col("n_overlap") >= 5)
       },
-      Some("""WITH base AS (SELECT doc_id, source, STRING_SPLIT(LOWER(text), ' ') AS ws
-          FROM documents WHERE LEN(STRING_SPLIT(LOWER(text), ' ')) >= 5),
-        grams AS (SELECT DISTINCT doc_id, source,
-            UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws) - 3),
-              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS g
-          FROM base),
-        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0)
-        SELECT doc_id, source, COUNT(*) AS n_overlap, COUNT(*) >= 5 AS contaminated
-        FROM grams JOIN ev USING (g)
-        WHERE doc_id % 17 <> 0 GROUP BY doc_id, source""")),
+      Some(oDecontaminate)),
 
     // ------------------------------------------------------------------
     // Near-duplicate cluster resolution: connected components over the
@@ -1347,6 +1359,55 @@ object TextOps {
           CASE WHEN LEN(b.ws) > 0
             THEN ROUND(CAST(COALESCE(cov.n_covered, 0) AS DOUBLE) / LEN(b.ws), 6)
             ELSE 0.0 END AS bp_frac
-        FROM base b LEFT JOIN nh USING (doc_id) LEFT JOIN cov USING (doc_id)"""))
+        FROM base b LEFT JOIN nh USING (doc_id) LEFT JOIN cov USING (doc_id)""")),
+
+    // ------------------------------------------------------------------
+    // Decontamination, bloom-prefiltered — t13's answer under the plan
+    // a LARGE eval suite needs. t13's broadcast of the deduped eval
+    // gram STRINGS is the right 100 TB plan while the suite is
+    // benchmark-sized; once the held-out side grows past broadcast
+    // comfort (full eval harnesses ship tens of millions of grams;
+    // ~50-byte strings, several GB with join-hash overhead), the
+    // correct shape is the classic build/probe semi-join filter that
+    // Spark's own InjectRuntimeFilter plants when stats allow — built
+    // HERE explicitly because the build side is a computed gram set,
+    // which stats-based planner rules can't see through:
+    //   build: distributed partial blooms over xxhash64(g) on the eval
+    //     grams, merged into ONE serialized bitset (~10 bits/gram —
+    //     60x smaller than broadcasting the strings);
+    //   probe: codegen'd might_contain() thins the corpus-sized gram
+    //     stream MAP-SIDE, before any shuffle;
+    //   verify: the exact join now runs as a SHUFFLED hash join over
+    //     survivors only — bloom false positives die here, so the
+    //     answer is bit-identical to t13 (same oracle, asserted
+    //     row-for-row in FunctionsSpec).
+    // Only the bloom bytes cross to the driver (capped 8 MB at the
+    // 1 << 26 numBits ceiling); the eval-gram count that sizes it is
+    // the build stage's one metadata-sized action.
+    QueryEntry("t24_decontaminate_bloom",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val grams = wordFiveGrams(s, d)
+        val evalGrams = grams.filter(col("doc_id") % 17 === 0).select("g").distinct()
+        val est = math.max(evalGrams.count(), 1L)
+        // ~10 bits/item ≈ 1% false-positive rate; floor keeps tiny
+        // suites honest, cap bounds the literal the probe side ships.
+        val numBits = math.min(math.max(est * 10L, 1L << 16), 1L << 26)
+        val bf = evalGrams
+          .agg(call_function("bloom_build", col("g"), lit(est), lit(numBits)).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val train = grams.filter(col("doc_id") % 17 =!= 0)
+        // bf is null only when the eval side has no grams at all (the
+        // aggregate returns NULL for an empty build) — nothing can
+        // overlap, and the exact join below says so on its own.
+        val survivors =
+          if (bf == null) train
+          else train.filter(call_function("might_contain", lit(bf), col("g")))
+        survivors.join(evalGrams.hint("shuffle_hash"), "g")
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_overlap"))
+          .withColumn("contaminated", col("n_overlap") >= 5)
+      },
+      Some(oDecontaminate))
   )
 }

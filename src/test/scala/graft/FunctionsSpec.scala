@@ -339,6 +339,33 @@ class FunctionsSpec extends SparkSpec {
       .getMessage.contains("zero"))
   }
 
+  test("bloom_build/might_contain: the runtime-filter kernel pair as explicit SQL") {
+    // build as a scalar subquery (the spelling InjectRuntimeFilter
+    // plants); members MUST hit (no false negatives is the contract
+    // t24's exactness rests on), a non-member misses at this sizing.
+    // (This scalar-subquery spelling trips a Spark-internal janino
+    // fallback — the logged CompileException — and runs interpreted;
+    // t24's literal-bloom probe codegens cleanly, asserted 0-fallback
+    // in PlanSpec.)
+    val r = one("""SELECT
+        might_contain((SELECT bloom_build(x, 3, 65536)
+          FROM VALUES ('alpha'),('beta'),('gamma') AS t(x)), 'beta') AS hit,
+        might_contain((SELECT bloom_build(x, 3, 65536)
+          FROM VALUES ('alpha'),('beta'),('gamma') AS t(x)), 'zeta') AS miss""")
+    assert(r == Row(true, false))
+  }
+
+  test("t24 bloom-prefiltered decontamination matches t13 row-for-row") {
+    // same overlap measure, different PLAN (bloom prefilter + shuffled
+    // verify vs broadcast verify): bloom false positives must die in
+    // the exact join, false negatives must not exist at all
+    val d = sf("sf0.01")
+    val a = SparkEntry.queries("t13_decontaminate")(spark, d).collect().toSet
+    val b = SparkEntry.queries("t24_decontaminate_bloom")(spark, d).collect().toSet
+    assert(a.nonEmpty, "t13 returned no contaminated-doc rows at sf0.01")
+    assert(a == b, s"t13/t24 disagree: only-t13=${(a -- b).take(3)} only-t24=${(b -- a).take(3)}")
+  }
+
   test("GraftExtensions injects every function at session build (spark.sql.extensions)") {
     // Build a session WITHOUT imperative register(): extensions only —
     // the path spark-submit / Thrift server / Connect deployments use.

@@ -133,6 +133,21 @@ class PlanSpec extends SparkSpec {
     assert(!p29.contains("rangepartitioning"), s"global sort in q29: ${p29.take(2000)}")
   }
 
+  test("t24 probes the bloom map-side and shuffles only survivors (no broadcast)") {
+    // t13's large-eval-suite twin: the corpus gram stream must be
+    // thinned by a codegen'd might_contain BELOW the verify join, and
+    // the verify must be a shuffled join — nothing corpus-sized is
+    // broadcast, and the eval side is not broadcast either (that's the
+    // whole point of the bloom spelling)
+    val p = plan(SparkEntry.queries("t24_decontaminate_bloom")(spark, sf()))
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastExchange"), s"t24 broadcasts: ${p.take(2000)}")
+    // the probe is a Filter under the join, not part of the join key
+    val filterLine = p.linesIterator.find(l => l.contains("Filter") && l.contains("might_contain"))
+    assert(filterLine.isDefined, s"bloom probe not in a Filter: ${p.take(2000)}")
+  }
+
   test("t17 pipeline: eval grams broadcast, no cartesian, anti-join present") {
     // same contract as t13 (the eval side is benchmark-sized), plus the
     // composition properties: the contamination filter must be an
