@@ -75,6 +75,23 @@ object Probe8 {
           s"""{"probe":"t23","dir":"$dir","docs":${r.getLong(0)},""" +
             s""""dup_grams":${r.getLong(1)},"covered":${r.getLong(2)},""" +
             s""""sec":${f3(secs)},"loadavg_before":$load}"""
+        case "t13" | "t24" =>
+          // decontamination A/B: same overlap answer, broadcast-verify
+          // (t13) vs bloom-prefilter + shuffled-verify (t24) — folded
+          // to corpus totals so the work, not the row dump, is timed
+          val dir = parts(1)
+          val name = if (parts(0) == "t13") "t13_decontaminate"
+                     else "t24_decontaminate_bloom"
+          val r = graft.SparkEntry.queries(name)(spark, dir)
+            .agg(org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("docs"),
+              org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.sum("n_overlap"),
+                org.apache.spark.sql.functions.lit(0L)).as("overlaps"))
+            .collect()(0)
+          val secs = (System.nanoTime() - t0) / 1e9
+          s"""{"probe":"${parts(0)}","dir":"$dir","docs":${r.getLong(0)},""" +
+            s""""overlaps":${r.getLong(1)},"sec":${f3(secs)},"loadavg_before":$load}"""
         case "v08" =>
           // semantic dedup: first invocation on a fresh dir pays the
           // index TRAIN (ensureIndex persists it) — the A/B discipline
