@@ -41,7 +41,16 @@ object Bench {
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
           val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+          // Execute the query's OWN physical plan (toRdd), not count():
+          // count() lets Catalyst prune unreferenced result columns and
+          // even aggregate expressions — t23's aggregated left joins,
+          // t03's simhash projection, t10's regex scrub all collapsed
+          // to near-scans and under-measured (caught by the round-8
+          // probes, where the folded totals ran the real pipeline).
+          // toRdd materializes every result row with every column —
+          // the work a consumer writing the result actually pays.
+          val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+                   catch { case _: Throwable => false }
           name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         }
     // any failed pass marks the query failed (-1): an intermittent

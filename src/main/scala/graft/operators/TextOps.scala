@@ -1326,11 +1326,28 @@ object TextOps {
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select("h")
         val hits = grams.join(dup, "h").select("doc_id", "i")
-        val cov = hits.selectExpr("doc_id", "explode(sequence(i, i + 7)) AS p")
-          .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("n_covered"))
-        val nh = hits.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
+        // Coverage = |union of the hit windows [i, i+7]| — computed as
+        // a per-doc interval SWEEP (sorted by start, each window adds
+        // its part past the running max end), NOT an 8x position
+        // explode + COUNT(DISTINCT): one doc_id shuffle of the hit set
+        // itself vs 8x its volume through an Expand-planned distinct
+        // aggregate, and the same pass folds the hit count (window
+        // starts are unique per doc, so count(*) == the old
+        // COUNT(DISTINCT i)). Identical math, asserted by the planted
+        // fixture + unchanged oracle.
+        import org.apache.spark.sql.expressions.Window
+        val sweep = Window.partitionBy("doc_id").orderBy("i")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val agg = hits
+          .withColumn("add", greatest(lit(0),
+            col("i") + lit(7) -
+              greatest(coalesce(max(col("i") + lit(7)).over(sweep), col("i") - 1),
+                col("i") - 1)))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_dup_grams"),
+            sum(col("add")).cast("long").as("n_covered"))
         base.selectExpr("doc_id", "CAST(size(ws) AS BIGINT) AS n_tokens")
-          .join(nh, Seq("doc_id"), "left").join(cov, Seq("doc_id"), "left")
+          .join(agg, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_tokens"),
             coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
             coalesce(col("n_covered"), lit(0L)).as("n_covered"),
