@@ -73,6 +73,10 @@ object GraftFunctions {
     // graft-native: whole-document SimHash in one pass (replaces the
     // word x64-position explode+shuffle spelling; bit-identical).
     "simhash64" -> { exprs: Seq[Expression] => Simhash64(exprs.head) },
+    // graft-native: fused rolling fingerprint (t05's winnowing min —
+    // one codegen'd window loop replaces an interpreted HOF lambda).
+    "min_gram_md5" -> { exprs: Seq[Expression] =>
+      MinGramMd5(exprs(0), exprs(1)) },
     // graft-native: fused MinHash signature + char-gram generator (the
     // t02/t04 per-document kernel; replaces ~19 interpreted HOF passes).
     "shingle_sig" -> { exprs: Seq[Expression] =>

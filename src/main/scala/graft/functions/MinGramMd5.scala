@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `min_gram_md5(text, n) -> lexicographic min of md5 hex over all
+  * character n-grams` — the winnowing-style rolling fingerprint of t05,
+  * fused into one codegen'd pass.
+  *
+  * Contract-identical to the HOF spelling
+  * `array_min(transform(sequence(1, greatest(length(s) - n + 1, 1)),
+  *    i -> md5(substring(s, i, n))))`:
+  * same substring semantics (code-point based, `UTF8String.substringSQL`
+  * — the kernel Spark's own `substring` calls), same md5-of-UTF8-bytes,
+  * and the min is taken over the raw 16-byte digests by unsigned
+  * lexicographic compare — hex encoding is order-preserving byte-wise,
+  * so the minimum digest IS the minimum hex string. Strings shorter
+  * than n collapse to the single i=1 window exactly like the
+  * `greatest(..., 1)` guard (an empty string fingerprints md5('')).
+  *
+  * Why: `transform` lambdas evaluate interpreted (HOFs are codegen
+  * fallbacks), so the relational spelling pays interpreted expression
+  * dispatch + a per-window hex-string allocation for every one of the
+  * L-n+1 windows — the honest-bench r8 fix surfaced t05 at ~400us/doc
+  * for ~343 windows. This expression runs the whole window loop in one
+  * generated-code call with a single reused MessageDigest and no
+  * intermediate strings.
+  */
+case class MinGramMd5(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType, right) match {
+      case (StringType, IntegerType, Literal(n: Int, _)) if n >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "min_gram_md5 requires (string, positive int literal) arguments")
+    }
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "min_gram_md5"
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Per-row kernel, also called from generated code. */
+  def compute(text: UTF8String, n: Int): UTF8String = {
+    val len = text.numChars()
+    val windows = math.max(len - n + 1, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var best: Array[Byte] = null
+    var i = 1
+    while (i <= windows) {
+      md.reset()
+      val dig = md.digest(text.substringSQL(i, n).getBytes)
+      if (best == null || unsignedLess(dig, best)) best = dig
+      i += 1
+    }
+    val hex = new Array[Char](32)
+    var b = 0
+    while (b < 16) {
+      hex(b * 2) = hexDigits((best(b) >> 4) & 0xf)
+      hex(b * 2 + 1) = hexDigits(best(b) & 0xf)
+      b += 1
+    }
+    UTF8String.fromString(new String(hex))
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(t: Any, n: Any): Any =
+    compute(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minGramMd5Expr", this, classOf[MinGramMd5].getName)
+    nullSafeCodeGen(ctx, ev, (t, n) => s"${ev.value} = $ref.compute($t, $n);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinGramMd5 =
+    copy(left = newLeft, right = newRight)
+}

@@ -214,12 +214,20 @@ object FunctionQueries {
     // ------------------------------------------------------------------
     QueryEntry("f10_percentiles",
       (s, d) => {
-        Tables(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
-          round(median(col("l_extendedprice")), 4).as("med"))
+        // ONE percentile aggregate with an array of fractions — five
+        // separate percentile()/median() calls each build and sort
+        // their own counts buffer over the same column (5x the
+        // aggregation state; the honest-bench r8 fix surfaced it as
+        // 4 s at sf0.1). Spark's Median IS Percentile(0.5), so med
+        // reads the same array slot.
+        Tables(s, d, "lineitem").groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"))
+          .select(col("l_returnflag"),
+            round(col("ps")(0), 4).as("p25"),
+            round(col("ps")(1), 4).as("p50"),
+            round(col("ps")(2), 4).as("p75"),
+            round(col("ps")(3), 4).as("p95"),
+            round(col("ps")(1), 4).as("med"))
       },
       Some("""SELECT l_returnflag,
         ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25,

@@ -631,12 +631,16 @@ object TextOps {
     // + a winnowing-style min-hash over character 8-grams.
     QueryEntry("t05_fingerprint",
       (s, d) => {
+        // rolling_fp via the fused [[graft.functions.MinGramMd5]]
+        // kernel — bit-identical to the HOF spelling (parity-asserted
+        // in FunctionsSpec), which paid interpreted-lambda dispatch per
+        // character window
+        graft.functions.GraftFunctions.register(s)
         docs(s, d)
           .select(col("doc_id"),
             trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
           .selectExpr("doc_id", "md5(norm) AS fp",
-            """array_min(transform(sequence(1, greatest(length(norm) - 7, 1)),
-                 i -> md5(substring(norm, i, 8)))) AS rolling_fp""")
+            "min_gram_md5(norm, 8) AS rolling_fp")
       },
       Some("""SELECT doc_id, MD5(norm) AS fp,
           LIST_MIN(LIST_TRANSFORM(RANGE(1, GREATEST(LENGTH(norm) - 7, 1) + 1),

@@ -339,6 +339,25 @@ class FunctionsSpec extends SparkSpec {
       .getMessage.contains("zero"))
   }
 
+  test("min_gram_md5 is bit-identical to the HOF spelling (incl. short/empty/non-ASCII)") {
+    // every document at the gate corpus + the edge shapes the kernel's
+    // greatest(...,1) guard and code-point substring must reproduce
+    val edge = spark.createDataFrame(Seq(
+      (1L, ""), (2L, "short"), (3L, "exactly8"), (4L, "ünïcödé-grams ünïcödé"),
+      (5L, "a b c d e f g h i j k l m"))).toDF("doc_id", "norm")
+    val corpus = Tables(spark, sf(), "documents")
+      .selectExpr("doc_id", "trim(regexp_replace(lower(text), '\\\\s+', ' ')) AS norm")
+      .where("norm IS NOT NULL")
+    for (df <- Seq(edge, corpus)) {
+      val mismatch = df.selectExpr("doc_id",
+          "min_gram_md5(norm, 8) AS fused",
+          """array_min(transform(sequence(1, greatest(length(norm) - 7, 1)),
+               i -> md5(substring(norm, i, 8)))) AS hof""")
+        .where("fused IS DISTINCT FROM hof")
+      assert(mismatch.count() == 0, mismatch.collect().take(3).mkString("; "))
+    }
+  }
+
   test("bloom_build/might_contain: the runtime-filter kernel pair as explicit SQL") {
     // build as a scalar subquery (the spelling InjectRuntimeFilter
     // plants); members MUST hit (no false negatives is the contract
