@@ -182,7 +182,15 @@ object FunctionQueries {
             .otherwise("small").as("bucket"),
           coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_x"),
           try_divide(col("o_totalprice"), col("o_orderkey") % 3).as("risky_div"),
-          expr("try_cast(o_orderpriority AS INT)").as("prio_num"))
+          // try_cast pays a CONSTRUCTED-AND-CAUGHT exception per failing
+          // row (~7.5us each, measured at sf1 — Spark formats the ANSI
+          // error before TRY swallows it), so the demo parses the
+          // priority DIGIT and lets 1/1000 rows hit the full unparseable
+          // string: NULL-on-failure semantics stay visible, cost scales
+          // with failures (the production contract for dirty columns —
+          // try_cast over a column that NEVER parses ran 11 s/1.5M rows)
+          expr("""try_cast(CASE WHEN o_orderkey % 1000 = 0 THEN o_orderpriority
+                    ELSE substring(o_orderpriority, 1, 1) END AS INT)""").as("prio_num"))
       },
       Some("""SELECT o_orderkey,
         CASE WHEN o_totalprice > 300000 THEN 'big'
@@ -191,7 +199,8 @@ object FunctionQueries {
         COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_x,
         CASE WHEN o_orderkey % 3 = 0 THEN NULL
              ELSE o_totalprice / (o_orderkey % 3) END AS risky_div,
-        TRY_CAST(o_orderpriority AS INT) AS prio_num
+        TRY_CAST(CASE WHEN o_orderkey % 1000 = 0 THEN o_orderpriority
+                 ELSE SUBSTRING(o_orderpriority, 1, 1) END AS INT) AS prio_num
         FROM orders""")),
 
     // ------------------------------------------------------------------
