@@ -85,8 +85,20 @@ object DsQueries {
             col("n_regionkey") === col("r_regionkey"))
           .join(Tables(s, d, "part").select("p_partkey", "p_brand"),
             col("l_partkey") === col("p_partkey"))
+          // pre-aggregate to the (region, nation, brand) GRAIN before
+          // the rollup: ROLLUP plans as an Expand — x4 copies of every
+          // input row — so feeding it the fact stream quadruples a
+          // corpus-sized decimal aggregation (22.9 s at sf1, honest
+          // bench), while the grain is ~5x25x25 rows. Decimal sums and
+          // counts are associative, so rolling up the pre-aggregate is
+          // value-identical (sum of sums, sum of counts); the double
+          // cast happens once at the end, exactly like dsum.
+          .groupBy(col("r_name"), col("n_name"), col("p_brand"))
+          .agg(sum(col("rev").cast(graft.Parity.D)).as("rev1"),
+            count(lit(1)).as("cnt1"))
           .rollup(col("r_name"), col("n_name"), col("p_brand"))
-          .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"),
+          .agg(sum(col("rev1")).cast("double").as("revenue"),
+            sum(col("cnt1")).as("n_items"),
             grouping(col("r_name")).cast("int").as("g_region"),
             grouping(col("n_name")).cast("int").as("g_nation"),
             grouping(col("p_brand")).cast("int").as("g_brand"))
