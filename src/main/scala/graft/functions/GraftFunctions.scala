@@ -230,11 +230,14 @@ object GraftFunctions {
     //     'table_or_view' | 'SELECT ...',     -- source (query strings
     //                                         -- power the SQL-text
     //                                         -- MATCH_RECOGNIZE rewrite)
-    //     'part_col[,part_col...]', 'order_col[,order_col...]',
+    //     'part_col[,part_col...]',
+    //     'order_col[ desc][,order_col...]',  -- per-column ASC/DESC
     //     'SYM:<bool sql expr>[;SYM2:...]',   -- DEFINE
     //     'D+ U+',                            -- PATTERN
     //     'name:agg:symbol[:field][,...]'     -- MEASURES
-    //     [, 'one'|'all'                      -- ROWS PER MATCH mode
+    //     [, 'one'|'all'|'one_next'|'all_next' -- ROWS PER MATCH mode;
+    //                                         -- *_next = AFTER MATCH
+    //                                         -- SKIP TO NEXT ROW
     //     [, 'true'|'false']])                -- prePartitioned: caller
     //                                         -- asserts the source is
     //                                         -- already key-clustered
@@ -288,18 +291,22 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"graft_match_recognize prepartitioned must be 'true' or 'false', got '$other'")
       })
-      val out = mode match {
+      // mode may carry a '_next' suffix = AFTER MATCH SKIP TO NEXT ROW
+      // (overlapping matches); bare mode = SKIP PAST LAST ROW
+      val skipNext = mode.endsWith("_next")
+      val out = mode.stripSuffix("_next") match {
         case "one" => graft.operators.PatternMatch.matchPattern(
           df, partCols, orderCols, symbols, str(exprs(4), "pattern"), measures,
-          prePartitioned = pre)
+          prePartitioned = pre, skipToNext = skipNext)
         case "all" =>
           require(measures.isEmpty,
             "graft_match_recognize: measures do not apply in 'all' mode — pass ''")
           graft.operators.PatternMatch.matchPatternAllRows(
             df, partCols, orderCols, symbols, str(exprs(4), "pattern"),
-            prePartitioned = pre)
+            prePartitioned = pre, skipToNext = skipNext)
         case other => throw new IllegalArgumentException(
-          s"graft_match_recognize mode must be 'one' or 'all', got '$other'")
+          s"graft_match_recognize mode must be 'one', 'all', 'one_next' or " +
+            s"'all_next', got '$other'")
       }
       out.queryExecution.logical
     })

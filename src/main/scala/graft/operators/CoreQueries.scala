@@ -752,6 +752,68 @@ object CoreQueries {
         SELECT user_id,
           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS match_num,
           start_event, CAST(n_clicks AS BIGINT) AS n_clicks, purchase_value
+        FROM m""")),
+
+    // ------------------------------------------------------------------
+    // The two Trino MATCH_RECOGNIZE forms a real funnel query hits
+    // first beyond q29-q31's core (r8 verdict #1): ORDER BY ... DESC
+    // (the matcher walks each user's purchases NEWEST-first) and AFTER
+    // MATCH SKIP TO NEXT ROW (overlapping matches — every qualifying
+    // start position yields its own match). Same D+ U+ value pattern
+    // as q29, but on the reversed stream: PREV() here is the NEXT
+    // purchase in time. Under skip-to-next the match set is exactly
+    // "every suffix of a maximal D run, each paired with the adjacent
+    // U run" — the oracle spells that as q29's run-pairing EXPANDED by
+    // one row per D-run position (DuckDB has no MATCH_RECOGNIZE, so
+    // the equivalence is the spec: greedy D+ from start p consumes to
+    // the run's end, U+ the whole adjacent run, restart at p+1).
+    QueryEntry("q32_pattern_skipnext_desc",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("mr_events")
+        s.sql("""
+          SELECT * FROM (
+            SELECT user_id, ts, event_id, value,
+                   date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s
+            FROM mr_events WHERE event_type = 'purchase'
+          ) MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC
+            MEASURES FIRST(D.ts_s) AS start_ts, LAST(U.ts_s) AS end_ts,
+              COUNT(D.*) AS n_down, COUNT(U.*) AS n_up,
+              LAST(D.value) AS bottom, LAST(U.value) AS peak
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (D+ U+)
+            DEFINE D AS D.value < PREV(D.value),
+                   U AS U.value > PREV(U.value)
+          )""")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        d AS (SELECT user_id, ts, event_id, value,
+            value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS delta
+          FROM ev),
+        c AS (SELECT *, CASE WHEN delta < 0 THEN 'D' WHEN delta > 0 THEN 'U' ELSE 'X' END AS cls,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM d),
+        r AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, cls ORDER BY rn) AS grp FROM c),
+        runs AS (SELECT user_id, cls, grp, MIN(rn) AS srn, MAX(rn) AS ern,
+            COUNT(*) AS n, ARG_MAX(value, rn) AS last_v,
+            STRFTIME(ARG_MAX(ts, rn), '%Y-%m-%d %H:%M:%S') AS last_ts
+          FROM r GROUP BY user_id, cls, grp),
+        paired AS (SELECT a.user_id, a.srn, a.ern,
+            b.n AS n_up, a.last_v AS bottom, b.last_v AS peak, b.last_ts AS end_ts
+          FROM runs a JOIN runs b
+            ON b.user_id = a.user_id AND b.srn = a.ern + 1
+           AND a.cls = 'D' AND b.cls = 'U'),
+        m AS (SELECT p.user_id, x.rn,
+            STRFTIME(x.ts, '%Y-%m-%d %H:%M:%S') AS start_ts, p.end_ts,
+            CAST(p.ern - x.rn + 1 AS BIGINT) AS n_down, p.n_up, p.bottom, p.peak
+          FROM paired p JOIN r x
+            ON x.user_id = p.user_id AND x.rn BETWEEN p.srn AND p.ern)
+        SELECT user_id,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS match_num,
+          start_ts, end_ts, n_down, n_up, bottom, peak
         FROM m"""))
   )
 }

@@ -136,9 +136,13 @@ object PatternMatch {
     * a pathological pattern fails loudly instead of looping. */
   private val MaxSteps = 10_000_000L
 
-  /** All non-overlapping matches in one key group (rows already in
-    * order): leftmost start, greedy quantifiers, skip past last row. */
-  private[graft] def findMatches(truth: Array[Array[Boolean]], pat: Pat): Seq[Match] = {
+  /** All matches in one key group (rows already in order): leftmost
+    * start, greedy quantifiers. `skipToNext = false` is AFTER MATCH
+    * SKIP PAST LAST ROW (non-overlapping, resume after the match);
+    * `true` is AFTER MATCH SKIP TO NEXT ROW (resume at start+1, so
+    * matches may overlap — the SQL:2016 overlapping-match mode). */
+  private[graft] def findMatches(truth: Array[Array[Boolean]], pat: Pat,
+                                 skipToNext: Boolean = false): Seq[Match] = {
     val n = truth.length
     val out = scala.collection.mutable.ArrayBuffer[Match]()
     val cls = Array.fill(n)(-1)
@@ -228,7 +232,11 @@ object PatternMatch {
       if (matchedEnd > start) {
         out += Match(start, matchedEnd, cls.slice(start, matchedEnd))
         java.util.Arrays.fill(cls, start, matchedEnd, -1)
-        start = matchedEnd // AFTER MATCH SKIP PAST LAST ROW
+        // SKIP TO NEXT ROW restarts one row after the match's FIRST row
+        // (overlapping matches); SKIP PAST LAST ROW resumes after it.
+        // The head-run failure skip below stays valid in both modes —
+        // its argument is about FAILED attempts only.
+        start = if (skipToNext) start + 1 else matchedEnd
       } else {
         // empty match (matchedEnd == start) consumes nothing and its
         // accepting path touched no Sym, so cls needs no cleanup —
@@ -253,9 +261,30 @@ object PatternMatch {
     * aggregate reads (ignored for count). */
   final case class Measure(name: String, agg: String, symbol: String, field: String = "")
 
+  /** Order-by entries are `"col"`, `"col ASC"` or `"col DESC"`
+    * (case-insensitive): the matcher reads each key group in exactly
+    * this order, so DESC reverses the stream the NFA walks — the
+    * SQL:2016 `ORDER BY ... DESC` inside MATCH_RECOGNIZE. */
+  private[graft] def orderSpec(orderBy: Seq[String]): Seq[(String, Boolean)] =
+    orderBy.map { o =>
+      o.trim.split("""\s+""") match {
+        case Array(c)                                  => (c, true)
+        case Array(c, d) if d.equalsIgnoreCase("asc")  => (c, true)
+        case Array(c, d) if d.equalsIgnoreCase("desc") => (c, false)
+        case _ => sys.error(s"bad order spec '$o' (want: col [ASC|DESC])")
+      }
+    }
+
   /** Run the pattern over `df`. Output: partitionBy columns, then
     * `match_num` (1-based per partition key, in order), then one
     * column per measure.
+    *
+    * `skipToNext = true` switches AFTER MATCH SKIP PAST LAST ROW to
+    * AFTER MATCH SKIP TO NEXT ROW: after each non-empty match the scan
+    * resumes one row after the match's FIRST row, so matches overlap
+    * (each qualifying start position yields its own match, numbered in
+    * start order). Same single-shuffle plan — skip mode only changes
+    * the in-group scan.
     *
     * `prePartitioned = true` asserts the CALLER's contract that `df`
     * is already hash-distributed by `partitionBy` and sorted within
@@ -277,9 +306,10 @@ object PatternMatch {
       symbols: Seq[(String, Column)],
       pattern: String,
       measures: Seq[Measure],
-      prePartitioned: Boolean = false): DataFrame =
+      prePartitioned: Boolean = false,
+      skipToNext: Boolean = false): DataFrame =
     run(df, partitionBy, orderBy, symbols, pattern, measures,
-      prePartitioned, allRows = false)
+      prePartitioned, allRows = false, skipToNext)
 
   /** ALL ROWS PER MATCH mode (SQL:2016 / Trino): one OUTPUT row per
     * MATCHED input row — partition keys, order columns, `match_num`,
@@ -295,9 +325,10 @@ object PatternMatch {
       orderBy: Seq[String],
       symbols: Seq[(String, Column)],
       pattern: String,
-      prePartitioned: Boolean = false): DataFrame =
+      prePartitioned: Boolean = false,
+      skipToNext: Boolean = false): DataFrame =
     run(df, partitionBy, orderBy, symbols, pattern, Nil,
-      prePartitioned, allRows = true)
+      prePartitioned, allRows = true, skipToNext)
 
   /** Global check of the `prePartitioned` contract: every partition-key
     * group must live entirely inside one Spark partition, contiguously.
@@ -336,16 +367,19 @@ object PatternMatch {
       pattern: String,
       measures: Seq[Measure],
       prePartitioned: Boolean,
-      allRows: Boolean): DataFrame = {
+      allRows: Boolean,
+      skipToNext: Boolean = false): DataFrame = {
 
     val symNames = symbols.map(_._1)
     val pat = parse(pattern, symNames)
+    val orderCols = orderSpec(orderBy)
+    val orderNames = orderCols.map(_._1)
     val inSchema = df.schema
     def fieldType(f: String): DataType = inSchema(inSchema.fieldIndex(f)).dataType
 
     val outSchema =
       if (allRows) StructType(
-        (partitionBy ++ orderBy).map(c => inSchema(inSchema.fieldIndex(c))) ++
+        (partitionBy ++ orderNames).map(c => inSchema(inSchema.fieldIndex(c))) ++
           Seq(StructField("match_num", LongType, nullable = false),
             StructField("classifier", StringType, nullable = false)))
       else StructType(
@@ -383,11 +417,11 @@ object PatternMatch {
     // one boolean per symbol predicate
     val measureFields = measures.filter(_.agg != "count").map(_.field).distinct
     val projected = df.select(
-      (partitionBy ++ orderBy ++ measureFields).distinct.map(col) ++
+      (partitionBy ++ orderNames ++ measureFields).distinct.map(col) ++
         symbols.map { case (nm, c) => c.cast(BooleanType).as(s"__sym_$nm") }: _*)
     val pSchema = projected.schema
     val keyIdx = partitionBy.map(pSchema.fieldIndex).toArray
-    val orderIdx = orderBy.map(pSchema.fieldIndex).toArray
+    val orderIdx = orderNames.map(pSchema.fieldIndex).toArray
     val symIdxs = symNames.map(n => pSchema.fieldIndex(s"__sym_$n")).toArray
     val fieldIdx = measureFields.map(f => f -> pSchema.fieldIndex(f)).toMap
     val symOfName = symNames.zipWithIndex.toMap
@@ -396,7 +430,8 @@ object PatternMatch {
       if (prePartitioned) projected
       else projected
         .repartition(partitionBy.map(col): _*)
-        .sortWithinPartitions((partitionBy ++ orderBy).map(col): _*)
+        .sortWithinPartitions(partitionBy.map(col) ++
+          orderCols.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
 
     sorted.mapPartitions { iter =>
       val buf = scala.collection.mutable.ArrayBuffer[Row]()
@@ -407,7 +442,7 @@ object PatternMatch {
         else {
           val rows = buf.toArray
           val truth = rows.map(r => symIdxs.map(i => !r.isNullAt(i) && r.getBoolean(i)))
-          val ms = findMatches(truth, pat)
+          val ms = findMatches(truth, pat, skipToNext)
           val key = curKey
           buf.clear()
           if (allRows) ms.iterator.zipWithIndex.flatMap { case (mt, mi) =>

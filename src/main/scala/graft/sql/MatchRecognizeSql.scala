@@ -20,10 +20,10 @@ import scala.util.matching.Regex
   *   <table | (subquery)> MATCH_RECOGNIZE (
   *     PARTITION BY c [, ...]            -- required: a global pattern
   *                                       -- serializes one task
-  *     ORDER BY c [ASC] [, ...]
+  *     ORDER BY c [ASC | DESC] [, ...]
   *     [MEASURES agg(S.f) AS name, COUNT(S.*) AS n, S.f AS v, ...]
   *     [ONE ROW PER MATCH | ALL ROWS PER MATCH]
-  *     [AFTER MATCH SKIP PAST LAST ROW]
+  *     [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
   *     PATTERN ( <symbols with | ( ) * + ? {n} {n,} {n,m}> )
   *     [DEFINE S AS cond [, ...]]        -- cond may use S.col and
   *                                       -- PREV/NEXT(S.col [, n])
@@ -35,11 +35,12 @@ import scala.util.matching.Regex
   * window hash-clusters and sorts by the same keys, the matcher skips
   * its own exchange (prePartitioned), keeping the SQL spelling at ONE
   * shuffle like the hand-written operator calls. Unsupported Trino
-  * forms fail LOUDLY with the feature named: DESC ordering, SKIP TO
-  * variants, SUBSET, MEASURES under ALL ROWS PER MATCH, FIRST/LAST
-  * navigation inside DEFINE, WITH UNMATCHED ROWS / SHOW EMPTY MATCHES
-  * (PERMUTE / anchors / exclusions are rejected downstream by the
-  * pattern parser).
+  * forms fail LOUDLY with the feature named: SKIP TO [FIRST|LAST]
+  * symbol, SUBSET, MEASURES under ALL ROWS PER MATCH, FIRST/LAST
+  * navigation inside DEFINE, WITH UNMATCHED ROWS / SHOW EMPTY MATCHES,
+  * NULLS FIRST/LAST ordering (PERMUTE / anchors / exclusions are
+  * rejected downstream by the pattern parser). DESC ordering and SKIP
+  * TO NEXT ROW (overlapping matches) are supported since round 9.
   */
 object MatchRecognizeSql {
 
@@ -127,24 +128,38 @@ object MatchRecognizeSql {
     def segOf(n: String, what: String): String = seg.getOrElse(n,
       throw new IllegalArgumentException(s"MATCH_RECOGNIZE needs a $what clause"))
 
-    // ---- PARTITION BY / ORDER BY: identifier lists; ASC tolerated,
-    // anything else named loudly
-    def colList(text: String, what: String, stripAsc: Boolean): Seq[String] =
+    // ---- PARTITION BY / ORDER BY: identifier lists; ORDER BY entries
+    // may carry ASC/DESC (per-column direction, round 9 — the matcher
+    // reads each key group in exactly the declared order, so DESC
+    // reverses the stream the NFA walks); NULLS FIRST/LAST named loudly
+    def colList(text: String, what: String): Seq[String] =
       splitTop(text).map { c0 =>
-        var c = c0.trim
-        if (stripAsc) {
-          require(!c.toUpperCase.matches("""(?s).*\b(DESC|NULLS)\b.*"""),
-            s"MATCH_RECOGNIZE ORDER BY supports ascending order only " +
-              s"(the matcher reads the stream in ascending key order): '$c'")
-          c = c.replaceAll("""(?i)\s+ASC$""", "")
-        }
+        val c = c0.trim
         require(c.matches(Ident + """(\.""" + Ident + """)?"""),
           s"MATCH_RECOGNIZE $what entries must be plain columns, got '$c' " +
             "(compute expressions in a subquery source)")
         c
       }
-    val parts = colList(segOf("PARTITION", "PARTITION BY"), "PARTITION BY", stripAsc = false)
-    val orders = colList(segOf("ORDER", "ORDER BY"), "ORDER BY", stripAsc = true)
+    // (column, ascending) pairs — rendered back as "col desc" for the
+    // TVF and the nav windows, which must sort the SAME direction
+    def orderList(text: String): Seq[(String, Boolean)] =
+      splitTop(text).map { c0 =>
+        var c = c0.trim
+        require(!c.toUpperCase.matches("""(?s).*\bNULLS\b.*"""),
+          s"MATCH_RECOGNIZE ORDER BY does not support NULLS FIRST/LAST " +
+            s"(engine default: ASC = NULLS FIRST, DESC = NULLS LAST): '$c'")
+        val asc = !c.toUpperCase.matches("""(?s).*\bDESC$""")
+        c = c.replaceAll("""(?i)\s+(ASC|DESC)$""", "")
+        require(c.matches(Ident + """(\.""" + Ident + """)?"""),
+          s"MATCH_RECOGNIZE ORDER BY entries must be plain columns, got '$c' " +
+            "(compute expressions in a subquery source)")
+        (c, asc)
+      }
+    val parts = colList(segOf("PARTITION", "PARTITION BY"), "PARTITION BY")
+    val orderPairs = orderList(segOf("ORDER", "ORDER BY"))
+    // SQL rendering ("ts DESC") — feeds the nav windows and the TVF's
+    // order_cols (PatternMatch.orderSpec parses the same spelling)
+    val orders = orderPairs.map { case (c, asc) => if (asc) c else s"$c DESC" }
 
     // ---- mode + skip
     val mode = if (seg.contains("ALLROWS")) "all" else "one"
@@ -154,9 +169,16 @@ object MatchRecognizeSql {
         "ALL ROWS PER MATCH WITH UNMATCHED ROWS / SHOW EMPTY MATCHES is " +
           "not supported (OMIT EMPTY MATCHES semantics only)")
     }
-    seg.get("AFTER").foreach { a =>
-      require(a.toUpperCase.replaceAll("""\s+""", " ").trim == "SKIP PAST LAST ROW",
-        s"AFTER MATCH supports only SKIP PAST LAST ROW, got 'AFTER MATCH $a'")
+    val skipNext = seg.get("AFTER").exists { a =>
+      a.toUpperCase.replaceAll("""\s+""", " ").trim match {
+        case "SKIP PAST LAST ROW" => false
+        case "SKIP TO NEXT ROW"   => true // overlapping matches (round 9)
+        case other => throw new IllegalArgumentException(
+          s"AFTER MATCH supports SKIP PAST LAST ROW and SKIP TO NEXT ROW; " +
+            s"'AFTER MATCH $other' (SKIP TO [FIRST|LAST] symbol is not " +
+            "supported — restart-at-symbol changes which rows can begin " +
+            "a match; respell with SKIP TO NEXT ROW or a tighter PATTERN)")
+      }
     }
 
     // ---- PATTERN ( ... ): inner text feeds the operator's pattern
@@ -274,9 +296,10 @@ object MatchRecognizeSql {
       }
 
     def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    val tvfMode = if (skipNext) mode + "_next" else mode
     val call = s"graft_match_recognize(${q(srcArg)}, ${q(parts.mkString(","))}, " +
       s"${q(orders.mkString(","))}, ${q(defs)}, ${q(pattern)}, " +
-      s"${q(measures)}, ${q(mode)}, ${q(pre)})"
+      s"${q(measures)}, ${q(tvfMode)}, ${q(pre)})"
     // MATCH_NUMBER() measures alias the TVF's own match_num in a
     // post-select that restores the declared measure order
     if (mnAliases.isEmpty) call

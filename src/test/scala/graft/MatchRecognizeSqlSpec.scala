@@ -79,16 +79,44 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(out.contains("'fv:first:A:v,n:count:*'"), out)
   }
 
+  test("ORDER BY DESC renders direction into order_cols and nav windows") {
+    val out = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts DESC, seq ASC
+        PATTERN (A+) DEFINE A AS A.v > PREV(A.v))""")
+    assert(out.contains("'ts DESC,seq'"))
+    assert(out.contains("ORDER BY ts DESC, seq"))    // the lag window
+    assert(out.contains("'true'"))                   // prePartitioned rides
+  }
+
+  test("AFTER MATCH SKIP TO NEXT ROW selects the *_next TVF mode") {
+    val one = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A+) DEFINE A AS A.v > 0)""")
+    assert(one.contains("'one_next'"))
+    val all = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A+) DEFINE A AS A.v > 0)""")
+    assert(all.contains("'all_next'"))
+    val past = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A+) DEFINE A AS A.v > 0)""")
+    assert(past.contains("'one'") && !past.contains("_next"))
+  }
+
   test("unsupported forms fail loudly with the feature named") {
     def err(body: String): String =
       intercept[Exception](rewrite(
         s"SELECT * FROM t MATCH_RECOGNIZE ($body)")).getMessage
-    assert(err("PARTITION BY k ORDER BY ts DESC PATTERN (A) DEFINE A AS A.v > 0")
-      .contains("ascending"))
+    assert(err("PARTITION BY k ORDER BY ts DESC NULLS FIRST PATTERN (A) DEFINE A AS A.v > 0")
+      .contains("NULLS"))
     assert(err("PARTITION BY k ORDER BY ts SUBSET U = (A, B) PATTERN (A) DEFINE A AS A.v > 0")
       .contains("SUBSET"))
     assert(err("PARTITION BY k ORDER BY ts AFTER MATCH SKIP TO FIRST A PATTERN (A) DEFINE A AS A.v > 0")
-      .contains("SKIP PAST LAST ROW"))
+      .contains("SKIP TO NEXT ROW"))
     assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS FIRST(A.v) > 0")
       .contains("navigation"))
     assert(err("PARTITION BY k ORDER BY ts ALL ROWS PER MATCH WITH UNMATCHED ROWS PATTERN (A) DEFINE A AS A.v > 0")

@@ -176,6 +176,54 @@ class PatternMatchSpec extends SparkSpec {
     // key 2 has no D run -> no match at all; key 1 row 1 unmatched
   }
 
+  test("SKIP TO NEXT ROW yields overlapping matches, one per qualifying start") {
+    def next(rows: String, syms: String, pattern: String): Seq[(Int, Int)] =
+      findMatches(truthOf(rows, syms), parse(pattern, syms.map(_.toString)),
+        skipToNext = true).map(m => (m.start, m.end))
+    // every suffix of the D run pairs with the adjacent U run
+    assert(next("DDUU", "DU", "D+ U+") === Seq((0, 4), (1, 4)))
+    assert(next("DDUUDU", "DU", "D+ U+") === Seq((0, 4), (1, 4), (4, 6)))
+    // skip-past-last baseline is unchanged (default param)
+    assert(spans("DDUU", "DU", "D+ U+") === Seq((0, 4)))
+    // the head-run failure skip still applies between matches
+    assert(next("DDDD", "DU", "D+ U+") === Seq())
+    // classifier of each overlapping match covers exactly its own span
+    val ms = findMatches(truthOf("DDUU", "DU"),
+      parse("D+ U+", Seq("D", "U")), skipToNext = true)
+    assert(ms.map(_.cls.toSeq) === Seq(Seq(0, 0, 1, 1), Seq(0, 1, 1)))
+  }
+
+  test("DESC order specs reverse the stream the matcher walks") {
+    import spark.implicits._
+    // seq-ascending values 10,5,8: ASC stream has D at seq2, U at seq3;
+    // DESC stream is 8,5,10 — D at seq2 (5<8), U at seq1 (10>5), so the
+    // match covers the same rows but FIRST/LAST swap roles.
+    val df = Seq((1, 1, 10.0), (1, 2, 5.0), (1, 3, 8.0)).toDF("k", "seq", "v")
+      .withColumn("prev_v", lag(col("v"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")
+          .orderBy(col("seq").desc)))
+    val out = PatternMatch.matchPattern(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq DESC"),
+      symbols = Seq("D" -> (col("v") < col("prev_v")),
+        "U" -> (col("v") > col("prev_v"))),
+      pattern = "D+ U+",
+      measures = Seq(
+        Measure("first_seq", "first", "*", "seq"),
+        Measure("last_seq", "last", "*", "seq"),
+        Measure("bottom", "last", "D", "v"),
+        Measure("peak", "last", "U", "v")))
+    val rows = out.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    // DESC stream: first row of the match is seq=2, last is seq=1
+    assert(rows === Seq((1, 1L, 2, 1, 5.0, 10.0)))
+    // malformed order specs fail loudly
+    val e = intercept[Exception](PatternMatch.matchPattern(df,
+      Seq("k"), Seq("seq SIDEWAYS"),
+      Seq("D" -> (col("v") < 0)), "D", Nil))
+    assert(e.getMessage.contains("order spec"))
+  }
+
   test("multiple matches number sequentially per key") {
     import spark.implicits._
     val df = Seq((1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"))
