@@ -19,6 +19,8 @@ import graft.{QueryEntry, Tables}
   */
 object TextOps {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "documents")
 
@@ -283,6 +285,104 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("toks")).cast("long").as("mix_tokens"))
       .select("source", "budget_tokens", "n_docs", "mix_tokens")
+  }
+
+  /** Auto-regime crossover for [[decontaminate]]: DISTINCT eval grams
+    * at or below this count take the broadcast-verify plan (t13's —
+    * the eval side ships to every executor once, the corpus stream
+    * never shuffles); above it the bloom-prefilter + shuffled-verify
+    * plan (t24's — one <=8 MB bitset to the driver, map-side probe,
+    * survivors-only shuffle). Measured round 9 (SCALE.md): at ~1.1M
+    * grams (the inverted 16/17 eval split at sf0.1) broadcast still
+    * wins (~55 MB of strings), and Spark refuses broadcasts outright
+    * at 8 GB / 512M rows; the bloom side's own clamps (numBits cap
+    * 1 << 26 at ~6.7M grams for the 10 bits/item design point) mark
+    * where its fpr starts degrading anyway. 4M sits safely inside the
+    * measured broadcast-wins regime while keeping the broadcast ceiling
+    * ~200 MB of gram strings — a deliberate margin below executor
+    * comfort, not a measured flip point (the flip is environment-bound:
+    * see SCALE.md round-9 decontam table). */
+  val DecontamBroadcastMaxGrams: Long = 4L * 1000 * 1000
+
+  /** Benchmark decontamination, ONE operator with the regime choice the
+    * two entries used to leave to the caller (r8 verdict "Next round"
+    * #2): count a training doc's distinct grams overlapping an eval
+    * set, flag docs at >= 5 overlaps.
+    *
+    * `trainGrams` = (doc_id, source, g) distinct grams per training
+    * doc; `evalGrams` = (g) the held-out set (deduped here).
+    *
+    * `regime`:
+    *  - `"broadcast"` — t13's plan, fully LAZY (no driver action at
+    *    construction): eval grams broadcast, corpus stream joins
+    *    map-side. The right plan while the suite is benchmark-sized.
+    *  - `"bloom"` — t24's plan, EAGER at construction (the eval-gram
+    *    count sizes the filter; the bitset build collects ~8 MB):
+    *    distributed partial blooms over xxhash64(g) merge into one
+    *    bitset, a codegen'd might_contain thins the corpus stream
+    *    map-side, and an exact shuffled-hash join over survivors kills
+    *    false positives — bit-identical answers by construction.
+    *  - `"auto"` — counts the eval grams (the same ONE metadata-sized
+    *    action the bloom build needs anyway) and picks: at or below
+    *    `broadcastMaxGrams` broadcast, above it bloom.
+    * Eager regimes localCheckpoint the deduped eval grams first, so
+    * the count / bloom build / verify join read ONE materialization
+    * instead of recomputing the gram lineage three times (ADVICE r8).
+    */
+  def decontaminate(trainGrams: DataFrame, evalGrams: DataFrame,
+                    regime: String = "auto",
+                    broadcastMaxGrams: Long = DecontamBroadcastMaxGrams): DataFrame = {
+    val s = trainGrams.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    def overlap(joined: DataFrame): DataFrame = joined
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= 5)
+    def broadcastPlan(eg: DataFrame): DataFrame =
+      overlap(trainGrams.join(broadcast(eg), "g"))
+    def bloomPlan(eg: DataFrame, est0: Long): DataFrame = {
+      val est = math.max(est0, 1L)
+      // ~10 bits/item ~= 1% fpr; floor keeps tiny suites honest, cap
+      // bounds the literal the probe side ships. PAST THE CAP the fpr
+      // degrades with est (and Spark's BloomFilterAggregate has its own
+      // silent ceilings: estimatedNumItems clamps to
+      // spark.sql.optimizer.runtime.bloomFilter.maxNumItems, default
+      // 4M, numBits to ...bloomFilter.maxNumBits, default 1 << 26) —
+      // correctness is untouched (the exact verify join kills every
+      // false positive) but probe SELECTIVITY decays, so say so loudly
+      // instead of silently (ADVICE r8).
+      val numBits = math.min(math.max(est * 10L, 1L << 16), 1L << 26)
+      if (est * 10L > numBits || est > s.conf.getOption(
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+          .map(_.toLong).getOrElse(4L * 1000 * 1000))
+        log.warn(s"decontaminate bloom: $est eval grams exceed the " +
+          s"10-bits/item design point at numBits=$numBits (or Spark's " +
+          "bloomFilter.maxNumItems clamp) — answers stay exact via the " +
+          "verify join, but probe selectivity degrades; raise " +
+          "spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits} " +
+          "to restore the ~1% fpr design point")
+      val bf = eg
+        .agg(call_function("bloom_build", col("g"), lit(est), lit(numBits)).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      // bf is null only when the eval side is empty — nothing can
+      // overlap, and the exact join says so on its own
+      val survivors =
+        if (bf == null) trainGrams
+        else trainGrams.filter(call_function("might_contain", lit(bf), col("g")))
+      overlap(survivors.join(eg.hint("shuffle_hash"), "g"))
+    }
+    regime match {
+      case "broadcast" => broadcastPlan(evalGrams.select("g").distinct())
+      case "bloom" =>
+        val eg = evalGrams.select("g").distinct().localCheckpoint()
+        bloomPlan(eg, eg.count())
+      case "auto" =>
+        val eg = evalGrams.select("g").distinct().localCheckpoint()
+        val n = eg.count()
+        if (n <= broadcastMaxGrams) broadcastPlan(eg) else bloomPlan(eg, n)
+      case other => sys.error(
+        s"decontaminate regime must be 'auto', 'broadcast' or 'bloom', got '$other'")
+    }
   }
 
   /** The ONE quality-score definition: t07 reports it per-doc, t17
@@ -885,14 +985,15 @@ object TextOps {
         // Catalyst pushes them below the explode/split into each
         // branch's scan — the eval branch processes 1/17 of the rows,
         // the train branch the other 16/17; total gram work ~= one
-        // corpus pass, split disjointly.
+        // corpus pass, split disjointly. Since round 9 the three
+        // decontamination entries are ONE operator ([[decontaminate]])
+        // in its three regimes; this one forces broadcast (fully lazy,
+        // the entry contract).
         val grams = wordFiveGrams(s, d)
-        val evalGrams = grams.filter(col("doc_id") % 17 === 0).select("g").distinct()
-        grams.filter(col("doc_id") % 17 =!= 0)
-          .join(evalGrams, "g")
-          .groupBy(col("doc_id"), col("source"))
-          .agg(count(lit(1)).as("n_overlap"))
-          .withColumn("contaminated", col("n_overlap") >= 5)
+        decontaminate(
+          grams.filter(col("doc_id") % 17 =!= 0),
+          grams.filter(col("doc_id") % 17 === 0),
+          regime = "broadcast")
       },
       Some(oDecontaminate)),
 
@@ -1405,29 +1506,39 @@ object TextOps {
     // Only the bloom bytes cross to the driver (capped 8 MB at the
     // 1 << 26 numBits ceiling); the eval-gram count that sizes it is
     // the build stage's one metadata-sized action.
+    // NOTE: EAGER at DataFrame construction (unlike every other entry):
+    // the bloom regime's eval-gram count + bitset build run as Spark
+    // jobs inside the entry fn — plan-inspection tooling enumerating
+    // entries executes them (documented operator contract; the eval
+    // lineage is localCheckpointed so it computes ONCE, ADVICE r8).
     QueryEntry("t24_decontaminate_bloom",
       (s, d) => {
-        graft.functions.GraftFunctions.register(s)
         val grams = wordFiveGrams(s, d)
-        val evalGrams = grams.filter(col("doc_id") % 17 === 0).select("g").distinct()
-        val est = math.max(evalGrams.count(), 1L)
-        // ~10 bits/item ≈ 1% false-positive rate; floor keeps tiny
-        // suites honest, cap bounds the literal the probe side ships.
-        val numBits = math.min(math.max(est * 10L, 1L << 16), 1L << 26)
-        val bf = evalGrams
-          .agg(call_function("bloom_build", col("g"), lit(est), lit(numBits)).as("bf"))
-          .head().getAs[Array[Byte]](0)
-        val train = grams.filter(col("doc_id") % 17 =!= 0)
-        // bf is null only when the eval side has no grams at all (the
-        // aggregate returns NULL for an empty build) — nothing can
-        // overlap, and the exact join below says so on its own.
-        val survivors =
-          if (bf == null) train
-          else train.filter(call_function("might_contain", lit(bf), col("g")))
-        survivors.join(evalGrams.hint("shuffle_hash"), "g")
-          .groupBy(col("doc_id"), col("source"))
-          .agg(count(lit(1)).as("n_overlap"))
-          .withColumn("contaminated", col("n_overlap") >= 5)
+        decontaminate(
+          grams.filter(col("doc_id") % 17 =!= 0),
+          grams.filter(col("doc_id") % 17 === 0),
+          regime = "bloom")
+      },
+      Some(oDecontaminate)),
+
+    // ------------------------------------------------------------------
+    // The AUTO regime (r8 verdict "Next round" #2): ONE decontamination
+    // operator that measures the eval side (the same count the bloom
+    // build needs anyway) and picks broadcast-verify vs bloom+shuffle
+    // at the [[DecontamBroadcastMaxGrams]] crossover. At every test SF
+    // the eval suite is benchmark-sized, so this resolves to t13's
+    // broadcast plan — the point is that a 50M-gram eval suite needs NO
+    // code change, only this entry's shape. Same oracle as t13/t24
+    // (the regime choice may never change the answer; forced-regime
+    // equality is asserted in FunctionsSpec). Eager at construction
+    // (the count), like t24.
+    QueryEntry("t25_decontaminate_auto",
+      (s, d) => {
+        val grams = wordFiveGrams(s, d)
+        decontaminate(
+          grams.filter(col("doc_id") % 17 =!= 0),
+          grams.filter(col("doc_id") % 17 === 0),
+          regime = "auto")
       },
       Some(oDecontaminate))
   )

@@ -377,12 +377,47 @@ class FunctionsSpec extends SparkSpec {
   test("t24 bloom-prefiltered decontamination matches t13 row-for-row") {
     // same overlap measure, different PLAN (bloom prefilter + shuffled
     // verify vs broadcast verify): bloom false positives must die in
-    // the exact join, false negatives must not exist at all
+    // the exact join, false negatives must not exist at all. t25 (auto)
+    // must agree too, whichever regime its count picks.
     val d = sf("sf0.01")
     val a = SparkEntry.queries("t13_decontaminate")(spark, d).collect().toSet
     val b = SparkEntry.queries("t24_decontaminate_bloom")(spark, d).collect().toSet
+    val c = SparkEntry.queries("t25_decontaminate_auto")(spark, d).collect().toSet
     assert(a.nonEmpty, "t13 returned no contaminated-doc rows at sf0.01")
     assert(a == b, s"t13/t24 disagree: only-t13=${(a -- b).take(3)} only-t24=${(b -- a).take(3)}")
+    assert(a == c, s"t13/t25 disagree: only-t13=${(a -- c).take(3)} only-t25=${(c -- a).take(3)}")
+  }
+
+  test("decontaminate auto regime switches plans at the gram-count threshold") {
+    import org.apache.spark.sql.functions.col
+    val d = sf("sf0.001")
+    def grams(which: Boolean) = {
+      val all = Tables(spark, d, "documents")
+        .selectExpr("doc_id", "source", "explode(split(lower(text), ' ')) AS g")
+      if (which) all.filter(col("doc_id") % 17 === 0)
+      else all.filter(col("doc_id") % 17 =!= 0)
+    }
+    def planOf(regimeMax: Long): String =
+      graft.operators.TextOps.decontaminate(grams(false), grams(true),
+        regime = "auto", broadcastMaxGrams = regimeMax)
+        .queryExecution.executedPlan.toString
+    // threshold above the eval count -> broadcast plan, no bloom probe
+    val small = planOf(Long.MaxValue)
+    assert(small.contains("BroadcastExchange") && !small.contains("might_contain"),
+      s"auto/under-threshold should broadcast: ${small.take(800)}")
+    // threshold of 0 -> every suite is 'too big': bloom probe, no broadcast
+    val big = planOf(0L)
+    assert(big.contains("might_contain") && !big.contains("BroadcastExchange"),
+      s"auto/over-threshold should bloom-prefilter: ${big.take(800)}")
+    // forced regimes answer identically regardless of the plan picked
+    val fb = graft.operators.TextOps.decontaminate(grams(false), grams(true),
+      regime = "broadcast").collect().toSet
+    val fl = graft.operators.TextOps.decontaminate(grams(false), grams(true),
+      regime = "bloom").collect().toSet
+    assert(fb == fl, s"forced regimes disagree: ${(fb -- fl).take(3)} / ${(fl -- fb).take(3)}")
+    val e = intercept[Exception](graft.operators.TextOps.decontaminate(
+      grams(false), grams(true), regime = "hybrid"))
+    assert(e.getMessage.contains("regime"))
   }
 
   test("GraftExtensions injects every function at session build (spark.sql.extensions)") {
