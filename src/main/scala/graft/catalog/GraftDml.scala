@@ -79,9 +79,17 @@ import graft.store.{GraftTable, MergeWhen}
   *    multiple source matches collapse instead of raising the
   *    cardinality error — documented delta from the row-id path).
   *
-  *  `WHEN NOT MATCHED BY SOURCE` correlated conditions stay a loud
-  *  error: those rows have no source partner to carry a computed flag,
-  *  and the spelling (absent from Trino) has an UPDATE/DELETE rewrite.
+  *  - in `WHEN NOT MATCHED BY SOURCE` clauses (round 9, r8 verdict #5;
+  *    may reference TARGET columns only — SQL rule): the pair set
+  *    widens to a FULL OUTER join, so unmatched target rows ride along
+  *    as (target, null-source) rows with a source-presence marker;
+  *    their correlated flags project over the target side (Spark
+  *    decorrelates, same shape as an UPDATE condition) and each NMBS
+  *    clause re-enters the store merge as a matched clause gated on
+  *    marker-NULL. Row-VALUE semantics as above.
+  *
+  *  The one remaining loud error: a correlated subquery in the MERGE
+  *  ON condition itself (no lowering — move it into a WHEN clause).
   */
 final class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -210,9 +218,9 @@ private[catalog] object GraftDmlExprs {
     if (outer.nonEmpty) throw new UnsupportedOperationException(
       s"correlated $what here is not supported for graft tables " +
         "(supported: UPDATE conditions and assignments, DELETE conditions, " +
-        "MERGE WHEN MATCHED / WHEN NOT MATCHED clauses). A correlated " +
-        "subquery in the MERGE ON condition or a WHEN NOT MATCHED BY SOURCE " +
-        "clause has no lowering — move it into a WHEN clause condition or " +
+        "MERGE WHEN MATCHED / WHEN NOT MATCHED / WHEN NOT MATCHED BY SOURCE " +
+        "clauses). A correlated subquery in the MERGE ON condition itself " +
+        "has no lowering — move it into a WHEN clause condition or " +
         "rewrite the statement as separate UPDATE/DELETE.")
 
   /** True iff the expression tree carries a subquery that references
@@ -531,11 +539,8 @@ final case class GraftMergeCommand(gt: GraftTable, source: LogicalPlan,
   }
 
   override def run(session: SparkSession): Seq[Row] = {
-    if (notMatchedBySource.exists(whenCorr)) throw new UnsupportedOperationException(
-      "correlated subqueries in WHEN NOT MATCHED BY SOURCE clauses are not " +
-        "supported for graft tables (no source row to carry the computed " +
-        "flag); rewrite the clause as a separate correlated UPDATE/DELETE")
-    if (matched.exists(whenCorr)) runRowIdentity(session)
+    if (matched.exists(whenCorr) || notMatchedBySource.exists(whenCorr))
+      runRowIdentity(session)
     else if (notMatched.exists(whenCorr)) runSourceFlags(session)
     else runDirect(session)
     Seq.empty
@@ -584,12 +589,28 @@ final case class GraftMergeCommand(gt: GraftTable, source: LogicalPlan,
     * transform alike; identical-valued multiple source matches
     * collapse instead of raising the cardinality error. Distinct needs
     * comparable columns, so map-typed columns on either side are
-    * rejected loudly. */
+    * rejected loudly.
+    *
+    * Correlated `WHEN NOT MATCHED BY SOURCE` (round 9, r8 verdict #5)
+    * rides the SAME pair-set machinery with the join widened to FULL
+    * OUTER: target rows with no ON-partner surface as (target,
+    * null-source) rows carrying a source-presence marker NULL — their
+    * clause conditions reference TARGET columns only (SQL rule), so
+    * the flags project fine over the all-null source side, and Spark's
+    * subquery machinery decorrelates them exactly like an UPDATE
+    * condition. Each NMBS clause then re-enters the store merge as a
+    * MATCHED clause gated on marker-NULL (the original matched clauses
+    * gate on marker-NOT-NULL): disjoint gates, so per-row first-wins
+    * ordering inside each family is preserved. Soundness of the split:
+    * the ON condition is a function of row VALUES, so identically-
+    * valued target rows have identical match sets — a row value can
+    * never appear in both the pair half and the NMBS half. */
   private def runRowIdentity(session: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions.Alias
-    import org.apache.spark.sql.catalyst.plans.RightOuter
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, RightOuter}
     requireNoReserved(rel.output, "target")
     requireNoReserved(source.output, "merge source")
+    val nmbsCorr = notMatchedBySource.exists(whenCorr)
     val badMaps = source.output.filter(a => hasMapType(a.dataType)).map(_.name)
     if (badMaps.nonEmpty) throw new UnsupportedOperationException(
       "correlated MERGE WHEN MATCHED clauses need a value-comparable pair " +
@@ -607,25 +628,40 @@ final case class GraftMergeCommand(gt: GraftTable, source: LogicalPlan,
     val matched2 = matched.map(mProj.lower)
     val iProj = new Projector("__graft_when_i")
     val ins2 = notMatched.map(iProj.lower)
+    val bProj = new Projector("__graft_when_b")
+    val nmbs2 = notMatchedBySource.map(bProj.lower)
 
-    // ONE right-outer join carries both halves — matched (t,s) pairs
-    // (marker true) and unmatched source rows (marker null) — so no
-    // Union sits above subquery-bearing projections (Union's
-    // constraint rewrite chokes on attributes local to a subquery
-    // plan). If there are no insert clauses an inner join suffices:
-    // unmatched source rows could never act.
+    // ONE outer join carries every half — matched (t,s) pairs (target
+    // marker true, source marker true), unmatched source rows (target
+    // marker null), and — when an NMBS clause correlates — unmatched
+    // TARGET rows (source marker null) via FULL OUTER — so no Union
+    // sits above subquery-bearing projections (Union's constraint
+    // rewrite chokes on attributes local to a subquery plan). With no
+    // insert clauses and no NMBS correlation an inner join suffices:
+    // the extra rows could never act.
     val left = Project(
       rel.output :+ Alias(Literal(true), present)(), rel)
-    val joinType = if (notMatched.isEmpty) org.apache.spark.sql.catalyst.plans.Inner
+    val sPresent = "__graft_s_present"
+    val (rightPlan, sMarker) =
+      if (nmbsCorr) {
+        val p = Project(source.output :+ Alias(Literal(true), sPresent)(), source)
+        (p, Some(p.output.last))
+      } else (source, None)
+    val joinType =
+      if (nmbsCorr) FullOuter
+      else if (notMatched.isEmpty) org.apache.spark.sql.catalyst.plans.Inner
       else RightOuter
-    val joined = Join(left, source, joinType, Some(onExpr), JoinHint.NONE)
+    val joined = Join(left, rightPlan, joinType, Some(onExpr), JoinHint.NONE)
     // flag expressions are total over the pair set: on unmatched rows
     // (all-null target side) an EXISTS evaluates false and a scalar
     // subquery null — unused either way, the store only consults
-    // matched flags on matches and insert flags on non-matches
+    // matched flags on matches and insert flags on non-matches; NMBS
+    // flags reference target columns only, so they are well-defined on
+    // the null-source rows that consult them
     val full = Project(
       left.output ++ source.output.map(a => Alias(a, sName(a.name))()) ++
-        (mProj.cols ++ iProj.cols).map { case (e, n) => Alias(e, n)() },
+        sMarker.toSeq ++
+        (mProj.cols ++ iProj.cols ++ bProj.cols).map { case (e, n) => Alias(e, n)() },
       joined)
     // value-distinct the MATCHED pairs only: unmatched source rows keep
     // real-row multiplicity (each inserts) via a per-row salt that is
@@ -646,7 +682,24 @@ final case class GraftMergeCommand(gt: GraftTable, source: LogicalPlan,
       MergeWhen(w.cond.map(tr), w.assigns.map(mat.buildSet(_, tgt, srcRenamedMap)))
     val on = rowIdentityOn(gt.schema) &&
       org.apache.spark.sql.functions.col(s"`${GraftTable.MergeSourcePrefix}$present`")
-    gt.mergeInto(srcDf, on, matched2.map(when), ins2.map(when),
-      notMatchedBySource.map(when), "merge")
+    if (nmbsCorr) {
+      // NMBS rows are (target, null-source) copies that MATCH their
+      // own target row under row identity, so both families enter the
+      // store as matched clauses behind disjoint source-marker gates —
+      // pair rows carry marker true, NMBS rows marker NULL. The NMBS
+      // half contains EVERY unmatched target row (conditions gate at
+      // clause level), so victim discovery touches all live files —
+      // the store's own NMBS contract, reached by a different door.
+      val sp = org.apache.spark.sql.functions
+        .col(s"`${GraftTable.MergeSourcePrefix}$sPresent`")
+      def gate(g: Column)(w: MergeWhen): MergeWhen =
+        w.copy(condition = Some(w.condition.map(g && _).getOrElse(g)))
+      gt.mergeInto(srcDf, on,
+        matched2.map(when).map(gate(sp.isNotNull)) ++
+          nmbs2.map(when).map(gate(sp.isNull)),
+        ins2.map(when), Nil, "merge")
+    } else
+      gt.mergeInto(srcDf, on, matched2.map(when), ins2.map(when),
+        notMatchedBySource.map(when), "merge")
   }
 }

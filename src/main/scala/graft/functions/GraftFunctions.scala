@@ -68,20 +68,22 @@ object GraftFunctions {
     },
     // graft-native: int8-code packing + exact integer dot (the ANN
     // quantized pre-score kernel — 4x fewer candidate-join bytes).
-    "pack_int8" -> { exprs: Seq[Expression] => PackInt8(exprs.head) },
-    "int8_dot" -> { exprs: Seq[Expression] => Int8Dot(exprs(0), exprs(1)) },
+    "pack_int8" -> { exprs: Seq[Expression] => PackInt8(arity(exprs, 1, "pack_int8").head) },
+    "int8_dot" -> { exprs: Seq[Expression] =>
+      val a = arity(exprs, 2, "int8_dot"); Int8Dot(a(0), a(1)) },
     // graft-native: whole-document SimHash in one pass (replaces the
     // word x64-position explode+shuffle spelling; bit-identical).
-    "simhash64" -> { exprs: Seq[Expression] => Simhash64(exprs.head) },
+    "simhash64" -> { exprs: Seq[Expression] => Simhash64(arity(exprs, 1, "simhash64").head) },
     // graft-native: fused rolling fingerprint (t05's winnowing min —
     // one codegen'd window loop replaces an interpreted HOF lambda).
     "min_gram_md5" -> { exprs: Seq[Expression] =>
-      MinGramMd5(exprs(0), exprs(1)) },
+      val a = arity(exprs, 2, "min_gram_md5(text, n)"); MinGramMd5(a(0), a(1)) },
     // graft-native: fused MinHash signature + char-gram generator (the
     // t02/t04 per-document kernel; replaces ~19 interpreted HOF passes).
     "shingle_sig" -> { exprs: Seq[Expression] =>
-      ShingleSig(exprs(0), exprs(1), exprs(2)) },
-    "char_grams" -> { exprs: Seq[Expression] => CharGrams(exprs(0), exprs(1)) },
+      val a = arity(exprs, 3, "shingle_sig"); ShingleSig(a(0), a(1), a(2)) },
+    "char_grams" -> { exprs: Seq[Expression] =>
+      val a = arity(exprs, 2, "char_grams"); CharGrams(a(0), a(1)) },
     // Trino approx_most_frequent(buckets, value[, capacity]) — Space-
     // Saving top-k summary (TypedImperativeAggregate).
     "approx_most_frequent" -> { exprs: Seq[Expression] =>
@@ -134,6 +136,14 @@ object GraftFunctions {
     "might_contain" -> { exprs: Seq[Expression] =>
       BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1))))
     })
+
+  /** Clean analysis-time arity error instead of the builder's
+    * IndexOutOfBoundsException on a wrong-arity call (ADVICE r8). */
+  private def arity(exprs: Seq[Expression], n: Int, fn: String): Seq[Expression] = {
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$fn takes $n argument(s), got ${exprs.length}")
+    exprs
+  }
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v, _) => String.valueOf(v).toInt

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,11 +33,19 @@ case class MinGramMd5(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType, right) match {
-      case (StringType, IntegerType, Literal(n: Int, _)) if n >= 1 =>
-        TypeCheckResult.TypeCheckSuccess
+    (left.dataType, right.dataType) match {
+      // any FOLDABLE int spelling works — CAST(8 AS INT), named
+      // constants, constant-folded arithmetic — not just a bare
+      // literal (ADVICE r8); eval here is safe because foldable
+      // expressions are deterministic functions of no input
+      case (StringType, IntegerType) if right.foldable =>
+        right.eval() match {
+          case n: Int if n >= 1 => TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"min_gram_md5 gram length must be a positive INT constant, got $other")
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
-        "min_gram_md5 requires (string, positive int literal) arguments")
+        "min_gram_md5 requires (string, constant positive int) arguments")
     }
 
   override def dataType: DataType = StringType

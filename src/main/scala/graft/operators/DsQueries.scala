@@ -93,6 +93,13 @@ object DsQueries {
           // counts are associative, so rolling up the pre-aggregate is
           // value-identical (sum of sums, sum of counts); the double
           // cast happens once at the end, exactly like dsum.
+          // EMPTY-INPUT edge (ADVICE r8, accepted delta): rollup over
+          // the raw stream (and the DuckDB oracle) emits one grand-
+          // total row (n_items=0) on an EMPTY input, while rollup over
+          // an empty pre-aggregate emits zero rows; n_items is also
+          // nullable here (sum of counts). Benchmark tables are never
+          // empty — if this entry ever runs against an empty dir, a
+          // 0-vs-1-row diff is THIS, not a regression.
           .groupBy(col("r_name"), col("n_name"), col("p_brand"))
           .agg(sum(col("rev").cast(graft.Parity.D)).as("rev1"),
             count(lit(1)).as("cnt1"))

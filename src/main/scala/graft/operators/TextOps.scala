@@ -1386,6 +1386,39 @@ object TextOps {
         GROUP BY 1, 2""")),
 
     // ------------------------------------------------------------------
+    // [[sourceMix]] under an EXPLICIT weight table (r8 verdict "Next
+    // round" #7): the production calling convention — weights come in
+    // as a (source, weight) relation (here VALUES-built; in a real
+    // pipeline a config table), not parsed from source names like
+    // t22's demo vector. Exercises the operator's documented edges:
+    // a zero-weight source (src1 — budget 0, absent from the mix) and
+    // sources missing from the table (src4+ — dropped by the inner
+    // join). The oracle takes the SAME VALUES table.
+    QueryEntry("t22b_source_mix_table",
+      (s, d) => {
+        import s.implicits._
+        val weights = Seq(("src0", 3L), ("src1", 0L), ("src2", 5L), ("src3", 2L))
+          .toDF("source", "weight")
+        sourceMix(docs(s, d), weights, budgetTokens = 4000L)
+      },
+      Some("""WITH w(source, weight) AS (
+            VALUES ('src0', 3), ('src1', 0), ('src2', 5), ('src3', 2)),
+          t AS (SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS toks,
+              MD5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents WHERE text IS NOT NULL),
+          si AS (SELECT SUM(weight) AS sw FROM w),
+          budgets AS (SELECT source, weight * 4000 // sw AS budget_tokens FROM w, si),
+          c AS (SELECT source, toks,
+              SUM(toks) OVER (PARTITION BY source ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM t)
+          SELECT c.source, CAST(b.budget_tokens AS BIGINT) AS budget_tokens,
+            COUNT(*) AS n_docs, CAST(SUM(c.toks) AS BIGINT) AS mix_tokens
+          FROM c JOIN budgets b ON b.source = c.source
+          WHERE c.cum <= b.budget_tokens
+          GROUP BY 1, 2""")),
+
+    // ------------------------------------------------------------------
     // Cross-document repeated-substring (boilerplate) detection — the
     // exact-substring tier of training-data dedup (Lee et al.,
     // "Deduplicating Training Data Makes Language Models Better",

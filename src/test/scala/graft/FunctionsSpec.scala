@@ -358,6 +358,17 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("min_gram_md5: foldable n spellings accepted, wrong arity errors cleanly") {
+    // ADVICE r8: CAST(8 AS INT) is foldable-but-not-literal; must typecheck
+    val f = one("SELECT min_gram_md5('hello world', CAST(8 AS INT)) = " +
+      "min_gram_md5('hello world', 8) AS same")
+    assert(f == Row(true))
+    val ar = intercept[Exception](one("SELECT min_gram_md5('x')"))
+    assert(ar.getMessage.contains("argument"), ar.getMessage)
+    val neg = intercept[Exception](one("SELECT min_gram_md5('x', 0)"))
+    assert(neg.getMessage.toLowerCase.contains("positive"), neg.getMessage)
+  }
+
   test("bloom_build/might_contain: the runtime-filter kernel pair as explicit SQL") {
     // build as a scalar subquery (the spelling InjectRuntimeFilter
     // plants); members MUST hit (no false negatives is the contract
