@@ -263,8 +263,9 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"graft_match_recognize $what must be a string literal, got $other")
       }
-      require(exprs.length >= 6 && exprs.length <= 8,
-        "graft_match_recognize(source, partition_cols, order_cols, defines, pattern, measures[, mode[, prepartitioned]])")
+      require(exprs.length >= 6 && exprs.length <= 9,
+        "graft_match_recognize(source, partition_cols, order_cols, defines, " +
+          "pattern, measures[, mode[, prepartitioned[, skip]]])")
       val srcStr = str(exprs(0), "source")
       val df =
         if (srcStr.matches("""(?is)^\s*(SELECT|WITH|VALUES)\b.*""")) spark.sql(srcStr)
@@ -285,35 +286,42 @@ object GraftFunctions {
           require(i > 0, s"bad DEFINE '$d' (want SYM:<bool expr>)")
           d.substring(0, i).trim -> org.apache.spark.sql.functions.expr(d.substring(i + 1))
         }
+      // measure aggs may carry a 'run_' prefix = SQL RUNNING semantics
+      // (ALL ROWS mode; bare agg = FINAL); agg 'classifier' is the SQL
+      // CLASSIFIER() function (field-less, like count)
       val measures = str(exprs(5), "measures").split(",").map(_.trim).filter(_.nonEmpty).toSeq
         .map { m =>
+          def mk(n: String, agg0: String, sym: String, f: String) =
+            graft.operators.PatternMatch.Measure(
+              n, agg0.stripPrefix("run_"), sym, f, running = agg0.startsWith("run_"))
           m.split(":").map(_.trim) match {
-            case Array(n, agg, sym)    => graft.operators.PatternMatch.Measure(n, agg, sym)
-            case Array(n, agg, sym, f) => graft.operators.PatternMatch.Measure(n, agg, sym, f)
+            case Array(n, agg, sym)    => mk(n, agg, sym, "")
+            case Array(n, agg, sym, f) => mk(n, agg, sym, f)
             case other => throw new IllegalArgumentException(
-              s"bad MEASURE '$m' (want name:agg:symbol[:field])")
+              s"bad MEASURE '$m' (want name:[run_]agg:symbol[:field])")
           }
         }
       val mode = if (exprs.length >= 7) str(exprs(6), "mode") else "one"
-      val pre = exprs.length == 8 && (str(exprs(7), "prepartitioned") match {
+      val pre = exprs.length >= 8 && (str(exprs(7), "prepartitioned") match {
         case "true" => true
         case "false" => false
         case other => throw new IllegalArgumentException(
           s"graft_match_recognize prepartitioned must be 'true' or 'false', got '$other'")
       })
-      // mode may carry a '_next' suffix = AFTER MATCH SKIP TO NEXT ROW
-      // (overlapping matches); bare mode = SKIP PAST LAST ROW
-      val skipNext = mode.endsWith("_next")
+      // mode may carry a '_next' suffix = AFTER MATCH SKIP TO NEXT ROW;
+      // the optional 9th arg is the full skip spec ("past last row" |
+      // "to next row" | "to first SYM" | "to last SYM") and wins
+      val skipSpec =
+        if (exprs.length == 9) str(exprs(8), "skip")
+        else if (mode.endsWith("_next")) "to next row"
+        else "past last row"
       val out = mode.stripSuffix("_next") match {
         case "one" => graft.operators.PatternMatch.matchPattern(
           df, partCols, orderCols, symbols, str(exprs(4), "pattern"), measures,
-          prePartitioned = pre, skipToNext = skipNext)
-        case "all" =>
-          require(measures.isEmpty,
-            "graft_match_recognize: measures do not apply in 'all' mode — pass ''")
-          graft.operators.PatternMatch.matchPatternAllRows(
-            df, partCols, orderCols, symbols, str(exprs(4), "pattern"),
-            prePartitioned = pre, skipToNext = skipNext)
+          prePartitioned = pre, skip = skipSpec)
+        case "all" => graft.operators.PatternMatch.matchPatternAllRows(
+          df, partCols, orderCols, symbols, str(exprs(4), "pattern"), measures,
+          prePartitioned = pre, skip = skipSpec)
         case other => throw new IllegalArgumentException(
           s"graft_match_recognize mode must be 'one', 'all', 'one_next' or " +
             s"'all_next', got '$other'")

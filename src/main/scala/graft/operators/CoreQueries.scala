@@ -814,6 +814,67 @@ object CoreQueries {
         SELECT user_id,
           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS match_num,
           start_ts, end_ts, n_down, n_up, bottom, peak
-        FROM m"""))
+        FROM m""")),
+
+    // ------------------------------------------------------------------
+    // The rest of the MEASURES dialect (round 9): ALL ROWS PER MATCH
+    // with RUNNING (per-row prefix aggregates — the SQL default in this
+    // mode) and FINAL (whole-match constants) measures, plus a SUBSET
+    // union variable S = (D, U) aggregated across both symbols. The
+    // RUNNING LAST(S.ts_s) measure is the idiomatic way to carry a
+    // non-key source column through ALL ROWS output (it equals the
+    // current row's value because S covers every classifier). Oracle:
+    // q31's run-pairing expanded to row grain, with the running
+    // measures as ordinary window functions over each match's rows.
+    QueryEntry("q33_pattern_running_measures",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("mr_events")
+        s.sql("""
+          SELECT user_id, event_id, match_num, classifier, ts_s,
+                 n_so_far, min_so_far, n_down, peak
+          FROM (
+            SELECT user_id, ts, event_id, value,
+                   date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s
+            FROM mr_events WHERE event_type = 'purchase'
+          ) MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES RUNNING LAST(S.ts_s) AS ts_s, COUNT(S.*) AS n_so_far,
+              RUNNING MIN(S.value) AS min_so_far,
+              FINAL COUNT(D.*) AS n_down, FINAL LAST(U.value) AS peak
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (D+ U+)
+            SUBSET S = (D, U)
+            DEFINE D AS D.value < PREV(D.value),
+                   U AS U.value > PREV(U.value)
+          )""")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        d AS (SELECT user_id, ts, event_id, value,
+            value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+          FROM ev),
+        c AS (SELECT *, CASE WHEN delta < 0 THEN 'D' WHEN delta > 0 THEN 'U' ELSE 'X' END AS cls,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM d),
+        r AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, cls ORDER BY rn) AS grp FROM c),
+        runs AS (SELECT user_id, cls, grp, MIN(rn) AS srn, MAX(rn) AS ern,
+            COUNT(*) AS n, ARG_MAX(value, rn) AS last_v
+          FROM r GROUP BY user_id, cls, grp),
+        paired AS (SELECT a.user_id, a.srn, b.ern,
+            CAST(a.n AS BIGINT) AS n_down, b.last_v AS peak,
+            ROW_NUMBER() OVER (PARTITION BY a.user_id ORDER BY a.srn) AS match_num
+          FROM runs a JOIN runs b
+            ON b.user_id = a.user_id AND b.srn = a.ern + 1
+           AND a.cls = 'D' AND b.cls = 'U')
+        SELECT p.user_id, x.event_id, p.match_num, x.cls AS classifier,
+          STRFTIME(x.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+          ROW_NUMBER() OVER w AS n_so_far,
+          MIN(x.value) OVER w AS min_so_far,
+          p.n_down, p.peak
+        FROM paired p JOIN r x
+          ON x.user_id = p.user_id AND x.rn BETWEEN p.srn AND p.ern
+        WINDOW w AS (PARTITION BY p.user_id, p.match_num ORDER BY x.rn)"""))
   )
 }

@@ -136,13 +136,46 @@ object PatternMatch {
     * a pathological pattern fails loudly instead of looping. */
   private val MaxSteps = 10_000_000L
 
+  // ---- AFTER MATCH skip modes (SQL:2016) -----------------------------
+
+  private[graft] sealed trait Skip
+  /** Resume after the match's last row (non-overlapping; default). */
+  private[graft] case object SkipPastLast extends Skip
+  /** Resume one row after the match's FIRST row — overlapping matches. */
+  private[graft] case object SkipToNextRow extends Skip
+  /** Resume AT the first/last row the match classified as `symIdx`
+    * (that row may start the next match). Runtime error — per the
+    * standard — when the match maps no row to the symbol, or when the
+    * resume point IS the match's first row (infinite loop). */
+  private[graft] final case class SkipToSym(symIdx: Int, first: Boolean) extends Skip
+
+  /** Parse a skip spec: "past last row" (or "", the default), "to next
+    * row", "to first SYM", "to last SYM" — case-insensitive, optional
+    * leading "skip", whitespace collapsed. */
+  private[graft] def parseSkip(spec: String, symbols: Seq[String]): Skip = {
+    val t = spec.trim.replaceAll("""\s+""", " ").toLowerCase match {
+      case s if s.startsWith("skip ") => s.substring(5)
+      case s => s
+    }
+    val symRx = """to (first|last) (\w+)""".r
+    t match {
+      case "" | "past last row" => SkipPastLast
+      case "to next row"        => SkipToNextRow
+      case symRx(fl, sym) =>
+        val i = symbols.indexWhere(_.equalsIgnoreCase(sym))
+        require(i >= 0, s"AFTER MATCH SKIP TO ${fl.toUpperCase} ${sym.toUpperCase}: " +
+          s"unknown pattern symbol '$sym'")
+        SkipToSym(i, fl == "first")
+      case other => sys.error(s"bad AFTER MATCH skip spec '$spec' — want: " +
+        "PAST LAST ROW | TO NEXT ROW | TO FIRST <sym> | TO LAST <sym>")
+    }
+  }
+
   /** All matches in one key group (rows already in order): leftmost
-    * start, greedy quantifiers. `skipToNext = false` is AFTER MATCH
-    * SKIP PAST LAST ROW (non-overlapping, resume after the match);
-    * `true` is AFTER MATCH SKIP TO NEXT ROW (resume at start+1, so
-    * matches may overlap — the SQL:2016 overlapping-match mode). */
+    * start, greedy quantifiers; `skip` picks the resume point after
+    * each non-empty match (see [[Skip]]). */
   private[graft] def findMatches(truth: Array[Array[Boolean]], pat: Pat,
-                                 skipToNext: Boolean = false): Seq[Match] = {
+                                 skip: Skip = SkipPastLast): Seq[Match] = {
     val n = truth.length
     val out = scala.collection.mutable.ArrayBuffer[Match]()
     val cls = Array.fill(n)(-1)
@@ -230,13 +263,26 @@ object PatternMatch {
       // preferred (longest-quantifier) parse; record and stop.
       m(pat, start, e => { matchedEnd = e; true })
       if (matchedEnd > start) {
-        out += Match(start, matchedEnd, cls.slice(start, matchedEnd))
+        val m = Match(start, matchedEnd, cls.slice(start, matchedEnd))
+        out += m
         java.util.Arrays.fill(cls, start, matchedEnd, -1)
-        // SKIP TO NEXT ROW restarts one row after the match's FIRST row
-        // (overlapping matches); SKIP PAST LAST ROW resumes after it.
-        // The head-run failure skip below stays valid in both modes —
-        // its argument is about FAILED attempts only.
-        start = if (skipToNext) start + 1 else matchedEnd
+        // the head-run failure skip below stays valid in every mode —
+        // its argument is about FAILED attempts only
+        start = skip match {
+          case SkipPastLast  => matchedEnd
+          case SkipToNextRow => start + 1
+          case SkipToSym(si, first) =>
+            val rel = if (first) m.cls.indexOf(si) else m.cls.lastIndexOf(si)
+            if (rel < 0) sys.error(
+              s"AFTER MATCH SKIP TO ${if (first) "FIRST" else "LAST"} symbol #$si: " +
+                "the match maps no row to that symbol (SQL:2016 runtime error — " +
+                "guard the pattern so the symbol always participates)")
+            if (rel == 0) sys.error(
+              s"AFTER MATCH SKIP TO ${if (first) "FIRST" else "LAST"} symbol #$si " +
+                "resumes at the match's own first row — infinite loop " +
+                "(SQL:2016 runtime error; use SKIP TO NEXT ROW instead)")
+            m.start + rel
+        }
       } else {
         // empty match (matchedEnd == start) consumes nothing and its
         // accepting path touched no Sym, so cls needs no cleanup —
@@ -255,11 +301,110 @@ object PatternMatch {
 
   // ---- measures -------------------------------------------------------
 
-  /** A per-match output column. `agg` in first|last|min|max|sum|count;
-    * `symbol` restricts to rows the winning path classified as that
-    * symbol ("*" = every matched row); `field` is the input column the
-    * aggregate reads (ignored for count). */
-  final case class Measure(name: String, agg: String, symbol: String, field: String = "")
+  /** A measure column. `agg` in first|last|min|max|sum|count|classifier
+    * (classifier = the symbol name of the latest qualifying row — the
+    * SQL CLASSIFIER() function); `symbol` restricts to rows the winning
+    * path classified as that symbol — "*" = every matched row, and a
+    * `"A|B"` union spelling covers SQL:2016 SUBSET variables; `field`
+    * is the input column the aggregate reads (ignored for count and
+    * classifier). `running = true` (ALL ROWS PER MATCH only) evaluates
+    * the aggregate over the match's rows UP TO each output row — the
+    * SQL RUNNING semantics, the ALL ROWS default; `false` is FINAL
+    * (whole-match value: the ONE ROW mode's only semantics, and a
+    * per-match constant column under ALL ROWS). */
+  final case class Measure(name: String, agg: String, symbol: String,
+                           field: String = "", running: Boolean = false)
+
+  /** Incremental measure accumulator — ONE implementation evaluates
+    * both FINAL (fed the whole match) and RUNNING (value read after
+    * each row) semantics, so the two modes can never drift. */
+  private sealed trait Acc { def add(v: Any): Unit; def value: Any }
+
+  private def accFor(msr: Measure, ft: => DataType): Acc = msr.agg match {
+    case "count" => new Acc {
+      private var c = 0L
+      def add(v: Any): Unit = c += 1
+      def value: Any = c
+    }
+    case "first" => new Acc {
+      private var seen = false; private var x: Any = null
+      def add(v: Any): Unit = if (!seen) { x = v; seen = true }
+      def value: Any = x
+    }
+    case "last" | "classifier" => new Acc {
+      private var x: Any = null
+      def add(v: Any): Unit = x = v
+      def value: Any = x
+    }
+    case "min" | "max" | "sum" => ft match {
+      case DoubleType | FloatType => new Acc {
+        // nulls skipped; running start value is the first non-null —
+        // 0.0+x1 == x1 exactly, so the incremental sum is bit-identical
+        // to the old whole-list fold
+        private var any = false; private var acc = 0.0
+        def add(v: Any): Unit = if (v != null) {
+          val d = v.asInstanceOf[java.lang.Number].doubleValue()
+          if (!any) { acc = d; any = true }
+          else acc = msr.agg match {
+            case "sum" => acc + d
+            case "min" => math.min(acc, d)
+            case _     => math.max(acc, d)
+          }
+        }
+        def value: Any = if (any) acc else null
+      }
+      case dt: DecimalType => new Acc {
+        // exact BigDecimal arithmetic in the field's scale; a sum past
+        // the widened output precision fails loudly at read time
+        private var acc: java.math.BigDecimal = null
+        def add(v: Any): Unit = if (v != null) {
+          val d = v.asInstanceOf[java.math.BigDecimal]
+          acc = if (acc == null) d else msr.agg match {
+            case "sum" => acc add d
+            case "min" => if (d.compareTo(acc) < 0) d else acc
+            case _     => if (d.compareTo(acc) > 0) d else acc
+          }
+        }
+        def value: Any =
+          if (acc == null) null
+          else if (msr.agg != "sum") acc
+          else {
+            val outP = math.min(38, dt.precision + 10)
+            if (acc.precision - acc.scale > outP - dt.scale)
+              sys.error(s"sum measure ${msr.name} overflows DECIMAL($outP,${dt.scale}): $acc")
+            acc.setScale(dt.scale)
+          }
+      }
+      case ByteType | ShortType | IntegerType | LongType => new Acc {
+        // integral fields aggregate in LONG arithmetic — a Double
+        // round-trip corrupts |v| > 2^53 (snowflake-style BIGINT ids).
+        // Sums ride BigInt (order-independent, no transient-overflow
+        // raise) and range-check at read; a true overflow stays loud.
+        private var any = false; private var mm = 0L
+        private var s = BigInt(0)
+        def add(v: Any): Unit = if (v != null) {
+          val l = v match {
+            case n: java.lang.Number => n.longValue()
+            case other => sys.error(s"non-numeric measure field ${msr.field}: $other")
+          }
+          if (msr.agg == "sum") s += l
+          else if (!any) mm = l
+          else mm = if (msr.agg == "min") math.min(mm, l) else math.max(mm, l)
+          any = true
+        }
+        def value: Any =
+          if (!any) null
+          else if (msr.agg != "sum") mm
+          else if (s.isValidLong) s.toLong
+          else sys.error(s"sum measure ${msr.name} overflows BIGINT: $s")
+      }
+      case other => sys.error(
+        s"measure ${msr.name}: ${msr.agg} over unsupported field type $other — " +
+          "supported: TINYINT/SMALLINT/INT/BIGINT/FLOAT/DOUBLE/DECIMAL " +
+          "(cast DATE/STRING fields explicitly first)")
+    }
+    case other => sys.error(s"unknown measure agg: $other")
+  }
 
   /** Order-by entries are `"col"`, `"col ASC"` or `"col DESC"`
     * (case-insensitive): the matcher reads each key group in exactly
@@ -279,12 +424,12 @@ object PatternMatch {
     * `match_num` (1-based per partition key, in order), then one
     * column per measure.
     *
-    * `skipToNext = true` switches AFTER MATCH SKIP PAST LAST ROW to
-    * AFTER MATCH SKIP TO NEXT ROW: after each non-empty match the scan
-    * resumes one row after the match's FIRST row, so matches overlap
-    * (each qualifying start position yields its own match, numbered in
-    * start order). Same single-shuffle plan — skip mode only changes
-    * the in-group scan.
+    * `skip` is the AFTER MATCH spec ([[parseSkip]]): "past last row"
+    * (default), "to next row" (overlapping matches — resume one row
+    * after each match's first row), "to first SYM" / "to last SYM"
+    * (resume AT that row; SQL:2016 runtime errors on no-such-row or
+    * resume-at-first-row). Same single-shuffle plan — skip mode only
+    * changes the in-group scan.
     *
     * `prePartitioned = true` asserts the CALLER's contract that `df`
     * is already hash-distributed by `partitionBy` and sorted within
@@ -307,28 +452,30 @@ object PatternMatch {
       pattern: String,
       measures: Seq[Measure],
       prePartitioned: Boolean = false,
-      skipToNext: Boolean = false): DataFrame =
+      skip: String = "past last row"): DataFrame =
     run(df, partitionBy, orderBy, symbols, pattern, measures,
-      prePartitioned, allRows = false, skipToNext)
+      prePartitioned, allRows = false, skip)
 
   /** ALL ROWS PER MATCH mode (SQL:2016 / Trino): one OUTPUT row per
     * MATCHED input row — partition keys, order columns, `match_num`,
-    * and `classifier` (the symbol the winning path assigned to that
-    * row). Unmatched rows are omitted (the ALL ROWS ... OMIT EMPTY
-    * default); measures are the ONE ROW mode's concern — join the
-    * classifier stream back to the input on (keys, order) when row
-    * payloads are needed. Same skip semantics and scale shape as
-    * [[matchPattern]]. */
+    * `classifier` (the symbol the winning path assigned to that row),
+    * then one column per measure (round 9): `running = true` measures
+    * carry the aggregate over the match's rows UP TO each output row
+    * (the SQL RUNNING default for this mode), `false` the whole-match
+    * FINAL value as a per-match constant. Unmatched rows are omitted
+    * (the ALL ROWS ... OMIT EMPTY default). Same skip semantics and
+    * scale shape as [[matchPattern]]. */
   def matchPatternAllRows(
       df: DataFrame,
       partitionBy: Seq[String],
       orderBy: Seq[String],
       symbols: Seq[(String, Column)],
       pattern: String,
+      measures: Seq[Measure] = Nil,
       prePartitioned: Boolean = false,
-      skipToNext: Boolean = false): DataFrame =
-    run(df, partitionBy, orderBy, symbols, pattern, Nil,
-      prePartitioned, allRows = true, skipToNext)
+      skip: String = "past last row"): DataFrame =
+    run(df, partitionBy, orderBy, symbols, pattern, measures,
+      prePartitioned, allRows = true, skip)
 
   /** Global check of the `prePartitioned` contract: every partition-key
     * group must live entirely inside one Spark partition, contiguously.
@@ -368,54 +515,60 @@ object PatternMatch {
       measures: Seq[Measure],
       prePartitioned: Boolean,
       allRows: Boolean,
-      skipToNext: Boolean = false): DataFrame = {
+      skipSpec: String = "past last row"): DataFrame = {
 
     val symNames = symbols.map(_._1)
     val pat = parse(pattern, symNames)
+    val skip = parseSkip(skipSpec, symNames)
     val orderCols = orderSpec(orderBy)
     val orderNames = orderCols.map(_._1)
     val inSchema = df.schema
     def fieldType(f: String): DataType = inSchema(inSchema.fieldIndex(f)).dataType
 
+    require(allRows || measures.forall(!_.running),
+      "RUNNING measures require ALL ROWS PER MATCH (ONE ROW emits each " +
+        "match once, where RUNNING at the last row equals FINAL)")
+
+    // min/max/sum carry the field's NATIVE numeric family end to end:
+    // floating fields aggregate in Double, integral fields in LONG
+    // arithmetic, DECIMAL fields in exact BigDecimal — min/max keep
+    // the exact type, sum widens precision by 10 capped at 38, the
+    // same rule Spark's own Sum aggregate applies (see [[accFor]]).
+    def measureType(ms: Measure): DataType = ms.agg match {
+      case "count"          => LongType
+      case "classifier"     => StringType
+      case "first" | "last" => fieldType(ms.field)
+      case "min" | "max" | "sum" => fieldType(ms.field) match {
+        case DoubleType | FloatType => DoubleType
+        case ByteType | ShortType | IntegerType | LongType => LongType
+        case dt: DecimalType =>
+          if (ms.agg == "sum") DecimalType(math.min(38, dt.precision + 10), dt.scale)
+          else dt
+        case other => sys.error(
+          s"measure ${ms.name}: ${ms.agg} over unsupported field type $other — " +
+            "supported: TINYINT/SMALLINT/INT/BIGINT/FLOAT/DOUBLE/DECIMAL " +
+            "(cast DATE/STRING fields explicitly first)")
+      }
+      case other => sys.error(s"unknown measure agg: $other")
+    }
+    val measureStructs = measures.map(ms => StructField(ms.name, measureType(ms)))
+
     val outSchema =
       if (allRows) StructType(
         (partitionBy ++ orderNames).map(c => inSchema(inSchema.fieldIndex(c))) ++
           Seq(StructField("match_num", LongType, nullable = false),
-            StructField("classifier", StringType, nullable = false)))
+            StructField("classifier", StringType, nullable = false)) ++
+          measureStructs)
       else StructType(
         partitionBy.map(c => inSchema(inSchema.fieldIndex(c))) ++
           Seq(StructField("match_num", LongType, nullable = false)) ++
-          measures.map { ms =>
-            val dt = ms.agg match {
-              case "count"          => LongType
-              case "first" | "last" => fieldType(ms.field)
-              // min/max/sum carry the field's NATIVE numeric family end
-              // to end: floating fields aggregate in Double, integral
-              // fields in LONG arithmetic (a Double round-trip corrupts
-              // |v| > 2^53 snowflake-style BIGINT ids), and DECIMAL
-              // fields in exact BigDecimal — min/max keep the exact
-              // type, sum widens precision by 10 capped at 38, the same
-              // rule Spark's own Sum aggregate applies, so a DECIMAL
-              // window emulation produces the identical output type.
-              case "min" | "max" | "sum" => fieldType(ms.field) match {
-                case DoubleType | FloatType => DoubleType
-                case ByteType | ShortType | IntegerType | LongType => LongType
-                case dt: DecimalType =>
-                  if (ms.agg == "sum") DecimalType(math.min(38, dt.precision + 10), dt.scale)
-                  else dt
-                case other => sys.error(
-                  s"measure ${ms.name}: ${ms.agg} over unsupported field type $other — " +
-                    "supported: TINYINT/SMALLINT/INT/BIGINT/FLOAT/DOUBLE/DECIMAL " +
-                    "(cast DATE/STRING fields explicitly first)")
-              }
-              case _     => sys.error(s"unknown measure agg: ${ms.agg}")
-            }
-            StructField(ms.name, dt)
-          })
+          measureStructs)
 
     // narrow, codegen'd projection: keys, order, measure inputs, and
     // one boolean per symbol predicate
-    val measureFields = measures.filter(_.agg != "count").map(_.field).distinct
+    val measureFields = measures
+      .filter(m => m.agg != "count" && m.agg != "classifier")
+      .map(_.field).distinct
     val projected = df.select(
       (partitionBy ++ orderNames ++ measureFields).distinct.map(col) ++
         symbols.map { case (nm, c) => c.cast(BooleanType).as(s"__sym_$nm") }: _*)
@@ -425,6 +578,18 @@ object PatternMatch {
     val symIdxs = symNames.map(n => pSchema.fieldIndex(s"__sym_$n")).toArray
     val fieldIdx = measureFields.map(f => f -> pSchema.fieldIndex(f)).toMap
     val symOfName = symNames.zipWithIndex.toMap
+    // per-measure qualifying-symbol sets: null = "*" (every matched
+    // row); "A|B" unions spell SQL:2016 SUBSET variables
+    val wantSets: Array[Set[Int]] = measures.map { m =>
+      if (m.symbol == "*") null
+      else m.symbol.split("""\|""").map { s =>
+        symOfName.getOrElse(s, sys.error(
+          s"measure ${m.name}: unknown pattern symbol '$s' in '${m.symbol}'"))
+      }.toSet
+    }.toArray
+    val measureArr = measures.toArray
+    val anyFinal = measureArr.exists(!_.running)
+    val anyRunning = measureArr.exists(_.running)
 
     val sorted =
       if (prePartitioned) projected
@@ -442,74 +607,54 @@ object PatternMatch {
         else {
           val rows = buf.toArray
           val truth = rows.map(r => symIdxs.map(i => !r.isNullAt(i) && r.getBoolean(i)))
-          val ms = findMatches(truth, pat, skipToNext)
+          val ms = findMatches(truth, pat, skip)
           val key = curKey
           buf.clear()
-          if (allRows) ms.iterator.zipWithIndex.flatMap { case (mt, mi) =>
-            (mt.start until mt.end).iterator.map { i =>
-              val ci = mt.cls(i - mt.start)
-              Row.fromSeq(key ++ orderIdx.map(rows(i).get) ++
-                Seq((mi + 1).toLong, if (ci >= 0) symNames(ci) else null))
+
+          // feed row i (absolute index) of match mt into each measure
+          // accumulator whose symbol set admits the row's classifier
+          def newAccs(): Array[Acc] =
+            measureArr.map(m => accFor(m, fieldType(m.field)))
+          def feed(accs: Array[Acc], mt: Match, i: Int): Unit = {
+            val ci = mt.cls(i - mt.start)
+            var x = 0
+            while (x < measureArr.length) {
+              val want = wantSets(x)
+              if (want == null || (ci >= 0 && want(ci))) {
+                val m = measureArr(x)
+                val v =
+                  if (m.agg == "classifier") { if (ci >= 0) symNames(ci) else null }
+                  else if (m.agg == "count") null // counts rows, value unused
+                  else rows(i).get(fieldIdx(m.field))
+                accs(x).add(v)
+              }
+              x += 1
             }
           }
-          else ms.iterator.zipWithIndex.map { case (mt, mi) =>
-            val vals = measures.map { msr =>
-              val want = if (msr.symbol == "*") -1 else symOfName(msr.symbol)
-              val idxs = (mt.start until mt.end).filter(i => want == -1 || mt.cls(i - mt.start) == want)
-              msr.agg match {
-                case "count" => idxs.length.toLong
-                case "first" => if (idxs.isEmpty) null else rows(idxs.head).get(fieldIdx(msr.field))
-                case "last"  => if (idxs.isEmpty) null else rows(idxs.last).get(fieldIdx(msr.field))
-                case "min" | "max" | "sum" =>
-                  val raw = idxs.map(i => rows(i).get(fieldIdx(msr.field))).filter(_ != null)
-                  if (raw.isEmpty) null
-                  else fieldType(msr.field) match {
-                    // integral fields aggregate in LONG arithmetic — a
-                    // Double round-trip corrupts |v| > 2^53 (snowflake-
-                    // style BIGINT ids), returning values matching no
-                    // row. The `: Any` ascriptions stop Scala's numeric
-                    // lub from silently widening the Long arm to Double.
-                    case DoubleType | FloatType =>
-                      val nums = raw.map(_.asInstanceOf[java.lang.Number].doubleValue())
-                      (if (msr.agg == "sum") nums.sum
-                       else if (msr.agg == "min") nums.min else nums.max): Any
-                    case dt: DecimalType =>
-                      // exact BigDecimal arithmetic in the field's scale
-                      // (addition is associative+commutative — order-
-                      // independent by construction); a sum past the
-                      // widened output precision fails loudly, like the
-                      // BIGINT overflow branch below
-                      val nums = raw.map(_.asInstanceOf[java.math.BigDecimal])
-                      (if (msr.agg == "sum") {
-                        val s = nums.reduce(_ add _)
-                        val outP = math.min(38, dt.precision + 10)
-                        if (s.precision - s.scale > outP - dt.scale)
-                          sys.error(s"sum measure ${msr.name} overflows DECIMAL($outP,${dt.scale}): $s")
-                        s.setScale(dt.scale)
-                      }
-                       else if (msr.agg == "min") nums.min(Ordering.ordered[java.math.BigDecimal])
-                       else nums.max(Ordering.ordered[java.math.BigDecimal])): Any
-                    case _ =>
-                      val nums = raw.map {
-                        case n: java.lang.Number => n.longValue()
-                        case other => sys.error(s"non-numeric measure field ${msr.field}: $other")
-                      }
-                      // sum in BigInt then range-check: exact, ORDER-
-                      // INDEPENDENT (a foldLeft(addExact) would raise on
-                      // transient overflow of representable sums), and a
-                      // true Long overflow still fails loudly — same
-                      // stance as the DECIMAL rejection above
-                      (if (msr.agg == "sum") {
-                        val s = nums.foldLeft(BigInt(0))(_ + _)
-                        if (s.isValidLong) s.toLong
-                        else sys.error(
-                          s"sum measure ${msr.name} overflows BIGINT: $s")
-                      }
-                       else if (msr.agg == "min") nums.min else nums.max): Any
-                  }
+          def finalVals(mt: Match): Array[Any] = {
+            val accs = newAccs()
+            var i = mt.start
+            while (i < mt.end) { feed(accs, mt, i); i += 1 }
+            accs.map(_.value)
+          }
+
+          if (allRows) ms.iterator.zipWithIndex.flatMap { case (mt, mn) =>
+            // FINAL measures are per-match constants (one extra pass);
+            // RUNNING measures read their accumulator after each row
+            val fin = if (anyFinal) finalVals(mt) else null
+            val runAccs = if (anyRunning) newAccs() else null
+            (mt.start until mt.end).iterator.map { i =>
+              if (runAccs != null) feed(runAccs, mt, i)
+              val ci = mt.cls(i - mt.start)
+              val mvals = measureArr.indices.map { x =>
+                if (measureArr(x).running) runAccs(x).value else fin(x)
               }
+              Row.fromSeq(key ++ orderIdx.map(rows(i).get) ++
+                Seq((mn + 1).toLong, if (ci >= 0) symNames(ci) else null) ++ mvals)
             }
-            Row.fromSeq(key ++ Seq((mi + 1).toLong) ++ vals)
+          }
+          else ms.iterator.zipWithIndex.map { case (mt, mn) =>
+            Row.fromSeq(key ++ Seq((mn + 1).toLong) ++ finalVals(mt))
           }
         }
       }

@@ -27,7 +27,7 @@ object TextOps {
   /** Distinct word 5-grams per doc — the shared front half of the
     * decontamination entries (t13 broadcast-verify / t24 bloom-probe;
     * one spelling so the two are provably the same overlap measure). */
-  private def wordFiveGrams(s: SparkSession, d: String): DataFrame =
+  private[graft] def wordFiveGrams(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .selectExpr("doc_id", "source", "split(lower(text), ' ') AS ws")

@@ -509,6 +509,29 @@ object VectorOps {
     root
   }
 
+  /** v08's ASSIGNMENT stage alone — every vector scored against the
+    * k = [[dedupCellsFor]] broadcast centroids, argmax cell per vector.
+    * Named so the entry and the round-9 attribution probe (Probe9
+    * `v08a`, r8 verdict #4) time the SAME plan: assignment is the
+    * N·k = N·sqrt(N/5) term of the SemDeDup law, and the probe splits
+    * its wall from the pair join's. The argmax currently rides a
+    * row_number window over id_v, which SHUFFLES the N·k scored rows —
+    * if the probe shows assignment dominating, the fix is a map-side
+    * argmax (max_by over the broadcast side, no exploded shuffle). */
+  private[graft] def semanticDedupAssigned(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val n = Tables(s, d, "embeddings").count()
+    val cents = indexCentroids(s, d, dedupCellsFor(n))
+    e.select(col("vec_id").as("id_v"), col("v").as("va"), col("n2").as("na2"))
+      .crossJoin(broadcast(cents))
+      .selectExpr("id_v", "va", "na2", "cent_id",
+        "vector_dot(va, vc) / (SQRT(na2) * SQRT(nc2)) AS ccos")
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("id_v")).orderBy(col("ccos").desc, col("cent_id"))))
+      .filter(col("crn") === 1)
+      .select(col("id_v"), col("va"), col("na2"), col("cent_id"))
+  }
+
   /** The index's centroid table as the assignment-side DataFrame —
     * metadata-sized (fixed k), double-cast once, norms precomputed. */
   private[operators] def indexCentroids(s: SparkSession, d: String, k: Int = 10): DataFrame = {
@@ -907,18 +930,7 @@ object VectorOps {
     // key.
     QueryEntry("v08_semantic_dedup",
       (s, d) => {
-        val e = vecs(s, d)
-        val n = Tables(s, d, "embeddings").count()
-        val cents = indexCentroids(s, d, dedupCellsFor(n))
-        val assigned = e
-          .select(col("vec_id").as("id_v"), col("v").as("va"), col("n2").as("na2"))
-          .crossJoin(broadcast(cents))
-          .selectExpr("id_v", "va", "na2", "cent_id",
-            "vector_dot(va, vc) / (SQRT(na2) * SQRT(nc2)) AS ccos")
-          .withColumn("crn", row_number().over(
-            Window.partitionBy(col("id_v")).orderBy(col("ccos").desc, col("cent_id"))))
-          .filter(col("crn") === 1)
-          .select(col("id_v"), col("va"), col("na2"), col("cent_id"))
+        val assigned = semanticDedupAssigned(s, d)
         val l = assigned.select(col("id_v").as("id_a"), col("va"),
           col("na2"), col("cent_id"))
         val r = assigned.select(col("id_v").as("id_b"), col("va").as("vb"),

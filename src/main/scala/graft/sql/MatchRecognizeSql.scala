@@ -21,9 +21,13 @@ import scala.util.matching.Regex
   *     PARTITION BY c [, ...]            -- required: a global pattern
   *                                       -- serializes one task
   *     ORDER BY c [ASC | DESC] [, ...]
-  *     [MEASURES agg(S.f) AS name, COUNT(S.*) AS n, S.f AS v, ...]
+  *     [MEASURES [RUNNING|FINAL] agg(S.f) AS name, COUNT(S.*) AS n,
+  *       MATCH_NUMBER() AS mn, CLASSIFIER([S]) AS c, S.f AS v, ...]
+  *       -- allowed in BOTH modes; ALL ROWS defaults to RUNNING
   *     [ONE ROW PER MATCH | ALL ROWS PER MATCH]
-  *     [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+  *     [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
+  *       | SKIP TO [FIRST|LAST] sym]
+  *     [SUBSET U = (A, B) [, ...]]       -- MEASURES union variables
   *     PATTERN ( <symbols with | ( ) * + ? {n} {n,} {n,m}> )
   *     [DEFINE S AS cond [, ...]]        -- cond may use S.col and
   *                                       -- PREV/NEXT(S.col [, n])
@@ -35,12 +39,14 @@ import scala.util.matching.Regex
   * window hash-clusters and sorts by the same keys, the matcher skips
   * its own exchange (prePartitioned), keeping the SQL spelling at ONE
   * shuffle like the hand-written operator calls. Unsupported Trino
-  * forms fail LOUDLY with the feature named: SKIP TO [FIRST|LAST]
-  * symbol, SUBSET, MEASURES under ALL ROWS PER MATCH, FIRST/LAST
-  * navigation inside DEFINE, WITH UNMATCHED ROWS / SHOW EMPTY MATCHES,
-  * NULLS FIRST/LAST ordering (PERMUTE / anchors / exclusions are
-  * rejected downstream by the pattern parser). DESC ordering and SKIP
-  * TO NEXT ROW (overlapping matches) are supported since round 9.
+  * forms fail LOUDLY with the feature named: FIRST/LAST navigation
+  * inside DEFINE, WITH UNMATCHED ROWS / SHOW EMPTY MATCHES, NULLS
+  * FIRST/LAST ordering, SKIP TO a SUBSET variable, SUBSET references
+  * in DEFINE (PERMUTE / anchors / exclusions are rejected downstream
+  * by the pattern parser). Round 9 closed the rest of the dialect:
+  * DESC ordering, SKIP TO NEXT ROW (overlapping matches), SKIP TO
+  * FIRST/LAST symbol, SUBSET in MEASURES, MEASURES under ALL ROWS PER
+  * MATCH with RUNNING/FINAL semantics, and CLASSIFIER().
   */
 object MatchRecognizeSql {
 
@@ -118,9 +124,9 @@ object MatchRecognizeSql {
     val names = hits.map(_._3)
     require(names.distinct.length == names.length,
       s"duplicate MATCH_RECOGNIZE clause: ${names.diff(names.distinct).mkString(",")}")
-    require(!names.contains("SUBSET"),
-      "MATCH_RECOGNIZE SUBSET (symbol unions) is not supported — expand " +
-        "the union into the pattern/defines")
+    // SUBSET (round 9): union variables usable in MEASURES — each
+    // expands to the matcher's "A|B" union spelling. DEFINE/PATTERN may
+    // not reference them (a subset never classifies rows).
     val seg: Map[String, String] = hits.zipWithIndex.map { case ((_, e, name), i) =>
       val until = if (i + 1 < hits.length) hits(i + 1)._1 else body.length
       name -> body.substring(e, until).trim
@@ -169,17 +175,20 @@ object MatchRecognizeSql {
         "ALL ROWS PER MATCH WITH UNMATCHED ROWS / SHOW EMPTY MATCHES is " +
           "not supported (OMIT EMPTY MATCHES semantics only)")
     }
-    val skipNext = seg.get("AFTER").exists { a =>
+    // AFTER MATCH: all four SQL:2016 forms (round 9). SKIP TO
+    // FIRST/LAST symbol validates against the pattern symbols below
+    // (after PATTERN parses) and passes through as the TVF skip spec.
+    val skipToRx = ("""^SKIP TO (FIRST|LAST) (""" + Ident + """)$""").r
+    val skipSpec: String = seg.get("AFTER").map { a =>
       a.toUpperCase.replaceAll("""\s+""", " ").trim match {
-        case "SKIP PAST LAST ROW" => false
-        case "SKIP TO NEXT ROW"   => true // overlapping matches (round 9)
+        case "SKIP PAST LAST ROW" => "past last row"
+        case "SKIP TO NEXT ROW"   => "to next row" // overlapping matches
+        case skipToRx(fl, sym)    => s"to ${fl.toLowerCase} $sym"
         case other => throw new IllegalArgumentException(
-          s"AFTER MATCH supports SKIP PAST LAST ROW and SKIP TO NEXT ROW; " +
-            s"'AFTER MATCH $other' (SKIP TO [FIRST|LAST] symbol is not " +
-            "supported — restart-at-symbol changes which rows can begin " +
-            "a match; respell with SKIP TO NEXT ROW or a tighter PATTERN)")
+          s"AFTER MATCH supports SKIP PAST LAST ROW, SKIP TO NEXT ROW and " +
+            s"SKIP TO [FIRST|LAST] <symbol>; got 'AFTER MATCH $other'")
       }
-    }
+    }.getOrElse("past last row")
 
     // ---- PATTERN ( ... ): inner text feeds the operator's pattern
     // parser; symbols normalize to upper case (SQL identifiers)
@@ -188,6 +197,38 @@ object MatchRecognizeSql {
       s"PATTERN must be parenthesized: '$patSeg'")
     val pattern = patSeg.substring(1, patSeg.length - 1).trim.toUpperCase
     val patSyms = Ident.r.findAllIn(pattern).toSeq.distinct
+
+    // ---- SUBSET U = (A, B): union variables for MEASURES (round 9) —
+    // each expands to the matcher's "A|B" union spelling; DEFINE /
+    // PATTERN / SKIP TO may not reference them (a subset never
+    // classifies rows or anchors a restart here)
+    val subsets: Map[String, Seq[String]] =
+      seg.get("SUBSET").map(splitTop(_).map { e =>
+        val srx = ("""(?is)^(""" + Ident + """)\s*=\s*\((.+)\)$""").r
+        e.trim match {
+          case srx(nm, members) =>
+            val ms = members.split(",").map(_.trim.toUpperCase).filter(_.nonEmpty).toSeq
+            require(ms.nonEmpty, s"empty SUBSET member list in '$e'")
+            ms.foreach(m => require(patSyms.contains(m),
+              s"SUBSET member '$m' does not appear in PATTERN ($pattern)"))
+            val u = nm.toUpperCase
+            require(!patSyms.contains(u),
+              s"SUBSET variable '$u' collides with a PATTERN symbol")
+            u -> ms
+          case other => throw new IllegalArgumentException(
+            s"bad SUBSET entry '$other' (want U = (A, B))")
+        }
+      }.toMap).getOrElse(Map.empty)
+
+    // skip-to symbol resolves against PATTERN symbols only
+    """^to (?:first|last) (\w+)$""".r.findFirstMatchIn(skipSpec).foreach { m =>
+      val s0 = m.group(1)
+      require(!subsets.contains(s0),
+        s"AFTER MATCH SKIP TO a SUBSET variable ('$s0') is not supported — " +
+          "name a PATTERN symbol")
+      require(patSyms.contains(s0),
+        s"AFTER MATCH SKIP TO: unknown pattern symbol '$s0' (PATTERN is $pattern)")
+    }
 
     // ---- DEFINE: translate S.col row refs and PREV/NEXT navigation
     val navs = LinkedHashMap[(String, String, Int), String]()
@@ -223,6 +264,12 @@ object MatchRecognizeSql {
             "supported: PREV/NEXT(SYMBOL.column [, n]) (classifier-history " +
             "navigation like LAST(A.x) is not)")
       }
+      subsets.keys.foreach { u =>
+        require(("""\b(?i:""" + Regex.quote(u) + """)\s*\.""").r
+          .findFirstIn(maskedUpper(c1)).isEmpty,
+          s"DEFINE may not reference SUBSET variable '$u' — subsets are " +
+            "MEASURES-only union views over classified rows")
+      }
       val out = symRefRx.replaceAllIn(c1, "").trim
       require(!out.contains(";"),
         s"DEFINE condition may not contain ';': '$cond'")
@@ -232,47 +279,64 @@ object MatchRecognizeSql {
       patSyms.filterNot(s => defined.exists(_._1 == s)).map(_ -> "true"))
       .map { case (s, c) => s"$s:$c" }.mkString(";")
 
-    // ---- MEASURES: the agg(SYM.field) grammar of PatternMatch.Measure;
+    // ---- MEASURES: the [run_]agg(SYM.field) grammar of
+    // PatternMatch.Measure. Allowed in BOTH modes since round 9: under
+    // ALL ROWS PER MATCH the SQL default is RUNNING semantics (the
+    // aggregate over the match's rows up to each output row); a FINAL
+    // keyword pins the whole-match value; under ONE ROW both keywords
+    // are accepted and equal (RUNNING at the last row IS FINAL).
     // MATCH_NUMBER() rides as a post-select alias of the TVF's own
-    // match_num column
+    // match_num column; CLASSIFIER() is the matcher's classifier agg.
     var mnAliases = List.empty[String]
     var measureNames = List.empty[String]
     val measures = seg.get("MEASURES").map { mtext =>
-      require(mode == "one",
-        "MEASURES with ALL ROWS PER MATCH is not supported — ALL ROWS " +
-          "emits (keys, order, match_num, classifier); compute row " +
-          "payloads by joining back on (keys, order)")
       splitTop(mtext).flatMap { e0 =>
         val asRx = ("""(?is)^(.+?)\s+AS\s+(""" + Ident + """)$""").r
-        val (ex, name) = e0.trim match {
+        val (ex0, name) = e0.trim match {
           case asRx(x, n) => (x.trim, n)
           case other => throw new IllegalArgumentException(
             s"MEASURES entry needs 'expr AS name': '$other'")
         }
         measureNames :+= name
+        val semRx = """(?is)^(RUNNING|FINAL)\s+(.+)$""".r
+        val (semantics, ex) = ex0 match {
+          case semRx(k, rest) => (k.toUpperCase, rest.trim)
+          case _              => ("", ex0)
+        }
+        val pfx = if (mode == "all" && semantics != "FINAL") "run_" else ""
         val aggRx = ("""(?i)^(FIRST|LAST|MIN|MAX|SUM)\s*\(\s*(""" + Ident +
           """)\s*\.\s*(""" + Ident + """)\s*\)$""").r
         val cntStarRx = """(?i)^COUNT\s*\(\s*\*\s*\)$""".r
         val cntSymRx = ("""(?i)^COUNT\s*\(\s*(""" + Ident + """)\s*\.\s*\*\s*\)$""").r
         val mnRx = """(?i)^MATCH_NUMBER\s*\(\s*\)$""".r
+        val clsRx = """(?i)^CLASSIFIER\s*\(\s*\)$""".r
+        val clsSymRx = ("""(?i)^CLASSIFIER\s*\(\s*(""" + Ident + """)\s*\)$""").r
         val bareRx = ("""^(""" + Ident + """)\s*\.\s*(""" + Ident + """)$""").r
+        def known(s: String): Boolean = {
+          val u = s.toUpperCase
+          symSet.contains(u) || subsets.contains(u)
+        }
         def sym(s: String): String = {
           val u = s.toUpperCase
-          require(symSet.contains(u), s"unknown pattern symbol '$s' in MEASURES")
-          u
+          if (symSet.contains(u)) u
+          else subsets.getOrElse(u, throw new IllegalArgumentException(
+            s"unknown pattern symbol '$s' in MEASURES")).mkString("|")
         }
         ex match {
-          case aggRx(agg, s, f) => Some(s"$name:${agg.toLowerCase}:${sym(s)}:$f")
-          case cntStarRx()      => Some(s"$name:count:*")
-          case cntSymRx(s)      => Some(s"$name:count:${sym(s)}")
+          case aggRx(agg, s, f) => Some(s"$name:$pfx${agg.toLowerCase}:${sym(s)}:$f")
+          case cntStarRx()      => Some(s"$name:${pfx}count:*")
+          case cntSymRx(s)      => Some(s"$name:${pfx}count:${sym(s)}")
           case mnRx()           => mnAliases :+= name; None
-          case bareRx(s, f) if symSet.contains(s.toUpperCase) =>
-            Some(s"$name:last:${sym(s)}:$f") // Trino FINAL LAST semantics
+          case clsRx()          => Some(s"$name:${pfx}classifier:*")
+          case clsSymRx(s)      => Some(s"$name:${pfx}classifier:${sym(s)}")
+          case bareRx(s, f) if known(s) =>
+            Some(s"$name:${pfx}last:${sym(s)}:$f") // Trino LAST semantics
           case other => throw new IllegalArgumentException(
             s"unsupported MEASURES expression '$other' — supported: " +
-              "FIRST/LAST/MIN/MAX/SUM(SYM.col), COUNT(*), COUNT(SYM.*), " +
-              "MATCH_NUMBER(), SYM.col (= final LAST); COUNT(SYM.col) " +
-              "counts rows not non-nulls here, spell it COUNT(SYM.*)")
+              "[RUNNING|FINAL] FIRST/LAST/MIN/MAX/SUM(SYM.col), COUNT(*), " +
+              "COUNT(SYM.*), MATCH_NUMBER(), CLASSIFIER([SYM]), SYM.col " +
+              "(= LAST); COUNT(SYM.col) counts rows not non-nulls here, " +
+              "spell it COUNT(SYM.*)")
         }
       }.mkString(",")
     }.getOrElse("")
@@ -296,15 +360,19 @@ object MatchRecognizeSql {
       }
 
     def q(s: String): String = "'" + s.replace("'", "''") + "'"
-    val tvfMode = if (skipNext) mode + "_next" else mode
     val call = s"graft_match_recognize(${q(srcArg)}, ${q(parts.mkString(","))}, " +
       s"${q(orders.mkString(","))}, ${q(defs)}, ${q(pattern)}, " +
-      s"${q(measures)}, ${q(tvfMode)}, ${q(pre)})"
+      s"${q(measures)}, ${q(mode)}, ${q(pre)}, ${q(skipSpec)})"
     // MATCH_NUMBER() measures alias the TVF's own match_num in a
-    // post-select that restores the declared measure order
+    // post-select that restores the declared measure order; the fixed
+    // column prefix differs by mode (ALL ROWS also emits order cols +
+    // classifier)
     if (mnAliases.isEmpty) call
     else {
-      val outs = parts ++ Seq("match_num") ++ measureNames.map(n =>
+      val fixed =
+        if (mode == "all") parts ++ orderPairs.map(_._1) ++ Seq("match_num", "classifier")
+        else parts ++ Seq("match_num")
+      val outs = fixed ++ measureNames.map(n =>
         if (mnAliases.contains(n)) s"match_num AS $n" else n)
       s"(SELECT ${outs.mkString(", ")} FROM $call)"
     }

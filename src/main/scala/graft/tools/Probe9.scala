@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.GraftSession
+import graft.operators.{TextOps, VectorOps}
+
+/** Round-9 scale probes (r8 verdict "Next round" #2/#3/#4) — one
+  * process, sequential specs, one JSON line each with pre-run loadavg
+  * (the Probe8 A/B discipline).
+  *
+  *  - `dct:<dir>:<mod>:<regime>` — decontamination regime A/B for the
+  *    t13/t24 crossover: eval = docs with `doc_id % mod == 0` (mod < 0
+  *    INVERTS the split — eval = `% |mod| != 0`, the big-eval shape a
+  *    real 50M-gram suite has), regime `broadcast` | `bloom`. Reports
+  *    the distinct eval-gram count (the auto regime's decision input)
+  *    and the operator wall INCLUDING its own eager actions.
+  *  - `t21f:<dir>:<B>` — simhash near-dup pairs with the geometry
+  *    FORCED to B blocks. The natural B=6→7 switch sits at N > 214.7M
+  *    docs (`simhashBlocksFor`) — ~65 GB of corpus, past this probe
+  *    VM's disk — so the forced A/B at the same corpus measures the
+  *    term the ladder extrapolates: family fan-out C(B,3) growth at
+  *    fixed N (20 → 35 families), with the answer geometry-invariant.
+  *  - `v08a:<dir>` — v08's ASSIGNMENT stage alone (scored argmax over
+  *    k broadcast centroids, the N·sqrt(N/5) term); `v08f:<dir>` — the
+  *    full SemDeDup entry. Same process, warm: full − assignment
+  *    attributes the pair join.
+  *
+  * Usage: runMain graft.tools.Probe9 <spec> [<spec> ...]
+  */
+object Probe9 {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: Probe9 dct:<dir>:<mod>:<regime>|t21f:<dir>:<B>|v08a:<dir>|v08f:<dir> ...")
+    val spark = GraftSession.create()
+    spark.sparkContext.setLogLevel("WARN")
+    def loadavg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0)
+      catch { case _: Exception => "-1" }
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    args.foreach { spec =>
+      val parts = spec.split(":")
+      val load = loadavg()
+      val json = parts(0) match {
+        case "dct" =>
+          val (dir, mod, regime) = (parts(1), parts(2).toInt, parts(3))
+          val grams = TextOps.wordFiveGrams(spark, dir)
+          val m = math.abs(mod)
+          val evalPred =
+            if (mod > 0) col("doc_id") % m === 0 else col("doc_id") % m =!= 0
+          // decision input, measured OUTSIDE the timed window (the
+          // operator re-derives it inside for the eager regimes)
+          val nEval = grams.filter(evalPred).select("g").distinct().count()
+          val t0 = System.nanoTime()
+          val r = TextOps.decontaminate(
+              grams.filter(!evalPred), grams.filter(evalPred), regime)
+            .agg(count(lit(1)).as("docs"),
+              coalesce(sum("n_overlap"), lit(0L)).as("overlaps"))
+            .collect()(0)
+          val secs = (System.nanoTime() - t0) / 1e9
+          s"""{"probe":"dct","dir":"$dir","mod":$mod,"regime":"$regime",""" +
+            s""""eval_grams":$nEval,"docs":${r.getLong(0)},""" +
+            s""""overlaps":${r.getLong(1)},"sec":${f3(secs)},""" +
+            s""""loadavg_before":$load}"""
+        case "t21f" =>
+          val (dir, b) = (parts(1), parts(2).toInt)
+          val t0 = System.nanoTime()
+          val pairs = TextOps.simhashPairs(spark, dir, Some(b)).count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          s"""{"probe":"t21f","dir":"$dir","blocks":$b,"pairs":$pairs,""" +
+            s""""sec":${f3(secs)},"loadavg_before":$load}"""
+        case "v08a" =>
+          val dir = parts(1)
+          val t0 = System.nanoTime()
+          val r = VectorOps.semanticDedupAssigned(spark, dir)
+            .agg(count(lit(1)).as("n"),
+              countDistinct(col("cent_id")).as("cells"))
+            .collect()(0)
+          val secs = (System.nanoTime() - t0) / 1e9
+          s"""{"probe":"v08a","dir":"$dir","assigned":${r.getLong(0)},""" +
+            s""""cells":${r.getLong(1)},"sec":${f3(secs)},""" +
+            s""""loadavg_before":$load}"""
+        case "v08f" =>
+          val dir = parts(1)
+          val t0 = System.nanoTime()
+          val r = graft.SparkEntry.queries("v08_semantic_dedup")(spark, dir)
+            .agg(count(lit(1)).as("dropped"),
+              coalesce(sum("n_dom"), lit(0L)).as("pairs"))
+            .collect()(0)
+          val secs = (System.nanoTime() - t0) / 1e9
+          s"""{"probe":"v08f","dir":"$dir","dropped":${r.getLong(0)},""" +
+            s""""pairs":${r.getLong(1)},"sec":${f3(secs)},""" +
+            s""""loadavg_before":$load}"""
+        case other => sys.error(s"unknown probe '$other'")
+      }
+      println(json)
+    }
+    spark.stop()
+  }
+}

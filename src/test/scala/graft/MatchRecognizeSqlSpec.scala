@@ -20,7 +20,7 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
 
   test("basic clause lowers onto the TVF with symbol prefixes stripped") {
     val out = rewrite(basic)
-    assert(out.contains("graft_match_recognize('t', 'k', 'ts', 'A:v > 0', 'A+', '', 'one', 'false')"), out)
+    assert(out.contains("graft_match_recognize('t', 'k', 'ts', 'A:v > 0', 'A+', '', 'one', 'false', 'past last row')"), out)
   }
 
   test("keyword inside a string literal is untouched") {
@@ -30,7 +30,7 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
 
   test("alias after the clause survives in place") {
     val out = rewrite(basic.dropRight(1) + ") AS m")
-    assert(out.contains("'false') AS m"), out)
+    assert(out.contains("'past last row') AS m"), out)
   }
 
   test("two clauses in one statement both rewrite") {
@@ -47,7 +47,7 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(out.contains("lag(v, 1) OVER (PARTITION BY k ORDER BY ts) AS __mr_prev_v_1"), out)
     assert(out.contains("lead(v, 2) OVER (PARTITION BY k ORDER BY ts) AS __mr_next_v_2"), out)
     assert(out.contains("'D:v < __mr_prev_v_1;U:v > __mr_next_v_2'"), out)
-    assert(out.contains("'true')"), out) // prePartitioned: wrapper window clusters+sorts
+    assert(out.contains("'true', 'past last row')"), out) // prePartitioned: wrapper window clusters+sorts
   }
 
   test("subquery source embeds as a query string (quotes doubled)") {
@@ -88,23 +88,68 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(out.contains("'true'"))                   // prePartitioned rides
   }
 
-  test("AFTER MATCH SKIP TO NEXT ROW selects the *_next TVF mode") {
+  test("AFTER MATCH forms lower to the TVF skip spec") {
+    def mr(clauses: String): String = rewrite(
+      s"""SELECT * FROM t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          $clauses
+          PATTERN (A+ B) DEFINE A AS A.v > 0, B AS B.v < 0)""")
+    assert(mr("AFTER MATCH SKIP TO NEXT ROW").contains("'to next row'"))
+    assert(mr("ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW")
+      .contains("'all', 'false', 'to next row'"))
+    assert(mr("AFTER MATCH SKIP PAST LAST ROW").contains("'past last row'"))
+    assert(mr("").contains("'past last row'"))
+    assert(mr("AFTER MATCH SKIP TO LAST A").contains("'to last A'"))
+    assert(mr("AFTER MATCH SKIP TO FIRST B").contains("'to first B'"))
+    val e = intercept[Exception](mr("AFTER MATCH SKIP TO FIRST Z"))
+    assert(e.getMessage.contains("unknown pattern symbol"), e.getMessage)
+  }
+
+  test("SUBSET variables expand to symbol unions in MEASURES only") {
+    val out = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        MEASURES COUNT(U.*) AS n_u, MAX(U.v) AS top, CLASSIFIER() AS c
+        ONE ROW PER MATCH
+        PATTERN (A+ B+)
+        SUBSET U = (A, B)
+        DEFINE A AS A.v > 0, B AS B.v < 0)""")
+    assert(out.contains("n_u:count:A|B"), out)
+    assert(out.contains("top:max:A|B:v"), out)
+    assert(out.contains("c:classifier:*"), out)
+    // DEFINE may not read a subset variable
+    val e = intercept[Exception](rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        PATTERN (A+ B+) SUBSET U = (A, B)
+        DEFINE A AS A.v > U.v, B AS B.v < 0)"""))
+    assert(e.getMessage.contains("SUBSET"), e.getMessage)
+    // neither may SKIP TO
+    val e2 = intercept[Exception](rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        AFTER MATCH SKIP TO LAST U
+        PATTERN (A+ B+) SUBSET U = (A, B)
+        DEFINE A AS A.v > 0, B AS B.v < 0)"""))
+    assert(e2.getMessage.contains("SUBSET"), e2.getMessage)
+  }
+
+  test("ALL ROWS measures default to RUNNING; FINAL pins whole-match values") {
+    val out = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        MEASURES COUNT(*) AS n_run, FINAL COUNT(*) AS n_fin,
+          RUNNING SUM(A.v) AS s_run, MATCH_NUMBER() AS mn
+        ALL ROWS PER MATCH
+        PATTERN (A+) DEFINE A AS A.v > 0)""")
+    assert(out.contains("n_run:run_count:*"), out)
+    assert(out.contains("n_fin:count:*"), out)
+    assert(out.contains("s_run:run_sum:A:v"), out)
+    // MATCH_NUMBER post-select keeps the ALL ROWS fixed columns
+    assert(out.contains("k, ts, match_num, classifier"), out)
+    // ONE ROW: RUNNING == FINAL, both accepted, no run_ prefix
     val one = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
         PARTITION BY k ORDER BY ts
-        AFTER MATCH SKIP TO NEXT ROW
+        MEASURES RUNNING COUNT(*) AS n
+        ONE ROW PER MATCH
         PATTERN (A+) DEFINE A AS A.v > 0)""")
-    assert(one.contains("'one_next'"))
-    val all = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
-        PARTITION BY k ORDER BY ts
-        ALL ROWS PER MATCH
-        AFTER MATCH SKIP TO NEXT ROW
-        PATTERN (A+) DEFINE A AS A.v > 0)""")
-    assert(all.contains("'all_next'"))
-    val past = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
-        PARTITION BY k ORDER BY ts
-        AFTER MATCH SKIP PAST LAST ROW
-        PATTERN (A+) DEFINE A AS A.v > 0)""")
-    assert(past.contains("'one'") && !past.contains("_next"))
+    assert(one.contains("n:count:*") && !one.contains("run_"), one)
   }
 
   test("unsupported forms fail loudly with the feature named") {
@@ -113,15 +158,15 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
         s"SELECT * FROM t MATCH_RECOGNIZE ($body)")).getMessage
     assert(err("PARTITION BY k ORDER BY ts DESC NULLS FIRST PATTERN (A) DEFINE A AS A.v > 0")
       .contains("NULLS"))
-    assert(err("PARTITION BY k ORDER BY ts SUBSET U = (A, B) PATTERN (A) DEFINE A AS A.v > 0")
-      .contains("SUBSET"))
-    assert(err("PARTITION BY k ORDER BY ts AFTER MATCH SKIP TO FIRST A PATTERN (A) DEFINE A AS A.v > 0")
-      .contains("SKIP TO NEXT ROW"))
+    assert(err("PARTITION BY k ORDER BY ts SUBSET U = (A, Z) PATTERN (A) DEFINE A AS A.v > 0")
+      .contains("SUBSET member"))
+    assert(err("PARTITION BY k ORDER BY ts AFTER MATCH SKIP HALFWAY PATTERN (A) DEFINE A AS A.v > 0")
+      .contains("AFTER MATCH"))
     assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS FIRST(A.v) > 0")
       .contains("navigation"))
     assert(err("PARTITION BY k ORDER BY ts ALL ROWS PER MATCH WITH UNMATCHED ROWS PATTERN (A) DEFINE A AS A.v > 0")
       .contains("UNMATCHED"))
-    assert(err("PARTITION BY k ORDER BY ts MEASURES CLASSIFIER() AS c PATTERN (A) DEFINE A AS A.v > 0")
+    assert(err("PARTITION BY k ORDER BY ts MEASURES AVG(A.v) AS a PATTERN (A) DEFINE A AS A.v > 0")
       .contains("MEASURES expression"))
     assert(err("ORDER BY ts PATTERN (A) DEFINE A AS A.v > 0")
       .contains("PARTITION BY"))

@@ -179,7 +179,7 @@ class PatternMatchSpec extends SparkSpec {
   test("SKIP TO NEXT ROW yields overlapping matches, one per qualifying start") {
     def next(rows: String, syms: String, pattern: String): Seq[(Int, Int)] =
       findMatches(truthOf(rows, syms), parse(pattern, syms.map(_.toString)),
-        skipToNext = true).map(m => (m.start, m.end))
+        PatternMatch.SkipToNextRow).map(m => (m.start, m.end))
     // every suffix of the D run pairs with the adjacent U run
     assert(next("DDUU", "DU", "D+ U+") === Seq((0, 4), (1, 4)))
     assert(next("DDUUDU", "DU", "D+ U+") === Seq((0, 4), (1, 4), (4, 6)))
@@ -189,8 +189,79 @@ class PatternMatchSpec extends SparkSpec {
     assert(next("DDDD", "DU", "D+ U+") === Seq())
     // classifier of each overlapping match covers exactly its own span
     val ms = findMatches(truthOf("DDUU", "DU"),
-      parse("D+ U+", Seq("D", "U")), skipToNext = true)
+      parse("D+ U+", Seq("D", "U")), PatternMatch.SkipToNextRow)
     assert(ms.map(_.cls.toSeq) === Seq(Seq(0, 0, 1, 1), Seq(0, 1, 1)))
+  }
+
+  test("SKIP TO FIRST/LAST symbol resumes AT the mapped row; standard errors are loud") {
+    def sk(rows: String, syms: String, pattern: String, spec: String): Seq[(Int, Int)] =
+      findMatches(truthOf(rows, syms), parse(pattern, syms.map(_.toString)),
+        PatternMatch.parseSkip(spec, syms.map(_.toString)))
+        .map(m => (m.start, m.end))
+    // D+ U+ over DDUUDU, SKIP TO LAST U: match [0,4) resumes AT row 3
+    // (last U) — row 3 is U so D+ fails there, head-run skip advances,
+    // next match [4,6)
+    assert(sk("DDUUDU", "DU", "D+ U+", "to last U") === Seq((0, 4), (4, 6)))
+    // SKIP TO FIRST U on the same stream: resume at row 2 (first U)
+    assert(sk("DDUUDU", "DU", "D+ U+", "to first U") === Seq((0, 4), (4, 6)))
+    // A B A B with SKIP TO LAST A: match [0,2) resumes at... last A is
+    // row 0 = match start -> SQL:2016 infinite-loop error
+    val loop = intercept[Exception](sk("ABAB", "AB", "A B", "to last A"))
+    assert(loop.getMessage.contains("first row"), loop.getMessage)
+    // pattern where the skip symbol maps no row: B? never matches
+    val none = intercept[Exception](sk("AA", "AB", "A B?", "to last B"))
+    assert(none.getMessage.contains("no row"), none.getMessage)
+    // unknown symbol in the spec
+    val unk = intercept[Exception](PatternMatch.parseSkip("to first Z", Seq("A", "B")))
+    assert(unk.getMessage.contains("unknown"), unk.getMessage)
+  }
+
+  test("ALL ROWS measures: RUNNING prefixes per row, FINAL constants per match") {
+    import spark.implicits._
+    val df = Seq((1, 1, 10.0), (1, 2, 8.0), (1, 3, 6.0), (1, 4, 9.0), (1, 5, 11.0))
+      .toDF("k", "seq", "v")
+      .withColumn("delta", col("v") - lag(col("v"), 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("seq")))
+    val out = PatternMatch.matchPatternAllRows(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq("D" -> (col("delta") < 0), "U" -> (col("delta") > 0)),
+      pattern = "D+ U+",
+      measures = Seq(
+        Measure("n_run", "count", "*", running = true),
+        Measure("min_run", "min", "*", "v", running = true),
+        Measure("n_down_fin", "count", "D"),
+        Measure("peak_fin", "last", "U", "v"),
+        Measure("cls_run", "classifier", "*", running = true)))
+    // cols: k(0), seq(1), match_num(2), classifier(3), then measures
+    val rows = out.collect().map(r => (r.getInt(1), r.getLong(4), r.getDouble(5),
+      r.getLong(6), r.getDouble(7), r.getString(8))).sortBy(_._1).toSeq
+    // match rows: seq 2..5 (D,D,U,U); running count 1..4; running min
+    // 8,6,6,6; finals constant: n_down=2, peak=11.0
+    assert(rows === Seq(
+      (2, 1L, 8.0, 2L, 11.0, "D"),
+      (3, 2L, 6.0, 2L, 11.0, "D"),
+      (4, 3L, 6.0, 2L, 11.0, "U"),
+      (5, 4L, 6.0, 2L, 11.0, "U")))
+  }
+
+  test("measure symbol unions (SUBSET spelling) aggregate across member symbols") {
+    def one(rows: String, syms: String, pattern: String,
+            ms: Seq[Measure]): Seq[Seq[Any]] = {
+      import spark.implicits._
+      val df = rows.zipWithIndex.map { case (c, i) => (1, i, c.toString) }
+        .toDF("k", "seq", "t")
+      PatternMatch.matchPattern(df, Seq("k"), Seq("seq"),
+        syms.map(c => c.toString -> (col("t") === c.toString)),
+        pattern, ms).collect().map(_.toSeq.drop(2)).toSeq
+    }
+    val got = one("AABB", "AB", "A+ B+", Seq(
+      Measure("n_union", "count", "A|B"),
+      Measure("n_a", "count", "A"),
+      Measure("last_u", "last", "A|B", "seq")))
+    assert(got === Seq(Seq(4L, 2L, 3)))
+    val bad = intercept[Exception](one("AABB", "AB", "A+ B+",
+      Seq(Measure("n", "count", "A|Z"))))
+    assert(bad.getMessage.contains("unknown pattern symbol"), bad.getMessage)
   }
 
   test("DESC order specs reverse the stream the matcher walks") {

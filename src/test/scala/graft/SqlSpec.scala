@@ -209,15 +209,24 @@ class SqlSpec extends SparkSpec {
         s"wanted '$needle' in: ${e.getMessage}")
     }
     failsWith("""SELECT * FROM mr_ticks MATCH_RECOGNIZE (
-        PARTITION BY user_id ORDER BY seq DESC
-        PATTERN (A) DEFINE A AS A.price > 0)""", "ascending")
-    failsWith("""SELECT * FROM mr_ticks MATCH_RECOGNIZE (
-        PARTITION BY user_id ORDER BY seq
-        AFTER MATCH SKIP TO NEXT ROW
-        PATTERN (A) DEFINE A AS A.price > 0)""", "SKIP PAST LAST ROW")
-    failsWith("""SELECT * FROM mr_ticks MATCH_RECOGNIZE (
         PARTITION BY user_id ORDER BY seq
         PATTERN (A) DEFINE A AS LAST(A.price) > 0)""", "navigation")
+    // round 9: DESC ordering and SKIP TO NEXT ROW are dialect, not
+    // errors — PREV navigates the DESC stream, and skip-to-next emits
+    // one match per qualifying start (overlaps)
+    val desc = spark.sql("""
+      SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY seq DESC
+        MEASURES FIRST(D.seq) AS start_seq, COUNT(D.*) AS n_down
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (D+ U+)
+        DEFINE D AS D.price < PREV(D.price), U AS U.price > PREV(U.price)
+      )""").collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    // user 1 DESC stream: seq 5(11),4(9),3(6),2(8),1(10): D rows are
+    // seq4,seq3 (9<11, 6<9), U rows seq2,seq1 (8>6, 10>8) -> matches
+    // start at seq4 (n_down=2) and seq3 (n_down=1, overlap)
+    assert(desc.toSet == Set((1L, 4, 2L), (1L, 3, 1L)), desc.mkString(";"))
   }
 
   test("Trino date_diff over real tables via dialect") {
