@@ -292,16 +292,23 @@ object TextOps {
     * the eval side ships to every executor once, the corpus stream
     * never shuffles); above it the bloom-prefilter + shuffled-verify
     * plan (t24's — one <=8 MB bitset to the driver, map-side probe,
-    * survivors-only shuffle). Measured round 9 (SCALE.md): at ~1.1M
-    * grams (the inverted 16/17 eval split at sf0.1) broadcast still
-    * wins (~55 MB of strings), and Spark refuses broadcasts outright
-    * at 8 GB / 512M rows; the bloom side's own clamps (numBits cap
-    * 1 << 26 at ~6.7M grams for the 10 bits/item design point) mark
-    * where its fpr starts degrading anyway. 4M sits safely inside the
-    * measured broadcast-wins regime while keeping the broadcast ceiling
-    * ~200 MB of gram strings — a deliberate margin below executor
-    * comfort, not a measured flip point (the flip is environment-bound:
-    * see SCALE.md round-9 decontam table). */
+    * survivors-only shuffle). MEASURED round 9 (SCALE.md decontam
+    * table, 0.44M-6.9M-doc corpora, eval sides 15k -> 13.5M grams):
+    * broadcast wins at every tier up to 3.15M grams; at 13.5M grams
+    * the two regimes are a DEAD HEAT (70.3 s vs 70.6 s) — so the flip
+    * sits between 3M and 13M on this hardware, and 4M is the safe
+    * pre-crossover pick (also ~200 MB of gram strings, a deliberate
+    * margin below executor broadcast comfort; Spark hard-refuses at
+    * 8 GB / 512M rows). SECOND AXIS the count cannot see: the bloom
+    * prefilter's value is proportional to the corpus MISS rate — on
+    * the gram-saturated synthetic corpus (probe hit rates near 100%)
+    * bloom lost 3.5x at 3.15M grams because nothing was filtered,
+    * while a REAL decontamination suite (hit rate ~0) shifts the
+    * crossover well below this threshold. Callers who know their hit
+    * rate should force the regime; the auto pick is tuned for the
+    * conservative high-hit case. The bloom side's own clamps (numBits
+    * cap 1 << 26 = ~6.7M grams at the 10 bits/item design point) mark
+    * where its fpr degrades — warned loudly in the build. */
   val DecontamBroadcastMaxGrams: Long = 4L * 1000 * 1000
 
   /** Benchmark decontamination, ONE operator with the regime choice the

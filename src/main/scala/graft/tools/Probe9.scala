@@ -66,12 +66,35 @@ object Probe9 {
             s""""overlaps":${r.getLong(1)},"sec":${f3(secs)},""" +
             s""""loadavg_before":$load}"""
         case "t21f" =>
+          // optional 4th field: shuffle partitions for this spec — the
+          // SCALE.md operating rule under test (size partitions so the
+          // band-join build side fits the executor heap; 32 partitions
+          // at 7.5M docs rebuilt the r8 OOM on this 8 GB bench VM)
           val (dir, b) = (parts(1), parts(2).toInt)
-          val t0 = System.nanoTime()
-          val pairs = TextOps.simhashPairs(spark, dir, Some(b)).count()
-          val secs = (System.nanoTime() - t0) / 1e9
-          s"""{"probe":"t21f","dir":"$dir","blocks":$b,"pairs":$pairs,""" +
-            s""""sec":${f3(secs)},"loadavg_before":$load}"""
+          val shuffleParts = if (parts.length > 3) parts(3) else null
+          val saved = spark.conf.get("spark.sql.shuffle.partitions")
+          val savedCoalesce =
+            spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+          if (shuffleParts != null) {
+            spark.conf.set("spark.sql.shuffle.partitions", shuffleParts)
+            // AQE's post-shuffle coalescing would merge the small
+            // partitions right back (it targets shuffle BYTES, but the
+            // SHUFFLE_HASH build side inflates ~10x into an
+            // UnsafeHashedRelation) — the operating rule is about the
+            // BUILT size, so pin the partition count for the A/B
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+          }
+          try {
+            val t0 = System.nanoTime()
+            val pairs = TextOps.simhashPairs(spark, dir, Some(b)).count()
+            val secs = (System.nanoTime() - t0) / 1e9
+            s"""{"probe":"t21f","dir":"$dir","blocks":$b,"pairs":$pairs,""" +
+              s""""shuffle_partitions":${if (shuffleParts == null) saved else shuffleParts},""" +
+              s""""sec":${f3(secs)},"loadavg_before":$load}"""
+          } finally {
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", savedCoalesce)
+          }
         case "v08a" =>
           val dir = parts(1)
           val t0 = System.nanoTime()

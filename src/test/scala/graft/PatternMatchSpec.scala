@@ -405,6 +405,21 @@ class PatternMatchSpec extends SparkSpec {
         else from = mt.start + 1 // empty regex match consumes nothing
       }
       assert(got === want.toSeq, s"case $i: rows='$rows' pattern='$pat'")
+
+      // SKIP TO NEXT ROW twin: the overlapping-match set is exactly
+      // "every start with a non-empty leftmost-greedy match" — Java's
+      // lookingAt() anchored at each region start computes the same
+      // (the head-run failure skip only ever skips provably-failing
+      // starts, so the emitted sets must agree)
+      val gotNext = findMatches(truthOf(rows, "ABCX"),
+        parse(pat, "ABCX".map(_.toString)), PatternMatch.SkipToNextRow)
+        .map(m => (m.start, m.end))
+      val wantNext = (0 until rows.length).flatMap { s0 =>
+        val rm = jre.matcher(rows).region(s0, rows.length)
+        if (rm.lookingAt() && rm.end > rm.start) Some((rm.start, rm.end)) else None
+      }
+      assert(gotNext === wantNext,
+        s"skip-to-next case $i: rows='$rows' pattern='$pat'")
     }
   }
 
