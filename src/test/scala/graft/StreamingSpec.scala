@@ -226,6 +226,69 @@ class StreamingSpec extends SparkSpec {
       s"expected the closed 3-event session, got ${emitted.mkString(";")}")
   }
 
+  test("streaming pattern detection: session-scoped MATCH_RECOGNIZE, batch parity") {
+    import graft.streaming.PatternStream
+    import graft.operators.PatternMatch
+    import graft.operators.PatternMatch.Measure
+    val base = 1700000000000000000L // epoch nanos
+    def ev(id: Long, user: Long, secOff: Long, typ: String, v: Double) =
+      (id, base + secOff * 1_000_000_000L, user, typ, v, "{}")
+    // drop A = first sessions; drop B (66+ min later) breaks the gap
+    // and CLOSES them deterministically (no reliance on a timeout
+    // firing after the last AvailableNow batch)
+    val dropA = Seq(
+      ev(1, 1, 0, "view", 1.0), ev(2, 1, 60, "click", 2.0),
+      ev(3, 1, 120, "click", 3.0), ev(4, 1, 180, "purchase", 40.0),
+      ev(5, 2, 0, "click", 1.0), ev(6, 2, 60, "purchase", 9.0))
+    val dropB = Seq(
+      ev(7, 1, 4000, "view", 1.0), ev(8, 1, 4060, "purchase", 5.0),
+      ev(9, 2, 4000, "view", 1.0))
+    val landing = Files.createTempDirectory("graft_pat_landing").toString
+    val ckpt = Files.createTempDirectory("graft_pat_ckpt").toString
+    val out = Files.createTempDirectory("graft_pat_out").toString
+    for (d <- Seq(dropA, dropB))
+      d.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(landing)
+
+    val syms = Seq(
+      "V" -> (col("event_type") === "view"),
+      "C" -> (col("event_type") === "click"),
+      "P" -> (col("event_type") === "purchase"))
+    val hits = PatternStream.matchPatternSessions(
+      EventStream.readEvents(spark, landing, maxFilesPerTrigger = 1),
+      "user_id", "ts", syms, "V C{1,2} P", col("value"), gapMinutes = 30)
+    val q = EventStream.writeParquet(hits.toDF(), out, ckpt)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+
+    val tsm = (off: Long) => base / 1000L + off * 1000000L
+    // only the gap-closed sessions are guaranteed out; session B needs
+    // a timeout after the last batch, which AvailableNow may not run
+    val got = spark.read.parquet(out)
+      .filter(col("start_micros") < tsm(1000))
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[Long]("match_num"),
+        r.getAs[Long]("start_micros"), r.getAs[Long]("end_micros"),
+        r.getAs[Long]("n_rows"), r.getAs[String]("classifiers"),
+        r.getAs[Double]("sum_value"))).toSet
+    // user 1 session A: greedy V C C P; user 2 session A: no V -> none
+    assert(got == Set((1L, 1L, tsm(0), tsm(180), 4L, "V,C,C,P", 46.0)), got)
+
+    // batch parity: the SAME session rows through the batch operator
+    val batchDf = dropA.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("tsm", col("ts") / 1000L cast "long")
+    val batch = PatternMatch.matchPattern(batchDf,
+      partitionBy = Seq("user_id"), orderBy = Seq("tsm"),
+      symbols = syms, pattern = "V C{1,2} P",
+      measures = Seq(Measure("start_micros", "first", "*", "tsm"),
+        Measure("end_micros", "last", "*", "tsm"),
+        Measure("n_rows", "count", "*"),
+        Measure("sum_value", "sum", "*", "value")))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("match_num"),
+        r.getAs[Long]("start_micros"), r.getAs[Long]("end_micros"),
+        r.getAs[Long]("n_rows"), r.getAs[Double]("sum_value"))).toSet
+    assert(batch == got.map(h => (h._1, h._2, h._3, h._4, h._5, h._7)),
+      s"batch $batch vs stream $got")
+  }
+
   test("GraftTable tails as a stream: commits become micro-batches") {
     val ckpt = Files.createTempDirectory("graft_tail_ck").toString
     val out = Files.createTempDirectory("graft_tail_out").toString
