@@ -131,6 +131,15 @@ class PlanSpec extends SparkSpec {
     val nUserExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p29).size
     assert(nUserExchanges == 1, s"expected 1 user_id exchange, got $nUserExchanges: ${p29.take(2000)}")
     assert(!p29.contains("rangepartitioning"), s"global sort in q29: ${p29.take(2000)}")
+    // the round-9 dialect entries keep the SAME one-shuffle contract:
+    // DESC ordering / skip-to-next (q32) and ALL ROWS running measures
+    // + SUBSET (q33) ride the nav window's exchange like q29
+    for (name <- Seq("q32_pattern_skipnext_desc", "q33_pattern_running_measures")) {
+      val p = plan(SparkEntry.queries(name)(spark, sf()))
+      val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(n == 1, s"$name: expected 1 user_id exchange, got $n: ${p.take(2000)}")
+      assert(!p.contains("rangepartitioning"), s"global sort in $name: ${p.take(2000)}")
+    }
   }
 
   test("t24 probes the bloom map-side and shuffles only survivors (no broadcast)") {
