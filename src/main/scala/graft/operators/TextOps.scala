@@ -27,14 +27,20 @@ object TextOps {
   /** Distinct word 5-grams per doc — the shared front half of the
     * decontamination entries (t13 broadcast-verify / t24 bloom-probe;
     * one spelling so the two are provably the same overlap measure). */
+  /** THE word-5-gram spelling (over a `ws` word-array column) — shared
+    * by the batch gram explode below and the streaming twin
+    * ([[graft.streaming.EventStream.decontaminateDocs]]), so the two
+    * can never measure different grams. */
+  private[graft] val wordFiveGramArraySql: String =
+    """array_distinct(transform(sequence(0, size(ws) - 5),
+         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))"""
+
   private[graft] def wordFiveGrams(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .selectExpr("doc_id", "source", "split(lower(text), ' ') AS ws")
       .filter(size(col("ws")) >= 5)
-      .selectExpr("doc_id", "source",
-        """explode(array_distinct(transform(sequence(0, size(ws) - 5),
-             i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))) AS g""")
+      .selectExpr("doc_id", "source", s"explode($wordFiveGramArraySql) AS g")
 
   /** DuckDB twin of the decontamination overlap measure — shared by
     * t13 and t24, which differ only in the Spark-side PLAN (broadcast
@@ -336,6 +342,35 @@ object TextOps {
     * the count / bloom build / verify join read ONE materialization
     * instead of recomputing the gram lineage three times (ADVICE r8).
     */
+  /** The t24 bloom build over a deduped `g` gram frame: ~10 bits/item
+    * (~1% fpr), 64 Kbit floor for tiny suites, 1 << 26 bit cap on the
+    * shipped literal; returns null iff the frame is empty. PAST THE
+    * CAP the fpr degrades with est (and Spark's BloomFilterAggregate
+    * has its own silent ceilings: estimatedNumItems clamps to
+    * spark.sql.optimizer.runtime.bloomFilter.maxNumItems, default 4M,
+    * numBits to ...bloomFilter.maxNumBits, default 1 << 26) —
+    * correctness is untouched wherever an exact verify follows, but
+    * probe SELECTIVITY decays, so warn loudly instead of silently
+    * (ADVICE r8). Shared by [[decontaminate]] and the streaming twin
+    * ([[graft.streaming.EventStream.decontaminateDocs]]). */
+  private[graft] def bloomBytesFor(eg: DataFrame, est0: Long): Array[Byte] = {
+    val s = eg.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val est = math.max(est0, 1L)
+    val numBits = math.min(math.max(est * 10L, 1L << 16), 1L << 26)
+    if (est * 10L > numBits || est > s.conf.getOption(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+        .map(_.toLong).getOrElse(4L * 1000 * 1000))
+      log.warn(s"decontaminate bloom: $est eval grams exceed the " +
+        s"10-bits/item design point at numBits=$numBits (or Spark's " +
+        "bloomFilter.maxNumItems clamp) — answers stay exact via the " +
+        "verify join, but probe selectivity degrades; raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits} " +
+        "to restore the ~1% fpr design point")
+    eg.agg(call_function("bloom_build", col("g"), lit(est), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
   def decontaminate(trainGrams: DataFrame, evalGrams: DataFrame,
                     regime: String = "auto",
                     broadcastMaxGrams: Long = DecontamBroadcastMaxGrams): DataFrame = {
@@ -348,29 +383,7 @@ object TextOps {
     def broadcastPlan(eg: DataFrame): DataFrame =
       overlap(trainGrams.join(broadcast(eg), "g"))
     def bloomPlan(eg: DataFrame, est0: Long): DataFrame = {
-      val est = math.max(est0, 1L)
-      // ~10 bits/item ~= 1% fpr; floor keeps tiny suites honest, cap
-      // bounds the literal the probe side ships. PAST THE CAP the fpr
-      // degrades with est (and Spark's BloomFilterAggregate has its own
-      // silent ceilings: estimatedNumItems clamps to
-      // spark.sql.optimizer.runtime.bloomFilter.maxNumItems, default
-      // 4M, numBits to ...bloomFilter.maxNumBits, default 1 << 26) —
-      // correctness is untouched (the exact verify join kills every
-      // false positive) but probe SELECTIVITY decays, so say so loudly
-      // instead of silently (ADVICE r8).
-      val numBits = math.min(math.max(est * 10L, 1L << 16), 1L << 26)
-      if (est * 10L > numBits || est > s.conf.getOption(
-          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
-          .map(_.toLong).getOrElse(4L * 1000 * 1000))
-        log.warn(s"decontaminate bloom: $est eval grams exceed the " +
-          s"10-bits/item design point at numBits=$numBits (or Spark's " +
-          "bloomFilter.maxNumItems clamp) — answers stay exact via the " +
-          "verify join, but probe selectivity degrades; raise " +
-          "spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits} " +
-          "to restore the ~1% fpr design point")
-      val bf = eg
-        .agg(call_function("bloom_build", col("g"), lit(est), lit(numBits)).as("bf"))
-        .head().getAs[Array[Byte]](0)
+      val bf = bloomBytesFor(eg, est0)
       // bf is null only when the eval side is empty — nothing can
       // overlap, and the exact join says so on its own
       val survivors =

@@ -114,6 +114,62 @@ object EventStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("sig")
 
+  /** Ingest-time decontamination — the streaming twin of
+    * [[graft.operators.TextOps.decontaminate]]: flag documents sharing
+    * >= 5 distinct word 5-grams with a STATIC held-out eval set as
+    * they land, entirely STATELESS (no watermark, no streaming
+    * aggregation — every stage is per-row):
+    *
+    *  1. map-side bloom prescreen: the eval set's bitset (the shared
+    *     t24 build, [[graft.operators.TextOps.bloomBytesFor]]) rides
+    *     as a literal; `n_candidate` = grams hitting the bloom UPPER-
+    *     BOUNDS the true overlap, so `n_candidate < 5` documents pass
+    *     unflagged with no further work — at real hit rates (an eval
+    *     suite overlaps ~nothing with live traffic) that is almost
+    *     every document.
+    *  2. exact verify of candidates only: `array_intersect` against
+    *     the eval gram set carried as a one-row broadcast static frame
+    *     (the stream-static join shape; per-executor, built once per
+    *     micro-batch plan). Bloom false positives die here, so the
+    *     `contaminated` flag is exact.
+    *
+    * Output: input columns + `n_candidate`, `n_overlap` (exact; NULL
+    * for sub-threshold docs — their exact count was never needed, only
+    * its < 5 bound), `contaminated`. Gram spelling is the batch
+    * operator's ([[graft.operators.TextOps.wordFiveGramArraySql]]) —
+    * flag parity with the batch op is asserted in StreamingSpec.
+    *
+    * Scale note: the prescreen is an interpreted HOF over ~L grams per
+    * doc (fine at ingest rates); the eval set is benchmark-sized BY
+    * CONTRACT, same as t13's broadcast regime — a suite past broadcast
+    * comfort belongs to the batch bloom regime, not ingest filtering. */
+  def decontaminateDocs(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val eg = evalGrams.select("g").distinct().localCheckpoint()
+    val bf = TextOps.bloomBytesFor(eg, eg.count())
+    val evalSet = eg.agg(collect_set(col("g")).as("__eval_grams"))
+    val based = docs
+      .withColumn("ws", split(lower(col("text")), " "))
+      .withColumn("__grams", when(size(col("ws")) >= 5,
+        expr(TextOps.wordFiveGramArraySql)).otherwise(array().cast("array<string>")))
+      .drop("ws")
+    val cand =
+      if (bf == null) lit(0)
+      else aggregate(col("__grams"), lit(0), (acc, g) =>
+        acc + when(call_function("might_contain", lit(bf), g), 1).otherwise(0))
+    based
+      .withColumn("n_candidate", cand)
+      .crossJoin(broadcast(evalSet))
+      .withColumn("n_overlap",
+        when(col("n_candidate") >= 5,
+          size(array_intersect(col("__grams"), col("__eval_grams"))))
+          .otherwise(lit(null)))
+      .withColumn("contaminated", coalesce(col("n_overlap") >= 5, lit(false)))
+      .drop("__grams", "__eval_grams")
+  }
+
   /** Stream-static enrichment join: the static dimension is re-planned
     * per micro-batch (broadcast when it fits), carries no streaming
     * state, and picks up dimension updates between batches — the

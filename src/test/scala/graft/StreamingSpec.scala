@@ -226,6 +226,57 @@ class StreamingSpec extends SparkSpec {
       s"expected the closed 3-event session, got ${emitted.mkString(";")}")
   }
 
+  test("streaming ingest decontamination: bloom prescreen + exact verify, batch parity") {
+    import org.apache.spark.sql.types._
+    val evalText = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val evalGrams = Seq(evalText).toDF("text")
+      .selectExpr("split(lower(text), ' ') AS ws")
+      .selectExpr(s"explode(${graft.operators.TextOps.wordFiveGramArraySql}) AS g")
+    val docsSeq = Seq(
+      (1L, "srcA", evalText),                                // 6 shared grams
+      (2L, "srcA", "w1 w2 w3 w4 w5 zz yy xx ww vv"),         // 1 shared gram
+      (3L, "srcB", "aa bb cc dd ee ff gg hh"),               // 0 shared
+      (4L, "srcB", null.asInstanceOf[String]),               // null text
+      (5L, "srcB", "tiny doc"))                              // < 5 words
+    val landing = Files.createTempDirectory("graft_dct_landing").toString
+    val ckpt = Files.createTempDirectory("graft_dct_ckpt").toString
+    val out = Files.createTempDirectory("graft_dct_out").toString
+    docsSeq.toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("append").parquet(landing)
+
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text", StringType))))
+      .parquet(landing)
+    val flagged = EventStream.decontaminateDocs(stream, evalGrams)
+    val q = EventStream.writeParquet(flagged, out, ckpt)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[Any]("n_overlap")), r.getAs[Boolean]("contaminated")))).toMap
+    assert(got(1L) == ((Some(6), true)), got)
+    assert(got(2L)._2 == false && got(2L)._1.isEmpty, got) // sub-threshold: no exact count
+    assert(got(3L) == ((None, false)) && got(4L) == ((None, false)) &&
+      got(5L) == ((None, false)), got)
+
+    // batch parity on the SAME docs: flagged set and counts agree with
+    // the batch operator (which reports only overlapping docs)
+    val trainGrams = docsSeq.toDF("doc_id", "source", "text")
+      .selectExpr("doc_id", "source", "split(lower(text), ' ') AS ws")
+      .filter(size($"ws") >= 5)
+      .selectExpr("doc_id", "source",
+        s"explode(${graft.operators.TextOps.wordFiveGramArraySql}) AS g")
+    val batch = graft.operators.TextOps.decontaminate(trainGrams, evalGrams,
+      regime = "broadcast")
+      .filter($"contaminated").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_overlap")).toMap
+    val streamFlagged = got.filter(_._2._2).map { case (id, (n, _)) => id -> n.get }
+    assert(batch.keySet == streamFlagged.keySet &&
+      batch.forall { case (k, v) => streamFlagged(k).toString.toLong == v },
+      s"batch $batch vs stream $streamFlagged")
+  }
+
   test("streaming pattern detection: session-scoped MATCH_RECOGNIZE, batch parity") {
     import graft.streaming.PatternStream
     import graft.operators.PatternMatch
