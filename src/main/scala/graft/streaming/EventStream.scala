@@ -114,60 +114,58 @@ object EventStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("sig")
 
+  /** Ceiling on the eval-gram set [[decontaminateDocs]] materializes
+    * per executor (~50 B/gram -> ~1 GB at the cap): an ingest filter's
+    * reference suite must be executor-memory-sized by contract; a
+    * bigger suite belongs to the batch bloom regime
+    * ([[graft.operators.TextOps.decontaminate]]), not stream-side. */
+  val MaxIngestEvalGrams: Int = 20 * 1000 * 1000
+
   /** Ingest-time decontamination — the streaming twin of
     * [[graft.operators.TextOps.decontaminate]]: flag documents sharing
     * >= 5 distinct word 5-grams with a STATIC held-out eval set as
-    * they land, entirely STATELESS (no watermark, no streaming
-    * aggregation — every stage is per-row):
+    * they land. Entirely STATELESS and map-side: no watermark, no
+    * join, no streaming aggregation — each doc's grams probe the eval
+    * set through ONE codegen'd kernel
+    * ([[graft.functions.GramOverlapCount]]) whose hash set
+    * materializes once per task, so per-doc cost is O(|doc grams|)
+    * and EXACT (the batch op's broadcast-join equality, without the
+    * join).
     *
-    *  1. map-side bloom prescreen: the eval set's bitset (the shared
-    *     t24 build, [[graft.operators.TextOps.bloomBytesFor]]) rides
-    *     as a literal; `n_candidate` = grams hitting the bloom UPPER-
-    *     BOUNDS the true overlap, so `n_candidate < 5` documents pass
-    *     unflagged with no further work — at real hit rates (an eval
-    *     suite overlaps ~nothing with live traffic) that is almost
-    *     every document.
-    *  2. exact verify of candidates only: `array_intersect` against
-    *     the eval gram set carried as a one-row broadcast static frame
-    *     (the stream-static join shape; per-executor, built once per
-    *     micro-batch plan). Bloom false positives die here, so the
-    *     `contaminated` flag is exact.
+    * Output: input columns + exact `n_overlap` and `contaminated`.
+    * Gram spelling is the batch operator's
+    * ([[graft.operators.TextOps.wordFiveGramArraySql]]); parity with
+    * the batch op is asserted in StreamingSpec. The eval suite is
+    * collected to the driver once at construction (eager, like the
+    * batch bloom regime) and guarded by [[MaxIngestEvalGrams]].
     *
-    * Output: input columns + `n_candidate`, `n_overlap` (exact; NULL
-    * for sub-threshold docs — their exact count was never needed, only
-    * its < 5 bound), `contaminated`. Gram spelling is the batch
-    * operator's ([[graft.operators.TextOps.wordFiveGramArraySql]]) —
-    * flag parity with the batch op is asserted in StreamingSpec.
-    *
-    * Scale note: the prescreen is an interpreted HOF over ~L grams per
-    * doc (fine at ingest rates); the eval set is benchmark-sized BY
-    * CONTRACT, same as t13's broadcast regime — a suite past broadcast
-    * comfort belongs to the batch bloom regime, not ingest filtering. */
+    * Why not a bloom prescreen here: a first spelling rode
+    * `aggregate(grams, (a, g) -> a + IF(might_contain(bf, g), 1, 0))`
+    * and measured ~5 ms/doc — HOF lambdas evaluate interpreted and
+    * re-instantiate the bound body per ELEMENT, re-deserializing the
+    * bloom literal each time. With an O(1) exact per-gram probe the
+    * bloom adds nothing at ingest suite sizes; its place is the batch
+    * regime, where the 60x-smaller bitset is the point. */
   def decontaminateDocs(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
     import graft.operators.TextOps
-    val spark = docs.sparkSession
-    graft.functions.GraftFunctions.register(spark)
-    val eg = evalGrams.select("g").distinct().localCheckpoint()
-    val bf = TextOps.bloomBytesFor(eg, eg.count())
-    val evalSet = eg.agg(collect_set(col("g")).as("__eval_grams"))
-    val based = docs
+    val eg = evalGrams.select("g").distinct()
+    val rows = eg.limit(MaxIngestEvalGrams + 1).collect()
+    require(rows.length <= MaxIngestEvalGrams,
+      s"decontaminateDocs: eval suite exceeds $MaxIngestEvalGrams distinct grams — " +
+        "an ingest filter's reference set must be executor-memory-sized; " +
+        "run the batch bloom regime (TextOps.decontaminate) instead")
+    val bytes = rows.map(_.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val overlap = org.apache.spark.sql.GraftSparkInternals.column(
+      graft.functions.GramOverlapCount(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("__grams"), bytes))
+    docs
       .withColumn("ws", split(lower(col("text")), " "))
       .withColumn("__grams", when(size(col("ws")) >= 5,
         expr(TextOps.wordFiveGramArraySql)).otherwise(array().cast("array<string>")))
       .drop("ws")
-    val cand =
-      if (bf == null) lit(0)
-      else aggregate(col("__grams"), lit(0), (acc, g) =>
-        acc + when(call_function("might_contain", lit(bf), g), 1).otherwise(0))
-    based
-      .withColumn("n_candidate", cand)
-      .crossJoin(broadcast(evalSet))
-      .withColumn("n_overlap",
-        when(col("n_candidate") >= 5,
-          size(array_intersect(col("__grams"), col("__eval_grams"))))
-          .otherwise(lit(null)))
-      .withColumn("contaminated", coalesce(col("n_overlap") >= 5, lit(false)))
-      .drop("__grams", "__eval_grams")
+      .withColumn("n_overlap", overlap)
+      .withColumn("contaminated", col("n_overlap") >= 5)
+      .drop("__grams")
   }
 
   /** Stream-static enrichment join: the static dimension is re-planned

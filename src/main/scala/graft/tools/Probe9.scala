@@ -117,6 +117,62 @@ object Probe9 {
           s"""{"probe":"v08f","dir":"$dir","dropped":${r.getLong(0)},""" +
             s""""pairs":${r.getLong(1)},"sec":${f3(secs)},""" +
             s""""loadavg_before":$load}"""
+        case "sdct" =>
+          // streaming ingest-decontamination throughput: the docs
+          // parquet dir IS the landing; AvailableNow drains it through
+          // the stateless bloom+verify pipeline into a parquet sink
+          // (realistic: ingest writes its output)
+          val (dir, mod) = (parts(1), parts(2).toInt)
+          val evalGrams = TextOps.wordFiveGrams(spark, dir)
+            .filter(col("doc_id") % mod === 0).select("g")
+          val src = s"$dir/documents.parquet"
+          val docSchema = spark.read.parquet(src).schema
+          val outDir = java.nio.file.Files.createTempDirectory("sdct_out").toString
+          val ckpt = java.nio.file.Files.createTempDirectory("sdct_ckpt").toString
+          val t0 = System.nanoTime()
+          val stream = spark.readStream.schema(docSchema)
+            .option("maxFilesPerTrigger", 8).parquet(src)
+          val q = graft.streaming.EventStream.decontaminateDocs(stream, evalGrams)
+            .writeStream.format("parquet").option("path", outDir)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val r = spark.read.parquet(outDir)
+            .agg(count(lit(1)).as("docs"),
+              sum(col("contaminated").cast("long")).as("bad")).collect()(0)
+          s"""{"probe":"sdct","dir":"$dir","mod":$mod,"docs":${r.getLong(0)},""" +
+            s""""contaminated":${r.getLong(1)},"sec":${f3(secs)},""" +
+            s""""docs_per_sec":${f3(r.getLong(0) / secs)},"loadavg_before":$load}"""
+        case "spat" =>
+          // streaming session-pattern throughput over the events dir
+          // (funnel V C{1,2} P per user, 30-min sessions); emitted hits
+          // are only the sessions the stream CLOSED — the throughput
+          // number is rows drained per second
+          val dir = parts(1)
+          val nIn = graft.Tables(spark, dir, "events").count()
+          val outDir = java.nio.file.Files.createTempDirectory("spat_out").toString
+          val ckpt = java.nio.file.Files.createTempDirectory("spat_ckpt").toString
+          val t0 = System.nanoTime()
+          val events = graft.streaming.EventStream.readEvents(
+            spark, s"$dir/events.parquet", maxFilesPerTrigger = 8)
+          val hits = graft.streaming.PatternStream.matchPatternSessions(
+            events, "user_id", "ts",
+            Seq("V" -> (col("event_type") === "view"),
+              "C" -> (col("event_type") === "click"),
+              "P" -> (col("event_type") === "purchase")),
+            "V C{1,2} P", col("value"), gapMinutes = 30)
+          val q = hits.toDF().writeStream.format("parquet")
+            .option("path", outDir).option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val nHits = spark.read.parquet(outDir).count()
+          s"""{"probe":"spat","dir":"$dir","events":$nIn,"hits":$nHits,""" +
+            s""""sec":${f3(secs)},"events_per_sec":${f3(nIn / secs)},""" +
+            s""""loadavg_before":$load}"""
         case other => sys.error(s"unknown probe '$other'")
       }
       println(json)

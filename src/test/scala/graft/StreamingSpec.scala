@@ -254,11 +254,11 @@ class StreamingSpec extends SparkSpec {
 
     val got = spark.read.parquet(out)
       .collect().map(r => r.getAs[Long]("doc_id") ->
-        ((Option(r.getAs[Any]("n_overlap")), r.getAs[Boolean]("contaminated")))).toMap
-    assert(got(1L) == ((Some(6), true)), got)
-    assert(got(2L)._2 == false && got(2L)._1.isEmpty, got) // sub-threshold: no exact count
-    assert(got(3L) == ((None, false)) && got(4L) == ((None, false)) &&
-      got(5L) == ((None, false)), got)
+        ((r.getAs[Int]("n_overlap"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(got(1L) == ((6, true)), got)
+    assert(got(2L) == ((1, false)), got) // exact sub-threshold count
+    assert(got(3L) == ((0, false)) && got(4L) == ((0, false)) &&
+      got(5L) == ((0, false)), got)
 
     // batch parity on the SAME docs: flagged set and counts agree with
     // the batch operator (which reports only overlapping docs)
@@ -271,10 +271,14 @@ class StreamingSpec extends SparkSpec {
       regime = "broadcast")
       .filter($"contaminated").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_overlap")).toMap
-    val streamFlagged = got.filter(_._2._2).map { case (id, (n, _)) => id -> n.get }
-    assert(batch.keySet == streamFlagged.keySet &&
-      batch.forall { case (k, v) => streamFlagged(k).toString.toLong == v },
-      s"batch $batch vs stream $streamFlagged")
+    val streamFlagged = got.filter(_._2._2).map { case (id, (n, _)) => id -> n.toLong }
+    assert(batch == streamFlagged, s"batch $batch vs stream $streamFlagged")
+    // and for UNflagged docs the stream's exact count matches the batch
+    // overlap rows where one exists (doc 2 overlaps once)
+    val batchAll = graft.operators.TextOps.decontaminate(trainGrams, evalGrams,
+      regime = "broadcast").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_overlap")).toMap
+    assert(batchAll.get(2L).contains(got(2L)._1.toLong), s"$batchAll vs ${got(2L)}")
   }
 
   test("streaming pattern detection: session-scoped MATCH_RECOGNIZE, batch parity") {
