@@ -611,10 +611,15 @@ final case class GraftMergeCommand(gt: GraftTable, source: LogicalPlan,
     requireNoReserved(rel.output, "target")
     requireNoReserved(source.output, "merge source")
     val nmbsCorr = notMatchedBySource.exists(whenCorr)
-    val badMaps = source.output.filter(a => hasMapType(a.dataType)).map(_.name)
+    // the value-distinct'd pair set carries BOTH sides' columns, so a
+    // map-typed column on EITHER breaks set-op comparability — name
+    // the side and the clause family that routed the merge here
+    val badMaps = (source.output.map(("source", _)) ++ rel.output.map(("target", _)))
+      .collect { case (side, a) if hasMapType(a.dataType) => s"$side.${a.name}" }
     if (badMaps.nonEmpty) throw new UnsupportedOperationException(
-      "correlated MERGE WHEN MATCHED clauses need a value-comparable pair " +
-        s"set, and map-typed source columns are not comparable: " +
+      s"correlated MERGE ${if (nmbsCorr && !matched.exists(whenCorr))
+        "WHEN NOT MATCHED BY SOURCE" else "WHEN MATCHED"} clauses need a " +
+        "value-comparable pair set, and map-typed columns are not comparable: " +
         s"${badMaps.mkString(",")} — rewrite without the correlated clause")
     val sName = (n: String) => "__graft_s_" + n
     val present = "__graft_t_present"

@@ -18,10 +18,28 @@ object GraftFunctions {
     * graft.engine.GraftExtensions for config-driven injection
     * (`spark.sql.extensions`) into sessions we don't construct
     * (Thrift server, Spark Connect). */
-  val injections: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    // Trino approx_distinct(x[, e]) -> HLL++ (same sketch family).
+  val injections: Seq[(String, Seq[Expression] => Expression)] =
+    rawInjections.map { case (n, b) => n -> guarded(n, b) }
+
+  private def rawInjections: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // Trino approx_distinct(x[, e]) -> HLL++ (same sketch family); the
+    // optional max-standard-error maps onto relativeSD (round 9 — the
+    // 2-arg form was previously accepted and the error SILENTLY
+    // ignored).
     "approx_distinct" -> { exprs: Seq[Expression] =>
-      HyperLogLogPlusPlus(exprs.head).toAggregateExpression()
+      val agg = exprs match {
+        case Seq(x) => HyperLogLogPlusPlus(x)
+        case Seq(x, e) =>
+          require(e.foldable, "approx_distinct max standard error must be a constant")
+          HyperLogLogPlusPlus(x, e.eval() match {
+            case d: Double => d
+            case d: java.math.BigDecimal => d.doubleValue()
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case other => sys.error(
+              s"approx_distinct max standard error must be numeric, got $other")
+          })
+      }
+      agg.toAggregateExpression()
     },
     // Trino strpos(string, substring) -> 1-based position, 0 if absent.
     "strpos" -> { exprs: Seq[Expression] =>
@@ -68,22 +86,19 @@ object GraftFunctions {
     },
     // graft-native: int8-code packing + exact integer dot (the ANN
     // quantized pre-score kernel — 4x fewer candidate-join bytes).
-    "pack_int8" -> { exprs: Seq[Expression] => PackInt8(arity(exprs, 1, "pack_int8").head) },
-    "int8_dot" -> { exprs: Seq[Expression] =>
-      val a = arity(exprs, 2, "int8_dot"); Int8Dot(a(0), a(1)) },
+    "pack_int8" -> { exprs: Seq[Expression] => PackInt8(exprs.head) },
+    "int8_dot" -> { exprs: Seq[Expression] => Int8Dot(exprs(0), exprs(1)) },
     // graft-native: whole-document SimHash in one pass (replaces the
     // word x64-position explode+shuffle spelling; bit-identical).
-    "simhash64" -> { exprs: Seq[Expression] => Simhash64(arity(exprs, 1, "simhash64").head) },
+    "simhash64" -> { exprs: Seq[Expression] => Simhash64(exprs.head) },
     // graft-native: fused rolling fingerprint (t05's winnowing min —
     // one codegen'd window loop replaces an interpreted HOF lambda).
-    "min_gram_md5" -> { exprs: Seq[Expression] =>
-      val a = arity(exprs, 2, "min_gram_md5(text, n)"); MinGramMd5(a(0), a(1)) },
+    "min_gram_md5" -> { exprs: Seq[Expression] => MinGramMd5(exprs(0), exprs(1)) },
     // graft-native: fused MinHash signature + char-gram generator (the
     // t02/t04 per-document kernel; replaces ~19 interpreted HOF passes).
     "shingle_sig" -> { exprs: Seq[Expression] =>
-      val a = arity(exprs, 3, "shingle_sig"); ShingleSig(a(0), a(1), a(2)) },
-    "char_grams" -> { exprs: Seq[Expression] =>
-      val a = arity(exprs, 2, "char_grams"); CharGrams(a(0), a(1)) },
+      ShingleSig(exprs(0), exprs(1), exprs(2)) },
+    "char_grams" -> { exprs: Seq[Expression] => CharGrams(exprs(0), exprs(1)) },
     // Trino approx_most_frequent(buckets, value[, capacity]) — Space-
     // Saving top-k summary (TypedImperativeAggregate).
     "approx_most_frequent" -> { exprs: Seq[Expression] =>
@@ -137,13 +152,39 @@ object GraftFunctions {
       BloomFilterMightContain(exprs(0), new XxHash64(Seq(exprs(1))))
     })
 
-  /** Clean analysis-time arity error instead of the builder's
-    * IndexOutOfBoundsException on a wrong-arity call (ADVICE r8). */
-  private def arity(exprs: Seq[Expression], n: Int, fn: String): Seq[Expression] = {
-    if (exprs.length != n) throw new IllegalArgumentException(
-      s"$fn takes $n argument(s), got ${exprs.length}")
-    exprs
-  }
+  /** Declared (min, max) argument counts, consulted by [[guarded]] so
+    * EVERY builder rejects wrong-arity calls as a clean analysis error
+    * instead of an IndexOutOfBoundsException deep in the builder
+    * (ADVICE r8, generalized by the round-9 review — the per-builder
+    * spelling fixed five functions and left the same bug class in the
+    * rest). A function absent from this map passes through unguarded
+    * (the TVFs validate their own 1..n shapes). */
+  private val arities: Map[String, (Int, Int)] = Map(
+    "approx_distinct" -> ((1, 2)), "strpos" -> ((2, 2)), "date_diff" -> ((3, 3)),
+    "try" -> ((1, 1)), "json_extract_scalar" -> ((2, 2)), "day_of_week" -> ((1, 1)),
+    "cardinality" -> ((1, 1)), "format_datetime" -> ((2, 2)), "to_unixtime" -> ((1, 1)),
+    "vector_dot" -> ((2, 2)), "sorted_intersect_size" -> ((2, 2)),
+    "pack_int8" -> ((1, 1)), "int8_dot" -> ((2, 2)), "simhash64" -> ((1, 1)),
+    "min_gram_md5" -> ((2, 2)), "shingle_sig" -> ((3, 3)), "char_grams" -> ((2, 2)),
+    "approx_most_frequent" -> ((2, 3)),
+    "url_extract_host" -> ((1, 1)), "url_extract_path" -> ((1, 1)),
+    "url_extract_protocol" -> ((1, 1)), "url_extract_query" -> ((1, 1)),
+    "url_extract_fragment" -> ((1, 1)), "url_extract_parameter" -> ((2, 2)),
+    "to_hex" -> ((1, 1)), "from_hex" -> ((1, 1)), "chr" -> ((1, 1)),
+    "levenshtein_distance" -> ((2, 2)), "ngrams" -> ((2, 2)),
+    "bloom_build" -> ((3, 3)), "might_contain" -> ((2, 2)))
+
+  private def guarded(name: String,
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      arities.get(name).foreach { case (lo, hi) =>
+        if (exprs.length < lo || exprs.length > hi)
+          throw new IllegalArgumentException(
+            s"$name takes ${if (lo == hi) s"$lo" else s"$lo to $hi"} " +
+              s"argument(s), got ${exprs.length}")
+      }
+      b(exprs)
+    }
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v, _) => String.valueOf(v).toInt
@@ -255,7 +296,8 @@ object GraftFunctions {
     //                                         -- window wrapper is)
     // Delegates to operators.PatternMatch (same NFA, same measures).
     // 'all' = ALL ROWS PER MATCH: keys, order cols, match_num,
-    // classifier per matched row; MEASURES must be '' in that mode.
+    // classifier per matched row, then measures (round 9: run_-prefixed
+    // aggs evaluate RUNNING, bare aggs FINAL per-match constants).
     "graft_match_recognize" -> { exprs: Seq[Expression] =>
       val spark = SparkSession.active
       def str(e: Expression, what: String): String = e match {

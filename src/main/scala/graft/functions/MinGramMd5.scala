@@ -39,10 +39,16 @@ case class MinGramMd5(left: Expression, right: Expression)
       // literal (ADVICE r8); eval here is safe because foldable
       // expressions are deterministic functions of no input
       case (StringType, IntegerType) if right.foldable =>
-        right.eval() match {
-          case n: Int if n >= 1 => TypeCheckResult.TypeCheckSuccess
-          case other => TypeCheckResult.TypeCheckFailure(
+        // eval() of a foldable expression can itself throw (ANSI CAST
+        // of a bad constant, overflowing arithmetic) — keep the error
+        // attributed to this function's contract, not a bare runtime
+        // exception escaping from analysis (r9 review)
+        (try Right(right.eval()) catch { case e: Exception => Left(e) }) match {
+          case Right(n: Int) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+          case Right(other) => TypeCheckResult.TypeCheckFailure(
             s"min_gram_md5 gram length must be a positive INT constant, got $other")
+          case Left(e) => TypeCheckResult.TypeCheckFailure(
+            s"min_gram_md5 gram length constant failed to evaluate: ${e.getMessage}")
         }
       case _ => TypeCheckResult.TypeCheckFailure(
         "min_gram_md5 requires (string, constant positive int) arguments")

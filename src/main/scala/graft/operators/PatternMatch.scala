@@ -339,16 +339,20 @@ object PatternMatch {
     case "min" | "max" | "sum" => ft match {
       case DoubleType | FloatType => new Acc {
         // nulls skipped; running start value is the first non-null —
-        // 0.0+x1 == x1 exactly, so the incremental sum is bit-identical
-        // to the old whole-list fold
+        // 0.0+x1 == x1 exactly, so the incremental sum matches a
+        // whole-list fold bit for bit. min/max compare in the TOTAL
+        // order (Double.compare: NaN greatest, -0.0 < 0.0) — the
+        // ordering Spark's own Min/Max and the DuckDB oracle use, so
+        // MIN ignores NaN unless all values are NaN while MAX surfaces
+        // it (math.min/math.max would instead poison MIN with NaN).
         private var any = false; private var acc = 0.0
         def add(v: Any): Unit = if (v != null) {
           val d = v.asInstanceOf[java.lang.Number].doubleValue()
           if (!any) { acc = d; any = true }
           else acc = msr.agg match {
             case "sum" => acc + d
-            case "min" => math.min(acc, d)
-            case _     => math.max(acc, d)
+            case "min" => if (java.lang.Double.compare(d, acc) < 0) d else acc
+            case _     => if (java.lang.Double.compare(d, acc) > 0) d else acc
           }
         }
         def value: Any = if (any) acc else null

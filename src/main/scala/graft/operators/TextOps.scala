@@ -27,13 +27,14 @@ object TextOps {
   /** Distinct word 5-grams per doc — the shared front half of the
     * decontamination entries (t13 broadcast-verify / t24 bloom-probe;
     * one spelling so the two are provably the same overlap measure). */
-  /** THE word-5-gram spelling (over a `ws` word-array column) — shared
-    * by the batch gram explode below and the streaming twin
-    * ([[graft.streaming.EventStream.decontaminateDocs]]), so the two
-    * can never measure different grams. */
-  private[graft] val wordFiveGramArraySql: String =
-    """array_distinct(transform(sequence(0, size(ws) - 5),
-         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))"""
+  /** THE word-5-gram spelling (parameterized by the word-array column
+    * name) — shared by the batch gram explode below and the streaming
+    * twin ([[graft.streaming.EventStream.decontaminateDocs]]), so the
+    * two can never measure different grams. */
+  private[graft] def wordFiveGramArraySqlOver(ws: String): String =
+    s"""array_distinct(transform(sequence(0, size($ws) - 5),
+         i -> concat_ws(' ', $ws[i], $ws[i+1], $ws[i+2], $ws[i+3], $ws[i+4])))"""
+  private[graft] val wordFiveGramArraySql: String = wordFiveGramArraySqlOver("ws")
 
   private[graft] def wordFiveGrams(s: SparkSession, d: String): DataFrame =
     docs(s, d)

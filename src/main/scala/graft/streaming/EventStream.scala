@@ -148,7 +148,17 @@ object EventStream {
     * regime, where the 60x-smaller bitset is the point. */
   def decontaminateDocs(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
     import graft.operators.TextOps
-    val eg = evalGrams.select("g").distinct()
+    // internal plumbing uses reserved names; caller columns that would
+    // be clobbered (or silently dropped) are rejected loudly instead
+    val taken = docs.columns.filter(c =>
+      c.startsWith("__graft_") || c == "n_overlap" || c == "contaminated")
+    require(taken.isEmpty,
+      s"decontaminateDocs: input columns ${taken.mkString(",")} collide with " +
+        "the op's output/plumbing names (__graft_* reserved; n_overlap, " +
+        "contaminated are outputs) — rename them first")
+    // a NULL gram row in a caller-built eval frame matches nothing in
+    // the batch join regimes; drop it here too instead of NPE'ing
+    val eg = evalGrams.select("g").where(col("g").isNotNull).distinct()
     val rows = eg.limit(MaxIngestEvalGrams + 1).collect()
     require(rows.length <= MaxIngestEvalGrams,
       s"decontaminateDocs: eval suite exceeds $MaxIngestEvalGrams distinct grams — " +
@@ -157,15 +167,16 @@ object EventStream {
     val bytes = rows.map(_.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val overlap = org.apache.spark.sql.GraftSparkInternals.column(
       graft.functions.GramOverlapCount(
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("__grams"), bytes))
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("__graft_dct_grams"),
+        bytes))
     docs
-      .withColumn("ws", split(lower(col("text")), " "))
-      .withColumn("__grams", when(size(col("ws")) >= 5,
-        expr(TextOps.wordFiveGramArraySql)).otherwise(array().cast("array<string>")))
-      .drop("ws")
+      .withColumn("__graft_dct_ws", split(lower(col("text")), " "))
+      .withColumn("__graft_dct_grams", when(size(col("__graft_dct_ws")) >= 5,
+        expr(TextOps.wordFiveGramArraySqlOver("__graft_dct_ws")))
+        .otherwise(array().cast("array<string>")))
       .withColumn("n_overlap", overlap)
       .withColumn("contaminated", col("n_overlap") >= 5)
-      .drop("__grams")
+      .drop("__graft_dct_ws", "__graft_dct_grams")
   }
 
   /** Stream-static enrichment join: the static dimension is re-planned

@@ -72,6 +72,16 @@ object PatternStream {
     require(symNames.nonEmpty && symNames.length <= 62,
       s"matchPatternSessions supports 1..62 symbols (truth rides a Long bitmask), " +
         s"got ${symNames.length}")
+    // a silent cast of a string/fractional key to long would NULL or
+    // truncate-collide keys and surface as an opaque encoder failure
+    // mid-stream — fail fast at construction instead
+    events.schema(events.schema.fieldIndex(keyCol)).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+      case other => throw new IllegalArgumentException(
+        s"matchPatternSessions key column '$keyCol' must be integral, got " +
+          s"${other.simpleString} — hash or dictionary-encode the key upstream")
+    }
     val pat = PatternMatch.parse(pattern, symNames)
     val skipMode = PatternMatch.parseSkip(skip, symNames)
     val gapMicros = gapMinutes * 60L * 1000000L

@@ -120,7 +120,7 @@ object Probe9 {
         case "sdct" =>
           // streaming ingest-decontamination throughput: the docs
           // parquet dir IS the landing; AvailableNow drains it through
-          // the stateless bloom+verify pipeline into a parquet sink
+          // the stateless GramOverlapCount probe into a parquet sink
           // (realistic: ingest writes its output)
           val (dir, mod) = (parts(1), parts(2).toInt)
           val evalGrams = TextOps.wordFiveGrams(spark, dir)
@@ -132,11 +132,9 @@ object Probe9 {
           val t0 = System.nanoTime()
           val stream = spark.readStream.schema(docSchema)
             .option("maxFilesPerTrigger", 8).parquet(src)
-          val q = graft.streaming.EventStream.decontaminateDocs(stream, evalGrams)
-            .writeStream.format("parquet").option("path", outDir)
-            .option("checkpointLocation", ckpt)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
+          val q = graft.streaming.EventStream.writeParquet(
+            graft.streaming.EventStream.decontaminateDocs(stream, evalGrams),
+            outDir, ckpt)
           q.awaitTermination()
           val secs = (System.nanoTime() - t0) / 1e9
           val r = spark.read.parquet(outDir)
@@ -163,10 +161,7 @@ object Probe9 {
               "C" -> (col("event_type") === "click"),
               "P" -> (col("event_type") === "purchase")),
             "V C{1,2} P", col("value"), gapMinutes = 30)
-          val q = hits.toDF().writeStream.format("parquet")
-            .option("path", outDir).option("checkpointLocation", ckpt)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
+          val q = graft.streaming.EventStream.writeParquet(hits.toDF(), outDir, ckpt)
           q.awaitTermination()
           val secs = (System.nanoTime() - t0) / 1e9
           val nHits = spark.read.parquet(outDir).count()

@@ -358,6 +358,21 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("every registered function rejects wrong arity cleanly (r9 review: generalized guard)") {
+    for (sqlText <- Seq("SELECT vector_dot(array(1.0))",
+      "SELECT approx_most_frequent(3)", "SELECT levenshtein_distance('a')",
+      "SELECT bloom_build('x', 1)", "SELECT strpos('ab')")) {
+      val e = intercept[Exception](one(sqlText))
+      assert(e.getMessage.contains("argument"),
+        s"$sqlText: ${e.getMessage.take(200)}")
+    }
+    // approx_distinct's optional max-standard-error now WORKS instead
+    // of being silently ignored: a coarser error changes the estimate
+    val r = one("SELECT approx_distinct(x) = approx_distinct(x, CAST(0.26 AS DOUBLE)) AS eq " +
+      "FROM (SELECT explode(sequence(1, 2000)) AS x)")
+    assert(r == Row(false), r)
+  }
+
   test("min_gram_md5: foldable n spellings accepted, wrong arity errors cleanly") {
     // ADVICE r8: CAST(8 AS INT) is foldable-but-not-literal; must typecheck
     val f = one("SELECT min_gram_md5('hello world', CAST(8 AS INT)) = " +

@@ -295,6 +295,21 @@ class PatternMatchSpec extends SparkSpec {
     assert(e.getMessage.contains("order spec"))
   }
 
+  test("double measures order NaN as greatest (total order, like Spark Min/Max)") {
+    import spark.implicits._
+    // r9 review: math.min would poison MIN with NaN; the total order
+    // (Spark's own and DuckDB's) treats NaN as greatest, so MIN over
+    // [NaN, 1.0] is 1.0 and MAX surfaces the NaN
+    val df = Seq((1, 1, Double.NaN), (1, 2, 1.0), (1, 3, 2.0)).toDF("k", "seq", "v")
+    val out = PatternMatch.matchPattern(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq("A" -> lit(true)), pattern = "A+",
+      measures = Seq(Measure("mn", "min", "*", "v"), Measure("mx", "max", "*", "v")))
+    val r = out.collect().head
+    assert(r.getDouble(2) == 1.0, r)
+    assert(r.getDouble(3).isNaN, r)
+  }
+
   test("multiple matches number sequentially per key") {
     import spark.implicits._
     val df = Seq((1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"))
