@@ -19,14 +19,19 @@ import org.apache.spark.sql.types._
   * `audioStats` computes RMS/peak from the actual PCM16 samples. The
   * VIDEO path is real for HEADER metadata: `decodeMp4` walks the
   * ISO-BMFF box tree (public container spec) and reads actual
-  * duration/timescale from `mvhd` and width/height from `tkhd`, so
-  * `withMeta` and `sampleFrames` cardinality run on real numbers. Only
-  * frame PIXEL decode remains a clearly marked DETERMINISTIC STUB (no
-  * codec libs in this container): per-frame features derive from a
-  * content hash; a production deployment swaps that one body for
-  * ffmpeg bindings without touching any plan shape. Every operator here is partition-parallel and
-  * shuffle-free (narrow maps only; one `explode` for frames whose
-  * output is linear in requested frames, not in input bytes).
+  * duration/timescale from `mvhd` and width/height from `tkhd`, and
+  * `decodeAvi` (round 9) walks the AVI RIFF form for frame period /
+  * count / dimensions / codec — so `withMeta` and `sampleFrames`
+  * cardinality run on real numbers. Frame PIXELS are real for
+  * MJPEG-in-AVI (each movi frame chunk is a whole JPEG — decoded by
+  * the same javax.imageio path as stills, summarized by
+  * `frameFeatures16` from actual luminance); every OTHER video codec's
+  * per-frame features remain a clearly marked DETERMINISTIC STUB (no
+  * codec libs in this container) that a production deployment swaps
+  * for ffmpeg bindings without touching any plan shape. Every operator
+  * here is partition-parallel and shuffle-free (narrow maps only; one
+  * `explode` for frames whose output is linear in requested frames,
+  * not in input bytes).
   */
 object MultimodalOps {
 
@@ -149,6 +154,133 @@ object MultimodalOps {
     }
   }
 
+  /** REAL AVI container decode (round 9): a RIFF chunk walk — the AVI
+    * layout is public (Microsoft AVI RIFF form) and little-endian like
+    * wav. `avih` gives frame period / frame count / dimensions; the
+    * first `strl` whose `strh` is a 'vids' stream names the codec.
+    * MJPEG ('MJPG' / 'mjpg') frame chunks are whole JPEGs, so frame
+    * PIXELS decode with the same javax.imageio path as still images —
+    * the one video codec this container can decode end-to-end without
+    * codec libs. Other codecs keep real header metadata and the
+    * clearly-labeled per-frame feature stub. */
+  final case class AviInfo(usPerFrame: Long, totalFrames: Long, width: Int,
+                           height: Int, durationMs: Long, videoCodec: String)
+
+  def decodeAvi(bytes: Array[Byte]): Option[AviInfo] = {
+    if (bytes == null || bytes.length < 24 || sniffFormat(bytes) != "avi") return None
+    def u32(i: Int): Long = (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+      ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    def fcc(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    /** Direct children of [start,end) as (fourcc, payloadStart,
+      * payloadEnd); chunks pad to even length; stops on corruption. */
+    def chunks(start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var pos = start
+      var ok = true
+      while (ok && pos + 8 <= end) {
+        val size = u32(pos + 4)
+        val pEnd = pos + 8 + size
+        if (size < 0 || pEnd > end) ok = false
+        else { out += ((fcc(pos), pos + 8, pEnd.toInt)); pos = (pEnd + (pEnd & 1)).toInt }
+      }
+      out.result()
+    }
+    def listKids(s: Int, e: Int): Seq[(String, Int, Int)] =
+      if (e - s >= 4) chunks(s + 4, e) else Nil // skip the list type fourcc
+    val top = chunks(12, bytes.length)
+    for {
+      (_, hs, he) <- top.find { case (t, s, _) => t == "LIST" && fcc(s) == "hdrl" }
+      hdrl = listKids(hs, he)
+      (_, as, ae) <- hdrl.find(_._1 == "avih") if ae - as >= 40
+    } yield {
+      val usPerFrame = u32(as)
+      val totalFrames = u32(as + 16)
+      val (w, h) = (u32(as + 32).toInt, u32(as + 36).toInt)
+      val codec = hdrl.collectFirst {
+        case (t, s, e) if t == "LIST" && fcc(s) == "strl" =>
+          listKids(s, e).collectFirst {
+            case ("strh", ss, se) if se - ss >= 8 && fcc(ss) == "vids" => fcc(ss + 4)
+          }
+      }.flatten.getOrElse("")
+      AviInfo(usPerFrame, totalFrames, w, h,
+        usPerFrame * totalFrames / 1000L, codec)
+    }
+  }
+
+  /** (offset, length) of each video frame chunk ('##dc'/'##db')
+    * inside the movi list, presentation order; one level of 'rec '
+    * nesting handled (the interleave grouping some muxers emit). */
+  def aviFrameSlices(bytes: Array[Byte]): Array[(Int, Int)] = {
+    if (sniffFormat(bytes) != "avi") return Array.empty
+    def u32(i: Int): Long = (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+      ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    def fcc(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    def isFrame(t: String): Boolean = t.endsWith("dc") || t.endsWith("db")
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val t = fcc(pos)
+        val size = u32(pos + 4)
+        val pEnd = pos + 8 + size
+        if (size < 0 || pEnd > end) return
+        if (isFrame(t) && size > 0) out += ((pos + 8, size.toInt))
+        else if (t == "LIST" && depth < 1 && pEnd - (pos + 8) >= 4 &&
+          fcc(pos + 8) == "rec ") walk(pos + 12, pEnd.toInt, depth + 1)
+        pos = (pEnd + (pEnd & 1)).toInt
+      }
+    }
+    def u32f(i: Int) = u32(i)
+    // find the movi LIST among top-level chunks
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val t = fcc(pos)
+      val size = u32f(pos + 4)
+      val pEnd = pos + 8 + size
+      if (size < 0 || pEnd > bytes.length) return out.toArray
+      if (t == "LIST" && pEnd - (pos + 8) >= 4 && fcc(pos + 8) == "movi")
+        walk(pos + 12, pEnd.toInt, 0)
+      pos = (pEnd + (pEnd & 1)).toInt
+    }
+    out.toArray
+  }
+
+  /** REAL 16-dim frame feature: mean luminance of a 4x4 grid,
+    * normalized to [-1, 1) — the visual summary the per-frame stub
+    * fakes, computed from actual pixels for decodable frames. */
+  def frameFeatures16(img: java.awt.image.BufferedImage): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Float](16)
+    var gy = 0
+    while (gy < 4) {
+      var gx = 0
+      while (gx < 4) {
+        val (x0, x1) = (gx * w / 4, math.max(gx * w / 4 + 1, (gx + 1) * w / 4))
+        val (y0, y1) = (gy * h / 4, math.max(gy * h / 4 + 1, (gy + 1) * h / 4))
+        var sum = 0.0
+        var n = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        out(gy * 4 + gx) =
+          if (n == 0) 0f else ((sum / n) / 128.0 - 1.0).toFloat
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
   /** PCM16 sample stream of a decoded wav (channel-interleaved),
     * normalized to [-1, 1]. Only bits==16 format-1 wavs — the common
     * training-data case; other depths return an empty array. */
@@ -186,6 +318,8 @@ object MultimodalOps {
     else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpeg"
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
       at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "wav"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'A' && at(9) == 'V' && at(10) == 'I' && at(11) == ' ') "avi"
     else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "mp4"
     else "unknown"
   }
@@ -255,6 +389,9 @@ object MultimodalOps {
               .getOrElse(stubDecode(bytes))
           else if (fmt == "mp4")
             decodeMp4(bytes).map(i => (i.width, i.height, i.durationMs, 0))
+              .getOrElse(stubDecode(bytes))
+          else if (fmt == "avi")
+            decodeAvi(bytes).map(i => (i.width, i.height, i.durationMs, 0))
               .getOrElse(stubDecode(bytes))
           else stubDecode(bytes)
         Row.fromSeq(r.toSeq :+ Row(fmt, w, h, dur, sr))
@@ -506,14 +643,48 @@ object MultimodalOps {
       explode(sequence(lit(0L), col("__meta.duration_ms"), lit(everyMs))))
     val tsIdx = withDur.schema.fieldIndex("frame_ts_ms")
     val chashIdx = withDur.schema.fieldIndex("__chash")
+    val contentIdx2 = withDur.schema.fieldIndex(contentCol)
     val enc = org.apache.spark.sql.Encoders.row(
       StructType(withDur.schema.fields :+ StructField("frame_features", ArrayType(FloatType))))
     withDur.mapPartitions { it: Iterator[Row] =>
+      // single-entry frame-slice cache: explode emits a source row's
+      // frames consecutively, so the movi scan runs once per VIDEO,
+      // not once per frame (keyed on the content hash)
+      var cachedHash = 0L
+      var cachedSlices: Array[(Int, Int)] = null
+      var cachedUs = 0L
       it.map { r =>
         val ts = r.getLong(tsIdx)
-        // ??? stub: per-frame features keyed on (content hash, ts)
-        val seed = r.getLong(chashIdx) ^ (ts * 0x9e3779b97f4a7c15L)
-        Row.fromSeq(r.toSeq :+ stubFeaturesFromHash(seed, 16).toSeq)
+        val ch = r.getLong(chashIdx)
+        val seed = ch ^ (ts * 0x9e3779b97f4a7c15L)
+        val bytes = r.get(contentIdx2).asInstanceOf[Array[Byte]]
+        val feats: Array[Float] =
+          if (bytes != null && sniffFormat(bytes) == "avi") {
+            // REAL frame pixels for MJPEG-in-AVI (round 9): each movi
+            // frame chunk is a whole JPEG — slice it, decode it with
+            // the still-image path, summarize actual luminance
+            if (cachedSlices == null || ch != cachedHash) {
+              cachedHash = ch
+              val info = decodeAvi(bytes)
+              cachedUs = info.map(_.usPerFrame).getOrElse(0L)
+              cachedSlices =
+                if (info.exists(_.videoCodec.equalsIgnoreCase("mjpg")))
+                  aviFrameSlices(bytes)
+                else Array.empty
+            }
+            if (cachedSlices.nonEmpty && cachedUs > 0) {
+              val idx = math.min(cachedSlices.length - 1,
+                (ts * 1000L / cachedUs).toInt)
+              val (off, len) = cachedSlices(idx)
+              decodeImage(java.util.Arrays.copyOfRange(bytes, off, off + len))
+                .map(frameFeatures16)
+                .getOrElse(stubFeaturesFromHash(seed, 16))
+            } else stubFeaturesFromHash(seed, 16) // non-MJPEG codec: labeled stub
+          }
+          // ??? stub: per-frame features keyed on (content hash, ts) —
+          // every codec this container cannot decode (no codec libs)
+          else stubFeaturesFromHash(seed, 16)
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
       }
     }(enc).drop("__meta", "__chash")
   }

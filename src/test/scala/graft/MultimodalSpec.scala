@@ -221,6 +221,97 @@ class MultimodalSpec extends SparkSpec {
     assert(m.getString(0) == "mp4" && m.getLong(1) > 0) // stub duration, no crash
   }
 
+  test("real MJPEG-in-AVI decode: container walk, frame slices, REAL pixel features") {
+    import java.awt.image.BufferedImage
+    // three visually distinct frames, JPEG-encoded via the JDK
+    def frame(shade: Int): Array[Byte] = {
+      val img = new BufferedImage(32, 24, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(shade, shade / 2, 255 - shade))
+      g.fillRect(0, 0, 32, 24)
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, 16, 12) // top-left bright quadrant
+      g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val jpegs = Seq(frame(40), frame(130), frame(220))
+    // hand-assembled AVI RIFF: hdrl(avih + strl(strh MJPG)) + movi(00dc*)
+    def u32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val padded = if (payload.length % 2 == 1) payload :+ 0.toByte else payload
+      fcc(tag) ++ u32(payload.length.toLong) ++ padded
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(kind) ++ body)
+    val avih = {
+      val b = new Array[Byte](56)
+      def put(off: Int, v: Long): Unit = u32(v).copyToArray(b, off)
+      put(0, 40000L)              // dwMicroSecPerFrame: 25 fps
+      put(16, jpegs.length.toLong) // dwTotalFrames
+      put(32, 32L); put(36, 24L)  // dwWidth / dwHeight
+      b
+    }
+    val strh = fcc("vids") ++ fcc("MJPG") ++ new Array[Byte](48)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", new Array[Byte](40))))
+    val movi = list("movi", jpegs.map(j => chunk("00dc", j)).reduce(_ ++ _))
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    val avi = fcc("RIFF") ++ u32(body.length.toLong) ++ body
+
+    assert(MultimodalOps.sniffFormat(avi) == "avi")
+    val info = MultimodalOps.decodeAvi(avi).get
+    assert(info.width == 32 && info.height == 24 && info.totalFrames == 3)
+    assert(info.usPerFrame == 40000L && info.durationMs == 120L)
+    assert(info.videoCodec == "MJPG")
+    val slices = MultimodalOps.aviFrameSlices(avi)
+    assert(slices.length == 3)
+    // each slice is a decodable JPEG with the right dimensions
+    slices.foreach { case (off, len) =>
+      val img = MultimodalOps.decodeImage(
+        java.util.Arrays.copyOfRange(avi, off, off + len)).get
+      assert(img.getWidth == 32 && img.getHeight == 24)
+    }
+    // withMeta reads REAL container numbers
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, avi)),
+      StructType(Seq(StructField("id", LongType), StructField("content", BinaryType))))
+    val m = MultimodalOps.withMeta(df)
+      .select("meta.format", "meta.width", "meta.height", "meta.duration_ms").head()
+    assert((m.getString(0), m.getInt(1), m.getInt(2), m.getLong(3)) == (("avi", 32, 24, 120L)))
+    // sampleFrames emits REAL luminance features: every frame's bright
+    // top-left quadrant must dominate its bottom-right (true of the
+    // rendered pixels, vanishingly unlikely for the hash stub), and the
+    // features must EQUAL frameFeatures16 of the directly decoded JPEG
+    val frames = MultimodalOps.sampleFrames(df, everyMs = 40)
+      .select("frame_ts_ms", "frame_features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).sortBy(_._1)
+    assert(frames.length == 4) // ts 0,40,80,120 (120 clamps to last frame)
+    frames.foreach { case (_, f) => assert(f(0) > f(15), s"not real pixels: $f") }
+    val want = MultimodalOps.frameFeatures16(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpegs(1)))).toSeq
+    assert(frames.find(_._1 == 40L).get._2 == want, "frame 1 features != direct decode")
+    // a non-MJPEG AVI keeps real header metadata but stub features
+    val xvid = {
+      val strh2 = fcc("vids") ++ fcc("XVID") ++ new Array[Byte](48)
+      val hdrl2 = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh2) ++ chunk("strf", new Array[Byte](40))))
+      val b2 = fcc("AVI ") ++ hdrl2 ++ movi
+      fcc("RIFF") ++ u32(b2.length.toLong) ++ b2
+    }
+    assert(MultimodalOps.decodeAvi(xvid).get.videoCodec == "XVID")
+    val df2 = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, xvid)),
+      StructType(Seq(StructField("id", LongType), StructField("content", BinaryType))))
+    val f2 = MultimodalOps.sampleFrames(df2, everyMs = 40)
+      .select("frame_features").head().getSeq[Float](0)
+    assert(f2 != want) // hash stub, not pixels
+  }
+
   test("pHash: stable under resize + brightness, far for different images") {
     import java.awt.image.BufferedImage
     def pngBytes(img: BufferedImage): Array[Byte] = {
