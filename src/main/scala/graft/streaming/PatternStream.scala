@@ -57,6 +57,14 @@ object PatternStream {
   /** `events` need not be pre-watermarked: the op projects
     * (key, ts, symbol-truth bitmask, value) and watermarks the
     * projected event-time column with the session gap itself. */
+  /** `maxSessionRows` bounds per-key state: a key whose events never
+    * pause longer than the gap has ONE unbounded session — a real
+    * operational hazard on hot keys (bot traffic, a misconfigured
+    * producer). Exceeding it fails LOUDLY (like the matcher's
+    * backtracking budget) rather than silently splitting the session —
+    * a split would fabricate a pattern boundary mid-stream; the fix
+    * belongs to the caller (finer key, shorter gap, or upstream
+    * sampling). */
   def matchPatternSessions(
       events: DataFrame,
       keyCol: String,
@@ -65,7 +73,8 @@ object PatternStream {
       pattern: String,
       valueCol: Column,
       gapMinutes: Int = 30,
-      skip: String = "past last row"): Dataset[PatternHit] = {
+      skip: String = "past last row",
+      maxSessionRows: Int = 1000000): Dataset[PatternHit] = {
     val spark = events.sparkSession
     import spark.implicits._
     val symNames = symbols.map(_._1)
@@ -151,6 +160,11 @@ object PatternStream {
               .sortBy(r => (r._1, r._2, r._3))
             val sessions = splitSessions(all)
             val open = sessions.last
+            if (open.length > maxSessionRows) sys.error(
+              s"matchPatternSessions: key $key's open session exceeds " +
+                s"$maxSessionRows rows with no $gapMinutes-minute gap — " +
+                "unbounded per-key state; use a finer key, a shorter gap, " +
+                "or sample the key upstream (maxSessionRows raises the cap)")
             state.update(PatternSessionState(open))
             state.setTimeoutTimestamp(open.last._1 / 1000L + gapMinutes * 60L * 1000L)
             sessions.dropRight(1).iterator.flatMap(s => closeSession(key, s))

@@ -344,6 +344,27 @@ class StreamingSpec extends SparkSpec {
       s"batch $batch vs stream $got")
   }
 
+  test("streaming pattern detection: a gapless hot key fails loudly, never grows unbounded state") {
+    import graft.streaming.PatternStream
+    val base = 1700000000000000000L
+    val rows = (0 until 50).map(i =>
+      (i.toLong, base + i * 1_000_000_000L, 1L, "view", 1.0, "{}"))
+    val landing = Files.createTempDirectory("graft_hot_landing").toString
+    val ckpt = Files.createTempDirectory("graft_hot_ckpt").toString
+    val out = Files.createTempDirectory("graft_hot_out").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(landing)
+    val hits = PatternStream.matchPatternSessions(
+      EventStream.readEvents(spark, landing, 1),
+      "user_id", "ts", Seq("V" -> (col("event_type") === "view")),
+      "V{100}", col("value"), gapMinutes = 30, maxSessionRows = 10)
+    val q = EventStream.writeParquet(hits.toDF(), out, ckpt)
+    val e = intercept[Exception] { q.processAllAvailable(); q.stop() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("maxSessionRows")), msgs(e).take(3))
+  }
+
   test("GraftTable tails as a stream: commits become micro-batches") {
     val ckpt = Files.createTempDirectory("graft_tail_ck").toString
     val out = Files.createTempDirectory("graft_tail_out").toString
