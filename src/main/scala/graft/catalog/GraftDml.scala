@@ -646,7 +646,11 @@ final case class GraftMergeCommand(gt: GraftTable, source: LogicalPlan,
     // the extra rows could never act.
     val left = Project(
       rel.output :+ Alias(Literal(true), present)(), rel)
-    val sPresent = "__graft_s_present"
+    // marker name must sit OUTSIDE the __graft_s_<col> rename image: a
+    // source column literally named 'present' renames to
+    // __graft_s_present, which would duplicate the marker and make its
+    // gate reference ambiguous (ADVICE r9 #4)
+    val sPresent = "__graft_srcmark"
     val (rightPlan, sMarker) =
       if (nmbsCorr) {
         val p = Project(source.output :+ Alias(Literal(true), sPresent)(), source)

@@ -188,24 +188,36 @@ object MultimodalOps {
     }
     def listKids(s: Int, e: Int): Seq[(String, Int, Int)] =
       if (e - s >= 4) chunks(s + 4, e) else Nil // skip the list type fourcc
-    val top = chunks(12, bytes.length)
-    for {
-      (_, hs, he) <- top.find { case (t, s, _) => t == "LIST" && fcc(s) == "hdrl" }
-      hdrl = listKids(hs, he)
-      (_, as, ae) <- hdrl.find(_._1 == "avih") if ae - as >= 40
-    } yield {
-      val usPerFrame = u32(as)
-      val totalFrames = u32(as + 16)
-      val (w, h) = (u32(as + 32).toInt, u32(as + 36).toInt)
-      val codec = hdrl.collectFirst {
-        case (t, s, e) if t == "LIST" && fcc(s) == "strl" =>
-          listKids(s, e).collectFirst {
-            case ("strh", ss, se) if se - ss >= 8 && fcc(ss) == "vids" => fcc(ss + 4)
-          }
-      }.flatten.getOrElse("")
-      AviInfo(usPerFrame, totalFrames, w, h,
-        usPerFrame * totalFrames / 1000L, codec)
-    }
+    // every fcc() read below is guarded by a payload-length check (like
+    // the wav/mp4 walkers): a truncated LIST whose payload ends within
+    // 4 bytes of the buffer must degrade to None, not throw — the
+    // try-catch is defense in depth for the same corruption class
+    try {
+      val top = chunks(12, bytes.length)
+      for {
+        (_, hs, he) <- top.find { case (t, s, e) =>
+          t == "LIST" && e - s >= 4 && fcc(s) == "hdrl" }
+        hdrl = listKids(hs, he)
+        (_, as, ae) <- hdrl.find(_._1 == "avih") if ae - as >= 40
+      } yield {
+        val usPerFrame = u32(as)
+        val totalFrames = u32(as + 16)
+        val (w, h) = (u32(as + 32).toInt, u32(as + 36).toInt)
+        // every strl is inspected — muxers that declare the audio
+        // stream first must still surface the vids codec
+        val codec = hdrl.collect {
+          case (t, s, e) if t == "LIST" && e - s >= 4 && fcc(s) == "strl" =>
+            listKids(s, e).collectFirst {
+              case ("strh", ss, se) if se - ss >= 8 && fcc(ss) == "vids" => fcc(ss + 4)
+            }
+        }.flatten.headOption.getOrElse("")
+        // u32 header fields are attacker/corruption-controlled up to
+        // ~4.29e9 each; the product overflows Long — clamp via BigInt
+        val durMs = (BigInt(usPerFrame) * BigInt(totalFrames) / 1000)
+          .min(Long.MaxValue).max(0).toLong
+        AviInfo(usPerFrame, totalFrames, w, h, durMs, codec)
+      }
+    } catch { case _: RuntimeException => None }
   }
 
   /** (offset, length) of each video frame chunk ('##dc'/'##db')

@@ -645,6 +645,27 @@ class GraftCatalogSpec extends SparkSpec {
       err.getMessage.toLowerCase.contains("correlated"), err.getMessage)
   }
 
+  test("correlated NMBS merge survives a source column named 'present'") {
+    // ADVICE r9 #4: the source-presence marker must sit OUTSIDE the
+    // __graft_s_<col> rename image — a source column literally named
+    // 'present' renames to __graft_s_present, which collided with the
+    // old marker name and made its gate reference ambiguous
+    sql("CREATE NAMESPACE gcat.db32")
+    sql("CREATE TABLE gcat.db32.t (id BIGINT, v STRING)")
+    sql("INSERT INTO gcat.db32.t VALUES (1, 'a'), (2, 'b'), (5, 'e')")
+    sql("CREATE TABLE gcat.db32.aux (k BIGINT)")
+    sql("INSERT INTO gcat.db32.aux VALUES (5)")
+    sql("""MERGE INTO gcat.db32.t AS t
+           USING (SELECT CAST(2 AS BIGINT) AS id, 'yes' AS present) AS s
+           ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET v = s.present
+           WHEN NOT MATCHED BY SOURCE AND EXISTS
+             (SELECT 1 FROM gcat.db32.aux a WHERE a.k = t.id) THEN DELETE""")
+    val got = sql("SELECT id, v FROM gcat.db32.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(1L -> "a", 2L -> "yes"), got)
+  }
+
   test("multi-column IN subqueries in DML: 3VL preserved") {
     sql("CREATE NAMESPACE gcat.db31")
     sql("CREATE TABLE gcat.db31.t (a BIGINT, b STRING, v STRING)")

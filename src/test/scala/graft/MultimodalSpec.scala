@@ -312,6 +312,50 @@ class MultimodalSpec extends SparkSpec {
     assert(f2 != want) // hash stub, not pixels
   }
 
+  test("AVI corruption hardening: truncated lists, audio-first strl, header overflow") {
+    def u32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val padded = if (payload.length % 2 == 1) payload :+ 0.toByte else payload
+      fcc(tag) ++ u32(payload.length.toLong) ++ padded
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(kind) ++ body)
+    def riff(body: Array[Byte]): Array[Byte] = {
+      val b = fcc("AVI ") ++ body
+      fcc("RIFF") ++ u32(b.length.toLong) ++ b
+    }
+    // (1) a LIST whose payload ends within 4 bytes of the buffer end
+    // (ADVICE r9 #1): the type-fourcc read must be bounds-guarded —
+    // corrupt media degrades to None instead of throwing
+    val truncated = riff(fcc("LIST") ++ u32(2L) ++ Array[Byte](0x68, 0x64))
+    assert(MultimodalOps.sniffFormat(truncated) == "avi")
+    assert(MultimodalOps.decodeAvi(truncated).isEmpty)
+    // (2) audio stream declared FIRST (ADVICE r9 #2): every strl must
+    // be inspected, not just the first — the vids codec still surfaces
+    def avih(usPerFrame: Long, frames: Long): Array[Byte] = {
+      val b = new Array[Byte](56)
+      u32(usPerFrame).copyToArray(b, 0)
+      u32(frames).copyToArray(b, 16)
+      u32(32L).copyToArray(b, 32); u32(24L).copyToArray(b, 36)
+      b
+    }
+    val audioFirst = riff(list("hdrl", chunk("avih", avih(40000L, 3L)) ++
+      list("strl", chunk("strh", fcc("auds") ++ fcc("    ") ++
+        new Array[Byte](48))) ++
+      list("strl", chunk("strh", fcc("vids") ++ fcc("MJPG") ++ new Array[Byte](48)))))
+    assert(MultimodalOps.decodeAvi(audioFirst).get.videoCodec == "MJPG")
+    // (3) corrupt u32 headers at their 4.29e9 max (ADVICE r9 #3): the
+    // duration product overflows Long — must clamp, never go negative
+    val big = 0xffffffffL
+    val overflow = riff(list("hdrl", chunk("avih", avih(big, big))))
+    val info = MultimodalOps.decodeAvi(overflow).get
+    assert(info.durationMs == (BigInt(big) * BigInt(big) / 1000).toLong)
+    assert(info.durationMs > 0L)
+  }
+
   test("pHash: stable under resize + brightness, far for different images") {
     import java.awt.image.BufferedImage
     def pngBytes(img: BufferedImage): Array[Byte] = {
