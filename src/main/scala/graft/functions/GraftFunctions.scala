@@ -305,9 +305,9 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"graft_match_recognize $what must be a string literal, got $other")
       }
-      require(exprs.length >= 6 && exprs.length <= 9,
+      require(exprs.length >= 6 && exprs.length <= 10,
         "graft_match_recognize(source, partition_cols, order_cols, defines, " +
-          "pattern, measures[, mode[, prepartitioned[, skip]]])")
+          "pattern, measures[, mode[, prepartitioned[, skip[, histnav]]]])")
       val srcStr = str(exprs(0), "source")
       val df =
         if (srcStr.matches("""(?is)^\s*(SELECT|WITH|VALUES)\b.*""")) spark.sql(srcStr)
@@ -354,16 +354,30 @@ object GraftFunctions {
       // the optional 9th arg is the full skip spec ("past last row" |
       // "to next row" | "to first SYM" | "to last SYM") and wins
       val skipSpec =
-        if (exprs.length == 9) str(exprs(8), "skip")
+        if (exprs.length >= 9) str(exprs(8), "skip")
         else if (mode.endsWith("_next")) "to next row"
         else "past last row"
+      // classifier-history navigation spec (round 10):
+      // 'placeholder:first|last:SYM:col[;...]' — FIRST/LAST(sym.col)
+      // inside DEFINE, bound by the matcher during the NFA walk
+      val navRefs =
+        if (exprs.length < 10) Nil
+        else str(exprs(9), "histnav").split(";").map(_.trim).filter(_.nonEmpty).toSeq
+          .map { h =>
+            h.split(":").map(_.trim) match {
+              case Array(nm, fl, sym, f) if fl == "first" || fl == "last" =>
+                graft.operators.PatternMatch.NavRef(nm, fl == "first", sym, f)
+              case other => throw new IllegalArgumentException(
+                s"bad histnav entry '$h' (want name:first|last:SYM:col)")
+            }
+          }
       val out = mode.stripSuffix("_next") match {
         case "one" => graft.operators.PatternMatch.matchPattern(
           df, partCols, orderCols, symbols, str(exprs(4), "pattern"), measures,
-          prePartitioned = pre, skip = skipSpec)
+          prePartitioned = pre, skip = skipSpec, navRefs = navRefs)
         case "all" => graft.operators.PatternMatch.matchPatternAllRows(
           df, partCols, orderCols, symbols, str(exprs(4), "pattern"), measures,
-          prePartitioned = pre, skip = skipSpec)
+          prePartitioned = pre, skip = skipSpec, navRefs = navRefs)
         case other => throw new IllegalArgumentException(
           s"graft_match_recognize mode must be 'one', 'all', 'one_next' or " +
             s"'all_next', got '$other'")

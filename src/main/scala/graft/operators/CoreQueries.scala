@@ -875,6 +875,70 @@ object CoreQueries {
           p.n_down, p.peak
         FROM paired p JOIN r x
           ON x.user_id = p.user_id AND x.rn BETWEEN p.srn AND p.ern
-        WINDOW w AS (PARTITION BY p.user_id, p.match_num ORDER BY x.rn)"""))
+        WINDOW w AS (PARTITION BY p.user_id, p.match_num ORDER BY x.rn)""")),
+
+    // ------------------------------------------------------------------
+    // Classifier-history navigation in DEFINE (round 10, r9 verdict #1):
+    // FIRST(D.value) inside U's condition reads the match-so-far's
+    // classification, so the NFA evaluates it DURING matching (the one
+    // DEFINE form that cannot precompute as a window column). The
+    // funnel: a strict decline D+ that RECOVERS ABOVE ITS OWN START —
+    // U.value > FIRST(D.value). Oracle closed form (DuckDB has no
+    // MATCH_RECOGNIZE; proven against the matcher on 300 random streams
+    // in PatternMatchSpec): within a maximal declining run [s..e] the
+    // values strictly decrease, so rows after the attempt's first D can
+    // never satisfy U — greedy D+ always reaches the run's end, and the
+    // leftmost viable start is the FIRST p in [s..e] whose value the
+    // successor row e+1 exceeds (monotone in p); the match consumes
+    // [p, e+1] and SKIP PAST LAST ROW jumps the run, so each run yields
+    // at most one match.
+    QueryEntry("q34_pattern_hist_nav",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("mr_events")
+        s.sql("""
+          SELECT * FROM (
+            SELECT user_id, ts, event_id, value,
+                   date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s
+            FROM mr_events WHERE event_type = 'purchase'
+          ) MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(D.ts_s) AS start_ts, FIRST(D.value) AS dip_start,
+              COUNT(D.*) AS n_down, LAST(D.value) AS bottom,
+              LAST(U.value) AS rebound
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (D+ U)
+            DEFINE D AS D.value < PREV(D.value),
+                   U AS U.value > FIRST(D.value)
+          )""")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        d AS (SELECT user_id, ts, event_id, value,
+            value - LAG(value) OVER w AS delta,
+            ROW_NUMBER() OVER w AS rn
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        dr AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          FROM d WHERE delta < 0),
+        runs AS (SELECT user_id, grp, MIN(rn) AS srn, MAX(rn) AS ern,
+            ARG_MAX(value, rn) AS bottom
+          FROM dr GROUP BY user_id, grp),
+        succ AS (SELECT runs.*, x.value AS uval
+          FROM runs JOIN d x ON x.user_id = runs.user_id AND x.rn = runs.ern + 1),
+        m AS (SELECT s.user_id, s.ern, s.bottom, s.uval, MIN(p.rn) AS prn
+          FROM succ s JOIN d p ON p.user_id = s.user_id
+            AND p.rn BETWEEN s.srn AND s.ern AND s.uval > p.value
+          GROUP BY s.user_id, s.ern, s.bottom, s.uval),
+        out0 AS (SELECT m.user_id,
+            STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS start_ts,
+            p.value AS dip_start,
+            CAST(m.ern - m.prn + 1 AS BIGINT) AS n_down,
+            m.bottom, m.uval AS rebound, m.prn
+          FROM m JOIN d p ON p.user_id = m.user_id AND p.rn = m.prn)
+        SELECT user_id,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY prn) AS match_num,
+          start_ts, dip_start, n_down, bottom, rebound
+        FROM out0"""))
   )
 }

@@ -171,15 +171,35 @@ object PatternMatch {
     }
   }
 
+  /** Classifier-history evaluation hook (round 10): a symbol whose
+    * DEFINE navigates the match-so-far (`FIRST`/`LAST(sym.col)`,
+    * SQL:2016 RUNNING semantics) cannot precompute to a boolean column
+    * — the matcher consults this DURING matching. `isNav(i)` marks the
+    * symbols that need it; for those, `truth` holds the predicate's
+    * precomputable residue (`true` when the whole predicate navigates)
+    * and `eval` decides admission given the live classifier array:
+    * `cls(start until pos)` is the attempt's history, row `pos` is the
+    * candidate, tentatively classified `sym` (the standard's rule: the
+    * row under evaluation counts as classified by the symbol being
+    * defined). */
+  private[graft] trait NavCtx {
+    def isNav(sym: Int): Boolean
+    def eval(cls: Array[Int], start: Int, pos: Int, sym: Int): Boolean
+  }
+
   /** All matches in one key group (rows already in order): leftmost
     * start, greedy quantifiers; `skip` picks the resume point after
-    * each non-empty match (see [[Skip]]). */
+    * each non-empty match (see [[Skip]]); `nav` (round 10) is the
+    * classifier-history evaluator for FIRST/LAST-navigating symbols —
+    * null when no symbol navigates. */
   private[graft] def findMatches(truth: Array[Array[Boolean]], pat: Pat,
-                                 skip: Skip = SkipPastLast): Seq[Match] = {
+                                 skip: Skip = SkipPastLast,
+                                 nav: NavCtx = null): Seq[Match] = {
     val n = truth.length
     val out = scala.collection.mutable.ArrayBuffer[Match]()
     val cls = Array.fill(n)(-1)
     var steps = 0L
+    var start = 0 // current attempt's start — nav evaluation reads it
     // CPS backtracking: m(p, pos, k) tries to match p starting at pos,
     // calling k(end) for each admissible end in preference order
     // (greedy first); returns true as soon as any continuation accepts.
@@ -188,7 +208,8 @@ object PatternMatch {
       if (steps > MaxSteps) sys.error("pattern match exceeded backtracking budget")
       p match {
         case Sym(i) =>
-          if (pos < n && truth(pos)(i)) {
+          if (pos < n && truth(pos)(i) &&
+            (nav == null || !nav.isNav(i) || nav.eval(cls, start, pos, i))) {
             val prev = cls(pos); cls(pos) = i
             if (k(pos + 1)) true else { cls(pos) = prev; false }
           } else false
@@ -203,11 +224,32 @@ object PatternMatch {
           // Iterative fast path for symbol runs (S+, S*, S{n,m}) — the
           // hot shape. Consumes the run with a loop instead of one
           // recursion frame per row (a 100k-row run must not overflow
-          // the stack), then tries continuation ends greedily.
+          // the stack), then tries continuation ends greedily. For a
+          // NAV symbol the run extends incrementally with cls updated
+          // row by row — FIRST/LAST read the match-so-far, which
+          // includes the run's own earlier rows (RUNNING semantics);
+          // the same loop shape keeps long nav runs off the stack.
+          val navHere = nav != null && nav.isNav(si)
           var end = pos
-          while (end < n && truth(end)(si) && (max == -1 || end - pos < max)) end += 1
-          val saved = java.util.Arrays.copyOfRange(cls, pos, end)
-          java.util.Arrays.fill(cls, pos, end, si)
+          val saved: Array[Int] =
+            if (navHere) {
+              // admission consults the evaluator with cls reflecting the
+              // run's own earlier rows, so save-then-write row by row
+              val buf = scala.collection.mutable.ArrayBuffer[Int]()
+              var go = true
+              while (go && end < n && truth(end)(si) &&
+                (max == -1 || end - pos < max)) {
+                if (nav.eval(cls, start, end, si)) {
+                  buf += cls(end); cls(end) = si; end += 1
+                } else go = false
+              }
+              buf.toArray
+            } else {
+              while (end < n && truth(end)(si) && (max == -1 || end - pos < max)) end += 1
+              val s = java.util.Arrays.copyOfRange(cls, pos, end)
+              java.util.Arrays.fill(cls, pos, end, si)
+              s
+            }
           var take = end - pos
           var ok = false
           while (!ok && take >= min) {
@@ -248,7 +290,14 @@ object PatternMatch {
     // O(run^2) into O(run). Bounded heads (S{n,m}) are excluded: from
     // start+1 the continuation can reach position start+1+m, which the
     // attempt from start never tried.
-    val headSym: Int = {
+    // The head-run skip is UNSOUND whenever ANY symbol navigates: its
+    // argument assumes the continuation's admissibility is independent
+    // of the attempt's start, but FIRST/LAST over the match-so-far
+    // change with the start row (a later start shortens the history a
+    // downstream nav predicate reads) — so a start that failed inside a
+    // head run does NOT imply later starts fail. Disable it; nav
+    // workloads pay the per-start retry the standard's semantics imply.
+    val headSym: Int = if (nav != null) -1 else {
       def head(p: Pat): Option[Int] = p match {
         case Rep(Sym(i), min, -1) if min >= 0 => Some(i)
         case Cat(h :: _)                      => head(h)
@@ -256,7 +305,6 @@ object PatternMatch {
       }
       head(pat).getOrElse(-1)
     }
-    var start = 0
     while (start < n) {
       var matchedEnd = -1
       // greedy: the first end the backtracking order reaches IS the
@@ -314,6 +362,24 @@ object PatternMatch {
     * per-match constant column under ALL ROWS). */
   final case class Measure(name: String, agg: String, symbol: String,
                            field: String = "", running: Boolean = false)
+
+  /** A classifier-history navigation reference (round 10): inside a
+    * DEFINE predicate, `FIRST(sym.field)` / `LAST(sym.field)` read
+    * `field` at the first/last row the match-so-far classified as
+    * `symbol` — SQL:2016 RUNNING semantics, the row under evaluation
+    * included when it is being tried AS `symbol`; null (predicate
+    * false) when the symbol has no row yet. The predicate [[Column]]
+    * reads the value through the placeholder column `name`, which must
+    * not exist on the input — the matcher binds it per candidate row.
+    * Unlike PREV/NEXT this cannot precompute as a window column: the
+    * value depends on the in-flight classification, so the NFA
+    * evaluates the whole predicate DURING matching (a compiled
+    * row-level predicate over input row + placeholders; plain symbols
+    * stay precomputed codegen booleans). Cost: one history scan per
+    * candidate row per nav reference, and the head-run start skip is
+    * disabled (start-dependent history makes it unsound) — keep nav
+    * predicates to the symbols that need them. */
+  final case class NavRef(name: String, first: Boolean, symbol: String, field: String)
 
   /** Incremental measure accumulator — ONE implementation evaluates
     * both FINAL (fed the whole match) and RUNNING (value read after
@@ -456,9 +522,10 @@ object PatternMatch {
       pattern: String,
       measures: Seq[Measure],
       prePartitioned: Boolean = false,
-      skip: String = "past last row"): DataFrame =
+      skip: String = "past last row",
+      navRefs: Seq[NavRef] = Nil): DataFrame =
     run(df, partitionBy, orderBy, symbols, pattern, measures,
-      prePartitioned, allRows = false, skip)
+      prePartitioned, allRows = false, skip, navRefs)
 
   /** ALL ROWS PER MATCH mode (SQL:2016 / Trino): one OUTPUT row per
     * MATCHED input row — partition keys, order columns, `match_num`,
@@ -477,9 +544,10 @@ object PatternMatch {
       pattern: String,
       measures: Seq[Measure] = Nil,
       prePartitioned: Boolean = false,
-      skip: String = "past last row"): DataFrame =
+      skip: String = "past last row",
+      navRefs: Seq[NavRef] = Nil): DataFrame =
     run(df, partitionBy, orderBy, symbols, pattern, measures,
-      prePartitioned, allRows = true, skip)
+      prePartitioned, allRows = true, skip, navRefs)
 
   /** Global check of the `prePartitioned` contract: every partition-key
     * group must live entirely inside one Spark partition, contiguously.
@@ -519,7 +587,14 @@ object PatternMatch {
       measures: Seq[Measure],
       prePartitioned: Boolean,
       allRows: Boolean,
-      skipSpec: String = "past last row"): DataFrame = {
+      skipSpec: String = "past last row",
+      navRefs: Seq[NavRef] = Nil): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
+      BasePredicate, BoundReference, GenericInternalRow, JoinedRow,
+      SubqueryExpression, Expression, Predicate => CatPredicate}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
 
     val symNames = symbols.map(_._1)
     val pat = parse(pattern, symNames)
@@ -528,6 +603,49 @@ object PatternMatch {
     val orderNames = orderCols.map(_._1)
     val inSchema = df.schema
     def fieldType(f: String): DataType = inSchema(inSchema.fieldIndex(f)).dataType
+
+    // ---- classifier-history navigation (round 10): resolve each
+    // DEFINE predicate against input + placeholder schema; symbols
+    // whose predicate reads a placeholder become NAV symbols (evaluated
+    // in the matcher), the rest keep the codegen'd boolean column path
+    val navNames = navRefs.map(_.name)
+    require(navNames.distinct.length == navNames.length,
+      s"duplicate nav placeholder names: ${navNames.mkString(",")}")
+    navRefs.foreach { r =>
+      require(symNames.contains(r.symbol),
+        s"nav ref ${r.name}: unknown pattern symbol '${r.symbol}'")
+      require(inSchema.fieldNames.contains(r.field),
+        s"nav ref ${r.name}: unknown input column '${r.field}'")
+      require(!inSchema.fieldNames.contains(r.name),
+        s"nav placeholder '${r.name}' collides with an input column — rename it")
+    }
+    val navFieldSchema = navRefs.map(r =>
+      StructField(r.name, fieldType(r.field), nullable = true))
+    // (symbol name, resolved predicate or null, referenced input cols)
+    val navResolved: Map[String, (Expression, Seq[String])] =
+      if (navRefs.isEmpty) Map.empty
+      else {
+        val resolveSchema = StructType(inSchema.fields ++ navFieldSchema)
+        val dummy = df.sparkSession.createDataFrame(
+          java.util.Collections.emptyList[Row](), resolveSchema)
+        symbols.flatMap { case (nm, c) =>
+          val analyzed = dummy.select(c.cast(BooleanType)).queryExecution.analyzed
+          val e = analyzed.asInstanceOf[Project].projectList.head match {
+            case a: Alias => a.child
+            case other    => other
+          }
+          val refs = e.collect { case a: AttributeReference => a.name }.distinct
+          if (refs.intersect(navNames).isEmpty) None // plain symbol
+          else {
+            require(e.find(_.isInstanceOf[SubqueryExpression]).isEmpty,
+              s"DEFINE predicate for '$nm' navigates the match AND contains a " +
+                "subquery — not supported (the matcher evaluates nav predicates " +
+                "row-at-a-time); materialize the subquery into a column first")
+            Some(nm -> (e, refs.filterNot(navNames.contains)))
+          }
+        }.toMap
+      }
+    val navActive = navResolved.nonEmpty
 
     require(allRows || measures.forall(!_.running),
       "RUNNING measures require ALL ROWS PER MATCH (ONE ROW emits each " +
@@ -573,9 +691,19 @@ object PatternMatch {
     val measureFields = measures
       .filter(m => m.agg != "count" && m.agg != "classifier")
       .map(_.field).distinct
+    // nav predicates read input columns row-at-a-time in the matcher,
+    // so their references (and every nav target field) ride the narrow
+    // projection; a NAV symbol's boolean column is a placeholder true —
+    // the matcher evaluates the full predicate during matching
+    val navInputFields =
+      (navResolved.values.flatMap(_._2) ++ navRefs.map(_.field)).toSeq.distinct
     val projected = df.select(
-      (partitionBy ++ orderNames ++ measureFields).distinct.map(col) ++
-        symbols.map { case (nm, c) => c.cast(BooleanType).as(s"__sym_$nm") }: _*)
+      (partitionBy ++ orderNames ++ measureFields ++ navInputFields)
+        .distinct.map(col) ++
+        symbols.map { case (nm, c) =>
+          (if (navResolved.contains(nm)) lit(true) else c.cast(BooleanType))
+            .as(s"__sym_$nm")
+        }: _*)
     val pSchema = projected.schema
     val keyIdx = partitionBy.map(pSchema.fieldIndex).toArray
     val orderIdx = orderNames.map(pSchema.fieldIndex).toArray
@@ -595,6 +723,32 @@ object PatternMatch {
     val anyFinal = measureArr.exists(!_.running)
     val anyRunning = measureArr.exists(_.running)
 
+    // bind nav predicates against (projected row ++ placeholder row):
+    // the matcher evaluates them on a JoinedRow, so ordinals run over
+    // pSchema then the placeholder block
+    val navIsNav: Array[Boolean] = symNames.map(navResolved.contains).toArray
+    val navBound: Array[Expression] =
+      if (!navActive) null
+      else {
+        val boundSchema = StructType(pSchema.fields ++ navFieldSchema)
+        require(boundSchema.fieldNames.distinct.length == boundSchema.length,
+          s"nav placeholder names collide with matcher columns: " +
+            navNames.filter(pSchema.fieldNames.contains).mkString(","))
+        symNames.map { nm =>
+          navResolved.get(nm).map { case (e, _) =>
+            e.transform {
+              case a: AttributeReference =>
+                BoundReference(boundSchema.fieldIndex(a.name), a.dataType, a.nullable)
+            }
+          }.orNull
+        }.toArray
+      }
+    // (first?, target symbol index, field ordinal in pSchema, field type)
+    val navRefArr: Array[(Boolean, Int, Int, DataType)] = navRefs.map { r =>
+      (r.first, symNames.indexOf(r.symbol), pSchema.fieldIndex(r.field),
+        fieldType(r.field))
+    }.toArray
+
     val sorted =
       if (prePartitioned) projected
       else projected
@@ -605,13 +759,61 @@ object PatternMatch {
     sorted.mapPartitions { iter =>
       val buf = scala.collection.mutable.ArrayBuffer[Row]()
       var curKey: Seq[Any] = null
+      // per-task nav machinery: compile each nav symbol's predicate
+      // once (codegen with interpreted fallback), convert group rows to
+      // InternalRow once, bind placeholder values per candidate row
+      val navPreds: Array[BasePredicate] =
+        if (!navActive) null
+        else navBound.map(e =>
+          if (e == null) null
+          else { val p = CatPredicate.create(e); p.initialize(0); p })
+      val toInternal =
+        if (!navActive) null
+        else CatalystTypeConverters.createToCatalystConverter(pSchema)
+
+      def navCtxFor(rows: Array[Row]): NavCtx =
+        if (!navActive) null
+        else new NavCtx {
+          private val internal: Array[InternalRow] =
+            rows.map(r => toInternal(r).asInstanceOf[InternalRow])
+          private val navVals = new Array[Any](navRefArr.length)
+          private val navRow = new GenericInternalRow(navVals)
+          private val joined = new JoinedRow()
+          def isNav(s: Int): Boolean = navIsNav(s)
+          def eval(cls: Array[Int], start: Int, pos: Int, sym: Int): Boolean = {
+            var x = 0
+            while (x < navRefArr.length) {
+              val (first, tSym, fOrd, fType) = navRefArr(x)
+              // history = cls(start until pos) plus the candidate row,
+              // tentatively classified `sym` (RUNNING semantics)
+              var j = -1
+              if (first) {
+                var i = start
+                while (j < 0 && i < pos) { if (cls(i) == tSym) j = i; i += 1 }
+                if (j < 0 && sym == tSym) j = pos
+              } else {
+                if (sym == tSym) j = pos
+                else {
+                  var i = pos - 1
+                  while (j < 0 && i >= start) { if (cls(i) == tSym) j = i; i -= 1 }
+                }
+              }
+              navVals(x) =
+                if (j < 0) null
+                else if (internal(j).isNullAt(fOrd)) null
+                else internal(j).get(fOrd, fType)
+              x += 1
+            }
+            navPreds(sym).eval(joined.apply(internal(pos), navRow))
+          }
+        }
 
       def emitGroup(): Iterator[Row] = {
         if (buf.isEmpty) Iterator.empty
         else {
           val rows = buf.toArray
           val truth = rows.map(r => symIdxs.map(i => !r.isNullAt(i) && r.getBoolean(i)))
-          val ms = findMatches(truth, pat, skip)
+          val ms = findMatches(truth, pat, skip, navCtxFor(rows))
           val key = curKey
           buf.clear()
 

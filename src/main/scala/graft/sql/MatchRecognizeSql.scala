@@ -29,8 +29,9 @@ import scala.util.matching.Regex
   *       | SKIP TO [FIRST|LAST] sym]
   *     [SUBSET U = (A, B) [, ...]]       -- MEASURES union variables
   *     PATTERN ( <symbols with | ( ) * + ? {n} {n,} {n,m}> )
-  *     [DEFINE S AS cond [, ...]]        -- cond may use S.col and
-  *                                       -- PREV/NEXT(S.col [, n])
+  *     [DEFINE S AS cond [, ...]]        -- cond may use S.col,
+  *                                       -- PREV/NEXT(S.col [, n]) and
+  *                                       -- FIRST/LAST(S.col)
   *   ) [AS alias]
   * }}}
   *
@@ -38,15 +39,21 @@ import scala.util.matching.Regex
   * operator's Spark-first navigation contract — and because that
   * window hash-clusters and sorts by the same keys, the matcher skips
   * its own exchange (prePartitioned), keeping the SQL spelling at ONE
-  * shuffle like the hand-written operator calls. Unsupported Trino
-  * forms fail LOUDLY with the feature named: FIRST/LAST navigation
-  * inside DEFINE, WITH UNMATCHED ROWS / SHOW EMPTY MATCHES, NULLS
-  * FIRST/LAST ordering, SKIP TO a SUBSET variable, SUBSET references
-  * in DEFINE (PERMUTE / anchors / exclusions are rejected downstream
-  * by the pattern parser). Round 9 closed the rest of the dialect:
-  * DESC ordering, SKIP TO NEXT ROW (overlapping matches), SKIP TO
-  * FIRST/LAST symbol, SUBSET in MEASURES, MEASURES under ALL ROWS PER
-  * MATCH with RUNNING/FINAL semantics, and CLASSIFIER().
+  * shuffle like the hand-written operator calls. FIRST/LAST(sym.col)
+  * inside DEFINE (round 10) is classifier-history navigation — it
+  * reads the match-so-far's classification, so it CANNOT precompute
+  * as a window column: each distinct reference becomes a placeholder
+  * the matcher binds during the NFA walk
+  * ([[graft.operators.PatternMatch.NavRef]]). Unsupported Trino forms
+  * fail LOUDLY with the feature named: the occurrence argument of
+  * FIRST/LAST navigation, PREV/NEXT inside MEASURES, WITH UNMATCHED
+  * ROWS / SHOW EMPTY MATCHES, NULLS FIRST/LAST ordering, SKIP TO a
+  * SUBSET variable, SUBSET references in DEFINE (PERMUTE / anchors /
+  * exclusions are rejected downstream by the pattern parser). Round 9
+  * closed the rest of the dialect: DESC ordering, SKIP TO NEXT ROW
+  * (overlapping matches), SKIP TO FIRST/LAST symbol, SUBSET in
+  * MEASURES, MEASURES under ALL ROWS PER MATCH with RUNNING/FINAL
+  * semantics, and CLASSIFIER().
   */
 object MatchRecognizeSql {
 
@@ -247,6 +254,14 @@ object MatchRecognizeSql {
     }
     val navRx = ("""(?i)\b(PREV|NEXT)\s*\(\s*(""" + Ident +
       """)\s*\.\s*(""" + Ident + """)\s*(?:,\s*(\d+)\s*)?\)""").r
+    // FIRST/LAST(sym.col) = classifier-history navigation (round 10):
+    // each distinct reference becomes a __mrh_N placeholder column the
+    // matcher binds DURING matching (PatternMatch.NavRef) — unlike
+    // PREV/NEXT it cannot precompute as a window column, because the
+    // value depends on the in-flight classification
+    val histRx = ("""(?i)\b(FIRST|LAST)\s*\(\s*(""" + Ident +
+      """)\s*\.\s*(""" + Ident + """)\s*(?:,\s*(\d+)\s*)?\)""").r
+    val histNavs = LinkedHashMap[(String, String, String), String]()
     val symRefRx = ("""\b(?i:(""" + symSet.map(Regex.quote).mkString("|") +
       """))\s*\.\s*""").r
     def xlate(cond: String): String = {
@@ -258,19 +273,35 @@ object MatchRecognizeSql {
         Regex.quoteReplacement(
           navs.getOrElseUpdate((fn, h.group(3), n), s"__mr_${fn}_${h.group(3)}_$n"))
       })
-      ("""(?i)\b(PREV|NEXT|FIRST|LAST)\s*\(""").r.findFirstIn(maskedUpper(c1)).foreach { f =>
+      val c2 = histRx.replaceAllIn(c1, h => {
+        val fn = h.group(1).toLowerCase
+        val sym = h.group(2).toUpperCase
+        require(h.group(4) == null,
+          s"${fn.toUpperCase}(${h.group(2)}.${h.group(3)}, ${h.group(4)}): the " +
+            "occurrence argument of FIRST/LAST navigation is not supported — " +
+            "only the first/last row the match classified as the symbol")
+        require(!subsets.contains(sym),
+          s"${fn.toUpperCase}() in DEFINE may not navigate SUBSET variable " +
+            s"'$sym' — name a PATTERN symbol")
+        require(patSyms.contains(sym),
+          s"${fn.toUpperCase}() argument must be PATTERN_SYMBOL.column, got " +
+            s"'${h.group(2)}.${h.group(3)}' (PATTERN is $pattern)")
+        Regex.quoteReplacement(histNavs.getOrElseUpdate(
+          (fn, sym, h.group(3)), s"__mrh_${histNavs.size}"))
+      })
+      ("""(?i)\b(PREV|NEXT|FIRST|LAST)\s*\(""").r.findFirstIn(maskedUpper(c2)).foreach { f =>
         throw new IllegalArgumentException(
           s"unsupported navigation '${f.trim}...' in DEFINE condition '$cond' — " +
-            "supported: PREV/NEXT(SYMBOL.column [, n]) (classifier-history " +
-            "navigation like LAST(A.x) is not)")
+            "supported: PREV/NEXT(SYMBOL.column [, n]) and classifier-history " +
+            "FIRST/LAST(SYMBOL.column); nested navigation is not")
       }
       subsets.keys.foreach { u =>
         require(("""\b(?i:""" + Regex.quote(u) + """)\s*\.""").r
-          .findFirstIn(maskedUpper(c1)).isEmpty,
+          .findFirstIn(maskedUpper(c2)).isEmpty,
           s"DEFINE may not reference SUBSET variable '$u' — subsets are " +
             "MEASURES-only union views over classified rows")
       }
-      val out = symRefRx.replaceAllIn(c1, "").trim
+      val out = symRefRx.replaceAllIn(c2, "").trim
       require(!out.contains(";"),
         s"DEFINE condition may not contain ';': '$cond'")
       out
@@ -322,6 +353,15 @@ object MatchRecognizeSql {
           else subsets.getOrElse(u, throw new IllegalArgumentException(
             s"unknown pattern symbol '$s' in MEASURES")).mkString("|")
         }
+        // named rejection (round 10, r9 verdict #6): PREV/NEXT are legal
+        // Trino MEASURES navigation but unsupported here — without the
+        // name this fell into the generic error below
+        ("""(?i)\b(PREV|NEXT)\s*\(""").r.findFirstIn(maskedUpper(ex)).foreach { f =>
+          throw new IllegalArgumentException(
+            s"PREV/NEXT navigation inside MEASURES is not supported " +
+              s"('${ex.trim}') — compute the lag/lead column in the source " +
+              "subquery and reference it as SYMBOL.column")
+        }
         ex match {
           case aggRx(agg, s, f) => Some(s"$name:$pfx${agg.toLowerCase}:${sym(s)}:$f")
           case cntStarRx()      => Some(s"$name:${pfx}count:*")
@@ -360,9 +400,12 @@ object MatchRecognizeSql {
       }
 
     def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    // classifier-history nav spec (round 10): placeholder:first|last:SYM:col
+    val histSpec = histNavs.map { case ((fn, sym, f), nm) =>
+      s"$nm:$fn:$sym:$f" }.mkString(";")
     val call = s"graft_match_recognize(${q(srcArg)}, ${q(parts.mkString(","))}, " +
       s"${q(orders.mkString(","))}, ${q(defs)}, ${q(pattern)}, " +
-      s"${q(measures)}, ${q(mode)}, ${q(pre)}, ${q(skipSpec)})"
+      s"${q(measures)}, ${q(mode)}, ${q(pre)}, ${q(skipSpec)}, ${q(histSpec)})"
     // MATCH_NUMBER() measures alias the TVF's own match_num in a
     // post-select that restores the declared measure order; the fixed
     // column prefix differs by mode (ALL ROWS also emits order cols +

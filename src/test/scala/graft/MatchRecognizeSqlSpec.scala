@@ -20,7 +20,7 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
 
   test("basic clause lowers onto the TVF with symbol prefixes stripped") {
     val out = rewrite(basic)
-    assert(out.contains("graft_match_recognize('t', 'k', 'ts', 'A:v > 0', 'A+', '', 'one', 'false', 'past last row')"), out)
+    assert(out.contains("graft_match_recognize('t', 'k', 'ts', 'A:v > 0', 'A+', '', 'one', 'false', 'past last row', '')"), out)
   }
 
   test("keyword inside a string literal is untouched") {
@@ -30,7 +30,7 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
 
   test("alias after the clause survives in place") {
     val out = rewrite(basic.dropRight(1) + ") AS m")
-    assert(out.contains("'past last row') AS m"), out)
+    assert(out.contains("'past last row', '') AS m"), out)
   }
 
   test("two clauses in one statement both rewrite") {
@@ -47,7 +47,7 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(out.contains("lag(v, 1) OVER (PARTITION BY k ORDER BY ts) AS __mr_prev_v_1"), out)
     assert(out.contains("lead(v, 2) OVER (PARTITION BY k ORDER BY ts) AS __mr_next_v_2"), out)
     assert(out.contains("'D:v < __mr_prev_v_1;U:v > __mr_next_v_2'"), out)
-    assert(out.contains("'true', 'past last row')"), out) // prePartitioned: wrapper window clusters+sorts
+    assert(out.contains("'true', 'past last row', '')"), out) // prePartitioned: wrapper window clusters+sorts
   }
 
   test("subquery source embeds as a query string (quotes doubled)") {
@@ -152,6 +152,26 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(one.contains("n:count:*") && !one.contains("run_"), one)
   }
 
+  test("FIRST/LAST in DEFINE lower to histnav placeholders the matcher binds (round 10)") {
+    val out = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        PATTERN (D+ U) DEFINE D AS D.v < PREV(D.v),
+          U AS U.v > FIRST(D.v) AND U.v < LAST(D.w))""")
+    // distinct references dedupe into numbered placeholders; the spec
+    // rides the TVF's 10th arg; PREV still windows (prePartitioned)
+    assert(out.contains("'D:v < __mr_prev_v_1;U:v > __mrh_0 AND v < __mrh_1'"), out)
+    assert(out.contains("'__mrh_0:first:D:v;__mrh_1:last:D:w'"), out)
+    assert(out.contains("lag(v, 1) OVER"), out)
+    // a repeated reference reuses its placeholder
+    val dup = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        PATTERN (A+) DEFINE A AS A.v >= FIRST(A.v) AND A.v < FIRST(A.v) + 10)""")
+    assert(dup.contains("'A:v >= __mrh_0 AND v < __mrh_0 + 10'"), dup)
+    assert(dup.contains("'__mrh_0:first:A:v'"), dup)
+    // pure-hist DEFINE (no PREV/NEXT): no window wrapper, matcher shuffles
+    assert(dup.contains("'false', 'past last row'"), dup)
+  }
+
   test("unsupported forms fail loudly with the feature named") {
     def err(body: String): String =
       intercept[Exception](rewrite(
@@ -162,8 +182,12 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
       .contains("SUBSET member"))
     assert(err("PARTITION BY k ORDER BY ts AFTER MATCH SKIP HALFWAY PATTERN (A) DEFINE A AS A.v > 0")
       .contains("AFTER MATCH"))
-    assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS FIRST(A.v) > 0")
-      .contains("navigation"))
+    assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS FIRST(A.v, 2) > 0")
+      .contains("occurrence argument"))
+    assert(err("PARTITION BY k ORDER BY ts SUBSET S = (A) PATTERN (A B) DEFINE B AS B.v > FIRST(S.v)")
+      .contains("SUBSET"))
+    assert(err("PARTITION BY k ORDER BY ts MEASURES PREV(A.v) AS pv PATTERN (A) DEFINE A AS A.v > 0")
+      .contains("MEASURES"))
     assert(err("PARTITION BY k ORDER BY ts ALL ROWS PER MATCH WITH UNMATCHED ROWS PATTERN (A) DEFINE A AS A.v > 0")
       .contains("UNMATCHED"))
     assert(err("PARTITION BY k ORDER BY ts MEASURES AVG(A.v) AS a PATTERN (A) DEFINE A AS A.v > 0")

@@ -438,6 +438,159 @@ class PatternMatchSpec extends SparkSpec {
     }
   }
 
+  test("FIRST(sym.col) in DEFINE: recover-above-fall-start funnel (round 10)") {
+    import spark.implicits._
+    import graft.operators.PatternMatch.NavRef
+    // k=1: 10,8,6,9 — D run (8,6); U=9 > FIRST(D.v)=8 from start row 1
+    // k=2: 10,6,5 — decline never recovers: no successor row, no match
+    // k=3: 10,9,3,4 — from row 1, FIRST(D.v)=9 > 4 fails; the matcher
+    //      must RETRY at row 2 (history is start-dependent — this is
+    //      the case the disabled head-run skip would have broken):
+    //      FIRST(D.v)=3 < 4 matches
+    val df = Seq(
+      (1, 1, 10.0), (1, 2, 8.0), (1, 3, 6.0), (1, 4, 9.0),
+      (2, 1, 10.0), (2, 2, 6.0), (2, 3, 5.0),
+      (3, 1, 10.0), (3, 2, 9.0), (3, 3, 3.0), (3, 4, 4.0))
+      .toDF("k", "seq", "v")
+      .withColumn("delta", col("v") - lag(col("v"), 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("seq")))
+    val out = PatternMatch.matchPattern(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq(
+        "D" -> (col("delta") < 0),
+        "U" -> (col("v") > col("__nav_first_d_v"))),
+      pattern = "D+ U",
+      measures = Seq(
+        Measure("dip_start", "first", "D", "v"),
+        Measure("n_down", "count", "D"),
+        Measure("rebound", "last", "U", "v")),
+      navRefs = Seq(NavRef("__nav_first_d_v", first = true, "D", "v")))
+    val rows = out.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      .toSeq.sortBy(r => (r._1, r._2))
+    assert(rows === Seq((1, 1L, 8.0, 2L, 9.0), (3, 1L, 3.0, 1L, 4.0)))
+  }
+
+  test("nav RUNNING semantics: the candidate row counts as its own symbol") {
+    import spark.implicits._
+    import graft.operators.PatternMatch.NavRef
+    // A AS v >= FIRST(A.v): at a run's first row FIRST(A.v) is the row
+    // ITSELF (current row included, classified A) — v >= v holds, so
+    // runs restart wherever the floor breaks. 5,3,4,6,2 →
+    // [5], [3,4,6], [2]
+    val df = Seq((1, 1, 5.0), (1, 2, 3.0), (1, 3, 4.0), (1, 4, 6.0), (1, 5, 2.0))
+      .toDF("k", "seq", "v")
+    val out = PatternMatch.matchPattern(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq("A" -> (col("v") >= col("__nav_first_a_v"))),
+      pattern = "A+",
+      measures = Seq(
+        Measure("floor", "first", "A", "v"),
+        Measure("n", "count", "A")),
+      navRefs = Seq(NavRef("__nav_first_a_v", first = true, "A", "v")))
+    val rows = out.collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq.sortBy(_._1)
+    assert(rows === Seq((1L, 5.0, 1L), (2L, 3.0, 3L), (3L, 2.0, 1L)))
+  }
+
+  test("nav over an unclassified symbol is NULL → predicate false (SQL 3VL)") {
+    import spark.implicits._
+    import graft.operators.PatternMatch.NavRef
+    // pattern is just B; D never classifies a row, so FIRST(D.v) is
+    // NULL and B's predicate is never true — zero matches, no errors
+    val df = Seq((1, 1, 5.0), (1, 2, 9.0)).toDF("k", "seq", "v")
+    val out = PatternMatch.matchPattern(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq(
+        "D" -> (col("v") < 0),
+        "B" -> (col("v") > col("__nav_first_d_v"))),
+      pattern = "B",
+      measures = Seq(Measure("n", "count", "*")),
+      navRefs = Seq(NavRef("__nav_first_d_v", first = true, "D", "v")))
+    assert(out.count() === 0L)
+  }
+
+  test("LAST nav reads the latest classified row, not the first") {
+    import spark.implicits._
+    import graft.operators.PatternMatch.NavRef
+    // U AS v > LAST(D.v): recover above the BOTTOM (last declining
+    // row), a weaker bar than FIRST. 10,9,3,4: from row 1, D+ = (9,3),
+    // LAST(D.v)=3 < 4 → matches where the FIRST variant (above) had to
+    // restart at row 2
+    val df = Seq((3, 1, 10.0), (3, 2, 9.0), (3, 3, 3.0), (3, 4, 4.0))
+      .toDF("k", "seq", "v")
+      .withColumn("delta", col("v") - lag(col("v"), 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("seq")))
+    val out = PatternMatch.matchPattern(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq(
+        "D" -> (col("delta") < 0),
+        "U" -> (col("v") > col("__nav_last_d_v"))),
+      pattern = "D+ U",
+      measures = Seq(
+        Measure("n_down", "count", "D"),
+        Measure("bottom", "last", "D", "v")),
+      navRefs = Seq(NavRef("__nav_last_d_v", first = false, "D", "v")))
+    val rows = out.collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows === Seq((3, 2L, 3.0)))
+  }
+
+  test("nav matches agree with a brute-force reference on 300 random value streams") {
+    import spark.implicits._
+    import graft.operators.PatternMatch.NavRef
+    // For PATTERN (D+ U), D AS delta<0, U AS v > FIRST(D.v), SKIP PAST
+    // LAST ROW, the match set has a closed form: per maximal declining
+    // run [s..e] with a successor row e+1, the match starts at the
+    // smallest p in [s..e] with v(e+1) > v(p) (v decreases over the
+    // run, so the condition is monotone in p) and consumes [p, e+1].
+    // all 300 streams ride ONE DataFrame as distinct keys — a single
+    // matchPattern job exercises the compiled-predicate path per group
+    val rnd = new scala.util.Random(42)
+    val streams = (0 until 300).map { caseNo =>
+      val n = 2 + rnd.nextInt(14)
+      caseNo -> Array.fill(n)(rnd.nextInt(8).toDouble)
+    }
+    val want = streams.flatMap { case (k, v) =>
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+      var i = 1
+      while (i < v.length) {
+        if (v(i) < v(i - 1)) {
+          var e = i
+          while (e + 1 < v.length && v(e + 1) < v(e)) e += 1
+          if (e + 1 < v.length) {
+            val p = (i to e).find(p0 => v(e + 1) > v(p0))
+            p.foreach(p0 => out += ((k, p0, e + 2)))
+          }
+          i = e + 2
+        } else i += 1
+      }
+      out
+    }.sorted
+    val df = streams.flatMap { case (k, v) =>
+      v.zipWithIndex.map { case (x, j) => (k, j, x) }
+    }.toDF("k", "seq", "v")
+      .withColumn("delta", col("v") - lag(col("v"), 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("seq")))
+    val out = PatternMatch.matchPattern(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq(
+        "D" -> (col("delta") < 0),
+        "U" -> (col("v") > col("__f"))),
+      pattern = "D+ U",
+      measures = Seq(
+        Measure("s", "first", "D", "seq"),
+        Measure("e", "last", "U", "seq")),
+      navRefs = Seq(NavRef("__f", first = true, "D", "v")))
+    val got = out.collect().map(r => (r.getInt(0), r.getInt(2), r.getInt(3) + 1))
+      .toSeq.sorted
+    assert(got === want, {
+      val bad = got.diff(want) ++ want.diff(got)
+      val badKeys = bad.map(_._1).distinct
+      badKeys.map(k => s"k=$k v=${streams(k)._2.mkString(",")}").mkString("; ")
+    })
+  }
+
   test("q29 entry matches its oracle shape at sf0.001") {
     val q = SparkEntry.queries("q29_match_recognize")(spark, sf())
     assert(q.columns.toSeq === Seq("user_id", "match_num", "start_ts", "end_ts",

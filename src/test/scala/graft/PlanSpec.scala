@@ -134,7 +134,11 @@ class PlanSpec extends SparkSpec {
     // the round-9 dialect entries keep the SAME one-shuffle contract:
     // DESC ordering / skip-to-next (q32) and ALL ROWS running measures
     // + SUBSET (q33) ride the nav window's exchange like q29
-    for (name <- Seq("q32_pattern_skipnext_desc", "q33_pattern_running_measures")) {
+    // q34 (round 10): classifier-history nav symbols ride the SAME
+    // plan — the nav placeholder is bound inside the matcher, adding
+    // no exchange beyond the PREV window's
+    for (name <- Seq("q32_pattern_skipnext_desc", "q33_pattern_running_measures",
+        "q34_pattern_hist_nav")) {
       val p = plan(SparkEntry.queries(name)(spark, sf()))
       val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
       assert(n == 1, s"$name: expected 1 user_id exchange, got $n: ${p.take(2000)}")

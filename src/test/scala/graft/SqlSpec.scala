@@ -208,9 +208,23 @@ class SqlSpec extends SparkSpec {
       assert(e.getMessage != null && e.getMessage.contains(needle),
         s"wanted '$needle' in: ${e.getMessage}")
     }
+    // round 10: FIRST/LAST(sym.col) in DEFINE is dialect now — the
+    // classifier-history funnel runs end to end through plain spark.sql
+    // (user 1 falls 10→8→6 then recovers to 9 > the fall's start 8)
+    val hist = spark.sql("""
+      SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY seq
+        MEASURES FIRST(D.price) AS dip_start, COUNT(D.*) AS n_down,
+          LAST(U.price) AS rebound
+        ONE ROW PER MATCH
+        PATTERN (D+ U)
+        DEFINE D AS D.price < PREV(D.price), U AS U.price > FIRST(D.price)
+      )""").collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(hist.toSeq == Seq((1L, 8.0, 2L, 9.0)), hist.mkString(";"))
+    // the occurrence argument stays a named rejection
     failsWith("""SELECT * FROM mr_ticks MATCH_RECOGNIZE (
         PARTITION BY user_id ORDER BY seq
-        PATTERN (A) DEFINE A AS LAST(A.price) > 0)""", "navigation")
+        PATTERN (A) DEFINE A AS LAST(A.price, 2) > 0)""", "occurrence argument")
     // round 9: DESC ordering and SKIP TO NEXT ROW are dialect, not
     // errors — PREV navigates the DESC stream, and skip-to-next emits
     // one match per qualifying start (overlaps)
