@@ -179,6 +179,79 @@ object EventStream {
       .drop("__graft_dct_ws", "__graft_dct_grams")
   }
 
+  /** Streaming decontamination sized by the SUITE, not the caller
+    * (round 10, r9 verdict #7): counts the eval grams once and routes —
+    * at or under `maxInlineGrams` the stateless exact-kernel tier
+    * ([[decontaminateDocs]]) lands each micro-batch through the normal
+    * parquet sink; past it the stream DEGRADES to the batch bloom
+    * regime per micro-batch via foreachBatch instead of erroring: the
+    * bloom builds ONCE at construction (the same
+    * [[graft.operators.TextOps.bloomBytesFor]] sizing as the batch
+    * t24 plan), the distinct eval grams persist PRE-CLUSTERED on `g`
+    * so every batch's verify join reuses the cached distribution
+    * rather than re-shuffling the suite, and each batch's flagged rows
+    * append to `outDir` with the SAME output schema as the inline tier
+    * (all input columns + exact `n_overlap` + `contaminated` —
+    * no-overlap docs kept with 0/false, unlike the batch operator
+    * whose output is overlap-only).
+    *
+    * The costs are honest: the over-ceiling tier is eager at
+    * construction (distinct + count + bloom build — the batch regime's
+    * own contract) and pays one bloom-thinned shuffled join per
+    * micro-batch, so at 100M grams a LONG trigger interval is the
+    * right operating point. Exactly-once: the parquet writes ride
+    * foreachBatch idempotently per batch id via overwrite-by-batch
+    * being unnecessary — the file sink path is only used by the inline
+    * tier; this tier appends and relies on the checkpoint's batch
+    * replay landing identical rows (at-least-once into an
+    * append-dedupable landing zone; route into a GraftTable with
+    * [[writeGraftTable]]'s labeled commits when exactly-once is
+    * required). */
+  def decontaminateDocsToParquet(
+      docs: DataFrame, evalGrams: DataFrame,
+      outDir: String, checkpointDir: String,
+      maxInlineGrams: Int = MaxIngestEvalGrams,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.operators.TextOps
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val eg = evalGrams.select("g").where(col("g").isNotNull).distinct()
+    val n = eg.count()
+    if (n <= maxInlineGrams)
+      writeParquet(decontaminateDocs(docs, evalGrams), outDir, checkpointDir, trigger)
+    else {
+      // pre-cluster the suite on the join key and cache: per-batch
+      // verify joins reuse the cached distribution (no per-trigger
+      // re-shuffle of the 100M-gram side)
+      val egClustered = eg
+        .repartition(spark.sparkContext.defaultParallelism, col("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bf = TextOps.bloomBytesFor(egClustered, n)
+      docs.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val grams = batch
+            .selectExpr("doc_id", "split(lower(text), ' ') AS __graft_dct_ws")
+            .filter(size(col("__graft_dct_ws")) >= 5)
+            .selectExpr("doc_id",
+              s"explode(${graft.operators.TextOps.wordFiveGramArraySqlOver("__graft_dct_ws")}) AS g")
+          val survivors = grams.filter(
+            call_function("might_contain", lit(bf), col("g")))
+          val hits = survivors.join(egClustered.hint("shuffle_hash"), "g")
+            .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+          // INT n_overlap — the routing entry point's schema must not
+          // depend on which tier ran (the inline kernel emits int)
+          batch.join(hits, Seq("doc_id"), "left")
+            .withColumn("n_overlap",
+              coalesce(col("n_overlap"), lit(0L)).cast("int"))
+            .withColumn("contaminated", col("n_overlap") >= 5)
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+    }
+  }
+
   /** Stream-static enrichment join: the static dimension is re-planned
     * per micro-batch (broadcast when it fits), carries no streaming
     * state, and picks up dimension updates between batches — the

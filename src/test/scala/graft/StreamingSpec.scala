@@ -281,6 +281,65 @@ class StreamingSpec extends SparkSpec {
     assert(batchAll.get(2L).contains(got(2L)._1.toLong), s"$batchAll vs ${got(2L)}")
   }
 
+  test("streaming decontamination past the inline ceiling degrades to the bloom tier (r10)") {
+    import org.apache.spark.sql.types._
+    // same fixture as the inline test, but the routing entry point is
+    // forced over the (shrunk) ceiling — the stream must run the
+    // per-batch bloom plan and produce the SAME answers, including
+    // no-overlap docs kept with (0, false)
+    val evalText = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val evalGrams = Seq(evalText).toDF("text")
+      .selectExpr("split(lower(text), ' ') AS ws")
+      .selectExpr(s"explode(${graft.operators.TextOps.wordFiveGramArraySql}) AS g")
+    val docsSeq = Seq(
+      (1L, "srcA", evalText),
+      (2L, "srcA", "w1 w2 w3 w4 w5 zz yy xx ww vv"),
+      (3L, "srcB", "aa bb cc dd ee ff gg hh"),
+      (4L, "srcB", null.asInstanceOf[String]),
+      (5L, "srcB", "tiny doc"))
+    val landing = Files.createTempDirectory("graft_dctb_landing").toString
+    val ckpt = Files.createTempDirectory("graft_dctb_ckpt").toString
+    val out = Files.createTempDirectory("graft_dctb_out").toString
+    docsSeq.toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text", StringType))))
+      .parquet(landing)
+    // suite has 6 distinct grams; ceiling of 3 forces the bloom tier
+    val q = EventStream.decontaminateDocsToParquet(
+      stream, evalGrams, out, ckpt, maxInlineGrams = 3)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_overlap").toLong, r.getAs[Boolean]("contaminated")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), got)
+    assert(got(1L) == ((6L, true)) && got(2L) == ((1L, false)), got)
+    assert(got(3L) == ((0L, false)) && got(4L) == ((0L, false)) &&
+      got(5L) == ((0L, false)), got)
+    // parity with the batch BLOOM regime on the same docs
+    val trainGrams = docsSeq.toDF("doc_id", "source", "text")
+      .selectExpr("doc_id", "source", "split(lower(text), ' ') AS ws")
+      .filter(size($"ws") >= 5)
+      .selectExpr("doc_id", "source",
+        s"explode(${graft.operators.TextOps.wordFiveGramArraySql}) AS g")
+    val batch = graft.operators.TextOps.decontaminate(trainGrams, evalGrams,
+      regime = "bloom").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_overlap")).toMap
+    val streamNonZero = got.filter(_._2._1 > 0).map { case (id, (n, _)) => id -> n }
+    assert(batch == streamNonZero, s"batch $batch vs stream $streamNonZero")
+    // and the small-suite path still routes inline (same entry point)
+    val out2 = Files.createTempDirectory("graft_dctb_out2").toString
+    val ckpt2 = Files.createTempDirectory("graft_dctb_ckpt2").toString
+    val q2 = EventStream.decontaminateDocsToParquet(
+      stream, evalGrams, out2, ckpt2) // default ceiling: inline kernel
+    assert(q2.awaitTermination(240000), "inline stream did not drain")
+    val got2 = spark.read.parquet(out2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_overlap").toLong, r.getAs[Boolean]("contaminated")))).toMap
+    assert(got2 == got, s"inline $got2 vs bloom tier $got")
+  }
+
   test("streaming pattern detection: session-scoped MATCH_RECOGNIZE, batch parity") {
     import graft.streaming.PatternStream
     import graft.operators.PatternMatch
@@ -342,6 +401,43 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Long]("n_rows"), r.getAs[Double]("sum_value"))).toSet
     assert(batch == got.map(h => (h._1, h._2, h._3, h._4, h._5, h._7)),
       s"batch $batch vs stream $got")
+  }
+
+  test("streaming pattern detection: late arrivals interleave into the sorted open session") {
+    // r10 (r9 verdict #3): state keeps the open session SORTED and each
+    // batch merges its own sorted rows — a later micro-batch carrying an
+    // EARLIER timestamp (late within the watermark) must land between
+    // the rows already in state, or the classifier sequence breaks
+    import graft.streaming.PatternStream
+    val base = 1700000000000000000L
+    def ev(id: Long, secOff: Long, typ: String) =
+      (id, base + secOff * 1_000_000_000L, 1L, typ, 1.0, "{}")
+    val drops = Seq(
+      Seq(ev(1, 0, "view"), ev(2, 120, "purchase")), // batch 1: V..P
+      Seq(ev(3, 60, "click")),                       // batch 2: LATE C between them
+      Seq(ev(4, 4000, "view")))                      // batch 3: gap-closes the session
+    val landing = Files.createTempDirectory("graft_late_landing").toString
+    val ckpt = Files.createTempDirectory("graft_late_ckpt").toString
+    val out = Files.createTempDirectory("graft_late_out").toString
+    for (d <- drops)
+      d.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(landing)
+    val hits = PatternStream.matchPatternSessions(
+      EventStream.readEvents(spark, landing, maxFilesPerTrigger = 1),
+      "user_id", "ts",
+      Seq("V" -> (col("event_type") === "view"),
+        "C" -> (col("event_type") === "click"),
+        "P" -> (col("event_type") === "purchase")),
+      "V C P", col("value"), gapMinutes = 30)
+    val q = EventStream.writeParquet(hits.toDF(), out, ckpt)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+    val tsm = (off: Long) => base / 1000L + off * 1000000L
+    val got = spark.read.parquet(out)
+      .filter(col("start_micros") < tsm(1000))
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[Long]("match_num"),
+        r.getAs[Long]("start_micros"), r.getAs[Long]("end_micros"),
+        r.getAs[String]("classifiers"))).toSet
+    assert(got == Set((1L, 1L, tsm(0), tsm(120), "V,C,P")), got)
   }
 
   test("streaming pattern detection: a gapless hot key fails loudly, never grows unbounded state") {
