@@ -145,14 +145,34 @@ object TextOps {
     * Block values ride as ints sliced from the packed 64-bit signature
     * (shiftrightunsigned off `(hi << 32) | lo`) — integer-only
     * transport, no signature strings cross the shuffle. */
+  /** Shuffle-partition count for a corpus-sized banded self-join, from
+    * the banded-row estimate (population x families) — the SCALE.md r9
+    * (c) operating rule ENCODED IN THE OPERATOR (round 10, r9 verdict
+    * #4): the SHUFFLE_HASH build side inflates ~10x when built into an
+    * UnsafeHashedRelation, so the OOM knob is per-partition build size
+    * and partition count alone cures it (measured: 150M banded rows at
+    * 32 partitions OOMs an 8 GB heap, at 512 completes in 58 s,
+    * byte-identical output). ~293k rows/partition was the validated
+    * point; book 250k with the session default as the floor and 4096
+    * as the ceiling. Callers apply it through an EXPLICIT repartition
+    * on the join keys: a user-specified partition count is exempt from
+    * AQE post-shuffle coalescing, which would otherwise merge the
+    * byte-small partitions right back (it sizes by shuffle BYTES and
+    * cannot see build-side inflation). */
+  private[operators] def bandJoinPartitions(s: SparkSession, bandedRows: Long): Int = {
+    val session = s.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(session, math.min(4096, math.ceil(bandedRows / 250000.0).toInt))
+  }
+
   private[graft] def simhashPairs(s: SparkSession, d: String,
       forceBlocks: Option[Int] = None): DataFrame = {
     // geometry picks by the SIGNATURE population — wordless docs are
     // absent from the signature set (filter mirrors simhashSigs), so
     // counting them too could select one tier higher than the actual
     // band-join population warrants near a boundary (ADVICE r7 #1)
-    val nb = forceBlocks.getOrElse(simhashBlocksFor(
-      docs(s, d).where("text IS NOT NULL AND trim(text) != ''").count()))
+    val population = docs(s, d)
+      .where("text IS NOT NULL AND trim(text) != ''").count()
+    val nb = forceBlocks.getOrElse(simhashBlocksFor(population))
     val widths = simhashWidths(nb)
     val offs = widths.scanLeft(0)(_ + _)
     // families = all ways to EXCLUDE 3 blocks; incl(j) = matched blocks
@@ -199,8 +219,14 @@ object TextOps {
       val diff = incl(j).map(i => s"bka$i != bkb$i").mkString(" OR ")
       s"(band <= $j OR ($diff))"
     }.mkString(" AND ")
-    // corpus-sized both sides: shuffle on the band key, never broadcast
-    l.hint("shuffle_hash").join(r, Seq("band", "bval"))
+    // corpus-sized both sides: shuffle on the band key, never broadcast.
+    // Partition count sized by the operator from the banded-row
+    // estimate (population x families) — the SCALE.md (c) rule; the
+    // explicit same-key repartition co-partitions both sides (no extra
+    // exchange) and is exempt from AQE coalescing
+    val parts = bandJoinPartitions(s, population * incl.size)
+    l.repartition(parts, col("band"), col("bval")).hint("shuffle_hash")
+      .join(r.repartition(parts, col("band"), col("bval")), Seq("band", "bval"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(expr(firstMatch))
       .select(col("doc_a"), col("doc_b"),
@@ -318,6 +344,29 @@ object TextOps {
     * where its fpr degrades — warned loudly in the build. */
   val DecontamBroadcastMaxGrams: Long = 4L * 1000 * 1000
 
+  /** Below this eval-gram count the auto regime does NOT probe the
+    * corpus: the broadcast relation is a few tens of MB at most, bloom
+    * cannot meaningfully beat shipping it, and the probe job would
+    * cost more than it could save. Between this and
+    * [[DecontamBroadcastMaxGrams]] the regime hinges on the corpus HIT
+    * rate (SCALE.md r9 (a) finding 2) — the auto pick samples it. */
+  val DecontamAutoProbeMinGrams: Long = 1L * 1000 * 1000
+
+  /** Corpus grams sampled by the auto regime's hit-rate probe — the
+    * FIRST rows of the gram stream (one narrow LocalLimit job, reads a
+    * few input partitions, never a full pass). A prefix is a biased
+    * sample of DOCS but the decision only needs gram-level hit-rate
+    * ORDER OF MAGNITUDE: the threshold separates ~0% (a real held-out
+    * suite) from tens-of-percent (contaminated/synthetic corpora). */
+  val DecontamProbeSampleGrams: Int = 100 * 1000
+
+  /** Sampled hit rate at or above which the middle band keeps the
+    * broadcast plan: bloom's prescreen pays for its probe + survivor
+    * shuffle only when it kills >=90% of the stream (at ~100% hit it
+    * measured 3.5x SLOWER than broadcast at 3.15M grams — SCALE.md r9
+    * (a)). */
+  val DecontamProbeHighHitRate: Double = 0.10
+
   /** Benchmark decontamination, ONE operator with the regime choice the
     * two entries used to leave to the caller (r8 verdict "Next round"
     * #2): count a training doc's distinct grams overlapping an eval
@@ -337,8 +386,17 @@ object TextOps {
     *    map-side, and an exact shuffled-hash join over survivors kills
     *    false positives — bit-identical answers by construction.
     *  - `"auto"` — counts the eval grams (the same ONE metadata-sized
-    *    action the bloom build needs anyway) and picks: at or below
-    *    `broadcastMaxGrams` broadcast, above it bloom.
+    *    action the bloom build needs anyway) and picks: above
+    *    `broadcastMaxGrams` bloom, at or below `probeMinGrams`
+    *    broadcast, and in the MIDDLE BAND (round 10, r9 verdict #2) it
+    *    measures the axis the count cannot see — corpus hit rate:
+    *    build the bloom (the bloom regime needs it anyway), probe the
+    *    first [[DecontamProbeSampleGrams]] corpus grams against it
+    *    (one narrow LocalLimit job, cost measured in SCALE.md r10),
+    *    and keep broadcast only when the sampled hit rate reaches
+    *    `probeHighHitRate` (a saturated corpus, where the prescreen
+    *    filters nothing and measured 3.5x slower) — a realistic ~0%
+    *    suite takes the bloom plan well below the 4M size crossover.
     * Eager regimes localCheckpoint the deduped eval grams first, so
     * the count / bloom build / verify join read ONE materialization
     * instead of recomputing the gram lineage three times (ADVICE r8).
@@ -374,7 +432,9 @@ object TextOps {
 
   def decontaminate(trainGrams: DataFrame, evalGrams: DataFrame,
                     regime: String = "auto",
-                    broadcastMaxGrams: Long = DecontamBroadcastMaxGrams): DataFrame = {
+                    broadcastMaxGrams: Long = DecontamBroadcastMaxGrams,
+                    probeMinGrams: Long = DecontamAutoProbeMinGrams,
+                    probeHighHitRate: Double = DecontamProbeHighHitRate): DataFrame = {
     val s = trainGrams.sparkSession
     graft.functions.GraftFunctions.register(s)
     def overlap(joined: DataFrame): DataFrame = joined
@@ -383,8 +443,7 @@ object TextOps {
       .withColumn("contaminated", col("n_overlap") >= 5)
     def broadcastPlan(eg: DataFrame): DataFrame =
       overlap(trainGrams.join(broadcast(eg), "g"))
-    def bloomPlan(eg: DataFrame, est0: Long): DataFrame = {
-      val bf = bloomBytesFor(eg, est0)
+    def bloomPlan(eg: DataFrame, bf: Array[Byte]): DataFrame = {
       // bf is null only when the eval side is empty — nothing can
       // overlap, and the exact join says so on its own
       val survivors =
@@ -396,11 +455,30 @@ object TextOps {
       case "broadcast" => broadcastPlan(evalGrams.select("g").distinct())
       case "bloom" =>
         val eg = evalGrams.select("g").distinct().localCheckpoint()
-        bloomPlan(eg, eg.count())
+        bloomPlan(eg, bloomBytesFor(eg, eg.count()))
       case "auto" =>
         val eg = evalGrams.select("g").distinct().localCheckpoint()
         val n = eg.count()
-        if (n <= broadcastMaxGrams) broadcastPlan(eg) else bloomPlan(eg, n)
+        if (n > broadcastMaxGrams) bloomPlan(eg, bloomBytesFor(eg, n))
+        else if (n <= probeMinGrams) broadcastPlan(eg)
+        else {
+          // middle band: the regime hinges on corpus hit rate (SCALE.md
+          // r9 (a) finding 2). The bloom regime needs the bitset anyway,
+          // so build it, probe a bounded corpus-gram prefix, and decide.
+          val bf = bloomBytesFor(eg, n)
+          val sample = trainGrams.select("g").limit(DecontamProbeSampleGrams)
+            .agg(
+              sum(when(call_function("might_contain", lit(bf), col("g")), 1L)
+                .otherwise(0L)).as("hits"),
+              count(lit(1)).as("n"))
+            .head()
+          val sampled = sample.getLong(1)
+          val hitRate =
+            if (sampled == 0L) 1.0 // empty corpus: either plan is free
+            else sample.getLong(0).toDouble / sampled
+          if (hitRate >= probeHighHitRate) broadcastPlan(eg)
+          else bloomPlan(eg, bf)
+        }
       case other => sys.error(
         s"decontaminate regime must be 'auto', 'broadcast' or 'bloom', got '$other'")
     }

@@ -209,6 +209,12 @@ object VectorOps {
     val bands = sigv
       .select(col("vec_id"), col("sigv"), posexplode(col("sigv")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    // candidate-join partitions sized by the operator from the banded
+    // row estimate (N x bands) — the SCALE.md (c) rule encoded at the
+    // operator (r9 verdict #4; see TextOps.bandJoinPartitions). The
+    // count is a parquet metadata read, not a scan.
+    val bandParts = TextOps.bandJoinPartitions(s,
+      Tables(s, d, "embeddings").count() * nBands)
     val firstMatch =
       if (nBands <= 1) "true"
       else (0 until nBands - 1).map(j =>
@@ -216,8 +222,11 @@ object VectorOps {
         .mkString(" AND ")
     val cand = bands.select(col("vec_id").as("id_a"), col("sigv").as("sga"),
         col("band"), col("bval"))
+      .repartition(bandParts, col("band"), col("bval"))
       .join(bands.select(col("vec_id").as("id_b"), col("sigv").as("sgb"),
-        col("band"), col("bval")).hint("SHUFFLE_HASH"), Seq("band", "bval"))
+          col("band"), col("bval"))
+        .repartition(bandParts, col("band"), col("bval"))
+        .hint("SHUFFLE_HASH"), Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
       .filter(expr(firstMatch))
       .select("id_a", "id_b")

@@ -446,6 +446,29 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("regime"))
   }
 
+  test("auto decontaminate middle band is hit-rate aware: sampled bloom probe picks the plan (r10)") {
+    import org.apache.spark.sql.functions.col
+    val d = sf("sf0.001")
+    val train = Tables(spark, d, "documents")
+      .selectExpr("doc_id", "source", "explode(split(lower(text), ' ')) AS g")
+    // force every suite into the middle band (probeMinGrams = 0,
+    // broadcastMaxGrams = inf): the decision is the PROBE's alone
+    def planOf(eval: org.apache.spark.sql.DataFrame): String =
+      graft.operators.TextOps.decontaminate(train, eval,
+        regime = "auto", broadcastMaxGrams = Long.MaxValue, probeMinGrams = 0L)
+        .queryExecution.executedPlan.toString
+    // saturated corpus (eval = the corpus's own words, hit rate ~100%):
+    // the prescreen would filter nothing — broadcast despite the band
+    val hot = planOf(train.select("g"))
+    assert(hot.contains("BroadcastExchange") && !hot.contains("might_contain"),
+      s"high-hit middle band should broadcast: ${hot.take(800)}")
+    // realistic held-out suite (no overlap, hit rate ~ bloom fpr ~1%):
+    // the prescreen kills the stream map-side — bloom wins the band
+    val cold = planOf(train.selectExpr("concat(g, '_zzz') AS g"))
+    assert(cold.contains("might_contain") && !cold.contains("BroadcastExchange"),
+      s"low-hit middle band should bloom-prefilter: ${cold.take(800)}")
+  }
+
   test("GraftExtensions injects every function at session build (spark.sql.extensions)") {
     // Build a session WITHOUT imperative register(): extensions only —
     // the path spark-submit / Thrift server / Connect deployments use.

@@ -222,6 +222,28 @@ class ServeSpec extends SparkSpec {
         // graft dialect functions are visible through the wire
         val rs2 = st.executeQuery("SELECT strpos('hello', 'l') AS p")
         assert(rs2.next() && rs2.getInt(1) == 3)
+        // the Trino MATCH_RECOGNIZE clause parses THROUGH THE WIRE
+        // (r9 verdict #5): the injected parser is session-extension
+        // state, so the SQL Lab user typing the clause over JDBC gets
+        // the same rewrite as in-process spark.sql — including the
+        // round-10 FIRST() classifier-history navigation
+        val rs3 = st.executeQuery("""
+          SELECT * FROM (
+            SELECT * FROM VALUES (1, 1, 10.0), (1, 2, 8.0), (1, 3, 6.0),
+              (1, 4, 9.0), (2, 1, 5.0), (2, 2, 4.0) AS t(k, seq, v)
+          ) MATCH_RECOGNIZE (
+            PARTITION BY k ORDER BY seq
+            MEASURES FIRST(D.v) AS dip_start, COUNT(D.*) AS n_down,
+              LAST(U.v) AS rebound
+            ONE ROW PER MATCH
+            PATTERN (D+ U)
+            DEFINE D AS D.v < PREV(D.v), U AS U.v > FIRST(D.v)
+          )""")
+        assert(rs3.next(), "MATCH_RECOGNIZE over JDBC returned no rows")
+        assert(rs3.getInt("k") == 1 && rs3.getDouble("dip_start") == 8.0 &&
+          rs3.getLong("n_down") == 2L && rs3.getDouble("rebound") == 9.0,
+          "wrong MATCH_RECOGNIZE row over JDBC")
+        assert(!rs3.next(), "k=2 never recovers above its fall start; one row only")
       } finally conn.close()
     } finally server.close()
   }
