@@ -378,9 +378,18 @@ object GraftFunctions {
         case "all" => graft.operators.PatternMatch.matchPatternAllRows(
           df, partCols, orderCols, symbols, str(exprs(4), "pattern"), measures,
           prePartitioned = pre, skip = skipSpec, navRefs = navRefs)
+        // round 10: the SQL:2016 ALL ROWS sub-modes
+        case "all_show_empty" => graft.operators.PatternMatch.matchPatternAllRows(
+          df, partCols, orderCols, symbols, str(exprs(4), "pattern"), measures,
+          prePartitioned = pre, skip = skipSpec, navRefs = navRefs,
+          emptyMatches = "show")
+        case "all_unmatched" => graft.operators.PatternMatch.matchPatternAllRows(
+          df, partCols, orderCols, symbols, str(exprs(4), "pattern"), measures,
+          prePartitioned = pre, skip = skipSpec, navRefs = navRefs,
+          unmatchedRows = true)
         case other => throw new IllegalArgumentException(
-          s"graft_match_recognize mode must be 'one', 'all', 'one_next' or " +
-            s"'all_next', got '$other'")
+          s"graft_match_recognize mode must be 'one', 'all', 'all_show_empty', " +
+            s"'all_unmatched', 'one_next' or 'all_next', got '$other'")
       }
       out.queryExecution.logical
     })

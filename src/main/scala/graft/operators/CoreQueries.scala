@@ -939,6 +939,60 @@ object CoreQueries {
         SELECT user_id,
           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY prn) AS match_num,
           start_ts, dip_start, n_down, bottom, rebound
-        FROM out0"""))
+        FROM out0""")),
+
+    // ------------------------------------------------------------------
+    // ALL ROWS PER MATCH WITH UNMATCHED ROWS (round 10): the totality
+    // sub-mode — every input row comes back out; rows inside a match
+    // carry match_num / classifier / FINAL measures, rows outside carry
+    // NULLs for all of them. Same V-pattern as q33; the oracle is q33's
+    // matched-row expansion UNION ALL the span-complement with NULLs.
+    QueryEntry("q35_pattern_unmatched_rows",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("mr_events")
+        s.sql("""
+          SELECT user_id, event_id, match_num, classifier, n_down, peak
+          FROM (
+            SELECT user_id, ts, event_id, value
+            FROM mr_events WHERE event_type = 'purchase'
+          ) MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FINAL COUNT(D.*) AS n_down, FINAL LAST(U.value) AS peak
+            ALL ROWS PER MATCH WITH UNMATCHED ROWS
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (D+ U+)
+            DEFINE D AS D.value < PREV(D.value),
+                   U AS U.value > PREV(U.value)
+          )""")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        d AS (SELECT user_id, ts, event_id, value,
+            value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+          FROM ev),
+        c AS (SELECT *, CASE WHEN delta < 0 THEN 'D' WHEN delta > 0 THEN 'U' ELSE 'X' END AS cls,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM d),
+        r AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, cls ORDER BY rn) AS grp FROM c),
+        runs AS (SELECT user_id, cls, grp, MIN(rn) AS srn, MAX(rn) AS ern,
+            COUNT(*) AS n, ARG_MAX(value, rn) AS last_v
+          FROM r GROUP BY user_id, cls, grp),
+        paired AS (SELECT a.user_id, a.srn, b.ern,
+            CAST(a.n AS BIGINT) AS n_down, b.last_v AS peak,
+            ROW_NUMBER() OVER (PARTITION BY a.user_id ORDER BY a.srn) AS match_num
+          FROM runs a JOIN runs b
+            ON b.user_id = a.user_id AND b.srn = a.ern + 1
+           AND a.cls = 'D' AND b.cls = 'U'),
+        matched AS (SELECT p.user_id, x.event_id, p.match_num,
+            x.cls AS classifier, p.n_down, p.peak
+          FROM paired p JOIN r x
+            ON x.user_id = p.user_id AND x.rn BETWEEN p.srn AND p.ern),
+        unmatched AS (SELECT c.user_id, c.event_id,
+            CAST(NULL AS BIGINT) AS match_num, CAST(NULL AS VARCHAR) AS classifier,
+            CAST(NULL AS BIGINT) AS n_down, CAST(NULL AS DOUBLE) AS peak
+          FROM c WHERE NOT EXISTS (SELECT 1 FROM paired p
+            WHERE p.user_id = c.user_id AND c.rn BETWEEN p.srn AND p.ern))
+        SELECT * FROM matched UNION ALL SELECT * FROM unmatched"""))
   )
 }

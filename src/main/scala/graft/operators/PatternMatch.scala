@@ -65,7 +65,8 @@ object PatternMatch {
     }
     def parseCat(): Pat = {
       val ps = scala.collection.mutable.ListBuffer[Pat]()
-      while (peek.nonEmpty && peek != "|" && peek != ")") ps += parseRep()
+      while (peek.nonEmpty && peek != "|" && peek != ")" && peek != ",")
+        ps += parseRep()
       if (ps.isEmpty) sys.error(s"empty pattern branch in: $pattern")
       if (ps.length == 1) ps.head else Cat(ps.toList)
     }
@@ -95,6 +96,21 @@ object PatternMatch {
         val inner = parseAlt()
         require(take() == ")", s"unclosed group in: $pattern")
         inner
+      } else if (t.equalsIgnoreCase("permute") && peek == "(") {
+        // SQL:2016 PERMUTE(e1, ..., en) (round 10): matches the
+        // elements in ANY order, preferring permutations in
+        // lexicographic order of the listed positions — exactly an
+        // alternation over the n! orderings, which is how the standard
+        // defines it and what the backtracker's branch order gives.
+        take() // "("
+        val es = scala.collection.mutable.ListBuffer[Pat](parseAlt())
+        while (peek == ",") { take(); es += parseAlt() }
+        require(take() == ")", s"unclosed PERMUTE in: $pattern")
+        require(es.length <= 6,
+          s"PERMUTE of ${es.length} elements expands to ${es.length}! " +
+            "alternation branches — cap is 6 (720); restructure the pattern")
+        Alt(es.toList.permutations.map(ps =>
+          if (ps.length == 1) ps.head else Cat(ps)).toList)
       } else symIdx.get(t) match {
         case Some(i) => Sym(i)
         case None    => sys.error(s"unknown symbol '$t' in pattern: $pattern")
@@ -111,7 +127,7 @@ object PatternMatch {
     while (i < p.length) {
       val c = p(i)
       if (c.isWhitespace) i += 1
-      else if ("()|*+?".indexOf(c) >= 0) { out += c.toString; i += 1 }
+      else if ("()|*+?,".indexOf(c) >= 0) { out += c.toString; i += 1 }
       else if (c == '{') {
         val j = p.indexOf('}', i)
         require(j > i, s"unclosed quantifier in: $p")
@@ -143,29 +159,36 @@ object PatternMatch {
   private[graft] case object SkipPastLast extends Skip
   /** Resume one row after the match's FIRST row — overlapping matches. */
   private[graft] case object SkipToNextRow extends Skip
-  /** Resume AT the first/last row the match classified as `symIdx`
-    * (that row may start the next match). Runtime error — per the
-    * standard — when the match maps no row to the symbol, or when the
-    * resume point IS the match's first row (infinite loop). */
-  private[graft] final case class SkipToSym(symIdx: Int, first: Boolean) extends Skip
+  /** Resume AT the first/last row the match classified as any symbol
+    * in `symIdxs` (that row may start the next match). A singleton set
+    * is SKIP TO FIRST/LAST symbol; a larger set spells a SQL:2016
+    * SUBSET variable (round 10) — first/last over the union of the
+    * members' mapped rows. Runtime error — per the standard — when the
+    * match maps no row to any member, or when the resume point IS the
+    * match's first row (infinite loop). */
+  private[graft] final case class SkipToSym(symIdxs: Set[Int], first: Boolean) extends Skip
 
   /** Parse a skip spec: "past last row" (or "", the default), "to next
     * row", "to first SYM", "to last SYM" — case-insensitive, optional
-    * leading "skip", whitespace collapsed. */
+    * leading "skip", whitespace collapsed. SYM may be an "A|B" union
+    * spelling (a SUBSET variable's member expansion, round 10). */
   private[graft] def parseSkip(spec: String, symbols: Seq[String]): Skip = {
     val t = spec.trim.replaceAll("""\s+""", " ").toLowerCase match {
       case s if s.startsWith("skip ") => s.substring(5)
       case s => s
     }
-    val symRx = """to (first|last) (\w+)""".r
+    val symRx = """to (first|last) (\w+(?:\|\w+)*)""".r
     t match {
       case "" | "past last row" => SkipPastLast
       case "to next row"        => SkipToNextRow
-      case symRx(fl, sym) =>
-        val i = symbols.indexWhere(_.equalsIgnoreCase(sym))
-        require(i >= 0, s"AFTER MATCH SKIP TO ${fl.toUpperCase} ${sym.toUpperCase}: " +
-          s"unknown pattern symbol '$sym'")
-        SkipToSym(i, fl == "first")
+      case symRx(fl, syms) =>
+        val is = syms.split("""\|""").toSet[String].map { sym =>
+          val i = symbols.indexWhere(_.equalsIgnoreCase(sym))
+          require(i >= 0, s"AFTER MATCH SKIP TO ${fl.toUpperCase} ${sym.toUpperCase}: " +
+            s"unknown pattern symbol '$sym'")
+          i
+        }
+        SkipToSym(is, fl == "first")
       case other => sys.error(s"bad AFTER MATCH skip spec '$spec' — want: " +
         "PAST LAST ROW | TO NEXT ROW | TO FIRST <sym> | TO LAST <sym>")
     }
@@ -191,10 +214,17 @@ object PatternMatch {
     * start, greedy quantifiers; `skip` picks the resume point after
     * each non-empty match (see [[Skip]]); `nav` (round 10) is the
     * classifier-history evaluator for FIRST/LAST-navigating symbols —
-    * null when no symbol navigates. */
+    * null when no symbol navigates. `keepEmpty` (round 10, SQL:2016
+    * SHOW EMPTY MATCHES): an EMPTY match — the pattern accepts at a
+    * row consuming nothing — is emitted as Match(start, start, []) and
+    * consumes a match number; matching always resumes at the next row
+    * after one (no rows to skip over, any other resume would loop).
+    * With keepEmpty=false (the OMIT default) empty matches are
+    * dropped, as before. */
   private[graft] def findMatches(truth: Array[Array[Boolean]], pat: Pat,
                                  skip: Skip = SkipPastLast,
-                                 nav: NavCtx = null): Seq[Match] = {
+                                 nav: NavCtx = null,
+                                 keepEmpty: Boolean = false): Seq[Match] = {
     val n = truth.length
     val out = scala.collection.mutable.ArrayBuffer[Match]()
     val cls = Array.fill(n)(-1)
@@ -319,16 +349,19 @@ object PatternMatch {
         start = skip match {
           case SkipPastLast  => matchedEnd
           case SkipToNextRow => start + 1
-          case SkipToSym(si, first) =>
-            val rel = if (first) m.cls.indexOf(si) else m.cls.lastIndexOf(si)
+          case SkipToSym(sis, first) =>
+            val rel = if (first) m.cls.indexWhere(sis.contains)
+                      else m.cls.lastIndexWhere(sis.contains)
             if (rel < 0) sys.error(
-              s"AFTER MATCH SKIP TO ${if (first) "FIRST" else "LAST"} symbol #$si: " +
-                "the match maps no row to that symbol (SQL:2016 runtime error — " +
-                "guard the pattern so the symbol always participates)")
+              s"AFTER MATCH SKIP TO ${if (first) "FIRST" else "LAST"} symbol(s) " +
+                s"${sis.toSeq.sorted.mkString("|")}: the match maps no row there " +
+                "(SQL:2016 runtime error — guard the pattern so the symbol " +
+                "always participates)")
             if (rel == 0) sys.error(
-              s"AFTER MATCH SKIP TO ${if (first) "FIRST" else "LAST"} symbol #$si " +
-                "resumes at the match's own first row — infinite loop " +
-                "(SQL:2016 runtime error; use SKIP TO NEXT ROW instead)")
+              s"AFTER MATCH SKIP TO ${if (first) "FIRST" else "LAST"} symbol(s) " +
+                s"${sis.toSeq.sorted.mkString("|")} resumes at the match's own " +
+                "first row — infinite loop (SQL:2016 runtime error; use SKIP TO " +
+                "NEXT ROW instead)")
             m.start + rel
         }
       } else {
@@ -337,7 +370,15 @@ object PatternMatch {
         // failed subtrees restored their writes on backtrack (an O(n)
         // defensive wipe here would make all-optional patterns like
         // "D* U*" quadratic in group size)
-        if (headSym >= 0 && truth(start)(headSym)) {
+        if (keepEmpty && matchedEnd == start) {
+          // SHOW EMPTY MATCHES: the accept-at-start IS a match — it
+          // takes a match number, its output row is the starting row,
+          // and matching resumes at the next row (nothing to skip).
+          // The head-run failure skip below must NOT fire here: every
+          // row of the run starts its OWN empty match.
+          out += Match(start, start, Array.emptyIntArray)
+          start += 1
+        } else if (headSym >= 0 && truth(start)(headSym)) {
           var e = start + 1
           while (e < n && truth(e)(headSym)) e += 1
           start = e // every start inside the failed head run fails too
@@ -476,18 +517,30 @@ object PatternMatch {
     case other => sys.error(s"unknown measure agg: $other")
   }
 
-  /** Order-by entries are `"col"`, `"col ASC"` or `"col DESC"`
-    * (case-insensitive): the matcher reads each key group in exactly
-    * this order, so DESC reverses the stream the NFA walks — the
-    * SQL:2016 `ORDER BY ... DESC` inside MATCH_RECOGNIZE. */
-  private[graft] def orderSpec(orderBy: Seq[String]): Seq[(String, Boolean)] =
+  /** Order-by entries are `"col"`, `"col [ASC|DESC] [NULLS
+    * FIRST|LAST]"` (case-insensitive): the matcher reads each key
+    * group in exactly this order, so DESC reverses the stream the NFA
+    * walks and an explicit NULLS placement (round 10) moves null rows
+    * to the chosen end of it — SQL:2016 `ORDER BY` inside
+    * MATCH_RECOGNIZE. Defaults follow the engine's sort (Spark): ASC =
+    * NULLS FIRST, DESC = NULLS LAST. Returns (col, ascending,
+    * nullsFirst). */
+  private[graft] def orderSpec(orderBy: Seq[String]): Seq[(String, Boolean, Boolean)] =
     orderBy.map { o =>
-      o.trim.split("""\s+""") match {
-        case Array(c)                                  => (c, true)
-        case Array(c, d) if d.equalsIgnoreCase("asc")  => (c, true)
-        case Array(c, d) if d.equalsIgnoreCase("desc") => (c, false)
-        case _ => sys.error(s"bad order spec '$o' (want: col [ASC|DESC])")
+      val t = o.trim.replaceAll("""\s+""", " ")
+      val nm = ("""(?i)^(.*?) nulls (first|last)$""").r
+      val (base, nulls) = t match {
+        case nm(b, w) => (b.trim, Some(w.equalsIgnoreCase("first")))
+        case _        => (t, None)
       }
+      val (c, asc) = base.split(" ") match {
+        case Array(c0)                                  => (c0, true)
+        case Array(c0, d) if d.equalsIgnoreCase("asc")  => (c0, true)
+        case Array(c0, d) if d.equalsIgnoreCase("desc") => (c0, false)
+        case _ => sys.error(
+          s"bad order spec '$o' (want: col [ASC|DESC] [NULLS FIRST|LAST])")
+      }
+      (c, asc, nulls.getOrElse(asc)) // engine default: ASC first, DESC last
     }
 
   /** Run the pattern over `df`. Output: partitionBy columns, then
@@ -533,9 +586,21 @@ object PatternMatch {
     * then one column per measure (round 9): `running = true` measures
     * carry the aggregate over the match's rows UP TO each output row
     * (the SQL RUNNING default for this mode), `false` the whole-match
-    * FINAL value as a per-match constant. Unmatched rows are omitted
-    * (the ALL ROWS ... OMIT EMPTY default). Same skip semantics and
-    * scale shape as [[matchPattern]]. */
+    * FINAL value as a per-match constant. Same skip semantics and
+    * scale shape as [[matchPattern]].
+    *
+    * Round 10 — the two SQL:2016 sub-modes beyond the OMIT default:
+    *  - `emptyMatches = "show"` (SHOW EMPTY MATCHES): an empty match —
+    *    the pattern accepts at a row consuming nothing — emits ONE
+    *    output row carrying the starting row's order columns, a match
+    *    number of its own, a NULL classifier, and measures over the
+    *    empty row set (COUNT 0, everything else null); matching
+    *    resumes at the next row. `"omit"` (default) drops them.
+    *  - `unmatchedRows = true` (WITH UNMATCHED ROWS): rows in no match
+    *    (and not an empty-match start) ALSO emit, with NULL match_num,
+    *    classifier and measures — the mode that makes ALL ROWS a total
+    *    function of the input. Implies SHOW EMPTY MATCHES (the
+    *    standard's rule). match_num is nullable only in this mode. */
   def matchPatternAllRows(
       df: DataFrame,
       partitionBy: Seq[String],
@@ -545,9 +610,16 @@ object PatternMatch {
       measures: Seq[Measure] = Nil,
       prePartitioned: Boolean = false,
       skip: String = "past last row",
-      navRefs: Seq[NavRef] = Nil): DataFrame =
+      navRefs: Seq[NavRef] = Nil,
+      emptyMatches: String = "omit",
+      unmatchedRows: Boolean = false): DataFrame = {
+    require(emptyMatches == "omit" || emptyMatches == "show",
+      s"emptyMatches must be 'omit' or 'show', got '$emptyMatches'")
     run(df, partitionBy, orderBy, symbols, pattern, measures,
-      prePartitioned, allRows = true, skip, navRefs)
+      prePartitioned, allRows = true, skip, navRefs,
+      showEmpty = emptyMatches == "show" || unmatchedRows,
+      withUnmatched = unmatchedRows)
+  }
 
   /** Global check of the `prePartitioned` contract: every partition-key
     * group must live entirely inside one Spark partition, contiguously.
@@ -588,7 +660,9 @@ object PatternMatch {
       prePartitioned: Boolean,
       allRows: Boolean,
       skipSpec: String = "past last row",
-      navRefs: Seq[NavRef] = Nil): DataFrame = {
+      navRefs: Seq[NavRef] = Nil,
+      showEmpty: Boolean = false,
+      withUnmatched: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
@@ -678,8 +752,11 @@ object PatternMatch {
     val outSchema =
       if (allRows) StructType(
         (partitionBy ++ orderNames).map(c => inSchema(inSchema.fieldIndex(c))) ++
-          Seq(StructField("match_num", LongType, nullable = false),
-            StructField("classifier", StringType, nullable = false)) ++
+          // match_num is null only on WITH UNMATCHED rows; classifier
+          // is also null on SHOW EMPTY match rows
+          Seq(StructField("match_num", LongType, nullable = withUnmatched),
+            StructField("classifier", StringType,
+              nullable = showEmpty || withUnmatched)) ++
           measureStructs)
       else StructType(
         partitionBy.map(c => inSchema(inSchema.fieldIndex(c))) ++
@@ -754,7 +831,12 @@ object PatternMatch {
       else projected
         .repartition(partitionBy.map(col): _*)
         .sortWithinPartitions(partitionBy.map(col) ++
-          orderCols.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*)
+          orderCols.map {
+            case (c, true, true)   => col(c).asc_nulls_first
+            case (c, true, false)  => col(c).asc_nulls_last
+            case (c, false, true)  => col(c).desc_nulls_first
+            case (c, false, false) => col(c).desc_nulls_last
+          }: _*)
 
     sorted.mapPartitions { iter =>
       val buf = scala.collection.mutable.ArrayBuffer[Row]()
@@ -813,7 +895,8 @@ object PatternMatch {
         else {
           val rows = buf.toArray
           val truth = rows.map(r => symIdxs.map(i => !r.isNullAt(i) && r.getBoolean(i)))
-          val ms = findMatches(truth, pat, skip, navCtxFor(rows))
+          val ms = findMatches(truth, pat, skip, navCtxFor(rows),
+            keepEmpty = showEmpty)
           val key = curKey
           buf.clear()
 
@@ -844,23 +927,56 @@ object PatternMatch {
             accs.map(_.value)
           }
 
-          if (allRows) ms.iterator.zipWithIndex.flatMap { case (mt, mn) =>
-            // FINAL measures are per-match constants (one extra pass);
-            // RUNNING measures read their accumulator after each row
-            val fin = if (anyFinal) finalVals(mt) else null
-            val runAccs = if (anyRunning) newAccs() else null
-            (mt.start until mt.end).iterator.map { i =>
-              if (runAccs != null) feed(runAccs, mt, i)
-              val ci = mt.cls(i - mt.start)
-              val mvals = measureArr.indices.map { x =>
-                if (measureArr(x).running) runAccs(x).value else fin(x)
+          if (allRows) {
+            val matched = ms.iterator.zipWithIndex.flatMap { case (mt, mn) =>
+              if (mt.end == mt.start)
+                // SHOW EMPTY MATCHES: one row from the starting row —
+                // its own match number, NULL classifier, measures over
+                // the empty row set (COUNT 0, aggregates null)
+                Iterator.single(Row.fromSeq(key ++
+                  orderIdx.map(rows(mt.start).get) ++
+                  Seq((mn + 1).toLong, null) ++ newAccs().map(_.value)))
+              else {
+                // FINAL measures are per-match constants (one extra
+                // pass); RUNNING measures read their accumulator after
+                // each row
+                val fin = if (anyFinal) finalVals(mt) else null
+                val runAccs = if (anyRunning) newAccs() else null
+                (mt.start until mt.end).iterator.map { i =>
+                  if (runAccs != null) feed(runAccs, mt, i)
+                  val ci = mt.cls(i - mt.start)
+                  val mvals = measureArr.indices.map { x =>
+                    if (measureArr(x).running) runAccs(x).value else fin(x)
+                  }
+                  Row.fromSeq(key ++ orderIdx.map(rows(i).get) ++
+                    Seq((mn + 1).toLong, if (ci >= 0) symNames(ci) else null) ++ mvals)
+                }
               }
-              Row.fromSeq(key ++ orderIdx.map(rows(i).get) ++
-                Seq((mn + 1).toLong, if (ci >= 0) symNames(ci) else null) ++ mvals)
+            }
+            if (!withUnmatched) matched
+            else {
+              // WITH UNMATCHED ROWS: every row in no match (and not an
+              // empty-match start) also emits — NULL match_num,
+              // classifier and measures (the standard's totality mode)
+              val covered = new Array[Boolean](rows.length)
+              ms.foreach { mt =>
+                if (mt.end == mt.start) covered(mt.start) = true
+                else { var i = mt.start; while (i < mt.end) { covered(i) = true; i += 1 } }
+              }
+              val nullMeasures = measureArr.map(_ => null)
+              matched ++ (0 until rows.length).iterator
+                .filter(i => !covered(i))
+                .map(i => Row.fromSeq(key ++ orderIdx.map(rows(i).get) ++
+                  Seq(null, null) ++ nullMeasures))
             }
           }
-          else ms.iterator.zipWithIndex.map { case (mt, mn) =>
-            Row.fromSeq(key ++ Seq((mn + 1).toLong) ++ finalVals(mt))
+          else ms.iterator.zipWithIndex.flatMap { case (mt, mn) =>
+            // ONE ROW mode never sees empty matches (keepEmpty is an
+            // ALL ROWS sub-mode); the guard keeps that invariant loud
+            if (mt.end == mt.start) sys.error(
+              "empty match reached ONE ROW PER MATCH emission — keepEmpty " +
+                "is an ALL ROWS sub-mode")
+            Iterator.single(Row.fromSeq(key ++ Seq((mn + 1).toLong) ++ finalVals(mt)))
           }
         }
       }

@@ -20,15 +20,16 @@ import scala.util.matching.Regex
   *   <table | (subquery)> MATCH_RECOGNIZE (
   *     PARTITION BY c [, ...]            -- required: a global pattern
   *                                       -- serializes one task
-  *     ORDER BY c [ASC | DESC] [, ...]
+  *     ORDER BY c [ASC | DESC] [NULLS FIRST | LAST] [, ...]
   *     [MEASURES [RUNNING|FINAL] agg(S.f) AS name, COUNT(S.*) AS n,
   *       MATCH_NUMBER() AS mn, CLASSIFIER([S]) AS c, S.f AS v, ...]
   *       -- allowed in BOTH modes; ALL ROWS defaults to RUNNING
-  *     [ONE ROW PER MATCH | ALL ROWS PER MATCH]
+  *     [ONE ROW PER MATCH | ALL ROWS PER MATCH
+  *       [OMIT EMPTY MATCHES | SHOW EMPTY MATCHES | WITH UNMATCHED ROWS]]
   *     [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
-  *       | SKIP TO [FIRST|LAST] sym]
-  *     [SUBSET U = (A, B) [, ...]]       -- MEASURES union variables
-  *     PATTERN ( <symbols with | ( ) * + ? {n} {n,} {n,m}> )
+  *       | SKIP TO [FIRST|LAST] sym_or_subset]
+  *     [SUBSET U = (A, B) [, ...]]       -- MEASURES + SKIP TO unions
+  *     PATTERN ( <symbols with | ( ) * + ? {n} {n,} {n,m} PERMUTE(..)> )
   *     [DEFINE S AS cond [, ...]]        -- cond may use S.col,
   *                                       -- PREV/NEXT(S.col [, n]) and
   *                                       -- FIRST/LAST(S.col)
@@ -44,16 +45,21 @@ import scala.util.matching.Regex
   * reads the match-so-far's classification, so it CANNOT precompute
   * as a window column: each distinct reference becomes a placeholder
   * the matcher binds during the NFA walk
-  * ([[graft.operators.PatternMatch.NavRef]]). Unsupported Trino forms
-  * fail LOUDLY with the feature named: the occurrence argument of
-  * FIRST/LAST navigation, PREV/NEXT inside MEASURES, WITH UNMATCHED
-  * ROWS / SHOW EMPTY MATCHES, NULLS FIRST/LAST ordering, SKIP TO a
-  * SUBSET variable, SUBSET references in DEFINE (PERMUTE / anchors /
-  * exclusions are rejected downstream by the pattern parser). Round 9
-  * closed the rest of the dialect: DESC ordering, SKIP TO NEXT ROW
-  * (overlapping matches), SKIP TO FIRST/LAST symbol, SUBSET in
-  * MEASURES, MEASURES under ALL ROWS PER MATCH with RUNNING/FINAL
-  * semantics, and CLASSIFIER().
+  * ([[graft.operators.PatternMatch.NavRef]]). Round 10 also closed:
+  * NULLS FIRST/LAST ordering (threaded through the matcher sort AND
+  * the nav windows), SKIP TO a SUBSET variable (member-union resume
+  * point), PERMUTE(e1, ..., en) (lexicographic-preference
+  * alternation, capped at 6 elements), ALL ROWS PER MATCH SHOW EMPTY
+  * MATCHES and WITH UNMATCHED ROWS. Round 9 closed: DESC ordering,
+  * SKIP TO NEXT ROW (overlapping matches), SKIP TO FIRST/LAST symbol,
+  * SUBSET in MEASURES, MEASURES under ALL ROWS with RUNNING/FINAL
+  * semantics, CLASSIFIER(). Remaining unsupported Trino forms fail
+  * LOUDLY with the feature named: the occurrence argument of
+  * FIRST/LAST navigation, PREV/NEXT inside MEASURES, SUBSET
+  * references in DEFINE, and one default delta — bare ALL ROWS PER
+  * MATCH keeps OMIT EMPTY MATCHES semantics (Trino defaults to SHOW);
+  * anchors (^ $) and exclusions ({- -}) are rejected by the pattern
+  * parser.
   */
 object MatchRecognizeSql {
 
@@ -153,40 +159,61 @@ object MatchRecognizeSql {
             "(compute expressions in a subquery source)")
         c
       }
-    // (column, ascending) pairs — rendered back as "col desc" for the
-    // TVF and the nav windows, which must sort the SAME direction
-    def orderList(text: String): Seq[(String, Boolean)] =
+    // (column, ascending, explicit-nulls-first) triples — rendered back
+    // as "col DESC NULLS LAST" etc. for the TVF and the nav windows,
+    // which must sort the SAME way. NULLS FIRST/LAST supported since
+    // round 10; absent, the engine default applies (ASC = NULLS FIRST,
+    // DESC = NULLS LAST — Spark's sort order).
+    def orderList(text: String): Seq[(String, Boolean, Option[Boolean])] =
       splitTop(text).map { c0 =>
-        var c = c0.trim
-        require(!c.toUpperCase.matches("""(?s).*\bNULLS\b.*"""),
-          s"MATCH_RECOGNIZE ORDER BY does not support NULLS FIRST/LAST " +
-            s"(engine default: ASC = NULLS FIRST, DESC = NULLS LAST): '$c'")
+        var c = c0.trim.replaceAll("""\s+""", " ")
+        val nullsRx = """(?i)^(.*?) NULLS (FIRST|LAST)$""".r
+        val nulls: Option[Boolean] = c match {
+          case nullsRx(rest, w) => c = rest.trim; Some(w.equalsIgnoreCase("first"))
+          case _                => None
+        }
         val asc = !c.toUpperCase.matches("""(?s).*\bDESC$""")
         c = c.replaceAll("""(?i)\s+(ASC|DESC)$""", "")
         require(c.matches(Ident + """(\.""" + Ident + """)?"""),
           s"MATCH_RECOGNIZE ORDER BY entries must be plain columns, got '$c' " +
             "(compute expressions in a subquery source)")
-        (c, asc)
+        (c, asc, nulls)
       }
     val parts = colList(segOf("PARTITION", "PARTITION BY"), "PARTITION BY")
     val orderPairs = orderList(segOf("ORDER", "ORDER BY"))
-    // SQL rendering ("ts DESC") — feeds the nav windows and the TVF's
-    // order_cols (PatternMatch.orderSpec parses the same spelling)
-    val orders = orderPairs.map { case (c, asc) => if (asc) c else s"$c DESC" }
-
-    // ---- mode + skip
-    val mode = if (seg.contains("ALLROWS")) "all" else "one"
-    if (seg.contains("ALLROWS")) {
-      val rest = seg("ALLROWS").toUpperCase
-      require(!rest.contains("UNMATCHED") && !rest.contains("EMPTY"),
-        "ALL ROWS PER MATCH WITH UNMATCHED ROWS / SHOW EMPTY MATCHES is " +
-          "not supported (OMIT EMPTY MATCHES semantics only)")
+    // SQL rendering ("ts DESC NULLS LAST") — feeds the nav windows and
+    // the TVF's order_cols (PatternMatch.orderSpec parses the same
+    // spelling; Spark's window ORDER BY accepts it verbatim)
+    val orders = orderPairs.map { case (c, asc, nulls) =>
+      (if (asc) c else s"$c DESC") + (nulls match {
+        case Some(true)  => " NULLS FIRST"
+        case Some(false) => " NULLS LAST"
+        case None        => ""
+      })
     }
+
+    // ---- mode + skip. ALL ROWS sub-modes (round 10): SHOW EMPTY
+    // MATCHES and WITH UNMATCHED ROWS lower to their own TVF modes.
+    // NOTE one documented Trino delta: bare ALL ROWS PER MATCH keeps
+    // this engine's OMIT EMPTY MATCHES default (Trino defaults to SHOW
+    // EMPTY MATCHES) — spell SHOW EMPTY MATCHES to opt in; the two
+    // differ only on patterns that can match empty.
+    val mode =
+      if (!seg.contains("ALLROWS")) "one"
+      else seg("ALLROWS").toUpperCase.replaceAll("""\s+""", " ").trim match {
+        case "" | "OMIT EMPTY MATCHES" => "all"
+        case "SHOW EMPTY MATCHES"      => "all_show_empty"
+        case "WITH UNMATCHED ROWS"     => "all_unmatched"
+        case other => throw new IllegalArgumentException(
+          s"ALL ROWS PER MATCH modifier '$other' is not recognized — " +
+            "supported: OMIT EMPTY MATCHES (default), SHOW EMPTY MATCHES, " +
+            "WITH UNMATCHED ROWS")
+      }
     // AFTER MATCH: all four SQL:2016 forms (round 9). SKIP TO
     // FIRST/LAST symbol validates against the pattern symbols below
     // (after PATTERN parses) and passes through as the TVF skip spec.
     val skipToRx = ("""^SKIP TO (FIRST|LAST) (""" + Ident + """)$""").r
-    val skipSpec: String = seg.get("AFTER").map { a =>
+    val skipSpec0: String = seg.get("AFTER").map { a =>
       a.toUpperCase.replaceAll("""\s+""", " ").trim match {
         case "SKIP PAST LAST ROW" => "past last row"
         case "SKIP TO NEXT ROW"   => "to next row" // overlapping matches
@@ -203,7 +230,8 @@ object MatchRecognizeSql {
     require(patSeg.startsWith("(") && closeParen(maskedUpper(patSeg), 0) == patSeg.length - 1,
       s"PATTERN must be parenthesized: '$patSeg'")
     val pattern = patSeg.substring(1, patSeg.length - 1).trim.toUpperCase
-    val patSyms = Ident.r.findAllIn(pattern).toSeq.distinct
+    // PERMUTE is a pattern-language keyword (round 10), not a symbol
+    val patSyms = Ident.r.findAllIn(pattern).toSeq.distinct.filterNot(_ == "PERMUTE")
 
     // ---- SUBSET U = (A, B): union variables for MEASURES (round 9) —
     // each expands to the matcher's "A|B" union spelling; DEFINE /
@@ -227,15 +255,23 @@ object MatchRecognizeSql {
         }
       }.toMap).getOrElse(Map.empty)
 
-    // skip-to symbol resolves against PATTERN symbols only
-    """^to (?:first|last) (\w+)$""".r.findFirstMatchIn(skipSpec).foreach { m =>
-      val s0 = m.group(1)
-      require(!subsets.contains(s0),
-        s"AFTER MATCH SKIP TO a SUBSET variable ('$s0') is not supported — " +
-          "name a PATTERN symbol")
-      require(patSyms.contains(s0),
-        s"AFTER MATCH SKIP TO: unknown pattern symbol '$s0' (PATTERN is $pattern)")
-    }
+    // skip-to symbol: a PATTERN symbol passes through; a SUBSET
+    // variable (round 10) expands to the matcher's member-union
+    // spelling — SKIP TO FIRST U with U = (A, B) resumes at the first
+    // row the match classified as A OR B (SQL:2016 subset semantics)
+    val skipSpec: String =
+      ("""^to (first|last) (\w+)$""").r.findFirstMatchIn(skipSpec0) match {
+        case None => skipSpec0
+        case Some(m) =>
+          val s0 = m.group(2)
+          subsets.get(s0.toUpperCase) match {
+            case Some(members) => s"to ${m.group(1)} ${members.mkString("|")}"
+            case None =>
+              require(patSyms.contains(s0),
+                s"AFTER MATCH SKIP TO: unknown pattern symbol '$s0' (PATTERN is $pattern)")
+              skipSpec0
+          }
+      }
 
     // ---- DEFINE: translate S.col row refs and PREV/NEXT navigation
     val navs = LinkedHashMap[(String, String, Int), String]()
@@ -334,7 +370,7 @@ object MatchRecognizeSql {
           case semRx(k, rest) => (k.toUpperCase, rest.trim)
           case _              => ("", ex0)
         }
-        val pfx = if (mode == "all" && semantics != "FINAL") "run_" else ""
+        val pfx = if (mode.startsWith("all") && semantics != "FINAL") "run_" else ""
         val aggRx = ("""(?i)^(FIRST|LAST|MIN|MAX|SUM)\s*\(\s*(""" + Ident +
           """)\s*\.\s*(""" + Ident + """)\s*\)$""").r
         val cntStarRx = """(?i)^COUNT\s*\(\s*\*\s*\)$""".r
@@ -413,7 +449,7 @@ object MatchRecognizeSql {
     if (mnAliases.isEmpty) call
     else {
       val fixed =
-        if (mode == "all") parts ++ orderPairs.map(_._1) ++ Seq("match_num", "classifier")
+        if (mode.startsWith("all")) parts ++ orderPairs.map(_._1) ++ Seq("match_num", "classifier")
         else parts ++ Seq("match_num")
       val outs = fixed ++ measureNames.map(n =>
         if (mnAliases.contains(n)) s"match_num AS $n" else n)

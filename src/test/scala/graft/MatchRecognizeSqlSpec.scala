@@ -122,13 +122,13 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
         PATTERN (A+ B+) SUBSET U = (A, B)
         DEFINE A AS A.v > U.v, B AS B.v < 0)"""))
     assert(e.getMessage.contains("SUBSET"), e.getMessage)
-    // neither may SKIP TO
-    val e2 = intercept[Exception](rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+    // SKIP TO a subset is supported since round 10 (member union)
+    val ok = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
         PARTITION BY k ORDER BY ts
         AFTER MATCH SKIP TO LAST U
         PATTERN (A+ B+) SUBSET U = (A, B)
-        DEFINE A AS A.v > 0, B AS B.v < 0)"""))
-    assert(e2.getMessage.contains("SUBSET"), e2.getMessage)
+        DEFINE A AS A.v > 0, B AS B.v < 0)""")
+    assert(ok.contains("'to last A|B'"), ok)
   }
 
   test("ALL ROWS measures default to RUNNING; FINAL pins whole-match values") {
@@ -172,12 +172,44 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(dup.contains("'false', 'past last row'"), dup)
   }
 
+  test("round-10 dialect: NULLS ordering, SKIP TO subset, PERMUTE, ALL ROWS sub-modes") {
+    // NULLS FIRST/LAST renders into order_cols AND the nav window
+    val nulls = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts DESC NULLS FIRST, seq NULLS LAST
+        PATTERN (A+) DEFINE A AS A.v > PREV(A.v))""")
+    assert(nulls.contains("'ts DESC NULLS FIRST,seq NULLS LAST'"), nulls)
+    assert(nulls.contains("ORDER BY ts DESC NULLS FIRST, seq NULLS LAST"), nulls)
+    // SKIP TO a SUBSET variable expands to the member union
+    val sub = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        AFTER MATCH SKIP TO LAST U
+        PATTERN (A+ B+ C) SUBSET U = (A, B)
+        DEFINE A AS A.v > 0, B AS B.v < 0)""")
+    assert(sub.contains("'to last A|B'"), sub)
+    // PERMUTE is pattern language, not a symbol — no PERMUTE:true def
+    val perm = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        PATTERN (PERMUTE(A, B)) DEFINE A AS A.v > 0, B AS B.v < 0)""")
+    assert(perm.contains("'PERMUTE(A, B)'"), perm)
+    assert(!perm.contains("PERMUTE:true"), perm)
+    // ALL ROWS sub-modes lower to their own TVF modes
+    def mode(clause: String): String = rewrite(
+      s"""SELECT * FROM t MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          $clause
+          PATTERN (A+) DEFINE A AS A.v > 0)""")
+    assert(mode("ALL ROWS PER MATCH SHOW EMPTY MATCHES").contains("'all_show_empty'"))
+    assert(mode("ALL ROWS PER MATCH WITH UNMATCHED ROWS").contains("'all_unmatched'"))
+    assert(mode("ALL ROWS PER MATCH OMIT EMPTY MATCHES").contains("'all'"))
+    assert(mode("ALL ROWS PER MATCH").contains("'all'")) // documented Trino delta
+  }
+
   test("unsupported forms fail loudly with the feature named") {
     def err(body: String): String =
       intercept[Exception](rewrite(
         s"SELECT * FROM t MATCH_RECOGNIZE ($body)")).getMessage
-    assert(err("PARTITION BY k ORDER BY ts DESC NULLS FIRST PATTERN (A) DEFINE A AS A.v > 0")
-      .contains("NULLS"))
+    assert(err("PARTITION BY k ORDER BY ts ALL ROWS PER MATCH HALFWAY PATTERN (A) DEFINE A AS A.v > 0")
+      .contains("ALL ROWS PER MATCH"))
     assert(err("PARTITION BY k ORDER BY ts SUBSET U = (A, Z) PATTERN (A) DEFINE A AS A.v > 0")
       .contains("SUBSET member"))
     assert(err("PARTITION BY k ORDER BY ts AFTER MATCH SKIP HALFWAY PATTERN (A) DEFINE A AS A.v > 0")
@@ -188,8 +220,6 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
       .contains("SUBSET"))
     assert(err("PARTITION BY k ORDER BY ts MEASURES PREV(A.v) AS pv PATTERN (A) DEFINE A AS A.v > 0")
       .contains("MEASURES"))
-    assert(err("PARTITION BY k ORDER BY ts ALL ROWS PER MATCH WITH UNMATCHED ROWS PATTERN (A) DEFINE A AS A.v > 0")
-      .contains("UNMATCHED"))
     assert(err("PARTITION BY k ORDER BY ts MEASURES AVG(A.v) AS a PATTERN (A) DEFINE A AS A.v > 0")
       .contains("MEASURES expression"))
     assert(err("ORDER BY ts PATTERN (A) DEFINE A AS A.v > 0")

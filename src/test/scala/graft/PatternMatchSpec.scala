@@ -591,6 +591,119 @@ class PatternMatchSpec extends SparkSpec {
     })
   }
 
+  test("PERMUTE expands to a lexicographic-preference alternation (round 10)") {
+    // any order of the elements matches; preference follows the listed
+    // order (A B C tried before A C B ...): on an ambiguous row string
+    // the first listed permutation that fits wins the classification
+    assert(spans("ABC", "ABC", "PERMUTE(A, B, C)") === Seq((0, 3)))
+    assert(spans("CAB", "ABC", "PERMUTE(A, B, C)") === Seq((0, 3)))
+    assert(spans("BCA", "ABC", "PERMUTE(A, B, C)") === Seq((0, 3)))
+    assert(spans("ABBA", "AB", "PERMUTE(A, B)") === Seq((0, 2), (2, 4)))
+    // elements may be composite
+    assert(spans("BBAC", "ABC", "PERMUTE(A, B B) C") === Seq((0, 4)))
+    // preference: with overlapping predicates the FIRST listed
+    // permutation classifies (X rows satisfy both A and B)
+    val truth = Array(Array(true, true), Array(true, true))
+    val ms = findMatches(truth, parse("PERMUTE(A, B)", Seq("A", "B")))
+    assert(ms.map(m => m.cls.toSeq) === Seq(Seq(0, 1))) // A then B, not B then A
+    // cap is loud
+    val e = intercept[Exception](parse("PERMUTE(A, A, A, A, A, A, A)", Seq("A")))
+    assert(e.getMessage.contains("PERMUTE"))
+  }
+
+  test("SKIP TO FIRST/LAST accepts symbol unions (SUBSET resume points)") {
+    import graft.operators.PatternMatch.parseSkip
+    val truth = truthOf("ABAB", "AB")
+    val pat = parse("A B", Seq("A", "B"))
+    val single = findMatches(truth, pat, parseSkip("to first B", Seq("A", "B")))
+    assert(single.map(m => (m.start, m.end)) === Seq((0, 2), (2, 4)))
+    // FIRST over the union A|B is the match's own first row — the
+    // SQL:2016 infinite-loop runtime error, loudly
+    val e = intercept[Exception](findMatches(truth, pat,
+      parseSkip("to first A|B", Seq("A", "B"))))
+    assert(e.getMessage.contains("first row"))
+    // LAST over the union resumes at the B row (row 2 starts the next
+    // match); LAST over A alone is again the match's first row -> error
+    val lastU = findMatches(truth, pat, parseSkip("to last A|B", Seq("A", "B")))
+    assert(lastU.map(m => (m.start, m.end)) === Seq((0, 2), (2, 4)))
+    val e2 = intercept[Exception](findMatches(truth, pat,
+      parseSkip("to last A", Seq("A", "B"))))
+    assert(e2.getMessage.contains("first row"))
+  }
+
+  test("SHOW EMPTY MATCHES: empty matches number and emit; OMIT drops them") {
+    import spark.implicits._
+    // B* over X B X: empty match at row 0, real match at row 1, empty
+    // at row 2 — three match numbers; OMIT keeps only the real one
+    val df = Seq((1, 1, "x"), (1, 2, "b"), (1, 3, "x")).toDF("k", "seq", "t")
+    def run(empty: String, unmatched: Boolean) =
+      PatternMatch.matchPatternAllRows(df,
+        partitionBy = Seq("k"), orderBy = Seq("seq"),
+        symbols = Seq("B" -> (col("t") === "b")), pattern = "B*",
+        measures = Seq(Measure("n", "count", "*")),
+        emptyMatches = empty, unmatchedRows = unmatched)
+          .collect().map(r => (r.getInt(1), Option(r.get(2)).map(_.toString),
+            Option(r.getAs[String]("classifier")), r.getLong(4))).toSeq
+            .sortBy(_._1)
+    val shown = run("show", false)
+    assert(shown === Seq(
+      (1, Some("1"), None, 0L),        // empty match at seq 1
+      (2, Some("2"), Some("B"), 1L),   // real match
+      (3, Some("3"), None, 0L)),       // empty match at seq 3
+      shown)
+    val omitted = run("omit", false)
+    assert(omitted === Seq((2, Some("1"), Some("B"), 1L)), omitted)
+  }
+
+  test("WITH UNMATCHED ROWS emits non-matching rows with null match_num and measures") {
+    import spark.implicits._
+    // pattern B (non-nullable): row 2 matches; rows 1 and 3 unmatched
+    val df = Seq((1, 1, "x"), (1, 2, "b"), (1, 3, "x")).toDF("k", "seq", "t")
+    val out = PatternMatch.matchPatternAllRows(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq("B" -> (col("t") === "b")), pattern = "B",
+      measures = Seq(Measure("n", "count", "*")),
+      unmatchedRows = true)
+      .collect().map(r => (r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        Option(r.getAs[String]("classifier")),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq.sortBy(_._1)
+    assert(out === Seq(
+      (1, -1L, None, -1L),            // unmatched: everything null
+      (2, 1L, Some("B"), 1L),
+      (3, -1L, None, -1L)), out)
+    // and an all-optional pattern under WITH UNMATCHED shows empty
+    // matches too (the standard: unmatched mode implies show-empty)
+    val out2 = PatternMatch.matchPatternAllRows(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq("B" -> (col("t") === "b")), pattern = "B*",
+      measures = Nil, unmatchedRows = true)
+      .collect().map(r => (r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sortBy(_._1)
+    assert(out2 === Seq((1, 1L), (2, 2L), (3, 3L)), out2) // no unmatched rows left
+  }
+
+  test("NULLS FIRST/LAST order specs move null rows to the chosen end of the stream") {
+    import spark.implicits._
+    import graft.operators.PatternMatch.orderSpec
+    assert(orderSpec(Seq("ts", "ts ASC", "ts DESC", "ts NULLS LAST",
+      "ts DESC NULLS FIRST")) === Seq(
+      ("ts", true, true), ("ts", true, true), ("ts", false, false),
+      ("ts", true, false), ("ts", false, true)))
+    // a null-seq row at the END under NULLS LAST: pattern B A with the
+    // null row (marked 'a') trailing matches; under the default
+    // (ASC = NULLS FIRST) the null row LEADS and A B would match
+    val df = Seq((1, Option(1), "b"), (1, Option.empty[Int], "a"))
+      .toDF("k", "seq", "t")
+    val syms = Seq("A" -> (col("t") === "a"), "B" -> (col("t") === "b"))
+    val last = PatternMatch.matchPattern(df, Seq("k"), Seq("seq NULLS LAST"),
+      syms, "B A", Seq(Measure("n", "count", "*"))).collect()
+    assert(last.length == 1 && last(0).getLong(2) == 2L, last.mkString(";"))
+    val first = PatternMatch.matchPattern(df, Seq("k"), Seq("seq"),
+      syms, "A B", Seq(Measure("n", "count", "*"))).collect()
+    assert(first.length == 1 && first(0).getLong(2) == 2L, first.mkString(";"))
+  }
+
   test("q29 entry matches its oracle shape at sf0.001") {
     val q = SparkEntry.queries("q29_match_recognize")(spark, sf())
     assert(q.columns.toSeq === Seq("user_id", "match_num", "start_ts", "end_ts",
