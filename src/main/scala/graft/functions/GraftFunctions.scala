@@ -333,14 +333,17 @@ object GraftFunctions {
       // CLASSIFIER() function (field-less, like count)
       val measures = str(exprs(5), "measures").split(",").map(_.trim).filter(_.nonEmpty).toSeq
         .map { m =>
-          def mk(n: String, agg0: String, sym: String, f: String) =
+          def mk(n: String, agg0: String, sym: String, f: String, occ: Int = 0) =
             graft.operators.PatternMatch.Measure(
-              n, agg0.stripPrefix("run_"), sym, f, running = agg0.startsWith("run_"))
+              n, agg0.stripPrefix("run_"), sym, f,
+              running = agg0.startsWith("run_"), occ = occ)
           m.split(":").map(_.trim) match {
             case Array(n, agg, sym)    => mk(n, agg, sym, "")
             case Array(n, agg, sym, f) => mk(n, agg, sym, f)
+            // 5th field = SQL:2016 occurrence argument (round 10)
+            case Array(n, agg, sym, f, occ) => mk(n, agg, sym, f, occ.toInt)
             case other => throw new IllegalArgumentException(
-              s"bad MEASURE '$m' (want name:[run_]agg:symbol[:field])")
+              s"bad MEASURE '$m' (want name:[run_]agg:symbol[:field[:occ]])")
           }
         }
       val mode = if (exprs.length >= 7) str(exprs(6), "mode") else "one"
@@ -367,8 +370,12 @@ object GraftFunctions {
             h.split(":").map(_.trim) match {
               case Array(nm, fl, sym, f) if fl == "first" || fl == "last" =>
                 graft.operators.PatternMatch.NavRef(nm, fl == "first", sym, f)
+              // 5th field = SQL:2016 occurrence argument (round 10)
+              case Array(nm, fl, sym, f, occ) if fl == "first" || fl == "last" =>
+                graft.operators.PatternMatch.NavRef(nm, fl == "first", sym, f,
+                  occ.toInt)
               case other => throw new IllegalArgumentException(
-                s"bad histnav entry '$h' (want name:first|last:SYM:col)")
+                s"bad histnav entry '$h' (want name:first|last:SYM:col[:occ])")
             }
           }
       val out = mode.stripSuffix("_next") match {

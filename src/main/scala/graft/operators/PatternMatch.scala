@@ -45,6 +45,14 @@ object PatternMatch {
   private[graft] final case class Cat(ps: List[Pat]) extends Pat
   private[graft] final case class Alt(ps: List[Pat]) extends Pat
   private[graft] final case class Rep(p: Pat, min: Int, max: Int) extends Pat // max -1 = unbounded
+  /** `^` / `$` (round 10): partition start/end anchors — consume
+    * nothing, admit only at position 0 / one-past-last. */
+  private[graft] final case class Anchor(atStart: Boolean) extends Pat
+  /** `{- p -}` (round 10): exclusion — matches exactly like `p`, but
+    * the rows it consumes are EXCLUDED from ALL ROWS output (they
+    * still classify and feed measures — SQL:2016 output suppression
+    * only). */
+  private[graft] final case class Excl(p: Pat) extends Pat
 
   /** Parse a pattern like `"A B+ (C | D){1,3} E?"` against the symbol
     * name list. Fails fast on unknown symbols or syntax errors. */
@@ -65,8 +73,8 @@ object PatternMatch {
     }
     def parseCat(): Pat = {
       val ps = scala.collection.mutable.ListBuffer[Pat]()
-      while (peek.nonEmpty && peek != "|" && peek != ")" && peek != ",")
-        ps += parseRep()
+      while (peek.nonEmpty && peek != "|" && peek != ")" && peek != "," &&
+        peek != "-}") ps += parseRep()
       if (ps.isEmpty) sys.error(s"empty pattern branch in: $pattern")
       if (ps.length == 1) ps.head else Cat(ps.toList)
     }
@@ -76,7 +84,7 @@ object PatternMatch {
         case "*" => take(); Rep(atom, 0, -1)
         case "+" => take(); Rep(atom, 1, -1)
         case "?" => take(); Rep(atom, 0, 1)
-        case t if t.startsWith("{") =>
+        case t if t.startsWith("{") && t != "{-" =>
           take()
           val body = t.substring(1, t.length - 1)
           val parts = body.split(",", -1)
@@ -96,6 +104,14 @@ object PatternMatch {
         val inner = parseAlt()
         require(take() == ")", s"unclosed group in: $pattern")
         inner
+      } else if (t == "^") Anchor(atStart = true)
+      else if (t == "$") Anchor(atStart = false)
+      else if (t == "{-") {
+        // SQL:2016 exclusion: match like the inner pattern, suppress
+        // its rows from ALL ROWS output
+        val inner = parseAlt()
+        require(take() == "-}", s"unclosed exclusion {- in: $pattern")
+        Excl(inner)
       } else if (t.equalsIgnoreCase("permute") && peek == "(") {
         // SQL:2016 PERMUTE(e1, ..., en) (round 10): matches the
         // elements in ANY order, preferring permutations in
@@ -127,8 +143,12 @@ object PatternMatch {
     while (i < p.length) {
       val c = p(i)
       if (c.isWhitespace) i += 1
-      else if ("()|*+?,".indexOf(c) >= 0) { out += c.toString; i += 1 }
-      else if (c == '{') {
+      else if ("()|*+?,^$".indexOf(c) >= 0) { out += c.toString; i += 1 }
+      else if (c == '{' && i + 1 < p.length && p(i + 1) == '-') {
+        out += "{-"; i += 2 // exclusion open
+      } else if (c == '-' && i + 1 < p.length && p(i + 1) == '}') {
+        out += "-}"; i += 2 // exclusion close
+      } else if (c == '{') {
         val j = p.indexOf('}', i)
         require(j > i, s"unclosed quantifier in: $p")
         out += p.substring(i, j + 1); i = j + 1
@@ -144,8 +164,20 @@ object PatternMatch {
 
   // ---- matcher --------------------------------------------------------
 
-  /** One match: [start, end) row span plus per-row classifier. */
-  private[graft] final case class Match(start: Int, end: Int, cls: Array[Int])
+  /** One match: [start, end) row span plus per-row classifier; `excl`
+    * (round 10) marks rows consumed inside `{- -}` exclusions —
+    * suppressed from ALL ROWS output, still classified and measured —
+    * null when the pattern has no exclusions. */
+  private[graft] final case class Match(start: Int, end: Int, cls: Array[Int],
+                                        excl: Array[Boolean] = null)
+
+  private[graft] def hasExcl(p: Pat): Boolean = p match {
+    case Excl(_)       => true
+    case Cat(ps)       => ps.exists(hasExcl)
+    case Alt(ps)       => ps.exists(hasExcl)
+    case Rep(p0, _, _) => hasExcl(p0)
+    case _             => false
+  }
 
   /** Backtracking step budget per key group — patterns are small and
     * rows consume on every Sym, so real workloads sit far below this;
@@ -228,6 +260,9 @@ object PatternMatch {
     val n = truth.length
     val out = scala.collection.mutable.ArrayBuffer[Match]()
     val cls = Array.fill(n)(-1)
+    // exclusion marks, maintained like cls (set on accept, restored on
+    // backtrack); allocated only when the pattern has {- -}
+    val excl: Array[Boolean] = if (hasExcl(pat)) new Array[Boolean](n) else null
     var steps = 0L
     var start = 0 // current attempt's start — nav evaluation reads it
     // CPS backtracking: m(p, pos, k) tries to match p starting at pos,
@@ -243,6 +278,20 @@ object PatternMatch {
             val prev = cls(pos); cls(pos) = i
             if (k(pos + 1)) true else { cls(pos) = prev; false }
           } else false
+        case Anchor(s) =>
+          // consumes nothing; admissible only at the partition edge
+          (if (s) pos == 0 else pos == n) && k(pos)
+        case Excl(p0) =>
+          // match exactly like p0; on each accepted end, mark the span
+          // excluded for the continuation, restore on backtrack
+          m(p0, pos, e => {
+            if (excl != null) java.util.Arrays.fill(excl, pos, e, true)
+            if (k(e)) true
+            else {
+              if (excl != null) java.util.Arrays.fill(excl, pos, e, false)
+              false
+            }
+          })
         case Cat(ps) =>
           def cat(rest: List[Pat], at: Int): Boolean = rest match {
             case Nil     => k(at)
@@ -341,9 +390,12 @@ object PatternMatch {
       // preferred (longest-quantifier) parse; record and stop.
       m(pat, start, e => { matchedEnd = e; true })
       if (matchedEnd > start) {
-        val m = Match(start, matchedEnd, cls.slice(start, matchedEnd))
+        val m = Match(start, matchedEnd, cls.slice(start, matchedEnd),
+          if (excl == null) null
+          else java.util.Arrays.copyOfRange(excl, start, matchedEnd))
         out += m
         java.util.Arrays.fill(cls, start, matchedEnd, -1)
+        if (excl != null) java.util.Arrays.fill(excl, start, matchedEnd, false)
         // the head-run failure skip below stays valid in every mode —
         // its argument is about FAILED attempts only
         start = skip match {
@@ -400,9 +452,13 @@ object PatternMatch {
     * the aggregate over the match's rows UP TO each output row — the
     * SQL RUNNING semantics, the ALL ROWS default; `false` is FINAL
     * (whole-match value: the ONE ROW mode's only semantics, and a
-    * per-match constant column under ALL ROWS). */
+    * per-match constant column under ALL ROWS). `occ` (round 10, the
+    * SQL:2016 occurrence argument, first/last only): FIRST(S.f, n)
+    * reads the (n+1)-th qualifying row, LAST(S.f, n) the (n+1)-th
+    * from the end — null when the match maps fewer rows. */
   final case class Measure(name: String, agg: String, symbol: String,
-                           field: String = "", running: Boolean = false)
+                           field: String = "", running: Boolean = false,
+                           occ: Int = 0)
 
   /** A classifier-history navigation reference (round 10): inside a
     * DEFINE predicate, `FIRST(sym.field)` / `LAST(sym.field)` read
@@ -419,8 +475,12 @@ object PatternMatch {
     * stay precomputed codegen booleans). Cost: one history scan per
     * candidate row per nav reference, and the head-run start skip is
     * disabled (start-dependent history makes it unsound) — keep nav
-    * predicates to the symbols that need them. */
-  final case class NavRef(name: String, first: Boolean, symbol: String, field: String)
+    * predicates to the symbols that need them. `occ` (round 10): the
+    * SQL:2016 occurrence argument — FIRST(sym.f, n) reads the
+    * (n+1)-th qualifying row of the match-so-far, LAST the (n+1)-th
+    * from its end; null (predicate false) when fewer exist yet. */
+  final case class NavRef(name: String, first: Boolean, symbol: String,
+                          field: String, occ: Int = 0)
 
   /** Incremental measure accumulator — ONE implementation evaluates
     * both FINAL (fed the whole match) and RUNNING (value read after
@@ -434,9 +494,21 @@ object PatternMatch {
       def value: Any = c
     }
     case "first" => new Acc {
-      private var seen = false; private var x: Any = null
-      def add(v: Any): Unit = if (!seen) { x = v; seen = true }
+      // occ-th qualifying row, 0-based (SQL:2016 occurrence argument);
+      // null until that row arrives
+      private var seen = 0; private var x: Any = null
+      def add(v: Any): Unit = { if (seen == msr.occ) x = v; seen += 1 }
       def value: Any = x
+    }
+    case "last" if msr.occ > 0 => new Acc {
+      // occ-th from the END: ring of the last occ+1 values — full ring
+      // means the head IS that row; fewer -> null (per the standard)
+      private val ring = new scala.collection.mutable.Queue[Any]()
+      def add(v: Any): Unit = {
+        ring.enqueue(v)
+        if (ring.length > msr.occ + 1) ring.dequeue()
+      }
+      def value: Any = if (ring.length == msr.occ + 1) ring.head else null
     }
     case "last" | "classifier" => new Acc {
       private var x: Any = null
@@ -724,6 +796,14 @@ object PatternMatch {
     require(allRows || measures.forall(!_.running),
       "RUNNING measures require ALL ROWS PER MATCH (ONE ROW emits each " +
         "match once, where RUNNING at the last row equals FINAL)")
+    measures.foreach(m => require(
+      m.occ == 0 || m.agg == "first" || m.agg == "last",
+      s"measure ${m.name}: the occurrence argument applies to FIRST/LAST " +
+        s"only, not ${m.agg}"))
+    require(!(withUnmatched && hasExcl(pat)),
+      "pattern exclusions {- -} cannot combine with ALL ROWS PER MATCH " +
+        "WITH UNMATCHED ROWS (SQL:2016 prohibition — an excluded row is " +
+        "neither output nor unmatched)")
 
     // min/max/sum carry the field's NATIVE numeric family end to end:
     // floating fields aggregate in Double, integral fields in LONG
@@ -820,10 +900,11 @@ object PatternMatch {
           }.orNull
         }.toArray
       }
-    // (first?, target symbol index, field ordinal in pSchema, field type)
-    val navRefArr: Array[(Boolean, Int, Int, DataType)] = navRefs.map { r =>
+    // (first?, target symbol index, field ordinal in pSchema, field
+    // type, occurrence offset)
+    val navRefArr: Array[(Boolean, Int, Int, DataType, Int)] = navRefs.map { r =>
       (r.first, symNames.indexOf(r.symbol), pSchema.fieldIndex(r.field),
-        fieldType(r.field))
+        fieldType(r.field), r.occ)
     }.toArray
 
     val sorted =
@@ -865,19 +946,27 @@ object PatternMatch {
           def eval(cls: Array[Int], start: Int, pos: Int, sym: Int): Boolean = {
             var x = 0
             while (x < navRefArr.length) {
-              val (first, tSym, fOrd, fType) = navRefArr(x)
+              val (first, tSym, fOrd, fType, occ) = navRefArr(x)
               // history = cls(start until pos) plus the candidate row,
-              // tentatively classified `sym` (RUNNING semantics)
+              // tentatively classified `sym` (RUNNING semantics); occ
+              // skips that many qualifying rows from the chosen end
               var j = -1
+              var skip = occ
               if (first) {
                 var i = start
-                while (j < 0 && i < pos) { if (cls(i) == tSym) j = i; i += 1 }
-                if (j < 0 && sym == tSym) j = pos
+                while (j < 0 && i < pos) {
+                  if (cls(i) == tSym) { if (skip == 0) j = i else skip -= 1 }
+                  i += 1
+                }
+                if (j < 0 && skip == 0 && sym == tSym) j = pos
               } else {
-                if (sym == tSym) j = pos
-                else {
+                if (sym == tSym) { if (skip == 0) j = pos else skip -= 1 }
+                if (j < 0) {
                   var i = pos - 1
-                  while (j < 0 && i >= start) { if (cls(i) == tSym) j = i; i -= 1 }
+                  while (j < 0 && i >= start) {
+                    if (cls(i) == tSym) { if (skip == 0) j = i else skip -= 1 }
+                    i -= 1
+                  }
                 }
               }
               navVals(x) =
@@ -942,14 +1031,20 @@ object PatternMatch {
                 // each row
                 val fin = if (anyFinal) finalVals(mt) else null
                 val runAccs = if (anyRunning) newAccs() else null
-                (mt.start until mt.end).iterator.map { i =>
+                (mt.start until mt.end).iterator.flatMap { i =>
+                  // excluded rows ({- -}) still FEED running measures
+                  // (exclusion is output suppression only) but emit no
+                  // output row
                   if (runAccs != null) feed(runAccs, mt, i)
-                  val ci = mt.cls(i - mt.start)
-                  val mvals = measureArr.indices.map { x =>
-                    if (measureArr(x).running) runAccs(x).value else fin(x)
+                  if (mt.excl != null && mt.excl(i - mt.start)) Iterator.empty
+                  else {
+                    val ci = mt.cls(i - mt.start)
+                    val mvals = measureArr.indices.map { x =>
+                      if (measureArr(x).running) runAccs(x).value else fin(x)
+                    }
+                    Iterator.single(Row.fromSeq(key ++ orderIdx.map(rows(i).get) ++
+                      Seq((mn + 1).toLong, if (ci >= 0) symNames(ci) else null) ++ mvals))
                   }
-                  Row.fromSeq(key ++ orderIdx.map(rows(i).get) ++
-                    Seq((mn + 1).toLong, if (ci >= 0) symNames(ci) else null) ++ mvals)
                 }
               }
             }

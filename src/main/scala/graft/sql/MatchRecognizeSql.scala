@@ -50,16 +50,18 @@ import scala.util.matching.Regex
   * the nav windows), SKIP TO a SUBSET variable (member-union resume
   * point), PERMUTE(e1, ..., en) (lexicographic-preference
   * alternation, capped at 6 elements), ALL ROWS PER MATCH SHOW EMPTY
-  * MATCHES and WITH UNMATCHED ROWS. Round 9 closed: DESC ordering,
-  * SKIP TO NEXT ROW (overlapping matches), SKIP TO FIRST/LAST symbol,
-  * SUBSET in MEASURES, MEASURES under ALL ROWS with RUNNING/FINAL
-  * semantics, CLASSIFIER(). Remaining unsupported Trino forms fail
-  * LOUDLY with the feature named: the occurrence argument of
-  * FIRST/LAST navigation, PREV/NEXT inside MEASURES, SUBSET
-  * references in DEFINE, and one default delta — bare ALL ROWS PER
-  * MATCH keeps OMIT EMPTY MATCHES semantics (Trino defaults to SHOW);
-  * anchors (^ $) and exclusions ({- -}) are rejected by the pattern
-  * parser.
+  * MATCHES and WITH UNMATCHED ROWS, anchors (^ $), exclusions
+  * ({- -} — output suppression, measures still fed), the FIRST/LAST
+  * occurrence argument in both DEFINE and MEASURES, and PREV/NEXT in
+  * MEASURES (lowered to [RUNNING|FINAL] LAST over the nav window
+  * column — the SQL:2016 physical-navigation-at-LAST semantics).
+  * Round 9 closed: DESC ordering, SKIP TO NEXT ROW (overlapping
+  * matches), SKIP TO FIRST/LAST symbol, SUBSET in MEASURES, MEASURES
+  * under ALL ROWS with RUNNING/FINAL semantics, CLASSIFIER().
+  * Remaining deltas, all LOUD with the feature named: nested
+  * navigation (PREV(LAST(S.c))), SUBSET references in DEFINE, and
+  * bare ALL ROWS PER MATCH keeping OMIT EMPTY MATCHES semantics
+  * (Trino defaults to SHOW — spell it out to opt in).
   */
 object MatchRecognizeSql {
 
@@ -312,10 +314,9 @@ object MatchRecognizeSql {
       val c2 = histRx.replaceAllIn(c1, h => {
         val fn = h.group(1).toLowerCase
         val sym = h.group(2).toUpperCase
-        require(h.group(4) == null,
-          s"${fn.toUpperCase}(${h.group(2)}.${h.group(3)}, ${h.group(4)}): the " +
-            "occurrence argument of FIRST/LAST navigation is not supported — " +
-            "only the first/last row the match classified as the symbol")
+        // the SQL:2016 occurrence argument (round 10): FIRST(D.v, 2)
+        // reads the 3rd row the match-so-far classified D
+        val occ = Option(h.group(4)).map(_.toInt).getOrElse(0)
         require(!subsets.contains(sym),
           s"${fn.toUpperCase}() in DEFINE may not navigate SUBSET variable " +
             s"'$sym' — name a PATTERN symbol")
@@ -323,7 +324,8 @@ object MatchRecognizeSql {
           s"${fn.toUpperCase}() argument must be PATTERN_SYMBOL.column, got " +
             s"'${h.group(2)}.${h.group(3)}' (PATTERN is $pattern)")
         Regex.quoteReplacement(histNavs.getOrElseUpdate(
-          (fn, sym, h.group(3)), s"__mrh_${histNavs.size}"))
+          (fn, sym, h.group(3) + (if (occ > 0) s":$occ" else "")),
+          s"__mrh_${histNavs.size}"))
       })
       ("""(?i)\b(PREV|NEXT|FIRST|LAST)\s*\(""").r.findFirstIn(maskedUpper(c2)).foreach { f =>
         throw new IllegalArgumentException(
@@ -372,7 +374,7 @@ object MatchRecognizeSql {
         }
         val pfx = if (mode.startsWith("all") && semantics != "FINAL") "run_" else ""
         val aggRx = ("""(?i)^(FIRST|LAST|MIN|MAX|SUM)\s*\(\s*(""" + Ident +
-          """)\s*\.\s*(""" + Ident + """)\s*\)$""").r
+          """)\s*\.\s*(""" + Ident + """)\s*(?:,\s*(\d+)\s*)?\)$""").r
         val cntStarRx = """(?i)^COUNT\s*\(\s*\*\s*\)$""".r
         val cntSymRx = ("""(?i)^COUNT\s*\(\s*(""" + Ident + """)\s*\.\s*\*\s*\)$""").r
         val mnRx = """(?i)^MATCH_NUMBER\s*\(\s*\)$""".r
@@ -389,17 +391,35 @@ object MatchRecognizeSql {
           else subsets.getOrElse(u, throw new IllegalArgumentException(
             s"unknown pattern symbol '$s' in MEASURES")).mkString("|")
         }
-        // named rejection (round 10, r9 verdict #6): PREV/NEXT are legal
-        // Trino MEASURES navigation but unsupported here — without the
-        // name this fell into the generic error below
-        ("""(?i)\b(PREV|NEXT)\s*\(""").r.findFirstIn(maskedUpper(ex)).foreach { f =>
-          throw new IllegalArgumentException(
-            s"PREV/NEXT navigation inside MEASURES is not supported " +
-              s"('${ex.trim}') — compute the lag/lead column in the source " +
-              "subquery and reference it as SYMBOL.column")
-        }
+        // PREV/NEXT navigation in MEASURES (round 10, r9 verdict #6):
+        // SQL:2016 evaluates PREV(S.f, n) at the row LAST(S) resolves
+        // to (RUNNING: the latest S so far), stepping n rows back in
+        // PARTITION order — exactly the lag/lead window column read at
+        // that row, so it lowers to [run_]last:S:<lag-col>, sharing
+        // the DEFINE navigation's window wrapper.
+        val measNavRx = ("""(?i)^(PREV|NEXT)\s*\(\s*(""" + Ident +
+          """)\s*\.\s*(""" + Ident + """)\s*(?:,\s*(\d+)\s*)?\)$""").r
         ex match {
-          case aggRx(agg, s, f) => Some(s"$name:$pfx${agg.toLowerCase}:${sym(s)}:$f")
+          case measNavRx(fn0, s, f, n0) if known(s) =>
+            val fn = fn0.toLowerCase
+            val n = Option(n0).map(_.toInt).getOrElse(1)
+            val cname = navs.getOrElseUpdate((fn, f, n), s"__mr_${fn}_${f}_$n")
+            Some(s"$name:${pfx}last:${sym(s)}:$cname")
+          case other if ("""(?i)\b(PREV|NEXT)\s*\(""").r
+              .findFirstIn(maskedUpper(other)).isDefined =>
+            throw new IllegalArgumentException(
+              s"unsupported MEASURES navigation '${other.trim}' — supported " +
+                "form: [RUNNING|FINAL] PREV/NEXT(SYMBOL.column [, n]) " +
+                "(nested navigation like PREV(LAST(S.c)) is not)")
+          case aggRx(agg, s, f, n0) =>
+            // optional SQL:2016 occurrence argument (round 10),
+            // FIRST/LAST only
+            val occ = Option(n0).map(_.toInt).getOrElse(0)
+            require(occ == 0 || agg.equalsIgnoreCase("first") ||
+              agg.equalsIgnoreCase("last"),
+              s"the occurrence argument applies to FIRST/LAST only: '$ex'")
+            Some(s"$name:$pfx${agg.toLowerCase}:${sym(s)}:$f" +
+              (if (occ > 0) s":$occ" else ""))
           case cntStarRx()      => Some(s"$name:${pfx}count:*")
           case cntSymRx(s)      => Some(s"$name:${pfx}count:${sym(s)}")
           case mnRx()           => mnAliases :+= name; None

@@ -172,6 +172,35 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(dup.contains("'false', 'past last row'"), dup)
   }
 
+  test("PREV/NEXT in MEASURES lower to last-of-symbol over the nav window column") {
+    val out = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        MEASURES PREV(A.v) AS before_last, FINAL NEXT(B.v, 2) AS after_b,
+          RUNNING PREV(A.v) AS run_before
+        ALL ROWS PER MATCH
+        PATTERN (A+ B) DEFINE A AS A.v > 0, B AS B.v < 0)""")
+    // PREV(A.v) = value one PARTITION row before LAST(A)'s row = the
+    // lag window column read at that row -> [run_]last:A:<lag-col>;
+    // bare measures under ALL ROWS default to RUNNING
+    assert(out.contains("before_last:run_last:A:__mr_prev_v_1"), out)
+    assert(out.contains("after_b:last:B:__mr_next_v_2"), out)
+    assert(out.contains("run_before:run_last:A:__mr_prev_v_1"), out)
+    assert(out.contains("lag(v, 1) OVER"), out)   // window wrapper rides
+    assert(out.contains("lead(v, 2) OVER"), out)
+  }
+
+  test("FIRST/LAST occurrence arguments ride as a 5th measure/histnav field") {
+    val out = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        MEASURES FIRST(A.v, 2) AS third_a, LAST(A.v, 1) AS second_last
+        ONE ROW PER MATCH
+        PATTERN (A+ B) DEFINE A AS A.v > 0,
+          B AS B.v > FIRST(A.v, 1))""")
+    assert(out.contains("third_a:first:A:v:2"), out)
+    assert(out.contains("second_last:last:A:v:1"), out)
+    assert(out.contains("'__mrh_0:first:A:v:1'"), out)
+  }
+
   test("round-10 dialect: NULLS ordering, SKIP TO subset, PERMUTE, ALL ROWS sub-modes") {
     // NULLS FIRST/LAST renders into order_cols AND the nav window
     val nulls = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
@@ -214,12 +243,14 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
       .contains("SUBSET member"))
     assert(err("PARTITION BY k ORDER BY ts AFTER MATCH SKIP HALFWAY PATTERN (A) DEFINE A AS A.v > 0")
       .contains("AFTER MATCH"))
-    assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS FIRST(A.v, 2) > 0")
-      .contains("occurrence argument"))
+    assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS PREV(FIRST(A.v)) > 0")
+      .contains("navigation"))
     assert(err("PARTITION BY k ORDER BY ts SUBSET S = (A) PATTERN (A B) DEFINE B AS B.v > FIRST(S.v)")
       .contains("SUBSET"))
-    assert(err("PARTITION BY k ORDER BY ts MEASURES PREV(A.v) AS pv PATTERN (A) DEFINE A AS A.v > 0")
-      .contains("MEASURES"))
+    assert(err("PARTITION BY k ORDER BY ts MEASURES PREV(LAST(A.v)) AS pv PATTERN (A) DEFINE A AS A.v > 0")
+      .contains("MEASURES navigation"))
+    assert(err("PARTITION BY k ORDER BY ts MEASURES MIN(A.v, 2) AS m PATTERN (A) DEFINE A AS A.v > 0")
+      .contains("occurrence argument"))
     assert(err("PARTITION BY k ORDER BY ts MEASURES AVG(A.v) AS a PATTERN (A) DEFINE A AS A.v > 0")
       .contains("MEASURES expression"))
     assert(err("ORDER BY ts PATTERN (A) DEFINE A AS A.v > 0")

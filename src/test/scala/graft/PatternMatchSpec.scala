@@ -704,6 +704,43 @@ class PatternMatchSpec extends SparkSpec {
     assert(first.length == 1 && first(0).getLong(2) == 2L, first.mkString(";"))
   }
 
+  test("anchors ^ and $ admit matches only at the partition edges (round 10)") {
+    assert(spans("AA", "A", "^ A") === Seq((0, 1)))
+    assert(spans("AA", "A", "A $") === Seq((1, 2)))
+    assert(spans("AA", "A", "^ A+ $") === Seq((0, 2)))
+    assert(spans("XA", "AX", "^ A") === Seq())
+    // anchors consume nothing: ^ alone can only match empty -> no rows
+    assert(spans("AA", "A", "^") === Seq())
+  }
+
+  test("exclusions {- -}: rows match and measure but are suppressed from ALL ROWS output") {
+    import spark.implicits._
+    val df = Seq((1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "c"))
+      .toDF("k", "seq", "t")
+    val syms = Seq("A" -> (col("t") === "a"), "B" -> (col("t") === "b"),
+      "C" -> (col("t") === "c"))
+    val out = PatternMatch.matchPatternAllRows(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = syms, pattern = "A {- B+ -} C",
+      measures = Seq(Measure("n_fin", "count", "*"),
+        Measure("n_run", "count", "*", running = true),
+        Measure("nb", "count", "B")))
+      .collect().map(r => (r.getInt(1), r.getAs[String]("classifier"),
+        r.getAs[Long]("n_fin"), r.getAs[Long]("n_run"), r.getAs[Long]("nb")))
+      .toSeq.sortBy(_._1)
+    // only A and C rows emit; measures COUNT the excluded B rows (FINAL
+    // 4 everywhere, RUNNING 4 at the C row because B rows fed it)
+    assert(out === Seq((1, "A", 4L, 1L, 2L), (4, "C", 4L, 4L, 2L)), out)
+    // ONE ROW is untouched by exclusions
+    val one = PatternMatch.matchPattern(df, Seq("k"), Seq("seq"), syms,
+      "A {- B+ -} C", Seq(Measure("nb", "count", "B"))).collect()
+    assert(one.length == 1 && one(0).getLong(2) == 2L, one.mkString(";"))
+    // WITH UNMATCHED ROWS + exclusions is the SQL:2016 prohibition
+    val e = intercept[Exception](PatternMatch.matchPatternAllRows(df,
+      Seq("k"), Seq("seq"), syms, "A {- B+ -} C", Nil, unmatchedRows = true))
+    assert(e.getMessage.contains("exclusion"), e.getMessage)
+  }
+
   test("q29 entry matches its oracle shape at sf0.001") {
     val q = SparkEntry.queries("q29_match_recognize")(spark, sf())
     assert(q.columns.toSeq === Seq("user_id", "match_num", "start_ts", "end_ts",

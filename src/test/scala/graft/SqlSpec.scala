@@ -221,10 +221,39 @@ class SqlSpec extends SparkSpec {
         DEFINE D AS D.price < PREV(D.price), U AS U.price > FIRST(D.price)
       )""").collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3), r.getDouble(4)))
     assert(hist.toSeq == Seq((1L, 8.0, 2L, 9.0)), hist.mkString(";"))
-    // the occurrence argument stays a named rejection
+    // occurrence arguments + PREV in MEASURES (round 10): FIRST(D, 1)
+    // is the SECOND declining row; PREV(D.price) reads one partition
+    // row before LAST(D) — here the first dip (8), via the lag column
+    val occ = spark.sql("""
+      SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY seq
+        MEASURES FIRST(D.price, 1) AS second_dip, PREV(D.price) AS before_bottom
+        ONE ROW PER MATCH
+        PATTERN (D+ U)
+        DEFINE D AS D.price < PREV(D.price), U AS U.price > FIRST(D.price)
+      )""").collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(occ.toSeq == Seq((1L, 6.0, 8.0)), occ.mkString(";"))
+    // anchors and exclusions pass through the rewriter into the NFA
+    // (round 10): ^ pins the match to the partition start; the {- -}
+    // exclusion suppresses D rows from ALL ROWS output while COUNT(*)
+    // still counts them
+    val excl = spark.sql("""
+      SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY seq
+        MEASURES FINAL COUNT(*) AS n
+        ALL ROWS PER MATCH
+        PATTERN (^ S {- D+ -} U)
+        DEFINE S AS S.price > 0, D AS D.price < PREV(D.price),
+               U AS U.price > PREV(U.price)
+      )""").collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[String]("classifier"), r.getAs[Long]("n")))
+    // user 1: 10,8,6,9,... -> S=seq1, D=seq2,3 (suppressed), U=seq4;
+    // user 2: 5,7 -> S=seq1, D+ needs a decline -> no match
+    assert(excl.toSeq == Seq((1L, 1, "S", 4L), (1L, 4, "U", 4L)), excl.mkString(";"))
+    // nested navigation stays a named rejection
     failsWith("""SELECT * FROM mr_ticks MATCH_RECOGNIZE (
         PARTITION BY user_id ORDER BY seq
-        PATTERN (A) DEFINE A AS LAST(A.price, 2) > 0)""", "occurrence argument")
+        PATTERN (A) DEFINE A AS PREV(LAST(A.price)) > 0)""", "navigation")
     // round 9: DESC ordering and SKIP TO NEXT ROW are dialect, not
     // errors — PREV navigates the DESC stream, and skip-to-next emits
     // one match per qualifying start (overlaps)
