@@ -478,7 +478,10 @@ object PatternMatch {
     * predicates to the symbols that need them. `occ` (round 10): the
     * SQL:2016 occurrence argument — FIRST(sym.f, n) reads the
     * (n+1)-th qualifying row of the match-so-far, LAST the (n+1)-th
-    * from its end; null (predicate false) when fewer exist yet. */
+    * from its end; null (predicate false) when fewer exist yet.
+    * `symbol` accepts the "A|B" union spelling (like
+    * [[Measure.symbol]]) — a SQL:2016 SUBSET variable navigates the
+    * union of its members' mapped rows. */
   final case class NavRef(name: String, first: Boolean, symbol: String,
                           field: String, occ: Int = 0)
 
@@ -758,8 +761,8 @@ object PatternMatch {
     require(navNames.distinct.length == navNames.length,
       s"duplicate nav placeholder names: ${navNames.mkString(",")}")
     navRefs.foreach { r =>
-      require(symNames.contains(r.symbol),
-        s"nav ref ${r.name}: unknown pattern symbol '${r.symbol}'")
+      r.symbol.split("""\|""").foreach(s0 => require(symNames.contains(s0),
+        s"nav ref ${r.name}: unknown pattern symbol '$s0' in '${r.symbol}'"))
       require(inSchema.fieldNames.contains(r.field),
         s"nav ref ${r.name}: unknown input column '${r.field}'")
       require(!inSchema.fieldNames.contains(r.name),
@@ -900,11 +903,11 @@ object PatternMatch {
           }.orNull
         }.toArray
       }
-    // (first?, target symbol index, field ordinal in pSchema, field
-    // type, occurrence offset)
-    val navRefArr: Array[(Boolean, Int, Int, DataType, Int)] = navRefs.map { r =>
-      (r.first, symNames.indexOf(r.symbol), pSchema.fieldIndex(r.field),
-        fieldType(r.field), r.occ)
+    // (first?, target symbol index set — unions spell SUBSETs, field
+    // ordinal in pSchema, field type, occurrence offset)
+    val navRefArr: Array[(Boolean, Set[Int], Int, DataType, Int)] = navRefs.map { r =>
+      (r.first, r.symbol.split("""\|""").map(symNames.indexOf).toSet,
+        pSchema.fieldIndex(r.field), fieldType(r.field), r.occ)
     }.toArray
 
     val sorted =
@@ -946,25 +949,26 @@ object PatternMatch {
           def eval(cls: Array[Int], start: Int, pos: Int, sym: Int): Boolean = {
             var x = 0
             while (x < navRefArr.length) {
-              val (first, tSym, fOrd, fType, occ) = navRefArr(x)
+              val (first, tSyms, fOrd, fType, occ) = navRefArr(x)
               // history = cls(start until pos) plus the candidate row,
               // tentatively classified `sym` (RUNNING semantics); occ
-              // skips that many qualifying rows from the chosen end
+              // skips that many qualifying rows from the chosen end;
+              // tSyms with >1 member is a SUBSET union
               var j = -1
               var skip = occ
               if (first) {
                 var i = start
                 while (j < 0 && i < pos) {
-                  if (cls(i) == tSym) { if (skip == 0) j = i else skip -= 1 }
+                  if (tSyms(cls(i))) { if (skip == 0) j = i else skip -= 1 }
                   i += 1
                 }
-                if (j < 0 && skip == 0 && sym == tSym) j = pos
+                if (j < 0 && skip == 0 && tSyms(sym)) j = pos
               } else {
-                if (sym == tSym) { if (skip == 0) j = pos else skip -= 1 }
+                if (tSyms(sym)) { if (skip == 0) j = pos else skip -= 1 }
                 if (j < 0) {
                   var i = pos - 1
                   while (j < 0 && i >= start) {
-                    if (cls(i) == tSym) { if (skip == 0) j = i else skip -= 1 }
+                    if (tSyms(cls(i))) { if (skip == 0) j = i else skip -= 1 }
                     i -= 1
                   }
                 }

@@ -300,9 +300,18 @@ object MatchRecognizeSql {
     val histRx = ("""(?i)\b(FIRST|LAST)\s*\(\s*(""" + Ident +
       """)\s*\.\s*(""" + Ident + """)\s*(?:,\s*(\d+)\s*)?\)""").r
     val histNavs = LinkedHashMap[(String, String, String), String]()
-    val symRefRx = ("""\b(?i:(""" + symSet.map(Regex.quote).mkString("|") +
-      """))\s*\.\s*""").r
-    def xlate(cond: String): String = {
+    // bare SYM.col / SUBSET.col references (after PREV/NEXT and
+    // FIRST/LAST are consumed): SQL:2016 gives these RUNNING LAST
+    // semantics — the value at the LAST row the match-so-far mapped to
+    // the symbol. For the symbol BEING DEFINED that last row IS the
+    // current row (read directly, codegen-friendly); for any OTHER
+    // symbol or a subset it lowers to a last-navigation placeholder
+    // (round 10 — previously cross-symbol refs silently read the
+    // current row, a semantic delta from Trino).
+    val symRefRx = ("""\b(?i:(""" +
+      (symSet ++ subsets.keys).map(Regex.quote).mkString("|") +
+      """))\s*\.\s*(""" + Ident + """)""").r
+    def xlate(defSym: String, cond: String): String = {
       val c1 = navRx.replaceAllIn(cond, h => {
         val fn = h.group(1).toLowerCase
         require(symSet.contains(h.group(2).toUpperCase),
@@ -313,18 +322,22 @@ object MatchRecognizeSql {
       })
       val c2 = histRx.replaceAllIn(c1, h => {
         val fn = h.group(1).toLowerCase
-        val sym = h.group(2).toUpperCase
+        val sym0 = h.group(2).toUpperCase
         // the SQL:2016 occurrence argument (round 10): FIRST(D.v, 2)
-        // reads the 3rd row the match-so-far classified D
+        // reads the 3rd row the match-so-far classified D; a SUBSET
+        // variable navigates its member union
         val occ = Option(h.group(4)).map(_.toInt).getOrElse(0)
-        require(!subsets.contains(sym),
-          s"${fn.toUpperCase}() in DEFINE may not navigate SUBSET variable " +
-            s"'$sym' — name a PATTERN symbol")
-        require(patSyms.contains(sym),
-          s"${fn.toUpperCase}() argument must be PATTERN_SYMBOL.column, got " +
-            s"'${h.group(2)}.${h.group(3)}' (PATTERN is $pattern)")
+        val target = subsets.get(sym0) match {
+          case Some(members) => members.mkString("|")
+          case None =>
+            require(patSyms.contains(sym0),
+              s"${fn.toUpperCase}() argument must be PATTERN_SYMBOL.column " +
+                s"or SUBSET.column, got '${h.group(2)}.${h.group(3)}' " +
+                s"(PATTERN is $pattern)")
+            sym0
+        }
         Regex.quoteReplacement(histNavs.getOrElseUpdate(
-          (fn, sym, h.group(3) + (if (occ > 0) s":$occ" else "")),
+          (fn, target, h.group(3) + (if (occ > 0) s":$occ" else "")),
           s"__mrh_${histNavs.size}"))
       })
       ("""(?i)\b(PREV|NEXT|FIRST|LAST)\s*\(""").r.findFirstIn(maskedUpper(c2)).foreach { f =>
@@ -333,18 +346,21 @@ object MatchRecognizeSql {
             "supported: PREV/NEXT(SYMBOL.column [, n]) and classifier-history " +
             "FIRST/LAST(SYMBOL.column); nested navigation is not")
       }
-      subsets.keys.foreach { u =>
-        require(("""\b(?i:""" + Regex.quote(u) + """)\s*\.""").r
-          .findFirstIn(maskedUpper(c2)).isEmpty,
-          s"DEFINE may not reference SUBSET variable '$u' — subsets are " +
-            "MEASURES-only union views over classified rows")
-      }
-      val out = symRefRx.replaceAllIn(c2, "").trim
+      val out = symRefRx.replaceAllIn(c2, h => {
+        val t = h.group(1).toUpperCase
+        val f = h.group(2)
+        if (t == defSym) Regex.quoteReplacement(f) // current row
+        else {
+          val target = subsets.get(t).map(_.mkString("|")).getOrElse(t)
+          Regex.quoteReplacement(histNavs.getOrElseUpdate(
+            ("last", target, f), s"__mrh_${histNavs.size}"))
+        }
+      }).trim
       require(!out.contains(";"),
         s"DEFINE condition may not contain ';': '$cond'")
       out
     }
-    val defs = (defined.map { case (s, c) => s -> xlate(c) } ++
+    val defs = (defined.map { case (s, c) => s -> xlate(s, c) } ++
       patSyms.filterNot(s => defined.exists(_._1 == s)).map(_ -> "true"))
       .map { case (s, c) => s"$s:$c" }.mkString(";")
 

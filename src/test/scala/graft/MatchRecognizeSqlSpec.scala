@@ -116,12 +116,14 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(out.contains("n_u:count:A|B"), out)
     assert(out.contains("top:max:A|B:v"), out)
     assert(out.contains("c:classifier:*"), out)
-    // DEFINE may not read a subset variable
-    val e = intercept[Exception](rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+    // DEFINE reading a subset variable (round 10): bare U.v carries
+    // SQL:2016 RUNNING LAST semantics over the member union
+    val sd = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
         PARTITION BY k ORDER BY ts
         PATTERN (A+ B+) SUBSET U = (A, B)
-        DEFINE A AS A.v > U.v, B AS B.v < 0)"""))
-    assert(e.getMessage.contains("SUBSET"), e.getMessage)
+        DEFINE A AS A.v > U.v, B AS B.v < 0)""")
+    assert(sd.contains("'A:v > __mrh_0;B:v < 0'"), sd)
+    assert(sd.contains("'__mrh_0:last:A|B:v'"), sd)
     // SKIP TO a subset is supported since round 10 (member union)
     val ok = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
         PARTITION BY k ORDER BY ts
@@ -245,8 +247,6 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
       .contains("AFTER MATCH"))
     assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS PREV(FIRST(A.v)) > 0")
       .contains("navigation"))
-    assert(err("PARTITION BY k ORDER BY ts SUBSET S = (A) PATTERN (A B) DEFINE B AS B.v > FIRST(S.v)")
-      .contains("SUBSET"))
     assert(err("PARTITION BY k ORDER BY ts MEASURES PREV(LAST(A.v)) AS pv PATTERN (A) DEFINE A AS A.v > 0")
       .contains("MEASURES navigation"))
     assert(err("PARTITION BY k ORDER BY ts MEASURES MIN(A.v, 2) AS m PATTERN (A) DEFINE A AS A.v > 0")

@@ -250,6 +250,20 @@ class SqlSpec extends SparkSpec {
     // user 1: 10,8,6,9,... -> S=seq1, D=seq2,3 (suppressed), U=seq4;
     // user 2: 5,7 -> S=seq1, D+ needs a decline -> no match
     assert(excl.toSeq == Seq((1L, 1, "S", 4L), (1L, 4, "U", 4L)), excl.mkString(";"))
+    // cross-symbol bare references carry SQL:2016 RUNNING LAST
+    // semantics (round 10 — previously they silently read the CURRENT
+    // row, which here would make U.price > D.price always false and
+    // kill the match): U.price > D.price means "above the bottom",
+    // so both rising rows join the match
+    val cross = spark.sql("""
+      SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY seq
+        MEASURES COUNT(U.*) AS n_up, LAST(D.price) AS bottom
+        ONE ROW PER MATCH
+        PATTERN (D+ U+)
+        DEFINE D AS D.price < PREV(D.price), U AS U.price > D.price
+      )""").collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(cross.toSeq == Seq((1L, 2L, 6.0)), cross.mkString(";"))
     // nested navigation stays a named rejection
     failsWith("""SELECT * FROM mr_ticks MATCH_RECOGNIZE (
         PARTITION BY user_id ORDER BY seq
