@@ -988,8 +988,14 @@ object PatternMatch {
         else {
           val rows = buf.toArray
           val truth = rows.map(r => symIdxs.map(i => !r.isNullAt(i) && r.getBoolean(i)))
+          // ONE ROW PER MATCH always keeps empty matches — the
+          // SQL:2016 grammar has no OMIT option there (each match,
+          // empty included, produces its summary row and consumes a
+          // match number); ALL ROWS keeps them only under SHOW EMPTY
+          // MATCHES / WITH UNMATCHED ROWS. Non-nullable patterns are
+          // unaffected either way.
           val ms = findMatches(truth, pat, skip, navCtxFor(rows),
-            keepEmpty = showEmpty)
+            keepEmpty = if (allRows) showEmpty else true)
           val key = curKey
           buf.clear()
 
@@ -1069,13 +1075,10 @@ object PatternMatch {
                   Seq(null, null) ++ nullMeasures))
             }
           }
-          else ms.iterator.zipWithIndex.flatMap { case (mt, mn) =>
-            // ONE ROW mode never sees empty matches (keepEmpty is an
-            // ALL ROWS sub-mode); the guard keeps that invariant loud
-            if (mt.end == mt.start) sys.error(
-              "empty match reached ONE ROW PER MATCH emission — keepEmpty " +
-                "is an ALL ROWS sub-mode")
-            Iterator.single(Row.fromSeq(key ++ Seq((mn + 1).toLong) ++ finalVals(mt)))
+          else ms.iterator.zipWithIndex.map { case (mt, mn) =>
+            // empty matches summarize like any other: COUNT 0,
+            // aggregates null (finalVals over an empty span)
+            Row.fromSeq(key ++ Seq((mn + 1).toLong) ++ finalVals(mt))
           }
         }
       }

@@ -58,10 +58,11 @@ import scala.util.matching.Regex
   * Round 9 closed: DESC ordering, SKIP TO NEXT ROW (overlapping
   * matches), SKIP TO FIRST/LAST symbol, SUBSET in MEASURES, MEASURES
   * under ALL ROWS with RUNNING/FINAL semantics, CLASSIFIER().
-  * Remaining deltas, all LOUD with the feature named: nested
-  * navigation (PREV(LAST(S.c))), SUBSET references in DEFINE, and
-  * bare ALL ROWS PER MATCH keeping OMIT EMPTY MATCHES semantics
-  * (Trino defaults to SHOW — spell it out to opt in).
+  * Cross-symbol and SUBSET references in DEFINE carry the standard's
+  * RUNNING LAST semantics through the same machinery; bare ALL ROWS
+  * defaults to SHOW EMPTY MATCHES and ONE ROW always summarizes empty
+  * matches (both per SQL:2016). The one remaining rejection, LOUD
+  * with the feature named: nested navigation (PREV(LAST(S.c))).
   */
 object MatchRecognizeSql {
 
@@ -194,21 +195,20 @@ object MatchRecognizeSql {
       })
     }
 
-    // ---- mode + skip. ALL ROWS sub-modes (round 10): SHOW EMPTY
-    // MATCHES and WITH UNMATCHED ROWS lower to their own TVF modes.
-    // NOTE one documented Trino delta: bare ALL ROWS PER MATCH keeps
-    // this engine's OMIT EMPTY MATCHES default (Trino defaults to SHOW
-    // EMPTY MATCHES) — spell SHOW EMPTY MATCHES to opt in; the two
-    // differ only on patterns that can match empty.
+    // ---- mode + skip. ALL ROWS sub-modes (round 10): bare ALL ROWS
+    // PER MATCH defaults to SHOW EMPTY MATCHES — the SQL:2016/Trino
+    // default (the sub-modes differ only on patterns that can match
+    // empty); ONE ROW always shows empty matches (the standard's
+    // grammar has no OMIT there).
     val mode =
       if (!seg.contains("ALLROWS")) "one"
       else seg("ALLROWS").toUpperCase.replaceAll("""\s+""", " ").trim match {
-        case "" | "OMIT EMPTY MATCHES" => "all"
-        case "SHOW EMPTY MATCHES"      => "all_show_empty"
+        case "" | "SHOW EMPTY MATCHES" => "all_show_empty"
+        case "OMIT EMPTY MATCHES"      => "all"
         case "WITH UNMATCHED ROWS"     => "all_unmatched"
         case other => throw new IllegalArgumentException(
           s"ALL ROWS PER MATCH modifier '$other' is not recognized — " +
-            "supported: OMIT EMPTY MATCHES (default), SHOW EMPTY MATCHES, " +
+            "supported: SHOW EMPTY MATCHES (default), OMIT EMPTY MATCHES, " +
             "WITH UNMATCHED ROWS")
       }
     // AFTER MATCH: all four SQL:2016 forms (round 9). SKIP TO

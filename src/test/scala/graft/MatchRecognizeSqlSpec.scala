@@ -96,7 +96,7 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
           PATTERN (A+ B) DEFINE A AS A.v > 0, B AS B.v < 0)""")
     assert(mr("AFTER MATCH SKIP TO NEXT ROW").contains("'to next row'"))
     assert(mr("ALL ROWS PER MATCH AFTER MATCH SKIP TO NEXT ROW")
-      .contains("'all', 'false', 'to next row'"))
+      .contains("'all_show_empty', 'false', 'to next row'"))
     assert(mr("AFTER MATCH SKIP PAST LAST ROW").contains("'past last row'"))
     assert(mr("").contains("'past last row'"))
     assert(mr("AFTER MATCH SKIP TO LAST A").contains("'to last A'"))
@@ -232,7 +232,7 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(mode("ALL ROWS PER MATCH SHOW EMPTY MATCHES").contains("'all_show_empty'"))
     assert(mode("ALL ROWS PER MATCH WITH UNMATCHED ROWS").contains("'all_unmatched'"))
     assert(mode("ALL ROWS PER MATCH OMIT EMPTY MATCHES").contains("'all'"))
-    assert(mode("ALL ROWS PER MATCH").contains("'all'")) // documented Trino delta
+    assert(mode("ALL ROWS PER MATCH").contains("'all_show_empty'")) // SQL:2016 default
   }
 
   test("unsupported forms fail loudly with the feature named") {

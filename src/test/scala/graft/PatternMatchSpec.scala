@@ -741,6 +741,21 @@ class PatternMatchSpec extends SparkSpec {
     assert(e.getMessage.contains("exclusion"), e.getMessage)
   }
 
+  test("ONE ROW PER MATCH summarizes empty matches (SQL:2016 — no OMIT option there)") {
+    import spark.implicits._
+    // B* over x b x: empty match at row 1, real match at row 2, empty
+    // at row 3 — three summary rows, empty ones COUNT 0 / null agg
+    val df = Seq((1, 1, "x", 5.0), (1, 2, "b", 7.0), (1, 3, "x", 9.0))
+      .toDF("k", "seq", "t", "v")
+    val out = PatternMatch.matchPattern(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq("B" -> (col("t") === "b")), pattern = "B*",
+      measures = Seq(Measure("n", "count", "*"), Measure("s", "sum", "B", "v")))
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSeq.sortBy(_._1)
+    assert(out === Seq((1L, 0L, -1.0), (2L, 1L, 7.0), (3L, 0L, -1.0)), out)
+  }
+
   test("q29 entry matches its oracle shape at sf0.001") {
     val q = SparkEntry.queries("q29_match_recognize")(spark, sf())
     assert(q.columns.toSeq === Seq("user_id", "match_num", "start_ts", "end_ts",
