@@ -61,8 +61,12 @@ import scala.util.matching.Regex
   * Cross-symbol and SUBSET references in DEFINE carry the standard's
   * RUNNING LAST semantics through the same machinery; bare ALL ROWS
   * defaults to SHOW EMPTY MATCHES and ONE ROW always summarizes empty
-  * matches (both per SQL:2016). The one remaining rejection, LOUD
-  * with the feature named: nested navigation (PREV(LAST(S.c))).
+  * matches (both per SQL:2016). Nested navigation
+  * (PREV/NEXT(FIRST/LAST(S.c, k), n)) composes the two lowerings:
+  * history anchors the row, the lag/lead column supplies the physical
+  * offset. The remaining rejection, LOUD with the feature named:
+  * navigation over arbitrary expressions (PREV(A.v + 1)) — navigation
+  * takes SYMBOL.column here.
   */
 object MatchRecognizeSql {
 
@@ -311,8 +315,44 @@ object MatchRecognizeSql {
     val symRefRx = ("""\b(?i:(""" +
       (symSet ++ subsets.keys).map(Regex.quote).mkString("|") +
       """))\s*\.\s*(""" + Ident + """)""").r
+    // nav-target resolution shared by every history form: a SUBSET
+    // variable expands to its member union, a pattern symbol passes
+    // through, anything else is loud
+    def navTarget(fn: String, raw: String, ctx: String): String = {
+      val u = raw.toUpperCase
+      subsets.get(u) match {
+        case Some(members) => members.mkString("|")
+        case None =>
+          require(patSyms.contains(u),
+            s"${fn.toUpperCase}() argument must be PATTERN_SYMBOL.column " +
+              s"or SUBSET.column, got '$ctx' (PATTERN is $pattern)")
+          u
+      }
+    }
+    // nested navigation (round 10): PREV/NEXT(FIRST/LAST(S.f [, k])
+    // [, n]) — the ANCHOR row comes from classifier history, the
+    // physical offset from the lag/lead window column read AT that
+    // row, so the two existing lowerings compose:
+    // first|last : S : <lag/lead column> [: k]
+    val nestedRx = ("""(?i)\b(PREV|NEXT)\s*\(\s*(FIRST|LAST)\s*\(\s*(""" + Ident +
+      """)\s*\.\s*(""" + Ident +
+      """)\s*(?:,\s*(\d+)\s*)?\)\s*(?:,\s*(\d+)\s*)?\)""").r
+    def xlateNested(text: String): String =
+      nestedRx.replaceAllIn(text, h => {
+        val pn = h.group(1).toLowerCase
+        val fl = h.group(2).toLowerCase
+        val occ = Option(h.group(5)).map(_.toInt).getOrElse(0)
+        val n = Option(h.group(6)).map(_.toInt).getOrElse(1)
+        val cname = navs.getOrElseUpdate((pn, h.group(4), n),
+          s"__mr_${pn}_${h.group(4)}_$n")
+        val target = navTarget(pn, h.group(3), s"${h.group(3)}.${h.group(4)}")
+        Regex.quoteReplacement(histNavs.getOrElseUpdate(
+          (fl, target, cname + (if (occ > 0) s":$occ" else "")),
+          s"__mrh_${histNavs.size}"))
+      })
     def xlate(defSym: String, cond: String): String = {
-      val c1 = navRx.replaceAllIn(cond, h => {
+      val c0 = xlateNested(cond)
+      val c1 = navRx.replaceAllIn(c0, h => {
         val fn = h.group(1).toLowerCase
         require(symSet.contains(h.group(2).toUpperCase),
           s"$fn() argument must be SYMBOL.column, got '${h.group(2)}.${h.group(3)}'")
@@ -322,20 +362,11 @@ object MatchRecognizeSql {
       })
       val c2 = histRx.replaceAllIn(c1, h => {
         val fn = h.group(1).toLowerCase
-        val sym0 = h.group(2).toUpperCase
         // the SQL:2016 occurrence argument (round 10): FIRST(D.v, 2)
         // reads the 3rd row the match-so-far classified D; a SUBSET
         // variable navigates its member union
         val occ = Option(h.group(4)).map(_.toInt).getOrElse(0)
-        val target = subsets.get(sym0) match {
-          case Some(members) => members.mkString("|")
-          case None =>
-            require(patSyms.contains(sym0),
-              s"${fn.toUpperCase}() argument must be PATTERN_SYMBOL.column " +
-                s"or SUBSET.column, got '${h.group(2)}.${h.group(3)}' " +
-                s"(PATTERN is $pattern)")
-            sym0
-        }
+        val target = navTarget(fn, h.group(2), s"${h.group(2)}.${h.group(3)}")
         Regex.quoteReplacement(histNavs.getOrElseUpdate(
           (fn, target, h.group(3) + (if (occ > 0) s":$occ" else "")),
           s"__mrh_${histNavs.size}"))
@@ -343,8 +374,9 @@ object MatchRecognizeSql {
       ("""(?i)\b(PREV|NEXT|FIRST|LAST)\s*\(""").r.findFirstIn(maskedUpper(c2)).foreach { f =>
         throw new IllegalArgumentException(
           s"unsupported navigation '${f.trim}...' in DEFINE condition '$cond' — " +
-            "supported: PREV/NEXT(SYMBOL.column [, n]) and classifier-history " +
-            "FIRST/LAST(SYMBOL.column); nested navigation is not")
+            "navigation takes SYMBOL.column (optionally nested, " +
+            "PREV/NEXT(FIRST/LAST(S.col, k), n)); arbitrary expressions " +
+            "inside navigation are not supported")
       }
       val out = symRefRx.replaceAllIn(c2, h => {
         val t = h.group(1).toUpperCase
@@ -415,7 +447,20 @@ object MatchRecognizeSql {
         // the DEFINE navigation's window wrapper.
         val measNavRx = ("""(?i)^(PREV|NEXT)\s*\(\s*(""" + Ident +
           """)\s*\.\s*(""" + Ident + """)\s*(?:,\s*(\d+)\s*)?\)$""").r
+        // nested navigation (round 10): the explicit-anchor spelling —
+        // PREV(FIRST(S.f, k), n) anchors at the k-th S row and offsets
+        // n physical rows via the lag/lead column read there
+        val measNestedRx = ("""(?i)^(PREV|NEXT)\s*\(\s*(FIRST|LAST)\s*\(\s*(""" +
+          Ident + """)\s*\.\s*(""" + Ident +
+          """)\s*(?:,\s*(\d+)\s*)?\)\s*(?:,\s*(\d+)\s*)?\)$""").r
         ex match {
+          case measNestedRx(pn0, fl0, s, f, occ0, n0) if known(s) =>
+            val pn = pn0.toLowerCase
+            val occ = Option(occ0).map(_.toInt).getOrElse(0)
+            val n = Option(n0).map(_.toInt).getOrElse(1)
+            val cname = navs.getOrElseUpdate((pn, f, n), s"__mr_${pn}_${f}_$n")
+            Some(s"$name:$pfx${fl0.toLowerCase}:${sym(s)}:$cname" +
+              (if (occ > 0) s":$occ" else ""))
           case measNavRx(fn0, s, f, n0) if known(s) =>
             val fn = fn0.toLowerCase
             val n = Option(n0).map(_.toInt).getOrElse(1)
@@ -424,9 +469,10 @@ object MatchRecognizeSql {
           case other if ("""(?i)\b(PREV|NEXT)\s*\(""").r
               .findFirstIn(maskedUpper(other)).isDefined =>
             throw new IllegalArgumentException(
-              s"unsupported MEASURES navigation '${other.trim}' — supported " +
-                "form: [RUNNING|FINAL] PREV/NEXT(SYMBOL.column [, n]) " +
-                "(nested navigation like PREV(LAST(S.c)) is not)")
+              s"unsupported MEASURES navigation '${other.trim}' — supported: " +
+                "[RUNNING|FINAL] PREV/NEXT(SYMBOL.column [, n]) and " +
+                "PREV/NEXT(FIRST/LAST(SYMBOL.column [, k]) [, n]); navigation " +
+                "over arbitrary expressions is not")
           case aggRx(agg, s, f, n0) =>
             // optional SQL:2016 occurrence argument (round 10),
             // FIRST/LAST only

@@ -203,6 +203,29 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(out.contains("'__mrh_0:first:A:v:1'"), out)
   }
 
+  test("nested navigation composes history anchor with lag/lead offset") {
+    // MEASURES: PREV(LAST(A.v)) = lag column read at LAST(A)'s row
+    val out = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        MEASURES FINAL PREV(LAST(A.v)) AS before_last,
+          FINAL NEXT(FIRST(A.v, 1), 2) AS after_second
+        PATTERN (A+) DEFINE A AS A.v > 0)""")
+    assert(out.contains("before_last:last:A:__mr_prev_v_1"), out)
+    assert(out.contains("after_second:first:A:__mr_next_v_2:1"), out)
+    // DEFINE: the placeholder's FIELD is the window column
+    val d = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        PATTERN (D+ U) DEFINE D AS D.v < PREV(D.v),
+          U AS U.v > PREV(FIRST(D.v)))""")
+    assert(d.contains("'__mrh_0:first:D:__mr_prev_v_1'"), d)
+    assert(d.contains("'D:v < __mr_prev_v_1;U:v > __mrh_0'"), d)
+    // arbitrary expressions inside navigation stay loud
+    val e = intercept[Exception](rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        PATTERN (A) DEFINE A AS PREV(A.v + 1) > 0)"""))
+    assert(e.getMessage.contains("navigation"), e.getMessage)
+  }
+
   test("round-10 dialect: NULLS ordering, SKIP TO subset, PERMUTE, ALL ROWS sub-modes") {
     // NULLS FIRST/LAST renders into order_cols AND the nav window
     val nulls = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
@@ -245,9 +268,9 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
       .contains("SUBSET member"))
     assert(err("PARTITION BY k ORDER BY ts AFTER MATCH SKIP HALFWAY PATTERN (A) DEFINE A AS A.v > 0")
       .contains("AFTER MATCH"))
-    assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS PREV(FIRST(A.v)) > 0")
+    assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS NEXT(A.v * 2) > 0")
       .contains("navigation"))
-    assert(err("PARTITION BY k ORDER BY ts MEASURES PREV(LAST(A.v)) AS pv PATTERN (A) DEFINE A AS A.v > 0")
+    assert(err("PARTITION BY k ORDER BY ts MEASURES PREV(A.v + 1) AS pv PATTERN (A) DEFINE A AS A.v > 0")
       .contains("MEASURES navigation"))
     assert(err("PARTITION BY k ORDER BY ts MEASURES MIN(A.v, 2) AS m PATTERN (A) DEFINE A AS A.v > 0")
       .contains("occurrence argument"))

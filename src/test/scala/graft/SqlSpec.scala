@@ -264,10 +264,25 @@ class SqlSpec extends SparkSpec {
         DEFINE D AS D.price < PREV(D.price), U AS U.price > D.price
       )""").collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
     assert(cross.toSeq == Seq((1L, 2L, 6.0)), cross.mkString(";"))
-    // nested navigation stays a named rejection
+    // nested navigation executes: PREV(FIRST(D.price)) is the row
+    // BEFORE the first decline — the pre-fall peak. From seq 2 the
+    // peak is 10 and 9 never clears it; the match must restart at
+    // seq 3 where the "peak" is 8 and 9 clears it (n_down = 1)
+    val nested = spark.sql("""
+      SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY seq
+        MEASURES COUNT(D.*) AS n_down, FIRST(U.price) AS rebound,
+          PREV(FIRST(D.price)) AS peak
+        ONE ROW PER MATCH
+        PATTERN (D+ U)
+        DEFINE D AS D.price < PREV(D.price),
+               U AS U.price > PREV(FIRST(D.price))
+      )""").collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(nested.toSeq == Seq((1L, 1L, 9.0, 8.0)), nested.mkString(";"))
+    // navigation over arbitrary expressions stays a named rejection
     failsWith("""SELECT * FROM mr_ticks MATCH_RECOGNIZE (
         PARTITION BY user_id ORDER BY seq
-        PATTERN (A) DEFINE A AS PREV(LAST(A.price)) > 0)""", "navigation")
+        PATTERN (A) DEFINE A AS PREV(A.price + 1) > 0)""", "navigation")
     // round 9: DESC ordering and SKIP TO NEXT ROW are dialect, not
     // errors — PREV navigates the DESC stream, and skip-to-next emits
     // one match per qualifying start (overlaps)
