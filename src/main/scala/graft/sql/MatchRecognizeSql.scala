@@ -378,6 +378,15 @@ object MatchRecognizeSql {
             "PREV/NEXT(FIRST/LAST(S.col, k), n)); arbitrary expressions " +
             "inside navigation are not supported")
       }
+      // would otherwise surface as an opaque unresolved-function error
+      ("""(?i)\b(CLASSIFIER|MATCH_NUMBER)\s*\(""").r
+        .findFirstIn(maskedUpper(c2)).foreach { f =>
+          throw new IllegalArgumentException(
+            s"${f.trim}...) inside DEFINE is not supported — it is a " +
+              "MEASURES function here; express the condition through the " +
+              "symbols themselves (each DEFINE already knows which symbol " +
+              "it tests)")
+        }
       val out = symRefRx.replaceAllIn(c2, h => {
         val t = h.group(1).toUpperCase
         val f = h.group(2)

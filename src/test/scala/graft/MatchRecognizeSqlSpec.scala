@@ -270,6 +270,10 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
       .contains("AFTER MATCH"))
     assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS NEXT(A.v * 2) > 0")
       .contains("navigation"))
+    assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS CLASSIFIER() = 'A'")
+      .contains("DEFINE"))
+    assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS MATCH_NUMBER() > 1")
+      .contains("DEFINE"))
     assert(err("PARTITION BY k ORDER BY ts MEASURES PREV(A.v + 1) AS pv PATTERN (A) DEFINE A AS A.v > 0")
       .contains("MEASURES navigation"))
     assert(err("PARTITION BY k ORDER BY ts MEASURES MIN(A.v, 2) AS m PATTERN (A) DEFINE A AS A.v > 0")
