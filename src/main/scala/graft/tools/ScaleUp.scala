@@ -59,6 +59,7 @@ object ScaleUp {
     args.drop(3).headOption match {
       case Some("documents") => scaleDocs(spark, srcDir, outDir, k)
       case Some("embeddings") => scaleEmbeddings(spark, srcDir, outDir, k)
+      case Some("events") => scaleEvents(spark, srcDir, outDir, k)
       case Some(other) => sys.error(s"unknown table mode '$other'")
       case None => scaleAll(spark, srcDir, outDir, k)
     }
@@ -181,6 +182,25 @@ object ScaleUp {
   /** Docs-only scale-up (band-ladder probes). Repartitions the output
     * so a many-hundred-replica corpus lands as parallel-readable files
     * rather than one giant row group per source file. */
+  /** Events-only scale-up (round-10 pattern-family probes): user_id /
+    * event_id offset per replica (same sessions-per-user shape, key
+    *-group count grows linearly), timestamps kept; ts written back as
+    * raw epoch nanos, the shape the Tables loader expects. */
+  def scaleEvents(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
+    val reps = spark.range(0, k).select(col("id").cast("int").as("__r"))
+    def span(c: String): Long =
+      Tables(spark, srcDir, "events").agg(max(col(c))).head.getLong(0) + 1L
+    val (eSpan, uSpan) = (span("event_id"), span("user_id"))
+    Tables(spark, srcDir, "events").crossJoin(broadcast(reps))
+      .withColumn("event_id", col("event_id") + col("__r") * eSpan)
+      .withColumn("user_id", col("user_id") + col("__r") * uSpan)
+      .withColumn("ts", (unix_micros(col("ts")) * 1000L).cast("long"))
+      .drop("__r")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    println(s"scaled events x$k")
+  }
+
   def scaleDocs(spark: SparkSession, srcDir: String, outDir: String, k: Int): Unit = {
     val reps = spark.range(0, k).select(col("id").cast("int").as("__r"))
     scaledDocs(spark, srcDir, reps)
