@@ -591,6 +591,65 @@ class PatternMatchSpec extends SparkSpec {
     })
   }
 
+  test("keepEmpty matches agree with java.util.regex empty-match semantics on 300 random cases") {
+    // Matcher.find() WITH empty matches kept is exactly keepEmpty:
+    // an empty regex match at p is reported and the scan resumes at
+    // p+1 — the SQL:2016 SHOW EMPTY MATCHES rule. Cross-check spans
+    // (empty matches as (p, p)) on random (rows, pattern) cases.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val symGen = Gen.oneOf("A", "B", "C")
+    val atomGen: Gen[String] = for {
+      s <- symGen
+      q <- Gen.oneOf("", "*", "?", "+", "{0,2}")
+    } yield s + q
+    val patGen: Gen[String] = for {
+      n <- Gen.chooseNum(1, 3)
+      atoms <- Gen.listOfN(n, atomGen)
+    } yield atoms.mkString(" ")
+    val rowsGen = for {
+      len <- Gen.chooseNum(0, 16)
+      s <- Gen.listOfN(len, Gen.oneOf('A', 'B', 'C', 'X'))
+    } yield s.mkString
+    for (i <- 0 until 300) {
+      val pat = patGen.pureApply(Gen.Parameters.default, Seed(7000L + i))
+      val rows = rowsGen.pureApply(Gen.Parameters.default, Seed(9000L + i))
+      val got = findMatches(truthOf(rows, "ABCX"),
+        parse(pat, "ABCX".map(_.toString)), keepEmpty = true)
+        .map(m => (m.start, m.end))
+      val mt = java.util.regex.Pattern.compile(pat.replace(" ", "")).matcher(rows)
+      val want = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      var from = 0
+      while (from <= rows.length && mt.find(from)) {
+        want += ((mt.start, mt.end))
+        from = if (mt.end > mt.start) mt.end else mt.start + 1
+      }
+      // Java reports an empty match AT rows.length (end-of-input); our
+      // matcher's starts are rows only — drop that one boundary case
+      val wantTrimmed = want.filter(_._1 < rows.length)
+      assert(got === wantTrimmed.toSeq, s"case $i: rows='$rows' pattern='$pat'")
+    }
+  }
+
+  test("exclusions never change the match SET, only ALL ROWS output (property)") {
+    // wrapping any sub-atom in {- -} must leave spans and classifiers
+    // identical — exclusion is output suppression, not semantics
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowsGen = for {
+      len <- Gen.chooseNum(0, 16)
+      s <- Gen.listOfN(len, Gen.oneOf('A', 'B', 'X'))
+    } yield s.mkString
+    for (i <- 0 until 200) {
+      val rows = rowsGen.pureApply(Gen.Parameters.default, Seed(11000L + i))
+      def run(p: String) = findMatches(truthOf(rows, "ABX"),
+        parse(p, "ABX".map(_.toString)))
+        .map(m => (m.start, m.end, m.cls.toSeq))
+      assert(run("A {- B+ -} A?") === run("A B+ A?"), s"case $i rows='$rows'")
+      assert(run("{- A -} B*") === run("A B*"), s"case $i rows='$rows'")
+    }
+  }
+
   test("PERMUTE expands to a lexicographic-preference alternation (round 10)") {
     // any order of the elements matches; preference follows the listed
     // order (A B C tried before A C B ...): on an ambiguous row string
