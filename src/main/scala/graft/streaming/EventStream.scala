@@ -252,6 +252,141 @@ object EventStream {
     }
   }
 
+  /** Incremental EXACT near-dup at ingest against a GROWING signature
+    * index (round 10) — the streaming twin of the batch LSH sweep
+    * (t02), not just the signature-equality thinning of
+    * [[nearDedupDocs]]: each micro-batch's documents compute the t02
+    * fused signature (`shingle_sig`: shingle count, sorted xxhash
+    * fingerprints, 16 minhash lanes), probe a persistent band-bucket
+    * index (a [[graft.store.GraftTable]]) for candidates, verify
+    * EXACT shingle jaccard >= `threshold` against the stored
+    * fingerprints with the codegen'd sorted-merge kernel, and land
+    * every document flagged: `is_dup`, `dup_of` (the best-matching
+    * earlier doc), `jaccard` (nullable on keepers). Same signature,
+    * band grouping and verify math as t02, so a doc is flagged iff
+    * the batch sweep would pair it with some earlier document.
+    *
+    * Ordering contract: "earlier" = landed in an earlier micro-batch,
+    * or — within one batch — has the smaller doc_id (arrival order
+    * does not exist inside a batch). ALL sigable docs enter the index,
+    * dups included: jaccard is not transitive, so a later doc may
+    * match a dropped dup without matching its keeper — indexing
+    * everything keeps exact matches-any-earlier semantics (the
+    * keeper-only index would silently lose those). Sub-3-word and
+    * null-text docs have no shingles: never dups, never indexed.
+    *
+    * Scale shape: the probe is batch-bands x index-bands on band_key —
+    * a SHUFFLE_HASH join whose build side is the BATCH (small), with
+    * the index streamed through; each band row carries the doc's n+hs
+    * so verification needs NO second join (a deliberate 4x storage
+    * trade, ~2 KB/doc, vs t02's two-phase join — the probe side here
+    * is batch-sized, not corpus-sized). Cost per trigger is one index
+    * scan; size triggers accordingly at corpus scale (the same
+    * batch-regime contract as [[decontaminateDocsToParquet]]'s bloom
+    * tier).
+    *
+    * Exactly-once: both sinks are versioned tables with labeled
+    * commits (the [[writeGraftTable]] mechanism); the index append is
+    * LAST, so a replayed batch re-probes the same pre-batch index and
+    * re-lands identical flags before (re)committing the index rows —
+    * each side skips if its label already exists. */
+  def nearDupDocsIndexed(
+      docs: DataFrame,
+      indexRoot: String,
+      outRoot: String,
+      checkpointDir: String,
+      threshold: Double = 0.8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.store.GraftTable
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val taken = docs.columns.filter(c =>
+      c.startsWith("__graft_") || Set("is_dup", "dup_of", "jaccard")(c))
+    require(taken.isEmpty,
+      s"nearDupDocsIndexed: input columns ${taken.mkString(",")} collide with " +
+        "the op's output/plumbing names — rename them first")
+    val prefix = s"stream-neardup:${sinkId(checkpointDir)}:"
+    val indexSchema = StructType(Seq(
+      StructField("band_key", StringType), StructField("doc_id", LongType),
+      StructField("n", IntegerType), StructField("hs", ArrayType(LongType))))
+    def loadOrCreate(root: String, schema: StructType): GraftTable =
+      try GraftTable.load(spark, root)
+      catch { case _: Exception => GraftTable.create(spark, root,
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema)) }
+    var idxMark: BatchMark = null
+    var outMark: BatchMark = null
+    val bandExpr =
+      """explode(transform(sequence(0, 3),
+           b -> concat(b, ':', sl[b], '|', sl[b+4], '|', sl[b+8], '|', sl[b+12]))) AS band_key"""
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sigs = batch
+          .withColumn("ws", split(lower(col("text")), " "))
+          .withColumn("__graft_sh", expr(graft.operators.TextOps.shingleSql))
+          .drop("ws")
+          .withColumn("__graft_sig",
+            when(size(col("__graft_sh")) > 0,
+              call_function("shingle_sig", col("__graft_sh"), lit(false), lit(true))))
+          .drop("__graft_sh")
+          .localCheckpoint() // probe + bands + flags read ONE computation
+        val bands = sigs
+          .filter(col("__graft_sig").isNotNull)
+          .selectExpr("doc_id", "__graft_sig.n AS n", "__graft_sig.hs AS hs",
+            "__graft_sig.sl AS sl")
+          .selectExpr("doc_id", "n", "hs", bandExpr)
+          .select("band_key", "doc_id", "n", "hs")
+        val outT = loadOrCreate(outRoot, sigs.drop("__graft_sig").schema
+          .add("is_dup", BooleanType).add("dup_of", LongType)
+          .add("jaccard", DoubleType))
+        val idxT = loadOrCreate(indexRoot, indexSchema)
+        if (outMark == null) { outMark = new BatchMark(outT, Seq(prefix))
+                               idxMark = new BatchMark(idxT, Seq(prefix)) }
+        def verify(cand: DataFrame): DataFrame = cand
+          .withColumn("__graft_ni",
+            call_function("sorted_intersect_size", col("hs"), col("hs_e")))
+          .withColumn("jaccard", col("__graft_ni").cast("double") /
+            (col("n") + col("n_e") - col("__graft_ni")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("doc_id"), col("doc_e").as("dup_of"), col("jaccard"))
+        if (!outMark.alreadyCommitted(batchId)) {
+          // earlier = previous batches (the index) OR smaller doc_id in
+          // THIS batch; candidates dedup per (doc, earlier-doc) pair
+          val idxSide = idxT.read()
+            .select(col("band_key"), col("doc_id").as("doc_e"),
+              col("n").as("n_e"), col("hs").as("hs_e"))
+          val fromIndex = bands.hint("shuffle_hash")
+            .join(idxSide, "band_key")
+            .select("doc_id", "n", "hs", "doc_e", "n_e", "hs_e").distinct()
+          val fromBatch = bands.hint("shuffle_hash")
+            .join(bands.select(col("band_key"), col("doc_id").as("doc_e"),
+              col("n").as("n_e"), col("hs").as("hs_e")), "band_key")
+            .filter(col("doc_e") < col("doc_id"))
+            .select("doc_id", "n", "hs", "doc_e", "n_e", "hs_e").distinct()
+          val dups = verify(fromIndex.union(fromBatch))
+            .withColumn("__graft_rk", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+                .orderBy(col("jaccard").desc, col("dup_of"))))
+            .filter(col("__graft_rk") === 1).drop("__graft_rk")
+          val flagged = sigs.drop("__graft_sig")
+            .join(dups, Seq("doc_id"), "left")
+            .withColumn("is_dup", col("dup_of").isNotNull)
+          outT.appendAsOnce(s"$prefix$batchId", flagged,
+            _.startsWith(prefix), _ == s"$prefix$batchId")
+          outMark.advance(batchId)
+        }
+        if (!idxMark.alreadyCommitted(batchId)) {
+          if (!bands.isEmpty)
+            idxT.appendAsOnce(s"$prefix$batchId", bands,
+              _.startsWith(prefix), _ == s"$prefix$batchId")
+          idxMark.advance(batchId)
+        }
+      }
+      .start()
+  }
+
   /** Stream-static enrichment join: the static dimension is re-planned
     * per micro-batch (broadcast when it fits), carries no streaming
     * state, and picks up dimension updates between batches — the

@@ -340,6 +340,67 @@ class StreamingSpec extends SparkSpec {
     assert(got2 == got, s"inline $got2 vs bloom tier $got")
   }
 
+  test("indexed near-dup at ingest: exact t02 semantics against a growing band index (r10)") {
+    import org.apache.spark.sql.types._
+    // word-trigram shingles: a 14-word text has 12 distinct shingles;
+    // changing ONE end word flips one shingle -> jaccard 11/13 = 0.846
+    // (>= 0.8, dup); changing BOTH end words -> 10/14 = 0.714 (keeper)
+    // identical texts have identical shingle sets -> identical minhash
+    // lanes -> EVERY band agrees (deterministic candidates, jaccard 1);
+    // the one-word variant (11/13 = 0.846) is a PROBABILISTIC band hit
+    // — its expectation is derived from the batch t02 pairs below, not
+    // hand-asserted
+    val a = "w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12 w13 w14"
+    val b = "z01 z02 z03 z04 z05 z06 z07 z08 z09 z10 z11 z12"
+    val a3 = a.replace("w01", "x01")
+    val drops = Seq(
+      Seq((1L, a), (2L, a), (3L, b)),   // 2: within-batch exact dup of 1
+      Seq((4L, a3), (5L, a)),           // 5: cross-batch exact dup of 1 (index)
+      Seq((6L, a3), (7L, null.asInstanceOf[String]), (8L, "tiny doc")))
+      // 6: exact dup of 4 — which is itself (possibly) a dup: the
+      // all-docs-indexed contract finds it regardless
+    val landing = Files.createTempDirectory("graft_ndi_landing").toString
+    val ckpt = Files.createTempDirectory("graft_ndi_ckpt").toString
+    val idxRoot = Files.createTempDirectory("graft_ndi_idx").toString + "/index"
+    val outRoot = Files.createTempDirectory("graft_ndi_out").toString + "/flagged"
+    for (d <- drops)
+      d.map { case (id, t) => (id, "s", t) }.toDF("doc_id", "source", "text")
+        .coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = EventStream.nearDupDocsIndexed(stream, idxRoot, outRoot, ckpt)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+
+    val got = graft.store.GraftTable.load(spark, outRoot).read()
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_dup"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))).toMap
+    assert(got.keySet == (1L to 8L).toSet, got)
+    assert(got(1L) == ((false, None)) && got(3L) == ((false, None)), got)
+    assert(got(2L) == ((true, Some(1L))), got)  // within-batch, doc_id order
+    assert(got(5L) == ((true, Some(1L))), got)  // cross-batch via the index
+    // doc 6's BEST match is doc 4 (jaccard 1 — identical text), which
+    // is itself possibly a dup: the all-docs-indexed contract surfaces
+    // it regardless of doc 4's own flag
+    assert(got(6L) == ((true, Some(4L))), got)
+    assert(got(7L) == ((false, None)) && got(8L) == ((false, None)), got)
+
+    // batch parity: flagged set == docs with at least one SMALLER-id
+    // t02 pair partner over the same corpus
+    val batchDir = Files.createTempDirectory("graft_ndi_batch").toString
+    drops.flatten.map { case (id, t) => (id, "s", t) }
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$batchDir/documents.parquet")
+    val pairs = SparkEntry.queries("t02_minhash_lsh")(spark, batchDir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val wantFlagged = pairs.map(_._2).toSet // doc_a < doc_b by construction
+    assert(got.filter(_._2._1).keySet == wantFlagged,
+      s"stream ${got.filter(_._2._1).keySet} vs batch-implied $wantFlagged " +
+        s"(pairs ${pairs.mkString(",")})")
+  }
+
   test("streaming pattern detection: session-scoped MATCH_RECOGNIZE, batch parity") {
     import graft.streaming.PatternStream
     import graft.operators.PatternMatch
