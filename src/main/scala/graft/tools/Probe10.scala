@@ -109,6 +109,34 @@ object Probe10 {
             s""""resort_sec_per_batch":${f3(sortSec)},""" +
             s""""merge_sec_per_batch":${f3(mergeSec)},""" +
             s""""speedup":${f3(sortSec / mergeSec)},"loadavg_before":$load}"""
+        case "sndi" =>
+          // indexed streaming near-dup throughput: drain the corpus's
+          // documents.parquet through nearDupDocsIndexed (pipeline
+          // rate incl. per-batch index probe + both labeled commits)
+          val dir = parts(1)
+          val maxFiles = if (parts.length > 2) parts(2).toInt else 4
+          val tmp = java.nio.file.Files.createTempDirectory("sndi").toString
+          val stream = spark.readStream
+            .schema(org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("source",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("text",
+                org.apache.spark.sql.types.StringType))))
+            .option("maxFilesPerTrigger", maxFiles)
+            .parquet(s"$dir/documents.parquet")
+          val t0 = System.nanoTime()
+          val q = graft.streaming.EventStream.nearDupDocsIndexed(
+            stream, s"$tmp/index", s"$tmp/out", s"$tmp/ckpt")
+          q.awaitTermination()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val out = graft.store.GraftTable.load(spark, s"$tmp/out").read()
+          val nDocs = out.count()
+          val nDups = out.filter(col("is_dup")).count()
+          s"""{"probe":"sndi","dir":"$dir","docs":$nDocs,"dups":$nDups,""" +
+            s""""sec":${f3(secs)},"docs_per_sec":${f3(nDocs / secs)},""" +
+            s""""max_files_per_trigger":$maxFiles,"loadavg_before":$load}"""
         case "bandauto" =>
           val dir = parts(1)
           val b = if (parts.length > 2) Some(parts(2).toInt) else None
