@@ -309,11 +309,17 @@ object EventStream {
     val indexSchema = StructType(Seq(
       StructField("band_key", StringType), StructField("doc_id", LongType),
       StructField("n", IntegerType), StructField("hs", ArrayType(LongType))))
+    // create only on a genuinely ABSENT root (no commit log) — a
+    // corrupt existing table must fail loudly in load, not be papered
+    // over by a fresh create on top of it
     def loadOrCreate(root: String, schema: StructType): GraftTable =
       try GraftTable.load(spark, root)
-      catch { case _: Exception => GraftTable.create(spark, root,
-        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          schema)) }
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("no graft table") =>
+          GraftTable.create(spark, root, spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+      }
     var idxMark: BatchMark = null
     var outMark: BatchMark = null
     val bandExpr =
