@@ -993,6 +993,61 @@ object CoreQueries {
             CAST(NULL AS BIGINT) AS n_down, CAST(NULL AS DOUBLE) AS peak
           FROM c WHERE NOT EXISTS (SELECT 1 FROM paired p
             WHERE p.user_id = c.user_id AND c.rn BETWEEN p.srn AND p.ern))
-        SELECT * FROM matched UNION ALL SELECT * FROM unmatched"""))
+        SELECT * FROM matched UNION ALL SELECT * FROM unmatched""")),
+
+    // ------------------------------------------------------------------
+    // MEASURES navigation + occurrence arguments (round 10): over the
+    // q29 V-pattern, PREV(D.value) reads the PARTITION row before
+    // LAST(D) — the second-to-last declining row, or the pre-fall peak
+    // when the decline is one row — and FIRST(D.value, 1) reads the
+    // SECOND declining row (null when there is only one). Both are
+    // plain positional reads in the run-pairing oracle: the D run is a
+    // contiguous rn interval, so PREV(LAST(D)) = value at ern-1 and
+    // FIRST(D, 1) = value at srn+1 when srn+1 <= ern.
+    QueryEntry("q36_pattern_measure_nav",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("mr_events")
+        s.sql("""
+          SELECT * FROM (
+            SELECT user_id, ts, event_id, value,
+                   date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s
+            FROM mr_events WHERE event_type = 'purchase'
+          ) MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(D.ts_s) AS start_ts, COUNT(D.*) AS n_down,
+              PREV(D.value) AS before_bottom, FIRST(D.value, 1) AS second_dip
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (D+ U+)
+            DEFINE D AS D.value < PREV(D.value),
+                   U AS U.value > PREV(U.value)
+          )""")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        d AS (SELECT user_id, ts, event_id, value,
+            value - LAG(value) OVER w AS delta,
+            ROW_NUMBER() OVER w AS rn
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        c AS (SELECT *, CASE WHEN delta < 0 THEN 'D' WHEN delta > 0 THEN 'U' ELSE 'X' END AS cls
+          FROM d),
+        r AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, cls ORDER BY rn) AS grp FROM c),
+        runs AS (SELECT user_id, cls, grp, MIN(rn) AS srn, MAX(rn) AS ern,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM r GROUP BY user_id, cls, grp),
+        paired AS (SELECT a.user_id, a.srn, a.ern, a.n AS n_down
+          FROM runs a JOIN runs b
+            ON b.user_id = a.user_id AND b.srn = a.ern + 1
+           AND a.cls = 'D' AND b.cls = 'U')
+        SELECT p.user_id,
+          ROW_NUMBER() OVER (PARTITION BY p.user_id ORDER BY p.srn) AS match_num,
+          STRFTIME(s.ts, '%Y-%m-%d %H:%M:%S') AS start_ts, p.n_down,
+          pb.value AS before_bottom, sd.value AS second_dip
+        FROM paired p
+        JOIN d s ON s.user_id = p.user_id AND s.rn = p.srn
+        JOIN d pb ON pb.user_id = p.user_id AND pb.rn = p.ern - 1
+        LEFT JOIN d sd ON sd.user_id = p.user_id AND sd.rn = p.srn + 1
+          AND sd.rn <= p.ern"""))
   )
 }

@@ -138,7 +138,8 @@ class PlanSpec extends SparkSpec {
     // plan — the nav placeholder is bound inside the matcher, adding
     // no exchange beyond the PREV window's
     for (name <- Seq("q32_pattern_skipnext_desc", "q33_pattern_running_measures",
-        "q34_pattern_hist_nav", "q35_pattern_unmatched_rows")) {
+        "q34_pattern_hist_nav", "q35_pattern_unmatched_rows",
+        "q36_pattern_measure_nav")) {
       val p = plan(SparkEntry.queries(name)(spark, sf()))
       val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
       assert(n == 1, s"$name: expected 1 user_id exchange, got $n: ${p.take(2000)}")

@@ -387,6 +387,17 @@ class StreamingSpec extends SparkSpec {
     assert(got(6L) == ((true, Some(4L))), got)
     assert(got(7L) == ((false, None)) && got(8L) == ((false, None)), got)
 
+    // exactly-once: restarting the drained stream on the SAME
+    // checkpoint reprocesses nothing — both tables keep their version
+    val outV = graft.store.GraftTable.load(spark, outRoot).currentVersion
+    val idxV = graft.store.GraftTable.load(spark, idxRoot).currentVersion
+    val q2 = EventStream.nearDupDocsIndexed(stream, idxRoot, outRoot, ckpt)
+    assert(q2.awaitTermination(240000), "restart did not drain")
+    assert(graft.store.GraftTable.load(spark, outRoot).currentVersion == outV,
+      "restart re-committed flagged rows")
+    assert(graft.store.GraftTable.load(spark, idxRoot).currentVersion == idxV,
+      "restart re-committed index rows")
+
     // batch parity: flagged set == docs with at least one SMALLER-id
     // t02 pair partner over the same corpus
     val batchDir = Files.createTempDirectory("graft_ndi_batch").toString
