@@ -647,6 +647,9 @@ class PatternMatchSpec extends SparkSpec {
         .map(m => (m.start, m.end, m.cls.toSeq))
       assert(run("A {- B+ -} A?") === run("A B+ A?"), s"case $i rows='$rows'")
       assert(run("{- A -} B*") === run("A B*"), s"case $i rows='$rows'")
+      // exclusion INSIDE a quantified group: per-iteration marks must
+      // save/restore cleanly under rep backtracking
+      assert(run("({- B -})+ A?") === run("(B)+ A?"), s"case $i rows='$rows'")
     }
   }
 
