@@ -129,6 +129,69 @@ class MultimodalSpec extends SparkSpec {
     assert(a.getAs[Long]("duration_ms") == 250L)
   }
 
+  /** A PCM16 mono WAV playing a tone MELODY: one frequency per
+    * segment, optional deterministic noise — the fixture the audio
+    * fingerprint needs (frame energies must VARY across the clip). */
+  private def melodyWav(rate: Int, perSeg: Int, freqs: Seq[Double],
+                        gain: Double = 0.5, noiseAmp: Double = 0.0,
+                        seed: Int = 1): Array[Byte] = {
+    val n = perSeg * freqs.length
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)
+    bb.putInt(rate); bb.putInt(rate * 2)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    val rnd = new scala.util.Random(seed)
+    for (i <- 0 until n) {
+      val f = freqs(i / perSeg)
+      val v = gain * math.sin(2 * math.Pi * f * i / rate) +
+        noiseAmp * (rnd.nextDouble() * 2 - 1)
+      bb.putShort((math.max(-1.0, math.min(1.0, v)) * 32767).toShort)
+    }
+    bb.array()
+  }
+
+  test("audio fingerprint: gain-invariant, noise-stable, melody-sensitive (round 10)") {
+    import MultimodalOps.audioFingerprint
+    val rate = 8000
+    val melodyA = Seq(300.0, 2800.0, 500.0, 2000.0, 400.0, 1500.0, 3000.0, 350.0, 900.0)
+    val melodyB = melodyA.reverse
+    val base = melodyWav(rate, 1200, melodyA)
+    val quiet = melodyWav(rate, 1200, melodyA, gain = 0.05)
+    val noisy = melodyWav(rate, 1200, melodyA, noiseAmp = 0.01, seed = 7)
+    val other = melodyWav(rate, 1200, melodyB)
+    val h = audioFingerprint(base).get
+    // double-differencing cancels LINEAR gain; PCM16 re-quantization at
+    // 10x lower amplitude may still flip a near-zero difference bit
+    val dg = java.lang.Long.bitCount(h ^ audioFingerprint(quiet).get)
+    assert(dg <= 2, s"gain flipped $dg bits")
+    // mild noise (SNR ~34 dB) flips at most a few bits. Pure-tone
+    // fixtures are ADVERSARIAL here: bands away from the active tone
+    // carry near-zero energy, so their difference signs are the
+    // noise-dominated ones — broadband real audio behaves better
+    // (measured: 6 bits at 0.01 noise, 26-28 bits between melodies)
+    val dn = java.lang.Long.bitCount(h ^ audioFingerprint(noisy).get)
+    assert(dn <= 8, s"noise flipped $dn bits")
+    // a different melody is far away
+    val db = java.lang.Long.bitCount(h ^ audioFingerprint(other).get)
+    assert(db > 8, s"different melody only $db bits away")
+    // non-wav and too-short content fingerprint to None
+    assert(audioFingerprint("not a wav".getBytes).isEmpty)
+    assert(audioFingerprint(wavBytes(8000, 50)).isEmpty) // sub-grid clip
+    // banded near-dup pairs the renditions, not the different melody
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, base), Row(2L, quiet), Row(3L, noisy),
+        Row(4L, other), Row(5L, null.asInstanceOf[Array[Byte]])),
+      StructType(Seq(StructField("id", LongType), StructField("content", BinaryType))))
+    val pairs = MultimodalOps.nearDupAudio(df, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs)
+  }
+
   test("non-PCM16 wav keeps real header fields but null rms/peak") {
     // 8-bit mono PCM: decodable header, sample depth we do not read
     val frames = 1000
