@@ -1048,6 +1048,72 @@ object CoreQueries {
         JOIN d s ON s.user_id = p.user_id AND s.rn = p.srn
         JOIN d pb ON pb.user_id = p.user_id AND pb.rn = p.ern - 1
         LEFT JOIN d sd ON sd.user_id = p.user_id AND sd.rn = p.srn + 1
-          AND sd.rn <= p.ern"""))
+          AND sd.rn <= p.ern""")),
+
+    // ------------------------------------------------------------------
+    // Navigation over arbitrary EXPRESSIONS (round 10, the dialect's
+    // last named rejection closed): each one-symbol expression inside
+    // PREV/FIRST/SUM materializes as a synthetic source column and the
+    // call lowers to the plain form (MatchRecognizeSql.xlateExprArgs).
+    // The funnel: a controlled decline — each step down but never
+    // below half the prior value (PREV(D.value * 0.5)) — that recovers
+    // 2% above its own start (FIRST(D.value * 1.02)); the computed
+    // MEASURES aggregate SUM(CAST(D.value < 50 AS INT)) counts dip
+    // rows under 50, a conditional count the plain grammar cannot
+    // spell. Oracle closed form extends q34's run-pairing proof: D
+    // rows strictly decrease inside a maximal run and values are
+    // positive, so no row inside the run can exceed value[p] * 1.02 —
+    // greedy D+ always reaches the run end, U is the unique successor
+    // row, and the leftmost viable start is MIN(p) with
+    // uval > value[p] * 1.02 (threshold monotone in p).
+    QueryEntry("q37_pattern_expr_nav",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("mr_events")
+        s.sql("""
+          SELECT * FROM (
+            SELECT user_id, ts, event_id, value,
+                   date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s
+            FROM mr_events WHERE event_type = 'purchase'
+          ) MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(D.ts_s) AS start_ts, COUNT(D.*) AS n_down,
+              LAST(D.value) AS bottom, LAST(U.value) AS rebound,
+              SUM(CAST(D.value < 50 AS INT)) AS n_below50
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (D+ U)
+            DEFINE D AS D.value < PREV(D.value)
+                    AND D.value > PREV(D.value * 0.5),
+                   U AS U.value > FIRST(D.value * 1.02)
+          )""")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        d AS (SELECT user_id, ts, event_id, value,
+            LAG(value) OVER w AS pv,
+            ROW_NUMBER() OVER w AS rn
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        dr AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          FROM d WHERE value < pv AND value > pv * 0.5),
+        runs AS (SELECT user_id, grp, MIN(rn) AS srn, MAX(rn) AS ern,
+            ARG_MAX(value, rn) AS bottom
+          FROM dr GROUP BY user_id, grp),
+        succ AS (SELECT runs.*, x.value AS uval
+          FROM runs JOIN d x ON x.user_id = runs.user_id AND x.rn = runs.ern + 1),
+        m AS (SELECT s.user_id, s.srn, s.ern, s.bottom, s.uval, MIN(p.rn) AS prn
+          FROM succ s JOIN dr p ON p.user_id = s.user_id
+            AND p.rn BETWEEN s.srn AND s.ern AND s.uval > p.value * 1.02
+          GROUP BY s.user_id, s.srn, s.ern, s.bottom, s.uval),
+        meas AS (SELECT m.user_id, m.prn, m.ern, m.bottom, m.uval,
+            CAST(SUM(CASE WHEN x.value < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_below50
+          FROM m JOIN dr x ON x.user_id = m.user_id AND x.rn BETWEEN m.prn AND m.ern
+          GROUP BY m.user_id, m.prn, m.ern, m.bottom, m.uval)
+        SELECT t.user_id,
+          ROW_NUMBER() OVER (PARTITION BY t.user_id ORDER BY t.prn) AS match_num,
+          STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS start_ts,
+          CAST(t.ern - t.prn + 1 AS BIGINT) AS n_down,
+          t.bottom, t.uval AS rebound, t.n_below50
+        FROM meas t JOIN d p ON p.user_id = t.user_id AND p.rn = t.prn"""))
   )
 }

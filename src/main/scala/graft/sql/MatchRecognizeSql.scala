@@ -64,9 +64,14 @@ import scala.util.matching.Regex
   * matches (both per SQL:2016). Nested navigation
   * (PREV/NEXT(FIRST/LAST(S.c, k), n)) composes the two lowerings:
   * history anchors the row, the lag/lead column supplies the physical
-  * offset. The remaining rejection, LOUD with the feature named:
-  * navigation over arbitrary expressions (PREV(A.v + 1)) — navigation
-  * takes SYMBOL.column here.
+  * offset. Navigation over arbitrary expressions (PREV(A.v + 1),
+  * FIRST(D.a * 1.02), SUM(CAST(D.v < 50 AS INT)) in MEASURES) lowers
+  * each one-symbol expression onto a synthetic source column (round
+  * 10, closing the last named rejection) — see xlateExprArgs. The
+  * remaining rejections, LOUD with the feature named: navigation
+  * nested deeper than PREV/NEXT(FIRST/LAST(...)), and expressions
+  * mixing two pattern variables inside one navigation (SQL:2016
+  * forbids those too).
   */
 object MatchRecognizeSql {
 
@@ -329,6 +334,79 @@ object MatchRecognizeSql {
           u
       }
     }
+    // ---- navigation over ARBITRARY EXPRESSIONS (round 10, closing
+    // the dialect's last named rejection): FN(expr [, n]) where expr
+    // is any scalar expression whose symbol-qualified column refs all
+    // name ONE pattern variable — the SQL:2016 single-variable rule.
+    // The expression is row-local, so it materializes as a synthetic
+    // column on the wrapped source (__mrx_N) and the call lowers to
+    // the plain FN(SYM.__mrx_N [, n]) form the machinery below
+    // already handles: PREV/NEXT lag/lead the synthetic column,
+    // FIRST/LAST navigate classifier history to it, and (MEASURES
+    // only) MIN/MAX/SUM aggregate it — which also unlocks computed
+    // aggregates like SUM(CAST(D.v < 50 AS INT)) the plain grammar
+    // could not spell. Innermost-first sweeps make nesting compose:
+    // PREV(FIRST(D.a + D.b, 1), 2) first rewrites the FIRST arm,
+    // then parses as the existing nested form.
+    val exprNavs = LinkedHashMap[String, String]() // stripped expr -> col
+    val plainNavArg = ("""(?is)^""" + Ident + """\s*\.\s*""" + Ident + """$""").r
+    def xlateExprArgs(text0: String, fns: String, where: String): String = {
+      val rx = ("""(?i)\b(""" + fns + """)\s*\(""").r
+      var text = text0
+      var again = true
+      while (again) {
+        again = false
+        val m = maskedUpper(text)
+        val it = rx.findAllMatchIn(m).iterator
+        while (it.hasNext && !again) {
+          val h = it.next()
+          val open = h.end - 1
+          val close = closeParen(m, open)
+          require(close > 0, s"unbalanced parens in $where: '$text0'")
+          // innermost-first: a call whose argument still holds another
+          // nav/agg call resolves on a later sweep
+          if (rx.findFirstIn(m.substring(open + 1, close)).isEmpty) {
+            val parts = splitTop(text.substring(open + 1, close))
+            val plain = parts.headOption.exists(p =>
+              plainNavArg.pattern.matcher(p).matches())
+            val numOk = parts.length == 1 ||
+              (parts.length == 2 && parts(1).matches("""\d+"""))
+            if (!(plain && numOk)) {
+              val fn = h.group(1)
+              require(numOk, s"${fn.toUpperCase} in $where takes " +
+                s"(expr [, n]) with a literal non-negative n, got " +
+                s"'${text.substring(h.start, close + 1)}'")
+              val expr = parts.head
+              ("""(?i)\b(CLASSIFIER|MATCH_NUMBER|PREV|NEXT|FIRST|LAST)\s*\(""").r
+                .findFirstIn(maskedUpper(expr)).foreach { f =>
+                  throw new IllegalArgumentException(
+                    s"${f.trim}...) may not appear inside a navigated " +
+                      s"expression in $where: '$expr'")
+                }
+              val refs = symRefRx.findAllMatchIn(expr)
+                .map(_.group(1).toUpperCase).toList.distinct
+              require(refs.nonEmpty,
+                s"the expression inside ${fn.toUpperCase}() must reference at " +
+                  s"least one PATTERN_SYMBOL.column, got '$expr' in $where")
+              require(refs.length == 1,
+                s"all column references inside one navigation must name the " +
+                  s"SAME pattern variable (SQL:2016), got " +
+                  s"${refs.mkString(", ")} in '${fn.toUpperCase}($expr)'")
+              val stripped = symRefRx.replaceAllIn(expr,
+                mm => Regex.quoteReplacement(mm.group(2)))
+                .trim.replaceAll("""\s+""", " ")
+              val cname = exprNavs.getOrElseUpdate(stripped, s"__mrx_${exprNavs.size}")
+              val num = if (parts.length == 2) s", ${parts(1)}" else ""
+              text = text.substring(0, h.start) +
+                s"$fn(${refs.head}.$cname$num)" + text.substring(close + 1)
+              again = true
+            }
+          }
+        }
+      }
+      text
+    }
+
     // nested navigation (round 10): PREV/NEXT(FIRST/LAST(S.f [, k])
     // [, n]) — the ANCHOR row comes from classifier history, the
     // physical offset from the lag/lead window column read AT that
@@ -351,7 +429,8 @@ object MatchRecognizeSql {
           s"__mrh_${histNavs.size}"))
       })
     def xlate(defSym: String, cond: String): String = {
-      val c0 = xlateNested(cond)
+      val c0 = xlateNested(
+        xlateExprArgs(cond, "PREV|NEXT|FIRST|LAST", s"DEFINE $defSym"))
       val c1 = navRx.replaceAllIn(c0, h => {
         val fn = h.group(1).toLowerCase
         require(symSet.contains(h.group(2).toUpperCase),
@@ -374,9 +453,9 @@ object MatchRecognizeSql {
       ("""(?i)\b(PREV|NEXT|FIRST|LAST)\s*\(""").r.findFirstIn(maskedUpper(c2)).foreach { f =>
         throw new IllegalArgumentException(
           s"unsupported navigation '${f.trim}...' in DEFINE condition '$cond' — " +
-            "navigation takes SYMBOL.column (optionally nested, " +
-            "PREV/NEXT(FIRST/LAST(S.col, k), n)); arbitrary expressions " +
-            "inside navigation are not supported")
+            "navigation takes SYMBOL.column or a one-symbol expression " +
+            "(optionally nested, PREV/NEXT(FIRST/LAST(S.col, k), n)); " +
+            "deeper nesting is not supported")
       }
       // would otherwise surface as an opaque unresolved-function error
       ("""(?i)\b(CLASSIFIER|MATCH_NUMBER)\s*\(""").r
@@ -425,10 +504,15 @@ object MatchRecognizeSql {
         }
         measureNames :+= name
         val semRx = """(?is)^(RUNNING|FINAL)\s+(.+)$""".r
-        val (semantics, ex) = ex0 match {
+        val (semantics, exRaw) = ex0 match {
           case semRx(k, rest) => (k.toUpperCase, rest.trim)
           case _              => ("", ex0)
         }
+        // expression arguments (round 10) lower to synthetic-column
+        // plain forms first — see xlateExprArgs; MEASURES additionally
+        // admits computed MIN/MAX/SUM arguments this way
+        val ex = xlateExprArgs(exRaw, "PREV|NEXT|FIRST|LAST|MIN|MAX|SUM",
+          "MEASURES")
         val pfx = if (mode.startsWith("all") && semantics != "FINAL") "run_" else ""
         val aggRx = ("""(?i)^(FIRST|LAST|MIN|MAX|SUM)\s*\(\s*(""" + Ident +
           """)\s*\.\s*(""" + Ident + """)\s*(?:,\s*(\d+)\s*)?\)$""").r
@@ -479,9 +563,9 @@ object MatchRecognizeSql {
               .findFirstIn(maskedUpper(other)).isDefined =>
             throw new IllegalArgumentException(
               s"unsupported MEASURES navigation '${other.trim}' — supported: " +
-                "[RUNNING|FINAL] PREV/NEXT(SYMBOL.column [, n]) and " +
-                "PREV/NEXT(FIRST/LAST(SYMBOL.column [, k]) [, n]); navigation " +
-                "over arbitrary expressions is not")
+                "[RUNNING|FINAL] PREV/NEXT(SYMBOL.column-or-expression [, n]) " +
+                "and PREV/NEXT(FIRST/LAST(SYMBOL.column-or-expression [, k]) " +
+                "[, n]); deeper nesting is not")
           case aggRx(agg, s, f, n0) =>
             // optional SQL:2016 occurrence argument (round 10),
             // FIRST/LAST only
@@ -500,10 +584,10 @@ object MatchRecognizeSql {
             Some(s"$name:${pfx}last:${sym(s)}:$f") // Trino LAST semantics
           case other => throw new IllegalArgumentException(
             s"unsupported MEASURES expression '$other' — supported: " +
-              "[RUNNING|FINAL] FIRST/LAST/MIN/MAX/SUM(SYM.col), COUNT(*), " +
-              "COUNT(SYM.*), MATCH_NUMBER(), CLASSIFIER([SYM]), SYM.col " +
-              "(= LAST); COUNT(SYM.col) counts rows not non-nulls here, " +
-              "spell it COUNT(SYM.*)")
+              "[RUNNING|FINAL] FIRST/LAST/MIN/MAX/SUM(SYM.col-or-expression), " +
+              "COUNT(*), COUNT(SYM.*), MATCH_NUMBER(), CLASSIFIER([SYM]), " +
+              "SYM.col (= LAST); COUNT(SYM.col) counts rows not non-nulls " +
+              "here, spell it COUNT(SYM.*)")
         }
       }.mkString(",")
     }.getOrElse("")
@@ -514,16 +598,26 @@ object MatchRecognizeSql {
     val srcT = src.trim
     val isSub = srcT.startsWith("(")
     val inner = if (isSub) srcT.substring(1, srcT.length - 1).trim else srcT
+    // navigated expressions materialize on an INNER wrap so the nav
+    // lag/lead columns — and the matcher's classifier-history reads —
+    // see them as plain columns
+    val from0 = if (isSub) s"($inner) __graft_mr_src" else srcT
+    val fromX =
+      if (exprNavs.isEmpty) from0
+      else {
+        val cols = exprNavs.map { case (e, n) => s"($e) AS $n" }.mkString(", ")
+        s"(SELECT *, $cols FROM $from0) __graft_mr_esrc"
+      }
     val (srcArg, pre) =
-      if (navs.isEmpty) (inner, "false")
+      if (navs.isEmpty && exprNavs.isEmpty) (inner, "false")
+      else if (navs.isEmpty) (s"SELECT * FROM $fromX", "false")
       else {
         val navCols = navs.map { case ((fn, f, n), cname) =>
           val w = if (fn == "prev") "lag" else "lead"
           s"$w($f, $n) OVER (PARTITION BY ${parts.mkString(", ")} " +
             s"ORDER BY ${orders.mkString(", ")}) AS $cname"
         }.mkString(", ")
-        val from = if (isSub) s"($inner) __graft_mr_src" else srcT
-        (s"SELECT *, $navCols FROM $from", "true")
+        (s"SELECT *, $navCols FROM $fromX", "true")
       }
 
     def q(s: String): String = "'" + s.replace("'", "''") + "'"

@@ -219,11 +219,13 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
           U AS U.v > PREV(FIRST(D.v)))""")
     assert(d.contains("'__mrh_0:first:D:__mr_prev_v_1'"), d)
     assert(d.contains("'D:v < __mr_prev_v_1;U:v > __mrh_0'"), d)
-    // arbitrary expressions inside navigation stay loud
-    val e = intercept[Exception](rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+    // arbitrary expressions inside navigation lower to a synthetic
+    // source column (round 10 — previously a named rejection)
+    val e = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
         PARTITION BY k ORDER BY ts
-        PATTERN (A) DEFINE A AS PREV(A.v + 1) > 0)"""))
-    assert(e.getMessage.contains("navigation"), e.getMessage)
+        PATTERN (A) DEFINE A AS PREV(A.v + 1) > 0)""")
+    assert(e.contains("(v + 1) AS __mrx_0"), e)
+    assert(e.contains("'A:__mr_prev___mrx_0_1 > 0'"), e)
   }
 
   test("round-10 dialect: NULLS ordering, SKIP TO subset, PERMUTE, ALL ROWS sub-modes") {
@@ -258,6 +260,40 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(mode("ALL ROWS PER MATCH").contains("'all_show_empty'")) // SQL:2016 default
   }
 
+  test("navigation over expressions materializes synthetic source columns (round 10)") {
+    val out = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        MEASURES SUM(CAST(D.v < 50 AS INT)) AS nb, FIRST(D.a + D.b, 1) AS fab
+        PATTERN (D+ U) DEFINE D AS D.v < PREV(D.v * 0.5),
+          U AS U.v > FIRST(D.v * 1.02))""")
+    // DEFINE PREV over an expression -> lag over the materialized column
+    assert(out.contains("(v * 0.5) AS __mrx_0"), out)
+    assert(out.contains("lag(__mrx_0, 1) OVER (PARTITION BY k ORDER BY ts) AS __mr_prev___mrx_0_1"), out)
+    // DEFINE FIRST over an expression -> histnav placeholder over it
+    assert(out.contains("(v * 1.02) AS __mrx_1"), out)
+    assert(out.contains("__mrh_0:first:D:__mrx_1"), out)
+    // MEASURES: computed SUM + FIRST with an occurrence argument
+    assert(out.contains("(CAST(v < 50 AS INT)) AS __mrx_2"), out)
+    assert(out.contains("nb:sum:D:__mrx_2"), out)
+    assert(out.contains("(a + b) AS __mrx_3"), out)
+    assert(out.contains("fab:first:D:__mrx_3:1"), out)
+    // identical expression text shares ONE synthetic column
+    val out2 = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        PATTERN (A+) DEFINE A AS A.v > PREV(A.v * 2) AND A.w > NEXT(A.v * 2))""")
+    assert("__mrx_0".r.findAllIn(out2).size >= 2 && !out2.contains("__mrx_1"), out2)
+    // nested: the expression arm rewrites first, then the nested
+    // history-anchor + physical-offset lowering composes as usual
+    val out3 = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        PATTERN (D+ U) DEFINE D AS D.v < PREV(D.v),
+          U AS U.v > PREV(FIRST(D.v + D.w, 1), 2))""")
+    assert(out3.contains("(v + w) AS __mrx_0"), out3)
+    assert(out3.contains("lead") === false, out3)
+    assert(out3.contains("lag(__mrx_0, 2) OVER"), out3)
+    assert(out3.contains(":first:D:__mr_prev___mrx_0_2:1"), out3)
+  }
+
   test("unsupported forms fail loudly with the feature named") {
     def err(body: String): String =
       intercept[Exception](rewrite(
@@ -268,14 +304,20 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
       .contains("SUBSET member"))
     assert(err("PARTITION BY k ORDER BY ts AFTER MATCH SKIP HALFWAY PATTERN (A) DEFINE A AS A.v > 0")
       .contains("AFTER MATCH"))
-    assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS NEXT(A.v * 2) > 0")
+    assert(err("PARTITION BY k ORDER BY ts PATTERN (A B) DEFINE A AS NEXT(A.v + B.w) > 0")
+      .contains("SAME pattern variable"))
+    assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS NEXT(1 + 2) > 0")
+      .contains("PATTERN_SYMBOL.column"))
+    assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS PREV(A.v + CLASSIFIER()) > 0")
+      .contains("navigated expression"))
+    assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS NEXT(LAST(FIRST(A.v))) > 0")
       .contains("navigation"))
     assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS CLASSIFIER() = 'A'")
       .contains("DEFINE"))
     assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS MATCH_NUMBER() > 1")
       .contains("DEFINE"))
-    assert(err("PARTITION BY k ORDER BY ts MEASURES PREV(A.v + 1) AS pv PATTERN (A) DEFINE A AS A.v > 0")
-      .contains("MEASURES navigation"))
+    assert(err("PARTITION BY k ORDER BY ts MEASURES PREV(A.v + B.v) AS pv PATTERN (A B) DEFINE A AS A.v > 0")
+      .contains("SAME pattern variable"))
     assert(err("PARTITION BY k ORDER BY ts MEASURES MIN(A.v, 2) AS m PATTERN (A) DEFINE A AS A.v > 0")
       .contains("occurrence argument"))
     assert(err("PARTITION BY k ORDER BY ts MEASURES AVG(A.v) AS a PATTERN (A) DEFINE A AS A.v > 0")

@@ -279,10 +279,28 @@ class SqlSpec extends SparkSpec {
                U AS U.price > PREV(FIRST(D.price))
       )""").collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
     assert(nested.toSeq == Seq((1L, 1L, 9.0, 8.0)), nested.mkString(";"))
-    // navigation over arbitrary expressions stays a named rejection
+    // navigation over arbitrary expressions executes (round 10 — the
+    // dialect's last named rejection closed): FIRST(D.price * 1.1)
+    // materializes as a synthetic source column; the computed MEASURES
+    // SUM counts dip rows below 9. User 1 falls 10→8→6 then hits 9:
+    // the leftmost viable start is seq 2 (9 > 8 * 1.1 = 8.8), so
+    // D = {8, 6} — both below 9 — and the rebound is 9
+    val exprNav = spark.sql("""
+      SELECT * FROM mr_ticks MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY seq
+        MEASURES SUM(CAST(D.price < 9 AS INT)) AS n_below9,
+          LAST(U.price) AS rebound
+        ONE ROW PER MATCH
+        PATTERN (D+ U)
+        DEFINE D AS D.price < PREV(D.price), U AS U.price > FIRST(D.price * 1.1)
+      )""").collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(exprNav.toSeq == Seq((1L, 2L, 9.0)), exprNav.mkString(";"))
+    // two-variable expressions inside ONE navigation stay a named
+    // rejection (the SQL:2016 single-variable rule)
     failsWith("""SELECT * FROM mr_ticks MATCH_RECOGNIZE (
         PARTITION BY user_id ORDER BY seq
-        PATTERN (A) DEFINE A AS PREV(A.price + 1) > 0)""", "navigation")
+        PATTERN (A B) DEFINE A AS PREV(A.price + B.price) > 0)""",
+      "SAME pattern variable")
     // round 9: DESC ordering and SKIP TO NEXT ROW are dialect, not
     // errors — PREV navigates the DESC stream, and skip-to-next emits
     // one match per qualifying start (overlaps)
