@@ -541,6 +541,136 @@ object VectorOps {
       .select(col("id_v"), col("va"), col("na2"), col("cent_id"))
   }
 
+  /** Max eval-suite size the EXACT decontamination regime will
+    * broadcast and brute-force (N_train x N_eval dot products — at
+    * 100k evals that is 100k dots per training row, the practical
+    * ceiling for an exhaustive sweep; bigger suites go through
+    * [[semanticDecontaminateBanded]], whose candidate set scales with
+    * collisions, not the suite). */
+  private[operators] val EvalExactMaxRows = 100000L
+
+  /** Semantic DECONTAMINATION, exact regime: flag every training
+    * vector whose embedding lies within cosine `threshold` of ANY
+    * held-out eval vector — the embedding-space member of the
+    * decontamination family ([[graft.operators.TextOps.decontaminate]]
+    * is the n-gram member; this one catches paraphrased/translated
+    * leakage that shares no grams). Inputs carry (vec_id, embedding);
+    * output is the CONTAMINATED set with provenance — (vec_id, n_hits,
+    * first_hit = smallest hitting eval id, max_eval_cos) — and the
+    * clean train set is everything absent from it (the v08 contract).
+    *
+    * SCALE: the eval suite is the SMALL side by nature (thousands to
+    * ~100k rows vs a corpus) — it broadcasts once and every training
+    * partition streams against it with ZERO train-side shuffles; the
+    * only exchange is the final per-id aggregation over rows that
+    * actually hit (map-side partial aggregation collapses each train
+    * id within its one partition first). Guarded at
+    * [[EvalExactMaxRows]]: past that the N x E scoring term dominates
+    * and the banded regime is the right plan. Zero-norm vectors can
+    * contaminate nothing and are filtered on both sides. */
+  def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
+                            threshold: Double): DataFrame = {
+    val s = train.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val nEval = evalSet.count()
+    require(nEval <= EvalExactMaxRows,
+      s"semanticDecontaminate (exact) brute-forces train x eval and the eval " +
+        s"suite has $nEval rows (cap $EvalExactMaxRows): use " +
+        "semanticDecontaminateBanded, which prefilters candidates through " +
+        "hyperplane-LSH bands")
+    val t = train.selectExpr("vec_id AS id_t", "embedding AS vt",
+        "coalesce(vector_dot(embedding, embedding), CAST(0 AS DOUBLE)) AS nt2")
+      .filter(col("nt2") > 0)
+    val e = evalSet.selectExpr("vec_id AS id_e", "embedding AS ve",
+        "coalesce(vector_dot(embedding, embedding), CAST(0 AS DOUBLE)) AS ne2")
+      .filter(col("ne2") > 0)
+    t.crossJoin(broadcast(e))
+      .selectExpr("id_t", "id_e",
+        "vector_dot(vt, ve) / (SQRT(nt2) * SQRT(ne2)) AS cos")
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id_t").as("vec_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("id_e")).as("first_hit"),
+        round(max(col("cos")), 6).as("max_eval_cos"))
+  }
+
+  /** Hyperplane band values over an arbitrary (vec_id, embedding)
+    * frame — the fused [[graft.functions.HyperplaneBands]] kernel
+    * [[sigvDfFast]] uses, detached from the `embeddings` table read. */
+  private def bandsCol(nPlanes: Int, bandBits: Int): org.apache.spark.sql.Column = {
+    val ps = planesFor(nPlanes)
+    val matrix: Seq[Seq[Double]] =
+      (0 until nPlanes).map(p => (0 until 64).map(i => ps(p * 64 + i)._3))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    val e = graft.functions.HyperplaneBands(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("embedding"),
+      Literal.create(matrix, ArrayType(ArrayType(DoubleType))),
+      Literal.create(bandBits, IntegerType))
+    coalesce(org.apache.spark.sql.GraftSparkInternals.column(e),
+      lit(Array.empty[Long]))
+  }
+
+  /** Semantic decontamination, BANDED regime — the plan for eval
+    * suites past [[EvalExactMaxRows]]: candidate (train, eval) pairs
+    * must share a hyperplane-LSH band (the v04 machinery run
+    * BIPARTITE), then exact cosine verification on candidates only,
+    * then the same hit aggregation as the exact regime. Output shape
+    * and semantics match [[semanticDecontaminate]] except recall:
+    * a hit whose pair collides in no band is missed — the standard
+    * LSH trade, geometry-tunable (more/narrower bands = higher
+    * recall, more candidates). Pick the geometry by the THRESHOLD:
+    * contamination-grade similarity (cos >= ~0.8, per-plane agreement
+    * p = 1 - theta/pi >= ~0.8) collides reliably at the default 8-bit
+    * bands (identical embeddings — the paraphrase limit — collide in
+    * EVERY band, recall 1.0 deterministically); low thresholds
+    * (~0.35, p ~ 0.61, band collision p^8 ~ 2%) need narrow bands
+    * (20 planes x 4 bits measured 0.58 vs 0.19 on the gate corpus —
+    * VectorRecallSpec), at the price of fatter eval buckets. Asserted
+    * against the exact regime in VectorRecallSpec: banded hits are a
+    * SUBSET of exact hits (the verification is exact, so precision is
+    * 1.0 by construction).
+    *
+    * SCALE: the eval side explodes to E x nPlanes/bandBits band rows
+    * and broadcasts (the suite stays the small side); training rows
+    * stream against the broadcast band map with zero train-side
+    * shuffles — per-row cost is its band count plus exact dots for
+    * actual collisions, independent of corpus size. Multi-band
+    * collisions re-score and dedupe AFTER the threshold (the v04
+    * rule: distinct on surviving hits beats shuffling every
+    * candidate). */
+  def semanticDecontaminateBanded(train: DataFrame, evalSet: DataFrame,
+                                  threshold: Double, nPlanes: Int = 64,
+                                  bandBits: Int = 8): DataFrame = {
+    val s = train.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    require(nPlanes % bandBits == 0 && nPlanes / bandBits <= 64,
+      s"band geometry: nPlanes ($nPlanes) must be a multiple of bandBits " +
+        s"($bandBits), at most 64 bands")
+    val nEval = evalSet.count()
+    require(nEval <= 1000000L,
+      s"semanticDecontaminateBanded broadcasts the eval suite's bands and " +
+        s"got $nEval rows (cap 1000000): shard the suite or raise the " +
+        "geometry after sizing the executors for the broadcast")
+    val t = train.selectExpr("vec_id AS id_t", "embedding", "embedding AS vt",
+        "coalesce(vector_dot(embedding, embedding), CAST(0 AS DOUBLE)) AS nt2")
+      .filter(col("nt2") > 0)
+      .select(col("id_t"), col("vt"), col("nt2"),
+        posexplode(bandsCol(nPlanes, bandBits)).as(Seq("band_idx", "band_val")))
+    val e = evalSet.selectExpr("vec_id AS id_e", "embedding", "embedding AS ve",
+        "coalesce(vector_dot(embedding, embedding), CAST(0 AS DOUBLE)) AS ne2")
+      .filter(col("ne2") > 0)
+      .select(col("id_e"), col("ve"), col("ne2"),
+        posexplode(bandsCol(nPlanes, bandBits)).as(Seq("band_idx", "band_val")))
+    t.join(broadcast(e), Seq("band_idx", "band_val"))
+      .selectExpr("id_t", "id_e",
+        "vector_dot(vt, ve) / (SQRT(nt2) * SQRT(ne2)) AS cos")
+      .filter(col("cos") >= threshold)
+      .distinct() // multi-band collisions: same pair, same exact cos
+      .groupBy(col("id_t").as("vec_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("id_e")).as("first_hit"),
+        round(max(col("cos")), 6).as("max_eval_cos"))
+  }
+
   /** The index's centroid table as the assignment-side DataFrame —
     * metadata-sized (fixed k), double-cast once, norms precomputed. */
   private[operators] def indexCentroids(s: SparkSession, d: String, k: Int = 10): DataFrame = {
@@ -952,6 +1082,35 @@ object VectorOps {
           .agg(min(col("id_a")).as("dom_id"), count(lit(1)).as("n_dom"),
             round(max(col("cos")), 6).as("max_cos"))
       },
-      Some(v08OracleSql))
+      Some(v08OracleSql)),
+
+    // ------------------------------------------------------------------
+    // Semantic DECONTAMINATION (round 10): the embedding-space member
+    // of the decontamination family — t13/t24/t25 probe n-gram
+    // overlap against the eval suite, this flags training vectors
+    // cosine-close to an eval vector, the leakage mode (paraphrase,
+    // translation, format shuffle) that shares no grams. The split is
+    // the holdout convention: every 20th vec_id is "eval", the rest
+    // "train". Exact regime (eval suites are small by nature —
+    // broadcast + brute force, see the operator's scale notes); the
+    // banded-LSH regime for outsized suites is parity-asserted in
+    // VectorRecallSpec.
+    QueryEntry("t26_semantic_decontam",
+      (s, d) => {
+        val all = Tables(s, d, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        semanticDecontaminate(
+          all.filter(col("vec_id") % 20 =!= 0),
+          all.filter(col("vec_id") % 20 === 0), threshold = 0.35)
+      },
+      Some(s"""WITH $oVecs,
+        tr AS (SELECT * FROM en WHERE vec_id % 20 <> 0 AND n2 > 0),
+        ev AS (SELECT * FROM en WHERE vec_id % 20 = 0 AND n2 > 0),
+        hits AS (SELECT a.vec_id AS id_t, b.vec_id AS id_e,
+            $oDot / (SQRT(a.n2) * SQRT(b.n2)) AS cos
+          FROM tr a JOIN ev b ON true)
+        SELECT id_t AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+          MIN(id_e) AS first_hit, ROUND(MAX(cos), 6) AS max_eval_cos
+        FROM hits WHERE cos >= 0.35 GROUP BY id_t"""))
   )
 }

@@ -299,4 +299,60 @@ class VectorRecallSpec extends SparkSpec {
       assert(growth <= 35.0, s"pair-work growth $growth for 10x at N=$a exceeds the N^1.5 law")
     }
   }
+
+  test("t26 semantic decontamination: banded regime is a sound subset of exact, recall floor") {
+    import graft.operators.VectorOps
+    import graft.Tables
+    val all = Tables(spark, dir, "embeddings")
+    val train = all.filter(col("vec_id") % 20 =!= 0)
+    val ev = all.filter(col("vec_id") % 20 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val exact = rows(VectorOps.semanticDecontaminate(train, ev, 0.35))
+    val banded = rows(VectorOps.semanticDecontaminateBanded(train, ev, 0.35))
+    assert(exact.nonEmpty, "exact regime flagged nothing — test data changed?")
+    // soundness: verification is exact, so every banded flag is an
+    // exact flag, its hit count never exceeds exact's, its max cosine
+    // never exceeds exact's, and its first_hit is one of exact's hits
+    // (so never SMALLER than exact's smallest)
+    assert(banded.keySet.subsetOf(exact.keySet),
+      s"banded flagged non-contaminated ids: ${(banded.keySet -- exact.keySet).take(5)}")
+    banded.foreach { case (id, (n, fh, mc)) =>
+      val (en, efh, emc) = exact(id)
+      assert(n <= en && fh >= efh && mc <= emc, s"id $id: banded ($n,$fh,$mc) vs exact ($en,$efh,$emc)")
+    }
+    // recall, planted-leakage regime: real semantic contamination is
+    // HIGH-cosine (a paraphrase embeds near-identically) — plant eval
+    // copies of every 7th train vector and flag at 0.9. An identical
+    // vector shares EVERY band with its source, so the banded regime
+    // must recover ALL planted sources — deterministic recall 1.0 on
+    // the leakage it is built to catch
+    val plantedSrc = train.filter(col("vec_id") % 7 === 1)
+    val planted = plantedSrc.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    val srcIds = plantedSrc.select("vec_id").collect().map(_.getLong(0)).toSet
+    val bandedHi = rows(VectorOps.semanticDecontaminateBanded(train, planted, 0.9))
+    val exactHi = rows(VectorOps.semanticDecontaminate(train, planted, 0.9))
+    assert(srcIds.subsetOf(bandedHi.keySet),
+      s"banded missed planted identical leaks: ${(srcIds -- bandedHi.keySet).take(5)}")
+    assert(bandedHi.keySet.subsetOf(exactHi.keySet))
+    // the geometry lever at LOW thresholds: cos 0.35 pairs agree per
+    // plane with p ~ 0.61, so 8-bit bands collide at p^8 ~ 2% — narrow
+    // 4-bit bands are the right call there, and the operator exposes
+    // the knob. Both runs are deterministic; assert the lever works
+    val bandedNarrow = rows(VectorOps.semanticDecontaminateBanded(train, ev, 0.35,
+      nPlanes = 20, bandBits = 4))
+    assert(bandedNarrow.keySet.subsetOf(exact.keySet))
+    val rWide = banded.size.toDouble / exact.size
+    val rNarrow = bandedNarrow.size.toDouble / exact.size
+    info(f"banded decontam recall at 0.35: 64x8=$rWide%.3f, 20x4=$rNarrow%.3f")
+    assert(rNarrow > rWide && rNarrow >= 0.4,
+      f"narrow-band recall $rNarrow%.3f should beat wide $rWide%.3f and clear 0.4")
+    // the exact regime refuses an outsized eval suite BY NAME
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.semanticDecontaminate(train, all.crossJoin(
+        spark.range(201).toDF("rep")).select(col("vec_id"), col("embedding")), 0.35)
+    }
+    assert(e.getMessage.contains("semanticDecontaminateBanded"), e.getMessage)
+  }
 }
