@@ -442,13 +442,16 @@ object PatternMatch {
 
   // ---- measures -------------------------------------------------------
 
-  /** A measure column. `agg` in first|last|min|max|sum|count|classifier
-    * (classifier = the symbol name of the latest qualifying row — the
-    * SQL CLASSIFIER() function); `symbol` restricts to rows the winning
-    * path classified as that symbol — "*" = every matched row, and a
-    * `"A|B"` union spelling covers SQL:2016 SUBSET variables; `field`
-    * is the input column the aggregate reads (ignored for count and
-    * classifier). `running = true` (ALL ROWS PER MATCH only) evaluates
+  /** A measure column. `agg` in
+    * first|last|min|max|sum|avg|count|countf|classifier (classifier =
+    * the symbol name of the latest qualifying row — the SQL
+    * CLASSIFIER() function; countf = SQL COUNT(S.col), non-null rows
+    * only, where count is the COUNT(*) / COUNT(S.*) row count; avg
+    * reads out DOUBLE for every numeric family); `symbol` restricts to
+    * rows the winning path classified as that symbol — "*" = every
+    * matched row, and a `"A|B"` union spelling covers SQL:2016 SUBSET
+    * variables; `field` is the input column the aggregate reads
+    * (ignored for count and classifier). `running = true` (ALL ROWS PER MATCH only) evaluates
     * the aggregate over the match's rows UP TO each output row — the
     * SQL RUNNING semantics, the ALL ROWS default; `false` is FINAL
     * (whole-match value: the ONE ROW mode's only semantics, and a
@@ -495,6 +498,51 @@ object PatternMatch {
       private var c = 0L
       def add(v: Any): Unit = c += 1
       def value: Any = c
+    }
+    case "countf" => new Acc {
+      // COUNT(S.col): non-null qualifying rows only (SQL:2016 — the
+      // row-count form is COUNT(*) / COUNT(S.*))
+      private var c = 0L
+      def add(v: Any): Unit = if (v != null) c += 1
+      def value: Any = c
+    }
+    case "avg" => ft match {
+      // AVG reads out as DOUBLE for every family (see measureType);
+      // nulls are skipped and an all-null match reads null. Integral
+      // fields sum exactly in BigInt with ONE divide at read — a
+      // per-row double accumulation would corrupt |v| > 2^53 ids and
+      // drift from the oracle's exact-sum-then-divide convention.
+      case DoubleType | FloatType => new Acc {
+        private var c = 0L; private var s = 0.0
+        def add(v: Any): Unit = if (v != null) {
+          s += v.asInstanceOf[java.lang.Number].doubleValue(); c += 1
+        }
+        def value: Any = if (c == 0L) null else s / c
+      }
+      case ByteType | ShortType | IntegerType | LongType => new Acc {
+        private var c = 0L; private var s = BigInt(0)
+        def add(v: Any): Unit = if (v != null) {
+          s += v.asInstanceOf[java.lang.Number].longValue(); c += 1
+        }
+        def value: Any =
+          if (c == 0L) null
+          else (BigDecimal(s, java.math.MathContext.DECIMAL128) / c).toDouble
+      }
+      case _: DecimalType => new Acc {
+        private var c = 0L; private var s: java.math.BigDecimal = null
+        def add(v: Any): Unit = if (v != null) {
+          val d = v.asInstanceOf[java.math.BigDecimal]
+          s = if (s == null) d else s add d; c += 1
+        }
+        def value: Any =
+          if (c == 0L) null
+          else s.divide(new java.math.BigDecimal(c),
+            java.math.MathContext.DECIMAL128).doubleValue()
+      }
+      case other => sys.error(
+        s"measure ${msr.name}: avg over unsupported field type $other — " +
+          "supported: TINYINT/SMALLINT/INT/BIGINT/FLOAT/DOUBLE/DECIMAL " +
+          "(cast DATE/STRING fields explicitly first)")
     }
     case "first" => new Acc {
       // occ-th qualifying row, 0-based (SQL:2016 occurrence argument);
@@ -814,8 +862,12 @@ object PatternMatch {
     // the exact type, sum widens precision by 10 capped at 38, the
     // same rule Spark's own Sum aggregate applies (see [[accFor]]).
     def measureType(ms: Measure): DataType = ms.agg match {
-      case "count"          => LongType
+      case "count" | "countf" => LongType
       case "classifier"     => StringType
+      // AVG is DOUBLE whatever the input family — the DuckDB/Trino
+      // convention for integral inputs, and the simplest exact-enough
+      // contract for DECIMAL (one divide at read, not per-row)
+      case "avg"            => DoubleType
       case "first" | "last" => fieldType(ms.field)
       case "min" | "max" | "sum" => fieldType(ms.field) match {
         case DoubleType | FloatType => DoubleType

@@ -511,13 +511,17 @@ object MatchRecognizeSql {
         // expression arguments (round 10) lower to synthetic-column
         // plain forms first — see xlateExprArgs; MEASURES additionally
         // admits computed MIN/MAX/SUM arguments this way
-        val ex = xlateExprArgs(exRaw, "PREV|NEXT|FIRST|LAST|MIN|MAX|SUM",
+        val ex = xlateExprArgs(exRaw, "PREV|NEXT|FIRST|LAST|MIN|MAX|SUM|AVG",
           "MEASURES")
         val pfx = if (mode.startsWith("all") && semantics != "FINAL") "run_" else ""
-        val aggRx = ("""(?i)^(FIRST|LAST|MIN|MAX|SUM)\s*\(\s*(""" + Ident +
+        val aggRx = ("""(?i)^(FIRST|LAST|MIN|MAX|SUM|AVG)\s*\(\s*(""" + Ident +
           """)\s*\.\s*(""" + Ident + """)\s*(?:,\s*(\d+)\s*)?\)$""").r
         val cntStarRx = """(?i)^COUNT\s*\(\s*\*\s*\)$""".r
         val cntSymRx = ("""(?i)^COUNT\s*\(\s*(""" + Ident + """)\s*\.\s*\*\s*\)$""").r
+        // COUNT(S.col) — SQL:2016 counts the symbol's NON-NULL rows
+        // (the row-count spellings are COUNT(*) / COUNT(S.*))
+        val cntFldRx = ("""(?i)^COUNT\s*\(\s*(""" + Ident + """)\s*\.\s*(""" +
+          Ident + """)\s*\)$""").r
         val mnRx = """(?i)^MATCH_NUMBER\s*\(\s*\)$""".r
         val clsRx = """(?i)^CLASSIFIER\s*\(\s*\)$""".r
         val clsSymRx = ("""(?i)^CLASSIFIER\s*\(\s*(""" + Ident + """)\s*\)$""").r
@@ -577,6 +581,8 @@ object MatchRecognizeSql {
               (if (occ > 0) s":$occ" else ""))
           case cntStarRx()      => Some(s"$name:${pfx}count:*")
           case cntSymRx(s)      => Some(s"$name:${pfx}count:${sym(s)}")
+          case cntFldRx(s, f) if known(s) =>
+            Some(s"$name:${pfx}countf:${sym(s)}:$f")
           case mnRx()           => mnAliases :+= name; None
           case clsRx()          => Some(s"$name:${pfx}classifier:*")
           case clsSymRx(s)      => Some(s"$name:${pfx}classifier:${sym(s)}")
@@ -584,10 +590,9 @@ object MatchRecognizeSql {
             Some(s"$name:${pfx}last:${sym(s)}:$f") // Trino LAST semantics
           case other => throw new IllegalArgumentException(
             s"unsupported MEASURES expression '$other' — supported: " +
-              "[RUNNING|FINAL] FIRST/LAST/MIN/MAX/SUM(SYM.col-or-expression), " +
-              "COUNT(*), COUNT(SYM.*), MATCH_NUMBER(), CLASSIFIER([SYM]), " +
-              "SYM.col (= LAST); COUNT(SYM.col) counts rows not non-nulls " +
-              "here, spell it COUNT(SYM.*)")
+              "[RUNNING|FINAL] FIRST/LAST/MIN/MAX/SUM/AVG(SYM.col-or-expression), " +
+              "COUNT(*), COUNT(SYM.*), COUNT(SYM.col) (non-null rows), " +
+              "MATCH_NUMBER(), CLASSIFIER([SYM]), SYM.col (= LAST)")
         }
       }.mkString(",")
     }.getOrElse("")

@@ -294,6 +294,19 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(out3.contains(":first:D:__mr_prev___mrx_0_2:1"), out3)
   }
 
+  test("AVG and non-null COUNT lower as measure aggregates (round 10)") {
+    val out = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        MEASURES FINAL AVG(D.v) AS mean_v, COUNT(D.w) AS n_w,
+          RUNNING AVG(D.v * 2) AS run2
+        ALL ROWS PER MATCH
+        PATTERN (D+) DEFINE D AS D.v > 0)""")
+    assert(out.contains("mean_v:avg:D:v"), out)         // explicit FINAL
+    assert(out.contains("n_w:run_countf:D:w"), out)     // ALL ROWS default = RUNNING
+    assert(out.contains("(v * 2) AS __mrx_0"), out)     // computed AVG argument
+    assert(out.contains("run2:run_avg:D:__mrx_0"), out)
+  }
+
   test("unsupported forms fail loudly with the feature named") {
     def err(body: String): String =
       intercept[Exception](rewrite(
@@ -320,8 +333,8 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
       .contains("SAME pattern variable"))
     assert(err("PARTITION BY k ORDER BY ts MEASURES MIN(A.v, 2) AS m PATTERN (A) DEFINE A AS A.v > 0")
       .contains("occurrence argument"))
-    assert(err("PARTITION BY k ORDER BY ts MEASURES AVG(A.v) AS a PATTERN (A) DEFINE A AS A.v > 0")
-      .contains("MEASURES expression"))
+    assert(err("PARTITION BY k ORDER BY ts MEASURES COUNT(A.v + 1) AS c PATTERN (A) DEFINE A AS A.v > 0")
+      .contains("MEASURES expression")) // COUNT takes *, S.* or a plain S.col
     assert(err("ORDER BY ts PATTERN (A) DEFINE A AS A.v > 0")
       .contains("PARTITION BY"))
   }

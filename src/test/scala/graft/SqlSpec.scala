@@ -148,6 +148,38 @@ class SqlSpec extends SparkSpec {
     assert(ts > n / 20 && ts < n / 5, s"TABLESAMPLE expected ~10% of $n, got $ts")
   }
 
+  test("AVG and non-null COUNT measures evaluate per SQL:2016 (round 10)") {
+    import spark.implicits._
+    // v carries a NULL so COUNT(A.v) and COUNT(A.*) must diverge and
+    // AVG must skip the null row; seq is integral so AVG(A.seq)
+    // exercises the exact BigInt-sum-then-divide path
+    Seq((1L, 1, Some(10.0)), (1L, 2, None), (1L, 3, Some(4.0)),
+        (2L, 1, Some(2.0)), (2L, 2, Some(6.0)))
+      .toDF("k", "seq", "v").createOrReplaceTempView("mr_avg")
+    val one = spark.sql("""
+      SELECT k, mean_v, n_v, n_rows, mean_seq FROM mr_avg MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY seq
+        MEASURES AVG(A.v) AS mean_v, COUNT(A.v) AS n_v,
+          COUNT(A.*) AS n_rows, AVG(A.seq) AS mean_seq
+        PATTERN (A+) DEFINE A AS A.seq > 0
+      )""").collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(one.toSet == Set((1L, 7.0, 2L, 3L, 2.0), (2L, 4.0, 2L, 2L, 1.5)),
+      one.mkString(";"))
+    // RUNNING semantics under ALL ROWS: the null row leaves both the
+    // running mean and the running non-null count unchanged
+    val run = spark.sql("""
+      SELECT seq, ra, rc FROM mr_avg MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY seq
+        MEASURES RUNNING AVG(A.v) AS ra, RUNNING COUNT(A.v) AS rc
+        ALL ROWS PER MATCH
+        PATTERN (A+) DEFINE A AS A.seq > 0
+      ) WHERE k = 1""").collect().map(r =>
+        (r.getInt(0), Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2)))
+    assert(run.toSeq == Seq((1, Some(10.0), 1L), (2, Some(10.0), 1L),
+      (3, Some(7.0), 2L)), run.mkString(";"))
+  }
+
   test("Trino MATCH_RECOGNIZE clause: the SQL Lab shape parses and matches") {
     import spark.implicits._
     Seq((1L, 1, 10.0), (1L, 2, 8.0), (1L, 3, 6.0), (1L, 4, 9.0), (1L, 5, 11.0),
