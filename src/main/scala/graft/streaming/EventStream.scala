@@ -252,6 +252,81 @@ object EventStream {
     }
   }
 
+  /** Ceiling on the eval suite [[decontaminateEmbeddings]] carries per
+    * executor (~0.5 KB/vector at dim 64 -> ~10 MB at the cap, and the
+    * real bound is compute: per-row cost is |suite| x dim
+    * multiply-adds, ~1.3M at the cap — ~1 ms/row). A bigger suite
+    * belongs to the batch banded regime
+    * ([[graft.operators.VectorOps.semanticDecontaminateBanded]]),
+    * whose candidate work scales with band collisions instead. */
+  val MaxIngestEvalVecs: Int = 20000
+
+  /** Ingest-time SEMANTIC decontamination — the streaming twin of
+    * [[graft.operators.VectorOps.semanticDecontaminate]] and the
+    * embedding-space sibling of [[decontaminateDocs]]: flag rows whose
+    * `embedding` lies within cosine `threshold` of ANY vector in a
+    * STATIC held-out eval suite as they land — the leakage mode
+    * (paraphrase, translation, format shuffle) n-gram probes cannot
+    * see. Entirely STATELESS and map-side: no watermark, no join, no
+    * streaming aggregation — the whole per-row sweep folds inside ONE
+    * codegen'd kernel ([[graft.functions.CosineHits]]) whose suite
+    * materializes once per task, so rows ride an append-mode stream
+    * untouched and the plan stays a single Project.
+    *
+    * Output: input columns + `n_hits` (eval vectors at or past the
+    * threshold), `first_hit` (smallest hitting eval vec_id, null when
+    * clean), `max_eval_cos` (strongest cosine, round 6, null when
+    * clean), `contaminated`. Unlike the batch operator — whose output
+    * is the contaminated set only — every row passes through flagged,
+    * the ingest-filter contract. Arithmetic matches the batch regime
+    * bit for bit (see the kernel's scaladoc); parity is asserted in
+    * StreamingSpec. The eval suite (`vec_id`, `embedding`) collects to
+    * the driver once at construction (eager, like the batch regimes),
+    * zero-norm eval vectors — which can contaminate nothing — are
+    * dropped, and the count is guarded by [[MaxIngestEvalVecs]]. */
+  def decontaminateEmbeddings(vecs: DataFrame, evalSet: DataFrame,
+                              threshold: Double): DataFrame = {
+    val taken = vecs.columns.filter(c => c.startsWith("__graft_") ||
+      c == "n_hits" || c == "first_hit" || c == "max_eval_cos" || c == "contaminated")
+    require(taken.isEmpty,
+      s"decontaminateEmbeddings: input columns ${taken.mkString(",")} collide " +
+        "with the op's output/plumbing names (__graft_* reserved; n_hits, " +
+        "first_hit, max_eval_cos, contaminated are outputs) — rename them first")
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val rows = evalSet
+      .selectExpr("vec_id", "embedding",
+        "coalesce(vector_dot(embedding, embedding), CAST(0 AS DOUBLE)) AS n2")
+      .filter(col("n2") > 0)
+      .select("vec_id", "embedding")
+      .limit(MaxIngestEvalVecs + 1).collect()
+    require(rows.length <= MaxIngestEvalVecs,
+      s"decontaminateEmbeddings: eval suite exceeds $MaxIngestEvalVecs vectors — " +
+        "an ingest filter's reference suite must be executor-memory-sized; " +
+        "run the batch banded regime (VectorOps.semanticDecontaminateBanded) " +
+        "instead")
+    // sorted by id: the kernel's first hit in scan order IS min(id)
+    val sorted = rows.map { r =>
+      val v = r.getSeq[Any](1).map {
+        case f: java.lang.Float  => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+        case other => sys.error(s"decontaminateEmbeddings: non-numeric " +
+          s"embedding element $other in eval vec_id ${r.getLong(0)}")
+      }.toArray
+      r.getLong(0) -> v
+    }.sortBy(_._1)
+    val hitsExpr = org.apache.spark.sql.GraftSparkInternals.column(
+      graft.functions.CosineHits(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("embedding"),
+        sorted.map(_._1), sorted.map(_._2), threshold))
+    vecs
+      .withColumn("__graft_sdc", hitsExpr)
+      .withColumn("n_hits", coalesce(col("__graft_sdc.n_hits"), lit(0L)))
+      .withColumn("first_hit", col("__graft_sdc.first_hit"))
+      .withColumn("max_eval_cos", round(col("__graft_sdc.max_cos"), 6))
+      .withColumn("contaminated", col("n_hits") > 0)
+      .drop("__graft_sdc")
+  }
+
   /** Incremental EXACT near-dup at ingest against a GROWING signature
     * index (round 10) — the streaming twin of the batch LSH sweep
     * (t02), not just the signature-equality thinning of

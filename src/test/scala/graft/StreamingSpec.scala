@@ -281,6 +281,58 @@ class StreamingSpec extends SparkSpec {
     assert(batchAll.get(2L).contains(got(2L)._1.toLong), s"$batchAll vs ${got(2L)}")
   }
 
+  test("streaming semantic decontamination: cosine kernel, exact batch parity (r10)") {
+    import org.apache.spark.sql.types._
+    val all = Tables(spark, sf(), "embeddings").select("vec_id", "embedding")
+    val train = all.filter($"vec_id" % 20 =!= 0)
+    val evalSet = all.filter($"vec_id" % 20 === 0)
+    val landing = Files.createTempDirectory("graft_sdc_landing").toString
+    val ckpt = Files.createTempDirectory("graft_sdc_ckpt").toString
+    val out = Files.createTempDirectory("graft_sdc_out").toString
+    // land the train side plus two degenerate rows the batch operator
+    // filters away up front: a zero vector and a NULL embedding —
+    // both must stream through clean, not crash the kernel
+    val dim = all.head().getSeq[Float](1).length
+    train.write.mode("append").parquet(landing)
+    Seq((900001L, Some(Seq.fill(dim)(0.0f))), (900002L, None))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(landing)
+
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .parquet(landing)
+    val q = EventStream.writeParquet(
+      EventStream.decontaminateEmbeddings(stream, evalSet, 0.35), out, ckpt)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+
+    val got = spark.read.parquet(out).collect().map(r =>
+      r.getAs[Long]("vec_id") -> ((r.getAs[Long]("n_hits"),
+        Option(r.get(r.fieldIndex("first_hit"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("max_eval_cos"))).map(_.asInstanceOf[Double]),
+        r.getAs[Boolean]("contaminated")))).toMap
+    assert(got.size == train.count() + 2, "every landed row passes through")
+    assert(got(900001L) == ((0L, None, None, false)), got(900001L))
+    assert(got(900002L) == ((0L, None, None, false)), got(900002L))
+
+    // batch parity: the flagged set and every provenance column agree
+    // with the exact batch regime BIT FOR BIT (same accumulation
+    // order, same norms, same division, same round-6)
+    val batch = graft.operators.VectorOps.semanticDecontaminate(train, evalSet, 0.35)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("first_hit"),
+          r.getAs[Double]("max_eval_cos")))).toMap
+    assert(batch.nonEmpty, "batch regime flagged nothing — test data changed?")
+    val streamFlagged = got.collect { case (id, (n, fh, mc, true)) =>
+      id -> ((n, fh.get, mc.get)) }
+    assert(streamFlagged == batch, s"stream ${streamFlagged.size} flagged vs " +
+      s"batch ${batch.size}: diff ${(streamFlagged.toSet diff batch.toSet).take(3)} / " +
+      s"${(batch.toSet diff streamFlagged.toSet).take(3)}")
+    // and clean rows carry the zero/None shape, never a partial flag
+    got.collect { case (id, t @ (n, fh, mc, false)) =>
+      assert(n == 0L && fh.isEmpty && mc.isEmpty, s"$id: $t")
+    }
+  }
+
   test("streaming decontamination past the inline ceiling degrades to the bloom tier (r10)") {
     import org.apache.spark.sql.types._
     // same fixture as the inline test, but the routing entry point is
