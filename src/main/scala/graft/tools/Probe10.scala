@@ -137,6 +137,38 @@ object Probe10 {
           s"""{"probe":"sndi","dir":"$dir","docs":$nDocs,"dups":$nDups,""" +
             s""""sec":${f3(secs)},"docs_per_sec":${f3(nDocs / secs)},""" +
             s""""max_files_per_trigger":$maxFiles,"loadavg_before":$load}"""
+        case "sdecon" =>
+          // Semantic-decontamination tiers at one corpus (round 10):
+          // exact broadcast regime vs banded-LSH regime vs the
+          // streaming ingest kernel applied batch-side (same Project,
+          // so the rate IS the stream's per-row ceiling). Suite =
+          // every 20th vec_id with id/20 under the cap (deterministic,
+          // ~rep-0 rows); train = everything else. Contamination-grade
+          // threshold 0.8 — the regime the operators are built for.
+          val dir = parts(1)
+          val evalCap = if (parts.length > 2) parts(2).toLong else 2000L
+          val all = graft.Tables(spark, dir, "embeddings")
+            .select("vec_id", "embedding")
+          val evalSet = all.filter(col("vec_id") % 20 === 0 &&
+            col("vec_id") / 20 < evalCap).localCheckpoint()
+          val train = all.filter(col("vec_id") % 20 =!= 0)
+          val (nT, nE) = (train.count(), evalSet.count())
+          def timeCount(df: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+            val t0 = System.nanoTime()
+            val n = df.count()
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+          val (sx, fx) = timeCount(
+            graft.operators.VectorOps.semanticDecontaminate(train, evalSet, 0.8))
+          val (sb, fb) = timeCount(
+            graft.operators.VectorOps.semanticDecontaminateBanded(train, evalSet, 0.8))
+          val (sk, nk) = timeCount(
+            graft.streaming.EventStream.decontaminateEmbeddings(train, evalSet, 0.8))
+          s"""{"probe":"sdecon","dir":"$dir","n_train":$nT,"n_eval":$nE,""" +
+            s""""sec_exact":${f3(sx)},"flagged_exact":$fx,""" +
+            s""""sec_banded":${f3(sb)},"flagged_banded":$fb,""" +
+            s""""sec_kernel":${f3(sk)},"kernel_rows_per_s":${(nk / math.max(sk, 1e-9)).toLong},""" +
+            s""""loadavg_before":$load}"""
         case "bandauto" =>
           val dir = parts(1)
           val b = if (parts.length > 2) Some(parts(2).toInt) else None
