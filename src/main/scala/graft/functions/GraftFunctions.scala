@@ -361,21 +361,38 @@ object GraftFunctions {
         else if (mode.endsWith("_next")) "to next row"
         else "past last row"
       // classifier-history navigation spec (round 10):
-      // 'placeholder:first|last:SYM:col[;...]' — FIRST/LAST(sym.col)
-      // inside DEFINE, bound by the matcher during the NFA walk
+      // 'placeholder:first|last:SYM:col[:occ][;...]' — FIRST/LAST(sym.col)
+      // inside DEFINE, bound by the matcher during the NFA walk.
+      // Round 11 adds the classifier/match-number kinds:
+      //   name:cls_first|cls_last:SYM_or_*:-[:occ]  FIRST/LAST(CLASSIFIER([S]))
+      //   name:clsprev:*:-:n                        PREV(CLASSIFIER(), n)
+      //   name:matchnum:*:-                         MATCH_NUMBER()
       val navRefs =
         if (exprs.length < 10) Nil
         else str(exprs(9), "histnav").split(";").map(_.trim).filter(_.nonEmpty).toSeq
           .map { h =>
+            def mk(nm: String, fl: String, sym: String, f: String, occ: Int) =
+              fl match {
+                case "first" | "last" =>
+                  graft.operators.PatternMatch.NavRef(nm, fl == "first", sym, f, occ)
+                case "cls_first" | "cls_last" =>
+                  graft.operators.PatternMatch.NavRef(nm, fl == "cls_first", sym,
+                    "", occ, kind = "cls")
+                case "clsprev" =>
+                  graft.operators.PatternMatch.NavRef(nm, first = false, "*", "",
+                    occ, kind = "clsprev")
+                case "matchnum" =>
+                  graft.operators.PatternMatch.NavRef(nm, first = false, "*", "",
+                    0, kind = "matchnum")
+                case other => throw new IllegalArgumentException(
+                  s"bad histnav entry '$h' (unknown nav kind '$other')")
+              }
             h.split(":").map(_.trim) match {
-              case Array(nm, fl, sym, f) if fl == "first" || fl == "last" =>
-                graft.operators.PatternMatch.NavRef(nm, fl == "first", sym, f)
-              // 5th field = SQL:2016 occurrence argument (round 10)
-              case Array(nm, fl, sym, f, occ) if fl == "first" || fl == "last" =>
-                graft.operators.PatternMatch.NavRef(nm, fl == "first", sym, f,
-                  occ.toInt)
+              case Array(nm, fl, sym, f)      => mk(nm, fl, sym, f, 0)
+              // 5th field = SQL:2016 occurrence argument / PREV offset
+              case Array(nm, fl, sym, f, occ) => mk(nm, fl, sym, f, occ.toInt)
               case other => throw new IllegalArgumentException(
-                s"bad histnav entry '$h' (want name:first|last:SYM:col[:occ])")
+                s"bad histnav entry '$h' (want name:kind:SYM:col[:occ])")
             }
           }
       val out = mode.stripSuffix("_next") match {

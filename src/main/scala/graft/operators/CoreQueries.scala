@@ -1114,6 +1114,67 @@ object CoreQueries {
           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS start_ts,
           CAST(t.ern - t.prn + 1 AS BIGINT) AS n_down,
           t.bottom, t.uval AS rebound, t.n_below50
-        FROM meas t JOIN d p ON p.user_id = t.user_id AND p.rn = t.prn"""))
+        FROM meas t JOIN d p ON p.user_id = t.user_id AND p.rn = t.prn""")),
+
+    // ------------------------------------------------------------------
+    // CLASSIFIER() / MATCH_NUMBER() inside DEFINE (round 11, the
+    // dialect's last named rejection closed): B admits only when the
+    // physical predecessor's in-flight label is 'A' — so greedy B+
+    // collapses to EXACTLY one row (a second B sees PREV(CLASSIFIER())
+    // = 'B') — and only while the in-flight match number is <= 3.
+    // Oracle closed form (proven against the matcher on random streams
+    // in PatternMatchSpec): matches are (drop row p, successor p+1)
+    // pairs consumed left to right with SKIP PAST LAST ROW. A
+    // successor row is either the next drop of the SAME maximal
+    // drop-run or a non-drop row, so runs pair independently, and
+    // within a maximal run of consecutive drop positions [s..e] the
+    // match starts are exactly s, s+2, s+4, ... (each match eats two
+    // rows; a start needs a successor row, i.e. p < the partition's
+    // row count). MATCH_NUMBER() is monotone per partition, so the
+    // <= 3 gate truncates to the first three matches and can never
+    // resurrect a later one.
+    QueryEntry("q38_pattern_define_classifier",
+      (s, d) => {
+        t(s, d, "events").createOrReplaceTempView("mr_events")
+        s.sql("""
+          SELECT * FROM (
+            SELECT user_id, ts, event_id, value,
+                   date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s
+            FROM mr_events WHERE event_type = 'purchase'
+          ) MATCH_RECOGNIZE (
+            PARTITION BY user_id
+            ORDER BY ts, event_id
+            MEASURES FIRST(A.ts_s) AS start_ts, A.value AS drop_v,
+              B.value AS next_v
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B+)
+            DEFINE A AS A.value < PREV(A.value),
+                   B AS PREV(CLASSIFIER()) = 'A' AND MATCH_NUMBER() <= 3
+          )""")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        d AS (SELECT user_id, ts, event_id, value,
+            value - LAG(value) OVER w AS delta,
+            ROW_NUMBER() OVER w AS rn,
+            COUNT(*) OVER (PARTITION BY user_id) AS nrows
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        dr AS (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          FROM d WHERE delta < 0),
+        runs AS (SELECT user_id, grp, MIN(rn) AS srn FROM dr GROUP BY user_id, grp),
+        starts AS (SELECT dr.user_id, dr.rn AS p
+          FROM dr JOIN runs ON runs.user_id = dr.user_id AND runs.grp = dr.grp
+          WHERE (dr.rn - runs.srn) % 2 = 0 AND dr.rn < dr.nrows),
+        m AS (SELECT user_id, p,
+            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p) AS match_num
+          FROM starts)
+        SELECT m.user_id, m.match_num,
+          STRFTIME(a.ts, '%Y-%m-%d %H:%M:%S') AS start_ts,
+          a.value AS drop_v, b.value AS next_v
+        FROM m
+        JOIN d a ON a.user_id = m.user_id AND a.rn = m.p
+        JOIN d b ON b.user_id = m.user_id AND b.rn = m.p + 1
+        WHERE m.match_num <= 3"""))
   )
 }

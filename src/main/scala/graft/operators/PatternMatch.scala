@@ -239,7 +239,11 @@ object PatternMatch {
     * defined). */
   private[graft] trait NavCtx {
     def isNav(sym: Int): Boolean
-    def eval(cls: Array[Int], start: Int, pos: Int, sym: Int): Boolean
+    /** `mnum` (round 11) is the number the in-flight match will receive
+      * if it completes — `MATCH_NUMBER()` inside DEFINE reads it. It is
+      * monotone within a key group, so a predicate gating on it can
+      * only stop admitting, never resume. */
+    def eval(cls: Array[Int], start: Int, pos: Int, sym: Int, mnum: Long): Boolean
   }
 
   /** All matches in one key group (rows already in order): leftmost
@@ -274,7 +278,8 @@ object PatternMatch {
       p match {
         case Sym(i) =>
           if (pos < n && truth(pos)(i) &&
-            (nav == null || !nav.isNav(i) || nav.eval(cls, start, pos, i))) {
+            (nav == null || !nav.isNav(i) ||
+              nav.eval(cls, start, pos, i, out.size + 1L))) {
             val prev = cls(pos); cls(pos) = i
             if (k(pos + 1)) true else { cls(pos) = prev; false }
           } else false
@@ -318,7 +323,7 @@ object PatternMatch {
               var go = true
               while (go && end < n && truth(end)(si) &&
                 (max == -1 || end - pos < max)) {
-                if (nav.eval(cls, start, end, si)) {
+                if (nav.eval(cls, start, end, si, out.size + 1L)) {
                   buf += cls(end); cls(end) = si; end += 1
                 } else go = false
               }
@@ -484,9 +489,25 @@ object PatternMatch {
     * from its end; null (predicate false) when fewer exist yet.
     * `symbol` accepts the "A|B" union spelling (like
     * [[Measure.symbol]]) — a SQL:2016 SUBSET variable navigates the
-    * union of its members' mapped rows. */
+    * union of its members' mapped rows.
+    *
+    * `kind` (round 11) widens the same placeholder mechanism to the
+    * last DEFINE-side SQL:2016 functions:
+    *  - `"field"` (default): the FIRST/LAST(sym.field) read above.
+    *  - `"cls"`: `FIRST/LAST(CLASSIFIER([sym])[, occ])` — the value is
+    *    the NAME of the symbol the match-so-far classified the
+    *    navigated row as (STRING; the candidate row reads the symbol
+    *    being tried). `symbol = "*"` means any matched row (bare
+    *    CLASSIFIER()); `field` is ignored.
+    *  - `"clsprev"`: `PREV(CLASSIFIER(), occ)` — the classifier of the
+    *    row `occ` physical rows before the candidate; NULL when that
+    *    row precedes the match's start (rows outside the current match
+    *    have no classifier, per the standard).
+    *  - `"matchnum"`: `MATCH_NUMBER()` — the LONG number the in-flight
+    *    match will take. Monotone per key group, so gates like
+    *    `MATCH_NUMBER() <= k` truncate cleanly. */
   final case class NavRef(name: String, first: Boolean, symbol: String,
-                          field: String, occ: Int = 0)
+                          field: String, occ: Int = 0, kind: String = "field")
 
   /** Incremental measure accumulator — ONE implementation evaluates
     * both FINAL (fed the whole match) and RUNNING (value read after
@@ -809,15 +830,32 @@ object PatternMatch {
     require(navNames.distinct.length == navNames.length,
       s"duplicate nav placeholder names: ${navNames.mkString(",")}")
     navRefs.foreach { r =>
-      r.symbol.split("""\|""").foreach(s0 => require(symNames.contains(s0),
-        s"nav ref ${r.name}: unknown pattern symbol '$s0' in '${r.symbol}'"))
-      require(inSchema.fieldNames.contains(r.field),
-        s"nav ref ${r.name}: unknown input column '${r.field}'")
+      r.kind match {
+        case "field" =>
+          r.symbol.split("""\|""").foreach(s0 => require(symNames.contains(s0),
+            s"nav ref ${r.name}: unknown pattern symbol '$s0' in '${r.symbol}'"))
+          require(inSchema.fieldNames.contains(r.field),
+            s"nav ref ${r.name}: unknown input column '${r.field}'")
+        case "cls" =>
+          if (r.symbol != "*")
+            r.symbol.split("""\|""").foreach(s0 => require(symNames.contains(s0),
+              s"nav ref ${r.name}: unknown pattern symbol '$s0' in '${r.symbol}'"))
+        case "clsprev" =>
+          require(r.occ >= 1,
+            s"nav ref ${r.name}: PREV(CLASSIFIER(), n) needs n >= 1 (n = 0 is " +
+              "the current row — spell it CLASSIFIER())")
+        case "matchnum" => ()
+        case other => sys.error(s"nav ref ${r.name}: unknown kind '$other' " +
+          "(want field | cls | clsprev | matchnum)")
+      }
       require(!inSchema.fieldNames.contains(r.name),
         s"nav placeholder '${r.name}' collides with an input column — rename it")
     }
-    val navFieldSchema = navRefs.map(r =>
-      StructField(r.name, fieldType(r.field), nullable = true))
+    val navFieldSchema = navRefs.map(r => StructField(r.name, r.kind match {
+      case "field"           => fieldType(r.field)
+      case "cls" | "clsprev" => StringType
+      case "matchnum"        => LongType
+    }, nullable = true))
     // (symbol name, resolved predicate or null, referenced input cols)
     val navResolved: Map[String, (Expression, Seq[String])] =
       if (navRefs.isEmpty) Map.empty
@@ -908,7 +946,8 @@ object PatternMatch {
     // projection; a NAV symbol's boolean column is a placeholder true —
     // the matcher evaluates the full predicate during matching
     val navInputFields =
-      (navResolved.values.flatMap(_._2) ++ navRefs.map(_.field)).toSeq.distinct
+      (navResolved.values.flatMap(_._2) ++
+        navRefs.filter(_.kind == "field").map(_.field)).toSeq.distinct
     val projected = df.select(
       (partitionBy ++ orderNames ++ measureFields ++ navInputFields)
         .distinct.map(col) ++
@@ -955,12 +994,26 @@ object PatternMatch {
           }.orNull
         }.toArray
       }
-    // (first?, target symbol index set — unions spell SUBSETs, field
-    // ordinal in pSchema, field type, occurrence offset)
-    val navRefArr: Array[(Boolean, Set[Int], Int, DataType, Int)] = navRefs.map { r =>
-      (r.first, r.symbol.split("""\|""").map(symNames.indexOf).toSet,
-        pSchema.fieldIndex(r.field), fieldType(r.field), r.occ)
-    }.toArray
+    // (kind: 0=field 1=cls 2=clsprev 3=matchnum, first?, target symbol
+    // index set — unions spell SUBSETs, null = "*" any matched row,
+    // field ordinal in pSchema (-1 for non-field kinds), field type,
+    // occurrence / physical offset)
+    val navRefArr: Array[(Int, Boolean, Set[Int], Int, DataType, Int)] =
+      navRefs.map { r =>
+        val kindI = r.kind match {
+          case "field" => 0; case "cls" => 1; case "clsprev" => 2; case "matchnum" => 3
+        }
+        val tSyms =
+          if (kindI >= 2 || r.symbol == "*") null
+          else r.symbol.split("""\|""").map(symNames.indexOf).toSet
+        val fOrd = if (kindI == 0) pSchema.fieldIndex(r.field) else -1
+        val fType = if (kindI == 0) fieldType(r.field) else NullType
+        (kindI, r.first, tSyms, fOrd, fType, r.occ)
+      }.toArray
+    // symbol names as UTF8String for CLASSIFIER placeholders — the
+    // predicates evaluate over InternalRow, whose string format this is
+    val symNamesU8: Array[org.apache.spark.unsafe.types.UTF8String] =
+      symNames.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
 
     val sorted =
       if (prePartitioned) projected
@@ -998,37 +1051,56 @@ object PatternMatch {
           private val navRow = new GenericInternalRow(navVals)
           private val joined = new JoinedRow()
           def isNav(s: Int): Boolean = navIsNav(s)
-          def eval(cls: Array[Int], start: Int, pos: Int, sym: Int): Boolean = {
+          def eval(cls: Array[Int], start: Int, pos: Int, sym: Int,
+                   mnum: Long): Boolean = {
             var x = 0
             while (x < navRefArr.length) {
-              val (first, tSyms, fOrd, fType, occ) = navRefArr(x)
-              // history = cls(start until pos) plus the candidate row,
-              // tentatively classified `sym` (RUNNING semantics); occ
-              // skips that many qualifying rows from the chosen end;
-              // tSyms with >1 member is a SUBSET union
-              var j = -1
-              var skip = occ
-              if (first) {
-                var i = start
-                while (j < 0 && i < pos) {
-                  if (tSyms(cls(i))) { if (skip == 0) j = i else skip -= 1 }
-                  i += 1
-                }
-                if (j < 0 && skip == 0 && tSyms(sym)) j = pos
-              } else {
-                if (tSyms(sym)) { if (skip == 0) j = pos else skip -= 1 }
-                if (j < 0) {
-                  var i = pos - 1
-                  while (j < 0 && i >= start) {
-                    if (tSyms(cls(i))) { if (skip == 0) j = i else skip -= 1 }
-                    i -= 1
+              val (kind, first, tSyms, fOrd, fType, occ) = navRefArr(x)
+              navVals(x) = kind match {
+                case 3 => mnum // MATCH_NUMBER(): the in-flight number
+                case 2 =>
+                  // PREV(CLASSIFIER(), occ): the classifier occ physical
+                  // rows back — NULL before the match's start (rows
+                  // outside the current match have no classifier)
+                  val j = pos - occ
+                  if (j < start) null else symNamesU8(cls(j))
+                case _ =>
+                  // history = cls(start until pos) plus the candidate
+                  // row, tentatively classified `sym` (RUNNING
+                  // semantics); occ skips that many qualifying rows from
+                  // the chosen end; tSyms with >1 member is a SUBSET
+                  // union, null = "*" (any matched row — every history
+                  // row qualifies, and so does the candidate)
+                  var j = -1
+                  var skip = occ
+                  if (first) {
+                    var i = start
+                    while (j < 0 && i < pos) {
+                      if (tSyms == null || tSyms(cls(i))) {
+                        if (skip == 0) j = i else skip -= 1
+                      }
+                      i += 1
+                    }
+                    if (j < 0 && skip == 0 && (tSyms == null || tSyms(sym))) j = pos
+                  } else {
+                    if (tSyms == null || tSyms(sym)) {
+                      if (skip == 0) j = pos else skip -= 1
+                    }
+                    if (j < 0) {
+                      var i = pos - 1
+                      while (j < 0 && i >= start) {
+                        if (tSyms == null || tSyms(cls(i))) {
+                          if (skip == 0) j = i else skip -= 1
+                        }
+                        i -= 1
+                      }
+                    }
                   }
-                }
+                  if (j < 0) null
+                  else if (kind == 1) symNamesU8(if (j == pos) sym else cls(j))
+                  else if (internal(j).isNullAt(fOrd)) null
+                  else internal(j).get(fOrd, fType)
               }
-              navVals(x) =
-                if (j < 0) null
-                else if (internal(j).isNullAt(fOrd)) null
-                else internal(j).get(fOrd, fType)
               x += 1
             }
             navPreds(sym).eval(joined.apply(internal(pos), navRow))

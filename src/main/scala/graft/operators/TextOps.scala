@@ -352,12 +352,19 @@ object TextOps {
     * rate (SCALE.md r9 (a) finding 2) — the auto pick samples it. */
   val DecontamAutoProbeMinGrams: Long = 1L * 1000 * 1000
 
-  /** Corpus grams sampled by the auto regime's hit-rate probe — the
-    * FIRST rows of the gram stream (one narrow LocalLimit job, reads a
-    * few input partitions, never a full pass). A prefix is a biased
-    * sample of DOCS but the decision only needs gram-level hit-rate
-    * ORDER OF MAGNITUDE: the threshold separates ~0% (a real held-out
-    * suite) from tens-of-percent (contaminated/synthetic corpora). */
+  /** Corpus grams sampled by the auto regime's hit-rate probe,
+    * INTERLEAVED across the corpus (round 11, r10 verdict #2): an
+    * equal-share prefix of EVERY input partition rather than one
+    * global stream prefix. Each task stops after its share, so the
+    * cost envelope stays "read ~this many grams, never a full pass",
+    * but a corpus whose contaminated docs cluster in late PARTITIONS
+    * (the adversarial ordering a stream prefix reads as ~0%) now
+    * contributes those partitions to the sample. Residual bias:
+    * clustering WITHIN a partition's own prefix — gram order inside a
+    * partition tracks doc order; the decision only needs hit-rate
+    * ORDER OF MAGNITUDE (the threshold separates ~0% held-out suites
+    * from tens-of-percent saturated corpora), and a wrong pick only
+    * costs time, never changes the exact result. */
   val DecontamProbeSampleGrams: Int = 100 * 1000
 
   /** Sampled hit rate at or above which the middle band keeps the
@@ -390,9 +397,12 @@ object TextOps {
     *    `broadcastMaxGrams` bloom, at or below `probeMinGrams`
     *    broadcast, and in the MIDDLE BAND (round 10, r9 verdict #2) it
     *    measures the axis the count cannot see — corpus hit rate:
-    *    build the bloom (the bloom regime needs it anyway), probe the
-    *    first [[DecontamProbeSampleGrams]] corpus grams against it
-    *    (one narrow LocalLimit job, cost measured in SCALE.md r10),
+    *    build the bloom (the bloom regime needs it anyway), probe
+    *    ~[[DecontamProbeSampleGrams]] corpus grams against it sampled
+    *    as an equal-share prefix of EVERY partition (round 11 — each
+    *    task stops after its share, so the cost envelope stays one
+    *    bounded narrow job, never a full pass; see the constant's doc
+    *    for the bias analysis),
     *    and keep broadcast only when the sampled hit rate reaches
     *    `probeHighHitRate` (a saturated corpus, where the prescreen
     *    filters nothing and measured 3.5x slower) — a realistic ~0%
@@ -464,9 +474,17 @@ object TextOps {
         else {
           // middle band: the regime hinges on corpus hit rate (SCALE.md
           // r9 (a) finding 2). The bloom regime needs the bitset anyway,
-          // so build it, probe a bounded corpus-gram prefix, and decide.
+          // so build it, probe a bounded INTERLEAVED corpus-gram sample
+          // (equal share of every partition's prefix — a global stream
+          // prefix read adversarially ordered corpora as ~0%, r10
+          // verdict #2), and decide.
           val bf = bloomBytesFor(eg, n)
-          val sample = trainGrams.select("g").limit(DecontamProbeSampleGrams)
+          val gdf = trainGrams.select("g")
+          val nParts = math.max(1, gdf.queryExecution.toRdd.getNumPartitions)
+          val perPart = math.max(1L,
+            (DecontamProbeSampleGrams.toLong + nParts - 1) / nParts).toInt
+          import s.implicits._
+          val sample = gdf.as[String].mapPartitions(_.take(perPart)).toDF("g")
             .agg(
               sum(when(call_function("might_contain", lit(bf), col("g")), 1L)
                 .otherwise(0L)).as("hits"),

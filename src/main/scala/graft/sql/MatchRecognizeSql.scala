@@ -67,11 +67,20 @@ import scala.util.matching.Regex
   * offset. Navigation over arbitrary expressions (PREV(A.v + 1),
   * FIRST(D.a * 1.02), SUM(CAST(D.v < 50 AS INT)) in MEASURES) lowers
   * each one-symbol expression onto a synthetic source column (round
-  * 10, closing the last named rejection) — see xlateExprArgs. The
-  * remaining rejections, LOUD with the feature named: navigation
-  * nested deeper than PREV/NEXT(FIRST/LAST(...)), and expressions
-  * mixing two pattern variables inside one navigation (SQL:2016
-  * forbids those too).
+  * 10) — see xlateExprArgs. CLASSIFIER() and MATCH_NUMBER() inside
+  * DEFINE (round 11, closing the dialect's last named rejection) lower
+  * onto the same matcher-bound placeholder pool — CLASSIFIER() folds
+  * to the defining symbol's name (RUNNING LAST = the candidate row's
+  * tentative label), CLASSIFIER(S) / FIRST/LAST(CLASSIFIER([S])[, k])
+  * navigate the in-flight classification, PREV(CLASSIFIER()[, n])
+  * reads the physical predecessor's label (NULL before the match
+  * start), and MATCH_NUMBER() is the number the in-flight match will
+  * take (see xlateClassifier). The remaining rejections, LOUD with the
+  * feature named: navigation nested deeper than
+  * PREV/NEXT(FIRST/LAST(...)), expressions mixing two pattern
+  * variables inside one navigation (SQL:2016 forbids those too),
+  * NEXT(CLASSIFIER()) (future rows are unclassified), and
+  * CLASSIFIER/MATCH_NUMBER inside a navigated expression.
   */
 object MatchRecognizeSql {
 
@@ -377,12 +386,21 @@ object MatchRecognizeSql {
                 s"(expr [, n]) with a literal non-negative n, got " +
                 s"'${text.substring(h.start, close + 1)}'")
               val expr = parts.head
-              ("""(?i)\b(CLASSIFIER|MATCH_NUMBER|PREV|NEXT|FIRST|LAST)\s*\(""").r
-                .findFirstIn(maskedUpper(expr)).foreach { f =>
-                  throw new IllegalArgumentException(
-                    s"${f.trim}...) may not appear inside a navigated " +
-                      s"expression in $where: '$expr'")
-                }
+              // in DEFINE, aggregates are banned INSIDE a navigated
+              // expression too (there is no grouping to aggregate over
+              // — r10-ADVICE: FIRST(MIN(D.v)) used to lower the MIN
+              // into the source projection and die opaquely later);
+              // in MEASURES they are legal top-level aggs, handled by
+              // the innermost-first sweep
+              val banned =
+                if (where.startsWith("DEFINE"))
+                  """(?i)\b(CLASSIFIER|MATCH_NUMBER|PREV|NEXT|FIRST|LAST|MIN|MAX|SUM|AVG|COUNT)\s*\("""
+                else """(?i)\b(CLASSIFIER|MATCH_NUMBER|PREV|NEXT|FIRST|LAST)\s*\("""
+              banned.r.findFirstIn(maskedUpper(expr)).foreach { f =>
+                throw new IllegalArgumentException(
+                  s"${f.trim}...) may not appear inside a navigated " +
+                    s"expression in $where: '$expr'")
+              }
               val refs = symRefRx.findAllMatchIn(expr)
                 .map(_.group(1).toUpperCase).toList.distinct
               require(refs.nonEmpty,
@@ -428,9 +446,91 @@ object MatchRecognizeSql {
           (fl, target, cname + (if (occ > 0) s":$occ" else "")),
           s"__mrh_${histNavs.size}"))
       })
+    // ---- CLASSIFIER() / MATCH_NUMBER() inside DEFINE (round 11, the
+    // dialect's last named rejection): the matcher already threads the
+    // in-flight classification and match count through predicate
+    // evaluation (PatternMatch.NavCtx), so these lower onto the same
+    // __mrh_N placeholder pool —
+    //   CLASSIFIER()                     -> '<defSym>' literal (RUNNING
+    //                                       LAST = the candidate row's
+    //                                       tentative label, a constant)
+    //   CLASSIFIER(S | SUBSET)           -> last-classifier placeholder
+    //   FIRST/LAST(CLASSIFIER([S])[, k]) -> classifier-history placeholder
+    //   PREV(CLASSIFIER()[, n])          -> physical-offset classifier
+    //                                       (NULL before the match start)
+    //   MATCH_NUMBER()                   -> in-flight match number (LONG)
+    // NEXT(CLASSIFIER()) stays a loud rejection — rows after the one
+    // under evaluation are not yet classified.
+    def xlateClassifier(defSym: String, cond: String): String = {
+      if (("""(?i)\b(CLASSIFIER|MATCH_NUMBER)\b""").r
+          .findFirstIn(maskedUpper(cond)).isEmpty) return cond
+      var c = cond
+      ("""(?i)\bNEXT\s*\(\s*CLASSIFIER\b""").r.findFirstIn(maskedUpper(c)).foreach { _ =>
+        throw new IllegalArgumentException(
+          s"NEXT(CLASSIFIER(...)) in DEFINE is not supported — rows after " +
+            s"the one under evaluation are not yet classified; condition: '$cond'")
+      }
+      val prevClsRx = ("""(?i)\bPREV\s*\(\s*CLASSIFIER\s*\(\s*(""" + Ident +
+        """)?\s*\)\s*(?:,\s*(\d+)\s*)?\)""").r
+      c = prevClsRx.replaceAllIn(c, h => {
+        require(h.group(1) == null,
+          s"PREV(CLASSIFIER(${h.group(1)}), n) is not supported — physical " +
+            "navigation of a set-qualified classifier mixes two navigation " +
+            "modes; navigate the set with FIRST/LAST(CLASSIFIER(" +
+            s"${h.group(1)}), k) instead")
+        val n = Option(h.group(2)).map(_.toInt).getOrElse(1)
+        if (n == 0) Regex.quoteReplacement(s"'$defSym'") // PREV(x,0) = x here
+        else Regex.quoteReplacement(histNavs.getOrElseUpdate(
+          ("clsprev", "*", s"-:$n"), s"__mrh_${histNavs.size}"))
+      })
+      val flClsRx = ("""(?i)\b(FIRST|LAST)\s*\(\s*CLASSIFIER\s*\(\s*(""" + Ident +
+        """)?\s*\)\s*(?:,\s*(\d+)\s*)?\)""").r
+      c = flClsRx.replaceAllIn(c, h => {
+        val fn = "cls_" + h.group(1).toLowerCase
+        val target = Option(h.group(2))
+          .map(s => navTarget(h.group(1), s, s"CLASSIFIER(${h.group(2)})"))
+          .getOrElse("*")
+        val occ = Option(h.group(3)).map(_.toInt).getOrElse(0)
+        Regex.quoteReplacement(histNavs.getOrElseUpdate(
+          (fn, target, "-" + (if (occ > 0) s":$occ" else "")),
+          s"__mrh_${histNavs.size}"))
+      })
+      // any CLASSIFIER/MATCH_NUMBER still inside a navigation or
+      // aggregate call is an unsupported composite — reject BEFORE the
+      // bare folds below could silently change its meaning (folding
+      // CLASSIFIER() to the defining symbol is only correct at the
+      // candidate row, not under PREV/FIRST/...)
+      val m0 = maskedUpper(c)
+      ("""(?i)\b(PREV|NEXT|FIRST|LAST|MIN|MAX|SUM|AVG|COUNT)\s*\(""").r
+        .findAllMatchIn(m0).foreach { h =>
+          val close = closeParen(m0, h.end - 1)
+          if (close > 0 && ("""\b(CLASSIFIER|MATCH_NUMBER)\b""").r
+              .findFirstIn(m0.substring(h.end, close)).isDefined)
+            throw new IllegalArgumentException(
+              s"${h.group(1)}(...) over an expression containing CLASSIFIER/" +
+                "MATCH_NUMBER is not supported in DEFINE — supported forms: " +
+                "CLASSIFIER([S]), FIRST/LAST(CLASSIFIER([S])[, k]), " +
+                s"PREV(CLASSIFIER()[, n]), MATCH_NUMBER(); condition: '$cond'")
+        }
+      c = ("""(?i)\bCLASSIFIER\s*\(\s*\)""").r.replaceAllIn(c,
+        Regex.quoteReplacement(s"'$defSym'"))
+      val bareClsRx = ("""(?i)\bCLASSIFIER\s*\(\s*(""" + Ident + """)\s*\)""").r
+      c = bareClsRx.replaceAllIn(c, h => {
+        val target = navTarget("CLASSIFIER", h.group(1), s"CLASSIFIER(${h.group(1)})")
+        Regex.quoteReplacement(histNavs.getOrElseUpdate(
+          ("cls_last", target, "-"), s"__mrh_${histNavs.size}"))
+      })
+      // function form: the placeholder must register only when a
+      // MATCH_NUMBER() actually occurs (an eager argument would run
+      // getOrElseUpdate unconditionally)
+      ("""(?i)\bMATCH_NUMBER\s*\(\s*\)""").r.replaceAllIn(c, _ =>
+        Regex.quoteReplacement(histNavs.getOrElseUpdate(
+          ("matchnum", "*", "-"), s"__mrh_${histNavs.size}")))
+    }
     def xlate(defSym: String, cond: String): String = {
       val c0 = xlateNested(
-        xlateExprArgs(cond, "PREV|NEXT|FIRST|LAST", s"DEFINE $defSym"))
+        xlateExprArgs(xlateClassifier(defSym, cond),
+          "PREV|NEXT|FIRST|LAST", s"DEFINE $defSym"))
       val c1 = navRx.replaceAllIn(c0, h => {
         val fn = h.group(1).toLowerCase
         require(symSet.contains(h.group(2).toUpperCase),
@@ -457,14 +557,17 @@ object MatchRecognizeSql {
             "(optionally nested, PREV/NEXT(FIRST/LAST(S.col, k), n)); " +
             "deeper nesting is not supported")
       }
-      // would otherwise surface as an opaque unresolved-function error
+      // backstop: every supported CLASSIFIER/MATCH_NUMBER form was
+      // consumed by xlateClassifier above — a survivor is a spelling we
+      // don't parse, and would otherwise surface as an opaque
+      // unresolved-function error
       ("""(?i)\b(CLASSIFIER|MATCH_NUMBER)\s*\(""").r
         .findFirstIn(maskedUpper(c2)).foreach { f =>
           throw new IllegalArgumentException(
-            s"${f.trim}...) inside DEFINE is not supported — it is a " +
-              "MEASURES function here; express the condition through the " +
-              "symbols themselves (each DEFINE already knows which symbol " +
-              "it tests)")
+            s"unsupported ${f.trim}...) form in DEFINE condition '$cond' — " +
+              "supported: CLASSIFIER() (= the symbol being defined), " +
+              "CLASSIFIER(S_or_SUBSET), FIRST/LAST(CLASSIFIER([S])[, k]), " +
+              "PREV(CLASSIFIER()[, n]) and MATCH_NUMBER()")
         }
       val out = symRefRx.replaceAllIn(c2, h => {
         val t = h.group(1).toUpperCase

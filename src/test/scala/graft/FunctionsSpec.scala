@@ -469,6 +469,35 @@ class FunctionsSpec extends SparkSpec {
       s"low-hit middle band should bloom-prefilter: ${cold.take(800)}")
   }
 
+  test("auto middle-band probe is order-robust: late-partition contamination reads hot (r11)") {
+    // the adversarial ordering from the r10 verdict: every contaminated
+    // gram lives in the corpus's LAST partitions. A global stream-prefix
+    // probe (the r10 spelling) reads ~0% there and picks bloom on a
+    // 25%-saturated corpus (the measured 3.5x-slower configuration);
+    // the interleaved per-partition probe reads every partition's share
+    // (6 clean + 2 hot partitions -> ~25% sampled) and keeps broadcast.
+    val clean = spark.range(0, 300000).selectExpr(
+      "id AS doc_id", "'web' AS source", "concat('clean_', id) AS g").repartition(6)
+    val hot = spark.range(0, 100000).selectExpr(
+      "id + 1000000 AS doc_id", "'web' AS source",
+      "concat('hot_', id % 50000) AS g").repartition(2)
+    val train = clean.union(hot) // union concatenates partitions: clean first
+    val eval = spark.range(0, 50000).selectExpr("concat('hot_', id) AS g")
+    val plan = graft.operators.TextOps.decontaminate(train, eval,
+      regime = "auto", broadcastMaxGrams = Long.MaxValue, probeMinGrams = 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") && !plan.contains("might_contain"),
+      s"late-clustered contamination should sample >=10% and broadcast: ${plan.take(800)}")
+    // and the inverse stays true: a genuinely held-out suite (no
+    // overlap anywhere) still reads ~0% and bloom-prefilters
+    val cold = graft.operators.TextOps.decontaminate(train,
+      spark.range(0, 50000).selectExpr("concat('held_', id) AS g"),
+      regime = "auto", broadcastMaxGrams = Long.MaxValue, probeMinGrams = 0L)
+      .queryExecution.executedPlan.toString
+    assert(cold.contains("might_contain") && !cold.contains("BroadcastExchange"),
+      s"held-out suite should bloom-prefilter: ${cold.take(800)}")
+  }
+
   test("GraftExtensions injects every function at session build (spark.sql.extensions)") {
     // Build a session WITHOUT imperative register(): extensions only —
     // the path spark-submit / Thrift server / Connect deployments use.

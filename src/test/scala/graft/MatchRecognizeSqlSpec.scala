@@ -307,6 +307,33 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(out.contains("run2:run_avg:D:__mrx_0"), out)
   }
 
+  test("CLASSIFIER()/MATCH_NUMBER() in DEFINE lower to matcher placeholders (round 11)") {
+    // bare CLASSIFIER() is the candidate row's tentative label = the
+    // symbol being defined — a constant, folded to a string literal;
+    // the navigating forms and MATCH_NUMBER() ride the histnav spec
+    val out = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        PATTERN (A B+) DEFINE A AS A.v < 0,
+          B AS PREV(CLASSIFIER()) = 'A' AND MATCH_NUMBER() <= 3
+            AND CLASSIFIER() = 'B')""")
+    assert(out.replaceAll("""\s+""", " ")
+      .contains("__mrh_0 = ''A'' AND __mrh_1 <= 3 AND ''B'' = ''B''"), out)
+    assert(out.contains("'__mrh_0:clsprev:*:-:1;__mrh_1:matchnum:*:-'"), out)
+    // pure-classifier DEFINE: no window wrapper needed
+    assert(out.contains("'false', 'past last row'"), out)
+    // FIRST/LAST(CLASSIFIER([S])[, k]) and CLASSIFIER(SUBSET) = LAST
+    val out2 = rewrite("""SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY ts
+        SUBSET W = (A, B)
+        PATTERN ((A | B)+ C) DEFINE A AS A.v < 0, B AS B.v >= 0,
+          C AS FIRST(CLASSIFIER()) = 'A' AND LAST(CLASSIFIER(W), 1) = 'B'
+            AND CLASSIFIER(W) = 'B' AND PREV(CLASSIFIER(), 2) = 'A')""")
+    // placeholder numbering follows pass order (PREV forms first)
+    assert(out2.contains(
+      "'__mrh_0:clsprev:*:-:2;__mrh_1:cls_first:*:-;__mrh_2:cls_last:A|B:-:1;__mrh_3:cls_last:A|B:-'"),
+      out2)
+  }
+
   test("unsupported forms fail loudly with the feature named") {
     def err(body: String): String =
       intercept[Exception](rewrite(
@@ -322,13 +349,18 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
     assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS NEXT(1 + 2) > 0")
       .contains("PATTERN_SYMBOL.column"))
     assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS PREV(A.v + CLASSIFIER()) > 0")
-      .contains("navigated expression"))
+      .contains("CLASSIFIER"))
     assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS NEXT(LAST(FIRST(A.v))) > 0")
       .contains("navigation"))
-    assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS CLASSIFIER() = 'A'")
-      .contains("DEFINE"))
-    assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS MATCH_NUMBER() > 1")
-      .contains("DEFINE"))
+    // round 11: classifier corners that stay out, named loudly
+    assert(err("PARTITION BY k ORDER BY ts PATTERN (A B) DEFINE B AS NEXT(CLASSIFIER()) = 'A'")
+      .contains("not yet classified"))
+    assert(err("PARTITION BY k ORDER BY ts SUBSET W = (A, B) PATTERN (A B) DEFINE B AS PREV(CLASSIFIER(W)) = 'A'")
+      .contains("set-qualified"))
+    // r10-ADVICE: aggregates inside a navigated DEFINE expression used
+    // to lower into the source projection and die opaquely later
+    assert(err("PARTITION BY k ORDER BY ts PATTERN (D+ U) DEFINE U AS U.v > FIRST(MIN(D.v))")
+      .contains("navigated expression"))
     assert(err("PARTITION BY k ORDER BY ts MEASURES PREV(A.v + B.v) AS pv PATTERN (A B) DEFINE A AS A.v > 0")
       .contains("SAME pattern variable"))
     assert(err("PARTITION BY k ORDER BY ts MEASURES MIN(A.v, 2) AS m PATTERN (A) DEFINE A AS A.v > 0")

@@ -824,4 +824,118 @@ class PatternMatchSpec extends SparkSpec {
       "n_down", "n_up", "bottom", "peak"))
     assert(q.count() > 0)
   }
+
+  // ---- CLASSIFIER()/MATCH_NUMBER() inside DEFINE (round 11) -----------
+
+  test("PREV(CLASSIFIER()) + MATCH_NUMBER() in DEFINE: pair funnel, capped (round 11)") {
+    import spark.implicits._
+    import graft.operators.PatternMatch.NavRef
+    // PATTERN (A B+), A = drop, B = PREV(CLASSIFIER())='A' AND mn<=3:
+    // B+ collapses to one row (second B sees 'B'), matches are
+    // (drop, successor) pairs eaten left to right, first three only.
+    // v = 10,8,7,9,6,5,4,3,2,1 → drop runs rn[2,3], rn[5..10];
+    // matches (2,3), (5,6), (7,8); the (9,10) attempt sees mn=4 → out.
+    val df = Seq(10.0, 8.0, 7.0, 9.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0)
+      .zipWithIndex.map { case (v, i) => (1, i + 1, v) }.toDF("k", "seq", "v")
+      .withColumn("delta", col("v") - lag(col("v"), 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("seq")))
+    val out = PatternMatch.matchPattern(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq(
+        "A" -> (col("delta") < 0),
+        "B" -> (col("__pc") === "A" && col("__mn") <= 3)),
+      pattern = "A B+",
+      measures = Seq(
+        Measure("drop_v", "last", "A", "v"),
+        Measure("next_v", "last", "B", "v")),
+      navRefs = Seq(
+        NavRef("__pc", first = false, "*", "", occ = 1, kind = "clsprev"),
+        NavRef("__mn", first = false, "*", "", kind = "matchnum")))
+    val rows = out.collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq.sortBy(_._1)
+    assert(rows === Seq((1L, 8.0, 7.0), (2L, 6.0, 5.0), (3L, 4.0, 3.0)), rows)
+  }
+
+  test("FIRST(CLASSIFIER()) in DEFINE reads the match's first label (round 11)") {
+    import spark.implicits._
+    import graft.operators.PatternMatch.NavRef
+    // C admits only when the match STARTED on an A row: k=1 (-1,5,12)
+    // matches; k=2 (3,5,12) never does (FIRST(CLASSIFIER())='B').
+    val df = Seq((1, 1, -1.0), (1, 2, 5.0), (1, 3, 12.0),
+      (2, 1, 3.0), (2, 2, 5.0), (2, 3, 12.0)).toDF("k", "seq", "v")
+    val out = PatternMatch.matchPattern(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq(
+        "A" -> (col("v") < 0),
+        "B" -> (col("v") >= 0 && col("v") < 10),
+        "C" -> (col("__fc") === "A" && col("v") >= 10)),
+      pattern = "(A|B)+ C",
+      measures = Seq(Measure("n", "count", "*")),
+      navRefs = Seq(NavRef("__fc", first = true, "*", "", kind = "cls")))
+    val rows = out.collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(rows === Seq((1, 3L)), rows.mkString(","))
+  }
+
+  test("PREV(CLASSIFIER()) is NULL before the match start (round 11)") {
+    import spark.implicits._
+    import graft.operators.PatternMatch.NavRef
+    // B at the match's FIRST row reads PREV(CLASSIFIER()) = NULL (the
+    // predecessor is outside the match) → 3VL false; only a B preceded
+    // in-match by A admits. Pattern (A? B): row 1 alone can't match B
+    // (no in-match predecessor), rows (1,2) match as (A, B).
+    val df = Seq((1, 1, 1.0), (1, 2, 2.0)).toDF("k", "seq", "v")
+    val out = PatternMatch.matchPattern(df,
+      partitionBy = Seq("k"), orderBy = Seq("seq"),
+      symbols = Seq(
+        "A" -> lit(true),
+        "B" -> (col("__pc") === "A")),
+      pattern = "A? B",
+      measures = Seq(Measure("n", "count", "*"),
+        Measure("bv", "last", "B", "v")),
+      navRefs = Seq(NavRef("__pc", first = false, "*", "", occ = 1, kind = "clsprev")))
+    val rows = out.collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows === Seq((1L, 2L, 2.0)), rows.mkString(","))
+  }
+
+  test("q38 SQL semantics agree with a brute-force reference on 300 random streams") {
+    import spark.implicits._
+    // End-to-end through the MATCH_RECOGNIZE rewrite + TVF: the q38
+    // funnel (A = drop, B = PREV(CLASSIFIER())='A' AND mn<=3) has a
+    // one-pass closed form — eat (drop, successor) pairs left to
+    // right, stop after three.
+    val rnd = new scala.util.Random(1138)
+    val streams = (0 until 300).map { caseNo =>
+      val n = 2 + rnd.nextInt(14)
+      caseNo -> Array.fill(n)(rnd.nextInt(6).toDouble)
+    }
+    val want = streams.flatMap { case (k, v) =>
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Int, Int)]()
+      var i = 1
+      while (i < v.length - 1 && out.length < 3) {
+        if (v(i) < v(i - 1)) { // drop with a successor row: a match
+          out += ((k, out.length + 1L, i, i + 1))
+          i += 2
+        } else i += 1
+      }
+      out
+    }.sorted
+    streams.flatMap { case (k, v) =>
+      v.zipWithIndex.map { case (x, j) => (k, j, x) }
+    }.toDF("k", "seq", "v").createOrReplaceTempView("mr_q38_rand")
+    val got = spark.sql("""
+      SELECT * FROM mr_q38_rand MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY seq
+        MEASURES A.seq AS a_seq, B.seq AS b_seq
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B+)
+        DEFINE A AS A.v < PREV(A.v),
+               B AS PREV(CLASSIFIER()) = 'A' AND MATCH_NUMBER() <= 3
+      )""").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq.sorted
+    assert(got === want, {
+      val bad = (got.diff(want) ++ want.diff(got)).map(_._1).distinct
+      bad.map(k => s"k=$k v=${streams(k)._2.mkString(",")}").mkString("; ")
+    })
+  }
 }
