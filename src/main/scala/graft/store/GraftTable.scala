@@ -1055,9 +1055,26 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * like NULLS FIRST).
     */
   def compact(targetFileMB: Int = 128, clusterBy: Seq[String] = Nil,
-              numFiles: Option[Int] = None, zorderBy: Seq[String] = Nil): Long = {
+              numFiles: Option[Int] = None, zorderBy: Seq[String] = Nil,
+              onlyFilesSmallerMB: Option[Int] = None): Long = {
+    // `onlyFilesSmallerMB` (round 11): INCREMENTAL small-file
+    // consolidation — rewrite only the files under the threshold
+    // (streaming appends), leave full-size outputs untouched. This is
+    // the maintenance mode a continuously-appending sink needs: a full
+    // rewrite every cadence is O(table) each time (quadratic over the
+    // table's life), while the small-file sweep re-touches a byte only
+    // until its file first exceeds the threshold — O(table) TOTAL.
+    // Exclusive with clusterBy/zorderBy: a global re-layout over a
+    // partial file set would mislabel itself as clustered.
+    require(onlyFilesSmallerMB.isEmpty || (clusterBy.isEmpty && zorderBy.isEmpty),
+      "onlyFilesSmallerMB is a small-file sweep — it cannot combine with " +
+        "an explicit clusterBy/zorderBy re-layout (run those over the full table)")
     val base = currentVersion
-    val files = log.snapshotFiles(base)
+    val allFiles = log.snapshotFiles(base)
+    val files = onlyFilesSmallerMB match {
+      case Some(mb) => allFiles.filter(_.bytes < (mb.toLong << 20))
+      case None     => allFiles
+    }
     if (files.size <= 1 && clusterBy.isEmpty && zorderBy.isEmpty) return currentVersion
     val sch = schema
     val totalBytes = files.map(_.bytes).sum

@@ -364,14 +364,31 @@ object EventStream {
     * commits (the [[writeGraftTable]] mechanism); the index append is
     * LAST, so a replayed batch re-probes the same pre-batch index and
     * re-lands identical flags before (re)committing the index rows —
-    * each side skips if its label already exists. */
+    * each side skips if its label already exists.
+    *
+    * Index maintenance (round 11, r10 verdict #3): every
+    * `compactEvery` batches the band index runs an INCREMENTAL
+    * small-file sweep ([[graft.store.GraftTable.compact]] with
+    * `onlyFilesSmallerMB`) — per-trigger appends are tiny files, and
+    * without consolidation the probe's per-batch index scan pays one
+    * task + footer read per historical trigger, a per-batch cost that
+    * grows with batch NUMBER rather than index SIZE. The sweep merges
+    * only sub-threshold files (a byte is re-touched only until its
+    * file first crosses the threshold — O(index) total over the
+    * stream's life, not O(index) per cadence), its "compact" commit
+    * sits outside the labeled-append domain so replay dedup is
+    * untouched, and it runs only when this batch's append actually
+    * applied (a replayed batch never re-compacts). `compactEvery = 0`
+    * disables. */
   def nearDupDocsIndexed(
       docs: DataFrame,
       indexRoot: String,
       outRoot: String,
       checkpointDir: String,
       threshold: Double = 0.8,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 16,
+      compactSmallFileMB: Int = 64): StreamingQuery = {
     import graft.store.GraftTable
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
@@ -459,9 +476,13 @@ object EventStream {
           outMark.advance(batchId)
         }
         if (!idxMark.alreadyCommitted(batchId)) {
-          if (!bands.isEmpty)
-            idxT.appendAsOnce(s"$prefix$batchId", bands,
+          if (!bands.isEmpty) {
+            val (_, applied) = idxT.appendAsOnce(s"$prefix$batchId", bands,
               _.startsWith(prefix), _ == s"$prefix$batchId")
+            if (applied && compactEvery > 0 &&
+                batchId % compactEvery == compactEvery - 1)
+              idxT.compact(onlyFilesSmallerMB = Some(compactSmallFileMB))
+          }
           idxMark.advance(batchId)
         }
       }

@@ -109,6 +109,38 @@ class StoreSpec extends SparkSpec {
     assert(t.read(asOfVersion = Some(1)).count() == 100)
   }
 
+  test("incremental compaction: onlyFilesSmallerMB sweeps small files, keeps big ones (r11)") {
+    val root = freshRoot
+    // one >1 MB file (incompressible uuid payload) + three one-row
+    // streaming-style appends — the shape a per-trigger sink leaves
+    val big = spark.range(0, 60000)
+      .selectExpr("id", "concat(uuid(), uuid()) AS s").coalesce(1)
+    val t = GraftTable.create(spark, root, big)
+    val bigPath = t.history.last.added.head.path
+    val bigBytes = t.history.last.added.head.bytes
+    assert(bigBytes > (1L << 20), s"test premise: big file is $bigBytes B <= 1 MB")
+    for (i <- 0 until 3)
+      t.append(Seq((10000L + i, "x")).toDF("id", "s").coalesce(1))
+    assert(t.read().inputFiles.length == 4)
+    // sweep at 1 MB: the three appends merge into ONE file, the big
+    // file is untouched (same path survives in the new snapshot)
+    val vPartial = t.compact(onlyFilesSmallerMB = Some(1))
+    assert(t.read().inputFiles.length == 2, t.read().inputFiles.mkString(","))
+    assert(t.read().inputFiles.exists(_.endsWith(bigPath)),
+      "the big file must survive a small-file sweep un-rewritten")
+    assert(t.read().count() == 60003)
+    assert(t.history.last.op == "compact")
+    // nothing small left to sweep (merged smalls are one file now, and
+    // files.size <= 1 short-circuits): version does not churn
+    assert(t.compact(onlyFilesSmallerMB = Some(1)) == t.currentVersion)
+    // the mode refuses to combine with re-layout options
+    intercept[IllegalArgumentException] {
+      t.compact(clusterBy = Seq("id"), onlyFilesSmallerMB = Some(1))
+    }
+    // time travel across the sweep still reads pre-sweep snapshots
+    assert(t.read(asOfVersion = Some(vPartial - 1)).count() == 60003)
+  }
+
   test("stats pruning drops non-matching files, never rows") {
     val root = freshRoot
     // 4 disjoint id-range files via repartitionByRange

@@ -464,6 +464,67 @@ class StreamingSpec extends SparkSpec {
         s"(pairs ${pairs.mkString(",")})")
   }
 
+  test("indexed near-dup maintenance: small-file sweep consolidates the band index (r11)") {
+    import org.apache.spark.sql.types._
+    // six one-doc triggers with compactEvery=2: the sweep fires after
+    // batches 1/3/5, so the index ends consolidated (~1 live file, not
+    // 6) while flags stay exact and a restart on the same checkpoint
+    // still re-commits NOTHING — the "compact" commit sits outside the
+    // labeled-append domain the replay dedup scans.
+    val a = "w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12 w13 w14"
+    val b = "z01 z02 z03 z04 z05 z06 z07 z08 z09 z10 z11 z12"
+    val c = "q01 q02 q03 q04 q05 q06 q07 q08 q09 q10 q11"
+    val docs = Seq((1L, a), (2L, b), (3L, a), (4L, c), (5L, a), (6L, b))
+    val landing = Files.createTempDirectory("graft_ndic_landing").toString
+    val ckpt = Files.createTempDirectory("graft_ndic_ckpt").toString
+    val idxRoot = Files.createTempDirectory("graft_ndic_idx").toString + "/index"
+    val outRoot = Files.createTempDirectory("graft_ndic_out").toString + "/flagged"
+    for ((id, t) <- docs)
+      Seq((id, "s", t)).toDF("doc_id", "source", "text")
+        .coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = EventStream.nearDupDocsIndexed(stream, idxRoot, outRoot, ckpt,
+      compactEvery = 2, compactSmallFileMB = 64)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+
+    val got = graft.store.GraftTable.load(spark, outRoot).read()
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_dup"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))).toMap
+    // identical texts -> deterministic band hits, jaccard 1; best-match
+    // tie-break is (jaccard desc, dup_of asc) so 5 pairs to 1 not 3
+    assert(got(3L) == ((true, Some(1L))) && got(5L) == ((true, Some(1L))) &&
+      got(6L) == ((true, Some(2L))), got)
+    assert(!got(1L)._1 && !got(2L)._1 && !got(4L)._1, got)
+
+    val idxT = graft.store.GraftTable.load(spark, idxRoot)
+    // 5 band appends land (doc 4 has sub-3-shingle text? no — 11 words
+    // = 9 shingles, it bands too: 6 appends) + 3 compacts; live files
+    // collapse to the last sweep's output + at most one post-sweep
+    // append (batch 5's compact runs AFTER its append)
+    assert(idxT.read().inputFiles.length <= 2,
+      s"index not consolidated: ${idxT.read().inputFiles.length} files")
+    assert(idxT.history.count(_.op == "compact") == 3,
+      idxT.history.map(_.op).mkString(","))
+    // index content survives the sweeps byte-exact: one band row set
+    // per sigable doc (6 docs x 4 bands)
+    assert(idxT.read().count() == 24, idxT.read().count())
+
+    // restart idempotency with compact commits interleaved in history
+    val outV = graft.store.GraftTable.load(spark, outRoot).currentVersion
+    val idxV = idxT.currentVersion
+    val q2 = EventStream.nearDupDocsIndexed(stream, idxRoot, outRoot, ckpt,
+      compactEvery = 2, compactSmallFileMB = 64)
+    assert(q2.awaitTermination(240000), "restart did not drain")
+    assert(graft.store.GraftTable.load(spark, outRoot).currentVersion == outV,
+      "restart re-committed flagged rows")
+    assert(graft.store.GraftTable.load(spark, idxRoot).currentVersion == idxV,
+      "restart re-committed or re-compacted the index")
+  }
+
   test("streaming pattern detection: session-scoped MATCH_RECOGNIZE, batch parity") {
     import graft.streaming.PatternStream
     import graft.operators.PatternMatch
