@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -55,7 +55,8 @@ object MultimodalOps {
     * (format 3) fmt chunk and a data chunk. */
   final case class WavInfo(channels: Int, sampleRate: Int, bitsPerSample: Int,
                            nFrames: Long, durationMs: Long,
-                           dataOffset: Int, dataLen: Int)
+                           dataOffset: Int, dataLen: Int,
+                           audioFormat: Int = 1)
 
   def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
     if (bytes == null || bytes.length < 44 || sniffFormat(bytes) != "wav") return None
@@ -85,7 +86,7 @@ object MultimodalOps {
       if bytesPerFrame > 0
     } yield {
       val frames = len.toLong / bytesPerFrame
-      WavInfo(ch, rate, bits, frames, frames * 1000L / rate, off, len)
+      WavInfo(ch, rate, bits, frames, frames * 1000L / rate, off, len, audioFormat)
     }
   }
 
@@ -293,12 +294,12 @@ object MultimodalOps {
     out
   }
 
-  /** PCM16 sample stream of a decoded wav (channel-interleaved),
-    * normalized to [-1, 1]. Only bits==16 format-1 wavs — the common
-    * training-data case; other depths return an empty array. */
+  /** Sample stream of a decoded wav (channel-interleaved), normalized
+    * to [-1, 1]. PCM16 (format 1, bits 16) and — round 11 — IEEE-float
+    * (format 3, bits 32) wavs, the two shapes training corpora
+    * actually carry; other depths return an empty array. */
   def wavSamples(bytes: Array[Byte], info: WavInfo): Array[Float] =
-    if (info.bitsPerSample != 16) Array.empty
-    else {
+    if (info.audioFormat == 1 && info.bitsPerSample == 16) {
       val n = info.dataLen / 2
       val out = new Array[Float](n)
       var i = 0
@@ -309,7 +310,22 @@ object MultimodalOps {
         i += 1
       }
       out
-    }
+    } else if (info.audioFormat == 3 && info.bitsPerSample == 32) {
+      // IEEE float32, little-endian; out-of-range encoders exist, so
+      // clamp to the nominal [-1, 1] the PCM path guarantees
+      val n = info.dataLen / 4
+      val out = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        val o = info.dataOffset + 4 * i
+        val b = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+          ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+        val v = java.lang.Float.intBitsToFloat(b)
+        out(i) = if (v.isNaN) 0f else math.max(-1f, math.min(1f, v))
+        i += 1
+      }
+      out
+    } else Array.empty
 
   /** Typed media metadata. Sniffing is real (magic numbers); numeric
     * fields come from the stub decoder. */
@@ -606,26 +622,31 @@ object MultimodalOps {
     * so the (band, value) equi-join generates every true pair without
     * an all-pairs comparison; candidates verify with the codegen'd
     * bit_count. Output (id1, id2, hamming), id1 < id2, once each. */
+  /** The pigeonhole band split of a 64-bit hash column: band b covers
+    * bits [b*64/nBands, (b+1)*64/nBands) — even split, widths differ
+    * by at most one bit. Shared by [[hammingPairs]] and the windowed
+    * audio join (round 11). */
+  private def bandStructs(hashCol: String, nBands: Int): Column =
+    array((0 until nBands).map { b =>
+      val lo = b * 64 / nBands
+      val hi = (b + 1) * 64 / nBands
+      // width-safe mask: at nBands=1 the single band is all 64 bits,
+      // and 1L<<64 wraps to 1L on the JVM — the -1L branch keeps that
+      // case an exact-hash equi-join instead of a constant-key
+      // all-pairs collapse
+      val mask = if (hi - lo >= 64) -1L else (1L << (hi - lo)) - 1
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col(hashCol), lo)
+          .bitwiseAND(lit(mask)).as("bval"))
+    }: _*)
+
   private def hammingPairs(hashed: DataFrame, idCol: String,
                            hashCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
     val nBands = maxHamming + 1
-    // band b covers bits [b*64/nBands, (b+1)*64/nBands) — even split,
-    // widths differ by at most one bit
     val banded = hashed.select(col(idCol), col(hashCol),
-      explode(array((0 until nBands).map { b =>
-        val lo = b * 64 / nBands
-        val hi = (b + 1) * 64 / nBands
-        // width-safe mask: at maxHamming=0 the single band is all 64
-        // bits, and 1L<<64 wraps to 1L on the JVM — the -1L branch
-        // keeps that case an exact-hash equi-join instead of a
-        // constant-key all-pairs collapse
-        val mask = if (hi - lo >= 64) -1L else (1L << (hi - lo)) - 1
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col(hashCol), lo)
-            .bitwiseAND(lit(mask)).as("bval"))
-      }: _*)).as("bb"))
+      explode(bandStructs(hashCol, nBands)).as("bb"))
       .select(col(idCol), col(hashCol), col("bb.band"), col("bb.bval"))
     val l = banded.select(col(idCol).as("id1"), col(hashCol).as("h1"),
       col("band"), col("bval"))
@@ -656,51 +677,169 @@ object MultimodalOps {
     * images. None for non-wav / non-PCM16 / sub-frame-length clips. */
   def audioFingerprint(bytes: Array[Byte]): Option[Long] =
     decodeWav(bytes).flatMap { info =>
-      val inter = wavSamples(bytes, info)
-      if (inter.isEmpty) return None
-      val ch = math.max(1, info.channels)
-      val n = inter.length / ch
-      if (n < 9 * 16) return None // sub-frame-length clip: no stable grid
-      // mono mixdown
-      val mono = new Array[Double](n)
-      var i = 0
-      while (i < n) {
-        var c = 0; var s = 0.0
-        while (c < ch) { s += inter(i * ch + c); c += 1 }
-        mono(i) = s / ch
-        i += 1
-      }
-      // 9 log-spaced probe frequencies, 300 Hz..3 kHz
-      val freqs = Array.tabulate(9)(b => 300.0 * math.pow(10.0, b / 8.0))
-      val frameLen = n / 9
-      val e = Array.ofDim[Double](9, 9)
-      var t = 0
-      while (t < 9) {
-        var b = 0
-        while (b < 9) {
-          // Goertzel energy at freqs(b) over frame t
-          val w = 2.0 * math.Pi * freqs(b) / info.sampleRate
-          val coeff = 2.0 * math.cos(w)
-          var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
-          var j = t * frameLen
-          val end = j + frameLen
-          while (j < end) {
-            s0 = mono(j) + coeff * s1 - s2
-            s2 = s1; s1 = s0
-            j += 1
-          }
-          e(t)(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
-          b += 1
+      val mono = monoSamples(bytes, info)
+      val n = mono.length
+      if (n < 9 * 16) None // sub-frame-length clip: no stable grid
+      else {
+        val frameLen = n / 9
+        val e = Array.tabulate(9)(t =>
+          goertzel9(mono, info.sampleRate, t * frameLen, frameLen))
+        var h = 0L
+        for (tt <- 1 until 9; bb <- 0 until 8) {
+          val d = (e(tt)(bb) - e(tt)(bb + 1)) - (e(tt - 1)(bb) - e(tt - 1)(bb + 1))
+          if (d > 0) h |= 1L << ((tt - 1) * 8 + bb)
         }
-        t += 1
+        Some(h)
       }
-      var h = 0L
-      for (tt <- 1 until 9; bb <- 0 until 8) {
-        val d = (e(tt)(bb) - e(tt)(bb + 1)) - (e(tt - 1)(bb) - e(tt - 1)(bb + 1))
-        if (d > 0) h |= 1L << ((tt - 1) * 8 + bb)
-      }
-      Some(h)
     }
+
+  /** Mono mixdown of a decoded wav, normalized [-1, 1]; empty when the
+    * sample depth is unsupported (see [[wavSamples]]). */
+  private def monoSamples(bytes: Array[Byte], info: WavInfo): Array[Double] = {
+    val inter = wavSamples(bytes, info)
+    if (inter.isEmpty) return Array.empty
+    val ch = math.max(1, info.channels)
+    val n = inter.length / ch
+    val mono = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var c = 0; var s = 0.0
+      while (c < ch) { s += inter(i * ch + c); c += 1 }
+      mono(i) = s / ch
+      i += 1
+    }
+    mono
+  }
+
+  /** The fingerprint family's 9 log-spaced probe frequencies,
+    * 300 Hz - 3 kHz — absolute, so bits survive resampling. */
+  private val FpFreqs: Array[Double] =
+    Array.tabulate(9)(b => 300.0 * math.pow(10.0, b / 8.0))
+
+  /** Goertzel energies at the 9 probe frequencies over
+    * mono[start, start+len). */
+  private def goertzel9(mono: Array[Double], sampleRate: Int,
+                        start: Int, len: Int): Array[Double] = {
+    val out = new Array[Double](9)
+    var b = 0
+    while (b < 9) {
+      val w = 2.0 * math.Pi * FpFreqs(b) / sampleRate
+      val coeff = 2.0 * math.cos(w)
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+      var j = start
+      val end = start + len
+      while (j < end) {
+        s0 = mono(j) + coeff * s1 - s2
+        s2 = s1; s1 = s0
+        j += 1
+      }
+      out(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+      b += 1
+    }
+    out
+  }
+
+  /** Sliding-window SUB-fingerprint stream (round 11, r10 verdict #4)
+    * — the Haitsma-Kalker native form the clip-grain
+    * [[audioFingerprint]] approximates: fixed-DURATION windows
+    * (`frameMs` long, `hopMs` apart — not clip-relative ninths), 8
+    * sign-of-double-difference bits per window step, 8 consecutive
+    * steps packed into each 64-bit sub-fingerprint. Because windows
+    * sit at absolute offsets, a clip trimmed or delayed by a multiple
+    * of `hopMs` emits a SUBSET of the original's sub-fingerprints
+    * (identical values, shifted positions) — the clip-grain hash, whose
+    * ninths stretch with clip length, scrambles under the same edit.
+    * Empty for unsupported depth or clips shorter than
+    * frameMs + 8 * hopMs. */
+  def audioSubFingerprints(bytes: Array[Byte], frameMs: Int = 500,
+                           hopMs: Int = 250): Array[Long] =
+    decodeWav(bytes).map { info =>
+      val mono = monoSamples(bytes, info)
+      val frameLen = (info.sampleRate.toLong * frameMs / 1000).toInt
+      val hopLen = math.max(1, (info.sampleRate.toLong * hopMs / 1000).toInt)
+      val nWin =
+        if (frameLen <= 0 || mono.length < frameLen) 0
+        else (mono.length - frameLen) / hopLen + 1
+      if (nWin < 9) Array.empty[Long]
+      else {
+        val e = Array.tabulate(nWin)(t =>
+          goertzel9(mono, info.sampleRate, t * hopLen, frameLen))
+        // bit row r (8 bits) compares window r against r-1
+        val rows = Array.tabulate(nWin - 1) { r0 =>
+          val r = r0 + 1
+          var bits = 0L
+          var bb = 0
+          while (bb < 8) {
+            val d = (e(r)(bb) - e(r)(bb + 1)) - (e(r - 1)(bb) - e(r - 1)(bb + 1))
+            if (d > 0) bits |= 1L << bb
+            bb += 1
+          }
+          bits
+        }
+        // sub-fingerprint at hop position t = rows t..t+7 packed
+        Array.tabulate(rows.length - 7) { t =>
+          var h = 0L
+          var k = 0
+          while (k < 8) { h |= rows(t + k) << (k * 8); k += 1 }
+          h
+        }
+      }
+    }.getOrElse(Array.empty)
+
+  /** Trim/offset-robust audio near-dup (round 11): explode each clip
+    * into its sub-fingerprint stream, banded-hamming join the streams
+    * (the [[hammingPairs]] pigeonhole bands — never all-pairs), then
+    * count matches at the single best ALIGNMENT per pair: true
+    * duplicates with a time offset match many positions at ONE
+    * p2 - p1; random collisions scatter across offsets. Output
+    * (id1, id2, offset_hops, n_aligned) for pairs whose best alignment
+    * has at least `minMatches` sub-fingerprint hits — a 0.5 s-trimmed
+    * rendition (2 hops at the default 250 ms) aligns at offset -2 with
+    * near-every shared window matching, while the clip-grain
+    * [[nearDupAudio]] misses it (its ninth-grid shifts scramble the
+    * 64-bit hash). Scale shape: band join on (band, bval) with
+    * batch-side shuffle-hash build, per-pair aggregation on
+    * (id1, id2, offset) — no quadratic stage anywhere. */
+  def nearDupAudioWindowed(df: DataFrame, idCol: String = "id",
+                           contentCol: String = "content",
+                           maxHamming: Int = 4, minMatches: Int = 3,
+                           frameMs: Int = 500, hopMs: Int = 250): DataFrame = {
+    val src = df.select(col(idCol), col(contentCol))
+    val contentIdx = 1
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      src.schema.fields.head, StructField("pos", IntegerType),
+      StructField("sfp", LongType))))
+    val subs = src.mapPartitions { it: Iterator[Row] =>
+      it.flatMap { r =>
+        audioSubFingerprints(r.get(contentIdx).asInstanceOf[Array[Byte]],
+          frameMs, hopMs)
+          .iterator.zipWithIndex.map { case (h, p) =>
+            Row(r.get(0), Int.box(p), Long.box(h))
+          }
+      }
+    }(enc)
+    val nBands = maxHamming + 1
+    val banded = subs.select(col(idCol), col("pos"), col("sfp"),
+      explode(bandStructs("sfp", nBands)).as("bb"))
+      .select(col(idCol), col("pos"), col("sfp"), col("bb.band"), col("bb.bval"))
+    val l = banded.select(col(idCol).as("id1"), col("pos").as("p1"),
+      col("sfp").as("h1"), col("band"), col("bval"))
+    val r = banded.select(col(idCol).as("id2"), col("pos").as("p2"),
+      col("sfp").as("h2"), col("band"), col("bval"))
+    val cand = l.hint("shuffle_hash").join(r, Seq("band", "bval"))
+      .filter(col("id1") < col("id2"))
+      .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxHamming)
+      .select("id1", "id2", "p1", "p2").distinct()
+    cand
+      .withColumn("offset_hops", (col("p2") - col("p1")).cast("long"))
+      .groupBy("id1", "id2", "offset_hops")
+      .agg(count_distinct(col("p1")).as("n_aligned"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id1", "id2")
+          .orderBy(col("n_aligned").desc, col("offset_hops"))))
+      .filter(col("__rk") === 1).drop("__rk")
+      .filter(col("n_aligned") >= minMatches)
+  }
 
   /** Column of 64-bit audio fingerprints (null for non-wav /
     * non-PCM16 content). Narrow, shuffle-free, per-row CPU. */

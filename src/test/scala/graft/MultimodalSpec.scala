@@ -211,6 +211,106 @@ class MultimodalSpec extends SparkSpec {
     assert(a.isNullAt(a.fieldIndex("rms")) && a.isNullAt(a.fieldIndex("peak")), a)
   }
 
+  /** PCM16 mono wav from an explicit sample array. */
+  private def pcm16Wav(rate: Int, samples: Array[Double]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)
+    bb.putInt(rate); bb.putInt(rate * 2)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    samples.foreach(v =>
+      bb.putShort((math.max(-1.0, math.min(1.0, v)) * 32767).toShort))
+    bb.array()
+  }
+
+  /** IEEE-float32 mono wav (format 3) from the same samples. */
+  private def floatWav(rate: Int, samples: Array[Double]): Array[Byte] = {
+    val dataLen = samples.length * 4
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(3); bb.putShort(1)            // IEEE float, mono
+    bb.putInt(rate); bb.putInt(rate * 4)
+    bb.putShort(4); bb.putShort(32)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    samples.foreach(v => bb.putFloat(v.toFloat))
+    bb.array()
+  }
+
+  /** One tone per 250 ms segment, tones drawn deterministically. */
+  private def toneSamples(rate: Int, segments: Int, seed: Int): Array[Double] = {
+    val pool = Array(400.0, 700.0, 1100.0, 1600.0, 2200.0, 2900.0)
+    val rnd = new scala.util.Random(seed)
+    val tones = Array.fill(segments)(pool(rnd.nextInt(pool.length)))
+    val perSeg = rate / 4
+    Array.tabulate(segments * perSeg)(i =>
+      0.5 * math.sin(2 * math.Pi * tones(i / perSeg) * i / rate))
+  }
+
+  test("windowed sub-fingerprints pair a trimmed clip the clip-grain hash misses (r11)") {
+    import MultimodalOps.{audioFingerprint, audioSubFingerprints}
+    val rate = 8000
+    val base = toneSamples(rate, 24, seed = 5)        // 6 s melody
+    val wavBase = pcm16Wav(rate, base)
+    val wavTrim = pcm16Wav(rate, base.drop(rate / 2)) // first 0.5 s cut
+    val wavOther = pcm16Wav(rate, toneSamples(rate, 24, seed = 9))
+    // clip-grain grid stretches with clip length: the trim scrambles
+    // the 64-bit hash far past any sane banding threshold
+    val dTrim = java.lang.Long.bitCount(
+      audioFingerprint(wavBase).get ^ audioFingerprint(wavTrim).get)
+    assert(dTrim > 8, s"clip-grain hash unexpectedly survived the trim ($dTrim bits)")
+    // the sub-fingerprint stream is ALIGNED: a 0.5 s trim is exactly 2
+    // hops at 250 ms, so the trimmed stream is a shifted subset
+    val sBase = audioSubFingerprints(wavBase)
+    val sTrim = audioSubFingerprints(wavTrim)
+    assert(sBase.length > 10 && sTrim.length > 8, s"${sBase.length}/${sTrim.length}")
+    assert(sTrim.indices.forall(t => sTrim(t) == sBase(t + 2)),
+      "trimmed sub-fingerprints must equal the base stream shifted by 2 hops")
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, wavBase), Row(2L, wavTrim), Row(3L, wavOther)),
+      StructType(Seq(StructField("id", LongType), StructField("content", BinaryType))))
+    // old path: no (1,2) pair at the family's banding threshold
+    val oldPairs = MultimodalOps.nearDupAudio(df, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!oldPairs.contains((1L, 2L)),
+      s"clip-grain path was expected to miss the trimmed pair: $oldPairs")
+    // new path: found, at the right alignment, with near-all windows
+    val got = MultimodalOps.nearDupAudioWindowed(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.contains((1L, 2L)), s"windowed path missed the trimmed pair: $got")
+    val (off, n) = got((1L, 2L))
+    assert(off == -2L, s"best alignment should be -2 hops, got $off")
+    assert(n >= sTrim.length - 1, s"aligned matches $n < ${sTrim.length - 1}")
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)), got)
+  }
+
+  test("IEEE-float wav decodes and pairs with its PCM16 twin (r11)") {
+    val rate = 8000
+    val samples = toneSamples(rate, 24, seed = 5)
+    val f = floatWav(rate, samples)
+    val info = MultimodalOps.decodeWav(f).get
+    assert(info.audioFormat == 3 && info.bitsPerSample == 32 &&
+      info.durationMs == 6000L, info)
+    // float samples round-trip (PCM16 quantization absent entirely)
+    val got = MultimodalOps.wavSamples(f, info)
+    assert(got.length == samples.length)
+    assert(got.indices.forall(i => math.abs(got(i) - samples(i)) < 1e-6))
+    // the float rendition fingerprints and near-dups against PCM16
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, pcm16Wav(rate, samples)), Row(2L, f)),
+      StructType(Seq(StructField("id", LongType), StructField("content", BinaryType))))
+    val pairs = MultimodalOps.nearDupAudioWindowed(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0L),
+      s"float/PCM16 twins should align at offset 0: $pairs")
+  }
+
   test("truncated or corrupt wav falls back, never throws") {
     val good = wavBytes(8000, 100)
     val truncated = good.take(50) // header promises more data than present
