@@ -618,14 +618,16 @@ object VectorOps {
     * and semantics match [[semanticDecontaminate]] except recall:
     * a hit whose pair collides in no band is missed — the standard
     * LSH trade, geometry-tunable (more/narrower bands = higher
-    * recall, more candidates). Pick the geometry by the THRESHOLD:
-    * contamination-grade similarity (cos >= ~0.8, per-plane agreement
-    * p = 1 - theta/pi >= ~0.8) collides reliably at the default 8-bit
-    * bands (identical embeddings — the paraphrase limit — collide in
-    * EVERY band, recall 1.0 deterministically); low thresholds
-    * (~0.35, p ~ 0.61, band collision p^8 ~ 2%) need narrow bands
-    * (20 planes x 4 bits measured 0.58 vs 0.19 on the gate corpus —
-    * VectorRecallSpec), at the price of fatter eval buckets. Asserted
+    * recall, more candidates). The geometry DEFAULTS from the
+    * threshold (round 11, [[bandGeometryFor]]): contamination-grade
+    * similarity (cos >= ~0.8, per-plane agreement p = 1 - theta/pi >=
+    * ~0.8) gets 8-bit bands (identical embeddings — the paraphrase
+    * limit — collide in EVERY band, recall 1.0 deterministically);
+    * low thresholds (~0.35, p ~ 0.61, band collision p^8 ~ 2%) get
+    * narrow 4-bit bands (the regime the r10 Scaladoc told callers to
+    * hand-pick; 20x4 measured 0.58 vs 0.19 recall on the gate corpus
+    * — VectorRecallSpec), at the price of fatter eval buckets.
+    * Explicit (nPlanes, bandBits) still override. Asserted
     * against the exact regime in VectorRecallSpec: banded hits are a
     * SUBSET of exact hits (the verification is exact, so precision is
     * 1.0 by construction).
@@ -638,14 +640,49 @@ object VectorOps {
     * collisions re-score and dedupe AFTER the threshold (the v04
     * rule: distinct on surviving hits beats shuffling every
     * candidate). */
+  /** Default band geometry from the THRESHOLD (round 11, r10 verdict
+    * #5) — the knob the r10 Scaladoc told the caller to work out by
+    * hand. The hyperplane collision law gives per-plane sign agreement
+    * p = 1 - acos(threshold)/pi for a pair AT the threshold; a
+    * bandBits-bit band collides with probability p^bandBits, and
+    * nBands bands miss the pair with (1 - p^bandBits)^nBands. Pick
+    * the widest band (cheapest buckets) whose at-threshold collision
+    * stays >= 15% — bits = ceil(ln 0.15 / ln p), clamped [2, 8] —
+    * then enough bands to push the at-threshold miss rate under 10%,
+    * clamped [5, 8] (the 5-band floor is what held the measured
+    * sf0.01 recall envelope; 8 bands caps the eval-side broadcast
+    * explosion). Anchors: 0.8 -> (64, 8) — the r10 default — and
+    * 0.35 -> (32, 4), the narrow-band regime VectorRecallSpec
+    * measured (one band more than the hand-tuned 20x4, so recall can
+    * only improve on its floor). Real leakage (paraphrase-grade,
+    * cos >> threshold) collides far above these at-threshold rates. */
+  def bandGeometryFor(threshold: Double): (Int, Int) = {
+    require(threshold > -1.0 && threshold < 1.0,
+      s"cosine threshold must be in (-1, 1), got $threshold")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val bits = math.max(2, math.min(8,
+      math.ceil(math.log(0.15) / math.log(p)).toInt))
+    val pBand = math.pow(p, bits)
+    val bands = math.max(5, math.min(8,
+      math.ceil(math.log(0.10) / math.log1p(-pBand)).toInt))
+    (bands * bits, bits)
+  }
+
   def semanticDecontaminateBanded(train: DataFrame, evalSet: DataFrame,
-                                  threshold: Double, nPlanes: Int = 64,
-                                  bandBits: Int = 8): DataFrame = {
+                                  threshold: Double, nPlanes: Int = 0,
+                                  bandBits: Int = 0): DataFrame = {
     val s = train.sparkSession
     graft.functions.GraftFunctions.register(s)
-    require(nPlanes % bandBits == 0 && nPlanes / bandBits <= 64,
-      s"band geometry: nPlanes ($nPlanes) must be a multiple of bandBits " +
-        s"($bandBits), at most 64 bands")
+    // geometry: both explicit, or both defaulted -> derived from the
+    // threshold via the collision law (round 11)
+    require((nPlanes > 0) == (bandBits > 0),
+      "pass BOTH nPlanes and bandBits, or neither (auto geometry from " +
+        "the threshold via bandGeometryFor)")
+    val (nP, bB) =
+      if (nPlanes > 0) (nPlanes, bandBits) else bandGeometryFor(threshold)
+    require(nP % bB == 0 && nP / bB <= 64,
+      s"band geometry: nPlanes ($nP) must be a multiple of bandBits " +
+        s"($bB), at most 64 bands")
     val nEval = evalSet.count()
     require(nEval <= 1000000L,
       s"semanticDecontaminateBanded broadcasts the eval suite's bands and " +
@@ -655,12 +692,12 @@ object VectorOps {
         "coalesce(vector_dot(embedding, embedding), CAST(0 AS DOUBLE)) AS nt2")
       .filter(col("nt2") > 0)
       .select(col("id_t"), col("vt"), col("nt2"),
-        posexplode(bandsCol(nPlanes, bandBits)).as(Seq("band_idx", "band_val")))
+        posexplode(bandsCol(nP, bB)).as(Seq("band_idx", "band_val")))
     val e = evalSet.selectExpr("vec_id AS id_e", "embedding", "embedding AS ve",
         "coalesce(vector_dot(embedding, embedding), CAST(0 AS DOUBLE)) AS ne2")
       .filter(col("ne2") > 0)
       .select(col("id_e"), col("ve"), col("ne2"),
-        posexplode(bandsCol(nPlanes, bandBits)).as(Seq("band_idx", "band_val")))
+        posexplode(bandsCol(nP, bB)).as(Seq("band_idx", "band_val")))
     t.join(broadcast(e), Seq("band_idx", "band_val"))
       .selectExpr("id_t", "id_e",
         "vector_dot(vt, ve) / (SQRT(nt2) * SQRT(ne2)) AS cos")

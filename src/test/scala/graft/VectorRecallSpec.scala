@@ -336,18 +336,29 @@ class VectorRecallSpec extends SparkSpec {
     assert(srcIds.subsetOf(bandedHi.keySet),
       s"banded missed planted identical leaks: ${(srcIds -- bandedHi.keySet).take(5)}")
     assert(bandedHi.keySet.subsetOf(exactHi.keySet))
+    // AUTO geometry from the threshold (r11): the collision law must
+    // reproduce the measured anchors — wide bands for contamination-
+    // grade thresholds, narrow bands for low ones
+    assert(VectorOps.bandGeometryFor(0.8) == ((64, 8)),
+      VectorOps.bandGeometryFor(0.8))
+    assert(VectorOps.bandGeometryFor(0.35) == ((32, 4)),
+      VectorOps.bandGeometryFor(0.35))
     // the geometry lever at LOW thresholds: cos 0.35 pairs agree per
-    // plane with p ~ 0.61, so 8-bit bands collide at p^8 ~ 2% — narrow
-    // 4-bit bands are the right call there, and the operator exposes
-    // the knob. Both runs are deterministic; assert the lever works
-    val bandedNarrow = rows(VectorOps.semanticDecontaminateBanded(train, ev, 0.35,
-      nPlanes = 20, bandBits = 4))
-    assert(bandedNarrow.keySet.subsetOf(exact.keySet))
-    val rWide = banded.size.toDouble / exact.size
-    val rNarrow = bandedNarrow.size.toDouble / exact.size
-    info(f"banded decontam recall at 0.35: 64x8=$rWide%.3f, 20x4=$rNarrow%.3f")
-    assert(rNarrow > rWide && rNarrow >= 0.4,
-      f"narrow-band recall $rNarrow%.3f should beat wide $rWide%.3f and clear 0.4")
+    // plane with p ~ 0.61, so 8-bit bands collide at p^8 ~ 2% — the
+    // auto default (`banded` above, 32x4 at 0.35) must hold the
+    // narrow-band recall floor the hand-tuned 20x4 measured (0.58),
+    // and an explicitly WIDE geometry shows why the law picks narrow
+    val bandedWide = rows(VectorOps.semanticDecontaminateBanded(train, ev, 0.35,
+      nPlanes = 64, bandBits = 8))
+    assert(bandedWide.keySet.subsetOf(exact.keySet))
+    val rAuto = banded.size.toDouble / exact.size
+    val rWide = bandedWide.size.toDouble / exact.size
+    info(f"banded decontam recall at 0.35: auto(32x4)=$rAuto%.3f, 64x8=$rWide%.3f")
+    assert(rAuto > rWide && rAuto >= 0.55,
+      f"auto-geometry recall $rAuto%.3f should beat wide $rWide%.3f and clear 0.55")
+    // ...and at the HIGH-threshold regime the auto pick keeps the
+    // planted-leakage guarantee asserted above (bandedHi ran on auto
+    // geometry: identical vectors collide in every band, recall 1.0)
     // the exact regime refuses an outsized eval suite BY NAME
     val e = intercept[IllegalArgumentException] {
       VectorOps.semanticDecontaminate(train, all.crossJoin(
