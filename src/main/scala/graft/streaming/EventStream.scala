@@ -215,9 +215,49 @@ object EventStream {
     import graft.operators.TextOps
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    // reserved-column guard for BOTH tiers (r10-ADVICE: the inline
+    // tier rejected collisions at construction via decontaminateDocs,
+    // the bloom tier produced an ambiguous-reference AnalysisException
+    // at the first micro-batch instead)
+    val taken = docs.columns.filter(c =>
+      c.startsWith("__graft_") || c == "n_overlap" || c == "contaminated")
+    require(taken.isEmpty,
+      s"decontaminateDocsToParquet: input columns ${taken.mkString(",")} " +
+        "collide with the op's output/plumbing names (__graft_* reserved; " +
+        "n_overlap, contaminated are outputs) — rename them first")
     val eg = evalGrams.select("g").where(col("g").isNotNull).distinct()
     val n = eg.count()
-    if (n <= maxInlineGrams)
+    val tier = if (n <= maxInlineGrams) "inline" else "bloom"
+    // tier pin (r10-ADVICE): the tier is chosen from the SUITE SIZE at
+    // construction, but the two tiers deliver differently (exactly-once
+    // file sink vs at-least-once foreachBatch append). Restarting a
+    // checkpoint whose suite has since crossed the ceiling would
+    // silently switch the same outDir between semantics — pin the
+    // first choice in the checkpoint and fail loudly on a mismatch.
+    // (locally: a bare block after the val above would parse as an
+    // application of its else-branch expression)
+    locally {
+      val ckptPath = new org.apache.hadoop.fs.Path(checkpointDir)
+      val fs = ckptPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(ckptPath, "graft-decontam-tier")
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        require(prev == tier,
+          s"decontaminateDocsToParquet: this checkpoint ran the '$prev' tier " +
+            s"but the eval suite now sizes to '$tier' ($n grams vs ceiling " +
+            s"$maxInlineGrams) — the tiers deliver differently (exactly-once " +
+            "file sink vs at-least-once append), so a mid-stream switch " +
+            "would mix semantics in one outDir; restart with a fresh " +
+            "outDir + checkpoint")
+      } else {
+        fs.mkdirs(ckptPath)
+        val out = fs.create(marker, true)
+        try out.write(tier.getBytes("UTF-8")) finally out.close()
+      }
+    }
+    if (tier == "inline")
       writeParquet(decontaminateDocs(docs, evalGrams), outDir, checkpointDir, trigger)
     else {
       // pre-cluster the suite on the join key and cache: per-batch
@@ -241,11 +281,17 @@ object EventStream {
           val hits = survivors.join(egClustered.hint("shuffle_hash"), "g")
             .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
           // INT n_overlap — the routing entry point's schema must not
-          // depend on which tier ran (the inline kernel emits int)
+          // depend on which tier ran (the inline kernel emits int) —
+          // and neither must the COLUMN ORDER (r10-ADVICE: the
+          // using-join moved doc_id first, so one outDir could mix
+          // orderings across tiers): input columns in input order,
+          // then the two outputs, exactly like the inline tier
           batch.join(hits, Seq("doc_id"), "left")
             .withColumn("n_overlap",
               coalesce(col("n_overlap"), lit(0L)).cast("int"))
             .withColumn("contaminated", col("n_overlap") >= 5)
+            .select(batch.columns.map(col) :+ col("n_overlap")
+              :+ col("contaminated"): _*)
             .write.mode("append").parquet(outDir)
         }
         .start()

@@ -390,6 +390,30 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Int]("n_overlap").toLong, r.getAs[Boolean]("contaminated")))).toMap
     assert(got2 == got, s"inline $got2 vs bloom tier $got")
+    // r11 (r10-ADVICE): the bloom tier writes the SAME column order as
+    // the inline tier — input columns in input order, then the outputs
+    assert(spark.read.parquet(out).columns.toSeq ==
+      Seq("doc_id", "source", "text", "n_overlap", "contaminated"),
+      spark.read.parquet(out).columns.toSeq)
+    assert(spark.read.parquet(out2).columns.toSeq ==
+      spark.read.parquet(out).columns.toSeq)
+    // r11 (r10-ADVICE): the tier is PINNED in the checkpoint — the
+    // same checkpoint re-presented with a suite that now sizes to the
+    // OTHER tier refuses loudly instead of mixing delivery semantics
+    val e = intercept[IllegalArgumentException] {
+      EventStream.decontaminateDocsToParquet(stream, evalGrams, out, ckpt) // inline now
+    }
+    assert(e.getMessage.contains("tier") && e.getMessage.contains("fresh"),
+      e.getMessage)
+    // r11 (r10-ADVICE): the bloom tier rejects reserved-column
+    // collisions at CONSTRUCTION, like the inline tier always did
+    val clash = stream.withColumn("n_overlap", lit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      EventStream.decontaminateDocsToParquet(clash, evalGrams,
+        Files.createTempDirectory("graft_dctb_out3").toString,
+        Files.createTempDirectory("graft_dctb_ckpt3").toString, maxInlineGrams = 3)
+    }
+    assert(e2.getMessage.contains("n_overlap"), e2.getMessage)
   }
 
   test("indexed near-dup at ingest: exact t02 semantics against a growing band index (r10)") {
