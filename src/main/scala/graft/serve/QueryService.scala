@@ -37,8 +37,10 @@ final class QueryService(
     allowCvas: Boolean = true,
     allowDml: Boolean = true,
     onUserSession: (SparkSession, String) => Unit = (_, _) => (),
-    maxUserSessions: Int = 256) extends AutoCloseable {
+    maxUserSessions: Int = 256,
+    maxTrackedQueries: Int = 10000) extends AutoCloseable {
   require(maxUserSessions > 0, s"maxUserSessions must be positive, got $maxUserSessions")
+  require(maxTrackedQueries > 0, s"maxTrackedQueries must be positive, got $maxTrackedQueries")
 
   sealed trait Status
   case object Queued extends Status
@@ -51,6 +53,31 @@ final class QueryService(
   private val nextId = new AtomicLong(0)
   private val statuses = new ConcurrentHashMap[Long, Status]()
   private val cache = new ConcurrentHashMap[String, (Long, Finished)]() // key -> (expiryMs, result)
+
+  /** Terminal-status retention (round 11, r10 verdict #7): the
+    * reference stores async results in a TTL'd backend — an unbounded
+    * status map would leak one Finished (up to maxResultRows rows) per
+    * query FOREVER at the 100-task/s service rate. Terminal statuses
+    * enqueue FIFO and the oldest evict past `maxTrackedQueries`;
+    * `status()` on an evicted id reads None and `await()` reports it
+    * by name — the results-expire contract SQL Lab users already
+    * have. Queued/Running entries are never evicted (the queue holds
+    * only terminal ids). */
+  private val terminalOrder = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  private def putTerminal(id: Long, st: Status): Unit = {
+    statuses.put(id, st)
+    terminalOrder.add(id)
+    var over = statuses.size() - maxTrackedQueries
+    while (over > 0) {
+      val old = terminalOrder.poll()
+      if (old == null) over = 0
+      else { statuses.remove(old); over -= 1 }
+    }
+    // the result cache is TTL-bounded but only swept opportunistically
+    // (cacheSize): at service rates of distinct cacheable queries,
+    // sweep on write once it outgrows the tracking cap
+    if (cache.size() > maxTrackedQueries) cacheSize
+  }
 
   /** One isolated child session per user: shared catalog + cached data,
     * private temp-view namespace and conf (the execution-identity
@@ -183,16 +210,62 @@ final class QueryService(
     * canonical text's length: a 128-bit digest collision would serve
     * another query's rows, so the length rides along as a second
     * independent check. */
-  private def planFingerprint(df: DataFrame): String = {
+  private def planFingerprint(df: DataFrame, original: String): String = {
     // OPTIMIZED plan, not analyzed: CTERelationDef ids are fresh per
     // query and survive canonicalization, so an analyzed-plan key
     // would never hit for `WITH ...` statements — the optimizer
     // inlines CTEs (and folds constants, which only widens the hit
     // class to value-identical plans)
     val canon = df.queryExecution.optimizedPlan.canonicalized.toString
+    val body =
+      if (opaquePlanState.matcher(canon).find()) {
+        // the plan embeds object state whose toString is an instance
+        // identity hash — typed-operator lambdas (MATCH_RECOGNIZE's
+        // matcher MapPartitions), Array/binary literals. The canonical
+        // text is then UNSTABLE across submissions of the same query
+        // (no repeat ever hits), and with the hashes stripped it could
+        // COLLIDE across different queries sharing a lambda call site
+        // but capturing different closure state (two MR specs over the
+        // same input). Key on normalized TEXT instead: comment-strip +
+        // keyword-case-fold + whitespace-collapse OUTSIDE literals
+        // (classify() also folds literal case/whitespace, fine for a
+        // gate but a cache key must distinguish 'Bob' from 'bob').
+        "txt:" + normalizeOutsideLiterals(stripComments(original).trim)
+      } else canon
     val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"$md5:${canon.length}"
+      .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$md5:${body.length}"
+  }
+
+  /** Instance-identity toStrings inside a canonical plan: `...@hex`. */
+  private val opaquePlanState = java.util.regex.Pattern.compile("@[0-9a-f]{4,}")
+
+  /** Lowercase and collapse whitespace runs OUTSIDE string literals /
+    * quoted identifiers (same quote grammar as [[stripComments]]), so
+    * keyword-case and whitespace variants of an opaque-plan query share
+    * a text key without merging case- or space-distinct literals. */
+  private[graft] def normalizeOutsideLiterals(sql: String): String = {
+    val out = new StringBuilder(sql.length)
+    var i = 0
+    var quote = ' '
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != ' ') {
+        out.append(c)
+        if (c == '\\' && quote != '`' && i + 1 < sql.length) {
+          out.append(sql.charAt(i + 1)); i += 1
+        } else if (c == quote) quote = ' '
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out.append(c); i += 1
+      } else if (c.isWhitespace) {
+        out.append(' ')
+        while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+      } else {
+        out.append(c.toLower); i += 1
+      }
+    }
+    out.toString
   }
 
   /** Strip a leading CTE list from a classify()-normalized statement so
@@ -254,13 +327,18 @@ final class QueryService(
 
   def status(id: Long): Option[Status] = Option(statuses.get(id))
 
-  /** Block until the query reaches a terminal state. */
+  /** Block until the query reaches a terminal state. An id evicted by
+    * the retention cap (or never issued) fails BY NAME instead of
+    * burning the whole timeout polling a key that can never appear. */
   def await(id: Long, timeoutMs: Long = 600000): Status = { // walden report time limit 600s
     val deadline = System.currentTimeMillis() + timeoutMs
     while (System.currentTimeMillis() < deadline) {
       statuses.get(id) match {
         case f: Finished => return f
         case f: Failed => return f
+        case null => return Failed(
+          s"query $id is unknown or its result was evicted (results are " +
+            s"retained for the newest $maxTrackedQueries queries)")
         case _ => Thread.sleep(10)
       }
     }
@@ -306,14 +384,14 @@ final class QueryService(
       // Length-prefixed so no (user, key) pair can collide.
       val cacheable = readPrefixes.exists(main.startsWith)
       val df: DataFrame = sess.sql(sql)
-      val key = if (cacheable) s"${user.length}:$user:${planFingerprint(df)}" else ""
+      val key = if (cacheable) s"${user.length}:$user:${planFingerprint(df, sql)}" else ""
       if (cacheable) {
         val hit = cache.get(key)
         if (hit != null && hit._1 > System.currentTimeMillis()) {
           // canonical-plan equality guarantees value-identical rows but
           // NOT output names (canonicalization strips aliases) — serve
           // the cached rows under THIS query's own column labels
-          statuses.put(id, hit._2.copy(fromCache = true, columns = df.columns.toSeq))
+          putTerminal(id, hit._2.copy(fromCache = true, columns = df.columns.toSeq))
           return
         }
       }
@@ -324,9 +402,9 @@ final class QueryService(
       // must not outlive the eviction's cache purge
       if (cacheable && stillResident(user, sess))
         cache.put(key, (System.currentTimeMillis() + cacheTtlSeconds * 1000, fin))
-      statuses.put(id, fin)
+      putTerminal(id, fin)
     } catch {
-      case e: Throwable => statuses.put(id, Failed(String.valueOf(e.getMessage)))
+      case e: Throwable => putTerminal(id, Failed(String.valueOf(e.getMessage)))
     }
   }
 

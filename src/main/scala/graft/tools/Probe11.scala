@@ -23,11 +23,21 @@ import graft.engine.GraftSession
   *    wall, the late/early ratio, end-state index file and commit
   *    counts, total wall, docs/s.
   *
+  *  - `soak:<sfdir>:<seconds>:<rate>` — service-rate parity soak
+  *    (r10 verdict #7): drive serve.QueryService at the reference
+  *    SQL Lab's async submission rate (100 tasks/s; 300 s result-cache
+  *    TTL; 600 s limit) with mixed relational/dedup/MATCH_RECOGNIZE
+  *    entries, 5% fresh-literal misses, 4 impersonated users.
+  *    Reported: sustained q/s, max backlog, tail drain, cache hit
+  *    rate, miss-latency p50/p99, heap before/after (flat = the
+  *    round-11 terminal-status retention working).
+  *
   * Usage: runMain graft.tools.Probe11 <spec> [<spec> ...]
   */
 object Probe11 {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: Probe11 sndic:<dir>:<nTriggers>:<compactEvery> ...")
+    require(args.nonEmpty,
+      "usage: Probe11 sndic:<dir>:<nTriggers>:<compactEvery> | soak:<dir>:<seconds>:<rate> ...")
     val spark = GraftSession.create()
     spark.sparkContext.setLogLevel("WARN")
     def loadavg(): String =
@@ -89,6 +99,90 @@ object Probe11 {
             s""""index_files":$idxFiles,"index_commits":$idxCommits,""" +
             s""""sec":${f3(secs)},"docs_per_sec":${f3(nDocs / secs)},""" +
             s""""loadavg_before":$load}"""
+        case "soak" =>
+          // service-rate parity soak (r10 verdict #7): drive
+          // serve.QueryService at the reference SQL Lab's async rate
+          // (100 tasks/s, 300 s cache TTL, 600 s limit) for `seconds`
+          // with mixed entries; report sustained q/s, backlog, cache
+          // hit rate, Finished-latency percentiles, heap before/after.
+          val dir = parts(1)
+          val seconds = parts(2).toInt
+          val rate = parts(3).toInt
+          graft.Tables.registerAll(spark, dir)
+          val svc = new graft.serve.QueryService(spark, workers = 8,
+            cacheTtlSeconds = 300,
+            onUserSession = (s, _) => graft.Tables.registerAll(s, dir))
+          def heapMB(): Long = {
+            System.gc(); Thread.sleep(200); System.gc()
+            val r = Runtime.getRuntime
+            (r.totalMemory() - r.freeMemory()) >> 20
+          }
+          val relational =
+            "SELECT l_returnflag, SUM(l_quantity) AS q FROM lineitem GROUP BY l_returnflag"
+          val dedup = "SELECT COUNT(*) AS n FROM (SELECT md5(text) AS h " +
+            "FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1)"
+          val pattern = """SELECT COUNT(*) AS n FROM (
+            SELECT * FROM (SELECT user_id, ts, event_id, value FROM events
+                           WHERE event_type = 'purchase') MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts, event_id
+              MEASURES COUNT(D.*) AS nd ONE ROW PER MATCH
+              PATTERN (D+ U)
+              DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)))"""
+          val repeats = Array(relational, dedup, pattern)
+          repeats.foreach(svc.sql(_)) // warm the three plans
+          val heap0 = heapMB()
+          val t0 = System.nanoTime()
+          val total = seconds * rate
+          val ids = new Array[Long](total)
+          var maxBacklog = 0
+          var i = 0
+          while (i < total) {
+            val sql =
+              if (i % 20 == 19)
+                s"$relational HAVING SUM(l_quantity) > ${i % 7919}"
+              else repeats(i % repeats.length)
+            ids(i) = svc.submit(sql, user = s"u${i % 4}")
+            if (i % 200 == 199) {
+              val from = math.max(0, i - 2000)
+              var backlog = 0
+              var j = from
+              while (j <= i) {
+                val st = svc.status(ids(j))
+                if (st.exists(s => s == svc.Queued || s == svc.Running)) backlog += 1
+                j += 1
+              }
+              maxBacklog = math.max(maxBacklog, backlog)
+            }
+            val due = t0 + (i + 1) * (1000000000L / rate)
+            val lag = due - System.nanoTime()
+            if (lag > 0) Thread.sleep(lag / 1000000L, (lag % 1000000L).toInt)
+            i += 1
+          }
+          val driveSecs = (System.nanoTime() - t0) / 1e9
+          // drain the tail
+          val tail = ids.takeRight(500)
+          val tailOk = tail.map(svc.await(_, 60000)).count {
+            case _: svc.Finished => true
+            case _               => false
+          }
+          val finished = ids.takeRight(2000).flatMap(svc.status).collect {
+            case f: svc.Finished => f
+          }
+          val hitRate =
+            if (finished.isEmpty) 0.0
+            else finished.count(_.fromCache).toDouble / finished.length
+          val lats = finished.filterNot(_.fromCache).map(_.elapsedMs).sorted
+          def pct(p: Double): Long =
+            if (lats.isEmpty) -1 else lats(math.min(lats.length - 1,
+              (p * lats.length).toInt))
+          val heap1 = heapMB()
+          svc.close()
+          s"""{"probe":"soak","dir":"$dir","seconds":$seconds,"rate":$rate,""" +
+            s""""submitted":$total,"sustained_per_s":${f3(total / driveSecs)},""" +
+            s""""tail_finished":$tailOk,"max_backlog":$maxBacklog,""" +
+            s""""cache_hit_rate":${f3(hitRate)},"miss_p50_ms":${pct(0.5)},""" +
+            s""""miss_p99_ms":${pct(0.99)},"heap_mb_before":$heap0,""" +
+            s""""heap_mb_after":$heap1,"loadavg_before":$load}"""
         case other => sys.error(s"unknown probe spec '$other'")
       }
       // the ONE greppable result line per spec

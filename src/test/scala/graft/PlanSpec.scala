@@ -137,9 +137,11 @@ class PlanSpec extends SparkSpec {
     // q34 (round 10): classifier-history nav symbols ride the SAME
     // plan — the nav placeholder is bound inside the matcher, adding
     // no exchange beyond the PREV window's
+    // q38 (round 11): CLASSIFIER()/MATCH_NUMBER() placeholders are
+    // bound inside the matcher like q34's history nav — same contract
     for (name <- Seq("q32_pattern_skipnext_desc", "q33_pattern_running_measures",
         "q34_pattern_hist_nav", "q35_pattern_unmatched_rows",
-        "q36_pattern_measure_nav")) {
+        "q36_pattern_measure_nav", "q38_pattern_define_classifier")) {
       val p = plan(SparkEntry.queries(name)(spark, sf()))
       val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
       assert(n == 1, s"$name: expected 1 user_id exchange, got $n: ${p.take(2000)}")

@@ -82,6 +82,45 @@ class ServeSpec extends SparkSpec {
     } finally svc.close()
   }
 
+  test("opaque-plan cache: MATCH_RECOGNIZE repeats hit on the text key, distinct specs never collide (r11)") {
+    // the matcher lowers to a MapPartitions whose canonical toString
+    // embeds the lambda's instance identity hash — plan keys are
+    // unstable for such queries, so the service keys them on
+    // literal-preserving normalized text instead (QueryService
+    // planFingerprint). Before r11 every MR submission was a miss.
+    Tables.registerAll(spark, sf())
+    val svc = new QueryService(spark, cacheTtlSeconds = 300)
+    try {
+      def mr(pat: String) = s"""SELECT COUNT(*) AS n FROM (
+        SELECT * FROM (SELECT user_id, ts, event_id, value FROM events
+                       WHERE event_type = 'purchase') MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES COUNT(D.*) AS nd ONE ROW PER MATCH
+          PATTERN ($pat)
+          DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)))"""
+      val a1 = svc.sql(mr("D+ U")).asInstanceOf[svc.Finished]
+      assert(!a1.fromCache)
+      val a2 = svc.sql(mr("D+ U")).asInstanceOf[svc.Finished]
+      assert(a2.fromCache, "identical MR repeat must hit the text key")
+      assert(a2.rows == a1.rows)
+      // keyword-case + whitespace variant still hits (normalization
+      // outside literals)
+      val a3 = svc.sql(mr("D+ U").replace("SELECT", "select")
+        .replaceAll("\n\\s*", " ")).asInstanceOf[svc.Finished]
+      assert(a3.fromCache, "case/whitespace MR variant must hit")
+      // a DIFFERENT pattern over the same input shares the lambda call
+      // site — must NOT be served the first spec's rows
+      val b = svc.sql(mr("D U+")).asInstanceOf[svc.Finished]
+      assert(!b.fromCache, "distinct MR spec must miss")
+      // literal case inside the spec's quoted strings distinguishes:
+      // same shape, different event_type literal
+      val c1 = svc.sql(mr("D+ U").replace("'purchase'", "'VIEW'")).asInstanceOf[svc.Finished]
+      assert(!c1.fromCache)
+      val c2 = svc.sql(mr("D+ U").replace("'purchase'", "'view'")).asInstanceOf[svc.Finished]
+      assert(!c2.fromCache, "literal-case variants must not collide")
+    } finally svc.close()
+  }
+
   test("failures are reported, not thrown") {
     val svc = new QueryService(spark)
     try {
@@ -281,5 +320,108 @@ class ServeSpec extends SparkSpec {
       assert(sched.runs("region_count") >= 2)
       assert(lastCount == 5L)
     } finally { sched.close(); svc.close() }
+  }
+
+  test("service-rate soak: 100 submissions/s mixed entries, bounded state (r11)") {
+    // the reference's SQL Lab executes async at 100 tasks/s with a
+    // 300 s result-cache TTL; this drives the same shape for ~30 s
+    // (3000 submissions — the multi-minute run is Probe11 soak) with
+    // a mixed workload: relational agg + dedup + MATCH_RECOGNIZE
+    // repeats (plan-fingerprint cache hits) and a stream of
+    // fresh-literal misses. Asserts: the pool never starves (backlog
+    // bounded, fully drained), the cache serves the repeat traffic,
+    // TTL expiry re-executes, and terminal-status retention keeps the
+    // service's own state bounded.
+    Tables.registerAll(spark, sf())
+    // the drive runs at the reference TTL (300 s — no expiry inside a
+    // 30 s drive; expiry at a 5 s TTL thundering-herds ~40% misses,
+    // which is TTL policy, not service health). TTL expiry itself is
+    // asserted at the end on a separate short-TTL instance.
+    val svc = new QueryService(spark, workers = 8, cacheTtlSeconds = 300,
+      maxTrackedQueries = 1000,
+      // impersonated users run on child sessions with their own temp
+      // catalogs — give each the same tables (the walden per-user
+      // schema provisioning hook)
+      onUserSession = (s, _) => Tables.registerAll(s, sf()))
+    try {
+      val relational =
+        "SELECT l_returnflag, SUM(l_quantity) AS q FROM lineitem GROUP BY l_returnflag"
+      val dedup = "SELECT COUNT(*) AS n FROM (SELECT md5(text) AS h FROM documents " +
+        "GROUP BY md5(text) HAVING COUNT(*) > 1)"
+      val pattern = """SELECT COUNT(*) AS n FROM (
+        SELECT * FROM (SELECT user_id, ts, event_id, value FROM events
+                       WHERE event_type = 'purchase') MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES COUNT(D.*) AS nd ONE ROW PER MATCH
+          PATTERN (D+ U)
+          DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)))"""
+      val repeats = Array(relational, dedup, pattern)
+      // warm the three plans once so the drive loop measures service
+      // behavior, not first-compile
+      repeats.foreach(q => assert(svc.sql(q).isInstanceOf[svc.Finished], q))
+
+      val start = System.nanoTime()
+      val ids = scala.collection.mutable.ArrayBuffer[Long]()
+      var maxBacklog = 0
+      val total = 3000 // 30 s at 100/s
+      var i = 0
+      while (i < total) {
+        val sql =
+          if (i % 20 == 19) s"$relational HAVING SUM(l_quantity) > ${i % 977}" // fresh literal: miss
+          else repeats(i % repeats.length)
+        ids += svc.submit(sql, user = s"u${i % 4}")
+        if (i % 100 == 99) {
+          val backlog = ids.takeRight(1000)
+            .count(id => svc.status(id).exists(s =>
+              s == svc.Queued || s == svc.Running))
+          maxBacklog = math.max(maxBacklog, backlog)
+        }
+        // pace to 100/s on the wall clock, not sleep drift
+        val due = start + (i + 1) * 10000000L
+        val lag = due - System.nanoTime()
+        if (lag > 0) Thread.sleep(lag / 1000000L, (lag % 1000000L).toInt)
+        i += 1
+      }
+      val driveSecs = (System.nanoTime() - start) / 1e9
+      // drain: the newest ids must all reach terminal state promptly
+      ids.takeRight(500).foreach { id =>
+        val st = svc.await(id, 30000)
+        assert(st.isInstanceOf[svc.Finished], s"$id: $st")
+      }
+      val rate = total / driveSecs
+      info(f"sustained $rate%.1f submissions/s, max backlog $maxBacklog")
+      assert(rate >= 85.0, f"pacing collapsed: $rate%.1f/s")
+      // starvation: the backlog never approached the drive volume
+      assert(maxBacklog < 500, s"backlog grew to $maxBacklog — workers starved")
+      // retention: the service's own state is capped, not 3000-deep
+      val tracked = ids.count(id => svc.status(id).isDefined)
+      assert(tracked <= 1000 + 64, s"$tracked statuses retained past the cap")
+      // the cache carried the repeat traffic: of the newest 500, the
+      // repeats (19 of each 20) should be overwhelmingly cache hits
+      val finished = ids.takeRight(500).flatMap(svc.status).collect {
+        case f: svc.Finished => f
+      }
+      val hitRate = finished.count(_.fromCache).toDouble / finished.length
+      info(f"cache hit rate over newest 500: $hitRate%.2f")
+      // 19/20 are warmed repeats → only the fresh-literal stream and
+      // any concurrent-miss herd at warm boundaries should miss
+      assert(hitRate >= 0.85, f"cache did not carry repeat traffic: $hitRate%.2f")
+      // an evicted early id fails BY NAME, not by timeout
+      val evicted = svc.await(ids.head, 1000)
+      assert(evicted.isInstanceOf[svc.Failed] &&
+        evicted.asInstanceOf[svc.Failed].error.contains("evicted"), evicted)
+    } finally svc.close()
+    // TTL honored: on a short-TTL instance, expiry re-executes
+    val ttlSvc = new QueryService(spark, workers = 2, cacheTtlSeconds = 2)
+    try {
+      val q = "SELECT COUNT(*) AS n FROM region"
+      val m0 = ttlSvc.sql(q).asInstanceOf[ttlSvc.Finished]
+      val m1 = ttlSvc.sql(q).asInstanceOf[ttlSvc.Finished]
+      assert(m1.fromCache, "repeat inside TTL must serve from cache")
+      Thread.sleep(2500)
+      val m2 = ttlSvc.sql(q).asInstanceOf[ttlSvc.Finished]
+      assert(!m2.fromCache, "TTL-expired entry served from cache")
+      assert(m0.rows.toSet == m2.rows.toSet)
+    } finally ttlSvc.close()
   }
 }
