@@ -102,10 +102,24 @@ object GraftFunctions {
     // Trino approx_most_frequent(buckets, value[, capacity]) — Space-
     // Saving top-k summary (TypedImperativeAggregate).
     "approx_most_frequent" -> { exprs: Seq[Expression] =>
-      val k = intLit(exprs(0), "buckets")
-      val cap = if (exprs.size > 2) intLit(exprs(2), "capacity") else math.max(256, k)
+      val k = intLit(exprs(0), "approx_most_frequent buckets")
+      val cap = if (exprs.size > 2) intLit(exprs(2), "approx_most_frequent capacity") else math.max(256, k)
       ApproxMostFrequent(exprs(1), k, cap).toAggregateExpression()
     },
+    // graft-native KMV bottom-k distinct sketch family (KmvSketch.scala
+    // — corpus-overlap estimation with NO join: one scan per corpus,
+    // k·8-byte mergeable sketches, exact below saturation so f20 is
+    // oracle-checkable).
+    "kmv_sketch" -> { exprs: Seq[Expression] =>
+      KmvSketch(exprs(0), intLit(exprs(1), "kmv_sketch k")).toAggregateExpression()
+    },
+    "kmv_union_agg" -> { exprs: Seq[Expression] =>
+      KmvUnionAgg(exprs.head).toAggregateExpression()
+    },
+    "kmv_distinct_est" -> { exprs: Seq[Expression] => KmvDistinctEst(exprs.head) },
+    "kmv_union" -> { exprs: Seq[Expression] => KmvUnion(exprs(0), exprs(1)) },
+    "kmv_intersect_est" -> { exprs: Seq[Expression] => KmvIntersectEst(exprs(0), exprs(1)) },
+    "kmv_jaccard_est" -> { exprs: Seq[Expression] => KmvJaccardEst(exprs(0), exprs(1)) },
     // Trino URL functions -> ParseUrl parts.
     "url_extract_host" -> { exprs: Seq[Expression] =>
       ParseUrl(Seq(exprs.head, Literal("HOST"))) },
@@ -167,6 +181,9 @@ object GraftFunctions {
     "pack_int8" -> ((1, 1)), "int8_dot" -> ((2, 2)), "simhash64" -> ((1, 1)),
     "min_gram_md5" -> ((2, 2)), "shingle_sig" -> ((3, 3)), "char_grams" -> ((2, 2)),
     "approx_most_frequent" -> ((2, 3)),
+    "kmv_sketch" -> ((2, 2)), "kmv_union_agg" -> ((1, 1)),
+    "kmv_distinct_est" -> ((1, 1)), "kmv_union" -> ((2, 2)),
+    "kmv_intersect_est" -> ((2, 2)), "kmv_jaccard_est" -> ((2, 2)),
     "url_extract_host" -> ((1, 1)), "url_extract_path" -> ((1, 1)),
     "url_extract_protocol" -> ((1, 1)), "url_extract_query" -> ((1, 1)),
     "url_extract_fragment" -> ((1, 1)), "url_extract_parameter" -> ((2, 2)),
@@ -189,7 +206,7 @@ object GraftFunctions {
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v, _) => String.valueOf(v).toInt
     case other => throw new IllegalArgumentException(
-      s"approx_most_frequent $what must be an integer literal, got $other")
+      s"$what must be an integer literal, got $other")
   }
 
   /** Table-valued functions: SQL-level entry into the versioned store.

@@ -479,6 +479,52 @@ object FunctionQueries {
             sum(col("n")).as("n_rows"),
             count(lit(1)).as("n_groups"))
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // KMV bottom-k distinct sketches (round 11, functions/KmvSketch
+    // .scala): corpus-overlap questions with NO join — distinct
+    // customers in the early/late order halves, their overlap, union
+    // (pairwise-scalar path), and the per-status rollup (kmv_union_agg
+    // over stored sketch rows). TWO scans of orders total, k·8-byte
+    // state. Unlike the HLL rows (f11/f19, envelope-only), this IS
+    // oracle-checkable: at sf0.01 each side holds < k = 8192 distinct
+    // hashes, and an unsaturated KMV sketch has seen every value, so
+    // estimates are returned as exact integer counts (the saturated
+    // 1/√k regime is envelope-spec'd in KmvSpec). Every compared
+    // column is an integer-valued double — ROUND+CAST is exact; the
+    // jaccard RATIO stays out of the oracle (cross-engine float op
+    // order could flip a floor boundary) and is asserted in KmvSpec.
+    QueryEntry("f20_kmv_overlap",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val o = Tables(s, d, "orders")
+        val halves = o.agg(
+          expr("kmv_sketch(CASE WHEN o_orderdate < DATE '1995-01-01' " +
+            "THEN o_custkey END, 8192)").as("s1"),
+          expr("kmv_sketch(CASE WHEN o_orderdate >= DATE '1995-01-01' " +
+            "THEN o_custkey END, 8192)").as("s2"))
+        val rollup = o.groupBy(col("o_orderstatus"))
+          .agg(expr("kmv_sketch(o_custkey, 8192)").as("sk"))
+          .agg(expr("kmv_union_agg(sk)").as("u"))
+        halves.crossJoin(rollup).selectExpr( // 1 row x 1 row
+          "CAST(ROUND(kmv_distinct_est(s1)) AS BIGINT) AS d_early",
+          "CAST(ROUND(kmv_distinct_est(s2)) AS BIGINT) AS d_late",
+          "CAST(ROUND(kmv_intersect_est(s1, s2)) AS BIGINT) AS d_overlap",
+          "CAST(ROUND(kmv_distinct_est(kmv_union(s1, s2))) AS BIGINT) AS d_union",
+          "CAST(ROUND(kmv_distinct_est(u)) AS BIGINT) AS d_rollup")
+      },
+      Some("""SELECT
+          (SELECT COUNT(DISTINCT o_custkey) FROM orders
+             WHERE o_orderdate < DATE '1995-01-01') AS d_early,
+          (SELECT COUNT(DISTINCT o_custkey) FROM orders
+             WHERE o_orderdate >= DATE '1995-01-01') AS d_late,
+          (SELECT COUNT(*) FROM
+            (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < DATE '1995-01-01'
+             INTERSECT
+             SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= DATE '1995-01-01') t)
+            AS d_overlap,
+          (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS d_union,
+          (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS d_rollup"""))
   )
 }
