@@ -320,6 +320,47 @@ object TextOps {
       .select("source", "budget_tokens", "n_docs", "mix_tokens")
   }
 
+  /** Deterministic global shuffle + sharding for training output — the
+    * LAST step of a pre-training pipeline: the curated corpus becomes N
+    * shards whose membership AND within-shard order are a pure function
+    * of (doc id, seed), independent of input layout, partition count,
+    * or cluster size (walden's stack leaves this to the training job;
+    * a 100 TB corpus needs it done ON the engine).
+    *
+    * Mechanics: `perm_key` = md5 of `id:seed` (hex — fixed-width, so
+    * STRING order == numeric order, the t12/t19 idiom); docs map to
+    * 65536 hex buckets (first 4 key chars) and buckets range-map to
+    * shards (`floor(bucket * nShards / 65536)` — balanced to ±1 bucket,
+    * ≤1.6% skew at 1024 shards). SCALE: ONE hash exchange on the shard
+    * id (uniform by construction — no skew, no range-sampling
+    * nondeterminism, unlike repartitionByRange whose sampled bounds
+    * depend on layout), then a per-partition sort; writers stream
+    * sorted runs. Re-running on re-ingested data yields byte-identical
+    * shard files — the reproducibility contract a training run audits
+    * against.
+    */
+  def shardForTraining(docsDf: DataFrame, nShards: Int, seed: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1 && nShards <= 65536,
+      s"shardForTraining: nShards must be in [1, 65536], got $nShards")
+    docsDf
+      .withColumn("perm_key",
+        md5(concat(col(idCol).cast("string"), lit(":"), lit(seed.toString))))
+      .withColumn("shard",
+        (conv(substring(col("perm_key"), 1, 4), 16, 10).cast("long") *
+          nShards / 65536).cast("int"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("perm_key"))
+  }
+
+  /** Write [[shardForTraining]] output as one parquet file per shard
+    * (`outDir/shard=<i>/`): every shard's rows live in exactly one
+    * task post-exchange, so `partitionBy` emits one sorted file each. */
+  def writeTrainingShards(docsDf: DataFrame, outDir: String, nShards: Int,
+      seed: Long, idCol: String = "doc_id"): Unit =
+    shardForTraining(docsDf, nShards, seed, idCol)
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   /** Auto-regime crossover for [[decontaminate]]: DISTINCT eval grams
     * at or below this count take the broadcast-verify plan (t13's —
     * the eval side ships to every executor once, the corpus stream
@@ -1690,6 +1731,40 @@ object TextOps {
           grams.filter(col("doc_id") % 17 === 0),
           regime = "auto")
       },
-      Some(oDecontaminate))
+      Some(oDecontaminate)),
+
+    // ------------------------------------------------------------------
+    // Deterministic training shards (round 11): [[shardForTraining]]'s
+    // membership and order are pure functions of (doc_id, seed), so
+    // DuckDB can recompute the whole assignment — per-shard counts,
+    // char totals, the key range, and the FIRST doc in shard order
+    // (min_by proves the within-shard ordering contract, not just
+    // membership). The 4-hex-digit bucket parse is spelled with
+    // strpos in the oracle (DuckDB has no conv()); layout invariance
+    // and one-file-per-shard are spec'd in FunctionsSpec.
+    QueryEntry("t27_train_shards",
+      (s, d) => {
+        shardForTraining(docs(s, d), nShards = 8, seed = 42)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).cast("long").as("n_chars"),
+            min(col("perm_key")).as("first_key"),
+            max(col("perm_key")).as("last_key"),
+            expr("min_by(CAST(doc_id AS STRING), perm_key)").as("first_doc"))
+      },
+      Some("""WITH k AS (SELECT doc_id, text,
+            MD5(CAST(doc_id AS VARCHAR) || ':42') AS perm_key FROM documents),
+          b AS (SELECT *,
+            (STRPOS('0123456789abcdef', SUBSTRING(perm_key, 1, 1)) - 1) * 4096 +
+            (STRPOS('0123456789abcdef', SUBSTRING(perm_key, 2, 1)) - 1) * 256 +
+            (STRPOS('0123456789abcdef', SUBSTRING(perm_key, 3, 1)) - 1) * 16 +
+            (STRPOS('0123456789abcdef', SUBSTRING(perm_key, 4, 1)) - 1) AS bucket
+            FROM k),
+          sh AS (SELECT *, CAST(FLOOR(bucket * 8.0 / 65536) AS INT) AS shard FROM b)
+          SELECT shard, COUNT(*) AS n_docs,
+            CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+            MIN(perm_key) AS first_key, MAX(perm_key) AS last_key,
+            MIN_BY(CAST(doc_id AS VARCHAR), perm_key) AS first_doc
+          FROM sh GROUP BY shard"""))
   )
 }

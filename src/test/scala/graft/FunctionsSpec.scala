@@ -522,4 +522,56 @@ class FunctionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("shardForTraining: layout-invariant membership AND order, balanced, one file per shard (r11)") {
+    import graft.operators.TextOps
+    val docsDf = Tables(spark, sf(), "documents")
+    // physical layout must not leak into the result: 1-partition and
+    // 17-partition inputs land every row in the same output partition
+    // at the same position (membership + ORDER, the training-run
+    // reproducibility contract)
+    def layout(df: org.apache.spark.sql.DataFrame): Seq[(Int, Seq[(Int, Long)])] =
+      TextOps.shardForTraining(df, nShards = 8, seed = 7)
+        .select("shard", "doc_id").rdd
+        .mapPartitionsWithIndex((i, it) =>
+          Iterator.single(i -> it.map(r => (r.getInt(0), r.getLong(1))).toSeq))
+        .collect().toSeq.sortBy(_._1).filter(_._2.nonEmpty)
+    val a = layout(docsDf.repartition(1))
+    val b = layout(docsDf.repartition(17))
+    assert(a == b, "shard assignment or order depends on input layout")
+    // within each partition rows are (shard, perm_key)-sorted and
+    // shards are balanced (uniform hex buckets)
+    val counts = a.flatMap(_._2).groupBy(_._1).view.mapValues(_.size).toMap
+    assert(counts.keySet == (0 until 8).toSet, s"missing shards: $counts")
+    // multinomial balance: each shard within 5 sigma of n/8 (the
+    // BUCKET->shard mapping itself is exact to ±1 bucket; observed
+    // spread is hash noise that shrinks as 1/sqrt(n))
+    val mean = a.flatMap(_._2).size / 8.0
+    val tol = 5 * math.sqrt(mean)
+    assert(counts.values.forall(c => math.abs(c - mean) < tol),
+      s"shards unbalanced beyond 5 sigma of $mean: $counts")
+    // re-running the same config reproduces; a new seed re-permutes
+    assert(layout(docsDf.repartition(1)) == a)
+    val c = TextOps.shardForTraining(docsDf, nShards = 8, seed = 8)
+      .select("shard", "doc_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(c != a.flatMap(_._2).toSet, "seed must change shard membership")
+    // the writer emits exactly one parquet file per shard directory
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    TextOps.writeTrainingShards(docsDf, out, nShards = 8, seed = 7)
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+    assert(dirs.length == 8, dirs.map(_.getName).toSeq)
+    dirs.foreach { sd =>
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${sd.getName}: ${files.length} files")
+    }
+    // round-trip: written rows == computed rows
+    assert(spark.read.parquet(out).count() == docsDf.count())
+  }
+
+  test("shardForTraining: nShards bounds reject loudly") {
+    val docsDf = Tables(spark, sf(), "documents")
+    assert(intercept[IllegalArgumentException](
+      graft.operators.TextOps.shardForTraining(docsDf, 0, 1L))
+      .getMessage.contains("[1, 65536]"))
+  }
 }
