@@ -116,6 +116,27 @@ object GraftFunctions {
     "kmv_union_agg" -> { exprs: Seq[Expression] =>
       KmvUnionAgg(exprs.head).toAggregateExpression()
     },
+    // Trino min_by/max_by(x, y, n) — bounded ordered-set sampler
+    // (MinKBy TypedImperativeAggregate; 2-arg form passes through to
+    // Spark's builtin so registering the 3-arg form never narrows it).
+    "min_by" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(x, y) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(x, y)
+            .toAggregateExpression()
+        case Seq(x, y, n) =>
+          MinKBy(x, y, intLit(n, "min_by n"), reverse = false).toAggregateExpression()
+      }
+    },
+    "max_by" -> { exprs: Seq[Expression] =>
+      exprs match {
+        case Seq(x, y) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(x, y)
+            .toAggregateExpression()
+        case Seq(x, y, n) =>
+          MinKBy(x, y, intLit(n, "max_by n"), reverse = true).toAggregateExpression()
+      }
+    },
     "kmv_distinct_est" -> { exprs: Seq[Expression] => KmvDistinctEst(exprs.head) },
     "kmv_union" -> { exprs: Seq[Expression] => KmvUnion(exprs(0), exprs(1)) },
     "kmv_intersect_est" -> { exprs: Seq[Expression] => KmvIntersectEst(exprs(0), exprs(1)) },
@@ -181,6 +202,7 @@ object GraftFunctions {
     "pack_int8" -> ((1, 1)), "int8_dot" -> ((2, 2)), "simhash64" -> ((1, 1)),
     "min_gram_md5" -> ((2, 2)), "shingle_sig" -> ((3, 3)), "char_grams" -> ((2, 2)),
     "approx_most_frequent" -> ((2, 3)),
+    "min_by" -> ((2, 3)), "max_by" -> ((2, 3)),
     "kmv_sketch" -> ((2, 2)), "kmv_union_agg" -> ((1, 1)),
     "kmv_distinct_est" -> ((1, 1)), "kmv_union" -> ((2, 2)),
     "kmv_intersect_est" -> ((2, 2)), "kmv_jaccard_est" -> ((2, 2)),

@@ -1765,6 +1765,33 @@ object TextOps {
             CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
             MIN(perm_key) AS first_key, MAX(perm_key) AS last_key,
             MIN_BY(CAST(doc_id AS VARCHAR), perm_key) AS first_doc
-          FROM sh GROUP BY shard"""))
+          FROM sh GROUP BY shard""")),
+
+    // ------------------------------------------------------------------
+    // Deterministic k-per-stratum sampling via Trino's min_by(x, y, n)
+    // (round 11, functions/MinKBy.scala): the hashed-key selection t15
+    // spells with a ROW_NUMBER window — but as ONE hash aggregation
+    // with O(k) per-group state and map-side partial merge, no
+    // per-group sort. At 100 TB "5 sample docs per source" must not
+    // sort every source's full contents to discard all but 5; this
+    // plan's only exchange is the group-by's, and the oracle IS the
+    // window spelling, proving the two select identical rows (PlanSpec
+    // asserts the window-free plan).
+    QueryEntry("t28_stratified_minby",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        docs(s, d)
+          .groupBy(col("source"))
+          .agg(expr(
+            "min_by(doc_id, md5(concat(CAST(doc_id AS STRING), ':s7')), 5)")
+            .as("picks"))
+          .selectExpr("source", "posexplode(picks) AS (rk0, doc_id)")
+          .selectExpr("source", "CAST(rk0 + 1 AS INT) AS rk", "doc_id")
+      },
+      Some("""WITH r AS (SELECT source, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY MD5(CAST(doc_id AS VARCHAR) || ':s7')) AS rk
+            FROM documents)
+          SELECT source, CAST(rk AS INT) AS rk, doc_id FROM r WHERE rk <= 5"""))
   )
 }

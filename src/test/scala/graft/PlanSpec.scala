@@ -431,4 +431,18 @@ class PlanSpec extends SparkSpec {
         s"maxHamming=$k candidates should come from a shuffled equi-join:\n${p.take(2000)}")
     }
   }
+
+  test("t28 samples per stratum WITHOUT a window sort (r11 min_by(x, y, n))") {
+    // the point of the 3-arg min_by: k-per-group selection as one hash
+    // aggregation (O(k) state, partial merge) — the ROW_NUMBER
+    // spelling's per-group sort must be absent, and the only exchange
+    // is the group-by's
+    val p = plan(SparkEntry.queries("t28_stratified_minby")(spark, sf()))
+    assert(!p.contains("Window"), s"t28 plan fell back to a window sort:\n${p.take(2000)}")
+    assert(!p.contains("Sort "), s"t28 plan sorts:\n${p.take(2000)}")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"t28: expected 1 exchange, got $exchanges:\n${p.take(2000)}")
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"),
+      s"t28 should aggregate:\n${p.take(2000)}")
+  }
 }
