@@ -361,6 +361,27 @@ object TextOps {
     shardForTraining(docsDf, nShards, seed, idCol)
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
+  /** The shared front half of the boilerplate pair (t23 detect / t29
+    * strip): tokenized docs plus the 1-based start positions of every
+    * word 8-gram that appears in ≥2 documents. One md5-keyed gram
+    * shuffle (high-cardinality, skew-free) + one semi join back. */
+  private def boilerplateHits(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = docs(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .selectExpr("doc_id",
+        "filter(split(lower(coalesce(text, '')), ' '), w -> length(w) > 0) AS ws")
+    val grams = base.filter(size(col("ws")) >= 8)
+      .selectExpr("doc_id",
+        """explode(transform(sequence(0, size(ws) - 8),
+             i -> struct(i + 1 AS i, md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2],
+               ws[i+3], ws[i+4], ws[i+5], ws[i+6], ws[i+7])) AS h))) AS gi""")
+      .selectExpr("doc_id", "gi.i AS i", "gi.h AS h")
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    (base, grams.join(dup, "h").select("doc_id", "i"))
+  }
+
   /** Auto-regime crossover for [[decontaminate]]: DISTINCT eval grams
     * at or below this count take the broadcast-verify plan (t13's —
     * the eval side ships to every executor once, the corpus stream
@@ -1608,20 +1629,7 @@ object TextOps {
     // gram popularity (the md5 count absorbs popular grams map-side).
     QueryEntry("t23_boilerplate",
       (s, d) => {
-        val base = docs(s, d)
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-          .selectExpr("doc_id",
-            "filter(split(lower(coalesce(text, '')), ' '), w -> length(w) > 0) AS ws")
-        val grams = base.filter(size(col("ws")) >= 8)
-          .selectExpr("doc_id",
-            """explode(transform(sequence(0, size(ws) - 8),
-                 i -> struct(i + 1 AS i, md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2],
-                   ws[i+3], ws[i+4], ws[i+5], ws[i+6], ws[i+7])) AS h))) AS gi""")
-          .selectExpr("doc_id", "gi.i AS i", "gi.h AS h")
-        val dup = grams.groupBy(col("h"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2).select("h")
-        val hits = grams.join(dup, "h").select("doc_id", "i")
+        val (base, hits) = boilerplateHits(s, d)
         // Coverage = |union of the hit windows [i, i+7]| — computed as
         // a per-doc interval SWEEP (sorted by start, each window adds
         // its part past the running max end), NOT an 8x position
@@ -1673,6 +1681,59 @@ object TextOps {
             THEN ROUND(CAST(COALESCE(cov.n_covered, 0) AS DOUBLE) / LEN(b.ws), 6)
             ELSE 0.0 END AS bp_frac
         FROM base b LEFT JOIN nh USING (doc_id) LEFT JOIN cov USING (doc_id)""")),
+
+    // ------------------------------------------------------------------
+    // Boilerplate REMOVAL (round 11) — the surgery t23 only measures:
+    // every token inside a cross-document duplicated 8-gram window is
+    // cut, the survivors reassemble in order (the C4/RefinedWeb-style
+    // cleanup step). Same two shuffles as t23 (md5 gram key + doc_id)
+    // plus one doc_id-keyed collect of window STARTS — never the 8x
+    // expanded positions; the per-doc membership test runs inside one
+    // codegen'd HOF pass over the token array (cost O(tokens x
+    // windows) per doc, bounded by doc length — a narrow map stage at
+    // corpus scale). The DuckDB oracle recomputes the full surgery
+    // relationally (no lambda-index dependence) and hash-compares the
+    // REASSEMBLED TEXT itself, not just counts. Docs with NULL/empty
+    // text keep an empty kept_text ('' both sides).
+    QueryEntry("t29_boilerplate_strip",
+      (s, d) => {
+        val (base, hits) = boilerplateHits(s, d)
+        val starts = hits.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("i"))).as("starts"))
+        base.join(starts, Seq("doc_id"), "left")
+          .selectExpr("doc_id", "CAST(size(ws) AS BIGINT) AS n_tokens",
+            """CASE WHEN starts IS NULL THEN ws
+               ELSE filter(transform(sequence(1, size(ws)),
+                 p -> CASE WHEN exists(starts, st -> st <= p AND p <= st + 7)
+                      THEN NULL ELSE ws[p - 1] END), x -> x IS NOT NULL)
+               END AS kept_ws""")
+          .selectExpr("doc_id", "n_tokens",
+            "CAST(size(kept_ws) AS BIGINT) AS kept_tokens",
+            "concat_ws(' ', kept_ws) AS kept_text")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+            LIST_FILTER(STRING_SPLIT(LOWER(COALESCE(text, '')), ' '), w -> LEN(w) > 0) AS ws
+          FROM documents),
+        idx AS (SELECT doc_id, ws, UNNEST(RANGE(1, LEN(ws) - 6)) AS i
+          FROM base WHERE LEN(ws) >= 8),
+        grams AS (SELECT doc_id, i,
+            MD5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]) AS h
+          FROM idx),
+        dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, i FROM grams JOIN dup USING (h)),
+        covp AS (SELECT DISTINCT doc_id, p FROM
+          (SELECT doc_id, UNNEST(RANGE(i, i + 8)) AS p FROM hits)),
+        pos AS (SELECT doc_id, ws, UNNEST(RANGE(1, LEN(ws) + 1)) AS p FROM base),
+        keptw AS (SELECT pos.doc_id, pos.p, pos.ws[pos.p] AS w
+          FROM pos LEFT JOIN covp ON pos.doc_id = covp.doc_id AND pos.p = covp.p
+          WHERE covp.p IS NULL)
+        SELECT b.doc_id, CAST(LEN(b.ws) AS BIGINT) AS n_tokens,
+          CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+          COALESCE(k.kept_text, '') AS kept_text
+        FROM base b LEFT JOIN
+          (SELECT doc_id, COUNT(*) AS kept_tokens,
+             STRING_AGG(w, ' ' ORDER BY p) AS kept_text
+           FROM keptw GROUP BY doc_id) k USING (doc_id)""")),
 
     // ------------------------------------------------------------------
     // Decontamination, bloom-prefiltered — t13's answer under the plan

@@ -32,6 +32,17 @@ import graft.engine.GraftSession
   *    rate, miss-latency p50/p99, heap before/after (flat = the
   *    round-11 terminal-status retention working).
   *
+  *  - `kmv:<sfdir>:<k>[:<splitdate>]` — the f20 wager at scale: distinct-customer
+  *    overlap between order-date halves via the KMV sketch pair (two
+  *    scans, NO value shuffle — partial sketches merge) vs the exact
+  *    spelling (two shuffled DISTINCTs + an intersect join). Reported:
+  *    both walls, both answers, the sketch's relative error at this
+  *    corpus (k-saturated ⇒ the 1/√k regime).
+  *
+  *  - `shards:<dir>:<nShards>` — [[graft.operators.TextOps
+  *    .writeTrainingShards]] end-to-end at corpus scale: wall, docs/s,
+  *    shard balance (max/min), files per shard dir.
+  *
   * Usage: runMain graft.tools.Probe11 <spec> [<spec> ...]
   */
 object Probe11 {
@@ -183,6 +194,59 @@ object Probe11 {
             s""""cache_hit_rate":${f3(hitRate)},"miss_p50_ms":${pct(0.5)},""" +
             s""""miss_p99_ms":${pct(0.99)},"heap_mb_before":$heap0,""" +
             s""""heap_mb_after":$heap1,"loadavg_before":$load}"""
+        case "kmv" =>
+          val dir = parts(1)
+          val k = parts(2).toInt
+          // the split must straddle the corpus's date range (ScaleUp's
+          // sf1 orders span 1995-2001; f20's sf0.01 spans 1992-1998)
+          val split = if (parts.length > 3) parts(3) else "1995-01-01"
+          graft.functions.GraftFunctions.register(spark)
+          val orders = graft.Tables(spark, dir, "orders")
+          orders.createOrReplaceTempView("kmv_orders")
+          def timed[T](f: => T): (T, Double) = {
+            val t0 = System.nanoTime(); val r = f
+            (r, (System.nanoTime() - t0) / 1e9)
+          }
+          val (exact, exactSec) = timed {
+            spark.sql(s"""SELECT COUNT(*) FROM (
+                SELECT DISTINCT o_custkey FROM kmv_orders WHERE o_orderdate < DATE '$split'
+                INTERSECT
+                SELECT DISTINCT o_custkey FROM kmv_orders WHERE o_orderdate >= DATE '$split')""")
+              .head().getLong(0)
+          }
+          val (est, kmvSec) = timed {
+            spark.sql(s"""SELECT kmv_intersect_est(s1, s2) FROM (
+                SELECT kmv_sketch(CASE WHEN o_orderdate < DATE '$split'
+                         THEN o_custkey END, $k) AS s1,
+                       kmv_sketch(CASE WHEN o_orderdate >= DATE '$split'
+                         THEN o_custkey END, $k) AS s2
+                FROM kmv_orders)""").head().getDouble(0)
+          }
+          val relErr = if (exact == 0) 0.0 else math.abs(est - exact) / exact
+          s"""{"probe":"kmv","dir":"$dir","k":$k,"split":"$split","exact":$exact,""" +
+            s""""est":${f3(est)},"rel_err":${f3(relErr)},""" +
+            s""""exact_sec":${f3(exactSec)},"kmv_sec":${f3(kmvSec)},""" +
+            s""""loadavg_before":$load}"""
+        case "shards" =>
+          val dir = parts(1)
+          val nShards = parts(2).toInt
+          val docs = graft.Tables(spark, dir, "documents")
+          val nDocs = docs.count()
+          val out = java.nio.file.Files.createTempDirectory("shards_probe").toString
+          val t0 = System.nanoTime()
+          graft.operators.TextOps.writeTrainingShards(docs, out, nShards, seed = 42)
+          val secs = (System.nanoTime() - t0) / 1e9
+          val dirs = new java.io.File(out).listFiles()
+            .filter(_.getName.startsWith("shard="))
+          val perShard = dirs.map(d =>
+            d.listFiles().count(_.getName.endsWith(".parquet")))
+          val counts = spark.read.parquet(out).groupBy("shard").count()
+            .collect().map(_.getLong(1))
+          s"""{"probe":"shards","dir":"$dir","n_shards":$nShards,"docs":$nDocs,""" +
+            s""""sec":${f3(secs)},"docs_per_sec":${f3(nDocs / secs)},""" +
+            s""""files_per_shard_max":${perShard.max},""" +
+            s""""balance_max_over_min":${f3(counts.max.toDouble / counts.min)},""" +
+            s""""loadavg_before":$load}"""
         case other => sys.error(s"unknown probe spec '$other'")
       }
       // the ONE greppable result line per spec
