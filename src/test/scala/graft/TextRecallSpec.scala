@@ -191,5 +191,19 @@ class TextRecallSpec extends SparkSpec {
       4L -> (7L, 0L, 0L, 7L, 0.0),
       5L -> (0L, 0L, 0L, 0L, 0.0))
     assert(got == expected, s"planted fixture mismatch: $got")
+
+    // t29 strips the SAME corpus: the twins vanish, the unique doc
+    // survives whole, doc 3 keeps exactly its 4 non-window tokens in
+    // order, short/NULL docs pass through untouched (r11)
+    val stripped = SparkEntry.queries("t29_boilerplate_strip")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val expectedStrip = Map(
+      0L -> (12L, 0L, ""),
+      1L -> (12L, 0L, ""),
+      2L -> (12L, 12L, "m n o p q r s t u v w x"),
+      3L -> (12L, 4L, "z1 z2 z3 z4"),
+      4L -> (7L, 7L, "p1 p2 p3 p4 p5 p6 p7"),
+      5L -> (0L, 0L, ""))
+    assert(stripped == expectedStrip, s"planted strip mismatch: $stripped")
   }
 }
