@@ -363,8 +363,13 @@ object TextOps {
 
   /** The shared front half of the boilerplate pair (t23 detect / t29
     * strip): tokenized docs plus the 1-based start positions of every
-    * word 8-gram that appears in ≥2 documents. One md5-keyed gram
-    * shuffle (high-cardinality, skew-free) + one semi join back. */
+    * word 8-gram that appears in ≥2 documents. ONE md5-keyed gram
+    * shuffle (high-cardinality, skew-free): "h in ≥2 distinct docs" is
+    * min(doc_id)≠max(doc_id) over the h partition — a window pair on
+    * the SAME exchange, replacing the r10 countDistinct-agg + semi
+    * join whose partial aggregate below the exchange defeated reuse
+    * and re-ran the whole tokenize+explode gram pass a second time
+    * (3 corpus scans → 2, the explode exactly once). */
   private def boilerplateHits(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val base = docs(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -376,10 +381,13 @@ object TextOps {
              i -> struct(i + 1 AS i, md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2],
                ws[i+3], ws[i+4], ws[i+5], ws[i+6], ws[i+7])) AS h))) AS gi""")
       .selectExpr("doc_id", "gi.i AS i", "gi.h AS h")
-    val dup = grams.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("h")
-    (base, grams.join(dup, "h").select("doc_id", "i"))
+    import org.apache.spark.sql.expressions.Window
+    val byH = Window.partitionBy("h")
+    val hits = grams
+      .withColumn("multi",
+        min(col("doc_id")).over(byH) =!= max(col("doc_id")).over(byH))
+      .filter(col("multi")).select("doc_id", "i")
+    (base, hits)
   }
 
   /** Auto-regime crossover for [[decontaminate]]: DISTINCT eval grams
