@@ -394,19 +394,63 @@ final class QueryService(
           putTerminal(id, hit._2.copy(fromCache = true, columns = df.columns.toSeq))
           return
         }
+        // stampede coalescing (round 11): at the 100-task/s service
+        // rate a cold/expired popular key draws a herd of identical
+        // misses; only the FIRST becomes the leader, the rest await
+        // its in-flight result. Deadlock-free by construction: the
+        // inflight entry is created by an already-RUNNING leader (put
+        // happens here, not at submit) and the FIFO pool dequeued the
+        // leader before any follower, so a follower never awaits a
+        // task that cannot progress. Keys are user-prefixed, so
+        // coalescing never crosses the impersonation boundary.
+        val mine = new java.util.concurrent.CompletableFuture[Finished]()
+        val leader = inflight.putIfAbsent(key, mine)
+        if (leader != null) {
+          val fin = leader.get(600, java.util.concurrent.TimeUnit.SECONDS)
+          putTerminal(id, fin.copy(fromCache = true, columns = df.columns.toSeq))
+          return
+        }
+        try {
+          val fin = runAndCache(df, key, user, sess, t0)
+          mine.complete(fin)
+          putTerminal(id, fin)
+        } catch {
+          case e: Throwable => mine.completeExceptionally(e); throw e
+        } finally inflight.remove(key)
+        return
       }
+      executions.incrementAndGet()
       val rows = df.limit(maxResultRows).collect().toSeq
-      val fin = Finished(rows, df.columns.toSeq, (System.nanoTime() - t0) / 1000000L, fromCache = false)
-      // publish to the cache only if the session we ran on is still the
-      // user's resident one — results computed on an evicted session
-      // must not outlive the eviction's cache purge
-      if (cacheable && stillResident(user, sess))
-        cache.put(key, (System.currentTimeMillis() + cacheTtlSeconds * 1000, fin))
-      putTerminal(id, fin)
+      putTerminal(id, Finished(rows, df.columns.toSeq,
+        (System.nanoTime() - t0) / 1000000L, fromCache = false))
     } catch {
       case e: Throwable => putTerminal(id, Failed(String.valueOf(e.getMessage)))
     }
   }
+
+  /** Execute a cacheable read and publish it to the result cache (only
+    * if the session we ran on is still the user's resident one —
+    * results computed on an evicted session must not outlive the
+    * eviction's cache purge). */
+  private def runAndCache(df: DataFrame, key: String, user: String,
+      sess: SparkSession, t0: Long): Finished = {
+    executions.incrementAndGet()
+    val rows = df.limit(maxResultRows).collect().toSeq
+    val fin = Finished(rows, df.columns.toSeq,
+      (System.nanoTime() - t0) / 1000000L, fromCache = false)
+    if (stillResident(user, sess))
+      cache.put(key, (System.currentTimeMillis() + cacheTtlSeconds * 1000, fin))
+    fin
+  }
+
+  /** Leader futures for in-flight cacheable misses, keyed like the
+    * cache. Entries live only for the leader's execution. */
+  private val inflight =
+    new ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[Finished]]()
+
+  /** Actual plan executions (not cache/coalesced serves) — the
+    * stampede spec's observable. */
+  private[graft] val executions = new java.util.concurrent.atomic.AtomicLong()
 
   def cacheSize: Int = {
     // opportunistic TTL sweep

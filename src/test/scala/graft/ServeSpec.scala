@@ -322,6 +322,28 @@ class ServeSpec extends SparkSpec {
     } finally { sched.close(); svc.close() }
   }
 
+  test("cache stampede coalesces: a cold herd of identical queries executes once (r11)") {
+    Tables.registerAll(spark, sf())
+    val svc = new QueryService(spark, workers = 8, cacheTtlSeconds = 300)
+    try {
+      // a query heavy enough (~1 s at sf0.001: regex over every doc)
+      // that the herd lands while the leader is still running
+      val q = """SELECT SUM(LENGTH(regexp_replace(text, '[aeiou]+', '.'))) AS n
+                 FROM documents WHERE length(text) > 0"""
+      val before = svc.executions.get()
+      val ids = (1 to 12).map(_ => svc.submit(q))
+      val done = ids.map(svc.await(_, 60000))
+      assert(done.forall(_.isInstanceOf[svc.Finished]), done)
+      val fins = done.collect { case f: svc.Finished => f }
+      assert(fins.map(_.rows).distinct.size == 1, "coalesced rows diverged")
+      // exactly ONE execution: the leader; everyone else was served the
+      // in-flight result (fromCache=true) or the cache
+      assert(svc.executions.get() - before == 1,
+        s"herd executed ${svc.executions.get() - before} times")
+      assert(fins.count(_.fromCache) == 11, fins.count(_.fromCache))
+    } finally svc.close()
+  }
+
   test("service-rate soak: 100 submissions/s mixed entries, bounded state (r11)") {
     // the reference's SQL Lab executes async at 100 tasks/s with a
     // 300 s result-cache TTL; this drives the same shape for ~30 s
