@@ -53,6 +53,47 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming KMV cardinality tracking == batch sketch, bit-identical (r11)") {
+    // corpus cardinality tracked AT INGEST: kmv_sketch is a
+    // TypedImperativeAggregate, so Structured Streaming maintains its
+    // partial sketch as ordinary aggregation state across micro-batches
+    // — no new operator needed, and the merge identities (KmvSpec) make
+    // the streamed sketch BIT-identical to a batch sketch of the same
+    // rows, regardless of batch boundaries.
+    graft.functions.GraftFunctions.register(spark)
+    val landing = Files.createTempDirectory("kmv_landing").toString
+    val ckpt = Files.createTempDirectory("kmv_ckpt").toString
+    mkEvents(300).filter($"event_id" % 3 === 0).coalesce(1).write.mode("append").parquet(landing)
+    mkEvents(300).filter($"event_id" % 3 === 1).coalesce(1).write.mode("append").parquet(landing)
+    mkEvents(300).filter($"event_id" % 3 === 2).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream
+      .schema(mkEvents(1).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+      .groupBy()
+      .agg(expr("kmv_sketch(event_id, 64)").as("sk"), count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .format("memory").queryName("kmv_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+    val row = spark.sql("SELECT sk, n FROM kmv_stream").head()
+    assert(row.getLong(1) == 300L)
+    val streamed = row.getAs[Array[Byte]](0)
+    val batch = mkEvents(300).agg(expr("kmv_sketch(event_id, 64)"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(streamed, batch),
+      "streamed sketch != batch sketch")
+    // and it is saturated here (300 distinct > k=64): the estimate
+    // extrapolates, exact parity still holds bit-for-bit
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql("SELECT kmv_distinct_est(sk) FROM kmv_stream").head().getDouble(0) match {
+      case est => assert(est > 64 && math.abs(est - 300) / 300.0 < 0.5, s"est $est")
+    }
+  }
+
   test("stream lands in a GraftTable: per-batch atomic commits, time travel") {
     val landing = Files.createTempDirectory("graft_landing3").toString
     val ckpt = Files.createTempDirectory("graft_ckpt3").toString
