@@ -35,12 +35,15 @@ object FreshnessCheck {
     if (!java.nio.file.Files.exists(p)) bad ::= s"$selfBench: missing"
     else {
       val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      // the bench line's "queries" object: {"name":sec,...} — extract keys
-      val keys = """"([a-z][a-z0-9_]+)"\s*:\s*[0-9.]+""".r
+      // the bench line's "queries" object: {"name":sec,...} — extract
+      // number-valued keys; the envelope's own number-valued scalars
+      // are excluded by name ("metric"/"unit"/"sf" carry strings and
+      // never match)
+      val keys = """"([a-z][a-z0-9_]+)"\s*:\s*-?[0-9.]+""".r
         .findAllMatchIn(txt).map(_.group(1)).toSet
-        .diff(Set("value", "sf")) // metric scalars share the number shape
+        .diff(Set("value", "loadavg_before", "loadavg_after"))
       val missing = qs -- keys
-      val extra = keys -- qs -- Set("metric", "unit")
+      val extra = keys -- qs
       if (missing.nonEmpty)
         bad ::= s"$selfBench: missing ${missing.size} entries: ${missing.toSeq.sorted.take(8).mkString(",")}"
       if (extra.nonEmpty)
