@@ -213,6 +213,52 @@ object EventQueries {
           COUNT(CASE WHEN e.event_type = 'error' THEN 1 END) AS n_errors,
           COUNT(DISTINCT e.event_type) AS n_types
         FROM p JOIN e ON e.user_id = p.user_id AND e.sec BETWEEN p.lo AND p.hi
-        GROUP BY p.purchase_id"""))
+        GROUP BY p.purchase_id""")),
+
+    // ------------------------------------------------------------------
+    // Time-series gap filling + forward fill (round 11) — the "date
+    // spine" feature-engineering step every training pipeline over
+    // event data needs: per user, EVERY hour bucket between that
+    // user's first and last event exists in the output (zero-count
+    // hours materialized), and the per-hour value sum carries forward
+    // through the gaps (LOCF). SCALE: the spine explodes per-KEY
+    // (span/grain rows per user — bounded work proportional to output,
+    // no cross-key blowup), the fill is one per-user window pass, and
+    // the only exchanges are the per-(user, hour) aggregate's and the
+    // window's on user_id. Both engines truncate to hour grain, where
+    // Spark's µs and DuckDB's ns timestamps agree (the e01 rule).
+    QueryEntry("e09_gapfill",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .withColumn("h", date_trunc("hour", col("ts")))
+        val perHour = ev.groupBy(col("user_id"), col("h"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        val spine = ev.groupBy(col("user_id"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"),
+            explode(expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("h"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(perHour, Seq("user_id", "h"), "left")
+          .withColumn("filled_v", last(col("v"), ignoreNulls = true).over(w))
+          .select(col("user_id"),
+            date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("filled_v"), lit(0.0)).as("filled_value"))
+      },
+      Some(s"""WITH ev AS (SELECT user_id, DATE_TRUNC('hour', ts) AS h, value FROM events),
+          per AS (SELECT user_id, h, COUNT(*) AS n, ${oSum("value")} AS v
+            FROM ev GROUP BY 1, 2),
+          bounds AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM ev GROUP BY 1),
+          spine AS (SELECT user_id,
+            UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+          j AS (SELECT s.user_id, s.h, p.n, p.v
+            FROM spine s LEFT JOIN per p ON s.user_id = p.user_id AND s.h = p.h)
+          SELECT user_id, STRFTIME(h, '%Y-%m-%d %H:%M:%S') AS hour,
+            COALESCE(n, 0) AS n,
+            COALESCE(LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+              ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+              AS filled_value
+          FROM j"""))
   )
 }
