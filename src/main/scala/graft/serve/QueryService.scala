@@ -38,7 +38,8 @@ final class QueryService(
     allowDml: Boolean = true,
     onUserSession: (SparkSession, String) => Unit = (_, _) => (),
     maxUserSessions: Int = 256,
-    maxTrackedQueries: Int = 10000) extends AutoCloseable {
+    maxTrackedQueries: Int = 10000,
+    maxQuerySeconds: Long = 600) extends AutoCloseable { // walden SQLLAB_ASYNC_TIME_LIMIT_SEC
   require(maxUserSessions > 0, s"maxUserSessions must be positive, got $maxUserSessions")
   require(maxTrackedQueries > 0, s"maxTrackedQueries must be positive, got $maxTrackedQueries")
 
@@ -48,6 +49,8 @@ final class QueryService(
   final case class Finished(rows: Seq[Row], columns: Seq[String],
       elapsedMs: Long, fromCache: Boolean) extends Status
   final case class Failed(error: String) extends Status
+  /** Terminal: stopped by [[cancel]] or the execution-limit reaper. */
+  final case class Cancelled(reason: String) extends Status
 
   private val pool = Executors.newFixedThreadPool(workers)
   private val nextId = new AtomicLong(0)
@@ -327,6 +330,69 @@ final class QueryService(
 
   def status(id: Long): Option[Status] = Option(statuses.get(id))
 
+  // ---- cancellation (round 11; SQL Lab STOP + the async time limit) --
+  // every query's Spark jobs run under the thread-scoped group
+  // "graft-q-<id>", so cancel() can kill exactly that query's jobs on
+  // the SHARED context without touching neighbors.
+  // Spark 4 cancellation rides CONTEXT-level job tags: addJobTag on
+  // the worker thread attaches the tag to every job it submits, and
+  // cancelJobsWithTag kills matching ACTIVE jobs from ANY thread.
+  // (SparkSession.addTag/interruptTag is thread-scoped in classic
+  // mode — an interrupt from another thread resolves no operations,
+  // measured on this build; the classic setJobGroup likewise failed
+  // to reach SQL executions.) cancelJobsWithTag only sees active
+  // jobs, so a cancel landing during analysis/codegen is re-fired by
+  // the reaper every second until the worker goes terminal. The
+  // instance nonce keeps tags globally unique across QueryService
+  // instances sharing one context.
+  private val instanceNonce = java.lang.Long.toHexString(
+    java.util.concurrent.ThreadLocalRandom.current().nextLong())
+  private def queryTag(id: Long) = s"graft-$instanceNonce-q-$id"
+  private val cancelRequested = ConcurrentHashMap.newKeySet[java.lang.Long]()
+  private val cancelReasons = new ConcurrentHashMap[Long, String]()
+  private val runningSince = new ConcurrentHashMap[Long, (Long, SparkSession)]()
+
+  /** Stop a queued or running query (walden SQL Lab STOP parity).
+    * Queued: terminal immediately, the worker later no-ops. Running:
+    * the query's job group is cancelled (tasks interrupt) and the
+    * worker reports Cancelled. Returns false for terminal/unknown ids. */
+  def cancel(id: Long, reason: String = "cancelled by user"): Boolean =
+    statuses.get(id) match {
+      case Queued =>
+        cancelReasons.put(id, reason)
+        cancelRequested.add(id)
+        putTerminal(id, Cancelled(reason))
+        true
+      case Running =>
+        cancelReasons.put(id, reason)
+        cancelRequested.add(id)
+        val r = runningSince.get(id)
+        if (r != null) r._2.sparkContext.cancelJobsWithTag(queryTag(id))
+        true
+      case _ => false
+    }
+
+  // execution-limit reaper (walden SQLLAB_ASYNC_TIME_LIMIT_SEC=600):
+  // the limit is enforced SERVER-side, not just by await()'s client
+  // timeout — a runaway query is killed even if nobody is polling it.
+  private val reaper: ScheduledExecutorService =
+    Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-query-reaper"); t.setDaemon(true); t
+    })
+  if (maxQuerySeconds > 0) {
+    reaper.scheduleAtFixedRate(new Runnable {
+      override def run(): Unit = {
+        val deadline = System.currentTimeMillis() - maxQuerySeconds * 1000
+        runningSince.forEach { (id, se) =>
+          if (se._1 < deadline)
+            cancel(id, s"exceeded the ${maxQuerySeconds}s execution limit")
+          else if (cancelRequested.contains(id))
+            se._2.sparkContext.cancelJobsWithTag(queryTag(id)) // re-fire until terminal
+        }
+      }
+    }, 1, 1, TimeUnit.SECONDS)
+  }
+
   /** Block until the query reaches a terminal state. An id evicted by
     * the retention cap (or never issued) fails BY NAME instead of
     * burning the whole timeout polling a key that can never appear. */
@@ -336,6 +402,7 @@ final class QueryService(
       statuses.get(id) match {
         case f: Finished => return f
         case f: Failed => return f
+        case c: Cancelled => return c
         case null => return Failed(
           s"query $id is unknown or its result was evicted (results are " +
             s"retained for the newest $maxTrackedQueries queries)")
@@ -356,6 +423,8 @@ final class QueryService(
     Seq("select", "with", "values", "show", "describe", "desc ", "explain", "table ")
 
   private def execute(id: Long, sql: String, user: String): Unit = {
+    // cancelled while queued: cancel() already went terminal; no-op
+    if (cancelRequested.remove(id)) { cancelReasons.remove(id); return }
     try {
       // one normalization pass feeds both the gate and cache-eligibility
       val main = mainStatement(classify(sql))
@@ -368,6 +437,14 @@ final class QueryService(
       statuses.put(id, Running)
       val t0 = System.nanoTime()
       val sess = sessionFor(user)
+      runningSince.put(id, (System.currentTimeMillis(), sess))
+      // thread-scoped: every job this worker thread submits for THIS
+      // query carries the tag, so cancelJobsWithTag kills exactly this
+      // query's jobs on the shared context
+      sess.sparkContext.addJobTag(queryTag(id))
+      // closed the register-then-cancel race: a cancel() that saw
+      // Running but missed runningSince finds it on the recheck
+      if (cancelRequested.contains(id)) throw new InterruptedException("cancelled")
       // cache only provably read-only statements (positive whitelist);
       // the MAIN statement so a CTE-prefixed INSERT/UPDATE/DELETE/MERGE
       // is never served from cache (its side effect must run every
@@ -424,7 +501,19 @@ final class QueryService(
       putTerminal(id, Finished(rows, df.columns.toSeq,
         (System.nanoTime() - t0) / 1000000L, fromCache = false))
     } catch {
-      case e: Throwable => putTerminal(id, Failed(String.valueOf(e.getMessage)))
+      case e: Throwable =>
+        // a cancel-requested query ends Cancelled no matter how the
+        // kill surfaced (SparkException from the job-group cancel, an
+        // interrupt, or the recheck throw)
+        if (cancelRequested.contains(id))
+          putTerminal(id, Cancelled(
+            cancelReasons.getOrDefault(id, "cancelled")))
+        else putTerminal(id, Failed(String.valueOf(e.getMessage)))
+    } finally {
+      cancelRequested.remove(id)
+      cancelReasons.remove(id)
+      val r = runningSince.remove(id)
+      if (r != null) try r._2.sparkContext.removeJobTag(queryTag(id)) catch { case _: Exception => }
     }
   }
 
@@ -460,6 +549,7 @@ final class QueryService(
   }
 
   override def close(): Unit = {
+    reaper.shutdownNow()
     pool.shutdownNow()
     userSessions.synchronized(userSessions.clear())
     userLocks.clear()

@@ -322,6 +322,48 @@ class ServeSpec extends SparkSpec {
     } finally { sched.close(); svc.close() }
   }
 
+  test("cancel stops a running query's jobs; the pool keeps serving (r11)") {
+    val svc = new QueryService(spark, workers = 2)
+    try {
+      // minutes of codegen work if left alone; Range checks the kill
+      // flag per batch so the job-group cancel lands fast
+      val slow = "SELECT SUM(CAST(xxhash64(CAST(id AS STRING)) AS DOUBLE)) AS s FROM range(30000000000)"
+      val id = svc.submit(slow)
+      val t0 = System.currentTimeMillis()
+      while (!svc.status(id).contains(svc.Running) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(10)
+      assert(svc.status(id).contains(svc.Running), svc.status(id))
+      assert(svc.cancel(id))
+      val st = svc.await(id, 30000)
+      assert(st.isInstanceOf[svc.Cancelled], st)
+      // the shared context and pool survive the kill
+      assert(svc.sql("SELECT 1 AS one").isInstanceOf[svc.Finished])
+      // terminal ids are not cancellable
+      assert(!svc.cancel(id))
+    } finally svc.close()
+  }
+
+  test("queued queries cancel instantly; the server-side limit reaps runaways (r11)") {
+    val svc = new QueryService(spark, workers = 1, maxQuerySeconds = 2)
+    try {
+      val slow = "SELECT SUM(CAST(xxhash64(CAST(id AS STRING)) AS DOUBLE)) AS s FROM range(30000000000)"
+      val before = svc.executions.get()
+      val a = svc.submit(slow) // occupies the only worker
+      val b = svc.submit("SELECT 2 AS two") // stuck in the queue behind it
+      assert(svc.cancel(b), "queued cancel must succeed")
+      val sb = svc.await(b, 2000)
+      assert(sb.isInstanceOf[svc.Cancelled], sb)
+      // the runaway is reaped SERVER-side (walden's 600 s async limit,
+      // here 2 s) — no client cancel involved
+      val sa = svc.await(a, 60000)
+      assert(sa.isInstanceOf[svc.Cancelled] &&
+        sa.asInstanceOf[svc.Cancelled].reason.contains("limit"), sa)
+      // the cancelled-while-queued query never executed
+      assert(svc.executions.get() - before == 1,
+        s"expected only the runaway to execute, got ${svc.executions.get() - before}")
+    } finally svc.close()
+  }
+
   test("cache stampede coalesces: a cold herd of identical queries executes once (r11)") {
     Tables.registerAll(spark, sf())
     val svc = new QueryService(spark, workers = 8, cacheTtlSeconds = 300)
