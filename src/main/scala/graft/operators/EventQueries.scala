@@ -259,6 +259,42 @@ object EventQueries {
             COALESCE(LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
               ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
               AS filled_value
-          FROM j"""))
+          FROM j""")),
+
+    // ------------------------------------------------------------------
+    // Spark's NATIVE gap-based session operator (round 11):
+    // `session_window(ts, gap)` — the built-in e02 reconstructs with
+    // lag+cumsum — emitted at full per-session grain (start, span,
+    // count, value sum). Spark merges an event into the open session
+    // iff ts - last < gap (µs precision); the oracle reconstructs the
+    // same rule relationally on µs-truncated timestamps (DuckDB's
+    // TIMESTAMP is µs, so CAST from the ns parquet matches Spark's
+    // read exactly). Session starts are >= gap apart, so
+    // second-granularity start strings never collide (the e01 rule).
+    QueryEntry("e10_session_window",
+      (s, d) => {
+        Tables(s, d, "events")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+          .select(col("user_id"),
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            (unix_timestamp(col("w.end")) - unix_timestamp(col("w.start")) - 1800L)
+              .as("span_sec"), // w.end = last event + gap; integer-second gap cancels
+            col("n_events"), col("total_value"))
+      },
+      Some(s"""WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value, event_id
+            FROM events),
+          y AS (SELECT *, EPOCH_US(t) AS us,
+            LAG(EPOCH_US(t)) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+            FROM x),
+          z AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800000000
+            THEN 1 ELSE 0 END AS is_new FROM y),
+          sess AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+            ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM z)
+          SELECT user_id, STRFTIME(MIN(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+            CAST(FLOOR(EPOCH(MAX(t))) - FLOOR(EPOCH(MIN(t))) AS BIGINT) AS span_sec,
+            COUNT(*) AS n_events, ${oSum("value")} AS total_value
+          FROM sess GROUP BY user_id, sid"""))
   )
 }
