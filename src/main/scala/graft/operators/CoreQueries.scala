@@ -1175,6 +1175,35 @@ object CoreQueries {
         FROM m
         JOIN d a ON a.user_id = m.user_id AND a.rn = m.p
         JOIN d b ON b.user_id = m.user_id AND b.rn = m.p + 1
-        WHERE m.match_num <= 3"""))
+        WHERE m.match_num <= 3""")),
+
+    // ------------------------------------------------------------------
+    // SQL UNPIVOT clause (round 11): columns-to-rows through Spark's
+    // native UNPIVOT (Expand-planned — one pass, no self-union rescan),
+    // then a per-metric rollup. The oracle spells the same relation as
+    // the portable UNION ALL (DuckDB's UNPIVOT syntax differs across
+    // versions; the relation is what's being checked).
+    QueryEntry("q39_unpivot",
+      (s, d) => {
+        t(s, d, "part").createOrReplaceTempView("unpivot_part")
+        s.sql("""
+          SELECT metric, COUNT(*) AS n,
+                 CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS total,
+                 MIN(val) AS min_v, MAX(val) AS max_v
+          FROM (
+            SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+                   p_retailprice AS retailprice
+            FROM unpivot_part
+          ) UNPIVOT (val FOR metric IN (size, retailprice))
+          GROUP BY metric""")
+      },
+      Some("""WITH u AS (
+          SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+          UNION ALL
+          SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val FROM part)
+        SELECT metric, COUNT(*) AS n,
+          CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS total,
+          MIN(val) AS min_v, MAX(val) AS max_v
+        FROM u GROUP BY metric"""))
   )
 }
