@@ -77,9 +77,15 @@ object Bench {
     def envelope(qs: String): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""loadavg_before":$loadBefore,"loadavg_after":${loadavg()}}"""
-    // file: full query names, the auditable cross-round artifact
+    // file: full query names, the auditable cross-round artifact. A
+    // RESTRICTED run (SPARK_GRAFT_QUERIES) writes a scratch file
+    // instead — a 2-entry iteration run must never clobber the
+    // committed full self-bench (review r11: commit b44b3c6 did
+    // exactly that; FreshnessCheck now also guards it at round close)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT",
+      if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_SELF.json")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_SELF.json")),
+      java.nio.file.Paths.get(outPath),
       (envelope(qjson(identity)) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     // stdout: SHORT query keys (the unique q01/t22/v04 prefixes). The

@@ -343,6 +343,13 @@ object TextOps {
       idCol: String = "doc_id"): DataFrame = {
     require(nShards >= 1 && nShards <= 65536,
       s"shardForTraining: nShards must be in [1, 65536], got $nShards")
+    // reserved-output guard (the decontaminateDocs discipline): a
+    // re-sharding run whose input already carries these columns must
+    // reject loudly, not silently clobber the caller's data
+    val clash = docsDf.columns.toSet.intersect(Set("perm_key", "shard"))
+    require(clash.isEmpty,
+      s"shardForTraining emits ${clash.mkString(", ")} — rename or drop the " +
+        "input column(s) first")
     docsDf
       .withColumn("perm_key",
         md5(concat(col(idCol).cast("string"), lit(":"), lit(seed.toString))))

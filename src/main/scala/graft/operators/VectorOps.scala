@@ -675,6 +675,8 @@ object VectorOps {
     graft.functions.GraftFunctions.register(s)
     // geometry: both explicit, or both defaulted -> derived from the
     // threshold via the collision law (round 11)
+    require(nPlanes >= 0 && bandBits >= 0,
+      s"band geometry must be non-negative, got nPlanes=$nPlanes bandBits=$bandBits")
     require((nPlanes > 0) == (bandBits > 0),
       "pass BOTH nPlanes and bandBits, or neither (auto geometry from " +
         "the threshold via bandGeometryFor)")

@@ -67,19 +67,35 @@ final class QueryService(
     * have. Queued/Running entries are never evicted (the queue holds
     * only terminal ids). */
   private val terminalOrder = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  // counted separately: statuses.size() includes Queued/Running, and
+  // sizing eviction from it would let a backlog >= cap evict every
+  // result the instant it lands (review r11); ConcurrentLinkedQueue
+  // .size() is O(n), hence the explicit counter
+  private val terminalCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val lastCacheSweepMs = new AtomicLong(0)
   private def putTerminal(id: Long, st: Status): Unit = {
-    statuses.put(id, st)
+    // count an id once even if two paths go terminal (a queued cancel
+    // racing the worker's own completion) — double-enqueueing would
+    // drift the counter and shrink retention
+    val prev = statuses.put(id, st)
+    val firstTerminal = prev == null || prev == Queued || prev == Running
+    if (!firstTerminal) return
     terminalOrder.add(id)
-    var over = statuses.size() - maxTrackedQueries
+    var over = terminalCount.incrementAndGet() - maxTrackedQueries
     while (over > 0) {
       val old = terminalOrder.poll()
       if (old == null) over = 0
-      else { statuses.remove(old); over -= 1 }
+      else { statuses.remove(old); terminalCount.decrementAndGet(); over -= 1 }
     }
     // the result cache is TTL-bounded but only swept opportunistically
-    // (cacheSize): at service rates of distinct cacheable queries,
-    // sweep on write once it outgrows the tracking cap
-    if (cache.size() > maxTrackedQueries) cacheSize
+    // (cacheSize): sweep on write once it outgrows the tracking cap,
+    // at most once per second — an unexpired over-cap cache would
+    // otherwise pay a full O(cache) scan per completion
+    if (cache.size() > maxTrackedQueries) {
+      val now = System.currentTimeMillis()
+      val prev = lastCacheSweepMs.get()
+      if (now - prev > 1000 && lastCacheSweepMs.compareAndSet(prev, now)) cacheSize
+    }
   }
 
   /** One isolated child session per user: shared catalog + cached data,
@@ -379,19 +395,21 @@ final class QueryService(
     Executors.newSingleThreadScheduledExecutor(r => {
       val t = new Thread(r, "graft-query-reaper"); t.setDaemon(true); t
     })
-  if (maxQuerySeconds > 0) {
-    reaper.scheduleAtFixedRate(new Runnable {
-      override def run(): Unit = {
-        val deadline = System.currentTimeMillis() - maxQuerySeconds * 1000
-        runningSince.forEach { (id, se) =>
-          if (se._1 < deadline)
-            cancel(id, s"exceeded the ${maxQuerySeconds}s execution limit")
-          else if (cancelRequested.contains(id))
-            se._2.sparkContext.cancelJobsWithTag(queryTag(id)) // re-fire until terminal
-        }
+  // always scheduled: the cancel re-fire must not die with a disabled
+  // execution limit (maxQuerySeconds <= 0 turns off only the deadline)
+  reaper.scheduleAtFixedRate(new Runnable {
+    override def run(): Unit = {
+      val deadline =
+        if (maxQuerySeconds > 0) System.currentTimeMillis() - maxQuerySeconds * 1000
+        else Long.MinValue
+      runningSince.forEach { (id, se) =>
+        if (se._1 < deadline)
+          cancel(id, s"exceeded the ${maxQuerySeconds}s execution limit")
+        else if (cancelRequested.contains(id))
+          se._2.sparkContext.cancelJobsWithTag(queryTag(id)) // re-fire until terminal
       }
-    }, 1, 1, TimeUnit.SECONDS)
-  }
+    }
+  }, 1, 1, TimeUnit.SECONDS)
 
   /** Block until the query reaches a terminal state. An id evicted by
     * the retention cap (or never issued) fails BY NAME instead of
@@ -434,7 +452,11 @@ final class QueryService(
         case "dml" if !allowDml => throw new IllegalStateException("DML disabled (allow_dml=false)")
         case _ =>
       }
-      statuses.put(id, Running)
+      // conditional transition: a queued-cancel that won the race
+      // already went terminal — never overwrite Cancelled with Running
+      if (!statuses.replace(id, Queued, Running)) {
+        cancelRequested.remove(id); cancelReasons.remove(id); return
+      }
       val t0 = System.nanoTime()
       val sess = sessionFor(user)
       runningSince.put(id, (System.currentTimeMillis(), sess))
@@ -483,7 +505,22 @@ final class QueryService(
         val mine = new java.util.concurrent.CompletableFuture[Finished]()
         val leader = inflight.putIfAbsent(key, mine)
         if (leader != null) {
-          val fin = leader.get(600, java.util.concurrent.TimeUnit.SECONDS)
+          // a follower runs no Spark jobs, so a cancel() on it cannot
+          // be delivered through job tags — poll the leader in short
+          // slices and honor the request directly (review r11)
+          val sliceMs = 200L
+          val limitMs = if (maxQuerySeconds > 0) maxQuerySeconds * 1000 else Long.MaxValue
+          val start = System.currentTimeMillis()
+          var fin: Finished = null
+          while (fin == null) {
+            if (cancelRequested.contains(id))
+              throw new InterruptedException("cancelled while coalesced")
+            if (System.currentTimeMillis() - start > limitMs)
+              throw new java.util.concurrent.TimeoutException(
+                s"coalesced wait exceeded the ${maxQuerySeconds}s execution limit")
+            try fin = leader.get(sliceMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+            catch { case _: java.util.concurrent.TimeoutException => }
+          }
           putTerminal(id, fin.copy(fromCache = true, columns = df.columns.toSeq))
           return
         }
@@ -498,6 +535,13 @@ final class QueryService(
       }
       executions.incrementAndGet()
       val rows = df.limit(maxResultRows).collect().toSeq
+      // a side-effecting statement (DDL/DML/CTAS/CVAS — everything
+      // non-cacheable) invalidates this user's cached reads: a
+      // replaced temp view or mutated table must not keep serving
+      // pre-statement rows for the rest of the TTL (review r11 — the
+      // opaque TEXT key cannot see a view redefinition, and even a
+      // plan key cannot see DML'd table contents)
+      dropUserCache(user)
       putTerminal(id, Finished(rows, df.columns.toSeq,
         (System.nanoTime() - t0) / 1000000L, fromCache = false))
     } catch {

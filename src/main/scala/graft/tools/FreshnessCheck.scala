@@ -26,7 +26,8 @@ object FreshnessCheck {
       .findAllMatchIn(cov).map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
     if (counts.isEmpty) bad ::= "COVERAGE.md: no entry-count line found"
     else {
-      val (dq, dor) = counts.maxBy(_._1)
+      // FIRST match = the authoritative "Current:" top-of-doc line
+      val (dq, dor) = counts.head
       if (dq != qs.size) bad ::= s"COVERAGE.md: says $dq query entries, code has ${qs.size}"
       if (dor != oracles.size) bad ::= s"COVERAGE.md: says $dor oracles, code has ${oracles.size}"
     }

@@ -16,10 +16,13 @@ class FreshnessSpec extends AnyFunSuite {
   test("COVERAGE.md newest entry counts equal SparkEntry.queries/oracleSql") {
     val text = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("COVERAGE.md")), "UTF-8")
+    // FIRST match = the "Current:" line at the top of the doc — the
+    // authoritative count (maxBy(count) would validate a STALE larger
+    // historical paragraph if a round ever removed entries)
     val counts = """(\d+) query entries total; (\d+) with""".r
       .findAllMatchIn(text).map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
     assert(counts.nonEmpty, "COVERAGE.md lost its entry-count lines")
-    val (docQueries, docOracles) = counts.maxBy(_._1)
+    val (docQueries, docOracles) = counts.head
     assert(docQueries == SparkEntry.queries.size,
       s"COVERAGE.md newest count says $docQueries query entries; code has " +
         s"${SparkEntry.queries.size} — update the newest round-delta paragraph")

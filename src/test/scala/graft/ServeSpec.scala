@@ -364,6 +364,48 @@ class ServeSpec extends SparkSpec {
     } finally svc.close()
   }
 
+  test("a coalesced follower can be cancelled while the leader runs on (r11 review)") {
+    val svc = new QueryService(spark, workers = 4)
+    try {
+      val slow = "SELECT SUM(CAST(xxhash64(CAST(id AS STRING)) AS DOUBLE)) AS s FROM range(8000000000)"
+      val leader = svc.submit(slow)
+      val t0 = System.currentTimeMillis()
+      while (!svc.status(leader).contains(svc.Running) &&
+        System.currentTimeMillis() - t0 < 15000) Thread.sleep(10)
+      Thread.sleep(300) // let the leader register in-flight
+      val follower = svc.submit(slow)
+      Thread.sleep(300)
+      // the follower runs no jobs — cancellation must land through the
+      // coalesced wait's own poll, not job tags
+      assert(svc.cancel(follower))
+      val sf2 = svc.await(follower, 10000)
+      assert(sf2.isInstanceOf[svc.Cancelled], sf2)
+      // and the leader is unaffected by the follower's cancel
+      assert(svc.status(leader).exists(s => s == svc.Running || s.isInstanceOf[svc.Finished]))
+      svc.cancel(leader)
+      assert(svc.await(leader, 30000).isInstanceOf[svc.Cancelled])
+    } finally svc.close()
+  }
+
+  test("a side-effecting statement invalidates the user's cached reads (r11 review)") {
+    val svc = new QueryService(spark)
+    try {
+      svc.sql("CREATE OR REPLACE TEMP VIEW inv_v AS SELECT 1 AS x")
+      val a = svc.sql("SELECT SUM(x) AS s FROM inv_v").asInstanceOf[svc.Finished]
+      assert(a.rows.head.getLong(0) == 1L)
+      assert(svc.sql("SELECT SUM(x) AS s FROM inv_v").asInstanceOf[svc.Finished].fromCache)
+      // redefine THROUGH the service: the TEXT/plan key cannot see the
+      // new definition, so the statement itself must purge the cache
+      svc.sql("CREATE OR REPLACE TEMP VIEW inv_v AS SELECT 41 AS x UNION ALL SELECT 1")
+      val b = svc.sql("SELECT SUM(x) AS s FROM inv_v").asInstanceOf[svc.Finished]
+      assert(!b.fromCache, "stale cached read served after view redefinition")
+      assert(b.rows.head.getLong(0) == 42L, b.rows)
+    } finally {
+      spark.catalog.dropTempView("inv_v")
+      svc.close()
+    }
+  }
+
   test("cache stampede coalesces: a cold herd of identical queries executes once (r11)") {
     Tables.registerAll(spark, sf())
     val svc = new QueryService(spark, workers = 8, cacheTtlSeconds = 300)
