@@ -39,7 +39,8 @@ final class QueryService(
     onUserSession: (SparkSession, String) => Unit = (_, _) => (),
     maxUserSessions: Int = 256,
     maxTrackedQueries: Int = 10000,
-    maxQuerySeconds: Long = 600) extends AutoCloseable { // walden SQLLAB_ASYNC_TIME_LIMIT_SEC
+    maxQuerySeconds: Long = 600, // walden SQLLAB_ASYNC_TIME_LIMIT_SEC
+    policies: Map[String, QueryService.TablePolicy] = Map.empty) extends AutoCloseable {
   require(maxUserSessions > 0, s"maxUserSessions must be positive, got $maxUserSessions")
   require(maxTrackedQueries > 0, s"maxTrackedQueries must be positive, got $maxTrackedQueries")
 
@@ -138,6 +139,7 @@ final class QueryService(
             val s = spark.newSession()
             s.conf.set("spark.graft.user", user)
             onUserSession(s, user)
+            applyPolicies(s, user)
             // manual LRU eviction: find the eldest under the monitor,
             // purge its cache entries OUTSIDE it — a full cache scan
             // under the map monitor would serialize every session
@@ -156,6 +158,42 @@ final class QueryService(
         userLocks.remove(user)
         result
       }
+    }
+
+  /** Row-level security + column masking (Superset's RLS/masking
+    * surface, applied engine-side): after `onUserSession` registers a
+    * user's base views, each policied view is REPLACED in that child
+    * session by a filtered/masked projection of itself. The rewrite is
+    * per-session, so the user cannot reach the unfiltered relation by
+    * name — and because it happens at VIEW level, Catalyst pushes the
+    * predicate into the scan like any other filter (no per-row UDF
+    * tax). The service identity ("anonymous", the embedder's own
+    * session) is trusted and unpolicied. Eviction rebuilds rerun this,
+    * so a policy survives session churn; result-cache keys are already
+    * per-user, so a filtered result can never serve another user. */
+  private def applyPolicies(s: SparkSession, user: String): Unit =
+    policies.foreach { case (table, pol) =>
+      val base =
+        try s.table(table)
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"policy configured for '$table' but onUserSession did not " +
+              s"register it for user '$user'", e)
+        }
+      val unknown = pol.columnMasks.keySet -- base.columns.toSet
+      require(unknown.isEmpty,
+        s"policy for '$table' masks non-existent column(s): ${unknown.mkString(", ")}")
+      val masked = base.columns.map { c =>
+        pol.columnMasks.get(c) match {
+          case Some(m) => s"($m) AS `$c`"
+          case None => s"`$c`"
+        }
+      }
+      val filtered = pol.rowFilter(user) match {
+        case Some(pred) => base.filter(org.apache.spark.sql.functions.expr(pred))
+        case None => base
+      }
+      filtered.selectExpr(masked.toIndexedSeq: _*).createOrReplaceTempView(table)
     }
 
   /** True iff `sess` is still the resident session for `user` — guards
@@ -598,6 +636,20 @@ final class QueryService(
     userSessions.synchronized(userSessions.clear())
     userLocks.clear()
   }
+}
+
+object QueryService {
+  /** Declarative per-table security policy (round 11): `rowFilter`
+    * maps the impersonated user to a SQL predicate over the table's
+    * columns (None = unrestricted — a role check lives inside the
+    * function), `columnMasks` maps a column name to a SQL expression
+    * that REPLACES it in the user's view (it may reference any of the
+    * table's columns, e.g. `"concat(substr(email, 1, 2), '***')"`)
+    * — Superset's row-level-security + masking surface, enforced
+    * inside the engine instead of the BI layer. */
+  final case class TablePolicy(
+      rowFilter: String => Option[String] = _ => None,
+      columnMasks: Map[String, String] = Map.empty)
 }
 
 /** Cron-ish recurring query execution — walden's Celery beat schedule

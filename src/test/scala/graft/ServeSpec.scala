@@ -364,6 +364,64 @@ class ServeSpec extends SparkSpec {
     } finally svc.close()
   }
 
+  test("row-level security + column masking: per-user views, engine-enforced (r11)") {
+    Tables.registerAll(spark, sf())
+    val policy = QueryService.TablePolicy(
+      // alice: even custkeys; bob: odd; the auditor role sees all rows
+      rowFilter = {
+        case "auditor" => None
+        case u => Some(s"o_custkey % 2 = ${if (u == "alice") 0 else 1}")
+      },
+      columnMasks = Map(
+        "o_totalprice" -> "CAST(-1.0 AS DOUBLE)",
+        "o_orderpriority" -> "concat(substr(o_orderpriority, 1, 1), '***')"))
+    val svc = new QueryService(spark, workers = 2, maxUserSessions = 1,
+      onUserSession = (s, _) => Tables.registerAll(s, sf()),
+      policies = Map("orders" -> policy))
+    try {
+      def rows(user: String) = svc.sql(
+        "SELECT COUNT(*) AS n, SUM(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) AS even, " +
+          "MAX(o_totalprice) AS mx, MIN(substr(o_orderpriority, 2, 3)) AS tail3 FROM orders",
+        user).asInstanceOf[svc.Finished].rows.head
+      val a = rows("alice")
+      val b = rows("bob")
+      val all = rows("auditor")
+      assert(a.getLong(1) == a.getLong(0), "alice must see only even custkeys")
+      assert(b.getLong(1) == 0L, "bob must see only odd custkeys")
+      assert(a.getLong(0) + b.getLong(0) == all.getLong(0), "filters must partition the table")
+      // masks: totalprice constant; priority truncated to 1 char + ***
+      assert(a.getDouble(2) == -1.0 && b.getDouble(2) == -1.0 && all.getDouble(2) == -1.0)
+      assert(a.getString(3) == "***", a.getString(3))
+      // the service identity is trusted: raw table, real prices
+      val raw = svc.sql("SELECT MAX(o_totalprice) AS mx FROM orders")
+        .asInstanceOf[svc.Finished].rows.head
+      assert(raw.getDouble(0) > 0)
+      // eviction churn (maxUserSessions = 1) rebuilds the policy view:
+      // alice was evicted by bob/auditor; returning must re-filter
+      val a2 = rows("alice")
+      assert(a2.getLong(0) == a.getLong(0) && a2.getDouble(2) == -1.0)
+      // a policy naming an unregistered table fails loudly at first use
+      val bad = new QueryService(spark,
+        onUserSession = (s, _) => Tables.registerAll(s, sf()),
+        policies = Map("not_a_table" -> QueryService.TablePolicy()))
+      try {
+        val st = bad.sql("SELECT 1 AS x", user = "eve")
+        assert(st.isInstanceOf[bad.Failed] &&
+          st.asInstanceOf[bad.Failed].error.contains("not_a_table"), st)
+      } finally bad.close()
+      // a mask naming a non-existent column fails loudly
+      val bad2 = new QueryService(spark,
+        onUserSession = (s, _) => Tables.registerAll(s, sf()),
+        policies = Map("orders" -> QueryService.TablePolicy(
+          columnMasks = Map("no_such_col" -> "1"))))
+      try {
+        val st = bad2.sql("SELECT 1 AS x", user = "eve")
+        assert(st.isInstanceOf[bad2.Failed] &&
+          st.asInstanceOf[bad2.Failed].error.contains("no_such_col"), st)
+      } finally bad2.close()
+    } finally svc.close()
+  }
+
   test("a coalesced follower can be cancelled while the leader runs on (r11 review)") {
     val svc = new QueryService(spark, workers = 4)
     try {
