@@ -1204,6 +1204,68 @@ object CoreQueries {
         SELECT metric, COUNT(*) AS n,
           CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS total,
           MIN(val) AS min_v, MAX(val) AS max_v
-        FROM u GROUP BY metric"""))
+        FROM u GROUP BY metric""")),
+
+    // ------------------------------------------------------------------
+    // SQL:2016 window frame EXCLUSION (EXCLUDE GROUP / TIES / CURRENT
+    // ROW) over a GROUPS frame — Spark supports neither the exclusion
+    // clause nor GROUPS frames. Windows.withGroupsFrameExclude rebuilds
+    // the excluded frame from static split frames in dense_rank space
+    // ([lo,-1] ∪ [+1,hi] plus a peers-minus-self piece), every window
+    // over the same (suppkey, rank) ordering -> ONE exchange for the
+    // whole matrix. The oracle is DuckDB's NATIVE `RANGE ... EXCLUDE`
+    // evaluated over the identical dense_rank space (GROUPS-over-k ==
+    // RANGE-over-dense_rank(k)), so the emulation is checked against a
+    // real implementation of the standard, not against itself.
+    // Sums route through DECIMAL(38,6) (float-parity discipline);
+    // MIN/MAX/COUNT are exact; AVG is spelled exact-sum/count in both.
+    QueryEntry("q40_frame_exclude",
+      (s, d) => {
+        import graft.functions.Windows._
+        val li = t(s, d, "lineitem")
+          .filter(col("l_suppkey") <= 20)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+            col("l_quantity").cast(IntegerType).as("q"),
+            col("l_extendedprice").cast(D).as("p"))
+        val pb = Seq(col("l_suppkey")); val ob = Seq(col("q"))
+        var out: DataFrame = li
+        out = withGroupsFrameExclude(out, "sum_eg", "sum", col("p"), pb, ob, -1, 1, ExcludeGroup)
+        out = withGroupsFrameExclude(out, "min_et", "min", col("p"), pb, ob, -1, 1, ExcludeTies)
+        out = withGroupsFrameExclude(out, "cnt_ec", "count", lit(1), pb, ob, -1, 1, ExcludeCurrentRow)
+        out = withGroupsFrameExclude(out, "min_ec", "min", col("p"), pb, ob, -1, 1, ExcludeCurrentRow)
+        out = withGroupsFrameExclude(out, "avg_eg", "avg", col("p"), pb, ob, -2, 2, ExcludeGroup)
+        out.select(col("l_orderkey"), col("l_linenumber"),
+          col("sum_eg").cast(DoubleType).as("sum_eg"),
+          col("min_et").cast(DoubleType).as("min_et"),
+          col("cnt_ec"),
+          col("min_ec").cast(DoubleType).as("min_ec"),
+          round(col("avg_eg"), 6).as("avg_eg"))
+      },
+      Some("""WITH g AS (
+          SELECT l_orderkey, l_linenumber, l_suppkey,
+                 CAST(l_extendedprice AS DECIMAL(38,6)) AS p,
+                 DENSE_RANK() OVER (PARTITION BY l_suppkey
+                   ORDER BY CAST(l_quantity AS INT)) AS r
+          FROM lineitem WHERE l_suppkey <= 20)
+        SELECT l_orderkey, l_linenumber,
+          CAST(SUM(p) OVER (PARTITION BY l_suppkey ORDER BY r
+            RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP)
+            AS DOUBLE) AS sum_eg,
+          CAST(MIN(p) OVER (PARTITION BY l_suppkey ORDER BY r
+            RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES)
+            AS DOUBLE) AS min_et,
+          COUNT(*) OVER (PARTITION BY l_suppkey ORDER BY r
+            RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)
+            AS cnt_ec,
+          CAST(MIN(p) OVER (PARTITION BY l_suppkey ORDER BY r
+            RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW)
+            AS DOUBLE) AS min_ec,
+          ROUND(CAST(SUM(p) OVER (PARTITION BY l_suppkey ORDER BY r
+              RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP)
+              AS DOUBLE)
+            / COUNT(p) OVER (PARTITION BY l_suppkey ORDER BY r
+              RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP), 6)
+            AS avg_eg
+        FROM g"""))
   )
 }

@@ -201,6 +201,67 @@ class FunctionsSpec extends SparkSpec {
       ("a", 3, 40, 70L), ("b", 1, 5, 5L)))
   }
 
+  test("Windows.withGroupsFrameExclude == SQL:2016 exclusion semantics (brute force)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.Windows._
+    // ties at the extreme (x from a 3-value set) + ~10% nulls + duplicate
+    // (g,k,x) rows: exercises the natmin>1 branch, the second-best
+    // fallback, and the empty-piece NULL semantics.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 240).map { i =>
+      val x: Option[Double] =
+        if (rnd.nextInt(10) == 0) None else Some((rnd.nextInt(3) + 1).toDouble)
+      (i.toLong, rnd.nextInt(3), rnd.nextInt(6), x)
+    }
+    val df = rows.toDF("id", "g", "k", "x")
+    val byG = rows.groupBy(_._2)
+    def ref(row: (Long, Int, Int, Option[Double]), lo: Long, hi: Long,
+            kd: String, en: String): Option[Double] = {
+      val part = byG(row._2)
+      val ranks = part.map(_._3).distinct.sorted.zipWithIndex.map {
+        case (k, i) => k -> i.toLong }.toMap
+      val r0 = ranks(row._3)
+      val frame = part.filter { p =>
+        val dr = ranks(p._3) - r0; dr >= lo && dr <= hi }
+      val kept = en match {
+        case "no" => frame
+        case "gr" => frame.filter(p => ranks(p._3) != r0)
+        case "ti" => frame.filter(p => ranks(p._3) != r0 || p._1 == row._1)
+        case "cr" => frame.filter(p => p._1 != row._1)
+      }
+      val xs = kept.flatMap(_._4)
+      kd match {
+        case "count" => Some(xs.size.toDouble)
+        case "sum"   => if (xs.isEmpty) None else Some(xs.sum)
+        case "avg"   => if (xs.isEmpty) None else Some(xs.sum / xs.size)
+        case "min"   => xs.reduceOption((a, b) => math.min(a, b))
+        case "max"   => xs.reduceOption((a, b) => math.max(a, b))
+      }
+    }
+    val kinds = Seq("sum", "count", "avg", "min", "max")
+    val excls = Seq("no" -> ExcludeNoOthers, "cr" -> ExcludeCurrentRow,
+      "gr" -> ExcludeGroup, "ti" -> ExcludeTies)
+    for ((lo, hi) <- Seq((-1L, 1L), (-3L, -1L)); (en, ex) <- excls) {
+      var out = df
+      for (kd <- kinds)
+        out = withGroupsFrameExclude(out, s"r_$kd", kd, col("x"),
+          Seq(col("g")), Seq(col("k")), lo, hi, ex)
+      val got = out.orderBy("id").collect()
+      for ((r, i) <- rows.sortBy(_._1).zipWithIndex; (kd, j) <- kinds.zipWithIndex) {
+        val idx = 4 + j
+        val g = if (got(i).isNullAt(idx)) None
+          else Some(got(i).get(idx).asInstanceOf[Number].doubleValue)
+        val e = ref(r, lo, hi, kd, en)
+        assert((g, e) match {
+          case (None, None) => true
+          case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+          case _ => false
+        }, s"frame=($lo,$hi) excl=$en kind=$kd row=$r got=$g want=$e")
+      }
+    }
+  }
+
   test("ngrams generator: rows, positions, null-token windows, short input") {
     graft.functions.GraftFunctions.register(spark)
     // basic expansion + 0-based positions

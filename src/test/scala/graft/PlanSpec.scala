@@ -445,4 +445,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"),
       s"t28 should aggregate:\n${p.take(2000)}")
   }
+
+  test("q40 frame-exclusion matrix rides ONE suppkey exchange (r11)") {
+    // five exclusion columns, each decomposed into several static
+    // split-frame windows — but every window orders by the same
+    // (l_suppkey, rank), so the whole matrix must cost one exchange;
+    // a second hashpartitioning would mean a piece re-shuffled
+    val p = plan(SparkEntry.queries("q40_frame_exclude")(spark, sf()))
+    val n = "Exchange hashpartitioning\\(l_suppkey".r.findAllIn(p).size
+    assert(n == 1, s"q40: expected 1 suppkey exchange, got $n:\n${p.take(3000)}")
+    assert(!p.contains("rangepartitioning"), s"global sort in q40:\n${p.take(2000)}")
+    // the suppkey filter reaches the scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_suppkey), LessThanOrEqual(l_suppkey"),
+      p.linesIterator.find(_.contains("PushedFilters")).getOrElse(p.take(500)).toString)
+  }
 }
