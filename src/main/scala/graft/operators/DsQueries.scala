@@ -228,6 +228,122 @@ object DsQueries {
           SELECT *, DENSE_RANK() OVER (PARTITION BY p_brand
             ORDER BY revenue DESC, p_name) AS rk
           FROM agg) t
-        WHERE rk <= 3"""))
+        WHERE rk <= 3""")),
+
+    // ------------------------------------------------------------------
+    // Channel-intersection on DISTINCT buyer sets (TPC-DS q97 shape):
+    // customers who ordered in 1994 vs 1995, full-outer-joined to count
+    // both/left-only/right-only. Each side reduces to a distinct-key
+    // set BEFORE the join (two-phase distinct, one shuffle per side);
+    // the join keys on the already-distinct custkey so the outer join
+    // is hash-colocated, never fact-sized.
+    QueryEntry("d06_channel_intersect",
+      (s, d) => {
+        val o = Tables(s, d, "orders").select(col("o_custkey"), col("o_orderdate"))
+        val early = o.filter(col("o_orderdate").between("1994-01-01", "1994-12-31"))
+          .select(col("o_custkey").as("ck1")).distinct()
+        val late = o.filter(col("o_orderdate").between("1995-01-01", "1995-12-31"))
+          .select(col("o_custkey").as("ck2")).distinct()
+        early.join(late, col("ck1") === col("ck2"), "full_outer")
+          .agg(
+            sum(when(col("ck1").isNotNull && col("ck2").isNotNull, 1).otherwise(0))
+              .as("both_years"),
+            sum(when(col("ck2").isNull, 1).otherwise(0)).as("only_1994"),
+            sum(when(col("ck1").isNull, 1).otherwise(0)).as("only_1995"))
+      },
+      Some("""WITH early AS (
+          SELECT DISTINCT o_custkey AS ck1 FROM orders
+          WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'),
+        late AS (
+          SELECT DISTINCT o_custkey AS ck2 FROM orders
+          WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31')
+        SELECT
+          CAST(SUM(CASE WHEN ck1 IS NOT NULL AND ck2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_years,
+          CAST(SUM(CASE WHEN ck2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_1994,
+          CAST(SUM(CASE WHEN ck1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_1995
+        FROM early FULL OUTER JOIN late ON ck1 = ck2""")),
+
+    // ------------------------------------------------------------------
+    // Basket co-occurrence via fact SELF-JOIN (market-basket shape —
+    // the one join topology d01–d06 don't cover): brand pairs appearing
+    // on the same order, top pairs by support. The self-join keys on
+    // l_orderkey, so both sides shuffle on the same key once and the
+    // pair blow-up is bounded by the per-order line count (≤7 in
+    // TPC-H), NOT by brand popularity — per-order output is C(7,2)
+    // worst case, skew-safe at any corpus size. Brands are deduped
+    // per order BEFORE pairing to cut the pair space.
+    QueryEntry("d07_basket_pairs",
+      (s, d) => {
+        val ob = Tables(s, d, "lineitem").select("l_orderkey", "l_partkey")
+          .join(Tables(s, d, "part").select("p_partkey", "p_brand"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b")).distinct()
+        val a = ob.select(col("ok"), col("b").as("b1"))
+        val bb = ob.select(col("ok").as("ok2"), col("b").as("b2"))
+        a.join(bb, col("ok") === col("ok2") && col("b1") < col("b2"))
+          .groupBy(col("b1"), col("b2"))
+          .agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("b1"), col("b2"))
+          .limit(20)
+      },
+      Some("""WITH ob AS (
+          SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+          FROM lineitem JOIN part ON l_partkey = p_partkey)
+        SELECT a.b AS b1, c.b AS b2, COUNT(*) AS support
+        FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+        GROUP BY 1, 2
+        ORDER BY support DESC, b1, b2
+        LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // Aggregate-vs-group-average HAVING (TPC-DS q1 shape): customers
+    // whose total return revenue exceeds 1.2x their nation's average.
+    // Aggregate to per-customer totals first (one fact shuffle), window
+    // the nation average over the ALREADY-AGGREGATED series (customer-
+    // cardinality state, never fact-sized), filter. One exchange for
+    // the agg, one for the nation window — both on reduced data.
+    QueryEntry("d08_above_nation_avg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val perCust = Tables(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .join(Tables(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables(s, d, "customer").select("c_custkey", "c_name", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_nationkey"))
+          .agg(dsum(col("rev")).as("ret_rev"))
+        // nation_avg via decimal-sum/count, NOT avg-over-doubles: the
+        // filter compares against a float boundary, so both engines
+        // must derive bit-identical doubles (exact decimal sum, one
+        // division) or a 1-ulp summation-order delta could flip a row.
+        val w = Window.partitionBy(col("c_nationkey"))
+        perCust
+          .withColumn("nation_avg",
+            sum(col("ret_rev").cast(graft.Parity.D)).over(w).cast("double")
+              / count(lit(1)).over(w))
+          .filter(col("ret_rev") > col("nation_avg") * 1.2)
+          .select(col("c_custkey"), col("c_name"),
+            round(col("ret_rev"), 6).as("ret_rev"),
+            round(col("nation_avg"), 6).as("nation_avg"))
+      },
+      Some(s"""WITH per_cust AS (
+          SELECT c_custkey, c_name, c_nationkey,
+            ${oSum("l_extendedprice * (1 - l_discount)")} AS ret_rev
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE l_returnflag = 'R'
+          GROUP BY 1, 2, 3),
+        w AS (
+          SELECT *,
+            CAST(SUM(CAST(ret_rev AS DECIMAL(38,6))) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+              / COUNT(*) OVER (PARTITION BY c_nationkey) AS nation_avg
+          FROM per_cust)
+        SELECT c_custkey, c_name, ROUND(ret_rev, 6) AS ret_rev,
+          ROUND(nation_avg, 6) AS nation_avg
+        FROM w WHERE ret_rev > nation_avg * 1.2"""))
   )
 }

@@ -525,6 +525,50 @@ object FunctionQueries {
              SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= DATE '1995-01-01') t)
             AS d_overlap,
           (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS d_union,
-          (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS d_rollup"""))
+          (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS d_rollup""")),
+
+    // ------------------------------------------------------------------
+    // String-similarity family (round 11): Trino 468 ships
+    // levenshtein_distance and hamming_distance as scalar functions
+    // [pinned docker/devserver/Dockerfile:14]. levenshtein is a Spark
+    // built-in; hamming and char-set jaccard are COMPOSED from codegen'd
+    // higher-order functions (zip_with + aggregate, array_intersect /
+    // array_union over distinct char arrays) — no UDF, stays inside
+    // whole-stage codegen, per-row cost O(len) / O(len log len). The
+    // oracle's hamming/jaccard are DuckDB natives, a genuinely
+    // independent implementation of the same definitions (hamming needs
+    // equal lengths — p_brand is fixed-width 'Brand#xy'; jaccard is
+    // case-sensitive distinct-char-set ratio, probed before writing
+    // this entry). translate/repeat/left/right round out the Trino
+    // string surface not exercised by f02.
+    QueryEntry("f21_similarity_funcs",
+      (s, d) => {
+        Tables(s, d, "part").filter(col("p_partkey") <= 2000).select(
+          col("p_partkey"),
+          levenshtein(col("p_brand"), lit("Brand#00")).as("lev_brand"),
+          expr("""aggregate(
+                    zip_with(split(p_brand, ''), split('Brand#00', ''),
+                             (x, y) -> IF(x = y, 0, 1)),
+                    0, (acc, v) -> acc + v)""").as("ham_brand"),
+          expr("""ROUND(
+                    CAST(size(array_intersect(array_distinct(split(p_name, '')),
+                                              array_distinct(split(p_type, '')))) AS DOUBLE)
+                    / size(array_union(array_distinct(split(p_name, '')),
+                                       array_distinct(split(p_type, '')))), 6)""")
+            .as("jac_name_type"),
+          translate(col("p_brand"), "#", "-").as("brand_dashed"),
+          expr("repeat(p_mfgr, 2)").as("mfgr_twice"),
+          expr("left(p_name, 5)").as("name_l5"),
+          expr("right(p_container, 3)").as("cont_r3"))
+      },
+      Some("""SELECT p_partkey,
+        LEVENSHTEIN(p_brand, 'Brand#00') AS lev_brand,
+        HAMMING(p_brand, 'Brand#00') AS ham_brand,
+        ROUND(JACCARD(p_name, p_type), 6) AS jac_name_type,
+        TRANSLATE(p_brand, '#', '-') AS brand_dashed,
+        REPEAT(p_mfgr, 2) AS mfgr_twice,
+        LEFT(p_name, 5) AS name_l5,
+        RIGHT(p_container, 3) AS cont_r3
+        FROM part WHERE p_partkey <= 2000"""))
   )
 }
