@@ -26,6 +26,13 @@ object Bench {
     val spark = engine.GraftSession.create()
     val warm = Tables(spark, sfDir, "region").count()
     require(warm > 0)
+    // Warm the OS page cache on the two fact tables too (r11 verdict
+    // #7): the first alphabetical query (d01) sorts lineitem+orders, so
+    // with a region-only warmup its driver-run time carried the cold
+    // first-scan penalty of BOTH big tables — a 3x driver-vs-self swing
+    // adjudicated as page-cache state, not a regression. A full single
+    // count per fact table moves that cost out of every query's timing.
+    Seq("lineitem", "orders").foreach(t => Tables(spark, sfDir, t).count())
     // Two passes, min per query: pass 1 pays JIT/codegen compilation
     // (multi-second outliers on a cold JVM), pass 2 measures the
     // steady-state latency a resident engine actually delivers.

@@ -137,6 +137,19 @@ object GraftFunctions {
           MinKBy(x, y, intLit(n, "max_by n"), reverse = true).toAggregateExpression()
       }
     },
+    // graft-native q-digest mergeable percentile sketch family
+    // (QDigest.scala — store per-shard sketches, merge at query time;
+    // exact below n<k so f22 is oracle-checkable, same contract as KMV).
+    "qdigest_agg" -> { exprs: Seq[Expression] =>
+      QdigestAgg(exprs(0), intLit(exprs(1), "qdigest_agg k")).toAggregateExpression()
+    },
+    "qdigest_merge_agg" -> { exprs: Seq[Expression] =>
+      QdigestMergeAgg(exprs.head).toAggregateExpression()
+    },
+    "qdigest_merge" -> { exprs: Seq[Expression] => QdigestMerge(exprs(0), exprs(1)) },
+    "qdigest_quantile" -> { exprs: Seq[Expression] => QdigestQuantile(exprs(0), exprs(1)) },
+    "qdigest_rank_of" -> { exprs: Seq[Expression] => QdigestRankOf(exprs(0), exprs(1)) },
+    "qdigest_count" -> { exprs: Seq[Expression] => QdigestCount(exprs.head) },
     "kmv_distinct_est" -> { exprs: Seq[Expression] => KmvDistinctEst(exprs.head) },
     "kmv_union" -> { exprs: Seq[Expression] => KmvUnion(exprs(0), exprs(1)) },
     "kmv_intersect_est" -> { exprs: Seq[Expression] => KmvIntersectEst(exprs(0), exprs(1)) },
@@ -206,6 +219,9 @@ object GraftFunctions {
     "kmv_sketch" -> ((2, 2)), "kmv_union_agg" -> ((1, 1)),
     "kmv_distinct_est" -> ((1, 1)), "kmv_union" -> ((2, 2)),
     "kmv_intersect_est" -> ((2, 2)), "kmv_jaccard_est" -> ((2, 2)),
+    "qdigest_agg" -> ((2, 2)), "qdigest_merge_agg" -> ((1, 1)),
+    "qdigest_merge" -> ((2, 2)), "qdigest_quantile" -> ((2, 2)),
+    "qdigest_rank_of" -> ((2, 2)), "qdigest_count" -> ((1, 1)),
     "url_extract_host" -> ((1, 1)), "url_extract_path" -> ((1, 1)),
     "url_extract_protocol" -> ((1, 1)), "url_extract_query" -> ((1, 1)),
     "url_extract_fragment" -> ((1, 1)), "url_extract_parameter" -> ((2, 2)),

@@ -537,17 +537,23 @@ object FunctionQueries {
     // whole-stage codegen, per-row cost O(len) / O(len log len). The
     // oracle's hamming/jaccard are DuckDB natives, a genuinely
     // independent implementation of the same definitions (hamming needs
-    // equal lengths — p_brand is fixed-width 'Brand#xy'; jaccard is
-    // case-sensitive distinct-char-set ratio, probed before writing
-    // this entry). translate/repeat/left/right round out the Trino
-    // string surface not exercised by f02.
+    // equal lengths — the fixture's p_brand is 7 OR 8 chars, so both
+    // sides hamming over left(p_brand, 7), always length 7; jaccard is
+    // case-sensitive distinct-char-set ratio). translate/repeat/left/
+    // right round out the Trino string surface not exercised by f02.
+    // Round-12 fix: the original entry referenced p_mfgr/p_container,
+    // which the part fixture does not carry (FIXTURES.md lists only
+    // p_partkey/p_name/p_brand/p_type/p_size/p_retailprice); the
+    // operands now ride p_brand/p_type, which exercise the same
+    // functions. Verified against the DuckDB oracle at sf0.01 this
+    // round (rows+schema+hash green in CORRECTNESS_r12).
     QueryEntry("f21_similarity_funcs",
       (s, d) => {
         Tables(s, d, "part").filter(col("p_partkey") <= 2000).select(
           col("p_partkey"),
           levenshtein(col("p_brand"), lit("Brand#00")).as("lev_brand"),
           expr("""aggregate(
-                    zip_with(split(p_brand, ''), split('Brand#00', ''),
+                    zip_with(split(left(p_brand, 7), ''), split('Brand#0', ''),
                              (x, y) -> IF(x = y, 0, 1)),
                     0, (acc, v) -> acc + v)""").as("ham_brand"),
           expr("""ROUND(
@@ -557,18 +563,70 @@ object FunctionQueries {
                                        array_distinct(split(p_type, '')))), 6)""")
             .as("jac_name_type"),
           translate(col("p_brand"), "#", "-").as("brand_dashed"),
-          expr("repeat(p_mfgr, 2)").as("mfgr_twice"),
+          expr("repeat(p_brand, 2)").as("brand_twice"),
           expr("left(p_name, 5)").as("name_l5"),
-          expr("right(p_container, 3)").as("cont_r3"))
+          expr("right(p_type, 3)").as("type_r3"))
       },
       Some("""SELECT p_partkey,
         LEVENSHTEIN(p_brand, 'Brand#00') AS lev_brand,
-        HAMMING(p_brand, 'Brand#00') AS ham_brand,
+        HAMMING(LEFT(p_brand, 7), 'Brand#0') AS ham_brand,
         ROUND(JACCARD(p_name, p_type), 6) AS jac_name_type,
         TRANSLATE(p_brand, '#', '-') AS brand_dashed,
-        REPEAT(p_mfgr, 2) AS mfgr_twice,
+        REPEAT(p_brand, 2) AS brand_twice,
         LEFT(p_name, 5) AS name_l5,
-        RIGHT(p_container, 3) AS cont_r3
-        FROM part WHERE p_partkey <= 2000"""))
+        RIGHT(p_type, 3) AS type_r3
+        FROM part WHERE p_partkey <= 2000""")),
+
+    // ------------------------------------------------------------------
+    // q-digest mergeable percentile sketches (round 12, functions/
+    // QDigest.scala — Trino's qdigest type, SURVEY §1.2): per-shard
+    // digests built ONCE (here sharded by (returnflag, linestatus)),
+    // rolled up per returnflag with qdigest_merge_agg — percentiles
+    // WITHOUT re-sorting or rescanning the shards, which f10's
+    // percentile recompute cannot avoid at 100 TB. Oracle-checkable by
+    // the same exactness contract as f20: below n < k the fold
+    // threshold ⌊n/k⌋ is 0, nothing compresses, and qdigest_quantile
+    // returns the EXACT value at sorted position ⌈q·n⌉ — which the
+    // DuckDB oracle spells directly as a ROW_NUMBER window (no reliance
+    // on either engine's native quantile tie-breaking). rank_of is the
+    // exact fraction ≤ x in this regime (integer-valued double sums;
+    // division is the same IEEE op both sides). The saturated regime's
+    // ≤ 32·n/k rank-error envelope is QdigestSpec's job.
+    QueryEntry("f22_qdigest_percentiles",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables(s, d, "lineitem")
+          .selectExpr("l_returnflag", "l_linestatus",
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(expr("qdigest_agg(cents, 1048576)").as("sk"))
+          .groupBy(col("l_returnflag"))
+          .agg(expr("qdigest_merge_agg(sk)").as("d"))
+          .selectExpr(
+            "l_returnflag",
+            "qdigest_quantile(d, 0.5) AS p50_cents",
+            "qdigest_quantile(d, 0.9) AS p90_cents",
+            "qdigest_quantile(d, 0.99) AS p99_cents",
+            "ROUND(qdigest_rank_of(d, 5000000), 6) AS frac_le_50k",
+            "qdigest_count(d) AS n_rows")
+      },
+      Some("""WITH vals AS (
+          SELECT l_returnflag AS rf,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+          FROM lineitem
+        ), ranked AS (
+          SELECT rf, v,
+                 ROW_NUMBER() OVER (PARTITION BY rf ORDER BY v) AS rn,
+                 COUNT(*) OVER (PARTITION BY rf) AS n
+          FROM vals
+        )
+        SELECT rf AS l_returnflag,
+               MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN v END) AS p50_cents,
+               MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN v END) AS p90_cents,
+               MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN v END) AS p99_cents,
+               ROUND(SUM(CASE WHEN v <= 5000000 THEN 1 ELSE 0 END)
+                     / CAST(MAX(n) AS DOUBLE), 6) AS frac_le_50k,
+               MAX(n) AS n_rows
+        FROM ranked GROUP BY rf"""))
   )
 }
