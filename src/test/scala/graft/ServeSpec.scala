@@ -422,6 +422,65 @@ class ServeSpec extends SparkSpec {
     } finally svc.close()
   }
 
+  test("RLS + masking over CATALOG tables, including VERSION AS OF (r12)") {
+    // r11 verdict #5: a temp view cannot shadow a catalog-qualified
+    // name, so dotted policies enforce through the analyzer rule
+    // (PolicyEnforcementRule) instead of the per-user view rewrite.
+    val w = java.nio.file.Files.createTempDirectory("polcat").toString
+    def conf(s: org.apache.spark.sql.SparkSession): Unit = {
+      s.conf.set("spark.sql.catalog.polcat", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.polcat.warehouse", w)
+    }
+    conf(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS polcat.db")
+    spark.sql("CREATE TABLE polcat.db.accounts (id BIGINT, owner STRING, balance DOUBLE)") // v1
+    spark.sql("INSERT INTO polcat.db.accounts VALUES (1, 'alice', 10.0), " +
+      "(2, 'bob', 20.0), (3, 'alice', 30.0)") // v2
+    spark.sql("INSERT INTO polcat.db.accounts VALUES (4, 'bob', 40.0)") // v3
+    val policy = QueryService.TablePolicy(
+      rowFilter = { case "auditor" => None; case u => Some(s"owner = '$u'") },
+      columnMasks = Map("balance" -> "CAST(-1.0 AS DOUBLE)"))
+    val svc = new QueryService(spark, workers = 2,
+      onUserSession = (s, _) => conf(s),
+      policies = Map("polcat.db.accounts" -> policy))
+    try {
+      def q(sql: String, u: String) = svc.sql(sql, u) match {
+        case f: svc.Finished => f.rows
+        case other => fail(s"query failed for $u: $other")
+      }
+      val a = q("SELECT id, balance FROM polcat.db.accounts ORDER BY id", "alice")
+      assert(a.map(_.getLong(0)) == Seq(1L, 3L), "alice sees only her rows")
+      assert(a.forall(_.getDouble(1) == -1.0), "balance is masked")
+      assert(q("SELECT COUNT(*) AS n FROM polcat.db.accounts", "bob")
+        .head.getLong(0) == 2L, "bob sees only his rows")
+      val aud = q("SELECT COUNT(*) AS n, MAX(balance) AS mx FROM polcat.db.accounts", "auditor")
+      assert(aud.head.getLong(0) == 4L, "auditor role sees all rows")
+      assert(aud.head.getDouble(1) == -1.0, "but balance stays masked for auditors too")
+      // time travel is policied identically: at v2 alice has 2 rows, bob 1
+      assert(q("SELECT COUNT(*) AS n FROM polcat.db.accounts VERSION AS OF 2", "bob")
+        .head.getLong(0) == 1L, "VERSION AS OF must not escape the row filter")
+      assert(q("SELECT MAX(balance) AS mx FROM polcat.db.accounts VERSION AS OF 2", "alice")
+        .head.getDouble(0) == -1.0, "VERSION AS OF must not escape the mask")
+      // the service identity is trusted: raw rows, real balances
+      val raw = svc.sql("SELECT COUNT(*) AS n, MAX(balance) AS mx FROM polcat.db.accounts")
+        .asInstanceOf[svc.Finished].rows.head
+      assert(raw.getLong(0) == 4L && raw.getDouble(1) == 40.0)
+      // predicate reaches the scan as a pushed filter, not a UDF tax:
+      // the user plan must contain the filter below any project
+      // (smoke: the query above already proves semantics; here we just
+      // pin that an unknown masked column fails loudly)
+      val bad = new QueryService(spark,
+        onUserSession = (s, _) => conf(s),
+        policies = Map("polcat.db.accounts" -> QueryService.TablePolicy(
+          columnMasks = Map("no_such_col" -> "1"))))
+      try {
+        val st = bad.sql("SELECT COUNT(*) AS n FROM polcat.db.accounts", user = "eve")
+        assert(st.isInstanceOf[bad.Failed] &&
+          st.asInstanceOf[bad.Failed].error.contains("no_such_col"), st)
+      } finally bad.close()
+    } finally svc.close()
+  }
+
   test("a coalesced follower can be cancelled while the leader runs on (r11 review)") {
     val svc = new QueryService(spark, workers = 4)
     try {
