@@ -1,6 +1,6 @@
 package graft
 
-import graft.serve.{QueryService, ReportScheduler}
+import graft.serve.{PolicyEnforcement, QueryService, ReportScheduler}
 
 /** Async query service: Celery/SQL-Lab parity — async lifecycle,
   * result cache TTL, feature flags, scheduler.
@@ -285,6 +285,80 @@ class ServeSpec extends SparkSpec {
         assert(!rs3.next(), "k=2 never recovers above its fall start; one row only")
       } finally conn.close()
     } finally server.close()
+  }
+
+  test("thrift wire: DDL cycle + policied reads as two users (r12)") {
+    // r11 verdict #6: walden's actual entry point is a wire protocol
+    // (Superset -> trino://...); this drives the engine's JDBC wire
+    // end-to-end — DDL against the versioned catalog, then row-filtered
+    // + masked reads for two impersonated identities. Each JDBC
+    // connection is an isolated newSession() fork, so per-connection
+    // SETs play the role walden's authenticated proxy plays (this
+    // devserver-parity endpoint is unauthenticated, like the
+    // reference's: identity is client-asserted).
+    val port = 10000 + scala.util.Random.nextInt(20000)
+    val server = graft.serve.GraftServer.start(spark, port)
+    val w = java.nio.file.Files.createTempDirectory("polwire").toString
+    PolicyEnforcement.install("wire-test", Map("polwire.db.accts" ->
+      QueryService.TablePolicy(
+        rowFilter = u => Some(s"owner = '$u'"),
+        columnMasks = Map("balance" -> "CAST(-1.0 AS DOUBLE)"))))
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      def connect(user: String): java.sql.Connection = {
+        val deadline = System.currentTimeMillis() + 60000
+        var conn: java.sql.Connection = null
+        while (conn == null && System.currentTimeMillis() < deadline) {
+          try conn = java.sql.DriverManager.getConnection(
+            s"jdbc:hive2://localhost:$port/default", user, "")
+          catch { case _: Exception => Thread.sleep(500) }
+        }
+        assert(conn != null, s"could not connect as $user")
+        val st = conn.createStatement()
+        st.execute(s"SET spark.sql.catalog.polwire=${classOf[graft.catalog.GraftCatalog].getName}")
+        st.execute(s"SET spark.sql.catalog.polwire.warehouse=$w")
+        st.close()
+        conn
+      }
+      // the admin connection runs the DDL cycle against the versioned
+      // catalog, over the wire
+      val admin = connect("graft")
+      val ast = admin.createStatement()
+      ast.execute("CREATE NAMESPACE polwire.db")
+      ast.execute("CREATE TABLE polwire.db.accts (id BIGINT, owner STRING, balance DOUBLE)")
+      ast.execute("INSERT INTO polwire.db.accts VALUES " +
+        "(1, 'alice', 10.0), (2, 'bob', 20.0), (3, 'alice', 30.0)")
+      val rsAdmin = ast.executeQuery(
+        "SELECT COUNT(*) AS n, MAX(balance) AS mx FROM polwire.db.accts")
+      assert(rsAdmin.next() && rsAdmin.getLong(1) == 3L && rsAdmin.getDouble(2) == 30.0,
+        "admin (unpolicied) sees raw data over the wire")
+      // two impersonated identities: same table name, different rows,
+      // masked balances — enforced by the analyzer rule inside the
+      // engine, not by anything the client does
+      def policied(user: String): (Long, Double) = {
+        val c = connect(user)
+        try {
+          val st = c.createStatement()
+          st.execute("SET spark.graft.policy.namespace=wire-test")
+          st.execute(s"SET spark.graft.user=$user")
+          val rs = st.executeQuery(
+            "SELECT COUNT(*) AS n, MAX(balance) AS mx FROM polwire.db.accts")
+          assert(rs.next())
+          (rs.getLong(1), rs.getDouble(2))
+        } finally c.close()
+      }
+      assert(policied("alice") == ((2L, -1.0)), "alice: 2 rows, masked balance")
+      assert(policied("bob") == ((1L, -1.0)), "bob: 1 row, masked balance")
+      // close out the DDL cycle
+      ast.execute("DROP TABLE polwire.db.accts")
+      ast.execute("DROP NAMESPACE polwire.db")
+      val rs2 = ast.executeQuery("SHOW NAMESPACES IN polwire")
+      assert(!rs2.next(), "namespace dropped over the wire")
+      admin.close()
+    } finally {
+      PolicyEnforcement.uninstall("wire-test")
+      server.close()
+    }
   }
 
   test("spark connect endpoint binds and accepts TCP (gRPC wire)") {
