@@ -459,4 +459,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_suppkey), LessThanOrEqual(l_suppkey"),
       p.linesIterator.find(_.contains("PushedFilters")).getOrElse(p.take(500)).toString)
   }
+
+  test("d07 basket self-join shuffles on the ORDER key, never on brand (r12)") {
+    // the market-basket pair blow-up must stay bounded by per-order
+    // line count (<= C(7,2) in TPC-H), not by brand popularity: a
+    // brand-keyed exchange before the pairing join would be the skewed
+    // spelling (popular brands concentrate); only the FINAL pair
+    // aggregation may touch brand columns
+    val p = plan(SparkEntry.queries("d07_basket_pairs")(spark, sf()))
+    val orderKeyed = "Exchange hashpartitioning\\((ok|l_orderkey)".r.findAllIn(p).size
+    assert(orderKeyed >= 1, s"d07: pairing join must co-locate on the order key:\n${p.take(3000)}")
+    // brand-keyed exchanges are allowed ONLY on pair columns (b1, b2 —
+    // the post-pairing aggregation); never on a single bare brand
+    val brandAlone = "Exchange hashpartitioning\\((b|p_brand)#\\d+, 32\\)".r.findAllIn(p).size
+    assert(brandAlone == 0, s"d07: found a single-brand-keyed exchange (skew-prone):\n${p.take(3000)}")
+    // top-20 must not globally sort: TakeOrderedAndProject
+    assert(p.contains("TakeOrderedAndProject"), s"d07 global sort:\n${p.take(2000)}")
+  }
 }
