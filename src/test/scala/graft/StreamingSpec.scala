@@ -94,6 +94,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming qdigest percentile tracking == batch digest, bit-identical below n<k (r12)") {
+    // percentile state tracked AT INGEST, same mechanism as the KMV
+    // test above: qdigest_agg is a TypedImperativeAggregate, so its
+    // digest is ordinary streaming aggregation state. In the
+    // uncompressed regime (n < k) the digest is a pure leaf-count map
+    // with a canonical serialization, so the streamed digest is
+    // BIT-identical to a batch digest of the same rows regardless of
+    // batch boundaries. (Saturated digests are compression-timing
+    // dependent by design — there the envelope, not bit-identity, is
+    // the contract; see QdigestSpec.)
+    graft.functions.GraftFunctions.register(spark)
+    val landing = Files.createTempDirectory("qd_landing").toString
+    val ckpt = Files.createTempDirectory("qd_ckpt").toString
+    mkEvents(300).filter($"event_id" % 3 === 0).coalesce(1).write.mode("append").parquet(landing)
+    mkEvents(300).filter($"event_id" % 3 === 1).coalesce(1).write.mode("append").parquet(landing)
+    mkEvents(300).filter($"event_id" % 3 === 2).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream
+      .schema(mkEvents(1).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+      .groupBy()
+      .agg(expr("qdigest_agg(event_id, 1024)").as("d"), count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .format("memory").queryName("qd_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+    val row = spark.sql("SELECT d, n FROM qd_stream").head()
+    assert(row.getLong(1) == 300L)
+    val streamed = row.getAs[Array[Byte]](0)
+    val batch = mkEvents(300).agg(expr("qdigest_agg(event_id, 1024)"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(streamed, batch),
+      "streamed digest != batch digest")
+    // quantiles off the streamed digest are the exact discrete stats
+    val p = spark.sql(
+      "SELECT qdigest_quantile(d, 0.5) AS p50, qdigest_count(d) AS n FROM qd_stream").head()
+    assert(p.getLong(1) == 300L)
+    val vals = mkEvents(300).select($"event_id").collect().map(_.getLong(0)).sorted
+    assert(p.getLong(0) == vals(math.ceil(0.5 * vals.length).toInt - 1))
+  }
+
   test("stream lands in a GraftTable: per-batch atomic commits, time travel") {
     val landing = Files.createTempDirectory("graft_landing3").toString
     val ckpt = Files.createTempDirectory("graft_ckpt3").toString
