@@ -53,19 +53,33 @@ private[catalog] final class GraftWrite(gt: GraftTable, truncate: Boolean, dynam
   extends Write with RequiresDistributionAndOrdering {
 
   private val clusterNames: Seq[String] = gt.clusterColumns
+  // bucketed tables: the DSv2 write must reproduce the bucket layout —
+  // clustered distribution on the bucket column with EXACTLY n
+  // partitions lowers to HashPartitioning(col, n), whose partition id
+  // is pmod(murmur3(col), n): the same function writeFilesWith's
+  // repartition(n, col) uses, so INSERT INTO keeps the table joinable
+  // without shuffles
+  private val bucket: Option[(String, Int)] =
+    gt.bucketColumn.zip(gt.bucketCount).headOption
 
   private def sortOrders: Array[SortOrder] =
-    clusterNames.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+    (bucket.map(_._1).toSeq ++ clusterNames)
+      .map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
 
   /** Range-cluster + sort on the cluster spec — every file covers a
-    * narrow, stats-prunable span from commit one. Unclustered tables
-    * take the query's own distribution (no forced shuffle). */
-  override def requiredDistribution(): Distribution =
-    if (clusterNames.isEmpty) Distributions.unspecified()
-    else Distributions.ordered(sortOrders)
+    * narrow, stats-prunable span from commit one. Bucketed tables
+    * hash-cluster instead. Unclustered tables take the query's own
+    * distribution (no forced shuffle). */
+  override def requiredDistribution(): Distribution = bucket match {
+    case Some((c, _)) => Distributions.clustered(Array(Expressions.column(c)))
+    case None if clusterNames.isEmpty => Distributions.unspecified()
+    case None => Distributions.ordered(sortOrders)
+  }
+
+  override def requiredNumPartitions(): Int = bucket.map(_._2).getOrElse(0)
 
   override def requiredOrdering(): Array[SortOrder] =
-    if (clusterNames.isEmpty) Array.empty else sortOrders
+    if (bucket.isEmpty && clusterNames.isEmpty) Array.empty else sortOrders
 
   /** Output file sizing: AQE's final-stage coalescing of the required
     * range shuffle takes the WRITE's advisory size, not the session

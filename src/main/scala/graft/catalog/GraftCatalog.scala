@@ -62,9 +62,24 @@ import graft.store.GraftTable
   * parity); executors write the files, the driver lands ONE GraftTable
   * commit, keeping the store's atomic-rename optimistic concurrency.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: Path = _
+
+  // V2 FunctionCatalog: one function, the bucket transform — what
+  // Catalyst resolves a bucketed scan's reported KeyGroupedPartitioning
+  // against (storage-partitioned joins; see GraftBucketScan)
+  override def listFunctions(namespace: Array[String])
+      : Array[org.apache.spark.sql.connector.catalog.Identifier] =
+    if (namespace.isEmpty)
+      Array(org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: org.apache.spark.sql.connector.catalog.Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -162,7 +177,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
     // min/max stats prune them — partition-grade pruning without
     // directory layout (the Iceberg hidden-partitioning idea, with
     // range clustering as the one transform)
-    val clusterCols = partitions.toSeq.map {
+    // bucket(n, col) transforms map to the store's HASH-BUCKET spec
+    // (storage-partitioned joins, GraftBucketScan); identity transforms
+    // keep mapping to the write-time range-cluster spec
+    val bucketSpecs = partitions.toSeq.collect {
+      case t if t.name == "bucket" =>
+        require(t.references.length == 1 && t.references.head.fieldNames.length == 1,
+          s"bucket transform needs one top-level column: ${t.describe}")
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.asInstanceOf[Number].intValue
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform needs a literal bucket count: ${t.describe}"))
+        (t.references.head.fieldNames.head, n)
+    }
+    val clusterCols = partitions.toSeq.filter(_.name != "bucket").map {
       case t if t.name == "identity" && t.references.length == 1 =>
         val parts = t.references.head.fieldNames
         require(parts.length == 1,
@@ -170,8 +199,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
         parts.head
       case t => throw new UnsupportedOperationException(
         s"unsupported partition transform '${t.describe}': graft maps " +
-          "PARTITIONED BY (col, ...) to its write-time range-cluster spec; " +
-          "bucket/temporal transforms are subsumed by range clustering + stats pruning")
+          "PARTITIONED BY (col, ...) to its write-time range-cluster spec " +
+          "and bucket(n, col) to its hash-bucket spec; temporal transforms " +
+          "are subsumed by range clustering + stats pruning")
     }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = tablePath(ident)
@@ -187,9 +217,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
     // GraftV2Table), accepted alongside PARTITIONED BY
     val propCluster = Option(properties.get("clusterBy")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    // TBLPROPERTIES('bucketBy'='col:16') — the round-trip spelling SHOW
+    // TBLPROPERTIES reports, accepted alongside PARTITIONED BY (bucket(16, col))
+    val propBucket = Option(properties.get("bucketBy")).map { s =>
+      val parts = s.split(':')
+      require(parts.length == 2, s"bucketBy must be 'col:numBuckets', got '$s'")
+      (parts(0).trim, parts(1).trim.toInt)
+    }
+    val allBuckets = (bucketSpecs ++ propBucket).distinct
+    require(allBuckets.size <= 1, s"at most one bucket spec, got $allBuckets")
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val gt = GraftTable.create(spark, dir.toString, empty, fmt, bloomCols,
-      (clusterCols ++ propCluster).distinct)
+      (clusterCols ++ propCluster).distinct, allBuckets.headOption)
     new GraftV2Table(gt, s"$catalogName.${ident.toString}", gt.currentVersion, timeTravel = false)
   }
 
@@ -455,8 +494,15 @@ private[catalog] final class GraftV2Table(gt: GraftTable, fullName: String,
   // INSERT OVERWRITE still keys on the spec (Spark plans
   // OverwritePartitionsDynamic from the session conf alone; the
   // replaced-partition identity is the connector's to define — see
-  // GraftTable.adoptBatchWrite).
-  override def partitioning(): Array[Transform] = Array.empty
+  // GraftTable.adoptBatchWrite). The BUCKET spec is the opposite: it
+  // IS discrete one-key-per-partition layout, and advertising it is
+  // what lets the planner see co-bucketed tables (round 12, SPJ).
+  override def partitioning(): Array[Transform] = gt.bucketSpec match {
+    case Some((_, n)) =>
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(n, gt.bucketColumnAt(pinned).get))
+    case None => Array.empty
+  }
   // resolved ONCE against the PINNED snapshot's schema: a table time-
   // travelled to before a rename must report the column name its own
   // schema() carries, and Spark calls these metadata methods
@@ -469,7 +515,10 @@ private[catalog] final class GraftV2Table(gt: GraftTable, fullName: String,
       (if (gt.bloomFilterCols.isEmpty) Map.empty
        else Map("bloom" -> gt.bloomFilterCols.mkString(","))) ++
       (if (clusterCols.isEmpty) Map.empty
-       else Map("clusterBy" -> clusterCols.mkString(",")))
+       else Map("clusterBy" -> clusterCols.mkString(","))) ++
+      gt.bucketSpec.map { case (_, n) =>
+        "bucketBy" -> s"${gt.bucketColumnAt(pinned).get}:$n"
+      }
     base.asJava
   }
 
@@ -546,6 +595,19 @@ private[catalog] final class GraftScanBuilder(gt: GraftTable, version: Long,
   override def build(): Scan = {
     val req = required
     val filterCols = pushed.flatMap(f => GraftScanBuilder.toColumn(f, fullSchema)).toSeq
+    // Storage-partitioned path (round 12): a bucketed parquet table
+    // whose every live file carries a __bucket stat gets the native
+    // batch scan that reports KeyGroupedPartitioning — co-bucketed
+    // joins then plan with ZERO exchanges. Any other state (not
+    // bucketed, straddling files from an explicit re-layout, ORC)
+    // falls through to the V1 bridge below.
+    if (gt.bucketSpec.isDefined && gt.format == "parquet") {
+      gt.bucketedFileGroups(version, filterCols) match {
+        case Some(groups) if groups.nonEmpty =>
+          return new GraftBucketScan(gt.spark, gt, version, req, pushed, groups)
+        case _ => // empty snapshot or unbucketed files: V1 path
+      }
+    }
     new V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
       override def readSchema(): StructType = req
 

@@ -58,6 +58,13 @@ object GraftSession {
       // between shuffling the whole fact table and shuffling the
       // matching slice. PlanSpec gates the injection.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // Storage-partitioned joins (round 12): scans of bucketed
+      // GraftTables report KeyGroupedPartitioning, and co-bucketed
+      // joins plan with ZERO exchanges — the 100 TB fact-fact join
+      // strategy. pushPartValues aligns mismatched occupied-bucket
+      // sets between the two sides (default on, re-pinned).
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.ui.enabled", "false")
 

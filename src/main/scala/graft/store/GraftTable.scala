@@ -75,6 +75,35 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     * automatically; dropping a cluster column is refused loudly. */
   lazy val clusterFieldIds: Seq[Long] = GraftTable.clusterIdsOf(root)
 
+  /** Hash-bucket spec (Iceberg `bucket(n, col)` transform parity),
+    * fixed at create and exclusive with the cluster spec: EVERY write
+    * hash-partitions its rows into exactly `n` buckets on the column
+    * (partition id = `pmod(murmur3_hash(col), n)`, Spark's own
+    * HashPartitioning function — so a plain `df.repartition(n, col)`
+    * reproduces the layout), and each file records which single bucket
+    * it belongs to in its stats (the `__bucket` pseudo-column). The
+    * payoff is the STORAGE-PARTITIONED JOIN: two tables bucketed the
+    * same way join with ZERO exchanges — at 100 TB the difference
+    * between shuffling both fact tables and streaming co-located
+    * buckets (see GraftBucketScan). Tracked by FIELD ID like the
+    * cluster spec: rename follows, drop is refused. */
+  lazy val bucketSpec: Option[(Long, Int)] = GraftTable.bucketSpecOf(root)
+
+  /** The bucket column's CURRENT name (follows renames). */
+  def bucketColumn: Option[String] = bucketColumnAt(currentVersion)
+
+  def bucketColumnAt(v: Long): Option[String] =
+    bucketSpec.map { case (id, _) => fieldNameOf(id, schemaAt(v)) }
+
+  def bucketCount: Option[Int] = bucketSpec.map(_._2)
+
+  /** Resolve one spec field id to its name in `sch` (rename-proof). */
+  private def fieldNameOf(id: Long, sch: StructType): String =
+    sch.fields.find(f => GraftTable.fieldId(f).contains(id)).getOrElse(
+      throw new IllegalStateException(
+        s"spec field id $id missing from schema at $root " +
+          "(was a spec column dropped outside dropColumn's guard?)")).name
+
   /** The cluster spec's CURRENT column names (follows renames). */
   def clusterColumns: Seq[String] = clusterColumnsAt(currentVersion)
 
@@ -174,6 +203,20 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
 
   def history: Seq[Commit] = log.versions.map(log.read)
 
+  /** For the storage-partitioned scan: snapshot `v`'s live files after
+    * stats-pruning `filters`, grouped by bucket id — or None when the
+    * table isn't bucketed or ANY live file lacks a `__bucket` stat
+    * (e.g. written by an explicit compact re-layout), in which case
+    * the caller must take the ordinary scan path. Metadata-only. */
+  private[graft] def bucketedFileGroups(v: Long, filters: Seq[Column] = Nil)
+      : Option[Map[Int, Seq[FileStat]]] =
+    bucketSpec.flatMap { _ =>
+      val sch = schemaAt(v)
+      val kept = StatsPruner.prune(log.snapshotFiles(v), resolve(filters, sch), sch)
+      if (kept.exists(f => !f.min.contains(GraftTable.BucketStatKey))) None
+      else Some(kept.groupBy(_.min(GraftTable.BucketStatKey).toInt))
+    }
+
   /** (rows, bytes) of snapshot `v` after stats-pruning `filters` —
     * metadata-only (commit-log FileStats, no file IO). Feeds the DSv2
     * catalog's `SupportsReportStatistics` (see the caveat there on
@@ -247,11 +290,19 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     // count — but frequent tiny clustered appends still accumulate
     // small files; compact() remains the consolidation path.
     val dfm =
-      if (clusterFieldIds.isEmpty || !applyClusterSpec) dfm0
-      else {
-        val names = clusterSpecNames(sch)
-        dfm0.repartitionByRange(names.map(col): _*)
-          .sortWithinPartitions(names.map(col): _*)
+      if (!applyClusterSpec) dfm0
+      else bucketSpec match {
+        // hash-bucket layout: exactly n partitions, partition id =
+        // pmod(murmur3(col), n) (repartition's own function), sorted
+        // within each bucket so min/max stats stay prunable too
+        case Some((id, n)) =>
+          val name = fieldNameOf(id, sch)
+          dfm0.repartition(n, col(name)).sortWithinPartitions(col(name))
+        case None if clusterFieldIds.nonEmpty =>
+          val names = clusterSpecNames(sch)
+          dfm0.repartitionByRange(names.map(col): _*)
+            .sortWithinPartitions(names.map(col): _*)
+        case None => dfm0
       }
     val sub = s"data/${UUID.randomUUID().toString.take(8)}"
     val dir = s"$root/$sub"
@@ -282,13 +333,27 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       case TimestampType => unix_micros(c).cast(StringType)
       case _ => c.cast(StringType)
     }
+    // bucketed tables: record the file's bucket id (pmod(murmur3(col),
+    // n) — repartition's partition id function) as a "__bucket"
+    // pseudo-column stat, but ONLY when the whole file sits in one
+    // bucket (min == max). Writes that bypass the bucket layout
+    // (compact's explicit re-layouts) produce straddling files with no
+    // __bucket stat, and the storage-partitioned scan falls back to
+    // the ordinary path — a performance downgrade, never a wrong
+    // answer. NULL keys hash to the seed like everything else, so a
+    // null-keyed row has a bucket too.
+    val bucketAggs = bucketSpec.toSeq.flatMap { case (id, n) =>
+      val name = fieldNameOf(id, sch)
+      Seq(min(pmod(hash(col(name)), lit(n))).cast(StringType).as("__graft_bmin"),
+        max(pmod(hash(col(name)), lit(n))).cast(StringType).as("__graft_bmax"))
+    }
     val aggs =
       count(lit(1)).as("__rows") +:
-        statCols.flatMap { f =>
+        (statCols.flatMap { f =>
           Seq(render(min(col(f.name)), f.dataType).as(s"__min_${f.name}"),
             render(max(col(f.name)), f.dataType).as(s"__max_${f.name}"),
             sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
-        }
+        } ++ bucketAggs)
     val rows = readData(onlyFiles.fold(Seq(absDir))(_.map(n => s"$absDir/$n")), sch)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -308,14 +373,22 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
           if (lower) Some(StatsPruner.truncateLower(v)) else StatsPruner.truncateUpper(v)
         case _ => Some(v)
       }
+      val bucketStat: Option[String] =
+        if (bucketSpec.isEmpty) None
+        else (Option(r.getAs[String]("__graft_bmin")), Option(r.getAs[String]("__graft_bmax"))) match {
+          case (Some(lo), Some(hi)) if lo == hi => Some(lo)
+          case _ => None // straddles buckets: no __bucket stat, scan falls back
+        }
       FileStat(
         path = rel,
         rows = r.getAs[Long]("__rows"),
         bytes = bytes,
         min = statCols.flatMap(f => Option(r.getAs[String](s"__min_${f.name}"))
-          .flatMap(bound(f, _, lower = true)).map(f.name -> _)).toMap,
+          .flatMap(bound(f, _, lower = true)).map(f.name -> _)).toMap ++
+          bucketStat.map(GraftTable.BucketStatKey -> _),
         max = statCols.flatMap(f => Option(r.getAs[String](s"__max_${f.name}"))
-          .flatMap(bound(f, _, lower = false)).map(f.name -> _)).toMap,
+          .flatMap(bound(f, _, lower = false)).map(f.name -> _)).toMap ++
+          bucketStat.map(GraftTable.BucketStatKey -> _),
         nullCount = statCols.map(f => f.name -> r.getAs[Long](s"__nulls_${f.name}")).toMap)
     }.toSeq
   }
@@ -1252,6 +1325,8 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
       require(dropped.forall(id => !clusterFieldIds.contains(id)),
         s"column $name is part of the table's write-time cluster spec; " +
           "it cannot be dropped")
+      require(dropped.forall(id => !bucketSpec.exists(_._1 == id)),
+        s"column $name is the table's bucket column; it cannot be dropped")
       StructType(sch.fields.filterNot(_.name == name))
     }
 
@@ -1346,8 +1421,25 @@ object GraftTable {
   def create(spark: SparkSession, root: String, df: DataFrame,
              format: String = "parquet",
              bloomFilterCols: Seq[String] = Nil,
-             clusterBy: Seq[String] = Nil): GraftTable = {
+             clusterBy: Seq[String] = Nil,
+             bucketBy: Option[(String, Int)] = None): GraftTable = {
     require(Set("parquet", "orc")(format), s"unsupported format: $format")
+    // bucket spec: exclusive with range clustering (bucketing IS the
+    // layout), integral key only (the join-key case SPJ exists for; the
+    // V2 bucket function must reproduce repartition's murmur3 hash,
+    // which is type-dispatched — int/long cover every TPC-H-style key)
+    bucketBy.foreach { case (c, n) =>
+      require(clusterBy.isEmpty, "bucketBy and clusterBy are exclusive")
+      require(n >= 2 && n <= 65536, s"bucket count must be in [2, 65536], got $n")
+      val name = df.schema.fieldNames.find(_ == c)
+        .orElse(df.schema.fieldNames.find(_.equalsIgnoreCase(c))).getOrElse(
+          throw new IllegalArgumentException(
+            s"requirement failed: bucket column $c not in schema"))
+      val dt = df.schema(name).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType,
+        s"bucket column $name must be INT or BIGINT, got ${dt.simpleString}")
+    }
     bloomFilterCols.foreach { c =>
       require(df.schema.fieldNames.contains(c), s"bloom filter column $c not in schema")
       require(!c.contains("\"") && !c.contains(","), s"bad bloom column name: $c")
@@ -1397,8 +1489,15 @@ object GraftTable {
         val ids = clusterResolved.map(c => df.schema.fieldIndex(c) + 1L)
         s""","clusterIds":"${ids.mkString(",")}""""
       }
+    // bucket spec persists as FIELD ID (same rename-proofing as the
+    // cluster spec) plus the bucket count
+    val bucketJson = bucketBy.fold("") { case (c, n) =>
+      val name = df.schema.fieldNames.find(_ == c)
+        .getOrElse(df.schema.fieldNames.find(_.equalsIgnoreCase(c)).get)
+      s""","bucketId":"${df.schema.fieldIndex(name) + 1L}","bucketN":"$n""""
+    }
     try Files.write(propsPath,
-      s"""{"format":"$format"$bloomJson$clusterJson}""".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s"""{"format":"$format"$bloomJson$clusterJson$bucketJson}""".getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -1459,6 +1558,13 @@ object GraftTable {
   private[store] def clusterIdsOf(root: String): Seq[Long] =
     propOf(root, "clusterIds").toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+
+  /** Stats pseudo-column recording a data file's single hash bucket. */
+  val BucketStatKey = "__bucket"
+
+  private[store] def bucketSpecOf(root: String): Option[(Long, Int)] =
+    for (id <- propOf(root, "bucketId"); n <- propOf(root, "bucketN"))
+      yield (id.toLong, n.toInt)
 
   def load(spark: SparkSession, root: String): GraftTable = {
     val t = new GraftTable(spark, root)

@@ -19,7 +19,10 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *    crosses the same seam via DeltaLog.createDataFrame.
   *
   * Nothing else may live here: every other Spark touchpoint in the repo
-  * goes through the public DataFrame/DSv2/extension APIs.
+  * goes through the public DataFrame/DSv2/extension APIs — with ONE
+  * sibling exception, [[org.apache.spark.sql.execution.datasources
+  * .GraftParquetReadShim]] (round 12), which re-exports the per-file
+  * parquet reader the storage-partitioned bucket scan needs.
   */
 object GraftSparkInternals {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =

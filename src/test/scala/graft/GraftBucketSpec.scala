@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed GraftTables + storage-partitioned joins (round 12): two
+  * tables hash-bucketed on the same key must JOIN WITH ZERO EXCHANGES
+  * (Spark SPJ over the catalog's bucket transform + the scan's
+  * KeyGroupedPartitioning), every write path must preserve the layout,
+  * and every degraded layout must fall back to the ordinary scan with
+  * the same answers — a performance event, never a correctness one.
+  */
+class GraftBucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft_bucket_wh").toString
+    spark.conf.set("spark.sql.catalog.bkt", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bkt.warehouse", w)
+    w
+  }
+
+  private def sql(q: String) = { warehouse; spark.sql(q) }
+
+  private def plan(df: DataFrame): String = {
+    df.collect() // AQE: final plan only exists after execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Run `f` with broadcast joins off — a broadcast join has no
+    * exchange either, which would make the SPJ assertions vacuous. */
+  private def noBroadcast[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private lazy val setupTables: Unit = {
+    sql("CREATE NAMESPACE IF NOT EXISTS bkt.db")
+    sql("CREATE TABLE bkt.db.facts (id BIGINT, v DOUBLE) PARTITIONED BY (bucket(8, id))")
+    sql("CREATE TABLE bkt.db.dims (id BIGINT, tag STRING) TBLPROPERTIES('bucketBy'='id:8')")
+    (1L to 2000L).map(i => (i, i * 1.5)).toDF("id", "v")
+      .write.insertInto("bkt.db.facts")
+    (1L to 500L).map(i => (i * 3, s"t${i % 7}")).toDF("id", "tag")
+      .write.insertInto("bkt.db.dims")
+  }
+
+  test("co-bucketed join plans with ZERO exchanges and matches the raw join") {
+    setupTables
+    noBroadcast {
+      val joined = sql("""SELECT f.id, f.v, d.tag FROM bkt.db.facts f
+        JOIN bkt.db.dims d ON f.id = d.id""")
+      val p = plan(joined)
+      // the join itself must not shuffle (a final ORDER BY/agg exchange
+      // is not the join's): no hash-partitioned exchange anywhere
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"SPJ join must not hash-shuffle:\n${p.take(3000)}")
+      assert(p.contains("GraftBucketScan"), s"expected the bucketed scan:\n${p.take(1500)}")
+      val got = joined.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1)
+      val want = (1L to 500L).map(i => i * 3).filter(_ <= 2000)
+        .map(id => (id, id * 1.5, s"t${(id / 3) % 7}")).sortBy(_._1)
+      assert(got.toSeq == want, s"join result mismatch: ${got.take(5).toSeq} vs ${want.take(5)}")
+    }
+  }
+
+  test("aggregation on the bucket key needs no exchange either") {
+    setupTables
+    noBroadcast {
+      val agg = sql("SELECT id, SUM(v) AS s FROM bkt.db.facts GROUP BY id")
+      val p = plan(agg)
+      assert(!p.contains("Exchange"),
+        s"bucket-key aggregation must not shuffle at all:\n${p.take(3000)}")
+      assert(agg.count() == 2000)
+    }
+  }
+
+  test("INSERT INTO preserves the bucket layout (DSv2 clustered write)") {
+    setupTables
+    sql("INSERT INTO bkt.db.dims VALUES (6001, 'late'), (6002, 'late')")
+    noBroadcast {
+      val joined = sql("""SELECT COUNT(*) AS n FROM bkt.db.facts f
+        JOIN bkt.db.dims d ON f.id = d.id""")
+      val p = plan(joined)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"post-INSERT join must stay exchange-free:\n${p.take(3000)}")
+      assert(joined.head().getLong(0) == 500L) // dims ids 3..1500 all hit facts; 6001/6002 don't
+    }
+  }
+
+  test("filter pushdown prunes buckets' files and survives SPJ") {
+    setupTables
+    noBroadcast {
+      val q = sql("SELECT id, v FROM bkt.db.facts WHERE id = 42")
+      assert(q.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))) == Seq((42L, 63.0)))
+    }
+  }
+
+  test("time travel reads the bucketed snapshot and stays policy-consistent") {
+    setupTables
+    // facts v1 = create, v2 = the 2000-row insert
+    val n = sql("SELECT COUNT(*) AS n FROM bkt.db.facts VERSION AS OF 2").head().getLong(0)
+    assert(n == 2000L)
+    assert(sql("SELECT COUNT(*) AS n FROM bkt.db.facts VERSION AS OF 1").head().getLong(0) == 0L)
+  }
+
+  test("DELETE rewrites keep bucketing; compact degrades to fallback, same answers") {
+    setupTables
+    import graft.store.GraftTable
+    sql("DELETE FROM bkt.db.facts WHERE id = 1000")
+    noBroadcast {
+      val joined = sql("""SELECT COUNT(*) AS n FROM bkt.db.facts f
+        JOIN bkt.db.dims d ON f.id = d.id""")
+      val p1 = plan(joined)
+      assert(!p1.contains("Exchange hashpartitioning"),
+        s"post-DELETE join must stay exchange-free (copy-on-write re-buckets):\n${p1.take(3000)}")
+      val before = joined.head().getLong(0)
+      // explicit re-layout: compact()'s single-file layout straddles
+      // buckets -> files lose __bucket -> scan falls back to V1
+      val gt = GraftTable.load(spark, s"$warehouse/db/facts")
+      gt.compact()
+      val joined2 = sql("""SELECT COUNT(*) AS n FROM bkt.db.facts f
+        JOIN bkt.db.dims d ON f.id = d.id""")
+      val p2 = plan(joined2)
+      assert(p2.contains("Exchange hashpartitioning"),
+        "compacted layout must fall back to a shuffled join")
+      assert(joined2.head().getLong(0) == before, "fallback must not change answers")
+    }
+  }
+
+  test("bucket spec contract failures are loud") {
+    sql("CREATE NAMESPACE IF NOT EXISTS bkt.err")
+    val e1 = intercept[Exception](sql(
+      "CREATE TABLE bkt.err.t1 (id BIGINT, s STRING) PARTITIONED BY (bucket(8, s))"))
+    assert(e1.getMessage.contains("INT or BIGINT"), e1.getMessage)
+    val e2 = intercept[Exception](sql(
+      "CREATE TABLE bkt.err.t2 (id BIGINT) TBLPROPERTIES('bucketBy'='id:1')"))
+    assert(e2.getMessage.contains("bucket count"), e2.getMessage)
+    val e3 = intercept[Exception](sql(
+      "CREATE TABLE bkt.err.t3 (id BIGINT, v DOUBLE) PARTITIONED BY (bucket(8, id), v)"))
+    assert(e3.getMessage != null) // identity+bucket both present: cluster+bucket exclusive
+    // dropping the bucket column is refused
+    sql("CREATE TABLE bkt.err.t4 (id BIGINT, v DOUBLE) PARTITIONED BY (bucket(4, id))")
+    val e4 = intercept[Exception](sql("ALTER TABLE bkt.err.t4 DROP COLUMN id"))
+    assert(e4.getMessage.contains("bucket column"), e4.getMessage)
+  }
+
+  test("rename follows the bucket column (field-id tracking)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS bkt.rn")
+    sql("CREATE TABLE bkt.rn.t (id BIGINT, v DOUBLE) PARTITIONED BY (bucket(4, id))")
+    sql("INSERT INTO bkt.rn.t VALUES (1, 1.0), (2, 2.0)")
+    sql("ALTER TABLE bkt.rn.t RENAME COLUMN id TO key")
+    val props = sql("SHOW TBLPROPERTIES bkt.rn.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("bucketBy").contains("key:4"), props)
+    sql("INSERT INTO bkt.rn.t VALUES (3, 3.0)")
+    assert(sql("SELECT COUNT(*) AS n FROM bkt.rn.t").head().getLong(0) == 3L)
+  }
+}
