@@ -117,6 +117,38 @@ final class GraftBucketReaderFactory(
   }
 }
 
+object GraftBucketScan {
+  /** Static bucket pruning: EqualTo/In conjuncts on the bucket column
+    * resolve to the bucket set their values hash into — a point lookup
+    * on a bucketed table then opens 1/n of the files instead of all of
+    * them (min/max stats CANNOT prune here: each bucket's key values
+    * span the whole range by construction). None = no usable conjunct;
+    * Some(empty) is possible (value's bucket holds no files) and means
+    * the query matches nothing from pruned groups. Only INT/BIGINT
+    * keys exist (create enforces), so unhandled value types simply
+    * contribute no pruning. */
+  def bucketsFor(pushed: Array[Filter], colName: String, n: Int): Option[Set[Int]] = {
+    def bucketOf(v: Any): Option[Int] = v match {
+      case l: Long => Some(pmod(Murmur3_x86_32.hashLong(l, 42), n))
+      case i: Int => Some(pmod(Murmur3_x86_32.hashInt(i, 42), n))
+      case l: java.lang.Long => Some(pmod(Murmur3_x86_32.hashLong(l, 42), n))
+      case i: java.lang.Integer => Some(pmod(Murmur3_x86_32.hashInt(i, 42), n))
+      case _ => None
+    }
+    val perConjunct = pushed.toSeq.flatMap {
+      case org.apache.spark.sql.sources.EqualTo(a, v) if a == colName =>
+        bucketOf(v).map(Set(_))
+      case org.apache.spark.sql.sources.In(a, vs) if a == colName =>
+        val bs = vs.map(bucketOf)
+        if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+      case _ => None
+    }
+    if (perConjunct.isEmpty) None else Some(perConjunct.reduce(_ intersect _))
+  }
+
+  @inline private def pmod(h: Int, n: Int): Int = ((h % n) + n) % n
+}
+
 /** The catalog's `bucket(numBuckets, col)` V2 function — what Catalyst
   * resolves the reported bucket transform against (FunctionCatalog on
   * GraftCatalog). `produceResult` REPRODUCES the write layout's

@@ -604,7 +604,14 @@ private[catalog] final class GraftScanBuilder(gt: GraftTable, version: Long,
     if (gt.bucketSpec.isDefined && gt.format == "parquet") {
       gt.bucketedFileGroups(version, filterCols) match {
         case Some(groups) if groups.nonEmpty =>
-          return new GraftBucketScan(gt.spark, gt, version, req, pushed, groups)
+          // static bucket pruning: equality/IN on the bucket key keeps
+          // only the buckets those values hash into (stats can't prune
+          // here — every bucket spans the key range by construction)
+          val keep = GraftBucketScan.bucketsFor(pushed,
+            gt.bucketColumnAt(version).get, gt.bucketCount.get)
+          val pruned = keep.fold(groups)(ks => groups.filter { case (b, _) => ks(b) })
+          if (pruned.nonEmpty)
+            return new GraftBucketScan(gt.spark, gt, version, req, pushed, pruned)
         case _ => // empty snapshot or unbucketed files: V1 path
       }
     }

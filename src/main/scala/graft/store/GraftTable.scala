@@ -1205,6 +1205,18 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
           .sortWithinPartitions(col("__z"))
           .drop("__z")
       }
+      else if (bucketSpec.isDefined && clusterBy.isEmpty) {
+        // plain compact on a BUCKETED table consolidates along the
+        // bucket layout — the rewritten subset re-buckets into (at
+        // most) one file per bucket, every file keeps its __bucket
+        // stat, and the storage-partitioned join survives maintenance.
+        // An explicit clusterBy/zorderBy remains the caller's
+        // deliberate layout replacement: those files straddle buckets
+        // and the scan falls back (GraftBucketSpec pins both paths).
+        val (id, nb) = bucketSpec.get
+        val name = fieldNameOf(id, sch)
+        data.repartition(nb, col(name)).sortWithinPartitions(col(name))
+      }
       else if (effCluster.isEmpty) data.repartition(n)
       else data.repartitionByRange(n, effCluster.map(col): _*)
         .sortWithinPartitions(effCluster.map(col): _*)

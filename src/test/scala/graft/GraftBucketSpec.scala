@@ -93,6 +93,18 @@ class GraftBucketSpec extends SparkSpec {
     noBroadcast {
       val q = sql("SELECT id, v FROM bkt.db.facts WHERE id = 42")
       assert(q.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))) == Seq((42L, 63.0)))
+      // static bucket pruning: a point lookup opens ONE bucket's files,
+      // not all 8 (min/max stats can't prune — each bucket spans the
+      // whole key range by construction)
+      val p = plan(q)
+      assert(p.contains("1 occupied buckets"),
+        s"point lookup must prune to one bucket:\n${p.take(1500)}")
+      // IN across several keys prunes to <= that many buckets
+      val q2 = sql("SELECT COUNT(*) AS n FROM bkt.db.facts WHERE id IN (1, 2, 3)")
+      assert(q2.head().getLong(0) == 3L)
+      val p2 = plan(q2)
+      val occupied = "(\\d+) occupied buckets".r.findFirstMatchIn(p2).map(_.group(1).toInt)
+      assert(occupied.exists(_ <= 3), s"IN(3 keys) must prune to <= 3 buckets:\n${p2.take(1500)}")
     }
   }
 
@@ -115,16 +127,25 @@ class GraftBucketSpec extends SparkSpec {
       assert(!p1.contains("Exchange hashpartitioning"),
         s"post-DELETE join must stay exchange-free (copy-on-write re-buckets):\n${p1.take(3000)}")
       val before = joined.head().getLong(0)
-      // explicit re-layout: compact()'s single-file layout straddles
-      // buckets -> files lose __bucket -> scan falls back to V1
+      // PLAIN compact consolidates along the bucket layout: one file
+      // per occupied bucket, SPJ survives maintenance
       val gt = GraftTable.load(spark, s"$warehouse/db/facts")
       gt.compact()
       val joined2 = sql("""SELECT COUNT(*) AS n FROM bkt.db.facts f
         JOIN bkt.db.dims d ON f.id = d.id""")
       val p2 = plan(joined2)
-      assert(p2.contains("Exchange hashpartitioning"),
-        "compacted layout must fall back to a shuffled join")
-      assert(joined2.head().getLong(0) == before, "fallback must not change answers")
+      assert(!p2.contains("Exchange hashpartitioning"),
+        s"plain compact must preserve bucketing:\n${p2.take(3000)}")
+      assert(joined2.head().getLong(0) == before)
+      // an EXPLICIT re-layout is the caller's deliberate layout
+      // replacement: files straddle buckets -> scan falls back
+      gt.compact(clusterBy = Seq("v"))
+      val joined3 = sql("""SELECT COUNT(*) AS n FROM bkt.db.facts f
+        JOIN bkt.db.dims d ON f.id = d.id""")
+      val p3 = plan(joined3)
+      assert(p3.contains("Exchange hashpartitioning"),
+        "explicit re-layout must fall back to a shuffled join")
+      assert(joined3.head().getLong(0) == before, "fallback must not change answers")
     }
   }
 
