@@ -160,6 +160,30 @@ class StreamingSpec extends SparkSpec {
     assert(appends.map(_.op).distinct.size == 2)
   }
 
+  test("stream lands in a BUCKETED GraftTable: layout preserved per micro-batch (r12)") {
+    // every micro-batch funnels through writeFilesWith -> re-buckets,
+    // so a continuously-fed table stays storage-partition-joinable at
+    // all times; plain compact() consolidates the per-batch small
+    // files WITHIN buckets (GraftBucketSpec pins that half)
+    val landing = Files.createTempDirectory("graft_landing_bkt").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_bkt").toString
+    val troot = Files.createTempDirectory("graft_bkt").resolve("t").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1).write.mode("append").parquet(landing)
+    Seq((3L, "c"), (4L, "d")).toDF("id", "v").coalesce(1).write.mode("append").parquet(landing)
+    val table = graft.store.GraftTable.create(spark, troot,
+      Seq.empty[(Long, String)].toDF("id", "v"), bucketBy = Some(("id", 4)))
+    val stream = spark.readStream.schema("id LONG, v STRING")
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    val q = EventStream.writeGraftTable(stream, table, ckpt)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+    assert(table.read().count() == 4)
+    // every committed file carries its single-bucket stat — the
+    // storage-partitioned scan stays available after any batch count
+    val groups = table.bucketedFileGroups(table.currentVersion)
+    assert(groups.isDefined, "streamed files must keep the bucket layout")
+    assert(groups.get.values.flatten.size >= 2)
+  }
+
   test("stream UPSERTS into a GraftTable: per-batch merge commits, latest-per-key") {
     val landing = Files.createTempDirectory("graft_landing_up").toString
     val ckpt = Files.createTempDirectory("graft_ckpt_up").toString
