@@ -15,7 +15,8 @@ object SparkEntry {
       operators.FunctionQueries.entries ++
       operators.EventQueries.entries ++
       operators.TextOps.entries ++
-      operators.VectorOps.entries
+      operators.VectorOps.entries ++
+      operators.GraphOps.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{QueryEntry, Tables}
+
+/** Link-graph signals for corpus curation (the web-scale pipeline's
+  * PageRank-family quality prior: CommonCrawl-style curation ranks
+  * hosts by (harmonic) centrality before content filters ever run —
+  * the reference stack would push this to its SQL engine the same way).
+  *
+  * The operator is pure DataFrame iteration: each PageRank round is
+  *   r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u)
+  * spelled as one join + one aggregation, so a K-iteration rank is a
+  * K-stage DAG — per round ONE shuffle on the edge key and one on the
+  * destination, both AQE-sized; no driver-side state beyond the loop
+  * counter, no collect. At 100 TB the edge list is the big input:
+  * each round is a standard fact-fact equi-join (bucketable on the
+  * node key via the round-12 bucketed tables, which removes the edge
+  * re-shuffle entirely across rounds).
+  */
+object GraphOps {
+
+  /** K rounds of PageRank over DIRECTED `edges(src, dst)` (dedup'd
+    * here). Every node that appears on either side participates;
+    * callers who need dangling-mass redistribution should symmetrize
+    * the edges first (the t30 entry does). Returns (node, rank). */
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, s"iterations in [1,50], got $iterations")
+    val ed = edges.select(col("src"), col("dst")).distinct().cache()
+    val deg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct()
+    // N as a broadcast scalar column (no collect: a 1-row cross join)
+    val n = nodes.agg(count(lit(1)).as("n"))
+    var rank = nodes.crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = ed
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+      rank = nodes.crossJoin(broadcast(n))
+        .join(contribs.groupBy("node").agg(sum(col("c")).as("cs")), Seq("node"), "left")
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) / col("n") +
+            lit(damping) * coalesce(col("cs"), lit(0.0))).as("rank"))
+    }
+    rank
+  }
+
+  val entries: Seq[QueryEntry] = Seq(
+    // ------------------------------------------------------------------
+    // PageRank over the customer-supplier trade graph: an edge when a
+    // customer's order contains a supplier's line item, SYMMETRIZED
+    // (both directions) so the bipartite graph has no dangling nodes
+    // and the oracle needs no dangling-mass term. Node ids are
+    // namespaced (2*custkey vs 2*suppkey+1 — the raw key ranges
+    // overlap). 3 rounds, d = 0.85; the DuckDB oracle UNROLLS the same
+    // three rounds as CTEs — an independent spelling of the identical
+    // recurrence, compared exactly after ROUND(..., 4) on both sides
+    // (absorbs cross-engine float-sum-order noise; rank masses are
+    // O(1e-4..1e-2) at sf0.01, so 4 decimals is meaningful precision).
+    QueryEntry("t30_pagerank",
+      (s, d) => {
+        val o = Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val l = Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val raw = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+          .distinct()
+        val edges = raw.select(col("c").as("src"), col("p").as("dst"))
+          .union(raw.select(col("p").as("src"), col("c").as("dst")))
+        pageRank(edges, iterations = 3, damping = 0.85)
+          .select(col("node"), round(col("rank"), 4).as("rank4"))
+      },
+      Some("""WITH raw AS (
+          SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (
+          SELECT c AS src, p AS dst FROM raw
+          UNION ALL SELECT p AS src, c AS dst FROM raw),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+        c1 AS (SELECT edges.dst AS node, SUM(r0.rank / deg.outdeg) AS cs
+               FROM edges JOIN r0 ON r0.node = edges.src
+               JOIN deg ON deg.src = edges.src GROUP BY edges.dst),
+        r1 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * COALESCE(c1.cs, 0) AS rank
+               FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.node = nodes.node),
+        c2 AS (SELECT edges.dst AS node, SUM(r1.rank / deg.outdeg) AS cs
+               FROM edges JOIN r1 ON r1.node = edges.src
+               JOIN deg ON deg.src = edges.src GROUP BY edges.dst),
+        r2 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * COALESCE(c2.cs, 0) AS rank
+               FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.node = nodes.node),
+        c3 AS (SELECT edges.dst AS node, SUM(r2.rank / deg.outdeg) AS cs
+               FROM edges JOIN r2 ON r2.node = edges.src
+               JOIN deg ON deg.src = edges.src GROUP BY edges.dst),
+        r3 AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * COALESCE(c3.cs, 0) AS rank
+               FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.node = nodes.node)
+        SELECT node, ROUND(rank, 4) AS rank4 FROM r3"""))
+  )
+}

@@ -284,41 +284,34 @@ class ServeSpec extends SparkSpec {
           "wrong MATCH_RECOGNIZE row over JDBC")
         assert(!rs3.next(), "k=2 never recovers above its fall start; one row only")
       } finally conn.close()
-    } finally server.close()
-  }
 
-  test("thrift wire: DDL cycle + policied reads as two users (r12)") {
-    // r11 verdict #6: walden's actual entry point is a wire protocol
-    // (Superset -> trino://...); this drives the engine's JDBC wire
-    // end-to-end — DDL against the versioned catalog, then row-filtered
-    // + masked reads for two impersonated identities. Each JDBC
-    // connection is an isolated newSession() fork, so per-connection
-    // SETs play the role walden's authenticated proxy plays (this
-    // devserver-parity endpoint is unauthenticated, like the
-    // reference's: identity is client-asserted).
-    val port = 10000 + scala.util.Random.nextInt(20000)
-    val server = graft.serve.GraftServer.start(spark, port)
-    val w = java.nio.file.Files.createTempDirectory("polwire").toString
-    PolicyEnforcement.install("wire-test", Map("polwire.db.accts" ->
-      QueryService.TablePolicy(
-        rowFilter = u => Some(s"owner = '$u'"),
-        columnMasks = Map("balance" -> "CAST(-1.0 AS DOUBLE)"))))
-    try {
-      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      // --- r11 verdict #6, same server boot (HiveThriftServer2 is
+      // JVM-static: a second startWithContext in one test JVM is
+      // unreliable): DDL cycle against the versioned catalog + policied
+      // reads for two impersonated identities, all over the wire. Each
+      // JDBC connection is an isolated newSession() fork, so
+      // per-connection SETs play the role walden's authenticated proxy
+      // plays (this devserver-parity endpoint is unauthenticated, like
+      // the reference's: identity is client-asserted).
+      val w = java.nio.file.Files.createTempDirectory("polwire").toString
+      PolicyEnforcement.install("wire-test", Map("polwire.db.accts" ->
+        QueryService.TablePolicy(
+          rowFilter = u => Some(s"owner = '$u'"),
+          columnMasks = Map("balance" -> "CAST(-1.0 AS DOUBLE)"))))
       def connect(user: String): java.sql.Connection = {
-        val deadline = System.currentTimeMillis() + 60000
-        var conn: java.sql.Connection = null
-        while (conn == null && System.currentTimeMillis() < deadline) {
-          try conn = java.sql.DriverManager.getConnection(
+        val deadline2 = System.currentTimeMillis() + 60000
+        var c: java.sql.Connection = null
+        while (c == null && System.currentTimeMillis() < deadline2) {
+          try c = java.sql.DriverManager.getConnection(
             s"jdbc:hive2://localhost:$port/default", user, "")
           catch { case _: Exception => Thread.sleep(500) }
         }
-        assert(conn != null, s"could not connect as $user")
-        val st = conn.createStatement()
+        assert(c != null, s"could not connect as $user")
+        val st = c.createStatement()
         st.execute(s"SET spark.sql.catalog.polwire=${classOf[graft.catalog.GraftCatalog].getName}")
         st.execute(s"SET spark.sql.catalog.polwire.warehouse=$w")
         st.close()
-        conn
+        c
       }
       // the admin connection runs the DDL cycle against the versioned
       // catalog, over the wire
