@@ -28,10 +28,20 @@ object GraphOps {
     * the edges first (the t30 entry does). Returns (node, rank). */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double): DataFrame = {
     require(iterations >= 1 && iterations <= 50, s"iterations in [1,50], got $iterations")
-    val ed = edges.select(col("src"), col("dst")).distinct().cache()
-    val deg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val nodes = ed.select(col("src").as("node"))
-      .union(ed.select(col("dst").as("node"))).distinct()
+    // localCheckpoint the loop-invariant relations ONCE (same policy as
+    // t14's label propagation): edges carry outdeg inline — the
+    // per-round work is then exactly ONE join (rank onto edges, both
+    // hash-partitioned on src) + ONE aggregation on dst + ONE left
+    // join back onto nodes. Without this, round k replays k copies of
+    // the distinct/groupBy lineage — quadratic in iterations.
+    val ed0 = edges.select(col("src"), col("dst")).distinct()
+    val deg = ed0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = ed0.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(col("src")).localCheckpoint()
+    val nodes = ed0.select(col("src").as("node"))
+      .union(ed0.select(col("dst").as("node"))).distinct()
+      .repartition(col("node")).localCheckpoint()
     // N as a broadcast scalar column (no collect: a 1-row cross join)
     val n = nodes.agg(count(lit(1)).as("n"))
     var rank = nodes.crossJoin(broadcast(n))
@@ -39,7 +49,6 @@ object GraphOps {
     for (_ <- 1 to iterations) {
       val contribs = ed
         .join(rank.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
       rank = nodes.crossJoin(broadcast(n))
         .join(contribs.groupBy("node").agg(sum(col("c")).as("cs")), Seq("node"), "left")
