@@ -9,6 +9,12 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// The Spark Connect CLIENT lives in a subdirectory the (non-recursive)
+// unmanagedBase skips — test classpath only, for the full gRPC
+// round-trip spec (ServeSpec). Its class overlap with the server jar
+// is the identical generated proto code; harmless.
+Test / unmanagedJars +=
+  Attributed.blank(file("/opt/spark/jars/connect-repl/spark-connect-client-jvm_2.13-4.1.2.jar"))
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -367,9 +367,22 @@ class ServeSpec extends SparkSpec {
         } catch { case _: Exception => Thread.sleep(250) }
       }
       assert(ok, s"connect service did not bind port $port")
-      // full round-trip needs the connect-client artifact (not shipped
-      // in /opt/spark/jars); the server side + extensions injection is
-      // what the engine owns.
+      // FULL gRPC round trip (r12 — the client jar ships in the
+      // image's connect-repl dir, wired test-only in build.sbt): a
+      // remote session runs SQL including a graft dialect function,
+      // which reaches the server session via spark.sql.extensions —
+      // the injection path GraftServer documents
+      val remote = org.apache.spark.sql.connect.SparkSession.builder()
+        .remote(s"sc://localhost:$port").create()
+      try {
+        val row = remote.sql(
+          "SELECT strpos('hello', 'l') AS p, 2 + 3 AS five").collect().head
+        assert(row.getInt(0) == 3 && row.getInt(1) == 5, row)
+        val n = remote.sql(
+          s"SELECT count(*) AS n FROM parquet.`${sf()}/region.parquet`")
+          .collect().head.getLong(0)
+        assert(n == 5L, s"region count over connect: $n")
+      } finally remote.close()
     } finally server.close()
   }
 
