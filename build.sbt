@@ -12,7 +12,10 @@ libraryDependencies ++= Seq(
 // The Spark Connect CLIENT lives in a subdirectory the (non-recursive)
 // unmanagedBase skips — test classpath only, for the full gRPC
 // round-trip spec (ServeSpec). Its class overlap with the server jar
-// is the identical generated proto code; harmless.
+// is the identical generated proto code; harmless. Same absolute-path
+// dependency class as unmanagedBase above: this build targets the
+// pinned image (ServeSpec's connect test references the client class
+// at compile time, so the jar must exist wherever tests compile).
 Test / unmanagedJars +=
   Attributed.blank(file("/opt/spark/jars/connect-repl/spark-connect-client-jvm_2.13-4.1.2.jar"))
 Test / fork := true

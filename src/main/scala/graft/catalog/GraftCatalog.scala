@@ -612,6 +612,20 @@ private[catalog] final class GraftScanBuilder(gt: GraftTable, version: Long,
           val pruned = keep.fold(groups)(ks => groups.filter { case (b, _) => ks(b) })
           if (pruned.nonEmpty)
             return new GraftBucketScan(gt.spark, gt, version, req, pushed, pruned)
+          // bucket pruning proved the result EMPTY (the key's bucket
+          // holds no live files): statically zero rows — falling to
+          // the V1 path would scan every file min/max can't exclude,
+          // which on the bucket key is all of them (review finding)
+          return new V1Scan {
+            override def readSchema(): StructType = req
+            override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+              new BaseRelation with TableScan {
+                override def sqlContext: SQLContext = ctx
+                override def schema: StructType = req
+                override def buildScan(): RDD[Row] =
+                  ctx.sparkContext.emptyRDD[Row]
+              }.asInstanceOf[T]
+          }
         case _ => // empty snapshot or unbucketed files: V1 path
       }
     }

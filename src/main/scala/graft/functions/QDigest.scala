@@ -132,9 +132,15 @@ object Qdigest {
 
   def emptyBuf(k: Int): Buf = new Buf(k, 0L, mutable.LongMap.empty)
 
+  /** Wire magic ("QDG1"): qdigest scalars reject foreign binaries
+    * (a KMV/HLL sketch column, arbitrary bytes) LOUDLY instead of
+    * misparsing them into plausible garbage statistics. */
+  val Magic = 0x51444731
+
   def serialize(b: Buf): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(16 + b.counts.size * 16)
+    val bos = new ByteArrayOutputStream(20 + b.counts.size * 16)
     val out = new DataOutputStream(bos)
+    out.writeInt(Magic)
     out.writeInt(b.k); out.writeLong(b.n); out.writeInt(b.counts.size)
     val ids = b.counts.keys.toArray
     java.util.Arrays.sort(ids)
@@ -144,6 +150,9 @@ object Qdigest {
 
   def deserialize(bytes: Array[Byte]): Buf = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    require(bytes.length >= 20 && in.readInt() == Magic,
+      "not a qdigest sketch (wrong magic): qdigest_* functions take " +
+        "binaries produced by qdigest_agg/qdigest_merge_agg/qdigest_merge")
     val k = in.readInt(); val n = in.readLong(); val m = in.readInt()
     val map = new mutable.LongMap[Long](math.max(8, m * 2))
     var i = 0

@@ -38,10 +38,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * sound even when a parent operator resolved against the relation's
   * output in an earlier analyzer iteration.
   *
-  * Writes are out of scope by design: DML/INSERT against policied
-  * tables is governed by the service's `allowDml` gate and Spark's
-  * command path, not by silently filtered writes — the rule skips any
-  * plan rooted at a write statement.
+  * Write statements: the write TARGET resolves raw (a filtered Project
+  * cannot be a write target; DML against policied tables is the
+  * `allowDml` gate's jurisdiction), but every READ feeding a write —
+  * INSERT...SELECT, CTAS/RTAS, MERGE USING, CACHE TABLE AS SELECT — is
+  * policied like any other read, so a user cannot launder unmasked
+  * rows into a table they can read (round-12 review finding).
   */
 object PolicyEnforcement {
   val UserConf = "spark.graft.user"
@@ -83,13 +85,35 @@ final class PolicyEnforcementRule(session: SparkSession) extends Rule[LogicalPla
     if (user == "anonymous") return plan
     val pols = lookup(ns)
     if (pols.isEmpty) return plan
-    // write statements resolve against the raw relation: RLS governs
-    // reads; writes are the allowDml gate's jurisdiction
+    // Write statements: the TARGET relation resolves raw (a filtered
+    // Project cannot be a write target; DML against policied tables is
+    // the allowDml gate's jurisdiction) — but every READ feeding a
+    // write IS policied, otherwise CTAS / INSERT...SELECT / MERGE
+    // USING would copy unmasked, unfiltered rows somewhere the user
+    // can read them (round-12 review finding: the original early
+    // return left write-rooted reads completely unpoliced).
     plan match {
-      case _: UpdateTable | _: MergeIntoTable | _: DeleteFromTable |
-           _: InsertIntoStatement | _: Command => return plan
+      case _: UpdateTable | _: DeleteFromTable => return plan // target-only plans
+      case m: MergeIntoTable =>
+        return m.copy(sourceTable = rewriteReads(m.sourceTable, user, pols))
+      case i: InsertIntoStatement =>
+        return i.copy(query = rewriteReads(i.query, user, pols))
+      case ctas: CreateTableAsSelect =>
+        return ctas.copy(query = rewriteReads(ctas.query, user, pols))
+      case rtas: ReplaceTableAsSelect =>
+        return rtas.copy(query = rewriteReads(rtas.query, user, pols))
+      case v2w: V2WriteCommand =>
+        return v2w.withNewQuery(rewriteReads(v2w.query, user, pols))
+      case c: CacheTableAsSelect =>
+        return c.copy(plan = rewriteReads(c.plan, user, pols))
+      case _: Command => return plan // metadata commands carry no policied reads
       case _ =>
     }
+    rewriteReads(plan, user, pols)
+  }
+
+  private def rewriteReads(plan: LogicalPlan, user: String,
+                           pols: Map[String, QueryService.TablePolicy]): LogicalPlan =
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation if r.identifier.isDefined &&
           !r.options.containsKey(AppliedOption) &&
@@ -133,5 +157,4 @@ final class PolicyEnforcementRule(session: SparkSession) extends Rule[LogicalPla
         }
         Project(projectList, filtered)
     }
-  }
 }

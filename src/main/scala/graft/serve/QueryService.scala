@@ -157,6 +157,29 @@ final class QueryService(
               s.conf.set(PolicyEnforcement.NamespaceConf, policyNamespace)
             onUserSession(s, user)
             applyPolicies(s, user)
+            // fail CLOSED, not silent-open (round-12 review finding): a
+            // dotted policy that never matches a DSv2 relation (catalog
+            // typo, Hive/session-catalog table) would otherwise leave
+            // the table readable RAW by every impersonated user
+            catalogPolicies.keys.foreach { t =>
+              val analyzed =
+                try s.table(t).queryExecution.analyzed
+                catch {
+                  case e: Exception => throw new IllegalStateException(
+                    s"catalog policy for '$t' cannot be enforced in user '$user' " +
+                      s"session: ${e.getMessage}", e)
+                }
+              val enforced = analyzed.exists {
+                case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+                  r.options.containsKey(PolicyEnforcement.AppliedOption)
+                case _ => false
+              }
+              if (!enforced) throw new IllegalStateException(
+                s"catalog policy for '$t' did not attach: dotted policy names must " +
+                  "resolve to a DSv2 catalog relation whose catalog.namespace.name " +
+                  "equals the policy key (session-catalog/Hive tables take the " +
+                  "undotted per-user view-policy path)")
+            }
             // manual LRU eviction: find the eldest under the monitor,
             // purge its cache entries OUTSIDE it — a full cache scan
             // under the map monitor would serialize every session

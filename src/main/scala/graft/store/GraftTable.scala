@@ -709,6 +709,35 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val written =
       if (allowed.nonEmpty) collectStats(absDir, subdir, sch, Some(committedFiles))
       else Nil
+    // BUCKETED dynamic overwrite (round-12 review finding: the generic
+    // branch below would have replaced the WHOLE table): the partition
+    // identity is the bucket — replace exactly the buckets this write
+    // touches, Iceberg's bucket-transform semantics. Files without a
+    // __bucket stat (pre-bucket history, explicit re-layouts) may hold
+    // rows of touched buckets, so their untouched-bucket rows are
+    // rewritten as survivors, same device as the cluster path.
+    if (dynamicPartitions && bucketSpec.isDefined) {
+      if (written.isEmpty) return currentVersion
+      require(written.forall(_.min.contains(GraftTable.BucketStatKey)),
+        "bucketed dynamic overwrite: a written file straddles buckets " +
+          "(the write distribution must cluster on the bucket column)")
+      val touched = written.map(_.min(GraftTable.BucketStatKey).toInt).toSet
+      val (id, n) = bucketSpec.get
+      val name = fieldNameOf(id, sch)
+      val base = currentVersion
+      val candidates = log.snapshotFiles(base)
+        .filter(_.min.get(GraftTable.BucketStatKey).forall(b => touched(b.toInt)))
+      val unstatted = candidates.filter(!_.min.contains(GraftTable.BucketStatKey))
+      val survivors =
+        if (unstatted.isEmpty) Nil
+        else {
+          val surv = readData(unstatted.map(f => s"$root/${f.path}"), sch)
+            .filter(!pmod(hash(col(name)), lit(n)).isin(touched.toSeq: _*))
+          if (surv.isEmpty) Nil else writeFiles(surv)
+        }
+      return commitRetry("overwrite-dynamic", written ++ survivors,
+        candidates.map(_.path), SameSchema(sch.json), basedOn = base)
+    }
     if (!dynamicPartitions || clusterFieldIds.isEmpty) {
       // empty dynamic overwrite replaces no partitions, an empty append
       // adds nothing: no-op, no commit. (An empty STATIC overwrite still

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Bucketed GraftTables + storage-partitioned joins (round 12): two
   * tables hash-bucketed on the same key must JOIN WITH ZERO EXCHANGES
@@ -147,6 +148,31 @@ class GraftBucketSpec extends SparkSpec {
         "explicit re-layout must fall back to a shuffled join")
       assert(joined3.head().getLong(0) == before, "fallback must not change answers")
     }
+  }
+
+  test("dynamic INSERT OVERWRITE replaces only the touched buckets (r12 review)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS bkt.dyn")
+    sql("CREATE TABLE bkt.dyn.t (id BIGINT, v STRING) PARTITIONED BY (bucket(4, id))")
+    val orig = (1L to 100L).map(i => (i, s"v$i"))
+    orig.toDF("id", "v").write.insertInto("bkt.dyn.t")
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      sql("INSERT OVERWRITE bkt.dyn.t VALUES (7, 'NEW7'), (8, 'NEW8')")
+      // expected: rows of untouched buckets survive; the touched
+      // buckets hold ONLY the new rows (bucket = partition identity)
+      val bucketOf = (1L to 100L).toDF("id")
+        .select(col("id"), expr("pmod(hash(id), 4)").as("b")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val touched = Set(bucketOf(7L), bucketOf(8L))
+      val survivors = orig.filter { case (i, _) => !touched(bucketOf(i)) }
+      val got = sql("SELECT id, v FROM bkt.dyn.t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val want = (survivors ++ Seq((7L, "NEW7"), (8L, "NEW8"))).sortBy(_._1)
+      assert(got.length == want.length,
+        s"whole-table replace detected: got ${got.length} rows, want ${want.length}")
+      assert(got.toSeq == want, s"mismatch: ${got.take(5).toSeq} vs ${want.take(5)}")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
   }
 
   test("bucket spec contract failures are loud") {

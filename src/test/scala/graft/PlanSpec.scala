@@ -471,7 +471,9 @@ class PlanSpec extends SparkSpec {
     assert(orderKeyed >= 1, s"d07: pairing join must co-locate on the order key:\n${p.take(3000)}")
     // brand-keyed exchanges are allowed ONLY on pair columns (b1, b2 —
     // the post-pairing aggregation); never on a single bare brand
-    val brandAlone = "Exchange hashpartitioning\\((b|p_brand)#\\d+, 32\\)".r.findAllIn(p).size
+    // partition count left open: hardcoding 32 made this vacuous on
+    // hosts with a different SPARK_GRAFT_CPUS (review finding)
+    val brandAlone = "Exchange hashpartitioning\\((b|p_brand)#\\d+, \\d+\\)".r.findAllIn(p).size
     assert(brandAlone == 0, s"d07: found a single-brand-keyed exchange (skew-prone):\n${p.take(3000)}")
     // top-20 must not globally sort: TakeOrderedAndProject
     assert(p.contains("TakeOrderedAndProject"), s"d07 global sort:\n${p.take(2000)}")

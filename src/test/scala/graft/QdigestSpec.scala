@@ -124,6 +124,18 @@ class QdigestSpec extends SparkSpec {
     assert(e3.getMessage != null)
   }
 
+  test("foreign binaries are rejected loudly, not misparsed (r12 review)") {
+    val s = registered
+    import s.implicits._
+    Seq(1L, 2L, 3L).toDF("v").createOrReplaceTempView("qd_foreign")
+    val e = intercept[Exception] {
+      s.sql("SELECT qdigest_count(kmv_sketch(v, 64)) FROM qd_foreign").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not a qdigest")), msgs(e).mkString(" | "))
+  }
+
   test("empty digest: quantile is null, count is zero") {
     val s = registered
     import s.implicits._

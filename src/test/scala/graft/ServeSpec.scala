@@ -545,6 +545,29 @@ class ServeSpec extends SparkSpec {
       val raw = svc.sql("SELECT COUNT(*) AS n, MAX(balance) AS mx FROM polcat.db.accounts")
         .asInstanceOf[svc.Finished].rows.head
       assert(raw.getLong(0) == 4L && raw.getDouble(1) == 40.0)
+      // CTAS cannot launder unmasked rows (r12 review finding): the
+      // read feeding the write is policied, so the copy alice creates
+      // holds only her filtered, masked rows
+      svc.sql("CREATE TABLE polcat.db.leak AS SELECT * FROM polcat.db.accounts",
+        "alice") match {
+        case _: svc.Finished =>
+          val leaked = q("SELECT COUNT(*) AS n, MAX(balance) AS mx FROM polcat.db.leak",
+            "alice").head
+          assert(leaked.getLong(0) == 2L, "CTAS copy must carry only alice's rows")
+          assert(leaked.getDouble(1) == -1.0, "CTAS copy must carry masked balances")
+          svc.sql("DROP TABLE polcat.db.leak")
+        case other => fail(s"CTAS failed: $other")
+      }
+      // a dotted policy that resolves to nothing fails CLOSED at first
+      // use, not silent-open (r12 review finding)
+      val ghost = new QueryService(spark,
+        onUserSession = (s, _) => conf(s),
+        policies = Map("polcat.db.no_such_table" -> QueryService.TablePolicy()))
+      try {
+        val st = ghost.sql("SELECT 1 AS x", user = "mallory")
+        assert(st.isInstanceOf[ghost.Failed] &&
+          st.asInstanceOf[ghost.Failed].error.contains("cannot be enforced"), st)
+      } finally ghost.close()
       // predicate reaches the scan as a pushed filter, not a UDF tax:
       // the user plan must contain the filter below any project
       // (smoke: the query above already proves semantics; here we just
