@@ -23,9 +23,12 @@ echo "== [1/4] sbt test (operator sweep + freshness + all specs)"
 sbt -batch test
 
 echo "== [2/4] full self-bench at sf0.1 -> BENCH_SELF.json"
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
-  | grep '"metric"' | tail -1 > BENCH_SELF.json
-[ -s BENCH_SELF.json ] || { echo "FAIL: bench produced no JSON line"; exit 1; }
+# Bench WRITES BENCH_SELF.json itself (full query names); its stdout
+# line carries short names for the driver's tail window — do NOT
+# redirect stdout into the file (that clobbers the full-name artifact
+# FreshnessCheck validates; the original script did exactly that)
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" > /dev/null
+[ -s BENCH_SELF.json ] || { echo "FAIL: bench wrote no BENCH_SELF.json"; exit 1; }
 
 echo "== [3/4] FreshnessCheck (COVERAGE.md + BENCH_SELF.json vs code)"
 sbt -batch "runMain graft.tools.FreshnessCheck BENCH_SELF.json"
