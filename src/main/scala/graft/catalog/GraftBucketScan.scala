@@ -52,7 +52,8 @@ final class GraftBucketScan(
     required: StructType,
     pushed: Array[Filter],
     groups: Map[Int, Seq[FileStat]]) extends Scan with Batch
-  with SupportsReportPartitioning with SupportsReportStatistics {
+  with SupportsReportPartitioning with SupportsReportStatistics
+  with SupportsReportOrdering {
 
   private val (nBuckets: Int, colName: String) = {
     val (_, n) = gt.bucketSpec.get
@@ -78,6 +79,19 @@ final class GraftBucketScan(
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
       Array(Expressions.bucket(nBuckets, colName)), groups.size)
+
+  /** Every write sorts within buckets on the key, so a ONE-file bucket
+    * is a sorted partition and the scan can report it — a co-bucketed
+    * SortMergeJoin then runs with no Exchange AND no Sort (the state
+    * every bucketed table reaches after a plain compact()). Multi-file
+    * buckets are concatenations of sorted runs, not sorted — report
+    * nothing. The key column must survive pruning to be claimable. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (groups.values.forall(_.size <= 1) &&
+        required.fieldNames.exists(_.equalsIgnoreCase(colName)))
+      Array(Expressions.sort(Expressions.column(colName),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftBucketReaderFactory(

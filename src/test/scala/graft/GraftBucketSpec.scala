@@ -138,6 +138,14 @@ class GraftBucketSpec extends SparkSpec {
       assert(!p2.contains("Exchange hashpartitioning"),
         s"plain compact must preserve bucketing:\n${p2.take(3000)}")
       assert(joined2.head().getLong(0) == before)
+      // post-compact each bucket is ONE sorted file, and the scan
+      // reports the ordering: the facts side of the merge join needs
+      // no Sort either (dims may be multi-file by now, so ONE Sort may
+      // remain). Count in the FINAL AQE plan only — the tree string
+      // repeats the join under "== Initial Plan ==".
+      val finalSection = p2.split("== Initial Plan ==").head
+      assert("Sort \\[".r.findAllIn(finalSection).size <= 1,
+        s"compacted side must skip its merge-join sort:\n${finalSection.take(3000)}")
       // an EXPLICIT re-layout is the caller's deliberate layout
       // replacement: files straddle buckets -> scan falls back
       gt.compact(clusterBy = Seq("v"))
