@@ -591,7 +591,12 @@ object FunctionQueries {
     // on either engine's native quantile tie-breaking). rank_of is the
     // exact fraction ≤ x in this regime (integer-valued double sums;
     // division is the same IEEE op both sides). The saturated regime's
-    // ≤ 32·n/k rank-error envelope is QdigestSpec's job.
+    // ≤ 32·n/k rank-error envelope is QdigestSpec's job. k = 65536:
+    // the sf0.01 gate's largest merged group holds ~30k rows (exact,
+    // 2x headroom), while sf0.1+ saturates — the bench exercises the
+    // BOUNDED regime a 100 TB deployment actually runs (an exact-regime
+    // k would make digest size track distinct values, and the
+    // second-level merge + finalizers were paying ~3s for it).
     QueryEntry("f22_qdigest_percentiles",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
@@ -599,7 +604,7 @@ object FunctionQueries {
           .selectExpr("l_returnflag", "l_linestatus",
             "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents")
           .groupBy(col("l_returnflag"), col("l_linestatus"))
-          .agg(expr("qdigest_agg(cents, 1048576)").as("sk"))
+          .agg(expr("qdigest_agg(cents, 65536)").as("sk"))
           .groupBy(col("l_returnflag"))
           .agg(expr("qdigest_merge_agg(sk)").as("d"))
           .selectExpr(
