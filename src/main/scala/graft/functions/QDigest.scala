@@ -91,14 +91,20 @@ object Qdigest {
     }
 
     /** Bottom-up fold: any (node, sibling, parent) triple with combined
-      * count ≤ ⌊n/k⌋ folds into the parent. One pass per depth. */
+      * count ≤ ⌊n/k⌋ folds into the parent. ONE map snapshot bucketed
+      * by depth (the previous spelling re-scanned the whole map once
+      * per depth — 33 full scans per compress, the dominant cost of the
+      * saturated-regime merge stage); a fold that CREATES a parent
+      * appends it to the d-1 bucket, which is exactly the set the
+      * per-depth rescan used to discover. */
     def compress(): Unit = {
       val t = n / k
       if (t <= 0) return
+      val byDepth = Array.fill(LeafDepth + 1)(new mutable.ArrayBuffer[Long])
+      counts.keysIterator.foreach { id => byDepth(depth(id)) += id }
       var d = LeafDepth
       while (d >= 1) {
-        // snapshot this depth's ids; process each sibling pair once
-        val ids = counts.keys.iterator.filter(depth(_) == d).toArray
+        val ids = byDepth(d).toArray
         java.util.Arrays.sort(ids)
         var i = 0
         while (i < ids.length) {
@@ -107,8 +113,10 @@ object Qdigest {
           if (c >= 0) { // not already folded as someone's sibling
             val sib = id ^ 1L
             val parent = id >>> 1
-            val s = c + counts.getOrElse(sib, 0L) + counts.getOrElse(parent, 0L)
+            val pc = counts.getOrElse(parent, -1L)
+            val s = c + counts.getOrElse(sib, 0L) + math.max(pc, 0L)
             if (s <= t) {
+              if (pc < 0) byDepth(d - 1) += parent
               counts.update(parent, s)
               counts.subtractOne(id)
               counts.subtractOne(sib)
