@@ -154,6 +154,24 @@ object GraftFunctions {
     "kmv_union" -> { exprs: Seq[Expression] => KmvUnion(exprs(0), exprs(1)) },
     "kmv_intersect_est" -> { exprs: Seq[Expression] => KmvIntersectEst(exprs(0), exprs(1)) },
     "kmv_jaccard_est" -> { exprs: Seq[Expression] => KmvJaccardEst(exprs(0), exprs(1)) },
+    // Trino setdigest family (SetDigest.scala — MinHash with saturating
+    // multiplicities; Trino's `cardinality(setdigest)` is spelled
+    // set_digest_cardinality because temp functions can't overload the
+    // array/map cardinality alias above by argument type).
+    "make_set_digest" -> { exprs: Seq[Expression] =>
+      val k = if (exprs.size > 1) intLit(exprs(1), "make_set_digest k") else 2048
+      MakeSetDigest(exprs(0), k).toAggregateExpression()
+    },
+    "merge_set_digest" -> { exprs: Seq[Expression] =>
+      MergeSetDigest(exprs.head).toAggregateExpression()
+    },
+    "set_digest_cardinality" -> { exprs: Seq[Expression] =>
+      SetDigestCardinality(exprs.head) },
+    "intersection_cardinality" -> { exprs: Seq[Expression] =>
+      IntersectionCardinality(exprs(0), exprs(1)) },
+    "jaccard_index" -> { exprs: Seq[Expression] =>
+      JaccardIndex(exprs(0), exprs(1)) },
+    "hash_counts" -> { exprs: Seq[Expression] => HashCounts(exprs.head) },
     // Trino URL functions -> ParseUrl parts.
     "url_extract_host" -> { exprs: Seq[Expression] =>
       ParseUrl(Seq(exprs.head, Literal("HOST"))) },
@@ -222,6 +240,9 @@ object GraftFunctions {
     "qdigest_agg" -> ((2, 2)), "qdigest_merge_agg" -> ((1, 1)),
     "qdigest_merge" -> ((2, 2)), "qdigest_quantile" -> ((2, 2)),
     "qdigest_rank_of" -> ((2, 2)), "qdigest_count" -> ((1, 1)),
+    "make_set_digest" -> ((1, 2)), "merge_set_digest" -> ((1, 1)),
+    "set_digest_cardinality" -> ((1, 1)), "intersection_cardinality" -> ((2, 2)),
+    "jaccard_index" -> ((2, 2)), "hash_counts" -> ((1, 1)),
     "url_extract_host" -> ((1, 1)), "url_extract_path" -> ((1, 1)),
     "url_extract_protocol" -> ((1, 1)), "url_extract_query" -> ((1, 1)),
     "url_extract_fragment" -> ((1, 1)), "url_extract_parameter" -> ((2, 2)),

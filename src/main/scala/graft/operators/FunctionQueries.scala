@@ -632,6 +632,53 @@ object FunctionQueries {
                ROUND(SUM(CASE WHEN v <= 5000000 THEN 1 ELSE 0 END)
                      / CAST(MAX(n) AS DOUBLE), 6) AS frac_le_50k,
                MAX(n) AS n_rows
-        FROM ranked GROUP BY rf"""))
+        FROM ranked GROUP BY rf""")),
+
+    // ------------------------------------------------------------------
+    // Trino setdigest family (SetDigest.scala): customer-retention
+    // overlap between the 1995 and 1996 order cohorts with NO self-join
+    // — one scan builds per-(year, priority) digests, merge_set_digest
+    // rolls them up per year, and cardinality / intersection / jaccard
+    // read off the two digests in O(k). k = 8192: the sf0.01 gate's
+    // year cohorts (~700 distinct custkeys, union < 2k) stay in the
+    // exact regime — cardinalities and the count sum are exact
+    // integers, jaccard is the same two-small-ints IEEE division DuckDB
+    // computes — while sf0.1+ (15k+ customers) saturates, exercising
+    // the estimator the 100 TB deployment runs (envelopes in
+    // SetDigestSpec). orders_1995 demonstrates hash_counts: the sum of
+    // multiplicities is the exact 1995 row count while unsaturated.
+    QueryEntry("f23_setdigest_overlap",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables(s, d, "orders")
+          .selectExpr("year(o_orderdate) AS y", "o_orderpriority AS pri",
+            "o_custkey AS ck")
+          .filter(col("y").isin(1995, 1996))
+          .groupBy(col("y"), col("pri"))
+          .agg(expr("make_set_digest(ck, 8192)").as("sk"))
+          .groupBy(col("y"))
+          .agg(expr("merge_set_digest(sk)").as("sk"))
+          .agg(
+            expr("min_by(sk, y)").as("a"), // 1995
+            expr("max_by(sk, y)").as("b")) // 1996
+          .selectExpr(
+            "set_digest_cardinality(a) AS custs_1995",
+            "set_digest_cardinality(b) AS custs_1996",
+            "intersection_cardinality(a, b) AS retained",
+            "ROUND(jaccard_index(a, b), 6) AS jacc",
+            "aggregate(map_values(hash_counts(a)), 0L, (acc, c) -> acc + c) AS orders_1995")
+      },
+      Some("""WITH o AS (
+          SELECT year(o_orderdate) AS y, o_custkey AS ck FROM orders
+          WHERE year(o_orderdate) IN (1995, 1996)
+        ), a AS (SELECT DISTINCT ck FROM o WHERE y = 1995),
+           b AS (SELECT DISTINCT ck FROM o WHERE y = 1996)
+        SELECT (SELECT COUNT(*) FROM a) AS custs_1995,
+               (SELECT COUNT(*) FROM b) AS custs_1996,
+               (SELECT COUNT(*) FROM a JOIN b USING (ck)) AS retained,
+               ROUND((SELECT COUNT(*) FROM a JOIN b USING (ck)) * 1.0 /
+                     (SELECT COUNT(*) FROM (SELECT ck FROM a UNION SELECT ck FROM b)),
+                     6) AS jacc,
+               (SELECT COUNT(*) FROM o WHERE y = 1995) AS orders_1995"""))
   )
 }
