@@ -172,6 +172,44 @@ object GraftFunctions {
     "jaccard_index" -> { exprs: Seq[Expression] =>
       JaccardIndex(exprs(0), exprs(1)) },
     "hash_counts" -> { exprs: Seq[Expression] => HashCounts(exprs.head) },
+    // Trino map-building aggregates (MapAggs.scala): exact per-group
+    // value counts, map-row union, and key->all-values multimaps.
+    "histogram" -> { exprs: Seq[Expression] =>
+      HistogramAgg(exprs.head).toAggregateExpression() },
+    "map_union" -> { exprs: Seq[Expression] =>
+      MapUnionAgg(exprs.head).toAggregateExpression() },
+    "multimap_agg" -> { exprs: Seq[Expression] =>
+      MultimapAgg(exprs(0), exprs(1)).toAggregateExpression() },
+    // Trino aggregate-name rewrites onto Spark-native aggregates (all
+    // codegen'd/builtin — no new execution machinery):
+    //   geometric_mean(x) = exp(avg(ln(x))) — Trino's own definition;
+    //   arbitrary(x) = any non-null value -> First(x, ignoreNulls);
+    //   bitwise_and_agg / bitwise_or_agg -> bit_and / bit_or;
+    //   checksum(x) -> order-insensitive XOR of xxhash64(x) as 8-byte
+    //   varbinary (Trino's checksum is also an order-insensitive
+    //   hash-fold; the hash kernel is engine-defined in both systems).
+    "geometric_mean" -> { exprs: Seq[Expression] =>
+      Exp(new org.apache.spark.sql.catalyst.expressions.aggregate.Average(
+        Log(Cast(exprs.head, org.apache.spark.sql.types.DoubleType)))
+        .toAggregateExpression())
+    },
+    "arbitrary" -> { exprs: Seq[Expression] =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.First(
+        exprs.head, true).toAggregateExpression()
+    },
+    "bitwise_and_agg" -> { exprs: Seq[Expression] =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.BitAndAgg(exprs.head)
+        .toAggregateExpression()
+    },
+    "bitwise_or_agg" -> { exprs: Seq[Expression] =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.BitOrAgg(exprs.head)
+        .toAggregateExpression()
+    },
+    "checksum" -> { exprs: Seq[Expression] =>
+      val folded = org.apache.spark.sql.catalyst.expressions.aggregate
+        .BitXorAgg(new XxHash64(Seq(exprs.head))).toAggregateExpression()
+      Unhex(StringLPad(Hex(folded), Literal(16), Literal("0")))
+    },
     // Trino URL functions -> ParseUrl parts.
     "url_extract_host" -> { exprs: Seq[Expression] =>
       ParseUrl(Seq(exprs.head, Literal("HOST"))) },
@@ -243,6 +281,10 @@ object GraftFunctions {
     "make_set_digest" -> ((1, 2)), "merge_set_digest" -> ((1, 1)),
     "set_digest_cardinality" -> ((1, 1)), "intersection_cardinality" -> ((2, 2)),
     "jaccard_index" -> ((2, 2)), "hash_counts" -> ((1, 1)),
+    "histogram" -> ((1, 1)), "map_union" -> ((1, 1)), "multimap_agg" -> ((2, 2)),
+    "geometric_mean" -> ((1, 1)), "arbitrary" -> ((1, 1)),
+    "bitwise_and_agg" -> ((1, 1)), "bitwise_or_agg" -> ((1, 1)),
+    "checksum" -> ((1, 1)),
     "url_extract_host" -> ((1, 1)), "url_extract_path" -> ((1, 1)),
     "url_extract_protocol" -> ((1, 1)), "url_extract_query" -> ((1, 1)),
     "url_extract_fragment" -> ((1, 1)), "url_extract_parameter" -> ((2, 2)),

@@ -679,6 +679,53 @@ object FunctionQueries {
                ROUND((SELECT COUNT(*) FROM a JOIN b USING (ck)) * 1.0 /
                      (SELECT COUNT(*) FROM (SELECT ck FROM a UNION SELECT ck FROM b)),
                      6) AS jacc,
-               (SELECT COUNT(*) FROM o WHERE y = 1995) AS orders_1995"""))
+               (SELECT COUNT(*) FROM o WHERE y = 1995) AS orders_1995""")),
+
+    // ------------------------------------------------------------------
+    // Trino aggregate parity (MapAggs.scala + rewrites): histogram /
+    // map_union / multimap_agg (exact map-building aggregates Spark
+    // lacks), geometric_mean = exp(avg(ln)), arbitrary -> First(ignore
+    // nulls), bitwise_and_agg/bitwise_or_agg -> bit_and/bit_or, and
+    // Spark 4's native listagg ... WITHIN GROUP. The maps are reduced
+    // to scalars here (counts, lookups, value sums) because the oracle
+    // compares canonicalized VALUES and map key order is engine-
+    // arbitrary in both systems; the maps themselves are asserted
+    // entry-for-entry in MapAggsSpec. map_union's duplicate-key pick
+    // is made deterministic the only way Trino's contract allows:
+    // values that are a function of the key (length(p_type)), so any
+    // winner agrees. arbitrary() is deterministic within a group here
+    // because its argument is constant per group key. checksum() is
+    // spec-only (its hash kernel is engine-defined, same as Trino's).
+    QueryEntry("f24_trino_agg_parity",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables(s, d, "part")
+          .groupBy(col("p_brand"))
+          .agg(
+            expr("cardinality(histogram(p_type))").as("n_types"),
+            expr("element_at(histogram(p_type), 'STANDARD ANODIZED TIN')").as("cnt_sat"),
+            expr("array_max(map_values(histogram(p_type)))").as("top_type_cnt"),
+            expr("aggregate(map_values(map_union(map(p_type, length(p_type)))), 0, (acc, x) -> acc + x)").as("sum_type_len"),
+            expr("size(element_at(multimap_agg(p_size, p_partkey), 7))").as("n_size7"),
+            expr("ROUND(geometric_mean(p_retailprice), 4)").as("gm_price"),
+            expr("arbitrary(upper(p_brand))").as("brand_up"),
+            expr("bitwise_and_agg(p_size)").as("size_and"),
+            expr("bitwise_or_agg(p_size)").as("size_or"),
+            expr("listagg(left(p_type, 1), '') WITHIN GROUP (ORDER BY left(p_type, 1))").as("type_initials"))
+      },
+      Some("""SELECT p_brand,
+          COUNT(DISTINCT p_type) AS n_types,
+          NULLIF(COUNT(*) FILTER (WHERE p_type = 'STANDARD ANODIZED TIN'), 0) AS cnt_sat,
+          (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM part i
+            WHERE i.p_brand = o.p_brand GROUP BY i.p_type)) AS top_type_cnt,
+          (SELECT CAST(SUM(LENGTH(t)) AS INT) FROM
+            (SELECT DISTINCT p_type AS t FROM part i WHERE i.p_brand = o.p_brand)) AS sum_type_len,
+          NULLIF(COUNT(*) FILTER (WHERE p_size = 7), 0) AS n_size7,
+          ROUND(EXP(AVG(LN(p_retailprice))), 4) AS gm_price,
+          UPPER(p_brand) AS brand_up,
+          BIT_AND(p_size) AS size_and,
+          BIT_OR(p_size) AS size_or,
+          STRING_AGG(LEFT(p_type, 1), '' ORDER BY LEFT(p_type, 1)) AS type_initials
+        FROM part o GROUP BY p_brand"""))
   )
 }
