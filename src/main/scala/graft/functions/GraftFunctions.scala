@@ -176,6 +176,15 @@ object GraftFunctions {
     // value counts, map-row union, and key->all-values multimaps.
     "histogram" -> { exprs: Seq[Expression] =>
       HistogramAgg(exprs.head).toAggregateExpression() },
+    // Trino numeric_histogram(buckets, x[, weight]) — Ben-Haim/Tom-Tov
+    // streaming histogram (NumericHistogram.scala); weight folds into
+    // the centroid count.
+    "numeric_histogram" -> { exprs: Seq[Expression] =>
+      NumericHistogramAgg(exprs(1),
+        intLit(exprs(0), "numeric_histogram buckets"),
+        weight = if (exprs.size > 2) exprs(2) else Literal(1.0d))
+        .toAggregateExpression()
+    },
     "map_union" -> { exprs: Seq[Expression] =>
       MapUnionAgg(exprs.head).toAggregateExpression() },
     "multimap_agg" -> { exprs: Seq[Expression] =>
@@ -282,6 +291,7 @@ object GraftFunctions {
     "set_digest_cardinality" -> ((1, 1)), "intersection_cardinality" -> ((2, 2)),
     "jaccard_index" -> ((2, 2)), "hash_counts" -> ((1, 1)),
     "histogram" -> ((1, 1)), "map_union" -> ((1, 1)), "multimap_agg" -> ((2, 2)),
+    "numeric_histogram" -> ((2, 3)),
     "geometric_mean" -> ((1, 1)), "arbitrary" -> ((1, 1)),
     "bitwise_and_agg" -> ((1, 1)), "bitwise_or_agg" -> ((1, 1)),
     "checksum" -> ((1, 1)),

@@ -726,6 +726,42 @@ object FunctionQueries {
           BIT_AND(p_size) AS size_and,
           BIT_OR(p_size) AS size_or,
           STRING_AGG(LEFT(p_type, 1), '' ORDER BY LEFT(p_type, 1)) AS type_initials
-        FROM part o GROUP BY p_brand"""))
+        FROM part o GROUP BY p_brand""")),
+
+    // ------------------------------------------------------------------
+    // Trino numeric_histogram (NumericHistogram.scala, Ben-Haim/Tom-Tov
+    // JMLR 2010): per-returnflag quantity distribution. l_quantity has
+    // 50 distinct integer values, buckets = 64 > 50, so NO centroid
+    // merge ever fires — the histogram is the exact (value, count) map
+    // at EVERY scale factor and the oracle derives the same arrays from
+    // plain SQL; the saturated regime (merges firing) is
+    // NumericHistogramSpec's job: exact total count, weighted-sum
+    // preservation, strictly-increasing centroids, merge-vs-rescan
+    // equality. Map key order is ascending by construction (the buffer
+    // is a sorted array), which map_keys/map_values expose directly.
+    QueryEntry("f25_numeric_histogram",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables(s, d, "lineitem")
+          .selectExpr("l_returnflag", "CAST(l_quantity AS DOUBLE) AS q")
+          .groupBy(col("l_returnflag"))
+          .agg(expr("numeric_histogram(64, q)").as("nh"))
+          .selectExpr(
+            "l_returnflag",
+            "size(map_keys(nh)) AS n_centroids",
+            "map_keys(nh) AS qty_values",
+            "map_values(nh) AS qty_counts",
+            "aggregate(map_values(nh), 0D, (acc, x) -> acc + x) AS total_rows")
+      },
+      Some("""WITH g AS (
+          SELECT l_returnflag AS rf, CAST(l_quantity AS DOUBLE) AS q,
+                 CAST(COUNT(*) AS DOUBLE) AS c
+          FROM lineitem GROUP BY 1, 2)
+        SELECT rf AS l_returnflag,
+               CAST(COUNT(*) AS INT) AS n_centroids,
+               LIST(q ORDER BY q) AS qty_values,
+               LIST(c ORDER BY q) AS qty_counts,
+               SUM(c) AS total_rows
+        FROM g GROUP BY rf"""))
   )
 }
