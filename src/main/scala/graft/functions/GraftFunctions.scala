@@ -232,6 +232,40 @@ object GraftFunctions {
       ParseUrl(Seq(exprs.head, Literal("REF"))) },
     "url_extract_parameter" -> { exprs: Seq[Expression] =>
       ParseUrl(Seq(exprs.head, Literal("QUERY"), exprs(1))) },
+    // Trino scalar parity batch 2 (ScalarParity.scala kernels through
+    // StaticInvoke — static calls inside whole-stage codegen, no UDFs):
+    "hamming_distance" -> { exprs: Seq[Expression] =>
+      staticCall("hammingDistance", org.apache.spark.sql.types.LongType,
+        Seq(asString(exprs(0)), asString(exprs(1))))
+    },
+    "normalize" -> { exprs: Seq[Expression] =>
+      staticCall("normalize", org.apache.spark.sql.types.StringType,
+        Seq(asString(exprs(0)),
+          if (exprs.size > 1) asString(exprs(1)) else Literal("NFC")))
+    },
+    "codepoint" -> { exprs: Seq[Expression] =>
+      staticCall("codepoint", org.apache.spark.sql.types.IntegerType,
+        Seq(asString(exprs.head)))
+    },
+    "from_base" -> { exprs: Seq[Expression] =>
+      staticCall("fromBase", org.apache.spark.sql.types.LongType,
+        Seq(asString(exprs(0)), Cast(exprs(1), org.apache.spark.sql.types.LongType)))
+    },
+    "to_base" -> { exprs: Seq[Expression] =>
+      staticCall("toBase", org.apache.spark.sql.types.StringType,
+        Seq(Cast(exprs(0), org.apache.spark.sql.types.LongType),
+          Cast(exprs(1), org.apache.spark.sql.types.LongType)))
+    },
+    // NOTE: Trino's date_add('unit', n, ts) is NOT registered here —
+    // Spark's PARSER reserves date_add(unit, ...) grammar (a quoted
+    // unit is a ParseException before any registry lookup), so the
+    // Trino spelling is handled where Trino SQL text arrives: the
+    // GraftSql dialect rewrite (date_add('unit',... ->
+    // timestampadd(UNIT,..., SqlSpec-pinned).
+    "last_day_of_month" -> { exprs: Seq[Expression] =>
+      LastDay(Cast(exprs.head, org.apache.spark.sql.types.DateType)) },
+    "week_of_year" -> { exprs: Seq[Expression] =>
+      WeekOfYear(Cast(exprs.head, org.apache.spark.sql.types.DateType)) },
     // Trino to_hex(varbinary) / from_hex(string) -> Spark hex/unhex.
     "to_hex" -> { exprs: Seq[Expression] => Hex(exprs.head) },
     "from_hex" -> { exprs: Seq[Expression] => Unhex(exprs.head) },
@@ -292,6 +326,9 @@ object GraftFunctions {
     "jaccard_index" -> ((2, 2)), "hash_counts" -> ((1, 1)),
     "histogram" -> ((1, 1)), "map_union" -> ((1, 1)), "multimap_agg" -> ((2, 2)),
     "numeric_histogram" -> ((2, 3)),
+    "hamming_distance" -> ((2, 2)), "normalize" -> ((1, 2)),
+    "codepoint" -> ((1, 1)), "from_base" -> ((2, 2)), "to_base" -> ((2, 2)),
+    "last_day_of_month" -> ((1, 1)), "week_of_year" -> ((1, 1)),
     "geometric_mean" -> ((1, 1)), "arbitrary" -> ((1, 1)),
     "bitwise_and_agg" -> ((1, 1)), "bitwise_or_agg" -> ((1, 1)),
     "checksum" -> ((1, 1)),
@@ -313,6 +350,20 @@ object GraftFunctions {
       }
       b(exprs)
     }
+
+  /** StaticInvoke onto a [[GraftStringOps]] kernel: the generated code
+    * calls the static method directly — stays inside codegen. All the
+    * kernels throw on contract violations (Trino semantics), so
+    * propagateNull handles SQL NULLs and nothing else is swallowed. */
+  private def staticCall(method: String,
+      dt: org.apache.spark.sql.types.DataType,
+      args: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      GraftStringOps.getClass, dt, method, args,
+      propagateNull = true, returnNullable = false)
+
+  private def asString(e: Expression): Expression =
+    Cast(e, org.apache.spark.sql.types.StringType)
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v, _) => String.valueOf(v).toInt

@@ -762,6 +762,47 @@ object FunctionQueries {
                LIST(q ORDER BY q) AS qty_values,
                LIST(c ORDER BY q) AS qty_counts,
                SUM(c) AS total_rows
-        FROM g GROUP BY rf"""))
+        FROM g GROUP BY rf""")),
+
+    // ------------------------------------------------------------------
+    // Trino scalar parity batch 2 (ScalarParity.scala StaticInvoke
+    // kernels + date rewrites): hamming_distance / codepoint /
+    // normalize / from_base / to_base, the Trino 3-arg
+    // date_add(unit, n, ts), last_day_of_month, week_of_year. Every
+    // kernel call sits inside whole-stage codegen (StaticInvoke, no
+    // UDFs — PlanSpec-style contract kept). to_base is lowercase like
+    // Trino; the oracle lowercases DuckDB's to_base to be caseblind.
+    // from_base(to_base(k)) re-derives the key — the self-inverse pair
+    // oracles as the key itself. Trino's date_add('unit', n, ts) is a
+    // GraftSql dialect rewrite to timestampadd (Spark's parser reserves
+    // the date_add(unit, ...) grammar — SqlSpec pins the rewrite);
+    // this Spark-API entry spells timestampadd directly and casts the
+    // timestamp fixture column back to DATE.
+    QueryEntry("f26_scalar_parity2",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables(s, d, "orders")
+          .filter(col("o_orderkey") <= 2000)
+          .selectExpr(
+            "o_orderkey",
+            "hamming_distance(o_orderstatus, 'F') AS hd_status",
+            "codepoint(o_orderstatus) AS cp_status",
+            "to_base(o_orderkey, 16) AS hex_key",
+            "from_base(to_base(o_orderkey, 16), 16) AS roundtrip_key",
+            "normalize(o_orderpriority) AS norm_pri",
+            "CAST(timestampadd(MONTH, 3, o_orderdate) AS DATE) AS due_plus3m",
+            "last_day_of_month(o_orderdate) AS eom",
+            "week_of_year(o_orderdate) AS woy")
+      },
+      Some("""SELECT o_orderkey,
+          CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END AS hd_status,
+          unicode(o_orderstatus) AS cp_status,
+          LOWER(to_base(o_orderkey, 16)) AS hex_key,
+          o_orderkey AS roundtrip_key,
+          nfc_normalize(o_orderpriority) AS norm_pri,
+          CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS due_plus3m,
+          last_day(CAST(o_orderdate AS DATE)) AS eom,
+          weekofyear(o_orderdate) AS woy
+        FROM orders WHERE o_orderkey <= 2000"""))
   )
 }
