@@ -76,11 +76,15 @@ import scala.util.matching.Regex
   * reads the physical predecessor's label (NULL before the match
   * start), and MATCH_NUMBER() is the number the in-flight match will
   * take (see xlateClassifier). The remaining rejections, LOUD with the
-  * feature named: navigation nested deeper than
-  * PREV/NEXT(FIRST/LAST(...)), expressions mixing two pattern
-  * variables inside one navigation (SQL:2016 forbids those too),
-  * NEXT(CLASSIFIER()) (future rows are unclassified), and
-  * CLASSIFIER/MATCH_NUMBER inside a navigated expression.
+  * feature named, are all DIALECT PARITY, not gaps — Trino rejects the
+  * same spellings (its pattern-recognition rules allow nesting ONLY
+  * logical navigation (FIRST/LAST) inside physical (PREV/NEXT), never
+  * PREV(PREV(..)), FIRST(LAST(..)) or navigation around them):
+  * navigation nested deeper than PREV/NEXT(FIRST/LAST(...)),
+  * expressions mixing two pattern variables inside one navigation
+  * (SQL:2016 forbids those too), NEXT(CLASSIFIER()) (future rows are
+  * unclassified), and CLASSIFIER/MATCH_NUMBER inside a navigated
+  * expression. MatchRecognizeSqlSpec pins each rejection message.
   */
 object MatchRecognizeSql {
 

@@ -352,6 +352,18 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
       .contains("CLASSIFIER"))
     assert(err("PARTITION BY k ORDER BY ts PATTERN (A) DEFINE A AS NEXT(LAST(FIRST(A.v))) > 0")
       .contains("navigation"))
+    // Trino-parity rejections (round 12): Trino's pattern-recognition
+    // rules allow nesting ONLY logical navigation (FIRST/LAST) inside
+    // physical (PREV/NEXT) — these spellings are invalid THERE too, so
+    // rejecting them is dialect parity, not a gap
+    assert(err("PARTITION BY k ORDER BY ts PATTERN (A B) DEFINE B AS PREV(PREV(A.v)) > 0")
+      .contains("navigation"))
+    assert(err("PARTITION BY k ORDER BY ts PATTERN (A B) DEFINE B AS FIRST(LAST(A.v)) > 0")
+      .contains("navigation"))
+    assert(err("PARTITION BY k ORDER BY ts PATTERN (A B) DEFINE B AS LAST(PREV(A.v)) > 0")
+      .contains("navigation"))
+    assert(err("PARTITION BY k ORDER BY ts MEASURES FIRST(PREV(A.v)) AS m PATTERN (A B) DEFINE A AS A.v > 0")
+      .contains("navigation"))
     // round 11: classifier corners that stay out, named loudly
     assert(err("PARTITION BY k ORDER BY ts PATTERN (A B) DEFINE B AS NEXT(CLASSIFIER()) = 'A'")
       .contains("not yet classified"))

@@ -138,6 +138,51 @@ class StreamingSpec extends SparkSpec {
     assert(p.getLong(0) == vals(math.ceil(0.5 * vals.length).toInt - 1))
   }
 
+  test("streaming setdigest + numeric_histogram == batch, across micro-batches (r12)") {
+    // same mechanism as the KMV/qdigest tests: TypedImperativeAggregates
+    // are ordinary streaming aggregation state. setdigest is asserted
+    // bit-identical even SATURATED (300 distinct > k=64): the surviving
+    // bottom-k hash set is a pure set property of the union, and a
+    // surviving hash is never evicted in any partial (an eviction would
+    // need k smaller hashes in that partial alone, which would also
+    // evict it globally), so its count is the exact sum — order-free.
+    // numeric_histogram is exact (hence bit-stable) below saturation;
+    // saturated centroids are merge-order dependent by design (the
+    // envelope, not identity, is the contract there — see
+    // NumericHistogramSpec).
+    graft.functions.GraftFunctions.register(spark)
+    val landing = Files.createTempDirectory("sd_landing").toString
+    val ckpt = Files.createTempDirectory("sd_ckpt").toString
+    mkEvents(300).filter($"event_id" % 3 === 0).coalesce(1).write.mode("append").parquet(landing)
+    mkEvents(300).filter($"event_id" % 3 === 1).coalesce(1).write.mode("append").parquet(landing)
+    mkEvents(300).filter($"event_id" % 3 === 2).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream
+      .schema(mkEvents(1).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+      .groupBy()
+      .agg(expr("make_set_digest(event_id, 64)").as("sd"),
+        expr("numeric_histogram(1024, CAST(event_id % 40 AS DOUBLE))").as("nh"))
+    val q = stream.writeStream
+      .format("memory").queryName("sd_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+    val row = spark.sql("SELECT sd, nh FROM sd_stream").head()
+    val batchRow = mkEvents(300)
+      .agg(expr("make_set_digest(event_id, 64)").as("sd"),
+        expr("numeric_histogram(1024, CAST(event_id % 40 AS DOUBLE))").as("nh"))
+      .head()
+    assert(java.util.Arrays.equals(
+      row.getAs[Array[Byte]]("sd"), batchRow.getAs[Array[Byte]]("sd")),
+      "streamed setdigest != batch setdigest (saturated bit-identity)")
+    assert(row.getAs[Map[Double, Double]]("nh") ==
+      batchRow.getAs[Map[Double, Double]]("nh"),
+      "streamed numeric_histogram != batch (exact regime)")
+  }
+
   test("stream lands in a GraftTable: per-batch atomic commits, time travel") {
     val landing = Files.createTempDirectory("graft_landing3").toString
     val ckpt = Files.createTempDirectory("graft_ckpt3").toString
