@@ -172,6 +172,24 @@ object GraftFunctions {
     "jaccard_index" -> { exprs: Seq[Expression] =>
       JaccardIndex(exprs(0), exprs(1)) },
     "hash_counts" -> { exprs: Seq[Expression] => HashCounts(exprs.head) },
+    // Trino tdigest family (TDigest.scala — double-valued percentile
+    // sketch; qdigest covers the integer universe) + Trino's
+    // POLYMORPHIC merge(sketch) aggregate (dispatches on wire magic:
+    // tdigest/qdigest/setdigest, like Trino's generic merge()).
+    "tdigest_agg" -> { exprs: Seq[Expression] =>
+      TDigestAgg(exprs(0),
+        weight = if (exprs.size > 1) exprs(1) else Literal(1.0d),
+        compression = if (exprs.size > 2) intLit(exprs(2), "tdigest_agg compression") else 100)
+        .toAggregateExpression()
+    },
+    "merge" -> { exprs: Seq[Expression] =>
+      SketchMergeAgg(exprs.head).toAggregateExpression() },
+    "value_at_quantile" -> { exprs: Seq[Expression] =>
+      ValueAtQuantile(exprs(0), exprs(1)) },
+    "values_at_quantiles" -> { exprs: Seq[Expression] =>
+      ValuesAtQuantiles(exprs(0), exprs(1)) },
+    "trimmed_mean" -> { exprs: Seq[Expression] =>
+      TrimmedMean(exprs(0), exprs(1), exprs(2)) },
     // Trino map-building aggregates (MapAggs.scala): exact per-group
     // value counts, map-row union, and key->all-values multimaps.
     "histogram" -> { exprs: Seq[Expression] =>
@@ -326,6 +344,9 @@ object GraftFunctions {
     "jaccard_index" -> ((2, 2)), "hash_counts" -> ((1, 1)),
     "histogram" -> ((1, 1)), "map_union" -> ((1, 1)), "multimap_agg" -> ((2, 2)),
     "numeric_histogram" -> ((2, 3)),
+    "tdigest_agg" -> ((1, 3)), "merge" -> ((1, 1)),
+    "value_at_quantile" -> ((2, 2)), "values_at_quantiles" -> ((2, 2)),
+    "trimmed_mean" -> ((3, 3)),
     "hamming_distance" -> ((2, 2)), "normalize" -> ((1, 2)),
     "codepoint" -> ((1, 1)), "from_base" -> ((2, 2)), "to_base" -> ((2, 2)),
     "last_day_of_month" -> ((1, 1)), "week_of_year" -> ((1, 1)),

@@ -803,6 +803,48 @@ object FunctionQueries {
           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS due_plus3m,
           last_day(CAST(o_orderdate AS DATE)) AS eom,
           weekofyear(o_orderdate) AS woy
-        FROM orders WHERE o_orderkey <= 2000"""))
+        FROM orders WHERE o_orderkey <= 2000""")),
+
+    // ------------------------------------------------------------------
+    // Trino tdigest family (TDigest.scala) + the POLYMORPHIC merge()
+    // aggregate: per-(returnflag, linestatus) discount digests rolled
+    // up per returnflag by merge() — the same store-shards /
+    // merge-at-query-time pattern as f20/f22/f23, now for DOUBLES.
+    // l_discount has 11 distinct values (0.00..0.10), far under
+    // compression = 100, so every centroid stays PURE (one value,
+    // exact multiplicity) at EVERY scale factor: value_at_quantile is
+    // the exact discrete quantile (the oracle spells it as a
+    // ROW_NUMBER window, f22's device) and trimmed_mean is the exact
+    // rank-window mean (ranks r with 0.25·W < r ≤ 0.75·W — the oracle
+    // filters the same integer window; ROUND(6) absorbs the
+    // 11-term-weighted vs 600k-term float sum-order difference).
+    QueryEntry("f27_tdigest_discounts",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_discount"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(expr("tdigest_agg(l_discount)").as("td"))
+          .groupBy(col("l_returnflag"))
+          .agg(expr("merge(td)").as("td"))
+          .selectExpr(
+            "l_returnflag",
+            "value_at_quantile(td, 0.5) AS p50_disc",
+            "value_at_quantile(td, 0.9) AS p90_disc",
+            "values_at_quantiles(td, array(0.1D, 0.99D)) AS p10_p99",
+            "ROUND(trimmed_mean(td, 0.25, 0.75), 6) AS iqr_mean")
+      },
+      Some("""WITH ranked AS (
+          SELECT l_returnflag AS rf, l_discount AS v,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_discount) AS rn,
+                 COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem)
+        SELECT rf AS l_returnflag,
+               MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN v END) AS p50_disc,
+               MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN v END) AS p90_disc,
+               [MAX(CASE WHEN rn = CAST(CEIL(0.1 * n) AS BIGINT) THEN v END),
+                MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN v END)] AS p10_p99,
+               ROUND(AVG(v) FILTER (WHERE rn > 0.25 * n AND rn <= FLOOR(0.75 * n)), 6) AS iqr_mean
+        FROM ranked GROUP BY rf"""))
   )
 }
