@@ -184,6 +184,14 @@ object GraftFunctions {
     },
     "merge" -> { exprs: Seq[Expression] =>
       SketchMergeAgg(exprs.head).toAggregateExpression() },
+    // Trino approx_set(x) -> a DataSketches HLL column (Spark's
+    // hll_sketch_agg); merge() above unions it, hll_sketch_estimate
+    // reads the cardinality — the walden HLL column pattern end to end
+    // under Trino names.
+    "approx_set" -> { exprs: Seq[Expression] =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg(exprs.head)
+        .toAggregateExpression()
+    },
     "value_at_quantile" -> { exprs: Seq[Expression] =>
       ValueAtQuantile(exprs(0), exprs(1)) },
     "values_at_quantiles" -> { exprs: Seq[Expression] =>
@@ -344,7 +352,7 @@ object GraftFunctions {
     "jaccard_index" -> ((2, 2)), "hash_counts" -> ((1, 1)),
     "histogram" -> ((1, 1)), "map_union" -> ((1, 1)), "multimap_agg" -> ((2, 2)),
     "numeric_histogram" -> ((2, 3)),
-    "tdigest_agg" -> ((1, 3)), "merge" -> ((1, 1)),
+    "tdigest_agg" -> ((1, 3)), "merge" -> ((1, 1)), "approx_set" -> ((1, 1)),
     "value_at_quantile" -> ((2, 2)), "values_at_quantiles" -> ((2, 2)),
     "trimmed_mean" -> ((3, 3)),
     "hamming_distance" -> ((2, 2)), "normalize" -> ((1, 2)),

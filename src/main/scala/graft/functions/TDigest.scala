@@ -262,9 +262,11 @@ final case class TDigestAgg(
 }
 
 /** Trino's polymorphic `merge(sketch)` aggregate: unions rows of ONE
-  * sketch family, dispatching on the wire magic — tdigest, qdigest or
-  * setdigest (Trino's merge() is likewise generic over its sketch
-  * types). Mixing families in one group is a loud error. */
+  * sketch family, dispatching on the wire magic — tdigest, qdigest,
+  * setdigest, or a DataSketches HLL binary (the `approx_set` /
+  * `hll_sketch_agg` column type; Trino's merge() is likewise generic
+  * over hyperloglog/qdigest/tdigest/setdigest). Mixing families in
+  * one group is a loud error. */
 final case class SketchMergeAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
@@ -281,12 +283,21 @@ final case class SketchMergeAgg(
     if (bytes.length < 4) 0
     else java.nio.ByteBuffer.wrap(bytes).getInt
 
+  /** Family classifier: one of our magics, or 0 = not ours (an HLL
+    * candidate — DataSketches preambles vary by sketch mode, so HLL
+    * binaries don't share a single 4-byte magic). */
+  private def familyOf(bytes: Array[Byte]): Int = magicOf(bytes) match {
+    case m @ (TDigest.Magic | Qdigest.Magic | SetDigest.Magic) => m
+    case _ => 0
+  }
+
   private def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     if (a.isEmpty) return b
     if (b.isEmpty) return a
-    val (ma, mb) = (magicOf(a), magicOf(b))
+    val (ma, mb) = (familyOf(a), familyOf(b))
     require(ma == mb,
-      s"merge() cannot mix sketch families (magic 0x${ma.toHexString} vs 0x${mb.toHexString})")
+      s"merge() cannot mix sketch families " +
+        s"(magic 0x${magicOf(a).toHexString} vs 0x${magicOf(b).toHexString})")
     ma match {
       case TDigest.Magic =>
         val x = TDigest.deserialize(a); val y = TDigest.deserialize(b)
@@ -303,9 +314,20 @@ final case class SketchMergeAgg(
         val x = SetDigest.deserialize(a); val y = SetDigest.deserialize(b)
         x.mergeIn(y.k, y.m.iterator)
         SetDigest.serialize(x)
-      case other => throw new IllegalArgumentException(
-        s"merge() expects tdigest/qdigest/setdigest binaries " +
-          s"(unknown magic 0x${other.toHexString})")
+      case _ =>
+        // not one of ours: a DataSketches HLL (approx_set/hll_sketch_agg
+        // columns) unions through the library; anything else is loud
+        try {
+          val u = new org.apache.datasketches.hll.Union(
+            org.apache.datasketches.hll.HllSketch.heapify(a).getLgConfigK)
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(a))
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(b))
+          u.getResult.toUpdatableByteArray
+        } catch {
+          case _: Exception => throw new IllegalArgumentException(
+            s"merge() expects tdigest/qdigest/setdigest/HLL binaries " +
+              s"(unknown magic 0x${magicOf(a).toHexString})")
+        }
     }
   }
 

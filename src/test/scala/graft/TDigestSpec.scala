@@ -102,5 +102,9 @@ class TDigestSpec extends SparkSpec {
     val c = s.sql("""SELECT set_digest_cardinality(merge(sk)) AS d FROM
       (SELECT v % 4 AS g, make_set_digest(v, 2048) AS sk FROM gm_in GROUP BY v % 4)""").head()
     assert(c.getLong(0) == 1000L)
+    // and DataSketches HLL rows from approx_set (Trino's fourth family)
+    val h = s.sql("""SELECT CAST(hll_sketch_estimate(merge(sk)) AS BIGINT) AS d FROM
+      (SELECT v % 4 AS g, approx_set(v) AS sk FROM gm_in GROUP BY v % 4)""").head()
+    assert(math.abs(h.getLong(0) - 1000L) <= 20, s"hll est ${h.getLong(0)}")
   }
 }
