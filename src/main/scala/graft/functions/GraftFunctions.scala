@@ -195,7 +195,11 @@ object GraftFunctions {
     "value_at_quantile" -> { exprs: Seq[Expression] =>
       ValueAtQuantile(exprs(0), exprs(1)) },
     "values_at_quantiles" -> { exprs: Seq[Expression] =>
-      ValuesAtQuantiles(exprs(0), exprs(1)) },
+      // the kernel reads DoubleType elements — cast here so int/decimal
+      // /float quantile arrays arrive as array<double>, not raw bytes
+      // reinterpreted (r12 review)
+      ValuesAtQuantiles(exprs(0), Cast(exprs(1),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))) },
     "trimmed_mean" -> { exprs: Seq[Expression] =>
       TrimmedMean(exprs(0), exprs(1), exprs(2)) },
     // Trino map-building aggregates (MapAggs.scala): exact per-group
@@ -220,13 +224,23 @@ object GraftFunctions {
     //   geometric_mean(x) = exp(avg(ln(x))) — Trino's own definition;
     //   arbitrary(x) = any non-null value -> First(x, ignoreNulls);
     //   bitwise_and_agg / bitwise_or_agg -> bit_and / bit_or;
-    //   checksum(x) -> order-insensitive XOR of xxhash64(x) as 8-byte
-    //   varbinary (Trino's checksum is also an order-insensitive
-    //   hash-fold; the hash kernel is engine-defined in both systems).
+    //   checksum(x) -> order-insensitive WRAPPING SUM of
+    //   xxhash64(x)·PRIME as 8-byte varbinary (ChecksumAgg — same fold
+    //   shape as Trino's; the hash kernel is engine-defined in both
+    //   systems, and a sum, unlike XOR, is multiplicity-sensitive).
     "geometric_mean" -> { exprs: Seq[Expression] =>
+      // Spark's ln returns NULL for x <= 0 and Average skips NULLs,
+      // which would silently DROP those rows; Trino's semantics (r12
+      // review): any zero makes the mean 0 (ln -> -Inf), any negative
+      // makes it NaN — spell those sentinels explicitly, NULL inputs
+      // still skip like every aggregate.
+      val xd = Cast(exprs.head, org.apache.spark.sql.types.DoubleType)
+      val lnOrSentinel = CaseWhen(Seq(
+        (LessThan(xd, Literal(0.0d)), Literal(Double.NaN)),
+        (EqualTo(xd, Literal(0.0d)), Literal(Double.NegativeInfinity))),
+        Log(xd))
       Exp(new org.apache.spark.sql.catalyst.expressions.aggregate.Average(
-        Log(Cast(exprs.head, org.apache.spark.sql.types.DoubleType)))
-        .toAggregateExpression())
+        lnOrSentinel).toAggregateExpression())
     },
     "arbitrary" -> { exprs: Seq[Expression] =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.First(
@@ -241,9 +255,7 @@ object GraftFunctions {
         .toAggregateExpression()
     },
     "checksum" -> { exprs: Seq[Expression] =>
-      val folded = org.apache.spark.sql.catalyst.expressions.aggregate
-        .BitXorAgg(new XxHash64(Seq(exprs.head))).toAggregateExpression()
-      Unhex(StringLPad(Hex(folded), Literal(16), Literal("0")))
+      ChecksumAgg(exprs.head).toAggregateExpression()
     },
     // Trino URL functions -> ParseUrl parts.
     "url_extract_host" -> { exprs: Seq[Expression] =>

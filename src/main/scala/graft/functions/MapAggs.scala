@@ -68,6 +68,63 @@ private[functions] object MapAggs {
   }
 }
 
+/** `checksum(x)` — order-insensitive multiset digest: the WRAPPING sum
+  * of xxhash64(x) · PRIME per row (Trino's checksum is the same
+  * sum-with-overflow fold). A wrapping SUM — unlike an XOR fold — does
+  * not cancel values that appear an even number of times (r12 review:
+  * xor(h,h) = 0 made checksum({x,x,y}) == checksum({y}), defeating the
+  * function's data-validation purpose). NULL rows contribute the bare
+  * PRIME so they count with multiplicity too. */
+final case class ChecksumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private val Prime = -7046029254386353131L // xxhash64 PRIME64_1
+
+  @transient private lazy val hasher =
+    new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(child))
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Array[Long] = Array(0L)
+
+  override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+    val h =
+      if (child.eval(input) == null) 1L
+      else hasher.eval(input).asInstanceOf[Long]
+    b(0) += h * Prime // Long arithmetic wraps — the point
+    b
+  }
+
+  override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+    b(0) += o(0)
+    b
+  }
+
+  override def eval(b: Array[Long]): Any = {
+    val out = new Array[Byte](8)
+    java.nio.ByteBuffer.wrap(out).putLong(b(0))
+    out
+  }
+
+  override def serialize(b: Array[Long]): Array[Byte] =
+    eval(b).asInstanceOf[Array[Byte]]
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    Array(java.nio.ByteBuffer.wrap(bytes).getLong)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ChecksumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ChecksumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "checksum"
+}
+
 /** `histogram(x)` — exact value counts as map<x, bigint>. */
 final case class HistogramAgg(
     child: Expression,

@@ -162,6 +162,8 @@ object Qdigest {
       "not a qdigest sketch (wrong magic): qdigest_* functions take " +
         "binaries produced by qdigest_agg/qdigest_merge_agg/qdigest_merge")
     val k = in.readInt(); val n = in.readLong(); val m = in.readInt()
+    require(m >= 0 && bytes.length == 20 + m.toLong * 16,
+      s"not a qdigest (length ${bytes.length} != 20 + $m*16): corrupt or truncated binary")
     val map = new mutable.LongMap[Long](math.max(8, m * 2))
     var i = 0
     while (i < m) { map.update(in.readLong(), in.readLong()); i += 1 }

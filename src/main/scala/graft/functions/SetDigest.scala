@@ -90,6 +90,8 @@ object SetDigest {
       "not a setdigest (wrong magic): set-digest functions take binaries " +
         "produced by make_set_digest/merge_set_digest")
     val k = in.readInt(); val n = in.readInt()
+    require(n >= 0 && bytes.length == 12 + n.toLong * 16,
+      s"not a setdigest (length ${bytes.length} != 12 + $n*16): corrupt or truncated binary")
     val m = mutable.TreeMap.empty[Long, Long]
     var i = 0
     while (i < n) { m.update(in.readLong(), in.readLong()); i += 1 }
@@ -152,7 +154,12 @@ final case class MergeSetDigest(
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
-  override def createAggregationBuffer(): SetDigest.Buf = SetDigest.emptyBuf(1 << 20)
+  // sentinel k ABOVE the legal make_set_digest range [16, 1<<20]: a
+  // never-touched buffer is distinguishable from a legitimately empty
+  // k=1<<20 digest (r12 review — the old 1<<20 sentinel rewrote such a
+  // digest to k=16, and a later merge clamped real digests down to 16)
+  override def createAggregationBuffer(): SetDigest.Buf =
+    SetDigest.emptyBuf(Int.MaxValue)
 
   override def update(b: SetDigest.Buf, input: InternalRow): SetDigest.Buf =
     child.eval(input) match {
@@ -171,7 +178,7 @@ final case class MergeSetDigest(
   }
 
   override def eval(b: SetDigest.Buf): Any =
-    SetDigest.serialize(if (b.k == (1 << 20) && b.m.isEmpty) SetDigest.emptyBuf(16) else b)
+    SetDigest.serialize(if (b.k == Int.MaxValue) SetDigest.emptyBuf(16) else b)
   override def serialize(b: SetDigest.Buf): Array[Byte] = SetDigest.serialize(b)
   override def deserialize(bytes: Array[Byte]): SetDigest.Buf = SetDigest.deserialize(bytes)
 

@@ -152,6 +152,11 @@ object TDigest {
       "not a tdigest (wrong magic): tdigest functions take binaries " +
         "produced by tdigest_agg/merge")
     val c = in.readInt(); val n = in.readInt()
+    // canonical format is exact-length: a truncated/corrupt binary with
+    // an intact header fails HERE with the contract error, not with a
+    // bare EOFException mid-read (r12 review)
+    require(n >= 0 && bytes.length == 12 + n.toLong * 16,
+      s"not a tdigest (length ${bytes.length} != 12 + $n*16): corrupt or truncated binary")
     val b = new Buf(c)
     var i = 0
     while (i < n) { b.add(in.readDouble(), in.readDouble()); i += 1 }
@@ -271,79 +276,82 @@ final case class SketchMergeAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] {
+  extends TypedImperativeAggregate[SketchMergeAgg.State] {
+  import SketchMergeAgg._
 
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = true
   override def dataType: DataType = BinaryType
 
-  override def createAggregationBuffer(): Array[Byte] = Array.empty
+  override def createAggregationBuffer(): State = Empty
 
-  private def magicOf(bytes: Array[Byte]): Int =
-    if (bytes.length < 4) 0
-    else java.nio.ByteBuffer.wrap(bytes).getInt
-
-  /** Family classifier: one of our magics, or 0 = not ours (an HLL
-    * candidate — DataSketches preambles vary by sketch mode, so HLL
-    * binaries don't share a single 4-byte magic). */
-  private def familyOf(bytes: Array[Byte]): Int = magicOf(bytes) match {
-    case m @ (TDigest.Magic | Qdigest.Magic | SetDigest.Magic) => m
-    case _ => 0
+  /** Parse incoming bytes into live state ONCE — every row is validated
+    * here (a one-row group cannot smuggle garbage through), and the
+    * accumulated sketch is never re-serialized between rows. */
+  private def parse(bytes: Array[Byte]): State = magicOf(bytes) match {
+    case TDigest.Magic => Td(TDigest.deserialize(bytes))
+    case Qdigest.Magic => Qd(Qdigest.deserialize(bytes))
+    case SetDigest.Magic => Sd(SetDigest.deserialize(bytes))
+    case other =>
+      // not one of ours: a DataSketches HLL (approx_set/hll_sketch_agg
+      // columns) parses through the library; anything else is loud
+      try {
+        val sk = org.apache.datasketches.hll.HllSketch.heapify(bytes)
+        val u = new org.apache.datasketches.hll.Union(sk.getLgConfigK)
+        u.update(sk)
+        Hll(u)
+      } catch {
+        case _: Exception => throw new IllegalArgumentException(
+          s"merge() expects tdigest/qdigest/setdigest/HLL binaries " +
+            s"(unknown magic 0x${other.toHexString})")
+      }
   }
 
-  private def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    if (a.isEmpty) return b
-    if (b.isEmpty) return a
-    val (ma, mb) = (familyOf(a), familyOf(b))
-    require(ma == mb,
-      s"merge() cannot mix sketch families " +
-        s"(magic 0x${magicOf(a).toHexString} vs 0x${magicOf(b).toHexString})")
-    ma match {
-      case TDigest.Magic =>
-        val x = TDigest.deserialize(a); val y = TDigest.deserialize(b)
-        y.flush()
-        var i = 0
-        while (i < y.n) { x.add(y.means(i), y.weights(i)); i += 1 }
-        TDigest.serialize(x)
-      case Qdigest.Magic =>
-        val x = Qdigest.deserialize(a); val y = Qdigest.deserialize(b)
-        x.mergeIn(y.k, y.n, y.counts.iterator)
-        x.compress()
-        Qdigest.serialize(x)
-      case SetDigest.Magic =>
-        val x = SetDigest.deserialize(a); val y = SetDigest.deserialize(b)
-        x.mergeIn(y.k, y.m.iterator)
-        SetDigest.serialize(x)
-      case _ =>
-        // not one of ours: a DataSketches HLL (approx_set/hll_sketch_agg
-        // columns) unions through the library; anything else is loud
-        try {
-          val u = new org.apache.datasketches.hll.Union(
-            org.apache.datasketches.hll.HllSketch.heapify(a).getLgConfigK)
-          u.update(org.apache.datasketches.hll.HllSketch.heapify(a))
-          u.update(org.apache.datasketches.hll.HllSketch.heapify(b))
-          u.getResult.toUpdatableByteArray
-        } catch {
-          case _: Exception => throw new IllegalArgumentException(
-            s"merge() expects tdigest/qdigest/setdigest/HLL binaries " +
-              s"(unknown magic 0x${magicOf(a).toHexString})")
-        }
-    }
+  private def unite(a: State, b: State): State = (a, b) match {
+    case (Empty, s) => s
+    case (s, Empty) => s
+    case (Td(x), Td(y)) =>
+      y.flush()
+      var i = 0
+      while (i < y.n) { x.add(y.means(i), y.weights(i)); i += 1 }
+      Td(x)
+    case (Qd(x), Qd(y)) =>
+      x.mergeIn(y.k, y.n, y.counts.iterator)
+      Qd(x)
+    case (Sd(x), Sd(y)) =>
+      x.mergeIn(y.k, y.m.iterator)
+      Sd(x)
+    case (Hll(x), Hll(y)) =>
+      x.update(y.getResult)
+      Hll(x)
+    case (x, y) => throw new IllegalArgumentException(
+      s"merge() cannot mix sketch families (${x.familyName} vs ${y.familyName})")
   }
 
-  override def update(b: Array[Byte], input: InternalRow): Array[Byte] =
+  override def update(b: State, input: InternalRow): State =
     child.eval(input) match {
       case null => b
-      case bytes: Array[Byte] => union(b, bytes)
+      case bytes: Array[Byte] => unite(b, parse(bytes))
       case other => throw new IllegalArgumentException(
         s"merge() expects sketch binaries, got ${other.getClass.getSimpleName}")
     }
 
-  override def merge(b: Array[Byte], o: Array[Byte]): Array[Byte] = union(b, o)
+  override def merge(b: State, o: State): State = unite(b, o)
 
-  override def eval(b: Array[Byte]): Any = if (b.isEmpty) null else b
-  override def serialize(b: Array[Byte]): Array[Byte] = b
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def eval(b: State): Any = b match {
+    case Empty => null
+    case Td(x) => TDigest.serialize(x)
+    case Qd(x) => { x.compress(); Qdigest.serialize(x) }
+    case Sd(x) => SetDigest.serialize(x)
+    case Hll(x) => x.getResult.toUpdatableByteArray
+  }
+
+  override def serialize(b: State): Array[Byte] = b match {
+    case Empty => Array.empty
+    case other => eval(other).asInstanceOf[Array[Byte]]
+  }
+  override def deserialize(bytes: Array[Byte]): State =
+    if (bytes.isEmpty) Empty else parse(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SketchMergeAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -352,6 +360,24 @@ final case class SketchMergeAgg(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
   override def prettyName: String = "merge"
+}
+
+object SketchMergeAgg {
+  /** Live merge state: parsed once per input row, serialized only at
+    * partial-aggregate boundaries (the TypedImperativeAggregate
+    * contract every other aggregate in this file follows). */
+  sealed trait State { def familyName: String }
+  case object Empty extends State { val familyName = "empty" }
+  final case class Td(b: TDigest.Buf) extends State { val familyName = "tdigest" }
+  final case class Qd(b: Qdigest.Buf) extends State { val familyName = "qdigest" }
+  final case class Sd(b: SetDigest.Buf) extends State { val familyName = "setdigest" }
+  final case class Hll(u: org.apache.datasketches.hll.Union) extends State {
+    val familyName = "hll"
+  }
+
+  private def magicOf(bytes: Array[Byte]): Int =
+    if (bytes.length < 4) 0
+    else java.nio.ByteBuffer.wrap(bytes).getInt
 }
 
 /** Scalar finalizers — once per group, off the hot path. */

@@ -65,17 +65,33 @@ class MapAggsSpec extends SparkSpec {
       Seq(null, 1, 3))
   }
 
-  test("checksum is order-insensitive and value-sensitive") {
+  test("checksum is order-insensitive, value-sensitive AND multiplicity-sensitive") {
     val s = registered
     import s.implicits._
     (1 to 1000).map(_.toLong).toDF("v").createOrReplaceTempView("ck_a")
     (1 to 1000).reverse.map(_.toLong).toDF("v").createOrReplaceTempView("ck_b")
     (2 to 1001).map(_.toLong).toDF("v").createOrReplaceTempView("ck_c")
+    // {x, x, y} vs {y}: an XOR fold cancels the pair — a wrapping sum
+    // must not (r12 review)
+    Seq(7L, 7L, 9L).toDF("v").createOrReplaceTempView("ck_dup")
+    Seq(9L).toDF("v").createOrReplaceTempView("ck_one")
+    Seq(Some(9L), None, None).toDF("v").createOrReplaceTempView("ck_nulls")
     def ck(t: String): Seq[Byte] =
       s.sql(s"SELECT checksum(v) AS c FROM $t").head().getAs[Array[Byte]]("c").toSeq
     assert(ck("ck_a") == ck("ck_b"), "row order must not change the checksum")
     assert(ck("ck_a") != ck("ck_c"), "different values must change the checksum")
+    assert(ck("ck_dup") != ck("ck_one"), "even-multiplicity rows must not cancel")
+    assert(ck("ck_nulls") != ck("ck_one"), "NULL rows count with multiplicity")
     assert(ck("ck_a").size == 8, "8-byte varbinary")
+  }
+
+  test("geometric_mean: zeros pull the mean to 0, negatives to NaN (Trino semantics)") {
+    val s = registered
+    import s.implicits._
+    Seq(0.0, 4.0).toDF("x").createOrReplaceTempView("gm_zero")
+    Seq(-2.0, 4.0).toDF("x").createOrReplaceTempView("gm_neg")
+    assert(s.sql("SELECT geometric_mean(x) FROM gm_zero").head().getDouble(0) == 0.0)
+    assert(s.sql("SELECT geometric_mean(x) FROM gm_neg").head().getDouble(0).isNaN)
   }
 
   test("rewrites: geometric_mean, arbitrary ignores nulls, bitwise aggs") {

@@ -87,6 +87,28 @@ class SetDigestSpec extends SparkSpec {
     assert(m.toSeq == Seq(32767L))
   }
 
+  test("merge_set_digest preserves the max legal k through empty groups (r12 review)") {
+    val s = registered
+    import s.implicits._
+    // k = 1<<20 is the documented max; a rollup must not clamp it to 16
+    // via the old empty-buffer sentinel collision
+    (1 to 500).map(i => (i % 5, i.toLong)).toDF("g", "v")
+      .createOrReplaceTempView("sd_maxk")
+    val direct = s.sql(
+      "SELECT make_set_digest(v, 1048576) AS sk FROM sd_maxk")
+      .head().getAs[Array[Byte]]("sk")
+    val rolled = s.sql("""SELECT merge_set_digest(sk) AS sk FROM
+      (SELECT g, make_set_digest(v, 1048576) AS sk FROM sd_maxk GROUP BY g)""")
+      .head().getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(direct, rolled),
+      "max-k digests must survive the rollup byte-for-byte")
+    // an all-NULL group yields a canonical empty digest, cardinality 0
+    val empty = s.sql(
+      "SELECT set_digest_cardinality(merge_set_digest(CAST(NULL AS BINARY))) AS d FROM (SELECT 1)")
+      .head().getLong(0)
+    assert(empty == 0L)
+  }
+
   test("foreign binaries are rejected loudly, not misparsed") {
     val s = registered
     import s.implicits._

@@ -90,6 +90,26 @@ class TDigestSpec extends SparkSpec {
         .selectExpr("value_at_quantile(b, 0.5)").collect()
     }
     assert(msgs(e2).exists(_.contains("not a tdigest")), s"got ${msgs(e2)}")
+    // a ONE-row group must hit the same validation (r12 review: the
+    // empty-buffer fast path used to pass garbage through unparsed)
+    val e3 = intercept[Exception] {
+      Seq(Array[Byte](9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9)).toDF("b")
+        .selectExpr("merge(b)").collect()
+    }
+    assert(msgs(e3).exists(_.contains("merge() expects")), s"got ${msgs(e3)}")
+  }
+
+  test("values_at_quantiles coerces non-double quantile arrays (r12 review)") {
+    val s = registered
+    import s.implicits._
+    (1 to 100).map(_.toDouble).toDF("v").createOrReplaceTempView("td_qarr")
+    // decimal literals (0.5) and an int-typed array must both coerce
+    val r = s.sql("""
+      SELECT values_at_quantiles(td, array(0.5, 0.9)) AS a,
+             values_at_quantiles(td, array(1)) AS b
+      FROM (SELECT tdigest_agg(v) AS td FROM td_qarr)""").head()
+    assert(r.getAs[scala.collection.Seq[Double]]("a").toSeq == Seq(50.0, 90.0))
+    assert(r.getAs[scala.collection.Seq[Double]]("b").toSeq == Seq(100.0))
   }
 
   test("merge() also unions qdigest and setdigest rows (Trino's generic merge)") {
