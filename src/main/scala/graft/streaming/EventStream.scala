@@ -794,6 +794,63 @@ object EventStream {
       seen.updateAndGet(s => math.max(s, batchId))
   }
 
+  /** STREAMING SKETCH-STATS TABLE: maintain the per-day sketch-column
+    * table (the Probe13 / SCALE.md (u) reporting pattern) AT INGEST —
+    * one streaming aggregation whose per-day state IS the mergeable
+    * sketches (qdigest of `valueCol`, setdigest of `idCol`, row count),
+    * upserted into a versioned GraftTable after every trigger. Readers
+    * answer "p99 / distinct ids over any date window" by merging
+    * O(days) stats rows — the fact stream is never rescanned, and the
+    * table stays time-travelable like every GraftTable sink.
+    *
+    * Runs in UPDATE output mode: each trigger emits only the days whose
+    * sketches changed, and the merge-by-day replaces exactly those rows
+    * (the same exactly-once BatchMark discipline as [[upsertGraftTable]]
+    * — a replayed batch finds its label and skips). No watermark by
+    * design: a late fact must still fold into its day's sketch, so the
+    * aggregation state is O(days × sketch size) — bounded by the
+    * calendar, not the stream (document: ~1 MB/day at the default ks).
+    *
+    * Parity contract (StreamingSpec): after the stream drains, every
+    * day row equals the batch `groupBy(day)` of the same rows — the
+    * sketches are TypedImperativeAggregates, so their streamed state is
+    * the same object batch aggregation builds (setdigest bit-identical
+    * always; qdigest bit-identical below n<k).
+    */
+  def sketchStatsTable(rows: DataFrame, dayCol: String, valueCol: String,
+                       idCol: String, tableRoot: String, checkpointDir: String,
+                       qdigestK: Int = 65536, setK: Int = 8192,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = rows.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val agg = rows
+      .groupBy(to_date(col(dayCol)).as("day"))
+      .agg(expr(s"qdigest_agg($valueCol, $qdigestK)").as("value_qd"),
+        expr(s"make_set_digest($idCol, $setK)").as("id_sd"),
+        count(lit(1)).as("n"))
+    val table =
+      try graft.store.GraftTable.load(spark, tableRoot)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("no graft table") =>
+          graft.store.GraftTable.create(spark, tableRoot, spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), agg.schema))
+      }
+    val prefix = s"stream-stats:${sinkId(checkpointDir)}:"
+    val mark = new BatchMark(table, Seq(prefix))
+    agg.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!mark.alreadyCommitted(batchId) && !batch.isEmpty) {
+          table.merge(batch, Seq("day"), s"$prefix$batchId")
+          mark.advance(batchId)
+        }
+      }
+      .start()
+  }
+
   /** UPSERT a stream into a versioned GraftTable: each micro-batch is
     * one atomic copy-on-write MERGE commit keyed on `keyCols` — CDC
     * ingestion into the snapshot layer (the Iceberg `MERGE INTO` +

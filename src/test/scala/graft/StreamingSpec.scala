@@ -183,6 +183,50 @@ class StreamingSpec extends SparkSpec {
       "streamed numeric_histogram != batch (exact regime)")
   }
 
+  test("streaming sketch-stats table == batch per-day sketches; merge() reads it (r12)") {
+    // the Probe13 / SCALE.md (u) reporting pattern maintained AT INGEST:
+    // per-day qdigest/setdigest rows upserted each trigger; parity is
+    // bit-level in the exact regime because the streamed aggregation
+    // state IS the batch sketch object.
+    graft.functions.GraftFunctions.register(spark)
+    val landing = Files.createTempDirectory("st_landing").toString
+    val ckpt = Files.createTempDirectory("st_ckpt").toString
+    val root = Files.createTempDirectory("st_tbl").toString + "/stats"
+    val all = mkEvents(300).withColumn("tsv",
+      expr("timestamp_micros(ts div 1000) + make_dt_interval(CAST(event_id % 3 AS INT), 0, 0, 0)"))
+    all.filter($"event_id" % 3 === 0).coalesce(1).write.mode("append").parquet(landing)
+    all.filter($"event_id" % 3 === 1).coalesce(1).write.mode("append").parquet(landing)
+    all.filter($"event_id" % 3 === 2).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream
+      .schema(all.schema).option("maxFilesPerTrigger", "1").parquet(landing)
+    val q = EventStream.sketchStatsTable(stream, "tsv",
+      "CAST(value * 100 AS BIGINT)", "user_id", root, ckpt)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+    val got = graft.store.GraftTable.load(spark, root).read().orderBy("day").collect()
+    val want = all.groupBy(to_date(col("tsv")).as("day")).agg(
+      expr("qdigest_agg(CAST(value * 100 AS BIGINT), 65536)").as("value_qd"),
+      expr("make_set_digest(user_id, 8192)").as("id_sd"),
+      count(lit(1)).as("n")).orderBy("day").collect()
+    assert(got.length == want.length && got.length >= 3, s"days: ${got.length}")
+    got.zip(want).foreach { case (a, b) =>
+      assert(a.getAs[java.sql.Date]("day") == b.getAs[java.sql.Date]("day"))
+      assert(java.util.Arrays.equals(
+        a.getAs[Array[Byte]]("value_qd"), b.getAs[Array[Byte]]("value_qd")),
+        s"qdigest mismatch on ${a.get(0)}")
+      assert(java.util.Arrays.equals(
+        a.getAs[Array[Byte]]("id_sd"), b.getAs[Array[Byte]]("id_sd")),
+        s"setdigest mismatch on ${a.get(0)}")
+      assert(a.getAs[Long]("n") == b.getAs[Long]("n"))
+    }
+    // the reporting read: whole-period median off the stats table alone
+    val rep = graft.store.GraftTable.load(spark, root).read()
+      .agg(expr("qdigest_quantile(merge(value_qd), 0.5)").as("p50"))
+      .head().getLong(0)
+    val cents = all.select(expr("CAST(value * 100 AS BIGINT)").as("c"))
+      .collect().map(_.getLong(0)).sorted
+    assert(rep == cents(math.ceil(0.5 * cents.length).toInt - 1))
+  }
+
   test("stream lands in a GraftTable: per-batch atomic commits, time travel") {
     val landing = Files.createTempDirectory("graft_landing3").toString
     val ckpt = Files.createTempDirectory("graft_ckpt3").toString
