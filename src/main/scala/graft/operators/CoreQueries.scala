@@ -1266,6 +1266,42 @@ object CoreQueries {
             / COUNT(p) OVER (PARTITION BY l_suppkey ORDER BY r
               RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP), 6)
             AS avg_eg
-        FROM g"""))
+        FROM g""")),
+
+    // ------------------------------------------------------------------
+    // SQL/JSON JSON_TABLE (round 12, sql/JsonTableSql.scala): Trino's
+    // table function through plain spark.sql (injected parser, same
+    // seam as MATCH_RECOGNIZE). Self-inverting oracle: each order's
+    // lines serialize into ONE JSON array document (sort_array makes
+    // the element order — and with it FOR ORDINALITY — deterministic
+    // via the struct's (ln, qty) field order; collect_list alone is
+    // partition-order, and the FIXTURE's l_linenumber is NOT unique
+    // per order, so the oracle tie-breaks on qty too), then JSON_TABLE
+    // flattens
+    // the documents back to typed rows, so the oracle is the original
+    // relation with a ROW_NUMBER ordinal. Lowered plan: one
+    // Generate(explode) over from_json — no UDFs, no reparse per
+    // column (get_json_object on the same element folds to one parse).
+    QueryEntry("q41_json_table",
+      (s, d) => {
+        t(s, d, "lineitem").filter(col("l_orderkey") <= 600)
+          .createOrReplaceTempView("jt_lineitem")
+        s.sql("""
+          WITH docs AS (
+            SELECT l_orderkey AS okey,
+                   to_json(sort_array(collect_list(
+                     named_struct('ln', l_linenumber, 'qty', l_quantity)))) AS doc
+            FROM jt_lineitem GROUP BY l_orderkey)
+          SELECT d.okey, jt.pos, jt.ln, jt.qty
+          FROM docs d, JSON_TABLE(d.doc, 'lax $[*]'
+            COLUMNS (pos FOR ORDINALITY,
+                     ln INTEGER PATH 'lax $.ln',
+                     qty DOUBLE PATH 'lax $.qty')) AS jt""")
+      },
+      Some("""SELECT l_orderkey AS okey,
+            CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_quantity) AS INT) AS pos,
+            l_linenumber AS ln, l_quantity AS qty
+          FROM lineitem WHERE l_orderkey <= 600"""))
   )
 }

@@ -37,7 +37,9 @@ object TrinoDialect {
     // own literal-aware scanner; no-op without the keyword). LAST: the
     // rewrite quotes DEFINE/MEASURES into TVF string literals, where
     // the function-name rewrites above could no longer reach them.
-    MatchRecognizeSql.rewrite(named)
+    // JSON_TABLE (round 12) lowers after it for the same reason — its
+    // own scanner quotes JSON paths into literals.
+    JsonTableSql.rewrite(MatchRecognizeSql.rewrite(named))
   }
 
   /** Apply `f` to the non-literal segments of `sql`, passing

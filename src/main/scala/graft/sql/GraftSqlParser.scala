@@ -13,7 +13,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * parser. Statements without the keyword pass through at the cost of
   * one uppercase scan. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  private def rw(t: String): String = MatchRecognizeSql.rewrite(t)
+  private def rw(t: String): String =
+    JsonTableSql.rewrite(MatchRecognizeSql.rewrite(t))
   override def parsePlan(sqlText: String): LogicalPlan = delegate.parsePlan(rw(sqlText))
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(rw(sqlText))
   // must forward EXPLICITLY: the interface default discards the

@@ -1,0 +1,223 @@
+package graft.sql
+
+/** Trino/SQL:2016 `JSON_TABLE` — the SQL/JSON table function (part of
+  * the pinned Trino 468 surface) — as a source-to-source rewrite onto
+  * Spark's native JSON kernels, the same seam MATCH_RECOGNIZE uses
+  * ([[MatchRecognizeSql]]): `GraftSqlParser` applies it to plain
+  * `spark.sql(...)` text and [[GraftSql.TrinoDialect]] to scripted
+  * statements.
+  *
+  * Supported dialect subset (everything else rejects LOUDLY with the
+  * feature named):
+  *
+  * {{{
+  * FROM <rel>, JSON_TABLE(<expr>, '<rowpath>'
+  *   COLUMNS (
+  *     <name> FOR ORDINALITY,
+  *     <name> <type> PATH '<colpath>', ...)) [AS] <alias>
+  * }}}
+  *
+  *  - `<rowpath>`: `[lax|strict] $[*]` or `[lax|strict] $.a.b[*]` — the
+  *    row pattern must iterate an ARRAY (`[*]`-terminated). `lax` is
+  *    the evaluation Spark's `get_json_object` provides (missing paths
+  *    are NULL); `strict` is accepted and downgraded to lax semantics.
+  *  - `<colpath>`: `[lax|strict] $.x...` evaluated against each array
+  *    element; `<type>` maps Trino names onto Spark CAST targets.
+  *  - `FOR ORDINALITY` is the 1-based row number within the array.
+  *  - NESTED PATH / PLAN / ERROR ON ERROR / EMPTY ... ON EMPTY are not
+  *    supported (named rejections); default NULL ON ERROR semantics is
+  *    what the lowering produces naturally.
+  *
+  * Lowering: the clause becomes a `LATERAL VIEW [pos]explode(
+  * from_json(<array-of-json-strings>, 'array<string>'))` over the
+  * preceding relation — Catalyst's native Generate, one pass, no UDFs
+  * — and every qualified reference `<alias>.<name>` anywhere in the
+  * statement rewrites to `CAST(get_json_object(<elem>, '<colpath>') AS
+  * <type>)`. Unqualified references are NOT rewritten — reference
+  * JSON_TABLE columns alias-qualified (a named constraint).
+  *
+  * Empty/NULL documents produce zero rows (Trino's default inner
+  * semantics).
+  */
+object JsonTableSql {
+
+  def rewrite(sql: String): String = {
+    if (!sql.toUpperCase.contains("JSON_TABLE")) return sql
+    var out = sql
+    var guard = 0
+    while (findKeyword(out).isDefined && guard < 32) {
+      out = rewriteOne(out, findKeyword(out).get)
+      guard += 1
+    }
+    out
+  }
+
+  /** First JSON_TABLE keyword position OUTSIDE string literals. */
+  private def findKeyword(sql: String): Option[Int] = {
+    val rx = """(?i)\bJSON_TABLE\s*\(""".r
+    rx.findAllMatchIn(maskLiterals(sql)).map(_.start).toSeq.headOption
+  }
+
+  /** Replace literal contents with spaces (keeps offsets stable). */
+  private def maskLiterals(sql: String): String = {
+    val b = new StringBuilder(sql)
+    var i = 0
+    while (i < b.length) {
+      if (b.charAt(i) == '\'') {
+        var j = i + 1
+        var done = false
+        while (j < b.length && !done) {
+          if (b.charAt(j) == '\'') {
+            if (j + 1 < b.length && b.charAt(j + 1) == '\'') j += 2 else done = true
+          } else { b.setCharAt(j, ' '); j += 1 }
+        }
+        i = j + 1
+      } else i += 1
+    }
+    b.toString
+  }
+
+  /** Index of the ')' closing the '(' at `open` (literal-aware). */
+  private def closeParen(sql: String, open: Int): Int = {
+    val masked = maskLiterals(sql)
+    var depth = 0
+    var i = open
+    while (i < masked.length) {
+      masked.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"JSON_TABLE: unbalanced parentheses in '$sql'")
+  }
+
+  /** Split on top-level commas (paren- and literal-aware). */
+  private def splitTop(s: String): Seq[String] = {
+    val masked = maskLiterals(s)
+    val cuts = scala.collection.mutable.ArrayBuffer[Int](-1)
+    var depth = 0
+    var i = 0
+    while (i < masked.length) {
+      masked.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => cuts += i
+        case _ => ()
+      }
+      i += 1
+    }
+    cuts += s.length
+    cuts.sliding(2).map(w => s.substring(w(0) + 1, w(1))).toSeq
+  }
+
+  private case class Col(name: String, castType: Option[String], path: Option[String])
+
+  private val trinoTypes: Map[String, String] = Map(
+    "VARCHAR" -> "STRING", "CHAR" -> "STRING", "JSON" -> "STRING",
+    "INTEGER" -> "INT", "INT" -> "INT", "SMALLINT" -> "SMALLINT",
+    "TINYINT" -> "TINYINT", "BIGINT" -> "BIGINT",
+    "DOUBLE" -> "DOUBLE", "REAL" -> "FLOAT", "BOOLEAN" -> "BOOLEAN",
+    "DATE" -> "DATE", "TIMESTAMP" -> "TIMESTAMP")
+
+  private def mapType(t: String): String = {
+    val base = t.toUpperCase.replaceAll("""\s*\(.*\)\s*$""", "").trim
+    if (base == "DECIMAL" || base == "NUMERIC") t.toUpperCase // keep (p,s)
+    else trinoTypes.getOrElse(base, throw new IllegalArgumentException(
+      s"JSON_TABLE: unsupported column type '$t' — supported: " +
+        trinoTypes.keys.toSeq.sorted.mkString(", ") + ", DECIMAL(p,s)"))
+  }
+
+  /** Strip the SQL/JSON mode keyword; require a '$'-rooted path. */
+  private def stripMode(p: String): String = {
+    val s = p.trim.replaceAll("""(?i)^(lax|strict)\s+""", "").trim
+    require(s.startsWith("$"),
+      "JSON_TABLE: path must be $-rooted, got '" + p + "'")
+    s
+  }
+
+  private def rewriteOne(sql: String, kwStart: Int): String = {
+    val open = sql.indexOf('(', kwStart)
+    val close = closeParen(sql, open)
+    val inside = sql.substring(open + 1, close)
+
+    // alias after the closing paren: [AS] ident
+    val aliasRx = """(?is)^\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)""".r
+    val tailText = sql.substring(close + 1)
+    val aliasM = aliasRx.findFirstMatchIn(tailText).getOrElse(
+      throw new IllegalArgumentException(
+        "JSON_TABLE needs an alias: JSON_TABLE(...) [AS] t"))
+    val alias = aliasM.group(1)
+    val afterAlias = close + 1 + aliasM.end
+
+    // args: <expr> , '<rowpath>' COLUMNS ( ... )
+    val parts = splitTop(inside)
+    require(parts.length == 2,
+      s"JSON_TABLE takes (expr, 'row path' COLUMNS (...)), got ${parts.length} " +
+        "top-level arguments — NESTED PATH / PLAN / ON ERROR clauses are not supported")
+    val expr = parts(0).trim
+    val pathCols = parts(1).trim
+    require(!pathCols.toUpperCase.contains("NESTED"),
+      "JSON_TABLE NESTED PATH is not supported — flatten with a second JSON_TABLE over the inner array")
+    val pcRx = """(?is)^\s*'((?:[^']|'')*)'\s*COLUMNS\s*\((.*)\)\s*$""".r
+    val (rowPathRaw, colsBlock) = pathCols match {
+      case pcRx(p, c) => (p, c)
+      case _ => throw new IllegalArgumentException(
+        s"JSON_TABLE: expected '<row path>' COLUMNS (...), got '$pathCols'")
+    }
+
+    // row path -> the array-of-json-strings expression
+    val rowPath = stripMode(rowPathRaw)
+    require(rowPath.endsWith("[*]"),
+      s"JSON_TABLE: the row path must iterate an array ('$$[*]' or '$$.a[*]'), got '$rowPathRaw'")
+    val prefix = rowPath.stripSuffix("[*]")
+    val arrayExpr =
+      if (prefix == "$") expr
+      else s"get_json_object($expr, '${prefix.stripSuffix(".")}')"
+
+    // columns
+    val ordRx = """(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+FOR\s+ORDINALITY\s*$""".r
+    val colRx = ("""(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+""" +
+      """([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+PATH\s+'((?:[^']|'')*)'\s*$""").r
+    val cols = splitTop(colsBlock).map {
+      case ordRx(n) => Col(n, None, None)
+      case colRx(n, t, p) => Col(n, Some(mapType(t)), Some(stripMode(p)))
+      case other => throw new IllegalArgumentException(
+        s"JSON_TABLE: unsupported COLUMNS entry '${other.trim}' — supported: " +
+          "name FOR ORDINALITY | name <type> PATH '<path>' (no NESTED/defaults)")
+    }
+    require(cols.nonEmpty, "JSON_TABLE: COLUMNS must name at least one column")
+
+    // lower to a LATERAL subquery yielding properly NAMED typed columns
+    // — t.ln resolves naturally, SELECT t.ln keeps the name "ln", and
+    // no reference rewriting is needed anywhere in the statement
+    val hasOrd = cols.exists(_.castType.isEmpty)
+    val colExprs = cols.map { c =>
+      if (c.castType.isEmpty) s"CAST(__jt_p + 1 AS INT) AS ${c.name}"
+      else s"CAST(get_json_object(__jt_e, '${c.path.get}') AS ${c.castType.get}) AS ${c.name}"
+    }
+    val inner =
+      if (hasOrd)
+        s"(SELECT posexplode(from_json($arrayExpr, 'array<string>')) AS (__jt_p, __jt_e))"
+      else
+        s"(SELECT explode(from_json($arrayExpr, 'array<string>')) AS __jt_e)"
+    val lateral =
+      s"LATERAL (SELECT ${colExprs.mkString(", ")} FROM $inner) $alias"
+
+    // a lateral join needs a left relation: FROM-only JSON_TABLE has no
+    // row to evaluate <expr> on; a preceding CROSS JOIN becomes a comma
+    val before = sql.substring(0, kwStart)
+    require(!before.trim.toUpperCase.endsWith("FROM"),
+      "JSON_TABLE must follow a relation: FROM <rel>, JSON_TABLE(...) AS t " +
+        "— a FROM-only source has no row to evaluate <expr> on")
+    val crossRx = """(?is)^(.*?)\bCROSS\s+JOIN\s*$""".r
+    val beforeKept = before match {
+      case crossRx(keep) => keep + ", "
+      case _ => before
+    }
+    beforeKept + lateral + sql.substring(afterAlias)
+  }
+}
