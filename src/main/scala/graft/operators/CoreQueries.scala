@@ -1302,6 +1302,39 @@ object CoreQueries {
             CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
                  ORDER BY l_linenumber, l_quantity) AS INT) AS pos,
             l_linenumber AS ln, l_quantity AS qty
+          FROM lineitem WHERE l_orderkey <= 600""")),
+
+    // ------------------------------------------------------------------
+    // Trino UNNEST relation (round 12, sql/UnnestSql.scala) — multi-
+    // array zip + WITH ORDINALITY through plain spark.sql: pack each
+    // order's line numbers and quantities into two PARALLEL arrays
+    // (array_sort over the struct pairs keeps them aligned AND makes
+    // the order deterministic, same (ln, qty) tie-break as q41), then
+    // UNNEST(lns, qtys) WITH ORDINALITY re-flattens them zipped — the
+    // oracle is the original relation with a ROW_NUMBER ordinal
+    // (BIGINT, Trino's ordinality type).
+    QueryEntry("q42_unnest_ordinality",
+      (s, d) => {
+        t(s, d, "lineitem").filter(col("l_orderkey") <= 600)
+          .createOrReplaceTempView("un_lineitem")
+        s.sql("""
+          WITH packed AS (
+            SELECT l_orderkey AS okey,
+                   array_sort(collect_list(
+                     named_struct('ln', l_linenumber, 'qty', l_quantity))) AS rs
+            FROM un_lineitem GROUP BY l_orderkey),
+          arrs AS (
+            SELECT okey, transform(rs, r -> r.ln) AS lns,
+                   transform(rs, r -> r.qty) AS qtys
+            FROM packed)
+          SELECT a.okey, u.pos, u.ln, u.qty
+          FROM arrs a CROSS JOIN UNNEST(a.lns, a.qtys)
+            WITH ORDINALITY AS u(ln, qty, pos)""")
+      },
+      Some("""SELECT l_orderkey AS okey,
+            ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_quantity) AS pos,
+            l_linenumber AS ln, l_quantity AS qty
           FROM lineitem WHERE l_orderkey <= 600"""))
   )
 }

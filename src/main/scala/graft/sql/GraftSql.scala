@@ -37,9 +37,9 @@ object TrinoDialect {
     // own literal-aware scanner; no-op without the keyword). LAST: the
     // rewrite quotes DEFINE/MEASURES into TVF string literals, where
     // the function-name rewrites above could no longer reach them.
-    // JSON_TABLE (round 12) lowers after it for the same reason — its
-    // own scanner quotes JSON paths into literals.
-    JsonTableSql.rewrite(MatchRecognizeSql.rewrite(named))
+    // JSON_TABLE and UNNEST (round 12) lower after it for the same
+    // reason — their own scanners are literal-aware.
+    UnnestSql.rewrite(JsonTableSql.rewrite(MatchRecognizeSql.rewrite(named)))
   }
 
   /** Apply `f` to the non-literal segments of `sql`, passing

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * one uppercase scan. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def rw(t: String): String =
-    JsonTableSql.rewrite(MatchRecognizeSql.rewrite(t))
+    UnnestSql.rewrite(JsonTableSql.rewrite(MatchRecognizeSql.rewrite(t)))
   override def parsePlan(sqlText: String): LogicalPlan = delegate.parsePlan(rw(sqlText))
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(rw(sqlText))
   // must forward EXPLICITLY: the interface default discards the

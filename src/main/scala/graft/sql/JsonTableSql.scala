@@ -28,18 +28,19 @@ package graft.sql
   *    supported (named rejections); default NULL ON ERROR semantics is
   *    what the lowering produces naturally.
   *
-  * Lowering: the clause becomes a `LATERAL VIEW [pos]explode(
-  * from_json(<array-of-json-strings>, 'array<string>'))` over the
-  * preceding relation — Catalyst's native Generate, one pass, no UDFs
-  * — and every qualified reference `<alias>.<name>` anywhere in the
-  * statement rewrites to `CAST(get_json_object(<elem>, '<colpath>') AS
-  * <type>)`. Unqualified references are NOT rewritten — reference
-  * JSON_TABLE columns alias-qualified (a named constraint).
+  * Lowering: the clause becomes a correlated `LATERAL (SELECT
+  * CAST(get_json_object(elem, '<colpath>') AS <type>) AS <name>, ...
+  * FROM (SELECT [pos]explode(from_json(<array-of-json-strings>,
+  * 'array<string>')) ...)) <alias>` — Catalyst's native Generate, one
+  * pass, no UDFs, and the alias's columns resolve by NAME everywhere
+  * in the statement (no reference rewriting, names survive into the
+  * output schema).
   *
   * Empty/NULL documents produce zero rows (Trino's default inner
   * semantics).
   */
 object JsonTableSql {
+  import SqlScan.{maskLiterals, splitTop}
 
   def rewrite(sql: String): String = {
     if (!sql.toUpperCase.contains("JSON_TABLE")) return sql
@@ -58,61 +59,8 @@ object JsonTableSql {
     rx.findAllMatchIn(maskLiterals(sql)).map(_.start).toSeq.headOption
   }
 
-  /** Replace literal contents with spaces (keeps offsets stable). */
-  private def maskLiterals(sql: String): String = {
-    val b = new StringBuilder(sql)
-    var i = 0
-    while (i < b.length) {
-      if (b.charAt(i) == '\'') {
-        var j = i + 1
-        var done = false
-        while (j < b.length && !done) {
-          if (b.charAt(j) == '\'') {
-            if (j + 1 < b.length && b.charAt(j + 1) == '\'') j += 2 else done = true
-          } else { b.setCharAt(j, ' '); j += 1 }
-        }
-        i = j + 1
-      } else i += 1
-    }
-    b.toString
-  }
-
-  /** Index of the ')' closing the '(' at `open` (literal-aware). */
-  private def closeParen(sql: String, open: Int): Int = {
-    val masked = maskLiterals(sql)
-    var depth = 0
-    var i = open
-    while (i < masked.length) {
-      masked.charAt(i) match {
-        case '(' => depth += 1
-        case ')' =>
-          depth -= 1
-          if (depth == 0) return i
-        case _ => ()
-      }
-      i += 1
-    }
-    throw new IllegalArgumentException(s"JSON_TABLE: unbalanced parentheses in '$sql'")
-  }
-
-  /** Split on top-level commas (paren- and literal-aware). */
-  private def splitTop(s: String): Seq[String] = {
-    val masked = maskLiterals(s)
-    val cuts = scala.collection.mutable.ArrayBuffer[Int](-1)
-    var depth = 0
-    var i = 0
-    while (i < masked.length) {
-      masked.charAt(i) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case ',' if depth == 0 => cuts += i
-        case _ => ()
-      }
-      i += 1
-    }
-    cuts += s.length
-    cuts.sliding(2).map(w => s.substring(w(0) + 1, w(1))).toSeq
-  }
+  private def closeParen(sql: String, open: Int): Int =
+    SqlScan.closeParen(sql, open, "JSON_TABLE")
 
   private case class Col(name: String, castType: Option[String], path: Option[String])
 

@@ -1,0 +1,67 @@
+package graft
+
+import graft.sql.UnnestSql
+
+/** Trino UNNEST rewrite (round 12, sql/UnnestSql.scala): arrays, maps,
+  * multi-array zip with NULL padding, WITH ORDINALITY — end to end
+  * through plain spark.sql — plus literal safety and named rejections.
+  */
+class UnnestSqlSpec extends SparkSpec {
+
+  test("single array, with and without ordinality, end to end") {
+    import spark.implicits._
+    Seq((1L, Seq("a", "b", "c")), (2L, Seq("z")), (3L, Seq.empty[String]))
+      .toDF("id", "arr").createOrReplaceTempView("un_arr")
+    val rows = spark.sql("""
+      SELECT d.id, u.x, u.pos
+      FROM un_arr d CROSS JOIN UNNEST(d.arr) WITH ORDINALITY AS u(x, pos)
+      ORDER BY d.id, u.pos""").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L), (2L, "z", 1L)))
+    val plain = spark.sql(
+      "SELECT u.x FROM un_arr d, UNNEST(d.arr) AS u(x) WHERE d.id = 2").collect()
+    assert(plain.map(_.getString(0)).toSeq == Seq("z"))
+  }
+
+  test("map argument explodes to key/value rows (arity-routed)") {
+    import spark.implicits._
+    Seq((1L, Map("a" -> 10, "b" -> 20))).toDF("id", "m")
+      .createOrReplaceTempView("un_map")
+    val rows = spark.sql("""
+      SELECT u.k, u.v FROM un_map, UNNEST(m) AS u(k, v) ORDER BY u.k""").collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 10), ("b", 20)))
+  }
+
+  test("multi-array zip pads the shorter array with NULLs (Trino semantics)") {
+    import spark.implicits._
+    Seq((1L, Seq(1, 2, 3), Seq("x", "y"))).toDF("id", "a", "b")
+      .createOrReplaceTempView("un_zip")
+    val rows = spark.sql("""
+      SELECT u.n, u.s, u.pos
+      FROM un_zip, UNNEST(a, b) WITH ORDINALITY AS u(n, s, pos)
+      ORDER BY u.pos""").collect()
+    assert(rows.map(r => (r.getInt(0),
+      if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "x", 1L), (2, "y", 2L), (3, null, 3L)))
+    // both empty -> zero rows (the descending-sequence trap)
+    Seq((1L, Seq.empty[Int], Seq.empty[String])).toDF("id", "a", "b")
+      .createOrReplaceTempView("un_zip0")
+    assert(spark.sql(
+      "SELECT u.n FROM un_zip0, UNNEST(a, b) AS u(n, s)").count() == 0)
+  }
+
+  test("statements without the keyword and literals containing it pass untouched") {
+    val plain = "SELECT 1 FROM t WHERE s = 'UNNEST(arr) is a Trino thing'"
+    assert(UnnestSql.rewrite(plain) == plain)
+  }
+
+  test("unsupported forms fail loudly with the feature named") {
+    def err(q: String): String =
+      intercept[Exception](UnnestSql.rewrite(q)).getMessage
+    assert(err("SELECT * FROM t, UNNEST(arr)").contains("alias"))
+    assert(err("SELECT * FROM t, UNNEST(a, b) AS u(x)").contains("2 columns"))
+    assert(err("SELECT * FROM t, UNNEST(m) AS u(k, v, w)").contains("1 column (array) or 2 (map)"))
+    assert(err("SELECT * FROM UNNEST(array(1,2)) AS u(x)").contains("follow a relation"))
+  }
+}
