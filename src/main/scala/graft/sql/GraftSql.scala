@@ -18,6 +18,19 @@ object TrinoDialect {
   private val dateDiff = """(?i)\bdate_diff\(\s*'(\w+)'\s*,""".r
   private val dateAddU = """(?i)\bdate_add\(\s*'(\w+)'\s*,""".r
   private val approxPct = """(?i)\bapprox_percentile\(""".r
+  // Trino type/relation spellings Spark's parser rejects (probed r12):
+  // bare VARCHAR needs a length in Spark (parameterized VARCHAR(n)
+  // passes through untouched), VARBINARY/DOUBLE PRECISION don't exist,
+  // TABLESAMPLE takes (n PERCENT) not BERNOULLI/SYSTEM(n) — SYSTEM
+  // (block sampling) downgrades to row sampling, which is the
+  // approximation a sample already is — and the ROW constructor is
+  // Spark's struct (field names col1.. instead of anonymous).
+  private val bareVarchar = """(?i)\bVARCHAR\b(?!\s*\()""".r
+  private val varbinary = """(?i)\bVARBINARY\b""".r
+  private val doublePrec = """(?i)\bDOUBLE\s+PRECISION\b""".r
+  private val sampleRx =
+    """(?i)\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([0-9]+(?:\.[0-9]+)?)\s*\)""".r
+  private val rowCtor = """(?i)\bROW\s*\(""".r
 
   /** Rewrite Trino spellings Spark's parser reserves. Conservative,
     * token-local rewrites only — anything else goes through untouched.
@@ -31,7 +44,12 @@ object TrinoDialect {
       // Trino date_add('day', n, ts) -> Spark timestampadd(DAY, n, ts)
       val s2 = dateAddU.replaceAllIn(s1, m => s"timestampadd(${m.group(1).toUpperCase},")
       // Trino approx_percentile(x, p) == Spark percentile_approx(x, p)
-      approxPct.replaceAllIn(s2, _ => "percentile_approx(")
+      val s3 = approxPct.replaceAllIn(s2, _ => "percentile_approx(")
+      val s4 = bareVarchar.replaceAllIn(s3, _ => "STRING")
+      val s5 = varbinary.replaceAllIn(s4, _ => "BINARY")
+      val s6 = doublePrec.replaceAllIn(s5, _ => "DOUBLE")
+      val s7 = sampleRx.replaceAllIn(s6, m => s"TABLESAMPLE (${m.group(1)} PERCENT)")
+      rowCtor.replaceAllIn(s7, _ => "struct(")
     }
     // Trino MATCH_RECOGNIZE clause -> graft_match_recognize TVF (its
     // own literal-aware scanner; no-op without the keyword). LAST: the

@@ -47,6 +47,42 @@ class SqlSpec extends SparkSpec {
     // strings containing the pattern inside quotes are acceptable
     // collateral (documented); plain SQL is untouched
     assert(TrinoDialect.rewrite("SELECT datediff(a, b)") == "SELECT datediff(a, b)")
+    // round-12 type/relation spellings (all probed as Spark parser
+    // failures before the rewrite existed)
+    assert(TrinoDialect.rewrite("SELECT CAST(1 AS VARCHAR) AS s")
+      == "SELECT CAST(1 AS STRING) AS s")
+    assert(TrinoDialect.rewrite("SELECT CAST(s AS VARCHAR(10))")
+      == "SELECT CAST(s AS VARCHAR(10))") // parameterized: native, untouched
+    assert(TrinoDialect.rewrite("SELECT CAST(NULL AS VARBINARY)")
+      == "SELECT CAST(NULL AS BINARY)")
+    assert(TrinoDialect.rewrite("SELECT CAST(1 AS DOUBLE PRECISION)")
+      == "SELECT CAST(1 AS DOUBLE)")
+    assert(TrinoDialect.rewrite("SELECT * FROM t TABLESAMPLE BERNOULLI(12.5)")
+      == "SELECT * FROM t TABLESAMPLE (12.5 PERCENT)")
+    assert(TrinoDialect.rewrite("SELECT * FROM t TABLESAMPLE SYSTEM(10)")
+      == "SELECT * FROM t TABLESAMPLE (10 PERCENT)")
+    assert(TrinoDialect.rewrite("SELECT ROW(1, 'a') AS r")
+      == "SELECT struct(1, 'a') AS r")
+    // ROW inside a longer identifier or frame spec is untouched
+    assert(TrinoDialect.rewrite("SELECT ROW_NUMBER() OVER (ORDER BY x)")
+      == "SELECT ROW_NUMBER() OVER (ORDER BY x)")
+    assert(TrinoDialect.rewrite("ROWS BETWEEN 1 PRECEDING AND CURRENT ROW")
+      == "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW")
+  }
+
+  test("round-12 dialect spellings execute end to end") {
+    val s = spark
+    val df = graft.sql.GraftSql.execute(s,
+      "SELECT CAST(7 AS VARCHAR) AS sv, ROW(1, 'a') AS r, " +
+        "CAST(NULL AS VARBINARY) AS b").head
+    val row = df.head()
+    assert(row.getString(0) == "7")
+    assert(row.getStruct(1).get(0) == 1)
+    assert(row.isNullAt(2))
+    val sampled = graft.sql.GraftSql.execute(s,
+      "SELECT COUNT(*) AS n FROM (SELECT explode(sequence(1, 1000)) AS x) " +
+        "TABLESAMPLE BERNOULLI(50)").head.head().getLong(0)
+    assert(sampled > 300 && sampled < 700, s"sampled $sampled of 1000 at 50%")
   }
 
   test("statement splitter respects quotes and comments") {
