@@ -83,38 +83,52 @@ final case class ChecksumAgg(
 
   private val Prime = -7046029254386353131L // xxhash64 PRIME64_1
 
-  @transient private lazy val hasher =
-    new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(child))
-
   override def children: Seq[Expression] = child :: Nil
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true // empty input -> NULL, like Trino
   override def dataType: DataType = BinaryType
 
-  override def createAggregationBuffer(): Array[Long] = Array(0L)
+  // buffer = (wrapping sum, row count): the count distinguishes an
+  // EMPTY aggregate (NULL result, Trino semantics) from a multiset
+  // whose contributions happen to wrap to zero (r12 review)
+  override def createAggregationBuffer(): Array[Long] = Array(0L, 0L)
 
   override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+    // ONE child evaluation per row: hash the evaluated value directly
+    // (XxHash64Function is the kernel behind the xxhash64 expression)
+    val v = child.eval(input)
     val h =
-      if (child.eval(input) == null) 1L
-      else hasher.eval(input).asInstanceOf[Long]
+      if (v == null) 1L
+      else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(v, child.dataType, 42L)
     b(0) += h * Prime // Long arithmetic wraps — the point
+    b(1) += 1L
     b
   }
 
   override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
     b(0) += o(0)
+    b(1) += o(1)
     b
   }
 
-  override def eval(b: Array[Long]): Any = {
-    val out = new Array[Byte](8)
-    java.nio.ByteBuffer.wrap(out).putLong(b(0))
+  override def eval(b: Array[Long]): Any =
+    if (b(1) == 0L) null
+    else {
+      val out = new Array[Byte](8)
+      java.nio.ByteBuffer.wrap(out).putLong(b(0))
+      out
+    }
+
+  override def serialize(b: Array[Long]): Array[Byte] = {
+    val out = new Array[Byte](16)
+    val buf = java.nio.ByteBuffer.wrap(out)
+    buf.putLong(b(0)); buf.putLong(b(1))
     out
   }
-
-  override def serialize(b: Array[Long]): Array[Byte] =
-    eval(b).asInstanceOf[Array[Byte]]
-  override def deserialize(bytes: Array[Byte]): Array[Long] =
-    Array(java.nio.ByteBuffer.wrap(bytes).getLong)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    Array(buf.getLong, buf.getLong)
+  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ChecksumAgg =
     copy(mutableAggBufferOffset = newOffset)

@@ -46,8 +46,10 @@ object JsonTableSql {
     if (!sql.toUpperCase.contains("JSON_TABLE")) return sql
     var out = sql
     var guard = 0
-    while (findKeyword(out).isDefined && guard < 32) {
-      out = rewriteOne(out, findKeyword(out).get)
+    var next = findKeyword(out)
+    while (next.isDefined && guard < 32) {
+      out = rewriteOne(out, next.get)
+      next = findKeyword(out)
       guard += 1
     }
     out
@@ -69,7 +71,12 @@ object JsonTableSql {
     "INTEGER" -> "INT", "INT" -> "INT", "SMALLINT" -> "SMALLINT",
     "TINYINT" -> "TINYINT", "BIGINT" -> "BIGINT",
     "DOUBLE" -> "DOUBLE", "REAL" -> "FLOAT", "BOOLEAN" -> "BOOLEAN",
-    "DATE" -> "DATE", "TIMESTAMP" -> "TIMESTAMP")
+    "DATE" -> "DATE", "TIMESTAMP" -> "TIMESTAMP",
+    // Spark spellings pass through too: on the SCRIPTED path the
+    // TrinoDialect type rewrites (bare VARCHAR -> STRING, VARBINARY ->
+    // BINARY) run BEFORE this lowering, so the COLUMNS block may
+    // already carry Spark names (r12 review)
+    "STRING" -> "STRING", "BINARY" -> "BINARY", "FLOAT" -> "FLOAT")
 
   private def mapType(t: String): String = {
     val base = t.toUpperCase.replaceAll("""\s*\(.*\)\s*$""", "").trim

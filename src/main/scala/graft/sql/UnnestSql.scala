@@ -11,7 +11,12 @@ package graft.sql
   *  - one or more ARRAY arguments — multiple arrays ZIP positionally
   *    to the longest length, short arrays padding NULL (Trino
   *    semantics; `try_element_at` supplies the padding, so ANSI mode's
-  *    out-of-bounds error never fires);
+  *    out-of-bounds error never fires). CONSTRAINT: a text rewriter
+  *    sees no types, so multi-argument UNNEST assumes every argument
+  *    is an array — a MAP among several arguments is not detectable
+  *    and would be element-looked-up by position; unnest maps in
+  *    their own single-argument UNNEST (Trino queries that mix them
+  *    must be split);
   *  - exactly one MAP argument with a two-column alias `(k, v)` —
   *    entries explode to key/value rows;
   *  - `WITH ORDINALITY` appends the 1-based position as the alias
@@ -32,8 +37,10 @@ object UnnestSql {
     if (!sql.toUpperCase.contains("UNNEST")) return sql
     var out = sql
     var guard = 0
-    while (findKeyword(out).isDefined && guard < 32) {
-      out = rewriteOne(out, findKeyword(out).get)
+    var next = findKeyword(out)
+    while (next.isDefined && guard < 32) {
+      out = rewriteOne(out, next.get)
+      next = findKeyword(out)
       guard += 1
     }
     out

@@ -83,6 +83,8 @@ class MapAggsSpec extends SparkSpec {
     assert(ck("ck_dup") != ck("ck_one"), "even-multiplicity rows must not cancel")
     assert(ck("ck_nulls") != ck("ck_one"), "NULL rows count with multiplicity")
     assert(ck("ck_a").size == 8, "8-byte varbinary")
+    // empty input -> NULL, like Trino (r12 review: not 8 zero bytes)
+    assert(s.sql("SELECT checksum(v) AS c FROM ck_a WHERE v < 0").head().isNullAt(0))
   }
 
   test("geometric_mean: zeros pull the mean to 0, negatives to NaN (Trino semantics)") {

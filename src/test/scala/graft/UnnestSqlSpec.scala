@@ -54,6 +54,17 @@ class UnnestSqlSpec extends SparkSpec {
   test("statements without the keyword and literals containing it pass untouched") {
     val plain = "SELECT 1 FROM t WHERE s = 'UNNEST(arr) is a Trino thing'"
     assert(UnnestSql.rewrite(plain) == plain)
+    // comments and quoted identifiers are masked too (r12 review: the
+    // rewriters run on EVERY statement through the injected parser)
+    val commented = "SELECT 1 AS x -- Trino used UNNEST(tags) here\nFROM t"
+    assert(UnnestSql.rewrite(commented) == commented)
+    val block = "SELECT 1 /* JSON_TABLE(doc) and UNNEST(a) */ AS x FROM t"
+    assert(UnnestSql.rewrite(block) == block)
+    assert(graft.sql.JsonTableSql.rewrite(block) == block)
+    val quotedId = "SELECT `UNNEST(weird)` FROM t"
+    assert(UnnestSql.rewrite(quotedId) == quotedId)
+    // and they still parse through plain spark.sql end to end
+    assert(spark.sql("SELECT 1 AS x -- UNNEST(tags) in a comment\n").head().getInt(0) == 1)
   }
 
   test("unsupported forms fail loudly with the feature named") {
