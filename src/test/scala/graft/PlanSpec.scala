@@ -478,4 +478,19 @@ class PlanSpec extends SparkSpec {
     // top-20 must not globally sort: TakeOrderedAndProject
     assert(p.contains("TakeOrderedAndProject"), s"d07 global sort:\n${p.take(2000)}")
   }
+
+  test("q41/q42 dialect lowerings plan as native Generate with zero UDFs (r12)") {
+    // JSON_TABLE and UNNEST rewrite to correlated LATERAL subqueries
+    // over [pos]explode — the plan must carry Catalyst's Generate, no
+    // scala-UDF nodes, and no join for the lateral (decorrelated into
+    // the Generate, not a nested-loop per document)
+    Seq("q41_json_table", "q42_unnest_ordinality").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf()))
+      assert(p.contains("Generate"), s"$q: expected a Generate node:\n${p.take(2000)}")
+      assert(!p.toLowerCase.contains("scalaudf"), s"$q: UDF leaked into the plan")
+      assert(!p.contains("CartesianProduct"), s"$q: lateral degenerated to a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q: lateral degenerated to a nested-loop join:\n${p.take(2000)}")
+    }
+  }
 }

@@ -283,6 +283,24 @@ class ServeSpec extends SparkSpec {
           rs3.getLong("n_down") == 2L && rs3.getDouble("rebound") == 9.0,
           "wrong MATCH_RECOGNIZE row over JDBC")
         assert(!rs3.next(), "k=2 never recovers above its fall start; one row only")
+        // round-12 dialect relations parse through the wire too — the
+        // same injected-parser seam: JSON_TABLE flattens a document,
+        // UNNEST zips arrays with ordinality
+        val rs4 = st.executeQuery("""
+          SELECT t.ln, t.qty FROM (SELECT '[{"ln":1,"qty":2.5},{"ln":2,"qty":4.0}]' AS doc) d,
+            JSON_TABLE(d.doc, 'lax $[*]' COLUMNS (
+              ln INTEGER PATH 'lax $.ln', qty DOUBLE PATH 'lax $.qty')) AS t
+          ORDER BY t.ln""")
+        assert(rs4.next() && rs4.getInt(1) == 1 && rs4.getDouble(2) == 2.5)
+        assert(rs4.next() && rs4.getInt(1) == 2 && rs4.getDouble(2) == 4.0)
+        assert(!rs4.next())
+        val rs5 = st.executeQuery("""
+          SELECT u.x, u.pos FROM (SELECT array('a','b') AS arr) r
+            CROSS JOIN UNNEST(r.arr) WITH ORDINALITY AS u(x, pos)
+          ORDER BY u.pos""")
+        assert(rs5.next() && rs5.getString(1) == "a" && rs5.getLong(2) == 1L)
+        assert(rs5.next() && rs5.getString(1) == "b" && rs5.getLong(2) == 2L)
+        assert(!rs5.next())
       } finally conn.close()
 
       // --- r11 verdict #6, same server boot (HiveThriftServer2 is
