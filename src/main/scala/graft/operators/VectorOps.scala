@@ -803,6 +803,104 @@ object VectorOps {
         s"path (v04_ann_lsh) or the IVF index (v05/VectorIndex) at scale")
   }
 
+  // -------------------------------------------------------------------
+  // PRODUCT QUANTIZATION (Jégou, Douze, Schmid, "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011) — the 100 TB embedding
+  // compression path beyond int8 (v06's 4×): D-dim vectors become M
+  // one-byte codes (here 64 floats -> 8 bytes, 32×), and queries score
+  // candidates WITHOUT decompressing via asymmetric distance (ADC):
+  // per query, an M×K lookup table of subspace distances is built once
+  // (tiny, broadcast), and each candidate's distance is the sum of M
+  // table entries addressed by its codes. Plan shape at scale: the
+  // codebook and per-query LUTs are broadcast (K·M rows), encoding and
+  // scoring are broadcast joins + one narrow aggregation over the codes
+  // table — no all-pairs, nothing shuffles on vector contents.
+
+  /** Codebook relation (j, c, cw): one row per (subspace j, codeword c).
+    * SAMPLED construction — codewords are the subvectors of `refs`'
+    * rows (Jégou's codebooks are k-means-trained; data-sampled
+    * codewords are the deterministic variant the v09 oracle can
+    * re-derive in SQL — [[pqCodebookTrained]] is the trained path, same
+    * shape, recall-floor-asserted in PqSpec). Vectors must be
+    * array<double> of exactly `dim`. */
+  def pqCodebookSampled(refs: DataFrame, dim: Int, m: Int): DataFrame = {
+    require(dim % m == 0, s"pq: dim $dim must divide into m=$m subspaces")
+    val w = dim / m
+    refs.selectExpr("vec_id AS c", "v")
+      .selectExpr("c",
+        s"explode(transform(sequence(0, ${m - 1}), j -> " +
+          s"struct(j AS j, slice(v, j * $w + 1, $w) AS cw))) AS e")
+      .selectExpr("e.j AS j", "c", "e.cw AS cw")
+  }
+
+  /** Trained codebook: per-subspace KMeans (the [[VectorIndex]] device,
+    * M small fits over a bounded sample), emitted in the same (j, c,
+    * cw) shape so encode/ADC are construction-agnostic. */
+  def pqCodebookTrained(vecs: DataFrame, dim: Int, m: Int, k: Int,
+                        seed: Long = 42L, maxSample: Int = 100000): DataFrame = {
+    require(dim % m == 0, s"pq: dim $dim must divide into m=$m subspaces")
+    val w = dim / m
+    val s = vecs.sparkSession
+    import org.apache.spark.ml.linalg.Vectors
+    val sample = vecs.select("v").limit(maxSample)
+    val rows = (0 until m).flatMap { j =>
+      val sub = sample.selectExpr(s"slice(v, ${j * w + 1}, $w) AS sv")
+      val ds = sub.selectExpr("sv").rdd
+        .map(r => org.apache.spark.ml.linalg.Vectors.dense(
+          r.getSeq[Double](0).toArray))
+      val df = s.createDataFrame(ds.map(Tuple1(_))).toDF("features")
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(k).setSeed(seed + j).setMaxIter(10).fit(df)
+      model.clusterCenters.zipWithIndex.map { case (cw, c) =>
+        (j, c.toLong, cw.toArray.toSeq)
+      }
+    }
+    import s.implicits._
+    rows.toDF("j", "c", "cw")
+  }
+
+  /** Encode every vector: code c of subspace j = argmin codeword by
+    * L2² (ties -> smallest c, deterministic). Output (vec_id, j, c) —
+    * M rows per vector, the PQ "codes table" (M bytes of information
+    * per vector; the relational spelling keeps it joinable). */
+  def pqEncode(vecs: DataFrame, codebook: DataFrame, dim: Int, m: Int): DataFrame = {
+    val w = dim / m
+    vecs
+      .selectExpr("vec_id",
+        s"explode(transform(sequence(0, ${m - 1}), j -> " +
+          s"struct(j AS j, slice(v, j * $w + 1, $w) AS sv))) AS e")
+      .selectExpr("vec_id", "e.j AS j", "e.sv AS sv")
+      .join(broadcast(codebook), Seq("j"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(expr("min_by(c, struct(dist, c))").as("c"))
+  }
+
+  /** ADC top-k: per query, the M×K distance LUT joins the codes table
+    * on (j, c); a candidate's approximate L2² is the sum of its M
+    * entries. Self-matches excluded; ties break on candidate id. */
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+                dim: Int, m: Int, topK: Int): DataFrame = {
+    val w = dim / m
+    val lut = queries
+      .selectExpr("id_q",
+        s"explode(transform(sequence(0, ${m - 1}), j -> " +
+          s"struct(j AS j, slice(v, j * $w + 1, $w) AS sv))) AS e")
+      .selectExpr("id_q", "e.j AS j", "e.sv AS sv")
+      .join(broadcast(codebook), Seq("j"))
+      .withColumn("dd", expr(
+        "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      .select(col("id_q"), col("j"), col("c"), col("dd"))
+    codes.join(broadcast(lut), Seq("j", "c"))
+      .filter(col("vec_id") =!= col("id_q"))
+      .groupBy(col("id_q"), col("vec_id").as("id_c"))
+      .agg(sum(col("dd")).as("adc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id_q")).orderBy(col("adc"), col("id_c"))))
+      .filter(col("rn") <= topK)
+  }
+
   val entries: Seq[QueryEntry] = Seq(
 
     // ------------------------------------------------------------------
@@ -1150,6 +1248,56 @@ object VectorOps {
           FROM tr a JOIN ev b ON true)
         SELECT id_t AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
           MIN(id_e) AS first_hit, ROUND(MAX(cos), 6) AS max_eval_cos
-        FROM hits WHERE cos >= 0.35 GROUP BY id_t"""))
+        FROM hits WHERE cos >= 0.35 GROUP BY id_t""")),
+
+    // ------------------------------------------------------------------
+    // Product-quantized ANN (pqCodebookSampled/pqEncode/pqAdcTopK): 64
+    // floats -> 8 one-byte codes (32× compression), queries score via
+    // the ADC lookup table — codebook and LUTs broadcast, encoding and
+    // scoring are broadcast joins + one narrow aggregation, no
+    // all-pairs. The entry uses the SAMPLED codebook construction
+    // (codewords = subvectors of the vec_id<256 references) because it
+    // is deterministic end to end — the DuckDB oracle re-derives the
+    // identical codebook, argmin encode (ties -> smallest codeword id,
+    // both engines), LUT, and ADC ranking in SQL; the k-means-trained
+    // codebook path shares the encode/ADC machinery and is
+    // recall-floor-asserted in PqSpec. Subspace distances are
+    // bit-identical cross-engine (same left-fold order); the M-term
+    // ADC sum is ROUND(4)-absorbed like every cross-engine float sum.
+    QueryEntry("v09_ann_pq",
+      (s, d) => {
+        val e = vecs(s, d)
+          .selectExpr("vec_id", "transform(v, x -> CAST(x AS DOUBLE)) AS v")
+        val cb = pqCodebookSampled(e.filter(col("vec_id") < 256), dim = 64, m = 8)
+        val codes = pqEncode(e, cb, dim = 64, m = 8)
+        val queries = e.filter(col("vec_id") < 5)
+          .selectExpr("vec_id AS id_q", "v")
+        pqAdcTopK(queries, codes, cb, dim = 64, m = 8, topK = 5)
+          .select(col("id_q"), col("id_c"), col("rn"),
+            round(col("adc"), 4).as("adc4"))
+      },
+      Some("""WITH e AS (SELECT vec_id,
+            LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        js AS (SELECT UNNEST(RANGE(0, 8)) AS j),
+        sub AS (SELECT vec_id, j, v[j*8+1 : j*8+8] AS sv FROM e CROSS JOIN js),
+        cb AS (SELECT j, vec_id AS c, sv AS cw FROM sub WHERE vec_id < 256),
+        enc AS (SELECT vec_id, j, c FROM (
+            SELECT s.vec_id, s.j, cb.c,
+              ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+                  i -> (s.sv[i] - cb.cw[i]) * (s.sv[i] - cb.cw[i]))), cb.c) AS rn
+            FROM sub s JOIN cb ON cb.j = s.j)
+          WHERE rn = 1),
+        lut AS (SELECT q.vec_id AS id_q, cb.j, cb.c,
+            LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+              i -> (q.sv[i] - cb.cw[i]) * (q.sv[i] - cb.cw[i]))) AS dd
+          FROM sub q JOIN cb ON cb.j = q.j WHERE q.vec_id < 5),
+        adc AS (SELECT lut.id_q, enc.vec_id AS id_c, SUM(dd) AS adc
+          FROM enc JOIN lut ON lut.j = enc.j AND lut.c = enc.c
+          WHERE enc.vec_id <> lut.id_q GROUP BY 1, 2)
+        SELECT id_q, id_c, rn, ROUND(adc, 4) AS adc4 FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id_q ORDER BY adc, id_c) AS rn
+          FROM adc)
+        WHERE rn <= 5"""))
   )
 }
