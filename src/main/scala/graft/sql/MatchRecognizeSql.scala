@@ -785,6 +785,7 @@ object MatchRecognizeSql {
     var i = 0
     while (i < out.length) {
       val c = out(i)
+      val next = if (i + 1 < out.length) out(i + 1) else ' '
       if (c == '\'' || c == '"' || c == '`') {
         out(i) = ' '
         var j = i + 1
@@ -797,6 +798,25 @@ object MatchRecognizeSql {
           } else { out(j) = ' '; j += 1 }
         }
         i = j + 1
+      } else if (c == '-' && next == '-') {
+        // line comment: the rewriter sees EVERY statement through the
+        // injected parser, so a comment mentioning MATCH_RECOGNIZE must
+        // not look like the clause (r12 property test)
+        var j = i
+        while (j < out.length && out(j) != '\n') { out(j) = ' '; j += 1 }
+        i = j
+      } else if (c == '/' && next == '*') {
+        var j = i + 2
+        var depth = 1 // Spark's lexer nests block comments
+        out(i) = ' '; out(i + 1) = ' '
+        while (j < out.length && depth > 0) {
+          if (out(j) == '/' && j + 1 < out.length && out(j + 1) == '*') {
+            depth += 1; out(j) = ' '; out(j + 1) = ' '; j += 2
+          } else if (out(j) == '*' && j + 1 < out.length && out(j + 1) == '/') {
+            depth -= 1; out(j) = ' '; out(j + 1) = ' '; j += 2
+          } else { out(j) = ' '; j += 1 }
+        }
+        i = j
       } else { out(i) = c.toUpper; i += 1 }
     }
     new String(out)
