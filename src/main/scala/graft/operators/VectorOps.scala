@@ -1298,6 +1298,112 @@ object VectorOps {
         SELECT id_q, id_c, rn, ROUND(adc, 4) AS adc4 FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY id_q ORDER BY adc, id_c) AS rn
           FROM adc)
-        WHERE rn <= 5"""))
+        WHERE rn <= 5""")),
+
+    // ------------------------------------------------------------------
+    // IVF × PQ — the FAISS-IVFPQ composition and the full 100 TB ANN
+    // recipe: v05/v07's trained-centroid cells prune the corpus to ~4/k
+    // of the vectors, and the survivors are scored on v09's 8-byte PQ
+    // codes via the broadcast ADC lookup table — so a query touches
+    // neither the full corpus NOR any full-precision vector. Same
+    // determinism ledger as its parents: the cell assignment is
+    // bit-identical cross-engine (left-fold dots, argmax ties ->
+    // cent_id) with the TRAINED centroids embedded into the oracle as
+    // VALUES literals (the v07 device), and the PQ half is the v09
+    // sampled-codebook construction the oracle re-derives in SQL.
+    QueryEntry("v10_ann_ivf_pq",
+      (s, d) => {
+        val e = vecs(s, d)
+          .selectExpr("vec_id", "transform(v, x -> CAST(x AS DOUBLE)) AS v")
+          .selectExpr("vec_id", "v", "vector_dot(v, v) AS n2")
+        val cents = indexCentroids(s, d)
+        val scored = e
+          .select(col("vec_id").as("id_v"), col("v").as("va"), col("n2").as("na2"))
+          .crossJoin(broadcast(cents))
+          .selectExpr("id_v", "cent_id",
+            "vector_dot(va, vc) / (SQRT(na2) * SQRT(nc2)) AS ccos")
+          .withColumn("crn", row_number().over(
+            Window.partitionBy(col("id_v")).orderBy(col("ccos").desc, col("cent_id"))))
+        val assigned = scored.filter(col("crn") === 1).select(col("id_v"), col("cent_id"))
+        val cb = pqCodebookSampled(e.filter(col("vec_id") < 256), dim = 64, m = 8)
+        val codes = pqEncode(e, cb, dim = 64, m = 8)
+        val probes = scored.filter(col("id_v") < 5 && col("crn") <= 4)
+          .select(col("id_v").as("id_q"), col("cent_id"))
+        val candidates = probes
+          .join(assigned.select(col("id_v").as("id_c"), col("cent_id")), Seq("cent_id"))
+          .filter(col("id_q") =!= col("id_c"))
+          .select(col("id_q"), col("id_c"))
+        val queries = e.filter(col("vec_id") < 5).selectExpr("vec_id AS id_q", "v")
+        val lut = queries
+          .selectExpr("id_q",
+            "explode(transform(sequence(0, 7), j -> " +
+              "struct(j AS j, slice(v, j * 8 + 1, 8) AS sv))) AS x")
+          .selectExpr("id_q", "x.j AS j", "x.sv AS sv")
+          .join(broadcast(cb), Seq("j"))
+          .withColumn("dd", expr(
+            "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+          .select(col("id_q"), col("j"), col("c"), col("dd"))
+        candidates
+          .join(codes.withColumnRenamed("vec_id", "id_c"), Seq("id_c"))
+          .join(broadcast(lut), Seq("id_q", "j", "c"))
+          .groupBy(col("id_q"), col("id_c"))
+          .agg(sum(col("dd")).as("adc"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("id_q")).orderBy(col("adc"), col("id_c"))))
+          .filter(col("rn") <= 3)
+          .select(col("id_q"), col("id_c"), col("rn"), round(col("adc"), 4).as("adc4"))
+      },
+      Some(v10OracleSql))
   )
+
+  /** v10's oracle: the v07 device (trained centroids embedded as
+    * DuckDB VALUES — doubles round-trip exactly through toString)
+    * composed with the v09 PQ construction re-derived in SQL. */
+  private def v10OracleSql: String = {
+    val d = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+    val s = SparkSession.getActiveSession.getOrElse(graft.engine.GraftSession.create())
+    val root = ensureIndex(s, d)
+    val cents = s.read.parquet(s"$root/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+    val vals = cents.map { case (id, v) => s"($id, [${v.mkString(",")}])" }.mkString(",")
+    s"""WITH e AS (SELECT vec_id,
+          LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      en AS (SELECT vec_id, v,
+          LIST_SUM(LIST_TRANSFORM(v, x -> x * x)) AS n2 FROM e),
+      cents0(cent_id, vc0) AS (VALUES $vals),
+      cents AS (SELECT CAST(cent_id AS BIGINT) AS cent_id, vc0 AS vc,
+          LIST_SUM(LIST_TRANSFORM(vc0, x -> x * x)) AS nc2 FROM cents0),
+      scored AS (SELECT a.vec_id AS id_v, c.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+            (LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * c.vc[i]))
+              / (SQRT(a.n2) * SQRT(c.nc2))) DESC, c.cent_id) AS crn
+        FROM en a CROSS JOIN cents c),
+      assigned AS (SELECT id_v, cent_id FROM scored WHERE crn = 1),
+      probes AS (SELECT id_v AS id_q, cent_id FROM scored WHERE id_v < 5 AND crn <= 4),
+      cand AS (SELECT p.id_q, a.id_v AS id_c FROM probes p
+        JOIN assigned a USING (cent_id) WHERE a.id_v <> p.id_q),
+      js AS (SELECT UNNEST(RANGE(0, 8)) AS j),
+      sub AS (SELECT vec_id, j, v[j*8+1 : j*8+8] AS sv FROM e CROSS JOIN js),
+      cb AS (SELECT j, vec_id AS c, sv AS cw FROM sub WHERE vec_id < 256),
+      enc AS (SELECT vec_id, j, c FROM (
+          SELECT s.vec_id, s.j, cb.c,
+            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+              LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+                i -> (s.sv[i] - cb.cw[i]) * (s.sv[i] - cb.cw[i]))), cb.c) AS rn
+          FROM sub s JOIN cb ON cb.j = s.j)
+        WHERE rn = 1),
+      lut AS (SELECT q.vec_id AS id_q, cb.j, cb.c,
+          LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+            i -> (q.sv[i] - cb.cw[i]) * (q.sv[i] - cb.cw[i]))) AS dd
+        FROM sub q JOIN cb ON cb.j = q.j WHERE q.vec_id < 5),
+      adc AS (SELECT c.id_q, c.id_c, SUM(dd) AS adc
+        FROM cand c JOIN enc ON enc.vec_id = c.id_c
+        JOIN lut ON lut.j = enc.j AND lut.c = enc.c AND lut.id_q = c.id_q
+        GROUP BY 1, 2)
+      SELECT id_q, id_c, rn, ROUND(adc, 4) AS adc4 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id_q ORDER BY adc, id_c) AS rn
+        FROM adc)
+      WHERE rn <= 3"""
+  }
 }
