@@ -724,14 +724,20 @@ object VectorOps {
     * entry reads (as DuckDB VALUES literals — doubles round-trip
     * exactly through toString). The sf dir comes from the Verify run's
     * system property; the gate default keeps direct consumers working. */
+  /** Trained-centroid VALUES literal for the runtime-generated oracles
+    * (v07/v08/v10 — doubles round-trip exactly through toString); ONE
+    * spelling so the embedding device can never drift (r12 review). */
+  private def centroidValuesSql(s: SparkSession, root: String): String =
+    s.read.parquet(s"$root/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+      .map { case (id, v) => s"($id, [${v.mkString(",")}])" }.mkString(",")
+
   private def v07OracleSql: String = {
     val d = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
     val s = SparkSession.getActiveSession.getOrElse(graft.engine.GraftSession.create())
     val root = ensureIndex(s, d)
-    val cents = s.read.parquet(s"$root/centroids").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
-      .sortBy(_._1)
-    val vals = cents.map { case (id, v) => s"($id, [${v.mkString(",")}])" }.mkString(",")
+    val vals = centroidValuesSql(s, root)
     s"""WITH $oQVecs,
         cents0(cent_id, vc0) AS (VALUES $vals),
         cents AS (SELECT CAST(cent_id AS BIGINT) AS cent_id, vc0 AS vc,
@@ -765,10 +771,7 @@ object VectorOps {
     val s = SparkSession.getActiveSession.getOrElse(graft.engine.GraftSession.create())
     val n = Tables(s, d, "embeddings").count()
     val root = ensureIndex(s, d, dedupCellsFor(n))
-    val cents = s.read.parquet(s"$root/centroids").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
-      .sortBy(_._1)
-    val vals = cents.map { case (id, v) => s"($id, [${v.mkString(",")}])" }.mkString(",")
+    val vals = centroidValuesSql(s, root)
     s"""WITH $oVecs,
         cents0(cent_id, vc0) AS (VALUES $vals),
         cents AS (SELECT CAST(cent_id AS BIGINT) AS cent_id, vc0 AS vc,
@@ -841,8 +844,10 @@ object VectorOps {
     require(dim % m == 0, s"pq: dim $dim must divide into m=$m subspaces")
     val w = dim / m
     val s = vecs.sparkSession
-    import org.apache.spark.ml.linalg.Vectors
-    val sample = vecs.select("v").limit(maxSample)
+    // one bounded materialization feeds all m fits (r12 review: the
+    // upstream scan+limit used to rerun once per subspace)
+    val sample = vecs.select("v").limit(maxSample).cache()
+    sample.count()
     val rows = (0 until m).flatMap { j =>
       val sub = sample.selectExpr(s"slice(v, ${j * w + 1}, $w) AS sv")
       val ds = sub.selectExpr("sv").rdd
@@ -856,6 +861,7 @@ object VectorOps {
       }
     }
     import s.implicits._
+    sample.unpersist()
     rows.toDF("j", "c", "cw")
   }
 
@@ -877,13 +883,14 @@ object VectorOps {
       .agg(expr("min_by(c, struct(dist, c))").as("c"))
   }
 
-  /** ADC top-k: per query, the M×K distance LUT joins the codes table
-    * on (j, c); a candidate's approximate L2² is the sum of its M
-    * entries. Self-matches excluded; ties break on candidate id. */
-  def pqAdcTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
-                dim: Int, m: Int, topK: Int): DataFrame = {
+  /** Per-query M×K ADC lookup table (id_q, j, c, dd): subspace L2² of
+    * the query against every codeword — ONE spelling shared by
+    * [[pqAdcTopK]] and the v10 IVF×PQ entry so the distance kernel can
+    * never drift between them (r12 review). */
+  private[operators] def pqLut(queries: DataFrame, codebook: DataFrame,
+                               dim: Int, m: Int): DataFrame = {
     val w = dim / m
-    val lut = queries
+    queries
       .selectExpr("id_q",
         s"explode(transform(sequence(0, ${m - 1}), j -> " +
           s"struct(j AS j, slice(v, j * $w + 1, $w) AS sv))) AS e")
@@ -892,10 +899,22 @@ object VectorOps {
       .withColumn("dd", expr(
         "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
       .select(col("id_q"), col("j"), col("c"), col("dd"))
+  }
+
+  /** ADC top-k: per query, the M×K distance LUT joins the codes table
+    * on (j, c); a candidate's approximate L2² is the sum of its M
+    * entries. Self-matches excluded; ties break on candidate id. */
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+                dim: Int, m: Int, topK: Int): DataFrame = {
+    val lut = pqLut(queries, codebook, dim, m)
     codes.join(broadcast(lut), Seq("j", "c"))
       .filter(col("vec_id") =!= col("id_q"))
       .groupBy(col("id_q"), col("vec_id").as("id_c"))
-      .agg(sum(col("dd")).as("adc"))
+      // Parity discipline (Tables.Parity): the M-term ADC sum must be
+      // reduction-order-independent — row_number ranks on the UNROUNDED
+      // value, so a raw double sum could flip ranks between engines or
+      // runs on near-tied candidates (r12 review)
+      .agg(graft.Parity.dsum(col("dd")).as("adc"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id_q")).orderBy(col("adc"), col("id_c"))))
       .filter(col("rn") <= topK)
@@ -1292,7 +1311,8 @@ object VectorOps {
             LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
               i -> (q.sv[i] - cb.cw[i]) * (q.sv[i] - cb.cw[i]))) AS dd
           FROM sub q JOIN cb ON cb.j = q.j WHERE q.vec_id < 5),
-        adc AS (SELECT lut.id_q, enc.vec_id AS id_c, SUM(dd) AS adc
+        adc AS (SELECT lut.id_q, enc.vec_id AS id_c,
+          CAST(SUM(CAST(dd AS DECIMAL(38,6))) AS DOUBLE) AS adc
           FROM enc JOIN lut ON lut.j = enc.j AND lut.c = enc.c
           WHERE enc.vec_id <> lut.id_q GROUP BY 1, 2)
         SELECT id_q, id_c, rn, ROUND(adc, 4) AS adc4 FROM (
@@ -1334,20 +1354,12 @@ object VectorOps {
           .filter(col("id_q") =!= col("id_c"))
           .select(col("id_q"), col("id_c"))
         val queries = e.filter(col("vec_id") < 5).selectExpr("vec_id AS id_q", "v")
-        val lut = queries
-          .selectExpr("id_q",
-            "explode(transform(sequence(0, 7), j -> " +
-              "struct(j AS j, slice(v, j * 8 + 1, 8) AS sv))) AS x")
-          .selectExpr("id_q", "x.j AS j", "x.sv AS sv")
-          .join(broadcast(cb), Seq("j"))
-          .withColumn("dd", expr(
-            "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
-          .select(col("id_q"), col("j"), col("c"), col("dd"))
+        val lut = pqLut(queries, cb, dim = 64, m = 8)
         candidates
           .join(codes.withColumnRenamed("vec_id", "id_c"), Seq("id_c"))
           .join(broadcast(lut), Seq("id_q", "j", "c"))
           .groupBy(col("id_q"), col("id_c"))
-          .agg(sum(col("dd")).as("adc"))
+          .agg(graft.Parity.dsum(col("dd")).as("adc")) // Parity: see pqAdcTopK
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("id_q")).orderBy(col("adc"), col("id_c"))))
           .filter(col("rn") <= 3)
@@ -1363,10 +1375,7 @@ object VectorOps {
     val d = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
     val s = SparkSession.getActiveSession.getOrElse(graft.engine.GraftSession.create())
     val root = ensureIndex(s, d)
-    val cents = s.read.parquet(s"$root/centroids").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
-      .sortBy(_._1)
-    val vals = cents.map { case (id, v) => s"($id, [${v.mkString(",")}])" }.mkString(",")
+    val vals = centroidValuesSql(s, root)
     s"""WITH e AS (SELECT vec_id,
           LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       en AS (SELECT vec_id, v,
@@ -1397,7 +1406,8 @@ object VectorOps {
           LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
             i -> (q.sv[i] - cb.cw[i]) * (q.sv[i] - cb.cw[i]))) AS dd
         FROM sub q JOIN cb ON cb.j = q.j WHERE q.vec_id < 5),
-      adc AS (SELECT c.id_q, c.id_c, SUM(dd) AS adc
+      adc AS (SELECT c.id_q, c.id_c,
+          CAST(SUM(CAST(dd AS DECIMAL(38,6))) AS DOUBLE) AS adc
         FROM cand c JOIN enc ON enc.vec_id = c.id_c
         JOIN lut ON lut.j = enc.j AND lut.c = enc.c AND lut.id_q = c.id_q
         GROUP BY 1, 2)

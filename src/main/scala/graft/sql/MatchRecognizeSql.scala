@@ -787,11 +787,18 @@ object MatchRecognizeSql {
       val c = out(i)
       val next = if (i + 1 < out.length) out(i + 1) else ' '
       if (c == '\'' || c == '"' || c == '`') {
+        // TWIN SCANNER of SqlScan.maskLiterals (same comment/quote
+        // grammar; this one also blanks delimiters and uppercases) —
+        // a lexing fix here usually applies there too
         out(i) = ' '
         var j = i + 1
         var done = false
         while (j < out.length && !done) {
-          if (out(j) == c) {
+          if (c != '`' && out(j) == '\\' && j + 1 < out.length) {
+            // Spark's default lexer honors backslash escapes in
+            // quoted literals (r12 review): '\'' stays inside
+            out(j) = ' '; out(j + 1) = ' '; j += 2
+          } else if (out(j) == c) {
             if (c == '\'' && j + 1 < out.length && out(j + 1) == '\'') {
               out(j) = ' '; out(j + 1) = ' '; j += 2
             } else { out(j) = ' '; done = true }

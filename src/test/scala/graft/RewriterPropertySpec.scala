@@ -45,6 +45,22 @@ class RewriterPropertySpec extends AnyFunSuite {
     frags <- Gen.listOfN(n, Gen.frequency(3 -> plainFrag, 1 -> maskedFrag))
   } yield frags.mkString
 
+  test("backslash-escaped quotes keep the literal open (Spark's default lexer)") {
+    // spark.sql.parser.escapedStringLiterals defaults to FALSE, which
+    // means backslash escapes ARE honored: '\'' stays inside the
+    // literal, so keyword text after it is still masked (r12 review)
+    val stmts = Seq(
+      "SELECT 'don\\'t UNNEST(a b' AS s FROM t",
+      "SELECT \"we\\\"ird JSON_TABLE(doc\" FROM t",
+      "SELECT 'a\\\\' , x FROM t -- backslash then close: UNNEST(q)\n")
+    stmts.foreach { s =>
+      assert(UnnestSql.rewrite(s) == s, s"Unnest changed: <$s>")
+      assert(JsonTableSql.rewrite(s) == s, s"JsonTable changed: <$s>")
+      assert(MatchRecognizeSql.rewrite(
+        s + " /* MATCH_RECOGNIZE ( */") == s + " /* MATCH_RECOGNIZE ( */")
+    }
+  }
+
   test("keywords inside literals/comments/quoted identifiers never trigger a rewrite") {
     for (i <- 0 until 800) {
       val stmt = stmtGen.pureApply(Gen.Parameters.default, Seed(42L + i))
