@@ -749,8 +749,12 @@ object FunctionQueries {
           .selectExpr(
             "l_returnflag",
             "size(map_keys(nh)) AS n_centroids",
-            "map_keys(nh) AS qty_values",
-            "map_values(nh) AS qty_counts",
+            // f16 house style: the driver's pandas harness cannot sort
+            // array cells, so every array output is array_join'ed to a
+            // canonical string. Quantities/counts are exactly integral
+            // below saturation, so BIGINT is a lossless encoding.
+            "array_join(transform(map_keys(nh), x -> CAST(x AS BIGINT)), ',') AS qty_values",
+            "array_join(transform(map_values(nh), x -> CAST(x AS BIGINT)), ',') AS qty_counts",
             "aggregate(map_values(nh), 0D, (acc, x) -> acc + x) AS total_rows")
       },
       Some("""WITH g AS (
@@ -759,8 +763,8 @@ object FunctionQueries {
           FROM lineitem GROUP BY 1, 2)
         SELECT rf AS l_returnflag,
                CAST(COUNT(*) AS INT) AS n_centroids,
-               LIST(q ORDER BY q) AS qty_values,
-               LIST(c ORDER BY q) AS qty_counts,
+               ARRAY_TO_STRING(LIST(CAST(q AS BIGINT) ORDER BY q), ',') AS qty_values,
+               ARRAY_TO_STRING(LIST(CAST(c AS BIGINT) ORDER BY q), ',') AS qty_counts,
                SUM(c) AS total_rows
         FROM g GROUP BY rf""")),
 
@@ -831,7 +835,10 @@ object FunctionQueries {
             "l_returnflag",
             "value_at_quantile(td, 0.5) AS p50_disc",
             "value_at_quantile(td, 0.9) AS p90_disc",
-            "values_at_quantiles(td, array(0.1D, 0.99D)) AS p10_p99",
+            // f16 house style: array outputs stringified. Discounts are
+            // exact multiples of 0.01, so ROUND(x*100) AS BIGINT is a
+            // lossless canonical encoding (no float-format divergence).
+            "array_join(transform(values_at_quantiles(td, array(0.1D, 0.99D)), x -> CAST(ROUND(x * 100) AS BIGINT)), ',') AS p10_p99",
             "ROUND(trimmed_mean(td, 0.25, 0.75), 6) AS iqr_mean")
       },
       Some("""WITH ranked AS (
@@ -842,8 +849,9 @@ object FunctionQueries {
         SELECT rf AS l_returnflag,
                MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN v END) AS p50_disc,
                MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN v END) AS p90_disc,
-               [MAX(CASE WHEN rn = CAST(CEIL(0.1 * n) AS BIGINT) THEN v END),
-                MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN v END)] AS p10_p99,
+               ARRAY_TO_STRING([
+                 CAST(ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.1 * n) AS BIGINT) THEN v END) * 100) AS BIGINT),
+                 CAST(ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN v END) * 100) AS BIGINT)], ',') AS p10_p99,
                ROUND(AVG(v) FILTER (WHERE rn > 0.25 * n AND rn <= FLOOR(0.75 * n)), 6) AS iqr_mean
         FROM ranked GROUP BY rf"""))
   )

@@ -26,6 +26,14 @@ if unknown:
     sys.exit(2)
 
 def canon_val(v):
+    # DRIVER CONSTRAINT (why this gate is stricter than it looks): this
+    # str(v) fallback happily stringifies list/array cells, but the
+    # DRIVER's harness is pandas-based and dies on array cells
+    # ("unhashable type: numpy.ndarray" — CORRECTNESS_r12 f25/f27). Any
+    # entry emitting ArrayType/MapType/StructType output passes HERE but
+    # fails THERE. OperatorSweepSpec enforces scalar-only output schemas
+    # (f16 house style: array_join both sides) so the divergence class
+    # cannot recur.
     if v is None:
         return "NULL"
     if isinstance(v, bool):
