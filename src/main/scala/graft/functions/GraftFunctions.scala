@@ -137,6 +137,17 @@ object GraftFunctions {
           MinKBy(x, y, intLit(n, "max_by n"), reverse = true).toAggregateExpression()
       }
     },
+    // graft-native deterministic argmax (ArgMaxBy.scala): max_by with a
+    // struct tie-breaker key WITHOUT the SortAggregate degradation
+    // Spark's declarative max_by takes on struct buffers — runs under
+    // ObjectHashAggregate, O(1) state, no sort (the IVF cell-assignment
+    // path, r12 verdict #3).
+    "arg_max_by" -> { exprs: Seq[Expression] =>
+      ArgMaxBy(exprs(0), exprs(1)).toAggregateExpression()
+    },
+    "arg_min_by" -> { exprs: Seq[Expression] =>
+      ArgMaxBy(exprs(0), exprs(1), reverse = true).toAggregateExpression()
+    },
     // graft-native q-digest mergeable percentile sketch family
     // (QDigest.scala — store per-shard sketches, merge at query time;
     // exact below n<k so f22 is oracle-checkable, same contract as KMV).
@@ -352,7 +363,7 @@ object GraftFunctions {
     "pack_int8" -> ((1, 1)), "int8_dot" -> ((2, 2)), "simhash64" -> ((1, 1)),
     "min_gram_md5" -> ((2, 2)), "shingle_sig" -> ((3, 3)), "char_grams" -> ((2, 2)),
     "approx_most_frequent" -> ((2, 3)),
-    "min_by" -> ((2, 3)), "max_by" -> ((2, 3)),
+    "min_by" -> ((2, 3)), "max_by" -> ((2, 3)), "arg_max_by" -> ((2, 2)), "arg_min_by" -> ((2, 2)),
     "kmv_sketch" -> ((2, 2)), "kmv_union_agg" -> ((1, 1)),
     "kmv_distinct_est" -> ((1, 1)), "kmv_union" -> ((2, 2)),
     "kmv_intersect_est" -> ((2, 2)), "kmv_jaccard_est" -> ((2, 2)),

@@ -518,26 +518,52 @@ object VectorOps {
     root
   }
 
+  /** Corpus-wide IVF cell assignment as a map-side-combinable ARGMAX
+    * (r12 verdict #3): `arg_max_by(struct(cent_id, payload...),
+    * struct(ccos, -cent_id))` instead of a `row_number` window. The
+    * window spelling exchanges AND per-vector-sorts all N·k scored
+    * rows; Spark's own `max_by` with the struct tie-breaker key is no
+    * better — its struct aggregation buffer forces SortAggregate,
+    * which SORTS the N·k input by group key (measured in PlanSpec).
+    * [[graft.functions.ArgMaxBy]] is a TypedImperativeAggregate, so
+    * the plan is ObjectHashAggregate: O(1) state per group, and
+    * partial aggregation collapses each vector's k candidate rows to
+    * ONE before the exchange — at 100× the corpus the exchange moves N
+    * rows, not N·k sorted ones (the t28 bounded-state device).
+    * Tie-break is bit-identical to the oracle's `ROW_NUMBER ... ORDER
+    * BY ccos DESC, cent_id ... crn = 1`: maximizing `struct(ccos,
+    * -cent_id)` picks the highest cosine, then the SMALLEST cent_id —
+    * the key is unique per group, so ArgMaxBy's first-seen tie rule
+    * never engages. Payload columns (vectors, norms) ride the
+    * aggregation buffer — functionally dependent on id_v, so no
+    * re-join is needed. Input must carry (id_v, cent_id, ccos,
+    * payload...). */
+  private def argmaxCell(scored: DataFrame, payload: String*): DataFrame = {
+    graft.functions.GraftFunctions.register(scored.sparkSession)
+    val carried = ("cent_id" +: payload).mkString(", ")
+    scored.groupBy(col("id_v"))
+      .agg(expr(s"arg_max_by(struct($carried), struct(ccos, -cent_id))").as("__w"))
+      .select(col("id_v") +: ("cent_id" +: payload).map(c => col(s"__w.$c").as(c)): _*)
+  }
+
   /** v08's ASSIGNMENT stage alone — every vector scored against the
     * k = [[dedupCellsFor]] broadcast centroids, argmax cell per vector.
     * Named so the entry and the round-9 attribution probe (Probe9
     * `v08a`, r8 verdict #4) time the SAME plan: assignment is the
     * N·k = N·sqrt(N/5) term of the SemDeDup law, and the probe splits
-    * its wall from the pair join's. The argmax currently rides a
-    * row_number window over id_v, which SHUFFLES the N·k scored rows —
-    * if the probe shows assignment dominating, the fix is a map-side
-    * argmax (max_by over the broadcast side, no exploded shuffle). */
+    * its wall from the pair join's. The argmax is the map-side
+    * [[argmaxCell]] `max_by` (r12 verdict #3) — no exploded shuffle,
+    * no per-vector sort. */
   private[graft] def semanticDedupAssigned(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d)
     val n = Tables(s, d, "embeddings").count()
     val cents = indexCentroids(s, d, dedupCellsFor(n))
-    e.select(col("vec_id").as("id_v"), col("v").as("va"), col("n2").as("na2"))
-      .crossJoin(broadcast(cents))
-      .selectExpr("id_v", "va", "na2", "cent_id",
-        "vector_dot(va, vc) / (SQRT(na2) * SQRT(nc2)) AS ccos")
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("id_v")).orderBy(col("ccos").desc, col("cent_id"))))
-      .filter(col("crn") === 1)
+    argmaxCell(
+      e.select(col("vec_id").as("id_v"), col("v").as("va"), col("n2").as("na2"))
+        .crossJoin(broadcast(cents))
+        .selectExpr("id_v", "va", "na2", "cent_id",
+          "vector_dot(va, vc) / (SQRT(na2) * SQRT(nc2)) AS ccos"),
+      "va", "na2")
       .select(col("id_v"), col("va"), col("na2"), col("cent_id"))
   }
 
@@ -868,8 +894,14 @@ object VectorOps {
   /** Encode every vector: code c of subspace j = argmin codeword by
     * L2² (ties -> smallest c, deterministic). Output (vec_id, j, c) —
     * M rows per vector, the PQ "codes table" (M bytes of information
-    * per vector; the relational spelling keeps it joinable). */
+    * per vector; the relational spelling keeps it joinable).
+    * `arg_min_by` (not Spark's `min_by(c, struct(dist, c))`): the
+    * struct ordering key forces min_by's buffer to SortAggregate,
+    * sorting all N·m·k codeword-distance rows by (vec_id, j); the
+    * TypedImperativeAggregate keeps the encode a pure
+    * ObjectHashAggregate — no sort at any corpus size (r12 #3). */
   def pqEncode(vecs: DataFrame, codebook: DataFrame, dim: Int, m: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
     val w = dim / m
     vecs
       .selectExpr("vec_id",
@@ -880,7 +912,7 @@ object VectorOps {
       .withColumn("dist", expr(
         "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
       .groupBy(col("vec_id"), col("j"))
-      .agg(expr("min_by(c, struct(dist, c))").as("c"))
+      .agg(expr("arg_min_by(c, struct(dist, c))").as("c"))
   }
 
   /** Per-query M×K ADC lookup table (id_q, j, c, dd): subspace L2² of
@@ -1069,12 +1101,17 @@ object VectorOps {
           .crossJoin(broadcast(cents))
           .selectExpr("id_v", "va", "na2", "cent_id",
             "vector_dot(va, vc) / (SQRT(na2) * SQRT(nc2)) AS ccos")
+        // corpus-wide argmax via max_by — no N·k window sort (r12 #3)
+        val assigned = argmaxCell(scored, "va", "na2")
+          .select(col("id_v"), col("va"), col("na2"), col("cent_id"))
+        // queries probe their top-2 cells; candidates live in their
+        // top-1. Only the 5 probe vectors need a RANKED top-2, so the
+        // window runs on the id_v < 5 slice (the filter pushes below
+        // the broadcast join — a 5-row sort, not a corpus-wide one).
+        val probes = scored.filter(col("id_v") < 5)
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("id_v")).orderBy(col("ccos").desc, col("cent_id"))))
-        val assigned = scored.filter(col("rn") === 1)
-          .select(col("id_v"), col("va"), col("na2"), col("cent_id"))
-        // queries probe their top-2 cells; candidates live in their top-1
-        val probes = scored.filter(col("id_v") < 5 && col("rn") <= 2)
+          .filter(col("rn") <= 2)
           .select(col("id_v").as("id_q"), col("va").as("vq"),
             col("na2").as("nq2"), col("cent_id"))
         probes.join(
@@ -1175,16 +1212,19 @@ object VectorOps {
           .crossJoin(broadcast(cents))
           .selectExpr("id_v", "qa", "qna2", "cent_id",
             "vector_dot(va, vc) / (SQRT(na2) * SQRT(nc2)) AS ccos")
-          .withColumn("crn", row_number().over(
-            Window.partitionBy(col("id_v")).orderBy(col("ccos").desc, col("cent_id"))))
-        val assigned = scored.filter(col("crn") === 1)
+        // corpus-wide argmax via max_by — no N·k window sort (r12 #3)
+        val assigned = argmaxCell(scored, "qa", "qna2")
           .select(col("id_v"), col("qa"), col("qna2"), col("cent_id"))
         // 4 probes: trained spherical cells are BALANCED (22..86 of 500
         // at the gate scale), so a probe sweeps ~1/k of the corpus —
         // unlike v05's skew-sampled cells, where 2 probes often catch a
         // giant cell's worth of candidates. 4 balanced probes reach the
         // same measured recall@3 (0.60) with a bounded candidate set.
-        val probes = scored.filter(col("id_v") < 5 && col("crn") <= 4)
+        // Ranked top-4 only for the 5 probe vectors (filter-then-window).
+        val probes = scored.filter(col("id_v") < 5)
+          .withColumn("crn", row_number().over(
+            Window.partitionBy(col("id_v")).orderBy(col("ccos").desc, col("cent_id"))))
+          .filter(col("crn") <= 4)
           .select(col("id_v").as("id_q"), col("qa").as("qq"),
             col("qna2").as("qnq2"), col("cent_id"))
         probes.join(
@@ -1342,12 +1382,15 @@ object VectorOps {
           .crossJoin(broadcast(cents))
           .selectExpr("id_v", "cent_id",
             "vector_dot(va, vc) / (SQRT(na2) * SQRT(nc2)) AS ccos")
-          .withColumn("crn", row_number().over(
-            Window.partitionBy(col("id_v")).orderBy(col("ccos").desc, col("cent_id"))))
-        val assigned = scored.filter(col("crn") === 1).select(col("id_v"), col("cent_id"))
+        // corpus-wide argmax via max_by — no N·k window sort (r12 #3)
+        val assigned = argmaxCell(scored).select(col("id_v"), col("cent_id"))
         val cb = pqCodebookSampled(e.filter(col("vec_id") < 256), dim = 64, m = 8)
         val codes = pqEncode(e, cb, dim = 64, m = 8)
-        val probes = scored.filter(col("id_v") < 5 && col("crn") <= 4)
+        // ranked top-4 cells only for the 5 probe vectors
+        val probes = scored.filter(col("id_v") < 5)
+          .withColumn("crn", row_number().over(
+            Window.partitionBy(col("id_v")).orderBy(col("ccos").desc, col("cent_id"))))
+          .filter(col("crn") <= 4)
           .select(col("id_v").as("id_q"), col("cent_id"))
         val candidates = probes
           .join(assigned.select(col("id_v").as("id_c"), col("cent_id")), Seq("cent_id"))

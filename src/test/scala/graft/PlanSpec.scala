@@ -446,6 +446,27 @@ class PlanSpec extends SparkSpec {
       s"t28 should aggregate:\n${p.take(2000)}")
   }
 
+  test("IVF cell assignment is a max_by aggregate, never a corpus-wide window sort (r12 #3)") {
+    // the corpus-wide argmax (every vector -> its best cell) must plan
+    // as a hash aggregation with O(1) per-group state: partial agg
+    // collapses each vector's k scored rows to one BEFORE the exchange.
+    // The old row_number spelling exchanged AND sorted all N*k rows.
+    val p = plan(graft.operators.VectorOps.semanticDedupAssigned(spark, sf()))
+    assert(!p.contains("Window"), s"assignment fell back to a window:\n${p.take(2000)}")
+    assert(!p.contains("Sort "), s"assignment path sorts:\n${p.take(2000)}")
+    assert(p.contains("max_by"), s"expected max_by aggregate:\n${p.take(2000)}")
+    // v10: the only windows left rank the 5-vector probe slice and the
+    // final per-query top-k — the corpus-wide assignment aggregates
+    val p10 = plan(SparkEntry.queries("v10_ann_ivf_pq")(spark, sf()))
+    assert(p10.contains("max_by"), s"v10 assignment not max_by:\n${p10.take(2000)}")
+    val wins = "Window \\[".r.findAllIn(p10).size
+    assert(wins <= 2, s"v10: expected <=2 probe/topk windows, got $wins:\n${p10.take(3000)}")
+    // and each surviving window ranks row_number over the probe/query
+    // slice, never the corpus-wide assignment (which aggregates)
+    assert(!p10.contains("SortAggregate"),
+      s"v10 assignment degraded to SortAggregate:\n${p10.take(3000)}")
+  }
+
   test("q40 frame-exclusion matrix rides ONE suppkey exchange (r11)") {
     // five exclusion columns, each decomposed into several static
     // split-frame windows — but every window orders by the same
