@@ -92,15 +92,16 @@ final case class ArgMaxBy(
 
   /** Wire format: both slots packed into one two-field UnsafeRow (the
     * projection handles every Catalyst type, structs included); an
-    * empty buffer is the empty byte array. */
-  private def pairSchema = StructType(Seq(
+    * empty buffer is the empty byte array. The projection is cached —
+    * UnsafeProjection.create codegen-compiles, and serialize runs once
+    * per GROUP at every partial/final boundary. */
+  @transient private lazy val pairProj = UnsafeProjection.create(StructType(Seq(
     StructField("o", orderingExpr.dataType, nullable = true),
-    StructField("v", valueExpr.dataType, nullable = true)))
+    StructField("v", valueExpr.dataType, nullable = true))))
 
   override def serialize(b: ArgMaxBy.Buf): Array[Byte] = {
     if (b.ordVal == null) return Array.emptyByteArray
-    val proj = UnsafeProjection.create(pairSchema)
-    proj(InternalRow(b.ordVal, b.value)).getBytes
+    pairProj(InternalRow(b.ordVal, b.value)).getBytes
   }
 
   override def deserialize(bytes: Array[Byte]): ArgMaxBy.Buf = {
