@@ -66,6 +66,28 @@ private[functions] object MapAggs {
         s"$fn keys must be an atomic type (string/numeric/date/...), got ${dt.sql}")
     case _ => ()
   }
+
+  /** VARBINARY keys (Trino supports them here) need VALUE equality in
+    * the hash buffers — Array[Byte] hashes/compares by reference, so
+    * unwrapped binary keys would treat every row as distinct and emit
+    * duplicate-key maps (r12 advice). Wrap at buffer insert, unwrap at
+    * eval/serialize; every other atomic Catalyst value (UTF8String,
+    * Long, ...) already carries value equality. */
+  final class BinKey(val bytes: Array[Byte]) {
+    override def hashCode: Int = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case b: BinKey => java.util.Arrays.equals(bytes, b.bytes)
+      case _ => false
+    }
+  }
+  def wrapKey(v: Any): Any = v match {
+    case b: Array[Byte] => new BinKey(b)
+    case x => x
+  }
+  def unwrapKey(v: Any): Any = v match {
+    case b: BinKey => b.bytes
+    case x => x
+  }
 }
 
 /** `checksum(x)` — order-insensitive multiset digest: the WRAPPING sum
@@ -162,7 +184,7 @@ final case class HistogramAgg(
   override def update(b: mutable.LinkedHashMap[Any, Long], input: InternalRow): mutable.LinkedHashMap[Any, Long] = {
     val v = child.eval(input)
     if (v != null) { // Trino histogram ignores NULLs
-      val key = InternalRow.copyValue(v)
+      val key = MapAggs.wrapKey(InternalRow.copyValue(v))
       b.update(key, b.getOrElse(key, 0L) + 1L)
     }
     b
@@ -174,21 +196,23 @@ final case class HistogramAgg(
   }
 
   override def eval(b: mutable.LinkedHashMap[Any, Long]): Any =
-    ArrayBasedMapData(b.keys.toArray[Any], b.values.map(v => v: Any).toArray)
+    ArrayBasedMapData(b.keys.map(MapAggs.unwrapKey).toArray[Any],
+      b.values.map(v => v: Any).toArray)
 
   override def serialize(b: mutable.LinkedHashMap[Any, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.size)
     MapAggs.writeRows(out, proj,
-      b.iterator.map { case (k, c) => InternalRow(k, c) })
+      b.iterator.map { case (k, c) => InternalRow(MapAggs.unwrapKey(k), c) })
     out.flush(); bos.toByteArray
   }
 
   override def deserialize(bytes: Array[Byte]): mutable.LinkedHashMap[Any, Long] = {
     val b = mutable.LinkedHashMap.empty[Any, Long]
     MapAggs.readRows(bytes, 2).foreach { row =>
-      b.update(InternalRow.copyValue(row.get(0, child.dataType)), row.getLong(1))
+      b.update(MapAggs.wrapKey(InternalRow.copyValue(row.get(0, child.dataType))),
+        row.getLong(1))
     }
     b
   }
@@ -234,7 +258,7 @@ final case class MapUnionAgg(
         val ks = m.keyArray(); val vs = m.valueArray()
         var i = 0
         while (i < m.numElements()) {
-          val k = InternalRow.copyValue(ks.get(i, mapType.keyType))
+          val k = MapAggs.wrapKey(InternalRow.copyValue(ks.get(i, mapType.keyType)))
           if (!b.contains(k))
             b.update(k, InternalRow.copyValue(vs.get(i, mapType.valueType)))
           i += 1
@@ -249,21 +273,21 @@ final case class MapUnionAgg(
   }
 
   override def eval(b: mutable.LinkedHashMap[Any, Any]): Any =
-    ArrayBasedMapData(b.keys.toArray[Any], b.values.toArray[Any])
+    ArrayBasedMapData(b.keys.map(MapAggs.unwrapKey).toArray[Any], b.values.toArray[Any])
 
   override def serialize(b: mutable.LinkedHashMap[Any, Any]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.size)
     MapAggs.writeRows(out, proj,
-      b.iterator.map { case (k, v) => InternalRow(k, v) })
+      b.iterator.map { case (k, v) => InternalRow(MapAggs.unwrapKey(k), v) })
     out.flush(); bos.toByteArray
   }
 
   override def deserialize(bytes: Array[Byte]): mutable.LinkedHashMap[Any, Any] = {
     val b = mutable.LinkedHashMap.empty[Any, Any]
     MapAggs.readRows(bytes, 2).foreach { row =>
-      b.update(InternalRow.copyValue(row.get(0, mapType.keyType)),
+      b.update(MapAggs.wrapKey(InternalRow.copyValue(row.get(0, mapType.keyType))),
         InternalRow.copyValue(row.get(1, mapType.valueType)))
     }
     b
@@ -302,7 +326,7 @@ final case class MultimapAgg(
   override def update(b: mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]], input: InternalRow): mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]] = {
     val k = key.eval(input)
     if (k != null) { // Trino multimap_agg skips NULL keys; NULL values kept
-      val kk = InternalRow.copyValue(k)
+      val kk = MapAggs.wrapKey(InternalRow.copyValue(k))
       val v = value.eval(input)
       b.getOrElseUpdate(kk, mutable.ArrayBuffer.empty) +=
         (if (v == null) null else InternalRow.copyValue(v))
@@ -318,7 +342,7 @@ final case class MultimapAgg(
   }
 
   override def eval(b: mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]]): Any =
-    ArrayBasedMapData(b.keys.toArray[Any],
+    ArrayBasedMapData(b.keys.map(MapAggs.unwrapKey).toArray[Any],
       b.values.map(vs => new GenericArrayData(vs.toArray): Any).toArray)
 
   override def serialize(b: mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]]): Array[Byte] = {
@@ -327,7 +351,7 @@ final case class MultimapAgg(
     out.writeInt(b.valuesIterator.map(_.size).sum)
     // flat (key, value, isNullValue) triples; keys repeat per value
     MapAggs.writeRows(out, proj, b.iterator.flatMap { case (k, vs) =>
-      vs.iterator.map(v => InternalRow(k, v, v == null))
+      vs.iterator.map(v => InternalRow(MapAggs.unwrapKey(k), v, v == null))
     })
     out.flush(); bos.toByteArray
   }
@@ -335,7 +359,7 @@ final case class MultimapAgg(
   override def deserialize(bytes: Array[Byte]): mutable.LinkedHashMap[Any, mutable.ArrayBuffer[Any]] = {
     val b = mutable.LinkedHashMap.empty[Any, mutable.ArrayBuffer[Any]]
     MapAggs.readRows(bytes, 3).foreach { row =>
-      val k = InternalRow.copyValue(row.get(0, key.dataType))
+      val k = MapAggs.wrapKey(InternalRow.copyValue(row.get(0, key.dataType)))
       val v = if (row.getBoolean(2)) null
         else InternalRow.copyValue(row.get(1, value.dataType))
       b.getOrElseUpdate(k, mutable.ArrayBuffer.empty) += v

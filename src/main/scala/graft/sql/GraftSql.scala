@@ -49,7 +49,11 @@ object TrinoDialect {
       val s5 = varbinary.replaceAllIn(s4, _ => "BINARY")
       val s6 = doublePrec.replaceAllIn(s5, _ => "DOUBLE")
       val s7 = sampleRx.replaceAllIn(s6, m => s"TABLESAMPLE (${m.group(1)} PERCENT)")
-      rowCtor.replaceAllIn(s7, _ => "struct(")
+      // ROW in a TYPE position first (CAST(x AS ROW(a INT))): Spark
+      // spells struct TYPES as STRUCT<...>, so the constructor rewrite
+      // below must not fire there (r12 advice — struct(a INT) is
+      // unparseable). Then every remaining ROW( is a constructor.
+      rowCtor.replaceAllIn(rewriteRowTypes(s7), _ => "struct(")
     }
     // Trino MATCH_RECOGNIZE clause -> graft_match_recognize TVF (its
     // own literal-aware scanner; no-op without the keyword). LAST: the
@@ -59,6 +63,54 @@ object TrinoDialect {
     // reason — their own scanners are literal-aware.
     UnnestSql.rewrite(JsonTableSql.rewrite(MatchRecognizeSql.rewrite(named)))
   }
+
+  /** Trino's ROW TYPE spelling -> Spark's STRUCT<...> (r12 advice).
+    * The one type position token-local context can prove is `AS ROW(`
+    * — CAST/TRY_CAST type arguments (an alias named ROW followed by a
+    * paren is not valid SQL, so the pattern cannot misfire on
+    * aliases). Inside the converted span every nested ROW( is also a
+    * type and converts recursively; field-name/type pairs pass through
+    * unchanged (Spark's STRUCT<a INT> colon is optional, and VARCHAR
+    * etc. were already rewritten upstream). Unbalanced parens are left
+    * for the parser to reject. */
+  private val asRowType = """(?i)\bAS\s+ROW\s*\(""".r
+  private val rowTypeInner = """(?i)\bROW\s*\(""".r
+
+  private def matchingParen(s: String, open: Int): Int = {
+    var d = 0
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') d += 1
+      else if (c == ')') { d -= 1; if (d == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  private def convertRowTypeBody(s: String): String =
+    rowTypeInner.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        val open = m.end - 1
+        val close = matchingParen(s, open)
+        if (close < 0) s
+        else s.substring(0, m.start) + "STRUCT<" +
+          convertRowTypeBody(s.substring(open + 1, close)) + ">" +
+          convertRowTypeBody(s.substring(close + 1))
+    }
+
+  private def rewriteRowTypes(code: String): String =
+    asRowType.findFirstMatchIn(code) match {
+      case None => code
+      case Some(m) =>
+        val open = m.end - 1
+        val close = matchingParen(code, open)
+        if (close < 0) code
+        else code.substring(0, m.start) + "AS STRUCT<" +
+          convertRowTypeBody(code.substring(open + 1, close)) + ">" +
+          rewriteRowTypes(code.substring(close + 1))
+    }
 
   /** Apply `f` to the non-literal segments of `sql`, passing
     * single-quoted literals (with '' escapes) through untouched.

@@ -86,6 +86,14 @@ object JsonTableSql {
         trinoTypes.keys.toSeq.sorted.mkString(", ") + ", DECIMAL(p,s)"))
   }
 
+  /** Clause keywords that can follow `JSON_TABLE(...)` when the alias
+    * is omitted — never valid aliases (r12 advice). */
+  private val aliasReserved = Set(
+    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET", "FETCH",
+    "JOIN", "ON", "USING", "CROSS", "LEFT", "RIGHT", "FULL", "INNER",
+    "NATURAL", "LATERAL", "UNION", "EXCEPT", "INTERSECT", "MINUS",
+    "WINDOW", "QUALIFY", "AND", "OR")
+
   /** Strip the SQL/JSON mode keyword; require a '$'-rooted path. */
   private def stripMode(p: String): String = {
     val s = p.trim.replaceAll("""(?i)^(lax|strict)\s+""", "").trim
@@ -99,11 +107,16 @@ object JsonTableSql {
     val close = closeParen(sql, open)
     val inside = sql.substring(open + 1, close)
 
-    // alias after the closing paren: [AS] ident
+    // alias after the closing paren: [AS] ident. A bare identifier
+    // regex would capture a following clause keyword (WHERE/GROUP/...)
+    // as the alias when the alias is omitted, silently reshaping the
+    // query — reject keywords so the alias-required error fires
+    // (r12 advice).
     val aliasRx = """(?is)^\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)""".r
     val tailText = sql.substring(close + 1)
-    val aliasM = aliasRx.findFirstMatchIn(tailText).getOrElse(
-      throw new IllegalArgumentException(
+    val aliasM = aliasRx.findFirstMatchIn(tailText)
+      .filterNot(m => aliasReserved.contains(m.group(1).toUpperCase))
+      .getOrElse(throw new IllegalArgumentException(
         "JSON_TABLE needs an alias: JSON_TABLE(...) [AS] t"))
     val alias = aliasM.group(1)
     val afterAlias = close + 1 + aliasM.end

@@ -81,6 +81,18 @@ object UnnestSql {
     // arrays -> k): 1 arg + 1 data name = array, 1 arg + 2 = map
     val lateralBody: String =
       if (args.length == 1 && dataNames.length == 2) {
+        // A 1-arg 2-column UNNEST is lowered as a MAP. Trino also
+        // accepts UNNEST(array(row(...))) AS t(a, b) here — a shape a
+        // type-blind rewriter cannot distinguish from a map column, and
+        // whose map lowering would die later in analysis on the opaque
+        // __un_k marker. Reject the provable constructor spelling by
+        // name (r12 advice); non-literal array-of-rows columns still
+        // reach analysis, where the __un_ prefix marks the lowering.
+        require(!args.head.matches("""(?is)^\s*array\s*\(.*"""),
+          s"UNNEST(array(row(...))) AS $alias(a, b) is not supported — " +
+            "a one-argument two-column UNNEST is lowered as a MAP " +
+            "(Trino's arity rule); unnest the array with a one-column " +
+            "alias and SELECT the struct fields instead")
         // map: [pos]explode(map) natively yields (key, value)
         if (ordinality)
           s"(SELECT __un_k AS ${dataNames(0)}, __un_v AS ${dataNames(1)}, " +

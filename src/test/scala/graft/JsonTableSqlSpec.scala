@@ -71,5 +71,10 @@ class JsonTableSqlSpec extends SparkSpec {
       .contains("follow a relation"))
     assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x GEOMETRY PATH '$.x')) t")
       .contains("unsupported column type"))
+    // omitted alias followed by a clause keyword: the keyword must NOT
+    // be captured as the alias (r12 advice — WHERE became the alias and
+    // the query silently reshaped)
+    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x')) WHERE x > 1")
+      .contains("alias"))
   }
 }

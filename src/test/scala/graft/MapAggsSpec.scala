@@ -96,6 +96,30 @@ class MapAggsSpec extends SparkSpec {
     assert(s.sql("SELECT geometric_mean(x) FROM gm_neg").head().getDouble(0).isNaN)
   }
 
+  test("VARBINARY keys aggregate by VALUE across partials (r12 advice: BinKey)") {
+    // Array[Byte] has reference equality — without the BinKey wrapper
+    // every row lands as a distinct key and the maps carry duplicates.
+    // 8 partitions force partial-merge + serialize round-trips too.
+    val s = registered
+    val df = s.range(80).repartition(8)
+      .selectExpr("CAST(CONCAT('k', id % 3) AS BINARY) AS bk", "id AS v")
+    df.createOrReplaceTempView("bin_keys")
+    val h = s.sql("SELECT histogram(bk) AS h FROM bin_keys")
+      .selectExpr("cardinality(h) AS n",
+        "element_at(h, CAST('k0' AS BINARY)) AS k0")
+      .head()
+    assert(h.getInt(0) == 3, s"histogram created duplicate binary keys: $h")
+    assert(h.getLong(1) == 27L) // ids 0,3,...,78 -> 27 rows
+    val mm = s.sql("SELECT multimap_agg(bk, v) AS m FROM bin_keys")
+      .selectExpr("cardinality(m) AS n",
+        "size(element_at(m, CAST('k1' AS BINARY))) AS n1").head()
+    assert(mm.getInt(0) == 3 && mm.getInt(1) == 27, mm)
+    val mu = s.sql(
+      "SELECT map_union(map(bk, 1)) AS m FROM bin_keys")
+      .selectExpr("cardinality(m) AS n").head()
+    assert(mu.getInt(0) == 3, mu)
+  }
+
   test("rewrites: geometric_mean, arbitrary ignores nulls, bitwise aggs") {
     val s = registered
     import s.implicits._

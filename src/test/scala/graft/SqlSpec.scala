@@ -70,6 +70,22 @@ class SqlSpec extends SparkSpec {
       == "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW")
   }
 
+  test("ROW in a CAST type position becomes STRUCT<...>, not struct( (r12 advice)") {
+    assert(TrinoDialect.rewrite("SELECT CAST(x AS ROW(a INT, b VARCHAR)) FROM t")
+      == "SELECT CAST(x AS STRUCT<a INT, b STRING>) FROM t")
+    // nested ROW types convert recursively; a constructor in the same
+    // statement still becomes struct(
+    assert(TrinoDialect.rewrite(
+      "SELECT CAST(x AS ROW(a ROW(b INT))) AS c, ROW(1, 2) AS r FROM t")
+      == "SELECT CAST(x AS STRUCT<a STRUCT<b INT>>) AS c, struct(1, 2) AS r FROM t")
+    // end to end through the parser (the r12 failure mode: struct(a INT)
+    // was unparseable)
+    val row = graft.sql.GraftSql.execute(spark,
+      "SELECT CAST(ROW(1, 'x') AS ROW(a BIGINT, b VARCHAR)) AS c").head.head()
+    assert(row.getStruct(0).getLong(0) == 1L)
+    assert(row.getStruct(0).getString(1) == "x")
+  }
+
   test("round-12 dialect spellings execute end to end") {
     val s = spark
     val df = graft.sql.GraftSql.execute(s,
