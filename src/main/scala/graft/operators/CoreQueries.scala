@@ -1335,6 +1335,57 @@ object CoreQueries {
             ROW_NUMBER() OVER (PARTITION BY l_orderkey
                  ORDER BY l_linenumber, l_quantity) AS pos,
             l_linenumber AS ln, l_quantity AS qty
-          FROM lineitem WHERE l_orderkey <= 600"""))
+          FROM lineitem WHERE l_orderkey <= 600""")),
+
+    // ------------------------------------------------------------------
+    // JSON_TABLE NESTED PATH (round 13, r12 verdict #5): two-level
+    // documents — each customer's orders as a JSON array, each order
+    // carrying a nested lines array — flattened by ONE JSON_TABLE with
+    // a NESTED PATH COLUMNS block. The lines array keeps only
+    // l_quantity < 10, so some orders have NO qualifying lines and
+    // exercise the SQL:2016 DEFAULT plan the lowering implements
+    // (OUTER parent/child: those orders emit one row with NULL
+    // ln/qty/lpos — Trino 468's default too). to_json omits null
+    // struct fields, so a line-less order's element has no "lines" key
+    // and posexplode_outer pads it. Oracle: the ORIGINAL relation,
+    // orders LEFT JOIN the filtered lines with a per-order ordinal
+    // (CASE-nulled on the unmatched row). Deterministic: sort_array
+    // orders both levels ((okey) unique; (ln, qty) the q41 tie-break).
+    QueryEntry("q43_json_table_nested",
+      (s, d) => {
+        t(s, d, "orders").filter(col("o_orderkey") <= 600)
+          .createOrReplaceTempView("jt2_orders")
+        t(s, d, "lineitem").filter(col("l_orderkey") <= 600)
+          .createOrReplaceTempView("jt2_lineitem")
+        s.sql("""
+          WITH lines AS (
+            SELECT l_orderkey,
+                   sort_array(collect_list(
+                     named_struct('ln', l_linenumber, 'qty', l_quantity))) AS ls
+            FROM jt2_lineitem WHERE l_quantity < 10 GROUP BY l_orderkey),
+          docs AS (
+            SELECT o.o_custkey AS ck,
+                   to_json(sort_array(collect_list(
+                     named_struct('okey', o.o_orderkey, 'lines', l.ls)))) AS doc
+            FROM jt2_orders o LEFT JOIN lines l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey)
+          SELECT d.ck, jt.okey, jt.lpos, jt.ln, jt.qty
+          FROM docs d, JSON_TABLE(d.doc, 'lax $[*]'
+            COLUMNS (okey BIGINT PATH 'lax $.okey',
+                     NESTED PATH 'lax $.lines[*]' COLUMNS (
+                       lpos FOR ORDINALITY,
+                       ln INTEGER PATH 'lax $.ln',
+                       qty DOUBLE PATH 'lax $.qty'))) AS jt""")
+      },
+      Some("""WITH sel AS (
+          SELECT l_orderkey, l_linenumber, l_quantity
+          FROM lineitem WHERE l_quantity < 10 AND l_orderkey <= 600)
+        SELECT o.o_custkey AS ck, o.o_orderkey AS okey,
+          CASE WHEN s.l_orderkey IS NULL THEN NULL
+               ELSE CAST(ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                    ORDER BY s.l_linenumber, s.l_quantity) AS INT) END AS lpos,
+          s.l_linenumber AS ln, s.l_quantity AS qty
+        FROM orders o LEFT JOIN sel s ON s.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey <= 600"""))
   )
 }

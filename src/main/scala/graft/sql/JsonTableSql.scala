@@ -24,9 +24,17 @@ package graft.sql
   *  - `<colpath>`: `[lax|strict] $.x...` evaluated against each array
   *    element; `<type>` maps Trino names onto Spark CAST targets.
   *  - `FOR ORDINALITY` is the 1-based row number within the array.
-  *  - NESTED PATH / PLAN / ERROR ON ERROR / EMPTY ... ON EMPTY are not
-  *    supported (named rejections); default NULL ON ERROR semantics is
-  *    what the lowering produces naturally.
+  *  - ONE `NESTED [PATH] '<path>[*]' COLUMNS (...)` entry per COLUMNS
+  *    block (round 13): the nested path is evaluated against each
+  *    parent element and its array flattened with the SQL:2016 DEFAULT
+  *    plan — OUTER parent/child (a parent with no nested rows emits
+  *    one row with NULL nested columns), which is also Trino 468's
+  *    default. SIBLING nested paths (the UNION plan) and a second
+  *    nesting LEVEL are named rejections — lower the next level as a
+  *    second JSON_TABLE over the inner array.
+  *  - PLAN / ERROR ON ERROR / EMPTY ... ON EMPTY are not supported
+  *    (named rejections); default NULL ON ERROR semantics is what the
+  *    lowering produces naturally.
   *
   * Lowering: the clause becomes a correlated `LATERAL (SELECT
   * CAST(get_json_object(elem, '<colpath>') AS <type>) AS <name>, ...
@@ -34,7 +42,10 @@ package graft.sql
   * 'array<string>')) ...)) <alias>` — Catalyst's native Generate, one
   * pass, no UDFs, and the alias's columns resolve by NAME everywhere
   * in the statement (no reference rewriting, names survive into the
-  * output schema).
+  * output schema). A NESTED entry adds one more Generate: `LATERAL
+  * VIEW OUTER posexplode_outer` over the nested array of each parent
+  * element — still one pass, still no UDFs, and the OUTER default plan
+  * falls out of the _outer generator.
   *
   * Empty/NULL documents produce zero rows (Trino's default inner
   * semantics).
@@ -65,6 +76,7 @@ object JsonTableSql {
     SqlScan.closeParen(sql, open, "JSON_TABLE")
 
   private case class Col(name: String, castType: Option[String], path: Option[String])
+  private case class Nested(path: String, cols: Seq[Col])
 
   private val trinoTypes: Map[String, String] = Map(
     "VARCHAR" -> "STRING", "CHAR" -> "STRING", "JSON" -> "STRING",
@@ -121,20 +133,37 @@ object JsonTableSql {
     val alias = aliasM.group(1)
     val afterAlias = close + 1 + aliasM.end
 
-    // args: <expr> , '<rowpath>' COLUMNS ( ... )
+    // args: <expr> , '<rowpath>' COLUMNS ( ... ) [trailing clause]
     val parts = splitTop(inside)
     require(parts.length == 2,
       s"JSON_TABLE takes (expr, 'row path' COLUMNS (...)), got ${parts.length} " +
-        "top-level arguments — NESTED PATH / PLAN / ON ERROR clauses are not supported")
+        "top-level arguments")
     val expr = parts(0).trim
     val pathCols = parts(1).trim
-    require(!pathCols.toUpperCase.contains("NESTED"),
-      "JSON_TABLE NESTED PATH is not supported — flatten with a second JSON_TABLE over the inner array")
-    val pcRx = """(?is)^\s*'((?:[^']|'')*)'\s*COLUMNS\s*\((.*)\)\s*$""".r
-    val (rowPathRaw, colsBlock) = pathCols match {
-      case pcRx(p, c) => (p, c)
-      case _ => throw new IllegalArgumentException(
-        s"JSON_TABLE: expected '<row path>' COLUMNS (...), got '$pathCols'")
+    val headRx = """(?is)^\s*'((?:[^']|'')*)'\s*COLUMNS\s*\(""".r
+    val headM = headRx.findFirstMatchIn(pathCols).getOrElse(
+      throw new IllegalArgumentException(
+        s"JSON_TABLE: expected '<row path>' COLUMNS (...), got '$pathCols'"))
+    val rowPathRaw = headM.group(1)
+    val colsOpen = headM.end - 1
+    val colsClose = closeParen(pathCols, colsOpen)
+    val colsBlock = pathCols.substring(colsOpen + 1, colsClose)
+    // anything after COLUMNS(...) is a clause this lowering does not
+    // support — name it (Trino 468 accepts PLAN and ON ERROR/ON EMPTY
+    // here, so these are honest dialect gaps, pinned in the spec)
+    val clauseTail = pathCols.substring(colsClose + 1).trim
+    if (clauseTail.nonEmpty) {
+      val up = clauseTail.toUpperCase
+      if (up.startsWith("PLAN"))
+        throw new IllegalArgumentException(
+          "JSON_TABLE PLAN clauses are not supported — the lowering implements " +
+            "the SQL:2016 default plan (OUTER parent/child), which is also Trino's default")
+      if (up.contains("ON ERROR") || up.contains("ON EMPTY"))
+        throw new IllegalArgumentException(
+          "JSON_TABLE ON ERROR / ON EMPTY clauses are not supported — the lowering " +
+            "produces the default NULL ON ERROR semantics")
+      throw new IllegalArgumentException(
+        s"JSON_TABLE: unsupported trailing clause '$clauseTail'")
     }
 
     // row path -> the array-of-json-strings expression
@@ -146,18 +175,40 @@ object JsonTableSql {
       if (prefix == "$") expr
       else s"get_json_object($expr, '${prefix.stripSuffix(".")}')"
 
-    // columns
+    // columns: plain entries + at most ONE NESTED PATH entry
     val ordRx = """(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+FOR\s+ORDINALITY\s*$""".r
     val colRx = ("""(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+""" +
       """([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+PATH\s+'((?:[^']|'')*)'\s*$""").r
-    val cols = splitTop(colsBlock).map {
+    val nestedRx =
+      """(?is)^\s*NESTED\s+(?:PATH\s+)?'((?:[^']|'')*)'\s*COLUMNS\s*\((.*)\)\s*$""".r
+    def parseLeaf(entry: String): Col = entry match {
       case ordRx(n) => Col(n, None, None)
       case colRx(n, t, p) => Col(n, Some(mapType(t)), Some(stripMode(p)))
       case other => throw new IllegalArgumentException(
         s"JSON_TABLE: unsupported COLUMNS entry '${other.trim}' — supported: " +
-          "name FOR ORDINALITY | name <type> PATH '<path>' (no NESTED/defaults)")
+          "name FOR ORDINALITY | name <type> PATH '<path>' | " +
+          "NESTED PATH '<path>[*]' COLUMNS (...) (no defaults)")
     }
-    require(cols.nonEmpty, "JSON_TABLE: COLUMNS must name at least one column")
+    val (nestedEntries, leafEntries) =
+      splitTop(colsBlock).partition(e => nestedRx.findFirstMatchIn(e).isDefined)
+    val cols = leafEntries.map(parseLeaf)
+    require(nestedEntries.length <= 1,
+      s"JSON_TABLE supports ONE NESTED PATH per COLUMNS block, got " +
+        s"${nestedEntries.length} — sibling NESTED paths take the UNION plan; " +
+        "lower the second as another JSON_TABLE")
+    val nested = nestedEntries.headOption.map { e =>
+      val m = nestedRx.findFirstMatchIn(e).get
+      val np = stripMode(m.group(1))
+      require(np.endsWith("[*]"),
+        s"JSON_TABLE NESTED PATH must iterate an array ('$$.a[*]'), got '${m.group(1)}'")
+      val innerEntries = splitTop(m.group(2))
+      require(!innerEntries.exists(x => nestedRx.findFirstMatchIn(x).isDefined),
+        "JSON_TABLE supports one NESTED level — lower the next level as a " +
+          "second JSON_TABLE over the inner array")
+      Nested(np, innerEntries.map(parseLeaf))
+    }
+    require(cols.nonEmpty || nested.nonEmpty,
+      "JSON_TABLE: COLUMNS must name at least one column")
 
     // lower to a LATERAL subquery yielding properly NAMED typed columns
     // — t.ln resolves naturally, SELECT t.ln keeps the name "ln", and
@@ -167,13 +218,30 @@ object JsonTableSql {
       if (c.castType.isEmpty) s"CAST(__jt_p + 1 AS INT) AS ${c.name}"
       else s"CAST(get_json_object(__jt_e, '${c.path.get}') AS ${c.castType.get}) AS ${c.name}"
     }
+    // nested columns read the nested element __jt_ne; its ordinality is
+    // __jt_np, NULL on the OUTER padding row (CAST(NULL + 1) stays NULL)
+    val nestedExprs = nested.toSeq.flatMap(_.cols).map { c =>
+      if (c.castType.isEmpty) s"CAST(__jt_np + 1 AS INT) AS ${c.name}"
+      else s"CAST(get_json_object(__jt_ne, '${c.path.get}') AS ${c.castType.get}) AS ${c.name}"
+    }
     val inner =
       if (hasOrd)
         s"(SELECT posexplode(from_json($arrayExpr, 'array<string>')) AS (__jt_p, __jt_e))"
       else
         s"(SELECT explode(from_json($arrayExpr, 'array<string>')) AS __jt_e)"
-    val lateral =
-      s"LATERAL (SELECT ${colExprs.mkString(", ")} FROM $inner) $alias"
+    val body = nested match {
+      case None =>
+        s"SELECT ${colExprs.mkString(", ")} FROM $inner"
+      case Some(n) =>
+        val nPrefix = n.path.stripSuffix("[*]")
+        val nArr =
+          if (nPrefix == "$") "__jt_e"
+          else s"get_json_object(__jt_e, '${nPrefix.stripSuffix(".")}')"
+        s"SELECT ${(colExprs ++ nestedExprs).mkString(", ")} FROM $inner " +
+          s"LATERAL VIEW OUTER posexplode_outer(from_json($nArr, 'array<string>')) " +
+          "__jt_nv AS __jt_np, __jt_ne"
+    }
+    val lateral = s"LATERAL ($body) $alias"
 
     // a lateral join needs a left relation: FROM-only JSON_TABLE has no
     // row to evaluate <expr> on; a preceding CROSS JOIN becomes a comma

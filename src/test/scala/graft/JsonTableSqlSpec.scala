@@ -52,6 +52,30 @@ class JsonTableSqlSpec extends SparkSpec {
       Set(1, null))
   }
 
+  test("NESTED PATH flattens the inner array with the OUTER default plan (round 13)") {
+    import spark.implicits._
+    Seq(
+      (1L, """[{"okey":10,"lines":[{"ln":1},{"ln":2}]},{"okey":11,"lines":[]}]"""),
+      (2L, """[{"okey":20}]"""))
+      .toDF("id", "doc").createOrReplaceTempView("jt_np")
+    val rows = spark.sql("""
+      SELECT d.id, t.okey, t.lpos, t.ln
+      FROM jt_np d, JSON_TABLE(d.doc, 'lax $[*]'
+        COLUMNS (okey BIGINT PATH 'lax $.okey',
+                 NESTED PATH 'lax $.lines[*]' COLUMNS (
+                   lpos FOR ORDINALITY,
+                   ln INTEGER PATH 'lax $.ln'))) AS t
+      ORDER BY d.id, t.okey, t.lpos""").collect()
+    def opt[T](r: org.apache.spark.sql.Row, i: Int, get: Int => T): Any =
+      if (r.isNullAt(i)) null else get(i)
+    // OUTER default plan: parents with empty/absent nested arrays emit
+    // ONE row with NULL nested columns (okey 11 and 20)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1),
+      opt(r, 2, r.getInt), opt(r, 3, r.getInt))).toSeq ==
+      Seq((1L, 10L, 1, 1), (1L, 10L, 2, 2), (1L, 11L, null, null),
+          (2L, 20L, null, null)))
+  }
+
   test("statements without the keyword and literals containing it pass untouched") {
     val plain = "SELECT 1 AS x FROM t WHERE s = 'call JSON_TABLE(x) later'"
     assert(JsonTableSql.rewrite(plain) == plain)
@@ -65,8 +89,26 @@ class JsonTableSqlSpec extends SparkSpec {
       .contains("alias"))
     assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $.a' COLUMNS (x INT PATH '$.x')) t")
       .contains("array"))
-    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x', NESTED PATH '$.y[*]' COLUMNS (z INT PATH '$.z'))) t")
-      .contains("NESTED"))
+    // one NESTED level is supported (round 13); deeper nesting, sibling
+    // NESTED paths, PLAN, and ON ERROR stay loud named rejections
+    // (Trino 468 accepts all four — honest dialect gaps, pinned here)
+    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x', " +
+      "NESTED PATH '$.y[*]' COLUMNS (z INT PATH '$.z', " +
+      "NESTED PATH '$.w[*]' COLUMNS (v INT PATH '$.v')))) t")
+      .contains("one NESTED level"))
+    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x', " +
+      "NESTED PATH '$.y[*]' COLUMNS (z INT PATH '$.z'), " +
+      "NESTED PATH '$.w[*]' COLUMNS (v INT PATH '$.v'))) t")
+      .contains("ONE NESTED PATH per COLUMNS"))
+    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x') " +
+      "PLAN (p OUTER q)) t")
+      .contains("PLAN"))
+    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x') " +
+      "ERROR ON ERROR) t")
+      .contains("ON ERROR"))
+    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x', " +
+      "NESTED PATH '$.y' COLUMNS (z INT PATH '$.z'))) t")
+      .contains("iterate an array"))
     assert(err("SELECT * FROM JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x')) t")
       .contains("follow a relation"))
     assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x GEOMETRY PATH '$.x')) t")
