@@ -468,18 +468,34 @@ object FunctionQueries {
     // O(groups), never re-reading the fact data). Sketch bytes are
     // engine-specific -> rows-only; FunctionsSpec pins the error
     // envelope and the union-vs-direct consistency property.
+    // Exact-below-saturation device, HLL edition (r12 verdict #7,
+    // probed round 13 — Probe14 `hllexact`): DataSketches HLL starts
+    // in exact coupon LIST/SET modes and at lgK=21 stays EXACT through
+    // every probed rung up to 16k distinct (64k is past the SET->HLL
+    // promotion: 64003), including through hll_union_agg of the
+    // per-group sketches — so this entry carries a FULL DuckDB oracle
+    // like f20/f22/f23 (orders.o_custkey: ~1k distinct at the sf0.01
+    // gate, ~10k at sf0.1 — both inside the exact regime). The
+    // saturated estimator regime stays FunctionsSpec's envelope (the
+    // default-lgK path asserted there). Spark-native
+    // approx_count_distinct has NO exact regime (dense-only HLL++,
+    // probed biased at every rung down to n=100) — f11 stays
+    // envelope-only by nature.
     QueryEntry("f19_hll_sketch_columns",
       (s, d) => {
         Tables(s, d, "orders")
           .groupBy(col("o_orderstatus"))
-          .agg(expr("hll_sketch_agg(o_custkey)").as("sk"), count(lit(1)).as("n"))
+          .agg(expr("hll_sketch_agg(o_custkey, 21)").as("sk"), count(lit(1)).as("n"))
           .agg(
             expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)")
               .as("merged_distinct"),
             sum(col("n")).as("n_rows"),
             count(lit(1)).as("n_groups"))
       },
-      None),
+      Some("""SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS merged_distinct,
+          COUNT(*) AS n_rows,
+          COUNT(DISTINCT o_orderstatus) AS n_groups
+        FROM orders""")),
 
     // ------------------------------------------------------------------
     // KMV bottom-k distinct sketches (round 11, functions/KmvSketch

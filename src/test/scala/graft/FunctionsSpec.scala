@@ -65,17 +65,26 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
-  test("f19 HLL sketch columns: union of per-group sketches ~ exact distinct") {
+  test("f19 HLL sketch columns: lgK=21 coupon regime is EXACT; default lgK envelopes") {
     Tables.registerAll(spark, sf())
     val row = SparkEntry.queries("f19_hll_sketch_columns")(spark, sf()).head()
     val merged = row.getLong(0)
     val exact = spark.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders").head().getLong(0)
-    // Datasketches HLL default lgK=12: relative error ~1.6%; assert 5%
-    assert(math.abs(merged - exact).toDouble / exact < 0.05, s"merged=$merged exact=$exact")
+    // r13 (Probe14 hllexact): lgK=21 holds the exact coupon SET mode
+    // through >= 16k distinct — at entry cardinalities the union of
+    // per-group sketches IS the exact distinct count (the device that
+    // gives f19 its full DuckDB oracle)
+    assert(merged == exact, s"lgK=21 coupon regime must be exact: merged=$merged exact=$exact")
+    // the SATURATED regime stays an envelope: default lgK=12 has
+    // promoted to estimating HLL mode at these cardinalities
+    val est = spark.sql(
+      "SELECT CAST(hll_sketch_estimate(hll_sketch_agg(o_custkey)) AS BIGINT) FROM orders")
+      .head().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.05, s"default-lgK $est vs exact $exact")
     // mergeability: union of the per-group sketches must agree with a
     // single sketch built over the whole column (same config)
     val direct = spark.sql(
-      "SELECT CAST(hll_sketch_estimate(hll_sketch_agg(o_custkey)) AS BIGINT) FROM orders")
+      "SELECT CAST(hll_sketch_estimate(hll_sketch_agg(o_custkey, 21))AS BIGINT) FROM orders")
       .head().getLong(0)
     assert(merged == direct, s"union-of-parts $merged != sketch-of-whole $direct")
   }

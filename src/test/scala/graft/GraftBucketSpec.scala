@@ -183,6 +183,46 @@ class GraftBucketSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
   }
 
+  test("ANN codes table bucketed by cell: probe queries prune statically (r12 #6)") {
+    // the IVF serving layout: PQ codes stored WITH their cell id,
+    // bucketed by cent_id — the inverted-list file layout. A probe
+    // (cent_id IN (...); the probed cells are computed driver-side
+    // against metadata-sized centroids) must (a) prune the scan to the
+    // probed cells' buckets, (b) join the broadcast ADC LUT with no
+    // codes-side shuffle, (c) match the unbucketed plan's answers.
+    sql("CREATE NAMESPACE IF NOT EXISTS bkt.ann")
+    sql("""CREATE TABLE bkt.ann.codes (cent_id BIGINT, id BIGINT, j INT, c INT)
+      PARTITIONED BY (bucket(8, cent_id))""")
+    sql("CREATE TABLE bkt.ann.codes_flat (cent_id BIGINT, id BIGINT, j INT, c INT)")
+    val rows = for (id <- 0L until 500L; j <- 0 until 4)
+      yield (id % 10, id, j, ((id * 7 + j * 13) % 32).toInt)
+    rows.toDF("cent_id", "id", "j", "c").write.insertInto("bkt.ann.codes")
+    rows.toDF("cent_id", "id", "j", "c").write.insertInto("bkt.ann.codes_flat")
+    // one query's ADC lookup table (j, c) -> dd, tiny -> broadcasts
+    (for (j <- 0 until 4; c <- 0 until 32) yield (j, c, (j * 32 + c) * 0.25))
+      .toDF("j", "c", "dd").createOrReplaceTempView("ann_lut")
+    def probe(tbl: String) = sql(
+      s"""SELECT k.id AS id_c, ROUND(SUM(l.dd), 6) AS adc
+          FROM bkt.ann.$tbl k JOIN ann_lut l ON l.j = k.j AND l.c = k.c
+          WHERE k.cent_id IN (2, 5)
+          GROUP BY k.id ORDER BY adc, id_c LIMIT 3""")
+    val got = probe("codes").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = probe("codes_flat").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want && got.length == 3, s"$got vs $want")
+    val p = plan(probe("codes"))
+    val occupied = "(\\d+) occupied buckets".r.findFirstMatchIn(p).map(_.group(1).toInt)
+    assert(occupied.exists(_ <= 2),
+      s"2-cell probe must prune to <= 2 buckets:\n${p.take(2000)}")
+    // codes side never hash-shuffles: LUT broadcasts, and the only
+    // exchange is the output-bounded id_c aggregation (count the FINAL
+    // AQE plan only — the tree repeats under "== Initial Plan ==")
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(finalSection.contains("BroadcastHashJoin"),
+      s"LUT must broadcast:\n${finalSection.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(finalSection).size <= 1,
+      s"probe must not shuffle the codes:\n${finalSection.take(3000)}")
+  }
+
   test("bucket spec contract failures are loud") {
     sql("CREATE NAMESPACE IF NOT EXISTS bkt.err")
     val e1 = intercept[Exception](sql(
