@@ -141,14 +141,20 @@ object GraftBucketScan {
     * the query matches nothing from pruned groups. Only INT/BIGINT
     * keys exist (create enforces), so unhandled value types simply
     * contribute no pruning. */
+  /** Bucket id of one key value under the write layout's hash — shared
+    * by the catalog scan's pruning below and GraftTable's direct-load
+    * `read(filters)` twin. None for unhandled types (only INT/BIGINT
+    * bucket keys exist; create enforces). */
+  def bucketOf(v: Any, n: Int): Option[Int] = v match {
+    case l: Long => Some(pmod(Murmur3_x86_32.hashLong(l, 42), n))
+    case i: Int => Some(pmod(Murmur3_x86_32.hashInt(i, 42), n))
+    case l: java.lang.Long => Some(pmod(Murmur3_x86_32.hashLong(l, 42), n))
+    case i: java.lang.Integer => Some(pmod(Murmur3_x86_32.hashInt(i, 42), n))
+    case _ => None
+  }
+
   def bucketsFor(pushed: Array[Filter], colName: String, n: Int): Option[Set[Int]] = {
-    def bucketOf(v: Any): Option[Int] = v match {
-      case l: Long => Some(pmod(Murmur3_x86_32.hashLong(l, 42), n))
-      case i: Int => Some(pmod(Murmur3_x86_32.hashInt(i, 42), n))
-      case l: java.lang.Long => Some(pmod(Murmur3_x86_32.hashLong(l, 42), n))
-      case i: java.lang.Integer => Some(pmod(Murmur3_x86_32.hashInt(i, 42), n))
-      case _ => None
-    }
+    def bucketOf(v: Any): Option[Int] = GraftBucketScan.bucketOf(v, n)
     val perConjunct = pushed.toSeq.flatMap {
       case org.apache.spark.sql.sources.EqualTo(a, v) if a == colName =>
         bucketOf(v).map(Set(_))

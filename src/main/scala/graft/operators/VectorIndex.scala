@@ -28,9 +28,20 @@ import graft.store.GraftTable
   */
 object VectorIndex {
 
-  /** Build the index: centroids parquet + clustered assignment table. */
+  /** Build the index: centroids parquet + clustered assignment table.
+    *
+    * `pqSubspaces = Some(m)` additionally trains a per-subspace product-
+    * quantization codebook ([[VectorOps.pqCodebookTrained]], `pqCodewords`
+    * centroids per subspace) and persists the 8-byte-per-vector codes as
+    * a GraftTable `bucket(codeBuckets, cent_id)` — the FAISS inverted-
+    * list layout expressed relationally (round 13, SCALE.md (x)): a
+    * [[VectorIndex.searchPq]] probe statically prunes the codes scan to
+    * its probed cells' buckets, so a query reads probed-cells/k of the
+    * codes table and never touches a full-precision vector. */
   def build(spark: SparkSession, embeddings: DataFrame, root: String,
-            nCentroids: Int = 64, seed: Long = 42L): VectorIndex = {
+            nCentroids: Int = 64, seed: Long = 42L,
+            pqSubspaces: Option[Int] = None, pqCodewords: Int = 256,
+            codeBuckets: Int = 32): VectorIndex = {
     graft.functions.GraftFunctions.register(spark)
     // L2-normalize BEFORE training (spherical k-means approximation):
     // MLlib's k-means minimizes EUCLIDEAN distance, but index probes
@@ -67,6 +78,19 @@ object VectorIndex {
     import spark.implicits._
     cents.toSeq.toDF("cent_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    pqSubspaces.foreach { m =>
+      val dim = model.clusterCenters.head.size
+      val vecsDf = assigned
+        .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      val cb = VectorOps.pqCodebookTrained(vecsDf, dim, m, pqCodewords, seed)
+      cb.coalesce(1).write.mode("overwrite").parquet(s"$root/pq_codebook")
+      val codes = VectorOps.pqEncode(vecsDf, cb, dim, m)
+        .join(assigned.select(col("vec_id"), col("cent_id")), Seq("vec_id"))
+        .select(col("cent_id"), col("vec_id"), col("j"),
+          col("c").cast("int").as("c"))
+      GraftTable.create(spark, s"$root/pq_codes", codes,
+        bucketBy = Some(("cent_id", codeBuckets)))
+    }
     new VectorIndex(spark, root)
   }
 
@@ -138,6 +162,48 @@ final class VectorIndex private[operators] (spark: SparkSession, root: String) {
       .orderBy(col("qcos").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** As [[searchQuantized]], but over the PQ codes table — the full
+    * 100 TB serving shape (round 13): cell selection on driver-resident
+    * centroids, the per-query ADC lookup table computed DRIVER-side
+    * from the metadata-sized codebook (m × codewords × w doubles) and
+    * broadcast, and the codes scan statically pruned to the probed
+    * cells' buckets (the table is `bucket(n, cent_id)`; GraftTable.read
+    * prunes bucket files on the IN conjunct). A query therefore reads
+    * ~nprobe/k of an 8-byte-per-vector table and touches no
+    * full-precision vector anywhere. Returns (vec_id, cent_id, adc)
+    * ascending by ADC (approximate squared L2 — smaller is closer). */
+  def searchPq(query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/pq_codebook")),
+      s"index at $root has no PQ layer — rebuild with VectorIndex.build(..., " +
+        "pqSubspaces = Some(m)) to use searchPq (search()/searchQuantized() still work)")
+    val probes = probeCells(query, nprobe)
+    val cb = spark.read.parquet(s"$root/pq_codebook").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val w = cb.head._3.length
+    val lut = cb.map { case (j, c, cw) =>
+      var dd = 0.0
+      var i = 0
+      while (i < w) {
+        val d = query(j * w + i).toDouble - cw(i)
+        dd += d * d
+        i += 1
+      }
+      (j, c.toInt, dd)
+    }
+    import spark.implicits._
+    val lutDf = lut.toSeq.toDF("j", "c", "dd")
+    codesTable.read(filters = Seq(col("cent_id").isin(probes.toIndexedSeq: _*)))
+      .join(broadcast(lutDf), Seq("j", "c"))
+      .groupBy(col("vec_id"), col("cent_id"))
+      .agg(sum(col("dd")).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cent_id"), col("adc"))
+  }
+
+  private lazy val codesTable = GraftTable.load(spark, s"$root/pq_codes")
 
   private def probeCells(query: Array[Float], nprobe: Int): Array[Long] =
     centroids.sortBy { case (_, c) => -cosine(query, c) }.take(nprobe).map(_._1)

@@ -193,12 +193,63 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     val v = resolveVersion(asOfVersion, ref)
     val files = log.snapshotFiles(v)
     val sch = schemaAt(v)
-    val kept = StatsPruner.prune(files, resolve(filters, sch), sch)
+    val resolved = resolve(filters, sch)
+    val kept = bucketPruneFiles(StatsPruner.prune(files, resolved, sch), resolved, v)
     val df =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
       else readData(kept.map(f => s"$root/${f.path}"), sch)
     filters.foldLeft(df)(_ filter _)
+  }
+
+  /** Direct-load twin of the catalog scan's static bucket pruning
+    * (GraftBucketScan.bucketsFor): equality/IN conjuncts on the bucket
+    * column keep only the value-buckets' files. min/max stats CANNOT
+    * prune a hash layout — each bucket's key values span the whole
+    * range by construction — so without this `read(filters)` scanned
+    * every file a catalog query would skip (round 13, the IVF
+    * inverted-list serving path). No-op when the table isn't bucketed
+    * or any live file lacks the __bucket stat (explicit re-layout:
+    * fall back to the full scan, same answers). */
+  private def bucketPruneFiles(kept: Seq[FileStat], resolved: Seq[Expression],
+                               v: Long): Seq[FileStat] =
+    (bucketSpec, bucketColumnAt(v)) match {
+      case (Some((_, n)), Some(colName))
+          if resolved.nonEmpty && kept.forall(_.min.contains(GraftTable.BucketStatKey)) =>
+        val targetSets = resolved.flatMap(e => bucketTargets(e, colName, n))
+        if (targetSets.isEmpty) kept
+        else {
+          val targets = targetSets.reduce(_ intersect _)
+          kept.filter(f => targets.contains(f.min(GraftTable.BucketStatKey).toInt))
+        }
+      case _ => kept
+    }
+
+  /** Bucket set a resolved predicate confines the bucket column to:
+    * EqualTo/In/InSet on the column (literal side only), And-composed.
+    * None = no usable conjunct (no pruning from this expression). */
+  private def bucketTargets(e: Expression, colName: String, n: Int): Option[Set[Int]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, In, InSet}
+    e match {
+      case And(l, r) =>
+        (bucketTargets(l, colName, n), bucketTargets(r, colName, n)) match {
+          case (Some(a), Some(b)) => Some(a intersect b)
+          case (a, b) => a.orElse(b)
+        }
+      case EqualTo(a: AttributeReference, Literal(v0, _)) if a.name == colName =>
+        graft.catalog.GraftBucketScan.bucketOf(v0, n).map(Set(_))
+      case EqualTo(Literal(v0, _), a: AttributeReference) if a.name == colName =>
+        graft.catalog.GraftBucketScan.bucketOf(v0, n).map(Set(_))
+      case In(a: AttributeReference, vs) if a.name == colName &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        val bs = vs.map(l => graft.catalog.GraftBucketScan.bucketOf(
+          l.asInstanceOf[Literal].value, n))
+        if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+      case InSet(a: AttributeReference, set) if a.name == colName =>
+        val bs = set.toSeq.map(v0 => graft.catalog.GraftBucketScan.bucketOf(v0, n))
+        if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+      case _ => None
+    }
   }
 
   def history: Seq[Commit] = log.versions.map(log.read)

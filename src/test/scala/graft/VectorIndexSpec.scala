@@ -48,4 +48,50 @@ class VectorIndexSpec extends SparkSpec {
     val overlap = (qf intersect qz.map(_.getLong(0)).toSet).size
     assert(overlap >= 4, s"quantized top-5 drifted from float top-5: $overlap/5")
   }
+
+  test("PQ layer: searchPq serves off bucket-pruned 8-byte codes (round 13)") {
+    val root = Files.createTempDirectory("graft_ivfpq").toString
+    val emb = Tables(spark, sf(), "embeddings")
+    // small codebook (16 codewords) — the fixture corpus is small; the
+    // layout and pruning, not the codebook size, are under test
+    val idx = VectorIndex.build(spark, emb, root, nCentroids = 8,
+      pqSubspaces = Some(8), pqCodewords = 16, codeBuckets = 8)
+
+    val q = emb.filter(col("vec_id") === 7L)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val hits = idx.searchPq(q, k = 5, nprobe = 3).collect()
+    // self-hit: vector 7's own codes reconstruct its subvectors best,
+    // so its ADC (squared L2 to its codewords) is the group minimum
+    assert(hits.head.getLong(0) == 7L, hits.mkString(";"))
+    assert(hits.map(_.getDouble(2)).toSeq == hits.map(_.getDouble(2)).toSeq.sorted)
+
+    // coarse agreement with the float ranking over the same probed
+    // cells: at 16 codewords on this tiny fixture the quantization is
+    // deliberately blunt, AND PQ ranks by L2 ADC where search() ranks
+    // by cosine — recall floors are PqSpec's job (trained geometry,
+    // proper codebook size); here only layout + pruning are under test
+    val fl = idx.search(q, k = 5, nprobe = 3).collect().map(_.getLong(0)).toSet
+    val overlap = (fl intersect hits.map(_.getLong(0)).toSet).size
+    assert(overlap >= 2, s"PQ top-5 unrelated to float top-5: $overlap/5")
+
+    // the serving contract: the codes read is bucket-file-pruned by the
+    // probes' cent_id IN conjunct (GraftTable.read's direct-load twin
+    // of the catalog scan's static pruning)
+    val codes = GraftTable.load(spark, s"$root/pq_codes")
+    val all = codes.read().inputFiles.length
+    val pruned = codes.read(filters = Seq(col("cent_id").isin(0L, 1L))).inputFiles.length
+    assert(all > 2 && pruned < all, s"expected bucket pruning, got $pruned/$all files")
+    // and a probe on an EMPTY bucket set reads nothing but stays correct
+    assert(codes.read(filters = Seq(col("cent_id") === -1L)).count() == 0L)
+
+    // reload from disk: the PQ layer is fully persisted state
+    val again = VectorIndex.load(spark, root).searchPq(q, k = 1, nprobe = 3).collect()
+    assert(again.head.getLong(0) == 7L)
+    // a pre-PQ index rejects searchPq loudly, by feature name
+    val noPq = Files.createTempDirectory("graft_ivf_nopq").toString
+    VectorIndex.build(spark, emb, noPq, nCentroids = 8)
+    val e = intercept[IllegalArgumentException](
+      VectorIndex.load(spark, noPq).searchPq(q, k = 1))
+    assert(e.getMessage.contains("pqSubspaces"), e.getMessage)
+  }
 }
