@@ -205,6 +205,70 @@ final class VectorIndex private[operators] (spark: SparkSession, root: String) {
 
   private lazy val codesTable = GraftTable.load(spark, s"$root/pq_codes")
 
+  private def hasPq: Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/pq_codebook"))
+
+  /** Append new vectors incrementally — the INGEST path of a built
+    * index (round 13). Cells are never retrained: each vector is
+    * assigned to its nearest existing centroid by COSINE — the same
+    * rule [[probeCells]] applies at query time, so an appended vector
+    * lives in exactly the cell a query probes for it (k-means quality
+    * degrades gracefully as the corpus drifts; rebuild when recall
+    * says so). int8 codes use the shared rounding
+    * ([[VectorOps.withInt8Codes]]); when the index carries a PQ layer
+    * the new vectors are encoded against the PERSISTED codebook and
+    * appended to the bucketed codes table — appends route through the
+    * store's bucket-clustered writer, so [[searchPq]]'s static pruning
+    * survives ingestion forever.
+    *
+    * `op` labels the commits for exactly-once streaming replays: each
+    * table dedups independently (appendAsOnce), so a crash between the
+    * two appends re-applies only the missing one. Input needs
+    * (vec_id, embedding); duplicate vec_ids are the caller's contract.
+    * Returns the number of vectors appended (0 on a dedup'd replay). */
+  def append(newVectors: DataFrame, op: Option[String] = None,
+             opFamily: Option[String] = None): Long = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val centsDf = broadcast(
+      centroids.toSeq.map { case (id, c) => (id, c.toSeq) }.toDF("cent_id", "c0")
+        .selectExpr("cent_id", "transform(c0, x -> CAST(x AS DOUBLE)) AS vc")
+        .selectExpr("cent_id", "vc", "vector_dot(vc, vc) AS nc2"))
+    val assignedNew = VectorOps.withInt8Codes(
+      newVectors.select(col("vec_id"), col("embedding"))
+        .withColumn("n2", expr("coalesce(vector_dot(embedding, embedding), 0D)"))
+        .crossJoin(centsDf)
+        .selectExpr("vec_id", "embedding", "n2", "cent_id",
+          "vector_dot(embedding, vc) / (SQRT(n2) * SQRT(nc2)) AS ccos")
+        .groupBy(col("vec_id"))
+        .agg(expr("arg_max_by(struct(embedding, n2, cent_id), struct(ccos, -cent_id))")
+          .as("__w"))
+        .select(col("vec_id"), col("__w.embedding").as("embedding"),
+          col("__w.cent_id").as("cent_id"), col("__w.n2").as("n2")),
+      "embedding")
+      .localCheckpoint() // assignments append + PQ encode read ONE computation
+    val n = assignedNew.count()
+    def commit(t: GraftTable, df: DataFrame): Unit = (op, opFamily) match {
+      case (Some(o), Some(fam)) =>
+        t.appendAsOnce(o, df, _.startsWith(fam), _ == o); ()
+      case _ => t.append(df); ()
+    }
+    commit(table, assignedNew)
+    if (hasPq) {
+      val cb = spark.read.parquet(s"$root/pq_codebook")
+      val meta = cb.selectExpr("max(j) AS mj", "size(first(cw)) AS w").head()
+      val (m, w) = (meta.getInt(0) + 1, meta.getInt(1))
+      val codes = VectorOps.pqEncode(
+          assignedNew.selectExpr("vec_id",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"),
+          cb, dim = m * w, m = m)
+        .join(assignedNew.select(col("vec_id"), col("cent_id")), Seq("vec_id"))
+        .select(col("cent_id"), col("vec_id"), col("j"), col("c").cast("int").as("c"))
+      commit(codesTable, codes)
+    }
+    n
+  }
+
   private def probeCells(query: Array[Float], nprobe: Int): Array[Long] =
     centroids.sortBy { case (_, c) => -cosine(query, c) }.take(nprobe).map(_._1)
 }

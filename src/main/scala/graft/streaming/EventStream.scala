@@ -535,6 +535,44 @@ object EventStream {
       .start()
   }
 
+  /** STREAMING VECTOR-INDEX MAINTENANCE (round 13): append arriving
+    * (vec_id, embedding) rows into a built [[graft.operators.VectorIndex]]
+    * at ingest — cell assignment against the index's frozen centroids,
+    * int8 codes, and (when the index carries a PQ layer) PQ codes into
+    * the bucketed codes table, all per micro-batch. Exactly-once by
+    * labeled commits: each of the index's tables dedups a replayed
+    * batch independently (appendAsOnce inside [[VectorIndex.append]]),
+    * so a crash between the two appends re-applies only the missing
+    * one. Stateless — no watermark, no aggregation state; the index
+    * tables ARE the state, versioned and time-travelable like every
+    * GraftTable sink. At 100 TB this is the serving story's other
+    * half: vectors become searchable within one trigger of arriving,
+    * and searchPq's bucket pruning survives because appends route
+    * through the store's bucket-clustered writer. */
+  def indexVectorsStream(
+      vectors: DataFrame,
+      indexRoot: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = vectors.sparkSession
+    val prefix = s"stream-vecidx:${sinkId(checkpointDir)}:"
+    val idx = graft.operators.VectorIndex.load(spark, indexRoot)
+    var mark: BatchMark = null
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (mark == null)
+          mark = new BatchMark(
+            graft.store.GraftTable.load(spark, s"$indexRoot/assignments"), Seq(prefix))
+        if (!mark.alreadyCommitted(batchId)) {
+          idx.append(batch, op = Some(s"$prefix$batchId"), opFamily = Some(prefix))
+          mark.advance(batchId)
+        }
+      }
+      .start()
+  }
+
   /** Stream-static enrichment join: the static dimension is re-planned
     * per micro-batch (broadcast when it fits), carries no streaming
     * state, and picks up dimension updates between batches — the

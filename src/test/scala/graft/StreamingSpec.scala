@@ -686,6 +686,51 @@ class StreamingSpec extends SparkSpec {
         s"(pairs ${pairs.mkString(",")})")
   }
 
+  test("streaming vector-index maintenance: arrivals searchable, exactly-once (r13)") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft_vis_idx").toString + "/index"
+    val landing = Files.createTempDirectory("graft_vis_landing").toString
+    val ckpt = Files.createTempDirectory("graft_vis_ckpt").toString
+    val emb = Tables(spark, sf(), "embeddings")
+    graft.operators.VectorIndex.build(spark, emb, root, nCentroids = 8,
+      pqSubspaces = Some(8), pqCodewords = 16, codeBuckets = 8)
+
+    // two drops: exact copies of vectors 7 and 3 under new ids — one
+    // micro-batch each (maxFilesPerTrigger = 1)
+    emb.filter(col("vec_id") === 7L).selectExpr("9001L AS vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(landing)
+    emb.filter(col("vec_id") === 3L).selectExpr("9002L AS vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = EventStream.indexVectorsStream(stream, root, ckpt)
+    assert(q.awaitTermination(240000), "stream did not drain in 240s")
+
+    // both arrivals searchable through BOTH paths (exact copies: cell
+    // and codes identical to their originals)
+    val idx = graft.operators.VectorIndex.load(spark, root)
+    val q7 = emb.filter(col("vec_id") === 7L)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    assert(idx.search(q7, k = 3, nprobe = 2).collect().map(_.getLong(0)).toSet
+      .contains(9001L), "float search misses streamed vector")
+    assert(idx.searchPq(q7, k = 3, nprobe = 3).collect().map(_.getLong(0)).toSet
+      .contains(9001L), "PQ search misses streamed vector")
+    assert(graft.store.GraftTable.load(spark, s"$root/assignments").read()
+      .filter(col("vec_id") === 9002L).count() == 1L)
+
+    // exactly-once: a restart on the same checkpoint commits nothing
+    val av = graft.store.GraftTable.load(spark, s"$root/assignments").currentVersion
+    val cv = graft.store.GraftTable.load(spark, s"$root/pq_codes").currentVersion
+    val q2 = EventStream.indexVectorsStream(stream, root, ckpt)
+    assert(q2.awaitTermination(240000), "restart did not drain")
+    assert(graft.store.GraftTable.load(spark, s"$root/assignments").currentVersion == av,
+      "restart re-committed assignments")
+    assert(graft.store.GraftTable.load(spark, s"$root/pq_codes").currentVersion == cv,
+      "restart re-committed codes")
+  }
+
   test("indexed near-dup maintenance: small-file sweep consolidates the band index (r11)") {
     import org.apache.spark.sql.types._
     // six one-doc triggers with compactEvery=2: the sweep fires after

@@ -94,4 +94,45 @@ class VectorIndexSpec extends SparkSpec {
       VectorIndex.load(spark, noPq).searchPq(q, k = 1))
     assert(e.getMessage.contains("pqSubspaces"), e.getMessage)
   }
+
+  test("append: new vectors searchable without retraining; layout + replays hold (r13)") {
+    val root = Files.createTempDirectory("graft_ivf_app").toString
+    val emb = Tables(spark, sf(), "embeddings")
+    val idx = VectorIndex.build(spark, emb, root, nCentroids = 8,
+      pqSubspaces = Some(8), pqCodewords = 16, codeBuckets = 8)
+    val q = emb.filter(col("vec_id") === 7L)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+
+    // append an exact copy of vector 7 under a new id: cosine-argmax
+    // assignment must land it in 7's cell, and both search paths must
+    // surface it (cosine exactly 1; identical PQ codes)
+    val newcomer = emb.filter(col("vec_id") === 7L)
+      .selectExpr("9001L AS vec_id", "embedding")
+    val n = idx.append(newcomer)
+    assert(n == 1L)
+    val asg = GraftTable.load(spark, s"$root/assignments").read()
+      .filter(col("vec_id").isin(7L, 9001L))
+      .select("vec_id", "cent_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg(9001L) == asg(7L), s"appended copy landed in a different cell: $asg")
+    val fl = idx.search(q, k = 3, nprobe = 2).collect().map(_.getLong(0)).toSet
+    assert(fl.contains(9001L) && fl.contains(7L), s"float search misses newcomer: $fl")
+    val pq = idx.searchPq(q, k = 3, nprobe = 3).collect().map(_.getLong(0)).toSet
+    assert(pq.contains(9001L) && pq.contains(7L), s"PQ search misses newcomer: $pq")
+
+    // the bucket layout survives the append: pruning still strict
+    val codes = GraftTable.load(spark, s"$root/pq_codes")
+    val all = codes.read().inputFiles.length
+    val pruned = codes.read(filters = Seq(col("cent_id") === asg(7L))).inputFiles.length
+    assert(pruned < all, s"append degraded bucket pruning: $pruned/$all")
+
+    // labeled replays are exactly-once on BOTH tables independently
+    val more = emb.filter(col("vec_id") === 3L).selectExpr("9002L AS vec_id", "embedding")
+    idx.append(more, op = Some("t:1"), opFamily = Some("t:"))
+    val (av, cv) = (GraftTable.load(spark, s"$root/assignments").currentVersion,
+      codes.currentVersion)
+    idx.append(more, op = Some("t:1"), opFamily = Some("t:")) // replay
+    assert(GraftTable.load(spark, s"$root/assignments").currentVersion == av,
+      "replayed append re-committed assignments")
+    assert(codes.currentVersion == cv, "replayed append re-committed codes")
+  }
 }
