@@ -305,6 +305,26 @@ object GraftFunctions {
         Seq(Cast(exprs(0), org.apache.spark.sql.types.LongType),
           Cast(exprs(1), org.apache.spark.sql.types.LongType)))
     },
+    // Trino scalar parity batch 3 (round 13; same StaticInvoke device).
+    // NOT registered: width_bucket and luhn_check — Spark 4 ships both
+    // NATIVELY (probed round 13: functionExists = true in a bare
+    // session) and a registry entry would SHADOW the builtin with
+    // different contract semantics (Spark returns NULL/false where
+    // Trino errors on a bad bucket count / non-digit input — the
+    // dialect delta is pinned in ScalarParitySpec). Only the genuinely
+    // absent three get kernels:
+    "to_big_endian_64" -> { exprs: Seq[Expression] =>
+      staticCall("toBigEndian64", org.apache.spark.sql.types.BinaryType,
+        Seq(Cast(exprs.head, org.apache.spark.sql.types.LongType)))
+    },
+    "from_big_endian_64" -> { exprs: Seq[Expression] =>
+      staticCall("fromBigEndian64", org.apache.spark.sql.types.LongType,
+        Seq(Cast(exprs.head, org.apache.spark.sql.types.BinaryType)))
+    },
+    "great_circle_distance" -> { exprs: Seq[Expression] =>
+      val d = org.apache.spark.sql.types.DoubleType
+      staticCall("greatCircleDistance", d, exprs.map(Cast(_, d)))
+    },
     // NOTE: Trino's date_add('unit', n, ts) is NOT registered here —
     // Spark's PARSER reserves date_add(unit, ...) grammar (a quoted
     // unit is a ParseException before any registry lookup), so the
@@ -379,6 +399,8 @@ object GraftFunctions {
     "value_at_quantile" -> ((2, 2)), "values_at_quantiles" -> ((2, 2)),
     "trimmed_mean" -> ((3, 3)),
     "hamming_distance" -> ((2, 2)), "normalize" -> ((1, 2)),
+    "to_big_endian_64" -> ((1, 1)), "from_big_endian_64" -> ((1, 1)),
+    "great_circle_distance" -> ((4, 4)),
     "codepoint" -> ((1, 1)), "from_base" -> ((2, 2)), "to_base" -> ((2, 2)),
     "last_day_of_month" -> ((1, 1)), "week_of_year" -> ((1, 1)),
     "geometric_mean" -> ((1, 1)), "arbitrary" -> ((1, 1)),

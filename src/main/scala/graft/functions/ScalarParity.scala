@@ -61,4 +61,41 @@ object GraftStringOps {
     require(radix >= 2 && radix <= 36, s"to_base radix must be in [2, 36], got $radix")
     UTF8String.fromString(java.lang.Long.toString(x, radix.toInt))
   }
+
+  // -------- batch 3 (round 13) --------
+  // width_bucket and luhn_check have NO kernels here: Spark 4 ships
+  // both natively (probed in a bare session), and shadowing a builtin
+  // from the registry would silently change its contract semantics.
+
+  /** Trino `to_big_endian_64` / `from_big_endian_64` — 8-byte two's-
+    * complement big-endian encoding of a bigint (the portable sortable
+    * byte form; from_ errors on any other length). */
+  def toBigEndian64(x: Long): Array[Byte] = {
+    val out = new Array[Byte](8)
+    java.nio.ByteBuffer.wrap(out).putLong(x)
+    out
+  }
+
+  def fromBigEndian64(b: Array[Byte]): Long = {
+    require(b.length == 8, s"from_big_endian_64 requires exactly 8 bytes, got ${b.length}")
+    java.nio.ByteBuffer.wrap(b).getLong
+  }
+
+  /** Trino `great_circle_distance(lat1, lon1, lat2, lon2)` — kilometers
+    * on the sphere via the haversine formula with the mean earth radius
+    * Presto/Trino's MathFunctions pin (6371.01 km). The f28 oracle
+    * spells the identical formula, so the gate comparison is exact up
+    * to the shared ROUND. */
+  def greatCircleDistance(lat1: Double, lon1: Double,
+                          lat2: Double, lon2: Double): Double = {
+    require(lat1.abs <= 90 && lat2.abs <= 90 && lon1.abs <= 180 && lon2.abs <= 180,
+      "great_circle_distance: latitude must be in [-90, 90], longitude in [-180, 180]")
+    val rLat1 = math.toRadians(lat1)
+    val rLat2 = math.toRadians(lat2)
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
+      math.cos(rLat1) * math.cos(rLat2) * math.sin(dLon / 2) * math.sin(dLon / 2)
+    2.0 * 6371.01 * math.asin(math.sqrt(a))
+  }
 }

@@ -826,6 +826,65 @@ object FunctionQueries {
         FROM orders WHERE o_orderkey <= 2000""")),
 
     // ------------------------------------------------------------------
+    // Trino scalar parity batch 3 (round 13, ScalarParity.scala batch-3
+    // StaticInvoke kernels): width_bucket (ascending AND descending
+    // bounds), luhn_check (the oracle re-derives the checksum with
+    // DuckDB list ops over the digit string), to_big_endian_64 /
+    // from_big_endian_64 (hex of the 8-byte encoding oracles as the
+    // zero-padded base-16 key; the pair round-trips to the key itself),
+    // and great_circle_distance (haversine, earth radius 6371.01 km —
+    // the Presto/Trino MathFunctions constant; the oracle spells the
+    // IDENTICAL formula term-for-term, so ROUND(4) only absorbs
+    // last-ulp libm differences). Lat/lon operands are synthesized from
+    // the keys, away from poles/antipodes.
+    QueryEntry("f28_scalar_parity3",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables(s, d, "orders")
+          .filter(col("o_orderkey") <= 3000)
+          .selectExpr(
+            "o_orderkey",
+            "width_bucket(o_totalprice, 0, 600000, 10) AS price_bucket",
+            "width_bucket(o_totalprice, 600000, 0, 10) AS price_bucket_desc",
+            "luhn_check(CAST(o_orderkey AS STRING)) AS luhn_ok",
+            "hex(to_big_endian_64(o_orderkey)) AS be_hex",
+            "from_big_endian_64(to_big_endian_64(o_orderkey)) AS be_roundtrip",
+            "ROUND(great_circle_distance(" +
+              "CAST(o_orderkey % 120 AS DOUBLE) - 60 + 0.25, " +
+              "CAST(o_custkey % 300 AS DOUBLE) - 150 + 0.5, " +
+              "CAST(o_custkey % 120 AS DOUBLE) - 60 - 0.25, " +
+              "CAST(o_orderkey % 300 AS DOUBLE) - 150 - 0.5), 4) AS gc_km")
+      },
+      Some("""WITH b AS (
+          SELECT o_orderkey, o_totalprice, CAST(o_orderkey AS VARCHAR) AS s,
+                 CAST(o_orderkey % 120 AS DOUBLE) - 60 + 0.25 AS lat1,
+                 CAST(o_custkey % 300 AS DOUBLE) - 150 + 0.5 AS lon1,
+                 CAST(o_custkey % 120 AS DOUBLE) - 60 - 0.25 AS lat2,
+                 CAST(o_orderkey % 300 AS DOUBLE) - 150 - 0.5 AS lon2
+          FROM orders WHERE o_orderkey <= 3000)
+        SELECT o_orderkey,
+          CASE WHEN o_totalprice < 0 THEN 0
+               WHEN o_totalprice >= 600000 THEN 11
+               ELSE CAST(FLOOR(o_totalprice / 600000 * 10) AS BIGINT) + 1 END AS price_bucket,
+          CASE WHEN o_totalprice > 600000 THEN 0
+               WHEN o_totalprice <= 0 THEN 11
+               ELSE CAST(FLOOR((600000 - o_totalprice) / 600000 * 10) AS BIGINT) + 1 END
+            AS price_bucket_desc,
+          (list_sum(list_transform(range(1, LEN(s) + 1), i ->
+             CASE WHEN (LEN(s) - i) % 2 = 1
+                  THEN CASE WHEN CAST(s[i] AS INT) * 2 > 9
+                            THEN CAST(s[i] AS INT) * 2 - 9
+                            ELSE CAST(s[i] AS INT) * 2 END
+                  ELSE CAST(s[i] AS INT) END)) % 10 = 0) AS luhn_ok,
+          LPAD(to_base(o_orderkey, 16), 16, '0') AS be_hex,
+          o_orderkey AS be_roundtrip,
+          ROUND(2 * 6371.01 * ASIN(SQRT(
+            SIN(RADIANS(lat2 - lat1) / 2) * SIN(RADIANS(lat2 - lat1) / 2) +
+            COS(RADIANS(lat1)) * COS(RADIANS(lat2)) *
+              SIN(RADIANS(lon2 - lon1) / 2) * SIN(RADIANS(lon2 - lon1) / 2))), 4) AS gc_km
+        FROM b""")),
+
+    // ------------------------------------------------------------------
     // Trino tdigest family (TDigest.scala) + the POLYMORPHIC merge()
     // aggregate: per-(returnflag, linestatus) discount digests rolled
     // up per returnflag by merge() — the same store-shards /

@@ -55,4 +55,51 @@ class ScalarParitySpec extends SparkSpec {
     assert(r.getDate(0).toString == "1996-02-29")
     assert(r.getInt(1) == 1)
   }
+
+  test("width_bucket / luhn_check stay NATIVE — registration must not shadow them (r13)") {
+    // Spark 4 ships both builtins; graft deliberately does NOT register
+    // either name (a registry entry would shadow the native expression
+    // and change its contract). Dialect delta pinned here: Trino ERRORS
+    // on a non-positive bucket count / non-digit input, Spark's natives
+    // return NULL / false — graft keeps the native semantics.
+    val s = registered
+    val r = s.sql("""SELECT width_bucket(3.14, 0, 4, 3) AS a,
+                            width_bucket(-1, 0, 4, 3) AS lo,
+                            width_bucket(4, 0, 4, 3) AS hi,
+                            width_bucket(3.14, 4, 0, 3) AS dsc""").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 0L && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 1L) // descending: near the FIRST bound
+    assert(s.sql("SELECT width_bucket(1, 0, 4, 0) AS n").head().isNullAt(0))
+    // 79927398713 is the canonical Luhn-valid example; +1 breaks it
+    val l = s.sql("""SELECT luhn_check('79927398713') AS ok,
+                            luhn_check('79927398714') AS bad,
+                            luhn_check('4242x') AS nondigit""").head()
+    assert(l.getBoolean(0) && !l.getBoolean(1) && !l.getBoolean(2))
+  }
+
+  test("big-endian 64 pair: sortable encoding, exact roundtrip incl. negatives (r13)") {
+    val s = registered
+    val r = s.sql("""SELECT hex(to_big_endian_64(255)) AS h,
+                            from_big_endian_64(to_big_endian_64(-7)) AS neg,
+                            from_big_endian_64(to_big_endian_64(0)) AS z""").head()
+    assert(r.getString(0) == "00000000000000FF")
+    assert(r.getLong(1) == -7L && r.getLong(2) == 0L)
+    // the encoding is unsigned-byte-order sortable for non-negative longs
+    val pairs = s.sql("""SELECT to_big_endian_64(3) AS a, to_big_endian_64(200) AS b""").head()
+    assert(java.util.Arrays.compareUnsigned(
+      pairs.getAs[Array[Byte]](0), pairs.getAs[Array[Byte]](1)) < 0)
+    intercept[Exception] { s.sql("SELECT from_big_endian_64(X'0102')").collect() }
+  }
+
+  test("great_circle_distance: zero at identity, symmetric, known city pair (r13)") {
+    val s = registered
+    val r = s.sql("""SELECT great_circle_distance(48.8566, 2.3522, 48.8566, 2.3522) AS zero,
+                            great_circle_distance(36.12, -86.67, 33.94, -118.40) AS ab,
+                            great_circle_distance(33.94, -118.40, 36.12, -86.67) AS ba""").head()
+    assert(r.getDouble(0) == 0.0)
+    // BNA->LAX, the haversine literature example: ~2886.4 km at r=6371.01
+    assert(math.abs(r.getDouble(1) - 2886.4) < 1.0, r.getDouble(1))
+    assert(r.getDouble(1) == r.getDouble(2))
+    intercept[Exception] { s.sql("SELECT great_circle_distance(91, 0, 0, 0)").collect() }
+  }
 }
