@@ -1338,6 +1338,36 @@ object CoreQueries {
           FROM lineitem WHERE l_orderkey <= 600""")),
 
     // ------------------------------------------------------------------
+    // Trino UNNEST over an ARRAY OF ROWS (round 13, closing the r12
+    // advice gap properly): >= 3 alias columns make the shape
+    // unambiguous to the type-blind rewriter (a map yields exactly 2),
+    // and the lowering splats the unknown struct fields positionally
+    // (`__un_e.*`) with the alias's POSITIONAL column list doing the
+    // renaming. Same pack/flatten self-inversion as q42, now with the
+    // rows kept as rows — the oracle is the original relation with a
+    // per-order ordinal.
+    QueryEntry("q44_unnest_rows",
+      (s, d) => {
+        t(s, d, "lineitem").filter(col("l_orderkey") <= 600)
+          .createOrReplaceTempView("ur_lineitem")
+        s.sql("""
+          WITH packed AS (
+            SELECT l_orderkey AS okey,
+                   array_sort(collect_list(named_struct(
+                     'ln', l_linenumber, 'qty', l_quantity,
+                     'price', l_extendedprice))) AS rs
+            FROM ur_lineitem GROUP BY l_orderkey)
+          SELECT p.okey, u.ln, u.qty, u.price, u.pos
+          FROM packed p CROSS JOIN UNNEST(p.rs)
+            WITH ORDINALITY AS u(ln, qty, price, pos)""")
+      },
+      Some("""SELECT l_orderkey AS okey, l_linenumber AS ln, l_quantity AS qty,
+            l_extendedprice AS price,
+            ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_quantity, l_extendedprice) AS pos
+          FROM lineitem WHERE l_orderkey <= 600""")),
+
+    // ------------------------------------------------------------------
     // JSON_TABLE NESTED PATH (round 13, r12 verdict #5): two-level
     // documents — each customer's orders as a JSON array, each order
     // carrying a nested lines array — flattened by ONE JSON_TABLE with

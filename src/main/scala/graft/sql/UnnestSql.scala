@@ -101,10 +101,21 @@ object UnnestSql {
         else
           s"(SELECT __un_k AS ${dataNames(0)}, __un_v AS ${dataNames(1)} FROM " +
             s"(SELECT explode(${args.head}) AS (__un_k, __un_v)))"
+      } else if (args.length == 1 && dataNames.length >= 3) {
+        // array-of-rows, Trino's UNNEST(array(row(...))) with >= 3
+        // fields — unambiguous from arity alone (a map yields exactly
+        // 2 columns). The struct's FIELD NAMES are unknown to a text
+        // rewriter, so the lowering splats them positionally
+        // (`__un_e.*`) and the alias's POSITIONAL COLUMN LIST does the
+        // renaming (appended below); a field-count mismatch fails in
+        // analysis with the alias arity named. The 2-field shape stays
+        // a named rejection (map ambiguity — r12 advice).
+        val sel = ("__un_e.*" +: ordSel("__un_p + 1")).mkString(", ")
+        s"(SELECT $sel FROM (SELECT posexplode(${args.head}) AS (__un_p, __un_e)))"
       } else if (args.length == 1) {
         require(dataNames.length == 1,
-          s"UNNEST of one argument yields 1 column (array) or 2 (map); " +
-            s"alias $alias names ${dataNames.length}")
+          s"UNNEST of one argument yields 1 column (array), 2 (map), " +
+            s"or >= 3 (array of rows); alias $alias names ${dataNames.length}")
         val sel = (s"__un_e AS ${dataNames.head}" +: ordSel("__un_p + 1")).mkString(", ")
         if (ordinality)
           s"(SELECT $sel FROM (SELECT posexplode(${args.head}) AS (__un_p, __un_e)))"
@@ -142,7 +153,13 @@ object UnnestSql {
       case crossRx(keep) => keep + ", "
       case _ => before
     }
-    beforeKept + s"LATERAL $lateralBody $alias" + sql.substring(afterAlias)
+    // the array-of-rows branch renames POSITIONALLY via the alias's
+    // column list (the splatted struct fields carry their own names)
+    val aliasText =
+      if (args.length == 1 && dataNames.length >= 3)
+        s"$alias(${names.mkString(", ")})"
+      else alias
+    beforeKept + s"LATERAL $lateralBody $aliasText" + sql.substring(afterAlias)
   }
 
 }

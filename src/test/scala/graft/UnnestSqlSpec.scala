@@ -67,12 +67,35 @@ class UnnestSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT 1 AS x -- UNNEST(tags) in a comment\n").head().getInt(0) == 1)
   }
 
+  test("array-of-rows: >= 3 fields splat positionally through the alias list (r13)") {
+    import spark.implicits._
+    // literal constructor, full Trino spelling (row() needs the
+    // TrinoDialect script path — plain spark.sql spells struct())
+    val lit = graft.sql.GraftSql.execute(spark, """
+      SELECT d.id, u.a, u.b, u.c FROM (SELECT 1 AS id) d,
+        UNNEST(array(row(1, 'x', 2.5), row(2, 'y', 7.25))) AS u(a, b, c)
+      ORDER BY u.a""").head.collect()
+    assert(lit.map(r => (r.getInt(1), r.getString(2),
+        r.getDecimal(3).doubleValue())).toSeq ==
+      Seq((1, "x", 2.5), (2, "y", 7.25)))
+    // COLUMN of array<struct> + WITH ORDINALITY (names come from the
+    // alias list, not the struct's own field names)
+    Seq((10L, Seq((1, "p"), (2, "q")))).toDF("id", "rs")
+      .selectExpr("id", "transform(rs, r -> struct(r._1 AS f1, r._2 AS f2, r._1 * 10 AS f3)) AS rs")
+      .createOrReplaceTempView("un_rows")
+    val col3 = spark.sql("""
+      SELECT t.id, u.x, u.y, u.z, u.pos FROM un_rows t
+      CROSS JOIN UNNEST(t.rs) WITH ORDINALITY AS u(x, y, z, pos)
+      ORDER BY u.pos""").collect()
+    assert(col3.map(r => (r.getInt(1), r.getString(2), r.getInt(3), r.getLong(4))).toSeq ==
+      Seq((1, "p", 10, 1L), (2, "q", 20, 2L)))
+  }
+
   test("unsupported forms fail loudly with the feature named") {
     def err(q: String): String =
       intercept[Exception](UnnestSql.rewrite(q)).getMessage
     assert(err("SELECT * FROM t, UNNEST(arr)").contains("alias"))
     assert(err("SELECT * FROM t, UNNEST(a, b) AS u(x)").contains("2 columns"))
-    assert(err("SELECT * FROM t, UNNEST(m) AS u(k, v, w)").contains("1 column (array) or 2 (map)"))
     assert(err("SELECT * FROM UNNEST(array(1,2)) AS u(x)").contains("follow a relation"))
     // Trino's UNNEST(array(row(...))) AS t(a, b): type-blind rewriter
     // would lower it as a MAP and die on an opaque __un_k analysis
