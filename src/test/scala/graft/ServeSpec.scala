@@ -301,6 +301,28 @@ class ServeSpec extends SparkSpec {
         assert(rs5.next() && rs5.getString(1) == "a" && rs5.getLong(2) == 1L)
         assert(rs5.next() && rs5.getString(1) == "b" && rs5.getLong(2) == 2L)
         assert(!rs5.next())
+        // round-13 dialect through the same wire: JSON_TABLE NESTED
+        // PATH (OUTER default plan pads the childless parent) and the
+        // array-of-rows UNNEST (positional alias splat)
+        val rs6 = st.executeQuery("""
+          SELECT t.okey, t.ln FROM
+            (SELECT '[{"okey":10,"lines":[{"ln":1}]},{"okey":11}]' AS doc) d,
+            JSON_TABLE(d.doc, 'lax $[*]' COLUMNS (
+              okey BIGINT PATH 'lax $.okey',
+              NESTED PATH 'lax $.lines[*]' COLUMNS (ln INTEGER PATH 'lax $.ln'))) AS t
+          ORDER BY t.okey""")
+        assert(rs6.next() && rs6.getLong(1) == 10L && rs6.getInt(2) == 1)
+        assert(rs6.next() && rs6.getLong(1) == 11L && { rs6.getInt(2); rs6.wasNull() })
+        assert(!rs6.next())
+        val rs7 = st.executeQuery("""
+          SELECT u.a, u.b, u.c FROM (SELECT 1 AS one) r,
+            UNNEST(array(struct(1, 'x', 2.5D), struct(2, 'y', 4.0D))) AS u(a, b, c)
+          ORDER BY u.a""")
+        assert(rs7.next() && rs7.getInt(1) == 1 && rs7.getString(2) == "x" &&
+          rs7.getDouble(3) == 2.5)
+        assert(rs7.next() && rs7.getInt(1) == 2 && rs7.getString(2) == "y" &&
+          rs7.getDouble(3) == 4.0)
+        assert(!rs7.next())
       } finally conn.close()
 
       // --- r11 verdict #6, same server boot (HiveThriftServer2 is
