@@ -269,6 +269,19 @@ final class VectorIndex private[operators] (spark: SparkSession, root: String) {
     n
   }
 
+  /** Maintenance after a stretch of appends (round 13): re-cluster the
+    * assignments layout on cent_id (each append lands its own files,
+    * so probe-time file pruning decays until a re-layout) and plain-
+    * compact the PQ codes table (bucket-PRESERVING by the store's
+    * contract — one file per occupied bucket, searchPq's static
+    * pruning intact). Idempotent; run on the ingest cadence, like the
+    * near-dup index's small-file sweep. */
+  def maintain(): Unit = {
+    table.compact(clusterBy = Seq("cent_id"),
+      numFiles = Some(math.max(2, centroids.length / 8)))
+    if (hasPq) codesTable.compact()
+  }
+
   private def probeCells(query: Array[Float], nprobe: Int): Array[Long] =
     centroids.sortBy { case (_, c) => -cosine(query, c) }.take(nprobe).map(_._1)
 }

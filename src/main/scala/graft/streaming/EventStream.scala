@@ -566,7 +566,10 @@ object EventStream {
           mark = new BatchMark(
             graft.store.GraftTable.load(spark, s"$indexRoot/assignments"), Seq(prefix))
         if (!mark.alreadyCommitted(batchId)) {
-          idx.append(batch, op = Some(s"$prefix$batchId"), opFamily = Some(prefix))
+          // an empty micro-batch must not commit empty versions into
+          // both index tables (replays skip it the same way)
+          if (!batch.isEmpty)
+            idx.append(batch, op = Some(s"$prefix$batchId"), opFamily = Some(prefix))
           mark.advance(batchId)
         }
       }

@@ -134,5 +134,18 @@ class VectorIndexSpec extends SparkSpec {
     assert(GraftTable.load(spark, s"$root/assignments").currentVersion == av,
       "replayed append re-committed assignments")
     assert(codes.currentVersion == cv, "replayed append re-committed codes")
+
+    // maintenance consolidates the append-era small files; answers and
+    // the codes table's bucket pruning survive (plain compact is
+    // bucket-preserving by the store contract)
+    val filesBefore = codes.read().inputFiles.length
+    idx.maintain()
+    assert(codes.read().inputFiles.length < filesBefore,
+      "maintain() did not consolidate the codes files")
+    val pq2 = idx.searchPq(q, k = 3, nprobe = 3).collect().map(_.getLong(0)).toSet
+    assert(pq2.contains(9001L) && pq2.contains(7L), s"post-maintain search broke: $pq2")
+    val prunedAfter = codes.read(filters = Seq(col("cent_id") === asg(7L))).inputFiles.length
+    assert(prunedAfter < codes.read().inputFiles.length,
+      "post-compact bucket pruning lost")
   }
 }
