@@ -325,6 +325,12 @@ object GraftFunctions {
       val d = org.apache.spark.sql.types.DoubleType
       staticCall("greatCircleDistance", d, exprs.map(Cast(_, d)))
     },
+    "cosine_similarity" -> { exprs: Seq[Expression] =>
+      val mt = org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.DoubleType)
+      staticCall("cosineSimilarityMap", org.apache.spark.sql.types.DoubleType,
+        Seq(Cast(exprs(0), mt), Cast(exprs(1), mt)))
+    },
     // NOTE: Trino's date_add('unit', n, ts) is NOT registered here —
     // Spark's PARSER reserves date_add(unit, ...) grammar (a quoted
     // unit is a ParseException before any registry lookup), so the
@@ -400,7 +406,7 @@ object GraftFunctions {
     "trimmed_mean" -> ((3, 3)),
     "hamming_distance" -> ((2, 2)), "normalize" -> ((1, 2)),
     "to_big_endian_64" -> ((1, 1)), "from_big_endian_64" -> ((1, 1)),
-    "great_circle_distance" -> ((4, 4)),
+    "great_circle_distance" -> ((4, 4)), "cosine_similarity" -> ((2, 2)),
     "codepoint" -> ((1, 1)), "from_base" -> ((2, 2)), "to_base" -> ((2, 2)),
     "last_day_of_month" -> ((1, 1)), "week_of_year" -> ((1, 1)),
     "geometric_mean" -> ((1, 1)), "arbitrary" -> ((1, 1)),

@@ -81,6 +81,47 @@ object GraftStringOps {
     java.nio.ByteBuffer.wrap(b).getLong
   }
 
+  /** Trino `cosine_similarity(map(varchar, double), map(varchar,
+    * double))` — SPARSE-vector cosine: word-count/tf-idf maps compared
+    * without materializing a dense vocabulary vector. dot and norms
+    * accumulate in doubles; integral counts stay exact, so the f29
+    * oracle can re-derive the same value relationally. NULL map values
+    * contribute nothing (excluded from dot AND norms); a zero-norm
+    * side yields NaN (0/0, Trino's natural arithmetic). The dot builds
+    * a hash over the SMALLER side — O(|a| + |b|), never the product. */
+  def cosineSimilarityMap(a: org.apache.spark.sql.catalyst.util.MapData,
+                          b: org.apache.spark.sql.catalyst.util.MapData): Double = {
+    def norm2(m: org.apache.spark.sql.catalyst.util.MapData): Double = {
+      val vs = m.valueArray()
+      var s = 0.0
+      var i = 0
+      while (i < m.numElements()) {
+        if (!vs.isNullAt(i)) { val x = vs.getDouble(i); s += x * x }
+        i += 1
+      }
+      s
+    }
+    val (small, big) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val idx = new java.util.HashMap[String, java.lang.Double](small.numElements() * 2)
+    val sk = small.keyArray(); val sv = small.valueArray()
+    var i = 0
+    while (i < small.numElements()) {
+      if (!sv.isNullAt(i)) idx.put(sk.getUTF8String(i).toString, sv.getDouble(i))
+      i += 1
+    }
+    val bk = big.keyArray(); val bv = big.valueArray()
+    var dot = 0.0
+    i = 0
+    while (i < big.numElements()) {
+      if (!bv.isNullAt(i)) {
+        val v = idx.get(bk.getUTF8String(i).toString)
+        if (v != null) dot += v.doubleValue() * bv.getDouble(i)
+      }
+      i += 1
+    }
+    dot / math.sqrt(norm2(a) * norm2(b))
+  }
+
   /** Trino `great_circle_distance(lat1, lon1, lat2, lon2)` — kilometers
     * on the sphere via the haversine formula with the mean earth radius
     * Presto/Trino's MathFunctions pin (6371.01 km). The f28 oracle

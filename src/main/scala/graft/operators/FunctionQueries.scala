@@ -885,6 +885,49 @@ object FunctionQueries {
         FROM b""")),
 
     // ------------------------------------------------------------------
+    // Trino cosine_similarity(map, map) (round 13, ScalarParity.scala
+    // kernel): SPARSE-vector cosine over per-source word-count maps —
+    // the tf-idf-style corpus comparison without a dense vocabulary.
+    // Tokenization is the shared single-space split (empties dropped),
+    // counts are integral so dot/norms are EXACT in doubles regardless
+    // of accumulation order, and the oracle re-derives the same value
+    // relationally (self-join on word); ROUND(6) absorbs nothing but
+    // division/sqrt last-ulp. Scale shape: per-source maps are
+    // vocabulary-sized state; pair count is sources², a metadata-sized
+    // relation.
+    QueryEntry("f29_cosine_similarity",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val words = Tables(s, d, "documents")
+          .selectExpr("source", "explode(split(lower(text), ' ')) AS w")
+          .filter(col("w") =!= "")
+          .groupBy(col("source"), col("w")).count()
+        val vecs = words.groupBy(col("source"))
+          .agg(expr("map_from_entries(collect_list(struct(w, CAST(count AS DOUBLE))))")
+            .as("m"))
+        vecs.select(col("source").as("source_a"), col("m").as("ma"))
+          .crossJoin(vecs.select(col("source").as("source_b"), col("m").as("mb")))
+          .filter(col("source_a") < col("source_b"))
+          .selectExpr("source_a", "source_b",
+            "ROUND(cosine_similarity(ma, mb), 6) AS cos_sim")
+      },
+      Some("""WITH w AS (
+          SELECT source, word, CAST(COUNT(*) AS DOUBLE) AS c FROM (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+          WHERE word <> '' GROUP BY source, word),
+        n AS (SELECT source, SUM(c * c) AS n2 FROM w GROUP BY source),
+        d AS (SELECT a.source AS source_a, b.source AS source_b,
+                SUM(a.c * b.c) AS dot
+              FROM w a JOIN w b ON a.word = b.word AND a.source < b.source
+              GROUP BY 1, 2)
+        SELECT d.source_a, d.source_b,
+          ROUND(dot / (SQRT(na.n2) * SQRT(nb.n2)), 6) AS cos_sim
+        FROM d
+        JOIN n na ON na.source = d.source_a
+        JOIN n nb ON nb.source = d.source_b""")),
+
+    // ------------------------------------------------------------------
     // Trino tdigest family (TDigest.scala) + the POLYMORPHIC merge()
     // aggregate: per-(returnflag, linestatus) discount digests rolled
     // up per returnflag by merge() — the same store-shards /

@@ -91,6 +91,26 @@ class ScalarParitySpec extends SparkSpec {
     intercept[Exception] { s.sql("SELECT from_big_endian_64(X'0102')").collect() }
   }
 
+  test("cosine_similarity(map, map): identity 1, disjoint 0, zero-norm NaN, null values (r13)") {
+    val s = registered
+    val r = s.sql("""SELECT
+        cosine_similarity(map('a', 1D, 'b', 2D), map('a', 1D, 'b', 2D)) AS same,
+        cosine_similarity(map('a', 1D), map('b', 1D)) AS disjoint,
+        cosine_similarity(map('a', 3D), map('a', 4D)) AS colinear,
+        cosine_similarity(map('a', 0D), map('a', 1D)) AS zeronorm,
+        cosine_similarity(map('a', 1D, 'b', CAST(NULL AS DOUBLE)),
+                          map('a', 1D, 'b', 5D)) AS nulled""").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(r.getDouble(3).isNaN) // 0/0 — Trino's natural arithmetic
+    // NULL values excluded from dot AND norms: behaves as map('a', 1)
+    assert(math.abs(r.getDouble(4) - (1.0 / math.sqrt(26.0))) < 1e-12)
+    // int-valued maps coerce through the cast
+    assert(math.abs(s.sql("SELECT cosine_similarity(map('x', 2), map('x', 5)) AS c")
+      .head().getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("great_circle_distance: zero at identity, symmetric, known city pair (r13)") {
     val s = registered
     val r = s.sql("""SELECT great_circle_distance(48.8566, 2.3522, 48.8566, 2.3522) AS zero,
