@@ -917,15 +917,22 @@ object FunctionQueries {
             FROM documents)
           WHERE word <> '' GROUP BY source, word),
         n AS (SELECT source, SUM(c * c) AS n2 FROM w GROUP BY source),
+        -- pairs come from the SOURCE cross product, not the shared-word
+        -- join: two sources with disjoint vocabularies must still emit
+        -- a row with cos 0 (the Spark side cross-joins all pairs —
+        -- r13 review finding)
+        p AS (SELECT a.source AS source_a, b.source AS source_b
+              FROM n a JOIN n b ON a.source < b.source),
         d AS (SELECT a.source AS source_a, b.source AS source_b,
                 SUM(a.c * b.c) AS dot
               FROM w a JOIN w b ON a.word = b.word AND a.source < b.source
               GROUP BY 1, 2)
-        SELECT d.source_a, d.source_b,
-          ROUND(dot / (SQRT(na.n2) * SQRT(nb.n2)), 6) AS cos_sim
-        FROM d
-        JOIN n na ON na.source = d.source_a
-        JOIN n nb ON nb.source = d.source_b""")),
+        SELECT p.source_a, p.source_b,
+          ROUND(COALESCE(d.dot, 0) / (SQRT(na.n2) * SQRT(nb.n2)), 6) AS cos_sim
+        FROM p
+        LEFT JOIN d ON d.source_a = p.source_a AND d.source_b = p.source_b
+        JOIN n na ON na.source = p.source_a
+        JOIN n nb ON nb.source = p.source_b""")),
 
     // ------------------------------------------------------------------
     // Trino tdigest family (TDigest.scala) + the POLYMORPHIC merge()

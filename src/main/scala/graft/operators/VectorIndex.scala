@@ -179,10 +179,8 @@ final class VectorIndex private[operators] (spark: SparkSession, root: String) {
       s"index at $root has no PQ layer — rebuild with VectorIndex.build(..., " +
         "pqSubspaces = Some(m)) to use searchPq (search()/searchQuantized() still work)")
     val probes = probeCells(query, nprobe)
-    val cb = spark.read.parquet(s"$root/pq_codebook").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-    val w = cb.head._3.length
-    val lut = cb.map { case (j, c, cw) =>
+    val w = pqW
+    val lut = pqCodebook.map { case (j, c, cw) =>
       var dd = 0.0
       var i = 0
       while (i < w) {
@@ -205,6 +203,22 @@ final class VectorIndex private[operators] (spark: SparkSession, root: String) {
 
   private lazy val codesTable = GraftTable.load(spark, s"$root/pq_codes")
 
+  /** The PQ codebook is IMMUTABLE index metadata (m x codewords x w
+    * doubles) — collected once and cached like [[centroids]]; the
+    * serving path must not pay a parquet read per query (r13 review). */
+  private lazy val pqCodebook: Array[(Int, Long, Array[Double])] =
+    spark.read.parquet(s"$root/pq_codebook").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+  private lazy val pqM: Int = pqCodebook.iterator.map(_._1).max + 1
+  private lazy val pqW: Int = pqCodebook.head._3.length
+  /** The same codebook as a (local, broadcastable) relation for
+    * [[VectorOps.pqEncode]]'s join — built from the cached rows, no
+    * re-read per append/micro-batch. */
+  private lazy val pqCodebookDf: DataFrame = {
+    import spark.implicits._
+    pqCodebook.toSeq.map { case (j, c, cw) => (j, c, cw.toSeq) }.toDF("j", "c", "cw")
+  }
+
   private def hasPq: Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/pq_codebook"))
 
@@ -225,7 +239,9 @@ final class VectorIndex private[operators] (spark: SparkSession, root: String) {
     * table dedups independently (appendAsOnce), so a crash between the
     * two appends re-applies only the missing one. Input needs
     * (vec_id, embedding); duplicate vec_ids are the caller's contract.
-    * Returns the number of vectors appended (0 on a dedup'd replay). */
+    * Returns the number of vectors appended — 0 when EVERY table
+    * dedup'd the label (a full replay; a partial crash-recovery replay
+    * that re-applies one table still returns the batch size). */
   def append(newVectors: DataFrame, op: Option[String] = None,
              opFamily: Option[String] = None): Long = {
     graft.functions.GraftFunctions.register(spark)
@@ -248,25 +264,22 @@ final class VectorIndex private[operators] (spark: SparkSession, root: String) {
       "embedding")
       .localCheckpoint() // assignments append + PQ encode read ONE computation
     val n = assignedNew.count()
-    def commit(t: GraftTable, df: DataFrame): Unit = (op, opFamily) match {
+    def commit(t: GraftTable, df: DataFrame): Boolean = (op, opFamily) match {
       case (Some(o), Some(fam)) =>
-        t.appendAsOnce(o, df, _.startsWith(fam), _ == o); ()
-      case _ => t.append(df); ()
+        t.appendAsOnce(o, df, _.startsWith(fam), _ == o)._2
+      case _ => t.append(df); true
     }
-    commit(table, assignedNew)
+    var anyApplied = commit(table, assignedNew)
     if (hasPq) {
-      val cb = spark.read.parquet(s"$root/pq_codebook")
-      val meta = cb.selectExpr("max(j) AS mj", "size(first(cw)) AS w").head()
-      val (m, w) = (meta.getInt(0) + 1, meta.getInt(1))
       val codes = VectorOps.pqEncode(
           assignedNew.selectExpr("vec_id",
             "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"),
-          cb, dim = m * w, m = m)
+          pqCodebookDf, dim = pqM * pqW, m = pqM)
         .join(assignedNew.select(col("vec_id"), col("cent_id")), Seq("vec_id"))
         .select(col("cent_id"), col("vec_id"), col("j"), col("c").cast("int").as("c"))
-      commit(codesTable, codes)
+      anyApplied = commit(codesTable, codes) || anyApplied
     }
-    n
+    if (anyApplied) n else 0L
   }
 
   /** Maintenance after a stretch of appends (round 13): re-cluster the

@@ -557,20 +557,30 @@ object EventStream {
     val spark = vectors.sparkSession
     val prefix = s"stream-vecidx:${sinkId(checkpointDir)}:"
     val idx = graft.operators.VectorIndex.load(spark, indexRoot)
-    var mark: BatchMark = null
+    // ONE mark PER index table (r13 review): append commits into
+    // assignments and then pq_codes; a crash between the two leaves
+    // the assignments label committed, and a single assignments-seeded
+    // mark would skip the replay that appendAsOnce's per-table dedup
+    // exists to repair — the codes batch would be missing forever.
+    var marks: Seq[BatchMark] = null
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (mark == null)
-          mark = new BatchMark(
-            graft.store.GraftTable.load(spark, s"$indexRoot/assignments"), Seq(prefix))
-        if (!mark.alreadyCommitted(batchId)) {
+        if (marks == null) {
+          val roots = Seq(s"$indexRoot/assignments") ++
+            (if (java.nio.file.Files.exists(
+                   java.nio.file.Paths.get(s"$indexRoot/pq_codebook")))
+               Seq(s"$indexRoot/pq_codes") else Nil)
+          marks = roots.map(r =>
+            new BatchMark(graft.store.GraftTable.load(spark, r), Seq(prefix)))
+        }
+        if (marks.exists(!_.alreadyCommitted(batchId))) {
           // an empty micro-batch must not commit empty versions into
           // both index tables (replays skip it the same way)
           if (!batch.isEmpty)
             idx.append(batch, op = Some(s"$prefix$batchId"), opFamily = Some(prefix))
-          mark.advance(batchId)
+          marks.foreach(_.advance(batchId))
         }
       }
       .start()

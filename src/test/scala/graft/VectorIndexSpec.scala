@@ -125,12 +125,14 @@ class VectorIndexSpec extends SparkSpec {
     val pruned = codes.read(filters = Seq(col("cent_id") === asg(7L))).inputFiles.length
     assert(pruned < all, s"append degraded bucket pruning: $pruned/$all")
 
-    // labeled replays are exactly-once on BOTH tables independently
+    // labeled replays are exactly-once on BOTH tables independently,
+    // and the return value reports what actually applied (r13 review)
     val more = emb.filter(col("vec_id") === 3L).selectExpr("9002L AS vec_id", "embedding")
-    idx.append(more, op = Some("t:1"), opFamily = Some("t:"))
+    assert(idx.append(more, op = Some("t:1"), opFamily = Some("t:")) == 1L)
     val (av, cv) = (GraftTable.load(spark, s"$root/assignments").currentVersion,
       codes.currentVersion)
-    idx.append(more, op = Some("t:1"), opFamily = Some("t:")) // replay
+    assert(idx.append(more, op = Some("t:1"), opFamily = Some("t:")) == 0L,
+      "a fully dedup'd replay must report 0 appended")
     assert(GraftTable.load(spark, s"$root/assignments").currentVersion == av,
       "replayed append re-committed assignments")
     assert(codes.currentVersion == cv, "replayed append re-committed codes")
