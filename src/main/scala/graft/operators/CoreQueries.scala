@@ -1416,6 +1416,58 @@ object CoreQueries {
                     ORDER BY s.l_linenumber, s.l_quantity) AS INT) END AS lpos,
           s.l_linenumber AS ln, s.l_quantity AS qty
         FROM orders o LEFT JOIN sel s ON s.l_orderkey = o.o_orderkey
-        WHERE o.o_orderkey <= 600"""))
+        WHERE o.o_orderkey <= 600""")),
+
+    // ------------------------------------------------------------------
+    // JSON_TABLE NESTED CHAIN (round 13): THREE levels — customers'
+    // orders, each order's lines, each line's tags (tags synthesized as
+    // (i·10 for i < ln), so a line with ln = 1 has an EMPTY tags array
+    // and exercises the innermost OUTER padding; per-level FOR
+    // ORDINALITY = the tag's index by construction, which the oracle
+    // re-derives with a number-table LEFT JOIN). One JSON_TABLE, one
+    // lowered chain of LATERAL VIEW OUTER generates — no second
+    // JSON_TABLE needed for the second level.
+    QueryEntry("q45_json_table_deep",
+      (s, d) => {
+        t(s, d, "orders").filter(col("o_orderkey") <= 400)
+          .createOrReplaceTempView("jt3_orders")
+        t(s, d, "lineitem").filter(col("l_orderkey") <= 400)
+          .createOrReplaceTempView("jt3_lineitem")
+        s.sql("""
+          WITH lines AS (
+            SELECT l_orderkey,
+                   sort_array(collect_list(named_struct(
+                     'ln', l_linenumber, 'qty', l_quantity,
+                     'tags', CASE WHEN l_linenumber > 1
+                                  THEN transform(sequence(1, l_linenumber - 1), i -> i * 10)
+                                  ELSE CAST(array() AS array<int>) END))) AS ls
+            FROM jt3_lineitem GROUP BY l_orderkey),
+          docs AS (
+            SELECT o.o_custkey AS ck,
+                   to_json(sort_array(collect_list(named_struct(
+                     'okey', o.o_orderkey, 'lines', l.ls)))) AS doc
+            FROM jt3_orders o JOIN lines l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey)
+          SELECT d.ck, jt.okey, jt.ln, jt.qty, jt.tpos, jt.tag
+          FROM docs d, JSON_TABLE(d.doc, 'lax $[*]'
+            COLUMNS (okey BIGINT PATH 'lax $.okey',
+                     NESTED PATH 'lax $.lines[*]' COLUMNS (
+                       ln INTEGER PATH 'lax $.ln',
+                       qty DOUBLE PATH 'lax $.qty',
+                       NESTED PATH 'lax $.tags[*]' COLUMNS (
+                         tpos FOR ORDINALITY,
+                         tag INTEGER PATH 'lax $')))) AS jt""")
+      },
+      Some("""WITH li AS (
+          SELECT l_orderkey, l_linenumber AS ln, l_quantity AS qty
+          FROM lineitem WHERE l_orderkey <= 400),
+        base AS (
+          SELECT o.o_custkey AS ck, o.o_orderkey AS okey, li.ln, li.qty
+          FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+          WHERE o.o_orderkey <= 400),
+        nums AS (SELECT CAST(n AS INT) AS n FROM range(1, 8) r(n))
+        SELECT b.ck, b.okey, b.ln, b.qty,
+          t.n AS tpos, t.n * 10 AS tag
+        FROM base b LEFT JOIN nums t ON t.n < b.ln"""))
   )
 }

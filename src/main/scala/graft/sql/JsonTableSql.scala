@@ -76,7 +76,7 @@ object JsonTableSql {
     SqlScan.closeParen(sql, open, "JSON_TABLE")
 
   private case class Col(name: String, castType: Option[String], path: Option[String])
-  private case class Nested(path: String, cols: Seq[Col])
+  private case class Nested(path: String, cols: Seq[Col], child: Option[Nested])
 
   private val trinoTypes: Map[String, String] = Map(
     "VARCHAR" -> "STRING", "CHAR" -> "STRING", "JSON" -> "STRING",
@@ -189,24 +189,28 @@ object JsonTableSql {
           "name FOR ORDINALITY | name <type> PATH '<path>' | " +
           "NESTED PATH '<path>[*]' COLUMNS (...) (no defaults)")
     }
-    val (nestedEntries, leafEntries) =
-      splitTop(colsBlock).partition(e => nestedRx.findFirstMatchIn(e).isDefined)
-    val cols = leafEntries.map(parseLeaf)
-    require(nestedEntries.length <= 1,
-      s"JSON_TABLE supports ONE NESTED PATH per COLUMNS block, got " +
-        s"${nestedEntries.length} — sibling NESTED paths take the UNION plan; " +
-        "lower the second as another JSON_TABLE")
-    val nested = nestedEntries.headOption.map { e =>
-      val m = nestedRx.findFirstMatchIn(e).get
-      val np = stripMode(m.group(1))
-      require(np.endsWith("[*]"),
-        s"JSON_TABLE NESTED PATH must iterate an array ('$$.a[*]'), got '${m.group(1)}'")
-      val innerEntries = splitTop(m.group(2))
-      require(!innerEntries.exists(x => nestedRx.findFirstMatchIn(x).isDefined),
-        "JSON_TABLE supports one NESTED level — lower the next level as a " +
-          "second JSON_TABLE over the inner array")
-      Nested(np, innerEntries.map(parseLeaf))
+    // a COLUMNS block = leaf entries + at most ONE NESTED entry, which
+    // may itself nest — an arbitrary-depth CHAIN (round 13); SIBLING
+    // nested paths (the UNION plan) stay a named rejection
+    def parseBlock(block: String): (Seq[Col], Option[Nested]) = {
+      val (nestedEntries, leafEntries) =
+        splitTop(block).partition(e => nestedRx.findFirstMatchIn(e).isDefined)
+      val leafs = leafEntries.map(parseLeaf)
+      require(nestedEntries.length <= 1,
+        s"JSON_TABLE supports ONE NESTED PATH per COLUMNS block, got " +
+          s"${nestedEntries.length} — sibling NESTED paths take the UNION plan; " +
+          "lower the second as another JSON_TABLE")
+      val nested = nestedEntries.headOption.map { e =>
+        val m = nestedRx.findFirstMatchIn(e).get
+        val np = stripMode(m.group(1))
+        require(np.endsWith("[*]"),
+          s"JSON_TABLE NESTED PATH must iterate an array ('$$.a[*]'), got '${m.group(1)}'")
+        val (innerLeafs, innerNested) = parseBlock(m.group(2))
+        Nested(np, innerLeafs, innerNested)
+      }
+      (leafs, nested)
     }
+    val (cols, nested) = parseBlock(colsBlock)
     require(cols.nonEmpty || nested.nonEmpty,
       "JSON_TABLE: COLUMNS must name at least one column")
 
@@ -214,33 +218,46 @@ object JsonTableSql {
     // — t.ln resolves naturally, SELECT t.ln keeps the name "ln", and
     // no reference rewriting is needed anywhere in the statement
     val hasOrd = cols.exists(_.castType.isEmpty)
+    // PATH '$' selects the element ITSELF — required for arrays of
+    // SCALARS, whose elements are not parseable JSON documents (a bare
+    // string breaks get_json_object; SQL/JSON's identity path applies
+    // to the context item directly)
+    def leafExpr(elem: String, c: Col): String =
+      if (c.path.get == "$") s"CAST($elem AS ${c.castType.get}) AS ${c.name}"
+      else s"CAST(get_json_object($elem, '${c.path.get}') AS ${c.castType.get}) AS ${c.name}"
     val colExprs = cols.map { c =>
       if (c.castType.isEmpty) s"CAST(__jt_p + 1 AS INT) AS ${c.name}"
-      else s"CAST(get_json_object(__jt_e, '${c.path.get}') AS ${c.castType.get}) AS ${c.name}"
+      else leafExpr("__jt_e", c)
     }
-    // nested columns read the nested element __jt_ne; its ordinality is
-    // __jt_np, NULL on the OUTER padding row (CAST(NULL + 1) stays NULL)
-    val nestedExprs = nested.toSeq.flatMap(_.cols).map { c =>
-      if (c.castType.isEmpty) s"CAST(__jt_np + 1 AS INT) AS ${c.name}"
-      else s"CAST(get_json_object(__jt_ne, '${c.path.get}') AS ${c.castType.get}) AS ${c.name}"
+    // each nesting level adds one LATERAL VIEW OUTER generate over the
+    // PARENT level's element; level i's columns read __jt_ne{i} and its
+    // FOR ORDINALITY is __jt_np{i} + 1 — NULL on the OUTER padding row
+    // (CAST(NULL + 1) stays NULL)
+    def levels(n: Option[Nested], acc: Seq[Nested] = Nil): Seq[Nested] =
+      n match { case Some(x) => levels(x.child, acc :+ x); case None => acc }
+    val chain = levels(nested)
+    val nestedExprs = chain.zipWithIndex.flatMap { case (lvl, i) =>
+      lvl.cols.map { c =>
+        if (c.castType.isEmpty) s"CAST(__jt_np$i + 1 AS INT) AS ${c.name}"
+        else leafExpr(s"__jt_ne$i", c)
+      }
     }
     val inner =
       if (hasOrd)
         s"(SELECT posexplode(from_json($arrayExpr, 'array<string>')) AS (__jt_p, __jt_e))"
       else
         s"(SELECT explode(from_json($arrayExpr, 'array<string>')) AS __jt_e)"
-    val body = nested match {
-      case None =>
-        s"SELECT ${colExprs.mkString(", ")} FROM $inner"
-      case Some(n) =>
-        val nPrefix = n.path.stripSuffix("[*]")
-        val nArr =
-          if (nPrefix == "$") "__jt_e"
-          else s"get_json_object(__jt_e, '${nPrefix.stripSuffix(".")}')"
-        s"SELECT ${(colExprs ++ nestedExprs).mkString(", ")} FROM $inner " +
-          s"LATERAL VIEW OUTER posexplode_outer(from_json($nArr, 'array<string>')) " +
-          "__jt_nv AS __jt_np, __jt_ne"
+    val views = chain.zipWithIndex.map { case (lvl, i) =>
+      val parentElem = if (i == 0) "__jt_e" else s"__jt_ne${i - 1}"
+      val nPrefix = lvl.path.stripSuffix("[*]")
+      val nArr =
+        if (nPrefix == "$") parentElem
+        else s"get_json_object($parentElem, '${nPrefix.stripSuffix(".")}')"
+      s"LATERAL VIEW OUTER posexplode_outer(from_json($nArr, 'array<string>')) " +
+        s"__jt_nv$i AS __jt_np$i, __jt_ne$i"
     }
+    val body = s"SELECT ${(colExprs ++ nestedExprs).mkString(", ")} FROM $inner" +
+      views.map(" " + _).mkString
     val lateral = s"LATERAL ($body) $alias"
 
     // a lateral join needs a left relation: FROM-only JSON_TABLE has no

@@ -76,6 +76,34 @@ class JsonTableSqlSpec extends SparkSpec {
           (2L, 20L, null, null)))
   }
 
+  test("NESTED chains: two levels, per-level ordinality, OUTER at each level (r13)") {
+    import spark.implicits._
+    Seq(
+      (1L, """[{"okey":10,"lines":[{"ln":1,"tags":["a","b"]},{"ln":2,"tags":[]}]},
+               {"okey":11,"lines":[]}]""".replaceAll("\\s+", "")),
+      (2L, """[{"okey":20}]"""))
+      .toDF("id", "doc").createOrReplaceTempView("jt_deep")
+    val rows = spark.sql("""
+      SELECT d.id, t.okey, t.ln, t.tpos, t.tag
+      FROM jt_deep d, JSON_TABLE(d.doc, 'lax $[*]'
+        COLUMNS (okey BIGINT PATH 'lax $.okey',
+                 NESTED PATH 'lax $.lines[*]' COLUMNS (
+                   ln INTEGER PATH 'lax $.ln',
+                   NESTED PATH 'lax $.tags[*]' COLUMNS (
+                     tpos FOR ORDINALITY,
+                     tag VARCHAR PATH 'lax $')))) AS t
+      ORDER BY d.id, t.okey, t.ln, t.tpos""").collect()
+    def o[T](r: org.apache.spark.sql.Row, i: Int, g: Int => T): Any =
+      if (r.isNullAt(i)) null else g(i)
+    // line (10, 1) has 2 tags; line (10, 2) has an EMPTY tags array ->
+    // one OUTER-padded row; order 11 has no lines at all -> one row
+    // with every nested column NULL; order 20 has no lines key -> same
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), o(r, 2, r.getInt),
+        o(r, 3, r.getInt), o(r, 4, r.getString))).toSeq ==
+      Seq((1L, 10L, 1, 1, "a"), (1L, 10L, 1, 2, "b"), (1L, 10L, 2, null, null),
+          (1L, 11L, null, null, null), (2L, 20L, null, null, null)))
+  }
+
   test("statements without the keyword and literals containing it pass untouched") {
     val plain = "SELECT 1 AS x FROM t WHERE s = 'call JSON_TABLE(x) later'"
     assert(JsonTableSql.rewrite(plain) == plain)
@@ -89,13 +117,9 @@ class JsonTableSqlSpec extends SparkSpec {
       .contains("alias"))
     assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $.a' COLUMNS (x INT PATH '$.x')) t")
       .contains("array"))
-    // one NESTED level is supported (round 13); deeper nesting, sibling
-    // NESTED paths, PLAN, and ON ERROR stay loud named rejections
-    // (Trino 468 accepts all four — honest dialect gaps, pinned here)
-    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x', " +
-      "NESTED PATH '$.y[*]' COLUMNS (z INT PATH '$.z', " +
-      "NESTED PATH '$.w[*]' COLUMNS (v INT PATH '$.v')))) t")
-      .contains("one NESTED level"))
+    // NESTED chains of any depth are supported (round 13); SIBLING
+    // NESTED paths (UNION plan), PLAN, and ON ERROR stay loud named
+    // rejections (Trino 468 accepts them — honest dialect gaps)
     assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x', " +
       "NESTED PATH '$.y[*]' COLUMNS (z INT PATH '$.z'), " +
       "NESTED PATH '$.w[*]' COLUMNS (v INT PATH '$.v'))) t")
