@@ -1468,6 +1468,69 @@ object CoreQueries {
         nums AS (SELECT CAST(n AS INT) AS n FROM range(1, 8) r(n))
         SELECT b.ck, b.okey, b.ln, b.qty,
           t.n AS tpos, t.n * 10 AS tag
-        FROM base b LEFT JOIN nums t ON t.n < b.ln"""))
+        FROM base b LEFT JOIN nums t ON t.n < b.ln""")),
+
+    // ------------------------------------------------------------------
+    // JSON_TABLE SIBLING NESTED paths — the SQL:2016 default UNION plan
+    // (round 13): each order carries TWO sibling arrays (its qualifying
+    // lines and a synthesized tags list, count = okey % 3), and ONE
+    // JSON_TABLE emits the union — lines rows with tag columns NULL,
+    // tags rows with line columns NULL, and orders where BOTH arrays
+    // are empty get one fully-padded row (the OUTER parent under a
+    // UNION of empty siblings). The oracle spells the plan literally:
+    // two legs UNION ALL a NOT-EXISTS padding leg.
+    QueryEntry("q46_json_table_siblings",
+      (s, d) => {
+        t(s, d, "orders").filter(col("o_orderkey") <= 600)
+          .createOrReplaceTempView("jt4_orders")
+        t(s, d, "lineitem").filter(col("l_orderkey") <= 600)
+          .createOrReplaceTempView("jt4_lineitem")
+        s.sql("""
+          WITH li AS (
+            SELECT l_orderkey,
+                   sort_array(collect_list(named_struct('ln', l_linenumber))) AS ls
+            FROM jt4_lineitem WHERE l_quantity < 5 GROUP BY l_orderkey),
+          docs AS (
+            SELECT o.o_custkey AS ck,
+                   to_json(sort_array(collect_list(named_struct(
+                     'okey', o.o_orderkey,
+                     'lines', li.ls,
+                     'tags', CASE WHEN o.o_orderkey % 3 > 0
+                                  THEN transform(sequence(1, CAST(o.o_orderkey % 3 AS INT)), i -> i * 10)
+                                  ELSE CAST(array() AS array<int>) END)))) AS doc
+            FROM jt4_orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey)
+          SELECT d.ck, jt.okey, jt.lpos, jt.ln, jt.tpos, jt.tag
+          FROM docs d, JSON_TABLE(d.doc, 'lax $[*]'
+            COLUMNS (okey BIGINT PATH 'lax $.okey',
+                     NESTED PATH 'lax $.lines[*]' COLUMNS (
+                       lpos FOR ORDINALITY, ln INTEGER PATH 'lax $.ln'),
+                     NESTED PATH 'lax $.tags[*]' COLUMNS (
+                       tpos FOR ORDINALITY, tag INTEGER PATH 'lax $'))) AS jt""")
+      },
+      Some("""WITH li0 AS (
+          SELECT l_orderkey, l_linenumber AS ln
+          FROM lineitem WHERE l_quantity < 5 AND l_orderkey <= 600),
+        o AS (SELECT o_custkey AS ck, o_orderkey AS okey,
+                CAST(o_orderkey % 3 AS INT) AS ntags
+              FROM orders WHERE o_orderkey <= 600),
+        lineleg AS (
+          SELECT o.ck, o.okey,
+            CAST(ROW_NUMBER() OVER (PARTITION BY o.okey ORDER BY li0.ln) AS INT) AS lpos,
+            li0.ln, CAST(NULL AS INT) AS tpos, CAST(NULL AS INT) AS tag
+          FROM o JOIN li0 ON li0.l_orderkey = o.okey),
+        nums AS (SELECT CAST(n AS INT) AS n FROM range(1, 3) r(n)),
+        tagleg AS (
+          SELECT o.ck, o.okey, CAST(NULL AS INT) AS lpos, CAST(NULL AS INT) AS ln,
+            t.n AS tpos, t.n * 10 AS tag
+          FROM o JOIN nums t ON t.n <= o.ntags),
+        pad AS (
+          SELECT o.ck, o.okey, CAST(NULL AS INT) AS lpos, CAST(NULL AS INT) AS ln,
+            CAST(NULL AS INT) AS tpos, CAST(NULL AS INT) AS tag
+          FROM o WHERE o.ntags = 0
+            AND NOT EXISTS (SELECT 1 FROM li0 WHERE li0.l_orderkey = o.okey))
+        SELECT * FROM lineleg
+        UNION ALL SELECT * FROM tagleg
+        UNION ALL SELECT * FROM pad"""))
   )
 }

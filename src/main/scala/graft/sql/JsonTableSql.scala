@@ -189,29 +189,35 @@ object JsonTableSql {
           "name FOR ORDINALITY | name <type> PATH '<path>' | " +
           "NESTED PATH '<path>[*]' COLUMNS (...) (no defaults)")
     }
-    // a COLUMNS block = leaf entries + at most ONE NESTED entry, which
-    // may itself nest — an arbitrary-depth CHAIN (round 13); SIBLING
-    // nested paths (the UNION plan) stay a named rejection
-    def parseBlock(block: String): (Seq[Col], Option[Nested]) = {
+    // a COLUMNS block = leaf entries + nested entries. ONE nested
+    // entry may itself nest (an arbitrary-depth CHAIN); TWO OR MORE
+    // nested entries at the OUTERMOST block are SIBLINGS and take the
+    // SQL:2016 default UNION plan — supported when every sibling is a
+    // LEAF block (round 13). Siblings below the outermost level, or
+    // siblings that themselves nest, stay named rejections.
+    def parseBlock(block: String, outermost: Boolean): (Seq[Col], Seq[Nested]) = {
       val (nestedEntries, leafEntries) =
         splitTop(block).partition(e => nestedRx.findFirstMatchIn(e).isDefined)
       val leafs = leafEntries.map(parseLeaf)
-      require(nestedEntries.length <= 1,
-        s"JSON_TABLE supports ONE NESTED PATH per COLUMNS block, got " +
-          s"${nestedEntries.length} — sibling NESTED paths take the UNION plan; " +
-          "lower the second as another JSON_TABLE")
-      val nested = nestedEntries.headOption.map { e =>
+      require(nestedEntries.length <= 1 || outermost,
+        s"JSON_TABLE supports sibling NESTED paths (the UNION plan) only in the " +
+          "OUTERMOST COLUMNS block — lower a deeper sibling as another JSON_TABLE")
+      val nesteds = nestedEntries.map { e =>
         val m = nestedRx.findFirstMatchIn(e).get
         val np = stripMode(m.group(1))
         require(np.endsWith("[*]"),
           s"JSON_TABLE NESTED PATH must iterate an array ('$$.a[*]'), got '${m.group(1)}'")
-        val (innerLeafs, innerNested) = parseBlock(m.group(2))
-        Nested(np, innerLeafs, innerNested)
+        val (innerLeafs, innerNested) = parseBlock(m.group(2), outermost = false)
+        Nested(np, innerLeafs, innerNested.headOption)
       }
-      (leafs, nested)
+      require(nesteds.length <= 1 || nesteds.forall(_.child.isEmpty),
+        "JSON_TABLE sibling NESTED paths must be LEAF blocks — a sibling that " +
+          "itself nests is not supported; lower it as another JSON_TABLE")
+      (leafs, nesteds)
     }
-    val (cols, nested) = parseBlock(colsBlock)
-    require(cols.nonEmpty || nested.nonEmpty,
+    val (cols, nesteds) = parseBlock(colsBlock, outermost = true)
+    val nested = nesteds.headOption
+    require(cols.nonEmpty || nesteds.nonEmpty,
       "JSON_TABLE: COLUMNS must name at least one column")
 
     // lower to a LATERAL subquery yielding properly NAMED typed columns
@@ -247,17 +253,47 @@ object JsonTableSql {
         s"(SELECT posexplode(from_json($arrayExpr, 'array<string>')) AS (__jt_p, __jt_e))"
       else
         s"(SELECT explode(from_json($arrayExpr, 'array<string>')) AS __jt_e)"
-    val views = chain.zipWithIndex.map { case (lvl, i) =>
-      val parentElem = if (i == 0) "__jt_e" else s"__jt_ne${i - 1}"
-      val nPrefix = lvl.path.stripSuffix("[*]")
-      val nArr =
-        if (nPrefix == "$") parentElem
-        else s"get_json_object($parentElem, '${nPrefix.stripSuffix(".")}')"
-      s"LATERAL VIEW OUTER posexplode_outer(from_json($nArr, 'array<string>')) " +
-        s"__jt_nv$i AS __jt_np$i, __jt_ne$i"
-    }
-    val body = s"SELECT ${(colExprs ++ nestedExprs).mkString(", ")} FROM $inner" +
-      views.map(" " + _).mkString
+    val body =
+      if (nesteds.length >= 2) {
+        // UNION plan over k sibling leaf blocks: per parent element,
+        // one combined array of (sibling-id, in-sibling index, element)
+        // structs — sibling s's columns are NULL on every other
+        // sibling's rows, per-sibling FOR ORDINALITY is the in-sibling
+        // index, and a parent whose EVERY sibling array is empty or
+        // absent gets ONE padded row (coalesce keeps a missing array
+        // from nulling the whole concat; posexplode_outer pads).
+        val parts = nesteds.zipWithIndex.map { case (lvl, si) =>
+          val p = lvl.path.stripSuffix("[*]")
+          val a = if (p == "$") "__jt_e"
+                  else s"get_json_object(__jt_e, '${p.stripSuffix(".")}')"
+          s"transform(coalesce(from_json($a, 'array<string>'), array()), " +
+            s"(__jt_x, __jt_i) -> struct($si AS __sib, __jt_i AS __sp, __jt_x AS __se))"
+        }
+        val sibExprs = nesteds.zipWithIndex.flatMap { case (lvl, si) =>
+          lvl.cols.map { c =>
+            val v =
+              if (c.castType.isEmpty) s"CAST(__jt_ue.__sp + 1 AS INT)"
+              else if (c.path.get == "$") s"CAST(__jt_ue.__se AS ${c.castType.get})"
+              else s"CAST(get_json_object(__jt_ue.__se, '${c.path.get}') AS ${c.castType.get})"
+            s"CASE WHEN __jt_ue.__sib = $si THEN $v END AS ${c.name}"
+          }
+        }
+        s"SELECT ${(colExprs ++ sibExprs).mkString(", ")} FROM $inner " +
+          s"LATERAL VIEW OUTER posexplode_outer(concat(${parts.mkString(", ")})) " +
+          "__jt_uv AS __jt_up, __jt_ue"
+      } else {
+        val views = chain.zipWithIndex.map { case (lvl, i) =>
+          val parentElem = if (i == 0) "__jt_e" else s"__jt_ne${i - 1}"
+          val nPrefix = lvl.path.stripSuffix("[*]")
+          val nArr =
+            if (nPrefix == "$") parentElem
+            else s"get_json_object($parentElem, '${nPrefix.stripSuffix(".")}')"
+          s"LATERAL VIEW OUTER posexplode_outer(from_json($nArr, 'array<string>')) " +
+            s"__jt_nv$i AS __jt_np$i, __jt_ne$i"
+        }
+        s"SELECT ${(colExprs ++ nestedExprs).mkString(", ")} FROM $inner" +
+          views.map(" " + _).mkString
+      }
     val lateral = s"LATERAL ($body) $alias"
 
     // a lateral join needs a left relation: FROM-only JSON_TABLE has no

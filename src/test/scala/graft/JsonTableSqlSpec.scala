@@ -104,6 +104,30 @@ class JsonTableSqlSpec extends SparkSpec {
           (1L, 11L, null, null, null), (2L, 20L, null, null, null)))
   }
 
+  test("sibling NESTED paths take the UNION plan: per-sibling rows, shared padding (r13)") {
+    import spark.implicits._
+    Seq(
+      (1L, """[{"okey":10,"lines":[{"ln":1},{"ln":2}],"tags":[7]},{"okey":11}]"""))
+      .toDF("id", "doc").createOrReplaceTempView("jt_sib")
+    val rows = spark.sql("""
+      SELECT t.okey, t.ln, t.lpos, t.tag, t.tpos
+      FROM jt_sib d, JSON_TABLE(d.doc, 'lax $[*]'
+        COLUMNS (okey BIGINT PATH 'lax $.okey',
+                 NESTED PATH 'lax $.lines[*]' COLUMNS (
+                   lpos FOR ORDINALITY, ln INTEGER PATH 'lax $.ln'),
+                 NESTED PATH 'lax $.tags[*]' COLUMNS (
+                   tpos FOR ORDINALITY, tag INTEGER PATH 'lax $'))) AS t
+      ORDER BY t.okey, t.lpos NULLS LAST, t.tpos NULLS LAST""").collect()
+    def o[T](r: org.apache.spark.sql.Row, i: Int, g: Int => T): Any =
+      if (r.isNullAt(i)) null else g(i)
+    // UNION plan: order 10 -> 2 lines rows (tag cols NULL) then 1 tags
+    // row (line cols NULL); order 11 has NEITHER array -> ONE padded row
+    assert(rows.map(r => (r.getLong(0), o(r, 1, r.getInt), o(r, 2, r.getInt),
+        o(r, 3, r.getInt), o(r, 4, r.getInt))).toSeq ==
+      Seq((10L, 1, 1, null, null), (10L, 2, 2, null, null),
+          (10L, null, null, 7, 1), (11L, null, null, null, null)))
+  }
+
   test("statements without the keyword and literals containing it pass untouched") {
     val plain = "SELECT 1 AS x FROM t WHERE s = 'call JSON_TABLE(x) later'"
     assert(JsonTableSql.rewrite(plain) == plain)
@@ -120,10 +144,19 @@ class JsonTableSqlSpec extends SparkSpec {
     // NESTED chains of any depth are supported (round 13); SIBLING
     // NESTED paths (UNION plan), PLAN, and ON ERROR stay loud named
     // rejections (Trino 468 accepts them — honest dialect gaps)
+    // siblings are supported at the OUTERMOST block (UNION plan, r13);
+    // a sibling that itself nests, or siblings below the outermost
+    // level, stay named rejections
     assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x', " +
-      "NESTED PATH '$.y[*]' COLUMNS (z INT PATH '$.z'), " +
+      "NESTED PATH '$.y[*]' COLUMNS (z INT PATH '$.z', " +
+      "NESTED PATH '$.q[*]' COLUMNS (r INT PATH '$.r')), " +
       "NESTED PATH '$.w[*]' COLUMNS (v INT PATH '$.v'))) t")
-      .contains("ONE NESTED PATH per COLUMNS"))
+      .contains("LEAF blocks"))
+    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x', " +
+      "NESTED PATH '$.y[*]' COLUMNS (z INT PATH '$.z', " +
+      "NESTED PATH '$.a[*]' COLUMNS (p INT PATH '$.p'), " +
+      "NESTED PATH '$.b[*]' COLUMNS (q INT PATH '$.q')))) t")
+      .contains("OUTERMOST"))
     assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x') " +
       "PLAN (p OUTER q)) t")
       .contains("PLAN"))
