@@ -75,7 +75,8 @@ object JsonTableSql {
   private def closeParen(sql: String, open: Int): Int =
     SqlScan.closeParen(sql, open, "JSON_TABLE")
 
-  private case class Col(name: String, castType: Option[String], path: Option[String])
+  private case class Col(name: String, castType: Option[String], path: Option[String],
+                         onMissing: Option[String] = None)
   private case class Nested(path: String, cols: Seq[Col], child: Option[Nested])
 
   private val trinoTypes: Map[String, String] = Map(
@@ -178,16 +179,50 @@ object JsonTableSql {
     // columns: plain entries + at most ONE NESTED PATH entry
     val ordRx = """(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+FOR\s+ORDINALITY\s*$""".r
     val colRx = ("""(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\s+""" +
-      """([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+PATH\s+'((?:[^']|'')*)'\s*$""").r
+      """([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s+PATH\s+'((?:[^']|'')*)'\s*(.*?)\s*$""").r
     val nestedRx =
       """(?is)^\s*NESTED\s+(?:PATH\s+)?'((?:[^']|'')*)'\s*COLUMNS\s*\((.*)\)\s*$""".r
+    // column-level SQL/JSON behaviors (round 13): `NULL ON EMPTY/ERROR`
+    // is the default the lowering already produces (accepted, no-op);
+    // `DEFAULT <literal> ON EMPTY/ERROR` coalesces over the NULL. The
+    // lowering cannot DISTINGUISH empty from error (get_json_object
+    // yields NULL for both) nor raise per-row errors, so `ERROR ON ...`
+    // and two DIFFERENT defaults are named rejections.
+    val behaviorRx =
+      """(?is)^(NULL|ERROR|DEFAULT\s+('(?:[^']|'')*'|[-+0-9.Ee]+))\s+ON\s+(EMPTY|ERROR)\s*(.*)$""".r
+    def parseBehaviors(name: String, tail0: String): Option[String] = {
+      var tail = tail0.trim
+      var dflt: Option[String] = None
+      while (tail.nonEmpty) tail match {
+        case behaviorRx(kind, lit, _, rest) =>
+          val k = kind.toUpperCase
+          if (k.startsWith("ERROR")) throw new IllegalArgumentException(
+            s"JSON_TABLE column $name: ERROR ON EMPTY/ERROR is not supported — " +
+              "the lowering produces NULL (the SQL/JSON default) and cannot " +
+              "raise per-row errors")
+          if (k.startsWith("DEFAULT")) {
+            if (dflt.exists(_ != lit)) throw new IllegalArgumentException(
+              s"JSON_TABLE column $name: two DIFFERENT defaults for ON EMPTY vs " +
+                "ON ERROR are not supported — the lowering cannot distinguish a " +
+                "missing path from a malformed document (both read as NULL)")
+            dflt = Some(lit)
+          }
+          tail = rest.trim
+        case other => throw new IllegalArgumentException(
+          s"JSON_TABLE column $name: unsupported trailing clause '$other' — " +
+            "supported: [NULL | DEFAULT <literal>] ON EMPTY / ON ERROR")
+      }
+      dflt
+    }
     def parseLeaf(entry: String): Col = entry match {
       case ordRx(n) => Col(n, None, None)
-      case colRx(n, t, p) => Col(n, Some(mapType(t)), Some(stripMode(p)))
+      case colRx(n, t, p, tail) =>
+        Col(n, Some(mapType(t)), Some(stripMode(p)), parseBehaviors(n, tail))
       case other => throw new IllegalArgumentException(
         s"JSON_TABLE: unsupported COLUMNS entry '${other.trim}' — supported: " +
-          "name FOR ORDINALITY | name <type> PATH '<path>' | " +
-          "NESTED PATH '<path>[*]' COLUMNS (...) (no defaults)")
+          "name FOR ORDINALITY | name <type> PATH '<path>' " +
+          "[[NULL | DEFAULT <lit>] ON EMPTY/ERROR] | " +
+          "NESTED PATH '<path>[*]' COLUMNS (...)")
     }
     // a COLUMNS block = leaf entries + nested entries. ONE nested
     // entry may itself nest (an arbitrary-depth CHAIN); TWO OR MORE
@@ -228,9 +263,13 @@ object JsonTableSql {
     // SCALARS, whose elements are not parseable JSON documents (a bare
     // string breaks get_json_object; SQL/JSON's identity path applies
     // to the context item directly)
-    def leafExpr(elem: String, c: Col): String =
-      if (c.path.get == "$") s"CAST($elem AS ${c.castType.get}) AS ${c.name}"
-      else s"CAST(get_json_object($elem, '${c.path.get}') AS ${c.castType.get}) AS ${c.name}"
+    def leafExpr(elem: String, c: Col): String = {
+      val raw =
+        if (c.path.get == "$") s"CAST($elem AS ${c.castType.get})"
+        else s"CAST(get_json_object($elem, '${c.path.get}') AS ${c.castType.get})"
+      val v = c.onMissing.fold(raw)(d => s"coalesce($raw, CAST($d AS ${c.castType.get}))")
+      s"$v AS ${c.name}"
+    }
     val colExprs = cols.map { c =>
       if (c.castType.isEmpty) s"CAST(__jt_p + 1 AS INT) AS ${c.name}"
       else leafExpr("__jt_e", c)
@@ -273,8 +312,14 @@ object JsonTableSql {
           lvl.cols.map { c =>
             val v =
               if (c.castType.isEmpty) s"CAST(__jt_ue.__sp + 1 AS INT)"
-              else if (c.path.get == "$") s"CAST(__jt_ue.__se AS ${c.castType.get})"
-              else s"CAST(get_json_object(__jt_ue.__se, '${c.path.get}') AS ${c.castType.get})"
+              else {
+                val raw =
+                  if (c.path.get == "$") s"CAST(__jt_ue.__se AS ${c.castType.get})"
+                  else s"CAST(get_json_object(__jt_ue.__se, '${c.path.get}') AS ${c.castType.get})"
+                // the ON EMPTY default applies within the sibling's own
+                // rows; other siblings' rows stay NULL (the CASE gate)
+                c.onMissing.fold(raw)(dd => s"coalesce($raw, CAST($dd AS ${c.castType.get}))")
+              }
             s"CASE WHEN __jt_ue.__sib = $si THEN $v END AS ${c.name}"
           }
         }

@@ -128,6 +128,33 @@ class JsonTableSqlSpec extends SparkSpec {
           (10L, null, null, 7, 1), (11L, null, null, null, null)))
   }
 
+  test("column-level behaviors: DEFAULT ON EMPTY fills, NULL ON ERROR no-ops, ERROR rejects (r13)") {
+    import spark.implicits._
+    Seq((1L, """[{"a":1},{"b":2}]""")).toDF("id", "doc")
+      .createOrReplaceTempView("jt_beh")
+    val rows = spark.sql("""
+      SELECT t.a, t.b FROM jt_beh, JSON_TABLE(doc, 'lax $[*]'
+        COLUMNS (a INTEGER PATH 'lax $.a' DEFAULT -1 ON EMPTY,
+                 b INTEGER PATH 'lax $.b' NULL ON ERROR)) t
+      ORDER BY t.a""").collect()
+    assert(rows.map(r => (r.getInt(0),
+        if (r.isNullAt(1)) null else r.getInt(1))).toSeq ==
+      Seq((-1, 2), (1, null)))
+    // string default, both-clause same default, through the wire seam
+    val s2 = spark.sql("""
+      SELECT t.s FROM jt_beh, JSON_TABLE(doc, 'lax $[*]'
+        COLUMNS (s VARCHAR PATH 'lax $.missing'
+                 DEFAULT 'none' ON EMPTY DEFAULT 'none' ON ERROR)) t""").collect()
+    assert(s2.map(_.getString(0)).toSeq == Seq("none", "none"))
+    def err(q: String): String =
+      intercept[Exception](JsonTableSql.rewrite(q)).getMessage
+    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (" +
+      "x INT PATH '$.x' ERROR ON EMPTY)) t").contains("ERROR ON"))
+    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (" +
+      "x INT PATH '$.x' DEFAULT 1 ON EMPTY DEFAULT 2 ON ERROR)) t")
+      .contains("DIFFERENT defaults"))
+  }
+
   test("statements without the keyword and literals containing it pass untouched") {
     val plain = "SELECT 1 AS x FROM t WHERE s = 'call JSON_TABLE(x) later'"
     assert(JsonTableSql.rewrite(plain) == plain)
