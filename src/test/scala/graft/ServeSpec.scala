@@ -323,6 +323,17 @@ class ServeSpec extends SparkSpec {
         assert(rs7.next() && rs7.getInt(1) == 2 && rs7.getString(2) == "y" &&
           rs7.getDouble(3) == 4.0)
         assert(!rs7.next())
+        // sibling UNION plan + a column default, same wire
+        val rs8 = st.executeQuery("""
+          SELECT t.a, t.b FROM
+            (SELECT '[{"xs":[1],"ys":["p"]}]' AS doc) d,
+            JSON_TABLE(d.doc, 'lax $[*]' COLUMNS (
+              NESTED PATH 'lax $.xs[*]' COLUMNS (a INTEGER PATH 'lax $' DEFAULT -1 ON EMPTY),
+              NESTED PATH 'lax $.ys[*]' COLUMNS (b VARCHAR PATH 'lax $'))) AS t
+          ORDER BY t.a NULLS LAST""")
+        assert(rs8.next() && rs8.getInt(1) == 1 && { rs8.getString(2); rs8.wasNull() })
+        assert(rs8.next() && { rs8.getInt(1); rs8.wasNull() } && rs8.getString(2) == "p")
+        assert(!rs8.next())
       } finally conn.close()
 
       // --- r11 verdict #6, same server boot (HiveThriftServer2 is
