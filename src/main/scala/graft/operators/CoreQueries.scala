@@ -1531,6 +1531,117 @@ object CoreQueries {
             AND NOT EXISTS (SELECT 1 FROM li0 WHERE li0.l_orderkey = o.okey))
         SELECT * FROM lineleg
         UNION ALL SELECT * FROM tagleg
-        UNION ALL SELECT * FROM pad"""))
+        UNION ALL SELECT * FROM pad""")),
+
+    // ------------------------------------------------------------------
+    // JSON_TABLE PLAN clause, INNER parent/child (round 14, r13 verdict
+    // #1): same two-level shape as q43 (orders with their qty < 10
+    // lines packed to per-customer docs), but the explicit
+    // `PLAN (r INNER l)` drops order elements with NO qualifying lines
+    // instead of OUTER-padding them — the oracle is the plain INNER
+    // JOIN. Path names come from the new `AS <name>` clauses.
+    QueryEntry("q47_json_table_plan_inner",
+      (s, d) => {
+        t(s, d, "orders").filter(col("o_orderkey") <= 600)
+          .createOrReplaceTempView("jt5_orders")
+        t(s, d, "lineitem").filter(col("l_orderkey") <= 600)
+          .createOrReplaceTempView("jt5_lineitem")
+        s.sql("""
+          WITH lines AS (
+            SELECT l_orderkey,
+                   sort_array(collect_list(
+                     named_struct('ln', l_linenumber, 'qty', l_quantity))) AS ls
+            FROM jt5_lineitem WHERE l_quantity < 10 GROUP BY l_orderkey),
+          docs AS (
+            SELECT o.o_custkey AS ck,
+                   to_json(sort_array(collect_list(
+                     named_struct('okey', o.o_orderkey, 'lines', l.ls)))) AS doc
+            FROM jt5_orders o LEFT JOIN lines l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey)
+          SELECT d.ck, jt.okey, jt.lpos, jt.ln, jt.qty
+          FROM docs d, JSON_TABLE(d.doc, 'lax $[*]' AS r
+            COLUMNS (okey BIGINT PATH 'lax $.okey',
+                     NESTED PATH 'lax $.lines[*]' AS l COLUMNS (
+                       lpos FOR ORDINALITY,
+                       ln INTEGER PATH 'lax $.ln',
+                       qty DOUBLE PATH 'lax $.qty'))
+            PLAN (r INNER l)) AS jt""")
+      },
+      Some("""WITH sel AS (
+          SELECT l_orderkey, l_linenumber, l_quantity
+          FROM lineitem WHERE l_quantity < 10 AND l_orderkey <= 600)
+        SELECT o.o_custkey AS ck, o.o_orderkey AS okey,
+          CAST(ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+               ORDER BY s.l_linenumber, s.l_quantity) AS INT) AS lpos,
+          s.l_linenumber AS ln, s.l_quantity AS qty
+        FROM orders o JOIN sel s ON s.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey <= 600""")),
+
+    // ------------------------------------------------------------------
+    // JSON_TABLE siblings BELOW the outermost block (round 14, r13
+    // verdict #2 — both r13 restrictions lifted): each order's lines
+    // array is the first nested level, and each LINE carries two
+    // sibling arrays — tags (i·10 for i < ln, as q45) and notes (one
+    // "n<ln>" entry on even lines) — combined by the default UNION
+    // plan INSIDE a nested block. A line with ln = 1 has neither array
+    // and OUTER-pads one row. The oracle spells the per-line union:
+    // a tag leg (number table), a note leg (even lines), and a pad leg
+    // (ln = 1).
+    QueryEntry("q48_json_table_deep_siblings",
+      (s, d) => {
+        t(s, d, "orders").filter(col("o_orderkey") <= 400)
+          .createOrReplaceTempView("jt6_orders")
+        t(s, d, "lineitem").filter(col("l_orderkey") <= 400)
+          .createOrReplaceTempView("jt6_lineitem")
+        s.sql("""
+          WITH lines AS (
+            SELECT l_orderkey,
+                   sort_array(collect_list(named_struct(
+                     'ln', l_linenumber,
+                     'tags', CASE WHEN l_linenumber > 1
+                                  THEN transform(sequence(1, l_linenumber - 1), i -> i * 10)
+                                  ELSE CAST(array() AS array<int>) END,
+                     'notes', CASE WHEN l_linenumber % 2 = 0
+                                   THEN array(concat('n', CAST(l_linenumber AS STRING)))
+                                   ELSE CAST(array() AS array<string>) END))) AS ls
+            FROM jt6_lineitem GROUP BY l_orderkey),
+          docs AS (
+            SELECT o.o_custkey AS ck,
+                   to_json(sort_array(collect_list(named_struct(
+                     'okey', o.o_orderkey, 'lines', l.ls)))) AS doc
+            FROM jt6_orders o JOIN lines l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey)
+          SELECT d.ck, jt.okey, jt.ln, jt.tpos, jt.tag, jt.note
+          FROM docs d, JSON_TABLE(d.doc, 'lax $[*]'
+            COLUMNS (okey BIGINT PATH 'lax $.okey',
+                     NESTED PATH 'lax $.lines[*]' COLUMNS (
+                       ln INTEGER PATH 'lax $.ln',
+                       NESTED PATH 'lax $.tags[*]' COLUMNS (
+                         tpos FOR ORDINALITY,
+                         tag INTEGER PATH 'lax $'),
+                       NESTED PATH 'lax $.notes[*]' COLUMNS (
+                         note VARCHAR PATH 'lax $')))) AS jt""")
+      },
+      Some("""WITH base AS (
+          SELECT o.o_custkey AS ck, o.o_orderkey AS okey,
+                 l.l_linenumber AS ln
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderkey <= 400),
+        nums AS (SELECT CAST(n AS INT) AS n FROM range(1, 8) r(n)),
+        tagleg AS (
+          SELECT b.ck, b.okey, b.ln, t.n AS tpos, t.n * 10 AS tag,
+                 CAST(NULL AS VARCHAR) AS note
+          FROM base b JOIN nums t ON t.n < b.ln),
+        noteleg AS (
+          SELECT ck, okey, ln, CAST(NULL AS INT) AS tpos,
+                 CAST(NULL AS INT) AS tag, 'n' || CAST(ln AS VARCHAR) AS note
+          FROM base WHERE ln % 2 = 0),
+        padleg AS (
+          SELECT ck, okey, ln, CAST(NULL AS INT) AS tpos,
+                 CAST(NULL AS INT) AS tag, CAST(NULL AS VARCHAR) AS note
+          FROM base WHERE ln = 1)
+        SELECT * FROM tagleg
+        UNION ALL SELECT * FROM noteleg
+        UNION ALL SELECT * FROM padleg"""))
   )
 }

@@ -155,6 +155,129 @@ class JsonTableSqlSpec extends SparkSpec {
       .contains("DIFFERENT defaults"))
   }
 
+  test("PLAN DEFAULT (OUTER, UNION) and an explicit default-plan PLAN are no-ops (r14)") {
+    import spark.implicits._
+    Seq(
+      (1L, """[{"okey":10,"lines":[{"ln":1},{"ln":2}],"tags":[7]},{"okey":11}]"""))
+      .toDF("id", "doc").createOrReplaceTempView("jt_pd")
+    def run(planClause: String, pathNames: Boolean): Seq[(Long, Any, Any)] = {
+      val (rn, ln, tn) = if (pathNames) (" AS r", " AS l", " AS g") else ("", "", "")
+      spark.sql(s"""
+        SELECT t.okey, t.ln, t.tag
+        FROM jt_pd d, JSON_TABLE(d.doc, 'lax $$[*]'$rn
+          COLUMNS (okey BIGINT PATH 'lax $$.okey',
+                   NESTED PATH 'lax $$.lines[*]'$ln COLUMNS (ln INTEGER PATH 'lax $$.ln'),
+                   NESTED PATH 'lax $$.tags[*]'$tn COLUMNS (tag INTEGER PATH 'lax $$'))
+          $planClause) AS t
+        ORDER BY t.okey, t.ln NULLS LAST, t.tag NULLS LAST""").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getInt(1),
+          if (r.isNullAt(2)) null else r.getInt(2))).toSeq
+    }
+    // the default plan, spelled three ways, gives identical rows:
+    // order 10 -> line rows 1,2 (tag NULL) + one tag row 7; order 11
+    // (neither array) -> one fully padded row
+    val base = run("", pathNames = false)
+    assert(base == Seq((10L, 1, null), (10L, 2, null), (10L, null, 7),
+      (11L, null, null)))
+    assert(run("PLAN DEFAULT (OUTER, UNION)", pathNames = false) == base)
+    assert(run("PLAN DEFAULT (OUTER)", pathNames = false) == base)
+    assert(run("PLAN (r OUTER (l UNION g))", pathNames = true) == base)
+  }
+
+  test("PLAN INNER parent/child drops parent elements with no child rows (r14)") {
+    import spark.implicits._
+    Seq(
+      (1L, """[{"okey":10,"lines":[{"ln":1},{"ln":2}]},{"okey":11,"lines":[]},{"okey":12}]"""))
+      .toDF("id", "doc").createOrReplaceTempView("jt_inner")
+    def run(planClause: String): Seq[(Long, Int)] =
+      spark.sql(s"""
+        SELECT t.okey, t.ln
+        FROM jt_inner d, JSON_TABLE(d.doc, 'lax $$[*]' AS r
+          COLUMNS (okey BIGINT PATH 'lax $$.okey',
+                   NESTED PATH 'lax $$.lines[*]' AS l COLUMNS (
+                     ln INTEGER PATH 'lax $$.ln'))
+          $planClause) AS t
+        ORDER BY t.okey, t.ln""").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // INNER: orders 11 (empty lines) and 12 (no lines key) vanish
+    val expected = Seq((10L, 1), (10L, 2))
+    assert(run("PLAN (r INNER l)") == expected)
+    assert(run("PLAN DEFAULT (INNER)") == expected)
+  }
+
+  test("PLAN CROSS siblings build the product; an empty sibling empties it (r14)") {
+    import spark.implicits._
+    Seq(
+      (1L, """[{"okey":10,"lines":[{"ln":1},{"ln":2}],"tags":[7,8]},{"okey":11,"tags":[9]}]"""))
+      .toDF("id", "doc").createOrReplaceTempView("jt_cross")
+    val rows = spark.sql("""
+      SELECT t.okey, t.ln, t.tag
+      FROM jt_cross d, JSON_TABLE(d.doc, 'lax $[*]' AS r
+        COLUMNS (okey BIGINT PATH 'lax $.okey',
+                 NESTED PATH 'lax $.lines[*]' AS l COLUMNS (ln INTEGER PATH 'lax $.ln'),
+                 NESTED PATH 'lax $.tags[*]' AS g COLUMNS (tag INTEGER PATH 'lax $'))
+        PLAN (r OUTER (l CROSS g))) AS t
+      ORDER BY t.okey, t.ln NULLS LAST, t.tag NULLS LAST""").collect()
+    def o(r: org.apache.spark.sql.Row, i: Int): Any = if (r.isNullAt(i)) null else r.getInt(i)
+    // order 10: 2 lines x 2 tags = 4 product rows; order 11 has NO
+    // lines -> empty CROSS product -> the OUTER parent pads ONE row
+    assert(rows.map(r => (r.getLong(0), o(r, 1), o(r, 2))).toSeq ==
+      Seq((10L, 1, 7), (10L, 1, 8), (10L, 2, 7), (10L, 2, 8),
+          (11L, null, null)))
+  }
+
+  test("siblings below the outermost level and nesting siblings lower correctly (r14)") {
+    import spark.implicits._
+    // one order, two lines; EACH line carries sibling arrays tags +
+    // notes, and tags itself NESTS a subtags level — exercises both
+    // restrictions r13 rejected (sibling in a nested block, sibling
+    // that itself nests)
+    Seq((1L,
+      """[{"okey":10,"lines":[
+           {"ln":1,"tags":[{"t":7,"subs":["a","b"]}],"notes":["n1"]},
+           {"ln":2}]}]""".replaceAll("\\s+", "")))
+      .toDF("id", "doc").createOrReplaceTempView("jt_deep_sib")
+    val rows = spark.sql("""
+      SELECT t.okey, t.ln, t.tg, t.sub, t.note
+      FROM jt_deep_sib d, JSON_TABLE(d.doc, 'lax $[*]'
+        COLUMNS (okey BIGINT PATH 'lax $.okey',
+                 NESTED PATH 'lax $.lines[*]' COLUMNS (
+                   ln INTEGER PATH 'lax $.ln',
+                   NESTED PATH 'lax $.tags[*]' COLUMNS (
+                     tg INTEGER PATH 'lax $.t',
+                     NESTED PATH 'lax $.subs[*]' COLUMNS (
+                       sub VARCHAR PATH 'lax $')),
+                   NESTED PATH 'lax $.notes[*]' COLUMNS (
+                     note VARCHAR PATH 'lax $')))) AS t
+      ORDER BY t.ln, t.tg NULLS LAST, t.sub NULLS LAST, t.note NULLS LAST""").collect()
+    def o[T](r: org.apache.spark.sql.Row, i: Int, g: Int => T): Any =
+      if (r.isNullAt(i)) null else g(i)
+    // line 1 (UNION of tags-chain and notes): tag 7 expands its 2 subs
+    // -> 2 rows (note NULL), then the note row (tag cols NULL); line 2
+    // has NEITHER sibling -> one padded row
+    assert(rows.map(r => (r.getLong(0), o(r, 1, r.getInt), o(r, 2, r.getInt),
+        o(r, 3, r.getString), o(r, 4, r.getString))).toSeq ==
+      Seq((10L, 1, 7, "a", null), (10L, 1, 7, "b", null),
+          (10L, 1, null, null, "n1"), (10L, 2, null, null, null)))
+  }
+
+  test("output columns keep DECLARATION order — NESTED before scalars included (r14)") {
+    import spark.implicits._
+    Seq((1L, """[{"a":1,"bs":[{"b":2}],"c":3}]"""))
+      .toDF("id", "doc").createOrReplaceTempView("jt_order")
+    val df = spark.sql("""
+      SELECT t.* FROM jt_order d, JSON_TABLE(d.doc, 'lax $[*]'
+        COLUMNS (a INTEGER PATH 'lax $.a',
+                 NESTED PATH 'lax $.bs[*]' COLUMNS (b INTEGER PATH 'lax $.b'),
+                 c INTEGER PATH 'lax $.c')) AS t""")
+    // Trino preserves declaration order: a, b (the nested block, where
+    // it was declared), c — NOT leaves-first (r13 advice)
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    assert(df.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((1, 2, 3)))
+  }
+
   test("statements without the keyword and literals containing it pass untouched") {
     val plain = "SELECT 1 AS x FROM t WHERE s = 'call JSON_TABLE(x) later'"
     assert(JsonTableSql.rewrite(plain) == plain)
@@ -168,25 +291,30 @@ class JsonTableSqlSpec extends SparkSpec {
       .contains("alias"))
     assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $.a' COLUMNS (x INT PATH '$.x')) t")
       .contains("array"))
-    // NESTED chains of any depth are supported (round 13); SIBLING
-    // NESTED paths (UNION plan), PLAN, and ON ERROR stay loud named
-    // rejections (Trino 468 accepts them — honest dialect gaps)
-    // siblings are supported at the OUTERMOST block (UNION plan, r13);
-    // a sibling that itself nests, or siblings below the outermost
-    // level, stay named rejections
-    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x', " +
-      "NESTED PATH '$.y[*]' COLUMNS (z INT PATH '$.z', " +
-      "NESTED PATH '$.q[*]' COLUMNS (r INT PATH '$.r')), " +
-      "NESTED PATH '$.w[*]' COLUMNS (v INT PATH '$.v'))) t")
-      .contains("LEAF blocks"))
-    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x', " +
-      "NESTED PATH '$.y[*]' COLUMNS (z INT PATH '$.z', " +
-      "NESTED PATH '$.a[*]' COLUMNS (p INT PATH '$.p'), " +
-      "NESTED PATH '$.b[*]' COLUMNS (q INT PATH '$.q')))) t")
-      .contains("OUTERMOST"))
+    // NESTED chains of any depth, siblings at ANY level, siblings
+    // that themselves nest, and the PLAN clause are all supported
+    // (rounds 13-14); ON ERROR and PLAN-shape mismatches stay loud
+    // named rejections
     assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x') " +
       "PLAN (p OUTER q)) t")
       .contains("PLAN"))
+    // PLAN demands names, full coverage, and unambiguous combinators
+    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' AS r COLUMNS (x INT PATH '$.x', " +
+      "NESTED PATH '$.y[*]' COLUMNS (z INT PATH '$.z')) PLAN (r OUTER y)) t")
+      .contains("AS names"))
+    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' AS r COLUMNS (x INT PATH '$.x', " +
+      "NESTED PATH '$.y[*]' AS y COLUMNS (z INT PATH '$.z'), " +
+      "NESTED PATH '$.w[*]' AS w COLUMNS (v INT PATH '$.v')) PLAN (r OUTER y)) t")
+      .contains("the plan names 1"))
+    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' AS r COLUMNS (x INT PATH '$.x', " +
+      "NESTED PATH '$.a[*]' AS a COLUMNS (p INT PATH '$.p'), " +
+      "NESTED PATH '$.b[*]' AS b COLUMNS (q INT PATH '$.q'), " +
+      "NESTED PATH '$.c[*]' AS c COLUMNS (s INT PATH '$.s')) " +
+      "PLAN (r OUTER (a UNION b CROSS c))) t")
+      .contains("parenthesize"))
+    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' AS r COLUMNS (x INT PATH '$.x', " +
+      "NESTED PATH '$.y[*]' AS y COLUMNS (z INT PATH '$.z')) PLAN (r OUTER nope)) t")
+      .contains("does not cover path 'y'"))
     assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x') " +
       "ERROR ON ERROR) t")
       .contains("ON ERROR"))
