@@ -344,6 +344,202 @@ object DsQueries {
           FROM per_cust)
         SELECT c_custkey, c_name, ROUND(ret_rev, 6) AS ret_rev,
           ROUND(nation_avg, 6) AS nation_avg
-        FROM w WHERE ret_rev > nation_avg * 1.2"""))
+        FROM w WHERE ret_rev > nation_avg * 1.2""")),
+
+    // ------------------------------------------------------------------
+    // WINDOW OVER ROLLUP (TPC-DS q36 shape, round 14): revenue rolled
+    // up over the (region, nation) hierarchy, then RANK() WITHIN each
+    // hierarchy level — nations ranked inside their region, regions
+    // ranked against regions, partitioned by the GROUPING() level and
+    // the parent key exactly as q36 does. Same Expand-economy as d02:
+    // pre-aggregate to the (region, nation) grain before the rollup
+    // (sum-of-sums is value-identical), so the x3 Expand copies grain
+    // rows, not facts; the window then runs over ~130 rollup rows —
+    // never fact-sized ordered state. COALESCE(n_name, '') breaks
+    // revenue ties deterministically on both engines.
+    QueryEntry("d09_window_over_rollup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val grain = Tables(s, d, "lineitem")
+          .select(col("l_suppkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          .join(Tables(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(Tables(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(Tables(s, d, "region").select("r_regionkey", "r_name"),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(col("rev").cast(graft.Parity.D)).as("rev1"),
+            count(lit(1)).as("cnt1"))
+        val rolled = grain.rollup(col("r_name"), col("n_name"))
+          .agg(sum(col("rev1")).cast("double").as("revenue"),
+            sum(col("cnt1")).as("n_items"),
+            grouping(col("r_name")).cast("int").as("g_region"),
+            grouping(col("n_name")).cast("int").as("g_nation"))
+        val w = Window
+          .partitionBy(col("g_region") + col("g_nation"),
+            when(col("g_nation") === 0, col("r_name")))
+          .orderBy(col("revenue").desc, coalesce(col("n_name"), lit("")))
+        rolled.withColumn("rk", rank().over(w))
+      },
+      Some(s"""WITH rolled AS (
+          SELECT r_name, n_name,
+            ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+            COUNT(*) AS n_items,
+            CAST(GROUPING(r_name) AS INT) AS g_region,
+            CAST(GROUPING(n_name) AS INT) AS g_nation
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY ROLLUP(r_name, n_name))
+        SELECT r_name, n_name, revenue, n_items, g_region, g_nation,
+          CAST(RANK() OVER (
+            PARTITION BY g_region + g_nation,
+                         CASE WHEN g_nation = 0 THEN r_name END
+            ORDER BY revenue DESC, COALESCE(n_name, '')) AS INT) AS rk
+        FROM rolled""")),
+
+    // ------------------------------------------------------------------
+    // EXISTS-correlated channel membership (TPC-DS q10/q35 shape,
+    // round 14): customers who placed an URGENT 1996 order (EXISTS)
+    // but NO URGENT 1998 order (NOT EXISTS), counted per segment and
+    // nation. The DataFrame spells the decorrelation Catalyst would
+    // derive anyway — each channel reduces to a DISTINCT custkey set,
+    // then LEFT SEMI + LEFT ANTI hash joins on the already-distinct
+    // key: one shuffle per channel on reduced data, no per-row
+    // subquery re-execution, no fact-sized state. The oracle keeps the
+    // correlated EXISTS/NOT EXISTS spelling.
+    QueryEntry("d10_exists_channels",
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+        // the synthetic orders span 1995-2001 (NOT TPC-H's 1992-1998 —
+        // the r11 ScaleUp gotcha); 1996/1998 keep both channels and the
+        // result non-empty at every sf (probed: 24/267/2956 customers
+        // at sf0.001/0.01/0.1)
+        val urgent96 = o
+          .filter(col("o_orderdate").between("1996-01-01", "1996-12-31") &&
+            col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("k1")).distinct()
+        val urgent98 = o
+          .filter(col("o_orderdate").between("1998-01-01", "1998-12-31") &&
+            col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("k2")).distinct()
+        Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+          .join(Tables(s, d, "nation").select("n_nationkey", "n_name"),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(urgent96, col("c_custkey") === col("k1"), "left_semi")
+          .join(urgent98, col("c_custkey") === col("k2"), "left_anti")
+          .groupBy(col("c_mktsegment"), col("n_name").as("nation"))
+          .agg(count(lit(1)).as("n_cust"))
+      },
+      Some("""SELECT c_mktsegment, n_name AS nation, COUNT(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+              AND o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate BETWEEN DATE '1998-01-01' AND DATE '1998-12-31'
+              AND o_orderpriority = '1-URGENT')
+        GROUP BY 1, 2""")),
+
+    // ------------------------------------------------------------------
+    // Multi-CTE cross-channel GROUPING SETS report (TPC-DS q80 shape,
+    // round 14): the d01 channels (revenue by the customer's vs the
+    // supplier's nation) unioned, then GROUPING SETS ((nation,
+    // channel), (channel), ()) — per-cell detail, per-channel totals,
+    // grand total in ONE pass. Union-then-aggregate keeps partial
+    // aggregation map-side per channel; the grouping-sets Expand (x3)
+    // runs over the union, and AQE sizes the single shuffle. GROUPING()
+    // labels disambiguate total rows from NULL keys.
+    QueryEntry("d11_grouping_sets_report",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        val custCh = li
+          .join(Tables(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables(s, d, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables(s, d, "nation").select("n_nationkey", "n_name"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), lit("customer").as("channel"), col("rev"))
+        val suppCh = li
+          .join(Tables(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(Tables(s, d, "nation").select("n_nationkey", "n_name"),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), lit("supplier").as("channel"), col("rev"))
+        custCh.unionByName(suppCh)
+          .groupingSets(
+            Seq(Seq(col("nation"), col("channel")), Seq(col("channel")), Seq.empty),
+            col("nation"), col("channel"))
+          .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"),
+            grouping(col("nation")).cast("int").as("g_nation"),
+            grouping(col("channel")).cast("int").as("g_channel"))
+      },
+      Some(s"""WITH cust AS (
+          SELECT n_name AS nation, 'customer' AS channel,
+            l_extendedprice * (1 - l_discount) AS rev
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey),
+        supp AS (
+          SELECT n_name AS nation, 'supplier' AS channel,
+            l_extendedprice * (1 - l_discount) AS rev
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey),
+        u AS (SELECT * FROM cust UNION ALL SELECT * FROM supp)
+        SELECT nation, channel, ${oSum("rev")} AS revenue, COUNT(*) AS n_items,
+          CAST(GROUPING(nation) AS INT) AS g_nation,
+          CAST(GROUPING(channel) AS INT) AS g_channel
+        FROM u
+        GROUP BY GROUPING SETS ((nation, channel), (channel), ())""")),
+
+    // ------------------------------------------------------------------
+    // HAVING-filtered aggregate joined back to the dimension (TPC-DS
+    // q34 "frequent bulky buyers" shape, round 14): orders with 5-7
+    // line items (per-order COUNT + HAVING), re-aggregated to
+    // customers holding >= 2 such orders, joined back to the customer
+    // dimension. Two cheap count-only shuffles on shrinking keys
+    // (order -> customer), then a hash join against the dim — the agg
+    // -> HAVING -> join-back topology d01-d11 don't cover. Counts
+    // only: no float parity concerns at all.
+    QueryEntry("d12_bulky_frequent_buyers",
+      (s, d) => {
+        val bulky = Tables(s, d, "lineitem").select(col("l_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_lines"))
+          .filter(col("n_lines").between(5, 7))
+        val perCust = bulky
+          .join(Tables(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_bulky"))
+          .filter(col("n_bulky") >= 2)
+        perCust
+          .join(Tables(s, d, "customer").select("c_custkey", "c_name"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_bulky"))
+      },
+      Some("""WITH bulky AS (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING COUNT(*) BETWEEN 5 AND 7),
+        per_cust AS (
+          SELECT o_custkey, COUNT(*) AS n_bulky
+          FROM bulky JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_custkey HAVING COUNT(*) >= 2)
+        SELECT c_custkey, c_name, n_bulky
+        FROM per_cust JOIN customer ON o_custkey = c_custkey"""))
   )
 }

@@ -222,6 +222,33 @@ class PlanSpec extends SparkSpec {
     assert(p2.contains("Expand"), "rollup should Expand below the partial aggregate")
   }
 
+  test("d09-d12 plan shapes: semi/anti joins, grain-sized Expand, reduced windows (r14)") {
+    // d09: the rollup Expand must sit ABOVE the grain pre-aggregate
+    // (the d02 economy), and the rank window runs over rollup output —
+    // a Window node is fine, an Expand directly over the fact scan is
+    // not. Proxy: exactly one Expand, and >= 4 HashAggregates (grain
+    // partial+final, rollup partial+final).
+    val p9 = plan(SparkEntry.queries("d09_window_over_rollup")(spark, sf()))
+    assert("Expand".r.findAllIn(p9).size == 1, s"d09 Expand count:\n${p9.take(2000)}")
+    assert("HashAggregate".r.findAllIn(p9).size >= 4, s"d09 expected grain+rollup aggs:\n${p9.take(2000)}")
+    assert(p9.contains("Window"), s"d09 missing rank window:\n${p9.take(2000)}")
+    // d10: EXISTS/NOT EXISTS must plan as hash SEMI and ANTI joins on
+    // the distinct key sets — never a nested-loop or cartesian
+    val p10 = plan(SparkEntry.queries("d10_exists_channels")(spark, sf()))
+    assert(p10.contains("LeftSemi"), s"d10 missing semi join:\n${p10.take(2000)}")
+    assert(p10.contains("LeftAnti"), s"d10 missing anti join:\n${p10.take(2000)}")
+    assert(!p10.contains("CartesianProduct"), s"d10 cartesian:\n${p10.take(2000)}")
+    // d11: grouping sets = one Expand feeding a partial aggregate
+    val p11 = plan(SparkEntry.queries("d11_grouping_sets_report")(spark, sf()))
+    assert(p11.contains("Expand"), s"d11 missing grouping-sets Expand:\n${p11.take(2000)}")
+    assert(p11.contains("partial_sum"), s"d11 missing map-side partial:\n${p11.take(2000)}")
+    // d12: both counting aggregates two-phase; no window, no sort
+    val p12 = plan(SparkEntry.queries("d12_bulky_frequent_buyers")(spark, sf()))
+    assert("HashAggregate".r.findAllIn(p12).size >= 4, s"d12 expected two 2-phase aggs:\n${p12.take(2000)}")
+    assert(!p12.contains("Window") && !p12.toLowerCase.contains("sortmergejoin"),
+      s"d12 unexpected window/SMJ on reduced keys:\n${p12.take(2000)}")
+  }
+
   test("aggregations are two-phase (map-side partial)") {
     val df = Tables(spark, sf(), "lineitem")
       .groupBy("l_returnflag").agg(sum("l_quantity"))
