@@ -475,7 +475,15 @@ object FunctionQueries {
     // promotion: 64003), including through hll_union_agg of the
     // per-group sketches — so this entry carries a FULL DuckDB oracle
     // like f20/f22/f23 (orders.o_custkey: ~1k distinct at the sf0.01
-    // gate, ~10k at sf0.1 — both inside the exact regime). The
+    // gate, ~10k at sf0.1 — both inside the exact regime).
+    // SF CEILING (r13 advice, pinned): the oracle equality is only
+    // valid while the distinct count stays in the lgK=21 exact coupon
+    // regime — probed exact at 16k, inexact by 64k — so running the
+    // correctness gate at sf1 (~100k distinct customers) would make
+    // this entry fail against its own oracle. That failure mode is
+    // THIS note, not a regression; if the gate SF ever rises past
+    // sf0.1, re-derive the rung (Probe14 hllexact) or demote f19 to
+    // the envelope check. The
     // saturated estimator regime stays FunctionsSpec's envelope (the
     // default-lgK path asserted there). Spark-native
     // approx_count_distinct has NO exact regime (dense-only HLL++,

@@ -98,6 +98,17 @@ object VectorIndex {
     new VectorIndex(spark, root)
 }
 
+/** A HANDLE over the on-disk index at `root`. Index METADATA —
+  * centroids, the PQ codebook, PQ presence — is immutable-by-contract
+  * and cached for the handle's lifetime (the serving path must not pay
+  * a parquet read per query); table DATA (assignments, codes) is read
+  * through GraftTable and sees appends live. Consequence (r13 advice):
+  * REBUILDING the index in place (`VectorIndex.build` over the same
+  * root with different centroids/PQ params) invalidates every live
+  * handle — a stale handle would encode appends and probe cells with
+  * the OLD codebook. Rebuild = call `VectorIndex.load` for a fresh
+  * handle and drop the old one; `append`/`maintain` through one handle
+  * are always consistent. */
 final class VectorIndex private[operators] (spark: SparkSession, root: String) {
 
   private lazy val table = GraftTable.load(spark, s"$root/assignments")
@@ -172,8 +183,35 @@ final class VectorIndex private[operators] (spark: SparkSession, root: String) {
     * prunes bucket files on the IN conjunct). A query therefore reads
     * ~nprobe/k of an 8-byte-per-vector table and touches no
     * full-precision vector anywhere. Returns (vec_id, cent_id, adc)
-    * ascending by ADC (approximate squared L2 — smaller is closer). */
-  def searchPq(query: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    * ascending by ADC (approximate squared L2 — smaller is closer).
+    *
+    * `refine > 0` (round 14, the standard serving pattern): ADC scores
+    * are approximate, so the top-`refine` PQ candidates (refine >= k)
+    * are RE-RANKED against their full-precision vectors — fetched from
+    * the assignments table with the SAME cent_id probe filter (file-
+    * pruned by the clustered layout) and a broadcast semi-join on the
+    * candidate ids, so the refine step is CANDIDATE-sized (refine
+    * rows), never cell- or corpus-sized. A refined search returns
+    * (vec_id, cent_id, cos) descending by exact cosine — the ADC
+    * column is gone because the scores it carried were only a routing
+    * approximation. */
+  def searchPq(query: Array[Float], k: Int, nprobe: Int = 4,
+               refine: Int = 0): DataFrame = {
+    if (refine > 0) {
+      require(refine >= k,
+        s"searchPq: refine ($refine) must be >= k ($k) — it is the PQ candidate pool the exact re-rank draws from")
+      val cands = searchPq(query, refine, nprobe).select(col("vec_id"))
+      val probes = probeCells(query, nprobe)
+      val qLit = query.map(x => s"CAST($x AS FLOAT)").mkString("array(", ",", ")")
+      val qn2 = query.map(x => x.toDouble * x).sum
+      return table.read(filters = Seq(col("cent_id").isin(probes.toIndexedSeq: _*)))
+        .filter(col("n2") > 0)
+        .join(broadcast(cands), Seq("vec_id"), "left_semi")
+        .selectExpr("vec_id", "cent_id",
+          s"vector_dot(embedding, $qLit) / (SQRT(n2) * SQRT($qn2)) AS cos")
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(k)
+    }
     graft.functions.GraftFunctions.register(spark)
     require(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/pq_codebook")),
       s"index at $root has no PQ layer — rebuild with VectorIndex.build(..., " +
@@ -219,7 +257,10 @@ final class VectorIndex private[operators] (spark: SparkSession, root: String) {
     pqCodebook.toSeq.map { case (j, c, cw) => (j, c, cw.toSeq) }.toDF("j", "c", "cw")
   }
 
-  private def hasPq: Boolean =
+  /** Cached like [[pqCodebook]] (one consistent snapshot per handle —
+    * a def here would let a concurrent in-place rebuild flip PQ
+    * presence mid-handle while the codebook stayed stale, r13 advice). */
+  private lazy val hasPq: Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/pq_codebook"))
 
   /** Append new vectors incrementally — the INGEST path of a built

@@ -84,10 +84,13 @@ object UnnestSql {
         // A 1-arg 2-column UNNEST is lowered as a MAP. Trino also
         // accepts UNNEST(array(row(...))) AS t(a, b) here — a shape a
         // type-blind rewriter cannot distinguish from a map column, and
-        // whose map lowering would die later in analysis on the opaque
-        // __un_k marker. Reject the provable constructor spelling by
-        // name (r12 advice); non-literal array-of-rows columns still
-        // reach analysis, where the __un_ prefix marks the lowering.
+        // whose map lowering would die later in analysis. Reject the
+        // provable constructor spelling by name (r12 advice); a
+        // NON-LITERAL array-of-rows column with a 2-name alias still
+        // reaches analysis, where the distinctive __un_map_k marker in
+        // the failure names this map/array-of-rows ambiguity (r13
+        // advice) — the fix is a 1-column alias + struct-field SELECT,
+        // or >= 3 alias columns.
         require(!args.head.matches("""(?is)^\s*array\s*\(.*"""),
           s"UNNEST(array(row(...))) AS $alias(a, b) is not supported — " +
             "a one-argument two-column UNNEST is lowered as a MAP " +
@@ -95,12 +98,12 @@ object UnnestSql {
             "alias and SELECT the struct fields instead")
         // map: [pos]explode(map) natively yields (key, value)
         if (ordinality)
-          s"(SELECT __un_k AS ${dataNames(0)}, __un_v AS ${dataNames(1)}, " +
+          s"(SELECT __un_map_k AS ${dataNames(0)}, __un_map_v AS ${dataNames(1)}, " +
             s"${ordSel("__un_p + 1").head} FROM " +
-            s"(SELECT posexplode(${args.head}) AS (__un_p, __un_k, __un_v)))"
+            s"(SELECT posexplode(${args.head}) AS (__un_p, __un_map_k, __un_map_v)))"
         else
-          s"(SELECT __un_k AS ${dataNames(0)}, __un_v AS ${dataNames(1)} FROM " +
-            s"(SELECT explode(${args.head}) AS (__un_k, __un_v)))"
+          s"(SELECT __un_map_k AS ${dataNames(0)}, __un_map_v AS ${dataNames(1)} FROM " +
+            s"(SELECT explode(${args.head}) AS (__un_map_k, __un_map_v)))"
       } else if (args.length == 1 && dataNames.length >= 3) {
         // array-of-rows, Trino's UNNEST(array(row(...))) with >= 3
         // fields — unambiguous from arity alone (a map yields exactly

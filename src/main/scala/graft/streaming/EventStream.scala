@@ -548,12 +548,22 @@ object EventStream {
     * GraftTable sink. At 100 TB this is the serving story's other
     * half: vectors become searchable within one trigger of arriving,
     * and searchPq's bucket pruning survives because appends route
-    * through the store's bucket-clustered writer. */
+    * through the store's bucket-clustered writer.
+    *
+    * `maintainEvery > 0` (round 14, the near-dup index's compactEvery
+    * pattern): every N APPLIED batches, run [[VectorIndex.maintain]] —
+    * re-cluster the assignments layout on cent_id and compact the
+    * codes buckets — because each micro-batch lands its own files and
+    * probe-time file pruning decays with the append count (measured:
+    * Probe15 annmaint). Maintenance is idempotent and versioned like
+    * any commit, so a replayed batch that skips its append also skips
+    * the re-layout. */
   def indexVectorsStream(
       vectors: DataFrame,
       indexRoot: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maintainEvery: Int = 0): StreamingQuery = {
     val spark = vectors.sparkSession
     val prefix = s"stream-vecidx:${sinkId(checkpointDir)}:"
     val idx = graft.operators.VectorIndex.load(spark, indexRoot)
@@ -578,8 +588,11 @@ object EventStream {
         if (marks.exists(!_.alreadyCommitted(batchId))) {
           // an empty micro-batch must not commit empty versions into
           // both index tables (replays skip it the same way)
-          if (!batch.isEmpty)
+          if (!batch.isEmpty) {
             idx.append(batch, op = Some(s"$prefix$batchId"), opFamily = Some(prefix))
+            if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
+              idx.maintain()
+          }
           marks.foreach(_.advance(batchId))
         }
       }

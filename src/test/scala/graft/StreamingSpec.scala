@@ -705,8 +705,18 @@ class StreamingSpec extends SparkSpec {
       .schema(StructType(Seq(StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)))))
       .option("maxFilesPerTrigger", 1).parquet(landing)
-    val q = EventStream.indexVectorsStream(stream, root, ckpt)
+    // maintainEvery = 2: the second batch (batchId 1) triggers the
+    // re-layout after its append (r14 — the cadence hook Probe15's
+    // decay numbers justify)
+    val q = EventStream.indexVectorsStream(stream, root, ckpt, maintainEvery = 2)
     assert(q.awaitTermination(240000), "stream did not drain in 240s")
+
+    // the cadence maintain() ran: the assignments layout is back to
+    // the compacted file count (2 appends would otherwise each add
+    // their own files on top of the build's 2)
+    assert(graft.store.GraftTable.load(spark, s"$root/assignments")
+      .read().inputFiles.length <= 2,
+      "maintainEvery=2 did not re-cluster the assignments after batch 1")
 
     // both arrivals searchable through BOTH paths (exact copies: cell
     // and codes identical to their originals)
@@ -723,10 +733,10 @@ class StreamingSpec extends SparkSpec {
     // exactly-once: a restart on the same checkpoint commits nothing
     val av = graft.store.GraftTable.load(spark, s"$root/assignments").currentVersion
     val cv = graft.store.GraftTable.load(spark, s"$root/pq_codes").currentVersion
-    val q2 = EventStream.indexVectorsStream(stream, root, ckpt)
+    val q2 = EventStream.indexVectorsStream(stream, root, ckpt, maintainEvery = 2)
     assert(q2.awaitTermination(240000), "restart did not drain")
     assert(graft.store.GraftTable.load(spark, s"$root/assignments").currentVersion == av,
-      "restart re-committed assignments")
+      "restart re-committed assignments (or re-ran maintain on a replay)")
     assert(graft.store.GraftTable.load(spark, s"$root/pq_codes").currentVersion == cv,
       "restart re-committed codes")
   }

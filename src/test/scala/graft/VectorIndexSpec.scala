@@ -95,6 +95,70 @@ class VectorIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("pqSubspaces"), e.getMessage)
   }
 
+  test("searchPq(refine): exact re-rank lifts recall@k to probe coverage; candidate-sized (r14)") {
+    val root = Files.createTempDirectory("graft_ivfpq_rf").toString
+    // sf0.1 (5000 vectors): big enough that blunt ADC visibly misranks
+    // and the exact re-rank has something to recover
+    val emb = Tables(spark, sf("sf0.1"), "embeddings")
+    val idx = VectorIndex.build(spark, emb, root, nCentroids = 16,
+      pqSubspaces = Some(8), pqCodewords = 16, codeBuckets = 8)
+
+    // exact ground truth, driver-side and independent of every Spark
+    // expression under test (the VectorRecallSpec v05 device)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = 10
+    val queries = (0L until 8L).map(i => i -> vecs(i))
+    var hitsPq = 0; var hitsRf = 0
+    queries.foreach { case (idQ, vq) =>
+      val exact = vecs.iterator.map { case (id, v) => (id, cos(vq, v)) }.toSeq
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSet
+      val qArr = vq.map(_.toFloat)
+      val plain = idx.searchPq(qArr, k, nprobe = 12).collect().map(_.getLong(0)).toSet
+      val refined = idx.searchPq(qArr, k, nprobe = 12, refine = 20 * k)
+        .collect().map(_.getLong(0)).toSet
+      hitsPq += (exact intersect plain).size
+      hitsRf += (exact intersect refined).size
+    }
+    val total = queries.size * k
+    info(f"recall@$k: plain ADC = ${hitsPq.toDouble / total}%.3f, " +
+      f"refine=${20 * k} = ${hitsRf.toDouble / total}%.3f ($hitsRf/$total)")
+    // the re-rank can only use what ADC surfaced, but with a 20k pool
+    // it must (a) never lose to plain ADC and (b) approach the probe-
+    // coverage ceiling (measured 0.838 vs plain ADC 0.263):
+    // deterministic build + corpus, floor with slack
+    assert(hitsRf >= hitsPq, s"refine lost recall: $hitsRf < $hitsPq")
+    assert(hitsRf.toDouble / total >= 0.70,
+      f"refined recall ${hitsRf.toDouble / total}%.3f below floor 0.70")
+
+    // output contract: exact cosine, descending
+    val q0 = vecs(0L).map(_.toFloat)
+    val rf = idx.searchPq(q0, k, nprobe = 8, refine = 10 * k).collect()
+    assert(rf.head.getLong(0) == 0L && math.abs(rf.head.getDouble(2) - 1.0) < 1e-9,
+      s"self-hit must lead the refined ranking: ${rf.take(3).mkString(";")}")
+    assert(rf.map(_.getDouble(2)).toSeq == rf.map(_.getDouble(2)).toSeq.sortBy(-_))
+    // refined hits come FROM the ADC candidate pool (it is a re-rank,
+    // not a second search)
+    val pool = idx.searchPq(q0, 10 * k, nprobe = 8).collect().map(_.getLong(0)).toSet
+    assert(rf.map(_.getLong(0)).toSet.subsetOf(pool))
+
+    // the refine fetch is CANDIDATE-sized: a broadcast semi-join against
+    // the probe-pruned assignments scan — never a shuffle of the corpus
+    val plan = idx.searchPq(q0, k, nprobe = 8, refine = 10 * k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"refine must semi-join the candidate ids:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"candidate ids must broadcast:\n${plan.take(2000)}")
+    // refine < k is a contract violation, named
+    val e = intercept[IllegalArgumentException](idx.searchPq(q0, k = 10, refine = 5))
+    assert(e.getMessage.contains("refine"), e.getMessage)
+  }
+
   test("append: new vectors searchable without retraining; layout + replays hold (r13)") {
     val root = Files.createTempDirectory("graft_ivf_app").toString
     val emb = Tables(spark, sf(), "embeddings")
