@@ -478,11 +478,20 @@ object DsQueries {
           .join(Tables(s, d, "nation").select("n_nationkey", "n_name"),
             col("s_nationkey") === col("n_nationkey"))
           .select(col("n_name").as("nation"), lit("supplier").as("channel"), col("rev"))
+        // pre-aggregate to the (nation, channel) GRAIN before the
+        // grouping-sets Expand — the d02 economy: the x3 Expand copies
+        // ~50 grain rows instead of 2x the fact stream (measured 14.5 s
+        // -> grain-sized at sf1). Sum-of-sums in decimal is value-
+        // identical; same empty-input caveat as d02 (never empty here).
         custCh.unionByName(suppCh)
+          .groupBy(col("nation"), col("channel"))
+          .agg(sum(col("rev").cast(graft.Parity.D)).as("rev1"),
+            count(lit(1)).as("cnt1"))
           .groupingSets(
             Seq(Seq(col("nation"), col("channel")), Seq(col("channel")), Seq.empty),
             col("nation"), col("channel"))
-          .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"),
+          .agg(sum(col("rev1")).cast("double").as("revenue"),
+            sum(col("cnt1")).as("n_items"),
             grouping(col("nation")).cast("int").as("g_nation"),
             grouping(col("channel")).cast("int").as("g_channel"))
       },
