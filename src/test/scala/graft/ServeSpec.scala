@@ -334,6 +334,18 @@ class ServeSpec extends SparkSpec {
         assert(rs8.next() && rs8.getInt(1) == 1 && { rs8.getString(2); rs8.wasNull() })
         assert(rs8.next() && { rs8.getInt(1); rs8.wasNull() } && rs8.getString(2) == "p")
         assert(!rs8.next())
+        // round-14 dialect through the same wire: the PLAN clause —
+        // INNER drops the childless parent rs6's OUTER default padded
+        val rs9 = st.executeQuery("""
+          SELECT t.okey, t.ln FROM
+            (SELECT '[{"okey":10,"lines":[{"ln":1}]},{"okey":11}]' AS doc) d,
+            JSON_TABLE(d.doc, 'lax $[*]' AS r COLUMNS (
+              okey BIGINT PATH 'lax $.okey',
+              NESTED PATH 'lax $.lines[*]' AS l COLUMNS (ln INTEGER PATH 'lax $.ln'))
+              PLAN (r INNER l)) AS t
+          ORDER BY t.okey""")
+        assert(rs9.next() && rs9.getLong(1) == 10L && rs9.getInt(2) == 1)
+        assert(!rs9.next(), "PLAN (r INNER l) must drop the line-less order over JDBC")
       } finally conn.close()
 
       // --- r11 verdict #6, same server boot (HiveThriftServer2 is
