@@ -1868,6 +1868,144 @@ object TextOps {
             ROW_NUMBER() OVER (PARTITION BY source
               ORDER BY MD5(CAST(doc_id AS VARCHAR) || ':s7')) AS rk
             FROM documents)
-          SELECT source, CAST(rk AS INT) AS rk, doc_id FROM r WHERE rk <= 5"""))
+          SELECT source, CAST(rk AS INT) AS rk, doc_id FROM r WHERE rk <= 5""")),
+
+    // ------------------------------------------------------------------
+    // BM25 top-k retrieval (round 14): the classic sparse-retrieval
+    // scorer a curation pipeline uses to pull topical training data
+    // (and the baseline every dense retriever is measured against) —
+    // Robertson/Okapi BM25 for a fixed 3-term query, k1=1.2, b=0.75.
+    //
+    // Scale shape: ONE pass over the corpus — tokens explode, the
+    // query-term filter cuts the stream to matching rows BEFORE any
+    // shuffle (the explode+filter fuses into the scan projection), tf
+    // aggregates on (doc, term) carrying dl in the group key (dl is
+    // functionally dependent on doc — no join back to a stats table),
+    // df is a 3-row aggregate OF tf, and the corpus constants (N,
+    // sum dl) are a 1-row broadcast. Per-term scores are summed as
+    // DECIMAL(38,18) — order-free, so shuffle order can never flip the
+    // rounded score — and the top-10 cut ranks by the ROUNDED score
+    // with doc_id ties, deterministic on both engines. At 100 TB: the
+    // only corpus-sized work is the scan; everything post-filter is
+    // query-matched rows (a vanishing fraction), df/corpus stats are
+    // metadata-sized broadcasts.
+    QueryEntry("t31_bm25_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val terms = Seq("vector", "hash", "join")
+        val base = docs(s, d)
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        val stats = base.select(col("doc_id"), size(col("ws")).as("dl"))
+        val corpus = stats.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("sum_dl"))
+        val tf = base
+          .select(col("doc_id"), size(col("ws")).as("dl"),
+            explode(col("ws")).as("term"))
+          .filter(col("term").isin(terms: _*))
+          .groupBy(col("doc_id"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val scored = tf
+          .join(broadcast(df), Seq("term"))
+          .crossJoin(broadcast(corpus))
+          .withColumn("s",
+            // fully qualified: TextOps has a `log` slf4j member in scope
+            (org.apache.spark.sql.functions.log(
+              (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+              (col("tf") * 2.2) /
+              (col("tf") + (lit(0.25) +
+                col("dl") * 0.75 / (col("sum_dl").cast("double") / col("n_docs"))) * 1.2))
+              .cast("decimal(38,18)"))
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("s")).cast("double"), 6).as("bm25"),
+            count(lit(1)).as("n_terms"))
+        scored
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+          .filter(col("rk") <= 10)
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ws FROM documents),
+        stats AS (SELECT doc_id, LEN(ws) AS dl FROM base),
+        corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM stats),
+        tok AS (SELECT doc_id, LEN(ws) AS dl, UNNEST(ws) AS term FROM base),
+        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
+          WHERE term IN ('vector', 'hash', 'join') GROUP BY 1, 2, 3),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        sc AS (SELECT t.doc_id,
+            CAST(LN((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * (t.tf * 2.2) /
+              (t.tf + 1.2 * (0.25 + 0.75 * t.dl /
+                 (CAST(c.sum_dl AS DOUBLE) / c.n_docs))) AS DECIMAL(38,18)) AS s
+          FROM tf t JOIN df d USING (term) CROSS JOIN corpus c),
+        agg AS (SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS bm25,
+            COUNT(*) AS n_terms
+          FROM sc GROUP BY doc_id)
+        SELECT doc_id, bm25, n_terms, rk FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rk
+          FROM agg) t
+        WHERE rk <= 10""")),
+
+    // ------------------------------------------------------------------
+    // Exact-substring span dedup (round 14): the ExactSubstr idea of
+    // Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    // Models Better") at fixed window length — every L=8-token window
+    // that appears VERBATIM in >= 2 distinct documents marks its
+    // tokens as duplicated; per document, the merged covered-token
+    // count and ratio. Near-dups that MinHash scores at the document
+    // grain surface here at the SPAN grain — the operator a pipeline
+    // uses to STRIP copied passages instead of dropping whole docs.
+    //
+    // Scale shape (the suffix-array replacement that survives a
+    // cluster): windows are corpus-token-sized but NARROW — each row
+    // is (doc_id, pos, md5(window)) and never the window text, so the
+    // df shuffle moves 16-byte keys (the t04 collision argument:
+    // 128-bit keys, cross-doc false positives negligible). One
+    // aggregate finds windows with >= 2 distinct docs, one join back
+    // flags hits, and coverage merges per doc by exploding ONLY the
+    // flagged windows' L positions (duplicated-token-sized, not
+    // corpus-sized) into a distinct count. No driver state, no sort.
+    QueryEntry("t32_exact_substr_spans",
+      (s, d) => {
+        val L = 8
+        val base = docs(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+          .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+        val wins = base.filter(col("n") >= L)
+          .selectExpr("doc_id",
+            s"posexplode(transform(sequence(0, n - $L), " +
+              s"i -> md5(array_join(slice(ws, i + 1, $L), ' '))))")
+          .toDF("doc_id", "pos", "wh")
+        val dup = wins.groupBy(col("wh"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select(col("wh"))
+        val covered = wins.join(dup, Seq("wh"))
+          .selectExpr("doc_id", s"explode(sequence(pos, pos + ${L - 1})) AS j")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("j")).as("n_dup_tokens"))
+        base.select(col("doc_id"), col("n").as("n_tokens"))
+          .join(covered, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+            round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+              col("n_tokens"), 6).as("dup_ratio"))
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ws FROM documents),
+        sized AS (SELECT doc_id, ws, LEN(ws) AS n FROM base),
+        win AS (SELECT doc_id, UNNEST(RANGE(0, n - 8 + 1)) AS pos, ws
+          FROM sized WHERE n >= 8),
+        wh AS (SELECT doc_id, pos,
+            MD5(ARRAY_TO_STRING(ws[pos+1:pos+8], ' ')) AS wh
+          FROM win),
+        dup AS (SELECT wh FROM wh GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+        cov AS (SELECT h.doc_id, COUNT(DISTINCT j) AS n_dup_tokens
+          FROM wh h JOIN dup USING (wh),
+               UNNEST(RANGE(h.pos, h.pos + 8)) t(j)
+          GROUP BY h.doc_id)
+        SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_tokens,
+          COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
+          ROUND(CAST(COALESCE(c.n_dup_tokens, 0) AS DOUBLE) / s.n, 6) AS dup_ratio
+        FROM sized s LEFT JOIN cov c ON c.doc_id = s.doc_id"""))
   )
 }
