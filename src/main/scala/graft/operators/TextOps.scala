@@ -2006,6 +2006,75 @@ object TextOps {
         SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_tokens,
           COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
           ROUND(CAST(COALESCE(c.n_dup_tokens, 0) AS DOUBLE) / s.n, 6) AS dup_ratio
-        FROM sized s LEFT JOIN cov c ON c.doc_id = s.doc_id"""))
+        FROM sized s LEFT JOIN cov c ON c.doc_id = s.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Exact-substring STRIP (round 14) — t32's surgery, the t23 -> t29
+    // pairing at the span grain: Lee et al. keep ONE occurrence of each
+    // duplicated passage. Canonical holder of a window = the MIN doc_id
+    // containing it; every OTHER doc strips the tokens that window
+    // covers, and the text is rebuilt from the surviving tokens in
+    // order. Detection cost is t32's (narrow md5-keyed shuffle); the
+    // canonical choice adds one min() to the same aggregate; the strip
+    // itself is an IN-ROW rebuild (the covered-position set joins back
+    // doc-level and a transform/filter drops tokens by index — no
+    // re-explode, no per-token shuffle, order preserved for free).
+    QueryEntry("t33_exact_substr_strip",
+      (s, d) => {
+        val L = 8
+        val base = docs(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+          .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+        val wins = base.filter(col("n") >= L)
+          .selectExpr("doc_id",
+            s"posexplode(transform(sequence(0, n - $L), " +
+              s"i -> md5(array_join(slice(ws, i + 1, $L), ' '))))")
+          .toDF("doc_id", "pos", "wh")
+        val canon = wins.groupBy(col("wh"))
+          .agg(min(col("doc_id")).as("canon"),
+            countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select(col("wh"), col("canon"))
+        val covSet = wins.join(canon, Seq("wh"))
+          .filter(col("doc_id") =!= col("canon"))
+          .selectExpr("doc_id", s"explode(sequence(pos, pos + ${L - 1})) AS j")
+          .groupBy(col("doc_id"))
+          .agg(collect_set(col("j")).as("cov"))
+        base.join(covSet, Seq("doc_id"), "left")
+          .selectExpr("doc_id", "ws", "CAST(n AS BIGINT) AS n_tokens",
+            "coalesce(cov, CAST(array() AS array<int>)) AS cov")
+          .selectExpr("doc_id", "n_tokens",
+            "CAST(size(cov) AS BIGINT) AS n_stripped",
+            // in-row rebuild: drop tokens whose index is covered; a
+            // split() token is never NULL, so NULL is a safe tombstone
+            """array_join(filter(
+                 transform(ws, (w, i) ->
+                   CASE WHEN array_contains(cov, i) THEN CAST(NULL AS STRING)
+                        ELSE w END),
+                 x -> x IS NOT NULL), ' ') AS text_stripped""")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ws FROM documents),
+        sized AS (SELECT doc_id, ws, LEN(ws) AS n FROM base),
+        win AS (SELECT doc_id, UNNEST(RANGE(0, n - 8 + 1)) AS pos, ws
+          FROM sized WHERE n >= 8),
+        wh AS (SELECT doc_id, pos,
+            MD5(ARRAY_TO_STRING(ws[pos+1:pos+8], ' ')) AS wh
+          FROM win),
+        canon AS (SELECT wh, MIN(doc_id) AS canon FROM wh
+          GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+        cov AS (SELECT h.doc_id, j
+          FROM wh h JOIN canon c USING (wh),
+               UNNEST(RANGE(h.pos, h.pos + 8)) t(j)
+          WHERE h.doc_id <> c.canon
+          GROUP BY h.doc_id, j),
+        covl AS (SELECT doc_id, LIST(j) AS cov FROM cov GROUP BY doc_id)
+        SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_tokens,
+          CAST(LEN(COALESCE(c.cov, [])) AS BIGINT) AS n_stripped,
+          COALESCE(ARRAY_TO_STRING(
+            LIST_TRANSFORM(
+              LIST_FILTER(RANGE(0, s.n), i -> NOT LIST_CONTAINS(COALESCE(c.cov, []), i)),
+              i -> s.ws[i + 1]), ' '), '') AS text_stripped
+        FROM sized s LEFT JOIN covl c ON c.doc_id = s.doc_id"""))
   )
 }
