@@ -1642,6 +1642,66 @@ object CoreQueries {
           FROM base WHERE ln = 1)
         SELECT * FROM tagleg
         UNION ALL SELECT * FROM noteleg
-        UNION ALL SELECT * FROM padleg"""))
+        UNION ALL SELECT * FROM padleg""")),
+
+    // ------------------------------------------------------------------
+    // JSON_TABLE PLAN CROSS siblings (round 14): the q46 document shape
+    // (each order carries a lines array and a tags array), but the
+    // explicit `PLAN (r OUTER (l CROSS g))` combines the siblings as a
+    // CROSS product instead of the default UNION — every (line, tag)
+    // pair per order; an order where EITHER array is empty has an
+    // empty product and the OUTER parent edge pads ONE all-NULL row.
+    // The oracle spells exactly that: an inner-join product leg plus
+    // an either-empty padding leg.
+    QueryEntry("q49_json_table_plan_cross",
+      (s, d) => {
+        t(s, d, "orders").filter(col("o_orderkey") <= 600)
+          .createOrReplaceTempView("jt7_orders")
+        t(s, d, "lineitem").filter(col("l_orderkey") <= 600)
+          .createOrReplaceTempView("jt7_lineitem")
+        s.sql("""
+          WITH li AS (
+            SELECT l_orderkey,
+                   sort_array(collect_list(named_struct('ln', l_linenumber))) AS ls
+            FROM jt7_lineitem WHERE l_quantity < 5 GROUP BY l_orderkey),
+          docs AS (
+            SELECT o.o_custkey AS ck,
+                   to_json(sort_array(collect_list(named_struct(
+                     'okey', o.o_orderkey,
+                     'lines', li.ls,
+                     'tags', CASE WHEN o.o_orderkey % 3 > 0
+                                  THEN transform(sequence(1, CAST(o.o_orderkey % 3 AS INT)), i -> i * 10)
+                                  ELSE CAST(array() AS array<int>) END)))) AS doc
+            FROM jt7_orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey)
+          SELECT d.ck, jt.okey, jt.lpos, jt.ln, jt.tpos, jt.tag
+          FROM docs d, JSON_TABLE(d.doc, 'lax $[*]' AS r
+            COLUMNS (okey BIGINT PATH 'lax $.okey',
+                     NESTED PATH 'lax $.lines[*]' AS l COLUMNS (
+                       lpos FOR ORDINALITY, ln INTEGER PATH 'lax $.ln'),
+                     NESTED PATH 'lax $.tags[*]' AS g COLUMNS (
+                       tpos FOR ORDINALITY, tag INTEGER PATH 'lax $'))
+            PLAN (r OUTER (l CROSS g))) AS jt""")
+      },
+      Some("""WITH li0 AS (
+          SELECT l_orderkey, l_linenumber AS ln,
+            CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS INT) AS lpos
+          FROM lineitem WHERE l_quantity < 5 AND l_orderkey <= 600),
+        o AS (SELECT o_custkey AS ck, o_orderkey AS okey,
+                CAST(o_orderkey % 3 AS INT) AS ntags
+              FROM orders WHERE o_orderkey <= 600),
+        nums AS (SELECT CAST(n AS INT) AS n FROM range(1, 3) r(n)),
+        product AS (
+          SELECT o.ck, o.okey, li0.lpos, li0.ln, t.n AS tpos, t.n * 10 AS tag
+          FROM o
+          JOIN li0 ON li0.l_orderkey = o.okey
+          JOIN nums t ON t.n <= o.ntags),
+        pad AS (
+          SELECT o.ck, o.okey, CAST(NULL AS INT) AS lpos, CAST(NULL AS INT) AS ln,
+            CAST(NULL AS INT) AS tpos, CAST(NULL AS INT) AS tag
+          FROM o WHERE o.ntags = 0
+            OR NOT EXISTS (SELECT 1 FROM li0 WHERE li0.l_orderkey = o.okey))
+        SELECT * FROM product
+        UNION ALL SELECT * FROM pad"""))
   )
 }
