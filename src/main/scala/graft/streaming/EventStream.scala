@@ -599,6 +599,45 @@ object EventStream {
       .start()
   }
 
+  /** STREAMING TEXT-INDEX MAINTENANCE (round 14): append arriving
+    * (doc_id, text) rows into a built [[graft.operators.TextIndex]] at
+    * ingest — postings through the bucket-clustered writer (query-time
+    * bucket pruning survives), one corpus-stats increment row per
+    * batch. Exactly-once by labeled commits (each index table dedups a
+    * replayed batch independently — the indexVectorsStream protocol);
+    * stateless, the index tables ARE the state. Docs become
+    * retrievable by [[graft.operators.TextIndex.bm25TopK]] within one
+    * trigger of arriving. `maintainEvery > 0` compacts on the same
+    * cadence contract as the vector index. */
+  def indexDocsStream(
+      docs: DataFrame,
+      indexRoot: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maintainEvery: Int = 0): StreamingQuery = {
+    val spark = docs.sparkSession
+    val prefix = s"stream-txtidx:${sinkId(checkpointDir)}:"
+    val idx = graft.operators.TextIndex.load(spark, indexRoot)
+    var marks: Seq[BatchMark] = null
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (marks == null)
+          marks = Seq(s"$indexRoot/postings", s"$indexRoot/stats").map(r =>
+            new BatchMark(graft.store.GraftTable.load(spark, r), Seq(prefix)))
+        if (marks.exists(!_.alreadyCommitted(batchId))) {
+          if (!batch.isEmpty) {
+            idx.append(batch, op = Some(s"$prefix$batchId"), opFamily = Some(prefix))
+            if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
+              idx.maintain()
+          }
+          marks.foreach(_.advance(batchId))
+        }
+      }
+      .start()
+  }
+
   /** Stream-static enrichment join: the static dimension is re-planned
     * per micro-batch (broadcast when it fits), carries no streaming
     * state, and picks up dimension updates between batches — the

@@ -42,6 +42,8 @@ object Probe15 {
         val p = s.stripPrefix("annmaint:").split(":")
         annmaint(spark, p(0).toLong, p(1).toInt,
           if (p.length > 2) p(2).toLong else p(0).toLong / 40)
+      case s if s.startsWith("bm25:") =>
+        bm25(spark, s.stripPrefix("bm25:"))
       case other => sys.error(s"unknown probe spec: $other")
     }
     spark.stop()
@@ -82,6 +84,32 @@ object Probe15 {
       println(f"[p15] refine n=$n: plain ADC $tPlain%.2f s, refine=200 $tRf%.2f s, " +
         f"overhead ${tRf - tPlain}%.2f s, loadavg ${loadavg()}")
     }
+  }
+
+  /** bm25:<sfDir> — the TextIndex serving claim: one BM25 query served
+    * off the bucketed postings table vs the same query recomputed from
+    * the raw corpus (the t31 path), warm A/B in one JVM. The index
+    * read prunes to the query terms' buckets; the recompute pays the
+    * full tokenize+explode scan per query. */
+  private def bm25(spark: SparkSession, sfDir: String): Unit = {
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val q = Seq("vector", "hash", "join")
+    val root = java.nio.file.Files.createTempDirectory("p15_bm25").toString
+    val (idx, tb) = timed(graft.operators.TextIndex.build(spark, docs, root))
+    val nDocs = docs.count()
+    println(f"[p15] built bm25 index over $nDocs docs in $tb%.1f s, loadavg ${loadavg()}")
+    val post = graft.store.GraftTable.load(spark, s"$root/postings")
+    val hs = {
+      import spark.implicits._
+      q.toDF("term").select(xxhash64(col("term"))).collect().map(_.getLong(0)).toIndexedSeq
+    }
+    val fAll = post.read().inputFiles.length
+    val fQ = post.read(filters = Seq(col("term_h").isin(hs: _*))).inputFiles.length
+    val (_, tServed) = warm2(idx.bm25TopK(q, 10).count())
+    val (_, tDirect) = warm2(
+      graft.SparkEntry.queries("t31_bm25_topk")(spark, sfDir).count())
+    println(f"[p15] bm25 $sfDir: served $tServed%.2f s (reads $fQ/$fAll postings files), " +
+      f"recompute $tDirect%.2f s, loadavg ${loadavg()}")
   }
 
   private def annmaint(spark: SparkSession, n: Long, batches: Int,
