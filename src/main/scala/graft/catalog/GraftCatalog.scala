@@ -373,12 +373,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
       override def readSchema(): StructType = sch
     }).iterator()
 
-  /** `CALL c.system.optimize(table [, num_files, cluster_by, zorder_by])` —
-    * Trino `ALTER TABLE ... EXECUTE optimize` / Delta OPTIMIZE [ZORDER]. */
+  /** `CALL c.system.optimize(table [, num_files, cluster_by, zorder_by,
+    * where])` — Trino `ALTER TABLE ... EXECUTE optimize [WHERE ...]` /
+    * Delta `OPTIMIZE [WHERE] [ZORDER]`. `where` (round 14) is a SQL
+    * predicate scoping the rewrite to stats-matching files
+    * ([[graft.store.GraftTable.compact]]'s file-granular semantics). */
   private final class OptimizeProcedure extends UnboundProcedure with BoundProcedure {
     override def name(): String = "optimize"
     override def description(): String =
-      "compact table files; optional linear clustering or Z-ordering"
+      "compact table files; optional linear clustering, Z-ordering, or a WHERE scope"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -388,14 +391,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
       ProcedureParameter.in("cluster_by", org.apache.spark.sql.types.StringType)
         .defaultValue("''").build(),
       ProcedureParameter.in("zorder_by", org.apache.spark.sql.types.StringType)
+        .defaultValue("''").build(),
+      ProcedureParameter.in("where", org.apache.spark.sql.types.StringType)
         .defaultValue("''").build())
     override def call(input: InternalRow): java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
       val t = tableByName(input.getUTF8String(0).toString)
       def cols(i: Int): Seq[String] =
         input.getUTF8String(i).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val whereSql = input.getUTF8String(4).toString.trim
       val before = t.currentVersion
       val v = t.compact(numFiles = Some(input.getInt(1)),
-        clusterBy = cols(2), zorderBy = cols(3))
+        clusterBy = cols(2), zorderBy = cols(3),
+        where = if (whereSql.isEmpty) Nil
+                else Seq(org.apache.spark.sql.functions.expr(whereSql)))
       // report THIS commit's file count (O(1) log read); a no-op compact
       // returns the UNCHANGED head (which may itself be an older
       // compact's commit) -> 0. Both conditions needed: v != before

@@ -1209,7 +1209,23 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
     */
   def compact(targetFileMB: Int = 128, clusterBy: Seq[String] = Nil,
               numFiles: Option[Int] = None, zorderBy: Seq[String] = Nil,
-              onlyFilesSmallerMB: Option[Int] = None): Long = {
+              onlyFilesSmallerMB: Option[Int] = None,
+              where: Seq[Column] = Nil): Long = {
+    // `where` (round 14): PREDICATE-SCOPED compaction — rewrite only
+    // the files whose commit-log STATS may hold matching rows (the
+    // same StatsPruner the read path uses), leave the rest untouched.
+    // This is the hot-partition maintenance shape at 100 TB: a table
+    // ingesting into today's key range compacts TODAY's files on
+    // cadence for O(hot partition) per sweep, never O(table) (the
+    // Iceberg/Delta `OPTIMIZE ... WHERE` idea). FILE-granular: a
+    // selected file is rewritten WHOLE (rows not matching the
+    // predicate in a straddling file are preserved, just relocated);
+    // results are bit-identical at every scope. Composes with
+    // onlyFilesSmallerMB (a scoped small-file sweep); exclusive with
+    // an explicit global re-layout for the same reason that is.
+    require(where.isEmpty || (clusterBy.isEmpty && zorderBy.isEmpty),
+      "where is a scoped rewrite — it cannot combine with an explicit " +
+        "clusterBy/zorderBy re-layout (run those over the full table)")
     // `onlyFilesSmallerMB` (round 11): INCREMENTAL small-file
     // consolidation — rewrite only the files under the threshold
     // (streaming appends), leave full-size outputs untouched. This is
@@ -1224,9 +1240,12 @@ final class GraftTable private (val spark: SparkSession, val root: String) {
         "an explicit clusterBy/zorderBy re-layout (run those over the full table)")
     val base = currentVersion
     val allFiles = log.snapshotFiles(base)
+    val scoped =
+      if (where.isEmpty) allFiles
+      else StatsPruner.prune(allFiles, resolve(where, schema), schema)
     val files = onlyFilesSmallerMB match {
-      case Some(mb) => allFiles.filter(_.bytes < (mb.toLong << 20))
-      case None     => allFiles
+      case Some(mb) => scoped.filter(_.bytes < (mb.toLong << 20))
+      case None     => scoped
     }
     if (files.size <= 1 && clusterBy.isEmpty && zorderBy.isEmpty) return currentVersion
     val sch = schema

@@ -295,6 +295,19 @@ class GraftCatalogSpec extends SparkSpec {
     // references (none here) — assert it runs and reports
     val vac = sql("CALL gcat.system.vacuum('db11.t', 0)").collect()
     assert(vac.head.getInt(0) >= 0)
+    // WHERE scope (r14): appends into one key range compact without
+    // touching the zorder layout's other files (file-granular, the
+    // OPTIMIZE ... WHERE shape); an out-of-range scope is a no-op
+    sql("INSERT INTO gcat.db11.t VALUES (20001, 99, 0), (20002, 99, 0)")
+    val gt0 = GraftTable.load(spark, s"$warehouse/db11/t")
+    val beforeScoped = gt0.read().inputFiles.length
+    val scoped = sql("CALL gcat.system.optimize('db11.t', 4, '', '', 'x = 99')").collect()
+    assert(scoped.head.getInt(1) >= 1, scoped.mkString)
+    assert(gt0.read().inputFiles.length < beforeScoped)
+    val noScope = sql("CALL gcat.system.optimize('db11.t', 4, '', '', 'x = -5')").collect()
+    assert(noScope.head.getInt(1) == 0, noScope.mkString)
+    assert(sql("SELECT count(*) FROM gcat.db11.t WHERE x = 99").head().getLong(0) >= 2)
+    assert(sql("SELECT count(*) AS n FROM gcat.db11.t").head().getLong(0) == 10002)
   }
 
   test("ALTER TABLE RENAME COLUMN: metadata-only, old files id-resolve") {

@@ -141,6 +141,42 @@ class StoreSpec extends SparkSpec {
     assert(t.read(asOfVersion = Some(vPartial - 1)).count() == 60003)
   }
 
+  test("predicate-scoped compaction: where rewrites only stats-matching files (r14)") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot
+    // a clustered table (day ranges in disjoint files) + streaming-
+    // style appends into ONE hot day — the OPTIMIZE ... WHERE shape
+    val t = GraftTable.create(spark, root,
+      spark.range(0, 1000).selectExpr("id % 10 AS day", "id AS v"))
+    t.compact(clusterBy = Seq("day"), numFiles = Some(10))
+    val coldFiles = t.read(filters = Seq(col("day") === 0)).inputFiles.toSet
+    for (i <- 0 until 3)
+      t.append(Seq((9L, 10000L + i)).toDF("day", "v").coalesce(1))
+    val before = t.read().inputFiles.length
+    // scope the sweep to the hot day: its files consolidate, every
+    // day-0 file survives at its ORIGINAL path (never rewritten)
+    val v = t.compact(where = Seq(col("day") === 9))
+    assert(t.history.last.op == "compact")
+    assert(t.read().inputFiles.length < before,
+      s"scoped compact did not consolidate: $before -> ${t.read().inputFiles.length}")
+    assert(t.read(filters = Seq(col("day") === 0)).inputFiles.toSet == coldFiles,
+      "a scoped compact must not rewrite out-of-scope files")
+    // file-granular semantics: every row survives, any scope
+    assert(t.read().count() == 1003)
+    assert(t.read(filters = Seq(col("day") === 9)).count() == 103)
+    // composes with the small-file sweep; refuses a global re-layout
+    t.append(Seq((9L, 20000L)).toDF("day", "v").coalesce(1))
+    t.compact(where = Seq(col("day") === 9), onlyFilesSmallerMB = Some(1))
+    assert(t.read().count() == 1004)
+    intercept[IllegalArgumentException] {
+      t.compact(where = Seq(col("day") === 9), clusterBy = Seq("day"))
+    }
+    // a scope matching nothing is a no-op (no version churn)
+    assert(t.compact(where = Seq(col("day") === 999)) == t.currentVersion)
+    // time travel across the scoped sweep still reads old snapshots
+    assert(t.read(asOfVersion = Some(v - 1)).count() == 1003)
+  }
+
   test("stats pruning drops non-matching files, never rows") {
     val root = freshRoot
     // 4 disjoint id-range files via repartitionByRange
