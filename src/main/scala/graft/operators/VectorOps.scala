@@ -1408,7 +1408,68 @@ object VectorOps {
           .filter(col("rn") <= 3)
           .select(col("id_q"), col("id_c"), col("rn"), round(col("adc"), 4).as("adc4"))
       },
-      Some(v10OracleSql))
+      Some(v10OracleSql)),
+
+    // ------------------------------------------------------------------
+    // IVF × PQ + EXACT RE-RANK (round 14) — v10's approximate ADC
+    // candidates refined against full-precision vectors, the serving
+    // pattern [[VectorIndex.searchPq]]'s `refine` argument ships
+    // (measured: recall@10 0.263 -> 0.838 at sf0.1, SCALE.md (aa)).
+    // The refine fetch is CANDIDATE-sized: the top-10 ADC ids per
+    // probe broadcast into one join against the corpus — never a
+    // second corpus pass. Exact cosines use the shared left-fold dot
+    // (bit-identical cross-engine), ranking on the RAW cosine with
+    // id_c ties, ROUND(6) on output only — the v01/v02 discipline.
+    QueryEntry("v11_ann_ivf_pq_refine",
+      (s, d) => {
+        val e = vecs(s, d)
+          .selectExpr("vec_id", "transform(v, x -> CAST(x AS DOUBLE)) AS v")
+          .selectExpr("vec_id", "v", "vector_dot(v, v) AS n2")
+        val cents = indexCentroids(s, d)
+        val scored = e
+          .select(col("vec_id").as("id_v"), col("v").as("va"), col("n2").as("na2"))
+          .crossJoin(broadcast(cents))
+          .selectExpr("id_v", "cent_id",
+            "vector_dot(va, vc) / (SQRT(na2) * SQRT(nc2)) AS ccos")
+        val assigned = argmaxCell(scored).select(col("id_v"), col("cent_id"))
+        val cb = pqCodebookSampled(e.filter(col("vec_id") < 256), dim = 64, m = 8)
+        val codes = pqEncode(e, cb, dim = 64, m = 8)
+        val probes = scored.filter(col("id_v") < 5)
+          .withColumn("crn", row_number().over(
+            Window.partitionBy(col("id_v")).orderBy(col("ccos").desc, col("cent_id"))))
+          .filter(col("crn") <= 4)
+          .select(col("id_v").as("id_q"), col("cent_id"))
+        val candidates = probes
+          .join(assigned.select(col("id_v").as("id_c"), col("cent_id")), Seq("cent_id"))
+          .filter(col("id_q") =!= col("id_c"))
+          .select(col("id_q"), col("id_c"))
+        val queries = e.filter(col("vec_id") < 5).selectExpr("vec_id AS id_q", "v")
+        val lut = pqLut(queries, cb, dim = 64, m = 8)
+        val adcTop = candidates
+          .join(codes.withColumnRenamed("vec_id", "id_c"), Seq("id_c"))
+          .join(broadcast(lut), Seq("id_q", "j", "c"))
+          .groupBy(col("id_q"), col("id_c"))
+          .agg(graft.Parity.dsum(col("dd")).as("adc"))
+          .withColumn("arn", row_number().over(
+            Window.partitionBy(col("id_q")).orderBy(col("adc"), col("id_c"))))
+          .filter(col("arn") <= 10)
+          .select(col("id_q"), col("id_c"))
+        // exact re-rank: candidate ids broadcast INTO the corpus join
+        // (the searchPq(refine) shape) — full vectors touched only for
+        // the <= 50 candidate rows
+        e.select(col("vec_id").as("id_c"), col("v").as("vc2"), col("n2").as("nc2r"))
+          .join(broadcast(adcTop), Seq("id_c"))
+          .join(broadcast(e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("id_q"), col("v").as("vq"), col("n2").as("nq2"))),
+            Seq("id_q"))
+          .selectExpr("id_q", "id_c",
+            "vector_dot(vc2, vq) / (SQRT(nc2r) * SQRT(nq2)) AS cos")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("id_q")).orderBy(col("cos").desc, col("id_c"))))
+          .filter(col("rn") <= 3)
+          .select(col("id_q"), col("id_c"), col("rn"), round(col("cos"), 6).as("cos6"))
+      },
+      Some(v11OracleSql))
   )
 
   /** v10's oracle: the v07 device (trained centroids embedded as
@@ -1457,6 +1518,65 @@ object VectorOps {
       SELECT id_q, id_c, rn, ROUND(adc, 4) AS adc4 FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY id_q ORDER BY adc, id_c) AS rn
         FROM adc)
+      WHERE rn <= 3"""
+  }
+
+  /** v11's oracle: v10's composition widened to the top-10 ADC pool,
+    * then the EXACT re-rank in SQL — cosine via the shared left-fold
+    * dot, rank on the raw value, ROUND(6) on output only. */
+  private def v11OracleSql: String = {
+    val d = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
+    val s = SparkSession.getActiveSession.getOrElse(graft.engine.GraftSession.create())
+    val root = ensureIndex(s, d)
+    val vals = centroidValuesSql(s, root)
+    s"""WITH e AS (SELECT vec_id,
+          LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      en AS (SELECT vec_id, v,
+          LIST_SUM(LIST_TRANSFORM(v, x -> x * x)) AS n2 FROM e),
+      cents0(cent_id, vc0) AS (VALUES $vals),
+      cents AS (SELECT CAST(cent_id AS BIGINT) AS cent_id, vc0 AS vc,
+          LIST_SUM(LIST_TRANSFORM(vc0, x -> x * x)) AS nc2 FROM cents0),
+      scored AS (SELECT a.vec_id AS id_v, c.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+            (LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * c.vc[i]))
+              / (SQRT(a.n2) * SQRT(c.nc2))) DESC, c.cent_id) AS crn
+        FROM en a CROSS JOIN cents c),
+      assigned AS (SELECT id_v, cent_id FROM scored WHERE crn = 1),
+      probes AS (SELECT id_v AS id_q, cent_id FROM scored WHERE id_v < 5 AND crn <= 4),
+      cand AS (SELECT p.id_q, a.id_v AS id_c FROM probes p
+        JOIN assigned a USING (cent_id) WHERE a.id_v <> p.id_q),
+      js AS (SELECT UNNEST(RANGE(0, 8)) AS j),
+      sub AS (SELECT vec_id, j, v[j*8+1 : j*8+8] AS sv FROM e CROSS JOIN js),
+      cb AS (SELECT j, vec_id AS c, sv AS cw FROM sub WHERE vec_id < 256),
+      enc AS (SELECT vec_id, j, c FROM (
+          SELECT s.vec_id, s.j, cb.c,
+            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+              LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+                i -> (s.sv[i] - cb.cw[i]) * (s.sv[i] - cb.cw[i]))), cb.c) AS rn
+          FROM sub s JOIN cb ON cb.j = s.j)
+        WHERE rn = 1),
+      lut AS (SELECT q.vec_id AS id_q, cb.j, cb.c,
+          LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+            i -> (q.sv[i] - cb.cw[i]) * (q.sv[i] - cb.cw[i]))) AS dd
+        FROM sub q JOIN cb ON cb.j = q.j WHERE q.vec_id < 5),
+      adc AS (SELECT c.id_q, c.id_c,
+          CAST(SUM(CAST(dd AS DECIMAL(38,6))) AS DOUBLE) AS adc
+        FROM cand c JOIN enc ON enc.vec_id = c.id_c
+        JOIN lut ON lut.j = enc.j AND lut.c = enc.c AND lut.id_q = c.id_q
+        GROUP BY 1, 2),
+      adctop AS (SELECT id_q, id_c FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id_q ORDER BY adc, id_c) AS arn
+          FROM adc)
+        WHERE arn <= 10),
+      ref AS (SELECT t.id_q, t.id_c,
+          LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1), i -> a.v[i] * q.v[i]))
+            / (SQRT(a.n2) * SQRT(q.n2)) AS cos
+        FROM adctop t
+        JOIN en a ON a.vec_id = t.id_c
+        JOIN en q ON q.vec_id = t.id_q)
+      SELECT id_q, id_c, rn, ROUND(cos, 6) AS cos6 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id_q ORDER BY cos DESC, id_c) AS rn
+        FROM ref)
       WHERE rn <= 3"""
   }
 }
