@@ -31,6 +31,16 @@ object TrinoDialect {
   private val sampleRx =
     """(?i)\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([0-9]+(?:\.[0-9]+)?)\s*\)""".r
   private val rowCtor = """(?i)\bROW\s*\(""".r
+  // Trino SQL routines (round 14): `CREATE [OR REPLACE] FUNCTION
+  // f(x T) RETURNS T [LANGUAGE SQL] [DETERMINISTIC] RETURN expr` is
+  // Spark 4's native SQL-UDF grammar — but Trino routines live in a
+  // catalog while the session-scoped parity here is a TEMPORARY
+  // function, so an UNQUALIFIED name gains TEMPORARY (a qualified
+  // name passes through to the named catalog untouched). Compound
+  // BEGIN...END bodies stay loud parser rejections (Spark supports
+  // single-expression RETURN only).
+  private val createFn =
+    """(?i)\bCREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
 
   /** Rewrite Trino spellings Spark's parser reserves. Conservative,
     * token-local rewrites only — anything else goes through untouched.
@@ -48,7 +58,9 @@ object TrinoDialect {
       val s4 = bareVarchar.replaceAllIn(s3, _ => "STRING")
       val s5 = varbinary.replaceAllIn(s4, _ => "BINARY")
       val s6 = doublePrec.replaceAllIn(s5, _ => "DOUBLE")
-      val s7 = sampleRx.replaceAllIn(s6, m => s"TABLESAMPLE (${m.group(1)} PERCENT)")
+      val s7a = sampleRx.replaceAllIn(s6, m => s"TABLESAMPLE (${m.group(1)} PERCENT)")
+      val s7 = createFn.replaceAllIn(s7a, m =>
+        s"CREATE ${Option(m.group(1)).getOrElse("")}TEMPORARY FUNCTION ${m.group(2)}(")
       // ROW in a TYPE position first (CAST(x AS ROW(a INT))): Spark
       // spells struct TYPES as STRUCT<...>, so the constructor rewrite
       // below must not fire there (r12 advice — struct(a INT) is

@@ -101,6 +101,43 @@ class SqlSpec extends SparkSpec {
     assert(sampled > 300 && sampled < 700, s"sampled $sampled of 1000 at 50%")
   }
 
+  test("Trino SQL routines: CREATE FUNCTION lowers to a session SQL UDF (r14)") {
+    val s = spark
+    // the Trino routine shape, scripted: unqualified names become
+    // TEMPORARY (session parity for Trino's catalog routines); Spark 4
+    // natively parses RETURNS/LANGUAGE SQL/DETERMINISTIC and inlines
+    // the RETURN expression into the plan (no UDF object, full codegen)
+    val out = graft.sql.GraftSql.execute(s,
+      """CREATE FUNCTION meters_to_feet(m DOUBLE)
+           RETURNS DOUBLE
+           LANGUAGE SQL DETERMINISTIC
+           RETURN m * 3.28084;
+         CREATE OR REPLACE FUNCTION bucketize(v BIGINT, w BIGINT)
+           RETURNS BIGINT
+           RETURN CAST(v / w AS BIGINT) * w;
+         SELECT meters_to_feet(2.0) AS ft, bucketize(1234, 100) AS b""").last.head()
+    assert(math.abs(out.getDouble(0) - 6.56168) < 1e-9, out.toString)
+    assert(out.getLong(1) == 1200L, out.toString)
+    // routines compose over real tables and with other dialect
+    // rewrites in the same script
+    val n = graft.sql.GraftSql.execute(s,
+      s"""CREATE OR REPLACE FUNCTION is_big(q DOUBLE) RETURNS BOOLEAN RETURN q >= 30;
+          SELECT CAST(COUNT(*) AS VARCHAR) AS n
+          FROM parquet.`${sf()}/lineitem.parquet` WHERE is_big(l_quantity)""")
+      .last.head().getString(0).toLong
+    assert(n > 0)
+    // a QUALIFIED name passes through untouched (it addresses a
+    // catalog; the session catalog rejects it loudly rather than a
+    // silent temp-function hijack)
+    val e = intercept[Exception](graft.sql.GraftSql.execute(s,
+      "CREATE FUNCTION some_cat.some_schema.f(x INT) RETURNS INT RETURN x"))
+    assert(e != null)
+    // literals survive (the rewrite is literal-aware)
+    val lit = graft.sql.GraftSql.execute(s,
+      "SELECT 'CREATE FUNCTION f(x INT)' AS doc").head.head().getString(0)
+    assert(lit == "CREATE FUNCTION f(x INT)")
+  }
+
   test("statement splitter respects quotes and comments") {
     val script =
       """CREATE TABLE x (s STRING); -- trailing; comment
