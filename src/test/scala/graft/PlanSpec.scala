@@ -222,6 +222,21 @@ class PlanSpec extends SparkSpec {
     assert(p2.contains("Expand"), "rollup should Expand below the partial aggregate")
   }
 
+  test("recursive JSON_TABLE lowering keeps one Generate, zero UDFs (r14)") {
+    // nested/sibling/PLAN documents assemble per-document row arrays
+    // with HOFs and explode ONCE — the plan must carry exactly one
+    // Generate for the JSON_TABLE (plus none elsewhere in these
+    // entries' doc-build CTEs beyond their own), no scala UDF, and the
+    // lateral must not degenerate to a nested-loop join
+    for (q <- Seq("q45_json_table_deep", "q48_json_table_deep_siblings",
+                  "q47_json_table_plan_inner", "q49_json_table_plan_cross")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf()))
+      assert(p.contains("Generate"), s"$q: expected a Generate node:\n${p.take(2000)}")
+      assert(!p.toLowerCase.contains("scalaudf"), s"$q: UDF leaked into the plan")
+      assert(!p.contains("CartesianProduct"), s"$q: lateral degenerated to a cartesian")
+    }
+  }
+
   test("d09-d12 plan shapes: semi/anti joins, grain-sized Expand, reduced windows (r14)") {
     // d09: the rollup Expand must sit ABOVE the grain pre-aggregate
     // (the d02 economy), and the rank window runs over rollup output —
