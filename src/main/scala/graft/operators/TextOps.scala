@@ -2075,6 +2075,64 @@ object TextOps {
             LIST_TRANSFORM(
               LIST_FILTER(RANGE(0, s.n), i -> NOT LIST_CONTAINS(COALESCE(c.cov, []), i)),
               i -> s.ws[i + 1]), ' '), '') AS text_stripped
-        FROM sized s LEFT JOIN covl c ON c.doc_id = s.doc_id"""))
+        FROM sized s LEFT JOIN covl c ON c.doc_id = s.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // WEIGHTED sampling without replacement (round 14): Efraimidis-
+    // Spirakis A-ES — per source, keep the k docs with the smallest
+    // -ln(u)/w, u a deterministic md5-derived uniform, w the doc's
+    // quality weight (n_chars + 1 here; any positive score plugs in).
+    // The quality-WEIGHTED subsample is the curation step between
+    // t15's uniform strata and t20's hard quality cut: long/high-
+    // quality docs are proportionally favored, yet every doc keeps a
+    // nonzero chance — the standard data-mixing primitive. One shuffle
+    // (the per-source rank over k-bounded state via min_k ordering);
+    // deterministic end to end, so the oracle re-derives the identical
+    // sample. Float ledger: u is an EXACT 32-bit integer scaled by an
+    // exact power of two on both engines (hex digits -> integer, the
+    // same left-to-right construction), ln is the t31-proven
+    // cross-engine kernel, and the RANK key rounds to 10 digits with
+    // doc_id ties — a flip would need a 1e-10 key coincidence.
+    // WINDOW-FREE (the t28 device): min_by(doc_id, sample_key, 20)
+    // holds O(k) state per source with map-side partial merge — ties
+    // on the key break by the PAYLOAD (doc_id), exactly the oracle's
+    // ORDER BY (sample_key, doc_id) — where a per-source ROW_NUMBER
+    // would sort every source's full contents (source skew at scale).
+    // The picked ids (k x sources rows) broadcast back onto the keyed
+    // frame to carry sample_key into the output.
+    QueryEntry("t34_weighted_sample",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val keyed = docs(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("u",
+            (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":ws14"))), 1, 8),
+              16, 10).cast("double") + 1.0) / 4294967296.0)
+          .withColumn("sample_key",
+            round(-org.apache.spark.sql.functions.log(col("u")) /
+              (col("n_chars").cast("double") + 1.0), 10))
+        val picks = keyed
+          .groupBy(col("source"))
+          .agg(expr("min_by(doc_id, sample_key, 20)").as("ids"))
+          .selectExpr("source", "posexplode(ids) AS (rk0, doc_id)")
+          .selectExpr("source", "CAST(rk0 + 1 AS INT) AS rk", "doc_id")
+        keyed.select(col("doc_id"), col("sample_key"))
+          .join(broadcast(picks), Seq("doc_id"))
+          .select(col("source"), col("rk"), col("doc_id"), col("sample_key"))
+      },
+      Some("""WITH keyed AS (
+          SELECT doc_id, source,
+            ROUND(-LN((LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+                i -> (POSITION(SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || ':ws14'), i, 1)
+                        IN '0123456789abcdef') - 1) * POWER(16, 8 - i)))
+              + 1.0) / 4294967296.0)
+              / (CAST(n_chars AS DOUBLE) + 1.0), 10) AS sample_key
+          FROM documents)
+        SELECT source, rk, doc_id, sample_key FROM (
+          SELECT source, doc_id, sample_key,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY sample_key, doc_id) AS INT) AS rk
+          FROM keyed) t
+        WHERE rk <= 20"""))
   )
 }
