@@ -56,6 +56,34 @@ object TextIndex {
     tokenize(docs).select(size(col("ws")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
 
+  /** THE BM25 scorer (k1 = 1.2, b = 0.75) — shared by the
+    * oracle-checked t31 entry and [[TextIndex.bm25TopK]] so the two
+    * spellings can never drift (r14 review; TextIndexSpec pins their
+    * equality, this makes it structural). `tf` carries (term, doc_id,
+    * tf, dl); `df` (term, df); `corpus` one row (n_docs, sum_dl).
+    * Per-term scores sum as DECIMAL(38,18) (order-free), the top-k cut
+    * ranks by the ROUNDED score with doc_id ties — deterministic on
+    * both engines. */
+  private[operators] def bm25Ranked(tf: DataFrame, df: DataFrame,
+                                    corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("s",
+        (org.apache.spark.sql.functions.log(
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") + (lit(0.25) +
+            col("dl") * 0.75 / (col("sum_dl").cast("double") / col("n_docs"))) * 1.2))
+          .cast("decimal(38,18)"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")).cast("double"), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+      .filter(col("rk") <= k)
+  }
+
   /** Build the index: bucketed postings + the first stats increment. */
   def build(spark: SparkSession, docs: DataFrame, root: String,
             buckets: Int = 32): TextIndex = {
@@ -85,7 +113,6 @@ final class TextIndex private[operators] (spark: SparkSession, root: String) {
   def bm25TopK(terms: Seq[String], k: Int = 10): DataFrame = {
     require(terms.nonEmpty, "bm25TopK: query needs at least one term")
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     // term hashes computed through the SAME xxhash64 the build used —
     // a query-sized frame, collected (metadata-sized, the centroid
     // pattern) to drive the static bucket pruning
@@ -97,21 +124,7 @@ final class TextIndex private[operators] (spark: SparkSession, root: String) {
       .filter(col("term").isin(terms: _*)) // 64-bit collision guard
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), Seq("term"))
-      .crossJoin(broadcast(c))
-      .withColumn("s",
-        (org.apache.spark.sql.functions.log(
-          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-          (col("tf") * 2.2) /
-          (col("tf") + (lit(0.25) +
-            col("dl") * 0.75 / (col("sum_dl").cast("double") / col("n_docs"))) * 1.2))
-          .cast("decimal(38,18)"))
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("s")).cast("double"), 6).as("bm25"),
-        count(lit(1)).as("n_terms"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
-      .filter(col("rk") <= k)
+    TextIndex.bm25Ranked(tf, df, c, k)
   }
 
   /** Ingest new documents: postings through the bucket-clustered

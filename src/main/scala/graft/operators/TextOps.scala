@@ -1891,13 +1891,11 @@ object TextOps {
     // metadata-sized broadcasts.
     QueryEntry("t31_bm25_topk",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val terms = Seq("vector", "hash", "join")
         val base = docs(s, d)
           .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-        val stats = base.select(col("doc_id"), size(col("ws")).as("dl"))
-        val corpus = stats.agg(count(lit(1)).as("n_docs"),
-          sum(col("dl")).as("sum_dl"))
+        val corpus = base.select(size(col("ws")).as("dl"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
         val tf = base
           .select(col("doc_id"), size(col("ws")).as("dl"),
             explode(col("ws")).as("term"))
@@ -1905,24 +1903,9 @@ object TextOps {
           .groupBy(col("doc_id"), col("dl"), col("term"))
           .agg(count(lit(1)).as("tf"))
         val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val scored = tf
-          .join(broadcast(df), Seq("term"))
-          .crossJoin(broadcast(corpus))
-          .withColumn("s",
-            // fully qualified: TextOps has a `log` slf4j member in scope
-            (org.apache.spark.sql.functions.log(
-              (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-              (col("tf") * 2.2) /
-              (col("tf") + (lit(0.25) +
-                col("dl") * 0.75 / (col("sum_dl").cast("double") / col("n_docs"))) * 1.2))
-              .cast("decimal(38,18)"))
-          .groupBy(col("doc_id"))
-          .agg(round(sum(col("s")).cast("double"), 6).as("bm25"),
-            count(lit(1)).as("n_terms"))
-        scored
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
-          .filter(col("rk") <= 10)
+        // THE scorer lives in TextIndex.bm25Ranked — one spelling for
+        // the entry and the served index path (r14 review)
+        TextIndex.bm25Ranked(tf, df, corpus, k = 10)
       },
       Some("""WITH base AS (
           SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ws FROM documents),

@@ -286,22 +286,25 @@ object JsonTableSql {
   private def applyPlan(top: Block, rootName: Option[String], plan: Plan): Block = {
     val root = rootName.getOrElse(throw new IllegalArgumentException(
       "JSON_TABLE PLAN: the row path needs a name — '<rowpath>' AS <name>"))
+    // unquoted SQL identifiers case-fold (SQL:2016 / Trino): PLAN
+    // names match AS names case-insensitively (r14 review)
+    def fold(n: String): String = n.toUpperCase
     def nameOf(p: Plan): String = p match {
-      case PName(n) => n
-      case PEdge(n, _, _) => n
+      case PName(n) => fold(n)
+      case PEdge(n, _, _) => fold(n)
       case _: PComb => throw new IllegalArgumentException(
         "JSON_TABLE PLAN: a parenthesized sibling group cannot itself be a " +
           "sibling — name each path directly")
     }
     def applyTo(b: Block, name: String, p: Plan): Block = p match {
       case PName(n) =>
-        require(n == name,
+        require(fold(n) == fold(name),
           s"JSON_TABLE PLAN: expected path '$name', got '$n'")
         require(!b.entries.exists(_.isInstanceOf[Nest]),
           s"JSON_TABLE PLAN: path '$n' has NESTED paths the plan does not cover")
         b
       case PEdge(parent, outer, child) =>
-        require(parent == name,
+        require(fold(parent) == fold(name),
           s"JSON_TABLE PLAN: expected path '$name', got '$parent'")
         val nests = b.entries.collect { case n: Nest => n }
         require(nests.nonEmpty,
@@ -316,11 +319,17 @@ object JsonTableSql {
         val byName = parts.map(p2 => nameOf(p2) -> p2).toMap
         require(byName.size == parts.length,
           s"JSON_TABLE PLAN: a path is named twice under '$parent'")
+        // duplicate AS names among the siblings would let one plan part
+        // apply to BOTH while another part went silently unconsumed
+        val nestNames = nests.flatMap(_.name).map(fold)
+        require(nestNames.distinct.size == nestNames.size,
+          s"JSON_TABLE PLAN: duplicate AS path names under '$parent': " +
+            nestNames.diff(nestNames.distinct).distinct.mkString(", "))
         val newEntries = b.entries.map {
           case n: Nest =>
             val nm = n.name.getOrElse(throw new IllegalArgumentException(
               "JSON_TABLE PLAN requires AS names on every NESTED path it covers"))
-            val sub = byName.getOrElse(nm, throw new IllegalArgumentException(
+            val sub = byName.getOrElse(fold(nm), throw new IllegalArgumentException(
               s"JSON_TABLE PLAN: does not cover path '$nm'"))
             n.copy(block = applyTo(n.block, nm, sub))
           case e => e
@@ -396,16 +405,22 @@ object JsonTableSql {
           } else {
             // CROSS plan: left-fold cross product of the sibling row
             // sets (an empty sibling empties the product — then the
-            // parent edge's OUTER/INNER decides)
+            // parent edge's OUTER/INNER decides). The right side binds
+            // ONCE via the transform(array(x), v -> ...)[0] device —
+            // inlining it under the per-left-row lambda would re-parse
+            // and re-assemble that sibling's whole subtree once per
+            // left row (r14 review).
             parts.map { case (n, rowsExpr) =>
               (rowsExpr, subtreeCols(n.block))
             }.reduceLeft[(String, Seq[(String, String)])] {
               case ((accRows, accCols), (nextRows, nextCols)) =>
                 val a = s"__ja${d}_${accCols.length}"
                 val c = s"__jb${d}_${accCols.length}"
+                val bnd = s"__jn${d}_${accCols.length}"
                 val fields = (accCols.map { case (nm, _) => s"'$nm', $a.$nm" } ++
                   nextCols.map { case (nm, _) => s"'$nm', $c.$nm" }).mkString(", ")
-                (s"flatten(transform($accRows, $a -> transform($nextRows, $c -> named_struct($fields))))",
+                (s"transform(array($nextRows), $bnd -> " +
+                  s"flatten(transform($accRows, $a -> transform($bnd, $c -> named_struct($fields)))))[0]",
                   accCols ++ nextCols)
             }._1
           }

@@ -315,6 +315,11 @@ class JsonTableSqlSpec extends SparkSpec {
     assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' AS r COLUMNS (x INT PATH '$.x', " +
       "NESTED PATH '$.y[*]' AS y COLUMNS (z INT PATH '$.z')) PLAN (r OUTER nope)) t")
       .contains("does not cover path 'y'"))
+    assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' AS r COLUMNS (x INT PATH '$.x', " +
+      "NESTED PATH '$.a[*]' AS dup COLUMNS (p INT PATH '$.p'), " +
+      "NESTED PATH '$.b[*]' AS dup COLUMNS (q INT PATH '$.q')) " +
+      "PLAN (r OUTER (dup UNION other))) t")
+      .contains("duplicate AS path names"))
     assert(err("SELECT * FROM d, JSON_TABLE(doc, 'lax $[*]' COLUMNS (x INT PATH '$.x') " +
       "ERROR ON ERROR) t")
       .contains("ON ERROR"))

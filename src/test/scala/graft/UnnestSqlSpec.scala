@@ -98,7 +98,7 @@ class UnnestSqlSpec extends SparkSpec {
     assert(err("SELECT * FROM t, UNNEST(a, b) AS u(x)").contains("2 columns"))
     assert(err("SELECT * FROM UNNEST(array(1,2)) AS u(x)").contains("follow a relation"))
     // Trino's UNNEST(array(row(...))) AS t(a, b): type-blind rewriter
-    // would lower it as a MAP and die on an opaque __un_k analysis
+    // would lower it as a MAP and die on an opaque __un_map_k analysis
     // error — must be a named rejection instead (r12 advice)
     assert(err("SELECT * FROM t, UNNEST(array(row(1, 'a'), row(2, 'b'))) AS u(x, y)")
       .contains("array(row"))
