@@ -30,10 +30,15 @@ object GraphOps {
     require(iterations >= 1 && iterations <= 50, s"iterations in [1,50], got $iterations")
     // localCheckpoint the loop-invariant relations ONCE (same policy as
     // t14's label propagation): edges carry outdeg inline — the
-    // per-round work is then exactly ONE join (rank onto edges, both
-    // hash-partitioned on src) + ONE aggregation on dst + ONE left
-    // join back onto nodes. Without this, round k replays k copies of
-    // the distinct/groupBy lineage — quadratic in iterations.
+    // per-round work is then exactly ONE join (rank onto edges) + ONE
+    // aggregation on dst + ONE left join back onto nodes. Without
+    // this, round k replays k copies of the distinct/groupBy lineage —
+    // quadratic in iterations. NOTE (r14, ProbeCkpt): under AQE a
+    // localCheckpoint reports UnknownPartitioning, so the repartition
+    // below does NOT let later rounds skip the edge-side exchange — it
+    // only sizes the checkpointed RDD's partitions. The per-round edge
+    // shuffle is a known cost here; the bucketed-GraftTable edge layout
+    // is the 100 TB path that removes it (SCALE.md).
     // Checkpoint the BASE relation too: deg, ed and nodes all read ed0,
     // and without this the upstream scan+join+distinct replays once per
     // consumer (measured 4 replays on the t30 shape).
@@ -45,16 +50,31 @@ object GraphOps {
     val nodes = ed0.select(col("src").as("node"))
       .union(ed0.select(col("dst").as("node"))).distinct()
       .repartition(col("node")).localCheckpoint()
-    // N as a broadcast scalar column (no collect: a 1-row cross join)
+    // N as a broadcast scalar column (no collect: a 1-row cross join),
+    // attached to the node set ONCE and checkpointed (r14 optimization,
+    // guide §1.2/§2.4): the old shape cross-joined nodes x broadcast(n)
+    // inside the loop, so every round's plan re-derived the count
+    // subtree (aggregate + exchange + broadcast + BroadcastNestedLoop
+    // cross) — 4 copies in the 3-round t30 plan. (node, n) costs 8
+    // bytes/row and removes all of them from the loop.
     val n = nodes.agg(count(lit(1)).as("n"))
-    var rank = nodes.crossJoin(broadcast(n))
-      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    val nodesN = nodes.crossJoin(broadcast(n)).localCheckpoint()
+    var rank = nodesN.select(col("node"), (lit(1.0) / col("n")).as("rank"))
     for (_ <- 1 to iterations) {
+      // SHUFFLE_HASH on the rank/contribution sides (guide §3.1): the
+      // per-round joins are fact-fact (checkpointed RDDs report no
+      // stats, so the planner falls back to sort-merge — nothing is
+      // broadcastable at scale anyway), but hash joins stream the edge
+      // side with ZERO sorts; the r14 before-plan carried 12
+      // SortMergeJoins / 10 Sorts for 3 rounds, every one re-sorting a
+      // relation that is hashed on the join key anyway. Rows identical:
+      // join strategy only.
       val contribs = ed
-        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(rank.withColumnRenamed("node", "src").hint("SHUFFLE_HASH"), "src")
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
-      rank = nodes.crossJoin(broadcast(n))
-        .join(contribs.groupBy("node").agg(sum(col("c")).as("cs")), Seq("node"), "left")
+      rank = nodesN
+        .join(contribs.groupBy("node").agg(sum(col("c")).as("cs"))
+          .hint("SHUFFLE_HASH"), Seq("node"), "left")
         .select(col("node"),
           ((lit(1.0) - lit(damping)) / col("n") +
             lit(damping) * coalesce(col("cs"), lit(0.0))).as("rank"))
