@@ -1941,34 +1941,57 @@ object TextOps {
     // Scale shape (the suffix-array replacement that survives a
     // cluster): windows are corpus-token-sized but NARROW — each row
     // is (doc_id, pos, md5(window)) and never the window text, so the
-    // df shuffle moves 16-byte keys (the t04 collision argument:
-    // 128-bit keys, cross-doc false positives negligible). One
-    // aggregate finds windows with >= 2 distinct docs, one join back
-    // flags hits, and coverage merges per doc by exploding ONLY the
-    // flagged windows' L positions (duplicated-token-sized, not
-    // corpus-sized) into a distinct count. No driver state, no sort.
+    // hash shuffle moves 16-byte keys (the t04 collision argument:
+    // 128-bit keys, cross-doc false positives negligible). One shuffle
+    // on the hash, a partition-frame window flags windows in >= 2
+    // distinct docs (min(doc_id) != max(doc_id)), and coverage merges
+    // per doc by exploding ONLY the flagged windows' L positions
+    // (duplicated-token-sized, not corpus-sized) into a distinct
+    // count. No driver state; the only sort is the window's in-
+    // partition sort of the hash stream.
     QueryEntry("t32_exact_substr_spans",
       (s, d) => {
         val L = 8
+        val P = s.sparkContext.defaultParallelism
+        // r14 optimization (guide §1.2: don't compute things twice;
+        // §2.4: share one exchange). The r13 shape consumed `wins`
+        // twice (dup aggregate, flag join) and `base` three times;
+        // column pruning specialized each consumer's below-exchange
+        // subtree, so NOTHING was reused: documents was scanned 3x and
+        // the md5-over-every-window Generate — the CPU of this
+        // operator — ran twice. Now: ONE tokenize exchange whose two
+        // consumers prune to the identical {doc_id, ws} subtree
+        // (ReusedExchange), ONE window-hash pass shuffled ONCE on the
+        // hash, and the duplicate flag read off a partition-frame
+        // window — >= 2 distinct docs iff min(doc_id) != max(doc_id) —
+        // so the countDistinct two-phase aggregate and the join back
+        // onto the window stream both disappear. The n >= L guard
+        // moved INTO the generator (empty array => zero rows) so it
+        // cannot be pushed below the shared exchange and split it.
         val base = docs(s, d)
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .repartition(P, col("doc_id"))
           .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-          .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
-        val wins = base.filter(col("n") >= L)
+        val wins = base
           .selectExpr("doc_id",
-            s"posexplode(transform(sequence(0, n - $L), " +
-              s"i -> md5(array_join(slice(ws, i + 1, $L), ' '))))")
+            s"posexplode(CASE WHEN size(ws) >= $L THEN " +
+              s"transform(sequence(0, size(ws) - $L), " +
+              s"i -> md5(array_join(slice(ws, i + 1, $L), ' '))) " +
+              "ELSE array() END)")
           .toDF("doc_id", "pos", "wh")
-        val dup = wins.groupBy(col("wh"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2).select(col("wh"))
-        val covered = wins.join(dup, Seq("wh"))
+          .repartition(P, col("wh"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))
+        val covered = wins
+          .withColumn("mnd", min(col("doc_id")).over(w))
+          .withColumn("mxd", max(col("doc_id")).over(w))
+          .filter(col("mnd") =!= col("mxd"))
+          .select(col("doc_id"), col("pos"))
+          .repartition(P, col("doc_id"))
           .selectExpr("doc_id", s"explode(sequence(pos, pos + ${L - 1})) AS j")
           .groupBy(col("doc_id"))
           .agg(countDistinct(col("j")).as("n_dup_tokens"))
-        base.select(col("doc_id"), col("n").as("n_tokens"))
+        base.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
           .join(covered, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          .select(col("doc_id"), col("n_tokens"),
             coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
             round(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
               col("n_tokens"), 6).as("dup_ratio"))
@@ -1998,32 +2021,45 @@ object TextOps {
     // containing it; every OTHER doc strips the tokens that window
     // covers, and the text is rebuilt from the surviving tokens in
     // order. Detection cost is t32's (narrow md5-keyed shuffle); the
-    // canonical choice adds one min() to the same aggregate; the strip
+    // canonical choice IS the min(doc_id) the dup window computes
+    // anyway; the strip
     // itself is an IN-ROW rebuild (the covered-position set joins back
     // doc-level and a transform/filter drops tokens by index — no
     // re-explode, no per-token shuffle, order preserved for free).
     QueryEntry("t33_exact_substr_strip",
       (s, d) => {
         val L = 8
+        val P = s.sparkContext.defaultParallelism
+        // Same r14 single-pass restructure as t32 (see its comment):
+        // one tokenize exchange reused by both consumers, one
+        // window-hash pass shuffled once on the hash, canon/duplicate
+        // read off a partition-frame window — canon IS min(doc_id)
+        // over the hash partition, and >= 2 distinct docs iff
+        // min != max, so the aggregate+join pair collapses into the
+        // window that was computing min anyway.
         val base = docs(s, d)
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .repartition(P, col("doc_id"))
           .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-          .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
-        val wins = base.filter(col("n") >= L)
+        val wins = base
           .selectExpr("doc_id",
-            s"posexplode(transform(sequence(0, n - $L), " +
-              s"i -> md5(array_join(slice(ws, i + 1, $L), ' '))))")
+            s"posexplode(CASE WHEN size(ws) >= $L THEN " +
+              s"transform(sequence(0, size(ws) - $L), " +
+              s"i -> md5(array_join(slice(ws, i + 1, $L), ' '))) " +
+              "ELSE array() END)")
           .toDF("doc_id", "pos", "wh")
-        val canon = wins.groupBy(col("wh"))
-          .agg(min(col("doc_id")).as("canon"),
-            countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2).select(col("wh"), col("canon"))
-        val covSet = wins.join(canon, Seq("wh"))
-          .filter(col("doc_id") =!= col("canon"))
+          .repartition(P, col("wh"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))
+        val covSet = wins
+          .withColumn("canon", min(col("doc_id")).over(w))
+          .withColumn("mxd", max(col("doc_id")).over(w))
+          .filter(col("canon") =!= col("mxd") && col("doc_id") =!= col("canon"))
+          .select(col("doc_id"), col("pos"))
+          .repartition(P, col("doc_id"))
           .selectExpr("doc_id", s"explode(sequence(pos, pos + ${L - 1})) AS j")
           .groupBy(col("doc_id"))
           .agg(collect_set(col("j")).as("cov"))
-        base.join(covSet, Seq("doc_id"), "left")
+        base.select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+          .join(covSet, Seq("doc_id"), "left")
           .selectExpr("doc_id", "ws", "CAST(n AS BIGINT) AS n_tokens",
             "coalesce(cov, CAST(array() AS array<int>)) AS cov")
           .selectExpr("doc_id", "n_tokens",
