@@ -1114,7 +1114,10 @@ object VectorOps {
           .filter(col("rn") <= 2)
           .select(col("id_v").as("id_q"), col("va").as("vq"),
             col("na2").as("nq2"), col("cent_id"))
-        probes.join(
+        // r14: probes is BOUNDED by construction (n_queries x probe
+        // cells) — broadcast it so the corpus-sized assignment side is
+        // neither shuffled nor sorted (was SortMergeJoin both sides)
+        broadcast(probes).join(
             assigned.select(col("id_v").as("id_c"), col("va").as("vb"),
               col("na2").as("nb2"), col("cent_id")), Seq("cent_id"))
           .filter(col("id_q") =!= col("id_c"))
@@ -1227,7 +1230,10 @@ object VectorOps {
           .filter(col("crn") <= 4)
           .select(col("id_v").as("id_q"), col("qa").as("qq"),
             col("qna2").as("qnq2"), col("cent_id"))
-        probes.join(
+        // r14: probes is BOUNDED by construction (n_queries x probe
+        // cells) — broadcast it so the corpus-sized assignment side is
+        // neither shuffled nor sorted (was SortMergeJoin both sides)
+        broadcast(probes).join(
             assigned.select(col("id_v").as("id_c"), col("qa").as("qb"),
               col("qna2").as("qnb2"), col("cent_id")), Seq("cent_id"))
           .filter(col("id_q") =!= col("id_c"))
@@ -1392,13 +1398,13 @@ object VectorOps {
             Window.partitionBy(col("id_v")).orderBy(col("ccos").desc, col("cent_id"))))
           .filter(col("crn") <= 4)
           .select(col("id_v").as("id_q"), col("cent_id"))
-        val candidates = probes
+        val candidates = broadcast(probes)
           .join(assigned.select(col("id_v").as("id_c"), col("cent_id")), Seq("cent_id"))
           .filter(col("id_q") =!= col("id_c"))
           .select(col("id_q"), col("id_c"))
         val queries = e.filter(col("vec_id") < 5).selectExpr("vec_id AS id_q", "v")
         val lut = pqLut(queries, cb, dim = 64, m = 8)
-        candidates
+        candidates.hint("SHUFFLE_HASH") // probe-cell-sized: hash-build, never sort the codes side
           .join(codes.withColumnRenamed("vec_id", "id_c"), Seq("id_c"))
           .join(broadcast(lut), Seq("id_q", "j", "c"))
           .groupBy(col("id_q"), col("id_c"))
@@ -1439,13 +1445,13 @@ object VectorOps {
             Window.partitionBy(col("id_v")).orderBy(col("ccos").desc, col("cent_id"))))
           .filter(col("crn") <= 4)
           .select(col("id_v").as("id_q"), col("cent_id"))
-        val candidates = probes
+        val candidates = broadcast(probes)
           .join(assigned.select(col("id_v").as("id_c"), col("cent_id")), Seq("cent_id"))
           .filter(col("id_q") =!= col("id_c"))
           .select(col("id_q"), col("id_c"))
         val queries = e.filter(col("vec_id") < 5).selectExpr("vec_id AS id_q", "v")
         val lut = pqLut(queries, cb, dim = 64, m = 8)
-        val adcTop = candidates
+        val adcTop = candidates.hint("SHUFFLE_HASH")
           .join(codes.withColumnRenamed("vec_id", "id_c"), Seq("id_c"))
           .join(broadcast(lut), Seq("id_q", "j", "c"))
           .groupBy(col("id_q"), col("id_c"))
