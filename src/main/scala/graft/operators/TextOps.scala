@@ -1218,13 +1218,18 @@ object TextOps {
         var changed = 1L
         var rounds = 0
         while (changed > 0 && rounds < 25) { // 25 >> any real dup-graph diameter
+          // SHUFFLE_HASH (r14, guide §3.1): checkpointed RDDs carry no
+          // stats, so both per-round joins planned as SortMergeJoin —
+          // re-sorting the edge and label streams every round. Hash
+          // joins drop the sorts; rows identical (strategy only).
           val nbrMin = edges
-            .join(labels.select(col("node").as("doc_b"), col("label")), "doc_b")
+            .join(labels.select(col("node").as("doc_b"), col("label"))
+              .hint("SHUFFLE_HASH"), "doc_b")
             .groupBy(col("doc_a").as("node")).agg(min(col("label")).as("nbr_label"))
           // the changed-count is an observed metric of the SAME job that
           // materializes the checkpoint — no second pass, no extra stages
           val obs = new org.apache.spark.sql.Observation(s"t14_changed_r$rounds")
-          val next = labels.join(nbrMin, Seq("node"), "left")
+          val next = labels.join(nbrMin.hint("SHUFFLE_HASH"), Seq("node"), "left")
             .select(col("node"), col("label"),
               least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
             .observe(obs, coalesce(sum(when(col("new_label") =!= col("label"), 1L)
