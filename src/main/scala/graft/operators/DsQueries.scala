@@ -280,7 +280,11 @@ object DsQueries {
           .select(col("l_orderkey").as("ok"), col("p_brand").as("b")).distinct()
         val a = ob.select(col("ok"), col("b").as("b1"))
         val bb = ob.select(col("ok").as("ok2"), col("b").as("b2"))
-        a.join(bb, col("ok") === col("ok2") && col("b1") < col("b2"))
+        // r14: hash self-join (guide §3.1) — the pair blow-up is bounded
+        // per order, but SMJ was re-sorting BOTH copies of the deduped
+        // (order, brand) stream on the order key; a hash build on one
+        // side drops both sorts. Rows identical (strategy only).
+        a.join(bb.hint("SHUFFLE_HASH"), col("ok") === col("ok2") && col("b1") < col("b2"))
           .groupBy(col("b1"), col("b2"))
           .agg(count(lit(1)).as("support"))
           .orderBy(col("support").desc, col("b1"), col("b2"))
