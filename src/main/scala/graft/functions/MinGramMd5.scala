@@ -60,17 +60,58 @@ case class MinGramMd5(left: Expression, right: Expression)
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  /** Per-row kernel, also called from generated code. */
+  /** Per-row kernel, also called from generated code.
+    *
+    * r14 optimization (guide §1.2 step 2 — per-task work): the previous
+    * spelling allocated three objects per window (`substringSQL` copy,
+    * `getBytes` copy, fresh 16-byte digest array) — ~3·(L-n+1)
+    * allocations per document. Windows are contiguous code-point ranges
+    * of the SAME byte buffer, so one offsets pass (identity-skipped for
+    * pure-ASCII rows) lets every window hash via
+    * `MessageDigest.update(bytes, start, len)` with zero copies; the
+    * digest reuses two 16-byte scratch buffers for the whole row.
+    * Byte-identical output: `substringSQL(i, n).getBytes` IS the byte
+    * range [off(i-1), off(i-1+n)) for valid UTF-8, and the min over
+    * unsigned digest compare is unchanged (FunctionsSpec parity pins
+    * the HOF spelling).
+    */
   def compute(text: UTF8String, n: Int): UTF8String = {
+    val bytes = text.getBytes // no copy when the UTF8String spans its buffer
+    val nBytes = bytes.length
     val len = text.numChars()
     val windows = math.max(len - n + 1, 1)
     val md = java.security.MessageDigest.getInstance("MD5")
-    var best: Array[Byte] = null
-    var i = 1
-    while (i <= windows) {
+    // code-point byte offsets; pure-ASCII (the common case) is identity
+    val ascii = nBytes == len
+    val offs: Array[Int] =
+      if (ascii) null
+      else {
+        val o = new Array[Int](len + 1)
+        var b = 0; var c = 0
+        while (b < nBytes) {
+          o(c) = b
+          b += UTF8String.numBytesForFirstByte(bytes(b))
+          c += 1
+        }
+        o(len) = nBytes
+        o
+      }
+    @inline def off(cp: Int): Int =
+      if (ascii) math.min(cp, nBytes) else offs(math.min(cp, len))
+    val best = new Array[Byte](16)
+    val cur = new Array[Byte](16)
+    var haveBest = false
+    var i = 0
+    while (i < windows) {
+      val s = off(i)
+      val e = off(i + n)
       md.reset()
-      val dig = md.digest(text.substringSQL(i, n).getBytes)
-      if (best == null || unsignedLess(dig, best)) best = dig
+      md.update(bytes, s, e - s)
+      md.digest(cur, 0, 16)
+      if (!haveBest || unsignedLess(cur, best)) {
+        System.arraycopy(cur, 0, best, 0, 16)
+        haveBest = true
+      }
       i += 1
     }
     val hex = new Array[Char](32)
