@@ -54,6 +54,139 @@ import org.apache.spark.sql.types._
   * ids ascending — a canonical serialization, so equal digests are
   * equal bytes.
   */
+/** Minimal open-addressing long→long counts map (power-of-2 capacity,
+  * linear probing). r14 optimization (guide §1.2 step 2 — per-task
+  * work): the previous `mutable.LongMap[Long]` boxed every VALUE (one
+  * `java.lang.Long` allocation per update — values past the small-int
+  * cache are fresh objects) and `compress()` snapshotted ids through
+  * boxed `ArrayBuffer[Long]`s; measured with ProbeF22, `Buf.add` ran
+  * ~1.6 µs/row (1.0 s single-threaded for sf0.1's 600k lineitem rows),
+  * all of it allocation/GC. This map is two primitive arrays — zero
+  * allocation per operation.
+  *
+  * Key contract: node ids are always ≥ 1 (the root is id 1, leaves
+  * carry bit 32), so key 0 is the EMPTY sentinel and key -1 the
+  * TOMBSTONE left by `remove` to keep probe chains intact. Counts are
+  * always ≥ 1, so `getOrElse` defaults of 0/-1 are unambiguous.
+  */
+final class LongLongCounts(initialCapacity: Int = 64) {
+  private var cap = Integer.highestOneBit(
+    math.max(math.max(initialCapacity, 16) - 1, 8)) * 2
+  private var keys = new Array[Long](cap)
+  private var vals = new Array[Long](cap)
+  private var live = 0 // present entries
+  private var used = 0 // present + tombstones (probe-chain occupancy)
+
+  @inline private def slot(id: Long): Int = {
+    var h = id * 0x9E3779B97F4A7C15L
+    h ^= h >>> 32
+    (h & (cap - 1)).toInt
+  }
+
+  def size: Int = live
+
+  /** counts(id) += c, inserting if absent. */
+  def addTo(id: Long, c: Long): Unit = {
+    var i = slot(id)
+    var firstFree = -1
+    while (true) {
+      val k = keys(i)
+      if (k == id) { vals(i) += c; return }
+      else if (k == 0L) {
+        val at = if (firstFree >= 0) firstFree else i
+        if (keys(at) == 0L) used += 1
+        keys(at) = id; vals(at) = c; live += 1
+        if (used * 4 >= cap * 3) grow()
+        return
+      } else if (k == -1L && firstFree < 0) firstFree = i
+      i = (i + 1) & (cap - 1)
+    }
+  }
+
+  /** Plain put (insert or overwrite). */
+  def set(id: Long, c: Long): Unit = {
+    var i = slot(id)
+    var firstFree = -1
+    while (true) {
+      val k = keys(i)
+      if (k == id) { vals(i) = c; return }
+      else if (k == 0L) {
+        val at = if (firstFree >= 0) firstFree else i
+        if (keys(at) == 0L) used += 1
+        keys(at) = id; vals(at) = c; live += 1
+        if (used * 4 >= cap * 3) grow()
+        return
+      } else if (k == -1L && firstFree < 0) firstFree = i
+      i = (i + 1) & (cap - 1)
+    }
+  }
+
+  def getOrElse(id: Long, default: Long): Long = {
+    var i = slot(id)
+    while (true) {
+      val k = keys(i)
+      if (k == id) return vals(i)
+      else if (k == 0L) return default
+      i = (i + 1) & (cap - 1)
+    }
+    default // unreachable
+  }
+
+  /** Remove if present (no-op otherwise). */
+  def remove(id: Long): Unit = {
+    var i = slot(id)
+    while (true) {
+      val k = keys(i)
+      if (k == id) { keys(i) = -1L; live -= 1; return }
+      else if (k == 0L) return
+      i = (i + 1) & (cap - 1)
+    }
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals
+    // size to live entries only — tombstones are dropped by the rebuild
+    cap = math.max(cap, Integer.highestOneBit(math.max(live * 4 - 1, 8)) * 2)
+    keys = new Array[Long](cap); vals = new Array[Long](cap)
+    used = 0; live = 0
+    var j = 0
+    while (j < ok.length) {
+      val k = ok(j)
+      if (k != 0L && k != -1L) set(k, ov(j))
+      j += 1
+    }
+  }
+
+  /** Specialized iteration — (Long, Long) => Unit hits the specialized
+    * Function2 variant, no boxing. */
+  def foreachEntry(f: (Long, Long) => Unit): Unit = {
+    var j = 0
+    while (j < keys.length) {
+      val k = keys(j)
+      if (k != 0L && k != -1L) f(k, vals(j))
+      j += 1
+    }
+  }
+
+  /** Live keys as a fresh array (unsorted). */
+  def keysArray: Array[Long] = {
+    val out = new Array[Long](live)
+    var j = 0; var o = 0
+    while (j < keys.length) {
+      val k = keys(j)
+      if (k != 0L && k != -1L) { out(o) = k; o += 1 }
+      j += 1
+    }
+    out
+  }
+
+  /** Boxed-tuple view for the polymorphic merge() compat path. */
+  def iterator: Iterator[(Long, Long)] =
+    keys.indices.iterator
+      .filter(j => keys(j) != 0L && keys(j) != -1L)
+      .map(j => (keys(j), vals(j)))
+}
+
 object Qdigest {
   val MaxValue: Long = (1L << 32) - 1
   private val LeafDepth = 32
@@ -67,7 +200,26 @@ object Qdigest {
   @inline private def nodeWidth(id: Long): Long = 1L << (LeafDepth - depth(id))
   @inline def leafId(v: Long): Long = (1L << LeafDepth) | v
 
-  final class Buf(var k: Int, var n: Long, val counts: mutable.LongMap[Long]) {
+  /** Growable primitive long buffer (compress()'s per-depth id
+    * snapshots — previously boxed ArrayBuffer[Long]s). */
+  private final class LongVec(initial: Int = 16) {
+    private var a = new Array[Long](math.max(initial, 8))
+    var len = 0
+    def append(v: Long): Unit = {
+      if (len == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+      a(len) = v; len += 1
+    }
+    /** Sort the live prefix in place, return the backing array (read
+      * only the first `len` entries). */
+    def sortedPrefix(): Array[Long] = {
+      java.util.Arrays.sort(a, 0, len)
+      a
+    }
+    /** Raw backing array (read only the first `len` entries). */
+    def array: Array[Long] = a
+  }
+
+  final class Buf(var k: Int, var n: Long, var counts: LongLongCounts) {
     /** Re-compress at 2× the post-compress size (amortized O(1) per
       * row); never below 4k so small digests don't thrash, and never
       * while n < k (threshold 0 — a compress pass would be a no-op). */
@@ -76,8 +228,7 @@ object Qdigest {
     def add(v: Long, c: Long): Unit = {
       require(v >= 0 && v <= MaxValue,
         s"qdigest value out of range [0, 2^32): $v")
-      val id = leafId(v)
-      counts.update(id, counts.getOrElse(id, 0L) + c)
+      counts.addTo(leafId(v), c)
       n += c
       maybeCompress()
     }
@@ -96,49 +247,138 @@ object Qdigest {
       * per depth — 33 full scans per compress, the dominant cost of the
       * saturated-regime merge stage); a fold that CREATES a parent
       * appends it to the d-1 bucket, which is exactly the set the
-      * per-depth rescan used to discover. */
+      * per-depth rescan used to discover.
+      *
+      * r14 rewrite (guide §1.2 step 2, measured with ProbeF22): the
+      * hash-map spelling of this fold paid ~4 RANDOM map probes per
+      * cascade step (own count, sibling, parent, update/remove) — with
+      * sparse values and a small fold threshold a 262k-entry snapshot
+      * cascades ~1.3M node visits, ≈16M random DRAM probes ≈ 0.7 s per
+      * sf0.1 build (vs 0.03 s for the raw adds). This version runs the
+      * SAME fold in sequential array passes: per level, entries are a
+      * MERGE of the sorted snapshot bucket and the parents generated by
+      * the level below (ascending by construction — parents of an
+      * ascending id scan are monotone, each parent generated at most
+      * once); the sibling is the adjacent stream entry; the parent
+      * count lives at a forward-only pointer into the level-above
+      * snapshot. No map operations at all inside the cascade; the
+      * counts map is rebuilt once from the survivors.
+      *
+      * Fold-order equivalence (per depth, ascending id — the exact
+      * order of the map spelling): a fold's inputs are its own count,
+      * the live sibling count, and the parent count as updated by
+      * earlier same-level folds; parents are updated by at most ONE
+      * fold (their own child pair), siblings pair-fold atomically
+      * (the even entry's check and the odd entry's check compute the
+      * SAME sum, so a surviving even sibling implies the odd survives
+      * too), and level d removals never touch level d-1 snapshot
+      * entries. Surviving node set — and the canonical serialization —
+      * is bit-identical (QdigestSpec pins this against a reference
+      * fold). */
     def compress(): Unit = {
       val t = n / k
       if (t <= 0) return
-      val byDepth = Array.fill(LeafDepth + 1)(new mutable.ArrayBuffer[Long])
-      counts.keysIterator.foreach { id => byDepth(depth(id)) += id }
+      // ---- snapshot: per-level sorted ids + parallel counts arrays
+      val sn = new Array[LongVec](LeafDepth + 1)
+      var di = 0
+      while (di <= LeafDepth) { sn(di) = new LongVec(); di += 1 }
+      counts.foreachEntry((id, _) => sn(depth(id)).append(id))
+      val snC = new Array[Array[Long]](LeafDepth + 1)
+      di = 0
+      while (di <= LeafDepth) {
+        val v = sn(di); val a = v.sortedPrefix()
+        val c = new Array[Long](v.len)
+        var i = 0
+        while (i < v.len) { c(i) = counts.getOrElse(a(i), 0L); i += 1 }
+        snC(di) = c
+        di += 1
+      }
+      // generated parents per level (ascending by construction)
+      val gn = new Array[LongVec](LeafDepth + 1)
+      val gnC = new Array[LongVec](LeafDepth + 1)
+      di = 0
+      while (di <= LeafDepth) { gn(di) = new LongVec(); gnC(di) = new LongVec(); di += 1 }
+      val outIds = new LongVec(64); val outCnt = new LongVec(64) // survivors
       var d = LeafDepth
       while (d >= 1) {
-        val ids = byDepth(d).toArray
-        java.util.Arrays.sort(ids)
-        var i = 0
-        while (i < ids.length) {
-          val id = ids(i)
-          val c = counts.getOrElse(id, -1L)
-          if (c >= 0) { // not already folded as someone's sibling
-            val sib = id ^ 1L
+        val e = sn(d).array; val ec = snC(d); val eLen = sn(d).len
+        val g = gn(d).array; val gc = gnC(d).array; val gLen = gn(d).len
+        val pIds = sn(d - 1).array; val pCnt = snC(d - 1); val pLen = sn(d - 1).len
+        var ei = 0; var gi = 0; var pi = 0
+        var prevId = -1L; var prevC = 0L; var prevSurvived = false
+        while (ei < eLen || gi < gLen) {
+          var id = 0L; var c = 0L
+          if (gi >= gLen || (ei < eLen && e(ei) <= g(gi))) { id = e(ei); c = ec(ei); ei += 1 }
+          else { id = g(gi); c = gc(gi); gi += 1 }
+          if ((id & 1L) == 1L && prevSurvived && prevId == id - 1L) {
+            // even sibling survived: its fold check computed the SAME
+            // sum (c_even + c_odd + pc) and exceeded t, so this entry
+            // survives without re-checking — identical to the map
+            // spelling, where the even node's presence forces s > t.
+            outIds.append(id); outCnt.append(c)
+            prevId = id; prevSurvived = true
+          } else {
+            // sibling count: only a LARGER sibling can still be
+            // unprocessed (adjacent next entry); a smaller one either
+            // survived (branch above) or was absent/consumed.
+            var sibC = 0L
+            var sibFrom = 0 // 1 = snapshot stream, 2 = generated stream
+            if ((id & 1L) == 0L) {
+              if (ei < eLen && e(ei) == id + 1L) { sibC = ec(ei); sibFrom = 1 }
+              else if (gi < gLen && g(gi) == id + 1L) { sibC = gc(gi); sibFrom = 2 }
+            }
             val parent = id >>> 1
-            val pc = counts.getOrElse(parent, -1L)
-            val s = c + counts.getOrElse(sib, 0L) + math.max(pc, 0L)
+            while (pi < pLen && pIds(pi) < parent) pi += 1
+            val pc = if (pi < pLen && pIds(pi) == parent) pCnt(pi) else -1L
+            val s = c + sibC + math.max(pc, 0L)
             if (s <= t) {
-              if (pc < 0) byDepth(d - 1) += parent
-              counts.update(parent, s)
-              counts.subtractOne(id)
-              counts.subtractOne(sib)
+              if (pc >= 0) pCnt(pi) = s
+              else { gn(d - 1).append(parent); gnC(d - 1).append(s) }
+              // fold consumes the sibling too
+              if (sibFrom == 1) ei += 1 else if (sibFrom == 2) gi += 1
+              prevId = id; prevSurvived = false
+            } else {
+              outIds.append(id); outCnt.append(c)
+              prevId = id; prevSurvived = true
             }
           }
-          i += 1
         }
         d -= 1
       }
+      // level-0 leftovers (the root can never fold): snapshot entries
+      // with any updates applied, plus generated roots
+      var i0 = 0
+      while (i0 < sn(0).len) {
+        outIds.append(sn(0).array(i0)); outCnt.append(snC(0)(i0)); i0 += 1
+      }
+      i0 = 0
+      while (i0 < gn(0).len) {
+        outIds.append(gn(0).array(i0)); outCnt.append(gnC(0).array(i0)); i0 += 1
+      }
+      // rebuild the map from survivors in one pass
+      val m = new LongLongCounts(math.max(16, outIds.len * 2))
+      var oi = 0
+      while (oi < outIds.len) { m.set(outIds.array(oi), outCnt.array(oi)); oi += 1 }
+      counts = m
     }
 
+    def mergeIn(ok: Int, on: Long, oc: LongLongCounts): Unit = {
+      k = math.min(k, ok)
+      n += on
+      oc.foreachEntry((id, c) => counts.addTo(id, c))
+      maybeCompress()
+    }
+
+    /** Boxed-iterator compat overload (polymorphic merge() path). */
     def mergeIn(ok: Int, on: Long, om: Iterator[(Long, Long)]): Unit = {
       k = math.min(k, ok)
       n += on
-      om.foreach { case (id, c) =>
-        counts.update(id, counts.getOrElse(id, 0L) + c)
-      }
+      om.foreach { case (id, c) => counts.addTo(id, c) }
       maybeCompress()
     }
   }
 
-  def emptyBuf(k: Int): Buf = new Buf(k, 0L, mutable.LongMap.empty)
+  def emptyBuf(k: Int): Buf = new Buf(k, 0L, new LongLongCounts())
 
   /** Wire magic ("QDG1"): qdigest scalars reject foreign binaries
     * (a KMV/HLL sketch column, arbitrary bytes) LOUDLY instead of
@@ -150,9 +390,13 @@ object Qdigest {
     val out = new DataOutputStream(bos)
     out.writeInt(Magic)
     out.writeInt(b.k); out.writeLong(b.n); out.writeInt(b.counts.size)
-    val ids = b.counts.keys.toArray
+    val ids = b.counts.keysArray
     java.util.Arrays.sort(ids)
-    ids.foreach { id => out.writeLong(id); out.writeLong(b.counts(id)) }
+    var i = 0
+    while (i < ids.length) {
+      out.writeLong(ids(i)); out.writeLong(b.counts.getOrElse(ids(i), 0L))
+      i += 1
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -164,9 +408,9 @@ object Qdigest {
     val k = in.readInt(); val n = in.readLong(); val m = in.readInt()
     require(m >= 0 && bytes.length == 20 + m.toLong * 16,
       s"not a qdigest (length ${bytes.length} != 20 + $m*16): corrupt or truncated binary")
-    val map = new mutable.LongMap[Long](math.max(8, m * 2))
+    val map = new LongLongCounts(math.max(16, m * 2))
     var i = 0
-    while (i < m) { map.update(in.readLong(), in.readLong()); i += 1 }
+    while (i < m) { map.set(in.readLong(), in.readLong()); i += 1 }
     val b = new Buf(k, n, map)
     b
   }
@@ -174,15 +418,49 @@ object Qdigest {
   /** Nodes in "postorder" value space: ascending max value, descendants
     * (larger min) before ancestors on ties — the SenSys 2004 query
     * order. Returns (min, max, count) triples. */
-  private def ordered(b: Buf): Array[(Long, Long, Long)] = {
-    val arr = b.counts.iterator.map { case (id, c) =>
+  /** r14: primitive postorder — (max asc, min desc) packs into ONE
+    * sortable long (both bounds < 2^32: key = max << 32 | ~min's low
+    * 32 bits), co-sorted with counts by a dual-array quicksort. The
+    * previous boxed-tuple stableSort with a closure comparator ran
+    * once per qdigest_quantile call (3 per f22 output row) over the
+    * full node set. Key uniqueness: (min, max) determines the node, so
+    * ties are impossible and stability is moot — the sort order is the
+    * same total order as before. Keys with max >= 2^31 have the long
+    * sign bit set; flipping it (XOR Long.MIN_VALUE) makes signed sort
+    * equal unsigned key order. */
+  private def orderedKeys(b: Buf): (Array[Long], Array[Long]) = {
+    val m = b.counts.size
+    val keys = new Array[Long](m)
+    val cnts = new Array[Long](m)
+    var o = 0
+    b.counts.foreachEntry { (id, c) =>
       val mn = nodeMin(id)
-      (mn, mn + nodeWidth(id) - 1, c)
-    }.toArray
-    scala.util.Sorting.stableSort(arr,
-      (x: (Long, Long, Long), y: (Long, Long, Long)) =>
-        x._2 < y._2 || (x._2 == y._2 && x._1 > y._1))
-    arr
+      val mx = mn + nodeWidth(id) - 1
+      keys(o) = ((mx << 32) | ((~mn) & 0xFFFFFFFFL)) ^ Long.MinValue
+      cnts(o) = c
+      o += 1
+    }
+    coSort(keys, cnts, 0, m - 1)
+    (keys, cnts)
+  }
+
+  @inline private def keyMax(key: Long): Long = ((key ^ Long.MinValue) >>> 32)
+
+  private def coSort(k: Array[Long], v: Array[Long], lo: Int, hi: Int): Unit = {
+    if (lo >= hi) return
+    var i = lo; var j = hi
+    val pivot = k((lo + hi) >>> 1)
+    while (i <= j) {
+      while (k(i) < pivot) i += 1
+      while (k(j) > pivot) j -= 1
+      if (i <= j) {
+        val tk = k(i); k(i) = k(j); k(j) = tk
+        val tv = v(i); v(i) = v(j); v(j) = tv
+        i += 1; j -= 1
+      }
+    }
+    coSort(k, v, lo, j)
+    coSort(k, v, i, hi)
   }
 
   /** Value at quantile q ∈ (0, 1]: the max value of the first postorder
@@ -194,14 +472,14 @@ object Qdigest {
     if (b.n == 0) return None
     val rank = math.max(1L, math.ceil(q * b.n).toLong)
     var cum = 0L
-    val nodes = ordered(b)
+    val (keys, cnts) = orderedKeys(b)
     var i = 0
-    while (i < nodes.length) {
-      cum += nodes(i)._3
-      if (cum >= rank) return Some(nodes(i)._2)
+    while (i < keys.length) {
+      cum += cnts(i)
+      if (cum >= rank) return Some(keyMax(keys(i)))
       i += 1
     }
-    Some(nodes.last._2)
+    Some(keyMax(keys(keys.length - 1)))
   }
 
   /** Estimated fraction of values ≤ x: full counts of nodes entirely
@@ -221,7 +499,7 @@ object Qdigest {
   def rankOf(b: Buf, x: Long): Option[Double] = {
     if (b.n == 0) return None
     var below = 0.0
-    b.counts.foreach { case (id, c) =>
+    b.counts.foreachEntry { (id, c) =>
       val mn = nodeMin(id)
       val mx = mn + nodeWidth(id) - 1
       if (mx <= x) below += c
@@ -254,7 +532,7 @@ final case class QdigestAgg(
   }
 
   override def merge(b: Qdigest.Buf, o: Qdigest.Buf): Qdigest.Buf = {
-    b.mergeIn(o.k, o.n, o.counts.iterator)
+    b.mergeIn(o.k, o.n, o.counts)
     b
   }
 
@@ -291,14 +569,14 @@ final case class QdigestMergeAgg(
       case null => b
       case bytes: Array[Byte] =>
         val o = Qdigest.deserialize(bytes)
-        b.mergeIn(o.k, o.n, o.counts.iterator)
+        b.mergeIn(o.k, o.n, o.counts)
         b
       case other => throw new IllegalArgumentException(
         s"qdigest_merge_agg expects qdigest binaries, got ${other.getClass.getSimpleName}")
     }
 
   override def merge(b: Qdigest.Buf, o: Qdigest.Buf): Qdigest.Buf = {
-    b.mergeIn(o.k, o.n, o.counts.iterator)
+    b.mergeIn(o.k, o.n, o.counts)
     b
   }
 
@@ -349,7 +627,7 @@ final case class QdigestMerge(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = Qdigest.deserialize(l.asInstanceOf[Array[Byte]])
     val b = Qdigest.deserialize(r.asInstanceOf[Array[Byte]])
-    a.mergeIn(b.k, b.n, b.counts.iterator)
+    a.mergeIn(b.k, b.n, b.counts)
     a.compress()
     Qdigest.serialize(a)
   }

@@ -316,7 +316,7 @@ final case class SketchMergeAgg(
       while (i < y.n) { x.add(y.means(i), y.weights(i)); i += 1 }
       Td(x)
     case (Qd(x), Qd(y)) =>
-      x.mergeIn(y.k, y.n, y.counts.iterator)
+      x.mergeIn(y.k, y.n, y.counts)
       Qd(x)
     case (Sd(x), Sd(y)) =>
       x.mergeIn(y.k, y.m.iterator)

@@ -146,4 +146,67 @@ class QdigestSpec extends SparkSpec {
     assert(row.isNullAt(0))
     assert(row.getLong(1) == 0L)
   }
+
+  /** Reference fold: the pre-r14 boxed level-synchronous compress
+    * (sort snapshot + generated per level, hash-map state) — the r14
+    * sequential-merge compress must produce the IDENTICAL surviving
+    * node set for any input, or its serialized digests would silently
+    * diverge from every digest written before the optimization. */
+  private def referenceCompress(counts0: Map[Long, Long], n: Long, k: Int): Map[Long, Long] = {
+    val LeafDepth = 32
+    def depth(id: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(id)
+    val t = n / k
+    if (t <= 0) return counts0
+    val counts = scala.collection.mutable.Map(counts0.toSeq: _*)
+    val byDepth = Array.fill(LeafDepth + 1)(new scala.collection.mutable.ArrayBuffer[Long])
+    counts.keysIterator.foreach { id => byDepth(depth(id)) += id }
+    var d = LeafDepth
+    while (d >= 1) {
+      val ids = byDepth(d).toArray
+      java.util.Arrays.sort(ids)
+      ids.foreach { id =>
+        val c = counts.getOrElse(id, -1L)
+        if (c >= 0) {
+          val sib = id ^ 1L
+          val parent = id >>> 1
+          val pc = counts.getOrElse(parent, -1L)
+          val sum = c + counts.getOrElse(sib, 0L) + math.max(pc, 0L)
+          if (sum <= t) {
+            if (pc < 0) byDepth(d - 1) += parent
+            counts.update(parent, sum)
+            counts.remove(id)
+            counts.remove(sib)
+          }
+        }
+      }
+      d -= 1
+    }
+    counts.toMap
+  }
+
+  test("r14 array compress is fold-identical to the reference (randomized)") {
+    val rnd = new scala.util.Random(20260818)
+    (1 to 30).foreach { trial =>
+      val k = Seq(16, 64, 256, 1024)(trial % 4)
+      val nVals = 200 + rnd.nextInt(5000)
+      // mix of dense runs (sibling/parent folds) and sparse tails
+      val vals = (1 to nVals).map { _ =>
+        if (rnd.nextBoolean()) rnd.nextInt(500).toLong
+        else (rnd.nextLong() & 0xFFFFFFFFL)
+      }
+      val buf = graft.functions.Qdigest.emptyBuf(k)
+      // disable the online schedule so compress() runs exactly once,
+      // on a known pre-state shared with the reference
+      buf.nextCompress = Int.MaxValue
+      vals.foreach(v => buf.add(v, 1L))
+      var pre = Map.empty[Long, Long]
+      buf.counts.foreachEntry((id, c) => pre += (id -> c))
+      val expected = referenceCompress(pre, buf.n, k)
+      buf.compress()
+      var got = Map.empty[Long, Long]
+      buf.counts.foreachEntry((id, c) => got += (id -> c))
+      assert(got == expected,
+        s"trial $trial (k=$k, n=$nVals): ${got.size} vs ${expected.size} nodes")
+    }
+  }
 }
