@@ -55,6 +55,36 @@ object Tables {
   /** Register every table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Exact row count from parquet FOOTER metadata only — no Spark job.
+    *
+    * r14 optimization (guide §1.2): the vector/text operators size
+    * their geometry and shuffle-partition counts from the corpus row
+    * count; `df.count()` answers that from the same footer statistics
+    * but still schedules a job (driver round-trip, stage, task) —
+    * ~50-100 ms of fixed latency per call, twice per ANN query. This
+    * reads the footers directly. Always recomputed from the files at
+    * call time (no caching); equals `count()` for any parquet data
+    * source (row-group counts are exact metadata, not estimates). */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    def files(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq
+          .filterNot(_.getPath.getName.startsWith("_"))
+          .flatMap(c => files(c.getPath))
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+      else Nil
+    }
+    files(root).map { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try rd.getRecordCount finally rd.close()
+    }.sum
+  }
 }
 
 /** One operator-coverage entry: a DataFrame-API query plus (when the

@@ -104,6 +104,12 @@ object VectorOps {
       org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("embedding"),
       Literal.create(matrix, ArrayType(ArrayType(DoubleType))),
       Literal.create(bandBits, IntegerType))
+    // NOTE (r14, measured): dropping this repartition below a corpus
+    // floor was TRIED and reverted — the band join re-derives hash
+    // exchanges anyway, so the explicit repartition is not a net extra
+    // stage but the shared materialization point both join sides reuse;
+    // without it each side re-scanned and re-folded (ProbeV04 full
+    // 1.87 s -> 3.39 s).
     Tables(s, d, "embeddings")
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"),
@@ -183,8 +189,23 @@ object VectorOps {
     * every geometry: one signature fold reused across both join sides,
     * SHUFFLE_HASH everywhere, never a broadcast (PlanSpec-gated at the
     * default). */
+  /** r14 ProbeV04 prefixes: the signature fold, the candidate join,
+    * and the quantized prescore stage of [[annPairs]] as standalone
+    * pipelines (same code path — built by annPairs internally). */
+  private[graft] def probeSigv(s: SparkSession, d: String, nPlanes: Int, bandBits: Int): DataFrame =
+    sigvFor(s, d, nPlanes, bandBits)
+  private[graft] def probeCand(s: SparkSession, d: String, nPlanes: Int, bandBits: Int): DataFrame =
+    annPairsStage(s, d, nPlanes, bandBits, 0.35, stage = 1)
+  private[graft] def probePre(s: SparkSession, d: String, nPlanes: Int, bandBits: Int,
+                              threshold: Double): DataFrame =
+    annPairsStage(s, d, nPlanes, bandBits, threshold, stage = 2)
+
   def annPairs(s: SparkSession, d: String, nPlanes: Int, bandBits: Int,
-               threshold: Double): DataFrame = {
+               threshold: Double): DataFrame =
+    annPairsStage(s, d, nPlanes, bandBits, threshold, stage = 3)
+
+  private def annPairsStage(s: SparkSession, d: String, nPlanes: Int, bandBits: Int,
+               threshold: Double, stage: Int): DataFrame = {
     require(nPlanes % bandBits == 0,
       s"nPlanes ($nPlanes) must be a multiple of bandBits ($bandBits)")
     val nBands = nPlanes / bandBits
@@ -214,7 +235,7 @@ object VectorOps {
     // operator (r9 verdict #4; see TextOps.bandJoinPartitions). The
     // count is a parquet metadata read, not a scan.
     val bandParts = TextOps.bandJoinPartitions(s,
-      Tables(s, d, "embeddings").count() * nBands)
+      Tables.rowCount(s, d, "embeddings") * nBands)
     val firstMatch =
       if (nBands <= 1) "true"
       else (0 until nBands - 1).map(j =>
@@ -230,6 +251,7 @@ object VectorOps {
       .filter(col("id_a") < col("id_b"))
       .filter(expr(firstMatch))
       .select("id_a", "id_b")
+    if (stage == 1) return cand
     // QUANTIZED PRE-SCORE (VERDICT r6 #1): the candidate attach was the
     // dominant stage at scale — every candidate carried two full float
     // vectors (~512 B/pair) through the verify joins. Candidates now
@@ -275,6 +297,7 @@ object VectorOps {
           " + CAST(length(qca) AS DOUBLE) / 4.0D) / (SQRT(na2) * SQRT(nb2)) + 1e-9D" +
           s" >= $threshold"))
       .select("id_a", "id_b")
+    if (stage == 2) return pre
     val e = vecs(s, d)
     pre
       .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("n2").as("na2"))
@@ -303,7 +326,9 @@ object VectorOps {
     // its codegen loop, so no transform() HOF ever blocks whole-stage
     // codegen on the pair-scoring Project. Repartition off the scan:
     // the dot-product stages are pure CPU and must use every core,
-    // not the parquet row-group count.
+    // not the parquet row-group count. (r14: tried skipping this below
+    // a corpus floor — reverted; the joins re-derive exchanges anyway,
+    // and this one is the shared materialization point, see sigvDfFast.)
     // coalesce(n2, 0): the norm is never null on real rows, but keeping
     // the column statically non-nullable stops InferFiltersFromConstraints
     // from deriving isnotnull(vector_dot(..)) out of downstream cos
@@ -400,7 +425,7 @@ object VectorOps {
   private def annPairsOracle: String = {
     val d = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
     val s = SparkSession.getActiveSession.getOrElse(graft.engine.GraftSession.create())
-    val (oraclePlanes, oracleBits) = geometryFor(Tables(s, d, "embeddings").count())
+    val (oraclePlanes, oracleBits) = geometryFor(Tables.rowCount(s, d, "embeddings"))
     val oracleBands = oraclePlanes / oracleBits
     s"""WITH planes(p, i, w) AS (VALUES ${planesSqlFor(oraclePlanes)}),
         flat AS (SELECT vec_id, UNNEST(RANGE(0, LEN(embedding))) AS i FROM embeddings),
@@ -556,7 +581,7 @@ object VectorOps {
     * no per-vector sort. */
   private[graft] def semanticDedupAssigned(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d)
-    val n = Tables(s, d, "embeddings").count()
+    val n = Tables.rowCount(s, d, "embeddings")
     val cents = indexCentroids(s, d, dedupCellsFor(n))
     argmaxCell(
       e.select(col("vec_id").as("id_v"), col("v").as("va"), col("n2").as("na2"))
@@ -795,7 +820,7 @@ object VectorOps {
   private def v08OracleSql: String = {
     val d = sys.props.getOrElse("graft.verify.sfdir", "/root/testdata/sf0.01")
     val s = SparkSession.getActiveSession.getOrElse(graft.engine.GraftSession.create())
-    val n = Tables(s, d, "embeddings").count()
+    val n = Tables.rowCount(s, d, "embeddings")
     val root = ensureIndex(s, d, dedupCellsFor(n))
     val vals = centroidValuesSql(s, root)
     s"""WITH $oVecs,
@@ -825,7 +850,7 @@ object VectorOps {
   private[operators] val BruteForceMaxRows = 100000L
 
   private def requireBaselineSized(s: SparkSession, d: String): Unit = {
-    val n = Tables(s, d, "embeddings").count()
+    val n = Tables.rowCount(s, d, "embeddings")
     require(n <= BruteForceMaxRows,
       s"v01_cosine_pairs is the brute-force all-pairs ORACLE BASELINE and refuses " +
         s"corpus-scale input ($n rows > cap $BruteForceMaxRows): use the banded-LSH " +
@@ -1047,7 +1072,7 @@ object VectorOps {
         // corpus-size-adaptive geometry (one parquet-metadata count);
         // at the correctness gate's sf0.01 (N=500) this IS (20, 4) —
         // exactly the generated oracle SQL's geometry
-        val (np, bb) = geometryFor(Tables(s, d, "embeddings").count())
+        val (np, bb) = geometryFor(Tables.rowCount(s, d, "embeddings"))
         annPairs(s, d, nPlanes = np, bandBits = bb, threshold = 0.35)
       },
       Some(annPairsOracle)),
