@@ -30,18 +30,29 @@ object TextOps {
   /** THE word-5-gram spelling (parameterized by the word-array column
     * name) — shared by the batch gram explode below and the streaming
     * twin ([[graft.streaming.EventStream.decontaminateDocs]]), so the
-    * two can never measure different grams. */
+    * two can never measure different grams.
+    *
+    * r14: the spelling is now the fused [[graft.functions.WordGrams]]
+    * kernel — bit-identical to the relational
+    * `array_distinct(transform(sequence(0, size(ws) - 5),
+    *    i -> concat_ws(' ', ws[i], ..., ws[i+4])))`
+    * (FunctionsSpec parity-pins the two, short/empty arrays included),
+    * which paid interpreted lambda dispatch + 5 GetArrayItem evals +
+    * an interpreted concat_ws PER GRAM, then re-walked the array for
+    * the distinct. Every call site (t13/t24/t25 batch, streaming
+    * decontaminate) switches together by construction. */
   private[graft] def wordFiveGramArraySqlOver(ws: String): String =
-    s"""array_distinct(transform(sequence(0, size($ws) - 5),
-         i -> concat_ws(' ', $ws[i], $ws[i+1], $ws[i+2], $ws[i+3], $ws[i+4])))"""
+    s"word_grams($ws, 5)"
   private[graft] val wordFiveGramArraySql: String = wordFiveGramArraySqlOver("ws")
 
-  private[graft] def wordFiveGrams(s: SparkSession, d: String): DataFrame =
+  private[graft] def wordFiveGrams(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     docs(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .selectExpr("doc_id", "source", "split(lower(text), ' ') AS ws")
       .filter(size(col("ws")) >= 5)
       .selectExpr("doc_id", "source", s"explode($wordFiveGramArraySql) AS g")
+  }
 
   /** DuckDB twin of the decontamination overlap measure — shared by
     * t13 and t24, which differ only in the Spark-side PLAN (broadcast
@@ -1334,6 +1345,7 @@ object TextOps {
     // pipeline is linear, restartable at any materialized boundary.
     QueryEntry("t17_curation_pipeline",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val scored = docs(s, d).selectExpr("doc_id", "source", "text",
             s"${Quality.nWords} AS n_words",
             s"${Quality.punct} AS punct_ratio",
@@ -1346,12 +1358,13 @@ object TextOps {
         val kept = scored.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
         val corpus = kept.filter(col("doc_id") % 17 =!= 0)
+        // r14: same fused gram kernel as the decontamination family
+        // (was the interpreted transform/concat_ws HOF — see
+        // wordFiveGramArraySqlOver)
         def grams(df: org.apache.spark.sql.DataFrame) = df
           .selectExpr("doc_id", "split(lower(text), ' ') AS ws")
           .filter(size(col("ws")) >= 5)
-          .selectExpr("doc_id",
-            """explode(array_distinct(transform(sequence(0, size(ws) - 5),
-                 i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))) AS g""")
+          .selectExpr("doc_id", "explode(word_grams(ws, 5)) AS g")
         val evalGrams = grams(docs(s, d).filter(col("doc_id") % 17 === 0))
           .select("g").distinct()
         val contaminatedIds = grams(corpus).join(evalGrams, "g")

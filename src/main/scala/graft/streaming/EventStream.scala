@@ -148,6 +148,7 @@ object EventStream {
     * regime, where the 60x-smaller bitset is the point. */
   def decontaminateDocs(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
     import graft.operators.TextOps
+    graft.functions.GraftFunctions.register(docs.sparkSession) // word_grams
     // internal plumbing uses reserved names; caller columns that would
     // be clobbered (or silently dropped) are rejected loudly instead
     val taken = docs.columns.filter(c =>

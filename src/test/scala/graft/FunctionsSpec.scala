@@ -428,6 +428,37 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("word_grams is bit-identical to the HOF spelling on the guarded domain (size >= n)") {
+    // r14 kernel parity: the fused generator must reproduce the
+    // relational spelling EXACTLY on the domain every call site feeds
+    // it (size(ws) >= 5 — the filter all gram sites apply), including
+    // array_distinct's first-occurrence order. Below the guard the
+    // relational spelling is not even total under ANSI (ws[i+1] on a
+    // short array throws INVALID_ARRAY_INDEX), which is WHY the guard
+    // exists; the kernel is total there instead (next test).
+    val edge = spark.createDataFrame(Seq(
+      (3L, "a b c d e"),
+      (4L, "x x x x x x x x"), // dup-heavy: one distinct gram
+      (5L, "a b c a b c a b c a b c d"))).toDF("doc_id", "text")
+    val corpus = Tables(spark, sf(), "documents").select("doc_id", "text")
+    for (df <- Seq(edge, corpus)) {
+      val mismatch = df
+        .selectExpr("doc_id", "split(lower(text), ' ') AS ws")
+        .where("size(ws) >= 5")
+        .selectExpr("doc_id",
+          "word_grams(ws, 5) AS fused",
+          """array_distinct(transform(sequence(0, size(ws) - 5),
+               i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))) AS hof""")
+        .where("fused IS DISTINCT FROM hof")
+      assert(mismatch.count() == 0, mismatch.collect().take(3).mkString("; "))
+    }
+    // short/empty arrays: total, one all-words gram (never thrown —
+    // call sites guard, but a total kernel beats an ANSI error)
+    assert(one("SELECT word_grams(array('a','b'), 5)") == Row(Seq("a b")))
+    assert(one("SELECT word_grams(CAST(array() AS ARRAY<STRING>), 5)") == Row(Seq("")))
+    assert(one("SELECT word_grams(CAST(NULL AS ARRAY<STRING>), 5)") == Row(Seq()))
+  }
+
   test("every registered function rejects wrong arity cleanly (r9 review: generalized guard)") {
     for (sqlText <- Seq("SELECT vector_dot(array(1.0))",
       "SELECT approx_most_frequent(3)", "SELECT levenshtein_distance('a')",
