@@ -102,6 +102,9 @@ object GraftFunctions {
     // graft-native: fused distinct word n-grams (the decontamination
     // front half; replaces the interpreted transform/concat_ws HOF).
     "word_grams" -> { exprs: Seq[Expression] => WordGrams(exprs(0), exprs(1)) },
+    // graft-native: fused per-window gram md5s (t23/t29 boilerplate
+    // keys, t32/t33 exact-substring window hashes).
+    "word_gram_md5s" -> { exprs: Seq[Expression] => WordGramMd5s(exprs(0), exprs(1)) },
     // Trino approx_most_frequent(buckets, value[, capacity]) — Space-
     // Saving top-k summary (TypedImperativeAggregate).
     "approx_most_frequent" -> { exprs: Seq[Expression] =>
@@ -391,7 +394,7 @@ object GraftFunctions {
     "vector_dot" -> ((2, 2)), "sorted_intersect_size" -> ((2, 2)),
     "pack_int8" -> ((1, 1)), "int8_dot" -> ((2, 2)), "simhash64" -> ((1, 1)),
     "min_gram_md5" -> ((2, 2)), "shingle_sig" -> ((3, 3)), "char_grams" -> ((2, 2)),
-    "word_grams" -> ((2, 2)),
+    "word_grams" -> ((2, 2)), "word_gram_md5s" -> ((2, 2)),
     "approx_most_frequent" -> ((2, 3)),
     "min_by" -> ((2, 3)), "max_by" -> ((2, 3)), "arg_max_by" -> ((2, 2)), "arg_min_by" -> ((2, 2)),
     "kmv_sketch" -> ((2, 2)), "kmv_union_agg" -> ((1, 1)),

@@ -389,16 +389,18 @@ object TextOps {
     * and re-ran the whole tokenize+explode gram pass a second time
     * (3 corpus scans → 2, the explode exactly once). */
   private def boilerplateHits(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
     val base = docs(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .selectExpr("doc_id",
         "filter(split(lower(coalesce(text, '')), ' '), w -> length(w) > 0) AS ws")
+    // r14: fused kernel (word_gram_md5s) replaces the interpreted
+    // transform/concat_ws/md5 HOF — one MessageDigest pass per window,
+    // no joined-gram string ever built; posexplode supplies the same
+    // 1-based position the struct lambda carried
     val grams = base.filter(size(col("ws")) >= 8)
-      .selectExpr("doc_id",
-        """explode(transform(sequence(0, size(ws) - 8),
-             i -> struct(i + 1 AS i, md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2],
-               ws[i+3], ws[i+4], ws[i+5], ws[i+6], ws[i+7])) AS h))) AS gi""")
-      .selectExpr("doc_id", "gi.i AS i", "gi.h AS h")
+      .selectExpr("doc_id", "posexplode(word_gram_md5s(ws, 8)) AS (p, h)")
+      .selectExpr("doc_id", "p + 1 AS i", "h")
     import org.apache.spark.sql.expressions.Window
     val byH = Window.partitionBy("h")
     val hits = grams
@@ -624,10 +626,11 @@ object TextOps {
     * empty for sub-3-word docs so the sequence bound never goes
     * negative. */
   private[graft] val shingleSql: String =
-    """CASE WHEN size(ws) >= 3 THEN
-         coalesce(array_distinct(transform(sequence(0, size(ws) - 3),
-           i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))), array())
-       ELSE array() END"""
+    // r14: fused kernel (WordGrams — statically non-null, so the CASE
+    // stays non-nullable without the old coalesce); bit-identical to
+    // the array_distinct(transform(...)) spelling on the size >= 3
+    // branch (FunctionsSpec parity)
+    "CASE WHEN size(ws) >= 3 THEN word_grams(ws, 3) ELSE array() END"
 
   /** The 16 minhash lanes over a per-shingle md5-hex array column: 4
     * disjoint 32-bit digest lanes x 4 cyclic rotations, each an in-row
@@ -1969,6 +1972,7 @@ object TextOps {
     // partition sort of the hash stream.
     QueryEntry("t32_exact_substr_spans",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val L = 8
         val P = s.sparkContext.defaultParallelism
         // r14 optimization (guide §1.2: don't compute things twice;
@@ -1991,10 +1995,10 @@ object TextOps {
           .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
         val wins = base
           .selectExpr("doc_id",
-            s"posexplode(CASE WHEN size(ws) >= $L THEN " +
-              s"transform(sequence(0, size(ws) - $L), " +
-              s"i -> md5(array_join(slice(ws, i + 1, $L), ' '))) " +
-              "ELSE array() END)")
+            // r14: fused kernel — same md5-per-window stream, no
+            // interpreted lambda or joined-gram string; empty for
+            // sub-L docs exactly like the CASE guard it replaces
+            s"posexplode(word_gram_md5s(ws, $L))")
           .toDF("doc_id", "pos", "wh")
           .repartition(P, col("wh"))
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))
@@ -2046,6 +2050,7 @@ object TextOps {
     // re-explode, no per-token shuffle, order preserved for free).
     QueryEntry("t33_exact_substr_strip",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val L = 8
         val P = s.sparkContext.defaultParallelism
         // Same r14 single-pass restructure as t32 (see its comment):
@@ -2060,10 +2065,10 @@ object TextOps {
           .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
         val wins = base
           .selectExpr("doc_id",
-            s"posexplode(CASE WHEN size(ws) >= $L THEN " +
-              s"transform(sequence(0, size(ws) - $L), " +
-              s"i -> md5(array_join(slice(ws, i + 1, $L), ' '))) " +
-              "ELSE array() END)")
+            // r14: fused kernel — same md5-per-window stream, no
+            // interpreted lambda or joined-gram string; empty for
+            // sub-L docs exactly like the CASE guard it replaces
+            s"posexplode(word_gram_md5s(ws, $L))")
           .toDF("doc_id", "pos", "wh")
           .repartition(P, col("wh"))
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))

@@ -75,7 +75,8 @@ object EventStream {
     * normalization matches the shingle path); NULL text gets a
     * per-document unique key (`null:<doc_id>`) so unfingerprintable
     * rows are never deduped against each other. */
-  def docSignature(docs: DataFrame): DataFrame =
+  def docSignature(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession) // word_grams
     docs
       .withColumn("ws", split(lower(col("text")), " "))
       .withColumn("sh", expr(graft.operators.TextOps.shingleSql))
@@ -87,6 +88,7 @@ object EventStream {
           .otherwise(concat_ws("|",
             graft.operators.TextOps.minhashLanes(col("hd")): _*)))
       .drop("ws", "sh", "hd")
+  }
 
   /** Streaming near-dup filter over a document stream — the cheap first
     * stage of a training-data ingest pipeline: documents whose minhash
