@@ -600,10 +600,18 @@ object TextOps {
   private object Quality {
     // spark-side expression strings
     val nWords = "size(split(text, ' '))"
+    // r14 (guide §4.1 — prefer built-ins): the class-member count was
+    // spelled length(regexp_replace(text, '[^C]', '')) — a full regex
+    // engine pass + replaced-string build per document just to count
+    // characters. length(text) - length(translate(text, C, '')) is the
+    // same code-point count (translate deletes exactly the class
+    // members; both sides count code points) through the codegen'd
+    // StringTranslate built-in, no regex. Value-identical by
+    // construction; the DuckDB oracle keeps the regexp spelling.
     val punct =
-      "CAST(length(regexp_replace(text, '[^.!?,;]', '')) AS DOUBLE) / length(text)"
+      "CAST(length(text) - length(translate(text, '.!?,;', '')) AS DOUBLE) / length(text)"
     val digit =
-      "CAST(length(regexp_replace(text, '[^0-9]', '')) AS DOUBLE) / length(text)"
+      "CAST(length(text) - length(translate(text, '0123456789', '')) AS DOUBLE) / length(text)"
     val score =
       """CASE WHEN n_words >= 10 THEN 1.0 ELSE n_words / 10.0 END
          * (1.0 - punct_ratio) * (1.0 - digit_ratio)"""
