@@ -101,7 +101,9 @@ object GraftFunctions {
     "char_grams" -> { exprs: Seq[Expression] => CharGrams(exprs(0), exprs(1)) },
     // graft-native: fused distinct word n-grams (the decontamination
     // front half; replaces the interpreted transform/concat_ws HOF).
-    "word_grams" -> { exprs: Seq[Expression] => WordGrams(exprs(0), exprs(1)) },
+    "word_grams" -> { exprs: Seq[Expression] =>
+      WordGrams(exprs(0), exprs(1),
+        dedup = exprs.lift(2).forall(e => boolLit(e, "word_grams dedup"))) },
     // graft-native: fused per-window gram md5s (t23/t29 boilerplate
     // keys, t32/t33 exact-substring window hashes).
     "word_gram_md5s" -> { exprs: Seq[Expression] => WordGramMd5s(exprs(0), exprs(1)) },
@@ -394,7 +396,7 @@ object GraftFunctions {
     "vector_dot" -> ((2, 2)), "sorted_intersect_size" -> ((2, 2)),
     "pack_int8" -> ((1, 1)), "int8_dot" -> ((2, 2)), "simhash64" -> ((1, 1)),
     "min_gram_md5" -> ((2, 2)), "shingle_sig" -> ((3, 3)), "char_grams" -> ((2, 2)),
-    "word_grams" -> ((2, 2)), "word_gram_md5s" -> ((2, 2)),
+    "word_grams" -> ((2, 3)), "word_gram_md5s" -> ((2, 2)),
     "approx_most_frequent" -> ((2, 3)),
     "min_by" -> ((2, 3)), "max_by" -> ((2, 3)), "arg_max_by" -> ((2, 2)), "arg_min_by" -> ((2, 2)),
     "kmv_sketch" -> ((2, 2)), "kmv_union_agg" -> ((1, 1)),
@@ -451,6 +453,12 @@ object GraftFunctions {
 
   private def asString(e: Expression): Expression =
     Cast(e, org.apache.spark.sql.types.StringType)
+
+  private def boolLit(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
+  }
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v, _) => String.valueOf(v).toInt

@@ -34,7 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * does the window walk, the joins, and the first-occurrence dedupe in
   * a single pass.
   */
-case class WordGrams(left: Expression, right: Expression)
+case class WordGrams(left: Expression, right: Expression,
+    dedup: Boolean = true)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -70,6 +71,24 @@ case class WordGrams(left: Expression, right: Expression)
     val words = new Array[UTF8String](size)
     var i = 0
     while (i < size) { words(i) = ws.getUTF8String(i); i += 1 }
+    if (!dedup) {
+      // 3-arg form word_grams(ws, n, false): EVERY window in order
+      // (the t11 repetition metric needs occurrence counts) —
+      // contract-identical to the bare transform() spelling
+      if (size < n)
+        return new GenericArrayData(
+          Array[Any](UTF8String.concatWs(space, words: _*)))
+      val parts = new Array[UTF8String](n)
+      val out = new Array[Any](size - n + 1)
+      var w = 0
+      while (w <= size - n) {
+        var j = 0
+        while (j < n) { parts(j) = words(w + j); j += 1 }
+        out(w) = UTF8String.concatWs(space, parts: _*)
+        w += 1
+      }
+      return new GenericArrayData(out)
+    }
     val seen = new java.util.LinkedHashSet[UTF8String]()
     if (size >= n) {
       val parts = new Array[UTF8String](n)
@@ -109,4 +128,5 @@ case class WordGrams(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WordGrams =
     copy(left = newLeft, right = newRight)
+
 }

@@ -1119,6 +1119,7 @@ object TextOps {
     // (doc_id, gram)).
     QueryEntry("t11_repetition",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val base = docs(s, d)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .selectExpr("doc_id", "split(lower(text), ' ') AS ws")
@@ -1126,10 +1127,11 @@ object TextOps {
         val wordStats = base.selectExpr("doc_id",
           "size(ws) AS n_words",
           "size(array_distinct(ws)) AS n_distinct")
+        // r14: non-dedupe mode of the fused gram kernel (the metric
+        // needs occurrence counts) — was the interpreted
+        // transform/concat_ws HOF per bigram
         val topBigram = base
-          .selectExpr("doc_id",
-            """explode(transform(sequence(0, size(ws) - 2),
-                 i -> concat_ws(' ', ws[i], ws[i+1]))) AS gram""")
+          .selectExpr("doc_id", "explode(word_grams(ws, 2, false)) AS gram")
           .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"),
             sum(col("c")).as("n_bigrams"))

@@ -452,6 +452,12 @@ class FunctionsSpec extends SparkSpec {
         .where("fused IS DISTINCT FROM hof")
       assert(mismatch.count() == 0, mismatch.collect().take(3).mkString("; "))
     }
+    // non-dedupe mode (t11): every window in order, vs the bare HOF
+    val nd = spark.sql("""SELECT word_grams(ws, 2, false) AS fused,
+        transform(sequence(0, size(ws) - 2),
+          i -> concat_ws(' ', ws[i], ws[i+1])) AS hof
+      FROM (SELECT split('a b a b c c', ' ') AS ws)""").head()
+    assert(nd.getSeq[String](0) == nd.getSeq[String](1), nd.toString)
     // short/empty arrays: total, one all-words gram (never thrown —
     // call sites guard, but a total kernel beats an ANSI error)
     assert(one("SELECT word_grams(array('a','b'), 5)") == Row(Seq("a b")))
