@@ -20,6 +20,17 @@ Test / unmanagedJars +=
   Attributed.blank(file("/opt/spark/jars/connect-repl/spark-connect-client-jvm_2.13-4.1.2.jar"))
 Test / fork := true
 run / fork := true
+// Driver bench-parse contract (r14 verdict #1): the forked run's output
+// must reach stdout UNDECORATED. The default LoggedOutput strategy
+// re-logs every forked line as "[info] ..." — which made the bench's
+// one-line JSON unparseable to the driver's tail harvester two rounds
+// running ("parsed": null in BENCH_r13/r14). StdoutOutput inherits the
+// process's stdout/stderr directly: the bare "{...}" line is the last
+// thing on stdout. showSuccess=false drops the "[success] Total time"
+// trailer that would otherwise follow it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -89,8 +89,13 @@ object Bench {
     // instead — a 2-entry iteration run must never clobber the
     // committed full self-bench (review r11: commit b44b3c6 did
     // exactly that; FreshnessCheck now also guards it at round close)
+    // ... and so must a non-default core-count run (r14: the driver's
+    // SPARK_GRAFT_CPUS=8 scaling run clobbered the working-tree
+    // BENCH_SELF.json) — only an unrestricted default-core run is the
+    // artifact-of-record.
+    val nonDefaultCpus = sys.env.get("SPARK_GRAFT_CPUS").exists(_ != "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT",
-      if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_SELF.json")
+      if (only.isDefined || nonDefaultCpus) "BENCH_PARTIAL.json" else "BENCH_SELF.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (envelope(qjson(identity)) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -752,6 +752,23 @@ class ServeSpec extends SparkSpec {
       // behavior, not first-compile
       repeats.foreach(q => assert(svc.sql(q).isInstanceOf[svc.Finished], q))
 
+      // Contention gate (r14 verdict #2): this host takes multi-minute
+      // OUTSIDE-container load bursts (documented r5/r13/r14), and the
+      // two timing assertions below (pacing rate, backlog bound) fail
+      // under them on unchanged code — the driver's r14 run failed at
+      // loadavg ~8 while two quiet runs passed 601/601. Read the load
+      // ONCE, just before the drive: above the threshold the timing
+      // assertions downgrade to a loud info; every load-INdependent
+      // property (bounded state, cache hit rate, TTL re-execution,
+      // full drain, eviction-by-name) stays asserted unconditionally.
+      val preLoad =
+        try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+        catch { case _: Exception => 0.0 }
+      val quietHost = preLoad <= 4.0
+      if (!quietHost)
+        info(f"host contended (loadavg $preLoad%.2f > 4) — timing assertions downgraded to info")
+
       val start = System.nanoTime()
       val ids = scala.collection.mutable.ArrayBuffer[Long]()
       var maxBacklog = 0
@@ -782,9 +799,13 @@ class ServeSpec extends SparkSpec {
       }
       val rate = total / driveSecs
       info(f"sustained $rate%.1f submissions/s, max backlog $maxBacklog")
-      assert(rate >= 85.0, f"pacing collapsed: $rate%.1f/s")
-      // starvation: the backlog never approached the drive volume
-      assert(maxBacklog < 500, s"backlog grew to $maxBacklog — workers starved")
+      if (quietHost) {
+        assert(rate >= 85.0, f"pacing collapsed: $rate%.1f/s")
+        // starvation: the backlog never approached the drive volume
+        assert(maxBacklog < 500, s"backlog grew to $maxBacklog — workers starved")
+      } else {
+        info(f"SKIPPED (contended): rate>=85 (got $rate%.1f), backlog<500 (got $maxBacklog)")
+      }
       // retention: the service's own state is capped, not 3000-deep
       val tracked = ids.count(id => svc.status(id).isDefined)
       assert(tracked <= 1000 + 64, s"$tracked statuses retained past the cap")
