@@ -65,6 +65,14 @@ object GraftSession {
       // sets between the two sides (default on, re-pinned).
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // Cached relations KEEP their output partitioning (Spark 4 flips
+      // this to true, letting AQE re-partition cached plans — which
+      // makes a persisted repartition(key) useless as a co-partitioned
+      // join input: the planner must assume Unknown and re-shuffles
+      // above every InMemoryTableScan). False restores the classic
+      // contract the iterative operators rely on (pageRank's
+      // loop-invariant edge/node caches join exchange-free each round).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.ui.enabled", "false")
 

@@ -44,12 +44,23 @@ object GraphOps {
     // consumer (measured 4 replays on the t30 shape).
     val ed0 = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val deg = ed0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // persist() the two loop-invariant join inputs instead of
+    // localCheckpoint (r15, guide §2.4): an InMemoryRelation PRESERVES
+    // its repartition()'s HashPartitioning while a checkpointed RDD
+    // reports UnknownPartitioning — so every round's rank⋈edges and
+    // nodes⋈contribs join re-shuffled ed and nodesN (6 of the 10
+    // exchanges in the r14 3-round plan). With the cache, each round
+    // exchanges only the NEW data (rank, and the contribution agg);
+    // the edge set and node set are shuffled exactly once. This is the
+    // in-memory twin of the bucketed-GraftTable edge layout SCALE.md
+    // names for 100 TB (storage-partitioned joins); MEMORY_AND_DISK
+    // persist spills instead of OOMing at volume.
     val ed = ed0.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).persist()
     val nodes = ed0.select(col("src").as("node"))
       .union(ed0.select(col("dst").as("node"))).distinct()
-      .repartition(col("node")).localCheckpoint()
+      .repartition(col("node")).persist()
     // N as a broadcast scalar column (no collect: a 1-row cross join),
     // attached to the node set ONCE and checkpointed (r14 optimization,
     // guide §1.2/§2.4): the old shape cross-joined nodes x broadcast(n)
@@ -58,7 +69,15 @@ object GraphOps {
     // cross) — 4 copies in the 3-round t30 plan. (node, n) costs 8
     // bytes/row and removes all of them from the loop.
     val n = nodes.agg(count(lit(1)).as("n"))
-    val nodesN = nodes.crossJoin(broadcast(n)).localCheckpoint()
+    // BroadcastNestedLoopJoin preserves the streamed (nodes) side's
+    // partitioning, so persisting the crossJoin keeps
+    // HashPartitioning(node) visible to every round's left join.
+    val nodesN = nodes.crossJoin(broadcast(n)).persist()
+    // Materialize both caches NOW (the checkpoints this replaces were
+    // eager too): an unmaterialized cache is an AdaptiveSparkPlan with
+    // isFinalPlan=false, whose output partitioning the outer planner
+    // cannot trust — the loop's plans would re-shuffle it every round.
+    ed.count(); nodesN.count()
     var rank = nodesN.select(col("node"), (lit(1.0) / col("n")).as("rank"))
     for (_ <- 1 to iterations) {
       // SHUFFLE_HASH on the rank/contribution sides (guide §3.1): the
