@@ -77,6 +77,25 @@ object ProbeF22 {
       while (i < cents.length) { m.addTo((1L << 32) | cents(i), 1L); i += 1 }
       println(f"PROBE rawmap     ${(System.nanoTime() - t0) / 1e9}%.3f s (map ${m.size})")
     }
+    // r15: isolate the TypedImperativeAggregate.update() interface cost
+    // (child eval + boxing + dispatch) from the ObjectHashAggregate
+    // machinery — drive the REAL agg update loop over an InternalRow
+    // cursor and compare to add-all above.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, SpecificInternalRow}
+      import org.apache.spark.sql.types.LongType
+      val agg = graft.functions.QdigestAgg(BoundReference(0, LongType, nullable = false), 65536)
+      (1 to 3).foreach { _ =>
+        val row = new SpecificInternalRow(Seq(LongType))
+        var buf = agg.createAggregationBuffer()
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < cents.length) {
+          row.setLong(0, cents(i)); buf = agg.update(buf, row); i += 1
+        }
+        println(f"PROBE agg-update ${(System.nanoTime() - t0) / 1e9}%.3f s (map ${buf.counts.size})")
+      }
+    }
     s.stop()
   }
 }
