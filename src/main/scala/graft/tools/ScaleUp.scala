@@ -92,7 +92,15 @@ object ScaleUp {
     }
 
     def write(t: String, df: DataFrame): Unit = {
+      // repartition before the write (r15): the broadcast crossJoin
+      // preserves the source's single partition, so the scaled facts
+      // were landing as ONE file with ONE row group — every scan of
+      // them ran as a single task, serializing the scan+partial-agg
+      // stage and flattening any core-scaling measurement (guide §6:
+      // parallel-readable output sizing). The docs/embeddings/events
+      // single-table modes already did this.
       df.drop("__r")
+        .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"scaled $t x$k")
     }
