@@ -65,9 +65,11 @@ import org.apache.spark.sql.types._
   * allocation per operation.
   *
   * Key contract: node ids are always ≥ 1 (the root is id 1, leaves
-  * carry bit 32), so key 0 is the EMPTY sentinel and key -1 the
-  * TOMBSTONE left by `remove` to keep probe chains intact. Counts are
-  * always ≥ 1, so `getOrElse` defaults of 0/-1 are unambiguous.
+  * carry bit 32), so key 0 is the EMPTY sentinel. Counts are always
+  * ≥ 1, so `getOrElse` defaults of 0/-1 are unambiguous. No removal:
+  * compress() rebuilds a fresh map instead, so the class carries no
+  * tombstone machinery (deleted r15 per ADVICE — it was dead,
+  * untested code and a branch in every probe step).
   */
 final class LongLongCounts(initialCapacity: Int = 64) {
   private var cap = Integer.highestOneBit(
@@ -75,7 +77,6 @@ final class LongLongCounts(initialCapacity: Int = 64) {
   private var keys = new Array[Long](cap)
   private var vals = new Array[Long](cap)
   private var live = 0 // present entries
-  private var used = 0 // present + tombstones (probe-chain occupancy)
 
   @inline private def slot(id: Long): Int = {
     var h = id * 0x9E3779B97F4A7C15L
@@ -88,17 +89,14 @@ final class LongLongCounts(initialCapacity: Int = 64) {
   /** counts(id) += c, inserting if absent. */
   def addTo(id: Long, c: Long): Unit = {
     var i = slot(id)
-    var firstFree = -1
     while (true) {
       val k = keys(i)
       if (k == id) { vals(i) += c; return }
       else if (k == 0L) {
-        val at = if (firstFree >= 0) firstFree else i
-        if (keys(at) == 0L) used += 1
-        keys(at) = id; vals(at) = c; live += 1
-        if (used * 4 >= cap * 3) grow()
+        keys(i) = id; vals(i) = c; live += 1
+        if (live * 4 >= cap * 3) grow()
         return
-      } else if (k == -1L && firstFree < 0) firstFree = i
+      }
       i = (i + 1) & (cap - 1)
     }
   }
@@ -106,17 +104,14 @@ final class LongLongCounts(initialCapacity: Int = 64) {
   /** Plain put (insert or overwrite). */
   def set(id: Long, c: Long): Unit = {
     var i = slot(id)
-    var firstFree = -1
     while (true) {
       val k = keys(i)
       if (k == id) { vals(i) = c; return }
       else if (k == 0L) {
-        val at = if (firstFree >= 0) firstFree else i
-        if (keys(at) == 0L) used += 1
-        keys(at) = id; vals(at) = c; live += 1
-        if (used * 4 >= cap * 3) grow()
+        keys(i) = id; vals(i) = c; live += 1
+        if (live * 4 >= cap * 3) grow()
         return
-      } else if (k == -1L && firstFree < 0) firstFree = i
+      }
       i = (i + 1) & (cap - 1)
     }
   }
@@ -132,27 +127,15 @@ final class LongLongCounts(initialCapacity: Int = 64) {
     default // unreachable
   }
 
-  /** Remove if present (no-op otherwise). */
-  def remove(id: Long): Unit = {
-    var i = slot(id)
-    while (true) {
-      val k = keys(i)
-      if (k == id) { keys(i) = -1L; live -= 1; return }
-      else if (k == 0L) return
-      i = (i + 1) & (cap - 1)
-    }
-  }
-
   private def grow(): Unit = {
     val ok = keys; val ov = vals
-    // size to live entries only — tombstones are dropped by the rebuild
     cap = math.max(cap, Integer.highestOneBit(math.max(live * 4 - 1, 8)) * 2)
     keys = new Array[Long](cap); vals = new Array[Long](cap)
-    used = 0; live = 0
+    live = 0
     var j = 0
     while (j < ok.length) {
       val k = ok(j)
-      if (k != 0L && k != -1L) set(k, ov(j))
+      if (k != 0L) set(k, ov(j))
       j += 1
     }
   }
@@ -163,7 +146,7 @@ final class LongLongCounts(initialCapacity: Int = 64) {
     var j = 0
     while (j < keys.length) {
       val k = keys(j)
-      if (k != 0L && k != -1L) f(k, vals(j))
+      if (k != 0L) f(k, vals(j))
       j += 1
     }
   }
@@ -174,7 +157,7 @@ final class LongLongCounts(initialCapacity: Int = 64) {
     var j = 0; var o = 0
     while (j < keys.length) {
       val k = keys(j)
-      if (k != 0L && k != -1L) { out(o) = k; o += 1 }
+      if (k != 0L) { out(o) = k; o += 1 }
       j += 1
     }
     out
@@ -183,7 +166,7 @@ final class LongLongCounts(initialCapacity: Int = 64) {
   /** Boxed-tuple view for the polymorphic merge() compat path. */
   def iterator: Iterator[(Long, Long)] =
     keys.indices.iterator
-      .filter(j => keys(j) != 0L && keys(j) != -1L)
+      .filter(j => keys(j) != 0L)
       .map(j => (keys(j), vals(j)))
 }
 
@@ -446,21 +429,27 @@ object Qdigest {
 
   @inline private def keyMax(key: Long): Long = ((key ^ Long.MinValue) >>> 32)
 
-  private def coSort(k: Array[Long], v: Array[Long], lo: Int, hi: Int): Unit = {
-    if (lo >= hi) return
-    var i = lo; var j = hi
-    val pivot = k((lo + hi) >>> 1)
-    while (i <= j) {
-      while (k(i) < pivot) i += 1
-      while (k(j) > pivot) j -= 1
-      if (i <= j) {
-        val tk = k(i); k(i) = k(j); k(j) = tk
-        val tv = v(i); v(i) = v(j); v(j) = tv
-        i += 1; j -= 1
+  private def coSort(k: Array[Long], v: Array[Long], lo0: Int, hi0: Int): Unit = {
+    // recurse into the SMALLER partition, loop on the larger (ADVICE
+    // r14): bounds stack depth at log2(n) even on adversarial/patterned
+    // key distributions, where plain two-sided recursion could reach
+    // depth n.
+    var lo = lo0; var hi = hi0
+    while (lo < hi) {
+      var i = lo; var j = hi
+      val pivot = k((lo + hi) >>> 1)
+      while (i <= j) {
+        while (k(i) < pivot) i += 1
+        while (k(j) > pivot) j -= 1
+        if (i <= j) {
+          val tk = k(i); k(i) = k(j); k(j) = tk
+          val tv = v(i); v(i) = v(j); v(j) = tv
+          i += 1; j -= 1
+        }
       }
+      if (j - lo < hi - i) { coSort(k, v, lo, j); lo = i }
+      else { coSort(k, v, i, hi); hi = j }
     }
-    coSort(k, v, lo, j)
-    coSort(k, v, i, hi)
   }
 
   /** Value at quantile q ∈ (0, 1]: the max value of the first postorder

@@ -74,7 +74,12 @@ case class WordGrams(left: Expression, right: Expression,
     if (!dedup) {
       // 3-arg form word_grams(ws, n, false): EVERY window in order
       // (the t11 repetition metric needs occurrence counts) —
-      // contract-identical to the bare transform() spelling
+      // contract-identical to the bare transform() spelling ON THE
+      // GUARDED DOMAIN (size >= n). Below it the kernel stays total
+      // and returns ONE all-words gram, where the non-ANSI HOF would
+      // yield n-size+1 identical copies (and ANSI throws) — every
+      // caller counting occurrences must keep the size >= n guard
+      // (t11 does; pinned in FunctionsSpec).
       if (size < n)
         return new GenericArrayData(
           Array[Any](UTF8String.concatWs(space, words: _*)))

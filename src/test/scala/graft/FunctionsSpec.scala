@@ -459,7 +459,12 @@ class FunctionsSpec extends SparkSpec {
       FROM (SELECT split('a b a b c c', ' ') AS ws)""").head()
     assert(nd.getSeq[String](0) == nd.getSeq[String](1), nd.toString)
     // short/empty arrays: total, one all-words gram (never thrown —
-    // call sites guard, but a total kernel beats an ANSI error)
+    // call sites guard, but a total kernel beats an ANSI error).
+    // This DIVERGES from the non-ANSI HOF below the guard by design
+    // (the HOF would emit n-size+1 identical copies in non-dedup
+    // mode): occurrence-counting callers must keep the size >= n
+    // guard, as t11 does (ADVICE r14).
+    assert(one("SELECT word_grams(array('a','b'), 5, false)") == Row(Seq("a b")))
     assert(one("SELECT word_grams(array('a','b'), 5)") == Row(Seq("a b")))
     assert(one("SELECT word_grams(CAST(array() AS ARRAY<STRING>), 5)") == Row(Seq("")))
     assert(one("SELECT word_grams(CAST(NULL AS ARRAY<STRING>), 5)") == Row(Seq()))
