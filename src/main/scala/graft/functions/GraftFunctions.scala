@@ -79,6 +79,8 @@ object GraftFunctions {
     // of the similarity-search operators; same fold order as the HOF
     // spelling so oracle hashes are unchanged).
     "vector_dot" -> { exprs: Seq[Expression] => VectorDot(exprs(0), exprs(1)) },
+    "vector_l2sq" -> { exprs: Seq[Expression] => VectorL2Sq(exprs(0), exprs(1)) },
+    "int_vec_dot" -> { exprs: Seq[Expression] => IntVecDot(exprs(0), exprs(1)) },
     // graft-native: merge-count of two sorted array<long> sets (the
     // verification kernel of the set-similarity joins).
     "sorted_intersect_size" -> { exprs: Seq[Expression] =>
@@ -394,6 +396,7 @@ object GraftFunctions {
     "try" -> ((1, 1)), "json_extract_scalar" -> ((2, 2)), "day_of_week" -> ((1, 1)),
     "cardinality" -> ((1, 1)), "format_datetime" -> ((2, 2)), "to_unixtime" -> ((1, 1)),
     "vector_dot" -> ((2, 2)), "sorted_intersect_size" -> ((2, 2)),
+    "vector_l2sq" -> ((2, 2)), "int_vec_dot" -> ((2, 2)),
     "pack_int8" -> ((1, 1)), "int8_dot" -> ((2, 2)), "simhash64" -> ((1, 1)),
     "min_gram_md5" -> ((2, 2)), "shingle_sig" -> ((3, 3)), "char_grams" -> ((2, 2)),
     "word_grams" -> ((2, 3)), "word_gram_md5s" -> ((2, 2)),

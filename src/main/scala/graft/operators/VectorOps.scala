@@ -364,8 +364,9 @@ object VectorOps {
       .withColumn("qscale",
         expr("greatest(array_max(transform(__qv, x -> abs(x))), 1e-30D) / 127.0D"))
       .withColumn("q", expr("transform(__qv, x -> CAST(floor(x / qscale + 0.5D) AS INT))"))
-      .withColumn("qn2", expr(
-        "CAST(aggregate(zip_with(q, q, (x, y) -> x * y), 0, (acc, x) -> acc + x) AS DOUBLE)"))
+      // int_vec_dot kernel (r15): same int fold, codegen-resident —
+      // the HOF ran interpreted per vector and broke Project codegen
+      .withColumn("qn2", expr("CAST(int_vec_dot(q, q) AS DOUBLE)"))
       .drop("__qv")
 
   private def qVecs(s: SparkSession, d: String): DataFrame = {
@@ -934,8 +935,11 @@ object VectorOps {
           s"struct(j AS j, slice(v, j * $w + 1, $w) AS sv))) AS e")
       .selectExpr("vec_id", "e.j AS j", "e.sv AS sv")
       .join(broadcast(codebook), Seq("j"))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      // vector_l2sq kernel (r15): same left-to-right fold inside
+      // whole-stage codegen — the HOF spelling ran interpreted N·m·k
+      // times (40M evals at 20k vectors) and broke codegen for the
+      // whole Project. Values bit-identical.
+      .withColumn("dist", expr("vector_l2sq(sv, cw)"))
       .groupBy(col("vec_id"), col("j"))
       .agg(expr("arg_min_by(c, struct(dist, c))").as("c"))
   }
@@ -953,8 +957,8 @@ object VectorOps {
           s"struct(j AS j, slice(v, j * $w + 1, $w) AS sv))) AS e")
       .selectExpr("id_q", "e.j AS j", "e.sv AS sv")
       .join(broadcast(codebook), Seq("j"))
-      .withColumn("dd", expr(
-        "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"))
+      // same kernel as pqEncode — the ONE distance spelling contract
+      .withColumn("dd", expr("vector_l2sq(sv, cw)"))
       .select(col("id_q"), col("j"), col("c"), col("dd"))
   }
 
@@ -1192,8 +1196,9 @@ object VectorOps {
           col("n2").as("nb2"), col("qn2").as("qnb2"))
         qs.join(c, col("id_q") =!= col("id_c"))
           .selectExpr("id_q", "id_c",
-            "CAST(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0, (acc, x) -> acc + x) AS DOUBLE)" +
-              " / (SQRT(qna2) * SQRT(qnb2)) AS qcos",
+            // int_vec_dot kernel (r15): interpreted HOF -> codegen'd
+            // int fold per candidate pair; values bit-identical
+            "CAST(int_vec_dot(qa, qb) AS DOUBLE) / (SQRT(qna2) * SQRT(qnb2)) AS qcos",
             s"$dotExpr / (SQRT(na2) * SQRT(nb2)) AS cos")
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("id_q")).orderBy(col("qcos").desc, col("id_c"))))
@@ -1263,8 +1268,8 @@ object VectorOps {
               col("qna2").as("qnb2"), col("cent_id")), Seq("cent_id"))
           .filter(col("id_q") =!= col("id_c"))
           .selectExpr("id_q", "id_c",
-            "CAST(aggregate(zip_with(qq, qb, (x, y) -> x * y), 0, (acc, x) -> acc + x) AS DOUBLE)" +
-              " / (SQRT(qnq2) * SQRT(qnb2)) AS qcos")
+            // int_vec_dot kernel (r15), as in v06
+            "CAST(int_vec_dot(qq, qb) AS DOUBLE) / (SQRT(qnq2) * SQRT(qnb2)) AS qcos")
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("id_q")).orderBy(col("qcos").desc, col("id_c"))))
           .filter(col("rn") <= 3)

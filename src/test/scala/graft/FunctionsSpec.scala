@@ -176,6 +176,45 @@ class FunctionsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("dimension mismatch")), messages(e))
   }
 
+  test("vector_l2sq / int_vec_dot are bit-identical to the HOF folds (r15 kernels)") {
+    // the kernels replace interpreted aggregate(zip_with(...)) folds on
+    // the PQ encode/LUT and quantized-cosine hot paths; same
+    // left-to-right accumulation order, so equality is EXACT (===),
+    // not approximate — pinned on the real embeddings
+    Tables(spark, sf(), "embeddings").createOrReplaceTempView("embeddings")
+    val rows = spark.sql(
+      """SELECT
+           vector_l2sq(a, b) AS k_l2,
+           aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D,
+                     (acc, x) -> acc + x) AS h_l2,
+           int_vec_dot(qa, qb) AS k_dot,
+           aggregate(zip_with(qa, qb, (x, y) -> x * y), 0,
+                     (acc, x) -> acc + x) AS h_dot
+         FROM (
+           SELECT transform(e1.embedding, x -> CAST(x AS DOUBLE)) AS a,
+                  transform(e2.embedding, x -> CAST(x AS DOUBLE)) AS b,
+                  transform(e1.embedding, x -> CAST(x * 50 AS INT)) AS qa,
+                  transform(e2.embedding, x -> CAST(x * 50 AS INT)) AS qb
+           FROM embeddings e1 JOIN embeddings e2
+             ON e2.vec_id = e1.vec_id + 1
+           WHERE e1.vec_id < 50)""").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"l2sq diverged: $r")
+      assert(r.getInt(2) == r.getInt(3), s"int dot diverged: $r")
+    }
+    // float/double mix accepted; dimension mismatch raises (both kernels)
+    assert(spark.sql("SELECT vector_l2sq(array(1.0F, 2.0F), array(1.0D, 4.0D)) v")
+      .head().getDouble(0) == 4.0)
+    for (q <- Seq("SELECT vector_l2sq(array(1.0F), array(1.0F, 2.0F)) v",
+                  "SELECT int_vec_dot(array(1), array(1, 2)) v")) {
+      val e = intercept[Exception] { spark.sql(q).collect() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+      assert(messages(e).exists(_.contains("dimension mismatch")), messages(e))
+    }
+  }
+
   test("approx_most_frequent: exact under capacity, bounded over it") {
     import spark.implicits._
     // exact regime: 3 distinct values, capacity default
